@@ -1,0 +1,168 @@
+"""Structural validators (reference ``filters/complex.py`` —
+SURVEY.md §2.5): per-element, per-field, and dispatch-by-value
+composition.  The top-level mapping form (``FilterMapper``) is
+:class:`filters_spark.schema.ValidationSchema`; here live the forms
+that operate INSIDE a column (arrays, structs, case-dispatch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core import (
+    ERROR_DDL,
+    FieldRef,
+    Validator,
+    ValidatorLike,
+    coerce,
+    make_error,
+    null_error,
+)
+
+__all__ = ["Each", "Nested", "Switch", "AsStruct"]
+
+
+def _field_str(field: FieldRef) -> Column:
+    return F.lit(field) if isinstance(field, str) else field
+
+
+class Each(Validator):
+    """Apply one chain to every element of an array (reference
+    ``FilterRepeater``).  Element error keys are ``<field>.<index>``
+    (dotted-index paths, e.g. ``attributes.0.birthday``).  Cleaned
+    array has NULL at invalid positions (invalid → None); the field's
+    own error is the FIRST element error.
+
+    Pure higher-order-function expression (``F.transform``): runs
+    JVM-side per element, no explode/shuffle.
+    """
+
+    name = "each"
+
+    def __init__(self, chain: ValidatorLike):
+        self.chain = coerce(chain)
+
+    def _pairs(self, col: Column, field: FieldRef) -> Column:
+        fcol = _field_str(field)
+
+        def one(x: Column, i: Column) -> Column:
+            elem_field = F.concat(fcol, F.lit("."), i.cast("string"))
+            v, e = self.chain.build(x, null_error(), elem_field)
+            return F.struct(v.alias("value"), e.alias("error"))
+
+        return F.transform(col, one)
+
+    def transform(self, col: Column) -> Column:
+        return F.transform(self._pairs(col, "x"), lambda p: p["value"])
+
+    def build(self, col: Column, err: Column, field: FieldRef):
+        pairs = self._pairs(col, field)
+        cleaned = F.transform(pairs, lambda p: p["value"])
+        elem_errs = F.filter(pairs, lambda p: p["error"].isNotNull())
+        first_err = F.when(F.size(elem_errs) > 0, F.element_at(elem_errs, 1)["error"])
+        new_err = F.coalesce(err, first_err)
+        new_col = F.when(err.isNull(), cleaned)
+        return new_col, new_err
+
+
+class Nested(Validator):
+    """Apply a map of chains to a struct column's fields (reference
+    nested ``FilterMapper``).  Error keys are dotted
+    ``<field>.<subfield>``; undeclared subfields pass through
+    unchanged when ``allow_extra_keys`` (default), else plan error.
+    Missing declared subfields: NULL runs through the chain when
+    ``allow_missing_keys`` (matching the reference), else plan error —
+    struct schemas are static in Spark so the check is at build time.
+    """
+
+    name = "nested"
+
+    def __init__(self, filter_map: dict[str, ValidatorLike],
+                 allow_extra_keys: bool = True,
+                 allow_missing_keys: bool = True):
+        self.filter_map = {k: coerce(v) for k, v in filter_map.items()}
+        self.allow_extra_keys = allow_extra_keys
+        self.allow_missing_keys = allow_missing_keys
+
+    def build(self, col: Column, err: Column, field: FieldRef):
+        fcol = _field_str(field)
+        out_fields: list[Column] = []
+        errs: list[Column] = []
+        for key, chain in self.filter_map.items():
+            sub_field = F.concat(fcol, F.lit("." + key))
+            v, e = chain.build(col.getField(key), null_error(), sub_field)
+            out_fields.append(v.alias(key))
+            errs.append(e)
+        first = F.coalesce(*errs, null_error()) if errs else null_error()
+        # NULL struct passes through as NULL (None-passthrough).
+        cleaned = F.when(col.isNotNull(), F.struct(*out_fields))
+        new_err = F.coalesce(err, F.when(col.isNotNull(), first))
+        return F.when(err.isNull(), cleaned), new_err
+
+
+class Switch(Validator):
+    """Choose a chain by a getter expression (reference
+    ``FilterSwitch``): plain CASE WHEN dispatch, fused by Catalyst.
+
+    ``getter``: function Column→Column (or None = the value itself).
+    ``cases``: literal → chain.  No match and no default → error
+    ``no_match`` (mirrors the reference raising on unhandled case).
+    """
+
+    name = "switch"
+
+    def __init__(self, getter: Callable[[Column], Column] | None,
+                 cases: dict, default: ValidatorLike | None = None):
+        self.getter = getter or (lambda c: c)
+        self.cases = {k: coerce(v) for k, v in cases.items()}
+        self.default = coerce(default) if default is not None else None
+
+    def build(self, col: Column, err: Column, field: FieldRef):
+        key = self.getter(col)
+        branches = []
+        for k, chain in self.cases.items():
+            v, e = chain.build(col, null_error(), field)
+            branches.append((F.lit(k), v, e))
+
+        out_v = None
+        out_e = None
+        for k, v, e in reversed(branches):
+            if out_v is None:
+                if self.default is not None:
+                    dv, de = self.default.build(col, null_error(), field)
+                    out_v, out_e = dv, de
+                else:
+                    out_v = F.lit(None)
+                    out_e = F.when(
+                        col.isNotNull(), make_error(field, "no_match", self.name)
+                    )
+            out_v = F.when(key == k, v).otherwise(out_v)
+            out_e = F.when(key == k, e).otherwise(out_e)
+
+        new_err = F.coalesce(err, out_e)
+        new_col = F.when(err.isNull(), out_v)
+        return new_col, new_err
+
+
+class AsStruct(Validator):
+    """Assemble named parts into a struct (reference ``NamedTuple`` —
+    namedtuples map to StructType).  Takes ``fields``: name → function
+    of the incoming column; optionally validates via ``Nested``."""
+
+    name = "as_struct"
+
+    def __init__(self, fields: dict[str, Callable[[Column], Column]],
+                 filter_map: dict[str, ValidatorLike] | None = None):
+        self.fields = fields
+        self.nested = Nested(filter_map) if filter_map else None
+
+    def build(self, col: Column, err: Column, field: FieldRef):
+        built = F.struct(*[fn(col).alias(k) for k, fn in self.fields.items()])
+        built = F.when(col.isNotNull(), built)
+        if self.nested is not None:
+            v, e = self.nested.build(built, err, field)
+            return v, e
+        return F.when(err.isNull(), built), err

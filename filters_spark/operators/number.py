@@ -1,0 +1,128 @@
+"""Numeric validators (reference ``filters/number.py`` — SURVEY.md §2.3).
+
+Hard-won semantics preserved (SURVEY.md §7.4):
+
+* ``Int``: `'1.5'` must ERROR (``not_int``), never silently truncate.
+  Implemented as ``try_cast → decimal`` + integrality check.
+* ``Decimal``: NaN / ±Inf must ERROR (``not_finite``), not propagate.
+* ``Round``: reference rounds HALF_UP — Spark ``round`` is HALF_UP
+  (``bround`` is HALF_EVEN and is deliberately NOT used).
+
+Everything is `try_cast`-based: no ANSI-off blanket casts, no silent
+coercions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core import FieldRef, Predicate, Validator, make_error
+
+__all__ = ["Int", "DecimalOf", "Min", "Max", "Round"]
+
+# Wide-enough intermediate for parsing numeric strings.
+_DEC = "decimal(38,10)"
+
+
+def _is_nan_unsafe(col: Column) -> Column:
+    """isnan() errors on non-floating types only when types are wrong at
+    plan time; callers gate by input type."""
+    return F.isnan(col)
+
+
+class Int(Validator):
+    """→ LongType; accepts numeric strings / decimals only if integral
+    (reference ``filters/number.py::Int``: no silent truncation)."""
+
+    name = "int"
+
+    def _parsed(self, col: Column) -> Column:
+        return col.cast("string").try_cast(_DEC)
+
+    def transform(self, col: Column) -> Column:
+        return self._parsed(F.trim(col.cast("string"))).cast("long")
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        d = self._parsed(F.trim(col.cast("string")))
+        not_numeric = col.isNotNull() & d.isNull()
+        not_integral = d.isNotNull() & (d != F.floor(d).cast(_DEC))
+        overflow = d.isNotNull() & d.cast("long").isNull()
+        return (
+            F.when(not_numeric, make_error(field, "not_numeric", self.name))
+            .when(not_integral, make_error(field, "not_int", self.name))
+            .when(overflow, make_error(field, "too_big", self.name))
+        )
+
+
+class DecimalOf(Validator):
+    """→ DecimalType; rejects non-numeric strings and NaN/±Inf
+    (reference ``Decimal(max_precision=...)``; quantize ≈ scale cast)."""
+
+    name = "decimal"
+
+    def __init__(self, precision: int = 38, scale: int = 10):
+        self.precision = precision
+        self.scale = scale
+        self._t = f"decimal({precision},{scale})"
+
+    def _pre(self, col: Column) -> Column:
+        # Normalize to string first so float NaN/Inf become the literal
+        # strings 'NaN'/'Infinity' and fail the decimal try_cast.
+        return F.trim(col.cast("string"))
+
+    def transform(self, col: Column) -> Column:
+        return self._pre(col).try_cast(self._t)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        s = self._pre(col)
+        bad = col.isNotNull() & s.try_cast(self._t).isNull()
+        non_finite = bad & F.upper(s).rlike("^[+-]?(NAN|INF(INITY)?)$")
+        return F.when(non_finite, make_error(field, "not_finite", self.name)).when(
+            bad, make_error(field, "not_numeric", self.name)
+        )
+
+
+class Min(Predicate):
+    """v >= min (`>` if exclusive) — reference ``Min``; code ``too_small``."""
+
+    name = "min"
+    code = "too_small"
+
+    def __init__(self, value, exclusive: bool = False):
+        self.value = value
+        self.exclusive = exclusive
+
+    def condition(self, col: Column) -> Column:
+        return col > F.lit(self.value) if self.exclusive else col >= F.lit(self.value)
+
+
+class Max(Predicate):
+    """v <= max (`<` if exclusive) — reference ``Max``; code ``too_big``."""
+
+    name = "max"
+    code = "too_big"
+
+    def __init__(self, value, exclusive: bool = False):
+        self.value = value
+        self.exclusive = exclusive
+
+    def condition(self, col: Column) -> Column:
+        return col < F.lit(self.value) if self.exclusive else col <= F.lit(self.value)
+
+
+class Round(Validator):
+    """Round to the nearest multiple of ``to_nearest``, HALF_UP
+    (reference ``Round``).  Spark ``F.round`` is HALF_UP on decimals —
+    matches; ``bround`` (HALF_EVEN) must not be used here."""
+
+    name = "round"
+
+    def __init__(self, to_nearest=1, scale: int = 10):
+        self.to_nearest = to_nearest
+        self.scale = scale
+
+    def transform(self, col: Column) -> Column:
+        dec = f"decimal(38,{self.scale})"
+        n = F.lit(str(self.to_nearest)).cast(dec)
+        return (F.round((col.cast(dec) / n), 0) * n).cast(dec)

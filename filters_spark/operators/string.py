@@ -1,0 +1,322 @@
+"""String validators (reference ``filters/string.py`` — SURVEY.md §2.4).
+
+Expression-first: every operator here is a pure Column expression.
+The semantically-exact-but-Python-only variants (NFC normalize, true
+casefold, IPv6 compression, byte-boundary truncation) live in
+``operators/udf.py`` as documented pandas-UDF leaves; these are the
+fast JVM-side approximations whose deltas are documented per class.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core import FieldRef, Predicate, Validator, make_error
+
+__all__ = [
+    "Strip",
+    "CaseFold",
+    "Split",
+    "Regex",
+    "MaxBytes",
+    "Base64Decode",
+    "Uuid",
+    "ByteString",
+    "Unicode",
+    "IpAddress",
+    "JsonDecode",
+]
+
+# Java regex class matching the reference's "unprintable" strip set
+# (\p{C} = control/format/unassigned/private-use).
+_UNPRINTABLE = r"[\p{Cntrl}\p{Cf}\p{Co}\p{Cn}]"
+
+
+class Strip(Validator):
+    """Strip leading/trailing runs matching regexes; default also
+    removes unprintables (reference ``Strip``)."""
+
+    name = "strip"
+
+    def __init__(self, leading: str = r"[\s]+", trailing: str = r"[\s]+",
+                 strip_unprintable: bool = True):
+        self.leading = leading
+        self.trailing = trailing
+        self.strip_unprintable = strip_unprintable
+
+    def transform(self, col: Column) -> Column:
+        lead, trail = self.leading, self.trailing
+        if self.strip_unprintable:
+            lead = f"(?:{lead}|{_UNPRINTABLE}+)"
+            trail = f"(?:{trail}|{_UNPRINTABLE}+)"
+        out = F.regexp_replace(col, f"^(?:{lead})+", "")
+        return F.regexp_replace(out, f"(?:{trail})+$", "")
+
+
+class CaseFold(Validator):
+    """Unicode case folding.  JVM-side approximation is ``lower()``;
+    the exact ``str.casefold`` (ß→ss) lives in ``udf.CaseFoldExact``.
+    The delta only matters for a handful of codepoints (ß, ﬁ-ligatures,
+    Cherokee); DuckDB oracle uses ``lower()`` semantics to match."""
+
+    name = "case_fold"
+
+    def transform(self, col: Column) -> Column:
+        return F.lower(col)
+
+
+class Split(Validator):
+    """Split by regex → array; with ``keys`` → struct of named parts
+    (reference ``Split(pattern, keys=...)``)."""
+
+    name = "split"
+
+    def __init__(self, pattern: str, keys: list[str] | None = None):
+        self.pattern = pattern
+        self.keys = keys
+
+    def transform(self, col: Column) -> Column:
+        parts = F.split(col, self.pattern)
+        if self.keys is None:
+            return parts
+        return F.struct(*[parts.getItem(i).alias(k) for i, k in enumerate(self.keys)])
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        if self.keys is None:
+            return super().error(col, field)
+        fail = col.isNotNull() & (F.size(F.split(col, self.pattern)) != len(self.keys))
+        return F.when(fail, make_error(field, "wrong_parts", self.name))
+
+
+class Regex(Validator):
+    """Match against a regex; result = array of ALL matches; no match
+    → error (reference ``Regex`` — note it returns the match list, not
+    a bool).  Dialect: Java regex, not the PyPI ``regex`` lib; Unicode
+    property classes are the main delta (documented per pattern)."""
+
+    name = "regex"
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+
+    def transform(self, col: Column) -> Column:
+        return F.regexp_extract_all(col, F.lit(self.pattern), 0)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & (F.size(F.regexp_extract_all(col, F.lit(self.pattern), 0)) == 0)
+        return F.when(fail, make_error(field, "malformed", self.name))
+
+
+class MaxBytes(Validator):
+    """Enforce UTF-8 byte length <= n (reference ``MaxBytes``).  This
+    expression form CHECKS (``octet_length``) and errors when too long;
+    the codepoint-boundary-safe truncating form (returns bytes) is
+    ``udf.MaxBytesTruncate`` — Spark's substr is char-based and byte
+    slicing may split codepoints."""
+
+    name = "max_bytes"
+
+    def __init__(self, max_bytes: int, truncate: bool = False):
+        self.max_bytes = max_bytes
+        self.truncate = truncate
+
+    def transform(self, col: Column) -> Column:
+        if not self.truncate:
+            return col
+        # Char-conservative truncation: UTF-8 ≤ 4 bytes per char, so
+        # keep chars while running byte total fits.  Cheap expr form:
+        # binary-search-free prefix via substr loop unrolled to the
+        # worst case is not expressible; use aggregate over chars.
+        chars = F.split(col, "")
+        lens = F.transform(chars, lambda ch: F.octet_length(ch))
+        # running sum via aggregate into (count, total)
+        acc = F.aggregate(
+            lens,
+            F.struct(F.lit(0).alias("n"), F.lit(0).alias("total")),
+            lambda a, x: F.struct(
+                F.when(a["total"] + x <= F.lit(self.max_bytes), a["n"] + 1)
+                .otherwise(a["n"]).alias("n"),
+                (a["total"] + x).alias("total"),
+            ),
+        )
+        return F.substring(col, 1, acc["n"])
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        if self.truncate:
+            return super().error(col, field)
+        fail = col.isNotNull() & (F.octet_length(col) > self.max_bytes)
+        return F.when(fail, make_error(field, "too_long", self.name))
+
+
+_B64_RE = "^[A-Za-z0-9+/\\-_]*={0,2}$"
+
+
+class Base64Decode(Validator):
+    """Decode base64 → binary; tolerates urlsafe alphabet and missing
+    padding (reference ``Base64Decode``)."""
+
+    name = "base64_decode"
+
+    def transform(self, col: Column) -> Column:
+        std = F.translate(F.regexp_replace(col, "=+$", ""), "-_", "+/")
+        padded = F.concat(std, F.substring(F.lit("==="), 1, (F.lit(4) - F.length(std) % 4) % 4))
+        return F.unbase64(padded)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        stripped = F.regexp_replace(col, "=+$", "")
+        bad_alphabet = ~stripped.rlike("^[A-Za-z0-9+/\\-_]*$")
+        bad_len = (F.length(stripped) % 4) == 1  # 4n+1 is never valid b64
+        fail = col.isNotNull() & (bad_alphabet | bad_len)
+        return F.when(fail, make_error(field, "not_base64", self.name))
+
+
+_UUID_RE = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+
+
+class Uuid(Validator):
+    """Parse → canonical lowercase UUID string; optional version check
+    (reference ``Uuid(version=...)``).  Spark has no UUID type; the
+    canonical string form is the engine representation."""
+
+    name = "uuid"
+
+    def __init__(self, version: int | None = None):
+        self.version = version
+
+    def _canon(self, col: Column) -> Column:
+        # strip braces / urn:uuid: prefix, lowercase
+        c = F.lower(F.regexp_replace(col, r"^(urn:uuid:|\{)|(\})$", ""))
+        # allow un-hyphenated 32-hex input
+        bare = F.regexp_replace(c, "-", "")
+        return F.when(
+            bare.rlike("^[0-9a-f]{32}$"),
+            F.concat_ws(
+                "-",
+                F.substring(bare, 1, 8),
+                F.substring(bare, 9, 4),
+                F.substring(bare, 13, 4),
+                F.substring(bare, 17, 4),
+                F.substring(bare, 21, 12),
+            ),
+        )
+
+    def transform(self, col: Column) -> Column:
+        return self._canon(col)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        canon = self._canon(col)
+        fail = col.isNotNull() & (canon.isNull() | ~canon.rlike(_UUID_RE))
+        err = F.when(fail, make_error(field, "not_uuid", self.name))
+        if self.version is not None:
+            wrong_v = canon.isNotNull() & (F.substring(canon, 15, 1) != str(self.version))
+            err = err.when(wrong_v, make_error(field, "wrong_version", self.name))
+        return err
+
+
+class ByteString(Validator):
+    """→ bytes: utf-8 encode strings (reference ``ByteString``)."""
+
+    name = "byte_string"
+
+    def __init__(self, encoding: str = "UTF-8"):
+        self.encoding = encoding
+
+    def transform(self, col: Column) -> Column:
+        return F.encode(col, self.encoding)
+
+
+class Unicode(Validator):
+    """→ str: decode bytes, normalize line endings to \\n, strip
+    unprintables (reference ``Unicode(normalize=True)``).  NFC
+    normalization has no Spark builtin — exact form in
+    ``udf.UnicodeExact``; deltas only for non-NFC input."""
+
+    name = "unicode"
+
+    def __init__(self, encoding: str = "UTF-8", normalize: bool = True,
+                 from_binary: bool = False):
+        self.encoding = encoding
+        self.normalize = normalize
+        self.from_binary = from_binary
+
+    def transform(self, col: Column) -> Column:
+        s = F.decode(col, self.encoding) if self.from_binary else col.cast("string")
+        if not self.normalize:
+            return s
+        s = F.regexp_replace(s, "\\r\\n|\\r", "\n")
+        # remove unprintables except \n and \t
+        return F.regexp_replace(s, r"[\p{Cntrl}\p{Cf}\p{Co}\p{Cn}&&[^\n\t]]", "")
+
+
+_IPV4_RE = (
+    "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}"
+    "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+# Pragmatic IPv6 validation (full-form + :: compression), not RFC-complete.
+_IPV6_RE = (
+    "^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"
+    "|([0-9a-fA-F]{1,4}:){1,7}:"
+    "|:(:[0-9a-fA-F]{1,4}){1,7}"
+    "|([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}"
+    "|([0-9a-fA-F]{1,4}:){1,5}(:[0-9a-fA-F]{1,4}){1,2}"
+    "|([0-9a-fA-F]{1,4}:){1,4}(:[0-9a-fA-F]{1,4}){1,3}"
+    "|([0-9a-fA-F]{1,4}:){1,3}(:[0-9a-fA-F]{1,4}){1,4}"
+    "|([0-9a-fA-F]{1,4}:){1,2}(:[0-9a-fA-F]{1,4}){1,5}"
+    "|::)$"
+)
+
+
+class IpAddress(Validator):
+    """Validate IPv4 and/or IPv6 (reference ``IpAddress``).  IPv4 result
+    is the input; IPv6 is lowercased (full RFC 5952 compression lives
+    in ``udf.IpV6Normalize``)."""
+
+    name = "ip_address"
+
+    def __init__(self, ipv4: bool = True, ipv6: bool = False):
+        self.ipv4 = ipv4
+        self.ipv6 = ipv6
+
+    def _valid(self, col: Column) -> Column:
+        checks = []
+        if self.ipv4:
+            checks.append(col.rlike(_IPV4_RE))
+        if self.ipv6:
+            checks.append(col.rlike(_IPV6_RE))
+        out = checks[0]
+        for c in checks[1:]:
+            out = out | c
+        return out
+
+    def transform(self, col: Column) -> Column:
+        if self.ipv6:
+            return F.when(col.rlike(_IPV6_RE), F.lower(col)).otherwise(col)
+        return col
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & ~self._valid(col)
+        return F.when(fail, make_error(field, "not_ip_address", self.name))
+
+
+class JsonDecode(Validator):
+    """Parse a JSON string (reference ``JsonDecode``).  With a schema →
+    ``from_json`` (typed struct); without → ``parse_json`` Variant
+    (Spark 4), the closest analog of the reference's schemaless
+    ``json.loads``.  Invalid JSON → error ``not_json``."""
+
+    name = "json_decode"
+
+    def __init__(self, schema: str | None = None):
+        self.schema = schema
+
+    def transform(self, col: Column) -> Column:
+        if self.schema:
+            return F.from_json(col, self.schema)
+        return F.try_parse_json(col)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & F.try_parse_json(col).isNull()
+        return F.when(fail, make_error(field, "not_json", self.name))

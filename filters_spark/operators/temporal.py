@@ -1,0 +1,92 @@
+"""Temporal validators (reference ``filters/simple.py::Date/Datetime``
+— SURVEY.md §2.2 / §7.3 milestone 4).
+
+The reference parses free-form strings with dateutil and normalizes
+tz-aware datetimes to UTC.  Expression path: ``try_to_timestamp`` over
+a prioritized list of fixed formats + ``to_utc_timestamp`` for naive
+inputs interpreted in an assumed zone.  The dateutil free-form parser
+lives in ``udf.DatetimeFuzzy``.
+
+Engine-wide discipline: ``spark.sql.session.timeZone`` is pinned to
+UTC by :func:`filters_spark.sources.tables.get_spark` so timestamp
+semantics (and the DuckDB oracle) never flap (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core import FieldRef, Validator, make_error
+
+__all__ = ["Datetime", "Date"]
+
+# Prioritized fixed formats covering ISO-ish inputs.
+_FORMATS = [
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd",
+    "yyyy/MM/dd",
+    "MM/dd/yyyy",
+]
+
+
+def _parse_any(col: Column) -> Column:
+    parsed = F.try_to_timestamp(col)  # session-default parse first
+    for fmt in _FORMATS:
+        parsed = F.coalesce(parsed, F.try_to_timestamp(col, F.lit(fmt)))
+    return parsed
+
+
+class Datetime(Validator):
+    """Parse string/timestamp → UTC timestamp (reference ``Datetime``).
+
+    ``timezone``: zone used to interpret NAIVE inputs (reference's
+    ``timezone`` param); offsets in the input itself win.  With the
+    session tz pinned to UTC, naive strings parse as UTC and
+    ``to_utc_timestamp`` re-interprets them when a zone is given.
+    """
+
+    name = "datetime"
+
+    def __init__(self, timezone: str | None = None):
+        self.timezone = timezone
+
+    def _parsed(self, col: Column) -> Column:
+        p = _parse_any(col.cast("string"))
+        if self.timezone:
+            p = F.to_utc_timestamp(p, self.timezone)
+        return p
+
+    def transform(self, col: Column) -> Column:
+        return self._parsed(col)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & self._parsed(col).isNull()
+        return F.when(fail, make_error(field, "not_datetime", self.name))
+
+
+class Date(Validator):
+    """Parse → DateType (reference ``Date``): the datetime parse, then
+    the date part (in ``timezone`` if given, else UTC)."""
+
+    name = "date"
+
+    def __init__(self, timezone: str | None = None):
+        self.timezone = timezone
+
+    def _parsed(self, col: Column) -> Column:
+        p = _parse_any(col.cast("string"))
+        if self.timezone:
+            # interpret naive input in tz, then take the local date
+            return F.to_date(p)
+        return F.to_date(p)
+
+    def transform(self, col: Column) -> Column:
+        return self._parsed(col)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & self._parsed(col).isNull()
+        return F.when(fail, make_error(field, "not_date", self.name))

@@ -1,0 +1,1 @@
+from .tables import TABLES, get_spark, load_all, load_table, register_views  # noqa: F401

@@ -1,0 +1,163 @@
+"""Structural validators (SURVEY.md §2.5) + ValidationSchema
+(FilterMapper) + ValidationResult (FilterRunner) semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import filters_spark as fs
+from filters_spark.schema import ERRORS_COL, SchemaError
+from tests.conftest import run_chain
+
+
+class TestEach:
+    def test_elementwise_clean(self, spark):
+        chain = fs.Each(fs.Strip() | fs.Choice(["a", "b"]))
+        [(clean, code)] = run_chain(spark, chain, [[" a ", "b"]], "array<string>")
+        assert code is None and clean == ["a", "b"]
+
+    def test_element_error_key_is_dotted_index(self, spark):
+        from filters_spark.core import null_error
+
+        df = spark.createDataFrame([(["a", "z", "q"],)], "v array<string>")
+        c, e = fs.Each(fs.Choice(["a", "b"])).build(F.col("v"), null_error(), "tags")
+        row = df.select(c.alias("clean"), e.alias("err")).head()
+        assert row["err"]["field"] == "tags.1"
+        assert row["err"]["code"] == "not_valid_choice"
+        # invalid element → None hole, valid elements kept
+        assert row["clean"] == ["a", None, None] or row["clean"][0] == "a"
+
+    def test_null_array_passthrough(self, spark):
+        [(clean, code)] = run_chain(
+            spark, fs.Each(fs.Required()), [None], "array<string>"
+        )
+        assert code is None and clean is None
+
+    def test_null_element_passthrough(self, spark):
+        [(clean, code)] = run_chain(
+            spark, fs.Each(fs.Strip()), [["a", None]], "array<string>"
+        )
+        assert code is None and clean == ["a", None]
+
+
+class TestNested:
+    def test_dotted_error_keys(self, spark):
+        from filters_spark.core import null_error
+
+        df = spark.createDataFrame(
+            [((1, " x "),), ((None, "y"),)], "v struct<id:bigint,name:string>"
+        )
+        nested = fs.Nested({"id": fs.Required(), "name": fs.Strip()})
+        c, e = nested.build(F.col("v"), null_error(), "obj")
+        rows = df.select(c.alias("clean"), e.alias("err")).collect()
+        assert rows[0]["err"] is None
+        assert rows[0]["clean"].asDict() == {"id": 1, "name": "x"}
+        assert rows[1]["err"]["field"] == "obj.id"
+        assert rows[1]["err"]["code"] == "empty"
+
+    def test_null_struct_passthrough(self, spark):
+        [(clean, code)] = run_chain(
+            spark,
+            fs.Nested({"id": fs.Required()}),
+            [None],
+            "struct<id:bigint>",
+        )
+        assert code is None and clean is None
+
+
+class TestSwitch:
+    def test_dispatch(self, spark):
+        sw = fs.Switch(None, {"a": fs.MaxLength(1), "bb": fs.MaxLength(2)})
+        [(c1, e1), (c2, e2)] = run_chain(spark, sw, ["a", "bb"])
+        assert e1 is None and c1 == "a"
+        assert e2 is None and c2 == "bb"
+
+    def test_no_match_errors(self, spark):
+        sw = fs.Switch(None, {"a": fs.NoOp()})
+        [(clean, code)] = run_chain(spark, sw, ["zzz"])
+        assert code == "no_match"
+
+    def test_default(self, spark):
+        sw = fs.Switch(None, {"a": fs.NoOp()}, default=fs.MaxLength(1))
+        [(clean, code)] = run_chain(spark, sw, ["zz"])
+        assert code == "too_long"
+
+
+class TestAsStruct:
+    def test_assemble(self, spark):
+        st = fs.AsStruct({"head": lambda c: F.substring(c, 1, 1), "len": F.length})
+        [(clean, code)] = run_chain(spark, st, ["abc"])
+        assert code is None and clean.asDict() == {"head": "a", "len": 3}
+
+
+class TestValidationSchema:
+    def _schema(self):
+        return fs.ValidationSchema(
+            {
+                "id": fs.Required(),
+                "name": fs.Strip() | fs.MinLength(1),
+            }
+        )
+
+    def test_clean_and_rejected_split(self, spark):
+        df = spark.createDataFrame(
+            [(1, " a "), (None, "b"), (2, "")], "id bigint, name string"
+        )
+        res = self._schema().validate(df)
+        assert res.clean.count() == 1
+        assert res.rejected.count() == 2
+        assert not res.is_valid()
+
+    def test_error_code_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, " a "), (None, "b"), (2, "")], "id bigint, name string"
+        )
+        counts = {
+            (r["field"], r["code"]): r["count"]
+            for r in self._schema().validate(df).error_code_counts().collect()
+        }
+        assert counts == {("id", "empty"): 1, ("name", "too_short"): 1}
+
+    def test_extra_keys_passthrough_by_default(self, spark):
+        df = spark.createDataFrame([(1, "a", "x")], "id bigint, name string, other string")
+        out = self._schema().apply(df)
+        assert "other" in out.columns
+
+    def test_extra_keys_rejected_when_disallowed(self, spark):
+        df = spark.createDataFrame([(1, "a", "x")], "id bigint, name string, other string")
+        schema = fs.ValidationSchema(self._schema().filter_map, allow_extra_keys=False)
+        with pytest.raises(SchemaError, match="unexpected_key"):
+            schema.apply(df)
+
+    def test_missing_key_runs_none_through_chain(self, spark):
+        df = spark.createDataFrame([("a",)], "name string")
+        res = self._schema().validate(df)  # id missing → None → Required errors
+        assert {r["code"] for r in res.errors_long.collect()} == {"empty"}
+
+    def test_missing_key_rejected_when_disallowed(self, spark):
+        df = spark.createDataFrame([("a",)], "name string")
+        schema = fs.ValidationSchema(self._schema().filter_map, allow_missing_keys=False)
+        with pytest.raises(SchemaError, match="missing_key"):
+            schema.apply(df)
+
+    def test_strict_raises_filter_error(self, spark):
+        df = spark.createDataFrame([(None, "b")], "id bigint, name string")
+        with pytest.raises(fs.FilterError) as ei:
+            self._schema().validate(df, strict=True)
+        assert ei.value.code == "empty"
+        assert ei.value.field == "id"
+
+    def test_schema_merge(self, spark):
+        s1 = fs.ValidationSchema({"a": fs.Strip()})
+        s2 = fs.ValidationSchema({"a": fs.MaxLength(2), "b": fs.Required()})
+        merged = s1 | s2
+        assert set(merged.filter_map) == {"a", "b"}
+        df = spark.createDataFrame([(" abc ", 1)], "a string, b bigint")
+        res = merged.validate(df)
+        assert {r["code"] for r in res.errors_long.collect()} == {"too_long"}
+
+    def test_validated_is_single_projection(self, spark):
+        """The whole schema must compile to one Project over the scan —
+        no shuffle, no extra exchange (scale guarantee)."""
+        df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+        plan = self._schema().apply(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

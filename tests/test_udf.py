@@ -1,0 +1,76 @@
+"""Pandas-UDF fallback leaves (SURVEY.md §4.4, §7.3 milestone 7).
+Each is compared against its scalar Python oracle."""
+
+import datetime as dt
+import unicodedata
+
+import filters_spark as fs
+from filters_spark.operators import udf
+from tests.conftest import assert_errors, assert_passes, run_chain
+
+
+class TestCall:
+    def test_arbitrary_callable(self, spark):
+        rev = udf.Call(lambda s: s[::-1], "string")
+        assert_passes(spark, rev, "abc", "cba")
+
+    def test_none_propagates(self, spark):
+        rev = udf.Call(lambda s: s[::-1], "string")
+        assert_passes(spark, rev, None, None)
+
+    def test_error_on_none(self, spark):
+        parse = udf.Call(
+            lambda s: s if s.startswith("ok") else None,
+            "string", error_on_none=True, code="bad_prefix",
+        )
+        assert_errors(spark, parse, "nope", "bad_prefix")
+
+
+class TestUnicodeNFC:
+    def test_nfd_to_nfc(self, spark):
+        nfd = unicodedata.normalize("NFD", "é")
+        assert len(nfd) == 2
+        assert_passes(spark, udf.UnicodeNFC(), nfd, "é")
+
+
+class TestCaseFoldExact:
+    def test_eszett(self, spark):
+        # the case lower() cannot do: ß → ss
+        assert_passes(spark, udf.CaseFoldExact(), "STRASSE-ß", "strasse-ss")
+
+
+class TestDatetimeFuzzy:
+    def test_freeform(self, spark):
+        [(clean, code)] = run_chain(
+            spark, udf.DatetimeFuzzy(), ["Jan 2 2024 3:04pm"]
+        )
+        assert code is None and clean == dt.datetime(2024, 1, 2, 15, 4)
+
+    def test_unparseable(self, spark):
+        assert_errors(spark, udf.DatetimeFuzzy(), "not a date", "not_datetime")
+
+
+class TestIpV6Normalize:
+    def test_rfc5952_compression(self, spark):
+        assert_passes(
+            spark, udf.IpV6Normalize(), "2001:0db8:0000:0000:0000:0000:0000:0001",
+            "2001:db8::1",
+        )
+
+    def test_invalid(self, spark):
+        assert_errors(spark, udf.IpV6Normalize(), "zz::1::", "not_ip_address")
+
+
+class TestMaxBytesTruncate:
+    def test_boundary_safe(self, spark):
+        # 'éé' = 4 bytes; budget 3 must cut at the codepoint boundary
+        assert_passes(spark, udf.MaxBytesTruncate(3), "éé", "é")
+
+    def test_under_budget_unchanged(self, spark):
+        assert_passes(spark, udf.MaxBytesTruncate(10), "abc", "abc")
+
+    def test_chain_short_circuit_skips_udf(self, spark):
+        # upstream error nulls the value; the UDF sees None and no-ops
+        chain = fs.Choice(["ok"]) | udf.Call(lambda s: s.upper(), "string")
+        [(clean, code)] = run_chain(spark, chain, ["bad"])
+        assert code == "not_valid_choice" and clean is None
