@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a count-ish action (collect) so
+the measured time includes scan → shuffle → result, not plan time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from filters_spark.plans import queries as Q
+from filters_spark.sources import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: validation, scan-agg, joins, windows, dedup,
+# similarity, text — one per capability family.
+HEADLINE = [
+    "val_lineitem_clean_agg",
+    "val_error_rollup",
+    "rel_q1_pricing",
+    "rel_q3_shipping",
+    "rel_q5_nation_revenue",
+    "rel_topk_parts_per_brand",
+    "rel_sessionize",
+    "ds_dedup_exact",
+    "ds_ngram_jaccard",
+    "ds_cosine_topk",
+    "txt_profile",
+]
+
+
+def main() -> None:
+    spark = get_spark("filters_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = Q.REGISTRY[name]
+        # warm the reader metadata once so the first query doesn't pay
+        # one-off session setup; each query still runs cold plans.
+        t0 = time.time()
+        rows = q.fn(spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({len(rows)} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,11 +109,45 @@ class Validator:
     def error(self, col: Column, field: FieldRef) -> Column:
         return null_error()
 
+    # -- plan-time type specialization ---------------------------------
+    # When the bound column's Spark type is known (ValidationSchema
+    # sees df.schema), a validator may return a cheaper equivalent:
+    # e.g. Int() on a BIGINT column is a no-op instead of a
+    # string-roundtrip parse.  This is the validation analog of
+    # Catalyst constant folding — same semantics, specialized plan.
+
+    #: True if this validator never changes the value's Spark type
+    #: (predicates, identity transforms) — lets the chain keep
+    #: propagating the known dtype to later steps.
+    preserves_type = True
+
+    def specialize(self, dtype) -> "Validator":
+        """Return an equivalent validator specialized to the input
+        Spark DataType (dtype may be None = unknown → return self)."""
+        return self
+
+    #: Wrap this step's transform in ``when(err.isNull(), ...)`` so it
+    #: cannot execute after an upstream error.  Only set for steps with
+    #: real per-row cost or side effects (pandas UDFs) — for pure
+    #: expressions the final-select nulling already guarantees errored
+    #: values clean to NULL, and leaving the value tree unwrapped keeps
+    #: expression growth LINEAR in chain depth (embedding the err tree
+    #: in the value tree at every step made plan/codegen cost grow
+    #: exponentially — measured seconds of Janino compile per query).
+    guard_on_error = False
+
     def build(self, col: Column, err: Column, field: FieldRef) -> tuple[Column, Column]:
+        # First error wins: flat coalesce list, no nesting.
         new_err = F.coalesce(err, self.error(col, field))
-        # Once err is set the value is NULL from that point on: later
-        # steps see NULL and pass it through (short-circuit for free).
-        new_col = F.when(new_err.isNull(), self.transform(col))
+        new_col = self.transform(col)
+        if self.guard_on_error and new_col is not col:
+            new_col = F.when(err.isNull(), new_col)
+        # NOTE the cleaned value of an errored row is NOT nulled here —
+        # the consumer (ValidationSchema's final select, __call__,
+        # Each's per-element wrap) applies `when(err.isNull(), value)`
+        # exactly once at the end.  Mid-chain steps may compute on a
+        # value that already errored; errors they raise are absorbed by
+        # the coalesce (first error wins), and transforms are pure.
         return new_col, new_err
 
     def __or__(self, other: "ValidatorLike") -> "Chain":
@@ -123,9 +157,10 @@ class Validator:
         return Chain([coerce(other), self])
 
     def __call__(self, col: Column, field: str = "value") -> Column:
-        """Apply to a bare Column, returning struct<value, error>."""
+        """Apply to a bare Column, returning struct<value, error>;
+        errored values clean to NULL (invalid → None)."""
         c, e = self.build(col, null_error(), field)
-        return F.struct(c.alias("value"), e.alias("error"))
+        return F.struct(F.when(e.isNull(), c).alias("value"), e.alias("error"))
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<{type(self).__name__}>"
@@ -173,6 +208,15 @@ class Chain(Validator):
             col, err = step.build(col, err, field)
         return col, err
 
+    def specialize(self, dtype) -> "Chain":
+        out, cur = [], dtype
+        for step in self.steps:
+            sp = step.specialize(cur) if cur is not None else step
+            out.append(sp)
+            if not sp.preserves_type:
+                cur = None  # type changed; stop propagating
+        return Chain(out)
+
     def __or__(self, other: ValidatorLike) -> "Chain":
         return Chain(self.steps + [coerce(other)])
 
@@ -209,6 +253,7 @@ class Transform(Validator):
     ``operators.udf.Call`` for the arbitrary-Python escape hatch)."""
 
     name = "transform"
+    preserves_type = False
 
     def __init__(self, fn: Callable[[Column], Column], name: str | None = None):
         self.fn = fn

@@ -1,0 +1,291 @@
+"""Deduplication operators (BASELINE.json north star): exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+
+* **Exact dedup** shuffles once on the fingerprint — a narrow 16-byte
+  key, not the document — and uses map-side partial aggregation.
+  Keep-first needs a deterministic order column; ``dropDuplicates``
+  is nondeterministic under retries.
+* **MinHash+LSH** never materializes the O(n²) pair space: signatures
+  are a projection; candidate generation groups by (band_id,
+  band_key) — a shuffle whose fan-in per bucket is bounded by design
+  (hash buckets, not data skew); verification runs only on candidate
+  pairs.  This is the standard shingle→minhash→band→bucket-join
+  pipeline expressed as DataFrame ops.
+* **Hash choice**: md5 (JVM builtin, DuckDB-identical) so every stage
+  is oracle-checkable.  xxhash64 is ~3× faster; swap via ``hash_fn``
+  once cross-engine parity is not needed — the plan shape is
+  unchanged.
+* **SimHash** is one projection to a 64-bit signature; near-dup =
+  same signature (or banded XOR/popcount for distance ≤ k).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "minhash_signature",
+    "minhash_bands",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_dup_pairs",
+    "embedding_dup_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list,
+                content_col: str | None = None) -> DataFrame:
+    """Keep exactly one row per key, deterministically (first by
+    ``order_cols`` — names or Column sort specs, e.g.
+    ``F.col("ts").desc()``).  With ``content_col``, the key is its
+    md5 fingerprint (content dedup)."""
+    if content_col is not None:
+        df = df.withColumn("_fp", fingerprint(F.col(content_col)))
+        key_cols = ["_fp"]
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+
+
+def word_shingles(col: Column, k: int = 3, sep: str = " ") -> Column:
+    """Distinct word k-shingles of a text column, as strings."""
+    toks = tokens(col, sep)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def _md5_hash(seed: int) -> Callable[[Column], Column]:
+    return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16,
+                      hash_fn: Callable[[int], Callable[[Column], Column]] = _md5_hash,
+                      ) -> Column:
+    """MinHash signature: for each of ``n_hashes`` seeded hash
+    functions, the minimum hash over the shingle set.  Using string
+    min over md5 hex — uniform and engine-portable."""
+    sigs = [
+        F.array_min(F.transform(shingles, hash_fn(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Split a signature into band keys: array of (band_id, key)
+    structs; docs sharing ANY band key are LSH candidates."""
+    bands = []
+    for b in range(n_bands):
+        piece = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        key = F.md5(F.concat_ws("|", piece))
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return F.array(*bands)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
+    """Explode band keys and self-join per (band, key) bucket →
+    distinct candidate (a, b) pairs with a < b.
+
+    Scale: the only shuffle keys are (band, key) hash buckets.  A
+    pathological bucket (many docs with identical band key — i.e.
+    true mass duplicates) is exactly the case AQE skew-join splitting
+    handles; for extreme cases pre-aggregate bucket membership counts
+    and cap bucket size explicitly.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(bands_col)).alias("bk")
+    ).select("_id", "bk.band", "bk.key")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
+                  pairs: DataFrame | None = None,
+                  block_col: str | None = None,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard similarity over pairs.
+
+    * ``pairs`` given (from LSH): verify only candidates — the scale
+      path.
+    * else ``block_col``: all pairs within a blocking key (bounded
+      quadratic per block).
+    * else: full cross of ids — small inputs only.
+    Returns (a_id, b_id, jaccard).
+    """
+    # Two pair-compute optimizations that keep the jaccard VALUE exact:
+    # 1. tokens are pre-hashed to int64 (xxhash64) so the per-pair
+    #    intersect compares longs, not strings — |A∩B| is invariant
+    #    under any injective hash, so results (and the SQL oracle,
+    #    which can keep comparing raw tokens) are unchanged;
+    # 2. |A∪B| = |A|+|B|−|A∩B| — array_union (which materializes a
+    #    new array per pair) is never evaluated.
+    distinct = F.array_distinct(F.col(set_col))
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(distinct, lambda x: F.xxhash64(x)).alias("_set"),
+        F.size(distinct).alias("_n"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    if pairs is None:
+        # Self-join carrying the sets directly: one equi-join on the
+        # block key (or one cross for tiny inputs), no re-join.
+        a = sets.select(F.col("_id").alias("a_id"), F.col("_set").alias("_sa"),
+                        F.col("_n").alias("_na"),
+                        *([F.col("_blk").alias("_ba")] if block_col else []))
+        b = sets.select(F.col("_id").alias("b_id"), F.col("_set").alias("_sb"),
+                        F.col("_n").alias("_nb"),
+                        *([F.col("_blk").alias("_bb")] if block_col else []))
+        cond = F.col("a_id") < F.col("b_id")
+        if block_col:
+            joined = a.join(b, (F.col("_ba") == F.col("_bb")) & cond)
+        else:
+            joined = a.crossJoin(b).where(cond)
+    else:
+        joined = (
+            pairs.join(
+                sets.select(F.col("_id").alias("a_id"), F.col("_set").alias("_sa"),
+                            F.col("_n").alias("_na")), "a_id")
+            .join(
+                sets.select(F.col("_id").alias("b_id"), F.col("_set").alias("_sb"),
+                            F.col("_n").alias("_nb")), "b_id")
+        )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
+    return (
+        joined.select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_k: int = 3, n_hashes: int = 16,
+                        n_bands: int = 4, threshold: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → band → bucket join
+    → exact-Jaccard verify.  Returns verified (a_id, b_id, jaccard)."""
+    rows = n_hashes // n_bands
+    prepped = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    ).withColumn("_bands", minhash_bands(minhash_signature(F.col("_sh"), n_hashes), n_bands, rows))
+    cands = lsh_candidate_pairs(prepped, id_col, "_bands")
+    return jaccard_pairs(prepped, id_col, "_sh", pairs=cands, threshold=threshold)
+
+
+SIMHASH_BITS = 60  # 15 md5 hex chars → fits a signed long with headroom
+
+
+def simhash(col: Column, n_bits: int = SIMHASH_BITS, sep: str = " ") -> Column:
+    """SimHash over tokens: per-token md5 → per-bit ±1 votes → sign
+    bits assembled into one long.  Single pass over the token array
+    (one ``aggregate`` carrying a vote-counter array), pure codegen.
+
+    60 bits (not 64): the token hash comes from 15 md5 hex chars so
+    every intermediate stays inside a signed int64 — no overflow, no
+    unsigned gymnastics, and DuckDB can reproduce it with the same
+    md5/substr/arithmetic."""
+    if n_bits > SIMHASH_BITS:
+        raise ValueError(f"n_bits <= {SIMHASH_BITS} (signed-long-safe)")
+    toks = F.array_distinct(tokens(col, sep))
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(n_bits)])
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(
+            acc, powers,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    signed_bits = F.zip_with(
+        votes, powers,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        signed_bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x)
+    )
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the signature into
+    ``n_bands`` chunks; by pigeonhole, pairs within hamming distance
+    < n_bands share at least one exact chunk.  Verify with popcount
+    on candidates only."""
+    chunk = SIMHASH_BITS // n_bands
+    sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sig"))
+    bands = sh.select(
+        "_id", "_sig",
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_sig"), b * chunk)
+                .bitwiseAND(F.lit((1 << chunk) - 1)).alias("key"),
+            )
+            for b in range(n_bands)
+        ]).alias("_bands"),
+    )
+    exploded = bands.select("_id", "_sig", F.explode("_bands").alias("bk")).select(
+        "_id", "_sig", "bk.band", "bk.key"
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"),
+                F.col("a._sig").alias("sa"), F.col("b._sig").alias("sb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select("a_id", "b_id", ham.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95,
+                        block_col: str | None = None) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= threshold.
+    Brute within blocks (or full cross for small n); the ANN path for
+    scale is ``similarity.lsh_buckets`` + this verify."""
+    from .similarity import cosine
+
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                  *( [F.col(block_col).alias("_blk")] if block_col else []))
+    a = v.select(F.col("_id").alias("a_id"), F.col("_v").alias("_va"),
+                 *( [F.col("_blk").alias("_ba")] if block_col else []))
+    b = v.select(F.col("_id").alias("b_id"), F.col("_v").alias("_vb"),
+                 *( [F.col("_blk").alias("_bb")] if block_col else []))
+    cond = F.col("a_id") < F.col("b_id")
+    joined = (a.join(b, (F.col("_ba") == F.col("_bb")) & cond)
+              if block_col else a.crossJoin(b).where(cond))
+    score = cosine(F.col("_va"), F.col("_vb"))
+    return joined.select("a_id", "b_id", score.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,212 @@
+"""Multimodal column conventions + processing plumbing (BASELINE.json
+north star).
+
+Convention: a multimodal asset is an opaque ``binary`` payload column
+plus a typed metadata struct::
+
+    media struct<payload: binary,
+                 meta: struct<mime: string, width: int, height: int,
+                              duration_ms: bigint, sample_rate: int>>
+
+Everything Spark-side here is REAL and tested — schema, partitioning,
+Arrow batch shapes, mapInPandas signatures.  The codec bodies
+(image decode, audio resample, video frame extraction) are stubs:
+the decode libraries (PIL/ffmpeg/torchaudio) are not in this
+container, so each ``_decode_*`` function either raises
+``NotImplementedError`` (strict mode) or produces a DETERMINISTIC
+FAKE (test mode) so the pipeline shape is exercisable end to end.
+
+Scale notes:
+
+* payloads stay opaque bytes end-to-end; Spark never interprets them
+  JVM-side — the only cost is Arrow transfer into the Python worker.
+* ``repartition_for_media`` sizes partitions by BYTES (payloads are
+  huge and row counts lie); target ~256 MB of payload per task.
+* feature extraction emits fixed-width float arrays → columnar,
+  joins/ANN-ready (see ``functions.similarity``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct as _struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MEDIA_META_DDL",
+    "attach_meta",
+    "repartition_for_media",
+    "decode_images",
+    "extract_image_features",
+    "sample_video_frames",
+    "STRICT_CODECS",
+]
+
+MEDIA_META_DDL = (
+    "struct<mime:string,width:int,height:int,duration_ms:bigint,sample_rate:int>"
+)
+
+#: When True, codec stubs raise NotImplementedError instead of
+#: producing deterministic fakes.  Flip via env for production images
+#: that ship real codecs.
+STRICT_CODECS = os.environ.get("FILTERS_SPARK_STRICT_CODECS", "0") == "1"
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake 'decode': stretches an md5 keystream over
+    w*h grayscale pixels.  Stands in for PIL.Image.open(...).tobytes()
+    so tests exercise real batch shapes with stable outputs."""
+    seed = hashlib.md5(payload).digest()
+    reps = (w * h) // len(seed) + 1
+    return (seed * reps)[: w * h]
+
+
+def _decode_image(payload: bytes, w: int, h: int, strict: bool) -> bytes:
+    if strict:
+        raise NotImplementedError(
+            "image decode requires PIL/libvips in the runtime image; "
+            "this container ships none (stubbed per task contract)"
+        )
+    return _fake_pixels(payload, w, h)
+
+
+def attach_meta(df: DataFrame, payload_col: str, mime: str) -> DataFrame:
+    """Wrap a raw binary column into the media struct convention with
+    minimal sniffed metadata (real: size-derived; fake dims)."""
+    n = F.octet_length(F.col(payload_col))
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        (n % 64 + 16).cast("int").alias("width"),
+        (n % 48 + 16).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return df.withColumn(
+        "media",
+        F.struct(F.col(payload_col).alias("payload"), meta.alias("meta")),
+    )
+
+
+def repartition_for_media(df: DataFrame, payload_expr: str = "media.payload",
+                          target_bytes_per_task: int = 256 * 1024 * 1024,
+                          sample_fraction: float = 0.01) -> DataFrame:
+    """Repartition by PAYLOAD BYTES, not rows.  Samples the byte size
+    distribution, estimates total volume, and repartitions to
+    ceil(total/target).  At 100 TB this is the difference between
+    balanced 256 MB tasks and OOM-ing 10 GB ones."""
+    sample = df.select(F.octet_length(F.expr(payload_expr)).alias("b"))
+    if sample_fraction < 1.0:
+        sample = sample.sample(sample_fraction, seed=42)
+    row = sample.agg(F.avg("b").alias("avg")).head()
+    avg = row["avg"] or 1.0
+    total_rows = df.count()
+    n_parts = max(1, int(total_rows * avg / target_bytes_per_task))
+    return df.repartition(n_parts)
+
+
+def decode_images(df: DataFrame, media_col: str = "media",
+                  strict: bool | None = None) -> DataFrame:
+    """mapInPandas image decode: (doc columns…, media) → (…, pixels
+    binary, width, height).  Arrow-batched; payload bytes cross to
+    Python exactly once.  Strictness is captured DRIVER-side into the
+    closure (worker processes re-import the module, so a module global
+    flipped on the driver would not reach them)."""
+    strict_flag = STRICT_CODECS if strict is None else strict
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf[media_col]
+            pixels, ws, hs = [], [], []
+            for m in media:
+                if m is None or m["payload"] is None:
+                    pixels.append(None); ws.append(None); hs.append(None)
+                    continue
+                w = int(m["meta"]["width"] or 16)
+                h = int(m["meta"]["height"] or 16)
+                pixels.append(_decode_image(bytes(m["payload"]), w, h, strict_flag))
+                ws.append(w); hs.append(h)
+            pdf = pdf.assign(pixels=pixels, out_width=ws, out_height=hs)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def extract_image_features(df: DataFrame, pixels_col: str = "pixels",
+                           dim: int = 16) -> DataFrame:
+    """Fixed-width feature vector per image (here: byte-histogram of
+    the decoded pixels, L1-normalized — a real featurizer slots in at
+    the same signature).  Output column ``features array<float>`` is
+    ANN-ready for ``functions.similarity``."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for px in pdf[pixels_col]:
+                if px is None:
+                    feats.append(None)
+                    continue
+                buckets = [0.0] * dim
+                for byte in px:
+                    buckets[byte % dim] += 1.0
+                total = sum(buckets) or 1.0
+                feats.append([b / total for b in buckets])
+            yield pdf.assign(features=feats)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_video_frames(df: DataFrame, media_col: str = "media",
+                        every_ms: int = 1000,
+                        strict: bool | None = None) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (flatMap
+    shape).  Stub emits deterministic frame payloads; a real ffmpeg
+    body keeps the identical mapInPandas contract."""
+    strict_flag = STRICT_CODECS if strict is None else strict
+    base = [f for f in df.schema.fields if f.name != media_col]
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(base + [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = r[media_col]
+                if m is None or m["payload"] is None:
+                    continue
+                if strict_flag:
+                    raise NotImplementedError(
+                        "video frame extraction requires ffmpeg in the image"
+                    )
+                dur = int(m["meta"]["duration_ms"] or 3000)
+                payload = bytes(m["payload"])
+                for i, ts in enumerate(range(0, dur, every_ms)):
+                    frame = hashlib.md5(payload + _struct.pack("<q", ts)).digest()
+                    row = {f.name: r[f.name] for f in base}
+                    row.update(frame_idx=i, frame_ts_ms=ts, frame=frame)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star; SURVEY.md §2.9).  All pure Column expressions — these run
+JVM-side at 100 TB with no Python in the hot path.
+
+Design notes for scale:
+
+* Everything here is a narrow projection (no shuffle); aggregations
+  the callers add on top shuffle only on low-cardinality keys
+  (lang, source).
+* Tokenization uses a simple split — at scale prefer feeding the
+  engine pre-normalized text; the regex variants are provided but
+  cost ~2× the simple split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_tokens_regex",
+    "avg_word_len",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality_score",
+    "fingerprint",
+    "lang_scores",
+    "lang_id",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID.  Deliberately small: the point is the Spark pattern
+# (array_intersect against broadcast literal arrays), not lexicography.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "nicht"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(col: Column, sep: str = " ") -> Column:
+    """Whitespace tokens (split on the literal separator)."""
+    return F.split(col, sep)
+
+
+def word_tokens_regex(col: Column) -> Column:
+    """BPE-ish word tokenization: letter-runs, digit-runs, or single
+    punctuation — the regex analog of a byte-pair pre-tokenizer."""
+    return F.regexp_extract_all(
+        F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+
+
+def token_count(col: Column, sep: str = " ") -> Column:
+    return F.size(tokens(col, sep))
+
+
+def avg_word_len(col: Column, sep: str = " ") -> Column:
+    toks = tokens(col, sep)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    return total.cast("double") / F.size(toks)
+
+
+def stopword_ratio(col: Column, lang: str = "en", sep: str = " ") -> Column:
+    toks = tokens(col, sep)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.size(toks)
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(col) - F.length(stripped)).cast("double") / F.length(col)
+
+
+def quality_score(col: Column, sep: str = " ") -> Column:
+    """Composite [0,1] quality heuristic: length band + word-length
+    band + low punctuation.  Mirrors the usual pretraining-corpus
+    filters (C4-style) as one fused expression."""
+    n = token_count(col, sep)
+    awl = avg_word_len(col, sep)
+    pr = punct_ratio(col)
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(0.0)
+    word_ok = F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(0.0)
+    punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(0.0)
+    return (len_ok + word_ok + punct_ok) / F.lit(3.0)
+
+
+def fingerprint(col: Column, normalized: bool = True) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text.  md5 is used (not
+    xxhash64) so the DuckDB oracle computes the identical value."""
+    c = col
+    if normalized:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(c)
+
+
+def lang_scores(col: Column, sep: str = " ") -> list[tuple[str, Column]]:
+    toks = F.array_distinct(tokens(F.lower(col), sep))
+    out = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out.append((lang, F.size(F.array_intersect(toks, sw))))
+    return out
+
+
+def lang_id(col: Column, sep: str = " ") -> Column:
+    """Stopword-overlap language ID: argmax over per-language hit
+    counts; 'und' when nothing matches.  greatest()-based so the whole
+    classifier is one codegen'd expression."""
+    scores = lang_scores(col, sep)
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # iterate reversed so earlier languages win ties (stable order)
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out

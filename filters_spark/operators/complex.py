@@ -41,6 +41,7 @@ class Each(Validator):
     """
 
     name = "each"
+    preserves_type = False
 
     def __init__(self, chain: ValidatorLike):
         self.chain = coerce(chain)
@@ -56,11 +57,14 @@ class Each(Validator):
         return F.transform(col, one)
 
     def transform(self, col: Column) -> Column:
-        return F.transform(self._pairs(col, "x"), lambda p: p["value"])
+        return F.transform(
+            self._pairs(col, "x"), lambda p: F.when(p["error"].isNull(), p["value"])
+        )
 
     def build(self, col: Column, err: Column, field: FieldRef):
         pairs = self._pairs(col, field)
-        cleaned = F.transform(pairs, lambda p: p["value"])
+        # invalid elements → None holes, valid elements kept
+        cleaned = F.transform(pairs, lambda p: F.when(p["error"].isNull(), p["value"]))
         elem_errs = F.filter(pairs, lambda p: p["error"].isNotNull())
         first_err = F.when(F.size(elem_errs) > 0, F.element_at(elem_errs, 1)["error"])
         new_err = F.coalesce(err, first_err)
@@ -79,6 +83,7 @@ class Nested(Validator):
     """
 
     name = "nested"
+    preserves_type = False
 
     def __init__(self, filter_map: dict[str, ValidatorLike],
                  allow_extra_keys: bool = True,
@@ -94,7 +99,7 @@ class Nested(Validator):
         for key, chain in self.filter_map.items():
             sub_field = F.concat(fcol, F.lit("." + key))
             v, e = chain.build(col.getField(key), null_error(), sub_field)
-            out_fields.append(v.alias(key))
+            out_fields.append(F.when(e.isNull(), v).alias(key))
             errs.append(e)
         first = F.coalesce(*errs, null_error()) if errs else null_error()
         # NULL struct passes through as NULL (None-passthrough).
@@ -113,6 +118,7 @@ class Switch(Validator):
     """
 
     name = "switch"
+    preserves_type = False
 
     def __init__(self, getter: Callable[[Column], Column] | None,
                  cases: dict, default: ValidatorLike | None = None):
@@ -153,6 +159,7 @@ class AsStruct(Validator):
     of the incoming column; optionally validates via ``Nested``."""
 
     name = "as_struct"
+    preserves_type = False
 
     def __init__(self, fields: dict[str, Callable[[Column], Column]],
                  filter_map: dict[str, ValidatorLike] | None = None):

@@ -16,6 +16,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+)
 
 from ..core import FieldRef, Predicate, Validator, make_error
 
@@ -24,18 +33,33 @@ __all__ = ["Int", "DecimalOf", "Min", "Max", "Round"]
 # Wide-enough intermediate for parsing numeric strings.
 _DEC = "decimal(38,10)"
 
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+_FLOATING = (FloatType, DoubleType)
 
-def _is_nan_unsafe(col: Column) -> Column:
-    """isnan() errors on non-floating types only when types are wrong at
-    plan time; callers gate by input type."""
-    return F.isnan(col)
+LONG_MIN, LONG_MAX = -(2**63), 2**63 - 1
 
 
 class Int(Validator):
     """→ LongType; accepts numeric strings / decimals only if integral
-    (reference ``filters/number.py::Int``: no silent truncation)."""
+    (reference ``filters/number.py::Int``: no silent truncation).
+
+    Plan-time specialization (the 100 TB path): on an already-integral
+    column this becomes a bare ``cast(long)`` with no error branch; on
+    float/decimal it checks integrality natively — the
+    string-roundtrip parse below only runs for string inputs.
+    """
 
     name = "int"
+    preserves_type = False
+
+    def specialize(self, dtype) -> Validator:
+        if isinstance(dtype, _INTEGRAL):
+            return _IntFromIntegral()
+        if isinstance(dtype, _FLOATING):
+            return _IntFromFloat()
+        if isinstance(dtype, DecimalType):
+            return _IntFromDecimal()
+        return self
 
     def _parsed(self, col: Column) -> Column:
         return col.cast("string").try_cast(_DEC)
@@ -55,11 +79,76 @@ class Int(Validator):
         )
 
 
+class _IntFromIntegral(Validator):
+    """Int over byte/short/int/long input: the type system already
+    guarantees integrality — pure widening cast, zero error branches."""
+
+    name = "int"
+    preserves_type = False
+
+    def transform(self, col: Column) -> Column:
+        return col.cast("long")
+
+
+class _IntFromFloat(Validator):
+    """Int over float/double input: native NaN/∞/integrality/range
+    checks, no string roundtrip."""
+
+    name = "int"
+    preserves_type = False
+
+    def transform(self, col: Column) -> Column:
+        return col.cast("long")
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        nn = col.isNotNull()
+        bad_nan = nn & F.isnan(col)
+        overflow = nn & ~F.isnan(col) & (
+            (col < F.lit(float(LONG_MIN))) | (col > F.lit(float(LONG_MAX)))
+        )
+        not_integral = nn & ~F.isnan(col) & (col != F.floor(col))
+        return (
+            F.when(bad_nan, make_error(field, "not_numeric", self.name))
+            .when(overflow, make_error(field, "too_big", self.name))
+            .when(not_integral, make_error(field, "not_int", self.name))
+        )
+
+
+class _IntFromDecimal(Validator):
+    """Int over decimal input: integrality + long-range check."""
+
+    name = "int"
+    preserves_type = False
+
+    def transform(self, col: Column) -> Column:
+        return col.cast("long")
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        nn = col.isNotNull()
+        not_integral = nn & (col != F.floor(col))
+        overflow = nn & col.try_cast("long").isNull()
+        return F.when(not_integral, make_error(field, "not_int", self.name)).when(
+            overflow, make_error(field, "too_big", self.name)
+        )
+
+
 class DecimalOf(Validator):
     """→ DecimalType; rejects non-numeric strings and NaN/±Inf
-    (reference ``Decimal(max_precision=...)``; quantize ≈ scale cast)."""
+    (reference ``Decimal(max_precision=...)``; quantize ≈ scale cast).
+
+    Specializes per input type: numeric inputs cast natively (float
+    gets a NaN/∞ guard); the string-roundtrip only parses strings.
+    """
 
     name = "decimal"
+    preserves_type = False
+
+    def specialize(self, dtype) -> Validator:
+        if isinstance(dtype, (*_INTEGRAL, DecimalType)):
+            return _DecimalFromNumeric(self._t)
+        if isinstance(dtype, _FLOATING):
+            return _DecimalFromFloat(self._t)
+        return self
 
     def __init__(self, precision: int = 38, scale: int = 10):
         self.precision = precision
@@ -80,6 +169,45 @@ class DecimalOf(Validator):
         non_finite = bad & F.upper(s).rlike("^[+-]?(NAN|INF(INITY)?)$")
         return F.when(non_finite, make_error(field, "not_finite", self.name)).when(
             bad, make_error(field, "not_numeric", self.name)
+        )
+
+
+class _DecimalFromNumeric(Validator):
+    """Decimal over integral/decimal input: one try_cast, error only
+    on precision overflow."""
+
+    name = "decimal"
+    preserves_type = False
+
+    def __init__(self, t: str):
+        self._t = t
+
+    def transform(self, col: Column) -> Column:
+        return col.try_cast(self._t)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & col.try_cast(self._t).isNull()
+        return F.when(fail, make_error(field, "not_numeric", self.name))
+
+
+class _DecimalFromFloat(Validator):
+    """Decimal over float/double input: native NaN/∞ guard + cast."""
+
+    name = "decimal"
+    preserves_type = False
+
+    def __init__(self, t: str):
+        self._t = t
+
+    def transform(self, col: Column) -> Column:
+        return col.try_cast(self._t)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        nn = col.isNotNull()
+        non_finite = nn & (F.isnan(col) | (F.abs(col) == F.lit(float("inf"))))
+        overflow = nn & ~F.isnan(col) & col.try_cast(self._t).isNull()
+        return F.when(non_finite, make_error(field, "not_finite", self.name)).when(
+            overflow, make_error(field, "not_numeric", self.name)
         )
 
 
@@ -117,6 +245,7 @@ class Round(Validator):
     matches; ``bround`` (HALF_EVEN) must not be used here."""
 
     name = "round"
+    preserves_type = False
 
     def __init__(self, to_nearest=1, scale: int = 10):
         self.to_nearest = to_nearest

@@ -187,6 +187,7 @@ class ByteArray(Validator):
     map to BinaryType)."""
 
     name = "byte_array"
+    preserves_type = False
 
     def __init__(self, encoding: str = "UTF-8"):
         self.encoding = encoding

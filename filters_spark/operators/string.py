@@ -73,6 +73,7 @@ class Split(Validator):
     (reference ``Split(pattern, keys=...)``)."""
 
     name = "split"
+    preserves_type = False
 
     def __init__(self, pattern: str, keys: list[str] | None = None):
         self.pattern = pattern
@@ -98,6 +99,7 @@ class Regex(Validator):
     property classes are the main delta (documented per pattern)."""
 
     name = "regex"
+    preserves_type = False
 
     def __init__(self, pattern: str):
         self.pattern = pattern
@@ -159,6 +161,7 @@ class Base64Decode(Validator):
     padding (reference ``Base64Decode``)."""
 
     name = "base64_decode"
+    preserves_type = False
 
     def transform(self, col: Column) -> Column:
         std = F.translate(F.regexp_replace(col, "=+$", ""), "-_", "+/")
@@ -220,6 +223,7 @@ class ByteString(Validator):
     """→ bytes: utf-8 encode strings (reference ``ByteString``)."""
 
     name = "byte_string"
+    preserves_type = False
 
     def __init__(self, encoding: str = "UTF-8"):
         self.encoding = encoding
@@ -235,6 +239,7 @@ class Unicode(Validator):
     ``udf.UnicodeExact``; deltas only for non-NFC input."""
 
     name = "unicode"
+    preserves_type = False
 
     def __init__(self, encoding: str = "UTF-8", normalize: bool = True,
                  from_binary: bool = False):
@@ -308,6 +313,7 @@ class JsonDecode(Validator):
     ``json.loads``.  Invalid JSON → error ``not_json``."""
 
     name = "json_decode"
+    preserves_type = False
 
     def __init__(self, schema: str | None = None):
         self.schema = schema

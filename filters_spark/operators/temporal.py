@@ -47,9 +47,22 @@ class Datetime(Validator):
     ``timezone`` param); offsets in the input itself win.  With the
     session tz pinned to UTC, naive strings parse as UTC and
     ``to_utc_timestamp`` re-interprets them when a zone is given.
+
+    Specializes at plan time: timestamp-typed input skips the
+    multi-format parse entirely (identity / single cast).
     """
 
     name = "datetime"
+    preserves_type = False
+
+    def specialize(self, dtype) -> Validator:
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        if isinstance(dtype, (TimestampType, TimestampNTZType)):
+            return _TimestampPassthrough(self.timezone, "datetime")
+        if isinstance(dtype, DateType):
+            return _TimestampPassthrough(self.timezone, "datetime", cast="timestamp")
+        return self
 
     def __init__(self, timezone: str | None = None):
         self.timezone = timezone
@@ -68,11 +81,41 @@ class Datetime(Validator):
         return F.when(fail, make_error(field, "not_datetime", self.name))
 
 
+class _TimestampPassthrough(Validator):
+    """Datetime/Date over an already-temporal column: no parse, at
+    most one cast — the specialized plan for typed inputs."""
+
+    preserves_type = False
+
+    def __init__(self, timezone: str | None, name: str, cast: str | None = None):
+        self.timezone = timezone
+        self.name = name
+        self.cast_to = cast
+
+    def transform(self, col: Column) -> Column:
+        out = col
+        if self.cast_to:
+            out = out.cast(self.cast_to)
+        if self.timezone and self.name == "datetime":
+            out = F.to_utc_timestamp(out, self.timezone)
+        if self.name == "date":
+            out = out.cast("date")
+        return out
+
+
 class Date(Validator):
     """Parse → DateType (reference ``Date``): the datetime parse, then
     the date part (in ``timezone`` if given, else UTC)."""
 
     name = "date"
+    preserves_type = False
+
+    def specialize(self, dtype) -> Validator:
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
+            return _TimestampPassthrough(self.timezone, "date")
+        return self
 
     def __init__(self, timezone: str | None = None):
         self.timezone = timezone

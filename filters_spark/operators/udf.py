@@ -53,6 +53,8 @@ class Call(Validator):
     Returning None marks the value invalid when ``error_on_none``."""
 
     name = "call"
+    guard_on_error = True
+    preserves_type = False
 
     def __init__(self, fn: Callable, return_type: str = "string",
                  error_on_none: bool = False, code: str = "invalid"):
@@ -77,6 +79,7 @@ class UnicodeNFC(Validator):
     expr path approximates — SURVEY.md §7.4)."""
 
     name = "unicode_nfc"
+    guard_on_error = True
 
     def __init__(self):
         self._udf = pandas_udf(_mapped(lambda s: unicodedata.normalize("NFC", s)), "string")
@@ -89,6 +92,7 @@ class CaseFoldExact(Validator):
     """Exact ``str.casefold`` (reference ``CaseFold``)."""
 
     name = "case_fold_exact"
+    guard_on_error = True
 
     def __init__(self):
         self._udf = pandas_udf(_mapped(lambda s: s.casefold()), "string")
@@ -103,6 +107,8 @@ class DatetimeFuzzy(Validator):
     at construction, not at import of this module."""
 
     name = "datetime_fuzzy"
+    guard_on_error = True
+    preserves_type = False
 
     def __init__(self, timezone: str = "UTC"):
         from dateutil import parser as du_parser  # gated
@@ -137,6 +143,7 @@ class IpV6Normalize(Validator):
     output form)."""
 
     name = "ipv6_normalize"
+    guard_on_error = True
 
     def __init__(self):
         import ipaddress
@@ -164,6 +171,7 @@ class MaxBytesTruncate(Validator):
     Python."""
 
     name = "max_bytes_truncate"
+    guard_on_error = True
 
     def __init__(self, max_bytes: int, prefix: str = ""):
         self.max_bytes = max_bytes

@@ -1,0 +1,566 @@
+"""Named query registry: every implemented operator exposed as a
+(spark_builder, duckdb_oracle_sql) pair for the driver's correctness
+gate (``__spark_entry__.py``; SURVEY.md §5.2).
+
+Each Spark builder exercises engine operators (validators from
+``filters_spark.operators``, pipeline ops from
+``filters_spark.functions``); each oracle is independent ANSI SQL
+over the same parquet views.  Column names/aliases match exactly on
+both sides (driver hashes values under sorted column names).
+
+Float discipline: every double aggregate is rounded (2–6 dp) on BOTH
+sides so accumulation-order ulps can't flap the value hash; ranking
+uses rounded scores + id tie-breaks so top-k sets are deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import filters_spark as fs
+from ..functions import dedup, similarity, text
+from ..sources.tables import load_table
+
+
+class Q:
+    """One registry entry: Spark builder + optional DuckDB oracle."""
+
+    def __init__(self, fn: Callable[[SparkSession, str], DataFrame],
+                 oracle: str | None):
+        self.fn = fn
+        self.oracle = oracle
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, oracle)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Validation queries (SURVEY.md §2.2–2.4 operators, end to end)
+# ---------------------------------------------------------------------------
+
+LINEITEM_SCHEMA = fs.ValidationSchema({
+    "l_orderkey": fs.Required() | fs.Int(),
+    "l_quantity": fs.Required("scalar") | fs.Min(0) | fs.Max(100),
+    "l_discount": fs.Min(0) | fs.Max(1),
+    "l_returnflag": fs.Strip() | fs.Choice(["A", "N", "R"]),
+    "l_linestatus": fs.Choice(["O", "F"]),
+    "l_shipdate": fs.Required("scalar"),
+})
+
+
+@register(
+    "val_lineitem_clean_agg",
+    oracle="""
+    SELECT trim(l_returnflag) AS l_returnflag, l_linestatus,
+           count(*) AS count_order,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL
+      AND l_quantity IS NOT NULL AND l_quantity >= 0 AND l_quantity <= 100
+      AND (l_discount IS NULL OR (l_discount >= 0 AND l_discount <= 1))
+      AND (l_returnflag IS NULL OR trim(l_returnflag) IN ('A','N','R'))
+      AND (l_linestatus IS NULL OR l_linestatus IN ('O','F'))
+      AND l_shipdate IS NOT NULL
+    GROUP BY trim(l_returnflag), l_linestatus
+    """,
+)
+def val_lineitem_clean_agg(spark, sf_dir):
+    """Flagship: validate lineitem through the full schema, aggregate
+    the clean split — the reference's FilterRunner surface fused with
+    a pricing-summary rollup."""
+    res = LINEITEM_SCHEMA.validate(_t(spark, sf_dir, "lineitem"))
+    return (
+        res.clean.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+        )
+    )
+
+
+@register(
+    "val_error_rollup",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_quantity' AS field, 'too_big' AS code, count(*) AS n
+      FROM lineitem WHERE l_quantity > 30
+      UNION ALL
+      SELECT 'l_discount' AS field, 'too_big' AS code, count(*) AS n
+      FROM lineitem WHERE l_discount > 0.05
+      UNION ALL
+      SELECT 'l_returnflag' AS field, 'not_valid_choice' AS code, count(*) AS n
+      FROM lineitem WHERE l_returnflag IS NOT NULL
+        AND l_returnflag NOT IN ('A','R')
+    ) WHERE n > 0
+    """,
+)
+def val_error_rollup(spark, sf_dir):
+    """MemoryHandler rollup: deliberately tight bounds so the error
+    paths fire; output is the exploded (field, code) → count table."""
+    schema = fs.ValidationSchema({
+        "l_quantity": fs.Max(30),
+        "l_discount": fs.Max(0.05),
+        "l_returnflag": fs.Choice(["A", "R"]),
+    })
+    res = schema.validate(_t(spark, sf_dir, "lineitem"))
+    return res.error_code_counts().withColumnRenamed("count", "n")
+
+
+@register(
+    "val_json_int_range",
+    oracle="""
+    WITH parsed AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT count(*) AS n_total,
+           count(*) FILTER (WHERE k IS NULL OR (k >= 0 AND k <= 80)) AS n_valid,
+           sum(k) FILTER (WHERE k >= 0 AND k <= 80) AS sum_k
+    FROM parsed
+    """,
+)
+def val_json_int_range(spark, sf_dir):
+    """JsonDecode + Int + Min/Max over events.props (the per-row
+    dynamic-schema path — JSON keeps per-row errors in Spark)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k bigint").getField("k").alias("k")
+    )
+    res = fs.ValidationSchema({"k": fs.Int() | fs.Min(0) | fs.Max(80)}).validate(parsed)
+    return res.validated.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.size("_errors") == 0, 1)).alias("n_valid"),
+        F.sum(F.when(F.size("_errors") == 0, F.col("k"))).alias("sum_k"),
+    )
+
+
+@register(
+    "val_choice_rollup",
+    oracle="""
+    SELECT CASE WHEN event_type IN ('click','view','signup','purchase')
+                THEN event_type END AS event_type,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def val_choice_rollup(spark, sf_dir):
+    """Choice over events.event_type; invalid values clean to NULL
+    (reference invalid→None), so the NULL group counts the rejects."""
+    res = fs.ValidationSchema({
+        "event_type": fs.Choice(["click", "view", "signup", "purchase"])
+    }).validate(_t(spark, sf_dir, "events"))
+    return res.validated.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "val_strip_fold",
+    oracle="""
+    SELECT lower(trim(p_type)) AS p_type, count(*) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def val_strip_fold(spark, sf_dir):
+    res = fs.ValidationSchema({
+        "p_type": fs.Strip() | fs.CaseFold()
+    }).validate(_t(spark, sf_dir, "part"))
+    return res.clean.groupBy("p_type").agg(F.count("*").alias("n"))
+
+
+_UUID_HYPHENATE = (
+    "concat(substr(m,1,8),'-',substr(m,9,4),'-',substr(m,13,4),'-',"
+    "substr(m,17,4),'-',substr(m,21,12))"
+)
+
+
+@register(
+    "val_uuid_canon",
+    oracle=f"""
+    SELECT c_custkey,
+           (SELECT {_UUID_HYPHENATE} FROM (SELECT md5(c_name) AS m)) AS uuid
+    FROM customer
+    """,
+)
+def val_uuid_canon(spark, sf_dir):
+    """Uuid canonicalization over three dirty encodings (braced-upper,
+    urn-prefixed, bare-unhyphenated) built from md5(c_name)."""
+    cust = _t(spark, sf_dir, "customer")
+    m = F.md5("c_name")
+    hyph = F.concat_ws(
+        "-",
+        F.substring(m, 1, 8), F.substring(m, 9, 4), F.substring(m, 13, 4),
+        F.substring(m, 17, 4), F.substring(m, 21, 12),
+    )
+    dirty = (
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.lit("{"), F.upper(m), F.lit("}")))
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.lit("urn:uuid:"), hyph))
+        .otherwise(m)
+    )
+    res = fs.ValidationSchema({"uuid": fs.Uuid()}).validate(
+        cust.select("c_custkey", dirty.alias("uuid"))
+    )
+    return res.clean.select("c_custkey", "uuid")
+
+
+@register(
+    "val_min_rejected",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_rejected
+    FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey
+    """,
+)
+def val_min_rejected(spark, sf_dir):
+    """The rejected/dead-letter split: negative balances by nation."""
+    res = fs.ValidationSchema({"c_acctbal": fs.Min(0)}).validate(
+        _t(spark, sf_dir, "customer")
+    )
+    return res.rejected.groupBy("c_nationkey").agg(F.count("*").alias("n_rejected"))
+
+
+@register(
+    "val_date_counts",
+    oracle="SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1",
+)
+def val_date_counts(spark, sf_dir):
+    """Date validator (timestamp → date) + rollup."""
+    res = fs.ValidationSchema({"ts": fs.Date()}).validate(_t(spark, sf_dir, "events"))
+    return res.clean.groupBy(F.col("ts").alias("d")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "val_base64_roundtrip",
+    oracle="SELECT c_custkey, c_name AS decoded FROM customer",
+)
+def val_base64_roundtrip(spark, sf_dir):
+    """Base64Decode over urlsafe, unpadded input (the tolerant path)
+    must round-trip c_name exactly."""
+    cust = _t(spark, sf_dir, "customer")
+    dirty = F.regexp_replace(
+        F.translate(F.base64(F.encode("c_name", "UTF-8")), "+/", "-_"), "=+$", ""
+    )
+    res = fs.ValidationSchema({"decoded": fs.Base64Decode() | fs.Unicode(from_binary=True)}).validate(
+        cust.select("c_custkey", dirty.alias("decoded"))
+    )
+    return res.clean.select("c_custkey", "decoded")
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (SURVEY.md §2.9: joins, aggs, windows, top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy partial-agg benchmark query.  The
+    filter pushes to parquet; the groupBy keys are 2×2 cardinality so
+    the shuffle is a handful of rows after map-side combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_q3_shipping",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def rel_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape.  customer is small → broadcast; the orders ⋈
+    lineitem join shuffles on orderkey (co-partitioned keys).  Top-10
+    is deterministic: revenue DESC then orderkey."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "rel_q5_nation_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM nation
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY n_name
+    """,
+)
+def rel_q5_nation_revenue(spark, sf_dir):
+    """Multi-join star query: both dims broadcast, one shuffle join on
+    orderkey, low-cardinality final agg."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "rel_topk_parts_per_brand",
+    oracle="""
+    WITH part_rev AS (
+      SELECT p_brand, p_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM part JOIN lineitem ON l_partkey = p_partkey
+      GROUP BY p_brand, p_partkey
+    )
+    SELECT p_brand, p_partkey, revenue, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+      FROM part_rev
+    ) WHERE rk <= 3
+    """,
+)
+def rel_topk_parts_per_brand(spark, sf_dir):
+    """Window top-k per group (dedup-keep-best pattern).  Rank runs on
+    the pre-aggregated (brand, part) rollup — the window input is
+    |parts|, not |lineitem|."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return rev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+@register(
+    "rel_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def rel_latest_order_per_customer(spark, sf_dir):
+    """Deterministic dedup-keep-latest via exact_dedup (row_number,
+    not dropDuplicates — stable under task retries)."""
+    o = _t(spark, sf_dir, "orders")
+    latest = dedup.exact_dedup(
+        o, key_cols=["o_custkey"],
+        order_cols=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return latest.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate")
+    )
+
+
+@register(
+    "rel_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id, 1 + sum(new_sess) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def rel_sessionize(spark, sf_dir):
+    """Sessionization by inactivity gap (>30 min) — lag window +
+    cumulative flag; the batch analog of a session window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        ev.withColumn("new_sess", F.when(gap > 1800.0, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.lit(1) + F.sum("new_sess")).alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text (north-star ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ds_dedup_exact",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def ds_dedup_exact(spark, sf_dir):
+    """Exact content dedup accounting: md5 fingerprint of normalized
+    text, distinct-count per source."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(text.fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+@register(
+    "ds_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+    FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """,
+)
+def ds_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (token-set) Jaccard near-dup pairs, blocked by
+    source.  The bounded-quadratic-per-block baseline the LSH path is
+    validated against."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "toks", block_col="source", threshold=0.9
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "ds_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS score
+      FROM q JOIN embeddings v ON v.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ds_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors: broadcast
+    queries, JVM-side zip_with dot products, deterministic rank on
+    rounded score."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv"))
+        .join(F.broadcast(q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))),
+              F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(similarity.cosine(F.col("_qv"), F.col("_nv")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+
+
+@register(
+    "txt_profile",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+           round(avg(list_aggregate(list_transform(string_split(text, ' '), x -> len(x)), 'sum')::DOUBLE
+                     / len(string_split(text, ' '))), 4) AS avg_word_len
+    FROM documents GROUP BY lang
+    """,
+)
+def txt_profile(spark, sf_dir):
+    """Text-analysis profile per language: token counts + average
+    word length as fused expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(text.token_count(F.col("text"))), 2).alias("avg_tokens"),
+        F.round(F.avg(text.avg_word_len(F.col("text"))), 4).alias("avg_word_len"),
+    )
+
+
+def names() -> list[str]:
+    return list(REGISTRY)
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

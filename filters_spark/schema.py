@@ -65,25 +65,84 @@ class ValidationSchema:
 
     # -- compilation ------------------------------------------------------
     def apply(self, df: DataFrame) -> DataFrame:
-        """Compile to one projection: cleaned columns + ``_errors``
-        array (non-null error structs, one per failed field, first
-        error per field — MemoryHandler's accumulation per row)."""
+        """Compile the schema into STAGED projections: one narrow
+        select per chain depth, with per-field ``(_v_x, _e_x)``
+        intermediate columns, then a final select assembling cleaned
+        columns + the ``_errors`` array (first error per field —
+        MemoryHandler's accumulation per row).
+
+        Why staged, not one giant expression: threading (value, err)
+        through a chain as nested expressions duplicates each step's
+        subtree in the next (the err tree appears inside the value
+        tree and vice versa), so analysis/codegen cost grows
+        exponentially with chain depth — measured ~3 s of pure
+        planning for a 6-field schema.  Named intermediates keep every
+        stage's trees O(1); Catalyst's CollapseProject deliberately
+        does NOT re-inline non-cheap aliases referenced twice, and
+        whole-stage codegen still fuses all stages into one pass with
+        locals.  Zero shuffles either way.
+        """
+        from .core import Chain
+
         missing, extra = self._check_columns(df)
-        cols: list[Column] = []
-        errs: list[Column] = []
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        steps_by_field: dict[str, list] = {}
         for name, chain in self.filter_map.items():
-            # Missing declared column: run NULL through the chain
-            # (reference: missing keys run None through — only
-            # Required then rejects).
-            src = F.col(name) if name not in missing else F.lit(None)
-            v, e = chain.build(src, null_error(), name)
-            cols.append(v.alias(name))
-            errs.append(e)
+            if name in dtypes:
+                dt = dtypes[name]
+                expected = chain.expected_types
+                if expected and dt.typeName() not in expected:
+                    raise SchemaError(
+                        f"wrong_type: column {name!r} is {dt.simpleString()}, "
+                        f"validator expects {expected}"
+                    )
+                # Plan-time specialization: e.g. Int() over BIGINT
+                # becomes a bare cast — same semantics, cheaper plan.
+                chain = chain.specialize(dt)
+            steps_by_field[name] = (
+                list(chain.steps) if isinstance(chain, Chain) else [chain]
+            )
+
         passthrough = [F.col(c) for c in extra]
-        err_array = F.array_compact(F.array(*errs)) if errs else F.array().cast(
-            f"array<{ERROR_DDL}>"
+        # Stage 0: bind sources (missing declared column → NULL runs
+        # through the chain; only Required then rejects — reference
+        # missing-key semantics).
+        cur = df.select(
+            *[
+                (F.col(n) if n not in missing else F.lit(None)).alias(f"_v_{n}")
+                for n in steps_by_field
+            ],
+            *[null_error().alias(f"_e_{n}") for n in steps_by_field],
+            *passthrough,
         )
-        return df.select(*cols, *passthrough, err_array.alias(ERRORS_COL))
+        depth = max((len(s) for s in steps_by_field.values()), default=0)
+        for i in range(depth):
+            stage: list[Column] = []
+            for n, steps in steps_by_field.items():
+                v: Column = F.col(f"_v_{n}")
+                e: Column = F.col(f"_e_{n}")
+                if i < len(steps):
+                    v, e = steps[i].build(v, e, n)
+                stage.append(v.alias(f"_v_{n}"))
+                stage.append(e.alias(f"_e_{n}"))
+            cur = cur.select(*stage, *passthrough)
+
+        errs = [F.col(f"_e_{n}") for n in steps_by_field]
+        err_array = (
+            F.array_compact(F.array(*errs))
+            if errs
+            else F.array().cast(f"array<{ERROR_DDL}>")
+        )
+        return cur.select(
+            # invalid → None (reference cleaned_data semantics): the
+            # single end-of-chain nulling point.
+            *[
+                F.when(F.col(f"_e_{n}").isNull(), F.col(f"_v_{n}")).alias(n)
+                for n in steps_by_field
+            ],
+            *passthrough,
+            err_array.alias(ERRORS_COL),
+        )
 
     def validate(self, df: DataFrame, strict: bool = False) -> "ValidationResult":
         result = ValidationResult(self.apply(df))

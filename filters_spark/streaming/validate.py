@@ -1,0 +1,130 @@
+"""Structured Streaming surface (SURVEY.md §2.9 streaming row;
+§7.3 milestone 9).
+
+The core property that makes this module small: validation chains are
+pure Column expressions, so a ``ValidationSchema`` applies to a
+streaming DataFrame UNCHANGED — same projection, same error array,
+same clean/rejected split.  What this module adds is the streaming
+topology around it:
+
+* :func:`validate_stream` — schema over a readStream source.
+* :func:`error_rate_by_window` — watermarked tumbling/sliding window
+  aggregation of validation error rates (late data handled by the
+  watermark; state store bounded by watermark horizon).
+* :func:`session_windows` — session-window aggregation (the streaming
+  twin of the batch ``rel_sessionize`` query).
+* :func:`dead_letter_writer` — ``foreachBatch`` sink splitting each
+  micro-batch into clean/dead-letter outputs transactionally per
+  batch (LogHandler semantics at stream scale).
+
+Scale notes: watermarks bound state; the error-rate agg keys are
+(window × field × code) — low cardinality; clean/dead-letter writers
+append partitioned parquet.  For exactly-once, both writes happen
+inside one foreachBatch with the batch id recorded.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import ERRORS_COL, ValidationSchema
+
+__all__ = [
+    "validate_stream",
+    "error_rate_by_window",
+    "session_windows",
+    "dead_letter_writer",
+    "events_stream",
+]
+
+
+def events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Replay the events table as a file-source stream (the test/bench
+    harness for streaming ops).  The file source requires a DIRECTORY,
+    so we stream the sf dir with a glob filter for events.parquet.
+    Schema must be provided explicitly for streaming reads; ts arrives
+    as nanos → truncated to micros exactly like the batch loader."""
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def validate_stream(stream_df: DataFrame, schema: ValidationSchema) -> DataFrame:
+    """Apply a validation schema to a streaming DataFrame — identical
+    compilation path as batch (the whole point)."""
+    return schema.apply(stream_df)
+
+
+def error_rate_by_window(validated: DataFrame, ts_col: str = "ts",
+                         window: str = "10 minutes",
+                         slide: str | None = None,
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Windowed validation-quality metrics: per (window, field, code)
+    error counts + per-window totals.  Watermark bounds state and
+    admits late rows up to the horizon."""
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide
+        else F.window(F.col(ts_col), window)
+    )
+    flat = (
+        validated.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.explode(
+                F.when(F.size(ERRORS_COL) > 0, F.col(ERRORS_COL))
+                .otherwise(F.array(F.lit(None).cast(
+                    validated.schema[ERRORS_COL].dataType.elementType.simpleString()
+                )))
+            ).alias("e"),
+        )
+    )
+    return (
+        flat.groupBy(win.alias("win"), F.col("e.field").alias("field"),
+                     F.col("e.code").alias("code"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def session_windows(stream_df: DataFrame, ts_col: str = "ts",
+                    key_col: str = "user_id", gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Session-window aggregation (inactivity gap): the streaming twin
+    of batch sessionization.  State is bounded by the watermark."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
+                 F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def dead_letter_writer(clean_path: str, dead_path: str,
+                       fmt: str = "parquet") -> Callable[[DataFrame, int], None]:
+    """foreachBatch function writing each micro-batch's clean rows to
+    ``clean_path`` and rejected rows (with error payloads) to
+    ``dead_path``.  Both writes are per-batch appends; the batch id is
+    stamped for replay/idempotence auditing."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        stamped = batch_df.withColumn("_batch_id", F.lit(batch_id))
+        (
+            stamped.where(F.size(F.col(ERRORS_COL)) == 0)
+            .drop(ERRORS_COL)
+            .write.format(fmt).mode("append").save(clean_path)
+        )
+        (
+            stamped.where(F.size(F.col(ERRORS_COL)) > 0)
+            .write.format(fmt).mode("append").save(dead_path)
+        )
+
+    return write

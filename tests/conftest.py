@@ -26,6 +26,7 @@ def run_chain(spark, chain, values, in_type="string", field="v"):
         [(i, v) for i, v in enumerate(values)], f"i int, v {in_type}"
     )
     c, e = chain.build(F.col("v"), null_error(), field)
+    c = F.when(e.isNull(), c)  # end-of-chain nulling, as ValidationSchema does
     rows = (
         df.select(F.col("i"), c.alias("clean"), e.alias("err"))
         .orderBy("i")

@@ -1,0 +1,72 @@
+"""Multimodal plumbing: media struct convention, mapInPandas decode /
+featurize / frame-sample shapes (codecs stubbed deterministically —
+the Spark-side schema, batching, and partitioning are what's real)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filters_spark.functions import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    df = spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"payload-two-longer"), (3, None)],
+        "id bigint, raw binary",
+    )
+    return mm.attach_meta(df, "raw", "image/png")
+
+
+class TestAttachMeta:
+    def test_struct_shape(self, media_df):
+        dt = dict(media_df.dtypes)["media"]
+        assert dt.startswith("struct<payload:binary,meta:struct<mime:string")
+
+    def test_meta_values(self, media_df):
+        row = media_df.where(F.col("id") == 1).head()
+        assert row["media"]["meta"]["mime"] == "image/png"
+        assert row["media"]["meta"]["width"] >= 16
+
+
+class TestDecodeImages:
+    def test_decode_is_deterministic(self, media_df):
+        out1 = mm.decode_images(media_df).where(F.col("id") == 1).head()
+        out2 = mm.decode_images(media_df).where(F.col("id") == 1).head()
+        assert out1["pixels"] == out2["pixels"]
+        assert len(out1["pixels"]) == out1["out_width"] * out1["out_height"]
+
+    def test_null_payload_passthrough(self, media_df):
+        row = mm.decode_images(media_df).where(F.col("id") == 3).head()
+        assert row["pixels"] is None
+
+    def test_strict_mode_raises(self, media_df):
+        with pytest.raises(Exception):
+            mm.decode_images(media_df, strict=True).collect()
+
+
+class TestFeatures:
+    def test_feature_vector_shape_and_norm(self, media_df):
+        feats = mm.extract_image_features(mm.decode_images(media_df), dim=8)
+        row = feats.where(F.col("id") == 2).head()
+        assert len(row["features"]) == 8
+        assert abs(sum(row["features"]) - 1.0) < 1e-6
+
+
+class TestFrameSampling:
+    def test_one_row_per_frame(self, media_df):
+        frames = mm.sample_video_frames(media_df, every_ms=1000)
+        rows = frames.where(F.col("id") == 1).collect()
+        assert len(rows) == 3  # fake duration 3000ms / 1000ms
+        assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+        assert all(len(r["frame"]) == 16 for r in rows)
+
+
+class TestRepartition:
+    def test_partition_count_scales_with_bytes(self, spark):
+        df = spark.createDataFrame(
+            [(i, bytes(1000)) for i in range(100)], "id bigint, raw binary"
+        )
+        df = mm.attach_meta(df, "raw", "application/octet-stream")
+        out = mm.repartition_for_media(df, target_bytes_per_task=10_000,
+                                       sample_fraction=1.0)
+        assert out.rdd.getNumPartitions() == 10  # 100 rows × 1000 B / 10 kB

@@ -1,0 +1,92 @@
+"""Structured Streaming: validation chains over streams, windowed
+error rates, session windows, dead-letter sinks.  All tests use the
+file source reading the real events parquet with availableNow + memory
+sink (processAllAvailable)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import filters_spark as fs
+from filters_spark import streaming as st
+from filters_spark.schema import ERRORS_COL
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def run_to_memory(stream_df, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark):
+    return st.events_stream(spark, SF_DIR)
+
+
+EVENT_SCHEMA = fs.ValidationSchema({
+    "event_type": fs.Choice(["click", "view", "signup", "purchase"]),
+    "value": fs.Min(0),
+})
+
+
+class TestStreamingValidation:
+    def test_same_chain_compiles_on_stream(self, spark, event_stream):
+        validated = st.validate_stream(event_stream, EVENT_SCHEMA)
+        assert validated.isStreaming
+        run_to_memory(validated, "t_validated")
+        out = spark.sql("select * from t_validated")
+        total = out.count()
+        assert total == 1000
+        # 'error' event_type rows must carry the not_valid_choice error
+        bad = out.where(F.size(ERRORS_COL) > 0).count()
+        batch_bad = spark.read.parquet(f"{SF_DIR}/events.parquet").where(
+            ~F.col("event_type").isin("click", "view", "signup", "purchase")
+        ).count()
+        assert bad >= batch_bad  # value<0 rows may add more
+
+    def test_error_rate_by_window(self, spark, event_stream):
+        validated = st.validate_stream(event_stream, EVENT_SCHEMA)
+        rates = st.error_rate_by_window(validated, window="1 hour")
+        run_to_memory(rates, "t_rates", output_mode="append")
+        out = spark.sql("select * from t_rates")
+        cols = set(out.columns)
+        assert {"win", "field", "code", "n"} <= cols
+
+    def test_session_windows(self, spark, event_stream):
+        sess = st.session_windows(event_stream, gap="30 minutes")
+        run_to_memory(sess, "t_sessions", output_mode="append")
+        out = spark.sql("select * from t_sessions")
+        assert {"session", "user_id", "n_events"} <= set(out.columns)
+
+
+class TestDeadLetter:
+    def test_foreach_batch_split(self, spark, event_stream):
+        tmp = tempfile.mkdtemp(prefix="fsdl_")
+        clean_p, dead_p = f"{tmp}/clean", f"{tmp}/dead"
+        validated = st.validate_stream(event_stream, EVENT_SCHEMA)
+        writer = st.dead_letter_writer(clean_p, dead_p)
+        q = (
+            validated.writeStream.foreachBatch(writer)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        clean = spark.read.parquet(clean_p)
+        dead = spark.read.parquet(dead_p)
+        assert clean.count() + dead.count() == 1000
+        assert ERRORS_COL not in clean.columns
+        assert ERRORS_COL in dead.columns
+        assert "_batch_id" in dead.columns
+        shutil.rmtree(tmp, ignore_errors=True)
