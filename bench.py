@@ -32,10 +32,13 @@ HEADLINE = [
     "rel_q5_nation_revenue",
     "rel_topk_parts_per_brand",
     "rel_sessionize",
+    "rel_asof_join",
     "ds_dedup_exact",
     "ds_ngram_jaccard",
+    "ds_minhash_lsh",
     "ds_cosine_topk",
     "txt_profile",
+    "txt_quality",
 ]
 
 

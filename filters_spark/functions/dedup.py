@@ -34,11 +34,13 @@ __all__ = [
     "exact_dedup",
     "word_shingles",
     "minhash_signature",
+    "minhash_signatures",
     "minhash_bands",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_dedup_pairs",
     "simhash",
+    "simhash_signatures",
     "simhash_dup_pairs",
     "embedding_dup_pairs",
 ]
@@ -184,16 +186,47 @@ def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
     )
 
 
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       shingle_k: int = 3, n_hashes: int = 16) -> DataFrame:
+    """(id, _sh shingle-set, _sig minhash array) via the EXPLODED
+    aggregation plan: explode shingles → n plain md5 column
+    expressions → groupBy(id).agg(min...).
+
+    Why exploded and not ``minhash_signature``'s array expression:
+    Spark higher-order-function lambdas (transform/aggregate) are
+    CodegenFallback — every element evaluates interpreted, ~6 µs per
+    hash (measured 29 s for 5k docs × 52 shingles × 16 hashes).  As
+    exploded rows, the same md5s are ordinary codegen'd column
+    expressions with map-side partial min — the identical signature
+    values for ~20× less CPU.  The shuffle this adds is on (id) with
+    pre-aggregated partial mins: narrow rows, combiner-reduced.
+    """
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("_sh"))
+    ex = sh.select(F.col(id_col), F.explode("_sh").alias("_shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_shingle")))).alias(f"_mh{i}")
+        for i in range(n_hashes)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        F.array(*[F.col(f"_mh{i}") for i in range(n_hashes)]).alias("_sig"),
+    )
+    return sh.join(sig, id_col)
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3, n_hashes: int = 16,
                         n_bands: int = 4, threshold: float = 0.5) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → bucket join
-    → exact-Jaccard verify.  Returns verified (a_id, b_id, jaccard)."""
+    → exact-Jaccard verify.  Returns verified (a_id, b_id, jaccard).
+
+    NOTE the signature is bound to its own column before banding:
+    passing the signature EXPRESSION into minhash_bands would embed
+    the whole hash computation inside every band slice (n_bands×
+    duplicated work + a megabyte of codegen)."""
     rows = n_hashes // n_bands
-    prepped = df.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).withColumn("_bands", minhash_bands(minhash_signature(F.col("_sh"), n_hashes), n_bands, rows))
+    prepped = minhash_signatures(df, id_col, text_col, shingle_k, n_hashes)
+    prepped = prepped.withColumn("_bands", minhash_bands(F.col("_sig"), n_bands, rows))
     cands = lsh_candidate_pairs(prepped, id_col, "_bands")
     return jaccard_pairs(prepped, id_col, "_sh", pairs=cands, threshold=threshold)
 
@@ -234,6 +267,35 @@ def simhash(col: Column, n_bits: int = SIMHASH_BITS, sep: str = " ") -> Column:
     )
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_bits: int = SIMHASH_BITS, sep: str = " ") -> DataFrame:
+    """(_id, _sig) via the exploded plan — same signatures as
+    :func:`simhash`, but the per-token hash is a codegen'd column
+    expression and the per-bit votes are ``sum(CASE ...)`` aggregates
+    instead of interpreted HOF lambdas (same reasoning as
+    :func:`minhash_signatures`; the lambda form costs ~60 interpreted
+    ops per token)."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col), sep))).alias("_tok"),
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+    )
+    votes = ex.groupBy("_id").agg(*[
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(n_bits)
+    ])
+    sig = F.lit(0).cast("long")
+    for i in range(n_bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+        )
+    return votes.select("_id", sig.alias("_sig"))
+
+
 def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                       max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the signature into
@@ -241,7 +303,7 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     < n_bands share at least one exact chunk.  Verify with popcount
     on candidates only."""
     chunk = SIMHASH_BITS // n_bands
-    sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sig"))
+    sh = simhash_signatures(df, id_col, text_col)
     bands = sh.select(
         "_id", "_sig",
         F.array(*[

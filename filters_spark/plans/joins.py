@@ -1,0 +1,105 @@
+"""Join strategies Spark lacks natively: as-of join, salted skew
+join (SURVEY.md §2.9 joins row; custom-operator guidance (a): compose
+existing DataFrame ops).
+
+**As-of join** (``asof_join``): for each left row, the most recent
+right row at-or-before (backward) or at-or-after (forward) its
+timestamp, per key.  Implemented as union → single sort per key →
+running ``last(ignorenulls)`` window — ONE shuffle/sort over
+|L|+|R| rows, versus the O(|L|·|R|) blowup of the naive range-join
+formulation.  This is the standard log-merge trick; at 100 TB the
+shuffle is on (key, time) which parquet time-partitioning already
+pre-clusters, and AQE handles per-key skew.
+
+**Salted join** (``salted_join``): explicit hot-key mitigation for
+when AQE's skew splitting isn't available (e.g. bucketed tables,
+older shuffle services): left rows get a random salt in [0, n), the
+right (small-but-too-big-to-broadcast) side is replicated n ways, and
+the join key becomes (key, salt) — hot keys spread across n tasks at
+the cost of replicating the right side n×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "salted_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              left_time: str, right_time: str,
+              by_left: str, by_right: str,
+              direction: str = "backward",
+              suffix: str = "_r") -> DataFrame:
+    """For each left row, attach the matching right row's columns.
+
+    direction='backward': latest right with right_time <= left_time.
+    direction='forward':  earliest right with right_time >= left_time.
+    Ties within the right side resolve to the LAST row in (time,
+    remaining columns) sort order — deterministic given distinct right
+    rows.  Right columns come back suffixed; unmatched → NULL.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    rcols = [c for c in right.columns if c not in (right_time, by_right)]
+    payload = F.struct(
+        F.col(right_time).alias("_t"), *[F.col(c) for c in rcols]
+    )
+    r = right.select(
+        F.col(by_right).alias("_key"),
+        F.col(right_time).cast("timestamp").alias("_time"),
+        F.lit(0).alias("_is_left"),
+        payload.alias("_payload"),
+    )
+    l = left.select(
+        F.col(by_left).alias("_key"),
+        F.col(left_time).cast("timestamp").alias("_time"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    r = r.withColumn("_lrow", F.lit(None).cast(l.schema["_lrow"].dataType))
+    unioned = l.select("_key", "_time", "_is_left", "_payload", "_lrow").unionByName(
+        r.select("_key", "_time", "_is_left", "_payload", "_lrow")
+    )
+
+    if direction == "backward":
+        # right rows sort before left rows at equal time (<= semantics)
+        w = (
+            Window.partitionBy("_key")
+            .orderBy(F.col("_time").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("_payload", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("_key")
+            .orderBy(F.col("_time").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("_payload", ignorenulls=True).over(w)
+
+    out = (
+        unioned.withColumn("_match", matched)
+        .where(F.col("_is_left") == 1)
+    )
+    left_cols = [F.col("_lrow").getField(c).alias(c) for c in left.columns]
+    right_out = [
+        F.col("_match").getField("_t").alias(right_time + suffix)
+    ] + [F.col("_match").getField(c).alias(c + suffix) for c in rcols]
+    return out.select(*left_cols, *right_out)
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join with explicit key salting for hot keys.  Results are
+    identical to ``left.join(right, on, how)``; only the shuffle
+    layout changes (hot left keys spread over ``n_salts`` tasks,
+    right side replicated ``n_salts``×)."""
+    salted_l = left.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    salted_r = right.select("*", salts)
+    out = salted_l.join(salted_r, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -564,3 +564,408 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: remaining validator coverage + set ops / rollup / as-of /
+# session windows + LSH pipelines (SURVEY.md §2 line-by-line).
+# ---------------------------------------------------------------------------
+
+from .joins import asof_join  # noqa: E402
+
+
+@register(
+    "val_regex_extract",
+    oracle="""
+    SELECT c_custkey, regexp_extract_all(c_name, '[0-9]+')[1] AS digits
+    FROM customer
+    """,
+)
+def val_regex_extract(spark, sf_dir):
+    """Regex returns the list of ALL matches (reference semantics);
+    we surface the first."""
+    cust = _t(spark, sf_dir, "customer")
+    res = fs.ValidationSchema({"digits": fs.Regex("[0-9]+")}).validate(
+        cust.select("c_custkey", F.col("c_name").alias("digits"))
+    )
+    return res.clean.select("c_custkey", F.element_at("digits", 1).alias("digits"))
+
+
+@register(
+    "val_split_parts",
+    oracle="""
+    SELECT CASE WHEN len(string_split(p_name, ' ')) = 2
+                THEN string_split(p_name, ' ')[2] END AS noun,
+           count(*) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def val_split_parts(spark, sf_dir):
+    """Split with named keys → struct of parts; wrong part count →
+    error (NULL group)."""
+    p = _t(spark, sf_dir, "part")
+    res = fs.ValidationSchema({
+        "parts": fs.Split(" ", keys=["adj", "noun"])
+    }).validate(p.select(F.col("p_name").alias("parts")))
+    return res.validated.groupBy(
+        F.col("parts").getField("noun").alias("noun")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "val_optional_default",
+    oracle="""
+    SELECT coalesce(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                         ELSE c_mktsegment END, 'UNKNOWN') AS seg,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def val_optional_default(spark, sf_dir):
+    """Optional(default): NULL/empty replaced — the one validator
+    that turns None into a value."""
+    cust = _t(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None)).otherwise(
+        F.col("c_mktsegment")
+    )
+    res = fs.ValidationSchema({"seg": fs.Optional("UNKNOWN")}).validate(
+        cust.select(seg.alias("seg"))
+    )
+    return res.clean.groupBy("seg").agg(F.count("*").alias("n"))
+
+
+@register(
+    "val_round_quarter",
+    oracle="""
+    SELECT CAST(round(CAST(l_tax AS DECIMAL(38,10)) / 0.25, 0) * 0.25 AS DOUBLE)
+             AS tax_bucket,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def val_round_quarter(spark, sf_dir):
+    """Round to nearest 0.25, HALF_UP (F.round on decimals — never
+    bround/HALF_EVEN)."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = fs.ValidationSchema({"tax_bucket": fs.Round("0.25", scale=2)}).validate(
+        li.select(F.col("l_tax").alias("tax_bucket"))
+    )
+    return res.clean.groupBy(
+        F.col("tax_bucket").cast("double").alias("tax_bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "val_maxbytes_check",
+    oracle="""
+    SELECT lang, count(*) AS n_too_long
+    FROM documents WHERE strlen(text) > 160
+    GROUP BY lang
+    """,
+)
+def val_maxbytes_check(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    res = fs.ValidationSchema({"text": fs.MaxBytes(160)}).validate(d)
+    return res.rejected.groupBy("lang").agg(F.count("*").alias("n_too_long"))
+
+
+@register(
+    "val_ip_address",
+    oracle="""
+    SELECT count(*) FILTER (WHERE c_custkey % 300 <= 255) AS n_valid,
+           count(*) FILTER (WHERE c_custkey % 300 > 255) AS n_invalid
+    FROM customer
+    """,
+)
+def val_ip_address(spark, sf_dir):
+    """IpAddress over synthesized dotted quads (octet >255 ⇒ invalid)."""
+    cust = _t(spark, sf_dir, "customer")
+    ip = F.concat(F.lit("10.0."), (F.col("c_custkey") % 300).cast("string"), F.lit(".1"))
+    res = fs.ValidationSchema({"ip": fs.IpAddress()}).validate(
+        cust.select(ip.alias("ip"))
+    )
+    from ..schema import ERRORS_COL
+    return res.validated.agg(
+        F.count(F.when(F.size(ERRORS_COL) == 0, 1)).alias("n_valid"),
+        F.count(F.when(F.size(ERRORS_COL) > 0, 1)).alias("n_invalid"),
+    )
+
+
+@register(
+    "val_datetime_parse",
+    oracle="SELECT year(o_orderdate) AS y, count(*) AS n FROM orders GROUP BY 1",
+)
+def val_datetime_parse(spark, sf_dir):
+    """Datetime string-parse path: ISO and US-slash renderings of
+    o_orderdate round-trip through the multi-format parser."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.when(
+        F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+    ).otherwise(F.date_format("o_orderdate", "MM/dd/yyyy"))
+    res = fs.ValidationSchema({"dt": fs.Datetime()}).validate(o.select(s.alias("dt")))
+    return res.clean.groupBy(F.year("dt").alias("y")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "val_each_array",
+    oracle="""
+    SELECT count(*) AS n_rejected FROM (
+      SELECT doc_id FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> length(x) > 6)) > 0
+    )
+    """,
+)
+def val_each_array(spark, sf_dir):
+    """FilterRepeater (Each) over an array column: any element longer
+    than 6 chars rejects the row (first element error wins)."""
+    d = _t(spark, sf_dir, "documents")
+    res = fs.ValidationSchema({"toks": fs.Each(fs.MaxLength(6))}).validate(
+        d.select(F.split("text", " ").alias("toks"))
+    )
+    return res.rejected.agg(F.count("*").alias("n_rejected"))
+
+
+@register(
+    "val_nested_struct",
+    oracle="""
+    SELECT 'obj.acctbal' AS field, 'too_small' AS code, count(*) AS n
+    FROM customer WHERE c_acctbal < 0 HAVING count(*) > 0
+    """,
+)
+def val_nested_struct(spark, sf_dir):
+    """Nested (struct FilterMapper): dotted error keys like
+    ``obj.acctbal``."""
+    cust = _t(spark, sf_dir, "customer")
+    obj = F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"))
+    res = fs.ValidationSchema({
+        "obj": fs.Nested({"name": fs.MinLength(1), "acctbal": fs.Min(0)})
+    }).validate(cust.select(obj.alias("obj")))
+    return res.error_code_counts().withColumnRenamed("count", "n")
+
+
+@register(
+    "rel_setops",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without
+    """,
+)
+def rel_setops(spark, sf_dir):
+    """Semi/anti joins — the clean-vs-rejected split pattern at the
+    relational level."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n_with = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    n_without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame([(n_with, n_without)], "n_with bigint, n_without bigint")
+
+
+@register(
+    "rel_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rel_rollup(spark, sf_dir):
+    """ROLLUP + grouping_id — the data-quality-dashboard aggregation
+    shape (subtotals per flag, grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@register(
+    "rel_asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, o.o_orderkey AS matched_orderkey
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def rel_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks): latest order at-or-before
+    each event, via the union-sort-window log-merge — one shuffle on
+    (key, time), no range-join blowup.  Right side pre-deduped per
+    (key, time) so the match is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "ts", "user_id"), o,
+        left_time="ts", right_time="o_orderdate",
+        by_left="user_id", by_right="o_custkey",
+    )
+    return joined.select("event_id", F.col("o_orderkey_r").alias("matched_orderkey"))
+
+
+@register(
+    "rel_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id, 1 + sum(new_sess) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def rel_session_window(spark, sf_dir):
+    """F.session_window in BATCH mode (same operator the streaming
+    path uses) — must agree with the lag-based gap formulation."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return sessions.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+
+
+_MINHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS shingles
+  FROM tok
+),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, 16),
+           s -> list_aggregate(
+                  list_transform(shingles, x -> md5(s::VARCHAR || '|' || x)),
+                  'min')) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS key
+  FROM sig, range(0, 8) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.a_id, c.b_id,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS j
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified WHERE j >= 0.8
+"""
+
+
+@register("ds_minhash_lsh", oracle=_MINHASH_ORACLE)
+def ds_minhash_lsh(spark, sf_dir):
+    """Full MinHash+LSH near-dup pipeline (shingle → 16-hash md5
+    signature → 8 bands → bucket join → exact-jaccard verify), fully
+    oracle-checked: the identical LSH runs in DuckDB SQL, so candidate
+    sets AND verified pairs must match exactly."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        d, "doc_id", "text", shingle_k=3, n_hashes=16, n_bands=8, threshold=0.8
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("ds_simhash_pairs", oracle=None)
+def ds_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup (rows-only check: DuckDB lacks a
+    hex→int64 conv to replicate the signature)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dup_pairs(d, "doc_id", "text", max_hamming=3, n_bands=4)
+
+
+@register("ds_lsh_topk", oracle=None)
+def ds_lsh_topk(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH buckets (rows-only: plane
+    weights are md5-derived doubles, impractical to replicate in SQL).
+    The exact twin ``ds_cosine_topk`` is the correctness anchor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, q, k=10, n_planes=4)
+
+
+def _langid_sql() -> str:
+    hits = []
+    for lang, words in text.STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hits.append(
+            f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), {arr})) AS s_{lang}"
+        )
+    langs = list(text.STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (SELECT {', '.join(hits)} FROM documents)
+    SELECT {case} AS predicted, count(*) AS n FROM scored GROUP BY 1
+    """
+
+
+@register("txt_langid", oracle=_langid_sql())
+def txt_langid(spark, sf_dir):
+    """Stopword-overlap language ID rollup (argmax over per-language
+    hit counts, dict-order tie-break — replicated verbatim in SQL)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(text.lang_id(F.col("text")).alias("predicted")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "txt_quality",
+    oracle=r"""
+    WITH q AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n,
+             list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum')::DOUBLE
+               / len(string_split(text, ' ')) AS awl,
+             (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE
+               / length(text) AS pr
+      FROM documents
+    )
+    SELECT source,
+           round(avg(((CASE WHEN n BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0), 4) AS avg_quality
+    FROM q GROUP BY source
+    """,
+)
+def txt_quality(spark, sf_dir):
+    """C4-style quality heuristic (length band + word-length band +
+    punctuation ratio) as one fused expression; per-source average."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.avg(text.quality_score(F.col("text"))), 4).alias("avg_quality")
+    )

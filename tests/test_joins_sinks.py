@@ -1,0 +1,99 @@
+"""As-of join, salted join, sinks."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import filters_spark as fs
+from filters_spark.plans.joins import asof_join, salted_join
+from filters_spark.sources import sinks
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    T = dt.datetime
+    trades = spark.createDataFrame(
+        [(1, "A", T(2024, 1, 1, 10, 0, 0)),
+         (2, "A", T(2024, 1, 1, 10, 5, 0)),
+         (3, "B", T(2024, 1, 1, 9, 0, 0)),   # before any B quote
+         (4, "C", T(2024, 1, 1, 12, 0, 0))], # no C quotes at all
+        "trade_id bigint, sym string, t timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("A", T(2024, 1, 1, 9, 59, 0), 100.0),
+         ("A", T(2024, 1, 1, 10, 0, 0), 101.0),   # equal ts → <= match
+         ("A", T(2024, 1, 1, 10, 4, 0), 102.0),
+         ("B", T(2024, 1, 1, 9, 30, 0), 50.0)],
+        "sym string, qt timestamp, px double",
+    )
+    return trades, quotes
+
+
+class TestAsofJoin:
+    def test_backward(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, "t", "qt", "sym", "sym")
+        px = {r["trade_id"]: r["px_r"] for r in out.collect()}
+        assert px == {1: 101.0, 2: 102.0, 3: None, 4: None}
+
+    def test_forward(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, "t", "qt", "sym", "sym", direction="forward")
+        px = {r["trade_id"]: r["px_r"] for r in out.collect()}
+        assert px == {1: 101.0, 2: None, 3: 50.0, 4: None}
+
+    def test_left_rows_preserved(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, "t", "qt", "sym", "sym")
+        assert out.count() == trades.count()
+        assert set(trades.columns) <= set(out.columns)
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        left = spark.range(0, 1000).select(
+            (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.createDataFrame(
+            [(i, f"r{i}") for i in range(10)], "k bigint, name string"
+        )
+        plain = left.join(right, "k").select("k", "v", "name")
+        salted = salted_join(left, right, "k", n_salts=8).select("k", "v", "name")
+        assert plain.count() == salted.count() == 1000
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
+
+
+class TestSinks:
+    def test_clean_dead_letter_metrics(self, spark):
+        tmp = tempfile.mkdtemp(prefix="fs_sinks_")
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (3, None)], "id bigint, v double"
+        )
+        res = fs.ValidationSchema({"v": fs.Min(0)}).validate(df)
+        sinks.write_clean(res, f"{tmp}/clean")
+        sinks.write_dead_letter(res, f"{tmp}/dead")
+        sinks.write_error_metrics(res, f"{tmp}/metrics")
+        clean = spark.read.parquet(f"{tmp}/clean")
+        dead = spark.read.parquet(f"{tmp}/dead")
+        metrics = spark.read.parquet(f"{tmp}/metrics")
+        assert sorted(r["id"] for r in clean.collect()) == [1, 3]  # NULL passes
+        assert [r["id"] for r in dead.collect()] == [2]
+        assert dead.head()["_first_code"] == "too_small"  # partition col readable
+        m = metrics.head()
+        assert (m["field"], m["code"], m["count"]) == ("v", "too_small", 1)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_bucketed_write_roundtrip(self, spark):
+        import uuid as _uuid
+        table = f"t_bucketed_{_uuid.uuid4().hex[:8]}"
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        sinks.write_bucketed(df, table, "k", n_buckets=4)
+        back = spark.table(table)
+        assert back.count() == 100
+        spark.sql(f"DROP TABLE {table}")
