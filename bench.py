@@ -45,6 +45,11 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark("filters_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Warm session machinery (executor pool, codegen infra, parquet
+    # footer reader) with a trivial action so the first query's time
+    # measures the QUERY, not JVM startup.  Each query still pays its
+    # own plan + compile.
+    spark.range(1).count()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}

@@ -49,6 +49,7 @@ from .operators.string import (
     CaseFold,
     IpAddress,
     JsonDecode,
+    Matches,
     MaxBytes,
     Regex,
     Split,
@@ -60,6 +61,8 @@ from .operators.temporal import Date, Datetime
 from .operators.complex import AsStruct, Each, Nested, Switch
 from .operators import udf
 from .extensions import registry as ext
+from . import macros
+macros.register_defaults(ext)
 
 __all__ = [
     "Validator", "Chain", "NoOp", "Predicate", "Transform", "FilterError",
@@ -68,9 +71,9 @@ __all__ = [
     "Required", "NotEmpty", "Empty", "Optional", "Choice",
     "Length", "MinLength", "MaxLength", "ArrayOf", "ByteArray",
     "Int", "DecimalOf", "Min", "Max", "Round",
-    "Strip", "CaseFold", "Split", "Regex", "MaxBytes", "Base64Decode",
+    "Strip", "CaseFold", "Split", "Regex", "Matches", "MaxBytes", "Base64Decode",
     "Uuid", "ByteString", "Unicode", "IpAddress", "JsonDecode",
     "Date", "Datetime",
     "Each", "Nested", "Switch", "AsStruct",
-    "udf", "ext",
+    "udf", "ext", "macros",
 ]

@@ -1,0 +1,61 @@
+"""Data-quality profiling (SURVEY.md §2.9 aggregations row:
+"approx_count_distinct for profiling; cube/rollup for data-quality
+dashboards").
+
+``profile(df)`` computes, in ONE pass over the data (a single
+aggregate with every statistic as an expression — no per-column
+jobs), a long-format summary:
+
+    (column, n_rows, n_nulls, n_distinct, approx_distinct, min, max)
+
+Scale notes: one scan, one tiny shuffle (the global aggregate);
+``n_distinct`` is exact only when ``exact_distinct=True`` (it is the
+expensive one — per-column hash sets); the default uses HyperLogLog
+(``approx_count_distinct``, fixed memory).  min/max are rendered as
+strings so one long table covers heterogeneous column types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile", "null_report"]
+
+
+def profile(df: DataFrame, columns: list[str] | None = None,
+            exact_distinct: bool = False, rsd: float = 0.05) -> DataFrame:
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"_dist_{c}"))
+        aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"_approx_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+
+    rows = []
+    for c in cols:
+        entry = F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nulls_{c}").cast("long").alias("n_nulls"),
+            (F.col(f"_dist_{c}").cast("long") if exact_distinct else F.lit(None).cast("long")).alias("n_distinct"),
+            F.col(f"_approx_{c}").cast("long").alias("approx_distinct"),
+            F.col(f"_min_{c}").alias("min"),
+            F.col(f"_max_{c}").alias("max"),
+        )
+        rows.append(entry)
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def null_report(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(column, n_nulls, null_frac) — the minimal quality dashboard."""
+    cols = columns or df.columns
+    p = profile(df, cols)
+    return p.select(
+        "column", "n_nulls",
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+    )

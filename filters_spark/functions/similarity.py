@@ -59,7 +59,8 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                engine: str = "expr") -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     ``queries`` is broadcast — brute force scores every (query,
@@ -67,7 +68,19 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     shuffles, keyed by query id (cardinality = |queries|).
     Returns (query_id, neighbor_id, score, rank); ties broken by
     neighbor id for determinism.
+
+    engines:
+      * ``expr``  — zip_with/aggregate expressions.  Exactly matches
+        a sequential-sum SQL oracle bit for bit, but Spark HOF
+        lambdas evaluate interpreted: fine for small query sets.
+      * ``arrow`` — one Arrow-batched numpy matmul per batch
+        (``mapInPandas``): the scale path when |queries|×|vectors|
+        FLOPs dominate.  numpy's pairwise summation reorders float
+        adds, so scores can differ from ``expr`` in the last ulps —
+        use for throughput, not for oracle hashing.
     """
+    if engine == "arrow":
+        return _cosine_topk_arrow(vectors, queries, k, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -89,6 +102,50 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _cosine_topk_arrow(vectors: DataFrame, queries: DataFrame, k: int,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Arrow path: queries collected to the driver (they are small by
+    contract), normalized once, shipped in the closure; each executor
+    batch does ONE numpy matmul + per-partition top-k, then a final
+    exact rank cut trims partition winners to global k."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([r[1] for r in qrows], dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    import pyspark.sql.types as T
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            V = np.array(list(pdf[vec_col]), dtype="float64")
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Qn.T  # (batch × queries)
+            out = []
+            for j, qid in enumerate(qids):
+                col = S[:, j]
+                mask = ids != qid
+                cand = np.argsort(-col)[: k + 1]
+                for i in cand:
+                    if mask[i]:
+                        out.append((qid, int(ids[i]), float(col[i])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(run, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def _plane_weight(plane: int, dim: int) -> float:

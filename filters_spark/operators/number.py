@@ -31,7 +31,7 @@ from ..core import FieldRef, Predicate, Validator, make_error
 __all__ = ["Int", "DecimalOf", "Min", "Max", "Round"]
 
 # Wide-enough intermediate for parsing numeric strings.
-_DEC = "decimal(38,10)"
+_DEC = "decimal(38,18)"
 
 _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
 _FLOATING = (FloatType, DoubleType)
@@ -62,16 +62,34 @@ class Int(Validator):
         return self
 
     def _parsed(self, col: Column) -> Column:
-        return col.cast("string").try_cast(_DEC)
+        return col.try_cast(_DEC)
 
     def transform(self, col: Column) -> Column:
         return self._parsed(F.trim(col.cast("string"))).cast("long")
 
     def error(self, col: Column, field: FieldRef) -> Column:
-        d = self._parsed(F.trim(col.cast("string")))
-        not_numeric = col.isNotNull() & d.isNull()
-        not_integral = d.isNotNull() & (d != F.floor(d).cast(_DEC))
-        overflow = d.isNotNull() & d.cast("long").isNull()
+        # Two parses: decimal(38,18) for exact integrality, double as
+        # the fallback classifier for magnitudes decimal can't hold
+        # (property-tested against a pure-Python Decimal oracle —
+        # '4.3e+40' must be too_big, not not_numeric; '1e-50' must be
+        # not_int via the double's fractional part after the decimal
+        # parse rounds it to zero).
+        s = F.trim(col.cast("string"))
+        d = s.try_cast(_DEC)
+        dbl = s.try_cast("double")
+        nn = col.isNotNull()
+        finite = dbl.isNotNull() & ~F.isnan(dbl) & (F.abs(dbl) != F.lit(float("inf")))
+        not_numeric = nn & (dbl.isNull() | F.isnan(dbl) | (F.abs(dbl) == F.lit(float("inf"))))
+        # F.floor(double) yields LONG — meaningless (overflowed) for
+        # |x| >= 2^63, so the double integrality check only applies in
+        # long range; anything finite beyond that is integral at
+        # double precision and classifies as too_big.
+        in_long_range = finite & (F.abs(dbl) < F.lit(float(2**63)))
+        not_integral = nn & (
+            (d.isNotNull() & (d != F.floor(d).cast(_DEC)))
+            | (in_long_range & (dbl != F.floor(dbl)))
+        )
+        overflow = nn & finite & (d.isNull() | d.try_cast("long").isNull())
         return (
             F.when(not_numeric, make_error(field, "not_numeric", self.name))
             .when(not_integral, make_error(field, "not_int", self.name))

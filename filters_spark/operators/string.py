@@ -21,6 +21,7 @@ __all__ = [
     "CaseFold",
     "Split",
     "Regex",
+    "Matches",
     "MaxBytes",
     "Base64Decode",
     "Uuid",
@@ -110,6 +111,24 @@ class Regex(Validator):
     def error(self, col: Column, field: FieldRef) -> Column:
         fail = col.isNotNull() & (F.size(F.regexp_extract_all(col, F.lit(self.pattern), 0)) == 0)
         return F.when(fail, make_error(field, "malformed", self.name))
+
+
+class Matches(Predicate):
+    """Predicate form of Regex: the value must MATCH the pattern; the
+    value passes through unchanged (vs ``Regex`` which returns the
+    list of matches — reference semantics).  The workhorse for macro
+    recipes (email, url, slug)."""
+
+    name = "matches"
+    code = "malformed"
+
+    def __init__(self, pattern: str, code: str | None = None):
+        self.pattern = pattern
+        if code:
+            self.code = code
+
+    def condition(self, col: Column) -> Column:
+        return col.rlike(self.pattern)
 
 
 class MaxBytes(Validator):

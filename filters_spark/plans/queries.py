@@ -134,7 +134,7 @@ def val_error_rollup(spark, sf_dir):
     )
     SELECT count(*) AS n_total,
            count(*) FILTER (WHERE k IS NULL OR (k >= 0 AND k <= 80)) AS n_valid,
-           sum(k) FILTER (WHERE k >= 0 AND k <= 80) AS sum_k
+           CAST(sum(k) FILTER (WHERE k >= 0 AND k <= 80) AS BIGINT) AS sum_k
     FROM parsed
     """,
 )
@@ -430,7 +430,7 @@ def rel_latest_order_per_customer(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
     )
-    SELECT user_id, 1 + sum(new_sess) AS n_sessions
+    SELECT user_id, CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions
     FROM gaps GROUP BY user_id
     """,
 )
@@ -828,7 +828,7 @@ def rel_asof_join(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
     )
-    SELECT user_id, 1 + sum(new_sess) AS n_sessions
+    SELECT user_id, CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions
     FROM gaps GROUP BY user_id
     """,
 )
@@ -968,4 +968,102 @@ def txt_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
         F.round(F.avg(text.quality_score(F.col("text"))), 4).alias("avg_quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: profiling, macro recipes
+# ---------------------------------------------------------------------------
+
+from ..functions import profile as _profile  # noqa: E402
+
+
+def _profile_oracle() -> str:
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    parts = [
+        f"""
+        SELECT '{c}' AS column, count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min, CAST(max({c}) AS VARCHAR) AS max
+        FROM customer
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("prof_customer", oracle=_profile_oracle())
+def prof_customer(spark, sf_dir):
+    """One-pass data-quality profile (null counts, exact distincts,
+    min/max) in long format — the quality-dashboard feed."""
+    cust = _t(spark, sf_dir, "customer")
+    return _profile.profile(cust, exact_distinct=True).select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min", "max"
+    )
+
+
+_EMAIL_RE_SQL = (
+    "^[A-Za-z0-9.!#$%&''*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+    "(?:\\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$"
+)
+
+_EMAIL_ORACLE = """
+    WITH built AS (
+      SELECT CASE WHEN c_custkey % 5 = 0
+                  THEN c_name || '!example.com'
+                  ELSE c_name || '@example.com' END AS s
+      FROM customer
+    )
+    SELECT count(*) FILTER (WHERE regexp_matches(lower(s), '__RE__')
+                            AND length(s) <= 254) AS n_valid,
+           count(*) FILTER (WHERE NOT (regexp_matches(lower(s), '__RE__')
+                            AND length(s) <= 254)) AS n_invalid
+    FROM built
+""".replace("__RE__", _EMAIL_RE_SQL)
+
+
+@register("val_email_macro", oracle=_EMAIL_ORACLE)
+def val_email_macro(spark, sf_dir):
+    """The email macro (Strip|CaseFold|Matches|MaxLength) from the
+    extension registry over synthesized addresses (every 5th is
+    broken)."""
+    import filters_spark as fs
+
+    cust = _t(spark, sf_dir, "customer")
+    s = F.when(
+        F.col("c_custkey") % 5 == 0, F.concat(F.col("c_name"), F.lit("!example.com"))
+    ).otherwise(F.concat(F.col("c_name"), F.lit("@example.com")))
+    res = fs.ValidationSchema({"email": fs.ext.email}).validate(
+        cust.select(s.alias("email"))
+    )
+    from ..schema import ERRORS_COL
+    return res.validated.agg(
+        F.count(F.when(F.size(ERRORS_COL) == 0, 1)).alias("n_valid"),
+        F.count(F.when(F.size(ERRORS_COL) > 0, 1)).alias("n_invalid"),
+    )
+
+
+@register(
+    "rel_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_cube(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations) with
+    grouping_id — completes the rollup/cube/grouping-sets family."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
     )

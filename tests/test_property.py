@@ -1,0 +1,103 @@
+"""Property-based tests (SURVEY.md §5.2.3): random inputs through the
+engine vs a pure-Python oracle implementing reference semantics.
+Batched: hypothesis generates a case list per property, evaluated in
+ONE Spark job (per-example Spark jobs would be minutes-slow)."""
+
+import base64
+import math
+import string as pystring
+import uuid as pyuuid
+from decimal import Decimal, InvalidOperation
+
+from hypothesis import given, settings, strategies as st
+
+import filters_spark as fs
+from tests.conftest import run_chain
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+
+def python_int_oracle(s):
+    """Reference Int semantics: numeric string → int only if integral."""
+    if s is None:
+        return None, None
+    try:
+        d = Decimal(str(s).strip())
+    except (InvalidOperation, ValueError):
+        return None, "not_numeric"
+    if not d.is_finite():
+        return None, "not_numeric"
+    if d != d.to_integral_value():
+        return None, "not_int"
+    if not (-(2**63) <= int(d) < 2**63):
+        return None, "too_big"
+    return int(d), None
+
+
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.integers(-10**20, 10**20).map(str),
+        st.floats(allow_nan=False, allow_infinity=False).map(repr),
+        st.text(pystring.ascii_letters + "0123456789 .-+eE", max_size=12),
+    ),
+    min_size=1, max_size=40,
+))
+@settings(**SETTINGS)
+def test_int_matches_python_oracle(spark, values):
+    got = run_chain(spark, fs.Int(), values)
+    for v, (clean, code) in zip(values, got):
+        exp_clean, exp_code = python_int_oracle(v)
+        assert code == exp_code, f"{v!r}: {code} != {exp_code}"
+        if exp_code is None:
+            assert clean == exp_clean, f"{v!r}: {clean} != {exp_clean}"
+
+
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=64)), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_base64_roundtrip_property(spark, payloads):
+    values = [None if p is None else base64.urlsafe_b64encode(p).decode().rstrip("=")
+              for p in payloads]
+    got = run_chain(spark, fs.Base64Decode(), values)
+    for p, (clean, code) in zip(payloads, got):
+        if p is None:
+            assert clean is None and code is None
+        else:
+            assert code is None
+            assert bytes(clean) == p
+
+
+@given(st.lists(st.one_of(st.none(), st.uuids()), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_uuid_canonicalization_property(spark, uuids):
+    # render each uuid in a random-ish dirty form (deterministic per value)
+    def dirty(u):
+        forms = [str(u).upper(), "{" + str(u) + "}", "urn:uuid:" + str(u),
+                 str(u).replace("-", "")]
+        return forms[u.int % 4]
+
+    values = [None if u is None else dirty(u) for u in uuids]
+    got = run_chain(spark, fs.Uuid(), values)
+    for u, (clean, code) in zip(uuids, got):
+        if u is None:
+            assert clean is None and code is None
+        else:
+            assert code is None and clean == str(u)
+
+
+@given(st.lists(
+    st.one_of(st.none(), st.floats(-1e6, 1e6), st.just(float("nan")),
+              st.just(float("inf"))),
+    min_size=1, max_size=40,
+))
+@settings(**SETTINGS)
+def test_decimal_finite_property(spark, values):
+    got = run_chain(spark, fs.DecimalOf(scale=6), values, in_type="double")
+    for v, (clean, code) in zip(values, got):
+        if v is None:
+            assert code is None and clean is None
+        elif math.isnan(v) or math.isinf(v):
+            assert code == "not_finite"
+        else:
+            assert code is None
+            assert abs(float(clean) - v) <= max(1e-6, abs(v) * 1e-9)
