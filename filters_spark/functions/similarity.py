@@ -31,6 +31,7 @@ __all__ = [
     "norm",
     "cosine",
     "cosine_topk",
+    "ivf_topk",
     "lsh_buckets",
     "lsh_topk",
 ]
@@ -145,6 +146,76 @@ def _cosine_topk_arrow(vectors: DataFrame, queries: DataFrame, k: int,
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             cell_col: str | None = None,
+             n_cells: int | None = None) -> DataFrame:
+    """IVF-style ANN: partition vectors into coarse cells, probe only
+    the ``nprobe`` cells whose centroids are nearest each query, exact
+    re-rank within probed cells.
+
+    Cells come from ``cell_col`` if given (pre-existing partition,
+    e.g. a cluster label); otherwise a cheap deterministic coarse
+    quantizer (LSH bucket of ``log2(n_cells)`` planes).  Centroids =
+    per-cell mean vectors, computed with ONE exploded aggregation
+    (posexplode → avg per (cell, dim) → collect to driver: n_cells×dim
+    floats — small by construction).
+
+    Scale shape: scan fraction ≈ nprobe / n_cells; the probe join is
+    (cell → queries-probing-cell), broadcast; re-rank is the exact
+    scorer over the probed subset.
+    """
+    if cell_col is None:
+        import math
+
+        planes = max(1, int(math.log2(n_cells or 16)))
+        vectors = lsh_buckets(vectors, planes, id_col, vec_col).withColumnRenamed(
+            "_bucket", "_cell"
+        )
+        cell_col = "_cell"
+    v = vectors.withColumn("_cell_key", F.col(cell_col))
+
+    # centroids via exploded agg (HOF-free hot path)
+    ex = v.select("_cell_key", F.posexplode(F.col(vec_col)).alias("_d", "_x"))
+    cent = (
+        ex.groupBy("_cell_key", "_d").agg(F.avg("_x").alias("_c"))
+        .groupBy("_cell_key")
+        .agg(F.array_sort(F.collect_list(F.struct("_d", "_c"))).alias("_dc"))
+        .select("_cell_key", F.transform("_dc", lambda s: s["_c"]).alias("_centroid"))
+    )
+    centroids = cent.collect()  # n_cells rows — tiny by construction
+
+    # driver-side probe assignment: nearest nprobe centroids per query
+    import numpy as np
+
+    C = np.array([r["_centroid"] for r in centroids], dtype="float64")
+    cells = [r["_cell_key"] for r in centroids]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_pairs = []
+    for r in qrows:
+        qv = np.array(r[1], dtype="float64")
+        qn = qv / np.linalg.norm(qv)
+        order = np.argsort(-(Cn @ qn))[:nprobe]
+        for ci in order:
+            probe_pairs.append((r[0], cells[ci]))
+    spark = vectors.sparkSession
+    probes = spark.createDataFrame(probe_pairs, f"query_id long, _cell_key {dict(v.dtypes)['_cell_key']}")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+
+    candidates = v.join(F.broadcast(probes), "_cell_key").join(
+        F.broadcast(q), "query_id"
+    ).where(F.col(id_col) != F.col("query_id"))
+    scored = candidates.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("_qv"), F.col(vec_col)).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 

@@ -1067,3 +1067,32 @@ def rel_cube(spark, sf_dir):
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
     )
+
+
+@register(
+    "val_variant_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def val_variant_json(spark, sf_dir):
+    """Schemaless JSON via Spark 4 VariantType (try_parse_json +
+    variant_get) — the engine twin of the reference's schemaless
+    json.loads (JsonDecode with no schema)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return ev.groupBy((k % 10).alias("k_mod")).agg(F.count("*").alias("n"))
+
+
+@register("ds_ivf_topk", oracle=None)
+def ds_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse centroids from the data (mean embedding
+    per label), probe the 2 nearest cells per query, exact re-rank
+    within probed cells (rows-only: centroid arithmetic is impractical
+    to replicate in SQL; ds_cosine_topk is the exact anchor)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, q, k=10, nprobe=2,
+                               cell_col="label")

@@ -74,3 +74,38 @@ class TestArrowCosine:
         sa = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in a.collect()}
         sb = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in b.collect()}
         assert sa == sb  # same neighbors, same ranks (scores may differ in ulps)
+
+
+class TestIvf:
+    def test_ivf_exact_when_probing_all_cells(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(30, 8).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]], i % 3) for i in range(30)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+        q = df.where(F.col("vec_id") == 0)
+        exact = similarity.cosine_topk(df, q, k=5)
+        ivf = similarity.ivf_topk(df, q, k=5, nprobe=3, cell_col="label")
+        se = [(r["neighbor_id"], r["rank"]) for r in
+              sorted(exact.collect(), key=lambda r: r["rank"])]
+        si = [(r["neighbor_id"], r["rank"]) for r in
+              sorted(ivf.collect(), key=lambda r: r["rank"])]
+        assert se == si  # probing every cell == exact
+
+    def test_ivf_partial_probe_subset_of_exact_space(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(4)
+        vecs = rng.randn(40, 8).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]], i % 4) for i in range(40)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+        q = df.where(F.col("vec_id") == 1)
+        out = similarity.ivf_topk(df, q, k=5, nprobe=2, cell_col="label")
+        rows = out.collect()
+        assert 0 < len(rows) <= 5
+        assert all(r["query_id"] == 1 for r in rows)

@@ -1,0 +1,88 @@
+"""Plan-shape audit: for each headline query, extract the properties
+that matter at 100 TB from `.explain` output and check them against
+declared expectations (SCALE.md).  The bench measures speed at sf0.1;
+this checks the PLAN is the one that survives a 1000× scale-up.
+
+Usage: python tools/explain_audit.py [query ...]
+Prints one line per query: OK/VIOLATION + plan facts
+(exchanges, broadcasts, scans, pushed filters, codegen coverage).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from filters_spark.plans import queries as Q
+from filters_spark.sources import get_spark
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+# expectations: max shuffles (Exchange), min broadcast joins,
+# whether a pushed scan filter is required.
+EXPECTATIONS: dict[str, dict] = {
+    # validation = scan + projections; the final agg adds exactly one
+    # exchange (partial → final) — nothing else may shuffle.
+    "val_lineitem_clean_agg": dict(max_exchanges=1),
+    "val_error_rollup": dict(max_exchanges=1),
+    "val_choice_rollup": dict(max_exchanges=1),
+    "val_strip_fold": dict(max_exchanges=1),
+    # q1: single agg exchange; filter must reach the scan.
+    "rel_q1_pricing": dict(max_exchanges=1, scan_filter=True),
+    # q3: dims broadcast; orderkey join + agg + top-k sort.
+    "rel_q3_shipping": dict(min_broadcasts=1, scan_filter=True),
+    "rel_q5_nation_revenue": dict(min_broadcasts=2),
+    "rel_topk_parts_per_brand": dict(min_broadcasts=1),
+    # window/dedup: one shuffle for the window partition + agg lineage.
+    "rel_latest_order_per_customer": dict(max_exchanges=1),
+    "rel_sessionize": dict(max_exchanges=2),
+    # cosine: queries broadcast; only the rank cut shuffles.
+    "ds_cosine_topk": dict(min_broadcasts=1, max_exchanges=2),
+}
+
+
+def audit(name: str, q, spark) -> tuple[bool, str]:
+    df = q.fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+    n_broadcast = plan.count("BroadcastExchange")
+    n_scans = plan.count("FileScan")
+    pushed = "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan)
+    wsc = plan.count("WholeStageCodegen")
+    exp = EXPECTATIONS.get(name, {})
+    problems = []
+    if "max_exchanges" in exp and n_exchange > exp["max_exchanges"]:
+        problems.append(f"exchanges {n_exchange} > {exp['max_exchanges']}")
+    if "min_broadcasts" in exp and n_broadcast < exp["min_broadcasts"]:
+        problems.append(f"broadcasts {n_broadcast} < {exp['min_broadcasts']}")
+    if exp.get("scan_filter") and not pushed:
+        problems.append("no filters pushed to scan")
+    facts = (f"exchanges={n_exchange} broadcasts={n_broadcast} scans={n_scans} "
+             f"pushed={pushed} codegen_spans={wsc}")
+    return (not problems, facts + ("" if not problems else " | " + "; ".join(problems)))
+
+
+def main(only: list[str]) -> int:
+    spark = get_spark("explain_audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name, q in Q.REGISTRY.items():
+        if only and name not in only:
+            continue
+        if not only and name not in EXPECTATIONS:
+            continue
+        try:
+            ok, facts = audit(name, q, spark)
+        except Exception as e:  # plan-time failure is a violation
+            ok, facts = False, f"error: {e}"
+        print(f"{'OK       ' if ok else 'VIOLATION'} {name}: {facts}")
+        bad += 0 if ok else 1
+    print(f"\n{'ALL PLANS OK' if bad == 0 else f'{bad} VIOLATIONS'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
