@@ -46,11 +46,17 @@ class Registry:
     def __getattr__(self, name: str) -> Validator:
         self._discover()
         try:
-            return coerce(self._factories[name])
+            factory = self._factories[name]
         except KeyError:
             raise AttributeError(
                 f"no extension validator {name!r}; registered: {self.names()}"
             ) from None
+        try:
+            return coerce(factory)
+        except TypeError:
+            # Parameterized validator class (e.g. ext.Pick) — hand back
+            # the factory itself so callers instantiate: ext.Pick([...]).
+            return factory
 
 
 registry = Registry()

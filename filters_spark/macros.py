@@ -53,3 +53,9 @@ def non_blank() -> Validator:
 def register_defaults(registry) -> None:
     for fn in (email, url, slug, hex_color, phone_e164, non_blank):
         registry.register(fn.__name__, fn)
+    # Successor-library (phx-filters) projection ops, exposed as
+    # extensions — NOT part of the eflglobal surface (SURVEY.md §2.7).
+    from .operators.complex import Item, Omit, Pick
+
+    for cls in (Item, Omit, Pick):
+        registry.register(cls.__name__, cls)

@@ -22,7 +22,7 @@ from ..core import (
     null_error,
 )
 
-__all__ = ["Each", "Nested", "Switch", "AsStruct"]
+__all__ = ["Each", "Nested", "Switch", "AsStruct", "Item", "Omit", "Pick"]
 
 
 def _field_str(field: FieldRef) -> Column:
@@ -151,6 +151,69 @@ class Switch(Validator):
         new_err = F.coalesce(err, out_e)
         new_col = F.when(err.isNull(), out_v)
         return new_col, new_err
+
+
+class Item(Validator):
+    """Extract one item from a struct (by field name) or array (by
+    0-based index).  Successor-library operator (``phx-filters``
+    ``Item`` — NOT in the eflglobal reference; labeled an extension
+    per SURVEY.md §2.7) implemented as a pure projection expression.
+
+    Missing array index → error ``missing_key`` (struct fields are
+    static in Spark, so a bad name fails at plan time instead).
+    """
+
+    name = "item"
+    code = "missing_key"
+    preserves_type = False
+
+    def __init__(self, key: str | int):
+        self.key = key
+
+    def transform(self, col: Column) -> Column:
+        if isinstance(self.key, int):
+            # element_at is 1-based; get() (0-based) returns NULL
+            # out-of-bounds, matching None-passthrough error capture.
+            return F.get(col, self.key)
+        return col.getField(self.key)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        if isinstance(self.key, int):
+            fail = col.isNotNull() & (F.size(col) <= F.lit(self.key))
+            return F.when(fail, make_error(field, self.code, self.name))
+        return null_error()
+
+
+class Pick(Validator):
+    """Keep only the listed struct fields, in the given order
+    (successor ``phx-filters`` ``Pick`` — extension per SURVEY.md
+    §2.7).  A plan-time projection: ``struct(col.f1, col.f2, ...)``;
+    an unknown name is a plan error (static schema)."""
+
+    name = "pick"
+    preserves_type = False
+
+    def __init__(self, keys: list[str]):
+        self.keys = list(keys)
+
+    def transform(self, col: Column) -> Column:
+        picked = F.struct(*[col.getField(k).alias(k) for k in self.keys])
+        return F.when(col.isNotNull(), picked)
+
+
+class Omit(Validator):
+    """Drop the listed struct fields (successor ``phx-filters``
+    ``Omit`` — extension per SURVEY.md §2.7).  Uses
+    ``Column.dropFields`` so no schema introspection is needed."""
+
+    name = "omit"
+    preserves_type = False
+
+    def __init__(self, keys: list[str]):
+        self.keys = list(keys)
+
+    def transform(self, col: Column) -> Column:
+        return col.dropFields(*self.keys)
 
 
 class AsStruct(Validator):

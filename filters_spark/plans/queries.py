@@ -1096,3 +1096,155 @@ def ds_ivf_topk(spark, sf_dir):
     q = emb.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, q, k=10, nprobe=2,
                                cell_col="label")
+
+
+@register(
+    "rel_lag_lead",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             lag(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE prev_id IS NOT NULL AND prev_id > event_id) AS BIGINT)
+             AS n_out_of_order,
+           CAST(count(*) FILTER (WHERE next_id IS NULL) AS BIGINT) AS n_last
+    FROM seq GROUP BY user_id
+    """,
+)
+def rel_lag_lead(spark, sf_dir):
+    """lag/lead sequence validation on the event stream (SURVEY §2.9
+    window row): per user, how many events arrive with an id lower
+    than their predecessor (out-of-order detection)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(
+            F.when(F.col("prev_id").isNotNull() & (F.col("prev_id") > F.col("event_id")), 1)
+        ).alias("n_out_of_order"),
+        F.count(F.when(F.col("next_id").isNull(), 1)).alias("n_last"),
+    )
+
+
+@register(
+    "ds_embedding_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+)
+def ds_embedding_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (SURVEY §2.9
+    dedup row): candidate generation joins only within blocks, so the
+    pair space is sum(|block|^2) not n^2 — the 100 TB pattern (swap
+    `label` for an LSH bucket id via similarity.lsh_buckets)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, block_col="label"
+    )
+    return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+             AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def rel_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation (SURVEY §2.9 aggregations row):
+    detail, per-priority subtotal, and grand total in ONE pass —
+    Spark expands sets map-side, so the input is scanned once."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+                 AS gid
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+    """)
+
+
+@register(
+    "rel_range_join",
+    oracle="""
+    SELECT a.event_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_next_10m,
+           round(coalesce(sum(b.value), 0), 4) AS sum_next_10m
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_id < 2000
+    GROUP BY a.event_id
+    """,
+)
+def rel_range_join(spark, sf_dir):
+    """Range (interval) join: for each probe event, aggregate the
+    same user's events in the following 10 minutes (SURVEY §2.9 joins
+    row — the range/as-of pair).  Equi-key user_id carries the
+    shuffle; the time band is a post-join filter, so at scale this is
+    one sort-merge join partitioned by user — no cross product."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") < 2000).select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("a_ts")
+    )
+    b = ev.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+                  F.col("value").alias("b_value"),
+                  F.col("event_id").alias("b_id"))
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTE")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("b_id").alias("n_next_10m"),
+        F.round(F.coalesce(F.sum("b_value"), F.lit(0.0)), 4).alias("sum_next_10m"),
+    )
+
+
+@register(
+    "prof_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def prof_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (profiling surface,
+    SURVEY §2.9 aggregations row).  Spark `percentile` matches
+    DuckDB `quantile_cont` (linear interpolation).  Scale note: for
+    100 TB profiling dashboards swap in approx_percentile — same
+    call shape, sketch-mergeable, no sort."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[F.round(F.expr(f"percentile(o_totalprice, {p})"), 4).alias(n)
+          for n, p in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]]
+    )

@@ -1,7 +1,9 @@
 from .validate import (  # noqa: F401
     dead_letter_writer,
+    dedup_stream,
     error_rate_by_window,
     events_stream,
+    running_user_stats,
     session_windows,
     validate_stream,
 )

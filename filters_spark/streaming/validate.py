@@ -108,6 +108,74 @@ def session_windows(stream_df: DataFrame, ts_col: str = "ts",
     )
 
 
+def dedup_stream(stream_df: DataFrame, keys: list[str],
+                 ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+    State is bounded: keys expire once the watermark passes them —
+    the streaming twin of ``dedup.exact_dedup``."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_user_stats(stream_df: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "ts", value_col: str = "value",
+                       timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    key, maintain (event count, value sum, max ts) across
+    micro-batches; emit the running totals each batch the key
+    appears.
+
+    ``timeout_minutes=None`` (default) keeps state for the life of
+    the query — right for finite replays and bounded key spaces.  For
+    unbounded key spaces set a processing-time timeout: a key quiet
+    for that long has its state evicted (``hasTimedOut`` →
+    ``state.remove()``), bounding the store.  NOTE a timeout also
+    makes the scheduler run timeout-check batches forever, so an
+    ``availableNow`` replay with a timeout never self-terminates —
+    that combination is for always-on queries only.
+
+    This is the engine's template for reference-style custom
+    accumulation logic that neither windowed aggs nor
+    dropDuplicates express.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = (f"{key_col} bigint, n_events bigint, sum_value double, "
+                  f"last_ts timestamp")
+    state_schema = "n bigint, s double, last_ts timestamp"
+    timeout = (GroupStateTimeout.NoTimeout if timeout_minutes is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+
+    def update(key, pdfs, state: GroupState):
+        if timeout_minutes is not None and state.hasTimedOut:
+            # Key went quiet: evict.  Totals were already emitted on
+            # every batch the key appeared in, so emit nothing here.
+            state.remove()
+            return
+        n, s, last = state.get if state.exists else (0, 0.0, None)
+        last = pd.to_datetime(last) if last is not None else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            s += float(pdf[value_col].fillna(0.0).sum())
+            mx = pd.to_datetime(pdf[ts_col], errors="coerce").max()
+            if not pd.isna(mx) and (last is None or mx > last):
+                last = mx
+        state.update((n, s, None if last is None else last.to_pydatetime()))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n],
+                            "sum_value": [s], "last_ts": [last]})
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                "append", timeout)
+    )
+
+
 def dead_letter_writer(clean_path: str, dead_path: str,
                        fmt: str = "parquet") -> Callable[[DataFrame, int], None]:
     """foreachBatch function writing each micro-batch's clean rows to

@@ -161,3 +161,53 @@ class TestValidationSchema:
         df = spark.createDataFrame([(1, "a")], "id bigint, name string")
         plan = self._schema().apply(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestProjectionExtensions:
+    """Item/Omit/Pick — successor (phx-filters) ops, extension-labeled."""
+
+    def test_item_struct_field(self, spark):
+        [(clean, code)] = run_chain(
+            spark, fs.Item("b"), [{"a": 1, "b": 2}], "struct<a:int,b:int>"
+        )
+        assert code is None and clean == 2
+
+    def test_item_array_index_and_oob(self, spark):
+        chain = fs.Item(1)
+        [(ok, c1), (oob, c2)] = run_chain(
+            spark, chain, [["x", "y"], ["only"]], "array<string>"
+        )
+        assert c1 is None and ok == "y"
+        assert c2 == "missing_key" and oob is None
+
+    def test_item_null_passthrough(self, spark):
+        [(clean, code)] = run_chain(spark, fs.Item(0), [None], "array<string>")
+        assert code is None and clean is None
+
+    def test_pick_projects_and_orders(self, spark):
+        [(clean, code)] = run_chain(
+            spark, fs.Pick(["c", "a"]),
+            [{"a": 1, "b": 2, "c": 3}], "struct<a:int,b:int,c:int>",
+        )
+        assert code is None and clean.asDict() == {"c": 3, "a": 1}
+
+    def test_omit_drops_fields(self, spark):
+        [(clean, code)] = run_chain(
+            spark, fs.Omit(["b"]),
+            [{"a": 1, "b": 2, "c": 3}], "struct<a:int,b:int,c:int>",
+        )
+        assert code is None and clean.asDict() == {"a": 1, "c": 3}
+
+    def test_registry_exposes_parameterized_classes(self, spark):
+        assert fs.ext.Pick is not None
+        [(clean, code)] = run_chain(
+            spark, fs.ext.Omit(["a"]), [{"a": 1, "b": 2}], "struct<a:int,b:int>"
+        )
+        assert code is None and clean.asDict() == {"b": 2}
+
+    def test_item_composes_in_chain(self, spark):
+        chain = fs.Item("name") | fs.Strip() | fs.MinLength(2)
+        [(clean, code)] = run_chain(
+            spark, chain, [{"name": "  ok  "}], "struct<name:string>"
+        )
+        assert code is None and clean == "ok"

@@ -97,3 +97,36 @@ class TestSinks:
         back = spark.table(table)
         assert back.count() == 100
         spark.sql(f"DROP TABLE {table}")
+
+
+class TestBucketedJoinElision:
+    def test_bucketed_tables_join_without_exchange(self, spark):
+        """The 100 TB pattern: pay the shuffle once at write (bucketBy),
+        then joins on the bucket key read co-located buckets with no
+        Exchange on either side."""
+        import uuid as _uuid
+
+        suffix = _uuid.uuid4().hex[:8]
+        ta, tb = f"t_orders_b_{suffix}", f"t_lineitem_b_{suffix}"
+        from pyspark.sql import functions as F
+        o = spark.range(0, 1000).select(
+            F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_flag")
+        )
+        l = spark.range(0, 4000).select(
+            (F.col("id") % 1000).alias("l_orderkey"), F.col("id").alias("l_item")
+        )
+        sinks.write_bucketed(o, ta, "o_orderkey", n_buckets=8)
+        sinks.write_bucketed(l, tb, "l_orderkey", n_buckets=8)
+        try:
+            joined = spark.table(ta).join(
+                spark.table(tb),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+            # the crucial assertion: no shuffle needed for either side
+            assert "Exchange hashpartitioning" not in plan, plan[:2000]
+            assert joined.count() == 4000
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {ta}")
+            spark.sql(f"DROP TABLE IF EXISTS {tb}")

@@ -90,3 +90,38 @@ class TestDeadLetter:
         assert ERRORS_COL in dead.columns
         assert "_batch_id" in dead.columns
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingDedup:
+    def test_within_watermark_dedup(self, spark, event_stream):
+        # duplicate every event by unioning the stream with itself is
+        # not possible on one file source; instead dedup on a coarse
+        # key (user_id) — each user appears many times, only the first
+        # per watermark horizon survives.
+        dd = st.dedup_stream(event_stream, ["user_id"], watermark="100 days")
+        run_to_memory(dd, "t_dedup")
+        out = spark.sql("select * from t_dedup")
+        n_users = out.select("user_id").distinct().count()
+        assert out.count() == n_users  # exactly one row per user
+
+
+class TestStatefulOperator:
+    def test_running_user_stats(self, spark, event_stream):
+        stats = st.running_user_stats(event_stream)
+        q = (
+            stats.writeStream.format("memory").queryName("t_stats")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.processAllAvailable(); q.stop()
+        out = spark.sql(
+            "select user_id, max(n_events) as n, max(sum_value) as s from t_stats group by user_id"
+        )
+        got = {r["user_id"]: (r["n"], round(r["s"], 4)) for r in out.collect()}
+        batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        exp = {
+            r["user_id"]: (r["n"], round(r["s"], 4))
+            for r in batch.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == exp  # final running totals == batch aggregation
