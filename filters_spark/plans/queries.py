@@ -1248,3 +1248,25 @@ def prof_quantiles(spark, sf_dir):
         *[F.round(F.expr(f"percentile(o_totalprice, {p})"), 4).alias(n)
           for n, p in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]]
     )
+
+
+@register("ds_multimodal_features", oracle=None)  # rows-only: stub codecs aren't SQL-expressible
+def ds_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end to end (SURVEY §2.9 multimodal row):
+    documents.text → fake binary payload → media struct (typed meta)
+    → mapInPandas decode (deterministic stub) → byte-histogram
+    features.  Exercises the real Spark side — schema, Arrow batch
+    transfer, per-batch decode, fixed-width feature output — with the
+    codec body stubbed (decode libs not in this container)."""
+    from ..functions import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = d.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    d = mm.attach_meta(d.select("doc_id", "payload"), "payload", "image/fake")
+    decoded = mm.decode_images(d.select("doc_id", "media"))
+    feats = mm.extract_image_features(decoded, dim=8)
+    return feats.select(
+        "doc_id", "out_width", "out_height",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("n_features"),
+    )

@@ -41,6 +41,19 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_sessionize": dict(max_exchanges=2),
     # cosine: queries broadcast; only the rank cut shuffles.
     "ds_cosine_topk": dict(min_broadcasts=1, max_exchanges=2),
+    # window partitioning (user_id) must be reused by the groupBy —
+    # exactly one shuffle for window + agg combined.
+    "rel_lag_lead": dict(max_exchanges=1),
+    # grouping sets / rollup / cube / percentiles: one agg exchange.
+    "rel_grouping_sets": dict(max_exchanges=1),
+    "rel_rollup": dict(max_exchanges=1),
+    "rel_cube": dict(max_exchanges=1),
+    "prof_quantiles": dict(max_exchanges=1),
+    # range join: equi-key carries the join; band is a filter.
+    "rel_range_join": dict(max_exchanges=2),
+    # blocked near-dup: candidate join within blocks only.
+    "ds_embedding_dup": dict(max_exchanges=2),
+    "rel_asof_join": dict(max_exchanges=2),
 }
 
 
