@@ -45,11 +45,22 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark("filters_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Warm session machinery (executor pool, codegen infra, parquet
-    # footer reader) with a trivial action so the first query's time
-    # measures the QUERY, not JVM startup.  Each query still pays its
-    # own plan + compile.
+    # Warm session machinery (executor pool, shuffle subsystem, sort/
+    # window exec paths, codegen infra, parquet footer reader) with
+    # generic actions so the first query's time measures the QUERY,
+    # not JVM/service startup.  The shapes are generic (range source,
+    # modulo keys) — each query still pays its own plan + compile.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
     spark.range(1).count()
+    spark.range(0, 1_000_000).groupBy((_F.col("id") % 7).alias("k")) \
+        .count().count()
+    _w = _W.partitionBy(_F.col("id") % 7).orderBy("id")
+    spark.range(0, 100_000).select(_F.lead("id", 1).over(_w)).count()
+    spark.range(0, 10_000).select(_F.col("id").alias("a")).join(
+        spark.range(0, 10_000).select(_F.col("id").alias("b")),
+        _F.col("a") == _F.col("b")).count()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}

@@ -141,19 +141,34 @@ def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
     * else: full cross of ids — small inputs only.
     Returns (a_id, b_id, jaccard).
     """
-    # Two pair-compute optimizations that keep the jaccard VALUE exact:
+    # Three pair-compute optimizations that keep the jaccard VALUE
+    # exact:
     # 1. tokens are pre-hashed to int64 (xxhash64) so the per-pair
     #    intersect compares longs, not strings — |A∩B| is invariant
     #    under any injective hash, so results (and the SQL oracle,
     #    which can keep comparing raw tokens) are unchanged;
     # 2. |A∪B| = |A|+|B|−|A∩B| — array_union (which materializes a
-    #    new array per pair) is never evaluated.
-    distinct = F.array_distinct(F.col(set_col))
-    sets = df.select(
+    #    new array per pair) is never evaluated;
+    # 3. the hashing runs on EXPLODED rows (codegen'd xxhash64 +
+    #    collect_set), not on arrays via F.transform — HOF lambdas
+    #    are CodegenFallback, interpreted per element, and the a/b
+    #    join branches would each recompute them (measured 6.4 s →
+    #    1.9 s at 5k docs × 54 tokens).  The persist below stops the
+    #    two join branches re-running the agg; the narrow (id, set)
+    #    frame is tiny relative to the pair space it feeds.
+    # Docs whose token set is empty vanish at the explode — harmless:
+    # every pair involving one has jaccard 0 (or NULL for empty-empty),
+    # which a positive threshold filters anyway.
+    ex = df.select(
         F.col(id_col).alias("_id"),
-        F.transform(distinct, lambda x: F.xxhash64(x)).alias("_set"),
-        F.size(distinct).alias("_n"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
+        F.explode(F.array_distinct(F.col(set_col))).alias("_elem"),
+    )
+    sets = (
+        ex.groupBy("_id", *(["_blk"] if block_col else []))
+        .agg(F.collect_set(F.xxhash64("_elem")).alias("_set"))
+        .withColumn("_n", F.size("_set"))
+        .persist()
     )
     if pairs is None:
         # Self-join carrying the sets directly: one equi-join on the
@@ -186,11 +201,40 @@ def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
     )
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                 k: int = 3, sep: str = " ") -> DataFrame:
+    """(id, _shingle) — one row per word k-shingle, built WITHOUT any
+    higher-order-function lambda: posexplode the tokens, then each
+    shingle is ``concat_ws(token, lead(token,1), …)`` over a window
+    partitioned by document.  Same shingle strings as
+    :func:`word_shingles` (duplicates NOT collapsed here — min/set
+    aggregations downstream are duplicate-insensitive).
+
+    Why: ``transform(idx, i -> concat_ws(slice(toks,i,k)))`` is
+    CodegenFallback — interpreted per shingle with an array copy
+    (measured ~11 µs/shingle, 3 s for 260k shingles); lead() over the
+    exploded rows is native vectorized sort + codegen'd concat.  The
+    window's (id) shuffle is reused by every downstream groupBy(id).
+    """
+    toks = tokens(F.col(text_col), sep)
+    ex = df.select(F.col(id_col), F.size(toks).alias("_n"),
+                   F.posexplode(toks).alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
+    return ex.select(
+        F.col(id_col), F.col("_pos"), F.col("_n"),
+        F.concat_ws(sep, *parts).alias("_shingle"),
+    ).where(  # same boundary as word_shingles: positions 0..max(n-k,0)
+        F.col("_pos") <= F.greatest(F.col("_n") - k, F.lit(0))
+    ).select(F.col(id_col), F.col("_shingle"))
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        shingle_k: int = 3, n_hashes: int = 16) -> DataFrame:
     """(id, _sh shingle-set, _sig minhash array) via the EXPLODED
-    aggregation plan: explode shingles → n plain md5 column
-    expressions → groupBy(id).agg(min...).
+    aggregation plan: shingle rows (see :func:`shingle_rows`) → n
+    plain md5 column expressions → ONE groupBy(id) computing both the
+    shingle set (collect_set) and all n signature mins.
 
     Why exploded and not ``minhash_signature``'s array expression:
     Spark higher-order-function lambdas (transform/aggregate) are
@@ -198,20 +242,21 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     hash (measured 29 s for 5k docs × 52 shingles × 16 hashes).  As
     exploded rows, the same md5s are ordinary codegen'd column
     expressions with map-side partial min — the identical signature
-    values for ~20× less CPU.  The shuffle this adds is on (id) with
-    pre-aggregated partial mins: narrow rows, combiner-reduced.
+    values for ~20× less CPU.  Single aggregate = no separate
+    shingle-array branch and no join back; the only shuffle is the
+    (id) window/agg partitioning, reused end to end.
     """
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("_sh"))
-    ex = sh.select(F.col(id_col), F.explode("_sh").alias("_shingle"))
+    ex = shingle_rows(df, id_col, text_col, shingle_k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_shingle")))).alias(f"_mh{i}")
         for i in range(n_hashes)
     ]
-    sig = ex.groupBy(id_col).agg(*aggs).select(
-        F.col(id_col),
+    return ex.groupBy(id_col).agg(
+        F.collect_set("_shingle").alias("_sh"), *aggs
+    ).select(
+        F.col(id_col), F.col("_sh"),
         F.array(*[F.col(f"_mh{i}") for i in range(n_hashes)]).alias("_sig"),
     )
-    return sh.join(sig, id_col)
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -223,10 +268,19 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     NOTE the signature is bound to its own column before banding:
     passing the signature EXPRESSION into minhash_bands would embed
     the whole hash computation inside every band slice (n_bands×
-    duplicated work + a megabyte of codegen)."""
+    duplicated work + a megabyte of codegen).
+
+    The prepped (id, shingle-set, signature, bands) frame is
+    persisted: it feeds FOUR plan branches (both sides of the bucket
+    self-join, both sides of the verify join) and Catalyst does not
+    share subplans across joins — without the persist the whole
+    shingle+hash pipeline re-executes per branch.  At 100 TB the same
+    slot is a checkpoint/table write of the signatures."""
     rows = n_hashes // n_bands
     prepped = minhash_signatures(df, id_col, text_col, shingle_k, n_hashes)
-    prepped = prepped.withColumn("_bands", minhash_bands(F.col("_sig"), n_bands, rows))
+    prepped = prepped.withColumn(
+        "_bands", minhash_bands(F.col("_sig"), n_bands, rows)
+    ).persist()
     cands = lsh_candidate_pairs(prepped, id_col, "_bands")
     return jaccard_pairs(prepped, id_col, "_sh", pairs=cands, threshold=threshold)
 
