@@ -61,11 +61,18 @@ def token_count(col: Column, sep: str = " ") -> Column:
 
 
 def avg_word_len(col: Column, sep: str = " ") -> Column:
+    """Mean token length.  For a single-character separator the sum of
+    token lengths is ``length(text) − (n_tokens − 1)`` — a pure
+    codegen'd expression; the transform/aggregate higher-order-function
+    form (kept for multi-char separators) is CodegenFallback and runs
+    interpreted per token (see dedup.py for the measured cliff)."""
     toks = tokens(col, sep)
-    total = F.aggregate(
-        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
-    )
-    return total.cast("double") / F.size(toks)
+    n = F.size(toks)
+    if len(sep) == 1:
+        total = F.length(col) - (n - F.lit(1))
+    else:
+        total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    return total.cast("double") / n
 
 
 def stopword_ratio(col: Column, lang: str = "en", sep: str = " ") -> Column:

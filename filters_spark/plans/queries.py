@@ -1270,3 +1270,162 @@ def ds_multimodal_features(spark, sf_dir):
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.size("features").alias("n_features"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: relational widening — semi-join, decorrelated agg, window frames
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_q4_priority_semijoin",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_q4_priority_semijoin(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join (SURVEY
+    §2.9 joins row).  Semi-join never materializes lineitem columns
+    and stops probing a key at its first match; the probe side is
+    pre-filtered (l_quantity > 45, pushed to parquet) so only
+    qualifying keys shuffle — at 100 TB that filter is the difference
+    between shuffling 4 B rows and 400 M."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "rel_q17_small_qty",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pa_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem JOIN pa ON l_partkey = pa_partkey
+    WHERE l_quantity < half_avg
+    """,
+)
+def rel_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape: a correlated scalar subquery (per-part average
+    quantity) decorrelated into a pre-aggregated self-join.  The agg
+    side is |parts| rows — broadcast it, so lineitem is scanned twice
+    but never shuffled.  (l_quantity values are integral doubles, so
+    both engines' averages are exact — the `<` boundary cannot flip
+    between Spark and DuckDB.)"""
+    l = _t(spark, sf_dir, "lineitem")
+    pa = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        l.join(F.broadcast(pa), l.l_partkey == pa.pa_partkey)
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@register(
+    "rel_moving_avg",
+    oracle="""
+    SELECT o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_frame
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def rel_moving_avg(spark, sf_dir):
+    """Sliding ROWS frame (3-order moving average per customer) —
+    completes the window-function family (row_number / lag-lead /
+    rank are covered elsewhere; this is the frame-clause row).  The
+    window partitions on o_custkey, so the sort is per-customer and
+    fully parallel at any scale."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma3"),
+        F.count("*").over(w).alias("n_in_frame"),
+    )
+
+
+@register(
+    "rel_ntile_deciles",
+    oracle="""
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+    FROM (SELECT c_acctbal,
+                 ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+          FROM customer)
+    GROUP BY decile
+    """,
+)
+def rel_ntile_deciles(spark, sf_dir):
+    """Global ntile decile banding over customer balances.  SCALE
+    NOTE: an un-partitioned ORDER BY window funnels every row through
+    one task — fine for a dimension table (customers), wrong for a
+    100 TB fact table; there, bucket by approx_percentile boundaries
+    instead (same output contract, two scans, no global sort)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "txt_bpe_tokens",
+    oracle=r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_tokens,
+           round(avg(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 4) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def txt_bpe_tokens(spark, sf_dir):
+    """BPE-ish token accounting per language (SURVEY §2.9 text row):
+    letter-runs / digit-runs / single punctuation — the regex analog
+    of a byte-pair pre-tokenizer.  regexp_extract_all + size is one
+    codegen'd expression; the Java and RE2 dialects agree on this
+    pattern (ASCII classes only)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(text.word_tokens_regex(F.col("text")))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+    )

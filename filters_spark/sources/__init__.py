@@ -1,1 +1,2 @@
+from . import readers  # noqa: F401
 from .tables import TABLES, get_spark, load_all, load_table, register_views  # noqa: F401

@@ -54,6 +54,16 @@ EXPECTATIONS: dict[str, dict] = {
     # blocked near-dup: candidate join within blocks only.
     "ds_embedding_dup": dict(max_exchanges=2),
     "rel_asof_join": dict(max_exchanges=2),
+    # q4 semi-join: filtered orders broadcast (AQE), lineitem never
+    # materialized past the probe; date filter must reach the scan.
+    "rel_q4_priority_semijoin": dict(max_exchanges=2, scan_filter=True),
+    # q17: the per-part agg is explicitly broadcast back to lineitem.
+    "rel_q17_small_qty": dict(min_broadcasts=1, max_exchanges=2, scan_filter=True),
+    # moving average: one window shuffle, custkey filter pushed.
+    "rel_moving_avg": dict(max_exchanges=1, scan_filter=True),
+    # global ntile: one SinglePartition window + decile agg.
+    "rel_ntile_deciles": dict(max_exchanges=2),
+    "txt_bpe_tokens": dict(max_exchanges=1),
 }
 
 
