@@ -33,6 +33,8 @@ HEADLINE = [
     "rel_topk_parts_per_brand",
     "rel_sessionize",
     "rel_asof_join",
+    "rel_q4_priority_semijoin",
+    "rel_q17_small_qty",
     "ds_dedup_exact",
     "ds_ngram_jaccard",
     "ds_minhash_lsh",

@@ -897,10 +897,38 @@ def ds_minhash_lsh(spark, sf_dir):
     return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
 
 
-@register("ds_simhash_pairs", oracle=None)
+@register(
+    "ds_simhash_pairs",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), h AS (
+      SELECT id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS hv FROM ex
+    ), votes AS (
+      SELECT id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(60) r(i) GROUP BY id, i
+    ), sig AS (
+      SELECT id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                      AS BIGINT) AS s
+      FROM votes GROUP BY id
+    ), bands AS (
+      SELECT id, s, b, (s >> CAST(b * 15 AS INTEGER)) & 32767 AS key
+      FROM sig CROSS JOIN range(4) rb(b)
+    ), cand AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS sa, b.s AS sb
+      FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+    )
+    SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
 def ds_simhash_pairs(spark, sf_dir):
-    """SimHash banded near-dup (rows-only check: DuckDB lacks a
-    hex→int64 conv to replicate the signature)."""
+    """SimHash banded near-dup, fully hash-checked: the 60-bit
+    signature (15 md5 hex chars → int64, per-bit ±1 votes, sign bits)
+    is exactly reproducible in DuckDB via ('0x'||hex)::UBIGINT and
+    bit arithmetic, so the oracle replays signature, pigeonhole
+    banding, and popcount verify end to end."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_dup_pairs(d, "doc_id", "text", max_hamming=3, n_bands=4)
 
