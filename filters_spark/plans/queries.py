@@ -933,14 +933,70 @@ def ds_simhash_pairs(spark, sf_dir):
     return dedup.simhash_dup_pairs(d, "doc_id", "text", max_hamming=3, n_bands=4)
 
 
-@register("ds_lsh_topk", oracle=None)
+def _lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
+    """Generated DuckDB twin of random-hyperplane LSH: the md5-derived
+    plane weights are Python-computed DOUBLES baked into BOTH plans as
+    literals, and the projection is an unrolled left-associated sum —
+    identical operation order, so the sign bits (and thus buckets)
+    match bit for bit."""
+    from ..functions.similarity import _plane_weight
+
+    planes = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"v[{d + 1}] * ({_plane_weight(p, d)!r})" for d in range(dim)
+        )
+        planes.append(f"(CASE WHEN 0.0 + {terms} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(planes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT * FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, n.v), 6) AS score
+      FROM q JOIN b n ON n.bucket = q.bucket AND n.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ds_lsh_topk", oracle=_lsh_oracle())
 def ds_lsh_topk(spark, sf_dir):
-    """ANN top-k via random-hyperplane LSH buckets (rows-only: plane
-    weights are md5-derived doubles, impractical to replicate in SQL).
-    The exact twin ``ds_cosine_topk`` is the correctness anchor."""
+    """ANN top-k via random-hyperplane LSH buckets, fully hash-checked:
+    plane weights are engine-independent literals (md5-derived), the
+    bucket is sign bits of unrolled dot products, and ranking is on
+    the 6-dp-rounded score (the ds_cosine_topk determinism trick) so
+    last-ulp differences between engines cannot flip ranks."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, q, k=10, n_planes=4)
+    vb = similarity.lsh_buckets(emb, 4)
+    q = vb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("_bucket").alias("_qb"),
+    )
+    v = vb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_nv"),
+        "_bucket",
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("_qb") == F.col("_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.round(similarity.cosine(F.col("_qv"), F.col("_nv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
 
 
 def _langid_sql() -> str:
@@ -1118,8 +1174,11 @@ def val_variant_json(spark, sf_dir):
 def ds_ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse centroids from the data (mean embedding
     per label), probe the 2 nearest cells per query, exact re-rank
-    within probed cells (rows-only: centroid arithmetic is impractical
-    to replicate in SQL; ds_cosine_topk is the exact anchor)."""
+    within probed cells.  Rows-only check: probe assignment happens
+    driver-side (numpy argsort over collect()ed centroids whose
+    averaging order differs between engines), so near-equidistant
+    cells could legitimately probe differently in a SQL replica;
+    ds_cosine_topk / ds_lsh_topk are the hash-checked anchors."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, q, k=10, nprobe=2,
