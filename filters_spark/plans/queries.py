@@ -1516,3 +1516,56 @@ def txt_bpe_tokens(spark, sf_dir):
         F.sum(n).alias("total_tokens"),
         F.round(F.avg(n), 4).alias("avg_tokens"),
     )
+
+
+@register(
+    "val_switch_dispatch",
+    oracle="""
+    SELECT 'value' AS field, code, CAST(count(*) AS BIGINT) AS count FROM (
+      SELECT CASE WHEN value < 100
+                  THEN CASE WHEN value <= 50 THEN NULL ELSE 'too_big' END
+                  ELSE CASE WHEN value >= 200 THEN NULL ELSE 'too_small' END
+             END AS code
+      FROM events
+    ) WHERE code IS NOT NULL GROUP BY code
+    """,
+)
+def val_switch_dispatch(spark, sf_dir):
+    """FilterSwitch as CASE WHEN dispatch (SURVEY §2.5): events.value
+    under 100 must stay ≤ 50, values from 100 up must reach 200 —
+    per-band chains chosen by a getter expression, rolled up by error
+    code.  The whole dispatch fuses into the validation projection."""
+    import filters_spark as fs
+    from ..operators.complex import Switch
+
+    ev = _t(spark, sf_dir, "events")
+    sw = Switch(
+        lambda c: c < F.lit(100.0),
+        {True: fs.Max(50.0), False: fs.Min(200.0)},
+    )
+    res = fs.ValidationSchema({"value": sw}).validate(ev.select("value"))
+    return res.error_code_counts()
+
+
+@register(
+    "val_bytestring",
+    oracle="""
+    SELECT c_custkey, encode(c_name) AS name_bytes,
+           CAST(octet_length(encode(c_name)) AS INTEGER) AS n_bytes
+    FROM customer
+    """,
+)
+def val_bytestring(spark, sf_dir):
+    """ByteString → BinaryType (SURVEY §2.2 ByteArray/§2.4 ByteString
+    rows): utf-8 encode, carried as real binary — the oracle harness
+    hex-normalizes blobs on both engines, so the bytes themselves are
+    hash-checked, plus their octet length."""
+    import filters_spark as fs
+
+    cust = _t(spark, sf_dir, "customer")
+    res = fs.ValidationSchema({"name_bytes": fs.ByteString()}).validate(
+        cust.select("c_custkey", F.col("c_name").alias("name_bytes"))
+    )
+    return res.clean.select(
+        "c_custkey", "name_bytes", F.octet_length("name_bytes").alias("n_bytes")
+    )
