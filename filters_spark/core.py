@@ -126,6 +126,15 @@ class Validator:
         Spark DataType (dtype may be None = unknown → return self)."""
         return self
 
+    def substeps(self) -> "list[Validator]":
+        """Expansion into chain steps for the STAGED projection
+        (schema.py).  Default: the validator is its own single step.
+        UDF-backed validators override this to split expensive work
+        into one step whose output the staging select materializes as
+        a named column, so later steps reference it without
+        re-evaluating (see operators/udf.py)."""
+        return [self]
+
     #: Wrap this step's transform in ``when(err.isNull(), ...)`` so it
     #: cannot execute after an upstream error.  Only set for steps with
     #: real per-row cost or side effects (pandas UDFs) — for pure
@@ -197,7 +206,7 @@ class Chain(Validator):
             if isinstance(v, Chain):
                 self.steps.extend(v.steps)
             elif not isinstance(v, NoOp):
-                self.steps.append(v)
+                self.steps.extend(v.substeps())
 
     @property
     def expected_types(self):  # first step's expectation governs input

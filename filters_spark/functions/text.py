@@ -14,6 +14,8 @@ Design notes for scale:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,8 +46,11 @@ STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(col: Column, sep: str = " ") -> Column:
-    """Whitespace tokens (split on the literal separator)."""
-    return F.split(col, sep)
+    """Tokens split on the LITERAL separator string.  ``F.split``
+    treats its pattern as a Java regex, so the separator is
+    regex-escaped here — ``sep='.'`` or ``'|'`` split on those exact
+    characters, not on the regex meaning."""
+    return F.split(col, re.escape(sep))
 
 
 def word_tokens_regex(col: Column) -> Column:
@@ -61,17 +66,13 @@ def token_count(col: Column, sep: str = " ") -> Column:
 
 
 def avg_word_len(col: Column, sep: str = " ") -> Column:
-    """Mean token length.  For a single-character separator the sum of
-    token lengths is ``length(text) − (n_tokens − 1)`` — a pure
-    codegen'd expression; the transform/aggregate higher-order-function
-    form (kept for multi-char separators) is CodegenFallback and runs
-    interpreted per token (see dedup.py for the measured cliff)."""
-    toks = tokens(col, sep)
-    n = F.size(toks)
-    if len(sep) == 1:
-        total = F.length(col) - (n - F.lit(1))
-    else:
-        total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    """Mean token length.  Because ``tokens`` splits on the LITERAL
+    separator, the sum of token lengths is exactly
+    ``length(text) − (n_tokens − 1) · len(sep)`` for any separator —
+    a pure codegen'd expression with no CodegenFallback
+    higher-order-function pass (see dedup.py for the measured cliff)."""
+    n = F.size(tokens(col, sep))
+    total = F.length(col) - (n - F.lit(1)) * F.lit(len(sep))
     return total.cast("double") / n
 
 

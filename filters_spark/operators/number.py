@@ -65,7 +65,15 @@ class Int(Validator):
         return col.try_cast(_DEC)
 
     def transform(self, col: Column) -> Column:
-        return self._parsed(F.trim(col.cast("string"))).cast("long")
+        s = F.trim(col.cast("string"))
+        # '0.00e99' is value zero but overflows decimal(38,18)'s
+        # exponent — the error() zero-mantissa analysis admits it, so
+        # the transform must produce 0 (non-zero d-NULL cases error out
+        # and null at end-of-chain anyway).
+        return F.coalesce(
+            self._parsed(s).cast("long"),
+            F.when(s.try_cast("double") == F.lit(0.0), F.lit(0).cast("long")),
+        )
 
     def error(self, col: Column, field: FieldRef) -> Column:
         # Two parses: decimal(38,18) for exact integrality, double as
@@ -78,18 +86,41 @@ class Int(Validator):
         d = s.try_cast(_DEC)
         dbl = s.try_cast("double")
         nn = col.isNotNull()
-        finite = dbl.isNotNull() & ~F.isnan(dbl) & (F.abs(dbl) != F.lit(float("inf")))
-        not_numeric = nn & (dbl.isNull() | F.isnan(dbl) | (F.abs(dbl) == F.lit(float("inf"))))
+        # Strict numeric grammar (Python-Decimal's): Spark's
+        # string→double cast uses Java parseDouble, which also accepts
+        # '0D'/'1f' suffixes and hex floats — those must be
+        # not_numeric, so syntax is checked explicitly rather than
+        # inferred from cast success.  NaN/Infinity spellings fail the
+        # grammar too (→ not_numeric, matching the old isnan/inf
+        # branches).
+        syntax_ok = s.rlike(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$")
+        not_numeric = nn & ~syntax_ok
+        # Grammar-valid strings always double-parse; ±Inf here means
+        # double OVERFLOW (|x| >= ~1.8e308 >> 2^63) → too_big.
+        inf_overflow = F.abs(dbl) == F.lit(float("inf"))
+        finite = syntax_ok & ~inf_overflow
         # F.floor(double) yields LONG — meaningless (overflowed) for
         # |x| >= 2^63, so the double integrality check only applies in
         # long range; anything finite beyond that is integral at
         # double precision and classifies as too_big.
         in_long_range = finite & (F.abs(dbl) < F.lit(float(2**63)))
+        # Double UNDERFLOW: a nonzero mantissa that rounds to 0.0 (e.g.
+        # '1e-999') is a tiny non-integral value, not a clean zero.
+        # Exponent digits must not trigger this ('0e1' IS zero), hence
+        # the mantissa-only extract.
+        mantissa_nonzero = F.regexp_extract(s, r"^[+-]?([0-9.]*)", 1).rlike("[1-9]")
         not_integral = nn & (
             (d.isNotNull() & (d != F.floor(d).cast(_DEC)))
             | (in_long_range & (dbl != F.floor(dbl)))
+            | (finite & (dbl == F.lit(0.0)) & mantissa_nonzero)
         )
-        overflow = nn & finite & (d.isNull() | d.try_cast("long").isNull())
+        # d NULL with a ZERO value ('0.00e99': exponent overflows
+        # decimal(38,18) but the value is 0) is not an overflow.
+        overflow = nn & (
+            (finite & (dbl != F.lit(0.0))
+             & (d.isNull() | d.try_cast("long").isNull()))
+            | (syntax_ok & inf_overflow)
+        )
         return (
             F.when(not_numeric, make_error(field, "not_numeric", self.name))
             .when(not_integral, make_error(field, "not_int", self.name))
@@ -121,8 +152,12 @@ class _IntFromFloat(Validator):
     def error(self, col: Column, field: FieldRef) -> Column:
         nn = col.isNotNull()
         bad_nan = nn & F.isnan(col)
+        # float(LONG_MAX) rounds UP to exactly 2**63 (not representable as
+        # long), so the upper bound must be >= — a double equal to 2**63
+        # would otherwise pass and cast('long') would saturate silently.
+        # float(LONG_MIN) is exactly -2**63, a valid long, so < is right.
         overflow = nn & ~F.isnan(col) & (
-            (col < F.lit(float(LONG_MIN))) | (col > F.lit(float(LONG_MAX)))
+            (col < F.lit(float(LONG_MIN))) | (col >= F.lit(float(2**63)))
         )
         not_integral = nn & ~F.isnan(col) & (col != F.floor(col))
         return (

@@ -29,7 +29,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..core import FieldRef, Validator, make_error
+from ..core import FieldRef, Validator, make_error, null_error
 
 __all__ = [
     "Call",
@@ -47,13 +47,90 @@ def _mapped(fn: Callable[[object], object]):
     return run
 
 
-class Call(Validator):
+class _PandasUdfValidator(Validator):
+    """Base for UDF-backed validators.
+
+    Error-checking UDFs (``null_result_code`` set) used to invoke
+    ``self._udf(col)`` in both ``transform()`` and ``error()`` —
+    Spark's ExtractPythonUDFs does NOT dedupe the two occurrences
+    (measured: the Python body ran 2× per row), doubling per-row cost
+    on the only hot Python paths.  Fix: :meth:`substeps` splits such a
+    validator into TWO chain steps — the first evaluates the UDF once
+    into a packed ``struct<_nn, _res>`` that the staged projection
+    (schema.py ``_staged``) materializes as a NAMED column, the second
+    derives both the value and the error from that column.  One
+    ArrowEvalPython, one Python execution per row.
+
+    (The raw single-projection path — ``chain.build`` without staging,
+    e.g. ``Validator.__call__`` on a bare Column — still duplicates
+    the expression; the production ``ValidationSchema`` path is the
+    staged one.)"""
+
+    guard_on_error = True
+    #: error code raised when the UDF maps a non-null input to null;
+    #: None → a null result is not an error (pure transforms).
+    null_result_code: str | None = None
+
+    def transform(self, col: Column) -> Column:
+        return self._udf(col)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        if self.null_result_code is None:
+            return null_error()
+        fail = col.isNotNull() & self._udf(col).isNull()
+        return F.when(fail, make_error(field, self.null_result_code, self.name))
+
+    def substeps(self) -> list[Validator]:
+        if self.null_result_code is None:
+            return [self]  # pure transform: UDF appears once (value only)
+        return [_UdfApply(self), _UdfCheck(self)]
+
+
+class _UdfApply(Validator):
+    """Substep 1 of an error-checking UDF validator: evaluate the UDF
+    ONCE, packing (input-was-not-null, result) into a struct so the
+    next stage can classify without re-running Python."""
+
+    preserves_type = False
+
+    def __init__(self, parent: "_PandasUdfValidator"):
+        self._parent = parent
+        self.name = parent.name
+        self.expected_types = parent.expected_types
+
+    def build(self, col: Column, err: Column, field: FieldRef) -> tuple[Column, Column]:
+        packed = F.struct(col.isNotNull().alias("_nn"),
+                          self._parent._udf(col).alias("_res"))
+        # guard: upstream-errored rows carry a NULL pack (masks the
+        # result; the batched UDF itself still evaluates every row)
+        return F.when(err.isNull(), packed), err
+
+
+class _UdfCheck(Validator):
+    """Substep 2: unwrap the packed struct — value := _res, error when
+    a non-null input mapped to a null result.  Pure expressions over
+    the stage-(N−1) named column; no Python."""
+
+    preserves_type = False
+
+    def __init__(self, parent: "_PandasUdfValidator"):
+        self._parent = parent
+        self.name = parent.name
+
+    def build(self, col: Column, err: Column, field: FieldRef) -> tuple[Column, Column]:
+        fail = (col.isNotNull() & col.getField("_nn")
+                & col.getField("_res").isNull())
+        new_err = F.coalesce(err, F.when(
+            fail, make_error(field, self._parent.null_result_code, self.name)))
+        return col.getField("_res"), new_err
+
+
+class Call(_PandasUdfValidator):
     """Wrap an arbitrary per-value Python callable (reference
     ``Call(fn)``).  The callable must be pure; it runs Arrow-batched.
     Returning None marks the value invalid when ``error_on_none``."""
 
     name = "call"
-    guard_on_error = True
     preserves_type = False
 
     def __init__(self, fn: Callable, return_type: str = "string",
@@ -61,54 +138,37 @@ class Call(Validator):
         self.fn = fn
         self.return_type = return_type
         self.error_on_none = error_on_none
-        self.code = code
+        self.null_result_code = code if error_on_none else None
         self._udf = pandas_udf(_mapped(fn), return_type)
 
-    def transform(self, col: Column) -> Column:
-        return self._udf(col)
 
-    def error(self, col: Column, field: FieldRef) -> Column:
-        if not self.error_on_none:
-            return super().error(col, field)
-        fail = col.isNotNull() & self._udf(col).isNull()
-        return F.when(fail, make_error(field, self.code, self.name))
-
-
-class UnicodeNFC(Validator):
+class UnicodeNFC(_PandasUdfValidator):
     """Exact NFC normalization (reference ``Unicode`` semantics the
     expr path approximates — SURVEY.md §7.4)."""
 
     name = "unicode_nfc"
-    guard_on_error = True
 
     def __init__(self):
         self._udf = pandas_udf(_mapped(lambda s: unicodedata.normalize("NFC", s)), "string")
 
-    def transform(self, col: Column) -> Column:
-        return self._udf(col)
 
-
-class CaseFoldExact(Validator):
+class CaseFoldExact(_PandasUdfValidator):
     """Exact ``str.casefold`` (reference ``CaseFold``)."""
 
     name = "case_fold_exact"
-    guard_on_error = True
 
     def __init__(self):
         self._udf = pandas_udf(_mapped(lambda s: s.casefold()), "string")
 
-    def transform(self, col: Column) -> Column:
-        return self._udf(col)
 
-
-class DatetimeFuzzy(Validator):
+class DatetimeFuzzy(_PandasUdfValidator):
     """Free-form date parsing via dateutil (reference ``Datetime``'s
     parser).  Gated import: if dateutil is absent the validator raises
     at construction, not at import of this module."""
 
     name = "datetime_fuzzy"
-    guard_on_error = True
     preserves_type = False
+    null_result_code = "not_datetime"
 
     def __init__(self, timezone: str = "UTC"):
         from dateutil import parser as du_parser  # gated
@@ -130,20 +190,13 @@ class DatetimeFuzzy(Validator):
 
         self._udf = pandas_udf(_mapped(parse), "timestamp")
 
-    def transform(self, col: Column) -> Column:
-        return self._udf(col)
 
-    def error(self, col: Column, field: FieldRef) -> Column:
-        fail = col.isNotNull() & self._udf(col).isNull()
-        return F.when(fail, make_error(field, "not_datetime", self.name))
-
-
-class IpV6Normalize(Validator):
+class IpV6Normalize(_PandasUdfValidator):
     """RFC 5952-compressed IPv6 (reference ``IpAddress(ipv6=True)``
     output form)."""
 
     name = "ipv6_normalize"
-    guard_on_error = True
+    null_result_code = "not_ip_address"
 
     def __init__(self):
         import ipaddress
@@ -156,22 +209,14 @@ class IpV6Normalize(Validator):
 
         self._udf = pandas_udf(_mapped(norm), "string")
 
-    def transform(self, col: Column) -> Column:
-        return self._udf(col)
 
-    def error(self, col: Column, field: FieldRef) -> Column:
-        fail = col.isNotNull() & self._udf(col).isNull()
-        return F.when(fail, make_error(field, "not_ip_address", self.name))
-
-
-class MaxBytesTruncate(Validator):
+class MaxBytesTruncate(_PandasUdfValidator):
     """Truncate to a UTF-8 byte budget at a codepoint boundary,
     optionally with a prefix kept (reference ``MaxBytes(prefix=...)``).
     Spark substr is char-based so the exact byte semantics need
     Python."""
 
     name = "max_bytes_truncate"
-    guard_on_error = True
 
     def __init__(self, max_bytes: int, prefix: str = ""):
         self.max_bytes = max_bytes
@@ -191,6 +236,3 @@ class MaxBytesTruncate(Validator):
             return prefix + cut.decode("utf-8", errors="ignore")
 
         self._udf = pandas_udf(_mapped(trunc), "string")
-
-    def transform(self, col: Column) -> Column:
-        return self._udf(col)

@@ -36,9 +36,12 @@ def asof_join(left: DataFrame, right: DataFrame,
 
     direction='backward': latest right with right_time <= left_time.
     direction='forward':  earliest right with right_time >= left_time.
-    Ties within the right side resolve to the LAST row in (time,
-    remaining columns) sort order — deterministic given distinct right
-    rows.  Right columns come back suffixed; unmatched → NULL.
+    Ties within the right side (duplicate (key, time) rows) resolve to
+    the row whose payload struct sorts LAST — the window orders by
+    (time, side, payload), so the match is deterministic across
+    shuffles/retries.  Right payload columns must therefore be
+    orderable types (no maps); pre-dedup per (key, time) otherwise.
+    Right columns come back suffixed; unmatched → NULL.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -65,18 +68,25 @@ def asof_join(left: DataFrame, right: DataFrame,
         r.select("_key", "_time", "_is_left", "_payload", "_lrow")
     )
 
+    # _payload in the orderBy pins which duplicate-(key, time) right row
+    # wins (last/ignorenulls picks the max-sorting payload) — without it
+    # the match would depend on shuffle arrival order.  Left rows have a
+    # NULL payload; nulls_first keeps them ordered before right ties only
+    # among themselves, and _is_left already separates the two sides.
     if direction == "backward":
         # right rows sort before left rows at equal time (<= semantics)
         w = (
             Window.partitionBy("_key")
-            .orderBy(F.col("_time").asc(), F.col("_is_left").asc())
+            .orderBy(F.col("_time").asc(), F.col("_is_left").asc(),
+                     F.col("_payload").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = F.last("_payload", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy("_key")
-            .orderBy(F.col("_time").desc(), F.col("_is_left").asc())
+            .orderBy(F.col("_time").desc(), F.col("_is_left").asc(),
+                     F.col("_payload").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = F.last("_payload", ignorenulls=True).over(w)
@@ -92,12 +102,33 @@ def asof_join(left: DataFrame, right: DataFrame,
     return out.select(*left_cols, *right_out)
 
 
+#: join types for which replicating the right side n_salts ways is
+#: result-preserving (unmatched RIGHT rows are never emitted).
+_SALT_SAFE_HOW = frozenset(
+    {"inner", "left", "left_outer", "leftouter",
+     "left_semi", "leftsemi", "semi",
+     "left_anti", "leftanti", "anti", "cross"}
+)
+
+
 def salted_join(left: DataFrame, right: DataFrame, on: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join with explicit key salting for hot keys.  Results are
     identical to ``left.join(right, on, how)``; only the shuffle
     layout changes (hot left keys spread over ``n_salts`` tasks,
-    right side replicated ``n_salts``×)."""
+    right side replicated ``n_salts``×).
+
+    Only left-preserving join types are allowed: with ``right`` /
+    ``full`` outer joins every unmatched right row would be emitted
+    once per salt replica, so those raise ``ValueError`` (flip the
+    operands and use ``how='left'`` instead)."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the right side is "
+            f"replicated {n_salts}x, so right/full outer joins would emit "
+            "unmatched right rows once per salt. Flip the operands and use "
+            "how='left', or use a plain join with AQE skew handling."
+        )
     salted_l = left.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     salted_r = right.select("*", salts)

@@ -101,7 +101,8 @@ class ValidationSchema:
                 # becomes a bare cast — same semantics, cheaper plan.
                 chain = chain.specialize(dt)
             steps_by_field[name] = (
-                list(chain.steps) if isinstance(chain, Chain) else [chain]
+                list(chain.steps) if isinstance(chain, Chain)
+                else list(chain.substeps())
             )
 
         passthrough = [F.col(c) for c in extra]

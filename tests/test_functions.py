@@ -190,3 +190,19 @@ class TestText:
         df = spark.createDataFrame([("Hello, world42!",)], "t string")
         [r] = df.select(text.word_tokens_regex(F.col("t")).alias("w")).collect()
         assert r["w"] == ["hello", ",", "world", "42", "!"]
+
+    def test_tokens_separator_is_literal(self, spark):
+        # regex metacharacters as separators must split literally —
+        # sep='.' or '|' previously exploded into per-char splits
+        df = spark.createDataFrame([("a.b.c", "x|y|z", "p--q--r")],
+                                   "dots string, pipes string, dashes string")
+        [r] = df.select(
+            text.tokens(F.col("dots"), sep=".").alias("d"),
+            text.tokens(F.col("pipes"), sep="|").alias("p"),
+            text.tokens(F.col("dashes"), sep="--").alias("m"),
+            text.avg_word_len(F.col("dashes"), sep="--").alias("awl"),
+        ).collect()
+        assert r["d"] == ["a", "b", "c"]
+        assert r["p"] == ["x", "y", "z"]
+        assert r["m"] == ["p", "q", "r"]
+        assert abs(r["awl"] - 1.0) < 1e-9  # multi-char sep exact length math

@@ -51,6 +51,22 @@ class TestAsofJoin:
         assert out.count() == trades.count()
         assert set(trades.columns) <= set(out.columns)
 
+    def test_duplicate_time_ties_deterministic(self, spark):
+        T = dt.datetime
+        trades = spark.createDataFrame(
+            [(1, "A", T(2024, 1, 1, 10, 0, 0))],
+            "trade_id bigint, sym string, t timestamp",
+        )
+        # three right rows at the identical (key, time): the match must
+        # always be the max-sorting payload, not shuffle-order-dependent
+        quotes = spark.createDataFrame(
+            [("A", T(2024, 1, 1, 10, 0, 0), px) for px in (7.0, 3.0, 9.0)],
+            "sym string, qt timestamp, px double",
+        ).repartition(8)
+        for _ in range(3):
+            out = asof_join(trades, quotes, "t", "qt", "sym", "sym")
+            assert out.collect()[0]["px_r"] == 9.0
+
 
 class TestSaltedJoin:
     def test_matches_plain_join(self, spark):
@@ -65,6 +81,19 @@ class TestSaltedJoin:
         assert plain.count() == salted.count() == 1000
         assert plain.exceptAll(salted).count() == 0
         assert salted.exceptAll(plain).count() == 0
+
+    def test_left_join_keeps_unmatched_left(self, spark):
+        left = spark.createDataFrame([(1, "x"), (99, "y")], "k bigint, v string")
+        right = spark.createDataFrame([(1, "r1")], "k bigint, name string")
+        out = salted_join(left, right, "k", n_salts=4, how="left").collect()
+        assert len(out) == 2
+
+    def test_right_and_full_rejected(self, spark):
+        left = spark.createDataFrame([(1, "x")], "k bigint, v string")
+        right = spark.createDataFrame([(2, "r")], "k bigint, name string")
+        for how in ("right", "full", "outer", "full_outer", "right_outer"):
+            with pytest.raises(ValueError, match="salted_join does not support"):
+                salted_join(left, right, "k", how=how)
 
 
 class TestSinks:

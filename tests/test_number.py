@@ -36,6 +36,34 @@ class TestInt:
     def test_scientific_notation(self, spark):
         assert_passes(spark, fs.Int(), "1E3", 1000)
 
+    def test_java_float_syntax_rejected(self, spark):
+        # Java parseDouble accepts 'D'/'f' suffixes and hex floats;
+        # the reference (Python-Decimal grammar) does not
+        for bad in ("0D", "1f", "2.5d", "0x1p3"):
+            assert_errors(spark, fs.Int(), bad, "not_numeric")
+
+    def test_double_overflow_and_underflow_strings(self, spark):
+        assert_errors(spark, fs.Int(), "1e309", "too_big")     # double → +Inf
+        assert_errors(spark, fs.Int(), "-1e309", "too_big")
+        assert_errors(spark, fs.Int(), "1e-999", "not_int")    # double → 0.0
+        assert_passes(spark, fs.Int(), "0e1", 0)               # true zero
+        assert_passes(spark, fs.Int(), "0.00e99", 0)
+
+    def test_float_specialized_long_boundary(self, spark):
+        # float(2**63 - 1) rounds UP to exactly 2**63, which is OUT of
+        # long range — the specialized float path must flag it too_big
+        # (matching the string path), never silently saturate.
+        from pyspark.sql.types import DoubleType
+        iv = fs.Int().specialize(DoubleType())
+        assert_errors(spark, iv, float(2**63), "too_big", in_type="double")
+        assert_errors(spark, iv, float(2**64), "too_big", in_type="double")
+        # largest double below 2**63 and the exact lower bound are legal
+        assert_passes(spark, iv, float(2**63 - 1024), 2**63 - 1024, in_type="double")
+        assert_passes(spark, iv, float(-(2**63)), -(2**63), in_type="double")
+        # string path agrees on the same boundary
+        assert_errors(spark, fs.Int(), str(2**63), "too_big")
+        assert_passes(spark, fs.Int(), str(2**63 - 1), 2**63 - 1)
+
 
 class TestDecimal:
     def test_parse(self, spark):

@@ -25,6 +25,33 @@ class TestCall:
         )
         assert_errors(spark, parse, "nope", "bad_prefix")
 
+    def test_udf_executes_once_per_row_staged(self, spark, tmp_path):
+        # In the staged ValidationSchema path, error_on_none validators
+        # must run the Python body once per row — the UDF result is
+        # materialized as a named stage column and both the value and
+        # the error derive from it (substep split in operators/udf.py).
+        marker = str(tmp_path / "calls.log")
+
+        def traced(s):
+            with open(marker, "a") as f:
+                f.write("x\n")
+            return s if s.startswith("ok") else None
+
+        schema = fs.ValidationSchema(
+            {"v": udf.Call(traced, "string", error_on_none=True, code="bad")}
+        )
+        df = spark.createDataFrame(
+            [("ok1",), ("nope",), ("ok2",), ("bad",)], "v string"
+        ).coalesce(1)
+        rows = schema.apply(df).collect()
+        got = [(r["v"], r["_errors"][0]["code"] if r["_errors"] else None)
+               for r in rows]
+        assert sorted(got, key=str) == sorted(
+            [("ok1", None), (None, "bad"), ("ok2", None), (None, "bad")], key=str)
+        with open(marker) as f:
+            calls = len(f.readlines())
+        assert calls == 4, f"UDF ran {calls}x for 4 rows"
+
 
 class TestUnicodeNFC:
     def test_nfd_to_nfc(self, spark):
