@@ -168,6 +168,14 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     Scale shape: scan fraction ≈ nprobe / n_cells; the probe join is
     (cell → queries-probing-cell), broadcast; re-rank is the exact
     scorer over the probed subset.
+
+    Probe assignment is fully distributed (no driver collect): every
+    query scores every centroid via a broadcast cross join (|q| ×
+    n_cells pairs — small by construction, since n_cells ≪ n), ranked
+    on the 6-dp-ROUNDED score with the cell key as tie-break.  The
+    rounding makes the probe set engine-independent (any SQL engine
+    replaying avg-centroids + cosine lands on the same rounded value),
+    so the whole pipeline is DuckDB-oracle hashable.
     """
     if cell_col is None:
         import math
@@ -179,7 +187,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         cell_col = "_cell"
     v = vectors.withColumn("_cell_key", F.col(cell_col))
 
-    # centroids via exploded agg (HOF-free hot path)
+    # centroids via exploded agg (HOF-free hot path); n_cells × dim rows
     ex = v.select("_cell_key", F.posexplode(F.col(vec_col)).alias("_d", "_x"))
     cent = (
         ex.groupBy("_cell_key", "_d").agg(F.avg("_x").alias("_c"))
@@ -187,25 +195,24 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         .agg(F.array_sort(F.collect_list(F.struct("_d", "_c"))).alias("_dc"))
         .select("_cell_key", F.transform("_dc", lambda s: s["_c"]).alias("_centroid"))
     )
-    centroids = cent.collect()  # n_cells rows — tiny by construction
 
-    # driver-side probe assignment: nearest nprobe centroids per query
-    import numpy as np
-
-    C = np.array([r["_centroid"] for r in centroids], dtype="float64")
-    cells = [r["_cell_key"] for r in centroids]
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    qrows = queries.select(id_col, vec_col).collect()
-    probe_pairs = []
-    for r in qrows:
-        qv = np.array(r[1], dtype="float64")
-        qn = qv / np.linalg.norm(qv)
-        order = np.argsort(-(Cn @ qn))[:nprobe]
-        for ci in order:
-            probe_pairs.append((r[0], cells[ci]))
-    spark = vectors.sparkSession
-    probes = spark.createDataFrame(probe_pairs, f"query_id long, _cell_key {dict(v.dtypes)['_cell_key']}")
+    # distributed probe assignment: rank centroids per query on the
+    # rounded cosine, deterministic cell-key tie-break, keep nprobe
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("_pscore").desc(), F.col("_cell_key")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "_cell_key",
+            F.round(cosine(F.col("_qv"), F.col("_centroid")), 6).alias("_pscore"),
+        )
+        .withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= nprobe)
+        .select("query_id", "_cell_key")
+    )
 
     candidates = v.join(F.broadcast(probes), "_cell_key").join(
         F.broadcast(q), "query_id"
@@ -213,7 +220,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     scored = candidates.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("_qv"), F.col(vec_col)).alias("score"),
+        F.round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

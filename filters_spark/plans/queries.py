@@ -1170,15 +1170,55 @@ def val_variant_json(spark, sf_dir):
     return ev.groupBy((k % 10).alias("k_mod")).agg(F.count("*").alias("n"))
 
 
-@register("ds_ivf_topk", oracle=None)
+@register(
+    "ds_ivf_topk",
+    oracle="""
+    WITH ex AS (
+      SELECT label, unnest(embedding)::DOUBLE AS x,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY d) AS centroid
+      FROM (SELECT label, d, avg(x) AS c FROM ex GROUP BY label, d)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC,
+                          c.label) AS prank
+        FROM q CROSS JOIN cent c
+      ) WHERE prank <= 2
+    ),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS score
+      FROM probes p
+      JOIN embeddings v ON v.label = p.label
+      JOIN q ON q.query_id = p.query_id
+      WHERE v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def ds_ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse centroids from the data (mean embedding
-    per label), probe the 2 nearest cells per query, exact re-rank
-    within probed cells.  Rows-only check: probe assignment happens
-    driver-side (numpy argsort over collect()ed centroids whose
-    averaging order differs between engines), so near-equidistant
-    cells could legitimately probe differently in a SQL replica;
-    ds_cosine_topk / ds_lsh_topk are the hash-checked anchors."""
+    per label), probe the 2 nearest cells per query via a broadcast
+    cross join ranked on the 6-dp-rounded centroid cosine (cell-key
+    tie-break), exact re-rank within probed cells.  Fully hash-checked:
+    the DuckDB oracle replays centroid averaging, probe selection, and
+    re-rank with the same rounding discipline, so probe sets and
+    ranks match across engines."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, q, k=10, nprobe=2,
