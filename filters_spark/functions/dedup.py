@@ -43,6 +43,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_dup_pairs",
     "embedding_dup_pairs",
+    "connected_components",
 ]
 
 
@@ -405,3 +406,67 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     return joined.select("a_id", "b_id", score.alias("cosine")).where(
         F.col("cosine") >= threshold
     )
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a_id",
+                         b_col: str = "b_id",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup candidate edge list —
+    the clustering step that turns pairwise matches into dedup groups
+    (keep one document per component).
+
+    Iterative min-label propagation, pure DataFrame ops: every node
+    starts labeled with its own id; each round every node takes the
+    minimum label among itself and its neighbors; fixpoint when no
+    label changes.  Rounds needed = graph diameter — near-dup
+    components are small and chain-like, so this converges in a
+    handful of rounds (the 100 TB upgrade is alternating
+    large-star/small-star, which squashes diameter to O(log n) with
+    the same per-round plan shape: join on edges + min-agg on node).
+
+    Scale notes: edges are persisted once and reused every round; the
+    label frame is ``localCheckpoint``-ed per round so lineage (and
+    plan-compile time) stays flat instead of growing with the
+    iteration count — on a real cluster use a reliable checkpoint
+    dir.  Convergence is detected with a LIMIT-1 anti-equality probe,
+    not a full count.
+
+    Returns ``(node, comp)``: every node that appears in any pair,
+    labeled with the smallest node id in its component (deterministic
+    for any edge order).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(edges.src.alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            nbr_min.union(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

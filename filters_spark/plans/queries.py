@@ -2099,3 +2099,60 @@ def rel_q22_inactive_customers(spark, sf_dir):
         F.count("*").alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "ds_dedup_components",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component_id
+      FROM reach GROUP BY src
+    )
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS comp_size
+    FROM comp
+    """,
+)
+def ds_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERING: jaccard candidate pairs → connected
+    components via iterative min-label propagation (pure DataFrame
+    joins, lineage kept flat with per-round localCheckpoint) — the
+    step that turns pairwise matches into dedup groups so a pipeline
+    can keep exactly one document per component.  Hash-checked: the
+    DuckDB oracle computes the same components with a recursive-CTE
+    transitive closure (engine-independent because the component
+    label is the MINIMUM doc id — order-free)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "toks", block_col="source", threshold=0.9
+    ).select("a_id", "b_id")
+    comp = dedup.connected_components(pairs)
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        F.count("*").over(w).alias("comp_size"),
+    )

@@ -206,3 +206,23 @@ class TestText:
         assert r["p"] == ["x", "y", "z"]
         assert r["m"] == ["p", "q", "r"]
         assert abs(r["awl"] - 1.0) < 1e-9  # multi-char sep exact length math
+
+
+class TestConnectedComponents:
+    def test_chain_and_island_components(self, spark):
+        # chain 1-2-3-4 (diameter 3, needs >1 round), island 10-11,
+        # and a triangle 20-21-22 with a redundant edge
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "a_id bigint, b_id bigint",
+        )
+        out = {r["node"]: r["comp"]
+               for r in dedup.connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_single_edge(self, spark):
+        pairs = spark.createDataFrame([(7, 5)], "a_id bigint, b_id bigint")
+        out = {r["node"]: r["comp"]
+               for r in dedup.connected_components(pairs).collect()}
+        assert out == {5: 5, 7: 5}
