@@ -2156,3 +2156,61 @@ def ds_dedup_components(spark, sf_dir):
         F.col("comp").alias("component_id"),
         F.count("*").over(w).alias("comp_size"),
     )
+
+
+@register(
+    "val_variant_path",
+    oracle="""
+    WITH j AS (
+      SELECT CASE WHEN n_chars >= 300
+        THEN to_json(struct_pack(
+               meta := struct_pack(lang := lang, n := n_chars),
+               tags := [source, lang]))
+        ELSE to_json(struct_pack(tags := [source]))
+      END AS js
+      FROM documents
+    )
+    SELECT json_extract_string(js, '$.tags[0]') AS tag0,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(json_extract(js, '$.meta')) AS BIGINT) AS n_with_meta,
+           CAST(sum(CAST(json_extract(js, '$.meta.n') AS BIGINT)) AS BIGINT)
+             AS sum_meta_n,
+           CAST(count(DISTINCT json_extract_string(js, '$.meta.lang')) AS BIGINT)
+             AS n_langs
+    FROM j GROUP BY tag0
+    """,
+)
+def val_variant_path(spark, sf_dir):
+    """Deep Variant coverage (SURVEY §2.4 JsonDecode, schemaless leg):
+    per-row HETEROGENEOUS JSON — long documents carry a nested meta
+    object + 2-element tag array, short ones only a 1-element tag
+    array — parsed with try_parse_json into VariantType and consumed
+    with typed path extraction (nested object path, array index path)
+    where missing paths yield NULL, exactly the reference's
+    json.loads-then-dict.get(None) semantics.  The oracle builds and
+    extracts the same shapes with DuckDB's json functions."""
+    d = _t(spark, sf_dir, "documents")
+    js = F.when(
+        F.col("n_chars") >= 300,
+        F.to_json(F.struct(
+            F.struct(F.col("lang").alias("lang"),
+                     F.col("n_chars").alias("n")).alias("meta"),
+            F.array("source", "lang").alias("tags"),
+        )),
+    ).otherwise(F.to_json(F.struct(F.array("source").alias("tags"))))
+    v = F.try_parse_json(js)
+    return (
+        d.select(
+            F.try_variant_get(v, "$.tags[0]", "string").alias("tag0"),
+            F.try_variant_get(v, "$.meta", "variant").alias("_meta"),
+            F.try_variant_get(v, "$.meta.n", "bigint").alias("_meta_n"),
+            F.try_variant_get(v, "$.meta.lang", "string").alias("_meta_lang"),
+        )
+        .groupBy("tag0")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("_meta").alias("n_with_meta"),
+            F.sum("_meta_n").alias("sum_meta_n"),
+            F.countDistinct("_meta_lang").alias("n_langs"),
+        )
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "session_windows",
     "dead_letter_writer",
     "events_stream",
+    "interval_join_streams",
 ]
 
 
@@ -174,6 +175,34 @@ def running_user_stats(stream_df: DataFrame, key_col: str = "user_id",
         .applyInPandasWithState(update, out_schema, state_schema,
                                 "append", timeout)
     )
+
+
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          key: str = "user_id", left_ts: str = "ts",
+                          right_ts: str = "ts", upper: str = "10 minutes",
+                          watermark: str = "1 hour",
+                          how: str = "inner") -> DataFrame:
+    """Stream-stream equi-join with a time-interval condition: right
+    rows match a left row with the same key when they land in
+    ``[left_ts, left_ts + upper]`` — the enrich-clicks-with-purchases
+    topology.
+
+    Both sides MUST carry a watermark plus the interval bound: that
+    pair is what lets Spark expire join state (a left row can stop
+    waiting once the right watermark passes ``left_ts + upper``).
+    Without the interval condition the state store grows forever.
+    State is keyed by (key, time-range) — the same shuffle key both
+    inputs already hash on, so no extra exchange beyond the join's
+    own."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how)
 
 
 def dead_letter_writer(clean_path: str, dead_path: str,

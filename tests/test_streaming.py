@@ -125,3 +125,98 @@ class TestStatefulOperator:
             .collect()
         }
         assert got == exp  # final running totals == batch aggregation
+
+
+class TestLateData:
+    def test_watermark_drops_late_rows(self, spark):
+        """Three checkpointed runs of one query (watermark persists in
+        the checkpoint): run 1 processes June rows and advances the
+        watermark; run 2 replays January rows — far behind the
+        watermark — which the windowed APPEND aggregation must drop;
+        run 3 adds a noon row that pushes the watermark past the June
+        window end so the June window finalizes WITHOUT the late rows."""
+        import os
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp = tempfile.mkdtemp(prefix="fslate_")
+        src = f"{tmp}/src"
+        os.makedirs(src)
+
+        def write(name, ts_list):
+            tbl = pa.table({
+                "ts": pa.array(pd.to_datetime(ts_list), type=pa.timestamp("us")),
+                "user_id": pa.array(range(len(ts_list)), type=pa.int64()),
+            })
+            pq.write_table(tbl, f"{src}/{name}")
+
+        def run_once():
+            stream = (
+                spark.readStream.schema("ts timestamp, user_id bigint")
+                .parquet(src)
+            )
+            counts = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("win"))
+                .agg(F.count("*").alias("n"))
+            )
+            q = (
+                counts.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        write("batch1.parquet", [f"2021-06-01 10:{m:02d}:00" for m in range(10)])
+        run_once()  # watermark → 09:59
+        write("batch2.parquet", ["2021-01-01 00:00:00", "2021-01-01 00:05:00"])
+        run_once()  # January rows are late → dropped
+        write("batch3.parquet", ["2021-06-01 12:00:00"])
+        run_once()  # watermark → 11:50 > June window end → emit it
+
+        out = spark.read.parquet(f"{tmp}/out").collect()
+        got = {(r["win"]["start"].isoformat(), r["n"]) for r in out}
+        # June window finalized with its 10 on-time rows; the late
+        # January rows created no window; the noon window is still open
+        assert got == {("2021-06-01T10:00:00", 10)}
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark):
+        clicks = st.events_stream(spark, SF_DIR).where(
+            F.col("event_type") == "click"
+        )
+        purchases = st.events_stream(spark, SF_DIR).where(
+            F.col("event_type") == "purchase"
+        )
+        joined = st.interval_join_streams(
+            clicks, purchases, upper="30 minutes", watermark="100 days"
+        ).select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        assert joined.isStreaming
+        run_to_memory(joined, "t_ssjoin")
+        got = {(r["click_id"], r["purchase_id"])
+               for r in spark.sql("select * from t_ssjoin").collect()}
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        c = ev.where(F.col("event_type") == "click").alias("c")
+        p = ev.where(F.col("event_type") == "purchase").alias("p")
+        exp_df = c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 minutes")),
+        ).select(F.col("c.event_id").alias("click_id"),
+                 F.col("p.event_id").alias("purchase_id"))
+        exp = {(r["click_id"], r["purchase_id"]) for r in exp_df.collect()}
+        assert got == exp and len(got) > 0
