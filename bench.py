@@ -41,6 +41,13 @@ HEADLINE = [
     "ds_cosine_topk",
     "txt_profile",
     "txt_quality",
+    # round 2 additions (per-query timings keep rounds comparable even
+    # as the set grows; BASELINE.md logs the set change)
+    "rel_q6_forecast_revenue",
+    "rel_q13_order_distribution",
+    "rel_q18_large_orders",
+    "val_variant_path",
+    "ds_ivf_topk",
 ]
 
 

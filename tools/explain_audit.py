@@ -64,6 +64,26 @@ EXPECTATIONS: dict[str, dict] = {
     # global ntile: one SinglePartition window + decile agg.
     "rel_ntile_deciles": dict(max_exchanges=2),
     "txt_bpe_tokens": dict(max_exchanges=1),
+    # round 2: TPC-H-adapted suite.  max_exchanges is set for the
+    # 100 TB shape (fact-fact joins shuffle; AQE may broadcast more at
+    # small sf, never less structure).
+    "rel_q6_forecast_revenue": dict(max_exchanges=1, scan_filter=True),
+    "rel_q7_volume_shipping": dict(max_exchanges=2, min_broadcasts=4, scan_filter=True),
+    "rel_q8_market_share": dict(max_exchanges=2, min_broadcasts=6, scan_filter=True),
+    "rel_q9_profit_by_nation_year": dict(max_exchanges=2, min_broadcasts=3, scan_filter=True),
+    "rel_q10_returned_items": dict(max_exchanges=2, min_broadcasts=2, scan_filter=True),
+    # no selective predicate exists in q13 (full outer-join distribution)
+    "rel_q13_order_distribution": dict(max_exchanges=2),
+    "rel_q14_promo_revenue": dict(max_exchanges=1, min_broadcasts=1, scan_filter=True),
+    "rel_q15_top_supplier": dict(max_exchanges=2, min_broadcasts=1, scan_filter=True),
+    "rel_q18_large_orders": dict(max_exchanges=3, min_broadcasts=1, scan_filter=True),
+    "rel_q19_disjunctive_preds": dict(max_exchanges=1, min_broadcasts=1, scan_filter=True),
+    "rel_q22_inactive_customers": dict(max_exchanges=2, min_broadcasts=2, scan_filter=True),
+    # variant path: groupBy + countDistinct expand = two exchanges
+    "val_variant_path": dict(max_exchanges=2),
+    # IVF: centroid agg (2: explode-agg + collect) + probe rank +
+    # final rank; all joins broadcast
+    "ds_ivf_topk": dict(max_exchanges=4, min_broadcasts=3),
 }
 
 
