@@ -28,6 +28,7 @@ __all__ = [
     "punct_ratio",
     "quality_score",
     "fingerprint",
+    "rolling_fingerprint",
     "lang_scores",
     "lang_id",
     "STOPWORDS",
@@ -131,3 +132,57 @@ def lang_id(col: Column, sep: str = " ") -> Column:
     for lang, s in reversed(scores):
         out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
     return out
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        base: int = 1_000_003,
+                        mod: int = (1 << 31) - 1) -> DataFrame:
+    """Winnowing-style document fingerprint from ROLLING k-gram
+    hashes: each k consecutive tokens get a polynomial hash
+    ``(h0·B² + h1·B + h2) mod M`` (order-sensitive, unlike token-set
+    jaccard) and the document's fingerprint is the MINIMUM k-gram
+    hash — the min-sampling step of the winnowing scheme
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    Plan shape: posexplode tokens → codegen'd md5-prefix hash per
+    token (HOF-free, the measured fast path) → two ``lead()`` window
+    steps per doc (one shuffle on doc id) → min-agg.  All arithmetic
+    stays below 2^62 (h < 2^31 after mod, B powers pre-reduced mod M)
+    so int64 never overflows — the same literals replay in any SQL
+    engine.  Docs shorter than k tokens fall back to the min token
+    hash.
+
+    Returns (id_col, fingerprint, n_grams).
+    """
+    from pyspark.sql import Window
+
+    # base^(k-1-i) mod M for position i in the k-gram, pre-reduced so
+    # every product stays below 2^62 (h < 2^31, coefficient < 2^31)
+    coef = [pow(base, k - 1 - i, mod) for i in range(k)]
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_p", "_tok"),
+    )
+    hashed = ex.withColumn(
+        "_h",
+        F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long") % mod,
+    )
+    w = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.col("_h")] + [
+        F.lead("_h", i).over(w).alias(f"_h{i}") for i in range(1, k)
+    ]
+    grams = hashed.select(F.col(id_col), *leads)
+    terms = [(F.col("_h") if i == 0 else F.col(f"_h{i}")) * coef[i] % mod
+             for i in range(k)]
+    poly = terms[0]
+    for t in terms[1:]:
+        poly = poly + t
+    complete = F.lit(True)
+    for i in range(1, k):
+        complete = complete & F.col(f"_h{i}").isNotNull()
+    grams = grams.withColumn("_hg", F.when(complete, poly % mod))
+    return grams.groupBy(id_col).agg(
+        F.coalesce(F.min("_hg"), F.min("_h")).alias("fingerprint"),
+        F.count("_hg").alias("n_grams"),
+    )

@@ -2214,3 +2214,58 @@ def val_variant_path(spark, sf_dir):
             F.countDistinct("_meta_lang").alias("n_langs"),
         )
     )
+
+
+def _fingerprint_oracle(k: int = 3, base: int = 1_000_003,
+                        mod: int = (1 << 31) - 1) -> str:
+    """Rolling-fingerprint oracle with the polynomial coefficients
+    pre-reduced mod M in Python — the same literals the Spark plan
+    bakes in, so both engines run identical int64 arithmetic."""
+    coef = [pow(base, k - 1 - i, mod) for i in range(k)]
+    leads = ",\n             ".join(
+        f"lead(h, {i}) OVER (PARTITION BY doc_id ORDER BY p) AS h{i}"
+        for i in range(1, k)
+    )
+    notnull = " AND ".join(f"h{i} IS NOT NULL" for i in range(1, k))
+    terms = " + ".join(
+        [f"(h * {coef[0]}) % {mod}"]
+        + [f"(h{i} * {coef[i]}) % {mod}" for i in range(1, k)]
+    )
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, p,
+             ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT % {mod} AS h
+      FROM ex
+    ),
+    g AS (
+      SELECT doc_id, h,
+             {leads}
+      FROM h
+    ),
+    hg AS (
+      SELECT doc_id, h,
+             CASE WHEN {notnull} THEN ({terms}) % {mod} END AS hg
+      FROM g
+    )
+    SELECT doc_id, coalesce(min(hg), min(h)) AS fingerprint,
+           CAST(count(hg) AS BIGINT) AS n_grams
+    FROM hg GROUP BY doc_id
+    """
+
+
+@register("txt_fingerprint", oracle=_fingerprint_oracle())
+def txt_fingerprint(spark, sf_dir):
+    """Document fingerprinting via rolling k-gram hashes (SURVEY §2.9
+    text row, 'rolling hash'): winnowing-style minimum polynomial
+    hash over token 3-grams — order-sensitive, so reordered documents
+    fingerprint differently even when their token SETS match (the gap
+    jaccard/minhash can't see).  Hash-checked: coefficients are
+    literals pre-reduced mod M, so DuckDB replays the identical
+    int64 arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    return text.rolling_fingerprint(d, "doc_id", "text", k=3)

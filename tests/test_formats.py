@@ -22,7 +22,7 @@ def clean_df(spark):
     return res.clean.select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_roundtrip(spark, clean_df, fmt):
     tmp = tempfile.mkdtemp(prefix=f"fs_fmt_{fmt}_")
     try:

@@ -220,3 +220,25 @@ class TestStreamStreamJoin:
                  F.col("p.event_id").alias("purchase_id"))
         exp = {(r["click_id"], r["purchase_id"]) for r in exp_df.collect()}
         assert got == exp and len(got) > 0
+
+
+class TestStreamStaticJoin:
+    def test_stream_enriched_by_static_dim(self, spark):
+        """Stream-static join: the static side is re-read per
+        micro-batch and broadcast — the standard enrich-with-dimension
+        topology (no watermark needed; no join state kept)."""
+        stream = st.events_stream(spark, SF_DIR)
+        users = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select("user_id").distinct()
+            .withColumn("user_tier",
+                        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+        )
+        joined = stream.join(F.broadcast(users), "user_id")
+        assert joined.isStreaming
+        run_to_memory(joined, "t_ssdim")
+        out = spark.sql("select * from t_ssdim")
+        assert out.count() == 1000  # every event matched its dim row
+        assert out.where(
+            (F.col("user_id") % 2 == 0) & (F.col("user_tier") != "even")
+        ).count() == 0
