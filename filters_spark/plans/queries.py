@@ -2269,3 +2269,80 @@ def txt_fingerprint(spark, sf_dir):
     int64 arithmetic."""
     d = _t(spark, sf_dir, "documents")
     return text.rolling_fingerprint(d, "doc_id", "text", k=3)
+
+
+@register(
+    "rel_pivot_returnflag",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def rel_pivot_returnflag(spark, sf_dir):
+    """PIVOT (SURVEY §2.9 aggregation family): quantity totals spread
+    across returnflag columns.  The pivot values are DECLARED
+    literals — never the two-pass distinct-scan form, which at 100 TB
+    adds a full extra pass just to learn the column set."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "rel_unpivot_metrics",
+    oracle="""
+    WITH agg AS (
+      SELECT l_linestatus,
+             round(sum(l_quantity), 2) AS qty,
+             round(sum(l_extendedprice), 2) AS price
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, 'qty' AS metric, qty AS value FROM agg
+    UNION ALL
+    SELECT l_linestatus, 'price' AS metric, price AS value FROM agg
+    """,
+)
+def rel_unpivot_metrics(spark, sf_dir):
+    """UNPIVOT/melt (wide → long): per-status metric columns become
+    (metric, value) rows — one narrow projection over the
+    pre-aggregated frame, no shuffle beyond the agg's own."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+    )
+    return agg.unpivot(["l_linestatus"], ["qty", "price"], "metric", "value")
+
+
+@register(
+    "rel_salted_join_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_salted_join_agg(spark, sf_dir):
+    """Explicit key-salting join (plans.joins.salted_join): the
+    skew-shuffle layout for hot keys AQE can't reach (pre-bucketed
+    inputs, deliberate layouts).  Hash-checked against the PLAIN SQL
+    join — salting must be a pure physical rewrite with identical
+    results, and the oracle proves it."""
+    from ..plans.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )

@@ -226,3 +226,34 @@ class TestConnectedComponents:
         out = {r["node"]: r["comp"]
                for r in dedup.connected_components(pairs).collect()}
         assert out == {5: 5, 7: 5}
+
+
+class TestRollingFingerprint:
+    def test_matches_pure_python_replica(self, spark):
+        rows = [(1, "a b c d"), (2, "d c b a"), (3, "a b")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: (r["fingerprint"], r["n_grams"])
+               for r in text.rolling_fingerprint(df, k=3).collect()}
+
+        M, B = (1 << 31) - 1, 1_000_003
+
+        def h(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % M
+
+        def fp(txt, k=3):
+            hs = [h(t) for t in txt.split(" ")]
+            grams = [
+                sum(hs[i + j] * pow(B, k - 1 - j, M) % M for j in range(k)) % M
+                for i in range(len(hs) - k + 1)
+            ]
+            return (min(grams) if grams else min(hs)), len(grams)
+
+        assert out == {i: fp(t) for i, t in rows}
+        # order sensitivity: same token set, different fingerprint
+        assert out[1][0] != out[2][0]
+
+    def test_short_doc_falls_back_to_token_hash(self, spark):
+        df = spark.createDataFrame([(9, "xy")], "doc_id bigint, text string")
+        [r] = text.rolling_fingerprint(df, k=3).collect()
+        exp = int(hashlib.md5(b"xy").hexdigest()[:8], 16) % ((1 << 31) - 1)
+        assert (r["fingerprint"], r["n_grams"]) == (exp, 0)

@@ -84,6 +84,12 @@ EXPECTATIONS: dict[str, dict] = {
     # IVF: centroid agg (2: explode-agg + collect) + probe rank +
     # final rank; all joins broadcast
     "ds_ivf_topk": dict(max_exchanges=4, min_broadcasts=3),
+    # pivot = one grouped agg; unpivot = projection over one agg
+    "rel_pivot_returnflag": dict(max_exchanges=1),
+    "rel_unpivot_metrics": dict(max_exchanges=1),
+    # fingerprint: explode → window on doc id → agg reuses the same
+    # partitioning (one shuffle total)
+    "txt_fingerprint": dict(max_exchanges=1),
 }
 
 
