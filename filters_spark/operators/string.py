@@ -48,11 +48,32 @@ class Strip(Validator):
         self.trailing = trailing
         self.strip_unprintable = strip_unprintable
 
+    @staticmethod
+    def _merge_class(pat: str) -> str | None:
+        """``[chars]+`` (a single char-class run) → its inner chars."""
+        m = re.fullmatch(r"\[([^\]]*)\]\+", pat)
+        return m.group(1) if m else None
+
     def transform(self, col: Column) -> Column:
         lead, trail = self.leading, self.trailing
         if self.strip_unprintable:
-            lead = f"(?:{lead}|{_UNPRINTABLE}+)"
-            trail = f"(?:{trail}|{_UNPRINTABLE}+)"
+            # when the user pattern is itself one char-class run (the
+            # default [\s]+ is), fold the unprintable class INTO it —
+            # [\s\p{Cntrl}…]+ has no nested quantifiers, so the regex
+            # engine scans without alternation backtracking
+            lead_in, trail_in = self._merge_class(lead), self._merge_class(trail)
+            unp_in = _UNPRINTABLE[1:-1]
+            lead = (f"[{lead_in}{unp_in}]+" if lead_in is not None
+                    else f"(?:{lead}|{_UNPRINTABLE}+)")
+            trail = (f"[{trail_in}{unp_in}]+" if trail_in is not None
+                     else f"(?:{trail}|{_UNPRINTABLE}+)")
+        if lead == trail:
+            # one regex scan instead of two: the anchored alternation
+            # removes the leading and trailing runs in a single global
+            # replace (measured on the flagship's hot string field)
+            return F.regexp_replace(
+                col, f"^(?:{lead})+|(?:{trail})+$", ""
+            )
         out = F.regexp_replace(col, f"^(?:{lead})+", "")
         return F.regexp_replace(out, f"(?:{trail})+$", "")
 
