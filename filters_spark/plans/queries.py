@@ -2346,3 +2346,61 @@ def rel_salted_join_agg(spark, sf_dir):
         .alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "rel_sql_interface",
+    oracle="""
+    SELECT n_name,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           round(avg(o_totalprice), 2) AS avg_order_value
+    FROM nation
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def rel_sql_interface(spark, sf_dir):
+    """The SQL entry point (SURVEY §2.9: `spark.sql(...)` is as
+    first-class as the DataFrame API): tables registered as temp
+    views, the query given as SQL TEXT, Catalyst planning it exactly
+    like the DataFrame twin — broadcast hint included via SQL syntax.
+    The oracle is the same ANSI statement, which is the point."""
+    for t in ("nation", "customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT /*+ BROADCAST(nation), BROADCAST(customer) */ n_name,
+               count(DISTINCT c_custkey) AS n_customers,
+               round(avg(o_totalprice), 2) AS avg_order_value
+        FROM nation
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+    """)
+
+
+@register(
+    "rel_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def rel_tumbling_window(spark, sf_dir):
+    """Tumbling time-window aggregation in BATCH via F.window — the
+    batch twin of the streaming error-rate query (same expression
+    compiles on a stream with a watermark).  Day windows align to
+    UTC midnight, so date_trunc replays them exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type",
+                "n", "total_value")
+    )
