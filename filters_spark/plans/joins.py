@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "salted_join"]
+__all__ = ["asof_join", "salted_join", "upsert"]
 
 
 def asof_join(left: DataFrame, right: DataFrame,
@@ -134,3 +134,36 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     salted_r = right.select("*", salts)
     out = salted_l.join(salted_r, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Keyed upsert (CDC merge): rows from ``updates`` replace
+    same-key rows in ``base``; unmatched update rows insert; unmatched
+    base rows persist.  Pure DataFrame expression of MERGE semantics
+    for plain-parquet pipelines (no transactional table format in
+    this environment — with one, prefer its native MERGE, which
+    rewrites only touched files).
+
+    Plan shape: ONE full-outer join on the key + per-column coalesce
+    (update side wins).  At 100 TB both sides shuffle on the key once
+    — the same cost as any keyed join; if base is bucketed on the key
+    the exchange on that side disappears.  Requires both frames to
+    share a schema; updates must be unique per key (enforce upstream
+    with exact_dedup — nondeterministic which duplicate wins
+    otherwise).
+    """
+    if base.columns != updates.columns:
+        raise ValueError(
+            f"upsert requires identical schemas; base has {base.columns}, "
+            f"updates has {updates.columns}"
+        )
+    u = updates.select([F.col(c).alias(f"_u_{c}") for c in updates.columns])
+    joined = base.join(u, base[key] == u[f"_u_{key}"], "full_outer")
+    # row-presence dispatch, NOT per-column coalesce: an update row
+    # wins wholesale (including its legitimate NULL columns — MERGE
+    # semantics), keyed on the non-null update join key
+    has_update = F.col(f"_u_{key}").isNotNull()
+    return joined.select([
+        F.when(has_update, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+        for c in base.columns
+    ])

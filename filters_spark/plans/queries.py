@@ -2404,3 +2404,47 @@ def rel_tumbling_window(spark, sf_dir):
         .select(F.col("win.start").alias("win_start"), "event_type",
                 "n", "total_value")
     )
+
+
+@register(
+    "rel_upsert_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'D' AS o_orderstatus,
+             round(o_totalprice * 1.1, 2) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    merged AS (
+      SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                  ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM orders b FULL OUTER JOIN updates u
+        ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def rel_upsert_merge(spark, sf_dir):
+    """CDC-style keyed MERGE (plans.joins.upsert): every 100th order
+    arrives as an update (status 'D', price +10%); the merged table
+    must show updated rows winning wholesale and all others
+    untouched.  One full-outer join on the key — the plain-parquet
+    MERGE plan shape."""
+    from ..plans.joins import upsert
+
+    o = _t(spark, sf_dir, "orders")
+    updates = (
+        o.where(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderstatus", F.lit("D"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    merged = upsert(o, updates, "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -159,3 +159,30 @@ class TestBucketedJoinElision:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {ta}")
             spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+class TestUpsert:
+    def test_update_insert_keep(self, spark):
+        from filters_spark.plans.joins import upsert
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+            "k bigint, v string, x double",
+        )
+        updates = spark.createDataFrame(
+            [(2, "B", None), (4, "d", 40.0)],  # update k=2 (NULL wins!), insert k=4
+            "k bigint, v string, x double",
+        )
+        out = {r["k"]: (r["v"], r["x"])
+               for r in upsert(base, updates, "k").collect()}
+        assert out == {1: ("a", 10.0), 2: ("B", None), 3: ("c", None),
+                       4: ("d", 40.0)}
+
+    def test_schema_mismatch_rejected(self, spark):
+        from filters_spark.plans.joins import upsert
+
+        base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+        upd = spark.createDataFrame([(1,)], "k bigint")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="identical schemas"):
+            upsert(base, upd, "k")
