@@ -84,12 +84,21 @@ EXPECTATIONS: dict[str, dict] = {
     # IVF: centroid agg (2: explode-agg + collect) + probe rank +
     # final rank; all joins broadcast
     "ds_ivf_topk": dict(max_exchanges=4, min_broadcasts=3),
-    # pivot = one grouped agg; unpivot = projection over one agg
-    "rel_pivot_returnflag": dict(max_exchanges=1),
+    # pivot compiles to TWO aggregates (by (group, pivot-key), then
+    # the pivot itself) — both shuffles keyed on low-cardinality cols
+    "rel_pivot_returnflag": dict(max_exchanges=2),
     "rel_unpivot_metrics": dict(max_exchanges=1),
     # fingerprint: explode → window on doc id → agg reuses the same
     # partitioning (one shuffle total)
     "txt_fingerprint": dict(max_exchanges=1),
+    # SQL-text entry: same plan as the DataFrame twin (dims hinted
+    # broadcast; distinct-agg adds its expand exchange)
+    "rel_sql_interface": dict(max_exchanges=2, min_broadcasts=2, scan_filter=True),
+    "rel_tumbling_window": dict(max_exchanges=1),
+    # upsert: full-outer join shuffles both sides + final agg; salted:
+    # salt-spread join + agg (AQE may broadcast at tiny sf)
+    "rel_upsert_merge": dict(max_exchanges=3),
+    "rel_salted_join_agg": dict(max_exchanges=3),
 }
 
 
