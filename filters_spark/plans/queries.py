@@ -2448,3 +2448,119 @@ def rel_upsert_merge(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "rel_q21_exclusive_supplier",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_suppkey < 50)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_suppkey >= 50)
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_q21_exclusive_supplier(spark, sf_dir):
+    """TPC-H Q21 shape, adapted: orders supplied EXCLUSIVELY by the
+    low-key supplier group — an EXISTS (left-semi) and a NOT EXISTS
+    (left-anti) against the SAME fact table composed in one plan.
+    Both probes reduce lineitem to (orderkey) sets before joining, so
+    the order table is touched once and never widened."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    low = li.where(F.col("l_suppkey") < 50).select("l_orderkey")
+    high = li.where(F.col("l_suppkey") >= 50).select("l_orderkey")
+    kept = (
+        o.join(low, o.o_orderkey == low.l_orderkey, "left_semi")
+        .join(high, o.o_orderkey == high.l_orderkey, "left_anti")
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "val_decimal_exact_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+             AS exact_revenue,
+           sum(CAST(round(round(l_extendedprice, 2) / 0.25, 0) * 0.25
+                    AS DECIMAL(18,2))) AS rounded_to_quarter
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def val_decimal_exact_agg(spark, sf_dir):
+    """Decimal end-to-end (SURVEY §2.3 Decimal/Round): prices cast to
+    DECIMAL(18,2) through the DecimalOf validator, summed EXACTLY —
+    no float accumulation, so the hash check needs no rounding
+    discipline at all (the point of decimals in money pipelines).
+    Round(to_nearest=0.25) is the reference's quarter-rounding on the
+    decimal path, HALF_UP via F.round."""
+    import filters_spark as fs
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+    res = fs.ValidationSchema({
+        "price": fs.DecimalOf(precision=18, scale=2) | fs.Round("0.25"),
+    }).validate(li)
+    quarters = res.clean.select(
+        "l_returnflag",
+        F.col("price").alias("rounded"),
+    )
+    base = li.select("l_returnflag",
+                     F.col("price").cast("decimal(18,2)").alias("exact"))
+    a = base.groupBy("l_returnflag").agg(
+        F.sum("exact").alias("exact_revenue"))
+    b = quarters.groupBy("l_returnflag").agg(
+        F.sum("rounded").alias("rounded_to_quarter"))
+    return a.join(b, "l_returnflag").select(
+        "l_returnflag", "exact_revenue", "rounded_to_quarter")
+
+
+@register(
+    "prof_top_values",
+    oracle="""
+    WITH counts AS (
+      SELECT 'o_orderpriority' AS col, o_orderpriority AS value,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS value,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT col, value, n, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY col
+                                   ORDER BY n DESC, value) AS rk
+      FROM counts
+    ) WHERE rk <= 3
+    """,
+)
+def prof_top_values(spark, sf_dir):
+    """Column profiling: top-3 most frequent values per profiled
+    column (the frequency leg every data-profiler pairs with the
+    quantile leg in prof_quantiles).  One pass per column over the
+    pre-aggregated counts; rank input is |distinct values|, never
+    |rows|."""
+    o = _t(spark, sf_dir, "orders")
+    parts = []
+    for c in ("o_orderpriority", "o_orderstatus"):
+        parts.append(
+            o.groupBy(F.col(c).alias("value"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(c).alias("col"), "value", "n")
+        )
+    counts = parts[0].unionByName(parts[1])
+    w = Window.partitionBy("col").orderBy(F.col("n").desc(), "value")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )

@@ -99,6 +99,12 @@ EXPECTATIONS: dict[str, dict] = {
     # salt-spread join + agg (AQE may broadcast at tiny sf)
     "rel_upsert_merge": dict(max_exchanges=3),
     "rel_salted_join_agg": dict(max_exchanges=3),
+    # q21: semi + anti probes on reduced (orderkey) projections + agg
+    "rel_q21_exclusive_supplier": dict(max_exchanges=3, scan_filter=True),
+    # decimal: two aggs + a tiny join on the 3-value group key
+    "val_decimal_exact_agg": dict(max_exchanges=3),
+    # profiling: per-column agg + rank over |distinct values|
+    "prof_top_values": dict(max_exchanges=3),
 }
 
 
