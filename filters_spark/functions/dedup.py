@@ -44,6 +44,7 @@ __all__ = [
     "simhash_dup_pairs",
     "embedding_dup_pairs",
     "connected_components",
+    "connected_components_star",
 ]
 
 
@@ -470,3 +471,93 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
             break
     edges.unpersist()
     return labels
+
+
+def connected_components_star(pairs: DataFrame, a_col: str = "a_id",
+                              b_col: str = "b_id",
+                              max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the 100 TB path: O(log n) rounds on ANY graph shape,
+    where plain min-label propagation needs diameter rounds (a 1M-long
+    chain of near-dup shards would need 1M rounds there, 20 here).
+
+    Each round is two star operations over the edge frame:
+
+    * **large-star**: for every node u, neighbors v > u re-link to
+      m(u) = min(N(u) ∪ {u}) — hangs big nodes' tails onto the local
+      minimum;
+    * **small-star**: neighbors v ≤ u (and u itself) re-link to m(u)
+      — flattens the remaining short chains.
+
+    Both are one groupBy-min plus one join keyed on u — the same
+    shuffle shape as a round of label propagation, just fewer rounds.
+    Edges are kept as (u, v) with the invariant v ≤ u after each
+    small-star; fixpoint when the edge multiset stops changing
+    (checked with a LIMIT-1 anti-join probe).  Lineage stays flat via
+    per-round localCheckpoint.
+
+    Returns (node, comp) — identical contract (and, by determinism of
+    min, identical output) to :func:`connected_components`.
+    """
+    # canonical undirected storage: one row per edge, u > v
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric view; m(u) = min(N(u) ∪ {u}); every STRICTLY
+        # LARGER neighbor of u re-links to m(u).  Output rows keep the
+        # u > v invariant automatically (v > u ≥ m).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.union(sym.select("u", F.col("u").alias("v")))
+            .groupBy("u").agg(F.min("v").alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # rows already point larger→smaller; m(u) = min smaller
+        # neighbor; every smaller neighbor AND u itself link to m(u).
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        j = e.join(m, "u")
+        nbrs = j.select(F.col("v").alias("x"), F.col("m").alias("y"))
+        self_link = m.select(F.col("u").alias("x"), F.col("m").alias("y"))
+        return (
+            nbrs.union(self_link)
+            .where(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("u"),
+                    F.least("x", "y").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        changed = (
+            new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count()
+            + edges.join(new_edges, ["u", "v"], "left_anti").limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+
+    # at fixpoint the edge set is a star forest: (member, root) rows
+    comp = edges.groupBy("u").agg(F.min("v").alias("comp"))
+    roots = (
+        edges.select(F.col("v").alias("u")).distinct()
+        .join(edges.select("u"), "u", "left_anti")
+        .withColumn("comp", F.col("u"))
+    )
+    return comp.union(roots).groupBy(F.col("u").alias("node")).agg(
+        F.min("comp").alias("comp")
+    )

@@ -257,3 +257,28 @@ class TestRollingFingerprint:
         [r] = text.rolling_fingerprint(df, k=3).collect()
         exp = int(hashlib.md5(b"xy").hexdigest()[:8], 16) % ((1 << 31) - 1)
         assert (r["fingerprint"], r["n_grams"]) == (exp, 0)
+
+
+class TestConnectedComponentsStar:
+    def test_equivalent_to_label_propagation(self, spark):
+        import random
+        random.seed(11)
+        edges = [(random.randrange(40), random.randrange(40))
+                 for _ in range(35)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a_id bigint, b_id bigint")
+        simple = {r["node"]: r["comp"]
+                  for r in dedup.connected_components(df).collect()}
+        star = {r["node"]: r["comp"]
+                for r in dedup.connected_components_star(df).collect()}
+        assert simple == star
+
+    def test_long_chain_needs_log_rounds(self, spark):
+        # diameter-60 chain: label propagation would need 60 rounds;
+        # star must finish inside 8
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], "a_id bigint, b_id bigint"
+        )
+        out = {r["node"]: r["comp"]
+               for r in dedup.connected_components_star(chain, max_iter=8).collect()}
+        assert len(out) == 61 and set(out.values()) == {0}
