@@ -29,6 +29,7 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "rolling_fingerprint",
+    "winnow_sketch",
     "lang_scores",
     "lang_id",
     "STOPWORDS",
@@ -185,4 +186,61 @@ def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
     return grams.groupBy(id_col).agg(
         F.coalesce(F.min("_hg"), F.min("_h")).alias("fingerprint"),
         F.count("_hg").alias("n_grams"),
+    )
+
+
+def winnow_sketch(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3, w: int = 4,
+                  base: int = 1_000_003,
+                  mod: int = (1 << 31) - 1) -> DataFrame:
+    """Full winnowing sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    the DISTINCT set of per-window minima over sliding windows of
+    ``w`` consecutive k-gram hashes — guarantees any shared substring
+    of length ≥ k + w − 1 tokens contributes a common fingerprint, so
+    two documents' sketch overlap lower-bounds their shared passages
+    (:func:`rolling_fingerprint` keeps only the global minimum — one
+    value per doc; this keeps the whole sketch).
+
+    Same exploded + window plan as rolling_fingerprint plus ONE more
+    frame aggregation (min over ROWS [0, w-1]) — still a single
+    shuffle on the doc id reused by every window step.  Trailing
+    windows shorter than ``w`` are included (frame semantics at the
+    partition edge), identically in any SQL engine replaying the same
+    frame.
+
+    Returns distinct (id_col, fp) rows.
+    """
+    from pyspark.sql import Window
+
+    coef = [pow(base, k - 1 - i, mod) for i in range(k)]
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_p", "_tok"),
+    )
+    hashed = ex.withColumn(
+        "_h",
+        F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long") % mod,
+    )
+    wo = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.col("_h")] + [
+        F.lead("_h", i).over(wo).alias(f"_h{i}") for i in range(1, k)
+    ]
+    grams = hashed.select(F.col(id_col), F.col("_p"), *leads)
+    terms = [(F.col("_h") if i == 0 else F.col(f"_h{i}")) * coef[i] % mod
+             for i in range(k)]
+    poly = terms[0]
+    for t in terms[1:]:
+        poly = poly + t
+    complete = F.lit(True)
+    for i in range(1, k):
+        complete = complete & F.col(f"_h{i}").isNotNull()
+    grams = grams.withColumn("_hg", F.when(complete, poly % mod)).where(
+        F.col("_hg").isNotNull()
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.select(F.col(id_col), F.min("_hg").over(frame).alias("fp"))
+        .distinct()
     )

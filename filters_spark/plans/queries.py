@@ -2101,9 +2101,7 @@ def rel_q22_inactive_customers(spark, sf_dir):
     )
 
 
-@register(
-    "ds_dedup_components",
-    oracle="""
+_COMPONENTS_ORACLE = """
     WITH RECURSIVE tok AS (
       SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
       FROM documents
@@ -2132,8 +2130,10 @@ def rel_q22_inactive_customers(spark, sf_dir):
            CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
              AS comp_size
     FROM comp
-    """,
-)
+    """
+
+
+@register("ds_dedup_components", oracle=_COMPONENTS_ORACLE)
 def ds_dedup_components(spark, sf_dir):
     """Near-dup CLUSTERING: jaccard candidate pairs → connected
     components via iterative min-label propagation (pure DataFrame
@@ -2564,3 +2564,80 @@ def prof_top_values(spark, sf_dir):
         counts.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
     )
+
+
+@register("ds_dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def ds_dedup_components_star(spark, sf_dir):
+    """Same contract as ds_dedup_components but clustered with the
+    O(log n)-round large-star/small-star algorithm
+    (dedup.connected_components_star) — the variant that survives
+    long-chain components at 100 TB.  Shares the recursive-CTE
+    oracle: both implementations must produce identical components,
+    and the hash check proves it on real data."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "toks", block_col="source", threshold=0.9
+    ).select("a_id", "b_id")
+    comp = dedup.connected_components_star(pairs)
+    w = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        F.count("*").over(w).alias("comp_size"),
+    )
+
+
+def _winnow_oracle(k: int = 3, w: int = 4, base: int = 1_000_003,
+                   mod: int = (1 << 31) - 1) -> str:
+    """Winnow-sketch oracle: same gram hashes as the fingerprint
+    oracle plus a min over the ROWS [0, w-1] frame, distinct."""
+    coef = [pow(base, k - 1 - i, mod) for i in range(k)]
+    leads = ",\n             ".join(
+        f"lead(h, {i}) OVER (PARTITION BY doc_id ORDER BY p) AS h{i}"
+        for i in range(1, k)
+    )
+    notnull = " AND ".join(f"h{i} IS NOT NULL" for i in range(1, k))
+    terms = " + ".join(
+        [f"(h * {coef[0]}) % {mod}"]
+        + [f"(h{i} * {coef[i]}) % {mod}" for i in range(1, k)]
+    )
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, p,
+             ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT % {mod} AS h
+      FROM ex
+    ),
+    g AS (
+      SELECT doc_id, p, h,
+             {leads}
+      FROM h
+    ),
+    hg AS (
+      SELECT doc_id, p, ({terms}) % {mod} AS hg
+      FROM g WHERE {notnull}
+    )
+    SELECT DISTINCT doc_id,
+           min(hg) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+             AS fp
+    FROM hg
+    """
+
+
+@register("txt_winnow_sketch", oracle=_winnow_oracle())
+def txt_winnow_sketch(spark, sf_dir):
+    """Full winnowing sketch (SURVEY §2.9 fingerprinting): distinct
+    window-minima of rolling k-gram hashes — any shared passage of
+    ≥ k+w−1 tokens between two documents forces a common fingerprint,
+    so sketch intersection detects partial plagiarism/quotation that
+    whole-doc hashes miss.  Hash-checked: identical modular
+    arithmetic and frame semantics replay in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return text.winnow_sketch(d, "doc_id", "text", k=3, w=4)
