@@ -2641,3 +2641,61 @@ def txt_winnow_sketch(spark, sf_dir):
     arithmetic and frame semantics replay in DuckDB."""
     d = _t(spark, sf_dir, "documents")
     return text.winnow_sketch(d, "doc_id", "text", k=3, w=4)
+
+
+@register(
+    "rel_sliding_window",
+    oracle="""
+    WITH placed AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+               - to_days(off) AS win_start,
+             value
+      FROM events, unnest([0, 1]) AS t(off)
+      WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) - to_days(off)
+            + INTERVAL 2 DAY > ts
+    )
+    SELECT win_start, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM placed GROUP BY win_start
+    """,
+)
+def rel_sliding_window(spark, sf_dir):
+    """Sliding/hopping window (2-day windows, 1-day hop): every event
+    lands in exactly two overlapping windows — F.window handles the
+    row duplication engine-side; the oracle places each row into its
+    two candidate windows explicitly.  Window starts align to UTC
+    midnight so both engines agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("win"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "n", "total_value")
+    )
+
+
+@register(
+    "prof_histogram",
+    oracle="""
+    SELECT CAST(floor((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def prof_histogram(spark, sf_dir):
+    """Fixed-width histogram profiling (floor arithmetic, not
+    width_bucket, so any engine replays it): account balances in
+    1000-unit buckets from -1000.  One scan, one low-cardinality
+    groupBy — the profiling primitive that scales to any row count."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.floor((F.col("c_acctbal") - F.lit(-1000.0)) / F.lit(1000.0))
+    return (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.min("c_acctbal"), 2).alias("lo"),
+             F.round(F.max("c_acctbal"), 2).alias("hi"))
+    )
