@@ -242,3 +242,51 @@ class TestStreamStaticJoin:
         assert out.where(
             (F.col("user_id") % 2 == 0) & (F.col("user_tier") != "even")
         ).count() == 0
+
+
+class TestStreamingMetrics:
+    def test_foreach_batch_metrics_table(self, spark, event_stream):
+        """Per-micro-batch error-code metrics appended to a parquet
+        table from inside foreachBatch — the LogHandler-style metrics
+        sink; totals must equal the batch rollup."""
+        import os
+        tmp = tempfile.mkdtemp(prefix="fsmet_")
+        metrics_p = f"{tmp}/metrics"
+
+        def write_metrics(batch_df, batch_id):
+            (
+                batch_df.where(F.size(ERRORS_COL) > 0)
+                .select(F.explode(ERRORS_COL).alias("e"))
+                .groupBy(F.col("e.field").alias("field"),
+                         F.col("e.code").alias("code"))
+                .agg(F.count("*").alias("n"))
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append").parquet(metrics_p)
+            )
+
+        validated = st.validate_stream(event_stream, EVENT_SCHEMA)
+        q = (
+            validated.writeStream.foreachBatch(write_metrics)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r["field"], r["code"]): r["total"]
+            for r in spark.read.parquet(metrics_p)
+            .groupBy("field", "code").agg(F.sum("n").alias("total"))
+            .collect()
+        }
+        batch = EVENT_SCHEMA.validate(
+            spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        exp = {
+            (r["field"], r["code"]): r["count"]
+            for r in batch.error_code_counts().collect()
+        }
+        assert got == exp and len(got) > 0
+        shutil.rmtree(tmp, ignore_errors=True)
