@@ -43,6 +43,7 @@ __all__ = [
     "repartition_for_media",
     "decode_images",
     "extract_image_features",
+    "resample_audio",
     "sample_video_frames",
     "STRICT_CODECS",
 ]
@@ -208,5 +209,46 @@ def sample_video_frames(df: DataFrame, media_col: str = "media",
                     row.update(frame_idx=i, frame_ts_ms=ts, frame=frame)
                     rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resample_audio(df: DataFrame, media_col: str = "media",
+                   target_rate: int = 16_000,
+                   strict: bool | None = None) -> DataFrame:
+    """Audio resample to ``target_rate``: (…, media) → (…, samples
+    binary, out_rate, n_samples).  Same contract as the image/video
+    codecs: Arrow-batched mapInPandas, payload crosses to Python once,
+    strictness captured driver-side.  The stub synthesizes a
+    deterministic PCM-shaped byte stream whose LENGTH follows the real
+    resample arithmetic (duration × target_rate × 2 bytes), so
+    downstream partition/size logic is exercised honestly; a
+    torchaudio/ffmpeg body slots into the identical signature."""
+    strict_flag = STRICT_CODECS if strict is None else strict
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("samples", T.BinaryType()),
+        T.StructField("out_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            samples, rates, counts = [], [], []
+            for m in pdf[media_col]:
+                if m is None or m["payload"] is None:
+                    samples.append(None); rates.append(None); counts.append(None)
+                    continue
+                if strict_flag:
+                    raise NotImplementedError(
+                        "audio resample requires torchaudio/ffmpeg in the image"
+                    )
+                dur_ms = int(m["meta"]["duration_ms"] or 1000)
+                n = dur_ms * target_rate // 1000
+                seed = hashlib.md5(bytes(m["payload"])).digest()
+                pcm = (seed * (2 * n // len(seed) + 1))[: 2 * n]
+                samples.append(pcm); rates.append(target_rate); counts.append(n)
+            yield pdf.assign(samples=samples, out_rate=rates, n_samples=counts)
 
     return df.mapInPandas(run, out_schema)

@@ -70,3 +70,34 @@ class TestRepartition:
         out = mm.repartition_for_media(df, target_bytes_per_task=10_000,
                                        sample_fraction=1.0)
         assert out.rdd.getNumPartitions() == 10  # 100 rows × 1000 B / 10 kB
+
+
+class TestAudioResample:
+    def test_resample_length_arithmetic(self, spark):
+        import pyspark.sql.functions as F
+        from filters_spark.functions import multimodal as mm
+
+        df = spark.createDataFrame(
+            [(1, b"\x01\x02\x03four"), (2, None)], "id bigint, payload binary"
+        )
+        media = mm.attach_meta(df, "payload", "audio/wav").withColumn(
+            "media",
+            F.col("media").withField("meta.duration_ms", F.lit(500).cast("bigint")),
+        )
+        out = {r["id"]: r for r in mm.resample_audio(media, target_rate=16000).collect()}
+        # 500 ms at 16 kHz → 8000 samples → 16000 PCM bytes
+        assert out[1]["n_samples"] == 8000
+        assert len(out[1]["samples"]) == 16000
+        assert out[1]["out_rate"] == 16000
+        assert out[2]["samples"] is None and out[2]["n_samples"] is None
+
+    def test_strict_raises(self, spark):
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from filters_spark.functions import multimodal as mm
+
+        df = spark.createDataFrame([(1, b"x")], "id bigint, payload binary")
+        media = mm.attach_meta(df, "payload", "audio/wav")
+        with _pytest.raises(Exception) as ei:
+            mm.resample_audio(media, strict=True).collect()
+        assert "NotImplementedError" in str(ei.value) or "torchaudio" in str(ei.value)
