@@ -58,7 +58,7 @@ from .operators.string import (
     Uuid,
 )
 from .operators.temporal import Date, Datetime
-from .operators.complex import AsStruct, Each, Item, Nested, Omit, Pick, Switch
+from .operators.complex import AsStruct, Each, EachValue, Item, Nested, Omit, Pick, Switch
 from .operators import udf
 from .extensions import registry as ext
 from . import macros
@@ -74,6 +74,6 @@ __all__ = [
     "Strip", "CaseFold", "Split", "Regex", "Matches", "MaxBytes", "Base64Decode",
     "Uuid", "ByteString", "Unicode", "IpAddress", "JsonDecode",
     "Date", "Datetime",
-    "Each", "Nested", "Switch", "AsStruct", "Item", "Omit", "Pick",
+    "Each", "EachValue", "Nested", "Switch", "AsStruct", "Item", "Omit", "Pick",
     "udf", "ext", "macros",
 ]

@@ -22,7 +22,7 @@ from ..core import (
     null_error,
 )
 
-__all__ = ["Each", "Nested", "Switch", "AsStruct", "Item", "Omit", "Pick"]
+__all__ = ["Each", "EachValue", "Nested", "Switch", "AsStruct", "Item", "Omit", "Pick"]
 
 
 def _field_str(field: FieldRef) -> Column:
@@ -236,3 +236,54 @@ class AsStruct(Validator):
             v, e = self.nested.build(built, err, field)
             return v, e
         return F.when(err.isNull(), built), err
+
+
+class EachValue(Validator):
+    """Apply one chain to every VALUE of a map column — the mapping
+    leg of the reference's ``FilterRepeater`` (the array leg is
+    :class:`Each`).  Error keys are ``<field>.<map key>``; the field's
+    own error is the first element error in SORTED-KEY order (maps are
+    unordered, so key order is the only deterministic choice — the
+    reference iterates dict insertion order, which Spark maps don't
+    have).  Invalid values become NULL holes, keys are preserved.
+
+    Pure ``transform_values``/``map_filter`` higher-order expressions:
+    JVM-side per entry, no explode, no shuffle.
+    """
+
+    name = "each_value"
+    preserves_type = False
+
+    def __init__(self, chain: ValidatorLike):
+        self.chain = coerce(chain)
+
+    def _pairs(self, col: Column, field: FieldRef) -> Column:
+        fcol = _field_str(field)
+
+        def one(k: Column, v: Column) -> Column:
+            elem_field = F.concat(fcol, F.lit("."), k.cast("string"))
+            val, e = self.chain.build(v, null_error(), elem_field)
+            return F.struct(val.alias("value"), e.alias("error"))
+
+        return F.transform_values(col, one)
+
+    def transform(self, col: Column) -> Column:
+        return F.transform_values(
+            self._pairs(col, "x"),
+            lambda k, p: F.when(p["error"].isNull(), p["value"]),
+        )
+
+    def build(self, col: Column, err: Column, field: FieldRef):
+        pairs = self._pairs(col, field)
+        cleaned = F.transform_values(
+            pairs, lambda k, p: F.when(p["error"].isNull(), p["value"])
+        )
+        err_map = F.map_filter(pairs, lambda k, p: p["error"].isNotNull())
+        err_keys = F.array_sort(F.map_keys(err_map))
+        first_err = F.when(
+            F.size(err_keys) > 0,
+            F.element_at(err_map, F.element_at(err_keys, 1))["error"],
+        )
+        new_err = F.coalesce(err, first_err)
+        new_col = F.when(err.isNull(), cleaned)
+        return new_col, new_err

@@ -211,3 +211,42 @@ class TestProjectionExtensions:
             spark, chain, [{"name": "  ok  "}], "struct<name:string>"
         )
         assert code is None and clean == "ok"
+
+
+class TestEachValue:
+    def test_map_values_validated(self, spark):
+        from filters_spark.core import null_error
+
+        df = spark.createDataFrame(
+            [(1, {"a": 5.0, "b": 150.0, "c": 20.0}), (2, None)],
+            "id bigint, scores map<string,double>",
+        )
+        # operator level: invalid value → NULL hole, keys preserved
+        c, e = fs.EachValue(fs.Max(100.0)).build(
+            F.col("scores"), null_error(), "scores"
+        )
+        rows = {r["id"]: r
+                for r in df.select("id", c.alias("clean"), e.alias("err")).collect()}
+        assert rows[1]["clean"] == {"a": 5.0, "b": None, "c": 20.0}
+        assert rows[1]["err"]["code"] == "too_big"
+        assert rows[1]["err"]["field"] == "scores.b"
+        # None map passes through untouched (reference None-passthrough)
+        assert rows[2]["clean"] is None and rows[2]["err"] is None
+
+        # schema level: an errored field's cleaned value is None —
+        # same contract as Each/FilterMapper invalid→None
+        res = fs.ValidationSchema({
+            "scores": fs.EachValue(fs.Max(100.0)),
+        }).validate(df)
+        srows = {r["id"]: r for r in res.validated.collect()}
+        assert srows[1]["scores"] is None
+        assert [er["field"] for er in srows[1][ERRORS_COL]] == ["scores.b"]
+        assert srows[2]["scores"] is None and len(srows[2][ERRORS_COL]) == 0
+
+    def test_first_error_sorted_key_order(self, spark):
+        df = spark.createDataFrame(
+            [(1, {"z": -1.0, "a": -2.0})], "id bigint, m map<string,double>"
+        )
+        res = fs.ValidationSchema({"m": fs.EachValue(fs.Min(0.0))}).validate(df)
+        [r] = res.validated.collect()
+        assert r[ERRORS_COL][0]["field"] == "m.a"  # sorted-key first
