@@ -105,6 +105,12 @@ EXPECTATIONS: dict[str, dict] = {
     "val_decimal_exact_agg": dict(max_exchanges=3),
     # profiling: per-column agg + rank over |distinct values|
     "prof_top_values": dict(max_exchanges=3),
+    # winnow sketch: one shuffle on doc id reused by lead + frame +
+    # distinct adds its own exchange
+    "txt_winnow_sketch": dict(max_exchanges=2),
+    # sliding window duplicates rows into 2 windows then one agg
+    "rel_sliding_window": dict(max_exchanges=1),
+    "prof_histogram": dict(max_exchanges=1),
 }
 
 
