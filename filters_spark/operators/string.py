@@ -33,7 +33,11 @@ __all__ = [
 
 # Java regex class matching the reference's "unprintable" strip set
 # (\p{C} = control/format/unassigned/private-use).
-_UNPRINTABLE = r"[\p{Cntrl}\p{Cf}\p{Co}\p{Cn}]"
+# \p{Cc} (Unicode Control), NOT POSIX \p{Cntrl}: the POSIX class is
+# ASCII-only and misses C1 controls U+0080-U+009F, which the
+# reference strips (Python: unicodedata category C*) — caught by the
+# Strip property test against the pure-Python oracle
+_UNPRINTABLE = r"[\p{Cc}\p{Cf}\p{Co}\p{Cn}]"
 
 
 class Strip(Validator):
@@ -59,7 +63,7 @@ class Strip(Validator):
         if self.strip_unprintable:
             # when the user pattern is itself one char-class run (the
             # default [\s]+ is), fold the unprintable class INTO it —
-            # [\s\p{Cntrl}…]+ has no nested quantifiers, so the regex
+            # [\s\p{Cc}…]+ has no nested quantifiers, so the regex
             # engine scans without alternation backtracking
             lead_in, trail_in = self._merge_class(lead), self._merge_class(trail)
             unp_in = _UNPRINTABLE[1:-1]
@@ -293,7 +297,7 @@ class Unicode(Validator):
             return s
         s = F.regexp_replace(s, "\\r\\n|\\r", "\n")
         # remove unprintables except \n and \t
-        return F.regexp_replace(s, r"[\p{Cntrl}\p{Cf}\p{Co}\p{Cn}&&[^\n\t]]", "")
+        return F.regexp_replace(s, r"[\p{Cc}\p{Cf}\p{Co}\p{Cn}&&[^\n\t]]", "")
 
 
 _IPV4_RE = (

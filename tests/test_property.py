@@ -101,3 +101,43 @@ def test_decimal_finite_property(spark, values):
         else:
             assert code is None
             assert abs(float(clean) - v) <= max(1e-6, abs(v) * 1e-9)
+
+
+def python_strip_oracle(s):
+    """Reference Strip semantics: remove leading/trailing runs of
+    whitespace or unprintable (C-category) characters."""
+    import unicodedata
+
+    if s is None:
+        return None
+
+    def strippable(ch):
+        return ch.isspace() or unicodedata.category(ch).startswith("C")
+
+    start, end = 0, len(s)
+    while start < end and strippable(s[start]):
+        start += 1
+    while end > start and strippable(s[end - 1]):
+        end -= 1
+    return s[start:end]
+
+
+@given(st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            # printable + whitespace + a few control/format chars so the
+            # class-merge fast path faces real strippables
+            categories=("L", "N", "P", "Zs", "Cc", "Cf"),
+        ),
+        max_size=12,
+    ) | st.none(),
+    min_size=1, max_size=40,
+))
+@settings(**SETTINGS)
+def test_strip_matches_python_oracle(spark, values):
+    got = run_chain(spark, fs.Strip(), values, "string")
+    for v, (clean, code) in zip(values, got):
+        exp = python_strip_oracle(v)
+        assert code is None
+        assert clean == exp, (repr(v), repr(clean), repr(exp))
