@@ -2699,3 +2699,49 @@ def prof_histogram(spark, sf_dir):
              F.round(F.min("c_acctbal"), 2).alias("lo"),
              F.round(F.max("c_acctbal"), 2).alias("hi"))
     )
+
+
+@register(
+    "rel_q2_cheapest_supplier",
+    oracle="""
+    WITH supp_price AS (
+      SELECT l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 2) AS avg_unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY avg_unit_price, l_suppkey) AS rk
+      FROM supp_price
+    )
+    SELECT p_partkey, p_brand, s_name, avg_unit_price
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rk = 1 AND p_size <= 3
+    """,
+)
+def rel_q2_cheapest_supplier(spark, sf_dir):
+    """TPC-H Q2 shape, adapted (no partsupp): the cheapest supplier
+    per part by observed average unit price — the correlated-min
+    subquery decorrelated into a window rank over the PRE-AGGREGATED
+    (part, supplier) rollup, argmin ties broken by suppkey.  The
+    p_size filter prunes parts BEFORE the broadcast joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 3)
+    s = _t(spark, sf_dir, "supplier")
+    supp_price = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2)
+             .alias("avg_unit_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("avg_unit_price", "l_suppkey")
+    best = (
+        supp_price.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "avg_unit_price")
+    )

@@ -111,6 +111,9 @@ EXPECTATIONS: dict[str, dict] = {
     # sliding window duplicates rows into 2 windows then one agg
     "rel_sliding_window": dict(max_exchanges=1),
     "prof_histogram": dict(max_exchanges=1),
+    # q2: (part,supp) rollup shuffle reused by the argmin window
+    "rel_q2_cheapest_supplier": dict(max_exchanges=2, min_broadcasts=2,
+                                     scan_filter=True),
 }
 
 
