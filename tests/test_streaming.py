@@ -290,3 +290,25 @@ class TestStreamingMetrics:
         }
         assert got == exp and len(got) > 0
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestUpdateMode:
+    def test_update_mode_emits_open_windows(self, spark, event_stream):
+        """UPDATE output mode emits every changed window per batch —
+        including windows the watermark has not finalized (which
+        APPEND would hold back).  With one availableNow pass over the
+        events file, update mode must emit ALL windows while append
+        emits only those already past the watermark."""
+        counts = (
+            event_stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+        )
+        run_to_memory(counts, "t_upd", output_mode="update")
+        run_to_memory(counts, "t_app", output_mode="append")
+        upd = spark.sql("select * from t_upd").count()
+        app = spark.sql("select * from t_app").count()
+        assert upd > app  # the open tail window(s) appear only in update
+        # and update-mode totals cover every event exactly once
+        total = spark.sql("select sum(n) as s from t_upd").head()["s"]
+        assert total == 1000
