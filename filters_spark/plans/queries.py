@@ -1377,14 +1377,49 @@ def prof_quantiles(spark, sf_dir):
     )
 
 
-@register("ds_multimodal_features", oracle=None)  # rows-only: stub codecs aren't SQL-expressible
+@register(
+    "ds_multimodal_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    dims AS (
+      SELECT doc_id, text, (n % 64 + 16) AS w, (n % 48 + 16) AS h FROM d
+    ),
+    bytes AS (
+      SELECT doc_id, w, h, unnest(range(0, 16)) AS i,
+             md5(text) AS hx
+      FROM dims
+    ),
+    counted AS (
+      SELECT doc_id, w, h,
+             sum(CASE WHEN ('0x' || substr(hx, 2*i + 1, 2))::INT % 8 = 0
+                      THEN ((w*h - i - 1) // 16) + 1 ELSE 0 END) AS b0
+      FROM bytes GROUP BY doc_id, w, h
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS out_width, CAST(h AS INT) AS out_height,
+           round((CAST(b0 AS DOUBLE) / (w*h))::FLOAT::DOUBLE, 6) AS f0,
+           CAST(8 AS INT) AS n_features
+    FROM counted
+    """,
+)
 def ds_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end to end (SURVEY §2.9 multimodal row):
     documents.text → fake binary payload → media struct (typed meta)
     → mapInPandas decode (deterministic stub) → byte-histogram
     features.  Exercises the real Spark side — schema, Arrow batch
     transfer, per-batch decode, fixed-width feature output — with the
-    codec body stubbed (decode libs not in this container)."""
+    codec body stubbed (decode libs not in this container).
+
+    HASH-CHECKED even so: the stub codec is md5-derived, so the
+    oracle replays it in closed form — pixel stream = md5 keystream
+    repeated to w×h, so digest byte i occurs ⌊(wh−i−1)/16⌋+1 times
+    and the histogram needs 16 rows per doc, not w×h.  The f0 feature
+    is quantized through FLOAT on both sides before the 6-dp round
+    (features are array<float>; rounding the f64 quotient directly
+    would flap at grid boundaries)."""
     from ..functions import multimodal as mm
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -1394,7 +1429,7 @@ def ds_multimodal_features(spark, sf_dir):
     feats = mm.extract_image_features(decoded, dim=8)
     return feats.select(
         "doc_id", "out_width", "out_height",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
         F.size("features").alias("n_features"),
     )
 
