@@ -2780,3 +2780,46 @@ def rel_q2_cheapest_supplier(spark, sf_dir):
         .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
         .select("p_partkey", "p_brand", "s_name", "avg_unit_price")
     )
+
+
+@register(
+    "val_call_udf",
+    oracle="""
+    SELECT CAST(json_extract_string(
+             concat('{"tag":"', o_orderstatus, '-', o_orderpriority, '"}'),
+             '$.tag') AS VARCHAR) AS tag,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def val_call_udf(spark, sf_dir):
+    """The reference's arbitrary-callable surface (§2.8 Call) INSIDE
+    the correctness gate: a pandas-UDF Call whose Python body is a
+    pure string computation the oracle replays in SQL — proving the
+    Arrow-batched UDF path (None-propagation, staged single
+    evaluation) produces exactly the declared per-value semantics,
+    not just plausible ones.  Arbitrary bodies obviously can't all be
+    SQL-replayed; this pins the MACHINERY."""
+    import json
+
+    import filters_spark as fs
+    from ..operators.udf import Call
+
+    o = _t(spark, sf_dir, "orders")
+    combined = o.select(
+        F.concat(F.col("o_orderstatus"), F.lit("-"),
+                 F.col("o_orderpriority")).alias("tag_raw")
+    )
+
+    def via_json(s: str) -> str:
+        # deliberately Python-only shaped body (dict + json round trip)
+        return json.loads(json.dumps({"tag": s}))["tag"]
+
+    res = fs.ValidationSchema({
+        "tag_raw": Call(via_json, return_type="string"),
+    }).validate(combined)
+    return (
+        res.clean.groupBy(F.col("tag_raw").alias("tag"))
+        .agg(F.count("*").alias("n"))
+    )
