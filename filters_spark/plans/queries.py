@@ -2823,3 +2823,85 @@ def val_call_udf(spark, sf_dir):
         res.clean.groupBy(F.col("tag_raw").alias("tag"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "ds_lsh_recall",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+             )) AS shingles
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             list_transform(range(0, 16),
+               s -> list_aggregate(
+                      list_transform(shingles, x -> md5(s::VARCHAR || '|' || x)),
+                      'min')) AS sig
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS key
+      FROM sig, range(0, 8) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    lsh AS (
+      SELECT count(*) AS n_lsh FROM (
+        SELECT len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))) AS j
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id
+      ) WHERE j >= 0.8
+    ),
+    exact AS (
+      SELECT count(*) AS n_exact FROM (
+        SELECT len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE j >= 0.8
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           round(CAST(n_lsh AS DOUBLE) / n_exact, 4) AS recall
+    FROM exact, lsh
+    """,
+)
+def ds_lsh_recall(spark, sf_dir):
+    """Approximation QUALITY measured inside the engine: recall of the
+    MinHash-LSH candidate pipeline against exact all-pairs shingle
+    jaccard at the same threshold.  LSH-verified pairs are a subset of
+    the exact set by construction (the verify step computes the exact
+    jaccard), so recall = n_lsh / n_exact — the number that tells you
+    whether 16 hashes × 8 bands is enough before trusting the ANN
+    path at scale.  Ground truth is bounded-quadratic; run it at
+    sample scale, never on the full corpus."""
+    d = _t(spark, sf_dir, "documents")
+    shingled = d.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    exact = dedup.jaccard_pairs(shingled, "doc_id", "sh", threshold=0.8)
+    lsh = dedup.minhash_dedup_pairs(
+        d, "doc_id", "text", shingle_k=3, n_hashes=16, n_bands=8, threshold=0.8
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    return n_exact.crossJoin(n_lsh).select(
+        "n_exact", "n_lsh",
+        F.round(F.col("n_lsh").cast("double") / F.col("n_exact"), 4)
+        .alias("recall"),
+    )
