@@ -448,6 +448,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -468,8 +469,17 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a partially-propagated labeling silently splits real
+        # components — never return it
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the cap); raise max_iter or use "
+            "connected_components_star (O(log n) rounds)"
+        )
     return labels
 
 
@@ -500,6 +510,14 @@ def connected_components_star(pairs: DataFrame, a_col: str = "a_id",
     Returns (node, comp) — identical contract (and, by determinism of
     min, identical output) to :func:`connected_components`.
     """
+    # every node mentioned in ANY pair (incl. self-pairs) must appear
+    # in the output — same contract as connected_components
+    all_nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .union(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     # canonical undirected storage: one row per edge, u > v
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -541,6 +559,7 @@ def connected_components_star(pairs: DataFrame, a_col: str = "a_id",
             .distinct()
         )
 
+    converged = False
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint()
         changed = (
@@ -549,15 +568,30 @@ def connected_components_star(pairs: DataFrame, a_col: str = "a_id",
         )
         edges = new_edges
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — rounds grow with log(n); raise max_iter"
+        )
 
-    # at fixpoint the edge set is a star forest: (member, root) rows
+    # at fixpoint the edge set is a star forest: (member, root) rows;
+    # nodes with no surviving edge (isolated / self-pair-only) are
+    # their own component
     comp = edges.groupBy("u").agg(F.min("v").alias("comp"))
+    in_edges = edges.select("u").union(edges.select(F.col("v").alias("u")))
+    isolated = (
+        all_nodes.join(in_edges.distinct(),
+                       all_nodes.node == F.col("u"), "left_anti")
+        .select(F.col("node").alias("u"))
+        .withColumn("comp", F.col("u"))
+    )
     roots = (
         edges.select(F.col("v").alias("u")).distinct()
         .join(edges.select("u"), "u", "left_anti")
         .withColumn("comp", F.col("u"))
     )
-    return comp.union(roots).groupBy(F.col("u").alias("node")).agg(
-        F.min("comp").alias("comp")
-    )
+    return comp.union(roots).union(isolated).groupBy(
+        F.col("u").alias("node")
+    ).agg(F.min("comp").alias("comp"))

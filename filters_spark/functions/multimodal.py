@@ -134,8 +134,10 @@ def decode_images(df: DataFrame, media_col: str = "media",
                 if m is None or m["payload"] is None:
                     pixels.append(None); ws.append(None); hs.append(None)
                     continue
-                w = int(m["meta"]["width"] or 16)
-                h = int(m["meta"]["height"] or 16)
+                # explicit None checks: 0 is a legitimate dimension
+                # (degenerate but honest), not a missing one
+                w = 16 if m["meta"]["width"] is None else int(m["meta"]["width"])
+                h = 16 if m["meta"]["height"] is None else int(m["meta"]["height"])
                 pixels.append(_decode_image(bytes(m["payload"]), w, h, strict_flag))
                 ws.append(w); hs.append(h)
             pdf = pdf.assign(pixels=pixels, out_width=ws, out_height=hs)
@@ -201,7 +203,8 @@ def sample_video_frames(df: DataFrame, media_col: str = "media",
                     raise NotImplementedError(
                         "video frame extraction requires ffmpeg in the image"
                     )
-                dur = int(m["meta"]["duration_ms"] or 3000)
+                dur = (3000 if m["meta"]["duration_ms"] is None
+                       else int(m["meta"]["duration_ms"]))
                 payload = bytes(m["payload"])
                 for i, ts in enumerate(range(0, dur, every_ms)):
                     frame = hashlib.md5(payload + _struct.pack("<q", ts)).digest()
@@ -244,7 +247,8 @@ def resample_audio(df: DataFrame, media_col: str = "media",
                     raise NotImplementedError(
                         "audio resample requires torchaudio/ffmpeg in the image"
                     )
-                dur_ms = int(m["meta"]["duration_ms"] or 1000)
+                dur_ms = (1000 if m["meta"]["duration_ms"] is None
+                          else int(m["meta"]["duration_ms"]))
                 n = dur_ms * target_rate // 1000
                 seed = hashlib.md5(bytes(m["payload"])).digest()
                 pcm = (seed * (2 * n // len(seed) + 1))[: 2 * n]

@@ -135,31 +135,21 @@ def lang_id(col: Column, sep: str = " ") -> Column:
     return out
 
 
-def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", k: int = 3,
-                        base: int = 1_000_003,
-                        mod: int = (1 << 31) - 1) -> DataFrame:
-    """Winnowing-style document fingerprint from ROLLING k-gram
-    hashes: each k consecutive tokens get a polynomial hash
-    ``(h0·B² + h1·B + h2) mod M`` (order-sensitive, unlike token-set
-    jaccard) and the document's fingerprint is the MINIMUM k-gram
-    hash — the min-sampling step of the winnowing scheme
-    (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int,
+                 base: int, mod: int) -> DataFrame:
+    """Shared k-gram hashing stage for the fingerprint family:
+    posexplode tokens → codegen'd md5-prefix hash per token (HOF-free,
+    the measured fast path) → k−1 ``lead()`` window steps per doc →
+    polynomial hash ``Σ h_i·B^(k−1−i) mod M``.  All arithmetic stays
+    below 2^62 (h < 2^31 after mod, coefficients pre-reduced mod M) so
+    int64 never overflows — the same literals replay in any SQL
+    engine (see queries._gram_cte, the oracle twin).
 
-    Plan shape: posexplode tokens → codegen'd md5-prefix hash per
-    token (HOF-free, the measured fast path) → two ``lead()`` window
-    steps per doc (one shuffle on doc id) → min-agg.  All arithmetic
-    stays below 2^62 (h < 2^31 after mod, B powers pre-reduced mod M)
-    so int64 never overflows — the same literals replay in any SQL
-    engine.  Docs shorter than k tokens fall back to the min token
-    hash.
-
-    Returns (id_col, fingerprint, n_grams).
+    Returns (id_col, _p, _h, _hg) with ``_hg`` NULL on the trailing
+    positions that lack a full k-gram.
     """
     from pyspark.sql import Window
 
-    # base^(k-1-i) mod M for position i in the k-gram, pre-reduced so
-    # every product stays below 2^62 (h < 2^31, coefficient < 2^31)
     coef = [pow(base, k - 1 - i, mod) for i in range(k)]
     ex = df.select(
         F.col(id_col),
@@ -173,7 +163,7 @@ def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
     leads = [F.col("_h")] + [
         F.lead("_h", i).over(w).alias(f"_h{i}") for i in range(1, k)
     ]
-    grams = hashed.select(F.col(id_col), *leads)
+    grams = hashed.select(F.col(id_col), F.col("_p"), *leads)
     terms = [(F.col("_h") if i == 0 else F.col(f"_h{i}")) * coef[i] % mod
              for i in range(k)]
     poly = terms[0]
@@ -182,7 +172,27 @@ def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
     complete = F.lit(True)
     for i in range(1, k):
         complete = complete & F.col(f"_h{i}").isNotNull()
-    grams = grams.withColumn("_hg", F.when(complete, poly % mod))
+    return grams.select(
+        F.col(id_col), F.col("_p"), F.col("_h"),
+        F.when(complete, poly % mod).alias("_hg"),
+    )
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        base: int = 1_000_003,
+                        mod: int = (1 << 31) - 1) -> DataFrame:
+    """Winnowing-style document fingerprint from ROLLING k-gram
+    hashes: the document's fingerprint is the MINIMUM polynomial
+    k-gram hash — the min-sampling step of the winnowing scheme
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03); order-sensitive, unlike
+    token-set jaccard.  Docs shorter than k tokens fall back to the
+    min token hash.  Hashing pipeline shared with
+    :func:`winnow_sketch` via ``_gram_hashes``.
+
+    Returns (id_col, fingerprint, n_grams).
+    """
+    grams = _gram_hashes(df, id_col, text_col, k, base, mod)
     return grams.groupBy(id_col).agg(
         F.coalesce(F.min("_hg"), F.min("_h")).alias("fingerprint"),
         F.count("_hg").alias("n_grams"),
@@ -201,40 +211,18 @@ def winnow_sketch(df: DataFrame, id_col: str = "doc_id",
     (:func:`rolling_fingerprint` keeps only the global minimum — one
     value per doc; this keeps the whole sketch).
 
-    Same exploded + window plan as rolling_fingerprint plus ONE more
-    frame aggregation (min over ROWS [0, w-1]) — still a single
-    shuffle on the doc id reused by every window step.  Trailing
-    windows shorter than ``w`` are included (frame semantics at the
-    partition edge), identically in any SQL engine replaying the same
-    frame.
+    Same ``_gram_hashes`` plan plus ONE more frame aggregation (min
+    over ROWS [0, w−1]) — still a single shuffle on the doc id reused
+    by every window step.  Trailing windows shorter than ``w`` are
+    included (frame semantics at the partition edge), identically in
+    any SQL engine replaying the same frame.  Docs shorter than k
+    tokens have no grams and are absent from the sketch.
 
     Returns distinct (id_col, fp) rows.
     """
     from pyspark.sql import Window
 
-    coef = [pow(base, k - 1 - i, mod) for i in range(k)]
-    ex = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("_p", "_tok"),
-    )
-    hashed = ex.withColumn(
-        "_h",
-        F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long") % mod,
-    )
-    wo = Window.partitionBy(id_col).orderBy("_p")
-    leads = [F.col("_h")] + [
-        F.lead("_h", i).over(wo).alias(f"_h{i}") for i in range(1, k)
-    ]
-    grams = hashed.select(F.col(id_col), F.col("_p"), *leads)
-    terms = [(F.col("_h") if i == 0 else F.col(f"_h{i}")) * coef[i] % mod
-             for i in range(k)]
-    poly = terms[0]
-    for t in terms[1:]:
-        poly = poly + t
-    complete = F.lit(True)
-    for i in range(1, k):
-        complete = complete & F.col(f"_h{i}").isNotNull()
-    grams = grams.withColumn("_hg", F.when(complete, poly % mod)).where(
+    grams = _gram_hashes(df, id_col, text_col, k, base, mod).where(
         F.col("_hg").isNotNull()
     )
     frame = (

@@ -42,11 +42,24 @@ _UNPRINTABLE = r"[\p{Cc}\p{Cf}\p{Co}\p{Cn}]"
 
 class Strip(Validator):
     """Strip leading/trailing runs matching regexes; default also
-    removes unprintables (reference ``Strip``)."""
+    removes unprintables (reference ``Strip``).
+
+    The default whitespace class is ``[\\s\\p{Z}]`` — Java's ``\\s``
+    alone is ASCII-only, while the reference's Python ``\\s`` is
+    Unicode-aware (NBSP U+00A0, the U+2000 block, U+3000, line/para
+    separators); ``\\p{Z}`` closes that gap and the unprintable class
+    covers the C0/C1 whitespace controls.
+
+    Unicode-version caveat: ``\\p{Cn}`` (unassigned → stripped)
+    follows the JVM's Unicode tables; characters assigned in a newer
+    Unicode version than the JRE knows are stripped here but kept by
+    a newer Python.  Pin JVM/Python versions across the fleet
+    (SURVEY §4.3.4)."""
 
     name = "strip"
 
-    def __init__(self, leading: str = r"[\s]+", trailing: str = r"[\s]+",
+    def __init__(self, leading: str = r"[\s\p{Z}]+",
+                 trailing: str = r"[\s\p{Z}]+",
                  strip_unprintable: bool = True):
         self.leading = leading
         self.trailing = trailing
@@ -54,9 +67,24 @@ class Strip(Validator):
 
     @staticmethod
     def _merge_class(pat: str) -> str | None:
-        """``[chars]+`` (a single char-class run) → its inner chars."""
+        """``[chars]+`` (a single char-class run) → its inner chars,
+        ONLY when appending another class to the inner text cannot
+        change meaning: a negated class (``[^…]``) would invert the
+        unprintable set, a trailing ``-`` or ``\\`` would form an
+        accidental range/escape with the appended chars, and ``&&``
+        intersections don't distribute over the union.  Those shapes
+        fall back to the (slower, always-correct) alternation form."""
         m = re.fullmatch(r"\[([^\]]*)\]\+", pat)
-        return m.group(1) if m else None
+        if not m:
+            return None
+        inner = m.group(1)
+        if (not inner or inner.startswith("^") or inner.endswith("-")
+                or "&&" in inner):
+            return None
+        # a trailing UNESCAPED backslash would escape the appended char
+        if re.search(r"(?<!\\)(\\\\)*\\$", inner):
+            return None
+        return inner
 
     def transform(self, col: Column) -> Column:
         lead, trail = self.leading, self.trailing

@@ -151,18 +151,36 @@ def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     share a schema; updates must be unique per key (enforce upstream
     with exact_dedup — nondeterministic which duplicate wins
     otherwise).
+
+    NOTE: partially EAGER — one cheap limit-1 job over ``updates``
+    rejects NULL merge keys up front (a NULL key joins to nothing and
+    would surface as an all-NULL output row).  The probe carries an
+    IS NULL pushdown, so parquet stats skip clean files.
     """
-    if base.columns != updates.columns:
+    if base.columns != updates.columns or base.dtypes != updates.dtypes:
         raise ValueError(
-            f"upsert requires identical schemas; base has {base.columns}, "
-            f"updates has {updates.columns}"
+            f"upsert requires identical schemas; base has {base.dtypes}, "
+            f"updates has {updates.dtypes}"
         )
-    u = updates.select([F.col(c).alias(f"_u_{c}") for c in updates.columns])
+    # a NULL merge key never matches anything (SQL join semantics), so
+    # such an update row would surface as an all-NULL output row —
+    # reject it loudly instead
+    if updates.where(F.col(key).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"upsert: updates contain a NULL {key!r} merge key — NULL "
+            "keys cannot match or insert deterministically; filter or "
+            "repair them upstream"
+        )
+    u = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in updates.columns],
+        F.lit(True).alias("_u_present"),
+    )
     joined = base.join(u, base[key] == u[f"_u_{key}"], "full_outer")
     # row-presence dispatch, NOT per-column coalesce: an update row
     # wins wholesale (including its legitimate NULL columns — MERGE
-    # semantics), keyed on the non-null update join key
-    has_update = F.col(f"_u_{key}").isNotNull()
+    # semantics); presence is tracked by a sentinel column, not the
+    # key, so it stays correct whatever the key's own nullability
+    has_update = F.col("_u_present").isNotNull()
     return joined.select([
         F.when(has_update, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
         for c in base.columns

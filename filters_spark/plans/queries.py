@@ -2251,11 +2251,12 @@ def val_variant_path(spark, sf_dir):
     )
 
 
-def _fingerprint_oracle(k: int = 3, base: int = 1_000_003,
-                        mod: int = (1 << 31) - 1) -> str:
-    """Rolling-fingerprint oracle with the polynomial coefficients
-    pre-reduced mod M in Python — the same literals the Spark plan
-    bakes in, so both engines run identical int64 arithmetic."""
+def _gram_cte(k: int, base: int, mod: int) -> str:
+    """Shared oracle CTE prefix replaying text._gram_hashes: token
+    positions, md5-prefix hashes, lead windows, polynomial k-gram
+    hash (NULL on incomplete trailing positions).  One source of
+    truth for both fingerprint oracles — any change to the hashing
+    scheme edits this and _gram_hashes together."""
     coef = [pow(base, k - 1 - i, mod) for i in range(k)]
     leads = ",\n             ".join(
         f"lead(h, {i}) OVER (PARTITION BY doc_id ORDER BY p) AS h{i}"
@@ -2278,15 +2279,20 @@ def _fingerprint_oracle(k: int = 3, base: int = 1_000_003,
       FROM ex
     ),
     g AS (
-      SELECT doc_id, h,
+      SELECT doc_id, p, h,
              {leads}
       FROM h
     ),
     hg AS (
-      SELECT doc_id, h,
+      SELECT doc_id, p, h,
              CASE WHEN {notnull} THEN ({terms}) % {mod} END AS hg
       FROM g
-    )
+    )"""
+
+
+def _fingerprint_oracle(k: int = 3, base: int = 1_000_003,
+                        mod: int = (1 << 31) - 1) -> str:
+    return _gram_cte(k, base, mod) + """
     SELECT doc_id, coalesce(min(hg), min(h)) AS fingerprint,
            CAST(count(hg) AS BIGINT) AS n_grams
     FROM hg GROUP BY doc_id
@@ -2626,43 +2632,12 @@ def ds_dedup_components_star(spark, sf_dir):
 
 def _winnow_oracle(k: int = 3, w: int = 4, base: int = 1_000_003,
                    mod: int = (1 << 31) - 1) -> str:
-    """Winnow-sketch oracle: same gram hashes as the fingerprint
-    oracle plus a min over the ROWS [0, w-1] frame, distinct."""
-    coef = [pow(base, k - 1 - i, mod) for i in range(k)]
-    leads = ",\n             ".join(
-        f"lead(h, {i}) OVER (PARTITION BY doc_id ORDER BY p) AS h{i}"
-        for i in range(1, k)
-    )
-    notnull = " AND ".join(f"h{i} IS NOT NULL" for i in range(1, k))
-    terms = " + ".join(
-        [f"(h * {coef[0]}) % {mod}"]
-        + [f"(h{i} * {coef[i]}) % {mod}" for i in range(1, k)]
-    )
-    return f"""
-    WITH ex AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-             unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
-      FROM documents
-    ),
-    h AS (
-      SELECT doc_id, p,
-             ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT % {mod} AS h
-      FROM ex
-    ),
-    g AS (
-      SELECT doc_id, p, h,
-             {leads}
-      FROM h
-    ),
-    hg AS (
-      SELECT doc_id, p, ({terms}) % {mod} AS hg
-      FROM g WHERE {notnull}
-    )
+    return _gram_cte(k, base, mod) + f"""
     SELECT DISTINCT doc_id,
            min(hg) OVER (PARTITION BY doc_id ORDER BY p
                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
              AS fp
-    FROM hg
+    FROM hg WHERE hg IS NOT NULL
     """
 
 

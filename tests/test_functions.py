@@ -282,3 +282,26 @@ class TestConnectedComponentsStar:
         out = {r["node"]: r["comp"]
                for r in dedup.connected_components_star(chain, max_iter=8).collect()}
         assert len(out) == 61 and set(out.values()) == {0}
+
+
+class TestComponentsEdgeCases:
+    def test_self_pair_only_node_kept_by_both(self, spark):
+        pairs = spark.createDataFrame(
+            [(7, 7), (1, 2)], "a_id bigint, b_id bigint"
+        )
+        simple = {r["node"]: r["comp"]
+                  for r in dedup.connected_components(pairs).collect()}
+        star = {r["node"]: r["comp"]
+                for r in dedup.connected_components_star(pairs).collect()}
+        assert simple == star == {1: 1, 2: 1, 7: 7}
+
+    def test_propagation_raises_when_diameter_exceeds_cap(self, spark):
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "a_id bigint, b_id bigint"
+        )
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(chain, max_iter=3)
+        # star handles the same chain inside the same tiny cap
+        out = dedup.connected_components_star(chain, max_iter=5)
+        assert {r["comp"] for r in out.collect()} == {0}

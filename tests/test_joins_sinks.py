@@ -186,3 +186,23 @@ class TestUpsert:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="identical schemas"):
             upsert(base, upd, "k")
+
+
+class TestUpsertGuards:
+    def test_null_merge_key_rejected(self, spark):
+        from filters_spark.plans.joins import upsert
+
+        base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+        upd = spark.createDataFrame([(None, "x")], "k bigint, v string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="NULL 'k' merge key"):
+            upsert(base, upd, "k")
+
+    def test_type_mismatch_rejected(self, spark):
+        from filters_spark.plans.joins import upsert
+
+        base = spark.createDataFrame([(1, 1.0)], "k bigint, x double")
+        upd = spark.createDataFrame([(1, "s")], "k bigint, x string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="identical schemas"):
+            upsert(base, upd, "k")

@@ -81,8 +81,8 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_q22_inactive_customers": dict(max_exchanges=2, min_broadcasts=2, scan_filter=True),
     # variant path: groupBy + countDistinct expand = two exchanges
     "val_variant_path": dict(max_exchanges=2),
-    # IVF: centroid agg (2: explode-agg + collect) + probe rank +
-    # final rank; all joins broadcast
+    # IVF: centroid explode-agg + distributed probe rank + final
+    # rank; all joins broadcast (no driver-side collect anywhere)
     "ds_ivf_topk": dict(max_exchanges=4, min_broadcasts=3),
     # pivot compiles to TWO aggregates (by (group, pivot-key), then
     # the pivot itself) — both shuffles keyed on low-cardinality cols
