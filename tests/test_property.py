@@ -122,22 +122,30 @@ def python_strip_oracle(s):
     return s[start:end]
 
 
+# Curated alphabet instead of open category ranges: codepoints
+# assigned in a newer Unicode version than the JVM's tables are
+# \p{Cn} (unassigned -> stripped) to Java but letters/punctuation to
+# Python — a documented version skew (see the Strip docstring), not
+# an engine bug, and it flakes category-based generation (hit live at
+# U+12F90 and U+2E53, both Unicode-14 additions vs Java 17's 13).
+# The set still covers every semantic class the test must exercise:
+# ASCII, C0/C1 controls, Cf format chars, and the Unicode spaces
+# whose absence from Java's \s motivated the \p{Z} fix.
+_STRIP_ALPHABET = (
+    "abcXYZ019.,;!?-_()"
+    " \t\n\r\x0b\x0c"                        # ASCII whitespace
+    "\x00\x01\x1f\x7f\x80\x9f"               # C0 + DEL + C1 controls
+    "\xa0   　"           # Unicode Zs spaces
+    "  "                           # line/paragraph separators
+    "​‍⁠﻿"               # Cf (ZWSP/ZWJ/WJ/BOM)
+    "\xe9\xfc\xf1\xdfΩЖ中"     # stable letters
+    "é"                                # combining acute
+)
+
+
 @given(st.lists(
-    st.text(
-        alphabet=st.characters(
-            codec="utf-8",
-            # printable + whitespace + a few control/format chars so the
-            # class-merge fast path faces real strippables.  Capped to
-            # long-established blocks: above that, characters assigned
-            # in recent Unicode versions are \p{Cn} (unassigned →
-            # stripped) to the JVM's older tables while Python's newer
-            # tables classify them as letters — a documented
-            # Unicode-version skew, not an engine bug.
-            categories=("L", "N", "P", "Zs", "Cc", "Cf"),
-            max_codepoint=0x2FFF,
-        ),
-        max_size=12,
-    ) | st.none(),
+    st.text(alphabet=st.sampled_from(_STRIP_ALPHABET), max_size=12)
+    | st.none(),
     min_size=1, max_size=40,
 ))
 @settings(**SETTINGS)
