@@ -2880,3 +2880,197 @@ def ds_lsh_recall(spark, sf_dir):
         F.round(F.col("n_lsh").cast("double") / F.col("n_exact"), 4)
         .alias("recall"),
     )
+
+
+@register(
+    "rel_q12_priority_shipping",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def rel_q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape, adapted (no l_shipmode/commitdate in the
+    synthetic schema): per return-flag class, conditional counts of
+    high- vs low-priority orders shipped in one year (reference
+    `filters` has no relational layer; this is engine-category
+    coverage per SURVEY.md §2.9).  The CASE-sum pair is one map-side
+    partial aggregate — one shuffle on the group key; the year
+    predicate prunes at the parquet scan before the join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "rel_q11_important_parts",
+    oracle="""
+    WITH vals AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+                 * CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value AS DECIMAL(38,4)) AS value
+    FROM vals
+    WHERE value * 1000 > (SELECT sum(value) FROM vals)
+    """,
+)
+def rel_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part inventory value restricted to a
+    nation group, keeping parts worth more than a FRACTION OF THE
+    GLOBAL TOTAL — the scalar subquery decorrelated into a 1-row
+    aggregate cross-joined (broadcast by AQE: one row) onto the
+    per-part rollup, so the total is computed ONCE and shipped to
+    every task instead of per-row.  All money math in DECIMAL: sums
+    are exact, so the threshold comparison cannot flap with
+    accumulation order — the property that makes this hash-checkable
+    and, at 100 TB, reproducible across retries."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    vals = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.round("l_extendedprice", 2).cast("decimal(18,2)")
+             * F.round("l_quantity", 2).cast("decimal(18,2)")).alias("v"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("value"))
+    )
+    total = vals.agg(F.sum("value").alias("_total"))
+    return (
+        vals.join(F.broadcast(total))
+        .where(F.col("value") * 1000 > F.col("_total"))
+        .select("l_partkey", F.col("value").cast("decimal(38,4)").alias("value"))
+    )
+
+
+@register(
+    "rel_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def rel_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape, adapted (lineitem's distinct (part, supplier)
+    pairs stand in for partsupp; negative-balance suppliers stand in
+    for the complaints NOT IN): supplier diversity per (brand, type,
+    size).  NOT IN over a NULL-free key column is a LEFT ANTI join —
+    the excluded-supplier dim is tiny, so it broadcasts; the part dim
+    is filtered BEFORE its broadcast join; count(DISTINCT) runs as a
+    two-phase partial-distinct aggregate, no extra shuffle beyond the
+    group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "rel_q20_part_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS sq
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, sum(sq) AS tq FROM shipped GROUP BY 1
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+        WHERE sq * 4 > tq
+      )
+    """,
+)
+def rel_q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape, adapted (shipped quantity stands in for
+    partsupp availqty): suppliers who moved more than a quarter of
+    any PROMO part's one-year volume, restricted to a nation group.
+    The doubly-nested subquery decorrelates to ONE aggregation plus a
+    window total over the same grouped result — the per-part total
+    reuses the (suppkey, partkey) rollup's shuffle instead of
+    re-scanning lineitem — and the qualifying-supplier set then
+    LEFT SEMI joins the supplier dim.  Quantities in DECIMAL so the
+    >25% threshold is exact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    promo = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    # One shuffle serves both the (suppkey, partkey) rollup and the
+    # per-part window: HashPartitioning(l_partkey) satisfies the agg's
+    # ClusteredDistribution (partkey ⊆ group keys) AND the window's, so
+    # neither re-shuffles the fact-sized intermediate.
+    shipped = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .repartition("l_partkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round("l_quantity", 2).cast("decimal(18,2)")).alias("sq"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        shipped.withColumn("tq", F.sum("sq").over(w))
+        .where(F.col("sq") * 4 > F.col("tq"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

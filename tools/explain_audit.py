@@ -114,6 +114,18 @@ EXPECTATIONS: dict[str, dict] = {
     # q2: (part,supp) rollup shuffle reused by the argmin window
     "rel_q2_cheapest_supplier": dict(max_exchanges=2, min_broadcasts=2,
                                      scan_filter=True),
+    # q12: orderkey join shuffle + flag agg; year predicate pushed
+    "rel_q12_priority_shipping": dict(max_exchanges=3, scan_filter=True),
+    # q11: partkey rollup + 1-row total (its own Single exchange)
+    # broadcast back over the rollup
+    "rel_q11_important_parts": dict(max_exchanges=3, min_broadcasts=3),
+    # q16: distinct (part,supp) shuffle + group agg; anti/dim broadcast
+    "rel_q16_supplier_cnt": dict(max_exchanges=3, min_broadcasts=2,
+                                 scan_filter=True),
+    # q20: one (supp,part) rollup shuffle reused by the per-part
+    # window total; supplier semi-join
+    "rel_q20_part_promotion": dict(max_exchanges=3, min_broadcasts=2,
+                                   scan_filter=True),
 }
 
 
