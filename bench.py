@@ -48,6 +48,9 @@ HEADLINE = [
     "rel_q18_large_orders",
     "val_variant_path",
     "ds_ivf_topk",
+    # round 2 (cont.): heavy text + event-funnel window additions
+    "txt_tfidf_topterms",
+    "rel_funnel_steps",
 ]
 
 

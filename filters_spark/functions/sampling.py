@@ -1,0 +1,87 @@
+"""Deterministic sampling for training-data pipelines.
+
+The reference library (eflglobal/filters) has no sampling surface;
+this is part of the large-scale-pipeline extension layer (SURVEY.md
+§2.9 "beyond-reference ops").  Everything here is HASH-derived, not
+RNG-derived, on purpose:
+
+- reproducible across runs, retries, engines, and cluster sizes —
+  ``rand()`` re-rolls per task attempt, an md5 threshold never does;
+- exactly replayable by any engine with an md5() function, which is
+  what puts these ops under the DuckDB correctness gate;
+- stable under repartitioning: the keep/drop decision is a pure
+  function of the row's key, so a 100 TB backfill and an incremental
+  top-up select the *same* rows.
+
+Mechanism: ``md5(key)`` is 32 lowercase hex chars ≈ a uniform draw
+in [0, 1) when read as a hex fraction.  Keeping rows where the hex
+string compares ``<`` a threshold prefix keeps that fraction of the
+keyspace — string comparison, no numeric parsing, identical in every
+engine.  ``rate_to_hex_threshold(0.2)`` → ``'33333333'`` (0x33333333
+/ 16^8 ≈ 0.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "rate_to_hex_threshold",
+    "hash_keep",
+    "stratified_sample",
+    "hash_bucket",
+]
+
+_HEX_DIGITS = 8  # 16^8 = 4.29e9 distinct thresholds — plenty of rate resolution
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Hex prefix t such that P[md5(key) < t] == round(rate * 16^8) / 16^8.
+
+    The returned string is an engine-portable literal: the same
+    comparison in Spark, DuckDB, Trino, ... selects the same rows.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    n = round(rate * (16 ** _HEX_DIGITS))
+    if n >= 16 ** _HEX_DIGITS:
+        return "g"  # sorts after every hex digit → keep all
+    return format(n, f"0{_HEX_DIGITS}x")
+
+
+def hash_keep(key: Column, rate: float) -> Column:
+    """Boolean: does this key fall in the kept ``rate`` fraction?
+
+    Pure per-row predicate — survives predicate pushdown, costs one
+    md5 per row, no shuffle, no state, no seed to manage.
+    """
+    return F.md5(key.cast("string")) < F.lit(rate_to_hex_threshold(rate))
+
+
+def stratified_sample(df: DataFrame, key: str, stratum: str,
+                      rates: dict[str, float],
+                      default_rate: float = 1.0) -> DataFrame:
+    """Per-stratum deterministic downsampling: stratum value → keep
+    rate (e.g. ``{'en': 0.25}`` rebalances an English-heavy corpus).
+
+    The rate lookup compiles to one CASE WHEN over broadcast
+    literals; the keep decision stays a scan-level predicate, so at
+    100 TB this is a single filtered pass — no shuffle, no
+    per-stratum count pre-pass, and appending new data never changes
+    which old rows are kept.
+    """
+    hexcol = F.md5(F.col(key).cast("string"))
+    expr: Column = F.lit(rate_to_hex_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        expr = F.when(F.col(stratum) == value,
+                      F.lit(rate_to_hex_threshold(rate))).otherwise(expr)
+    return df.where(hexcol < expr)
+
+
+def hash_bucket(key: Column, n_buckets: int) -> Column:
+    """Stable bucket id in [0, n_buckets) from the key's md5 — for
+    deterministic train/validation/test splits (``bucket < 8`` is an
+    80% train split that never leaks rows across re-runs)."""
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+            .cast("long") % n_buckets).cast("int")

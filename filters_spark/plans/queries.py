@@ -3074,3 +3074,157 @@ def rel_q20_part_promotion(spark, sf_dir):
         .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@register(
+    "ds_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE WHEN lang = 'en' THEN '40000000' ELSE '80000000' END
+    """,
+)
+def ds_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling (training-data pipeline
+    op): rebalance an English-heavy corpus by keeping 25% of 'en'
+    docs and 50% of everything else, where keep/drop is a pure
+    md5-threshold function of doc_id (functions/sampling.py) — no
+    RNG, so retries, engine swaps, and incremental top-ups all select
+    the SAME rows (the oracle literally replays the predicate).  At
+    100 TB this is a single filtered scan: the CASE-threshold
+    predicate costs one md5 per row, no shuffle, no count pre-pass."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d, key="doc_id", stratum="lang", rates={"en": 0.25}, default_rate=0.5
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "txt_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, rk FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+                        DESC, tf.term
+             ) AS rk
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ) WHERE rk <= 3
+    """,
+)
+def txt_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top-3 terms per document (text-analysis pipeline op).
+    Plan shape for scale: ONE scan of the corpus; the raw token
+    stream is collapsed by the (doc_id, term) rollup whose map-side
+    partial aggregation compacts the shuffle, then document frequency
+    is a count-over-window BY TERM on that compact rollup (a separate
+    dfreq aggregate would re-scan and re-shuffle the full token
+    stream — measured: no exchange reuse across the two branches).
+    Ranking orders by the 6dp-rounded score with a term tie-break
+    (deterministic across engines); the unrounded double itself is
+    never emitted, so the hash check rides on integers only (Spark's
+    WindowGroupLimit prunes per-doc rows before the final sort)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.join(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "rk")
+    )
+
+
+@register(
+    "rel_funnel_steps",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'click' AND e.ts > u.t1
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(t1) AS BIGINT) FROM u) AS n_signup,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after_signup,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after_click
+    """,
+)
+def rel_funnel_steps(spark, sf_dir):
+    """Event-funnel analysis (signup → first click after signup →
+    first purchase after that click), a standard product-analytics
+    shape the reference has no analog for (engine-category coverage).
+    The three per-user step times are SEQUENTIAL window aggregates
+    over the SAME partitionBy(user_id) — one shuffle of the event
+    stream serves all three steps AND the per-user collapse
+    (HashPartitioning(user_id) satisfies every downstream
+    distribution), then a 1-row global count.  The naive form — three
+    self-joins of events — would shuffle the fact three times."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    stepped = (
+        e.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    users = stepped.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return users.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_after_signup"),
+        F.count("t3").alias("n_purchase_after_click"),
+    )

@@ -31,7 +31,12 @@ def get_spark(app_name: str = "filters_spark", shuffle_partitions: int | None = 
         shuffle_partitions = int(cpus)
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        # local[N, 3]: allow 3 task attempts.  Local mode defaults to
+        # maxFailures=1, so one transient Python-worker death (stale
+        # pooled worker → ClosedChannelException on reuse) kills the
+        # whole job; a retry gets a fresh worker — exactly the
+        # semantics a real cluster has.
+        .master(f"local[{cpus}, 3]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -48,15 +53,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read it as raw nanos and truncate to micros
-        # (exactly what DuckDB's reader does), keeping oracle parity.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which the
+        # reader only exposes as a raw long) and as TIMESTAMP(MICROS)
+        # without timezone (→ TIMESTAMP_NTZ); normalize every variant
+        # to a plain UTC timestamp so downstream semantics match the
+        # DuckDB oracle regardless of how the data was generated.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Map whatever physical type the events timestamp column arrived
+    as (raw int64 nanos / TIMESTAMP_NTZ micros / already timestamp)
+    onto a plain UTC timestamp, value-preserving under the pinned UTC
+    session timezone."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":  # raw nanos via spark.sql.legacy.parquet.nanosAsLong
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -46,18 +46,22 @@ def events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFra
     """Replay the events table as a file-source stream (the test/bench
     harness for streaming ops).  The file source requires a DIRECTORY,
     so we stream the sf dir with a glob filter for events.parquet.
-    Schema must be provided explicitly for streaming reads; ts arrives
-    as nanos → truncated to micros exactly like the batch loader."""
-    schema = ("event_id bigint, ts bigint, user_id bigint, "
-              "event_type string, value double, props string")
+    Streaming reads need an explicit schema; rather than hard-coding
+    one (the generator has shipped ts as both NANOS and MICROS), infer
+    it from a batch read of the same file and reuse the batch loader's
+    ts normalization — stream and batch semantics stay identical by
+    construction."""
+    from ..sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def validate_stream(stream_df: DataFrame, schema: ValidationSchema) -> DataFrame:

@@ -206,3 +206,32 @@ class TestUpsertGuards:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="identical schemas"):
             upsert(base, upd, "k")
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_at_read(self, spark):
+        """Partitioned clean sink → a reader filtering on the
+        partition column scans ONLY matching directories: the filter
+        appears as a PartitionFilter (metadata-level pruning), not a
+        data filter, and unreferenced partitions contribute no files."""
+        tmp = tempfile.mkdtemp(prefix="fs_ppart_")
+        df = spark.createDataFrame(
+            [(i, float(i % 5), f"d{i % 3}") for i in range(60)],
+            "id bigint, v double, day string",
+        )
+        res = fs.ValidationSchema({"v": fs.Min(0)}).validate(df)
+        sinks.write_clean(res, f"{tmp}/clean", partition_by=["day"])
+
+        back = spark.read.parquet(f"{tmp}/clean").where(F.col("day") == "d1")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # the day predicate must be a partition filter, not a row filter
+        import re
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+        assert "day" in pf
+        assert back.count() == 20
+        # physical layout: one directory per partition value
+        import os
+        dirs = sorted(d for d in os.listdir(f"{tmp}/clean") if d.startswith("day="))
+        assert dirs == ["day=d0", "day=d1", "day=d2"]
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,65 @@
+"""Deterministic hash sampling (functions/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filters_spark.functions import sampling
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 10_000).withColumnRenamed("id", "key")
+
+
+class TestThreshold:
+    def test_known_values(self):
+        assert sampling.rate_to_hex_threshold(0.25) == "40000000"
+        assert sampling.rate_to_hex_threshold(0.5) == "80000000"
+        assert sampling.rate_to_hex_threshold(0.0) == "00000000"
+        # 1.0 must keep even the md5 'ffffffff…' corner
+        assert sampling.rate_to_hex_threshold(1.0) > "ffffffff"
+
+    def test_rejects_out_of_range(self):
+        with pytest.raises(ValueError):
+            sampling.rate_to_hex_threshold(1.5)
+
+
+class TestHashKeep:
+    def test_rate_within_binomial_noise(self, ids):
+        n = ids.where(sampling.hash_keep(F.col("key"), 0.2)).count()
+        # 10k draws at p=0.2: sd = sqrt(10000*.2*.8) = 40; ±5sd
+        assert abs(n - 2000) < 200
+
+    def test_deterministic_and_nested(self, ids):
+        a = ids.where(sampling.hash_keep(F.col("key"), 0.1))
+        b = ids.where(sampling.hash_keep(F.col("key"), 0.3))
+        # same predicate → same rows run-to-run
+        assert a.collect() == a.collect()
+        # thresholds nest: the 10% sample is a subset of the 30% one
+        assert a.join(b, "key", "left_anti").count() == 0
+
+
+class TestStratified:
+    def test_per_stratum_rates(self, spark):
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("key"),
+            F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("s"),
+        )
+        out = sampling.stratified_sample(df, "key", "s",
+                                         rates={"big": 0.1}, default_rate=0.9)
+        got = {r["s"]: r["n"] for r in
+               out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+        assert abs(got["big"] - 200) < 90      # 2000 * 0.1, ±~6sd
+        assert abs(got["small"] - 1800) < 90   # 2000 * 0.9
+
+
+class TestHashBucket:
+    def test_range_and_split_stability(self, ids):
+        b = ids.select("key", sampling.hash_bucket(F.col("key"), 10).alias("b"))
+        lo, hi = b.agg(F.min("b"), F.max("b")).head()
+        assert lo == 0 and hi == 9
+        # an 80% train split re-derived later selects the same rows
+        train1 = b.where(F.col("b") < 8).select("key")
+        train2 = ids.where(sampling.hash_bucket(F.col("key"), 10) < 8)
+        assert train1.count() == train2.count()
+        assert train1.join(train2, "key", "left_anti").count() == 0

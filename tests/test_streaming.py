@@ -206,9 +206,8 @@ class TestStreamStreamJoin:
         got = {(r["click_id"], r["purchase_id"])
                for r in spark.sql("select * from t_ssjoin").collect()}
 
-        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        from filters_spark.sources import load_table
+        ev = load_table(spark, "events", SF_DIR)
         c = ev.where(F.col("event_type") == "click").alias("c")
         p = ev.where(F.col("event_type") == "purchase").alias("p")
         exp_df = c.join(
@@ -280,10 +279,8 @@ class TestStreamingMetrics:
             .groupBy("field", "code").agg(F.sum("n").alias("total"))
             .collect()
         }
-        batch = EVENT_SCHEMA.validate(
-            spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        from filters_spark.sources import load_table
+        batch = EVENT_SCHEMA.validate(load_table(spark, "events", SF_DIR))
         exp = {
             (r["field"], r["code"]): r["count"]
             for r in batch.error_code_counts().collect()

@@ -126,6 +126,14 @@ EXPECTATIONS: dict[str, dict] = {
     # window total; supplier semi-join
     "rel_q20_part_promotion": dict(max_exchanges=3, min_broadcasts=2,
                                    scan_filter=True),
+    # stratified sample: pure scan predicate — NOTHING may shuffle
+    "ds_stratified_sample": dict(max_exchanges=0),
+    # tfidf: single corpus scan — (doc,term) rollup shuffle, then two
+    # small window shuffles (df-by-term, rank-by-doc) + 1-row n_docs
+    "txt_tfidf_topterms": dict(max_exchanges=4, min_broadcasts=1),
+    # funnel: one user_id shuffle for all three window steps + user
+    # collapse, then the 1-row global count
+    "rel_funnel_steps": dict(max_exchanges=2),
 }
 
 
