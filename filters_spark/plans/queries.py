@@ -3228,3 +3228,130 @@ def rel_funnel_steps(spark, sf_dir):
         F.count("t2").alias("n_click_after_signup"),
         F.count("t3").alias("n_purchase_after_click"),
     )
+
+
+@register(
+    "rel_gapfill_ffill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('day', ts) AS day, value
+      FROM events WHERE event_type = 'view'
+    ),
+    pb AS (
+      SELECT user_id, day, round(sum(value), 2) AS v FROM e GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(day) AS b0, max(day) AS b1 FROM pb GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           last_value(pb.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           pb.v IS NULL AS is_gap
+    FROM spine s LEFT JOIN pb ON s.user_id = pb.user_id AND s.day = pb.day
+    """,
+)
+def rel_gapfill_ffill(spark, sf_dir):
+    """Time-series regularization (functions/timeseries.py): per-user
+    daily 'view' value totals on a REGULAR daily spine — missing days
+    materialize as is_gap rows and carry the last observed total
+    forward.  The spine explodes from per-key [first, last] bounds
+    (distributed, sized by bucket count not event count); forward-fill
+    is one last(ignorenulls) window — the key's single shuffle serves
+    the spine join and the fill.  Models downstream assume fixed-step
+    sequences; this is the op that makes event data fit that."""
+    from ..functions import timeseries
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    out = timeseries.gapfill(
+        e, key="user_id", ts_col="ts", step="1 day",
+        agg={"v": F.round(F.sum("value"), 2)},
+    )
+    return out.select("user_id", F.col("ts").alias("day"), "v", "is_gap")
+
+
+@register(
+    "rel_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             min(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS d0
+      FROM events
+    )
+    SELECT CAST(date_trunc('week', d0) AS DATE) AS cohort_week,
+           CAST(floor(datediff('day', d0, day) / 7.0) AS BIGINT) AS week_k,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM f GROUP BY 1, 2
+    """,
+)
+def rel_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-activity week,
+    counted distinct in each subsequent activity week — the standard
+    product-analytics triangle.  The per-user first-day is a window
+    min over partitionBy(user_id), NOT a self-join — the event stream
+    shuffles once on user_id, then the (cohort, week) rollup's
+    count-distinct runs two-phase on the much smaller projection."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    day = F.date_trunc("day", F.col("ts"))
+    f = e.select(
+        "user_id", day.alias("day"),
+        F.min(day).over(w).alias("d0"),
+    )
+    return (
+        f.select(
+            F.to_date(F.date_trunc("week", F.col("d0"))).alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("d0")) / 7.0).alias("week_k"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_k")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "prof_approx_distinct",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS sketch_ok
+    FROM orders
+    UNION ALL
+    SELECT 'l_partkey', CAST(count(DISTINCT l_partkey) AS BIGINT), TRUE
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', CAST(count(DISTINCT l_suppkey) AS BIGINT), TRUE
+    FROM lineitem
+    """,
+)
+def prof_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ cardinality profiling with the accuracy assertion
+    IN the result (the ds_lsh_recall pattern for approximations whose
+    sketch is engine-specific): per column, the exact distinct count
+    hash-checks against the oracle, and sketch_ok certifies the HLL
+    estimate (rsd=2%) landed within 5% of it — so the correctness
+    gate pins both the truth and the sketch's fitness.  At 100 TB the
+    exact leg is the expensive two-phase distinct you run once to
+    calibrate; the HLL leg is the mergeable single-pass profile you
+    run every day."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def leg(df, col):
+        return df.agg(
+            F.lit(col).alias("col"),
+            F.count_distinct(F.col(col)).alias("exact_distinct"),
+            F.approx_count_distinct(col, rsd=0.02).alias("_approx"),
+        ).select(
+            "col", "exact_distinct",
+            (F.abs(F.col("_approx") - F.col("exact_distinct"))
+             <= 0.05 * F.col("exact_distinct")).alias("sketch_ok"),
+        )
+
+    return (
+        leg(o, "o_custkey")
+        .unionByName(leg(li, "l_partkey"))
+        .unionByName(leg(li, "l_suppkey"))
+    )

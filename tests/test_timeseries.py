@@ -1,0 +1,70 @@
+"""Time-series regularization (functions/timeseries.py)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from filters_spark.functions import timeseries as ts
+
+
+def _dt(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def sparse(spark):
+    # user 1: observations on days 1, 2, 5 (gap 3-4);
+    # user 2: single day (no gaps, degenerate spine)
+    return spark.createDataFrame(
+        [
+            (1, _dt(1, 9), 10.0),
+            (1, _dt(1, 12), 2.0),   # same bucket as above → sums
+            (1, _dt(2), 5.0),
+            (1, _dt(5), 7.0),
+            (2, _dt(3), 1.0),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+
+
+class TestSpine:
+    def test_inclusive_bounds_and_step(self, sparse):
+        sp = ts.time_spine(sparse, "user_id", "ts", "1 day")
+        got = sorted((r["user_id"], r["ts"].day) for r in sp.collect())
+        assert got == [(1, 1), (1, 2), (1, 3), (1, 4), (1, 5), (2, 3)]
+
+    def test_rejects_unknown_unit(self, sparse):
+        with pytest.raises(ValueError, match="spine step"):
+            ts.time_spine(sparse, "user_id", "ts", "1 fortnight")
+
+
+class TestGapfill:
+    def test_gap_rows_flagged_and_filled(self, sparse):
+        out = ts.gapfill(sparse, "user_id", "ts", "1 day",
+                         agg={"v": F.sum("value")})
+        rows = {(r["user_id"], r["ts"].day): (r["v"], r["is_gap"])
+                for r in out.collect()}
+        assert rows[(1, 1)] == (12.0, False)   # two events summed
+        assert rows[(1, 2)] == (5.0, False)
+        assert rows[(1, 3)] == (5.0, True)     # gap carries day-2 value
+        assert rows[(1, 4)] == (5.0, True)
+        assert rows[(1, 5)] == (7.0, False)    # observation overrides fill
+        assert rows[(2, 3)] == (1.0, False)
+
+    def test_no_fill_leaves_gaps_null(self, sparse):
+        out = ts.gapfill(sparse, "user_id", "ts", "1 day",
+                         agg={"v": F.sum("value")}, fill=False)
+        gaps = out.where(F.col("is_gap")).collect()
+        assert all(r["v"] is None for r in gaps) and len(gaps) == 2
+
+
+class TestForwardFill:
+    def test_leading_nulls_stay_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, None), (1, 2, 5.0), (1, 3, None)],
+            "k bigint, t bigint, v double",
+        )
+        out = {r["t"]: r["v"]
+               for r in ts.forward_fill(df, "k", "t", ["v"]).collect()}
+        assert out == {1: None, 2: 5.0, 3: 5.0}

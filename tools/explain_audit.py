@@ -134,6 +134,14 @@ EXPECTATIONS: dict[str, dict] = {
     # funnel: one user_id shuffle for all three window steps + user
     # collapse, then the 1-row global count
     "rel_funnel_steps": dict(max_exchanges=2),
+    # gapfill: user_id shuffle for bucket rollup, reused by the spine
+    # bounds agg + join + fill window (all user_id-clustered)
+    "rel_gapfill_ffill": dict(max_exchanges=3, scan_filter=True),
+    # retention: user_id window shuffle + (cohort, week) distinct agg
+    "rel_retention_cohorts": dict(max_exchanges=3),
+    # approx-distinct: per-leg two-phase distinct + HLL partials,
+    # 1-row legs unioned (3 columns × 2 exchanges each)
+    "prof_approx_distinct": dict(max_exchanges=6),
 }
 
 
