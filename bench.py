@@ -51,6 +51,8 @@ HEADLINE = [
     # round 2 (cont.): heavy text + event-funnel window additions
     "txt_tfidf_topterms",
     "rel_funnel_steps",
+    "rel_gapfill_ffill",
+    "txt_bigram_freq_score",
 ]
 
 

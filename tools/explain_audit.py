@@ -142,6 +142,9 @@ EXPECTATIONS: dict[str, dict] = {
     # approx-distinct: per-leg two-phase distinct + HLL partials,
     # 1-row legs unioned (3 columns × 2 exchanges each)
     "prof_approx_distinct": dict(max_exchanges=6),
+    # bigram LM: pre-explode doc_id spread (rollup reuses it), window
+    # by bigram on the compact rollup, per-doc agg
+    "txt_bigram_freq_score": dict(max_exchanges=3, scan_filter=True),
 }
 
 
