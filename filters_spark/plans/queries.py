@@ -3414,3 +3414,82 @@ def txt_bigram_freq_score(spark, sf_dir):
         F.round(F.sum(F.col("k") * F.col("cnt")) * 1.0 / F.sum("k"), 4)
         .alias("avg_bigram_freq"),
     )
+
+
+@register(
+    "ds_fuzzy_match",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, regexp_extract(p_name, '[a-z]+$') AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+           a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+      AND a.p_name <> b.p_name
+    """,
+)
+def ds_fuzzy_match(spark, sf_dir):
+    """Entity resolution by blocked edit distance: near-identical part
+    names ('red widget' / 'red widget ' typo-class variants) found by
+    (1) BLOCKING on the product noun — the last word — so only
+    same-noun names ever meet, then (2) exact Levenshtein ≤ 3 within
+    blocks.  The quadratic is confined to blocks (Σ|block|² pairs,
+    never n²); the block key is the ONLY shuffle key, so skewed
+    blocks are AQE-splittable.  The reference validates strings one
+    at a time; fuzzy cross-record matching is engine-category
+    coverage (SURVEY §2.9 dedup).  Levenshtein is the same canonical
+    metric in both engines — hash-exact."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.regexp_extract("p_name", "[a-z]+$", 0).alias("blk"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .where(
+            (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+            & (F.col("a.p_name") != F.col("b.p_name"))
+        )
+        .select(
+            F.col("a.p_partkey").alias("a_id"),
+            F.col("b.p_partkey").alias("b_id"),
+            F.col("a.p_name").alias("a_name"),
+            F.col("b.p_name").alias("b_name"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long").alias("dist"),
+        )
+    )
+
+
+@register(
+    "prof_exact_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def prof_exact_median(spark, sf_dir):
+    """EXACT per-group median/quartiles (linear-interpolation
+    percentile — the same definition in Spark's percentile() and
+    DuckDB's quantile_cont, so the values hash-match, unlike
+    engine-specific approx sketches).  Complements prof_quantiles'
+    approx_percentile: the exact form is a full-sort-per-group
+    aggregate — run it on calibration samples or final reports; the
+    approx form is the mergeable single-pass profile for the 100 TB
+    daily run."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75_price"),
+    )

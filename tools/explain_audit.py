@@ -145,6 +145,11 @@ EXPECTATIONS: dict[str, dict] = {
     # bigram LM: pre-explode doc_id spread (rollup reuses it), window
     # by bigram on the compact rollup, per-doc agg
     "txt_bigram_freq_score": dict(max_exchanges=3, scan_filter=True),
+    # fuzzy match: blocked self-join (broadcast at gate sf; blk-key
+    # shuffle at scale)
+    "ds_fuzzy_match": dict(max_exchanges=2),
+    # exact percentiles: one sort-agg exchange
+    "prof_exact_median": dict(max_exchanges=1),
 }
 
 
