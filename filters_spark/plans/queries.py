@@ -3493,3 +3493,51 @@ def prof_exact_median(spark, sf_dir):
         F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
         F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75_price"),
     )
+
+
+@register(
+    "ds_corpus_pipeline",
+    oracle="""
+    WITH q AS (            -- stage 1: quality gate
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE len(text) >= 40 AND len(text) <= 10000
+        AND len(replace(text, ' ', '')) * 1.0 / len(text) <= 0.9
+    ),
+    d AS (                 -- stage 2: exact near-dup, keep lowest id
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS _rn
+      FROM q
+    )
+    SELECT doc_id, lang, source   -- stage 3: deterministic 50% sample
+    FROM d
+    WHERE _rn = 1
+      AND md5(CAST(doc_id AS VARCHAR)) < '80000000'
+    """,
+)
+def ds_corpus_pipeline(spark, sf_dir):
+    """The composed training-corpus pipeline as ONE hash-checked
+    query — quality gate → exact dedup (keep-first) → deterministic
+    sample — proving the stages compose without driver-side
+    materialization between them (one logical plan, Catalyst fuses
+    the quality predicate into the scan).  Stage costs at 100 TB:
+    the quality gate is a pushed scan predicate; dedup is the only
+    shuffle (by content hash — uniform by construction, no skew); the
+    sample is a free per-row predicate on the survivors.  Order
+    matters: sampling LAST keeps the dedup correct (sampling before
+    dedup could drop a cluster's keeper but not its duplicates)."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.where(
+        (F.length("text") >= 40) & (F.length("text") <= 10000)
+        & (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+           * 1.0 / F.length("text") <= 0.9)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        q.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return kept.where(sampling.hash_keep(F.col("doc_id"), 0.5)) \
+        .select("doc_id", "lang", "source")

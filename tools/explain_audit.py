@@ -150,6 +150,9 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_fuzzy_match": dict(max_exchanges=2),
     # exact percentiles: one sort-agg exchange
     "prof_exact_median": dict(max_exchanges=1),
+    # composed pipeline: quality gate pushed to scan; the ONLY
+    # shuffle is the content-hash dedup window; sample is a predicate
+    "ds_corpus_pipeline": dict(max_exchanges=1, scan_filter=True),
 }
 
 
