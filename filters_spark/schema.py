@@ -105,7 +105,12 @@ class ValidationSchema:
                 else list(chain.substeps())
             )
 
-        passthrough = [F.col(c) for c in extra]
+        # Raw copies ride along unreferenced — Catalyst prunes them
+        # from every plan that doesn't use rejected_raw, so carrying
+        # them is free except for the dead-letter path that needs them.
+        passthrough = [F.col(c) for c in extra] + [
+            F.col(f"_raw_{n}") for n in steps_by_field if n not in missing
+        ]
         # Stage 0: bind sources (missing declared column → NULL runs
         # through the chain; only Required then rejects — reference
         # missing-key semantics).
@@ -115,7 +120,9 @@ class ValidationSchema:
                 for n in steps_by_field
             ],
             *[null_error().alias(f"_e_{n}") for n in steps_by_field],
-            *passthrough,
+            *[F.col(c) for c in extra],
+            *[F.col(n).alias(f"_raw_{n}")
+              for n in steps_by_field if n not in missing],
         )
         depth = max((len(s) for s in steps_by_field.values()), default=0)
         for i in range(depth):
@@ -223,6 +230,40 @@ class ValidationResult:
         return _assemble(self._pre.where(~self._flags()), self._fields, self._extra)
 
     @property
+    def rejected_raw(self) -> DataFrame:
+        """Rejected rows with their ORIGINAL input values + the error
+        payload — what a dead-letter table must store: the chain nulls
+        a failed field's transformed value (its type may not even
+        admit the bad input), so :attr:`rejected` alone cannot be
+        replayed after a schema fix.  The raw copies ride the staged
+        projection unreferenced (column-pruned everywhere else), so
+        this costs nothing until used.  A column the input never had
+        (declared-but-missing) comes back NULL."""
+        if self._pre is None:
+            raise ValueError(
+                "rejected_raw needs the staged frame; construct the result "
+                "via ValidationSchema.validate()"
+            )
+        pre = self._pre.where(~self._flags())
+        raw_cols = set(pre.columns)
+        empty = F.array().cast(f"array<{ERROR_DDL}>")
+        errs = [F.col(f"_e_{n}") for n in self._fields]
+        err_array = (
+            F.concat(*[F.when(e.isNotNull(), F.array(e)).otherwise(empty)
+                       for e in errs])
+            if errs else empty
+        )
+        return pre.select(
+            *[
+                (F.col(f"_raw_{n}") if f"_raw_{n}" in raw_cols
+                 else F.lit(None)).alias(n)
+                for n in self._fields
+            ],
+            *[F.col(c) for c in self._extra],
+            err_array.alias(ERRORS_COL),
+        )
+
+    @property
     def errors_long(self) -> DataFrame:
         """One row per (row, field, code) — the exploded MemoryHandler
         dict."""
@@ -255,6 +296,9 @@ class ValidationResult:
             )
 
     def write_dead_letter(self, path: str, fmt: str = "parquet") -> None:
-        """LogHandler-style sink: persist rejected rows with their
-        error payloads for replay/inspection."""
-        self.rejected.write.format(fmt).mode("append").save(path)
+        """LogHandler-style sink: persist rejected rows — with their
+        ORIGINAL values (see :attr:`rejected_raw`) — plus error
+        payloads, so a later replay under a fixed schema can recover
+        them."""
+        df = self.rejected_raw if self._pre is not None else self.rejected
+        df.write.format(fmt).mode("append").save(path)

@@ -27,6 +27,8 @@ __all__ = [
     "write_dead_letter",
     "write_error_metrics",
     "write_bucketed",
+    "write_compacted",
+    "replay_dead_letter",
 ]
 
 
@@ -41,11 +43,18 @@ def write_clean(result: ValidationResult, path: str,
 
 def write_dead_letter(result: ValidationResult, path: str,
                       fmt: str = "parquet", mode: str = "append") -> None:
-    """Rejected rows with their error payloads, partitioned by the
-    first error's code so triage reads only the failure class it
-    cares about (partition pruning on the dead-letter table)."""
+    """Rejected rows — with their ORIGINAL input values
+    (``rejected_raw``: the chain nulls a failed field's transformed
+    value, which would make the table unreplayable) — plus error
+    payloads, partitioned by the first error's code so triage reads
+    only the failure class it cares about (partition pruning on the
+    dead-letter table)."""
+    try:
+        rejected = result.rejected_raw
+    except ValueError:  # result built without the staged frame
+        rejected = result.rejected
     (
-        result.rejected
+        rejected
         .withColumn("_first_code", F.element_at(F.col(ERRORS_COL), 1)["code"])
         .write.format(fmt).mode(mode)
         .partitionBy("_first_code")
@@ -68,3 +77,57 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def write_compacted(df: DataFrame, path: str,
+                    target_bytes_per_file: int = 128 * 1024 * 1024,
+                    sample_fraction: float = 0.01,
+                    fmt: str = "parquet", mode: str = "overwrite") -> int:
+    """Size-targeted write: estimate the frame's serialized size from
+    a row sample and repartition so each output file lands near
+    ``target_bytes_per_file``.  Returns the file count used.
+
+    This is the small-files defense: a 100 TB pipeline stage that
+    ends in a filter or an AQE-coalesced shuffle can otherwise emit
+    thousands of KB-sized files (every downstream scan pays per-file
+    open/footer costs) or a handful of multi-GB ones (kills scan
+    parallelism).  The estimate costs one sampled aggregation; the
+    repartition is a round-robin shuffle of exactly the data being
+    written anyway."""
+    sample = df.sample(fraction=min(1.0, sample_fraction), seed=7)
+    stats = sample.select(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.length(F.col(c).cast("string"))).alias(f"_b{i}")
+          for i, c in enumerate(df.columns)],
+    ).head()
+    n_sampled = stats["n"] or 0
+    if n_sampled == 0:  # empty or sample missed: single file
+        df.coalesce(1).write.format(fmt).mode(mode).save(path)
+        return 1
+    bytes_per_row = sum(stats[f"_b{i}"] or 0
+                        for i in range(len(df.columns))) / n_sampled
+    total = df.count() * bytes_per_row
+    n_files = max(1, int(total // target_bytes_per_file) + 1)
+    df.repartition(n_files).write.format(fmt).mode(mode).save(path)
+    return n_files
+
+
+def replay_dead_letter(spark, path: str, schema,
+                       fmt: str = "parquet") -> ValidationResult:
+    """The recovery loop for a dead-letter table: re-validate the
+    rejected rows under a (typically relaxed or fixed) schema and get
+    a fresh clean/rejected split — recovered rows graduate to the
+    clean sink, still-bad rows stay quarantined.
+
+    The stored error payload column is dropped before re-validation
+    (the new run produces its own); everything else rides through
+    unchanged, so replay composes with the same sinks:
+
+        res = replay_dead_letter(spark, dead_path, fixed_schema)
+        write_clean(res, clean_path)          # recovered
+        write_dead_letter(res, dead_path_v2)  # still failing
+    """
+    df = spark.read.format(fmt).load(path)
+    if ERRORS_COL in df.columns:
+        df = df.drop(ERRORS_COL)
+    return schema.validate(df)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 import filters_spark as fs
 from filters_spark.plans.joins import asof_join, salted_join
+from filters_spark.schema import ERRORS_COL
 from filters_spark.sources import sinks
 
 
@@ -234,4 +235,52 @@ class TestPartitionPruning:
         import os
         dirs = sorted(d for d in os.listdir(f"{tmp}/clean") if d.startswith("day="))
         assert dirs == ["day=d0", "day=d1", "day=d2"]
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestCompactedWrite:
+    def test_file_count_tracks_target_size(self, spark):
+        tmp = tempfile.mkdtemp(prefix="fs_compact_")
+        df = spark.range(0, 1000).select(
+            "id", F.lpad(F.lit("x"), 100, "x").alias("pad")
+        )
+        # ~104 bytes/row stringified × 1000 rows ≈ 104 kB → ~10 files
+        n = sinks.write_compacted(df, f"{tmp}/out",
+                                  target_bytes_per_file=10_000,
+                                  sample_fraction=1.0)
+        import os
+        files = [f for f in os.listdir(f"{tmp}/out") if f.endswith(".parquet")]
+        assert n == len(files) and 8 <= n <= 13
+        back = spark.read.parquet(f"{tmp}/out")
+        assert back.count() == 1000
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_empty_frame_writes_single_file(self, spark):
+        tmp = tempfile.mkdtemp(prefix="fs_compact0_")
+        df = spark.range(0, 0).select("id")
+        assert sinks.write_compacted(df, f"{tmp}/out",
+                                     sample_fraction=1.0) == 1
+        assert spark.read.parquet(f"{tmp}/out").count() == 0
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestDeadLetterReplay:
+    def test_relaxed_schema_recovers_rows(self, spark):
+        tmp = tempfile.mkdtemp(prefix="fs_replay_")
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (3, -7.0), (4, None)],
+            "id bigint, v double",
+        )
+        strict = fs.ValidationSchema({"v": fs.Min(0)})
+        res = strict.validate(df)
+        sinks.write_dead_letter(res, f"{tmp}/dead")
+
+        relaxed = fs.ValidationSchema({"v": fs.Min(-5)})
+        replay = sinks.replay_dead_letter(spark, f"{tmp}/dead", relaxed)
+        recovered = sorted(r["id"] for r in replay.clean.collect())
+        still_bad = sorted(r["id"] for r in replay.rejected.collect())
+        assert recovered == [2]     # -1 passes the relaxed bound
+        assert still_bad == [3]     # -7 still fails
+        # recovered rows carry no stale error payload
+        assert ERRORS_COL not in replay.clean.columns
         shutil.rmtree(tmp, ignore_errors=True)
