@@ -33,6 +33,7 @@ from .core import ERROR_DDL, FilterError, Validator, ValidatorLike, coerce, null
 __all__ = ["ValidationSchema", "ValidationResult", "SchemaError"]
 
 ERRORS_COL = "_errors"
+RAW_COL = "_raw"
 
 
 class SchemaError(Exception):
@@ -137,14 +138,27 @@ class ValidationSchema:
             cur = cur.select(*stage, *passthrough)
         return cur, list(steps_by_field), extra
 
-    def apply(self, df: DataFrame) -> DataFrame:
+    def apply(self, df: DataFrame, with_raw: bool = False) -> DataFrame:
         """Compile to the final validated DataFrame: cleaned columns +
         the ``_errors`` array.  See :meth:`_staged` for the staging
         rationale; :meth:`validate` keeps a handle on the staged frame
         so the clean/rejected split can filter on the cheap per-field
-        error flags instead of the assembled array."""
+        error flags instead of the assembled array.
+
+        ``with_raw=True`` appends a ``_raw`` struct holding the
+        ORIGINAL value of every validated column — for pipelines whose
+        sink must quarantine replayable originals (streaming dead
+        letters: a stream sees the assembled frame only, so the raws
+        must travel inside it).  Declared-but-missing columns are
+        absent from the struct."""
         cur, fields, extra = self._staged(df)
-        return _assemble(cur, fields, extra)
+        extra_cols = None
+        if with_raw:
+            raw_names = [n for n in fields if f"_raw_{n}" in cur.columns]
+            extra_cols = [F.struct(
+                *[F.col(f"_raw_{n}").alias(n) for n in raw_names]
+            ).alias(RAW_COL)]
+        return _assemble(cur, fields, extra, extra_cols)
 
     def validate(self, df: DataFrame, strict: bool = False) -> "ValidationResult":
         cur, fields, extra = self._staged(df)
@@ -161,7 +175,8 @@ class ValidationSchema:
         return ValidationSchema(merged, self.allow_extra_keys, self.allow_missing_keys)
 
 
-def _assemble(cur: DataFrame, fields: list[str], extra: list[str]) -> DataFrame:
+def _assemble(cur: DataFrame, fields: list[str], extra: list[str],
+              extra_cols: "list[Column] | None" = None) -> DataFrame:
     """Final select over the staged frame: cleaned columns (invalid →
     None — the single end-of-chain nulling point) + the null-free
     ``_errors`` array.
@@ -181,6 +196,7 @@ def _assemble(cur: DataFrame, fields: list[str], extra: list[str]) -> DataFrame:
     return cur.select(
         *[F.when(F.col(f"_e_{n}").isNull(), F.col(f"_v_{n}")).alias(n) for n in fields],
         *[F.col(c) for c in extra],
+        *(extra_cols or []),
         err_array.alias(ERRORS_COL),
     )
 

@@ -64,10 +64,14 @@ def events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFra
     return normalize_event_ts(raw)
 
 
-def validate_stream(stream_df: DataFrame, schema: ValidationSchema) -> DataFrame:
+def validate_stream(stream_df: DataFrame, schema: ValidationSchema,
+                    with_raw: bool = False) -> DataFrame:
     """Apply a validation schema to a streaming DataFrame — identical
-    compilation path as batch (the whole point)."""
-    return schema.apply(stream_df)
+    compilation path as batch (the whole point).  ``with_raw=True``
+    carries a ``_raw`` struct of original values so the dead-letter
+    sink can quarantine replayable records (a stream has no second
+    chance to look at its input)."""
+    return schema.apply(stream_df, with_raw=with_raw)
 
 
 def error_rate_by_window(validated: DataFrame, ts_col: str = "ts",
@@ -214,18 +218,31 @@ def dead_letter_writer(clean_path: str, dead_path: str,
     """foreachBatch function writing each micro-batch's clean rows to
     ``clean_path`` and rejected rows (with error payloads) to
     ``dead_path``.  Both writes are per-batch appends; the batch id is
-    stamped for replay/idempotence auditing."""
+    stamped for replay/idempotence auditing.
+
+    If the stream was validated ``with_raw=True``, the dead-letter
+    rows RESTORE the original values from the ``_raw`` struct (the
+    validated columns are nulled for failed fields), making the table
+    replayable with ``sinks.replay_dead_letter``; the clean side just
+    drops the struct."""
+    from ..schema import RAW_COL
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         stamped = batch_df.withColumn("_batch_id", F.lit(batch_id))
-        (
-            stamped.where(F.size(F.col(ERRORS_COL)) == 0)
-            .drop(ERRORS_COL)
-            .write.format(fmt).mode("append").save(clean_path)
-        )
-        (
-            stamped.where(F.size(F.col(ERRORS_COL)) > 0)
-            .write.format(fmt).mode("append").save(dead_path)
-        )
+        has_raw = RAW_COL in batch_df.columns
+        clean = stamped.where(F.size(F.col(ERRORS_COL)) == 0).drop(ERRORS_COL)
+        dead = stamped.where(F.size(F.col(ERRORS_COL)) > 0)
+        if has_raw:
+            clean = clean.drop(RAW_COL)
+            raw_fields = [f.name for f in batch_df.schema[RAW_COL].dataType.fields]
+            dead = dead.select(
+                *[F.col(f"{RAW_COL}.{n}").alias(n) for n in raw_fields],
+                *[c for c in batch_df.columns
+                  if c not in raw_fields and c != RAW_COL],
+                F.col("_batch_id"),
+            )
+        dead = dead.drop(RAW_COL)
+        clean.write.format(fmt).mode("append").save(clean_path)
+        dead.write.format(fmt).mode("append").save(dead_path)
 
     return write

@@ -91,6 +91,45 @@ class TestDeadLetter:
         assert "_batch_id" in dead.columns
         shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_raw_dead_letters_are_replayable(self, spark, event_stream):
+        """with_raw=True → the streaming dead-letter table stores the
+        ORIGINAL failing values (not the chain-nulled ones), so a
+        relaxed-schema replay recovers rows."""
+        from filters_spark.schema import RAW_COL
+        from filters_spark.sources import sinks
+
+        tmp = tempfile.mkdtemp(prefix="fsdlr_")
+        clean_p, dead_p = f"{tmp}/clean", f"{tmp}/dead"
+        validated = st.validate_stream(event_stream, EVENT_SCHEMA, with_raw=True)
+        writer = st.dead_letter_writer(clean_p, dead_p)
+        q = (
+            validated.writeStream.foreachBatch(writer)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        clean = spark.read.parquet(clean_p)
+        dead = spark.read.parquet(dead_p)
+        assert RAW_COL not in clean.columns and RAW_COL not in dead.columns
+        # originals preserved: the rejected 'error' event_type rows
+        # still carry their value, not NULL
+        bad_type = dead.where(~F.col("event_type").isin(
+            "click", "view", "signup", "purchase"))
+        assert bad_type.count() > 0
+        assert bad_type.where(F.col("event_type").isNull()).count() == 0
+        # replay under a schema that admits the 'error' type: recovers
+        relaxed = fs.ValidationSchema({
+            "event_type": fs.Choice(
+                ["click", "view", "signup", "purchase", "error"]),
+            "value": fs.Min(0),
+        })
+        replay = sinks.replay_dead_letter(spark, dead_p, relaxed)
+        assert replay.clean.count() > 0
+        assert replay.clean.count() + replay.rejected.count() == dead.count()
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 class TestStreamingDedup:
     def test_within_watermark_dedup(self, spark, event_stream):
