@@ -3541,3 +3541,47 @@ def ds_corpus_pipeline(spark, sf_dir):
     )
     return kept.where(sampling.hash_keep(F.col("doc_id"), 0.5)) \
         .select("doc_id", "lang", "source")
+
+
+@register(
+    "rel_asof_forward",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o.o_orderkey, o.o_custkey, min(ev.ts) AS mt
+      FROM orders o LEFT JOIN ev
+        ON ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
+      GROUP BY 1, 2
+    )
+    SELECT m.o_orderkey, ev.event_id AS matched_event
+    FROM m LEFT JOIN ev
+      ON ev.user_id = m.o_custkey AND ev.ts = m.mt
+    """,
+)
+def rel_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (attribution shape): each order's first
+    customer event at-or-after the order date — the mirror of
+    rel_asof_join's backward direction, same union-sort-window
+    log-merge, one (key, time) shuffle, no range-join blowup.
+    Customers without a later event come back NULL (most, here: the
+    synthetic events table covers 150 users vs 1500 customers — the
+    mixed NULL/match output is the point of the gate).  Right side
+    pre-deduped per (key, time) so ties are deterministic."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    joined = asof_join(
+        o.select("o_orderkey", "o_orderdate", "o_custkey"), ev,
+        left_time="o_orderdate", right_time="ts",
+        by_left="o_custkey", by_right="user_id",
+        direction="forward",
+    )
+    return joined.select(
+        "o_orderkey", F.col("event_id_r").alias("matched_event")
+    )

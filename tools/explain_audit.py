@@ -153,6 +153,9 @@ EXPECTATIONS: dict[str, dict] = {
     # composed pipeline: quality gate pushed to scan; the ONLY
     # shuffle is the content-hash dedup window; sample is a predicate
     "ds_corpus_pipeline": dict(max_exchanges=1, scan_filter=True),
+    # forward asof: event (user, ts) pre-dedup + the union's
+    # (key) window shuffle — the log-merge, no range blowup
+    "rel_asof_forward": dict(max_exchanges=3),
 }
 
 
