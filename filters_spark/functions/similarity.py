@@ -243,7 +243,9 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
     no side data to ship."""
     if dim is None:
         first = df.select(F.size(F.col(vec_col))).first()
-        dim = first[0]
+        # empty frame (pruned-away partition, dead upstream): any dim
+        # yields the same empty result — don't crash the DAG over it
+        dim = first[0] if first is not None and first[0] is not None else 1
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         weights = [_plane_weight(p, d) for d in range(dim)]

@@ -3585,3 +3585,37 @@ def rel_asof_forward(spark, sf_dir):
     return joined.select(
         "o_orderkey", F.col("event_id_r").alias("matched_event")
     )
+
+
+@register(
+    "rel_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def rel_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user event
+    sequences (the matrix behind next-event prediction and journey
+    mining).  One lead() window per user — ties at equal timestamps
+    broken by event_id so the sequence, and therefore the matrix, is
+    deterministic — then a tiny (from, to) rollup: the event stream
+    shuffles once on user_id, the aggregate's cardinality is
+    |event_type|², never data-sized."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -156,6 +156,8 @@ EXPECTATIONS: dict[str, dict] = {
     # forward asof: event (user, ts) pre-dedup + the union's
     # (key) window shuffle — the log-merge, no range blowup
     "rel_asof_forward": dict(max_exchanges=3),
+    # transitions: one user_id window shuffle + the tiny |types|² agg
+    "rel_event_transitions": dict(max_exchanges=2),
 }
 
 
