@@ -155,3 +155,76 @@ def test_strip_matches_python_oracle(spark, values):
         exp = python_strip_oracle(v)
         assert code is None
         assert clean == exp, (repr(v), repr(clean), repr(exp))
+
+
+# ---------------------------------------------------------------------------
+# Sampling: md5-threshold semantics vs a pure-Python md5 oracle
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(0, 10**12), min_size=1, max_size=50, unique=True),
+       st.floats(0.0, 1.0, allow_nan=False))
+@settings(**SETTINGS)
+def test_hash_keep_matches_python_md5(spark, keys, rate):
+    """hash_keep(key, rate) keeps exactly the keys whose md5 hex
+    compares below the engine-portable threshold — bit-for-bit the
+    same decision as Python's hashlib."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from filters_spark.functions import sampling
+
+    thresh = sampling.rate_to_hex_threshold(rate)
+    expected = {k for k in keys
+                if hashlib.md5(str(k).encode()).hexdigest() < thresh}
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    got = {r["key"] for r in
+           df.where(sampling.hash_keep(F.col("key"), rate)).collect()}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs a pure-Python two-pointer oracle
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+             min_size=1, max_size=30),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100),
+                       st.integers(0, 999)),
+             min_size=0, max_size=30),
+)
+@settings(max_examples=8, deadline=None)
+def test_asof_backward_matches_python_oracle(spark, lefts, rights):
+    """asof_join(direction='backward') == per-left-row max right time
+    <= left time within the key (payload of the latest such row);
+    duplicate (key, time) right rows pre-deduped to keep the oracle
+    single-valued."""
+    import datetime
+
+    from filters_spark.plans.joins import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    dedup = {}
+    for k, t, p in rights:
+        cur = dedup.get((k, t))
+        if cur is None or p > cur:
+            dedup[(k, t)] = p
+    rrows = [(k, base + datetime.timedelta(minutes=t), p)
+             for (k, t), p in sorted(dedup.items())]
+    lrows = [(i, k, base + datetime.timedelta(minutes=t))
+             for i, (k, t) in enumerate(lefts)]
+
+    def oracle(k, t):
+        cands = [(rt, p) for (rk, rt), p in dedup.items()
+                 if rk == k and rt <= t]
+        return max(cands)[1] if cands else None
+
+    expected = {i: oracle(k, t) for i, (k, t) in enumerate(lefts)}
+
+    ldf = spark.createDataFrame(lrows, "rowid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "k long, ts timestamp, payload long")
+    out = asof_join(ldf, rdf, left_time="ts", right_time="ts",
+                    by_left="k", by_right="k")
+    got = {r["rowid"]: r["payload_r"] for r in out.collect()}
+    assert got == expected
