@@ -3619,3 +3619,49 @@ def rel_event_transitions(spark, sf_dir):
         .groupBy("event_type", "next_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "val_struct_projection",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def val_struct_projection(spark, sf_dir):
+    """The successor-library struct projections (phx-filters Item /
+    Omit / Pick — extensions per SURVEY §2.7) under the gate: orders
+    rows packed into a struct column, then three independent chains
+    re-derive scalars through Pick→Item, Omit→Item, and a bare Item —
+    all pure plan-time projections (zero row-level branching), so the
+    rollup hash-matches the direct SQL over the flat columns.  The
+    struct pack/unpack round-trip is what validates: a wrong
+    field-order in Pick or a wrong dropFields in Omit would misalign
+    every downstream value."""
+    import filters_spark as fs
+
+    o = _t(spark, sf_dir, "orders")
+    rec = F.struct("o_orderstatus", "o_orderpriority", "o_totalprice")
+    packed = o.select(
+        rec.alias("rec_a"), rec.alias("rec_b"), rec.alias("rec_c")
+    )
+    res = fs.ValidationSchema({
+        "rec_a": fs.Pick(["o_orderstatus", "o_orderpriority"])
+                 | fs.Item("o_orderstatus"),
+        "rec_b": fs.Omit(["o_totalprice", "o_orderstatus"])
+                 | fs.Item("o_orderpriority"),
+        "rec_c": fs.Item("o_totalprice"),
+    }).validate(packed)
+    return (
+        res.clean
+        .groupBy(F.col("rec_a").alias("status"),
+                 F.col("rec_b").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("rec_c"), 2).alias("total"),
+        )
+        .select("status", "priority", "n", "total")
+    )

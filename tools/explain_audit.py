@@ -158,6 +158,8 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_asof_forward": dict(max_exchanges=3),
     # transitions: one user_id window shuffle + the tiny |types|² agg
     "rel_event_transitions": dict(max_exchanges=2),
+    # struct projections compile away — only the rollup shuffles
+    "val_struct_projection": dict(max_exchanges=1),
 }
 
 
