@@ -3665,3 +3665,41 @@ def val_struct_projection(spark, sf_dir):
         )
         .select("status", "priority", "n", "total")
     )
+
+
+@register(
+    "rel_mom_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY month)) * 1.0
+                 / lag(revenue) OVER (ORDER BY month), 6) AS mom_pct
+    FROM m
+    """,
+)
+def rel_mom_revenue(spark, sf_dir):
+    """Period-over-period reporting: monthly revenue with
+    month-over-month percentage change.  Revenue sums in DECIMAL
+    (exact, order-independent); the pct change is ONE IEEE division
+    of two exact decimals — deterministic across engines, no rounding
+    discipline needed upstream.  The global-ordered lag window runs
+    over |months| rows (the rollup), a driver-scale frame — at 100 TB
+    the only data-sized shuffle is the month rollup's."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+        )
+        .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+             .alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month", "revenue",
+        F.round((F.col("revenue") - prev) * 1.0 / prev, 6).alias("mom_pct"),
+    )

@@ -160,6 +160,8 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_event_transitions": dict(max_exchanges=2),
     # struct projections compile away — only the rollup shuffles
     "val_struct_projection": dict(max_exchanges=1),
+    # MoM: month rollup + the |months|-row single-partition lag
+    "rel_mom_revenue": dict(max_exchanges=2),
 }
 
 
