@@ -3703,3 +3703,48 @@ def rel_mom_revenue(spark, sf_dir):
         "month", "revenue",
         F.round((F.col("revenue") - prev) * 1.0 / prev, 6).alias("mom_pct"),
     )
+
+
+@register(
+    "ds_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, lang, md5(text) AS fp
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    fresh AS (               -- not already in the corpus
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+    )
+    SELECT doc_id, lang FROM (   -- nor duplicated within the batch
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fresh
+    ) WHERE rn = 1
+    """,
+)
+def ds_incremental_dedup(spark, sf_dir):
+    """INCREMENTAL dedup — the shape a 100 TB pipeline actually runs
+    daily: a new batch checked against the accumulated corpus
+    fingerprint table (left-anti join on content hash), then deduped
+    within itself (keep-first window) — never re-clustering the whole
+    corpus.  Here the documents table stands in for both sides (even
+    ids = corpus, odd = today's batch).  At scale the corpus
+    fingerprints live in a table BUCKETED by fp, so the daily
+    anti-join reads co-located buckets with no shuffle of the corpus
+    side; the batch-internal window shuffles only the (small) batch."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
+    batch = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.md5("text").alias("fp")
+    )
+    fresh = batch.join(corpus, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )

@@ -162,6 +162,9 @@ EXPECTATIONS: dict[str, dict] = {
     "val_struct_projection": dict(max_exchanges=1),
     # MoM: month rollup + the |months|-row single-partition lag
     "rel_mom_revenue": dict(max_exchanges=2),
+    # incremental dedup: anti-join (broadcast at gate sf; bucketed
+    # corpus at scale) + the batch-internal keep-first window
+    "ds_incremental_dedup": dict(max_exchanges=2, scan_filter=True),
 }
 
 
