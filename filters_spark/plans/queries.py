@@ -3748,3 +3748,85 @@ def ds_incremental_dedup(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "ds_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(e) AS BIGINT) AS n_dims,
+           round(127.0 / ma, 6) AS scale_r,
+           CAST(list_sum(list_transform(e, x -> CAST(round(x * (127.0 / ma), 0)
+                                                     AS BIGINT))) AS BIGINT) AS qsum
+    FROM v WHERE ma > 0
+    """,
+)
+def ds_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (the 4×
+    storage/bandwidth cut every vector store applies before ANN):
+    per-vector scale = 127/max|x|, codes = round(x·scale).  Pure
+    per-row map — no shuffle, quantization runs inside the scan
+    projection at any scale.  The gate pins the exact integer code
+    SUM per vector (ties in round() resolve identically: both engines
+    round doubles half-away-from-zero) plus the 6dp scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    ma = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("_ma")
+    q = F.transform("_e", lambda x: F.round(x * scale, 0).cast("long"))
+    return (
+        emb.select("vec_id", e.alias("_e"), ma.alias("_ma"))
+        .where(F.col("_ma") > 0)
+        .select(
+            "vec_id",
+            F.size("_e").cast("long").alias("n_dims"),
+            F.round(scale, 6).alias("scale_r"),
+            F.aggregate(q, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("qsum"),
+        )
+    )
+
+
+@register(
+    "txt_boilerplate_ngrams",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
+      FROM tok, unnest(generate_series(1, len(toks) - 4)) AS g(i)
+      WHERE len(toks) >= 5
+    )
+    SELECT md5(shingle) AS fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM sh
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 3
+    """,
+)
+def txt_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection: word 5-grams shared by ≥3 documents —
+    the shared-passage signal used to strip headers/footers/templates
+    from training corpora (the winnowing sketch finds WHERE passages
+    repeat; this finds WHICH passages are corpus-wide boilerplate).
+    Reuses shingle_rows' spread-then-window plan (one doc-side
+    shuffle), then a count-distinct rollup on the shingle — partial
+    aggregation collapses each task to its distinct (shingle, doc)
+    pairs before the shuffle.  Emits md5 fingerprints, not the text:
+    at 100 TB the hot output is joined back as a filter, and a
+    16-byte key beats shipping passages."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 5
+    )
+    sh = dedup.shingle_rows(d, "doc_id", "text", k=5)
+    return (
+        sh.select("doc_id", F.md5("_shingle").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 3)
+    )

@@ -165,6 +165,10 @@ EXPECTATIONS: dict[str, dict] = {
     # incremental dedup: anti-join (broadcast at gate sf; bucketed
     # corpus at scale) + the batch-internal keep-first window
     "ds_incremental_dedup": dict(max_exchanges=2, scan_filter=True),
+    # quantize: pure per-row map — only AQE's final coalesce may show
+    "ds_embedding_quantize": dict(max_exchanges=0),
+    # boilerplate: shingle spread + (shingle, doc)-collapsed distinct agg
+    "txt_boilerplate_ngrams": dict(max_exchanges=3),
 }
 
 
