@@ -3830,3 +3830,52 @@ def txt_boilerplate_ngrams(spark, sf_dir):
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= 3)
     )
+
+
+@register(
+    "rel_pareto_deciles",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT o_custkey, rev,
+             ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM c
+    ),
+    t AS (SELECT sum(rev) AS total FROM c)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           sum(rev) AS decile_rev,
+           round(sum(rev) * 1.0 / min(total), 6) AS rev_share
+    FROM d CROSS JOIN t
+    GROUP BY decile
+    """,
+)
+def rel_pareto_deciles(spark, sf_dir):
+    """Pareto/concentration analysis: customers ranked into revenue
+    deciles, each decile's share of total revenue — the 80/20 curve
+    behind pricing and sampling decisions.  Revenue sums in DECIMAL
+    (exact), the share is one IEEE division, ntile ties broken by
+    custkey so decile boundaries are deterministic.  The global-sort
+    ntile runs over the |customers| rollup, not the fact; the 1-row
+    total broadcasts (same decorrelation as rel_q11)."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev")
+    )
+    d = c.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("rev").desc(), "o_custkey")),
+    )
+    t = c.agg(F.sum("rev").alias("total"))
+    return (
+        d.join(F.broadcast(t))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev").alias("decile_rev"),
+            F.round(F.sum("rev") * 1.0 / F.min("total"), 6).alias("rev_share"),
+        )
+    )

@@ -169,6 +169,8 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_embedding_quantize": dict(max_exchanges=0),
     # boilerplate: shingle spread + (shingle, doc)-collapsed distinct agg
     "txt_boilerplate_ngrams": dict(max_exchanges=3),
+    # pareto: customer rollup + |customers|-row ntile + 1-row total
+    "rel_pareto_deciles": dict(max_exchanges=4, min_broadcasts=1),
 }
 
 
