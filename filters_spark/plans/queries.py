@@ -3879,3 +3879,58 @@ def rel_pareto_deciles(spark, sf_dir):
             F.round(F.sum("rev") * 1.0 / F.min("total"), 6).alias("rev_share"),
         )
     )
+
+
+@register(
+    "ds_dedup_keep_canonical",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component_id
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    LEFT JOIN comp ON d.doc_id = comp.doc_id
+    WHERE comp.doc_id IS NULL OR comp.component_id = d.doc_id
+    """,
+)
+def ds_dedup_keep_canonical(spark, sf_dir):
+    """The dedup pipeline's FINAL OUTPUT: the surviving corpus —
+    near-dup pairs clustered into components, exactly one canonical
+    document (the min-id member) kept per cluster, singletons pass
+    through untouched.  This is the composition the README sketches
+    (jaccard_pairs → connected_components → keeper anti-filter), now
+    under the gate end to end: a wrong component label or a dropped
+    singleton changes the output set.  The keeper test is a LEFT join
+    of the (small) component map back onto the corpus — the full
+    corpus never shuffles on anything but that broadcast-sized map."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    pairs = dedup.jaccard_pairs(
+        toks, "doc_id", "toks", block_col="source", threshold=0.9
+    ).select("a_id", "b_id")
+    comp = dedup.connected_components(pairs)
+    return (
+        d.join(F.broadcast(comp), d.doc_id == comp.node, "left")
+        .where(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
+        .select("doc_id", "lang")
+    )

@@ -171,6 +171,9 @@ EXPECTATIONS: dict[str, dict] = {
     "txt_boilerplate_ngrams": dict(max_exchanges=3),
     # pareto: customer rollup + |customers|-row ntile + 1-row total
     "rel_pareto_deciles": dict(max_exchanges=4, min_broadcasts=1),
+    # keep-canonical: pair-gen + CC iterations happen upstream of a
+    # localCheckpoint; the final keeper filter is one broadcast join
+    "ds_dedup_keep_canonical": dict(min_broadcasts=1),
 }
 
 
