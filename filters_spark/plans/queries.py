@@ -3934,3 +3934,40 @@ def ds_dedup_keep_canonical(spark, sf_dir):
         .where(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "ds_split_assign",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 AS INT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def ds_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment via
+    sampling.hash_bucket (md5-prefix mod 10 → 80/10/10): every row's
+    split is a pure function of its key, so re-running the pipeline —
+    on any engine, any cluster size, any day — assigns the SAME rows
+    to the same split (no leakage from reshuffled RNG).  A pure scan
+    projection: zero shuffles at any scale.  The oracle replays the
+    md5-prefix hex parse exactly."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id", sampling.hash_bucket(F.col("doc_id"), 10).alias("bucket")
+    )
+    return b.select(
+        "doc_id", "bucket",
+        F.when(F.col("bucket") < 8, "train")
+        .when(F.col("bucket") == 8, "val")
+        .otherwise("test").alias("split"),
+    )

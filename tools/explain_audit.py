@@ -174,6 +174,8 @@ EXPECTATIONS: dict[str, dict] = {
     # keep-canonical: pair-gen + CC iterations happen upstream of a
     # localCheckpoint; the final keeper filter is one broadcast join
     "ds_dedup_keep_canonical": dict(min_broadcasts=1),
+    # split assignment: pure scan projection — NOTHING may shuffle
+    "ds_split_assign": dict(max_exchanges=0),
 }
 
 
