@@ -3971,3 +3971,87 @@ def ds_split_assign(spark, sf_dir):
         .when(F.col("bucket") == 8, "val")
         .otherwise("test").alias("split"),
     )
+
+
+@register(
+    "rel_basket_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT a_part, b_part, n_orders, rk FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY n_orders DESC, a_part, b_part) AS rk
+      FROM pairs
+    ) WHERE rk <= 20
+    """,
+)
+def rel_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought in the same
+    order, global top-20 — the fact-fact SELF-join shape (lineitem ⋈
+    lineitem on orderkey) missing from the dim-join suite.  One
+    shuffle on the join key feeds both sides; the pair rollup's
+    map-side partial agg collapses before its shuffle; the global
+    top-20 runs as TakeOrdered over the rollup (WindowGroupLimit
+    prunes before the single-partition sort).  Per-order line counts
+    are small and bounded, so the self-join fan-out is linear in
+    orders — the safe kind of self-join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("a_part"),
+                 F.col("b.l_partkey").alias("b_part"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("n_orders").desc(), "a_part", "b_part")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "prof_table_fingerprint",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR),
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                 o_orderpriority)), 1, 8)) AS BIGINT)) AS BIGINT) AS fp_sum
+    FROM orders
+    """,
+)
+def prof_table_fingerprint(spark, sf_dir):
+    """Order-insensitive table CONTENT fingerprint: sum of per-row
+    md5-prefix integers over a canonical string encoding (ints as-is,
+    money via DECIMAL(18,2) strings, dates as ISO days) — the
+    integrity check a migration/copy/backfill runs on both sides to
+    prove row-level equality without moving data.  Commutative sum →
+    partition- and order-independent; any flipped row changes the
+    fingerprint with probability ~1-2⁻³².  One scan + a 1-row
+    aggregate at any scale; the canonical encoding is the contract
+    (the oracle replays it byte-for-byte)."""
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+        F.to_date("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rowfp = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(rowfp).alias("fp_sum"),
+    )

@@ -176,6 +176,10 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_dedup_keep_canonical": dict(min_broadcasts=1),
     # split assignment: pure scan projection — NOTHING may shuffle
     "ds_split_assign": dict(max_exchanges=0),
+    # basket: orderkey self-join shuffle + pair rollup + top-20 single
+    "rel_basket_pairs": dict(max_exchanges=4),
+    # fingerprint: scan + 1-row commutative agg
+    "prof_table_fingerprint": dict(max_exchanges=1),
 }
 
 
