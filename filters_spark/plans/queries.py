@@ -4055,3 +4055,60 @@ def prof_table_fingerprint(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.sum(rowfp).alias("fp_sum"),
     )
+
+
+@register(
+    "prof_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(corr(l_discount, l_tax), 4) AS corr_disc_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def prof_corr(spark, sf_dir):
+    """Per-group Pearson correlation (feature-relationship profiling):
+    both engines implement the same sample-correlation aggregate, and
+    the 4dp round absorbs accumulation-order ulps — a single
+    map-side-combinable aggregate pass, one shuffle on the tiny group
+    key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+        .alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
+    )
+
+
+@register(
+    "txt_zipf_vocab",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+      WHERE token <> '' GROUP BY 1
+    )
+    SELECT token, n, rk FROM (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+      FROM counts
+    ) WHERE rk <= 20
+    """,
+)
+def txt_zipf_vocab(spark, sf_dir):
+    """Corpus vocabulary head (Zipf curve top-20): global token
+    frequencies with deterministic rank tie-breaks — the quick look
+    every corpus build starts with (is the head stopwords or
+    boilerplate?).  Token rollup partial-aggregates map-side to
+    |vocab| rows per task; the global rank sorts only the collapsed
+    vocabulary, never the token stream."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)

@@ -180,6 +180,10 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_basket_pairs": dict(max_exchanges=4),
     # fingerprint: scan + 1-row commutative agg
     "prof_table_fingerprint": dict(max_exchanges=1),
+    # corr: one combinable agg pass
+    "prof_corr": dict(max_exchanges=1),
+    # zipf: token rollup + vocab-sized global rank
+    "txt_zipf_vocab": dict(max_exchanges=2),
 }
 
 
