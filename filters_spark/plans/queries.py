@@ -4112,3 +4112,62 @@ def txt_zipf_vocab(spark, sf_dir):
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.col("n").desc(), "token")
     return counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)
+
+
+@register(
+    "prof_referential_integrity",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS fk,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    """,
+)
+def prof_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for every foreign
+    key in the star — the cross-TABLE data-quality check the row-level
+    validators can't express (the reference validates one value at a
+    time; orphan detection needs the other table).  Each leg is a
+    LEFT ANTI join: dimension keys broadcast, the fact is never
+    materialized past the probe, and a zero row is still reported —
+    silence is not integrity.  At 100 TB this is the nightly
+    win-or-page query."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+
+    def leg(label, fact, fk, dim, pk):
+        orphans = fact.join(
+            F.broadcast(dim), fact[fk] == dim[pk], "left_anti"
+        )
+        return orphans.agg(
+            F.lit(label).alias("fk"),
+            F.count("*").alias("n_orphans"),
+        )
+
+    return (
+        leg("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(leg("lineitem.l_orderkey -> orders", li, "l_orderkey",
+                         o.select("o_orderkey"), "o_orderkey"))
+        .unionByName(leg("lineitem.l_partkey -> part", li, "l_partkey",
+                         p, "p_partkey"))
+        .unionByName(leg("lineitem.l_suppkey -> supplier", li, "l_suppkey",
+                         s, "s_suppkey"))
+    )

@@ -184,6 +184,9 @@ EXPECTATIONS: dict[str, dict] = {
     "prof_corr": dict(max_exchanges=1),
     # zipf: token rollup + vocab-sized global rank
     "txt_zipf_vocab": dict(max_exchanges=2),
+    # referential integrity: 4 anti-join legs, dims broadcast,
+    # 1-row aggregates unioned
+    "prof_referential_integrity": dict(max_exchanges=4, min_broadcasts=4),
 }
 
 
