@@ -4171,3 +4171,80 @@ def prof_referential_integrity(spark, sf_dir):
         .unionByName(leg("lineitem.l_suppkey -> supplier", li, "l_suppkey",
                          s, "s_suppkey"))
     )
+
+
+@register(
+    "prof_freshness",
+    oracle="""
+    WITH m AS (
+      SELECT 'orders' AS tbl, CAST(max(o_orderdate) AS DATE) AS max_date
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(max(l_shipdate) AS DATE) FROM lineitem
+      UNION ALL
+      SELECT 'events', CAST(max(ts) AS DATE) FROM events
+    ),
+    g AS (SELECT max(max_date) AS newest FROM m)
+    SELECT tbl, max_date,
+           CAST(datediff('day', max_date, newest) AS BIGINT) AS lag_days
+    FROM m CROSS JOIN g
+    """,
+)
+def prof_freshness(spark, sf_dir):
+    """Freshness audit: each table's newest event date and its lag
+    behind the freshest table — the staleness monitor a multi-source
+    pipeline runs before trusting a join of them (a fact joined to a
+    dimension 30 days staler silently under-reports).  Anchored to
+    the data's own max (not wall-clock), so the check is
+    deterministic and replayable.  Three 1-row max-aggregates + a
+    broadcast of the global max — metadata-cheap at any scale
+    (parquet footers answer max() scans)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    m = (
+        o.agg(F.lit("orders").alias("tbl"),
+              F.to_date(F.max("o_orderdate")).alias("max_date"))
+        .unionByName(li.agg(F.lit("lineitem").alias("tbl"),
+                            F.to_date(F.max("l_shipdate")).alias("max_date")))
+        .unionByName(e.agg(F.lit("events").alias("tbl"),
+                           F.to_date(F.max("ts")).alias("max_date")))
+    )
+    g = m.agg(F.max("max_date").alias("newest"))
+    return m.join(F.broadcast(g)).select(
+        "tbl", "max_date",
+        F.datediff(F.col("newest"), F.col("max_date")).cast("long")
+        .alias("lag_days"),
+    )
+
+
+@register(
+    "rel_running_total",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           sum(revenue) OVER (ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+    FROM m
+    """,
+)
+def rel_running_total(spark, sf_dir):
+    """Cumulative (running-total) reporting over exact decimals: the
+    month rollup is the only data-sized shuffle; the running sum is a
+    ROWS-frame window over |months| rows, and DECIMAL accumulation
+    makes the cumulative column exactly reproducible — a float
+    running sum would drift differently per engine at every prefix."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+          .alias("revenue"))
+    w = (Window.orderBy("month")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return m.select(
+        "month", "revenue", F.sum("revenue").over(w).alias("cum_revenue")
+    )

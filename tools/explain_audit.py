@@ -187,6 +187,12 @@ EXPECTATIONS: dict[str, dict] = {
     # referential integrity: 4 anti-join legs, dims broadcast,
     # 1-row aggregates unioned
     "prof_referential_integrity": dict(max_exchanges=4, min_broadcasts=4),
+    # freshness: three 1-row max legs + the global-max branch
+    # re-derives them (6 SinglePartition exchanges over 1-row data —
+    # footer-stat scans, nothing data-sized moves)
+    "prof_freshness": dict(max_exchanges=6, min_broadcasts=1),
+    # running total: month rollup + |months|-row frame window
+    "rel_running_total": dict(max_exchanges=2),
 }
 
 
