@@ -4248,3 +4248,80 @@ def rel_running_total(spark, sf_dir):
     return m.select(
         "month", "revenue", F.sum("revenue").over(w).alias("cum_revenue")
     )
+
+
+@register(
+    "rel_sequence_gaps",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+               WHERE o_orderstatus = 'F'),
+    s AS (
+      SELECT k, lead(k) OVER (ORDER BY k) AS next_k FROM k
+    )
+    SELECT k + 1 AS gap_start, next_k - 1 AS gap_end,
+           CAST(next_k - k - 1 AS BIGINT) AS gap_len
+    FROM s WHERE next_k - k > 1
+    """,
+)
+def rel_sequence_gaps(spark, sf_dir):
+    """Islands-and-gaps: missing runs in the order-key sequence (the
+    completeness check for ingest pipelines fed by monotonically
+    increasing ids — a gap is dropped data or a stuck producer; here the
+    status-'F' subset supplies a naturally gappy sequence).  One
+    global lead() over the DISTINCT key set; emitted rows are the
+    gaps themselves (start, end, length), so the output is tiny even
+    when the key space is billions.  The distinct collapses map-side
+    first; only |keys| rows reach the single-partition sequence
+    window — at 100 TB bucket the window by key range (k div B) and
+    stitch boundaries if |keys| itself is huge."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    k = o.select(F.col("o_orderkey").alias("k")).distinct()
+    w = Window.orderBy("k")
+    s = k.withColumn("next_k", F.lead("k").over(w))
+    return (
+        s.where(F.col("next_k") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("next_k") - 1).alias("gap_end"),
+            (F.col("next_k") - F.col("k") - 1).cast("long").alias("gap_len"),
+        )
+    )
+
+
+@register(
+    "rel_order_interarrival",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             datediff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+           round(median(CAST(gap_days AS DOUBLE)), 4) AS median_gap_days,
+           round(avg(gap_days), 4) AS avg_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM seq WHERE gap_days IS NOT NULL
+    """,
+)
+def rel_order_interarrival(spark, sf_dir):
+    """Inter-arrival statistics: days between a customer's
+    consecutive orders (the churn/cadence profile behind retention
+    modeling).  The per-customer lag shares ONE user-keyed shuffle
+    with deterministic (date, orderkey) ordering; the exact median
+    over all intervals interpolates identically in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.datediff(F.col("o_orderdate"),
+                   F.lag("o_orderdate").over(w)).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return seq.agg(
+        F.count("*").alias("n_intervals"),
+        F.round(F.percentile(F.col("gap_days").cast("double"), 0.5), 4)
+        .alias("median_gap_days"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )

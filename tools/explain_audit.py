@@ -193,6 +193,10 @@ EXPECTATIONS: dict[str, dict] = {
     "prof_freshness": dict(max_exchanges=6, min_broadcasts=1),
     # running total: month rollup + |months|-row frame window
     "rel_running_total": dict(max_exchanges=2),
+    # gaps: distinct collapse + the |keys| sequence window
+    "rel_sequence_gaps": dict(max_exchanges=2, scan_filter=True),
+    # inter-arrival: one custkey window shuffle + 1-row stats agg
+    "rel_order_interarrival": dict(max_exchanges=2),
 }
 
 
