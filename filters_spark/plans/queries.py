@@ -4325,3 +4325,98 @@ def rel_order_interarrival(spark, sf_dir):
         F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+@register(
+    "rel_session_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sess_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted) * 1.0 / count(*), 6) AS conversion_rate
+    FROM sess
+    """,
+)
+def rel_session_conversion(spark, sf_dir):
+    """Session-level conversion rate: sessionize by 30-minute
+    inactivity gaps (lag + running flag-sum — the same construction
+    as rel_sessionize, extended with a session ID), then the fraction
+    of sessions containing a purchase.  All three stages — the gap
+    lag, the running session counter, and the per-session collapse —
+    share ONE user_id-keyed shuffle; the final global rate is a 1-row
+    aggregate of one IEEE division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    numbered = (
+        ev.withColumn("new_sess", F.when(gap > 1800.0, 1).otherwise(0))
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sess = numbered.groupBy("user_id", "sess_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("converted")
+    )
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") * 1.0 / F.count("*"), 6)
+        .alias("conversion_rate"),
+    )
+
+
+@register(
+    "txt_length_outliers",
+    oracle="""
+    WITH l AS (SELECT doc_id, len(text) AS n FROM documents),
+    med AS (SELECT median(CAST(n AS DOUBLE)) AS m FROM l),
+    mad AS (
+      SELECT median(abs(n - m)) AS d FROM l CROSS JOIN med
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars
+    FROM l CROSS JOIN med CROSS JOIN mad
+    WHERE abs(n - m) > 2 * d
+    """,
+)
+def txt_length_outliers(spark, sf_dir):
+    """Robust length-outlier detection for corpus prep: documents
+    whose character count deviates from the corpus MEDIAN by more
+    than 2 MADs (median absolute deviation) — unlike mean/stddev,
+    both statistics are immune to the outliers they hunt.  Two exact
+    interpolated medians (engine-identical), each a 1-row aggregate
+    broadcast back over the lengths — the corpus scans twice but
+    never shuffles row-wise."""
+    d = _t(spark, sf_dir, "documents")
+    l = d.select("doc_id", F.length("text").alias("n"))
+    med = l.agg(F.percentile(F.col("n").cast("double"), 0.5).alias("m"))
+    with_m = l.join(F.broadcast(med))
+    mad = with_m.agg(
+        F.percentile(F.abs(F.col("n") - F.col("m")), 0.5).alias("d")
+    )
+    return (
+        with_m.join(F.broadcast(mad))
+        .where(F.abs(F.col("n") - F.col("m")) > 2 * F.col("d"))
+        .select("doc_id", F.col("n").cast("long").alias("n_chars"))
+    )

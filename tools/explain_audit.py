@@ -197,6 +197,11 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_sequence_gaps": dict(max_exchanges=2, scan_filter=True),
     # inter-arrival: one custkey window shuffle + 1-row stats agg
     "rel_order_interarrival": dict(max_exchanges=2),
+    # session conversion: ONE user_id shuffle for lag + counter +
+    # collapse, then the 1-row rate
+    "rel_session_conversion": dict(max_exchanges=2),
+    # MAD outliers: two 1-row medians broadcast over the lengths
+    "txt_length_outliers": dict(max_exchanges=4, min_broadcasts=2),
 }
 
 
