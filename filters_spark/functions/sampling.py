@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "rate_to_hex_threshold",
     "hash_keep",
+    "hash_uniform",
     "stratified_sample",
     "hash_bucket",
 ]
@@ -85,3 +86,16 @@ def hash_bucket(key: Column, n_buckets: int) -> Column:
     80% train split that never leaks rows across re-runs)."""
     return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
             .cast("long") % n_buckets).cast("int")
+
+
+def hash_uniform(key: Column) -> Column:
+    """Deterministic uniform draw in [0, 1) from the key's md5 prefix
+    (8 hex chars / 16^8) — the numeric form of :func:`hash_keep` for
+    PER-ROW rates: ``hash_uniform(key) < rate_col`` samples each row
+    with its own probability, still reproducible across engines and
+    retries (both sides parse the same hex and perform the same IEEE
+    division)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, _HEX_DIGITS), 16, 10)
+        .cast("double") / float(16 ** _HEX_DIGITS)
+    )

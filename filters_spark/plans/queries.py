@@ -4420,3 +4420,74 @@ def txt_length_outliers(spark, sf_dir):
         .where(F.abs(F.col("n") - F.col("m")) > 2 * F.col("d"))
         .select("doc_id", F.col("n").cast("long").alias("n_chars"))
     )
+
+
+@register(
+    "ds_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars FROM documents)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0
+          < least(1.0, n_chars / 600.0)
+    """,
+)
+def ds_weighted_sample(spark, sf_dir):
+    """Length-weighted deterministic sampling: each document kept
+    with probability ∝ its length (capped at 1) — the
+    token-budget-aware corpus sampling that over-weights long
+    documents without RNG.  ``hash_uniform(key) < per_row_rate`` is a
+    pure scan predicate (zero shuffles); the draw and the IEEE
+    division replay identically in the oracle, so the SAME rows
+    survive on any engine, cluster size, or retry."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    rate = F.least(F.lit(1.0), F.col("n_chars") / 600.0)
+    return d.where(sampling.hash_uniform(F.col("doc_id")) < rate)
+
+
+@register(
+    "ds_containment_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(a.toks), 4) AS containment
+    FROM tok a JOIN tok b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks) >= 0.95
+    """,
+)
+def ds_containment_pairs(spark, sf_dir):
+    """ASYMMETRIC containment near-dup (|A∩B| / |A| ≥ 0.95): catches
+    a document CONTAINED in a larger one — quotes, excerpts,
+    supersets — which symmetric Jaccard misses (a small doc inside a
+    big one has low Jaccard but containment ≈ 1).  Directed pairs, so
+    both (a⊂b) and (b⊂a) can surface independently.  Same
+    source-blocked quadratic confinement as the Jaccard path; the
+    ratio of exact integers rounds identically in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    cont = inter.cast("double") / F.size(F.col("a.toks"))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .where(cont >= 0.95)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.round(cont, 4).alias("containment"),
+        )
+    )

@@ -202,6 +202,10 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_session_conversion": dict(max_exchanges=2),
     # MAD outliers: two 1-row medians broadcast over the lengths
     "txt_length_outliers": dict(max_exchanges=4, min_broadcasts=2),
+    # weighted sample: pure scan predicate
+    "ds_weighted_sample": dict(max_exchanges=0),
+    # containment: source-blocked self-join (broadcast at gate sf)
+    "ds_containment_pairs": dict(max_exchanges=2),
 }
 
 
