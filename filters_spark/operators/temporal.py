@@ -40,6 +40,24 @@ def _parse_any(col: Column) -> Column:
     return parsed
 
 
+# An explicit offset (or Z) at the end of the input string means the
+# instant is fully determined by the input — the ``timezone`` param
+# must NOT re-shift it (reference: explicit tzinfo wins over the
+# assumed zone).
+_OFFSET_RE = r"(?i)(Z|[+-]\d{2}:?\d{2})\s*$"
+
+
+def _interpret_in_zone(parsed: Column, raw: Column, timezone: str | None) -> Column:
+    """UTC-normalize ``parsed``: with the session tz pinned to UTC,
+    offset-bearing inputs already parsed to the right instant; naive
+    inputs parsed as-if-UTC and are re-interpreted in ``timezone``."""
+    if not timezone:
+        return parsed
+    return F.when(raw.rlike(_OFFSET_RE), parsed).otherwise(
+        F.to_utc_timestamp(parsed, timezone)
+    )
+
+
 class Datetime(Validator):
     """Parse string/timestamp → UTC timestamp (reference ``Datetime``).
 
@@ -68,10 +86,8 @@ class Datetime(Validator):
         self.timezone = timezone
 
     def _parsed(self, col: Column) -> Column:
-        p = _parse_any(col.cast("string"))
-        if self.timezone:
-            p = F.to_utc_timestamp(p, self.timezone)
-        return p
+        raw = col.cast("string")
+        return _interpret_in_zone(_parse_any(raw), raw, self.timezone)
 
     def transform(self, col: Column) -> Column:
         return self._parsed(col)
@@ -96,7 +112,10 @@ class _TimestampPassthrough(Validator):
         out = col
         if self.cast_to:
             out = out.cast(self.cast_to)
-        if self.timezone and self.name == "datetime":
+        if self.timezone:
+            # typed temporal columns carry no offset → always naive;
+            # interpret in the assumed zone (Date takes the UTC date
+            # of the shifted instant, mirroring the string path)
             out = F.to_utc_timestamp(out, self.timezone)
         if self.name == "date":
             out = out.cast("date")
@@ -121,11 +140,10 @@ class Date(Validator):
         self.timezone = timezone
 
     def _parsed(self, col: Column) -> Column:
-        p = _parse_any(col.cast("string"))
-        if self.timezone:
-            # interpret naive input in tz, then take the local date
-            return F.to_date(p)
-        return F.to_date(p)
+        # Same UTC normalization as Datetime, then the UTC date part
+        # (reference ``Date`` = ``Datetime`` parse → ``.date()``).
+        raw = col.cast("string")
+        return F.to_date(_interpret_in_zone(_parse_any(raw), raw, self.timezone))
 
     def transform(self, col: Column) -> Column:
         return self._parsed(col)

@@ -245,6 +245,50 @@ def val_date_counts(spark, sf_dir):
     return res.clean.groupBy(F.col("ts").alias("d")).agg(F.count("*").alias("n"))
 
 
+_DATE_TZ_ORACLE = r"""
+WITH src AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') ||
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN ' 18:30:00+09:00'
+      WHEN 1 THEN ' 18:30:00Z'
+      WHEN 2 THEN ' 18:30:00'
+      ELSE ' 03:00:00' END AS s
+  FROM orders
+), parsed AS (
+  SELECT CASE WHEN regexp_matches(s, '(Z|[+-]\d{2}:?\d{2})\s*$')
+              THEN timezone('UTC', CAST(s AS TIMESTAMPTZ))
+              ELSE timezone('UTC', timezone('Asia/Tokyo', CAST(s AS TIMESTAMP)))
+         END AS ts_utc
+  FROM src
+)
+SELECT CAST(ts_utc AS DATE) AS d, count(*) AS n FROM parsed GROUP BY 1
+"""
+
+
+@register("val_date_tz", oracle=_DATE_TZ_ORACLE)
+def val_date_tz(spark, sf_dir):
+    """Date(timezone=) semantics (reference ``filters/simple.py::Date``):
+    explicit offsets/Z in the input win; naive inputs are interpreted
+    in the assumed zone (Asia/Tokyo), then the UTC date is taken.
+    The ' 03:00:00' naive leg lands on the PREVIOUS UTC date —
+    exercising the date-boundary shift the tz param exists for."""
+    orders = _t(spark, sf_dir, "orders")
+    suffix = F.element_at(
+        F.array(
+            F.lit(" 18:30:00+09:00"),
+            F.lit(" 18:30:00Z"),
+            F.lit(" 18:30:00"),
+            F.lit(" 03:00:00"),
+        ),
+        (F.col("o_orderkey") % 4 + 1).cast("int"),
+    )
+    src = orders.select(
+        F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"), suffix).alias("d")
+    )
+    res = fs.ValidationSchema({"d": fs.Date(timezone="Asia/Tokyo")}).validate(src)
+    return res.clean.groupBy("d").agg(F.count("*").alias("n"))
+
+
 @register(
     "val_base64_roundtrip",
     oracle="SELECT c_custkey, c_name AS decoded FROM customer",

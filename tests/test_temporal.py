@@ -33,6 +33,19 @@ class TestDatetime:
         v = dt.datetime(2024, 5, 6, 7, 8, 9)
         assert_passes(spark, fs.Datetime(), v, v, in_type="timestamp")
 
+    def test_explicit_offset_wins_over_zone(self, spark):
+        # +09:00 in the input beats the assumed zone — no double shift
+        [(clean, code)] = run_chain(
+            spark, fs.Datetime(timezone="Europe/Berlin"), ["2024-01-02T12:00:00+09:00"]
+        )
+        assert code is None and clean == dt.datetime(2024, 1, 2, 3, 0, 0)
+
+    def test_zulu_suffix_wins_over_zone(self, spark):
+        [(clean, code)] = run_chain(
+            spark, fs.Datetime(timezone="Asia/Tokyo"), ["2024-01-02T12:00:00Z"]
+        )
+        assert code is None and clean == dt.datetime(2024, 1, 2, 12, 0, 0)
+
 
 class TestDate:
     def test_iso(self, spark):
@@ -43,3 +56,38 @@ class TestDate:
 
     def test_invalid(self, spark):
         assert_errors(spark, fs.Date(), "not a date", "not_date")
+
+    def test_tz_naive_boundary_shift(self, spark):
+        # 03:00 Tokyo = 18:00 UTC the PREVIOUS day
+        [(clean, code)] = run_chain(
+            spark, fs.Date(timezone="Asia/Tokyo"), ["2024-01-02 03:00:00"]
+        )
+        assert code is None and clean == dt.date(2024, 1, 1)
+
+    def test_tz_offset_input_no_double_shift(self, spark):
+        # explicit +09:00: instant is 09:30 UTC same day — tz param inert
+        [(clean, code)] = run_chain(
+            spark, fs.Date(timezone="Asia/Tokyo"), ["2024-01-02 18:30:00+09:00"]
+        )
+        assert code is None and clean == dt.date(2024, 1, 2)
+
+    def test_tz_property_vs_zoneinfo(self, spark):
+        """Property-style sweep vs the pure-Python zoneinfo oracle:
+        naive inputs across zones/hours must match dateutil-equivalent
+        interpret-in-zone → UTC → .date() semantics."""
+        from zoneinfo import ZoneInfo
+
+        zones = ["Asia/Tokyo", "Europe/Berlin", "America/Los_Angeles", "UTC"]
+        hours = [0, 3, 11, 15, 23]
+        days = ["2024-01-02", "2024-06-15", "2023-12-31"]
+        for zone in zones:
+            inputs = [f"{d} {h:02d}:00:00" for d in days for h in hours]
+            expected = [
+                dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+                .replace(tzinfo=ZoneInfo(zone))
+                .astimezone(dt.timezone.utc)
+                .date()
+                for s in inputs
+            ]
+            got = [c for c, _ in run_chain(spark, fs.Date(timezone=zone), inputs)]
+            assert got == expected, f"zone={zone}"
