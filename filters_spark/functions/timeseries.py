@@ -29,8 +29,8 @@ __all__ = ["time_spine", "forward_fill", "gapfill"]
 def time_spine(df: DataFrame, key: str, ts_col: str, step: str) -> DataFrame:
     """One row per (key, bucket) for every ``step``-sized bucket
     between that key's first and last observed bucket, inclusive.
-    ``step`` is an SQL interval string (e.g. ``'1 day'``)."""
-    bucket = F.date_trunc(_trunc_unit(step), F.col(ts_col))
+    ``step`` is an SQL interval string (e.g. ``'1 day'``, ``'2 day'``)."""
+    bucket = _bucket(F.col(ts_col), step)
     bounds = df.select(F.col(key), bucket.alias("_b")).groupBy(key).agg(
         F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
     )
@@ -42,12 +42,47 @@ def time_spine(df: DataFrame, key: str, ts_col: str, step: str) -> DataFrame:
     )
 
 
-def _trunc_unit(step: str) -> str:
-    """'1 day' → 'day': the date_trunc unit implied by the spine step."""
-    unit = step.strip().split()[-1].lower().rstrip("s")
+def _step_parts(step: str) -> tuple[int, str]:
+    """'2 day' → (2, 'day'), 'hour' → (1, 'hour'); validates the unit.
+
+    Multi-count week/month steps are rejected: their bucket grid is
+    calendar-ambiguous (no fixed epoch anchor), and a mismatched grid
+    silently drops aggregated rows off the spine join.
+    """
+    parts = step.strip().split()
+    if len(parts) == 1:
+        count_s, unit = "1", parts[0]
+    elif len(parts) == 2:
+        count_s, unit = parts
+    else:
+        raise ValueError(f"unsupported spine step: {step!r}")
+    try:
+        count = int(count_s)
+    except ValueError:
+        raise ValueError(f"unsupported spine step: {step!r}") from None
+    unit = unit.lower().rstrip("s")
     if unit not in {"minute", "hour", "day", "week", "month"}:
         raise ValueError(f"unsupported spine step unit: {step!r}")
-    return unit
+    if count < 1:
+        raise ValueError(f"spine step count must be >= 1: {step!r}")
+    if count != 1 and unit in {"week", "month"}:
+        raise ValueError(
+            f"multi-{unit} steps are calendar-ambiguous; "
+            f"use '1 {unit}' or a day-based step"
+        )
+    return count, unit
+
+
+def _bucket(ts: Column, step: str) -> Column:
+    """Bucket ``ts`` onto the grid the spine steps over: calendar
+    ``date_trunc`` for single-unit steps, epoch-aligned tumbling
+    ``window(...).start`` for multi-count steps — every aggregated
+    bucket is guaranteed to land on a spine point (the spine's
+    ``sequence`` start is itself on this grid)."""
+    count, unit = _step_parts(step)
+    if count == 1:
+        return F.date_trunc(unit, ts)
+    return F.window(ts, f"{count} {unit}")["start"]
 
 
 def forward_fill(df: DataFrame, key: str, ts_col: str,
@@ -74,7 +109,7 @@ def gapfill(df: DataFrame, key: str, ts_col: str, step: str,
 
     ``agg`` maps output column name → aggregate Column expression over
     the raw events (e.g. ``{'v': F.sum('value')}``)."""
-    bucket = F.date_trunc(_trunc_unit(step), F.col(ts_col)).alias(ts_col)
+    bucket = _bucket(F.col(ts_col), step).alias(ts_col)
     per_bucket = df.select(key, bucket, *[
         c for c in df.columns if c not in (key, ts_col)
     ]).groupBy(key, ts_col).agg(

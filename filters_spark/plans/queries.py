@@ -3317,6 +3317,48 @@ def rel_gapfill_ffill(spark, sf_dir):
 
 
 @register(
+    "rel_gapfill_2day",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch(ts) / 172800) AS BIGINT)
+                            * 172800 * 1000000) AS bucket,
+             value
+      FROM events WHERE event_type = 'view'
+    ),
+    pb AS (
+      SELECT user_id, bucket, round(sum(value), 2) AS v FROM e GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM pb GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 2 DAY)) AS bucket
+      FROM bounds
+    )
+    SELECT s.user_id, s.bucket,
+           last_value(pb.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           pb.v IS NULL AS is_gap
+    FROM spine s LEFT JOIN pb ON s.user_id = pb.user_id AND s.bucket = pb.bucket
+    """,
+)
+def rel_gapfill_2day(spark, sf_dir):
+    """Multi-unit spine step ('2 day'): aggregation buckets onto the
+    SAME epoch-aligned tumbling grid the spine steps over
+    (``F.window(ts, '2 day').start``), so no aggregated bucket can
+    fall between spine points and silently vanish from the left join
+    — the failure mode single-unit ``date_trunc`` bucketing had."""
+    from ..functions import timeseries
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    out = timeseries.gapfill(
+        e, key="user_id", ts_col="ts", step="2 day",
+        agg={"v": F.round(F.sum("value"), 2)},
+    )
+    return out.select("user_id", F.col("ts").alias("bucket"), "v", "is_gap")
+
+
+@register(
     "rel_retention_cohorts",
     oracle="""
     WITH f AS (

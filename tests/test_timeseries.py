@@ -68,3 +68,44 @@ class TestForwardFill:
         out = {r["t"]: r["v"]
                for r in ts.forward_fill(df, "k", "t", ["v"]).collect()}
         assert out == {1: None, 2: 5.0, 3: 5.0}
+
+
+class TestMultiUnitStep:
+    def test_two_day_buckets_land_on_spine(self, sparse):
+        # Whatever the epoch-aligned '2 day' grid is, EVERY aggregated
+        # bucket must appear in the joined output (none dropped by the
+        # spine join — the bug multi-unit steps used to have).
+        out = ts.gapfill(
+            sparse, key="user_id", ts_col="ts", step="2 day",
+            agg={"v": F.sum("value")}, fill=False,
+        ).collect()
+        non_gap = {(r.user_id, r.ts) for r in out if not r.is_gap}
+        # raw buckets computed independently
+        from pyspark.sql import functions as SF
+        raw = (
+            sparse.select("user_id", SF.window("ts", "2 day")["start"].alias("b"))
+            .distinct()
+            .collect()
+        )
+        assert {(r.user_id, r.b) for r in raw} == non_gap
+        # total observed value is conserved (nothing silently vanished)
+        assert sum(r.v for r in out if r.v is not None) == 25.0
+
+    def test_twelve_hour_step(self, sparse):
+        out = ts.gapfill(
+            sparse, key="user_id", ts_col="ts", step="12 hour",
+            agg={"v": F.sum("value")}, fill=False,
+        ).collect()
+        vals = [r.v for r in out if r.v is not None]
+        assert sum(vals) == 25.0
+        # user 1 day-1 09:00 and 12:00 land in different 12h buckets
+        u1 = sorted(r.ts for r in out if r.user_id == 1 and not r.is_gap)
+        assert u1[0].hour == 0 and u1[1].hour == 12
+
+    def test_rejects_multi_month(self):
+        with pytest.raises(ValueError, match="calendar-ambiguous"):
+            ts._step_parts("2 month")
+
+    def test_rejects_zero_count(self):
+        with pytest.raises(ValueError, match=">= 1"):
+            ts._step_parts("0 day")
