@@ -96,17 +96,21 @@ def attach_meta(df: DataFrame, payload_col: str, mime: str) -> DataFrame:
 def repartition_for_media(df: DataFrame, payload_expr: str = "media.payload",
                           target_bytes_per_task: int = 256 * 1024 * 1024,
                           sample_fraction: float = 0.01) -> DataFrame:
-    """Repartition by PAYLOAD BYTES, not rows.  Samples the byte size
-    distribution, estimates total volume, and repartitions to
-    ceil(total/target).  At 100 TB this is the difference between
-    balanced 256 MB tasks and OOM-ing 10 GB ones."""
+    """Repartition by PAYLOAD BYTES, not rows.  At 100 TB this is the
+    difference between balanced 256 MB tasks and OOM-ing 10 GB ones.
+
+    Cost: ONE sampled job (sum of sampled payload sizes, scaled by the
+    sampling fraction, estimates total volume — no full ``count()``
+    pass over the table; the sampled scan reads only the payload-size
+    column, and parquet answers ``octet_length`` from page metadata
+    without materializing blobs in many cases)."""
     sample = df.select(F.octet_length(F.expr(payload_expr)).alias("b"))
-    if sample_fraction < 1.0:
-        sample = sample.sample(sample_fraction, seed=42)
-    row = sample.agg(F.avg("b").alias("avg")).head()
-    avg = row["avg"] or 1.0
-    total_rows = df.count()
-    n_parts = max(1, int(total_rows * avg / target_bytes_per_task))
+    frac = sample_fraction if sample_fraction < 1.0 else 1.0
+    if frac < 1.0:
+        sample = sample.sample(frac, seed=42)
+    row = sample.agg(F.sum("b").alias("total")).head()
+    est_total_bytes = (row["total"] or 0) / frac
+    n_parts = max(1, int(est_total_bytes / target_bytes_per_task))
     return df.repartition(n_parts)
 
 

@@ -136,7 +136,8 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     return out.drop("_salt")
 
 
-def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def upsert(base: DataFrame, updates: DataFrame, key: str,
+           validate_keys: bool = True) -> DataFrame:
     """Keyed upsert (CDC merge): rows from ``updates`` replace
     same-key rows in ``base``; unmatched update rows insert; unmatched
     base rows persist.  Pure DataFrame expression of MERGE semantics
@@ -152,27 +153,32 @@ def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     with exact_dedup — nondeterministic which duplicate wins
     otherwise).
 
-    NOTE: partially EAGER — one cheap limit-1 job over ``updates``
-    rejects NULL merge keys up front (a NULL key joins to nothing and
-    would surface as an all-NULL output row).  The probe carries an
-    IS NULL pushdown, so parquet stats skip clean files.
+    NULL merge keys are rejected INSIDE the plan (a NULL key joins to
+    nothing and would surface as an all-NULL output row): the update
+    key column carries a ``raise_error`` CASE arm, so the merge fails
+    loudly at execution time with zero extra jobs — nothing eager at
+    plan-build time.  ``validate_keys=False`` opts out (caller has
+    already guaranteed non-null keys and wants the narrowest plan).
     """
     if base.columns != updates.columns or base.dtypes != updates.dtypes:
         raise ValueError(
             f"upsert requires identical schemas; base has {base.dtypes}, "
             f"updates has {updates.dtypes}"
         )
-    # a NULL merge key never matches anything (SQL join semantics), so
-    # such an update row would surface as an all-NULL output row —
-    # reject it loudly instead
-    if updates.where(F.col(key).isNull()).limit(1).count() > 0:
-        raise ValueError(
-            f"upsert: updates contain a NULL {key!r} merge key — NULL "
-            "keys cannot match or insert deterministically; filter or "
-            "repair them upstream"
+    key_col = F.col(key)
+    if validate_keys:
+        key_col = F.when(F.col(key).isNotNull(), F.col(key)).otherwise(
+            F.raise_error(F.lit(
+                f"upsert: updates contain a NULL {key!r} merge key — NULL "
+                "keys cannot match or insert deterministically; filter or "
+                "repair them upstream"
+            ))
         )
     u = updates.select(
-        *[F.col(c).alias(f"_u_{c}") for c in updates.columns],
+        *[
+            (key_col if c == key else F.col(c)).alias(f"_u_{c}")
+            for c in updates.columns
+        ],
         F.lit(True).alias("_u_present"),
     )
     joined = base.join(u, base[key] == u[f"_u_{key}"], "full_outer")

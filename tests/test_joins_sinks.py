@@ -191,13 +191,24 @@ class TestUpsert:
 
 class TestUpsertGuards:
     def test_null_merge_key_rejected(self, spark):
+        # guard is folded into the plan: build is lazy (no job), the
+        # raise_error arm fires when the merge actually executes
         from filters_spark.plans.joins import upsert
 
         base = spark.createDataFrame([(1, "a")], "k bigint, v string")
         upd = spark.createDataFrame([(None, "x")], "k bigint, v string")
+        merged = upsert(base, upd, "k")  # must NOT raise or launch a job
         import pytest as _pytest
-        with _pytest.raises(ValueError, match="NULL 'k' merge key"):
-            upsert(base, upd, "k")
+        with _pytest.raises(Exception, match="NULL 'k' merge key"):
+            merged.collect()
+
+    def test_null_merge_key_optout(self, spark):
+        from filters_spark.plans.joins import upsert
+
+        base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+        upd = spark.createDataFrame([(None, "x")], "k bigint, v string")
+        out = upsert(base, upd, "k", validate_keys=False).collect()
+        assert len(out) == 2  # NULL-key update inserts as its own row
 
     def test_type_mismatch_rejected(self, spark):
         from filters_spark.plans.joins import upsert
