@@ -36,6 +36,18 @@ __all__ = [
 
 _HEX_DIGITS = 8  # 16^8 = 4.29e9 distinct thresholds — plenty of rate resolution
 
+# NULL keys hash this sentinel instead of propagating NULL through
+# md5 (which would make every comparison NULL and silently DROP the
+# row even at rate=1.0 — a nullable sampling key must not shrink the
+# corpus).  NULL-keyed rows are sampled/bucketed as one deterministic
+# pseudo-key; callers wanting different treatment filter them first.
+_NULL_SENTINEL = "\u0000filters_spark:null-key"
+
+
+def _key_hex(key: Column) -> Column:
+    """md5 hex draw for a key; NULL-safe via the sentinel."""
+    return F.md5(F.coalesce(key.cast("string"), F.lit(_NULL_SENTINEL)))
+
 
 def rate_to_hex_threshold(rate: float) -> str:
     """Hex prefix t such that P[md5(key) < t] == round(rate * 16^8) / 16^8.
@@ -55,9 +67,11 @@ def hash_keep(key: Column, rate: float) -> Column:
     """Boolean: does this key fall in the kept ``rate`` fraction?
 
     Pure per-row predicate — survives predicate pushdown, costs one
-    md5 per row, no shuffle, no state, no seed to manage.
+    md5 per row, no shuffle, no state, no seed to manage.  NULL keys
+    participate via a sentinel (kept at rate=1.0, never silently
+    dropped).
     """
-    return F.md5(key.cast("string")) < F.lit(rate_to_hex_threshold(rate))
+    return _key_hex(key) < F.lit(rate_to_hex_threshold(rate))
 
 
 def stratified_sample(df: DataFrame, key: str, stratum: str,
@@ -72,7 +86,7 @@ def stratified_sample(df: DataFrame, key: str, stratum: str,
     per-stratum count pre-pass, and appending new data never changes
     which old rows are kept.
     """
-    hexcol = F.md5(F.col(key).cast("string"))
+    hexcol = _key_hex(F.col(key))
     expr: Column = F.lit(rate_to_hex_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         expr = F.when(F.col(stratum) == value,
@@ -83,8 +97,10 @@ def stratified_sample(df: DataFrame, key: str, stratum: str,
 def hash_bucket(key: Column, n_buckets: int) -> Column:
     """Stable bucket id in [0, n_buckets) from the key's md5 — for
     deterministic train/validation/test splits (``bucket < 8`` is an
-    80% train split that never leaks rows across re-runs)."""
-    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    80% train split that never leaks rows across re-runs).  NULL keys
+    land in one deterministic bucket via the sentinel — every row gets
+    a split."""
+    return (F.conv(F.substring(_key_hex(key), 1, 8), 16, 10)
             .cast("long") % n_buckets).cast("int")
 
 
@@ -96,6 +112,6 @@ def hash_uniform(key: Column) -> Column:
     retries (both sides parse the same hex and perform the same IEEE
     division)."""
     return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, _HEX_DIGITS), 16, 10)
+        F.conv(F.substring(_key_hex(key), 1, _HEX_DIGITS), 16, 10)
         .cast("double") / float(16 ** _HEX_DIGITS)
     )

@@ -62,6 +62,19 @@ class ValidationSchema:
             raise SchemaError(f"missing_key: {missing}")
         if extra and not self.allow_extra_keys:
             raise SchemaError(f"unexpected_key: {extra}")
+        # The staged projection emits `_raw_<field>` copies (and
+        # apply(with_raw=True) emits RAW_COL): a passthrough column
+        # already using a reserved name would collide into duplicate /
+        # ambiguous columns deep in the plan — catch it here with the
+        # other plan-time checks instead.
+        reserved = {f"_raw_{n}" for n in declared} | {RAW_COL}
+        clashes = sorted(present & reserved)
+        if clashes:
+            raise SchemaError(
+                f"reserved_column_name: {clashes} — `_raw_<field>` and "
+                f"{RAW_COL!r} are reserved for the validation plan's "
+                "raw-value copies; rename the input column(s)"
+            )
         return missing, extra
 
     # -- compilation ------------------------------------------------------

@@ -82,6 +82,7 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
 def write_compacted(df: DataFrame, path: str,
                     target_bytes_per_file: int = 128 * 1024 * 1024,
                     sample_fraction: float = 0.01,
+                    compression_ratio: float = 5.0,
                     fmt: str = "parquet", mode: str = "overwrite") -> int:
     """Size-targeted write: estimate the frame's serialized size from
     a row sample and repartition so each output file lands near
@@ -91,10 +92,15 @@ def write_compacted(df: DataFrame, path: str,
     ends in a filter or an AQE-coalesced shuffle can otherwise emit
     thousands of KB-sized files (every downstream scan pays per-file
     open/footer costs) or a handful of multi-GB ones (kills scan
-    parallelism).  The estimate costs one sampled aggregation; the
-    repartition is a round-robin shuffle of exactly the data being
-    written anyway."""
-    sample = df.sample(fraction=min(1.0, sample_fraction), seed=7)
+    parallelism).  The estimate costs ONE sampled aggregation (total
+    size scales up by the sampling fraction — no separate full
+    ``count()`` pass), calibrated by an on-disk compression factor:
+    stringified in-memory bytes overshoot parquet's encoded+snappy
+    size by roughly 3–10×, so we divide by ``compression_ratio``
+    (default 5, the middle of that band for mixed text/numeric rows
+    — tune per table for tighter file sizing)."""
+    frac = min(1.0, sample_fraction)
+    sample = df.sample(fraction=frac, seed=7) if frac < 1.0 else df
     stats = sample.select(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.length(F.col(c).cast("string"))).alias(f"_b{i}")
@@ -104,10 +110,9 @@ def write_compacted(df: DataFrame, path: str,
     if n_sampled == 0:  # empty or sample missed: single file
         df.coalesce(1).write.format(fmt).mode(mode).save(path)
         return 1
-    bytes_per_row = sum(stats[f"_b{i}"] or 0
-                        for i in range(len(df.columns))) / n_sampled
-    total = df.count() * bytes_per_row
-    n_files = max(1, int(total // target_bytes_per_file) + 1)
+    sampled_bytes = sum(stats[f"_b{i}"] or 0 for i in range(len(df.columns)))
+    est_disk_bytes = sampled_bytes / frac / compression_ratio
+    n_files = max(1, int(est_disk_bytes // target_bytes_per_file) + 1)
     df.repartition(n_files).write.format(fmt).mode(mode).save(path)
     return n_files
 

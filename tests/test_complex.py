@@ -139,6 +139,21 @@ class TestValidationSchema:
         with pytest.raises(SchemaError, match="missing_key"):
             schema.apply(df)
 
+    def test_reserved_raw_column_rejected(self, spark):
+        # a passthrough literally named _raw_<field> would collide with
+        # the plan's raw-value copies → plan-time SchemaError, not a
+        # deep AnalysisException
+        df = spark.createDataFrame(
+            [(1, "a", "x")], "id bigint, name string, _raw_id string"
+        )
+        with pytest.raises(SchemaError, match="reserved_column_name"):
+            self._schema().apply(df)
+
+    def test_reserved_rawcol_rejected(self, spark):
+        df = spark.createDataFrame([(1, "a", "x")], "id bigint, name string, _raw string")
+        with pytest.raises(SchemaError, match="reserved_column_name"):
+            self._schema().apply(df)
+
     def test_strict_raises_filter_error(self, spark):
         df = spark.createDataFrame([(None, "b")], "id bigint, name string")
         with pytest.raises(fs.FilterError) as ei:

@@ -256,9 +256,12 @@ class TestCompactedWrite:
             "id", F.lpad(F.lit("x"), 100, "x").alias("pad")
         )
         # ~104 bytes/row stringified × 1000 rows ≈ 104 kB → ~10 files
+        # (compression_ratio=1 isolates the size arithmetic from the
+        # on-disk calibration factor)
         n = sinks.write_compacted(df, f"{tmp}/out",
                                   target_bytes_per_file=10_000,
-                                  sample_fraction=1.0)
+                                  sample_fraction=1.0,
+                                  compression_ratio=1.0)
         import os
         files = [f for f in os.listdir(f"{tmp}/out") if f.endswith(".parquet")]
         assert n == len(files) and 8 <= n <= 13

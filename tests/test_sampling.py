@@ -63,3 +63,33 @@ class TestHashBucket:
         train2 = ids.where(sampling.hash_bucket(F.col("key"), 10) < 8)
         assert train1.count() == train2.count()
         assert train1.join(train2, "key", "left_anti").count() == 0
+
+
+class TestNullKeys:
+    def test_null_key_kept_at_full_rate(self, spark):
+        from filters_spark.functions import sampling as smp
+
+        df = spark.createDataFrame([(None,), ("a",), ("b",)], "k string")
+        kept = df.where(smp.hash_keep(F.col("k"), 1.0)).count()
+        assert kept == 3  # NULL key must not silently shrink the corpus
+
+    def test_null_key_gets_a_bucket(self, spark):
+        from filters_spark.functions import sampling as smp
+
+        df = spark.createDataFrame([(None,), ("a",)], "k string")
+        rows = df.select(smp.hash_bucket(F.col("k"), 10).alias("b")).collect()
+        assert all(r.b is not None and 0 <= r.b < 10 for r in rows)
+
+    def test_null_key_uniform_in_range(self, spark):
+        from filters_spark.functions import sampling as smp
+
+        df = spark.createDataFrame([(None,)], "k string")
+        [r] = df.select(smp.hash_uniform(F.col("k")).alias("u")).collect()
+        assert r.u is not None and 0.0 <= r.u < 1.0
+
+    def test_null_keys_deterministic(self, spark):
+        from filters_spark.functions import sampling as smp
+
+        df = spark.createDataFrame([(None,), (None,)], "k string")
+        rows = df.select(smp.hash_bucket(F.col("k"), 64).alias("b")).collect()
+        assert rows[0].b == rows[1].b  # one pseudo-key, one bucket

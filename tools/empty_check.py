@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from filters_spark.plans import queries as Q
 from filters_spark.sources import get_spark
-from filters_spark.sources.tables import TABLES
+from filters_spark.sources.tables import TABLES, load_table
 
 SRC = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -29,7 +29,10 @@ SRC = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 def make_empty_dir(spark) -> str:
     out = tempfile.mkdtemp(prefix="fs_empty_sf_")
     for t in TABLES:
-        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        # load_table, not bare spark.read.parquet: events.ts has
+        # shipped as TIMESTAMP(NANOS) in some testdata regenerations
+        # and only load_table carries the normalization
+        df = load_table(spark, t, SRC)
         df.limit(0).coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     return out
 
