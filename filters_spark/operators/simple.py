@@ -182,9 +182,18 @@ class ArrayOf(Predicate):
 
 
 class ByteArray(Validator):
-    """Coerce string → binary (utf-8 encode) — reference ``ByteArray``
-    (mutable/immutable distinction is meaningless columnar-side; both
-    map to BinaryType)."""
+    """Coerce → binary — reference ``ByteArray`` (mutable/immutable
+    distinction is meaningless columnar-side; both map to BinaryType).
+
+    Input legs, specialized at plan time from the bound column type:
+
+    - string → utf-8 (or ``encoding``) encode;
+    - binary → identity;
+    - array<integral> → packed bytes (reference ``bytes(list_of_ints)``
+      semantics: every element must be in [0, 255], else
+      ``out_of_range``) — pure JVM expression (hex-pack + unhex), no
+      Python UDF.
+    """
 
     name = "byte_array"
     preserves_type = False
@@ -192,5 +201,53 @@ class ByteArray(Validator):
     def __init__(self, encoding: str = "UTF-8"):
         self.encoding = encoding
 
+    def specialize(self, dtype) -> Validator:
+        from pyspark.sql.types import (
+            ArrayType, BinaryType, ByteType, IntegerType, LongType, ShortType,
+        )
+
+        if isinstance(dtype, ArrayType) and isinstance(
+            dtype.elementType, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            return _ByteArrayFromInts()
+        if isinstance(dtype, BinaryType):
+            return _Identity("byte_array")
+        return self
+
     def transform(self, col: Column) -> Column:
         return F.encode(col, self.encoding)
+
+
+class _Identity(Validator):
+    """Typed no-op leg (input already has the target type)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+class _ByteArrayFromInts(Validator):
+    """array<integral> → binary, ``bytes(list)`` semantics.
+
+    Pack: each element renders as exactly two hex digits, the digits
+    concatenate, ``unhex`` decodes — whole-stage-codegen-friendly, no
+    Python round trip.  The pack is guarded by the range check so the
+    two-digit assumption can't truncate an out-of-range value.
+    """
+
+    name = "byte_array"
+    preserves_type = False
+
+    def _ok(self, col: Column) -> Column:
+        return F.forall(
+            col, lambda x: x.isNotNull() & (x >= 0) & (x <= 255)
+        )
+
+    def transform(self, col: Column) -> Column:
+        packed = F.unhex(F.concat_ws(
+            "", F.transform(col, lambda x: F.lpad(F.hex(x.cast("bigint")), 2, "0"))
+        ))
+        return F.when(self._ok(col), packed)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & ~self._ok(col)
+        return F.when(fail, make_error(field, "out_of_range", self.name))

@@ -1690,6 +1690,31 @@ def val_bytestring(spark, sf_dir):
     )
 
 
+@register(
+    "val_bytearray_ints",
+    oracle="""
+    SELECT p_partkey,
+           upper(lpad(to_hex(p_partkey % 256), 2, '0') ||
+                 lpad(to_hex((p_partkey // 256) % 256), 2, '0')) AS hex
+    FROM part WHERE p_partkey % 7 <> 0
+    """,
+)
+def val_bytearray_ints(spark, sf_dir):
+    """ByteArray's iterable-of-ints leg (SURVEY §2.2 — reference
+    ``bytes(list)``): array<int> packs to binary JVM-side; elements
+    outside [0, 255] reject the row with ``out_of_range`` (here every
+    7th key carries a 999 element and must be absent from the clean
+    output — the oracle filters them arithmetically)."""
+    part = _t(spark, sf_dir, "part")
+    lo = F.when(F.col("p_partkey") % 7 == 0, F.lit(999)).otherwise(
+        F.col("p_partkey") % 256
+    ).cast("int")
+    hi = (F.floor(F.col("p_partkey") / 256) % 256).cast("int")
+    src = part.select("p_partkey", F.array(lo, hi).alias("ba"))
+    res = fs.ValidationSchema({"ba": fs.ByteArray()}).validate(src)
+    return res.clean.select("p_partkey", F.hex("ba").alias("hex"))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-adapted relational suite (round 2).  The testdata schema has no
 # partsupp and no shipmode/commitdate/receiptdate columns, so queries

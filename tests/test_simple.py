@@ -89,3 +89,39 @@ class TestLengths:
 class TestByteArray:
     def test_encodes(self, spark):
         assert_passes(spark, fs.ByteArray(), "ab", bytearray(b"ab"))
+
+    # run_chain builds the chain directly, so the plan-time dtype
+    # specialization ValidationSchema performs is applied here by hand
+    @staticmethod
+    def _ints():
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        return fs.ByteArray().specialize(ArrayType(IntegerType()))
+
+    def test_int_array_packs(self, spark):
+        assert_passes(
+            spark, self._ints(), [0, 1, 255], bytearray(b"\x00\x01\xff"),
+            in_type="array<int>",
+        )
+
+    def test_int_array_empty(self, spark):
+        assert_passes(spark, self._ints(), [], bytearray(b""), in_type="array<int>")
+
+    def test_int_array_out_of_range(self, spark):
+        assert_errors(spark, self._ints(), [1, 256], "out_of_range",
+                      in_type="array<int>")
+        assert_errors(spark, self._ints(), [-1], "out_of_range",
+                      in_type="array<int>")
+
+    def test_binary_identity(self, spark):
+        from pyspark.sql.types import BinaryType
+
+        assert_passes(spark, fs.ByteArray().specialize(BinaryType()),
+                      bytearray(b"xy"), bytearray(b"xy"), in_type="binary")
+
+    def test_schema_specializes_int_array(self, spark):
+        # end-to-end through ValidationSchema (the real dispatch path)
+        df = spark.createDataFrame([([72, 105],)], "ba array<int>")
+        out = fs.ValidationSchema({"ba": fs.ByteArray()}).validate(df)
+        [row] = out.clean.collect()
+        assert bytes(row.ba) == b"Hi"

@@ -137,6 +137,12 @@ EXPECTATIONS: dict[str, dict] = {
     # gapfill: user_id shuffle for bucket rollup, reused by the spine
     # bounds agg + join + fill window (all user_id-clustered)
     "rel_gapfill_ffill": dict(max_exchanges=3, scan_filter=True),
+    # same shape on the epoch-aligned 2-day grid
+    "rel_gapfill_2day": dict(max_exchanges=3, scan_filter=True),
+    # tz-aware Date: still scan + projection + one agg exchange
+    "val_date_tz": dict(max_exchanges=1),
+    # int-array pack is pure projection + the no-op validation scan
+    "val_bytearray_ints": dict(max_exchanges=0),
     # retention: user_id window shuffle + (cohort, week) distinct agg
     "rel_retention_cohorts": dict(max_exchanges=3),
     # approx-distinct: per-leg two-phase distinct + HLL partials,
