@@ -217,8 +217,14 @@ def dead_letter_writer(clean_path: str, dead_path: str,
                        fmt: str = "parquet") -> Callable[[DataFrame, int], None]:
     """foreachBatch function writing each micro-batch's clean rows to
     ``clean_path`` and rejected rows (with error payloads) to
-    ``dead_path``.  Both writes are per-batch appends; the batch id is
-    stamped for replay/idempotence auditing.
+    ``dead_path``.
+
+    EXACTLY-ONCE across restarts: each sink partitions by the stamped
+    ``_batch_id`` and writes with dynamic partition overwrite, so a
+    batch replayed after a mid-batch crash (foreachBatch offers
+    at-least-once delivery) OVERWRITES its own partition instead of
+    appending duplicates — the write is idempotent per (sink, batch).
+    A half-written failed attempt is likewise clobbered on replay.
 
     If the stream was validated ``with_raw=True``, the dead-letter
     rows RESTORE the original values from the ``_raw`` struct (the
@@ -242,7 +248,13 @@ def dead_letter_writer(clean_path: str, dead_path: str,
                 F.col("_batch_id"),
             )
         dead = dead.drop(RAW_COL)
-        clean.write.format(fmt).mode("append").save(clean_path)
-        dead.write.format(fmt).mode("append").save(dead_path)
+        for frame, path in ((clean, clean_path), (dead, dead_path)):
+            (
+                frame.write.format(fmt)
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .save(path)
+            )
 
     return write

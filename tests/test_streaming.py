@@ -130,6 +130,72 @@ class TestDeadLetter:
         assert replay.clean.count() + replay.rejected.count() == dead.count()
         shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_exactly_once_across_midbatch_restart(self, spark):
+        """Kill the query mid-batch AFTER a partial dual-sink write,
+        restart from the checkpoint, and prove no duplicate and no
+        lost rows: the per-batch dynamic-partition-overwrite write
+        makes the replayed batch clobber its own half-written
+        partition in BOTH sinks."""
+        import os
+
+        from filters_spark.sources.tables import load_table
+
+        tmp = tempfile.mkdtemp(prefix="fseo_")
+        src, clean_p, dead_p, ckpt = (
+            f"{tmp}/src", f"{tmp}/clean", f"{tmp}/dead", f"{tmp}/ckpt"
+        )
+        ev = load_table(spark, "events", SF_DIR)
+        ev.repartition(3).write.parquet(src)  # 3 files → 3 micro-batches
+        schema = spark.read.parquet(src).schema
+
+        def start(writer):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            validated = st.validate_stream(stream, EVENT_SCHEMA)
+            return (
+                validated.writeStream.foreachBatch(writer)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        inner = st.dead_letter_writer(clean_p, dead_p)
+        state = {"crashed": False}
+
+        def writer(bdf, bid):
+            if bid == 1 and not state["crashed"]:
+                state["crashed"] = True
+                inner(bdf.limit(17), bid)  # half-written attempt lands
+                raise RuntimeError("injected mid-batch crash")
+            inner(bdf, bid)
+
+        q = start(writer)
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass  # the injected crash fails the query
+        q.stop()
+        assert state["crashed"], "crash injection never fired"
+
+        q2 = start(writer)  # same checkpoint → batch 1 replays
+        q2.processAllAvailable()
+        q2.stop()
+
+        clean = spark.read.parquet(clean_p).drop(ERRORS_COL, "_batch_id")
+        dead = spark.read.parquet(dead_p).drop(ERRORS_COL, "_batch_id")
+        got = clean.unionByName(dead).toPandas()
+        want = ev.toPandas()
+        assert len(got) == len(want) == 1000
+        # identity columns only — validation nulls FAILED field values
+        # in the split output, so event_type/value differ by design
+        key = ["user_id", "ts"]
+        got_ms = sorted(map(tuple, got[key].itertuples(index=False)))
+        want_ms = sorted(map(tuple, want[key].itertuples(index=False)))
+        assert got_ms == want_ms  # multiset equality: no dup, no loss
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 class TestStreamingDedup:
     def test_within_watermark_dedup(self, spark, event_stream):
