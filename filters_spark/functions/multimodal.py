@@ -67,12 +67,37 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> bytes:
     return (seed * reps)[: w * h]
 
 
-def _decode_image(payload: bytes, w: int, h: int, strict: bool) -> bytes:
-    if strict:
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payload: bytes, w: int, h: int) -> bytes:
+    """Real decode body (the swappable half of the stub/real
+    boundary): grayscale, resized to the metadata dims — same output
+    contract (w*h bytes) as the stub."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.convert("L").resize((w, h)).tobytes()
+
+
+def _decode_image(payload: bytes, w: int, h: int, strict: bool,
+                  codec: str = "fake") -> bytes:
+    if codec == "real" or (codec == "auto" and _pil_available()):
+        return _pil_decode(payload, w, h)
+    if codec == "auto" and strict:
         raise NotImplementedError(
             "image decode requires PIL/libvips in the runtime image; "
             "this container ships none (stubbed per task contract)"
         )
+    if codec == "fake" and strict:
+        raise NotImplementedError("codec='fake' is disallowed in strict mode")
     return _fake_pixels(payload, w, h)
 
 
@@ -115,12 +140,21 @@ def repartition_for_media(df: DataFrame, payload_expr: str = "media.payload",
 
 
 def decode_images(df: DataFrame, media_col: str = "media",
-                  strict: bool | None = None) -> DataFrame:
+                  strict: bool | None = None,
+                  codec: str = "auto") -> DataFrame:
     """mapInPandas image decode: (doc columns…, media) → (…, pixels
     binary, width, height).  Arrow-batched; payload bytes cross to
     Python exactly once.  Strictness is captured DRIVER-side into the
     closure (worker processes re-import the module, so a module global
-    flipped on the driver would not reach them)."""
+    flipped on the driver would not reach them).
+
+    ``codec``: ``'auto'`` (default) uses PIL when importable on the
+    worker and falls back to the deterministic stub otherwise (strict
+    mode turns the fallback into NotImplementedError); ``'real'``
+    requires PIL; ``'fake'`` pins the stub — the choice for anything
+    hash-gated, since its output must not depend on installed libs."""
+    if codec not in ("auto", "real", "fake"):
+        raise ValueError(f"codec must be auto|real|fake, got {codec!r}")
     strict_flag = STRICT_CODECS if strict is None else strict
     import pyspark.sql.types as T
 
@@ -142,7 +176,9 @@ def decode_images(df: DataFrame, media_col: str = "media",
                 # (degenerate but honest), not a missing one
                 w = 16 if m["meta"]["width"] is None else int(m["meta"]["width"])
                 h = 16 if m["meta"]["height"] is None else int(m["meta"]["height"])
-                pixels.append(_decode_image(bytes(m["payload"]), w, h, strict_flag))
+                pixels.append(
+                    _decode_image(bytes(m["payload"]), w, h, strict_flag, codec)
+                )
                 ws.append(w); hs.append(h)
             pdf = pdf.assign(pixels=pixels, out_width=ws, out_height=hs)
             yield pdf

@@ -1542,7 +1542,9 @@ def ds_multimodal_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     d = d.withColumn("payload", F.encode(F.col("text"), "utf-8"))
     d = mm.attach_meta(d.select("doc_id", "payload"), "payload", "image/fake")
-    decoded = mm.decode_images(d.select("doc_id", "media"))
+    # codec pinned to the stub: hash-gated output must not depend on
+    # whether PIL happens to be installed (codec='auto' would switch)
+    decoded = mm.decode_images(d.select("doc_id", "media"), codec="fake")
     feats = mm.extract_image_features(decoded, dim=8)
     return feats.select(
         "doc_id", "out_width", "out_height",

@@ -43,6 +43,41 @@ class TestDecodeImages:
         with pytest.raises(Exception):
             mm.decode_images(media_df, strict=True).collect()
 
+    def test_fake_codec_pinned(self, media_df):
+        # 'fake' must produce the md5-keystream stub regardless of
+        # what libs are installed — it's the hash-gated contract
+        row = mm.decode_images(media_df, codec="fake").where(F.col("id") == 1).head()
+        w, h = row["out_width"], row["out_height"]
+        assert row["pixels"] == mm._fake_pixels(b"payload-one", w, h)
+
+    def test_real_codec_requires_pil(self, media_df):
+        if mm._pil_available():
+            pytest.skip("PIL present — covered by the parity test")
+        with pytest.raises(Exception, match="PIL|pil|No module"):
+            mm.decode_images(media_df, codec="real").collect()
+
+    @pytest.mark.skipif(not mm._pil_available(),
+                        reason="PIL not in this container")
+    def test_real_codec_parity_with_pil(self, spark):
+        """When PIL exists, codec='real' must match a direct PIL
+        decode byte-for-byte — proving the stub/real boundary is
+        swappable with no Spark-side changes."""
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (20, 12), (120, 30, 200)).save(buf, format="PNG")
+        png = buf.getvalue()
+        df = spark.createDataFrame([(1, png)], "id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/png")
+        row = mm.decode_images(media, codec="real").head()
+        w, h = row["out_width"], row["out_height"]
+        expected = (
+            Image.open(io.BytesIO(png)).convert("L").resize((w, h)).tobytes()
+        )
+        assert bytes(row["pixels"]) == expected
+
 
 class TestFeatures:
     def test_feature_vector_shape_and_norm(self, media_df):
