@@ -25,6 +25,8 @@ cleaned columns are selected.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +53,13 @@ class ValidationSchema:
         }
         self.allow_extra_keys = allow_extra_keys
         self.allow_missing_keys = allow_missing_keys
+        # compiled-stage cache, keyed by input schema fingerprint:
+        # Column objects are unbound expression trees, so the staged
+        # select lists are reusable verbatim across DataFrames with
+        # the same schema — re-validating per batch/partition/sf-dir
+        # skips the whole expression build (~0.6 s of driver-side
+        # plan construction for the 6-field flagship)
+        self._stage_cache: dict[tuple, tuple] = {}
 
     # -- plan-time checks -------------------------------------------------
     def _check_columns(self, df: DataFrame) -> tuple[list[str], list[str]]:
@@ -99,6 +108,17 @@ class ValidationSchema:
         """
         from .core import Chain
 
+        cache_key = tuple(
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        )
+        hit = self._stage_cache.get(cache_key)
+        if hit is not None:
+            selects, fields, extra = hit
+            cur = df
+            for sel in selects:
+                cur = cur.select(*sel)
+            return cur, list(fields), list(extra)
+
         missing, extra = self._check_columns(df)
         dtypes = {f.name: f.dataType for f in df.schema.fields}
         steps_by_field: dict[str, list] = {}
@@ -128,7 +148,7 @@ class ValidationSchema:
         # Stage 0: bind sources (missing declared column → NULL runs
         # through the chain; only Required then rejects — reference
         # missing-key semantics).
-        cur = df.select(
+        selects: list[list[Column]] = [[
             *[
                 (F.col(n) if n not in missing else F.lit(None)).alias(f"_v_{n}")
                 for n in steps_by_field
@@ -137,7 +157,7 @@ class ValidationSchema:
             *[F.col(c) for c in extra],
             *[F.col(n).alias(f"_raw_{n}")
               for n in steps_by_field if n not in missing],
-        )
+        ]]
         depth = max((len(s) for s in steps_by_field.values()), default=0)
         for i in range(depth):
             stage: list[Column] = []
@@ -148,8 +168,13 @@ class ValidationSchema:
                     v, e = steps[i].build(v, e, n)
                 stage.append(v.alias(f"_v_{n}"))
                 stage.append(e.alias(f"_e_{n}"))
-            cur = cur.select(*stage, *passthrough)
-        return cur, list(steps_by_field), extra
+            selects.append([*stage, *passthrough])
+        fields = list(steps_by_field)
+        self._stage_cache[cache_key] = (selects, fields, extra)
+        cur = df
+        for sel in selects:
+            cur = cur.select(*sel)
+        return cur, list(fields), list(extra)
 
     def apply(self, df: DataFrame, with_raw: bool = False) -> DataFrame:
         """Compile to the final validated DataFrame: cleaned columns +
@@ -188,30 +213,44 @@ class ValidationSchema:
         return ValidationSchema(merged, self.allow_extra_keys, self.allow_missing_keys)
 
 
-def _assemble(cur: DataFrame, fields: list[str], extra: list[str],
-              extra_cols: "list[Column] | None" = None) -> DataFrame:
-    """Final select over the staged frame: cleaned columns (invalid →
-    None — the single end-of-chain nulling point) + the null-free
-    ``_errors`` array.
-
-    The array is built by ``concat`` of 0/1-element arrays — NOT
-    array_compact/filter: those are higher-order functions,
-    CodegenFallback in Spark, and one interpreted expression in the
-    errors column knocks the whole projection AND every downstream
-    ``size(_errors)`` filter out of whole-stage codegen (measured:
-    clean-split count 2.1 s → 0.4 s at sf0.1)."""
+def _err_array(fields: "tuple[str, ...]") -> Column:
+    """The null-free ``_errors`` array, by ``concat`` of 0/1-element
+    arrays — NOT array_compact/filter: those are higher-order
+    functions, CodegenFallback in Spark, and one interpreted
+    expression in the errors column knocks the whole projection AND
+    every downstream ``size(_errors)`` filter out of whole-stage
+    codegen (measured: clean-split count 2.1 s → 0.4 s at sf0.1)."""
     empty = F.array().cast(f"array<{ERROR_DDL}>")
     errs = [F.col(f"_e_{n}") for n in fields]
-    err_array = (
+    return (
         F.concat(*[F.when(e.isNotNull(), F.array(e)).otherwise(empty) for e in errs])
         if errs else empty
     )
-    return cur.select(
-        *[F.when(F.col(f"_e_{n}").isNull(), F.col(f"_v_{n}")).alias(n) for n in fields],
+
+
+@lru_cache(maxsize=256)
+def _assemble_cols(fields: "tuple[str, ...]",
+                   extra: "tuple[str, ...]") -> "tuple[Column, ...]":
+    """Final-select column list (name-based → reusable across any
+    DataFrame carrying the staged columns; cached because building
+    these whens is ~100 py4j round trips per validate call)."""
+    return (
+        *[F.when(F.col(f"_e_{n}").isNull(), F.col(f"_v_{n}")).alias(n)
+          for n in fields],
         *[F.col(c) for c in extra],
-        *(extra_cols or []),
-        err_array.alias(ERRORS_COL),
+        _err_array(fields).alias(ERRORS_COL),
     )
+
+
+def _assemble(cur: DataFrame, fields: list[str], extra: list[str],
+              extra_cols: "list[Column] | None" = None) -> DataFrame:
+    """Final select over the staged frame: cleaned columns (invalid →
+    None — the single end-of-chain nulling point) + the ``_errors``
+    array (see :func:`_err_array` for why concat-of-arrays)."""
+    cols = list(_assemble_cols(tuple(fields), tuple(extra)))
+    if extra_cols:
+        cols = cols[:-1] + list(extra_cols) + cols[-1:]
+    return cur.select(*cols)
 
 
 class ValidationResult:
@@ -275,13 +314,6 @@ class ValidationResult:
             )
         pre = self._pre.where(~self._flags())
         raw_cols = set(pre.columns)
-        empty = F.array().cast(f"array<{ERROR_DDL}>")
-        errs = [F.col(f"_e_{n}") for n in self._fields]
-        err_array = (
-            F.concat(*[F.when(e.isNotNull(), F.array(e)).otherwise(empty)
-                       for e in errs])
-            if errs else empty
-        )
         return pre.select(
             *[
                 (F.col(f"_raw_{n}") if f"_raw_{n}" in raw_cols
@@ -289,7 +321,7 @@ class ValidationResult:
                 for n in self._fields
             ],
             *[F.col(c) for c in self._extra],
-            err_array.alias(ERRORS_COL),
+            _err_array(tuple(self._fields)).alias(ERRORS_COL),
         )
 
     @property

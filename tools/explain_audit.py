@@ -222,7 +222,11 @@ def audit(name: str, q, spark) -> tuple[bool, str]:
     n_broadcast = plan.count("BroadcastExchange")
     n_scans = plan.count("FileScan")
     pushed = "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan)
-    wsc = plan.count("WholeStageCodegen")
+    # Spark 4 renders whole-stage-codegen spans as `*(n)` operator
+    # prefixes in this string form (the literal "WholeStageCodegen"
+    # node name appears only in explain("formatted")) — count
+    # distinct span ids, not the node name
+    wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
     exp = EXPECTATIONS.get(name, {})
     problems = []
     if "max_exchanges" in exp and n_exchange > exp["max_exchanges"]:
