@@ -104,30 +104,60 @@ def minhash_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     return F.array(*bands)
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
+def lsh_candidate_pairs(df: DataFrame, id_col: str, bands_col: str,
+                        star_buckets_over: int | None = None) -> DataFrame:
     """Explode band keys and self-join per (band, key) bucket →
     distinct candidate (a, b) pairs with a < b.
 
     Scale: the only shuffle keys are (band, key) hash buckets.  A
     pathological bucket (many docs with identical band key — i.e.
-    true mass duplicates) is exactly the case AQE skew-join splitting
-    handles; for extreme cases pre-aggregate bucket membership counts
-    and cap bucket size explicitly.
+    true mass duplicates) emits |B|·(|B|−1)/2 pairs: a single
+    5000-doc duplicate cluster is 12.5M candidate rows PER BAND.
+    ``star_buckets_over=k`` routes buckets larger than k through a
+    star expansion instead — every member pairs with the bucket
+    minimum only (|B|−1 rows, O(n) not O(n²)).  For dedup-by-
+    connected-components the star edges preserve exactly the
+    connectivity the all-pairs edges give WITHIN the bucket (all
+    members reach the same min); what is lost is only pairs (b, c)
+    whose similarity is real but whose bucket-min a fails the later
+    Jaccard verify against both — rare for mass-dup buckets, where
+    members are near-identical by construction.  Measured behavior
+    at 2M docs is recorded in SCALE.md.
     """
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(F.col(bands_col)).alias("bk")
     ).select("_id", "bk.band", "bk.key")
-    a, b = exploded.alias("a"), exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
+    if star_buckets_over is None:
+        a, b = exploded.alias("a"), exploded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+            .distinct()
         )
-        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
-        .distinct()
+    # one (band, key) shuffle sizes every bucket and finds its min;
+    # the small-bucket self-join reuses that same partitioning
+    w = Window.partitionBy("band", "key")
+    sized = exploded.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_min", F.min("_id").over(w)
     )
+    small = sized.where(F.col("_n") <= star_buckets_over).drop("_n", "_min")
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+    star_pairs = (
+        sized.where((F.col("_n") > star_buckets_over) & (F.col("_id") != F.col("_min")))
+        .select(F.col("_min").alias("a_id"), F.col("_id").alias("b_id"))
+    )
+    return small_pairs.union(star_pairs).distinct()
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
@@ -273,7 +303,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3, n_hashes: int = 16,
-                        n_bands: int = 4, threshold: float = 0.5) -> DataFrame:
+                        n_bands: int = 4, threshold: float = 0.5,
+                        star_buckets_over: int | None = None) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → bucket join
     → exact-Jaccard verify.  Returns verified (a_id, b_id, jaccard).
 
@@ -293,7 +324,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     prepped = prepped.withColumn(
         "_bands", minhash_bands(F.col("_sig"), n_bands, rows)
     ).persist()
-    cands = lsh_candidate_pairs(prepped, id_col, "_bands")
+    cands = lsh_candidate_pairs(prepped, id_col, "_bands",
+                                star_buckets_over=star_buckets_over)
     return jaccard_pairs(prepped, id_col, "_sh", pairs=cands, threshold=threshold)
 
 
@@ -433,7 +465,8 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 def connected_components(pairs: DataFrame, a_col: str = "a_id",
                          b_col: str = "b_id",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """Connected components over a near-dup candidate edge list —
     the clustering step that turns pairwise matches into dedup groups
     (keep one document per component).
@@ -471,7 +504,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         .localCheckpoint()
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .select(edges.src.alias("node"), F.col("comp"))
@@ -494,6 +529,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
             converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         # a partially-propagated labeling silently splits real
         # components — never return it
@@ -507,7 +544,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
 
 def connected_components_star(pairs: DataFrame, a_col: str = "a_id",
                               b_col: str = "b_id",
-                              max_iter: int = 20) -> DataFrame:
+                              max_iter: int = 20,
+                              stats: dict | None = None) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — the 100 TB path: O(log n) rounds on ANY graph shape,
@@ -582,7 +620,9 @@ def connected_components_star(pairs: DataFrame, a_col: str = "a_id",
         )
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         new_edges = small_star(large_star(edges)).localCheckpoint()
         changed = (
             new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count()
@@ -592,6 +632,8 @@ def connected_components_star(pairs: DataFrame, a_col: str = "a_id",
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "

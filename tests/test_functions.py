@@ -63,6 +63,52 @@ class TestShinglesAndMinhash:
         assert (0, 3) in pairs  # exact dups always collide
 
 
+class TestStarBuckets:
+    def _prepped(self, spark):
+        rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10, 16)]
+        rows += [(20, "one two three four five six"), (21, "one two three four five six")]
+        rows += [(30, "lone wolf document nothing shared here")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return df.select(
+            "doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")
+        ).withColumn(
+            "bands", dedup.minhash_bands(dedup.minhash_signature(F.col("sh"), 8), 4, 2)
+        )
+
+    def test_star_cap_replaces_quadratic_bucket(self, spark):
+        prepped = self._prepped(spark)
+        full = {(r["a_id"], r["b_id"])
+                for r in dedup.lsh_candidate_pairs(prepped, "doc_id", "bands").collect()}
+        star = {(r["a_id"], r["b_id"])
+                for r in dedup.lsh_candidate_pairs(
+                    prepped, "doc_id", "bands", star_buckets_over=3).collect()}
+        # 6-dup bucket: C(6,2)=15 pairs uncapped vs 5 star edges to the min
+        assert {(a, b) for a, b in full if a >= 10 and b <= 15} == {
+            (a, b) for a in range(10, 16) for b in range(a + 1, 16)
+        }
+        assert {(a, b) for a, b in star if a >= 10 and b <= 15} == {
+            (10, b) for b in range(11, 16)
+        }
+        # small buckets keep the exact all-pairs behavior
+        assert (20, 21) in star and (20, 21) in full
+
+    def test_star_cap_preserves_components(self, spark):
+        prepped = self._prepped(spark)
+        star = dedup.lsh_candidate_pairs(prepped, "doc_id", "bands",
+                                         star_buckets_over=3)
+        comp = {r["node"]: r["comp"]
+                for r in dedup.connected_components(star).collect()}
+        assert {comp[i] for i in range(10, 16)} == {10}
+        assert comp[20] == comp[21] == 20
+
+    def test_stats_reports_rounds(self, spark):
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id bigint, b_id bigint")
+        s1, s2 = {}, {}
+        dedup.connected_components(pairs, stats=s1).collect()
+        dedup.connected_components_star(pairs, stats=s2).collect()
+        assert s1["rounds"] >= 1 and s2["rounds"] >= 1
+
+
 class TestMinhashPipeline:
     def test_finds_near_and_exact_dups(self, spark, docs):
         out = dedup.minhash_dedup_pairs(
