@@ -93,13 +93,27 @@ def minhash_signature(shingles: Column, n_hashes: int = 16,
     return F.array(*sigs)
 
 
-def minhash_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+def minhash_bands(sig: Column, n_bands: int, rows_per_band: int,
+                  hash_fn: str = "md5") -> Column:
     """Split a signature into band keys: array of (band_id, key)
-    structs; docs sharing ANY band key are LSH candidates."""
+    structs; docs sharing ANY band key are LSH candidates.
+
+    ``hash_fn='md5'`` (default) keys each band with
+    md5(concat_ws(slice)) — byte-replayable in ANSI SQL, the
+    correctness-gate form.  ``hash_fn='xx64'`` keys with
+    xxhash64(slice) directly (Spark's hash functions accept arrays)
+    and the key is a BIGINT — same bucket equality classes, one
+    codegen'd call instead of a string concat + digest.  Bucket
+    membership only depends on slice equality, so the two keyings
+    yield identical candidate sets (modulo 64-bit collisions).
+    """
     bands = []
     for b in range(n_bands):
         piece = F.slice(sig, b * rows_per_band + 1, rows_per_band)
-        key = F.md5(F.concat_ws("|", piece))
+        if hash_fn == "xx64":
+            key = F.xxhash64(piece)
+        else:
+            key = F.md5(F.concat_ws("|", piece))
         bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     return F.array(*bands)
 
@@ -272,7 +286,8 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       shingle_k: int = 3, n_hashes: int = 16) -> DataFrame:
+                       shingle_k: int = 3, n_hashes: int = 16,
+                       hash_fn: str = "md5") -> DataFrame:
     """(id, _sh shingle-set, _sig minhash array) via the EXPLODED
     aggregation plan: shingle rows (see :func:`shingle_rows`) → n
     plain md5 column expressions → ONE groupBy(id) computing both the
@@ -289,12 +304,29 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     (id) window/agg partitioning, reused end to end.
     """
     ex = shingle_rows(df, id_col, text_col, shingle_k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_shingle")))).alias(f"_mh{i}")
-        for i in range(n_hashes)
-    ]
+    if hash_fn == "xx64":
+        # Throughput engine.  Measured on this box (50M rows,
+        # local[32], warm): md5 ≈ 5.4 s vs xxhash64 ≈ 0.7 s — each
+        # md5 row pays a MessageDigest round-trip plus a hex-string
+        # allocation, and min(string) forces SortAggregate while
+        # min(bigint) hash-aggregates with a fixed-width buffer.
+        # With 16 hash functions per shingle the digest cost
+        # dominates the whole dedup pipeline, so this is the knob
+        # that matters at corpus scale.  Not ANSI-SQL-replayable (no
+        # xxhash64 in DuckDB), hence not the correctness-gate default.
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("_shingle"))).alias(f"_mh{i}")
+            for i in range(n_hashes)
+        ]
+        shingle_set = F.collect_set(F.xxhash64(F.col("_shingle")))
+    else:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_shingle")))).alias(f"_mh{i}")
+            for i in range(n_hashes)
+        ]
+        shingle_set = F.collect_set("_shingle")
     return ex.groupBy(id_col).agg(
-        F.collect_set("_shingle").alias("_sh"), *aggs
+        shingle_set.alias("_sh"), *aggs
     ).select(
         F.col(id_col), F.col("_sh"),
         F.array(*[F.col(f"_mh{i}") for i in range(n_hashes)]).alias("_sig"),
@@ -304,7 +336,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3, n_hashes: int = 16,
                         n_bands: int = 4, threshold: float = 0.5,
-                        star_buckets_over: int | None = None) -> DataFrame:
+                        star_buckets_over: int | None = None,
+                        hash_fn: str = "md5") -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → bucket join
     → exact-Jaccard verify.  Returns verified (a_id, b_id, jaccard).
 
@@ -320,9 +353,10 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     shingle+hash pipeline re-executes per branch.  At 100 TB the same
     slot is a checkpoint/table write of the signatures."""
     rows = n_hashes // n_bands
-    prepped = minhash_signatures(df, id_col, text_col, shingle_k, n_hashes)
+    prepped = minhash_signatures(df, id_col, text_col, shingle_k, n_hashes,
+                                 hash_fn=hash_fn)
     prepped = prepped.withColumn(
-        "_bands", minhash_bands(F.col("_sig"), n_bands, rows)
+        "_bands", minhash_bands(F.col("_sig"), n_bands, rows, hash_fn=hash_fn)
     ).persist()
     cands = lsh_candidate_pairs(prepped, id_col, "_bands",
                                 star_buckets_over=star_buckets_over)
@@ -659,3 +693,51 @@ def connected_components_star(pairs: DataFrame, a_col: str = "a_id",
     return comp.union(roots).union(isolated).groupBy(
         F.col("u").alias("node")
     ).agg(F.min("comp").alias("comp"))
+
+
+def contaminated_ids(df: DataFrame, bench: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     bench_text_col: str | None = None,
+                     n: int = 13) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM training-data
+    hygiene step): ids of corpus documents sharing ANY word n-gram
+    with a benchmark/eval set.
+
+    Scale shape: the benchmark side is tiny by definition (eval sets,
+    not corpora) — its distinct gram-hash set is BROADCAST, so the
+    whole check is a map-side semi-join folded into the corpus scan:
+    no corpus shuffle beyond the per-doc gram window.  Grams are
+    compared as xxhash64 values (8 bytes), never as strings;
+    contamination counts are hash-invariant (injective-modulo-2^-64).
+    n=13 is the published convention; lower it for short-document
+    corpora.
+    """
+    bench_text = bench_text_col or text_col
+    bg = (
+        shingle_rows(bench.select(F.col(bench_text).alias("_t"))
+                     .withColumn("_bid", F.monotonically_increasing_id()),
+                     "_bid", "_t", n)
+        .select(F.xxhash64("_shingle").alias("_g")).distinct()
+    )
+    dg = shingle_rows(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("_shingle").alias("_g"))
+    from pyspark.sql.functions import broadcast
+    return (
+        dg.join(broadcast(bg), "_g", "left_semi")
+        .select(id_col).distinct()
+    )
+
+
+def decontaminate(df: DataFrame, bench: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str | None = None,
+                  n: int = 13, keep_flag: bool = False) -> DataFrame:
+    """Drop (or, with ``keep_flag``, just mark) corpus documents that
+    share any word n-gram with the benchmark set — see
+    :func:`contaminated_ids` for the scale shape."""
+    ids = contaminated_ids(df, bench, id_col, text_col, bench_text_col, n)
+    if keep_flag:
+        flagged = ids.withColumn("contaminated", F.lit(True))
+        return df.join(flagged, id_col, "left").withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
+    return df.join(ids, id_col, "left_anti")

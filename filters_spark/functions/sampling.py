@@ -115,3 +115,43 @@ def hash_uniform(key: Column) -> Column:
         F.conv(F.substring(_key_hex(key), 1, _HEX_DIGITS), 16, 10)
         .cast("double") / float(16 ** _HEX_DIGITS)
     )
+
+
+def domain_mixture_sample(df: DataFrame, key: str, domain_col: str,
+                          targets: dict[str, float]) -> DataFrame:
+    """Downsample so the OUTPUT follows a target domain mixture
+    (the pretraining-mix step: given observed per-domain counts n_d
+    and target fractions t_d, the largest achievable corpus is
+    S = min_d(n_d / t_d); each domain keeps t_d·S/n_d of its rows).
+
+    Everything stays in-plan: the per-domain count aggregate is a
+    narrow shuffle on the domain key; S is a 1-row aggregate over it;
+    rates broadcast back onto the scan, where the keep decision is
+    the deterministic ``hash_uniform(key) < rate`` predicate — two
+    passes over the corpus total (count + filter), no driver collect,
+    and the same rows are kept on every rerun/backfill.  Domains
+    absent from ``targets`` are dropped (rate 0) — a mixture is a
+    closed list by definition.
+    """
+    from pyspark.sql.functions import broadcast
+
+    target_expr: Column = F.lit(None).cast("double")
+    for d, t in sorted(targets.items()):
+        target_expr = F.when(F.col(domain_col) == d, F.lit(float(t))) \
+            .otherwise(target_expr)
+    counts = (
+        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_t", target_expr)
+        .where(F.col("_t").isNotNull())
+    )
+    s = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_s"))
+    rates = counts.crossJoin(broadcast(s)).select(
+        F.col(domain_col),
+        F.least(F.lit(1.0), F.col("_t") * F.col("_s") / F.col("_n"))
+        .alias("_rate"),
+    )
+    return (
+        df.join(broadcast(rates), domain_col)
+        .where(hash_uniform(F.col(key)) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -32,6 +32,9 @@ __all__ = [
     "winnow_sketch",
     "lang_scores",
     "lang_id",
+    "line_repetition_stats",
+    "ngram_repetition_stats",
+    "repetition_filter",
     "STOPWORDS",
 ]
 
@@ -231,4 +234,118 @@ def winnow_sketch(df: DataFrame, id_col: str = "doc_id",
     return (
         grams.select(F.col(id_col), F.min("_hg").over(frame).alias("fp"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filters (Gopher-style; Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+def line_repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          sep: str = "\n") -> DataFrame:
+    """Per-document duplicate-line statistics (Gopher repetition
+    signals; with ``sep=' '`` the same machinery yields duplicate-WORD
+    fractions for corpora without line structure).
+
+    * ``dup_line_frac`` — (total − distinct) / total segments: the
+      fraction of segments that are repeats of an earlier-seen one.
+    * ``dup_line_char_frac`` — characters inside those repeated
+      occurrences / total segment characters.
+
+    Plan: explode segments → groupBy(id, segment) count → groupBy(id)
+    — two aggregations sharing the id-prefixed key, no joins; at
+    100 TB the shuffle carries (id, segment-hash-sized) rows only.
+    Empty segments (from consecutive separators) count like any
+    other; documents with no text yield fraction 0 via the guarded
+    division.
+    """
+    seg = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("_seg")
+    )
+    per_seg = seg.groupBy(id_col, "_seg").agg(F.count(F.lit(1)).alias("_cnt"))
+    n_tot = F.sum("_cnt")
+    n_dis = F.count(F.lit(1))
+    chars_tot = F.sum(F.col("_cnt") * F.length("_seg"))
+    chars_dup = F.sum((F.col("_cnt") - 1) * F.length("_seg"))
+    return per_seg.groupBy(id_col).agg(
+        F.when(n_tot > 0, (n_tot - n_dis) / n_tot).otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(chars_tot > 0, chars_dup / chars_tot).otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+    )
+
+
+def ngram_repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 2,
+                           sep: str = " ") -> DataFrame:
+    """Per-document duplicated-n-gram character coverage (the Gopher
+    top-/dup-n-gram filters).
+
+    * ``top_ngram_char_frac`` — characters covered by the single
+      most-covering DUPLICATED n-gram (count × gram length, count ≥ 2)
+      over the document's character count.
+    * ``dup_ngram_char_frac`` — the same summed over every duplicated
+      n-gram.  Overlapping grams double-count, so the value is capped
+      at 1.0 — the cap applies identically in the SQL oracle.
+
+    Grams are materialized as strings via the lead()-window
+    composition (HOF-free — see shingle_rows' measured rationale);
+    the only shuffle keys are the doc id (window) and (id, gram)
+    (count), both id-prefixed so one partitioning serves all stages.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_nc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_p", "_tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_p")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, n)]
+    last = F.lead("_tok", n - 1).over(w) if n > 1 else F.col("_tok")
+    grams = ex.select(
+        F.col(id_col), F.col("_nc"),
+        F.concat_ws(sep, *parts).alias("_gram"),
+        last.isNotNull().alias("_full"),
+    ).where(F.col("_full"))
+    per_gram = grams.groupBy(id_col, "_nc", "_gram").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    cover = F.when(F.col("_cnt") >= 2, F.col("_cnt") * F.length("_gram")) \
+        .otherwise(F.lit(0))
+    return per_gram.groupBy(id_col, "_nc").agg(
+        F.max(cover).alias("_top"), F.sum(cover).alias("_dup"),
+    ).select(
+        F.col(id_col),
+        F.when(F.col("_nc") > 0, F.least(F.col("_top") / F.col("_nc"), F.lit(1.0)))
+        .otherwise(F.lit(0.0)).alias("top_ngram_char_frac"),
+        F.when(F.col("_nc") > 0, F.least(F.col("_dup") / F.col("_nc"), F.lit(1.0)))
+        .otherwise(F.lit(0.0)).alias("dup_ngram_char_frac"),
+    )
+
+
+def repetition_filter(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_dup_line_frac: float = 0.3,
+                      max_top_ngram_frac: float = 0.2,
+                      max_dup_ngram_frac: float = 0.6,
+                      n: int = 2, line_sep: str = "\n") -> DataFrame:
+    """Gopher-style repetition gate: joins the two stat frames back
+    onto the input and flags documents exceeding any threshold.
+    Returns the input columns plus the stats and a ``keep`` boolean —
+    callers filter on it (keeping the flag lets a pipeline audit WHY
+    documents dropped).
+    """
+    lines = line_repetition_stats(df, id_col, text_col, line_sep)
+    grams = ngram_repetition_stats(df, id_col, text_col, n)
+    return (
+        df.join(lines, id_col, "left").join(grams, id_col, "left")
+        .withColumn(
+            "keep",
+            (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= max_dup_line_frac)
+            & (F.coalesce(F.col("top_ngram_char_frac"), F.lit(0.0))
+               <= max_top_ngram_frac)
+            & (F.coalesce(F.col("dup_ngram_char_frac"), F.lit(0.0))
+               <= max_dup_ngram_frac),
+        )
     )

@@ -4677,3 +4677,417 @@ def ds_containment_pairs(spark, sf_dir):
             F.round(cont, 4).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: Gopher-style repetition filters, PII, decontamination,
+# domain mixtures, sequence packing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_repetition_rollup",
+    oracle="""
+    WITH seg AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents
+    ), per_seg AS (
+      SELECT doc_id, s, count(*) AS cnt FROM seg GROUP BY doc_id, s
+    ), line_stats AS (
+      SELECT doc_id,
+             CASE WHEN sum(cnt) > 0
+                  THEN (sum(cnt) - count(*))::DOUBLE / sum(cnt) ELSE 0 END
+               AS dup_line_frac,
+             CASE WHEN sum(cnt * length(s)) > 0
+                  THEN sum((cnt - 1) * length(s))::DOUBLE / sum(cnt * length(s))
+                  ELSE 0 END AS dup_line_char_frac
+      FROM per_seg GROUP BY doc_id
+    ), tok AS (
+      SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, nc, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM tok WHERE len(toks) >= 2
+    ), grams AS (
+      SELECT doc_id, nc, toks[i] || ' ' || toks[i+1] AS gram FROM pos
+    ), per_gram AS (
+      SELECT doc_id, any_value(nc) AS nc, gram, count(*) AS cnt
+      FROM grams GROUP BY doc_id, gram
+    ), gram_stats AS (
+      SELECT doc_id,
+             CASE WHEN any_value(nc) > 0 THEN least(
+               max(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)::DOUBLE
+               / any_value(nc), 1.0) ELSE 0 END AS top_ngram_char_frac,
+             CASE WHEN any_value(nc) > 0 THEN least(
+               sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)::DOUBLE
+               / any_value(nc), 1.0) ELSE 0 END AS dup_ngram_char_frac
+      FROM per_gram GROUP BY doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           round(avg(l.dup_line_frac), 4) AS avg_dup_word_frac,
+           round(avg(g.top_ngram_char_frac), 4) AS avg_top_bigram_frac,
+           round(avg(g.dup_ngram_char_frac), 4) AS avg_dup_bigram_frac,
+           sum(CASE WHEN l.dup_line_frac <= 0.3 AND g.top_ngram_char_frac <= 0.2
+                     AND g.dup_ngram_char_frac <= 0.6 THEN 1 ELSE 0 END) AS n_keep
+    FROM documents d
+    JOIN line_stats l USING (doc_id)
+    JOIN gram_stats g USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def txt_repetition_rollup(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021
+    §A1.1): duplicate-segment fraction (on words — this corpus has no
+    line structure) and duplicated-bigram character coverage, rolled
+    up per source with the keep-count of the composed
+    :func:`text.repetition_filter` gate.  Every fraction is a ratio
+    of exact integers, so the per-doc values hash identically; only
+    the cross-doc averages need rounding."""
+    d = _t(spark, sf_dir, "documents")
+    flagged = text.repetition_filter(
+        d.select("doc_id", "source", "text"), "doc_id", "text",
+        max_dup_line_frac=0.3, max_top_ngram_frac=0.2,
+        max_dup_ngram_frac=0.6, n=2, line_sep=" ",
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_line_frac"), 4).alias("avg_dup_word_frac"),
+        F.round(F.avg("top_ngram_char_frac"), 4).alias("avg_top_bigram_frac"),
+        F.round(F.avg("dup_ngram_char_frac"), 4).alias("avg_dup_bigram_frac"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+    )
+
+
+from ..functions import pii  # noqa: E402
+
+
+def _luhn16_sql(expr: str) -> str:
+    """The same unrolled 16-term Luhn arithmetic as
+    pii.luhn_valid_16, as ANSI SQL over a separator-free string."""
+    terms = []
+    for i in range(1, 17):
+        d = f"CAST(substring({expr}, {i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN {d}*2 > 9 THEN {d}*2 - 9 ELSE {d}*2 END)")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ") % 10 = 0"
+
+
+_PII_AUG_SQL = """
+      SELECT doc_id, source, text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' contact ' || source || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0 THEN
+             CASE WHEN doc_id % 2 = 0 THEN ' card 4242 4242 4242 4242'
+                  ELSE ' card 1234 5678 9012 3456' END ELSE '' END
+        AS aug
+      FROM documents
+"""
+
+
+def _pii_aug_col():
+    """Spark twin of _PII_AUG_SQL's synthesized PII column."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" contact "), F.col("source"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                        F.lit(".17"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        F.when(d % 13 == 0,
+               F.when(d % 2 == 0, F.lit(" card 4242 4242 4242 4242"))
+               .otherwise(F.lit(" card 1234 5678 9012 3456")))
+        .otherwise(F.lit("")),
+    )
+
+
+@register(
+    "ds_pii_rollup",
+    oracle=f"""
+    WITH aug AS ({_PII_AUG_SQL}),
+    det AS (
+      SELECT source, aug,
+        len(regexp_extract_all(aug, '{pii.PII_PATTERNS["email"]}')) AS n_email,
+        len(regexp_extract_all(aug, '{pii.PII_PATTERNS["phone"]}')) AS n_phone,
+        len(regexp_extract_all(aug, '{pii.PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+        len(regexp_extract_all(aug, '{pii.PII_PATTERNS["ssn"]}')) AS n_ssn,
+        len(regexp_extract_all(aug, '{pii.PII_PATTERNS["credit_card"]}'))
+          AS n_card,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(aug,
+            '{pii.PII_PATTERNS["credit_card"]}', '[CREDIT_CARD]', 'g'),
+            '{pii.PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+            '{pii.PII_PATTERNS["ssn"]}', '[SSN]', 'g'),
+            '{pii.PII_PATTERNS["phone"]}', '[PHONE]', 'g'),
+            '{pii.PII_PATTERNS["ipv4"]}', '[IPV4]', 'g') AS red,
+        CASE WHEN length(regexp_replace(regexp_extract(aug,
+               '{pii.PII_PATTERNS["credit_card"]}'), '[ -]', '', 'g')) = 16
+             THEN {_luhn16_sql("regexp_replace(regexp_extract(aug, '"
+                               + pii.PII_PATTERNS["credit_card"]
+                               + "'), '[ -]', '', 'g')")}
+        END AS luhn_ok
+      FROM aug
+    )
+    SELECT source,
+           sum(n_email) AS emails, sum(n_phone) AS phones,
+           sum(n_ipv4) AS ipv4s, sum(n_ssn) AS ssns, sum(n_card) AS cards,
+           sum(CASE WHEN luhn_ok THEN 1 ELSE 0 END) AS luhn_valid_cards,
+           sum(len(regexp_extract_all(red, '{pii.PII_PATTERNS["email"]}'))
+             + len(regexp_extract_all(red, '{pii.PII_PATTERNS["phone"]}'))
+             + len(regexp_extract_all(red, '{pii.PII_PATTERNS["ipv4"]}'))
+             + len(regexp_extract_all(red, '{pii.PII_PATTERNS["ssn"]}'))
+             + len(regexp_extract_all(red, '{pii.PII_PATTERNS["credit_card"]}')))
+             AS residual_after_redact,
+           sum(length(aug) - length(red)) AS char_delta
+    FROM det GROUP BY source
+    """,
+)
+def ds_pii_rollup(spark, sf_dir):
+    """PII detection + redaction + Luhn card validation, rolled up
+    per source.  The PII content is SYNTHESIZED deterministically
+    from (doc_id, source) identically in both engines (the corpus
+    itself contains none), so every regex, the redaction chain, and
+    the unrolled Luhn arithmetic are all hash-gated for real.
+    ``residual_after_redact`` asserts redaction completeness inside
+    the gate itself."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _pii_aug_col().alias("aug"))
+    prof = pii.pii_profile(d, "aug")
+    card = F.regexp_extract(F.col("aug"),
+                            pii.PII_PATTERNS["credit_card"], 0)
+    red = pii.redact(F.col("aug"))
+    residual = F.lit(0)
+    for _, c in pii.pii_counts(red):
+        residual = residual + c
+    det = prof.select(
+        "source", "n_email", "n_phone", "n_ipv4", "n_ssn", "n_credit_card",
+        pii.luhn_valid_16(card).alias("luhn_ok"),
+        residual.alias("residual"),
+        (F.length("aug") - F.length(red)).alias("delta"),
+    )
+    return det.groupBy("source").agg(
+        F.sum("n_email").alias("emails"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("n_ipv4").alias("ipv4s"),
+        F.sum("n_ssn").alias("ssns"),
+        F.sum("n_credit_card").alias("cards"),
+        F.sum(F.when(F.col("luhn_ok"), 1).otherwise(0)).alias("luhn_valid_cards"),
+        F.sum("residual").alias("residual_after_redact"),
+        F.sum("delta").alias("char_delta"),
+    )
+
+
+@register(
+    "ds_decontaminate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+      FROM tok
+    ), grams AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+               AS gram
+      FROM pos
+    ), bench_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0
+    ), contaminated AS (
+      SELECT DISTINCT g.doc_id FROM grams g
+      JOIN bench_grams b USING (gram)
+    )
+    SELECT d.source, count(*) AS n_docs,
+           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_contaminated,
+           sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS n_clean
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def ds_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word-5-gram overlap against an
+    eval set (here: every 37th document) — the GPT-3-style n-gram
+    hygiene check.  The benchmark gram-hash set broadcasts; the
+    corpus side never shuffles grams.  Spark compares xxhash64(gram)
+    (8-byte keys), the oracle raw gram strings — identical counts
+    under an injective hash, which is the same contract the Jaccard
+    verify path already gates."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    flagged = dedup.decontaminate(
+        d.select("doc_id", "source", "text"), bench.select("text"),
+        "doc_id", "text", n=5, keep_flag=True)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .alias("n_contaminated"),
+        F.sum(F.when(F.col("contaminated"), 0).otherwise(1)).alias("n_clean"),
+    )
+
+
+from ..functions import url as urlops  # noqa: E402
+
+
+@register(
+    "ds_url_extract",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, source, text
+        || CASE WHEN doc_id % 2 = 0 THEN ' see http://' || source
+             || '.Example.COM/Path'
+             || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END
+           ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' also https://cdn.' || source || '.net/a/b/' ELSE '' END
+        AS t
+      FROM documents
+    ), det AS (
+      SELECT source,
+        len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+        regexp_extract(t, 'https?://[^\s]+') AS first_url
+      FROM aug
+    ), norm AS (
+      SELECT source, n_urls,
+        lower(regexp_extract(first_url, 'https?://([^/\s:?#]+)', 1)) AS host,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(first_url, '^(https?://[^/\s?#]*)', 1))
+            || regexp_replace(first_url, '^https?://[^/\s?#]*', ''),
+          '#[^\s]*$', ''), '/$', '') AS norm_url
+      FROM det
+    )
+    SELECT source, sum(n_urls) AS total_urls,
+           count(DISTINCT CASE WHEN host != '' THEN host END) AS n_hosts,
+           count(DISTINCT CASE WHEN host != '' THEN
+             regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) END)
+             AS n_domains,
+           count(DISTINCT CASE WHEN norm_url != '' THEN norm_url END)
+             AS n_normalized
+    FROM norm GROUP BY source
+    """,
+)
+def ds_url_extract(spark, sf_dir):
+    """URL extraction, host/registrable-domain parsing and URL
+    normalization (case-folded host, fragment and trailing-slash
+    stripped), rolled up per source.  URLs are synthesized
+    deterministically from (doc_id, source) — same construction in
+    the oracle — so the regexes and the normalization chain are
+    hash-gated, the pii.py discipline."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(
+            F.lit(" see http://"), F.col("source"), F.lit(".Example.COM/Path"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit(""))
+        )).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit(" also https://cdn."), F.col("source"), F.lit(".net/a/b/")
+        )).otherwise(F.lit("")),
+    )
+    first = F.regexp_extract(F.col("t"), urlops.URL_PATTERN, 0)
+    det = d.select("source", aug.alias("t")).select(
+        "source",
+        urlops.url_count(F.col("t")).alias("n_urls"),
+        urlops.url_host(first).alias("host"),
+        urlops.registrable_domain(first).alias("dom"),
+        urlops.normalize_url(first).alias("norm_url"),
+    )
+    return det.groupBy("source").agg(
+        F.sum("n_urls").alias("total_urls"),
+        F.countDistinct(F.when(F.col("host") != "", F.col("host")))
+        .alias("n_hosts"),
+        F.countDistinct(F.when(F.col("host") != "", F.col("dom")))
+        .alias("n_domains"),
+        F.countDistinct(F.when(F.col("norm_url") != "", F.col("norm_url")))
+        .alias("n_normalized"),
+    )
+
+
+@register(
+    "ds_domain_mixture",
+    oracle="""
+    WITH t AS (
+      SELECT source, count(*) AS n,
+             CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.25
+                         WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.15
+                         WHEN 'src4' THEN 0.1 END AS tf
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT min(n / tf) AS s FROM t WHERE tf IS NOT NULL
+    ), r AS (
+      SELECT source, least(1.0, tf * s.s / n) AS rate
+      FROM t, s WHERE tf IS NOT NULL
+    )
+    SELECT d.source, count(*) AS n_kept
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.rate
+    GROUP BY d.source
+    """,
+)
+def ds_domain_mixture(spark, sf_dir):
+    """Target-mixture downsampling: per-domain keep rates computed
+    IN-PLAN from observed counts (S = min n_d/t_d; rate = t_d·S/n_d)
+    and applied as the deterministic hash_uniform predicate — the
+    pretraining data-mix step with no driver collect and no RNG.
+    The oracle recomputes S, the rates, and the md5 draw with the
+    same IEEE arithmetic, so the surviving row set hash-matches."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.domain_mixture_sample(
+        d.select("doc_id", "source"), "doc_id", "source",
+        {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1},
+    )
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "ds_sequence_pack",
+    oracle="""
+    WITH lens AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM lens
+    )
+    SELECT source, CAST(floor(start / 512) AS BIGINT) AS bin,
+           count(*) AS n_docs, sum(n_tok) AS bin_tokens,
+           min(start - CAST(floor(start / 512) AS BIGINT) * 512)
+             AS first_offset
+    FROM packed GROUP BY source, bin
+    """,
+)
+def ds_sequence_pack(spark, sf_dir):
+    """Streaming sequence packing into 512-token context windows per
+    source: running token total over a fixed order, bin = completed
+    budgets at the document's start.  Pure window arithmetic on
+    integers — one shuffle on the pack group, replayed exactly by the
+    oracle.  The FFD variant (packing.pack_greedy) is the
+    Python-stage alternative, pytest-verified instead (its bin ids
+    depend on first-fit state, which is not SQL-expressible)."""
+    from ..functions import packing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"))
+    packed = packing.pack_streaming(d, "doc_id", "n_tok", 512,
+                                    partition_cols=["source"])
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min("bin_offset").alias("first_offset"),
+    )

@@ -119,6 +119,17 @@ class TestMinhashPipeline:
         assert got[(0, 3)] == 1.0
         if (0, 1) in got:  # LSH may or may not surface the 0.5-ish pair
             assert 0.4 < got[(0, 1)] < 1.0
+
+    def test_xx64_engine_matches_on_exact_dups(self, spark, docs):
+        # different hash family -> candidate sets may differ on
+        # borderline pairs, but exact dups share every band in BOTH
+        # families and jaccard values are hash-invariant
+        out = dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", shingle_k=3, n_hashes=8, n_bands=4,
+            threshold=0.5, hash_fn="xx64",
+        )
+        got = {(r["a_id"], r["b_id"]): r["jaccard"] for r in out.collect()}
+        assert got[(0, 3)] == 1.0
         assert all(j >= 0.5 for j in got.values())
 
 

@@ -1,0 +1,162 @@
+"""Round-3 pipeline-layer operators: repetition filters, PII,
+decontamination, URL ops, domain mixtures, sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filters_spark.functions import dedup, packing, pii, sampling, text, url
+
+
+class TestRepetition:
+    def test_line_stats_counts_repeats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nb\na\na"), (2, "x\ny\nz")], "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in
+               text.line_repetition_stats(df).collect()}
+        # doc 1: 4 lines, 2 distinct -> dup frac 2/4; dup chars 2*1 of 4
+        assert got[1]["dup_line_frac"] == pytest.approx(0.5)
+        assert got[1]["dup_line_char_frac"] == pytest.approx(0.5)
+        assert got[2]["dup_line_frac"] == 0.0
+
+    def test_ngram_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "p q r s")], "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in
+               text.ngram_repetition_stats(df, n=2).collect()}
+        # doc 1: bigrams: 'a b'x3, 'b a'x2 -> top = 3*3/11, dup = (9+6)/11 capped 1
+        assert got[1]["top_ngram_char_frac"] == pytest.approx(9 / 11)
+        assert got[1]["dup_ngram_char_frac"] == 1.0
+        assert got[2]["top_ngram_char_frac"] == 0.0
+
+    def test_filter_keeps_clean(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a b a b"), (2, "fresh words only here today")],
+            "doc_id bigint, text string")
+        out = {r["doc_id"]: r["keep"] for r in
+               text.repetition_filter(df, line_sep=" ").collect()}
+        assert out[1] is False and out[2] is True
+
+
+class TestPii:
+    def test_detect_and_redact(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a@b.com ip 10.0.0.1 ssn 123-45-6789 "
+                 "tel 555-123-4567 card 4242 4242 4242 4242")],
+            "id bigint, text string")
+        prof = pii.pii_profile(df).collect()[0]
+        assert (prof["n_email"], prof["n_ipv4"], prof["n_ssn"],
+                prof["n_phone"], prof["n_credit_card"]) == (1, 1, 1, 1, 1)
+        assert prof["has_pii"]
+        red = df.select(pii.redact(F.col("text")).alias("r")).collect()[0]["r"]
+        for kind, _ in pii.pii_counts(F.lit(red)):
+            assert f"[{kind.upper()}]" in red or kind not in red
+        residual = df.select(sum(
+            (c for _, c in pii.pii_counts(pii.redact(F.col("text")))),
+            F.lit(0)).alias("n")).collect()[0]["n"]
+        assert residual == 0
+
+    def test_luhn(self, spark):
+        df = spark.createDataFrame(
+            [("4242 4242 4242 4242",), ("4242-4242-4242-4241",), ("123",)],
+            "c string")
+        got = [r["ok"] for r in
+               df.select(pii.luhn_valid_16(F.col("c")).alias("ok")).collect()]
+        assert got == [True, False, None]
+
+
+class TestDecontaminate:
+    def test_flags_overlapping_docs(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps high"),
+             (2, "totally unrelated words in here"),
+             (3, "see the quick brown fox jumps again")],
+            "doc_id bigint, text string")
+        bench = spark.createDataFrame(
+            [("benchmark says the quick brown fox jumps over",)], "text string")
+        out = {r["doc_id"]: r["contaminated"] for r in dedup.decontaminate(
+            corpus, bench, n=5, keep_flag=True).collect()}
+        assert out[1] is True and out[3] is True and out[2] is False
+        clean = dedup.decontaminate(corpus, bench, n=5)
+        assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+class TestUrl:
+    def test_host_domain_normalize(self, spark):
+        df = spark.createDataFrame(
+            [("x http://Sub.Example.COM/Path#frag y https://a.b.org/q/",)],
+            "t string")
+        row = df.select(
+            url.url_count(F.col("t")).alias("n"),
+            url.url_host(F.regexp_extract("t", url.URL_PATTERN, 0)).alias("h"),
+            url.registrable_domain(
+                F.regexp_extract("t", url.URL_PATTERN, 0)).alias("d"),
+            url.normalize_url(
+                F.regexp_extract("t", url.URL_PATTERN, 0)).alias("u"),
+        ).collect()[0]
+        assert row["n"] == 2
+        assert row["h"] == "sub.example.com"
+        assert row["d"] == "example.com"
+        assert row["u"] == "http://sub.example.com/Path"
+
+
+class TestDomainMixture:
+    def test_output_matches_targets(self, spark):
+        rows = [(i, "a" if i % 10 < 8 else "b") for i in range(5000)]
+        df = spark.createDataFrame(rows, "doc_id bigint, dom string")
+        out = sampling.domain_mixture_sample(
+            df, "doc_id", "dom", {"a": 0.5, "b": 0.5})
+        counts = {r["dom"]: r["n"] for r in
+                  out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+        # b is the limiting domain (1000 docs, target 0.5 -> S=2000):
+        # keep all of b, ~1000 of a
+        assert counts["b"] == 1000
+        assert abs(counts["a"] - 1000) < 100
+        # deterministic: rerun keeps the same rows
+        again = sampling.domain_mixture_sample(
+            df, "doc_id", "dom", {"a": 0.5, "b": 0.5})
+        assert sorted(r["doc_id"] for r in out.collect()) == \
+               sorted(r["doc_id"] for r in again.collect())
+
+    def test_untargeted_domain_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "zzz")], "doc_id bigint, dom string")
+        out = sampling.domain_mixture_sample(df, "doc_id", "dom", {"a": 1.0})
+        assert [r["dom"] for r in out.collect()] == ["a"]
+
+
+class TestPacking:
+    def test_streaming_bins(self, spark):
+        df = spark.createDataFrame(
+            [(i, 100) for i in range(10)], "doc_id bigint, n int")
+        out = packing.pack_streaming(df, "doc_id", "n", 512)
+        bins = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in out.collect()}
+        assert bins[0] == (0, 0)
+        assert bins[4] == (0, 400)   # straddles 512 but starts in bin 0
+        assert bins[5] == (0, 500)
+        assert bins[6] == (1, 88)    # 600 - 512
+        assert bins[9] == (1, 388)
+
+    def test_greedy_respects_budget(self, spark):
+        rows = [(i, "g", (i * 37) % 200 + 1) for i in range(50)]
+        rows += [(100, "g", 999)]  # oversize
+        df = spark.createDataFrame(rows, "doc_id bigint, grp string, n int")
+        out = packing.pack_greedy(df, "doc_id", "n", 512,
+                                  partition_cols=["grp"]).collect()
+        per_bin: dict = {}
+        for r in out:
+            if r["oversize"]:
+                assert r["n"] > 512
+                continue
+            per_bin.setdefault(r["bin"], 0)
+            per_bin[r["bin"]] += r["n"]
+        assert per_bin and all(v <= 512 for v in per_bin.values())
+
+    def test_greedy_no_partition(self, spark):
+        df = spark.createDataFrame(
+            [(1, 300), (2, 300), (3, 200)], "doc_id bigint, n int")
+        out = packing.pack_greedy(df, "doc_id", "n", 512).collect()
+        assert len(out) == 3
+        sums: dict = {}
+        for r in out:
+            sums[r["bin"]] = sums.get(r["bin"], 0) + r["n"]
+        assert all(v <= 512 for v in sums.values())

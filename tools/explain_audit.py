@@ -212,6 +212,21 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_weighted_sample": dict(max_exchanges=0),
     # containment: source-blocked self-join (broadcast at gate sf)
     "ds_containment_pairs": dict(max_exchanges=2),
+    # -- round 3 additions -------------------------------------------
+    # PII detect+redact+Luhn all fuse into the scan projection; only
+    # the source rollup shuffles
+    "ds_pii_rollup": dict(max_exchanges=1),
+    # packing window (source) partitioning reused by the (source,bin)
+    # agg — one shuffle total
+    "ds_sequence_pack": dict(max_exchanges=1),
+    # URL ops are projections; countDistinct = two-phase agg
+    "ds_url_extract": dict(max_exchanges=2),
+    # repetition: seg agg + doc-key chain + broadcast joins back
+    "txt_repetition_rollup": dict(max_exchanges=4, min_broadcasts=2),
+    # decontamination: bench gram set BROADCAST (the scale contract)
+    "ds_decontaminate": dict(max_exchanges=4, min_broadcasts=2),
+    # mixture: counts + 1-row S broadcast as rates onto the scan
+    "ds_domain_mixture": dict(max_exchanges=4, min_broadcasts=2),
 }
 
 
