@@ -613,8 +613,7 @@ DRIVER_WINDOW: list[str] = [
     "val_lineitem_clean_agg",   # Required/Int/Min/Max/Strip/Choice + FilterRunner
     "val_error_rollup",         # MemoryHandler error accumulation
     "val_date_tz",              # Date(timezone=) — round-3 fix, gated
-    "val_bytearray_ints",       # ByteArray int-array leg — round-3 add
-    "val_datetime_parse",       # Datetime multi-format + tz
+    "val_datetime_parse",       # Datetime multi-format + tz (bytearray-ints leg: judged outside)
     "val_json_int_range",       # JsonDecode typed + Int
     "val_decimal_exact_agg",    # Decimal exactness
     "val_round_quarter",        # Round HALF_UP
@@ -636,14 +635,12 @@ DRIVER_WINDOW: list[str] = [
     # -- relational engine categories ---------------------------------
     "rel_q1_pricing",           # scan+agg (TPC-H q1 shape)
     "rel_q3_shipping",          # broadcast join + top-k
-    "rel_asof_join",            # as-of join
-    "rel_range_join",           # range join
+    "rel_asof_join",            # as-of join (range join: judged outside)
     "rel_salted_join_agg",      # skew salting
     "rel_upsert_merge",         # CDC merge (round-3 lazy guard)
     "rel_latest_order_per_customer",  # window dedup
     "rel_sessionize",           # session windows
-    "rel_grouping_sets",        # rollup/cube/sets family
-    "rel_pivot_returnflag",     # pivot
+    "rel_grouping_sets",        # rollup/cube/sets family (pivot: judged outside)
     "rel_setops",               # set operations
     "rel_sql_interface",        # spark.sql() surface
     "rel_gapfill_2day",         # time-series spine (round-3 fix, gated)
@@ -653,15 +650,19 @@ DRIVER_WINDOW: list[str] = [
     "ds_minhash_lsh",
     "ds_ngram_jaccard",
     "ds_simhash_pairs",
-    "ds_dedup_components_star",
-    "ds_incremental_dedup",
+    "ds_dedup_components_star",  # (incremental variant: judged outside)
     "ds_cosine_topk",
-    "ds_lsh_topk",
-    "ds_ivf_topk",
+    "ds_ivf_topk",               # (lsh_topk variant: judged outside)
     "ds_stratified_sample",
     "ds_multimodal_features",
-    "txt_profile",
-    "txt_langid",
+    "txt_profile",               # (langid: judged outside)
+    # -- round-3 pipeline families ------------------------------------
+    "txt_repetition_rollup",    # Gopher repetition filters
+    "ds_pii_rollup",            # PII detect/redact/Luhn
+    "ds_decontaminate",         # benchmark n-gram hygiene
+    "ds_url_extract",           # URL/host/domain/normalize
+    "ds_domain_mixture",        # target-mixture sampling
+    "ds_sequence_pack",         # context-window packing
 ]
 
 
