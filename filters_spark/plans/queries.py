@@ -5092,3 +5092,111 @@ def ds_sequence_pack(spark, sf_dir):
         F.sum("n_tok").alias("bin_tokens"),
         F.min("bin_offset").alias("first_offset"),
     )
+
+
+@register(
+    "ds_corpus_pipeline_v2",
+    oracle="""
+    WITH seg AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents
+    ), per_seg AS (
+      SELECT doc_id, s, count(*) AS cnt FROM seg GROUP BY doc_id, s
+    ), repstat AS (
+      SELECT doc_id, (sum(cnt) - count(*))::DOUBLE / sum(cnt) AS dupf
+      FROM per_seg GROUP BY doc_id
+    ), q AS (                            -- stage 1: repetition gate
+      SELECT d.* FROM documents d JOIN repstat r USING (doc_id)
+      WHERE r.dupf <= 0.85
+    ), ded AS (                          -- stage 2: exact dedup keep-first
+      SELECT doc_id, source, text FROM (
+        SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rn FROM q)
+      WHERE rn = 1
+    ), tokb AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), posb AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+      FROM tokb
+    ), gb AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+               AS gram
+      FROM posb
+    ), bench AS (
+      SELECT DISTINCT gram FROM gb WHERE doc_id % 37 = 0
+    ), contam AS (
+      SELECT DISTINCT g.doc_id FROM gb g JOIN bench USING (gram)
+    ), clean AS (                        -- stage 3: decontamination
+      SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ), t AS (
+      SELECT source, count(*) AS n,
+             CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.25
+                         WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.15
+                         WHEN 'src4' THEN 0.1 END AS tf
+      FROM clean GROUP BY source
+    ), s AS (
+      SELECT min(n / tf) AS s FROM t WHERE tf IS NOT NULL
+    ), r AS (
+      SELECT source, least(1.0, tf * s.s / n) AS rate
+      FROM t, s WHERE tf IS NOT NULL
+    ), mixed AS (                        -- stage 4: target mixture
+      SELECT c.* FROM clean c JOIN r USING (source)
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0 < r.rate
+    ), lens AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM mixed
+    ), packed AS (                       -- stage 5: 512-token packing
+      SELECT source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM lens
+    )
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT CAST(floor(start / 512) AS BIGINT)) AS n_bins,
+           sum(n_tok) AS total_tokens
+    FROM packed GROUP BY source
+    """,
+)
+def ds_corpus_pipeline_v2(spark, sf_dir):
+    """The round-3 training-corpus pipeline composed end to end as
+    ONE lazy plan: repetition gate → exact dedup (keep-first) →
+    benchmark decontamination → target domain mixture → 512-token
+    sequence packing, reported per source.  Stage order is
+    load-bearing: dedup precedes decontamination (cheaper gram pass
+    on survivors), the mixture rates are computed over the CLEANED
+    corpus (rates over raw counts would mis-target after filtering),
+    and packing runs last over the final survivors.  Each stage's
+    shuffle shape is the one its standalone gate query proved —
+    BUT lazy composition re-scans the corpus per stage branch
+    (audited: 15 FileScans; Catalyst does not share subplans across
+    joins).  At gate scale that is free; at 100 TB a production run
+    inserts a checkpoint (sinks.write_clean / persist) after the
+    dedup and decontamination stages so the corpus is read ~3×, not
+    15× — the stage composition and semantics are unchanged, which
+    is exactly what this gate pins."""
+    from ..functions import packing, sampling
+
+    d = _t(spark, sf_dir, "documents")
+    rep = text.line_repetition_stats(
+        d.select("doc_id", "text"), "doc_id", "text", sep=" ")
+    q = d.join(rep.where(F.col("dup_line_frac") <= 0.85).select("doc_id"),
+               "doc_id", "left_semi")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (q.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1).select("doc_id", "source", "text"))
+    clean = dedup.decontaminate(
+        ded, d.where(F.col("doc_id") % 37 == 0).select("text"),
+        "doc_id", "text", n=5)
+    mixed = sampling.domain_mixture_sample(
+        clean, "doc_id", "source",
+        {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1})
+    lens = mixed.select("source", "doc_id",
+                        F.size(F.split("text", " ")).alias("n_tok"))
+    packed = packing.pack_streaming(lens, "doc_id", "n_tok", 512,
+                                    partition_cols=["source"])
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin").alias("n_bins"),
+        F.sum("n_tok").alias("total_tokens"),
+    )

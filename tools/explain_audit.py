@@ -227,6 +227,11 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_decontaminate": dict(max_exchanges=4, min_broadcasts=2),
     # mixture: counts + 1-row S broadcast as rates onto the scan
     "ds_domain_mixture": dict(max_exchanges=4, min_broadcasts=2),
+    # composed pipeline: every small side broadcast; exchange count is
+    # the sum of the five proven stage shapes (lazy composition
+    # re-scans per branch — production checkpoints between stages,
+    # see the query docstring)
+    "ds_corpus_pipeline_v2": dict(max_exchanges=32, min_broadcasts=10),
 }
 
 
