@@ -53,6 +53,12 @@ HEADLINE = [
     "rel_funnel_steps",
     "rel_gapfill_ffill",
     "txt_bigram_freq_score",
+    # round 3: pipeline-layer families + the composed pipeline
+    "txt_repetition_rollup",
+    "ds_pii_rollup",
+    "ds_decontaminate",
+    "ds_sequence_pack",
+    "ds_corpus_pipeline_v2",
 ]
 
 
