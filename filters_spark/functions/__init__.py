@@ -1,1 +1,12 @@
-from . import dedup, multimodal, profile, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    multimodal,
+    packing,
+    pii,
+    profile,
+    sampling,
+    similarity,
+    text,
+    timeseries,
+    url,
+)

@@ -45,6 +45,9 @@ __all__ = [
     "embedding_dup_pairs",
     "connected_components",
     "connected_components_star",
+    "contaminated_ids",
+    "decontaminate",
+    "dedup_segments",
 ]
 
 
@@ -741,3 +744,45 @@ def decontaminate(df: DataFrame, bench: DataFrame,
         return df.join(flagged, id_col, "left").withColumn(
             "contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
     return df.join(ids, id_col, "left_anti")
+
+
+def dedup_segments(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """C4-style CROSS-CORPUS segment dedup (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once"): every distinct segment (line, by default) keeps
+    only its FIRST occurrence corpus-wide — deterministic by
+    (id, position) — and documents are reassembled from their
+    surviving segments in order.  Complements the within-document
+    repetition stats (text.line_repetition_stats) and the
+    whole-document dedup family: this is the operator that strips
+    boilerplate lines repeated across millions of pages.
+
+    Scale shape: one shuffle keyed by the segment value (md5-uniform
+    by construction — no skew beyond true mass-duplicate lines, which
+    is exactly AQE-skew territory), a row_number window, then one
+    shuffle back on the doc id to reassemble.  The segment shuffle
+    carries (id, pos, segment) rows — at 100 TB pre-hash the segment
+    to a 16-byte key and keep the text map-side if segments are long.
+
+    Documents whose every segment is dropped come back with empty
+    text (callers filter; dropping them silently would hide the
+    effect).  Returns (id_col, text_col).
+    """
+    seg = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_seg"),
+    )
+    w = Window.partitionBy("_seg").orderBy(id_col, "_pos")
+    kept = seg.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.concat_ws(sep, F.sort_array(
+            F.collect_list(F.struct("_pos", "_seg"))).getField("_seg"))
+             .alias(text_col))
+    )
+    # docs whose every segment was dropped still come back (empty text)
+    return (
+        df.select(id_col).join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )

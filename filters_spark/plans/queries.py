@@ -5200,3 +5200,56 @@ def ds_corpus_pipeline_v2(spark, sf_dir):
         F.countDistinct("bin").alias("n_bins"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+@register(
+    "ds_segment_dedup",
+    oracle=r"""
+    WITH lined AS (
+      SELECT doc_id, source,
+             regexp_replace(text, '((\S+ ){10})', '\1' || chr(10), 'g') AS t
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, i AS pos, string_split(t, chr(10))[i] AS s
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(string_split(t, chr(10))))) AS i
+            FROM lined)
+    ), kept AS (
+      SELECT doc_id, pos, s,
+             row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+      FROM seg
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(s, chr(10) ORDER BY pos) AS t
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT l.source, count(*) AS n_docs,
+           sum(CASE WHEN r.t IS NULL THEN 1 ELSE 0 END) AS n_emptied,
+           sum(CASE WHEN r.t IS NULL THEN 0
+                    ELSE len(string_split(replace(r.t, chr(10), ' '), ' '))
+               END) AS surviving_tokens
+    FROM lined l LEFT JOIN rebuilt r USING (doc_id)
+    GROUP BY l.source
+    """,
+)
+def ds_segment_dedup(spark, sf_dir):
+    """C4-style cross-corpus segment dedup: the corpus is segmented
+    into 10-word lines (inserted deterministically — the synthetic
+    docs have no line structure), then every line occurring more than
+    once ANYWHERE in the corpus keeps only its first (doc_id, pos)
+    occurrence and documents are reassembled.  Boilerplate shared
+    across documents disappears; the per-source surviving token mass
+    and fully-emptied doc count are the gated observables."""
+    d = _t(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id", "source",
+        F.regexp_replace("text", r"((\S+ ){10})", "$1\n").alias("t"))
+    rebuilt = dedup.dedup_segments(
+        lined.select("doc_id", "t"), "doc_id", "t", sep="\n")
+    joined = lined.select("doc_id", "source").join(rebuilt, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("t") == "", 1).otherwise(0)).alias("n_emptied"),
+        F.sum(F.when(F.col("t") == "", 0).otherwise(
+            F.size(F.split(F.replace(F.col("t"), F.lit("\n"), F.lit(" ")),
+                           " ")))).alias("surviving_tokens"),
+    )

@@ -160,3 +160,17 @@ class TestPacking:
         for r in out:
             sums[r["bin"]] = sums.get(r["bin"], 0) + r["n"]
         assert all(v <= 512 for v in sums.values())
+
+
+class TestSegmentDedup:
+    def test_cross_corpus_first_occurrence_wins(self, spark):
+        df = spark.createDataFrame(
+            [(1, "common line\nunique one"),
+             (2, "common line\nunique two"),
+             (3, "common line")],
+            "doc_id bigint, text string")
+        out = {r["doc_id"]: r["text"] for r in
+               dedup.dedup_segments(df).collect()}
+        assert out[1] == "common line\nunique one"
+        assert out[2] == "unique two"
+        assert out[3] == ""  # emptied, not dropped
