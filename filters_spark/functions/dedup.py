@@ -110,6 +110,8 @@ def minhash_bands(sig: Column, n_bands: int, rows_per_band: int,
     membership only depends on slice equality, so the two keyings
     yield identical candidate sets (modulo 64-bit collisions).
     """
+    if hash_fn not in ("md5", "xx64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xx64', got {hash_fn!r}")
     bands = []
     for b in range(n_bands):
         piece = F.slice(sig, b * rows_per_band + 1, rows_per_band)
@@ -306,6 +308,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     shingle-array branch and no join back; the only shuffle is the
     (id) window/agg partitioning, reused end to end.
     """
+    if hash_fn not in ("md5", "xx64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xx64', got {hash_fn!r}")
     ex = shingle_rows(df, id_col, text_col, shingle_k)
     if hash_fn == "xx64":
         # Throughput engine.  Measured on this box (50M rows,
@@ -769,9 +773,15 @@ def dedup_segments(df: DataFrame, id_col: str = "doc_id",
     text (callers filter; dropping them silently would hide the
     effect).  Returns (id_col, text_col).
     """
+    import re as _re
+
     seg = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_seg"),
+        # escape: F.split takes a REGEX; sep is a literal separator
+        # (sep='|' or '.' must not become an empty-alternation/any-char
+        # pattern while concat_ws rejoins with the literal)
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("_pos", "_seg"),
     )
     w = Window.partitionBy("_seg").orderBy(id_col, "_pos")
     kept = seg.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)

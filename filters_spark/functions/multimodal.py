@@ -165,6 +165,17 @@ def decode_images(df: DataFrame, media_col: str = "media",
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # resolve 'auto' ONCE per task, not per row: a failed import
+        # is NOT cached by Python, so probing PIL inside the row loop
+        # would re-scan sys.path for every image on a PIL-less worker
+        eff_codec = codec
+        if codec == "auto":
+            if _pil_available():
+                eff_codec = "real"
+            elif not strict_flag:
+                eff_codec = "fake"
+            # else: stay 'auto' — the first non-null payload raises
+            # the auto-specific NotImplementedError as before
         for pdf in batches:
             media = pdf[media_col]
             pixels, ws, hs = [], [], []
@@ -177,7 +188,7 @@ def decode_images(df: DataFrame, media_col: str = "media",
                 w = 16 if m["meta"]["width"] is None else int(m["meta"]["width"])
                 h = 16 if m["meta"]["height"] is None else int(m["meta"]["height"])
                 pixels.append(
-                    _decode_image(bytes(m["payload"]), w, h, strict_flag, codec)
+                    _decode_image(bytes(m["payload"]), w, h, strict_flag, eff_codec)
                 )
                 ws.append(w); hs.append(h)
             pdf = pdf.assign(pixels=pixels, out_width=ws, out_height=hs)

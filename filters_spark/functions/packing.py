@@ -59,6 +59,10 @@ def pack_greedy(df: DataFrame, id_col: str, len_col: str, budget: int,
     id_name, len_name = id_col, len_col
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[len_name].isna().any():
+            raise ValueError(
+                f"pack_greedy: NULL {len_name} values — filter or "
+                "impute lengths before packing")
         pdf = pdf.sort_values([len_name, id_name],
                               ascending=[False, True]).reset_index(drop=True)
         bins: list[int] = []  # remaining capacity per bin
@@ -67,7 +71,9 @@ def pack_greedy(df: DataFrame, id_col: str, len_col: str, budget: int,
         for ln in pdf[len_name]:
             ln = int(ln)
             if ln > budget:
-                bins.append(0)
+                # capacity -1, not 0: an oversize bin is a SINGLETON —
+                # a later zero-length doc must not first-fit into it
+                bins.append(-1)
                 assign.append(len(bins) - 1)
                 oversize.append(True)
                 continue

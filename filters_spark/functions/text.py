@@ -261,7 +261,10 @@ def line_repetition_stats(df: DataFrame, id_col: str = "doc_id",
     division.
     """
     seg = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("_seg")
+        F.col(id_col),
+        # re.escape: F.split's pattern is a regex, the separator is a
+        # literal (same contract as tokens())
+        F.explode(F.split(F.col(text_col), re.escape(sep))).alias("_seg"),
     )
     per_seg = seg.groupBy(id_col, "_seg").agg(F.count(F.lit(1)).alias("_cnt"))
     n_tot = F.sum("_cnt")
@@ -299,7 +302,7 @@ def ngram_repetition_stats(df: DataFrame, id_col: str = "doc_id",
     ex = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("_nc"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_p", "_tok"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("_p", "_tok"),
     )
     w = Window.partitionBy(id_col).orderBy("_p")
     parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, n)]

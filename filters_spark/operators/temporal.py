@@ -40,11 +40,27 @@ def _parse_any(col: Column) -> Column:
     return parsed
 
 
-# An explicit offset (or Z) at the end of the input string means the
-# instant is fully determined by the input — the ``timezone`` param
-# must NOT re-shift it (reference: explicit tzinfo wins over the
-# assumed zone).
-_OFFSET_RE = r"(?i)(Z|[+-]\d{2}:?\d{2})\s*$"
+# An explicit offset (or Z, or a zone id) at the end of the input
+# string means the instant is fully determined by the input — the
+# ``timezone`` param must NOT re-shift it (reference: explicit tzinfo
+# wins over the assumed zone).  Spark's timestamp cast grammar accepts
+# single-digit offset hours ('+9:00'), bare hours ('+09'), seconds
+# ('+09:00:00'), 'UTC+…' forms, and region ids ('America/Los_Angeles')
+# — the alternation must cover ALL of them or a matched-by-cast,
+# missed-by-regex input gets double-shifted.
+_OFFSET_RE = (
+    r"(?i)("
+    r"Z"
+    # ±H:MM / ±HH:MM[:SS], optional UTC/GMT prefix ('UTC+09:00')
+    r"|(UTC|UT|GMT)?[+-]\d{1,2}:\d{2}(:\d{2})?"
+    r"|[+-]\d{4}"                       # compact ±HHMM
+    # bare ±H/±HH ONLY right after a time component — without the
+    # lookbehind a plain DATE ('2024-01-02') ends in '-02' and would
+    # false-match, un-shifting every naive date input
+    r"|(?<=:\d\d)[+-]\d{1,2}"
+    r"|[A-Za-z]+(/[A-Za-z0-9_+-]+)+"    # region zone ids
+    r")\s*$"
+)
 
 
 def _interpret_in_zone(parsed: Column, raw: Column, timezone: str | None) -> Column:

@@ -4728,11 +4728,13 @@ def ds_containment_pairs(spark, sf_dir):
            round(avg(l.dup_line_frac), 4) AS avg_dup_word_frac,
            round(avg(g.top_ngram_char_frac), 4) AS avg_top_bigram_frac,
            round(avg(g.dup_ngram_char_frac), 4) AS avg_dup_bigram_frac,
-           sum(CASE WHEN l.dup_line_frac <= 0.3 AND g.top_ngram_char_frac <= 0.2
-                     AND g.dup_ngram_char_frac <= 0.6 THEN 1 ELSE 0 END) AS n_keep
+           sum(CASE WHEN coalesce(l.dup_line_frac, 0) <= 0.3
+                     AND coalesce(g.top_ngram_char_frac, 0) <= 0.2
+                     AND coalesce(g.dup_ngram_char_frac, 0) <= 0.6
+                    THEN 1 ELSE 0 END) AS n_keep
     FROM documents d
-    JOIN line_stats l USING (doc_id)
-    JOIN gram_stats g USING (doc_id)
+    LEFT JOIN line_stats l USING (doc_id)
+    LEFT JOIN gram_stats g USING (doc_id)
     GROUP BY d.source
     """,
 )
@@ -5223,8 +5225,9 @@ def ds_corpus_pipeline_v2(spark, sf_dir):
       FROM kept WHERE rn = 1 GROUP BY doc_id
     )
     SELECT l.source, count(*) AS n_docs,
-           sum(CASE WHEN r.t IS NULL THEN 1 ELSE 0 END) AS n_emptied,
-           sum(CASE WHEN r.t IS NULL THEN 0
+           sum(CASE WHEN r.t IS NULL OR r.t = '' THEN 1 ELSE 0 END)
+             AS n_emptied,
+           sum(CASE WHEN r.t IS NULL OR r.t = '' THEN 0
                     ELSE len(string_split(replace(r.t, chr(10), ' '), ' '))
                END) AS surviving_tokens
     FROM lined l LEFT JOIN rebuilt r USING (doc_id)

@@ -52,17 +52,38 @@ def get_spark(app_name: str = "filters_spark", shuffle_partitions: int | None = 
 # DataFrame handles are immutable plans — safe to reuse across calls.
 # Caching them skips a parquet footer read + reader construction per
 # load (~80 ms each; a registered query touching 4 tables pays ~0.3 s
-# of pure re-reading without this).  Keyed by session id so a stopped/
-# restarted session never leaks stale plan handles.
+# of pure re-reading without this).  Keyed by session id AND the
+# file's mtime/size — a cached handle freezes its file listing, so a
+# rewritten table dir must miss (one os.stat per load is ~1000× the
+# footer read it replaces... cheaper).  Entries from other sessions
+# are pruned on insert so stopped sessions don't pin plan handles.
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _path_stamp(path: str) -> tuple:
+    """(mtime_ns, size) of the table file or dir listing — changes
+    whenever the table is rewritten or appended to."""
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            names = sorted(os.listdir(path))
+            return (st.st_mtime_ns, len(names), hash(tuple(names)))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path, _path_stamp(path))
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit
     df = _load_table_uncached(spark, name, sf_dir)
+    stale = [k for k in _TABLE_CACHE
+             if k[0] != id(spark) or (k[1] == path and k != key)]
+    for k in stale:
+        del _TABLE_CACHE[k]
     _TABLE_CACHE[key] = df
     return df
 

@@ -174,3 +174,21 @@ class TestSegmentDedup:
         assert out[1] == "common line\nunique one"
         assert out[2] == "unique two"
         assert out[3] == ""  # emptied, not dropped
+
+
+class TestPackingEdges:
+    def test_greedy_zero_len_and_null_handling(self, spark):
+        # zero-length docs must not join an oversize singleton bin
+        df = spark.createDataFrame(
+            [(1, 999), (2, 0), (3, 0)], "doc_id bigint, n int")
+        out = {r["doc_id"]: r for r in
+               packing.pack_greedy(df, "doc_id", "n", 512).collect()}
+        assert out[1]["oversize"]
+        assert out[2]["bin"] != out[1]["bin"]
+        assert out[3]["bin"] == out[2]["bin"]  # zero-len docs share a real bin
+        # NULL lengths fail loudly, not with a cryptic pandas error
+        import pytest as _pytest
+        nulls = spark.createDataFrame(
+            [(1, None)], "doc_id bigint, n int")
+        with _pytest.raises(Exception, match="NULL"):
+            packing.pack_greedy(nulls, "doc_id", "n", 512).collect()

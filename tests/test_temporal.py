@@ -46,6 +46,37 @@ class TestDatetime:
         )
         assert code is None and clean == dt.datetime(2024, 1, 2, 12, 0, 0)
 
+    def test_single_digit_offset_wins_over_zone(self, spark):
+        # '+9:00' is valid per Spark's cast grammar — must NOT be
+        # re-shifted by the assumed zone
+        [(clean, code)] = run_chain(
+            spark, fs.Datetime(timezone="Europe/Berlin"), ["2024-01-02T12:00:00+9:00"]
+        )
+        assert code is None and clean == dt.datetime(2024, 1, 2, 3, 0, 0)
+
+    def test_region_zone_id_wins_over_zone(self, spark):
+        [(clean, code)] = run_chain(
+            spark, fs.Datetime(timezone="Asia/Tokyo"),
+            ["2024-01-02 12:00:00 America/Los_Angeles"],
+        )
+        # PST = UTC-8 → 20:00 UTC; the Tokyo assumption must not apply
+        assert code is None and clean == dt.datetime(2024, 1, 2, 20, 0, 0)
+
+    def test_bare_hour_offset_after_time(self, spark):
+        [(clean, code)] = run_chain(
+            spark, fs.Datetime(timezone="Europe/Berlin"), ["2024-01-02 12:00:00+09"]
+        )
+        assert code is None and clean == dt.datetime(2024, 1, 2, 3, 0, 0)
+
+    def test_plain_date_still_naive(self, spark):
+        # a bare DATE ends in '-NN' — the offset detector must not
+        # mistake it for a UTC offset (that would skip the zone shift)
+        [(clean, code)] = run_chain(
+            spark, fs.Datetime(timezone="Asia/Tokyo"), ["2024-01-02"]
+        )
+        # naive Tokyo midnight → 15:00 UTC previous day
+        assert code is None and clean == dt.datetime(2024, 1, 1, 15, 0, 0)
+
 
 class TestDate:
     def test_iso(self, spark):
