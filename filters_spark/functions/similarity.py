@@ -34,6 +34,8 @@ __all__ = [
     "ivf_topk",
     "lsh_buckets",
     "lsh_topk",
+    "linear_score",
+    "logistic_score",
 ]
 
 
@@ -292,3 +294,29 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         F.col("score").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def linear_score(vec: Column, weights: list[float], bias: float = 0.0) -> Column:
+    """Batch model inference, the expression way: score = w·x + b
+    with the weight vector BAKED INTO THE PLAN as literals — no side
+    data to distribute, the plan is self-contained and replayable by
+    any engine with a dot product.  This is the 100 TB shape for
+    small linear models (quality classifiers, fastText-style heads):
+    scoring rides the scan projection; only a model too large for
+    plan literals needs a broadcast join or a pandas UDF.
+
+    Uses the zip_with/aggregate expression (CodegenFallback — ~µs per
+    element); for FLOP-bound scoring over wide vectors use the same
+    Arrow/numpy pattern as cosine_topk(engine='arrow').
+    """
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    return dot(vec, w) + F.lit(float(bias))
+
+
+def logistic_score(vec: Column, weights: list[float], bias: float = 0.0) -> Column:
+    """Sigmoid of linear_score — probability-shaped output.  NOTE
+    exp() is libm-dependent in its last ulp: hash-gated queries should
+    gate on the LINEAR score (exact given same multiply-add order) and
+    round any sigmoid output they emit."""
+    s = linear_score(vec, weights, bias)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-s))

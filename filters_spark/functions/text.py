@@ -35,6 +35,7 @@ __all__ = [
     "line_repetition_stats",
     "ngram_repetition_stats",
     "repetition_filter",
+    "chunk_documents",
     "STOPWORDS",
 ]
 
@@ -351,4 +352,40 @@ def repetition_filter(df: DataFrame, id_col: str = "doc_id",
             & (F.coalesce(F.col("dup_ngram_char_frac"), F.lit(0.0))
                <= max_dup_ngram_frac),
         )
+    )
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 256,
+                    overlap: int = 32, sep: str = " ") -> DataFrame:
+    """Split documents into overlapping fixed-token chunks (the
+    retrieval/embedding prep step: context-window-sized pieces with
+    overlap so no span is cut without a covering chunk).
+
+    Chunk starts are ``1, 1+step, …`` with ``step = chunk_tokens −
+    overlap``, capped so the final chunk covers the tail; documents
+    shorter than one chunk yield exactly one chunk.  Pure codegen:
+    ``sequence`` for the starts, ``slice`` (an ordinary expression,
+    not a HOF lambda) for the window, one posexplode — no Python, no
+    shuffle; at 100 TB chunking fuses into the scan projection that
+    feeds the embedding stage.
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col), sep)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    ex = df.select(
+        F.col(id_col), toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return ex.select(
+        F.col(id_col), F.col("chunk_id"),
+        F.concat_ws(sep, piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
     )

@@ -5256,3 +5256,85 @@ def ds_segment_dedup(spark, sf_dir):
             F.size(F.split(F.replace(F.col("t"), F.lit("\n"), F.lit(" ")),
                            " ")))).alias("surviving_tokens"),
     )
+
+
+@register(
+    "ds_chunk_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), starts AS (
+      SELECT doc_id, source, toks,
+             unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS s,
+             generate_subscripts(
+               generate_series(1, greatest(len(toks) - 8, 1), 24), 1) - 1
+               AS chunk_id
+      FROM tok
+    )
+    SELECT source, count(*) AS n_chunks,
+           sum(len(list_slice(toks, s, least(s + 31, len(toks)))))
+             AS total_chunk_tokens,
+           max(chunk_id) AS max_chunk_id,
+           sum(CASE WHEN len(list_slice(toks, s, least(s + 31, len(toks)))) = 32
+                    THEN 1 ELSE 0 END) AS full_chunks
+    FROM starts GROUP BY source
+    """,
+)
+def ds_chunk_documents(spark, sf_dir):
+    """Retrieval-prep chunking: overlapping 32-token windows (overlap
+    8) per document — sequence starts + slice, pure codegen, chunking
+    fuses into the scan.  Gated observables: chunk counts, token
+    mass, and the full-vs-tail chunk split per source (the oracle
+    replays the same start arithmetic and list slicing)."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(d.select("doc_id", "source", "text"),
+                                  "doc_id", "text",
+                                  chunk_tokens=32, overlap=8)
+    withsrc = chunks.join(
+        F.broadcast(d.select("doc_id", "source")), "doc_id")
+    return withsrc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_chunk_tokens"),
+        F.max("chunk_id").alias("max_chunk_id"),
+        F.sum(F.when(F.col("n_tokens") == 32, 1).otherwise(0))
+        .alias("full_chunks"),
+    )
+
+
+@register(
+    "ds_linear_score",
+    oracle="""
+    WITH w AS (
+      SELECT list_transform(generate_series(0, 63),
+                            i -> ((i * 37) % 21 - 10) / 10.0) AS wv
+    ), scored AS (
+      SELECT label,
+             round(list_dot_product(embedding::DOUBLE[], w.wv) + 0.25, 5)
+               AS score
+      FROM embeddings, w
+    )
+    SELECT label, count(*) AS n,
+           sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS n_pos,
+           round(avg(score), 4) AS avg_score
+    FROM scored GROUP BY label
+    """,
+)
+def ds_linear_score(spark, sf_dir):
+    """Batch linear-model inference: a 64-dim weight vector baked
+    into the plan as literals (w_i = ((37i mod 21) − 10)/10, bias
+    0.25 — deterministic, engine-replayable), scored over the
+    embeddings table with the zip_with/aggregate dot product and
+    rolled up per label.  The gate pins the LINEAR score (exact IEEE
+    multiply-add both engines); sigmoid outputs are rounded-only by
+    library contract (similarity.logistic_score docstring)."""
+    weights = [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
+    e = _t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "label",
+        F.round(similarity.linear_score(F.col("embedding"), weights, 0.25), 5)
+        .alias("score"))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("score") >= 0, 1).otherwise(0)).alias("n_pos"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )

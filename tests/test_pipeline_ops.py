@@ -192,3 +192,49 @@ class TestPackingEdges:
             [(1, None)], "doc_id bigint, n int")
         with _pytest.raises(Exception, match="NULL"):
             packing.pack_greedy(nulls, "doc_id", "n", 512).collect()
+
+
+class TestChunking:
+    def test_overlapping_windows(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(60)))],
+            "doc_id bigint, text string")
+        out = sorted(
+            (r["chunk_id"], r["n_tokens"], r["chunk_text"].split(" ")[0])
+            for r in text.chunk_documents(df, chunk_tokens=32, overlap=8).collect())
+        # starts 1, 25, 49 -> sizes 32, 32, 12
+        assert out == [(0, 32, "w0"), (1, 32, "w24"), (2, 12, "w48")]
+
+    def test_short_doc_single_chunk(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+        [r] = text.chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+        assert (r["chunk_id"], r["n_tokens"], r["chunk_text"]) == (0, 3, "a b c")
+
+    def test_overlap_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="overlap"):
+            text.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+class TestLinearScore:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        from filters_spark.functions import similarity
+        vecs = [[0.5, -1.0, 2.0], [1.0, 1.0, 1.0]]
+        w, b = [0.1, 0.2, -0.3], 0.05
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "id bigint, v array<float>")
+        got = {r["id"]: r["s"] for r in df.select(
+            "id", similarity.linear_score(F.col("v"), w, b).alias("s")).collect()}
+        for i, v in enumerate(vecs):
+            exp = float(np.dot(np.array(v, dtype=np.float32).astype(np.float64), w) + b)
+            assert abs(got[i] - exp) < 1e-9
+
+    def test_logistic_bounds(self, spark):
+        from filters_spark.functions import similarity
+        df = spark.createDataFrame([(1, [100.0]), (2, [-100.0])],
+                                   "id bigint, v array<float>")
+        got = {r["id"]: r["p"] for r in df.select(
+            "id", similarity.logistic_score(F.col("v"), [1.0]).alias("p")).collect()}
+        assert got[1] > 0.999 and got[2] < 0.001
