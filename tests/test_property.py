@@ -228,3 +228,79 @@ def test_asof_backward_matches_python_oracle(spark, lefts, rights):
                     by_left="k", by_right="k")
     got = {r["rowid"]: r["payload_r"] for r in out.collect()}
     assert got == expected
+
+
+def python_luhn(digits: str) -> bool:
+    total = 0
+    for i, ch in enumerate(digits):          # 1-based odd positions double
+        d = int(ch)
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@given(st.lists(st.text("0123456789", min_size=16, max_size=16),
+                min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_luhn_matches_python_oracle(spark, cards):
+    from pyspark.sql import functions as F
+
+    from filters_spark.functions import pii
+
+    df = spark.createDataFrame([(c,) for c in cards], "c string")
+    got = [r["ok"] for r in
+           df.select(pii.luhn_valid_16(F.col("c")).alias("ok")).collect()]
+    # collect() preserves createDataFrame order for a local list
+    for c, ok in zip(cards, got):
+        assert ok == python_luhn(c), c
+
+
+@given(st.lists(st.integers(0, 400), min_size=1, max_size=60),
+       st.integers(16, 512))
+@settings(**SETTINGS)
+def test_pack_streaming_matches_python_oracle(spark, lens, budget):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from filters_spark.functions import packing
+
+    df = spark.createDataFrame(list(enumerate(lens)), "doc_id bigint, n int")
+    got = {r["doc_id"]: (r["bin"], r["bin_offset"])
+           for r in packing.pack_streaming(df, "doc_id", "n", budget).collect()}
+    cum = 0
+    for i, ln in enumerate(lens):
+        start = cum
+        assert got[i] == (start // budget, start - (start // budget) * budget), \
+            (i, ln, budget)
+        cum += ln
+
+
+def python_repetition(text: str):
+    segs = text.split(" ")
+    n_tot, n_dis = len(segs), len(set(segs))
+    chars_tot = sum(len(s) for s in segs)
+    from collections import Counter
+    cnt = Counter(segs)
+    chars_dup = sum((c - 1) * len(s) for s, c in cnt.items())
+    dup_frac = (n_tot - n_dis) / n_tot if n_tot else 0.0
+    char_frac = chars_dup / chars_tot if chars_tot else 0.0
+    return dup_frac, char_frac
+
+
+@given(st.lists(
+    st.text("ab ", min_size=1, max_size=30).filter(lambda s: s.strip(" ") != ""),
+    min_size=1, max_size=25,
+))
+@settings(**SETTINGS)
+def test_line_repetition_matches_python_oracle(spark, texts):
+    from filters_spark.functions import text as txt
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+           for r in txt.line_repetition_stats(df, sep=" ").collect()}
+    for i, t in enumerate(texts):
+        exp = python_repetition(t)
+        assert abs(got[i][0] - exp[0]) < 1e-12 and abs(got[i][1] - exp[1]) < 1e-12, \
+            (t, got[i], exp)

@@ -414,3 +414,42 @@ class TestUpdateMode:
         # and update-mode totals cover every event exactly once
         total = spark.sql("select sum(n) as s from t_upd").head()["s"]
         assert total == 1000
+
+
+class TestStreamingPipelineOps:
+    def test_pii_redaction_stream_matches_batch(self, spark):
+        """The pipeline-layer projections (PII redaction, repetition
+        scores, chunking lengths) are pure Column expressions, so they
+        compile identically on a stream — prove it by redacting a
+        synthesized-PII documents stream and diffing against the batch
+        result."""
+        from filters_spark.functions import pii
+
+        batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        aug = F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" mail "), F.col("source"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+        )
+
+        def project(df):
+            return df.select(
+                "doc_id",
+                pii.redact(aug).alias("red"),
+                *(c.alias(f"n_{k}") for k, c in pii.pii_counts(pii.redact(aug))),
+            )
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(SF_DIR)
+        )
+        run_to_memory(project(stream), "pii_stream")
+        got = {r["doc_id"]: r for r in spark.sql(
+            "select * from pii_stream").collect()}
+        exp = {r["doc_id"]: r for r in project(batch).collect()}
+        assert len(got) == len(exp) > 0
+        for k in exp:
+            assert got[k] == exp[k]
+        assert all(r["n_email"] == 0 for r in got.values())
