@@ -23,7 +23,7 @@ engine.  ``rate_to_hex_threshold(0.2)`` → ``'33333333'`` (0x33333333
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -32,6 +32,8 @@ __all__ = [
     "hash_uniform",
     "stratified_sample",
     "hash_bucket",
+    "domain_mixture_sample",
+    "hash_reservoir",
 ]
 
 _HEX_DIGITS = 8  # 16^8 = 4.29e9 distinct thresholds — plenty of rate resolution
@@ -154,4 +156,26 @@ def domain_mixture_sample(df: DataFrame, key: str, domain_col: str,
         df.join(broadcast(rates), domain_col)
         .where(hash_uniform(F.col(key)) < F.col("_rate"))
         .drop("_rate")
+    )
+
+
+def hash_reservoir(df: DataFrame, group_cols: list[str], key: str,
+                   k: int) -> DataFrame:
+    """Deterministic per-group reservoir: the k rows with the
+    SMALLEST md5 draw per group — a uniform without-replacement
+    k-sample that is stable across runs, engines, retries, and
+    repartitioning (classic reservoir sampling is RNG- and
+    order-dependent; the bottom-k-by-hash formulation is neither).
+    Appending new rows can only displace current members the way a
+    true reservoir would.
+
+    One shuffle on the group key; the rank window prunes with
+    WindowGroupLimit (top-k filter pushes into the sort), so the
+    shuffle output per group is bounded by k.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(_key_hex(F.col(key)), key)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )

@@ -5338,3 +5338,28 @@ def ds_linear_score(spark, sf_dir):
         F.sum(F.when(F.col("score") >= 0, 1).otherwise(0)).alias("n_pos"),
         F.round(F.avg("score"), 4).alias("avg_score"),
     )
+
+
+@register(
+    "ds_hash_reservoir",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id FROM ranked WHERE rn <= 20
+    """,
+)
+def ds_hash_reservoir(spark, sf_dir):
+    """Deterministic per-source 20-row reservoir: bottom-k by md5
+    draw — uniform without-replacement sampling that is stable across
+    engines/retries/appends (a true reservoir's invariant, without
+    its RNG/order dependence).  The exact surviving row SET is the
+    gated observable."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return sampling.hash_reservoir(d, ["source"], "doc_id", 20)

@@ -93,3 +93,24 @@ class TestNullKeys:
         df = spark.createDataFrame([(None,), (None,)], "k string")
         rows = df.select(smp.hash_bucket(F.col("k"), 64).alias("b")).collect()
         assert rows[0].b == rows[1].b  # one pseudo-key, one bucket
+
+
+class TestHashReservoir:
+    def test_k_per_group_and_stability(self, spark):
+        from filters_spark.functions import sampling
+
+        rows = [(i, "g1" if i % 2 else "g2") for i in range(200)]
+        df = spark.createDataFrame(rows, "id bigint, g string")
+        out = sampling.hash_reservoir(df, ["g"], "id", 5)
+        got = sorted((r["g"], r["id"]) for r in out.collect())
+        assert len(got) == 10
+        again = sorted((r["g"], r["id"])
+                       for r in sampling.hash_reservoir(df, ["g"], "id", 5).collect())
+        assert got == again
+        # reservoir invariant: adding rows can only displace, never
+        # change the relative choice among survivors
+        bigger = spark.createDataFrame(rows + [(1000, "g1")], "id bigint, g string")
+        got2 = {r["id"] for r in
+                sampling.hash_reservoir(bigger, ["g"], "id", 5).collect()}
+        old = {i for g, i in got}
+        assert len(old - got2) <= 1
