@@ -261,17 +261,24 @@ def line_repetition_stats(df: DataFrame, id_col: str = "doc_id",
     other; documents with no text yield fraction 0 via the guarded
     division.
     """
-    seg = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    seg = df.repartition(par, id_col).select(
         F.col(id_col),
         # re.escape: F.split's pattern is a regex, the separator is a
-        # literal (same contract as tokens())
+        # literal (same contract as tokens()).  Segments are counted
+        # by xxhash64 (8-byte shuffle keys; same contract as the
+        # hashed-gram rewrite above) with lengths carried separately.
         F.explode(F.split(F.col(text_col), re.escape(sep))).alias("_seg"),
+    ).select(
+        F.col(id_col), F.xxhash64("_seg").alias("_sh"),
+        F.length("_seg").alias("_sl"),
     )
-    per_seg = seg.groupBy(id_col, "_seg").agg(F.count(F.lit(1)).alias("_cnt"))
+    per_seg = seg.groupBy(id_col, "_sh").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.first("_sl").alias("_sl"))
     n_tot = F.sum("_cnt")
     n_dis = F.count(F.lit(1))
-    chars_tot = F.sum(F.col("_cnt") * F.length("_seg"))
-    chars_dup = F.sum((F.col("_cnt") - 1) * F.length("_seg"))
+    chars_tot = F.sum(F.col("_cnt") * F.col("_sl"))
+    chars_dup = F.sum((F.col("_cnt") - 1) * F.col("_sl"))
     return per_seg.groupBy(id_col).agg(
         F.when(n_tot > 0, (n_tot - n_dis) / n_tot).otherwise(F.lit(0.0))
         .alias("dup_line_frac"),
