@@ -504,6 +504,40 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   cell_col: str = "label",
+                   threshold: float = 0.95) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    arXiv:2303.09540): within each cluster cell, drop every row that
+    has an EARLIER (smaller-id) neighbor with cosine >= threshold —
+    the greedy keep-first policy, deterministic because "earlier" is
+    an id comparison, not an RNG or iteration order.
+
+    Candidate generation is confined to cells (swap ``cell_col`` for
+    an LSH bucket from ``similarity.lsh_buckets`` or an IVF cell when
+    no cluster label exists), so the pair space is sum(|cell|^2), not
+    n^2 — at 100 TB the cells come from the coarse quantizer the ANN
+    index already maintains, and the within-cell verify is the same
+    blocked shape :func:`embedding_dup_pairs` uses.  The anti-join
+    back to the corpus broadcasts the (small) dropped-id set when the
+    duplicate rate is low, which AQE detects at runtime."""
+    from .similarity import cosine
+
+    a = df.select(F.col(cell_col).alias("_cell"),
+                  F.col(id_col).alias("_ai"), F.col(vec_col).alias("_av"))
+    b = df.select(F.col(cell_col).alias("_cell"),
+                  F.col(id_col).alias("_bi"), F.col(vec_col).alias("_bv"))
+    dropped = (
+        a.join(b, "_cell")
+        .where(F.col("_ai") < F.col("_bi"))
+        .where(cosine(F.col("_av"), F.col("_bv")) >= threshold)
+        .select(F.col("_bi").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
 def connected_components(pairs: DataFrame, a_col: str = "a_id",
                          b_col: str = "b_id",
                          max_iter: int = 25,

@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample",
     "hash_bucket",
     "domain_mixture_sample",
+    "global_shuffle",
     "hash_reservoir",
 ]
 
@@ -156,6 +157,38 @@ def domain_mixture_sample(df: DataFrame, key: str, domain_col: str,
         df.join(broadcast(rates), domain_col)
         .where(hash_uniform(F.col(key)) < F.col("_rate"))
         .drop("_rate")
+    )
+
+
+def global_shuffle(df: DataFrame, key: str, n_shards: int,
+                   shard_col: str = "shard",
+                   pos_col: str = "pos") -> DataFrame:
+    """Deterministic global training-data shuffle: assign every row a
+    shard in [0, n_shards) and a position within its shard, both pure
+    functions of ``key``'s md5 — the "shuffle the corpus before
+    training" step without RNG.
+
+    Why hash-order instead of ``orderBy(rand())``: the order is
+    reproducible across runs/retries/engines (a preempted executor
+    re-derives the same order), appending new rows perturbs only the
+    positions after each insertion point instead of re-rolling the
+    whole corpus, and any engine with md5 can replay the exact
+    epoch-0 data order for a training-run audit.
+
+    Scale shape: ONE shuffle keyed by shard (each shard ≈ n/n_shards
+    rows — pick n_shards so a shard fits an output file target), and
+    the per-shard sort that backs ``row_number`` is exactly the sort
+    a sharded writer needs anyway, so ordering is free at write time.
+    A global total order (one sort across all rows) is deliberately
+    NOT offered: at 100 TB a single total order is a range-partition
+    + sort over everything for no training benefit — shard-local
+    order with hash-assigned shards is statistically equivalent.
+    """
+    h = _key_hex(F.col(key))
+    w = Window.partitionBy(shard_col).orderBy(h, key)
+    return (
+        df.withColumn(shard_col, hash_bucket(F.col(key), n_shards))
+        .withColumn(pos_col, F.row_number().over(w))
     )
 
 

@@ -191,3 +191,47 @@ def upsert(base: DataFrame, updates: DataFrame, key: str,
         F.when(has_update, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
         for c in base.columns
     ])
+
+
+def scd2(events: DataFrame, key: str, ts_col: str,
+         attr_cols: list[str] | None = None,
+         collapse_unchanged: bool = True) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    stream: one validity interval per (key, change), with
+    ``valid_from`` = the change's timestamp, ``valid_to`` = the next
+    change's timestamp (NULL = still current), and ``is_current``.
+
+    ``collapse_unchanged`` drops consecutive rows whose tracked
+    attributes did not change (the dimension only versions on real
+    change — the standard SCD2 contract); disable to version every
+    event.  Change detection and interval stitching are both windows
+    over the SAME (key × ts) sort, so the whole build is ONE shuffle
+    keyed by ``key`` — at 100 TB that is a single exchange of the
+    change stream, and a dimension bucketed on the key afterwards
+    joins facts without re-shuffling.  Ties on ``ts_col`` within a
+    key are broken by the attribute tuple so the history is
+    deterministic for any input order.
+    """
+    attr_cols = attr_cols or [
+        c for c in events.columns if c not in (key, ts_col)]
+    w = Window.partitionBy(key).orderBy(ts_col, *attr_cols)
+    df = events
+    if collapse_unchanged:
+        changed = F.lit(False)
+        for c in attr_cols:
+            prev = F.lag(F.col(c)).over(w)
+            # null-safe inequality: a NULL→value or value→NULL flip
+            # IS a change; NULL→NULL is not
+            changed = changed | ~F.col(c).eqNullSafe(prev)
+        first = F.lag(F.col(ts_col)).over(w).isNull()
+        df = df.withColumn("_keep", first | changed).where(F.col("_keep")) \
+               .drop("_keep")
+    w2 = Window.partitionBy(key).orderBy(ts_col, *attr_cols)
+    valid_to = F.lead(F.col(ts_col)).over(w2)
+    return df.select(
+        key,
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        *attr_cols,
+    )

@@ -5363,3 +5363,269 @@ def ds_hash_reservoir(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("source", "doc_id")
     return sampling.hash_reservoir(d, ["source"], "doc_id", 20)
+
+
+# ---------------------------------------------------------------------------
+# Batch 9 (round 3, cont.): deterministic global shuffle, BM25 lexical
+# retrieval, SemDeDup embedding-cluster dedup, SCD2 dimension build,
+# PageRank graph curation signal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ds_global_shuffle",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 8 AS INT) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), p AS (
+      SELECT shard, doc_id,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      FROM s
+    )
+    SELECT shard, count(*) AS n_docs, sum(doc_id * pos) AS order_checksum
+    FROM p GROUP BY shard
+    """,
+)
+def ds_global_shuffle(spark, sf_dir):
+    """Deterministic epoch-0 training shuffle (sampling.global_shuffle):
+    every doc gets an md5-derived shard in [0,8) and a position within
+    its shard (hash order, id tie-break) — reproducible across
+    runs/engines/retries, unlike orderBy(rand()).  The gated
+    observable is each shard's size plus an order checksum
+    (Σ doc_id·pos), which pins the EXACT within-shard permutation —
+    any engine disagreeing on a single position flips the sum.  One
+    shuffle keyed by shard; the per-shard sort is the one a sharded
+    writer needs anyway."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sh = sampling.global_shuffle(d, "doc_id", 8)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("doc_id") * F.col("pos")).alias("order_checksum"),
+    )
+
+
+@register(
+    "ds_bm25_topk",
+    oracle="""
+    WITH post AS (
+      SELECT doc_id, s AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+            FROM documents)
+      WHERE s <> '' GROUP BY doc_id, s
+    ), dls AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dls
+    ), q AS (
+      SELECT DISTINCT doc_id AS query_id, s AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+            FROM documents WHERE doc_id % 97 = 0)
+      WHERE s <> ''
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM post
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfreq, stats
+    ), scored AS (
+      SELECT q.query_id, p.doc_id,
+             round(sum(i.idf * p.tf * 2.2
+                       / (p.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * d.dl / stats.avgdl))),
+                   4) AS score
+      FROM q JOIN post p USING (term) JOIN idf i USING (term)
+           JOIN dls d ON d.doc_id = p.doc_id, stats
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ds_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-10 per query (retrieval.bm25_topk) — the
+    sparse half of the retrieval stack beside the dense ANN queries.
+    Query set = the distinct terms of every 97th document (so each
+    query doc should retrieve itself at rank 1 — a built-in sanity
+    invariant the hash also pins).  Postings and doc lengths are
+    single exploded aggregations over the corpus; query terms, idf,
+    and corpus stats all ride BROADCAST joins, so the corpus-side
+    probe is map-side; only the per-(query,doc) rollup and rank cut
+    shuffle.  Scores rounded to 4 dp with doc-id tie-breaks (ln()
+    is libm-dependent in its last ulp)."""
+    from ..functions import retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    q = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return retrieval.bm25_topk(d, q, k=10)
+
+
+@register(
+    "ds_semdedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    )
+    SELECT label, count(*) AS n_kept, sum(vec_id) AS kept_id_sum
+    FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    GROUP BY label
+    """,
+)
+def ds_semdedup(spark, sf_dir):
+    """SemDeDup (dedup.semantic_dedup): within each embedding cluster
+    (label = the coarse cell), drop every vector with an earlier
+    neighbor at cosine >= 0.35 — greedy keep-first semantic dedup,
+    deterministic via the id comparison.  Gated observable: per-label
+    survivor count + id checksum (pins the exact kept SET, not just
+    its size).  Candidate pairs are confined to cells, so the pair
+    space is sum(|cell|²) — the 100 TB shape when cells come from the
+    ANN index's coarse quantizer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = dedup.semantic_dedup(emb, "vec_id", "embedding", "label",
+                                threshold=0.35)
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("kept_id_sum"),
+    )
+
+
+@register(
+    "rel_scd2",
+    oracle="""
+    WITH e AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus FROM orders
+    ), marked AS (
+      SELECT *,
+             lag(o_orderstatus) OVER w AS prev,
+             lag(o_orderdate) OVER w IS NULL AS first
+      FROM e
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderstatus)
+    ), kept AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus FROM marked
+      WHERE first OR prev IS DISTINCT FROM o_orderstatus
+    )
+    SELECT o_custkey,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current,
+           o_orderstatus
+    FROM kept
+    WINDOW w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderstatus)
+    """,
+)
+def rel_scd2(spark, sf_dir):
+    """SCD type-2 dimension build (joins.scd2): customer order-status
+    history as validity intervals — consecutive unchanged statuses
+    collapse, valid_to stitches to the next change, NULL = current.
+    Change detection and interval stitching share ONE shuffle keyed
+    by the dimension key; ties within a (key, date) are broken by the
+    attribute tuple so the emitted history is deterministic."""
+    from .joins import scd2
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderstatus")
+    return scd2(o, "o_custkey", "o_orderdate", ["o_orderstatus"])
+
+
+@register(
+    "ds_pagerank",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT concat('s', l_suppkey) AS src,
+                      concat('c', o_custkey) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0
+      UNION
+      SELECT dst AS src, src AS dst FROM e0
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), deg AS (
+      SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+    ), n AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes, n),
+    c1 AS (
+      SELECT e.dst AS node, sum(r.rank / d.deg) AS c
+      FROM r0 r JOIN deg d USING (node) JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT nd.node,
+             round((1.0 - 0.85) / n.n
+                   + 0.85 * (coalesce(c1.c, 0.0) + 0.0 / n.n), 12) AS rank
+      FROM nodes nd LEFT JOIN c1 ON c1.node = nd.node, n
+    ), c2 AS (
+      SELECT e.dst AS node, sum(r.rank / d.deg) AS c
+      FROM r1 r JOIN deg d USING (node) JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT nd.node,
+             round((1.0 - 0.85) / n.n
+                   + 0.85 * (coalesce(c2.c, 0.0) + 0.0 / n.n), 12) AS rank
+      FROM nodes nd LEFT JOIN c2 ON c2.node = nd.node, n
+    ), c3 AS (
+      SELECT e.dst AS node, sum(r.rank / d.deg) AS c
+      FROM r2 r JOIN deg d USING (node) JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT nd.node,
+             round((1.0 - 0.85) / n.n
+                   + 0.85 * (coalesce(c3.c, 0.0) + 0.0 / n.n), 12) AS rank
+      FROM nodes nd LEFT JOIN c3 ON c3.node = nd.node, n
+    )
+    SELECT node, rank_ppm, rk FROM (
+      SELECT node, round(rank * 1000000, 6) AS rank_ppm,
+             row_number() OVER (ORDER BY rank DESC, node) AS rk
+      FROM r3
+    ) WHERE rk <= 20
+    """,
+)
+def ds_pagerank(spark, sf_dir):
+    """PageRank (graph.pagerank) over the symmetric supplier↔customer
+    trade graph (edges from lineitem ⋈ orders, both directions so no
+    node dangles), 3 power iterations, damping 0.85 — the link-graph
+    curation signal.  Per-iteration ranks snap to 12 dp
+    (``round_dp``) so the accumulation-order ulps of the contribution
+    sums cannot compound across iterations — that snap is what makes
+    an iterative float algorithm hash-gateable: the DuckDB oracle
+    unrolls the same 3 iterations and lands on bit-identical ranks.
+    Gated observable: top-20 nodes by rank (ppm-scaled, node
+    tie-break)."""
+    from ..functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"))
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+    pr = graph.pagerank(edges, iters=3, damping=0.85, round_dp=12)
+    w = Window.orderBy(F.col("rank").desc(), "node")
+    return (
+        pr.select("node", F.round(F.col("rank") * 1000000, 6).alias("rank_ppm"),
+                  F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 20)
+    )

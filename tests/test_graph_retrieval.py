@@ -1,0 +1,210 @@
+"""Tests for the round-3 additions: graph (degrees/pagerank),
+retrieval (BM25), global_shuffle, semantic_dedup, scd2."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestDegrees:
+    def test_counts_both_directions(self, spark):
+        from filters_spark.functions import graph
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+        got = {r["node"]: (r["out_deg"], r["in_deg"])
+               for r in graph.degrees(e).collect()}
+        assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+class TestPagerank:
+    def _ref_pagerank(self, edges, iters=3, d=0.85):
+        """Pure-Python oracle with the same dangling redistribution."""
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        out = {}
+        for a, _ in edges:
+            out[a] = out.get(a, 0) + 1
+        n = len(nodes)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            dm = sum(r for v, r in rank.items() if v not in out)
+            contrib = {v: 0.0 for v in nodes}
+            for a, b in edges:
+                contrib[b] += rank[a] / out[a]
+            rank = {v: (1 - d) / n + d * (contrib[v] + dm / n)
+                    for v in nodes}
+        return rank
+
+    def test_matches_python_oracle(self, spark):
+        from filters_spark.functions import graph
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+                 ("d", "a")]  # d has no in-edges; no dangling nodes? d in-0
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["rank"]
+               for r in graph.pagerank(e, iters=4).collect()}
+        exp = self._ref_pagerank(edges, iters=4)
+        assert set(got) == set(exp)
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-9, v
+
+    def test_dangling_mass_conserved(self, spark):
+        from filters_spark.functions import graph
+        # b is dangling (no out-edges): total rank must stay 1
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        total = (graph.pagerank(e, iters=3)
+                 .agg(F.sum("rank").alias("s")).head()["s"])
+        assert abs(total - 1.0) < 1e-9
+        exp = self._ref_pagerank([("a", "b")], iters=3)
+        got = {r["node"]: r["rank"]
+               for r in graph.pagerank(e, iters=3).collect()}
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-12, v
+
+    def test_round_dp_snaps_each_iteration(self, spark):
+        from filters_spark.functions import graph
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")],
+            "src string, dst string")
+        got = {r["node"]: r["rank"]
+               for r in graph.pagerank(e, iters=2, round_dp=6).collect()}
+        for v, r in got.items():
+            assert abs(r - round(r, 6)) < 1e-15, (v, r)
+
+
+class TestBM25:
+    def test_self_retrieval_and_ordering(self, spark):
+        from filters_spark.functions import retrieval
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"),
+             (2, "banana cherry"),
+             (3, "dog cat mouse"),
+             (4, "apple dog")],
+            "doc_id bigint, text string")
+        q = spark.createDataFrame(
+            [(100, "apple"), (100, "banana")], "query_id bigint, term string")
+        rows = retrieval.bm25_topk(docs, q, k=4).orderBy("rank").collect()
+        # doc 1 contains both query terms (apple twice): must rank first
+        assert rows[0]["doc_id"] == 1
+        ids = [r["doc_id"] for r in rows]
+        assert 3 not in ids  # no query term -> never a candidate
+
+    def test_matches_python_bm25(self, spark):
+        from filters_spark.functions import retrieval
+        corpus = {1: "a b a", 2: "b c", 3: "a c c d"}
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in corpus.items()], "doc_id bigint, text string")
+        q = spark.createDataFrame([(9, "a"), (9, "c")],
+                                  "query_id bigint, term string")
+        got = {r["doc_id"]: r["score"]
+               for r in retrieval.bm25_topk(docs, q, k=10).collect()}
+        # pure-python BM25 (Lucene formulation), same k1/b defaults
+        toks = {i: t.split() for i, t in corpus.items()}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        k1, b = 1.2, 0.75
+        for doc_id, ts in toks.items():
+            score = 0.0
+            for term in ("a", "c"):
+                tf = ts.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for v in toks.values() if term in v)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                score += (idf * tf * (k1 + 1)
+                          / (tf + k1 * (1 - b + b * len(ts) / avgdl)))
+            if score:
+                assert abs(got[doc_id] - round(score, 4)) < 2e-4, doc_id
+
+
+class TestGlobalShuffle:
+    def test_positions_contiguous_and_stable(self, spark):
+        from filters_spark.functions import sampling
+        df = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+        a = sampling.global_shuffle(df, "k", 4).collect()
+        b = sampling.global_shuffle(df.repartition(7), "k", 4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partition-invariant
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        assert set(by_shard) == set(range(4))
+
+    def test_order_is_hash_order(self, spark):
+        import hashlib
+        from filters_spark.functions import sampling
+        df = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+        rows = sampling.global_shuffle(df, "k", 1).collect()
+        got = [r["k"] for r in sorted(rows, key=lambda r: r["pos"])]
+        exp = sorted(range(50),
+                     key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        assert got == exp
+
+
+class TestSemanticDedup:
+    def test_keeps_first_drops_near(self, spark):
+        from filters_spark.functions import dedup
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.001], 0),   # ~identical to 1 -> dropped
+            (3, [0.0, 1.0], 0),     # orthogonal -> kept
+            (4, [1.0, 0.0], 1),     # other cell: kept despite matching 1
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int")
+        kept = sorted(r["vec_id"] for r in dedup.semantic_dedup(
+            df, threshold=0.95).collect())
+        assert kept == [1, 3, 4]
+
+    def test_transitive_chain_keeps_only_first(self, spark):
+        from filters_spark.functions import dedup
+        # 1~2 and 2~3 and 1~3 all above threshold: greedy keeps 1 only
+        rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.01], 0), (3, [1.0, 0.02], 0)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int")
+        kept = sorted(r["vec_id"] for r in dedup.semantic_dedup(
+            df, threshold=0.99).collect())
+        assert kept == [1]
+
+
+class TestScd2:
+    def test_collapses_and_stitches(self, spark):
+        from filters_spark.plans.joins import scd2
+        import datetime as dt
+        d = dt.date
+        rows = [
+            (1, d(2020, 1, 1), "O"),
+            (1, d(2020, 2, 1), "O"),   # unchanged -> collapsed
+            (1, d(2020, 3, 1), "F"),   # change
+            (1, d(2020, 4, 1), "O"),   # change back
+            (2, d(2020, 1, 1), "P"),
+        ]
+        df = spark.createDataFrame(rows, "k int, ts date, st string")
+        got = sorted(
+            (r["k"], r["valid_from"], r["valid_to"], r["is_current"], r["st"])
+            for r in scd2(df, "k", "ts", ["st"]).collect())
+        assert got == [
+            (1, d(2020, 1, 1), d(2020, 3, 1), False, "O"),
+            (1, d(2020, 3, 1), d(2020, 4, 1), False, "F"),
+            (1, d(2020, 4, 1), None, True, "O"),
+            (2, d(2020, 1, 1), None, True, "P"),
+        ]
+
+    def test_null_attr_transitions_version(self, spark):
+        from filters_spark.plans.joins import scd2
+        import datetime as dt
+        d = dt.date
+        rows = [(1, d(2021, 1, 1), None), (1, d(2021, 2, 1), "A"),
+                (1, d(2021, 3, 1), None)]
+        df = spark.createDataFrame(rows, "k int, ts date, st string")
+        out = scd2(df, "k", "ts", ["st"]).collect()
+        assert len(out) == 3  # NULL->A and A->NULL both count as changes
+
+    def test_no_collapse_mode(self, spark):
+        from filters_spark.plans.joins import scd2
+        import datetime as dt
+        d = dt.date
+        rows = [(1, d(2022, 1, 1), "X"), (1, d(2022, 2, 1), "X")]
+        df = spark.createDataFrame(rows, "k int, ts date, st string")
+        assert len(scd2(df, "k", "ts", ["st"],
+                        collapse_unchanged=False).collect()) == 2

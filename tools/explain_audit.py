@@ -232,6 +232,20 @@ EXPECTATIONS: dict[str, dict] = {
     # re-scans per branch — production checkpoints between stages,
     # see the query docstring)
     "ds_corpus_pipeline_v2": dict(max_exchanges=32, min_broadcasts=10),
+    # global shuffle: ONE shard-keyed exchange, reused by the window
+    # AND the per-shard rollup
+    "ds_global_shuffle": dict(max_exchanges=1),
+    # BM25: postings/df/score rollups + the narrow dl join; query
+    # terms, idf, and corpus stats all broadcast
+    "ds_bm25_topk": dict(max_exchanges=9, min_broadcasts=4),
+    # semdedup: cell-blocked pair join + dropped-id distinct; the
+    # anti-join back is broadcast at gate sf
+    "ds_semdedup": dict(max_exchanges=3, min_broadcasts=1),
+    # SCD2: change-detect + stitch share ONE key-partitioned sort
+    "rel_scd2": dict(max_exchanges=1),
+    # pagerank: iterations run upstream of localCheckpoints (lineage
+    # deliberately truncated); audited tail is the ppm top-20 cut
+    "ds_pagerank": dict(max_exchanges=2),
 }
 
 
