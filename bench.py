@@ -59,6 +59,8 @@ HEADLINE = [
     "ds_decontaminate",
     "ds_sequence_pack",
     "ds_corpus_pipeline_v2",
+    # round 3 (cont.): lexical retrieval flagship
+    "ds_bm25_topk",
 ]
 
 

@@ -507,7 +507,8 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    cell_col: str = "label",
-                   threshold: float = 0.95) -> DataFrame:
+                   threshold: float = 0.95,
+                   engine: str = "expr") -> DataFrame:
     """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
     arXiv:2303.09540): within each cluster cell, drop every row that
     has an EARLIER (smaller-id) neighbor with cosine >= threshold —
@@ -521,21 +522,79 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     index already maintains, and the within-cell verify is the same
     blocked shape :func:`embedding_dup_pairs` uses.  The anti-join
     back to the corpus broadcasts the (small) dropped-id set when the
-    duplicate rate is low, which AQE detects at runtime."""
-    from .similarity import cosine
+    duplicate rate is low, which AQE detects at runtime.
 
-    a = df.select(F.col(cell_col).alias("_cell"),
-                  F.col(id_col).alias("_ai"), F.col(vec_col).alias("_av"))
-    b = df.select(F.col(cell_col).alias("_cell"),
-                  F.col(id_col).alias("_bi"), F.col(vec_col).alias("_bv"))
+    engines:
+      * ``expr`` — cell-blocked pair join with an in-plan dot product
+        over L2-pre-normalized vectors.  Sequential-sum float order:
+        exactly what a SQL oracle replays — the hash-gate engine.
+      * ``arrow`` — ``applyInPandas`` per cell: ONE numpy
+        (|cell|×d)·(d×|cell|) matmul + a triangular mask per cell.
+        The FLOP-bound scale path (SemDeDup's own per-cluster shape):
+        the pair space never materializes as rows, only as a local
+        matrix.  numpy's pairwise summation can differ from the
+        sequential sum in the last ulps — use for throughput; gate
+        queries should prefer ``expr`` unless the threshold is
+        comfortably far from any pair's cosine."""
+    if engine == "arrow":
+        dropped = _semantic_dropped_arrow(df, id_col, vec_col, cell_col,
+                                          threshold)
+        return df.join(dropped, id_col, "left_anti")
+    from .similarity import dot, norm
+
+    # norm staged as its own column FIRST: referencing norm(v) inside
+    # the transform lambda would re-evaluate the O(d) aggregate per
+    # ELEMENT (O(d²)/row — interpreted HOFs do not CSE)
+    nv = df.select(F.col(cell_col).alias("_cell"), F.col(id_col).alias("_id"),
+                   F.col(vec_col).alias("_v"),
+                   norm(F.col(vec_col)).alias("_nrm"))
+    v = nv.select(
+        "_cell", "_id",
+        F.transform(F.col("_v"),
+                    lambda x: x.cast("double") / F.col("_nrm")).alias("_u"))
+    a = v.select(F.col("_cell"), F.col("_id").alias("_ai"),
+                 F.col("_u").alias("_av"))
+    b = v.select(F.col("_cell"), F.col("_id").alias("_bi"),
+                 F.col("_u").alias("_bv"))
     dropped = (
         a.join(b, "_cell")
         .where(F.col("_ai") < F.col("_bi"))
-        .where(cosine(F.col("_av"), F.col("_bv")) >= threshold)
+        .where(dot(F.col("_av"), F.col("_bv")) >= threshold)
         .select(F.col("_bi").alias(id_col))
         .distinct()
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def _semantic_dropped_arrow(df: DataFrame, id_col: str, vec_col: str,
+                            cell_col: str, threshold: float) -> DataFrame:
+    """Per-cell numpy cosine matrix → dropped ids.  One Arrow batch
+    per cell (cells are the ANN quantizer's cells — small by
+    construction; a cell that doesn't fit one executor's memory needs
+    a finer quantizer, not a bigger box)."""
+    import pandas as pd
+
+    def find_dropped(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
+        order = pdf[id_col].to_numpy().argsort(kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype("float64")
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        unit = mat / nrm[:, None]
+        sims = unit @ unit.T
+        # j is dropped if ANY i<j has sims[i,j] >= threshold
+        hit = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pd.DataFrame({id_col: ids[hit]})
+
+    return (
+        df.select(F.col(cell_col).alias("_cell"), id_col, vec_col)
+        .groupBy("_cell")
+        .applyInPandas(find_dropped, f"{id_col} long")
+    )
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a_id",

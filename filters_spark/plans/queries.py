@@ -5190,6 +5190,15 @@ def ds_corpus_pipeline_v2(spark, sf_dir):
     clean = dedup.decontaminate(
         ded, d.where(F.col("doc_id") % 37 == 0).select("text"),
         "doc_id", "text", n=5)
+    # stage barrier: everything downstream (mixture counts, mixture
+    # filter, packing) re-reads `clean`; without a materialization the
+    # lazy plan re-runs repetition+dedup+decontamination per branch
+    # (the 15-FileScan plan this docstring describes).  A LAZY local
+    # checkpoint computes `clean` once on first action and serves the
+    # other branches from executor storage — the in-query analog of
+    # the production between-stage sink; blocks are reclaimed by the
+    # ContextCleaner when the frame is garbage-collected.
+    clean = clean.localCheckpoint(eager=False)
     mixed = sampling.domain_mixture_sample(
         clean, "doc_id", "source",
         {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1})
@@ -5618,11 +5627,17 @@ def ds_pagerank(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
                 F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"))
-        .distinct()
     )
+    # no inner distinct: the post-union distinct dedups everything in
+    # ONE exchange (an inner one would add a second full shuffle for
+    # the same final edge set)
     edges = e0.union(e0.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))).distinct()
-    pr = graph.pagerank(edges, iters=3, damping=0.85, round_dp=12)
+    # dangling=False is safe BY CONSTRUCTION: symmetrization gives
+    # every node an out-edge, so the skipped dangling term is exactly
+    # +0.0 and the hashes are unchanged (2 fewer jobs per iteration)
+    pr = graph.pagerank(edges, iters=3, damping=0.85, round_dp=12,
+                        dangling=False)
     w = Window.orderBy(F.col("rank").desc(), "node")
     return (
         pr.select("node", F.round(F.col("rank") * 1000000, 6).alias("rank_ppm"),

@@ -156,6 +156,21 @@ class TestSemanticDedup:
             df, threshold=0.95).collect())
         assert kept == [1, 3, 4]
 
+    def test_arrow_engine_matches_expr(self, spark):
+        from filters_spark.functions import dedup
+        import random
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+                for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int")
+        kept_expr = sorted(r["vec_id"] for r in dedup.semantic_dedup(
+            df, threshold=0.5).collect())
+        kept_arrow = sorted(r["vec_id"] for r in dedup.semantic_dedup(
+            df, threshold=0.5, engine="arrow").collect())
+        assert kept_expr == kept_arrow
+        assert 0 < len(kept_expr) < 60  # threshold actually bites
+
     def test_transitive_chain_keeps_only_first(self, spark):
         from filters_spark.functions import dedup
         # 1~2 and 2~3 and 1~3 all above threshold: greedy keeps 1 only

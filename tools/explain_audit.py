@@ -227,11 +227,13 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_decontaminate": dict(max_exchanges=4, min_broadcasts=2),
     # mixture: counts + 1-row S broadcast as rates onto the scan
     "ds_domain_mixture": dict(max_exchanges=4, min_broadcasts=2),
-    # composed pipeline: every small side broadcast; exchange count is
-    # the sum of the five proven stage shapes (lazy composition
-    # re-scans per branch — production checkpoints between stages,
-    # see the query docstring)
-    "ds_corpus_pipeline_v2": dict(max_exchanges=32, min_broadcasts=10),
+    # composed pipeline: a lazy localCheckpoint barrier after the
+    # decontamination stage (the in-query analog of the production
+    # between-stage sink) truncates the audited plan to the tail —
+    # mixture rates broadcast + packing window + final agg; the five
+    # stage shapes upstream of the barrier are each audited by their
+    # standalone gate queries
+    "ds_corpus_pipeline_v2": dict(max_exchanges=6, min_broadcasts=2),
     # global shuffle: ONE shard-keyed exchange, reused by the window
     # AND the per-shard rollup
     "ds_global_shuffle": dict(max_exchanges=1),
