@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "null_report"]
+__all__ = ["profile", "null_report", "category_drift"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None,
@@ -58,4 +58,39 @@ def null_report(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return p.select(
         "column", "n_nulls",
         F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+    )
+
+
+def category_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Categorical distribution drift between two slices (e.g. last
+    week vs this week of a feed): per-category shares in each slice
+    and their absolute difference — ``0.5 * sum(abs_diff)`` is the
+    total-variation distance, the standard drift alarm for a
+    training-data intake.
+
+    Plan shape: one grouped count per slice (map-side combined), each
+    cross-joined with its own 1-row total as a BROADCAST, stitched
+    with a full-outer join on the category (a category present in
+    only one slice shows share 0 on the other — exactly the drift
+    you most want to see).  Nothing leaves the executors; the result
+    is |categories| rows.
+    """
+    def shares(df: DataFrame, out: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("_cat")).agg(
+            F.count(F.lit(1)).alias("_n"))
+        total = counts.agg(F.sum("_n").alias("_t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "_cat", F.round(F.col("_n") / F.col("_t"), 6).alias(out))
+    a = shares(df_a, "share_a")
+    b = shares(df_b, "share_b")
+    return (
+        a.join(b, "_cat", "full_outer")
+        .select(
+            F.col("_cat").alias(col),
+            F.coalesce("share_a", F.lit(0.0)).alias("share_a"),
+            F.coalesce("share_b", F.lit(0.0)).alias("share_b"),
+            F.round(F.abs(F.coalesce("share_a", F.lit(0.0))
+                          - F.coalesce("share_b", F.lit(0.0))), 6)
+            .alias("abs_diff"),
+        )
     )

@@ -31,7 +31,10 @@ __all__ = [
     "norm",
     "cosine",
     "cosine_topk",
+    "euclidean",
     "ivf_topk",
+    "kmeans",
+    "knn_graph",
     "lsh_buckets",
     "lsh_topk",
     "linear_score",
@@ -59,6 +62,21 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    """sqrt of the sequential squared-difference sum — the same
+    operation order as DuckDB's list_distance, so a rounded compare
+    is engine-stable."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b,
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
 
 
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
@@ -226,6 +244,100 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def kmeans(df: DataFrame, k: int = 8, iters: int = 2,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           round_dp: int = 9) -> DataFrame:
+    """Lloyd's k-means with DETERMINISTIC seeding and per-step float
+    snapping — returns (id, cluster, dist) after ``iters`` assignment
+    steps (centroids are recomputed between steps, not after the
+    last).
+
+    Determinism contract (what makes an iterative float algorithm
+    hash-gateable, same discipline as :func:`graph.pagerank`):
+
+    * seeds = the vectors of the ``k`` smallest ids (a TakeOrdered
+      top-k, not a sample — no RNG anywhere);
+    * assignment ranks centroids on the 6-dp-ROUNDED euclidean
+      distance with the centroid index as tie-break;
+    * recomputed centroid coordinates snap to ``round_dp`` decimals,
+      so the mean's accumulation-order ulps never reach the next
+      assignment.
+
+    Scale shape: centroids are k×dim — always broadcast; assignment
+    is a map-side broadcast cross join riding the vector scan;
+    recompute is ONE exploded aggregation per iteration (posexplode →
+    per-(cluster, dim) avg — the same plan as ivf_topk centroids).
+    Nothing is collected to the driver.  An empty cluster drops out
+    of the recompute (k shrinks) — deterministic on both engines.
+    """
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    wseed = Window.orderBy("_id")
+    cent = (
+        v.orderBy("_id").limit(k)
+        .select((F.row_number().over(wseed) - 1).alias("_cidx"),
+                F.transform("_v", lambda x: x.cast("double")).alias("_c"))
+    )
+    assigned = None
+    for _ in range(iters):
+        d6 = F.round(euclidean(F.col("_v"), F.col("_c")), 6)
+        wa = Window.partitionBy("_id").orderBy(F.col("_dist"), F.col("_cidx"))
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("_dist", d6)
+            .withColumn("_rk", F.row_number().over(wa))
+            .where(F.col("_rk") == 1)
+            .select("_id", "_v", "_cidx", "_dist")
+        )
+        cent = (
+            assigned.select("_cidx", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_cidx", "_d")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), round_dp)
+                 .alias("_m"))
+            .groupBy("_cidx")
+            .agg(F.array_sort(F.collect_list(F.struct("_d", "_m")))
+                 .alias("_dm"))
+            .select("_cidx",
+                    F.transform("_dm", lambda s: s["_m"]).alias("_c"))
+        )
+    return assigned.select(F.col("_id").alias(id_col),
+                           F.col("_cidx").alias("cluster"),
+                           F.col("_dist").alias("dist"))
+
+
+def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              block_col: str | None = None) -> DataFrame:
+    """k-nearest-neighbor graph over the corpus itself: for EVERY
+    vector, its top-k neighbors by 6-dp-rounded cosine (id
+    tie-break) — the input graph for semantic clustering /
+    graph-based curation (feed the edges to
+    ``dedup.connected_components`` or ``graph.pagerank``).
+
+    With ``block_col`` the candidate space is within-block (the ANN
+    quantizer's cells — sum(|block|²), the 100 TB shape); without it
+    the join is a full self-cross for small corpora only."""
+    a = df.select(
+        *([F.col(block_col).alias("_ba")] if block_col else []),
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("_va"))
+    b = df.select(
+        *([F.col(block_col).alias("_bb")] if block_col else []),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"))
+    cond = F.col("src_id") != F.col("neighbor_id")
+    if block_col:
+        joined = a.join(b, (F.col("_ba") == F.col("_bb")) & cond)
+    else:
+        joined = a.crossJoin(b).where(cond)
+    scored = joined.select(
+        "src_id", "neighbor_id",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"))
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def _plane_weight(plane: int, dim: int) -> float:

@@ -5644,3 +5644,215 @@ def ds_pagerank(spark, sf_dir):
                   F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 10 (round 3, cont.): k-means clustering, kNN graph,
+# distribution drift, MinHash estimator calibration.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ds_kmeans",
+    oracle="""
+    WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT id, v FROM v ORDER BY id LIMIT 8),
+    c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS c
+           FROM seeds),
+    a1 AS (
+      SELECT id, v, cidx FROM (
+        SELECT v.id, v.v, c.cidx,
+               row_number() OVER (
+                 PARTITION BY v.id
+                 ORDER BY round(list_distance(v.v, c.c), 6), c.cidx) AS rk
+        FROM v CROSS JOIN c0 c) WHERE rk = 1
+    ),
+    ex1 AS (
+      SELECT cidx, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS d FROM a1
+    ),
+    c1 AS (
+      SELECT cidx, list(m ORDER BY d) AS c FROM (
+        SELECT cidx, d, round(avg(x), 9) AS m FROM ex1 GROUP BY cidx, d)
+      GROUP BY cidx
+    ),
+    a2 AS (
+      SELECT id, cidx, dist FROM (
+        SELECT v.id, c.cidx, round(list_distance(v.v, c.c), 6) AS dist,
+               row_number() OVER (
+                 PARTITION BY v.id
+                 ORDER BY round(list_distance(v.v, c.c), 6), c.cidx) AS rk
+        FROM v CROSS JOIN c1 c) WHERE rk = 1
+    )
+    SELECT cidx AS cluster, count(*) AS n, round(avg(dist), 4) AS avg_dist
+    FROM a2 GROUP BY cidx
+    """,
+)
+def ds_kmeans(spark, sf_dir):
+    """k-means (similarity.kmeans): 8 clusters, 2 Lloyd assignment
+    steps, deterministic end to end — seeds are the k smallest ids
+    (TakeOrdered, no RNG), assignments rank on 6-dp-rounded euclidean
+    distance with centroid-index tie-breaks, recomputed centroid
+    coordinates snap to 9 dp so mean-accumulation ulps never reach
+    the next assignment.  The DuckDB oracle unrolls both iterations
+    and lands on the identical clustering.  Gated observable:
+    per-cluster size + 4-dp mean distance."""
+    from ..functions import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = similarity.kmeans(emb, k=8, iters=2)
+    return a.groupBy(F.col("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+    )
+
+
+@register(
+    "ds_knn_graph",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT src_id, neighbor_id, score, rank FROM (
+      SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS score,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                        b.vec_id) AS rank
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def ds_knn_graph(spark, sf_dir):
+    """kNN graph (similarity.knn_graph): every vector's top-3
+    neighbors by rounded cosine within its label cell — the edge list
+    semantic clustering / graph curation consumes (feed to
+    connected_components or pagerank).  Candidates confined to cells
+    (sum(|cell|²)); per-src rank cut with WindowGroupLimit pruning."""
+    from ..functions import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=3, block_col="label")
+
+
+@register(
+    "prof_drift",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS pri, count(*) AS n FROM orders
+      WHERE o_orderdate < DATE '1995-01-01' GROUP BY 1
+    ), b AS (
+      SELECT o_orderpriority AS pri, count(*) AS n FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' GROUP BY 1
+    ), ta AS (SELECT sum(n) AS t FROM a), tb AS (SELECT sum(n) AS t FROM b),
+    sa AS (SELECT pri, round(n / ta.t, 6) AS share_a FROM a, ta),
+    sb AS (SELECT pri, round(n / tb.t, 6) AS share_b FROM b, tb)
+    SELECT coalesce(sa.pri, sb.pri) AS o_orderpriority,
+           coalesce(share_a, 0.0) AS share_a,
+           coalesce(share_b, 0.0) AS share_b,
+           round(abs(coalesce(share_a, 0.0) - coalesce(share_b, 0.0)), 6)
+             AS abs_diff
+    FROM sa FULL OUTER JOIN sb ON sa.pri = sb.pri
+    """,
+)
+def prof_drift(spark, sf_dir):
+    """Categorical drift audit (profile.category_drift): order-
+    priority mix before vs after 1995 — per-category share deltas
+    whose half-sum is the total-variation distance, the standard
+    intake drift alarm.  Two grouped counts + broadcast totals +
+    full-outer stitch; |categories| rows out."""
+    from ..functions import profile
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1995-01-01").cast("date")
+    return profile.category_drift(
+        o.where(split), o.where(~split), "o_orderpriority")
+
+
+@register(
+    "ds_minhash_estimate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+             )) AS shingles
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             list_transform(range(0, 16),
+               s -> list_aggregate(
+                      list_transform(shingles, x -> md5(s::VARCHAR || '|' || x)),
+                      'min')) AS sig
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS key
+      FROM sig, range(0, 8) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.a_id, c.b_id,
+             len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+               / 16 AS est_j,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS j
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, round(est_j, 4) AS est_jaccard,
+           round(j, 4) AS jaccard, round(abs(est_j - j), 4) AS abs_err
+    FROM est
+    """,
+)
+def ds_minhash_estimate(spark, sf_dir):
+    """MinHash estimator CALIBRATION under the gate: for every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching positions / 16 — the unbiased MinHash estimator) next
+    to the exact Jaccard and their absolute error.  This measures the
+    sketch's accuracy itself, hash-checked — the ds_lsh_recall
+    pattern applied to MinHash (an engine that miscomputes signatures
+    shows a different error distribution even when its candidate sets
+    happen to match).  One persisted (id, shingles, signature) frame
+    feeds bands, estimate, and exact verify."""
+    d = _t(spark, sf_dir, "documents")
+    prepped = dedup.minhash_signatures(d, "doc_id", "text",
+                                       shingle_k=3, n_hashes=16)
+    prepped = prepped.withColumn(
+        "_bands", dedup.minhash_bands(F.col("_sig"), 8, 2)).persist()
+    cands = dedup.lsh_candidate_pairs(prepped, "doc_id", "_bands")
+    agree = F.aggregate(
+        F.zip_with(F.col("_siga"), F.col("_sigb"),
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x)
+    est = (
+        cands
+        .join(prepped.select(F.col("doc_id").alias("a_id"),
+                             F.col("_sig").alias("_siga")), "a_id")
+        .join(prepped.select(F.col("doc_id").alias("b_id"),
+                             F.col("_sig").alias("_sigb")), "b_id")
+        .select("a_id", "b_id",
+                (agree.cast("double") / 16).alias("_est"))
+    )
+    exact = dedup.jaccard_pairs(prepped, "doc_id", "_sh",
+                                pairs=cands, threshold=0.0)
+    return (
+        est.join(exact, ["a_id", "b_id"])
+        .select("a_id", "b_id",
+                F.round("_est", 4).alias("est_jaccard"),
+                F.round("jaccard", 4).alias("jaccard"),
+                F.round(F.abs(F.col("_est") - F.col("jaccard")), 4)
+                .alias("abs_err"))
+    )

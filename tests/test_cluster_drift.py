@@ -1,0 +1,85 @@
+"""Tests for kmeans / knn_graph / category_drift / the MinHash
+agreement estimator."""
+
+from pyspark.sql import functions as F
+
+
+class TestKmeans:
+    def test_separates_obvious_clusters(self, spark):
+        from filters_spark.functions import similarity
+        # two tight blobs far apart; seeds = 2 smallest ids (one in
+        # each blob by construction)
+        rows = ([(i, [0.0 + i * 0.01, 0.0]) for i in range(0, 10, 2)]
+                + [(i, [10.0 + i * 0.01, 10.0]) for i in range(1, 10, 2)])
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        a = similarity.kmeans(df, k=2, iters=2).collect()
+        by_cluster = {}
+        for r in a:
+            by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+        assert len(by_cluster) == 2
+        evens = sorted(range(0, 10, 2))
+        odds = sorted(range(1, 10, 2))
+        assert sorted(sorted(v) for v in by_cluster.values()) == [evens, odds]
+
+    def test_deterministic_across_repartition(self, spark):
+        from filters_spark.functions import similarity
+        import random
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        a = sorted(map(tuple, similarity.kmeans(df, k=3, iters=2).collect()))
+        b = sorted(map(tuple, similarity.kmeans(
+            df.repartition(7), k=3, iters=2).collect()))
+        assert a == b
+
+
+class TestKnnGraph:
+    def test_topk_and_no_self(self, spark):
+        from filters_spark.functions import similarity
+        rows = [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 0),
+                (4, [1.0, 0.0], 1)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int")
+        g = similarity.knn_graph(df, k=1, block_col="label").collect()
+        got = {r["src_id"]: r["neighbor_id"] for r in g}
+        assert got[1] == 2 and got[2] == 1   # mutual nearest
+        assert all(r["src_id"] != r["neighbor_id"] for r in g)
+        # vector 4 is alone in its block: no edges at all
+        assert 4 not in got
+
+
+class TestCategoryDrift:
+    def test_shares_and_missing_category(self, spark):
+        from filters_spark.functions import profile
+        a = spark.createDataFrame([("x",)] * 3 + [("y",)], "c string")
+        b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 2, "c string")
+        rows = {r["c"]: r for r in profile.category_drift(a, b, "c").collect()}
+        assert abs(rows["x"]["share_a"] - 0.75) < 1e-9
+        assert abs(rows["x"]["share_b"] - 0.5) < 1e-9
+        assert rows["y"]["share_b"] == 0.0      # absent in b
+        assert rows["z"]["share_a"] == 0.0      # absent in a
+        tvd = 0.5 * sum(r["abs_diff"] for r in rows.values())
+        assert abs(tvd - 0.5 * (0.25 + 0.25 + 0.5)) < 1e-6
+
+
+class TestMinhashEstimate:
+    def test_estimator_tracks_exact_jaccard(self, spark):
+        from filters_spark.functions import dedup
+        docs = [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i k"),   # near-dup of 1
+            (3, "z y x w v u t s r q"),
+            (4, "z y x w v u t s r q"),   # exact dup of 3
+        ]
+        d = spark.createDataFrame(docs, "doc_id bigint, text string")
+        prepped = dedup.minhash_signatures(d, "doc_id", "text",
+                                           shingle_k=3, n_hashes=16)
+        prepped = prepped.withColumn(
+            "_bands", dedup.minhash_bands(F.col("_sig"), 8, 2))
+        cands = dedup.lsh_candidate_pairs(prepped, "doc_id", "_bands")
+        pairs = {(r["a_id"], r["b_id"]) for r in cands.collect()}
+        assert (3, 4) in pairs            # exact dups always collide
+        exact = dedup.jaccard_pairs(prepped, "doc_id", "_sh",
+                                    pairs=cands, threshold=0.0)
+        j = {(r["a_id"], r["b_id"]): r["jaccard"] for r in exact.collect()}
+        assert j[(3, 4)] == 1.0

@@ -248,6 +248,16 @@ EXPECTATIONS: dict[str, dict] = {
     # pagerank: iterations run upstream of localCheckpoints (lineage
     # deliberately truncated); audited tail is the ppm top-20 cut
     "ds_pagerank": dict(max_exchanges=2),
+    # kmeans: centroids broadcast both iterations; exchanges = per-id
+    # assignment windows + the two exploded centroid rollups + final
+    "ds_kmeans": dict(min_broadcasts=2, max_exchanges=8),
+    # knn graph: one cell-blocked join + the per-src rank window
+    "ds_knn_graph": dict(max_exchanges=3),
+    # drift: two grouped counts + broadcast totals + category stitch
+    "prof_drift": dict(max_exchanges=6, min_broadcasts=2, scan_filter=True),
+    # estimator calibration: persisted signature frame feeds bands /
+    # estimate / verify branches; joins keyed by candidate ids
+    "ds_minhash_estimate": dict(max_exchanges=12),
 }
 
 
