@@ -641,10 +641,15 @@ DRIVER_WINDOW: list[str] = [
     "rel_latest_order_per_customer",  # window dedup
     "rel_sessionize",           # session windows
     "rel_grouping_sets",        # rollup/cube/sets family (pivot: judged outside)
-    "rel_setops",               # set operations
     "rel_sql_interface",        # spark.sql() surface
     "rel_gapfill_2day",         # time-series spine (round-3 fix, gated)
-    "rel_tumbling_window",      # streaming twin
+    # rel_setops (pure built-in union/except/intersect) and
+    # rel_tumbling_window (batch twin of the pytest-gated stream; the
+    # window family keeps rel_sessionize + rel_gapfill_2day inside)
+    # rotated out to make room for the round-3b family flagships —
+    # both still run under tools/oracle_check.py and the judge sweep
+    "ds_bm25_topk",             # lexical retrieval (round 3b)
+    "ds_pagerank",              # graph curation signal (round 3b)
     # -- LLM-pipeline ops ---------------------------------------------
     "ds_dedup_exact",
     "ds_minhash_lsh",

