@@ -21,6 +21,18 @@ class TestKmeans:
         odds = sorted(range(1, 10, 2))
         assert sorted(sorted(v) for v in by_cluster.values()) == [evens, odds]
 
+    def test_arrow_engine_matches_expr(self, spark):
+        from filters_spark.functions import similarity
+        import random
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(80)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        a = sorted((r["vec_id"], r["cluster"]) for r in
+                   similarity.kmeans(df, k=4, iters=2).collect())
+        b = sorted((r["vec_id"], r["cluster"]) for r in
+                   similarity.kmeans(df, k=4, iters=2, engine="arrow").collect())
+        assert a == b
+
     def test_deterministic_across_repartition(self, spark):
         from filters_spark.functions import similarity
         import random

@@ -155,12 +155,60 @@ def phase_bm25(spark: SparkSession) -> None:
          topk_rows=n, wall_s=round(time.time() - t0, 1))
 
 
+def _hash_vectors(spark: SparkSession, n: int, dim: int):
+    vec = F.array(*[
+        (F.pmod(F.xxhash64("id", F.lit(d)), F.lit(2_000_001)) / 1_000_000.0
+         - 1.0).cast("float")
+        for d in range(dim)
+    ])
+    return (
+        spark.range(n, numPartitions=spark.sparkContext.defaultParallelism * 2)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    )
+
+
+def phase_kmeans(spark: SparkSession) -> None:
+    """1M × 32-dim vectors, k=64, 2 Lloyd steps — assignment is a
+    broadcast cross join (64 rounded distances/row), recompute is one
+    exploded aggregation (32M rows) per step."""
+    from filters_spark.functions import similarity
+
+    n, dim, k = 1_000_000, 32, 64
+    v = _hash_vectors(spark, n, dim)
+    for engine in (os.environ.get("KMEANS_ENGINES") or "arrow").split(","):
+        t0 = time.time()
+        a = similarity.kmeans(v, k=k, iters=2, engine=engine)
+        out = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")) \
+            .agg(F.count(F.lit(1)).alias("clusters"),
+                 F.sum("n").alias("rows")).head()
+        emit(phase="kmeans", engine=engine, rows=n, dim=dim, k=k, iters=2,
+             clusters=out["clusters"], assigned=out["rows"],
+             wall_s=round(time.time() - t0, 1))
+
+
+def phase_knn(spark: SparkSession) -> None:
+    """kNN graph over 500k × 32-dim vectors in 4096 cells (~122/cell):
+    within-cell pair space ~61M scored pairs for top-5 edges."""
+    from filters_spark.functions import similarity
+
+    n, dim, cells = 500_000, 32, 4096
+    v = _hash_vectors(spark, n, dim).withColumn(
+        "label", F.pmod(F.xxhash64("vec_id"), F.lit(cells)).cast("int"))
+    t0 = time.time()
+    g = similarity.knn_graph(v, k=5, block_col="label")
+    m = g.count()
+    emit(phase="knn_graph", rows=n, dim=dim, cells=cells, edges=m,
+         wall_s=round(time.time() - t0, 1))
+
+
 PHASES = {
     "shuffle": phase_shuffle,
     "scd2": phase_scd2,
     "pagerank": phase_pagerank,
     "semdedup": phase_semdedup,
     "bm25": phase_bm25,
+    "kmeans": phase_kmeans,
+    "knn": phase_knn,
 }
 
 
