@@ -5861,3 +5861,51 @@ def ds_minhash_estimate(spark, sf_dir):
                 F.round(F.abs(F.col("_est") - F.col("jaccard")), 4)
                 .alias("abs_err"))
     )
+
+
+@register(
+    "rel_rolling_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_orderdate
+    ), stats AS (
+      SELECT d, rev,
+             avg(rev) OVER w AS mu,
+             stddev_samp(rev) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, rev, round(mu, 2) AS mu, round((rev - mu) / sd, 4) AS z
+    FROM stats
+    WHERE n >= 10 AND sd > 0 AND abs((rev - mu) / sd) > 2
+    """,
+)
+def rel_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection on the daily revenue series:
+    each day scored against the TRAILING 30-day window (excluding
+    itself — including it dilutes the very spike being tested), days
+    beyond |z| > 2 flagged.  The ROWS frame makes mean/stddev
+    incremental per window slide; warm-up days (n < 10) are excluded
+    so early noise can't alert.  The global series is one partition
+    BY CONSTRUCTION (|days| rows, pre-aggregated from the fact
+    table); the at-scale shape is the same frame partitioned by
+    series key (per-metric, per-tenant), which shards naturally."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = Window.orderBy("d").rowsBetween(-29, -1)
+    stats = daily.select(
+        "d", "rev",
+        F.avg("rev").over(w).alias("mu"),
+        F.stddev_samp("rev").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    z = (F.col("rev") - F.col("mu")) / F.col("sd")
+    return (
+        stats.where((F.col("n") >= 10) & (F.col("sd") > 0)
+                    & (F.abs(z) > 2))
+        .select("d", "rev", F.round("mu", 2).alias("mu"),
+                F.round(z, 4).alias("z"))
+    )

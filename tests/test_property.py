@@ -304,3 +304,76 @@ def test_line_repetition_matches_python_oracle(spark, texts):
         exp = python_repetition(t)
         assert abs(got[i][0] - exp[0]) < 1e-12 and abs(got[i][1] - exp[1]) < 1e-12, \
             (t, got[i], exp)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**12),
+                min_size=1, max_size=60, unique=True),
+       st.integers(min_value=1, max_value=8))
+@settings(**SETTINGS)
+def test_global_shuffle_matches_python_md5(spark, keys, n_shards):
+    """global_shuffle's (shard, pos) must equal the pure-Python
+    md5-order oracle for any key set and shard count."""
+    import hashlib
+    from filters_spark.functions import sampling
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = {r["k"]: (r["shard"], r["pos"])
+           for r in sampling.global_shuffle(df, "k", n_shards).collect()}
+
+    def shard_of(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % n_shards
+
+    by_shard = {}
+    for k in keys:
+        by_shard.setdefault(shard_of(k), []).append(k)
+    exp = {}
+    for s, ks in by_shard.items():
+        ks.sort(key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k))
+        for pos, k in enumerate(ks, 1):
+            exp[k] = (s, pos)
+    assert got == exp
+
+
+@given(st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3),      # key
+              st.integers(min_value=0, max_value=20),     # day offset
+              st.sampled_from(["A", "B", None])),         # status
+    min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_scd2_matches_python_oracle(spark, events):
+    """scd2's collapse+stitch vs a pure-Python interval builder with
+    the same (ts, attr) ordering and null-safe change rule."""
+    import datetime as dt
+    from filters_spark.plans.joins import scd2
+
+    rows = [(k, dt.date(2020, 1, 1) + dt.timedelta(days=o), s)
+            for k, o, s in events]
+    df = spark.createDataFrame(rows, "k int, ts date, st string")
+
+    def row_key(t):
+        k, vf, vt, cur, s = t
+        return (k, vf, vt is None, vt or dt.date.min, s is None, s or "")
+
+    got = sorted(((r["k"], r["valid_from"], r["valid_to"],
+                   r["is_current"], r["st"])
+                  for r in scd2(df, "k", "ts", ["st"]).collect()),
+                 key=row_key)
+
+    exp = []
+    by_key = {}
+    for k, ts, s in rows:
+        by_key.setdefault(k, []).append((ts, s))
+    for k, evs in by_key.items():
+        # Spark ascending sort is NULLS FIRST — mirror it
+        evs.sort(key=lambda t: (t[0], t[1] is not None, t[1] or ""))
+        kept = []
+        prev_set = False
+        prev = None
+        for ts, s in evs:
+            if not prev_set or s != prev:   # None==None -> no change
+                kept.append((ts, s))
+            prev, prev_set = s, True
+        for i, (ts, s) in enumerate(kept):
+            vt = kept[i + 1][0] if i + 1 < len(kept) else None
+            exp.append((k, ts, vt, vt is None, s))
+    assert got == sorted(exp, key=row_key)

@@ -258,6 +258,8 @@ EXPECTATIONS: dict[str, dict] = {
     # estimator calibration: persisted signature frame feeds bands /
     # estimate / verify branches; joins keyed by candidate ids
     "ds_minhash_estimate": dict(max_exchanges=12),
+    # z-score: daily rollup + the |days|-row trailing-frame window
+    "rel_rolling_zscore": dict(max_exchanges=2),
 }
 
 
