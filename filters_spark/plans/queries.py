@@ -5745,10 +5745,10 @@ def ds_knn_graph(spark, sf_dir):
     oracle="""
     WITH a AS (
       SELECT o_orderpriority AS pri, count(*) AS n FROM orders
-      WHERE o_orderdate < DATE '1995-01-01' GROUP BY 1
+      WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1
     ), b AS (
       SELECT o_orderpriority AS pri, count(*) AS n FROM orders
-      WHERE o_orderdate >= DATE '1995-01-01' GROUP BY 1
+      WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1
     ), ta AS (SELECT sum(n) AS t FROM a), tb AS (SELECT sum(n) AS t FROM b),
     sa AS (SELECT pri, round(n / ta.t, 6) AS share_a FROM a, ta),
     sb AS (SELECT pri, round(n / tb.t, 6) AS share_b FROM b, tb)
@@ -5762,14 +5762,14 @@ def ds_knn_graph(spark, sf_dir):
 )
 def prof_drift(spark, sf_dir):
     """Categorical drift audit (profile.category_drift): order-
-    priority mix before vs after 1995 — per-category share deltas
+    priority mix before vs after 1998 — per-category share deltas
     whose half-sum is the total-variation distance, the standard
     intake drift alarm.  Two grouped counts + broadcast totals +
     full-outer stitch; |categories| rows out."""
     from ..functions import profile
 
     o = _t(spark, sf_dir, "orders")
-    split = F.col("o_orderdate") < F.lit("1995-01-01").cast("date")
+    split = F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
     return profile.category_drift(
         o.where(split), o.where(~split), "o_orderpriority")
 
@@ -5909,3 +5909,43 @@ def rel_rolling_zscore(spark, sf_dir):
         .select("d", "rev", F.round("mu", 2).alias("mu"),
                 F.round(z, 4).alias("z"))
     )
+
+
+@register(
+    "prof_ks_drift",
+    oracle="""
+    WITH u AS (
+      SELECT o_totalprice::DOUBLE AS v, 1 AS a, 0 AS b FROM orders
+      WHERE o_orderdate < DATE '1998-01-01'
+      UNION ALL
+      SELECT o_totalprice::DOUBLE AS v, 0 AS a, 1 AS b FROM orders
+      WHERE o_orderdate >= DATE '1998-01-01'
+    ), cum AS (
+      SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb
+      FROM u WHERE v IS NOT NULL
+      WINDOW w AS (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), t AS (
+      SELECT sum(a) AS na, sum(b) AS nb FROM u WHERE v IS NOT NULL
+    )
+    SELECT round(max(abs(ca / t.na - cb / t.nb)), 6) AS ks,
+           any_value(t.na) AS n_a, any_value(t.nb) AS n_b
+    FROM cum, t
+    """,
+)
+def prof_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift (profile.ks_statistic):
+    order-price distribution before vs after 1998 — the numeric
+    drift alarm beside prof_drift's categorical one.  RANGE-framed
+    running ECDFs (ties step together), max absolute gap, one row
+    out.  Exact global-order formulation — gate-sized; the 100 TB
+    path evaluates the sup on an approx-percentile grid (see the
+    function docstring)."""
+    from ..functions import profile
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    return profile.ks_statistic(
+        o.where(split).select("o_totalprice"),
+        o.where(~split).select("o_totalprice"),
+        "o_totalprice")

@@ -74,6 +74,43 @@ class TestCategoryDrift:
         assert abs(tvd - 0.5 * (0.25 + 0.25 + 0.5)) < 1e-6
 
 
+class TestKsStatistic:
+    def test_identical_and_disjoint(self, spark):
+        from filters_spark.functions import profile
+        a = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+        b = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+        row = profile.ks_statistic(a, b, "v").head()
+        assert row["ks"] == 0.0 and row["n_a"] == 50 and row["n_b"] == 50
+        c = spark.createDataFrame([(float(i + 1000),) for i in range(50)],
+                                  "v double")
+        assert profile.ks_statistic(a, c, "v").head()["ks"] == 1.0
+
+    def test_matches_scipy_style_oracle(self, spark):
+        import random
+        from filters_spark.functions import profile
+        rng = random.Random(5)
+        xs = [rng.gauss(0, 1) for _ in range(80)]
+        ys = [rng.gauss(0.5, 1) for _ in range(70)]
+        got = profile.ks_statistic(
+            spark.createDataFrame([(x,) for x in xs], "v double"),
+            spark.createDataFrame([(y,) for y in ys], "v double"),
+            "v").head()["ks"]
+        # pure-python two-sample KS
+        import bisect
+        sx, sy = sorted(xs), sorted(ys)
+        grid = sorted(set(sx) | set(sy))
+        exp = max(abs(bisect.bisect_right(sx, v) / len(sx)
+                      - bisect.bisect_right(sy, v) / len(sy)) for v in grid)
+        assert abs(got - round(exp, 6)) < 1e-9
+
+    def test_empty_side_yields_null(self, spark):
+        from filters_spark.functions import profile
+        a = spark.createDataFrame([(1.0,)], "v double")
+        b = spark.createDataFrame([], "v double")
+        row = profile.ks_statistic(a, b, "v").head()
+        assert row["ks"] is None
+
+
 class TestMinhashEstimate:
     def test_estimator_tracks_exact_jaccard(self, spark):
         from filters_spark.functions import dedup

@@ -260,6 +260,9 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_minhash_estimate": dict(max_exchanges=12),
     # z-score: daily rollup + the |days|-row trailing-frame window
     "rel_rolling_zscore": dict(max_exchanges=2),
+    # KS: union scan + the single global-order ECDF window + totals
+    "prof_ks_drift": dict(max_exchanges=4, min_broadcasts=1,
+                          scan_filter=True),
 }
 
 
