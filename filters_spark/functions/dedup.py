@@ -545,9 +545,14 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     # norm staged as its own column FIRST: referencing norm(v) inside
     # the transform lambda would re-evaluate the O(d) aggregate per
     # ELEMENT (O(d²)/row — interpreted HOFs do not CSE)
+    # zero-norm guard (mirrors the arrow engine's nrm[nrm==0]=1):
+    # a zero vector normalizes to itself, scores 0 against everything,
+    # and is KEPT — instead of DIVIDE_BY_ZERO under ANSI mode
+    raw_nrm = norm(F.col(vec_col))
     nv = df.select(F.col(cell_col).alias("_cell"), F.col(id_col).alias("_id"),
                    F.col(vec_col).alias("_v"),
-                   norm(F.col(vec_col)).alias("_nrm"))
+                   F.when(raw_nrm == F.lit(0.0), F.lit(1.0))
+                   .otherwise(raw_nrm).alias("_nrm"))
     v = nv.select(
         "_cell", "_id",
         F.transform(F.col("_v"),

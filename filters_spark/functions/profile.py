@@ -82,11 +82,15 @@ def category_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
         return counts.crossJoin(F.broadcast(total)).select(
             "_cat", F.round(F.col("_n") / F.col("_t"), 6).alias(out))
     a = shares(df_a, "share_a")
-    b = shares(df_b, "share_b")
+    b = shares(df_b, "share_b").withColumnRenamed("_cat", "_catb")
     return (
-        a.join(b, "_cat", "full_outer")
+        # eqNullSafe: a NULL category is a real category in an intake
+        # feed — a plain equi-join would emit it as two half-rows,
+        # each claiming the other slice has share 0 (a maximal false
+        # drift alarm on identical distributions)
+        a.join(b, a["_cat"].eqNullSafe(b["_catb"]), "full_outer")
         .select(
-            F.col("_cat").alias(col),
+            F.coalesce(F.col("_cat"), F.col("_catb")).alias(col),
             F.coalesce("share_a", F.lit(0.0)).alias("share_a"),
             F.coalesce("share_b", F.lit(0.0)).alias("share_b"),
             F.round(F.abs(F.coalesce("share_a", F.lit(0.0))

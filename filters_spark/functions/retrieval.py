@@ -116,6 +116,11 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         # joins, so without this the whole corpus tokenization+probe
         # runs twice (measured 2× the full query cost at 2M docs).
         # The frame is |matched postings| — small by construction.
+        # NOTE the cache is NOT released here (the result is lazy; an
+        # unpersist before materialization would defeat it) — a
+        # service issuing many query sets should clearCache()
+        # between calls or materialize postings to a table (the same
+        # contract as minhash_dedup_pairs' persisted signature frame).
         .persist()
     )
     # corpus stats: N and avgdl in one 1-row aggregate over a narrow

@@ -183,6 +183,13 @@ def global_shuffle(df: DataFrame, key: str, n_shards: int,
     NOT offered: at 100 TB a single total order is a range-partition
     + sort over everything for no training benefit — shard-local
     order with hash-assigned shards is statistically equivalent.
+
+    PRECONDITION: ``key`` must be unique (or rows sharing a key must
+    be entirely identical).  Rows with equal keys tie on the whole
+    sort key, and ``row_number`` then splits the tie by partition
+    arrival order — their RELATIVE positions are not reproducible.
+    Dedup first (``dedup.exact_dedup``) or derive a content id
+    (``sources.readers.read_text_docs`` does) before shuffling.
     """
     h = _key_hex(F.col(key))
     w = Window.partitionBy(shard_col).orderBy(h, key)

@@ -61,7 +61,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, zero-norm-safe: a pair involving a zero
+    vector scores 0.0 instead of raising DIVIDE_BY_ZERO under Spark
+    4's default ANSI mode (zero embeddings are routine in real
+    corpora — padding rows, failed encodes).  For nonzero pairs the
+    arithmetic is the plain ``dot/(|a|·|b|)`` with unchanged
+    operation order, so rounded oracle comparisons are unaffected."""
+    prod = norm(a) * norm(b)
+    return F.when(prod == F.lit(0.0), F.lit(0.0)).otherwise(
+        dot(a, b) / prod)
 
 
 def euclidean(a: Column, b: Column) -> Column:
@@ -286,6 +294,8 @@ def kmeans(df: DataFrame, k: int = 8, iters: int = 2,
         the in-plan exploded centroid recompute, shared by both
         engines).
     """
+    if iters < 1:
+        raise ValueError(f"kmeans requires iters >= 1, got {iters}")
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     wseed = Window.orderBy("_id")
     cent = (

@@ -74,6 +74,47 @@ class TestCategoryDrift:
         assert abs(tvd - 0.5 * (0.25 + 0.25 + 0.5)) < 1e-6
 
 
+class TestZeroNormSafety:
+    def test_semantic_dedup_expr_survives_zero_vector(self, spark):
+        from filters_spark.functions import dedup
+        rows = [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 0)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int")
+        for engine in ("expr", "arrow"):
+            kept = sorted(r["vec_id"] for r in dedup.semantic_dedup(
+                df, threshold=0.95, engine=engine).collect())
+            assert kept == [1, 2, 3], engine  # zero vector kept, no crash
+
+    def test_knn_graph_survives_zero_vector(self, spark):
+        from filters_spark.functions import similarity
+        rows = [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.9, 0.1], 0)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int")
+        g = similarity.knn_graph(df, k=1, block_col="label").collect()
+        got = {r["src_id"]: (r["neighbor_id"], r["score"]) for r in g}
+        assert got[2][0] == 3 and got[3][0] == 2
+        assert got[1][1] == 0.0  # zero vector scores 0 everywhere
+
+    def test_kmeans_rejects_zero_iters(self, spark):
+        import pytest as _pytest
+        from filters_spark.functions import similarity
+        df = spark.createDataFrame([(1, [1.0])],
+                                   "vec_id bigint, embedding array<double>")
+        with _pytest.raises(ValueError, match="iters"):
+            similarity.kmeans(df, k=1, iters=0)
+
+
+class TestCategoryDriftNulls:
+    def test_null_category_matches_itself(self, spark):
+        from filters_spark.functions import profile
+        a = spark.createDataFrame([("x",), (None,)], "c string")
+        b = spark.createDataFrame([("x",), (None,)], "c string")
+        rows = profile.category_drift(a, b, "c").collect()
+        assert len(rows) == 2            # NOT two half-rows per NULL
+        for r in rows:
+            assert r["abs_diff"] == 0.0  # identical slices -> zero drift
+
+
 class TestKsStatistic:
     def test_identical_and_disjoint(self, spark):
         from filters_spark.functions import profile
