@@ -28,6 +28,7 @@ __all__ = [
     "write_error_metrics",
     "write_bucketed",
     "write_compacted",
+    "write_training_shards",
     "replay_dead_letter",
 ]
 
@@ -136,3 +137,46 @@ def replay_dead_letter(spark, path: str, schema,
     if ERRORS_COL in df.columns:
         df = df.drop(ERRORS_COL)
     return schema.validate(df)
+
+
+def write_training_shards(df: DataFrame, key: str, n_shards: int,
+                          path: str, mode: str = "overwrite") -> DataFrame:
+    """Materialize the deterministic epoch-0 training order
+    (``sampling.global_shuffle``) as ONE ORDERED PARQUET FILE PER
+    SHARD under ``path/shard=<s>/``, plus a per-shard manifest
+    returned as a DataFrame (shard, n_rows, order_checksum) for the
+    training job to verify against.
+
+    Why one file per shard works without a global sort: hash
+    partitioning BY THE SHARD COLUMN puts every row of shard s into
+    exactly one task (hash(s) is a constant); that task sorts its
+    rows by (shard, pos) and the ``partitionBy`` writer then emits
+    one file per shard directory it holds — so each shard's file
+    carries the full shard in position order, and parquet preserves
+    row order within a file.  A training reader consuming
+    ``path/shard=K`` in file order replays the exact epoch-0
+    permutation; the manifest checksum (Σ key·pos, the same
+    observable ``ds_global_shuffle`` gates) proves it.
+
+    ``n_shards`` should exceed the writing cluster's parallelism for
+    balanced tasks (several shards per task is fine — each still gets
+    its own file); one giant shard = one giant task, the usual skew
+    rule.
+    """
+    from ..functions.sampling import global_shuffle
+
+    sh = global_shuffle(df, key, n_shards)
+    (
+        sh.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col(key) * F.col("pos")).alias("order_checksum"))
+    )

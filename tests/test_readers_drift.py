@@ -106,3 +106,35 @@ class TestStreamingDrift:
         for r in rows:
             stream_n[r["event_type"]] = stream_n.get(r["event_type"], 0) + r["n"]
         assert stream_n == batch_n
+
+
+class TestTrainingShards:
+    def test_one_ordered_file_per_shard(self, spark, tmp_path):
+        import glob
+        import hashlib
+        import pyarrow.parquet as pq
+        from filters_spark.sources.sinks import write_training_shards
+
+        df = spark.createDataFrame([(i, f"doc{i}") for i in range(300)],
+                                   "doc_id bigint, text string")
+        out = str(tmp_path / "shards")
+        manifest = {r["shard"]: (r["n_rows"], r["order_checksum"])
+                    for r in write_training_shards(
+                        df, "doc_id", 8, out).collect()}
+        assert set(manifest) == set(range(8))
+        assert sum(n for n, _ in manifest.values()) == 300
+
+        # each shard dir holds exactly ONE data file, in position order
+        for s in range(8):
+            files = [f for f in glob.glob(f"{out}/shard={s}/*")
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, f"shard {s}: {files}"
+            t = pq.read_table(files[0]).to_pydict()
+            ids = t["doc_id"]
+            # file order must equal the md5 hash order of the ids
+            exp = sorted(ids, key=lambda k: (
+                hashlib.md5(str(k).encode()).hexdigest(), k))
+            assert ids == exp, f"shard {s} not in epoch order"
+            # manifest checksum replays from the file
+            chk = sum(k * (p + 1) for p, k in enumerate(ids))
+            assert chk == manifest[s][1]
