@@ -237,9 +237,12 @@ EXPECTATIONS: dict[str, dict] = {
     # global shuffle: ONE shard-keyed exchange, reused by the window
     # AND the per-shard rollup
     "ds_global_shuffle": dict(max_exchanges=1),
-    # BM25: postings/df/score rollups + the narrow dl join; query
-    # terms, idf, and corpus stats all broadcast
-    "ds_bm25_topk": dict(max_exchanges=9, min_broadcasts=4),
+    # BM25 (filter-first shape): matched-token rollup feeding the
+    # persisted postings + df rollup + score rollup + rank window;
+    # query terms, idf, and corpus stats all broadcast.  10 exchanges
+    # but only ONE is corpus-shaped (the matched-token rollup) — the
+    # rest move |postings-for-query-terms| rows
+    "ds_bm25_topk": dict(max_exchanges=10, min_broadcasts=4),
     # semdedup: cell-blocked pair join + dropped-id distinct; the
     # anti-join back is broadcast at gate sf
     "ds_semdedup": dict(max_exchanges=3, min_broadcasts=1),
@@ -253,8 +256,10 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_kmeans": dict(min_broadcasts=2, max_exchanges=8),
     # knn graph: one cell-blocked join + the per-src rank window
     "ds_knn_graph": dict(max_exchanges=3),
-    # drift: two grouped counts + broadcast totals + category stitch
-    "prof_drift": dict(max_exchanges=6, min_broadcasts=2, scan_filter=True),
+    # drift: two grouped counts + broadcast totals + the null-safe
+    # category stitch (<=> keys still hash-partition; the full-outer
+    # adds its two sides).  All exchanges are |categories|-sized
+    "prof_drift": dict(max_exchanges=8, min_broadcasts=2, scan_filter=True),
     # estimator calibration: persisted signature frame feeds bands /
     # estimate / verify branches; joins keyed by candidate ids
     "ds_minhash_estimate": dict(max_exchanges=12),
