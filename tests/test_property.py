@@ -377,3 +377,39 @@ def test_scd2_matches_python_oracle(spark, events):
             vt = kept[i + 1][0] if i + 1 < len(kept) else None
             exp.append((k, ts, vt, vt is None, s))
     assert got == sorted(exp, key=row_key)
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=12),
+                          st.integers(min_value=0, max_value=12)),
+                min_size=1, max_size=40).map(
+                    lambda es: sorted({(a, b) for a, b in es if a != b})))
+@settings(**SETTINGS)
+def test_pagerank_matches_python_oracle(spark, edges):
+    """pagerank (with dangling redistribution) vs a pure-Python power
+    iteration on arbitrary small digraphs — including graphs where
+    some nodes have no out-edges at all."""
+    from filters_spark.functions import graph
+
+    if not edges:
+        return
+    e = spark.createDataFrame([(f"n{a}", f"n{b}") for a, b in edges],
+                              "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(e, iters=3).collect()}
+
+    nodes = sorted({f"n{a}" for a, _ in edges} | {f"n{b}" for _, b in edges})
+    out = {}
+    for a, _ in edges:
+        out[f"n{a}"] = out.get(f"n{a}", 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        dm = sum(r for v, r in rank.items() if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            contrib[f"n{b}"] += rank[f"n{a}"] / out[f"n{a}"]
+        rank = {v: 0.15 / n + 0.85 * (contrib[v] + dm / n) for v in nodes}
+    assert set(got) == set(rank)
+    for v in rank:
+        assert abs(got[v] - rank[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
