@@ -5949,3 +5949,83 @@ def prof_ks_drift(spark, sf_dir):
         o.where(split).select("o_totalprice"),
         o.where(~split).select("o_totalprice"),
         "o_totalprice")
+
+
+@register(
+    "ds_corpus_pipeline_v3",
+    oracle="""
+    WITH j AS (
+      SELECT d.doc_id, d.text, e.embedding::DOUBLE[] AS v, e.label
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), seg AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM j
+    ), per_seg AS (
+      SELECT doc_id, s, count(*) AS cnt FROM seg GROUP BY doc_id, s
+    ), repstat AS (
+      SELECT doc_id, (sum(cnt) - count(*))::DOUBLE / sum(cnt) AS dupf
+      FROM per_seg GROUP BY doc_id
+    ), q AS (                         -- stage 1: repetition gate
+      SELECT j.* FROM j JOIN repstat r USING (doc_id) WHERE r.dupf <= 0.85
+    ), ded AS (                       -- stage 2: exact text dedup
+      SELECT doc_id, text, v, label FROM (
+        SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rn FROM q)
+      WHERE rn = 1
+    ), dropped AS (                   -- stage 3: SemDeDup
+      SELECT DISTINCT b.doc_id
+      FROM ded a JOIN ded b ON a.label = b.label AND a.doc_id < b.doc_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    ), kept AS (
+      SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ), sh AS (                        -- stage 4: epoch shuffle
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 8 AS INT) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM kept
+    ), p AS (
+      SELECT shard, doc_id, n_tok,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      FROM sh
+    )
+    SELECT shard, count(*) AS n_docs, sum(doc_id * pos) AS order_checksum,
+           sum(n_tok) AS total_tokens
+    FROM p GROUP BY shard
+    """,
+)
+def ds_corpus_pipeline_v3(spark, sf_dir):
+    """Round-3b capstone, ONE hash gate over the joint text+embedding
+    stack: documents ⋈ embeddings (the ids align 1:1 by testdata
+    construction) → repetition gate → exact text dedup (keep-first)
+    → SemDeDup within embedding cells over the SURVIVORS (order
+    matters: semantic dedup after exact dedup works the smaller
+    frame) → deterministic epoch shuffle into 8 shards, gated on
+    per-shard size + order checksum + token mass.  A lazy
+    localCheckpoint after the dedup stages is the in-query analog of
+    the production between-stage sink (same rationale as
+    ds_corpus_pipeline_v2)."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    e = _t(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "text", "embedding", "label")
+    rep = text.line_repetition_stats(
+        j.select("doc_id", "text"), "doc_id", "text", sep=" ")
+    q = j.join(rep.where(F.col("dup_line_frac") <= 0.85).select("doc_id"),
+               "doc_id", "left_semi")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (q.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .select("doc_id", "text", "embedding", "label"))
+    kept = dedup.semantic_dedup(ded, "doc_id", "embedding", "label",
+                                threshold=0.35)
+    kept = kept.localCheckpoint(eager=False)
+    sh = sampling.global_shuffle(
+        kept.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")),
+        "doc_id", 8)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("doc_id") * F.col("pos")).alias("order_checksum"),
+        F.sum("n_tok").alias("total_tokens"),
+    )

@@ -268,6 +268,10 @@ EXPECTATIONS: dict[str, dict] = {
     # KS: union scan + the single global-order ECDF window + totals
     "prof_ks_drift": dict(max_exchanges=4, min_broadcasts=1,
                           scan_filter=True),
+    # v3 capstone: lazy checkpoint after the dedup stages truncates
+    # the audited plan to the shuffle/shard tail (same contract as
+    # v2); upstream stage shapes audited by their standalone gates
+    "ds_corpus_pipeline_v3": dict(max_exchanges=4),
 }
 
 
