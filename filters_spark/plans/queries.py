@@ -6029,3 +6029,50 @@ def ds_corpus_pipeline_v3(spark, sf_dir):
         F.sum(F.col("doc_id") * F.col("pos")).alias("order_checksum"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+@register(
+    "ds_semantic_decontaminate",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), bench AS (
+      SELECT * FROM e WHERE vec_id % 37 = 0
+    ), corpus AS (
+      SELECT * FROM e WHERE vec_id % 37 != 0
+    ), contaminated AS (
+      SELECT DISTINCT c.vec_id
+      FROM corpus c JOIN bench b ON c.label = b.label
+      WHERE list_cosine_similarity(c.v, b.v) >= 0.35
+    )
+    SELECT label, count(*) AS n_kept, sum(vec_id) AS kept_id_sum
+    FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+    GROUP BY label
+    """,
+)
+def ds_semantic_decontaminate(spark, sf_dir):
+    """Semantic decontamination: drop corpus items whose embedding is
+    near ANY benchmark item (cosine >= 0.35 within the quantizer
+    cell) — the embedding-space complement of the n-gram
+    ds_decontaminate (paraphrased eval leakage that exact grams
+    miss).  Benchmark side is small by definition and the join is
+    cell-blocked, so candidate pairs are sum(|cell_c|·|cell_b|), not
+    |corpus|·|bench|.  Gated on the per-cell survivor set (count +
+    id checksum)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 37 == 0)
+    corpus = emb.where(F.col("vec_id") % 37 != 0)
+    from ..functions.similarity import cosine
+
+    b = bench.select(F.col("label").alias("_bl"),
+                     F.col("embedding").alias("_bv"))
+    contaminated = (
+        corpus.join(b, corpus.label == F.col("_bl"))
+        .where(cosine(F.col("embedding"), F.col("_bv")) >= 0.35)
+        .select("vec_id").distinct()
+    )
+    kept = corpus.join(contaminated, "vec_id", "left_anti")
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("kept_id_sum"),
+    )

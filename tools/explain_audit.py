@@ -272,6 +272,9 @@ EXPECTATIONS: dict[str, dict] = {
     # the audited plan to the shuffle/shard tail (same contract as
     # v2); upstream stage shapes audited by their standalone gates
     "ds_corpus_pipeline_v3": dict(max_exchanges=4),
+    # semantic decontamination: cell-blocked corpus⋈bench + the
+    # contaminated-id distinct; anti-join broadcast at gate sf
+    "ds_semantic_decontaminate": dict(max_exchanges=4, scan_filter=True),
 }
 
 
