@@ -37,12 +37,22 @@ def pack_streaming(df: DataFrame, order_col: str, len_col: str,
                    partition_cols: list[str] | None = None) -> DataFrame:
     """Input plus ``bin`` (0-based window index within the pack
     group) and ``bin_offset`` (token offset of this document's start
-    inside its bin).  Deterministic for any fixed ``order_col``."""
+    inside its bin).  Deterministic for any fixed ``order_col``.
+
+    NULL lengths fail LOUDLY inside the plan (a ``raise_error`` arm —
+    no eager job): a NULL would otherwise propagate through the
+    running sum, silently yielding NULL bins that drop out of batch
+    accounting; :func:`pack_greedy` raises for the same input, and
+    the two packers must share a contract."""
     parts = partition_cols or []
+    checked = F.when(F.col(len_col).isNotNull(), F.col(len_col)).otherwise(
+        F.raise_error(F.lit(
+            f"pack_streaming: NULL {len_col} values — filter or impute "
+            "lengths before packing")))
     w = (Window.partitionBy(*parts).orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, 0))
-    cum = F.sum(len_col).over(w)
-    start = cum - F.col(len_col)
+    cum = F.sum(checked).over(w)
+    start = cum - checked
     return df.withColumn("bin", F.floor(start / budget)).withColumn(
         "bin_offset", start - F.col("bin") * budget)
 

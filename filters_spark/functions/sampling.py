@@ -135,22 +135,34 @@ def domain_mixture_sample(df: DataFrame, key: str, domain_col: str,
     and the same rows are kept on every rerun/backfill.  Domains
     absent from ``targets`` are dropped (rate 0) — a mixture is a
     closed list by definition.
+
+    A TARGETED domain with ZERO observed rows makes the mixture
+    unachievable; the only output satisfying it is EMPTY, and that is
+    what this returns (the target list left-joins the counts with a
+    zero fill, so the missing domain drives S to 0) — never a
+    silently mis-mixed corpus that quietly omits the absent domain.
     """
     from pyspark.sql.functions import broadcast
 
-    target_expr: Column = F.lit(None).cast("double")
-    for d, t in sorted(targets.items()):
-        target_expr = F.when(F.col(domain_col) == d, F.lit(float(t))) \
-            .otherwise(target_expr)
+    for d, t in targets.items():
+        if not t > 0:
+            raise ValueError(
+                f"domain_mixture_sample: target for {d!r} must be > 0 "
+                f"(got {t}); omit the domain to drop it instead")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        sorted((d, float(t)) for d, t in targets.items()),
+        schema=f"{domain_col} string, _t double")
+    observed = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
     counts = (
-        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn("_t", target_expr)
-        .where(F.col("_t").isNotNull())
+        tgt.join(observed, domain_col, "left")
+        .select(domain_col, "_t", F.coalesce("_n", F.lit(0)).alias("_n"))
     )
     s = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_s"))
     rates = counts.crossJoin(broadcast(s)).select(
         F.col(domain_col),
-        F.least(F.lit(1.0), F.col("_t") * F.col("_s") / F.col("_n"))
+        F.when(F.col("_n") == 0, F.lit(0.0)).otherwise(
+            F.least(F.lit(1.0), F.col("_t") * F.col("_s") / F.col("_n")))
         .alias("_rate"),
     )
     return (

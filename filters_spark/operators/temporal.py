@@ -58,6 +58,8 @@ _OFFSET_RE = (
     # lookbehind a plain DATE ('2024-01-02') ends in '-02' and would
     # false-match, un-shifting every naive date input
     r"|(?<=:\d\d)[+-]\d{1,2}"
+    r"|(?<=\.\d)[+-]\d{1,2}"            # bare hour after fraction ('.5+09')
+    r"|(?<=\d\s)(UTC|UT|GMT)"           # bare zone word ('12:00:00 UTC')
     r"|[A-Za-z]+(/[A-Za-z0-9_+-]+)+"    # region zone ids
     r")\s*$"
 )
@@ -66,10 +68,29 @@ _OFFSET_RE = (
 def _interpret_in_zone(parsed: Column, raw: Column, timezone: str | None) -> Column:
     """UTC-normalize ``parsed``: with the session tz pinned to UTC,
     offset-bearing inputs already parsed to the right instant; naive
-    inputs parsed as-if-UTC and are re-interpreted in ``timezone``."""
+    inputs parsed as-if-UTC and are re-interpreted in ``timezone``.
+
+    Zone detection is belt-and-braces, because a matched-by-cast,
+    missed-by-detection input gets silently double-shifted:
+
+    * NUMERIC: cast the raw string to both TIMESTAMP (zone-aware,
+      session tz UTC) and TIMESTAMP_NTZ (Spark drops any zone token
+      and keeps the wall clock).  If the two disagree, the input
+      carried a NONZERO offset — this catches every offset syntax the
+      cast grammar accepts, present or future, with no regex to keep
+      in sync.
+    * TEXTUAL (``_OFFSET_RE``): zero-offset markers ('Z', '+00:00',
+      'UTC', 'GMT') parse to the same instant both ways and are
+      invisible to the numeric probe, so they are matched by text.
+    """
     if not timezone:
         return parsed
-    return F.when(raw.rlike(_OFFSET_RE), parsed).otherwise(
+    ts = raw.try_cast("timestamp")
+    ntz = raw.try_cast("timestamp_ntz")
+    zoned_numeric = (
+        ts.isNotNull() & ntz.isNotNull() & (ts != ntz.cast("timestamp"))
+    )
+    return F.when(zoned_numeric | raw.rlike(_OFFSET_RE), parsed).otherwise(
         F.to_utc_timestamp(parsed, timezone)
     )
 
@@ -119,19 +140,24 @@ class _TimestampPassthrough(Validator):
 
     preserves_type = False
 
-    def __init__(self, timezone: str | None, name: str, cast: str | None = None):
+    def __init__(self, timezone: str | None, name: str,
+                 cast: str | None = None, shift: bool = True):
         self.timezone = timezone
         self.name = name
         self.cast_to = cast
+        self.shift = shift
 
     def transform(self, col: Column) -> Column:
         out = col
         if self.cast_to:
             out = out.cast(self.cast_to)
-        if self.timezone:
-            # typed temporal columns carry no offset → always naive;
+        if self.timezone and self.shift:
+            # typed TIMESTAMP columns carry no offset → always naive;
             # interpret in the assumed zone (Date takes the UTC date
-            # of the shifted instant, mirroring the string path)
+            # of the shifted instant, mirroring the string path).
+            # Typed DATE inputs to Date() set shift=False: a pure
+            # date has no clock time to interpret — shifting would
+            # move every date in a positive-offset zone back a day.
             out = F.to_utc_timestamp(out, self.timezone)
         if self.name == "date":
             out = out.cast("date")
@@ -148,7 +174,10 @@ class Date(Validator):
     def specialize(self, dtype) -> Validator:
         from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
-        if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
+        if isinstance(dtype, DateType):
+            # a typed date is already the answer — no zone shift
+            return _TimestampPassthrough(self.timezone, "date", shift=False)
+        if isinstance(dtype, (TimestampType, TimestampNTZType)):
             return _TimestampPassthrough(self.timezone, "date")
         return self
 

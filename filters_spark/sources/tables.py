@@ -57,7 +57,14 @@ def get_spark(app_name: str = "filters_spark", shuffle_partitions: int | None = 
 # rewritten table dir must miss (one os.stat per load is ~1000× the
 # footer read it replaces... cheaper).  Entries from other sessions
 # are pruned on insert so stopped sessions don't pin plan handles.
-_TABLE_CACHE: dict[tuple, DataFrame] = {}
+# Keyed WEAKLY by the session object itself (not id(spark): CPython
+# reuses addresses after GC, so an id-keyed entry can hand a new
+# session a DataFrame bound to a stopped one).  A collected session
+# drops its whole per-session dict automatically.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
 
 
 def _path_stamp(path: str) -> tuple:
@@ -75,16 +82,18 @@ def _path_stamp(path: str) -> tuple:
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    key = (id(spark), path, _path_stamp(path))
-    hit = _TABLE_CACHE.get(key)
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weakref-able (mock/test double)
+        return _load_table_uncached(spark, name, sf_dir)
+    key = (path, _path_stamp(path))
+    hit = per_session.get(key)
     if hit is not None:
         return hit
     df = _load_table_uncached(spark, name, sf_dir)
-    stale = [k for k in _TABLE_CACHE
-             if k[0] != id(spark) or (k[1] == path and k != key)]
-    for k in stale:
-        del _TABLE_CACHE[k]
-    _TABLE_CACHE[key] = df
+    for k in [k for k in per_session if k[0] == path and k != key]:
+        del per_session[k]  # table rewritten: drop the stale stamp
+    per_session[key] = df
     return df
 
 

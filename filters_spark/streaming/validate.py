@@ -261,11 +261,21 @@ def dead_letter_writer(clean_path: str, dead_path: str,
     ``dead_path``.
 
     EXACTLY-ONCE across restarts: each sink partitions by the stamped
-    ``_batch_id`` and writes with dynamic partition overwrite, so a
-    batch replayed after a mid-batch crash (foreachBatch offers
-    at-least-once delivery) OVERWRITES its own partition instead of
-    appending duplicates — the write is idempotent per (sink, batch).
-    A half-written failed attempt is likewise clobbered on replay.
+    (``_query_id``, ``_batch_id``) and writes with dynamic partition
+    overwrite, so a batch replayed after a mid-batch crash
+    (foreachBatch offers at-least-once delivery) OVERWRITES its own
+    partition instead of appending duplicates — the write is
+    idempotent per (sink, query lineage, batch).  A half-written
+    failed attempt is likewise clobbered on replay.
+
+    ``_query_id`` is the streaming query id (read from the
+    ``sql.streaming.queryId`` local property inside the micro-batch
+    thread) — it is persisted in the checkpoint, so RESTARTS of the
+    same checkpoint keep the id and stay idempotent, while a FRESH
+    checkpoint pointed at the same sink gets a new id and its batch 0
+    lands in a new partition instead of silently deleting the
+    previous lineage's batch-0 data (overwrite keyed by batch id
+    alone clobbers across lineages).
 
     If the stream was validated ``with_raw=True``, the dead-letter
     rows RESTORE the original values from the ``_raw`` struct (the
@@ -275,7 +285,10 @@ def dead_letter_writer(clean_path: str, dead_path: str,
     from ..schema import RAW_COL
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        stamped = batch_df.withColumn("_batch_id", F.lit(batch_id))
+        qid = (batch_df.sparkSession.sparkContext
+               .getLocalProperty("sql.streaming.queryId")) or "unknown"
+        stamped = (batch_df.withColumn("_query_id", F.lit(qid))
+                   .withColumn("_batch_id", F.lit(batch_id)))
         has_raw = RAW_COL in batch_df.columns
         clean = stamped.where(F.size(F.col(ERRORS_COL)) == 0).drop(ERRORS_COL)
         dead = stamped.where(F.size(F.col(ERRORS_COL)) > 0)
@@ -286,7 +299,7 @@ def dead_letter_writer(clean_path: str, dead_path: str,
                 *[F.col(f"{RAW_COL}.{n}").alias(n) for n in raw_fields],
                 *[c for c in batch_df.columns
                   if c not in raw_fields and c != RAW_COL],
-                F.col("_batch_id"),
+                F.col("_query_id"), F.col("_batch_id"),
             )
         dead = dead.drop(RAW_COL)
         for frame, path in ((clean, clean_path), (dead, dead_path)):
@@ -294,7 +307,7 @@ def dead_letter_writer(clean_path: str, dead_path: str,
                 frame.write.format(fmt)
                 .mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
+                .partitionBy("_query_id", "_batch_id")
                 .save(path)
             )
 

@@ -238,3 +238,14 @@ class TestLinearScore:
         got = {r["id"]: r["p"] for r in df.select(
             "id", similarity.logistic_score(F.col("v"), [1.0]).alias("p")).collect()}
         assert got[1] > 0.999 and got[2] < 0.001
+
+
+class TestPackStreamingNullGuard:
+    def test_null_length_raises_loudly(self, spark):
+        import pytest as _pytest
+        from filters_spark.functions import packing
+        df = spark.createDataFrame([(1, 5), (2, None)],
+                                   "doc_id bigint, n_tok int")
+        packed = packing.pack_streaming(df, "doc_id", "n_tok", 32)
+        with _pytest.raises(Exception, match="NULL n_tok"):
+            packed.collect()

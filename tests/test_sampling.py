@@ -114,3 +114,23 @@ class TestHashReservoir:
                 sampling.hash_reservoir(bigger, ["g"], "id", 5).collect()}
         old = {i for g, i in got}
         assert len(old - got2) <= 1
+
+
+class TestMixtureMissingDomain:
+    def test_unachievable_mixture_returns_empty(self, spark):
+        """A targeted domain with zero observed rows makes the target
+        mixture unachievable — the result must be EMPTY, not a
+        silently mis-mixed single-domain corpus."""
+        from filters_spark.functions import sampling
+        df = spark.createDataFrame([(i, "a") for i in range(50)],
+                                   "k bigint, dom string")
+        out = sampling.domain_mixture_sample(
+            df, "k", "dom", {"a": 0.5, "b": 0.5})
+        assert out.count() == 0
+
+    def test_nonpositive_target_rejected(self, spark):
+        import pytest as _pytest
+        from filters_spark.functions import sampling
+        df = spark.createDataFrame([(1, "a")], "k bigint, dom string")
+        with _pytest.raises(ValueError, match="must be > 0"):
+            sampling.domain_mixture_sample(df, "k", "dom", {"a": 0.0})

@@ -453,3 +453,37 @@ class TestStreamingPipelineOps:
         for k in exp:
             assert got[k] == exp[k]
         assert all(r["n_email"] == 0 for r in got.values())
+
+
+class TestDeadLetterLineage:
+    def test_fresh_checkpoint_does_not_clobber_old_lineage(self, spark):
+        """Two runs with DIFFERENT checkpoints (→ different query ids)
+        writing to the SAME sink: the second run's batch 0 must not
+        delete the first run's batch-0 data (the old batch-id-only
+        dynamic overwrite did exactly that)."""
+        import tempfile
+
+        import filters_spark as fs
+        from filters_spark import streaming as st
+
+        sink = tempfile.mkdtemp(prefix="fs_dl_lineage_")
+        clean_p, dead_p = f"{sink}/clean", f"{sink}/dead"
+        schema = fs.ValidationSchema({"value": fs.Min(0)})
+
+        def run_once():
+            ck = tempfile.mkdtemp(prefix="fs_dl_ck_")
+            ev = st.events_stream(spark, SF_DIR)
+            validated = st.validate_stream(ev, schema)
+            q = (validated.writeStream
+                 .foreachBatch(st.dead_letter_writer(clean_p, dead_p))
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        n1 = spark.read.parquet(clean_p).count()
+        run_once()   # fresh checkpoint, same sink
+        after = spark.read.parquet(clean_p)
+        assert after.count() == 2 * n1       # both lineages present
+        assert after.select("_query_id").distinct().count() == 2

@@ -122,3 +122,55 @@ class TestDate:
             ]
             got = [c for c, _ in run_chain(spark, fs.Date(timezone=zone), inputs)]
             assert got == expected, f"zone={zone}"
+
+
+class TestZoneDetectionHardening:
+    """Round-3 review regressions: inputs whose zone marker the old
+    regex missed were silently double-shifted by the timezone param;
+    typed DATE columns were shifted back a day."""
+
+    def test_zone_marked_inputs_not_reshifted(self, spark):
+        import datetime as dt
+        import filters_spark as fs
+        from tests.conftest import run_chain
+        cases = {
+            "2024-01-02 12:00:00 UTC": dt.datetime(2024, 1, 2, 12, 0),
+            "2024-01-02 12:00:00 GMT": dt.datetime(2024, 1, 2, 12, 0),
+            "2024-01-02 12:00:00.5+09": dt.datetime(2024, 1, 2, 3, 0, 0,
+                                                    500000),
+            "2024-01-02 12:00:00+09:00": dt.datetime(2024, 1, 2, 3, 0),
+            "2024-01-02 12:00:00Z": dt.datetime(2024, 1, 2, 12, 0),
+            # naive: interpreted in Tokyo
+            "2024-01-02 12:00:00": dt.datetime(2024, 1, 2, 3, 0),
+            # naive DATE: midnight Tokyo -> previous day 15:00 UTC
+            "2024-01-02": dt.datetime(2024, 1, 1, 15, 0),
+        }
+        got = run_chain(spark, fs.Datetime(timezone="Asia/Tokyo"),
+                        list(cases))
+        for (raw, exp), (clean, code) in zip(cases.items(), got):
+            assert code is None, raw
+            assert clean == exp, (raw, clean, exp)
+
+    def test_typed_date_not_shifted(self, spark):
+        import datetime as dt
+        from pyspark.sql import functions as F
+        import filters_spark as fs
+        from filters_spark.core import null_error
+        df = spark.createDataFrame([(dt.date(2024, 1, 2),)], "d date")
+        v = fs.Date(timezone="Asia/Tokyo").specialize(
+            df.schema["d"].dataType)
+        c, e = v.build(F.col("d"), null_error(), "d")
+        assert df.select(c.alias("out")).head()["out"] == dt.date(2024, 1, 2)
+
+    def test_typed_timestamp_still_shifted(self, spark):
+        import datetime as dt
+        from pyspark.sql import functions as F
+        import filters_spark as fs
+        from filters_spark.core import null_error
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 2, 1, 0),)], "t timestamp")
+        v = fs.Date(timezone="Asia/Tokyo").specialize(
+            df.schema["t"].dataType)
+        c, e = v.build(F.col("t"), null_error(), "t")
+        # 01:00 Tokyo wall clock = previous day 16:00 UTC
+        assert df.select(c.alias("out")).head()["out"] == dt.date(2024, 1, 1)
