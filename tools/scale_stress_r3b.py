@@ -201,6 +201,64 @@ def phase_knn(spark: SparkSession) -> None:
          wall_s=round(time.time() - t0, 1))
 
 
+def phase_capstone(spark: SparkSession) -> None:
+    """The ds_corpus_pipeline_v3 composition at 2M docs: reuses the
+    bm25 phase's corpus, joins hash-derived 32-dim embeddings (5%
+    planted near-dup pairs in 4096 cells), then repetition gate →
+    exact text dedup → SemDeDup (ARROW engine — the scale path) →
+    epoch shuffle into 256 shards."""
+    from pyspark.sql import Window
+
+    from filters_spark.functions import text
+
+    out_dir = os.environ.get("STRESS_DIR", "/tmp/fs_stress_r3b") + "/docs"
+    if not os.path.exists(out_dir):
+        from scale_stress import gen_corpus
+
+        gen_corpus(spark, 2_000_000, big_clusters=0, big_size=1,
+                   small_frac=0.0, out=out_dir)
+    docs = spark.read.parquet(out_dir)
+    n, dim, cells = 2_000_000, 32, 4096
+    base = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(20)))
+    seed = F.when(F.pmod(F.col("doc_id"), F.lit(20)) == 1, base) \
+        .otherwise(F.col("doc_id"))
+    vec = F.array(*[
+        (F.pmod(F.xxhash64(seed, F.lit(d)), F.lit(2_000_001)) / 1_000_000.0
+         - 1.0).cast("float")
+        for d in range(dim)
+    ])
+    j = docs.select(
+        "doc_id", "text", vec.alias("embedding"),
+        F.pmod(F.xxhash64(seed), F.lit(cells)).cast("int").alias("label"))
+
+    t0 = time.time()
+    rep = text.line_repetition_stats(
+        j.select("doc_id", "text"), "doc_id", "text", sep=" ")
+    q = j.join(rep.where(F.col("dup_line_frac") <= 0.85).select("doc_id"),
+               "doc_id", "left_semi")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (q.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .select("doc_id", "text", "embedding", "label"))
+    kept = dedup.semantic_dedup(ded, "doc_id", "embedding", "label",
+                                threshold=0.99, engine="arrow")
+    kept = kept.localCheckpoint(eager=False)
+    sh = sampling.global_shuffle(
+        kept.select("doc_id",
+                    F.size(F.split("text", " ")).alias("n_tok")),
+        "doc_id", 256)
+    res = (
+        sh.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("shards"), F.sum("n").alias("docs"),
+             F.sum("tok").alias("tokens"))
+        .head()
+    )
+    emit(phase="capstone_v3", in_docs=n, shards=res["shards"],
+         out_docs=res["docs"], tokens=res["tokens"],
+         wall_s=round(time.time() - t0, 1))
+
+
 PHASES = {
     "shuffle": phase_shuffle,
     "scd2": phase_scd2,
@@ -209,6 +267,7 @@ PHASES = {
     "bm25": phase_bm25,
     "kmeans": phase_kmeans,
     "knn": phase_knn,
+    "capstone": phase_capstone,
 }
 
 
