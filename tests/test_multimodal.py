@@ -136,3 +136,86 @@ class TestAudioResample:
         with _pytest.raises(Exception) as ei:
             mm.resample_audio(media, strict=True).collect()
         assert "NotImplementedError" in str(ei.value) or "torchaudio" in str(ei.value)
+
+
+class TestRealNetpbmCodec:
+    def _ppm(self, w, h, rgb_rows):
+        header = f"P6\n{w} {h}\n255\n".encode()
+        body = bytes(v for row in rgb_rows for px in row for v in px)
+        return header + body
+
+    def test_p6_decodes_real_pixels_even_strict(self, spark):
+        from pyspark.sql import functions as F
+        from filters_spark.functions import multimodal as mm
+        # 2x1: pure red and pure white
+        payload = self._ppm(2, 1, [[(255, 0, 0), (255, 255, 255)]])
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/x-portable-pixmap")
+        # force output dims = native dims via meta override
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(2))
+            .withField("meta.height", F.lit(1)))
+        out = mm.decode_images(media, strict=True, codec="auto").collect()
+        px = bytes(out[0]["pixels"])
+        assert len(px) == 2
+        assert px[0] == 76      # luma of pure red = round(0.299*255)
+        assert px[1] == 255     # white
+    def test_p5_comment_and_resize(self, spark):
+        from pyspark.sql import functions as F
+        from filters_spark.functions import multimodal as mm
+        header = b"P5\n# a comment\n4 4\n255\n"
+        body = bytes(range(16))                      # 4x4 ramp
+        df = spark.createDataFrame([(1, bytearray(header + body))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/x-portable-graymap")
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(2))
+            .withField("meta.height", F.lit(2)))
+        out = mm.decode_images(media, strict=True, codec="auto").collect()
+        px = bytes(out[0]["pixels"])
+        # nearest-neighbor picks rows 0,2 and cols 0,2 -> 0,2,8,10
+        assert list(px) == [0, 2, 8, 10]
+
+
+class TestRealWavResample:
+    def _wav(self, rate, samples, n_ch=1):
+        import io
+        import struct
+        import wave
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(n_ch)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    def test_upsample_doubles_length_even_strict(self, spark):
+        import struct
+        from filters_spark.functions import multimodal as mm
+        wav = self._wav(8000, [0, 1000, 2000, 3000])
+        df = spark.createDataFrame([(1, bytearray(wav))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "audio/wav")
+        out = mm.resample_audio(media, target_rate=16000,
+                                strict=True).collect()
+        n = out[0]["n_samples"]
+        assert n == 8
+        got = struct.unpack(f"<{n}h", bytes(out[0]["samples"]))
+        assert got[0] == 0 and got[1] == 500     # linear midpoint
+        assert got[2] == 1000
+
+    def test_stereo_mixes_to_mono(self, spark):
+        import struct
+        from filters_spark.functions import multimodal as mm
+        # L=1000, R=3000 interleaved -> mono 2000
+        wav = self._wav(16000, [1000, 3000, 1000, 3000], n_ch=2)
+        df = spark.createDataFrame([(1, bytearray(wav))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "audio/wav")
+        out = mm.resample_audio(media, target_rate=16000,
+                                strict=True).collect()
+        got = struct.unpack(f"<{out[0]['n_samples']}h",
+                            bytes(out[0]["samples"]))
+        assert got == (2000, 2000)
