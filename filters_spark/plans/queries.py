@@ -659,7 +659,11 @@ DRIVER_WINDOW: list[str] = [
     "ds_cosine_topk",
     "ds_ivf_topk",               # (lsh_topk variant: judged outside)
     "ds_stratified_sample",
-    "ds_multimodal_features",
+    # real-codec gate supersedes ds_multimodal_features in the window:
+    # it exercises the SAME media-struct/mapInPandas plumbing but with
+    # the strict-mode numpy PGM decoder doing real byte-exact work
+    # (the stub-replay gate still runs under oracle_check/judge sweep)
+    "ds_real_codec_gate",
     "txt_profile",               # (langid: judged outside)
     # -- round-3 pipeline families ------------------------------------
     "txt_repetition_rollup",    # Gopher repetition filters
@@ -6075,4 +6079,54 @@ def ds_semantic_decontaminate(spark, sf_dir):
     return kept.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("vec_id").alias("kept_id_sum"),
+    )
+
+
+@register(
+    "ds_real_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+      WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    )
+    SELECT code % 16 AS bucket, count(*) AS n_chars
+    FROM ch GROUP BY 1
+    """,
+)
+def ds_real_codec_gate(spark, sf_dir):
+    """The REAL image codec under the value-hash gate: each document's
+    first 16 characters are wrapped into a genuine binary PGM payload
+    (P5 header + raw bytes), decoded by the pure-numpy netpbm codec
+    in STRICT mode (no stub can answer), histogrammed by
+    extract_image_features, and rolled up corpus-wide.  The DuckDB
+    oracle never sees an image — it computes the same histogram from
+    character codes directly, so the hash matches ONLY if the codec
+    reproduced every byte (header parse, luma identity on single-
+    channel, resize no-op at native dims).  Ratio→count recovery
+    (r*16) is exact: /16 then *16 round-trips in binary floating
+    point."""
+    from ..functions import multimodal as mm
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .select("doc_id",
+                 F.encode(F.concat(F.lit("P5\n16 1\n255\n"),
+                                   F.substring("text", 1, 16)),
+                          "UTF-8").alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "image/x-portable-graymap")
+    media = media.withColumn(
+        "media",
+        F.col("media").withField("meta.width", F.lit(16))
+        .withField("meta.height", F.lit(1)))
+    decoded = mm.decode_images(media.drop("_payload"), strict=True,
+                               codec="auto")
+    feats = mm.extract_image_features(decoded, dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.round(F.sum(F.col("_r") * 16), 0).cast("long")
+             .alias("n_chars"))
     )

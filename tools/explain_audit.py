@@ -275,6 +275,9 @@ EXPECTATIONS: dict[str, dict] = {
     # semantic decontamination: cell-blocked corpus⋈bench + the
     # contaminated-id distinct; anti-join broadcast at gate sf
     "ds_semantic_decontaminate": dict(max_exchanges=4, scan_filter=True),
+    # real-codec gate: scan → PGM build → two mapInPandas crossings
+    # (decode + featurize) → posexplode + one bucket rollup
+    "ds_real_codec_gate": dict(max_exchanges=1, scan_filter=True),
 }
 
 
