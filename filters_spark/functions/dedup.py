@@ -43,6 +43,8 @@ __all__ = [
     "simhash_signatures",
     "simhash_dup_pairs",
     "embedding_dup_pairs",
+    "exact_text_dedup",
+    "semantic_dedup",
     "connected_components",
     "connected_components_star",
     "contaminated_ids",
@@ -893,4 +895,19 @@ def dedup_segments(df: DataFrame, id_col: str = "doc_id",
     return (
         df.select(id_col).join(rebuilt, id_col, "left")
         .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+
+
+def exact_text_dedup(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Keep-first exact content dedup on the RAW text's md5 (no
+    normalization — byte-identical duplicates only, the semantics
+    the corpus-pipeline oracles replay with ``md5(text)``), smallest
+    id wins.  The shared stage-2 of the curation pipelines; the
+    16-byte fingerprint keys the shuffle, not the documents."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -119,7 +119,11 @@ def _decode_ppm(payload: bytes, w: int, h: int) -> bytes:
     src_w, src_h, maxval = tokens
     channels = 3 if payload[:2] == b"P6" else 1
     n = src_w * src_h * channels
-    raw = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    # netpbm samples are 1 byte up to maxval 255, 2 bytes BIG-ENDIAN
+    # above (spec) — reading 16-bit images as uint8 would silently
+    # halve the pixel count and emit noise
+    dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+    raw = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
     img = raw.reshape(src_h, src_w, channels).astype(np.float64)
     if maxval != 255:
         img = img * (255.0 / maxval)
@@ -131,12 +135,14 @@ def _decode_ppm(payload: bytes, w: int, h: int) -> bytes:
 
 
 def _decode_image(payload: bytes, w: int, h: int, strict: bool,
-                  codec: str = "fake") -> bytes:
+                  codec: str = "fake", pil_ok: bool | None = None) -> bytes:
     # netpbm payloads decode FOR REAL in every mode (including
     # strict) — the numpy body needs no external library
     if codec in ("auto", "real") and _is_ppm(payload):
         return _decode_ppm(payload, w, h)
-    if codec == "real" or (codec == "auto" and _pil_available()):
+    if pil_ok is None:
+        pil_ok = _pil_available()
+    if codec == "real" or (codec == "auto" and pil_ok):
         return _pil_decode(payload, w, h)
     if codec == "auto" and strict:
         raise NotImplementedError(
@@ -213,17 +219,18 @@ def decode_images(df: DataFrame, media_col: str = "media",
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # resolve 'auto' ONCE per task, not per row: a failed import
-        # is NOT cached by Python, so probing PIL inside the row loop
-        # would re-scan sys.path for every image on a PIL-less worker
+        # resolve PIL availability ONCE per task, not per row: a
+        # failed import is NOT cached by Python, so probing inside the
+        # row loop would re-scan sys.path for every image on a
+        # PIL-less worker.  The codec itself stays 'auto' so the
+        # PER-PAYLOAD netpbm sniff keeps working — pre-collapsing to
+        # 'fake' on a PIL-less lenient worker silently stubbed P5/P6
+        # payloads that the numpy body decodes for real (and made the
+        # strict flag change OUTPUT, not just error behavior)
         eff_codec = codec
-        if codec == "auto":
-            if _pil_available():
-                eff_codec = "real"
-            elif not strict_flag:
-                eff_codec = "fake"
-            # else: stay 'auto' — the first non-null payload raises
-            # the auto-specific NotImplementedError as before
+        pil_ok = _pil_available() if codec in ("auto", "real") else False
+        if codec == "auto" and pil_ok:
+            eff_codec = "real"
         for pdf in batches:
             media = pdf[media_col]
             pixels, ws, hs = [], [], []
@@ -236,7 +243,8 @@ def decode_images(df: DataFrame, media_col: str = "media",
                 w = 16 if m["meta"]["width"] is None else int(m["meta"]["width"])
                 h = 16 if m["meta"]["height"] is None else int(m["meta"]["height"])
                 pixels.append(
-                    _decode_image(bytes(m["payload"]), w, h, strict_flag, eff_codec)
+                    _decode_image(bytes(m["payload"]), w, h, strict_flag,
+                                  eff_codec, pil_ok=pil_ok)
                 )
                 ws.append(w); hs.append(h)
             pdf = pdf.assign(pixels=pixels, out_width=ws, out_height=hs)
@@ -350,10 +358,19 @@ def resample_audio(df: DataFrame, media_col: str = "media",
                     continue
                 payload = bytes(m["payload"])
                 if payload[:4] == b"RIFF":
-                    pcm = _resample_wav(payload, target_rate)
-                    samples.append(pcm); rates.append(target_rate)
-                    counts.append(len(pcm) // 2)
-                    continue
+                    # real path when the container parses as 16-bit
+                    # PCM WAV; other RIFF payloads (AVI/WebP, 8-bit or
+                    # truncated WAVs) fall THROUGH to the stub/strict
+                    # arms below — a lenient job must not crash on
+                    # one odd file the old stub path tolerated
+                    try:
+                        pcm = _resample_wav(payload, target_rate)
+                        samples.append(pcm); rates.append(target_rate)
+                        counts.append(len(pcm) // 2)
+                        continue
+                    except Exception:
+                        if strict_flag:
+                            raise
                 if strict_flag:
                     raise NotImplementedError(
                         "audio resample requires torchaudio/ffmpeg for "

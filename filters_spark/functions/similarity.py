@@ -337,7 +337,13 @@ def kmeans(df: DataFrame, k: int = 8, iters: int = 2,
 def _kmeans_assign_arrow(v: DataFrame, cent: DataFrame) -> DataFrame:
     """One numpy distance-matrix assignment pass.  Collects the
     centroid frame (k×dim — small by contract) and ships it in the
-    closure; rows never leave the executors."""
+    closure; rows never leave the executors.
+
+    The collect also TRUNCATES lineage: the returned frame depends
+    only on the raw vector scan plus the collected numpy array, so
+    iteration i's centroid collect re-runs exactly ONE assignment
+    pass (not the whole chain back to iteration 1) — total passes
+    grow linearly in ``iters``, no persist needed."""
     import numpy as np
 
     crows = sorted(((r["_cidx"], r["_c"]) for r in cent.collect()),

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "repetition_gate",
     "tokens",
     "token_count",
     "word_tokens_regex",
@@ -411,3 +412,18 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
         F.concat_ws(sep, piece).alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
     )
+
+
+def repetition_gate(df, id_col: str = "doc_id", text_col: str = "text",
+                    max_dup_line_frac: float = 0.85, sep: str = " "):
+    """Quality gate keeping documents whose duplicate-segment
+    fraction stays under the cap — THE shared stage-1 of the
+    curation pipelines (ds_corpus_pipeline_v2/v3 and the scale
+    stress all call this one definition, so a threshold or
+    semantics change cannot silently diverge them).  Implemented as
+    a left-semi join against :func:`line_repetition_stats`."""
+    stats = line_repetition_stats(
+        df.select(id_col, text_col), id_col, text_col, sep=sep)
+    keep = stats.where(
+        F.col("dup_line_frac") <= max_dup_line_frac).select(id_col)
+    return df.join(keep, id_col, "left_semi")

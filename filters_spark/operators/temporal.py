@@ -58,7 +58,7 @@ _OFFSET_RE = (
     # lookbehind a plain DATE ('2024-01-02') ends in '-02' and would
     # false-match, un-shifting every naive date input
     r"|(?<=:\d\d)[+-]\d{1,2}"
-    r"|(?<=\.\d)[+-]\d{1,2}"            # bare hour after fraction ('.5+09')
+    r"|(?<=\.\d{1,9})[+-]\d{1,2}"       # bare hour after fraction ('.500+00')
     r"|(?<=\d\s)(UTC|UT|GMT)"           # bare zone word ('12:00:00 UTC')
     r"|[A-Za-z]+(/[A-Za-z0-9_+-]+)+"    # region zone ids
     r")\s*$"

@@ -5189,13 +5189,9 @@ def ds_corpus_pipeline_v2(spark, sf_dir):
     from ..functions import packing, sampling
 
     d = _t(spark, sf_dir, "documents")
-    rep = text.line_repetition_stats(
-        d.select("doc_id", "text"), "doc_id", "text", sep=" ")
-    q = d.join(rep.where(F.col("dup_line_frac") <= 0.85).select("doc_id"),
-               "doc_id", "left_semi")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    ded = (q.withColumn("_rn", F.row_number().over(w))
-           .where(F.col("_rn") == 1).select("doc_id", "source", "text"))
+    q = text.repetition_gate(d, "doc_id", "text", max_dup_line_frac=0.85)
+    ded = dedup.exact_text_dedup(q, "doc_id", "text").select(
+        "doc_id", "source", "text")
     clean = dedup.decontaminate(
         ded, d.where(F.col("doc_id") % 37 == 0).select("text"),
         "doc_id", "text", n=5)
@@ -6014,14 +6010,9 @@ def ds_corpus_pipeline_v3(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     j = d.join(e, d.doc_id == e.vec_id).select(
         "doc_id", "text", "embedding", "label")
-    rep = text.line_repetition_stats(
-        j.select("doc_id", "text"), "doc_id", "text", sep=" ")
-    q = j.join(rep.where(F.col("dup_line_frac") <= 0.85).select("doc_id"),
-               "doc_id", "left_semi")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    ded = (q.withColumn("_rn", F.row_number().over(w))
-           .where(F.col("_rn") == 1)
-           .select("doc_id", "text", "embedding", "label"))
+    q = text.repetition_gate(j, "doc_id", "text", max_dup_line_frac=0.85)
+    ded = dedup.exact_text_dedup(q, "doc_id", "text").select(
+        "doc_id", "text", "embedding", "label")
     kept = dedup.semantic_dedup(ded, "doc_id", "embedding", "label",
                                 threshold=0.35)
     kept = kept.localCheckpoint(eager=False)

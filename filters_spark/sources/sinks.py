@@ -155,8 +155,13 @@ def write_training_shards(df: DataFrame, key: str, n_shards: int,
     carries the full shard in position order, and parquet preserves
     row order within a file.  A training reader consuming
     ``path/shard=K`` in file order replays the exact epoch-0
-    permutation; the manifest checksum (Σ key·pos, the same
-    observable ``ds_global_shuffle`` gates) proves it.
+    permutation.  The manifest (computed by reading BACK the written
+    files, so it certifies what landed on disk, not what was planned)
+    pins each shard's SIZE and POSITION ASSIGNMENT via the Σ key·pos
+    checksum — the same observable ``ds_global_shuffle`` gates.  The
+    physical in-file row ORDER is checksum-invariant (the sum
+    commutes); it is asserted by the writer test and verifiable at
+    read time by checking ``pos`` monotonicity per file.
 
     ``n_shards`` should exceed the writing cluster's parallelism for
     balanced tasks (several shards per task is fine — each still gets

@@ -110,10 +110,15 @@ def drift_by_window(stream_df: DataFrame, col: str,
                     window: str = "10 minutes",
                     watermark: str = "30 minutes") -> DataFrame:
     """Streaming distribution-drift monitor: per (window, category)
-    observed share vs a BASELINE share (the batch
-    ``profile.category_drift`` expectation, captured offline), with
-    the absolute deviation — alerting on ``sum(abs_diff)/2`` per
-    window is a live total-variation drift alarm on an intake feed.
+    observed COUNTS next to the BASELINE share (the batch
+    ``profile.category_drift`` expectation, captured offline).  The
+    emitted columns are (win, <col>, n, baseline_share); the consumer
+    derives each window's observed shares (n / window total) and
+    alerts on ``sum(|share − baseline_share|)/2`` — a live
+    total-variation drift alarm on an intake feed.  Shares are NOT
+    computed in-stream: that would need a second stateful aggregation
+    over the same window keys, which Structured Streaming disallows
+    in one query (see the in-body note).
 
     The baseline is a plain dict baked into the plan as a CASE
     expression (small by definition — a category distribution);

@@ -219,3 +219,54 @@ class TestRealWavResample:
         got = struct.unpack(f"<{out[0]['n_samples']}h",
                             bytes(out[0]["samples"]))
         assert got == (2000, 2000)
+
+
+class TestCodecReviewRegressions:
+    def test_16bit_pgm_decodes_correctly(self, spark):
+        from pyspark.sql import functions as F
+        from filters_spark.functions import multimodal as mm
+        import struct
+        # 2x1 16-bit PGM: maxval 65535, big-endian samples 0 and 65535
+        payload = b"P5\n2 1\n65535\n" + struct.pack(">2H", 0, 65535)
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/x-portable-graymap")
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(2))
+            .withField("meta.height", F.lit(1)))
+        px = bytes(mm.decode_images(media, strict=True,
+                                    codec="auto").collect()[0]["pixels"])
+        assert list(px) == [0, 255]   # scaled, not byte-split noise
+
+    def test_netpbm_decodes_real_even_lenient_without_pil(self, spark):
+        """codec='auto', strict=False on a PIL-less worker must still
+        use the REAL numpy decode for netpbm payloads — the strict
+        flag controls error behavior, never the decoded output."""
+        from pyspark.sql import functions as F
+        from filters_spark.functions import multimodal as mm
+        payload = b"P5\n2 1\n255\n" + bytes([7, 200])
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/x-portable-graymap")
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(2))
+            .withField("meta.height", F.lit(1)))
+        lenient = bytes(mm.decode_images(media, strict=False,
+                                         codec="auto").collect()[0]["pixels"])
+        strict = bytes(mm.decode_images(media, strict=True,
+                                        codec="auto").collect()[0]["pixels"])
+        assert lenient == strict == bytes([7, 200])
+
+    def test_non_pcm_riff_falls_back_lenient_raises_strict(self, spark):
+        from filters_spark.functions import multimodal as mm
+        bogus = b"RIFF\x10\x00\x00\x00AVI LIST"   # RIFF but not a WAV
+        df = spark.createDataFrame([(1, bytearray(bogus))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "video/avi")
+        out = mm.resample_audio(media, target_rate=16000,
+                                strict=False).collect()
+        assert out[0]["samples"] is not None      # stub fallback, no crash
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            mm.resample_audio(media, target_rate=16000,
+                              strict=True).collect()

@@ -207,8 +207,6 @@ def phase_capstone(spark: SparkSession) -> None:
     planted near-dup pairs in 4096 cells), then repetition gate →
     exact text dedup → SemDeDup (ARROW engine — the scale path) →
     epoch shuffle into 256 shards."""
-    from pyspark.sql import Window
-
     from filters_spark.functions import text
 
     out_dir = os.environ.get("STRESS_DIR", "/tmp/fs_stress_r3b") + "/docs"
@@ -232,14 +230,9 @@ def phase_capstone(spark: SparkSession) -> None:
         F.pmod(F.xxhash64(seed), F.lit(cells)).cast("int").alias("label"))
 
     t0 = time.time()
-    rep = text.line_repetition_stats(
-        j.select("doc_id", "text"), "doc_id", "text", sep=" ")
-    q = j.join(rep.where(F.col("dup_line_frac") <= 0.85).select("doc_id"),
-               "doc_id", "left_semi")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    ded = (q.withColumn("_rn", F.row_number().over(w))
-           .where(F.col("_rn") == 1)
-           .select("doc_id", "text", "embedding", "label"))
+    q = text.repetition_gate(j, "doc_id", "text", max_dup_line_frac=0.85)
+    ded = dedup.exact_text_dedup(q, "doc_id", "text").select(
+        "doc_id", "text", "embedding", "label")
     kept = dedup.semantic_dedup(ded, "doc_id", "embedding", "label",
                                 threshold=0.99, engine="arrow")
     kept = kept.localCheckpoint(eager=False)
