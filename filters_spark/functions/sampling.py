@@ -149,20 +149,26 @@ def domain_mixture_sample(df: DataFrame, key: str, domain_col: str,
             raise ValueError(
                 f"domain_mixture_sample: target for {d!r} must be > 0 "
                 f"(got {t}); omit the domain to drop it instead")
-    spark = df.sparkSession
-    tgt = spark.createDataFrame(
-        sorted((d, float(t)) for d, t in targets.items()),
-        schema=f"{domain_col} string, _t double")
-    observed = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    target_expr: Column = F.lit(None).cast("double")
+    for d, t in sorted(targets.items()):
+        target_expr = F.when(F.col(domain_col) == d, F.lit(float(t))) \
+            .otherwise(target_expr)
     counts = (
-        tgt.join(observed, domain_col, "left")
-        .select(domain_col, "_t", F.coalesce("_n", F.lit(0)).alias("_n"))
+        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_t", target_expr)
+        .where(F.col("_t").isNotNull())
     )
-    s = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_s"))
+    # `counts` only holds PRESENT targeted domains; if any targeted
+    # domain is absent its implied n/t is 0, so S must be 0 — checked
+    # by comparing the present-domain count to |targets| inside the
+    # same 1-row aggregate (no extra join or literal frame)
+    s = counts.agg(
+        F.when(F.count(F.lit(1)) == len(targets),
+               F.min(F.col("_n") / F.col("_t")))
+        .otherwise(F.lit(0.0)).alias("_s"))
     rates = counts.crossJoin(broadcast(s)).select(
         F.col(domain_col),
-        F.when(F.col("_n") == 0, F.lit(0.0)).otherwise(
-            F.least(F.lit(1.0), F.col("_t") * F.col("_s") / F.col("_n")))
+        F.least(F.lit(1.0), F.col("_t") * F.col("_s") / F.col("_n"))
         .alias("_rate"),
     )
     return (
