@@ -6121,3 +6121,58 @@ def ds_real_codec_gate(spark, sf_dir):
         .agg(F.round(F.sum(F.col("_r") * 16), 0).cast("long")
              .alias("n_chars"))
     )
+
+
+@register(
+    "ds_wav_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+      WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    ), h AS (
+      SELECT code % 16 AS bucket, 1 AS n FROM ch
+      UNION ALL
+      SELECT 0 AS bucket, 16 AS n FROM b   -- the int16 high bytes (all 0)
+    )
+    SELECT bucket, CAST(sum(n) AS BIGINT) AS n_bytes FROM h GROUP BY bucket
+    """,
+)
+def ds_wav_codec_gate(spark, sf_dir):
+    """The real AUDIO codec under the value hash (the WAV twin of
+    ds_real_codec_gate): each document's first 16 characters become
+    little-endian int16 samples behind a genuine 44-byte RIFF/WAVE
+    header (a CONSTANT binary literal — the sample count is fixed),
+    the strict-mode stdlib-wave/numpy resampler decodes them at the
+    native rate (identity path: values round-trip exactly), and the
+    byte histogram of the emitted PCM is hash-compared against a
+    DuckDB oracle computed from character codes — each char
+    contributes its code's bucket once and bucket 0 once (the zero
+    high byte).  The hash matches only if the RIFF parse and sample
+    round-trip reproduced every byte."""
+    import struct as _s
+
+    from ..functions import multimodal as mm
+
+    header = (b"RIFF" + _s.pack("<I", 36 + 32) + b"WAVE"
+              + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+              + b"data" + _s.pack("<I", 32))
+    sample_bytes = []
+    for i in range(1, 17):
+        sample_bytes.append(F.encode(F.substring("text", i, 1), "UTF-8"))
+        sample_bytes.append(F.lit(b"\x00"))
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .select("doc_id",
+                 F.concat(F.lit(header), *sample_bytes).alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "audio/wav").drop("_payload")
+    pcm = mm.resample_audio(media, target_rate=8000, strict=True)
+    feats = mm.extract_image_features(pcm, pixels_col="samples", dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.round(F.sum(F.col("_r") * 32), 0).cast("long")
+             .alias("n_bytes"))
+    )

@@ -278,6 +278,8 @@ EXPECTATIONS: dict[str, dict] = {
     # real-codec gate: scan → PGM build → two mapInPandas crossings
     # (decode + featurize) → posexplode + one bucket rollup
     "ds_real_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    # WAV twin: same shape through the audio resampler
+    "ds_wav_codec_gate": dict(max_exchanges=1, scan_filter=True),
 }
 
 
