@@ -6176,3 +6176,56 @@ def ds_wav_codec_gate(spark, sf_dir):
         .agg(F.round(F.sum(F.col("_r") * 32), 0).cast("long")
              .alias("n_bytes"))
     )
+
+
+@register(
+    "ds_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), knn AS (
+      SELECT src_id, neighbor_id FROM (
+        SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                          b.vec_id) AS rk
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+      ) WHERE rk <= 3
+    ), edges AS (
+      SELECT src_id AS src, neighbor_id AS dst FROM knn
+      UNION
+      SELECT neighbor_id AS src, src_id AS dst FROM knn
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ), comp AS (
+      SELECT src AS vec_id, least(src, min(dst)) AS component_id
+      FROM reach GROUP BY src
+    )
+    SELECT component_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component_id
+    """,
+)
+def ds_semantic_clusters(spark, sf_dir):
+    """Semantic clustering by graph composition: the kNN graph
+    (top-3 rounded-cosine neighbors within each quantizer cell)
+    becomes the edge list for large-star/small-star connected
+    components — the unsupervised topic-grouping a curation pipeline
+    uses for mixture balancing when no labels exist.  Composes two
+    already-gated operators (similarity.knn_graph +
+    dedup.connected_components_star) under ONE hash: the DuckDB
+    oracle rebuilds the kNN edges and closes them with a recursive
+    CTE; the min-id component labels are order-free, so both engines
+    land on identical clusters.  Gated observable: per-cluster
+    member counts."""
+    from ..functions import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = similarity.knn_graph(emb, k=3, block_col="label")
+    pairs = knn.select(F.col("src_id").alias("a_id"),
+                       F.col("neighbor_id").alias("b_id"))
+    comp = dedup.connected_components_star(pairs)
+    return comp.groupBy(F.col("comp").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_members"))

@@ -280,6 +280,9 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_real_codec_gate": dict(max_exchanges=1, scan_filter=True),
     # WAV twin: same shape through the audio resampler
     "ds_wav_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    # knn→CC composition: star rounds run upstream of localCheckpoints;
+    # audited tail is the component rollup
+    "ds_semantic_clusters": dict(max_exchanges=2),
 }
 
 
