@@ -280,9 +280,11 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_real_codec_gate": dict(max_exchanges=1, scan_filter=True),
     # WAV twin: same shape through the audio resampler
     "ds_wav_codec_gate": dict(max_exchanges=1, scan_filter=True),
-    # knn→CC composition: star rounds run upstream of localCheckpoints;
-    # audited tail is the component rollup
-    "ds_semantic_clusters": dict(max_exchanges=2),
+    # knn→CC composition: earlier star rounds run upstream of
+    # localCheckpoints (scans=0 in the audited plan); the tail is the
+    # FINAL star round's join/agg chain + the component rollup — all
+    # |nodes|-sized exchanges
+    "ds_semantic_clusters": dict(max_exchanges=8),
 }
 
 
