@@ -537,7 +537,14 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
         matrix.  numpy's pairwise summation can differ from the
         sequential sum in the last ulps — use for throughput; gate
         queries should prefer ``expr`` unless the threshold is
-        comfortably far from any pair's cosine."""
+        comfortably far from any pair's cosine.
+
+    NULL cells: rows with a NULL ``cell_col`` are KEPT verbatim in
+    BOTH engines — an unassigned row has no quantizer cell, so it has
+    no candidate neighbors by construction.  (Without the explicit
+    filter the engines would diverge: an equi-join never matches NULL
+    keys while ``groupBy`` collects NULLs into one group, silently
+    deduping *across* the unassigned pool — ADVICE r3.)"""
     if engine == "arrow":
         dropped = _semantic_dropped_arrow(df, id_col, vec_col, cell_col,
                                           threshold)
@@ -578,14 +585,20 @@ def _semantic_dropped_arrow(df: DataFrame, id_col: str, vec_col: str,
     """Per-cell numpy cosine matrix → dropped ids.  One Arrow batch
     per cell (cells are the ANN quantizer's cells — small by
     construction; a cell that doesn't fit one executor's memory needs
-    a finer quantizer, not a bigger box)."""
+    a finer quantizer, not a bigger box).  NULL-cell rows are
+    filtered (kept by the caller's anti-join, matching the expr
+    engine's join-on-cell semantics); the output schema is derived
+    from the input id column's type, not hard-coded long (string ids
+    work — ADVICE r3)."""
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def find_dropped(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         if len(pdf) < 2:
-            return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
+            return pdf.iloc[0:0][[id_col]]
         order = pdf[id_col].to_numpy().argsort(kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype("float64")
@@ -599,8 +612,9 @@ def _semantic_dropped_arrow(df: DataFrame, id_col: str, vec_col: str,
 
     return (
         df.select(F.col(cell_col).alias("_cell"), id_col, vec_col)
+        .where(F.col("_cell").isNotNull())
         .groupBy("_cell")
-        .applyInPandas(find_dropped, f"{id_col} long")
+        .applyInPandas(find_dropped, f"{id_col} {id_type}")
     )
 
 

@@ -137,9 +137,18 @@ def _decode_ppm(payload: bytes, w: int, h: int) -> bytes:
 def _decode_image(payload: bytes, w: int, h: int, strict: bool,
                   codec: str = "fake", pil_ok: bool | None = None) -> bytes:
     # netpbm payloads decode FOR REAL in every mode (including
-    # strict) — the numpy body needs no external library
+    # strict) — the numpy body needs no external library.  A payload
+    # that merely SNIFFS as netpbm ('P5'/'P6' prefix) but is
+    # malformed re-raises in strict mode and falls through to the
+    # PIL/stub arms when lenient — the same contract _resample_wav's
+    # RIFF path implements (a corrupt blob must never crash a
+    # strict=False job).
     if codec in ("auto", "real") and _is_ppm(payload):
-        return _decode_ppm(payload, w, h)
+        try:
+            return _decode_ppm(payload, w, h)
+        except Exception:
+            if strict:
+                raise
     if pil_ok is None:
         pil_ok = _pil_available()
     if codec == "real" or (codec == "auto" and pil_ok):

@@ -38,6 +38,8 @@ __all__ = [
     "term_postings",
     "doc_lengths",
     "bm25_topk",
+    "materialize_postings",
+    "bm25_topk_from_postings",
 ]
 
 
@@ -139,6 +141,90 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         .alias("idf"),
     )
 
+    cand = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = (
+        F.col("idf") * F.col("tf") * (k1 + 1.0)
+        / (F.col("tf")
+           + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
+    )
+    scored = (
+        cand.select("query_id", "doc_id", contrib.alias("_c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_c"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def materialize_postings(docs: DataFrame, path: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         sep: str = " ", term_partitions: int = 32) -> None:
+    """Materialize the BM25 index artifacts once so that REPEATED
+    query sets probe a table instead of re-tokenizing the corpus (and
+    instead of :func:`bm25_topk`'s per-call persisted frame — the
+    leaked-cache contract ADVICE r3 flagged).
+
+    Writes two parquet datasets under ``path``:
+
+    * ``postings/`` — (doc_id, term, tf, dl), RANGE-partitioned and
+      sorted by term, so a probe's term predicate prunes whole files
+      and row groups via parquet min/max stats (the 100 TB shape: a
+      query touching 40 terms reads ~40 terms' worth of postings, not
+      the corpus).
+    * ``stats/`` — one row (n_docs, avgdl), read back as a broadcast.
+    """
+    toks = F.split(F.col(text_col), sep)
+    post = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.size(toks).alias("dl"),
+                    F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    (post.repartitionByRange(term_partitions, "term")
+     .sortWithinPartitions("term", "doc_id")
+     .write.mode("overwrite").parquet(f"{path}/postings"))
+    (doc_lengths(docs, id_col, text_col, sep)
+     .agg(F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl"))
+     .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def bm25_topk_from_postings(spark, path: str, queries: DataFrame,
+                            k: int = 10, k1: float = 1.2, b: float = 0.75,
+                            query_id_col: str = "query_id",
+                            term_col: str = "term") -> DataFrame:
+    """BM25 top-k against a :func:`materialize_postings` index.
+
+    The (by contract small) query term set is collected and pushed
+    into the postings scan as an ``IN`` predicate — with the
+    range-partitioned, term-sorted layout that prunes files and row
+    groups, so the scan cost is proportional to the matched postings.
+    No ``.persist()`` anywhere: the matched slice is re-scanned for
+    the idf branch, which is two pruned reads of a small slice rather
+    than a leaked cache entry per call."""
+    qterms = queries.select(F.col(query_id_col).alias("query_id"),
+                            F.col(term_col).alias("term"))
+    terms = [r.term for r in qterms.select("term").distinct().collect()]
+    post = (spark.read.parquet(f"{path}/postings")
+            .where(F.col("term").isin(terms)))
+    stats = spark.read.parquet(f"{path}/stats")
+
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(F.lit(1.0)
+              + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        .alias("idf"),
+    )
     cand = (
         post.join(F.broadcast(qterms), "term")
         .join(F.broadcast(idf), "term")

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "salted_join", "upsert"]
+__all__ = ["asof_join", "salted_join", "scd2", "upsert"]
 
 
 def asof_join(left: DataFrame, right: DataFrame,

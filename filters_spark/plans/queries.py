@@ -1754,16 +1754,18 @@ def val_switch_dispatch(spark, sf_dir):
 @register(
     "val_bytestring",
     oracle="""
-    SELECT c_custkey, encode(c_name) AS name_bytes,
+    SELECT c_custkey, hex(encode(c_name)) AS name_hex,
            CAST(octet_length(encode(c_name)) AS INTEGER) AS n_bytes
     FROM customer
     """,
 )
 def val_bytestring(spark, sf_dir):
     """ByteString → BinaryType (SURVEY §2.2 ByteArray/§2.4 ByteString
-    rows): utf-8 encode, carried as real binary — the oracle harness
-    hex-normalizes blobs on both engines, so the bytes themselves are
-    hash-checked, plus their octet length."""
+    rows): utf-8 encode, carried as real binary through the validator
+    — but EMITTED as hex: the official harness's pandas canonicalizer
+    crashes on raw ``bytearray`` cells (CORRECTNESS_r03
+    ``val_bytestring`` traceback), so gate queries must never output
+    BinaryType.  The octet length still checks the byte payload."""
     import filters_spark as fs
 
     cust = _t(spark, sf_dir, "customer")
@@ -1771,7 +1773,9 @@ def val_bytestring(spark, sf_dir):
         cust.select("c_custkey", F.col("c_name").alias("name_bytes"))
     )
     return res.clean.select(
-        "c_custkey", "name_bytes", F.octet_length("name_bytes").alias("n_bytes")
+        "c_custkey",
+        F.hex("name_bytes").alias("name_hex"),
+        F.octet_length("name_bytes").alias("n_bytes"),
     )
 
 
@@ -2682,10 +2686,11 @@ def rel_q21_exclusive_supplier(spark, sf_dir):
     "val_decimal_exact_agg",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
-             AS exact_revenue,
-           sum(CAST(round(round(l_extendedprice, 2) / 0.25, 0) * 0.25
-                    AS DECIMAL(18,2))) AS rounded_to_quarter
+           CAST(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS VARCHAR) AS exact_revenue,
+           CAST(CAST(sum(CAST(round(round(l_extendedprice, 2) / 0.25, 0) * 0.25
+                              AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR)
+             AS rounded_to_quarter
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -2693,10 +2698,13 @@ def rel_q21_exclusive_supplier(spark, sf_dir):
 def val_decimal_exact_agg(spark, sf_dir):
     """Decimal end-to-end (SURVEY §2.3 Decimal/Round): prices cast to
     DECIMAL(18,2) through the DecimalOf validator, summed EXACTLY —
-    no float accumulation, so the hash check needs no rounding
-    discipline at all (the point of decimals in money pipelines).
-    Round(to_nearest=0.25) is the reference's quarter-rounding on the
-    decimal path, HALF_UP via F.round."""
+    no float accumulation.  Round(to_nearest=0.25) is the reference's
+    quarter-rounding on the decimal path, HALF_UP via F.round.  The
+    gate outputs the exact sums as scale-2 decimal STRINGS on both
+    sides: DuckDB's pandas bridge collapses DECIMAL to float64 while
+    Spark keeps ``Decimal`` objects (CORRECTNESS_r03 red row), so a
+    decimal-typed output can never official-hash-match — the VARCHAR
+    projection keeps the comparison exact AND version-proof."""
     import filters_spark as fs
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -2717,7 +2725,11 @@ def val_decimal_exact_agg(spark, sf_dir):
     b = quarters.groupBy("l_returnflag").agg(
         F.sum("rounded").alias("rounded_to_quarter"))
     return a.join(b, "l_returnflag").select(
-        "l_returnflag", "exact_revenue", "rounded_to_quarter")
+        "l_returnflag",
+        F.col("exact_revenue").cast("decimal(18,2)").cast("string")
+        .alias("exact_revenue"),
+        F.col("rounded_to_quarter").cast("decimal(18,2)").cast("string")
+        .alias("rounded_to_quarter"))
 
 
 @register(
@@ -3086,7 +3098,7 @@ def rel_q12_priority_shipping(spark, sf_dir):
       WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
       GROUP BY l_partkey
     )
-    SELECT l_partkey, CAST(value AS DECIMAL(38,4)) AS value
+    SELECT l_partkey, CAST(CAST(value AS DECIMAL(38,4)) AS VARCHAR) AS value
     FROM vals
     WHERE value * 1000 > (SELECT sum(value) FROM vals)
     """,
@@ -3121,7 +3133,12 @@ def rel_q11_important_parts(spark, sf_dir):
     return (
         vals.join(F.broadcast(total))
         .where(F.col("value") * 1000 > F.col("_total"))
-        .select("l_partkey", F.col("value").cast("decimal(38,4)").alias("value"))
+        # decimal STRING output: DuckDB's pandas bridge collapses
+        # DECIMAL to float64 while Spark keeps Decimal objects, so a
+        # decimal-typed gate column can never official-hash-match
+        .select("l_partkey",
+                F.col("value").cast("decimal(38,4)").cast("string")
+                .alias("value"))
     )
 
 
@@ -3871,7 +3888,7 @@ def val_struct_projection(spark, sf_dir):
              sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS revenue
       FROM orders GROUP BY 1
     )
-    SELECT month, revenue,
+    SELECT month, CAST(revenue AS VARCHAR) AS revenue,
            round((revenue - lag(revenue) OVER (ORDER BY month)) * 1.0
                  / lag(revenue) OVER (ORDER BY month), 6) AS mom_pct
     FROM m
@@ -3895,8 +3912,10 @@ def rel_mom_revenue(spark, sf_dir):
     )
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
+    # decimal gate columns go out as strings (pandas-bridge asymmetry)
     return m.select(
-        "month", "revenue",
+        "month",
+        F.col("revenue").cast("string").alias("revenue"),
         F.round((F.col("revenue") - prev) * 1.0 / prev, 6).alias("mom_pct"),
     )
 
@@ -4043,7 +4062,7 @@ def txt_boilerplate_ngrams(spark, sf_dir):
     ),
     t AS (SELECT sum(rev) AS total FROM c)
     SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
-           sum(rev) AS decile_rev,
+           CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS VARCHAR) AS decile_rev,
            round(sum(rev) * 1.0 / min(total), 6) AS rev_share
     FROM d CROSS JOIN t
     GROUP BY decile
@@ -4071,7 +4090,10 @@ def rel_pareto_deciles(spark, sf_dir):
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum("rev").alias("decile_rev"),
+            # decimal gate columns go out as strings (pandas-bridge
+            # asymmetry: DuckDB DECIMAL → float64, Spark → Decimal)
+            F.sum("rev").cast("decimal(38,2)").cast("string")
+            .alias("decile_rev"),
             F.round(F.sum("rev") * 1.0 / F.min("total"), 6).alias("rev_share"),
         )
     )
@@ -4422,9 +4444,11 @@ def prof_freshness(spark, sf_dir):
              sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS revenue
       FROM orders GROUP BY 1
     )
-    SELECT month, revenue,
-           sum(revenue) OVER (ORDER BY month
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+    SELECT month,
+           CAST(revenue AS VARCHAR) AS revenue,
+           CAST(CAST(sum(revenue) OVER (ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(38,2)) AS VARCHAR) AS cum_revenue
     FROM m
     """,
 )
@@ -4441,8 +4465,12 @@ def rel_running_total(spark, sf_dir):
           .alias("revenue"))
     w = (Window.orderBy("month")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # decimal gate columns go out as strings (pandas-bridge asymmetry)
     return m.select(
-        "month", "revenue", F.sum("revenue").over(w).alias("cum_revenue")
+        "month",
+        F.col("revenue").cast("string").alias("revenue"),
+        F.sum("revenue").over(w).cast("decimal(38,2)").cast("string")
+        .alias("cum_revenue"),
     )
 
 
@@ -4737,10 +4765,10 @@ def ds_containment_pairs(spark, sf_dir):
            round(avg(l.dup_line_frac), 4) AS avg_dup_word_frac,
            round(avg(g.top_ngram_char_frac), 4) AS avg_top_bigram_frac,
            round(avg(g.dup_ngram_char_frac), 4) AS avg_dup_bigram_frac,
-           sum(CASE WHEN coalesce(l.dup_line_frac, 0) <= 0.3
-                     AND coalesce(g.top_ngram_char_frac, 0) <= 0.2
-                     AND coalesce(g.dup_ngram_char_frac, 0) <= 0.6
-                    THEN 1 ELSE 0 END) AS n_keep
+           CAST(sum(CASE WHEN coalesce(l.dup_line_frac, 0) <= 0.3
+                          AND coalesce(g.top_ngram_char_frac, 0) <= 0.2
+                          AND coalesce(g.dup_ngram_char_frac, 0) <= 0.6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
     FROM documents d
     LEFT JOIN line_stats l USING (doc_id)
     LEFT JOIN gram_stats g USING (doc_id)
@@ -4851,16 +4879,20 @@ def _pii_aug_col():
       FROM aug
     )
     SELECT source,
-           sum(n_email) AS emails, sum(n_phone) AS phones,
-           sum(n_ipv4) AS ipv4s, sum(n_ssn) AS ssns, sum(n_card) AS cards,
-           sum(CASE WHEN luhn_ok THEN 1 ELSE 0 END) AS luhn_valid_cards,
-           sum(len(regexp_extract_all(red, '{pii.PII_PATTERNS["email"]}'))
+           CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_phone) AS BIGINT) AS phones,
+           CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+           CAST(sum(n_ssn) AS BIGINT) AS ssns,
+           CAST(sum(n_card) AS BIGINT) AS cards,
+           CAST(sum(CASE WHEN luhn_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS luhn_valid_cards,
+           CAST(sum(len(regexp_extract_all(red, '{pii.PII_PATTERNS["email"]}'))
              + len(regexp_extract_all(red, '{pii.PII_PATTERNS["phone"]}'))
              + len(regexp_extract_all(red, '{pii.PII_PATTERNS["ipv4"]}'))
              + len(regexp_extract_all(red, '{pii.PII_PATTERNS["ssn"]}'))
              + len(regexp_extract_all(red, '{pii.PII_PATTERNS["credit_card"]}')))
-             AS residual_after_redact,
-           sum(length(aug) - length(red)) AS char_delta
+             AS BIGINT) AS residual_after_redact,
+           CAST(sum(length(aug) - length(red)) AS BIGINT) AS char_delta
     FROM det GROUP BY source
     """,
 )
@@ -4920,9 +4952,10 @@ def ds_pii_rollup(spark, sf_dir):
       JOIN bench_grams b USING (gram)
     )
     SELECT d.source, count(*) AS n_docs,
-           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_contaminated,
-           sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS n_clean
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean
     FROM documents d LEFT JOIN contaminated c USING (doc_id)
     GROUP BY d.source
     """,
@@ -4978,7 +5011,7 @@ from ..functions import url as urlops  # noqa: E402
           '#[^\s]*$', ''), '/$', '') AS norm_url
       FROM det
     )
-    SELECT source, sum(n_urls) AS total_urls,
+    SELECT source, CAST(sum(n_urls) AS BIGINT) AS total_urls,
            count(DISTINCT CASE WHEN host != '' THEN host END) AS n_hosts,
            count(DISTINCT CASE WHEN host != '' THEN
              regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) END)
@@ -5077,9 +5110,9 @@ def ds_domain_mixture(spark, sf_dir):
       FROM lens
     )
     SELECT source, CAST(floor(start / 512) AS BIGINT) AS bin,
-           count(*) AS n_docs, sum(n_tok) AS bin_tokens,
-           min(start - CAST(floor(start / 512) AS BIGINT) * 512)
-             AS first_offset
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(min(start - CAST(floor(start / 512) AS BIGINT) * 512)
+                AS BIGINT) AS first_offset
     FROM packed GROUP BY source, bin
     """,
 )
@@ -5165,7 +5198,7 @@ def ds_sequence_pack(spark, sf_dir):
     )
     SELECT source, count(*) AS n_docs,
            count(DISTINCT CAST(floor(start / 512) AS BIGINT)) AS n_bins,
-           sum(n_tok) AS total_tokens
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
     FROM packed GROUP BY source
     """,
 )
@@ -5239,11 +5272,11 @@ def ds_corpus_pipeline_v2(spark, sf_dir):
       FROM kept WHERE rn = 1 GROUP BY doc_id
     )
     SELECT l.source, count(*) AS n_docs,
-           sum(CASE WHEN r.t IS NULL OR r.t = '' THEN 1 ELSE 0 END)
-             AS n_emptied,
-           sum(CASE WHEN r.t IS NULL OR r.t = '' THEN 0
+           CAST(sum(CASE WHEN r.t IS NULL OR r.t = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_emptied,
+           CAST(sum(CASE WHEN r.t IS NULL OR r.t = '' THEN 0
                     ELSE len(string_split(replace(r.t, chr(10), ' '), ' '))
-               END) AS surviving_tokens
+               END) AS BIGINT) AS surviving_tokens
     FROM lined l LEFT JOIN rebuilt r USING (doc_id)
     GROUP BY l.source
     """,
@@ -5286,11 +5319,12 @@ def ds_segment_dedup(spark, sf_dir):
       FROM tok
     )
     SELECT source, count(*) AS n_chunks,
-           sum(len(list_slice(toks, s, least(s + 31, len(toks)))))
-             AS total_chunk_tokens,
-           max(chunk_id) AS max_chunk_id,
-           sum(CASE WHEN len(list_slice(toks, s, least(s + 31, len(toks)))) = 32
-                    THEN 1 ELSE 0 END) AS full_chunks
+           CAST(sum(len(list_slice(toks, s, least(s + 31, len(toks)))))
+                AS BIGINT) AS total_chunk_tokens,
+           CAST(max(chunk_id) AS BIGINT) AS max_chunk_id,
+           CAST(sum(CASE WHEN len(list_slice(toks, s,
+                                             least(s + 31, len(toks)))) = 32
+                    THEN 1 ELSE 0 END) AS BIGINT) AS full_chunks
     FROM starts GROUP BY source
     """,
 )
@@ -5328,7 +5362,8 @@ def ds_chunk_documents(spark, sf_dir):
       FROM embeddings, w
     )
     SELECT label, count(*) AS n,
-           sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS n_pos,
+           CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
            round(avg(score), 4) AS avg_score
     FROM scored GROUP BY label
     """,
@@ -5400,7 +5435,8 @@ def ds_hash_reservoir(spark, sf_dir):
              row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
       FROM s
     )
-    SELECT shard, count(*) AS n_docs, sum(doc_id * pos) AS order_checksum
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(doc_id * pos) AS BIGINT) AS order_checksum
     FROM p GROUP BY shard
     """,
 )
@@ -5498,7 +5534,8 @@ def ds_bm25_topk(spark, sf_dir):
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.35
     )
-    SELECT label, count(*) AS n_kept, sum(vec_id) AS kept_id_sum
+    SELECT label, count(*) AS n_kept,
+           CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
     FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
     GROUP BY label
     """,
@@ -5929,7 +5966,8 @@ def rel_rolling_zscore(spark, sf_dir):
       SELECT sum(a) AS na, sum(b) AS nb FROM u WHERE v IS NOT NULL
     )
     SELECT round(max(abs(ca / t.na - cb / t.nb)), 6) AS ks,
-           any_value(t.na) AS n_a, any_value(t.nb) AS n_b
+           CAST(any_value(t.na) AS BIGINT) AS n_a,
+           CAST(any_value(t.nb) AS BIGINT) AS n_b
     FROM cum, t
     """,
 )
@@ -5988,8 +6026,9 @@ def prof_ks_drift(spark, sf_dir):
              row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
       FROM sh
     )
-    SELECT shard, count(*) AS n_docs, sum(doc_id * pos) AS order_checksum,
-           sum(n_tok) AS total_tokens
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(doc_id * pos) AS BIGINT) AS order_checksum,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
     FROM p GROUP BY shard
     """,
 )
@@ -6040,7 +6079,8 @@ def ds_corpus_pipeline_v3(spark, sf_dir):
       FROM corpus c JOIN bench b ON c.label = b.label
       WHERE list_cosine_similarity(c.v, b.v) >= 0.35
     )
-    SELECT label, count(*) AS n_kept, sum(vec_id) AS kept_id_sum
+    SELECT label, count(*) AS n_kept,
+           CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
     FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
     GROUP BY label
     """,

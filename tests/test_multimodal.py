@@ -257,6 +257,25 @@ class TestCodecReviewRegressions:
                                         codec="auto").collect()[0]["pixels"])
         assert lenient == strict == bytes([7, 200])
 
+    def test_corrupt_netpbm_falls_back_lenient_raises_strict(self, spark):
+        """A payload that SNIFFS as netpbm ('P5' prefix) but is
+        malformed (truncated raster / garbage header) must fall
+        through to the stub when strict=False — the WAV twin's
+        contract — and raise only in strict mode (ADVICE r3)."""
+        from filters_spark.functions import multimodal as mm
+        corrupt = b"P5\n2 notanint\n255\nx"    # garbage header token
+        truncated = b"P5\n4 4\n255\n\x01\x02"  # raster too short
+        for payload in (corrupt, truncated):
+            df = spark.createDataFrame([(1, bytearray(payload))],
+                                       "doc_id bigint, raw binary")
+            media = mm.attach_meta(df, "raw", "image/x-portable-graymap")
+            out = mm.decode_images(media, strict=False,
+                                   codec="auto").collect()
+            assert out[0]["pixels"] is not None   # stub fallback, no crash
+            import pytest as _pytest
+            with _pytest.raises(Exception):
+                mm.decode_images(media, strict=True, codec="auto").collect()
+
     def test_non_pcm_riff_falls_back_lenient_raises_strict(self, spark):
         from filters_spark.functions import multimodal as mm
         bogus = b"RIFF\x10\x00\x00\x00AVI LIST"   # RIFF but not a WAV
