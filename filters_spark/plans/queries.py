@@ -615,23 +615,23 @@ DRIVER_WINDOW: list[str] = [
     "val_date_tz",              # Date(timezone=) — round-3 fix, gated
     "val_datetime_parse",       # Datetime multi-format + tz (bytearray-ints leg: judged outside)
     "val_json_int_range",       # JsonDecode typed + Int
-    "val_decimal_exact_agg",    # Decimal exactness
-    "val_round_quarter",        # Round HALF_UP
+    "val_decimal_exact_agg",    # Decimal exactness (r4: decimal-string gate)
     "val_strip_fold",           # Strip + CaseFold
     "val_base64_roundtrip",     # Base64Decode + Unicode
-    "val_uuid_canon",           # Uuid canonicalization
-    "val_ip_address",           # IpAddress v4/v6
-    "val_regex_extract",        # Regex all-matches
-    "val_split_parts",          # Split array/keyed
-    "val_maxbytes_check",       # MaxBytes byte-exact
-    "val_bytestring",           # ByteString encode
-    "val_each_array",           # FilterRepeater/Array/Length
-    "val_optional_default",     # Optional/NotEmpty
-    "val_switch_dispatch",      # FilterSwitch
+    "val_bytestring",           # ByteString encode (r4: hex gate output)
     "val_nested_struct",        # NamedTuple/Nested
-    "val_variant_json",         # Variant JSON path
     "val_call_udf",             # Call — pandas-UDF machinery
     "val_email_macro",          # filter_macro recipes
+    # Rotated out in round 4 to give the round-3b flagships official
+    # rows (VERDICT r3 task 4) — each of these val_* rows was green in
+    # r2 AND r3, its operator keeps pytest + local-sweep coverage, and
+    # several stay officially covered by composites still in-window
+    # (Round via val_decimal_exact_agg, Each/Array via
+    # val_lineitem_clean_agg's chains):
+    #   val_round_quarter, val_uuid_canon, val_ip_address,
+    #   val_regex_extract, val_split_parts, val_maxbytes_check,
+    #   val_each_array, val_optional_default, val_switch_dispatch,
+    #   val_variant_json
     # -- relational engine categories ---------------------------------
     "rel_q1_pricing",           # scan+agg (TPC-H q1 shape)
     "rel_q3_shipping",          # broadcast join + top-k
@@ -672,6 +672,19 @@ DRIVER_WINDOW: list[str] = [
     "ds_url_extract",           # URL/host/domain/normalize
     "ds_domain_mixture",        # target-mixture sampling
     "ds_sequence_pack",         # context-window packing
+    # -- round-3b flagships, rotated IN round 4 (VERDICT r3 task 4):
+    # every name below passed the driver-faithful local gate
+    # (tools/oracle_check.py, pandas-bridge-strict) before rotation
+    "ds_semdedup",              # SemDeDup greedy keep-first
+    "ds_kmeans",                # k-means (exploded-agg recompute)
+    "ds_knn_graph",             # blocked kNN graph
+    "ds_global_shuffle",        # deterministic epoch shuffle
+    "rel_scd2",                 # SCD2 dimension build
+    "prof_drift",               # categorical drift
+    "prof_ks_drift",            # two-sample KS drift
+    "ds_minhash_estimate",      # MinHash estimator calibration
+    "ds_semantic_clusters",     # kNN graph → connected components
+    "ds_wav_codec_gate",        # real PCM-WAV codec, strict mode
 ]
 
 
@@ -5867,13 +5880,18 @@ def ds_minhash_estimate(spark, sf_dir):
     sketch's accuracy itself, hash-checked — the ds_lsh_recall
     pattern applied to MinHash (an engine that miscomputes signatures
     shows a different error distribution even when its candidate sets
-    happen to match).  One persisted (id, shingles, signature) frame
-    feeds bands, estimate, and exact verify."""
+    happen to match).  One (id, shingles, signature) frame feeds
+    bands, estimate, and exact verify — via a LAZY localCheckpoint,
+    not .persist(): checkpoint blocks are reclaimed by the
+    ContextCleaner when the frame is garbage-collected, whereas a
+    per-call persist leaks executor storage until clearCache()
+    (ADVICE r3)."""
     d = _t(spark, sf_dir, "documents")
     prepped = dedup.minhash_signatures(d, "doc_id", "text",
                                        shingle_k=3, n_hashes=16)
     prepped = prepped.withColumn(
-        "_bands", dedup.minhash_bands(F.col("_sig"), 8, 2)).persist()
+        "_bands", dedup.minhash_bands(F.col("_sig"), 8, 2)
+    ).localCheckpoint(eager=False)
     cands = dedup.lsh_candidate_pairs(prepped, "doc_id", "_bands")
     agree = F.aggregate(
         F.zip_with(F.col("_siga"), F.col("_sigb"),
@@ -6117,7 +6135,9 @@ def ds_semantic_decontaminate(spark, sf_dir):
     "ds_real_codec_gate",
     oracle="""
     WITH b AS (
-      SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents
       WHERE length(text) >= 16
     ), ch AS (
       SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
@@ -6138,14 +6158,25 @@ def ds_real_codec_gate(spark, sf_dir):
     reproduced every byte (header parse, luma identity on single-
     channel, resize no-op at native dims).  Ratio→count recovery
     (r*16) is exact: /16 then *16 round-trips in binary floating
-    point."""
+    point.
+
+    The payload is built from a deterministic ASCII PROJECTION of the
+    text (non-printable/non-ASCII chars → 'x', replayed in the
+    oracle): a raw UTF-8 encode of 16 arbitrary CHARACTERS can exceed
+    16 BYTES, silently desyncing the PGM header from the raster
+    (ADVICE r3) — the projection makes the gate corpus-robust instead
+    of relying on the generated corpus happening to be ASCII.  (Known
+    caveat: astral code points count as two chars under Java's UTF-16
+    regex vs one under RE2 — BMP-safe, which covers any realistic
+    testdata drift.)"""
     from ..functions import multimodal as mm
 
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
     d = (_t(spark, sf_dir, "documents")
          .where(F.length("text") >= 16)
          .select("doc_id",
                  F.encode(F.concat(F.lit("P5\n16 1\n255\n"),
-                                   F.substring("text", 1, 16)),
+                                   F.substring(ascii_text, 1, 16)),
                           "UTF-8").alias("_payload")))
     media = mm.attach_meta(d, "_payload", "image/x-portable-graymap")
     media = media.withColumn(
@@ -6167,7 +6198,9 @@ def ds_real_codec_gate(spark, sf_dir):
     "ds_wav_codec_gate",
     oracle="""
     WITH b AS (
-      SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents
       WHERE length(text) >= 16
     ), ch AS (
       SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
@@ -6191,7 +6224,11 @@ def ds_wav_codec_gate(spark, sf_dir):
     DuckDB oracle computed from character codes — each char
     contributes its code's bucket once and bucket 0 once (the zero
     high byte).  The hash matches only if the RIFF parse and sample
-    round-trip reproduced every byte."""
+    round-trip reproduced every byte.  Samples come from the same
+    ASCII projection as ds_real_codec_gate (non-ASCII → 'x'): the
+    fixed data-chunk size (32) requires every char to encode as ONE
+    byte, which raw UTF-8 of arbitrary text does not guarantee
+    (ADVICE r3)."""
     import struct as _s
 
     from ..functions import multimodal as mm
@@ -6199,9 +6236,10 @@ def ds_wav_codec_gate(spark, sf_dir):
     header = (b"RIFF" + _s.pack("<I", 36 + 32) + b"WAVE"
               + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
               + b"data" + _s.pack("<I", 32))
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
     sample_bytes = []
     for i in range(1, 17):
-        sample_bytes.append(F.encode(F.substring("text", i, 1), "UTF-8"))
+        sample_bytes.append(F.encode(F.substring(ascii_text, i, 1), "UTF-8"))
         sample_bytes.append(F.lit(b"\x00"))
     d = (_t(spark, sf_dir, "documents")
          .where(F.length("text") >= 16)

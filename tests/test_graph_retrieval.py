@@ -116,6 +116,58 @@ class TestBM25:
                 assert abs(got[doc_id] - round(score, 4)) < 2e-4, doc_id
 
 
+class TestMaterializedPostings:
+    def test_two_query_sets_match_oneshot_no_cache_growth(self, spark,
+                                                          tmp_path):
+        """Repeated query sets probe the materialized index, produce
+        the same top-k as the one-shot bm25_topk, and never grow the
+        session cache (the persist-leak contract ADVICE r3 flagged)."""
+        from filters_spark.functions import retrieval
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"),
+             (2, "banana cherry"),
+             (3, "dog cat mouse"),
+             (4, "apple dog")],
+            "doc_id bigint, text string")
+        path = str(tmp_path / "bm25_index")
+        retrieval.materialize_postings(docs, path, term_partitions=2)
+
+        spark.catalog.clearCache()
+        qsets = [
+            [(100, "apple"), (100, "banana")],
+            [(200, "dog"), (200, "cherry"), (201, "cat")],
+        ]
+        for rows in qsets:
+            q = spark.createDataFrame(rows, "query_id bigint, term string")
+            got = sorted(map(tuple,
+                             retrieval.bm25_topk_from_postings(
+                                 spark, path, q, k=4).collect()))
+            exp = sorted(map(tuple,
+                             retrieval.bm25_topk(docs, q, k=4).collect()))
+            assert got == exp
+        # the from-postings path must not register any cached frames;
+        # drain the one-shot path's documented persist for the check
+        jsc = spark.sparkContext._jsc.sc()
+        spark.catalog.clearCache()
+        q = spark.createDataFrame(qsets[0], "query_id bigint, term string")
+        retrieval.bm25_topk_from_postings(spark, path, q, k=4).collect()
+        assert jsc.getPersistentRDDs().size() == 0
+
+    def test_postings_layout_prunes_by_term(self, spark, tmp_path):
+        """The postings dataset is range-partitioned by term so a term
+        predicate prunes files (min/max stats)."""
+        from filters_spark.functions import retrieval
+        docs = spark.createDataFrame(
+            [(i, f"t{i % 7} common") for i in range(50)],
+            "doc_id bigint, text string")
+        path = str(tmp_path / "idx")
+        retrieval.materialize_postings(docs, path, term_partitions=4)
+        post = spark.read.parquet(f"{path}/postings")
+        plan = (post.where(F.col("term") == "t3")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PushedFilters: [IsNotNull(term), EqualTo(term,t3)]" in plan
+
+
 class TestGlobalShuffle:
     def test_positions_contiguous_and_stable(self, spark):
         from filters_spark.functions import sampling
@@ -170,6 +222,42 @@ class TestSemanticDedup:
             df, threshold=0.5, engine="arrow").collect())
         assert kept_expr == kept_arrow
         assert 0 < len(kept_expr) < 60  # threshold actually bites
+
+    def test_null_cells_kept_by_both_engines(self, spark):
+        """Rows with a NULL cell have no quantizer cell, hence no
+        candidate neighbors: BOTH engines must keep them verbatim
+        (pre-fix the arrow engine grouped NULLs together and deduped
+        across the unassigned pool — ADVICE r3)."""
+        from filters_spark.functions import dedup
+        rows = [
+            (1, [1.0, 0.0], None),   # unassigned twins: both kept
+            (2, [1.0, 0.0], None),
+            (3, [1.0, 0.0], 0),
+            (4, [1.0, 0.001], 0),    # near 3, same cell -> dropped
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int")
+        for engine in ("expr", "arrow"):
+            kept = sorted(r["vec_id"] for r in dedup.semantic_dedup(
+                df, threshold=0.95, engine=engine).collect())
+            assert kept == [1, 2, 3], engine
+
+    def test_arrow_engine_string_ids(self, spark):
+        """The arrow output schema derives from the id dtype — string
+        ids must work and 'earlier' must mean lexicographic, matching
+        the expr engine's < comparison (ADVICE r3)."""
+        from filters_spark.functions import dedup
+        rows = [
+            ("a", [1.0, 0.0], 0),
+            ("b", [1.0, 0.001], 0),  # near a -> dropped (a earlier)
+            ("c", [0.0, 1.0], 0),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id string, embedding array<double>, label int")
+        for engine in ("expr", "arrow"):
+            kept = sorted(r["vec_id"] for r in dedup.semantic_dedup(
+                df, threshold=0.95, engine=engine).collect())
+            assert kept == ["a", "c"], engine
 
     def test_transitive_chain_keeps_only_first(self, spark):
         from filters_spark.functions import dedup

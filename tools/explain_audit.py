@@ -288,6 +288,24 @@ EXPECTATIONS: dict[str, dict] = {
 }
 
 
+# Output types the official pandas-bridge harness cannot hash
+# symmetrically: DuckDB DECIMAL collapses to float64 while Spark
+# keeps Decimal objects, and raw BinaryType crashes the harness's
+# sort_values (CORRECTNESS_r03).  Every gate query's FINAL schema
+# must avoid them (emit decimal STRINGS / hex instead).
+_GATE_UNSAFE_TYPES = ("decimal", "binary")
+
+
+def gate_type_problems(df) -> list[str]:
+    out = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        for bad in _GATE_UNSAFE_TYPES:
+            if bad in t:
+                out.append(f"gate-unsafe output type {f.name}:{t}")
+    return out
+
+
 def audit(name: str, q, spark) -> tuple[bool, str]:
     df = q.fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -301,7 +319,7 @@ def audit(name: str, q, spark) -> tuple[bool, str]:
     # distinct span ids, not the node name
     wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
     exp = EXPECTATIONS.get(name, {})
-    problems = []
+    problems = gate_type_problems(df)
     if "max_exchanges" in exp and n_exchange > exp["max_exchanges"]:
         problems.append(f"exchanges {n_exchange} > {exp['max_exchanges']}")
     if "min_broadcasts" in exp and n_broadcast < exp["min_broadcasts"]:
@@ -320,8 +338,9 @@ def main(only: list[str]) -> int:
     for name, q in Q.REGISTRY.items():
         if only and name not in only:
             continue
-        if not only and name not in EXPECTATIONS:
-            continue
+        # queries without plan expectations still get the gate-safe
+        # output-type audit (the window rotates: ANY registered query
+        # can become an official row next round)
         try:
             ok, facts = audit(name, q, spark)
         except Exception as e:  # plan-time failure is a violation
