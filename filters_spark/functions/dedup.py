@@ -50,6 +50,7 @@ __all__ = [
     "contaminated_ids",
     "decontaminate",
     "dedup_segments",
+    "duplicate_spans",
 ]
 
 
@@ -925,3 +926,89 @@ def exact_text_dedup(df: DataFrame, id_col: str = "doc_id",
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 50,
+                    sep: str = " ",
+                    scope_col: str | None = None,
+                    explode_partitions: int | None = None) -> DataFrame:
+    """Substring-level duplicate detection (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr): a ``window``-token sliding window
+    is DUPLICATED when its token content occurs at more than one
+    (doc, position) corpus-wide; ``m`` consecutive duplicated windows
+    pin an exactly-repeated substring of ``window + m - 1`` tokens.
+    The paper's suffix array is a single-machine construction; this
+    is the equivalent windowed-hash formulation that distributes —
+    detection is identical for spans >= ``window`` tokens (shorter
+    spans are below the dedup threshold by definition).
+
+    Returns one row per input doc:
+    (id_col, n_windows, n_dup_windows, max_dup_run,
+    max_dup_span_tokens) — max_dup_span_tokens is the longest
+    exactly-duplicated substring's token length (0 when none; docs
+    shorter than ``window`` tokens have 0 windows and 0 everywhere).
+
+    Scale shape — two linear shuffles, no pair space:
+
+    1. explode to (id, pos, xxhash64(window-slice)) — the shuffle
+       carries an 8-byte hash, never window text; the corpus-wide
+       occurrence count is ONE window-count over the hash key
+       (hash-uniform by construction; true mass-duplicated windows
+       are AQE-skew territory).  The oracle replays duplication
+       classes with raw gram strings — identical under an injective
+       hash, the ds_decontaminate contract.
+    2. per-doc gaps-and-islands (_pos − row_number over duplicated
+       positions) finds the longest consecutive duplicated run; the
+       run rollup and the per-doc stats reuse the same doc-keyed
+       partitioning.
+
+    ``scope_col`` scopes duplication within a shard/source (the
+    incremental variant).  ``explode_partitions`` spreads docs BEFORE
+    the row-amplifying explode (single-split parquet inputs otherwise
+    run the whole explode in one task — the SCALE.md §16 hazard).
+    """
+    toks = F.split(F.col(text_col), sep)
+    scope = [scope_col] if scope_col else []
+    base = df.select(*scope, F.col(id_col).alias("_id"),
+                     toks.alias("_toks"), F.size(toks).alias("_n"))
+    eligible = base.where(F.col("_n") >= window)
+    if explode_partitions:
+        eligible = eligible.repartition(explode_partitions, "_id")
+    pos = eligible.select(
+        *scope, "_id", "_toks",
+        F.explode(F.sequence(F.lit(1), F.col("_n") - window + 1))
+        .alias("_pos"))
+    hashed = pos.select(
+        *scope, "_id", "_pos",
+        F.xxhash64(F.slice("_toks", F.col("_pos"), window)).alias("_h"))
+    wh = Window.partitionBy(*(scope + ["_h"]))
+    marked = hashed.withColumn("_cnt", F.count(F.lit(1)).over(wh))
+    wd = Window.partitionBy("_id").orderBy("_pos")
+    runs = (
+        marked.where(F.col("_cnt") > 1)
+        .withColumn("_isl", F.col("_pos") - F.row_number().over(wd))
+        .groupBy("_id", "_isl").agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy("_id").agg(F.max("_run").alias("max_dup_run"))
+    )
+    stats = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("_cnt") > 1, 1).otherwise(0))
+        .alias("n_dup_windows"),
+    )
+    out = (
+        base.select("_id")
+        .join(stats, "_id", "left")
+        .join(runs, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
+            F.when(F.coalesce("max_dup_run", F.lit(0)) > 0,
+                   F.coalesce("max_dup_run", F.lit(0)) + (window - 1))
+            .otherwise(F.lit(0)).alias("max_dup_span_tokens"),
+        )
+    )
+    return out

@@ -145,13 +145,15 @@ class TestMaterializedPostings:
             exp = sorted(map(tuple,
                              retrieval.bm25_topk(docs, q, k=4).collect()))
             assert got == exp
-        # the from-postings path must not register any cached frames;
-        # drain the one-shot path's documented persist for the check
+        # the from-postings path must not register any cached frames
+        # (no GROWTH: the shared test session may hold localCheckpoint
+        # blocks from other tests that clearCache cannot drop)
         jsc = spark.sparkContext._jsc.sc()
         spark.catalog.clearCache()
+        before = jsc.getPersistentRDDs().size()
         q = spark.createDataFrame(qsets[0], "query_id bigint, term string")
         retrieval.bm25_topk_from_postings(spark, path, q, k=4).collect()
-        assert jsc.getPersistentRDDs().size() == 0
+        assert jsc.getPersistentRDDs().size() == before
 
     def test_postings_layout_prunes_by_term(self, spark, tmp_path):
         """The postings dataset is range-partitioned by term so a term

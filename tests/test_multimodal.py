@@ -257,6 +257,34 @@ class TestCodecReviewRegressions:
                                         codec="auto").collect()[0]["pixels"])
         assert lenient == strict == bytes([7, 200])
 
+    def test_pil_path_swappable_with_stub(self, spark):
+        """CONDITIONAL (skips in this container — no PIL): the real
+        PIL decode body and the stub must be swappable WITHOUT plan
+        changes — same output schema, same pixels-length contract
+        (w*h bytes), strict mode satisfied by the PIL path.  Proves
+        the stub boundary is an implementation detail, not a schema
+        fork (VERDICT r3 task 7)."""
+        import pytest as _pytest
+        PIL = _pytest.importorskip("PIL.Image")
+        import io
+        from pyspark.sql import functions as F
+        from filters_spark.functions import multimodal as mm
+
+        buf = io.BytesIO()
+        PIL.new("RGB", (4, 2), (10, 200, 30)).save(buf, format="PNG")
+        df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/png")
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(4))
+            .withField("meta.height", F.lit(2)))
+        real = mm.decode_images(media, strict=True, codec="auto")
+        fake = mm.decode_images(media, strict=False, codec="fake")
+        assert real.schema == fake.schema       # no plan/schema fork
+        rpx = real.collect()[0]["pixels"]
+        fpx = fake.collect()[0]["pixels"]
+        assert len(rpx) == len(fpx) == 4 * 2    # same output contract
+
     def test_corrupt_netpbm_falls_back_lenient_raises_strict(self, spark):
         """A payload that SNIFFS as netpbm ('P5' prefix) but is
         malformed (truncated raster / garbage header) must fall

@@ -413,3 +413,201 @@ def test_pagerank_matches_python_oracle(spark, edges):
     for v in rank:
         assert abs(got[v] - rank[v]) < 1e-9, v
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+# --- round-4 additions (VERDICT r3 task 8): property suites for the
+# curation-gate families whose official r3 rows went red for
+# harness-typing reasons — these decouple "is the operator right"
+# (tested here vs scalar oracles) from "is the DuckDB oracle
+# environment-stable" (handled by the BIGINT/decimal-string gate
+# discipline). -----------------------------------------------------
+
+
+def python_pii_counts(text: str) -> dict:
+    import re
+
+    pats = {
+        "credit_card": r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b",
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+        "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+        "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    }
+    return {k: len(re.findall(p, text)) for k, p in pats.items()}
+
+
+_pii_fragment = st.one_of(
+    st.text("abc 0123456789.-@", max_size=12),
+    st.sampled_from([
+        "bob@example.com", "x person@sub.domain.org y",
+        "123-45-6789", " 555-867-5309 ", "10.0.3.17",
+        "4242 4242 4242 4242", "1234-5678-9012-3456",
+        "999.999.999.999", "12-34-56", "a@b", "@.",
+    ]),
+)
+
+
+@given(st.lists(st.lists(_pii_fragment, min_size=1, max_size=5)
+                .map(" ".join), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_pii_counts_match_python_oracle(spark, texts):
+    from pyspark.sql import functions as F
+
+    from filters_spark.functions import pii
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    cols = [c.alias(k) for k, c in pii.pii_counts(F.col("text"))]
+    got = {r["doc_id"]: r.asDict() for r in
+           df.select("doc_id", *cols).collect()}
+    for i, t in enumerate(texts):
+        exp = python_pii_counts(t)
+        for k, n in exp.items():
+            assert got[i][k] == n, (t, k, got[i][k], n)
+
+
+@given(st.lists(st.lists(_pii_fragment, min_size=1, max_size=5)
+                .map(" ".join), min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_redaction_leaves_no_residual_pii(spark, texts):
+    """After redact(), every PII pattern must count zero — the
+    completeness invariant ds_pii_rollup gates in aggregate."""
+    from pyspark.sql import functions as F
+
+    from filters_spark.functions import pii
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    red = pii.redact(F.col("text"))
+    residual = None
+    for _, c in pii.pii_counts(red):
+        residual = c if residual is None else residual + c
+    rows = df.select("doc_id", residual.alias("resid")).collect()
+    for r in rows:
+        assert r["resid"] == 0, texts[r["doc_id"]]
+
+
+def python_url_facts(text: str):
+    import re
+
+    urls = re.findall(r"https?://[^\s]+", text)
+    first = urls[0] if urls else ""
+    m = re.search(r"https?://([^/\s:?#]+)", first)
+    host = m.group(1).lower() if m else ""
+    dm = re.search(r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", host)
+    dom = dm.group(1) if dm else ""
+    hm = re.match(r"^(https?://[^/\s?#]*)", first)
+    norm = ""
+    if first:
+        norm = (hm.group(1).lower() if hm else "") + \
+            re.sub(r"^https?://[^/\s?#]*", "", first)
+        norm = re.sub(r"#[^\s]*$", "", norm)
+        norm = re.sub(r"/$", "", norm)
+    return len(urls), host, dom, norm
+
+
+_url_fragment = st.one_of(
+    st.text("abc /:#?.", max_size=10),
+    st.sampled_from([
+        "http://Example.COM/Path", "https://cdn.sub.Example.net/a/b/",
+        "http://h", "https://a.b.c.d/e#frag", "http://x.y/",
+        "see https://EX.org/Z?q=1#f end", "http://", "https:// x",
+    ]),
+)
+
+
+@given(st.lists(st.lists(_url_fragment, min_size=1, max_size=4)
+                .map(" ".join), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_url_ops_match_python_oracle(spark, texts):
+    from pyspark.sql import functions as F
+
+    from filters_spark.functions import url as urlops
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, t string")
+    first = F.regexp_extract(F.col("t"), urlops.URL_PATTERN, 0)
+    got = {r["doc_id"]: (r["n"], r["host"], r["dom"], r["norm"]) for r in
+           df.select(
+               "doc_id",
+               urlops.url_count(F.col("t")).alias("n"),
+               urlops.url_host(first).alias("host"),
+               urlops.registrable_domain(first).alias("dom"),
+               urlops.normalize_url(first).alias("norm")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == python_url_facts(t), (t, got[i], python_url_facts(t))
+
+
+def python_contaminated(corpus: dict, bench_texts: list, n: int) -> set:
+    def grams(t):
+        # engine contract (matches the SQL oracles' greatest(len-n+1,1)
+        # start range): a doc shorter than n contributes its whole
+        # text as one gram — short docs still decontaminate
+        toks = t.split(" ")
+        if len(toks) < n:
+            return {t}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bench = set()
+    for t in bench_texts:
+        bench |= grams(t)
+    return {i for i, t in corpus.items() if grams(t) & bench}
+
+
+@given(st.lists(st.lists(st.sampled_from("abcde"), min_size=1, max_size=8)
+                .map(" ".join), min_size=2, max_size=20),
+       st.integers(2, 4))
+@settings(**SETTINGS)
+def test_decontaminate_matches_python_oracle(spark, texts, n):
+    from filters_spark.functions import dedup
+
+    corpus = dict(enumerate(texts))
+    bench_texts = [t for i, t in corpus.items() if i % 3 == 0]
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id bigint, text string")
+    bench = spark.createDataFrame([(t,) for t in bench_texts],
+                                  "text string")
+    flagged = dedup.decontaminate(df, bench, "doc_id", "text", n=n,
+                                  keep_flag=True)
+    got = {r["doc_id"] for r in flagged.collect() if r["contaminated"]}
+    assert got == python_contaminated(corpus, bench_texts, n), (texts, n)
+
+
+def python_duplicate_spans(corpus: dict, window: int):
+    from collections import Counter
+
+    grams = {}
+    for i, t in corpus.items():
+        toks = t.split(" ")
+        grams[i] = [" ".join(toks[p:p + window])
+                    for p in range(len(toks) - window + 1)]
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    out = {}
+    for i, gs in grams.items():
+        dup = [cnt[g] > 1 for g in gs]
+        run = best = 0
+        for d in dup:
+            run = run + 1 if d else 0
+            best = max(best, run)
+        out[i] = (len(gs), sum(dup), best,
+                  best + window - 1 if best else 0)
+    return out
+
+
+@given(st.lists(st.lists(st.sampled_from("abc"), min_size=1, max_size=12)
+                .map(" ".join), min_size=1, max_size=15),
+       st.integers(2, 4))
+@settings(**SETTINGS)
+def test_duplicate_spans_matches_python_oracle(spark, texts, window):
+    from filters_spark.functions import dedup
+
+    corpus = dict(enumerate(texts))
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["max_dup_run"], r["max_dup_span_tokens"])
+           for r in dedup.duplicate_spans(df, window=window).collect()}
+    exp = python_duplicate_spans(corpus, window)
+    for i in corpus:
+        assert got[i] == exp.get(i, (0, 0, 0, 0)), (texts[i], window,
+                                                    got[i], exp.get(i))

@@ -285,6 +285,11 @@ EXPECTATIONS: dict[str, dict] = {
     # FINAL star round's join/agg chain + the component rollup — all
     # |nodes|-sized exchanges
     "ds_semantic_clusters": dict(max_exchanges=8),
+    # duplicate spans: pre-explode repartition + ONE corpus-shaped
+    # hash-count shuffle + the doc-keyed islands/stats chain (island
+    # rollup adds a |dup-rows|-sized key) + broadcast joins back +
+    # source rollup
+    "ds_duplicate_spans": dict(max_exchanges=8, min_broadcasts=1),
 }
 
 
