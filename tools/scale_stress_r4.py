@@ -1,0 +1,145 @@
+"""Scale stress for the round-4 additions: substring duplicate-span
+detection over a multi-million-doc corpus with PLANTED boilerplate
+(so the output is verifiable, not just timed), and the materialized
+BM25 postings probe path.
+
+Inputs are pure Spark expressions (hash-derived, no RNG — reruns are
+bit-identical).  Each phase prints one JSON line; numbers land in
+SCALE.md §21.
+
+Usage:
+    python tools/scale_stress_r4.py              # all phases
+    python tools/scale_stress_r4.py spans        # subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from filters_spark.functions import dedup, retrieval
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.appName("scale_stress_r4")
+        .master(f"local[{cpus}, 3]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("STRESS_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+
+
+def emit(**kw) -> None:
+    sys.stdout.write(json.dumps(kw) + "\n")
+    sys.stdout.flush()
+
+
+def _corpus(spark: SparkSession, n_docs: int, bp_every: int = 10):
+    """n_docs synthetic docs: 40 unique md5-derived tokens each;
+    every ``bp_every``-th doc appends a FIXED 40-token boilerplate.
+    With window=20 each boilerplate doc carries exactly 21 duplicated
+    windows (starts 41..61 of its 80 tokens) in one run — a 40-token
+    exactly-repeated span — and no other window repeats."""
+    bp = " ".join(f"bp{j}" for j in range(40))
+    # unique tokens are unique BY CONSTRUCTION (u<id>x<j>) — a first
+    # cut used 6-hex md5 prefixes and planted ~600 REAL extra dup
+    # windows via birthday collisions on the token adjoining the
+    # boilerplate (the detector correctly found them; the invariants
+    # need a collision-free corpus to be exact)
+    uniq = F.concat_ws(
+        " ",
+        F.transform(F.sequence(F.lit(0), F.lit(39)),
+                    lambda j: F.concat(F.lit("u"),
+                                       F.col("id").cast("string"),
+                                       F.lit("x"), j.cast("string"))))
+    par = spark.sparkContext.defaultParallelism * 2
+    return (
+        spark.range(n_docs, numPartitions=par)
+        .select(F.col("id").alias("doc_id"),
+                F.when(F.col("id") % bp_every == 0,
+                       F.concat(uniq, F.lit(" " + bp)))
+                .otherwise(uniq).alias("text"))
+    )
+
+
+def phase_spans(spark: SparkSession) -> None:
+    for n in (1_000_000, 2_000_000):
+        docs = _corpus(spark, n)
+        t0 = time.time()
+        spans = dedup.duplicate_spans(
+            docs, "doc_id", "text", window=20,
+            explode_partitions=spark.sparkContext.defaultParallelism * 2)
+        res = spans.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("max_dup_span_tokens") > 0, 1).otherwise(0))
+            .alias("docs_with_span"),
+            F.max("max_dup_span_tokens").alias("max_span"),
+            F.sum("n_dup_windows").alias("dup_windows"),
+        ).head()
+        wall = round(time.time() - t0, 1)
+        expected_docs = n // 10
+        ok = (res["docs"] == n
+              and res["docs_with_span"] == expected_docs
+              and res["max_span"] == 40
+              and res["dup_windows"] == expected_docs * 21)
+        emit(phase="duplicate_spans", docs=n, wall_s=wall,
+             docs_with_span=res["docs_with_span"], max_span=res["max_span"],
+             dup_windows=res["dup_windows"], invariants_ok=bool(ok))
+        if not ok:
+            raise SystemExit(f"invariant failure: {res}")
+
+
+def phase_bm25_index(spark: SparkSession) -> None:
+    """Materialize postings for 2M docs once, then probe with two
+    query sets — the index-reuse path vs the one-shot bm25_topk."""
+    import shutil
+    import tempfile
+
+    n = 2_000_000
+    docs = _corpus(spark, n, bp_every=7)
+    path = tempfile.mkdtemp(prefix="bm25_idx_")
+    try:
+        t0 = time.time()
+        retrieval.materialize_postings(docs, path, term_partitions=64)
+        build_s = round(time.time() - t0, 1)
+        q = spark.createDataFrame(
+            [(1, "bp0"), (1, "bp7"), (2, "bp11"), (2, "bp39")],
+            "query_id bigint, term string")
+        t1 = time.time()
+        rows = retrieval.bm25_topk_from_postings(spark, path, q, k=10).count()
+        probe_s = round(time.time() - t1, 1)
+        t2 = time.time()
+        rows2 = retrieval.bm25_topk_from_postings(spark, path, q, k=10).count()
+        probe2_s = round(time.time() - t2, 1)
+        emit(phase="bm25_materialized", docs=n, build_s=build_s,
+             probe_s=probe_s, probe2_s=probe2_s, topk_rows=rows,
+             stable=bool(rows == rows2))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+PHASES = {"spans": phase_spans, "bm25_index": phase_bm25_index}
+
+
+def main(only: list[str]) -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, fn in PHASES.items():
+        if only and name not in only:
+            continue
+        fn(spark)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
