@@ -1,0 +1,134 @@
+"""Table-level expectations: dataset-shaped checks beside the
+row-shaped ``ValidationSchema``.
+
+The reference library (``filters``, eflglobal) validates VALUES — a
+chain per field, a mapper per record (``filters.FilterMapper``; see
+SURVEY.md §2.5).  A production pipeline must also validate TABLES:
+uniqueness of keys, referential closure against dimensions, accepted
+value sets, null budgets, row-count envelopes.  This module is that
+surface, kept deliberately Spark-first:
+
+* Every expectation compiles to ONE aggregate (or one anti-join +
+  aggregate for :func:`expect_foreign_key`) — no collects, no loops;
+  Catalyst fuses same-table expectations that are unioned into a
+  report into shared scans where possible, and at 100 TB each check
+  is a single pass with map-side partials.
+* An expectation RETURNS a 1-row DataFrame
+  ``(expectation, passed, observed, threshold)`` — observed/threshold
+  as exact BIGINT counts (gate-safe types, never doubles), so reports
+  are unionable, writable, and oracle-checkable.
+* :func:`report` unions any number of expectations into the audit
+  frame a pipeline writes next to its output (the "data contract"
+  artifact); ``passed`` aggregates with ``bool_and`` for a gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "expect_unique",
+    "expect_non_null",
+    "expect_values_in",
+    "expect_range",
+    "expect_foreign_key",
+    "expect_row_count_between",
+    "report",
+]
+
+
+def _row(df: DataFrame, name: str, violations: Column,
+         threshold: int = 0) -> DataFrame:
+    """One aggregate → (expectation, passed, observed, threshold)."""
+    return df.agg(
+        F.lit(name).alias("expectation"),
+        (F.coalesce(violations, F.lit(0)) <= threshold).alias("passed"),
+        F.coalesce(violations, F.lit(0)).cast("bigint").alias("observed"),
+        F.lit(threshold).cast("bigint").alias("threshold"),
+    )
+
+
+def expect_unique(df: DataFrame, cols: list[str],
+                  name: str | None = None) -> DataFrame:
+    """No two rows share the same (cols) tuple.  observed = number of
+    surplus rows (count − distinct count); NULL-bearing tuples count
+    as equal (struct equality), matching SQL GROUP BY semantics."""
+    n = name or f"unique({','.join(cols)})"
+    # struct(...) is non-NULL even when every field is NULL, so
+    # count_distinct sees every row and NULL-bearing tuples compare
+    # by field equality — duplicates counted exactly
+    key = F.struct(*[F.col(c) for c in cols])
+    return _row(df, n, F.count(F.lit(1)) - F.count_distinct(key))
+
+
+def expect_non_null(df: DataFrame, col: str, max_nulls: int = 0,
+                    name: str | None = None) -> DataFrame:
+    n = name or f"non_null({col})"
+    return _row(df, n,
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+                max_nulls)
+
+
+def expect_values_in(df: DataFrame, col: str, allowed: list,
+                     name: str | None = None) -> DataFrame:
+    """Every non-NULL value belongs to ``allowed`` (NULLs are
+    :func:`expect_non_null`'s business, not this check's)."""
+    n = name or f"values_in({col})"
+    bad = F.when(F.col(col).isNotNull()
+                 & ~F.col(col).isin(*allowed), 1).otherwise(0)
+    return _row(df, n, F.sum(bad))
+
+
+def expect_range(df: DataFrame, col: str, lo=None, hi=None,
+                 name: str | None = None) -> DataFrame:
+    """Every non-NULL value within [lo, hi] (either bound optional)."""
+    n = name or f"range({col})"
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < lo)
+    if hi is not None:
+        cond = cond | (F.col(col) > hi)
+    bad = F.when(F.col(col).isNotNull() & cond, 1).otherwise(0)
+    return _row(df, n, F.sum(bad))
+
+
+def expect_foreign_key(df: DataFrame, key: str, dim: DataFrame,
+                       dim_key: str,
+                       name: str | None = None) -> DataFrame:
+    """Referential closure: every non-NULL ``key`` exists in
+    ``dim.dim_key``.  One anti-join (dim side broadcast when small —
+    AQE decides) + one count; observed = orphan ROW count."""
+    n = name or f"fk({key})"
+    orphans = (
+        df.where(F.col(key).isNotNull())
+        .join(F.broadcast(dim.select(F.col(dim_key).alias(key)).distinct()),
+              key, "left_anti")
+    )
+    return _row(orphans, n, F.count(F.lit(1)))
+
+
+def expect_row_count_between(df: DataFrame, lo: int, hi: int,
+                             name: str | None = None) -> DataFrame:
+    """Row-count envelope — the cheap canary for a broken upstream
+    filter or a double-applied backfill.  observed = actual row
+    count; passed = lo <= observed <= hi (threshold column carries
+    the upper bound)."""
+    n = name or f"row_count[{lo},{hi}]"
+    cnt = F.count(F.lit(1))
+    return df.agg(
+        F.lit(n).alias("expectation"),
+        ((cnt >= lo) & (cnt <= hi)).alias("passed"),
+        cnt.cast("bigint").alias("observed"),
+        F.lit(hi).cast("bigint").alias("threshold"),
+    )
+
+
+def report(*expectations: DataFrame) -> DataFrame:
+    """Union expectation rows into one audit frame.  Each input is a
+    1-row aggregate; the union is |expectations| rows — write it next
+    to the data it audits, alert on ``bool_and(passed)``."""
+    out = expectations[0]
+    for e in expectations[1:]:
+        out = out.unionByName(e)
+    return out

@@ -33,6 +33,8 @@ __all__ = [
     "cosine_topk",
     "euclidean",
     "ivf_topk",
+    "materialize_ivf_index",
+    "ivf_topk_from_index",
     "kmeans",
     "knn_graph",
     "lsh_buckets",
@@ -252,6 +254,104 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def materialize_ivf_index(vectors: DataFrame, path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          cell_col: str | None = None,
+                          n_cells: int | None = None) -> None:
+    """Materialize an IVF index once so repeated query sets probe a
+    TABLE instead of re-quantizing the corpus — the dense-retrieval
+    twin of :func:`retrieval.materialize_postings`.
+
+    Writes two parquet datasets under ``path``:
+
+    * ``vectors/`` — (id, vector, cell), PARTITIONED BY cell: a probe
+      that touches ``nprobe`` cells reads exactly those directories
+      (partition pruning — at 100 TB this is the difference between
+      scanning nprobe/n_cells of the corpus and scanning all of it).
+    * ``centroids/`` — (cell, centroid), n_cells rows, read back as a
+      broadcast at probe time.
+
+    Cells come from ``cell_col`` (a cluster label / quantizer already
+    on the frame) or the deterministic LSH coarse quantizer —
+    identical cell assignment to :func:`ivf_topk`, so the probe path
+    needs NO query-side quantizer at all (queries only rank stored
+    centroids)."""
+    if cell_col is None:
+        import math
+
+        planes = max(1, int(math.log2(n_cells or 16)))
+        vectors = lsh_buckets(vectors, planes, id_col, vec_col) \
+            .withColumnRenamed("_bucket", "_cell")
+        cell_col = "_cell"
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("embedding"),
+                       F.col(cell_col).alias("cell"))
+    (v.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/vectors"))
+    # schema marker: a partitionBy write of an EMPTY frame emits no
+    # data files, so a later read of vectors/ cannot infer schema
+    # (UNABLE_TO_INFER_SCHEMA on an empty corpus) — persist the
+    # schema separately and have the probe read with it explicitly
+    v.limit(0).write.mode("overwrite").parquet(f"{path}/schema")
+    ex = v.select("cell", F.posexplode("embedding").alias("_d", "_x"))
+    cent = (
+        ex.groupBy("cell", "_d").agg(F.avg("_x").alias("_c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("_d", "_c"))).alias("_dc"))
+        .select("cell", F.transform("_dc", lambda s: s["_c"])
+                .alias("centroid"))
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(spark, path: str, queries: DataFrame,
+                        k: int = 10, nprobe: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k against a :func:`materialize_ivf_index` artifact.
+
+    Probe assignment ranks the (small, broadcast) stored centroids
+    per query on the 6-dp-rounded cosine — same determinism contract
+    as :func:`ivf_topk`.  The probed cell set (|q|·nprobe keys, by
+    contract small) is collected and pushed into the vectors scan as
+    a PARTITION filter, so only the probed cells' files are read; no
+    ``.persist()`` anywhere."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("_pscore").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cell",
+                F.round(cosine(F.col("_qv"), F.col("centroid")), 6)
+                .alias("_pscore"))
+        .withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    sch = spark.read.parquet(f"{path}/schema").schema
+    v = (spark.read.schema(sch).parquet(f"{path}/vectors")
+         .where(F.col("cell").isin(cells)))
+    candidates = (
+        v.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = candidates.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("_qv"), F.col("embedding")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
 
 
 def kmeans(df: DataFrame, k: int = 8, iters: int = 2,

@@ -6381,3 +6381,128 @@ def ds_duplicate_spans(spark, sf_dir):
         .alias("docs_with_dup_span"),
         F.max("max_dup_span_tokens").alias("max_span_tokens"),
     )
+
+
+@register(
+    "prof_expectations",
+    oracle="""
+    SELECT 'unique(o_orderkey)' AS expectation,
+           (count(*) - count(DISTINCT o_orderkey)) <= 0 AS passed,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS observed,
+           CAST(0 AS BIGINT) AS threshold
+    FROM orders
+    UNION ALL
+    SELECT 'non_null(o_custkey)',
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) <= 0,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'values_in(o_orderstatus)',
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O','F','P')
+                    THEN 1 ELSE 0 END) <= 0,
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                    THEN 1 ELSE 0 END) <= 0,
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'fk(o_custkey)',
+           count(*) <= 0, CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'row_count[1,1000000000]',
+           count(*) BETWEEN 1 AND 1000000000,
+           CAST(count(*) AS BIGINT), CAST(1000000000 AS BIGINT)
+    FROM orders
+    """,
+)
+def prof_expectations(spark, sf_dir):
+    """Table-level data-contract audit (functions.expectations — the
+    dataset-shaped complement to the reference's value-shaped
+    FilterMapper): key uniqueness, null budget, accepted status set,
+    price range, referential closure against the customer dimension,
+    and a row-count envelope, as ONE unioned report frame.  Each
+    expectation is a single aggregate pass (the fk check is one
+    broadcast anti-join); the report is |expectations| rows of
+    gate-safe types (bool + BIGINT)."""
+    from ..functions import expectations as ex
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return ex.report(
+        ex.expect_unique(o, ["o_orderkey"]),
+        ex.expect_non_null(o, "o_custkey"),
+        ex.expect_values_in(o, "o_orderstatus", ["O", "F", "P"]),
+        ex.expect_range(o, "o_totalprice", lo=0),
+        ex.expect_foreign_key(o, "o_custkey", c, "c_custkey"),
+        ex.expect_row_count_between(o, 1, 1_000_000_000),
+    )
+
+
+@register(
+    "ds_ivf_index_topk",
+    oracle="""
+    WITH ex AS (
+      SELECT label, unnest(embedding)::DOUBLE AS x,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY d) AS centroid
+      FROM (SELECT label, d, avg(x) AS c FROM ex GROUP BY label, d)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC,
+                          c.label) AS prank
+        FROM q CROSS JOIN cent c
+      ) WHERE prank <= 2
+    ),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS score
+      FROM probes p
+      JOIN embeddings v ON v.label = p.label
+      JOIN q ON q.query_id = p.query_id
+      WHERE v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ds_ivf_index_topk(spark, sf_dir):
+    """The MATERIALIZED-index ANN path under the same hash gate as
+    ds_ivf_topk: build the IVF index (cell-partitioned vectors +
+    centroids parquet, similarity.materialize_ivf_index) then answer
+    via ivf_topk_from_index — probe assignment against STORED
+    centroids, probed cells read via partition pruning.  The oracle
+    is identical to ds_ivf_topk's because the index is a
+    materialization detail, not a semantics change — which is
+    exactly the contract this gate pins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = f"/tmp/fs_ivf_gate_{spark.sparkContext.applicationId}"
+    similarity.materialize_ivf_index(emb, path, cell_col="label")
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk_from_index(spark, path, q, k=10, nprobe=2)

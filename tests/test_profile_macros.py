@@ -109,3 +109,86 @@ class TestIvf:
         rows = out.collect()
         assert 0 < len(rows) <= 5
         assert all(r["query_id"] == 1 for r in rows)
+
+class TestIvfIndex:
+    def test_index_probe_matches_inmemory_and_prunes(self, spark, tmp_path):
+        """materialize_ivf_index + ivf_topk_from_index must return the
+        same (query, neighbor, rank) sets as the in-memory ivf_topk
+        over the same cells, read ONLY the probed cells' partitions
+        (PartitionFilters in the scan), and hold no persisted frames."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(60, 8).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]], i % 5) for i in range(60)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+        path = str(tmp_path / "ivf")
+        similarity.materialize_ivf_index(df, path, cell_col="label")
+        q = df.where(F.col("vec_id").isin(0, 1))
+        mem = similarity.ivf_topk(df, q, k=5, nprobe=2, cell_col="label")
+        idx = similarity.ivf_topk_from_index(spark, path, q, k=5, nprobe=2)
+        sm = {(r["query_id"], r["neighbor_id"], r["rank"])
+              for r in mem.collect()}
+        si = {(r["query_id"], r["neighbor_id"], r["rank"])
+              for r in idx.collect()}
+        assert sm == si
+        # partition pruning: the probed-cell predicate must reach the
+        # vectors scan as a PARTITION filter (only probed directories
+        # read).  Assert on a fresh probe plan — the shared session's
+        # AQE can fold the collected plan into reused query stages
+        # whose string elides the scans.
+        plan = (similarity.ivf_topk_from_index(spark, path, q, k=5,
+                                               nprobe=2)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PartitionFilters: [cell" in plan, plan[:3000]
+        # no leaked cache
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        idx.count()
+        assert jsc.getPersistentRDDs().size() == before
+
+class TestExpectations:
+    def test_each_check_detects_violations(self, spark):
+        from filters_spark.functions import expectations as ex
+        df = spark.createDataFrame(
+            [(1, "O", 10.0, 100), (1, "F", -5.0, 200),   # dup key, neg price
+             (2, None, 30.0, 999), (3, "X", 40.0, None)],  # null, bad status, null fk
+            "k bigint, status string, price double, cust bigint")
+        dim = spark.createDataFrame([(100,), (200,)], "c bigint")
+        rep = {r["expectation"]: (r["passed"], r["observed"])
+               for r in ex.report(
+                   ex.expect_unique(df, ["k"]),
+                   ex.expect_non_null(df, "status"),
+                   ex.expect_values_in(df, "status", ["O", "F"]),
+                   ex.expect_range(df, "price", lo=0.0),
+                   ex.expect_foreign_key(df, "cust", dim, "c"),
+                   ex.expect_row_count_between(df, 1, 3),
+               ).collect()}
+        assert rep["unique(k)"] == (False, 1)
+        assert rep["non_null(status)"] == (False, 1)
+        assert rep["values_in(status)"] == (False, 1)   # 'X'; NULL not counted
+        assert rep["range(price)"] == (False, 1)
+        assert rep["fk(cust)"] == (False, 1)            # 999; NULL fk exempt
+        assert rep["row_count[1,3]"] == (False, 4)
+
+    def test_all_pass_on_clean_table(self, spark):
+        from filters_spark.functions import expectations as ex
+        df = spark.createDataFrame(
+            [(1, "O", 10.0), (2, "F", 20.0)], "k bigint, s string, p double")
+        rep = ex.report(
+            ex.expect_unique(df, ["k"]),
+            ex.expect_non_null(df, "s"),
+            ex.expect_values_in(df, "s", ["O", "F"]),
+            ex.expect_range(df, "p", lo=0.0, hi=100.0),
+            ex.expect_row_count_between(df, 1, 10),
+        )
+        assert all(r["passed"] for r in rep.collect())
+
+    def test_null_tuples_compare_equal_in_unique(self, spark):
+        from filters_spark.functions import expectations as ex
+        df = spark.createDataFrame([(None, 1), (None, 1), (None, 2)],
+                                   "a int, b int")
+        r = ex.expect_unique(df, ["a", "b"]).head()
+        assert (r["passed"], r["observed"]) == (False, 1)  # (NULL,1) twice

@@ -290,6 +290,13 @@ EXPECTATIONS: dict[str, dict] = {
     # rollup adds a |dup-rows|-sized key) + broadcast joins back +
     # source rollup
     "ds_duplicate_spans": dict(max_exchanges=8, min_broadcasts=1),
+    # expectations report: six 1-row aggregates unioned; fk's
+    # broadcast anti-join is the only join
+    "prof_expectations": dict(min_broadcasts=1),
+    # materialized-IVF probe: centroids broadcast; probed-cell scan is
+    # partition-pruned; only the probe-rank and final-rank windows and
+    # candidate rollup shuffle — all |q|-proportional
+    "ds_ivf_index_topk": dict(min_broadcasts=2, max_exchanges=6),
 }
 
 
