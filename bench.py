@@ -61,6 +61,8 @@ HEADLINE = [
     "ds_corpus_pipeline_v2",
     # round 3 (cont.): lexical retrieval flagship
     "ds_bm25_topk",
+    # round 4: substring duplicate spans (ExactSubstr windowed-hash)
+    "ds_duplicate_spans",
 ]
 
 

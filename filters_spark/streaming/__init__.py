@@ -3,6 +3,7 @@ from .validate import (  # noqa: F401
     dedup_stream,
     error_rate_by_window,
     events_stream,
+    expectations_monitor,
     interval_join_streams,
     running_user_stats,
     session_windows,

@@ -39,6 +39,7 @@ __all__ = [
     "dead_letter_writer",
     "drift_by_window",
     "events_stream",
+    "expectations_monitor",
     "interval_join_streams",
 ]
 
@@ -315,5 +316,36 @@ def dead_letter_writer(clean_path: str, dead_path: str,
                 .partitionBy("_query_id", "_batch_id")
                 .save(path)
             )
+
+    return write
+
+
+def expectations_monitor(checks, path: str,
+                         fmt: str = "parquet"):
+    """foreachBatch function evaluating TABLE-level expectations
+    (:mod:`..functions.expectations`) on every micro-batch and
+    appending the per-batch report to ``path`` — streaming data
+    contracts: the batch-side ``expectations.report`` artifact,
+    produced continuously.
+
+    ``checks`` is a callable ``DataFrame -> DataFrame`` that builds
+    the report for one batch (compose it from ``expect_*`` +
+    ``report``); the monitor stamps (query_id, batch_id) and writes
+    with the same dynamic-partition-overwrite idempotency contract
+    as :func:`dead_letter_writer`, so replayed batches overwrite
+    their own report rather than duplicating rows.  Alert by reading
+    ``path`` and filtering ``passed = false``."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        qid = (batch_df.sparkSession.sparkContext
+               .getLocalProperty("sql.streaming.queryId")) or "unknown"
+        rep = (checks(batch_df)
+               .withColumn("_query_id", F.lit(qid))
+               .withColumn("_batch_id", F.lit(batch_id)))
+        (rep.write.format(fmt)
+         .mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_query_id", "_batch_id")
+         .save(path))
 
     return write

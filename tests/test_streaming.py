@@ -394,6 +394,43 @@ class TestStreamingMetrics:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+class TestStreamingExpectations:
+    def test_monitor_writes_per_batch_reports(self, spark, event_stream):
+        """expectations_monitor evaluates table-level contracts on
+        every micro-batch and appends idempotent per-batch report
+        partitions — streaming data contracts (round 4)."""
+        from filters_spark.functions import expectations as ex
+
+        tmp = tempfile.mkdtemp(prefix="fsexp_")
+
+        def checks(batch_df):
+            return ex.report(
+                ex.expect_non_null(batch_df, "user_id"),
+                ex.expect_range(batch_df, "value", lo=-1e12),
+                ex.expect_row_count_between(batch_df, 1, 10_000_000),
+            )
+
+        q = (
+            event_stream.writeStream
+            .foreachBatch(st.expectations_monitor(checks, f"{tmp}/audit"))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rep = spark.read.parquet(f"{tmp}/audit")
+        rows = rep.collect()
+        assert len(rows) >= 3                          # 3 checks per batch
+        assert {r["expectation"] for r in rows} == {
+            "non_null(user_id)", "range(value)",
+            "row_count[1,10000000]"}
+        assert all(isinstance(r["observed"], int) for r in rows)
+        # idempotency columns present for overwrite-by-batch replays
+        assert {"_query_id", "_batch_id"} <= set(rep.columns)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 class TestUpdateMode:
     def test_update_mode_emits_open_windows(self, spark, event_stream):
         """UPDATE output mode emits every changed window per batch —
