@@ -6506,3 +6506,64 @@ def ds_ivf_index_topk(spark, sf_dir):
     similarity.materialize_ivf_index(emb, path, cell_col="label")
     q = emb.where(F.col("vec_id") < 5)
     return similarity.ivf_topk_from_index(spark, path, q, k=10, nprobe=2)
+
+
+def _zorder_sql_key(b1: str, b2: str, bits: int = 8) -> str:
+    """Unrolled Morton interleave of two bucket expressions — the
+    same fixed-bit arithmetic layout.zorder_key compiles, as ANSI SQL
+    (the _luhn16_sql discipline)."""
+    terms = []
+    for bit in range(bits):
+        terms.append(f"((({b1} >> {bit}) & 1) << {bit * 2})")
+        terms.append(f"((({b2} >> {bit}) & 1) << {bit * 2 + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_B1 = ("CASE WHEN s.hi1 - s.lo1 <= 0 THEN 0 ELSE least(255, "
+              "CAST(floor((o_custkey::DOUBLE - s.lo1) / (s.hi1 - s.lo1) "
+              "* 256) AS INT)) END")
+_ZORDER_B2 = ("CASE WHEN s.hi2 - s.lo2 <= 0 THEN 0 ELSE least(255, "
+              "CAST(floor((o_totalprice::DOUBLE - s.lo2) / (s.hi2 - s.lo2) "
+              "* 256) AS INT)) END")
+
+
+@register(
+    "rel_zorder_key",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(o_custkey)::DOUBLE AS lo1, max(o_custkey)::DOUBLE AS hi1,
+             min(o_totalprice)::DOUBLE AS lo2, max(o_totalprice)::DOUBLE AS hi2
+      FROM orders
+    ), k AS (
+      SELECT {_zorder_sql_key(f"({_ZORDER_B1})", f"({_ZORDER_B2})")} AS key
+      FROM orders, s
+    )
+    SELECT CAST(key // 1024 AS BIGINT) AS key_range,
+           count(*) AS n,
+           CAST(sum(key) AS BIGINT) AS key_sum
+    FROM k GROUP BY 1
+    """,
+)
+def rel_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering keys (functions.layout — the
+    multi-column file-pruning layout Delta's OPTIMIZE ZORDER builds):
+    (o_custkey, o_totalprice) linear-bucketed to 8 bits each between
+    their global min/max (ONE broadcast 1-row aggregate) and
+    bit-interleaved, rolled up by coarse key range with a per-range
+    key checksum — the oracle replays the bucketing and the unrolled
+    interleave arithmetic bit for bit, so a single misplaced bit
+    anywhere in the curve flips the hash.  The write path
+    (layout.write_zordered: repartitionByRange + sortWithinPartitions
+    on this key) is pytest-verified for per-file min/max tightness on
+    BOTH columns."""
+    from ..functions import layout
+
+    o = _t(spark, sf_dir, "orders")
+    key, stats = layout.zorder_key(o, ["o_custkey", "o_totalprice"], bits=8)
+    keyed = o.crossJoin(F.broadcast(stats)).select(key.alias("key"))
+    return keyed.groupBy(
+        F.floor(F.col("key") / 1024).cast("bigint").alias("key_range")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("key").cast("bigint").alias("key_sum"),
+    )

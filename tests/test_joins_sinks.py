@@ -298,3 +298,73 @@ class TestDeadLetterReplay:
         # recovered rows carry no stale error payload
         assert ERRORS_COL not in replay.clean.columns
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestZorder:
+    def _morton(self, xs, cols_vals, bits=4):
+        """Pure-python oracle: linear bucket + bit interleave."""
+        n = len(cols_vals)
+        los = [min(v) for v in cols_vals]
+        his = [max(v) for v in cols_vals]
+        out = []
+        for idx in range(len(cols_vals[0])):
+            key = 0
+            for i, vals in enumerate(cols_vals):
+                span = his[i] - los[i]
+                if span <= 0 or vals[idx] is None:
+                    b = 0
+                else:
+                    b = min((1 << bits) - 1,
+                            int((vals[idx] - los[i]) / span * (1 << bits)))
+                for bit in range(bits):
+                    key += ((b >> bit) & 1) << (bit * n + i)
+            out.append(key)
+        return out
+
+    def test_key_matches_python_morton(self, spark):
+        from filters_spark.functions import layout
+        xs = [0.0, 1.0, 5.0, 9.0, 10.0]
+        ys = [10, 50, 20, 90, 100]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y bigint")
+        key, stats = layout.zorder_key(df, ["x", "y"], bits=4)
+        got = [r["k"] for r in
+               df.crossJoin(F.broadcast(stats)).select(key.alias("k"))
+               .collect()]
+        assert got == self._morton(None, [xs, ys], bits=4)
+
+    def test_zorder_files_tight_on_both_columns(self, spark, tmp_path):
+        """The point of Z-ordering: every output file covers a narrow
+        range of EVERY keyed column, so parquet min/max prunes files
+        for predicates on either column.  A plain x-sort leaves y
+        spanning the full range in every file."""
+        import random
+        rnd = random.Random(5)
+        rows = [(rnd.uniform(0, 1000), rnd.uniform(0, 1000))
+                for _ in range(20_000)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        from filters_spark.functions import layout
+        zp = str(tmp_path / "z")
+        xp = str(tmp_path / "x")
+        layout.write_zordered(df, zp, ["x", "y"], bits=6, n_files=16)
+        (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+         .write.parquet(xp))
+
+        def mean_span(path, col):
+            d = spark.read.parquet(path).withColumn(
+                "_f", F.input_file_name())
+            spans = (d.groupBy("_f")
+                     .agg((F.max(col) - F.min(col)).alias("s")).collect())
+            return sum(r["s"] for r in spans) / len(spans)
+
+        # x-sorted: x tight, y spans ~full range.  z-ordered: BOTH
+        # dimensions substantially tighter than the full 0-1000 range.
+        assert mean_span(xp, "y") > 900
+        assert mean_span(zp, "x") < 600
+        assert mean_span(zp, "y") < 600
+        # and clustering actually prunes: a 2-d box predicate touches
+        # a strict subset of the z-ordered files
+        zread = spark.read.parquet(zp)
+        total_files = zread.select(F.input_file_name()).distinct().count()
+        hit_files = (zread.where((F.col("x") < 100) & (F.col("y") < 100))
+                     .select(F.input_file_name()).distinct().count())
+        assert hit_files < total_files / 2, (hit_files, total_files)

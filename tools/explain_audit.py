@@ -297,6 +297,9 @@ EXPECTATIONS: dict[str, dict] = {
     # partition-pruned; only the probe-rank and final-rank windows and
     # candidate rollup shuffle — all |q|-proportional
     "ds_ivf_index_topk": dict(min_broadcasts=2, max_exchanges=6),
+    # zorder key: one broadcast 1-row min/max aggregate riding the
+    # scan + the key-range rollup — nothing else may shuffle
+    "rel_zorder_key": dict(min_broadcasts=1, max_exchanges=2),
 }
 
 
