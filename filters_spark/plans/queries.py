@@ -6567,3 +6567,64 @@ def rel_zorder_key(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("key").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "prof_cms_calibration",
+    oracle="""
+    WITH rows_r AS (SELECT unnest(range(0, 4)) AS r),
+    t AS (
+      SELECT r,
+             CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256 AS b,
+             count(*) AS n
+      FROM lineitem, rows_r
+      GROUP BY 1, 2
+    ), items AS (
+      SELECT DISTINCT l_suppkey FROM lineitem
+    ), probes AS (
+      SELECT l_suppkey, r,
+             CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256 AS b
+      FROM items, rows_r
+    ), est AS (
+      SELECT p.l_suppkey, min(coalesce(t.n, 0)) AS est
+      FROM probes p LEFT JOIN t ON t.r = p.r AND t.b = p.b
+      GROUP BY 1
+    ), exact AS (
+      SELECT l_suppkey, count(*) AS exact FROM lineitem GROUP BY 1
+    )
+    SELECT e.l_suppkey,
+           CAST(x.exact AS BIGINT) AS exact_n,
+           CAST(e.est AS BIGINT) AS est_n,
+           CAST(e.est - x.exact AS BIGINT) AS overcount
+    FROM est e JOIN exact x USING (l_suppkey)
+    """,
+)
+def prof_cms_calibration(spark, sf_dir):
+    """Count-min sketch CALIBRATION under the hash gate (the
+    ds_minhash_estimate pattern applied to frequency sketches,
+    functions.sketch): a 4×256 counter grid over lineitem supplier
+    keys — ONE exploded aggregation whose map-side combine bounds the
+    shuffle at d·w counters regardless of data size — probed for
+    every distinct supplier and laid beside the exact rollup.
+    ``overcount = est − exact`` is the gated observable: count-min
+    never undercounts (the oracle replays the md5 bucket hashes and
+    the min-over-rows estimate exactly, so a single counter off
+    anywhere flips the hash)."""
+    from ..functions import sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    table = sketch.cms_table(li, "l_suppkey", depth=4, width=256)
+    items = li.select("l_suppkey").distinct()
+    est = sketch.cms_estimate(table, items, "l_suppkey",
+                              depth=4, width=256)
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    return exact.join(est, "l_suppkey").select(
+        "l_suppkey",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("est").cast("bigint").alias("est_n"),
+        (F.col("est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )

@@ -134,3 +134,50 @@ class TestMixtureMissingDomain:
         df = spark.createDataFrame([(1, "a")], "k bigint, dom string")
         with _pytest.raises(ValueError, match="must be > 0"):
             sampling.domain_mixture_sample(df, "k", "dom", {"a": 0.0})
+
+
+class TestCountMin:
+    def _py_cms(self, values, depth, width):
+        import hashlib
+        from collections import Counter
+        table = Counter()
+        for v in values:
+            for r in range(depth):
+                h = hashlib.md5(f"{r}|{v}".encode()).hexdigest()
+                table[(r, int(h[:8], 16) % width)] += 1
+        def est(v):
+            return min(table.get(
+                (r, int(hashlib.md5(f"{r}|{v}".encode()).hexdigest()[:8],
+                        16) % width), 0) for r in range(depth))
+        return est
+
+    def test_estimates_match_python_and_never_undercount(self, spark):
+        from filters_spark.functions import sketch
+        from collections import Counter
+        vals = [i % 7 for i in range(200)] + [99] * 50
+        df = spark.createDataFrame([(v,) for v in vals], "k int")
+        table = sketch.cms_table(df, "k", depth=4, width=64)
+        items = df.select("k").distinct()
+        got = {r["k"]: r["est"] for r in
+               sketch.cms_estimate(table, items, "k",
+                                   depth=4, width=64).collect()}
+        py = self._py_cms(vals, 4, 64)
+        exact = Counter(vals)
+        for v in set(vals):
+            assert got[v] == py(v), v              # engine == python oracle
+            assert got[v] >= exact[v], v           # never undercounts
+
+    def test_unseen_item_estimates_bounded(self, spark):
+        from filters_spark.functions import sketch
+        df = spark.createDataFrame([(1,)] * 10, "k int")
+        table = sketch.cms_table(df, "k", depth=4, width=1024)
+        items = spark.createDataFrame([(123456,)], "k int")
+        est = sketch.cms_estimate(table, items, "k",
+                                  depth=4, width=1024).head()["est"]
+        assert 0 <= est <= 10   # collisions possible, never negative
+
+    def test_table_bounded_by_depth_times_width(self, spark):
+        from filters_spark.functions import sketch
+        df = spark.createDataFrame([(i,) for i in range(5000)], "k bigint")
+        table = sketch.cms_table(df, "k", depth=3, width=32)
+        assert table.count() <= 3 * 32   # state bounded, not |distinct|
