@@ -30,6 +30,7 @@ __all__ = [
     "cms_bucket",
     "cms_table",
     "cms_estimate",
+    "cms_merge",
 ]
 
 
@@ -75,3 +76,16 @@ def cms_estimate(table: DataFrame, items: DataFrame, col: str,
     return (joined.groupBy("_v")
             .agg(F.min("_n").alias("est"))
             .select(F.col("_v").alias(col), "est"))
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Merge count-min tables built with the SAME (depth, width):
+    counters add cell-wise.  This linearity is the operational point
+    of sketching — per-shard / per-day tables combine into a global
+    one without touching the data again (estimate(merged) ==
+    estimate(concatenated inputs), exactly, because both sides sum
+    the same counters).  One union + one d·w-bounded rollup."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("_row", "_bucket").agg(F.sum("n").alias("n"))

@@ -181,3 +181,18 @@ class TestCountMin:
         df = spark.createDataFrame([(i,) for i in range(5000)], "k bigint")
         table = sketch.cms_table(df, "k", depth=3, width=32)
         assert table.count() <= 3 * 32   # state bounded, not |distinct|
+
+    def test_merge_equals_concat(self, spark):
+        from filters_spark.functions import sketch
+        a = spark.createDataFrame([(i % 5,) for i in range(100)], "k int")
+        b = spark.createDataFrame([(i % 9,) for i in range(80)], "k int")
+        ta = sketch.cms_table(a, "k", depth=3, width=32)
+        tb = sketch.cms_table(b, "k", depth=3, width=32)
+        merged = sketch.cms_merge(ta, tb)
+        whole = sketch.cms_table(a.unionByName(b), "k", depth=3, width=32)
+        items = a.unionByName(b).select("k").distinct()
+        em = {r["k"]: r["est"] for r in sketch.cms_estimate(
+            merged, items, "k", depth=3, width=32).collect()}
+        ew = {r["k"]: r["est"] for r in sketch.cms_estimate(
+            whole, items, "k", depth=3, width=32).collect()}
+        assert em == ew   # linear merge == rebuild from scratch

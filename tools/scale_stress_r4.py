@@ -128,7 +128,82 @@ def phase_bm25_index(spark: SparkSession) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
-PHASES = {"spans": phase_spans, "bm25_index": phase_bm25_index}
+def phase_cms(spark: SparkSession) -> None:
+    """50M rows, skewed keys: the count-min table must stay d·w rows
+    (the bounded-state contract) and the hot keys' estimates must
+    never undercount their exact counts."""
+    from filters_spark.functions import sketch
+
+    n = 50_000_000
+    par = spark.sparkContext.defaultParallelism * 2
+    # key = id % 997 for the bulk, but ids ≡ 0 (mod 5) collapse onto
+    # key 7 — a ~20% hot key plus a uniform tail, all deterministic
+    df = spark.range(n, numPartitions=par).select(
+        F.when(F.col("id") % 5 == 0, F.lit(7))
+        .otherwise(F.col("id") % 997).alias("k"))
+    t0 = time.time()
+    table = sketch.cms_table(df, "k", depth=4, width=4096)
+    table_rows = table.count()
+    build_s = round(time.time() - t0, 1)
+    hot = spark.createDataFrame([(7,), (1,), (996,)], "k bigint")
+    t1 = time.time()
+    est = {r["k"]: r["est"] for r in
+           sketch.cms_estimate(table, hot, "k", depth=4,
+                               width=4096).collect()}
+    probe_s = round(time.time() - t1, 1)
+    exact = {r["k"]: r["n"] for r in
+             df.join(F.broadcast(hot), "k", "left_semi")
+             .groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    ok = (table_rows <= 4 * 4096
+          and all(est[k] >= exact[k] for k in exact))
+    emit(phase="cms", rows=n, table_rows=table_rows, build_s=build_s,
+         probe_s=probe_s,
+         hot_exact=exact[7], hot_est=est[7], invariants_ok=bool(ok))
+    if not ok:
+        raise SystemExit(f"invariant failure: {est} vs {exact}")
+
+
+def phase_zorder(spark: SparkSession) -> None:
+    """20M rows × 2 independent dims → z-ordered write; a 10%×10% box
+    predicate must prune most files."""
+    import shutil
+    import tempfile
+
+    from filters_spark.functions import layout
+
+    n = 20_000_000
+    par = spark.sparkContext.defaultParallelism * 2
+    hx = (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                 16, 10).cast("double") / float(16 ** 8) * 1000)
+    hy = (F.conv(F.substring(F.md5(F.concat(F.lit("y"),
+                                            F.col("id").cast("string"))),
+                             1, 8), 16, 10).cast("double")
+          / float(16 ** 8) * 1000)
+    df = spark.range(n, numPartitions=par).select(
+        hx.alias("x"), hy.alias("y"))
+    path = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        t0 = time.time()
+        layout.write_zordered(df, f"{path}/z", ["x", "y"],
+                              bits=8, n_files=64)
+        write_s = round(time.time() - t0, 1)
+        z = spark.read.parquet(f"{path}/z")
+        total = z.select(F.input_file_name()).distinct().count()
+        t1 = time.time()
+        hits = (z.where((F.col("x") < 100) & (F.col("y") < 100))
+                .select(F.input_file_name()).distinct().count())
+        probe_s = round(time.time() - t1, 1)
+        ok = hits <= total // 4
+        emit(phase="zorder", rows=n, write_s=write_s, files=total,
+             box_files=hits, probe_s=probe_s, invariants_ok=bool(ok))
+        if not ok:
+            raise SystemExit(f"pruning failure: {hits}/{total}")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+PHASES = {"spans": phase_spans, "bm25_index": phase_bm25_index,
+          "cms": phase_cms, "zorder": phase_zorder}
 
 
 def main(only: list[str]) -> None:
