@@ -31,6 +31,7 @@ __all__ = [
     "hash_keep",
     "hash_uniform",
     "stratified_sample",
+    "stratified_fixed_n",
     "hash_bucket",
     "domain_mixture_sample",
     "global_shuffle",
@@ -95,6 +96,27 @@ def stratified_sample(df: DataFrame, key: str, stratum: str,
         expr = F.when(F.col(stratum) == value,
                       F.lit(rate_to_hex_threshold(rate))).otherwise(expr)
     return df.where(hexcol < expr)
+
+
+def stratified_fixed_n(df: DataFrame, key: str, stratum: str,
+                       n_per_stratum: int) -> DataFrame:
+    """EXACTLY-n-per-stratum deterministic sampling (eval-set
+    construction: "500 docs per language"): rows ranked within each
+    stratum by their md5 draw (key tie-break) and the first n kept.
+
+    Unlike the rate-based :func:`stratified_sample` (a pure scan
+    predicate), a fixed-n contract needs a per-stratum order — ONE
+    window shuffle keyed by the stratum.  Still deterministic across
+    engines/retries (hash order, not RNG), and stable under
+    APPENDS-ONLY-at-the-tail semantics: a new row evicts the current
+    rank-n row only if its draw is smaller, which is the documented
+    reservoir-like behavior (use :func:`hash_keep` when append
+    stability of the kept SET matters more than the exact size)."""
+    w = Window.partitionBy(stratum).orderBy(_key_hex(F.col(key)),
+                                            F.col(key))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_per_stratum)
+            .drop("_rn"))
 
 
 def hash_bucket(key: Column, n_buckets: int) -> Column:

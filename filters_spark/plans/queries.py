@@ -6628,3 +6628,84 @@ def prof_cms_calibration(spark, sf_dir):
         F.col("est").cast("bigint").alias("est_n"),
         (F.col("est") - F.col("exact_n")).cast("bigint").alias("overcount"),
     )
+
+
+@register(
+    "ds_stratified_fixed_n",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE rn <= 50 GROUP BY source
+    """,
+)
+def ds_stratified_fixed_n(spark, sf_dir):
+    """EXACTLY-n-per-stratum sampling (sampling.stratified_fixed_n —
+    eval-set construction): 50 docs per source, ranked by the md5
+    draw with an id tie-break, so the kept SET is pinned by the id
+    checksum, not just its size.  One stratum-keyed window shuffle;
+    the rate-based ds_stratified_sample stays the zero-shuffle scan
+    predicate for when exact sizes don't matter."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = sampling.stratified_fixed_n(d, "doc_id", "source", 50)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+_SPLIT_CASE = ("CASE WHEN (CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)),"
+               " 1, 8)) AS BIGINT) % 10) < 8 THEN 'train' ELSE 'eval' END")
+
+
+@register(
+    "ds_split_leakage",
+    oracle=_MINHASH_ORACLE.replace(
+        "SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified WHERE j >= 0.8",
+        f"""SELECT least(sa, sb) || '/' || greatest(sa, sb) AS pair_kind,
+       count(*) AS n_pairs,
+       CAST(sum(a_id + b_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT a_id, b_id,
+         {_SPLIT_CASE.format(c='a_id')} AS sa,
+         {_SPLIT_CASE.format(c='b_id')} AS sb
+  FROM verified WHERE j >= 0.8
+) GROUP BY 1"""),
+)
+def ds_split_leakage(spark, sf_dir):
+    """Train/eval LEAKAGE audit: near-duplicate pairs (the already-
+    gated MinHash+LSH+verify pipeline at jaccard >= 0.8) classified
+    by the deterministic hash_bucket split each side lands in — a
+    'train/eval' pair is evaluation contamination that exact-id
+    dedup across splits cannot see.  Composes sampling.hash_bucket
+    with dedup.minhash_dedup_pairs under ONE hash (pair counts + id
+    checksums per pair kind); the oracle replays the full LSH
+    pipeline AND the split arithmetic."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        d, "doc_id", "text", shingle_k=3, n_hashes=16, n_bands=8,
+        threshold=0.8)
+
+    def split(c):
+        return F.when(sampling.hash_bucket(c, 10) < 8,
+                      F.lit("train")).otherwise(F.lit("eval"))
+
+    lab = pairs.select(
+        "a_id", "b_id",
+        split(F.col("a_id")).alias("sa"), split(F.col("b_id")).alias("sb"))
+    kind = F.concat(F.least("sa", "sb"), F.lit("/"), F.greatest("sa", "sb"))
+    return lab.groupBy(kind.alias("pair_kind")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("a_id") + F.col("b_id")).cast("bigint")
+        .alias("id_checksum"),
+    )

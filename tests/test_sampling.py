@@ -196,3 +196,34 @@ class TestCountMin:
         ew = {r["k"]: r["est"] for r in sketch.cms_estimate(
             whole, items, "k", depth=3, width=32).collect()}
         assert em == ew   # linear merge == rebuild from scratch
+
+
+class TestStratifiedFixedN:
+    def test_exact_n_and_deterministic(self, spark):
+        from filters_spark.functions import sampling
+        rows = [(i, f"s{i % 3}") for i in range(90)]
+        df = spark.createDataFrame(rows, "k bigint, g string")
+        a = sampling.stratified_fixed_n(df, "k", "g", 10)
+        counts = {r["g"]: r["n"] for r in
+                  a.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"s0": 10, "s1": 10, "s2": 10}
+        # deterministic across repartitioning
+        b = sampling.stratified_fixed_n(df.repartition(7), "k", "g", 10)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_matches_python_md5_order(self, spark):
+        import hashlib
+        from filters_spark.functions import sampling
+        rows = [(i, "g") for i in range(40)]
+        df = spark.createDataFrame(rows, "k bigint, g string")
+        got = sorted(r["k"] for r in
+                     sampling.stratified_fixed_n(df, "k", "g", 5).collect())
+        exp = sorted(sorted(range(40),
+                            key=lambda k: (hashlib.md5(str(k).encode())
+                                           .hexdigest(), k))[:5])
+        assert got == exp
+
+    def test_small_stratum_returns_all(self, spark):
+        from filters_spark.functions import sampling
+        df = spark.createDataFrame([(1, "g"), (2, "g")], "k bigint, g string")
+        assert sampling.stratified_fixed_n(df, "k", "g", 10).count() == 2

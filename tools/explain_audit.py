@@ -304,6 +304,11 @@ EXPECTATIONS: dict[str, dict] = {
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
     "prof_cms_calibration": dict(max_exchanges=7),
+    # fixed-n sampling: ONE stratum-keyed window shuffle + the rollup
+    "ds_stratified_fixed_n": dict(max_exchanges=2),
+    # split leakage: the audited tail after the persisted minhash
+    # frame — band join, verify joins, pair-kind rollup
+    "ds_split_leakage": dict(max_exchanges=12),
 }
 
 
