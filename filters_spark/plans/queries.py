@@ -6642,20 +6642,23 @@ def prof_cms_calibration(spark, sf_dir):
     )
     SELECT source, count(*) AS n_kept,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
-    FROM ranked WHERE rn <= 50 GROUP BY source
+    FROM ranked WHERE rn <= 10 GROUP BY source
     """,
 )
 def ds_stratified_fixed_n(spark, sf_dir):
     """EXACTLY-n-per-stratum sampling (sampling.stratified_fixed_n —
-    eval-set construction): 50 docs per source, ranked by the md5
-    draw with an id tie-break, so the kept SET is pinned by the id
-    checksum, not just its size.  One stratum-keyed window shuffle;
-    the rate-based ds_stratified_sample stays the zero-shuffle scan
-    predicate for when exact sizes don't matter."""
+    eval-set construction): 10 docs per source (n=10 so the rank
+    threshold actually TRUNCATES at gate scale — sf0.01 has only 25
+    docs per source, and a never-biting threshold would gate nothing
+    but a passthrough), ranked by the md5 draw with an id tie-break,
+    so the kept SET is pinned by the id checksum, not just its size.
+    One stratum-keyed window shuffle; the rate-based
+    ds_stratified_sample stays the zero-shuffle scan predicate for
+    when exact sizes don't matter."""
     from ..functions import sampling
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    kept = sampling.stratified_fixed_n(d, "doc_id", "source", 50)
+    kept = sampling.stratified_fixed_n(d, "doc_id", "source", 10)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
