@@ -617,7 +617,6 @@ DRIVER_WINDOW: list[str] = [
     "val_json_int_range",       # JsonDecode typed + Int
     "val_decimal_exact_agg",    # Decimal exactness (r4: decimal-string gate)
     "val_strip_fold",           # Strip + CaseFold
-    "val_base64_roundtrip",     # Base64Decode + Unicode
     "val_bytestring",           # ByteString encode (r4: hex gate output)
     "val_nested_struct",        # NamedTuple/Nested
     "val_call_udf",             # Call — pandas-UDF machinery
@@ -641,7 +640,6 @@ DRIVER_WINDOW: list[str] = [
     "rel_latest_order_per_customer",  # window dedup
     "rel_sessionize",           # session windows
     "rel_grouping_sets",        # rollup/cube/sets family (pivot: judged outside)
-    "rel_sql_interface",        # spark.sql() surface
     "rel_gapfill_2day",         # time-series spine (round-3 fix, gated)
     # rel_setops (pure built-in union/except/intersect) and
     # rel_tumbling_window (batch twin of the pytest-gated stream; the
@@ -659,8 +657,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_duplicate_spans",
     "ds_simhash_pairs",
     "ds_dedup_components_star",  # (incremental variant: judged outside)
-    "ds_cosine_topk",
-    "ds_ivf_topk",               # (lsh_topk variant: judged outside)
+    "ds_ivf_topk",               # (cosine/lsh_topk variants: judged outside)
     "ds_stratified_sample",
     # real-codec gate supersedes ds_multimodal_features in the window:
     # it exercises the SAME media-struct/mapInPandas plumbing but with
@@ -688,6 +685,13 @@ DRIVER_WINDOW: list[str] = [
     "ds_minhash_estimate",      # MinHash estimator calibration
     "ds_semantic_clusters",     # kNN graph → connected components
     "ds_wav_codec_gate",        # real PCM-WAV codec, strict mode
+    # -- round-4 flagships (swapped for val_base64_roundtrip,
+    # rel_sql_interface, ds_cosine_topk — each green in r1/r2/r3 with
+    # its family still officially covered: Unicode via val_strip_fold,
+    # the q3 plan via rel_q3_shipping, dense ANN via ds_ivf_topk):
+    "prof_expectations",        # table-level data contracts
+    "rel_zorder_key",           # Z-order layout keys, bit-exact
+    "ds_split_leakage",         # train/eval near-dup contamination
 ]
 
 
