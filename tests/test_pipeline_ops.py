@@ -249,3 +249,34 @@ class TestPackStreamingNullGuard:
         packed = packing.pack_streaming(df, "doc_id", "n_tok", 32)
         with _pytest.raises(Exception, match="NULL n_tok"):
             packed.collect()
+
+
+class TestDuplicateSpans:
+    def test_basic_and_short_docs(self, spark):
+        from filters_spark.functions import dedup
+        rows = [(1, "a b c d e f g h"),
+                (2, "x y z w a b c d e q"),
+                (3, "x y z w r s t u v q"),
+                (4, "short")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                             r["max_dup_run"], r["max_dup_span_tokens"])
+               for r in dedup.duplicate_spans(df, window=3).collect()}
+        assert got == {1: (6, 3, 3, 5), 2: (8, 5, 3, 5),
+                       3: (8, 2, 2, 4), 4: (0, 0, 0, 0)}
+
+    def test_scope_col_confines_duplication(self, spark):
+        """With scope_col, identical windows in DIFFERENT scopes are
+        not duplicates (the per-shard / incremental variant)."""
+        from filters_spark.functions import dedup
+        rows = [(1, "p q r s", "A"), (2, "p q r s", "B"),  # cross-scope only
+                (3, "m n o t", "A"), (4, "m n o t", "A")]  # same-scope dup
+        df = spark.createDataFrame(rows,
+                                   "doc_id bigint, text string, shard string")
+        got = {r["doc_id"]: r["n_dup_windows"]
+               for r in dedup.duplicate_spans(df, window=3,
+                                              scope_col="shard").collect()}
+        assert got == {1: 0, 2: 0, 3: 2, 4: 2}
+        unscoped = {r["doc_id"]: r["n_dup_windows"]
+                    for r in dedup.duplicate_spans(df, window=3).collect()}
+        assert unscoped == {1: 2, 2: 2, 3: 2, 4: 2}

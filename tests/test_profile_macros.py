@@ -134,15 +134,18 @@ class TestIvfIndex:
         si = {(r["query_id"], r["neighbor_id"], r["rank"])
               for r in idx.collect()}
         assert sm == si
-        # partition pruning: the probed-cell predicate must reach the
-        # vectors scan as a PARTITION filter (only probed directories
-        # read).  Assert on a fresh probe plan — the shared session's
-        # AQE can fold the collected plan into reused query stages
-        # whose string elides the scans.
-        plan = (similarity.ivf_topk_from_index(spark, path, q, k=5,
+        # pruned read: the vectors scan must touch ONLY the probed
+        # cells' directories (the probe reads explicit cell paths, so
+        # input files are a strict subset of the index)
+        fresh = similarity.ivf_topk_from_index(spark, path, q, k=5,
                                                nprobe=2)
-                ._jdf.queryExecution().executedPlan().toString())
-        assert "PartitionFilters: [cell" in plan, plan[:3000]
+        probed_dirs = {f.rsplit("/", 1)[0] for f in fresh.inputFiles()
+                       if "/vectors/" in f}
+        all_dirs = {f.rsplit("/", 1)[0]
+                    for f in spark.read.parquet(f"{path}/vectors")
+                    .inputFiles()}
+        assert probed_dirs and probed_dirs < all_dirs, (probed_dirs,
+                                                        all_dirs)
         # no leaked cache
         jsc = spark.sparkContext._jsc.sc()
         before = jsc.getPersistentRDDs().size()

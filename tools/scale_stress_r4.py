@@ -202,8 +202,49 @@ def phase_zorder(spark: SparkSession) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def phase_ivf_index(spark: SparkSession) -> None:
+    """1M×32 vectors into a cell-partitioned IVF index (4096 LSH
+    cells); probe 10 queries at nprobe=8 — the pruned read touches
+    ~8/4096 of the corpus per query."""
+    import shutil
+    import tempfile
+
+    from filters_spark.functions import similarity
+
+    n, dim = 1_000_000, 32
+    par = spark.sparkContext.defaultParallelism * 2
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (F.conv(F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("|"),
+                           d.cast("string"))), 1, 8), 16, 10)
+            .cast("double") / float(16 ** 8) * 2 - 1))
+    df = spark.range(n, numPartitions=par).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding"))
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        t0 = time.time()
+        similarity.materialize_ivf_index(df, path, n_cells=4096)
+        build_s = round(time.time() - t0, 1)
+        q = df.where(F.col("vec_id") < 10)
+        t1 = time.time()
+        hits = similarity.ivf_topk_from_index(spark, path, q, k=10,
+                                              nprobe=8).count()
+        probe_s = round(time.time() - t1, 1)
+        t2 = time.time()
+        hits2 = similarity.ivf_topk_from_index(spark, path, q, k=10,
+                                               nprobe=8).count()
+        probe2_s = round(time.time() - t2, 1)
+        emit(phase="ivf_index", vecs=n, dim=dim, build_s=build_s,
+             probe_s=probe_s, probe2_s=probe2_s, topk_rows=hits,
+             stable=bool(hits == hits2))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 PHASES = {"spans": phase_spans, "bm25_index": phase_bm25_index,
-          "cms": phase_cms, "zorder": phase_zorder}
+          "cms": phase_cms, "zorder": phase_zorder,
+          "ivf_index": phase_ivf_index}
 
 
 def main(only: list[str]) -> None:
