@@ -9,12 +9,17 @@ plus a typed metadata struct::
                               duration_ms: bigint, sample_rate: int>>
 
 Everything Spark-side here is REAL and tested — schema, partitioning,
-Arrow batch shapes, mapInPandas signatures.  The codec bodies
-(image decode, audio resample, video frame extraction) are stubs:
-the decode libraries (PIL/ffmpeg/torchaudio) are not in this
-container, so each ``_decode_*`` function either raises
-``NotImplementedError`` (strict mode) or produces a DETERMINISTIC
-FAKE (test mode) so the pipeline shape is exercisable end to end.
+Arrow batch shapes, mapInPandas signatures.  The UNCOMPRESSED format
+of each modality decodes FOR REAL with no external library — binary
+netpbm images (``_decode_ppm``, pure numpy), PCM WAV audio
+(``_resample_wav``, stdlib wave + numpy), and YUV4MPEG2 video
+(``_parse_y4m``, pure byte slicing) — each hash-gated end to end
+(ds_real_codec_gate / ds_wav_codec_gate / ds_y4m_codec_gate).  Only
+the COMPRESSED formats are stubs: the decode libraries
+(PIL/ffmpeg/torchaudio) are not in this container, so those paths
+either raise ``NotImplementedError`` (strict mode) or produce a
+DETERMINISTIC FAKE (lenient mode) so the pipeline shape is
+exercisable end to end.
 
 Scale notes:
 
@@ -292,12 +297,58 @@ def extract_image_features(df: DataFrame, pixels_col: str = "pixels",
     return df.mapInPandas(run, out_schema)
 
 
+def _parse_y4m(payload: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """REAL parse for uncompressed YUV4MPEG2 (C420): header tokens
+    (W/H/F num:den), then per frame a ``FRAME`` marker line followed
+    by raw Y (w·h bytes) + U + V (w/2·h/2 each).  Pure byte slicing —
+    no external codec — so video joins netpbm (image) and PCM WAV
+    (audio) as the formats this container decodes for real.  Returns
+    (w, h, fps_num, fps_den, [Y plane per frame])."""
+    nl = payload.index(b"\n")
+    parts = payload[:nl].decode("ascii").split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    num, den, chroma = 25, 1, "420"
+    for p in parts[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            num, den = (int(x) for x in p[1:].split(":"))
+        elif p.startswith("C"):
+            chroma = p[1:]
+    if not w or not h or num <= 0 or den <= 0:
+        raise ValueError("bad YUV4MPEG2 header")
+    if not chroma.startswith("420"):
+        raise ValueError(f"unsupported chroma C{chroma} (C420 only)")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        if pos + ysz + 2 * csz > len(payload):
+            raise ValueError("truncated frame data")
+        frames.append(payload[pos:pos + ysz])
+        pos += ysz + 2 * csz
+    return w, h, num, den, frames
+
+
 def sample_video_frames(df: DataFrame, media_col: str = "media",
                         every_ms: int = 1000,
                         strict: bool | None = None) -> DataFrame:
     """Frame sampling: one output row per sampled frame (flatMap
-    shape).  Stub emits deterministic frame payloads; a real ffmpeg
-    body keeps the identical mapInPandas contract."""
+    shape).  Uncompressed YUV4MPEG2 payloads parse FOR REAL in every
+    mode including strict (``_parse_y4m`` — the sampled frames are
+    the actual Y planes, timestamped from the stream's frame rate,
+    keeping the first frame of each ``every_ms`` interval); malformed
+    Y4M re-raises when strict, falls through to the stub when lenient
+    (the netpbm/WAV contract).  Compressed formats: stub emits
+    deterministic frame payloads (a real ffmpeg body keeps the
+    identical mapInPandas contract); strict mode raises for them."""
     strict_flag = STRICT_CODECS if strict is None else strict
     base = [f for f in df.schema.fields if f.name != media_col]
     import pyspark.sql.types as T
@@ -315,13 +366,34 @@ def sample_video_frames(df: DataFrame, media_col: str = "media",
                 m = r[media_col]
                 if m is None or m["payload"] is None:
                     continue
+                payload = bytes(m["payload"])
+                if payload[:9] == b"YUV4MPEG2":
+                    try:
+                        _, _, num, den, yframes = _parse_y4m(payload)
+                        out_i, last_bucket = 0, None
+                        for j, y in enumerate(yframes):
+                            ts = (j * 1000 * den) // num
+                            bucket = ts // every_ms
+                            if bucket == last_bucket:
+                                continue
+                            last_bucket = bucket
+                            row = {f.name: r[f.name] for f in base}
+                            row.update(frame_idx=out_i, frame_ts_ms=ts,
+                                       frame=y)
+                            rows.append(row)
+                            out_i += 1
+                        continue
+                    except Exception:
+                        if strict_flag:
+                            raise
                 if strict_flag:
                     raise NotImplementedError(
-                        "video frame extraction requires ffmpeg in the image"
+                        "video frame extraction requires ffmpeg in the "
+                        "image for non-Y4M formats (uncompressed "
+                        "YUV4MPEG2 parses for real)"
                     )
                 dur = (3000 if m["meta"]["duration_ms"] is None
                        else int(m["meta"]["duration_ms"]))
-                payload = bytes(m["payload"])
                 for i, ts in enumerate(range(0, dur, every_ms)):
                     frame = hashlib.md5(payload + _struct.pack("<q", ts)).digest()
                     row = {f.name: r[f.name] for f in base}

@@ -6716,3 +6716,56 @@ def ds_split_leakage(spark, sf_dir):
         F.sum(F.col("a_id") + F.col("b_id")).cast("bigint")
         .alias("id_checksum"),
     )
+
+
+@register(
+    "ds_y4m_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 32) AS s
+      FROM documents
+      WHERE length(text) >= 32
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 33) t(i)
+    )
+    SELECT code % 16 AS bucket, count(*) AS n_bytes
+    FROM ch GROUP BY 1
+    """,
+)
+def ds_y4m_codec_gate(spark, sf_dir):
+    """The real VIDEO codec under the value hash (the Y4M member of
+    the real-codec trio beside ds_real_codec_gate's PGM and
+    ds_wav_codec_gate's WAV): each document's first 32 ASCII-projected
+    characters become the Y planes of a genuine 2-frame 4×4
+    YUV4MPEG2 stream (C420, 25 fps, constant 128 chroma), the
+    strict-mode pure-byte parser samples both frames (40 ms apart,
+    every_ms=40), and the byte histogram of the emitted Y planes is
+    hash-compared against a DuckDB oracle computed from character
+    codes.  The hash matches only if header parsing, frame walking,
+    and plane slicing reproduced every byte."""
+    from ..functions import multimodal as mm
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    header = b"YUV4MPEG2 W4 H4 F25:1 Ip A0:0 C420\n"
+    uv = bytes([128] * 8)
+    payload = F.concat(
+        F.lit(header),
+        F.lit(b"FRAME\n"), F.encode(F.substring(ascii_text, 1, 16), "UTF-8"),
+        F.lit(uv),
+        F.lit(b"FRAME\n"), F.encode(F.substring(ascii_text, 17, 16), "UTF-8"),
+        F.lit(uv),
+    )
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 32)
+         .select("doc_id", payload.alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "video/x-yuv4mpeg").drop("_payload")
+    frames = mm.sample_video_frames(media, every_ms=40, strict=True)
+    feats = mm.extract_image_features(frames, pixels_col="frame", dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.round(F.sum(F.col("_r") * 16), 0).cast("long")
+             .alias("n_bytes"))
+    )

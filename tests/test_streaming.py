@@ -408,6 +408,10 @@ class TestStreamingExpectations:
                 ex.expect_non_null(batch_df, "user_id"),
                 ex.expect_range(batch_df, "value", lo=-1e12),
                 ex.expect_row_count_between(batch_df, 1, 10_000_000),
+                # deliberately failing contract: the alert path must
+                # surface passed=false rows, not drop them
+                ex.expect_row_count_between(batch_df, 1, 2,
+                                            name="canary_max2"),
             )
 
         q = (
@@ -421,11 +425,15 @@ class TestStreamingExpectations:
         q.stop()
         rep = spark.read.parquet(f"{tmp}/audit")
         rows = rep.collect()
-        assert len(rows) >= 3                          # 3 checks per batch
+        assert len(rows) >= 4                          # 4 checks per batch
         assert {r["expectation"] for r in rows} == {
             "non_null(user_id)", "range(value)",
-            "row_count[1,10000000]"}
+            "row_count[1,10000000]", "canary_max2"}
         assert all(isinstance(r["observed"], int) for r in rows)
+        canary = [r for r in rows if r["expectation"] == "canary_max2"]
+        assert canary and not any(r["passed"] for r in canary)
+        assert all(r["passed"] for r in rows
+                   if r["expectation"] != "canary_max2")
         # idempotency columns present for overwrite-by-batch replays
         assert {"_query_id", "_batch_id"} <= set(rep.columns)
         shutil.rmtree(tmp, ignore_errors=True)

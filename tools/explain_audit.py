@@ -304,6 +304,9 @@ EXPECTATIONS: dict[str, dict] = {
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
     "prof_cms_calibration": dict(max_exchanges=7),
+    # Y4M codec gate: scan → payload build → two mapInPandas
+    # crossings (frame-sample + featurize) → posexplode + one rollup
+    "ds_y4m_codec_gate": dict(max_exchanges=1, scan_filter=True),
     # fixed-n sampling: ONE stratum-keyed window shuffle + the rollup
     "ds_stratified_fixed_n": dict(max_exchanges=2),
     # split leakage: the audited tail after the persisted minhash
