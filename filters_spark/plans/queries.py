@@ -1987,12 +1987,16 @@ def rel_q8_market_share(spark, sf_dir):
 @register(
     "rel_q9_profit_by_nation_year",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(CAST(sum(amount) AS DECIMAL(38,5)) AS VARCHAR) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.1 * p_retailprice * l_quantity AS amount
+             CAST(round(l_extendedprice, 2) AS DECIMAL(12,2))
+               * (1 - CAST(round(l_discount, 2) AS DECIMAL(4,2)))
+               - CAST(round(p_retailprice, 2) AS DECIMAL(12,2))
+                 * CAST(round(l_quantity, 2) AS DECIMAL(6,2))
+                 * CAST(0.1 AS DECIMAL(1,1)) AS amount
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -2007,15 +2011,30 @@ def rel_q9_profit_by_nation_year(spark, sf_dir):
     """TPC-H Q9 shape, adapted: no partsupp table in the testdata, so
     supply cost is modeled as 10% of p_retailprice per unit (keeps the
     profit = revenue − cost expression over the same 5-table join).
-    The LIKE filter on part prunes before the broadcast."""
+    The LIKE filter on part prunes before the broadcast.
+
+    Money discipline (strict-replica 10× catch): the original
+    round(sum(double), 2) landed each side of a half-cent boundary at
+    sf0.1 (22300936.61 vs .62 — float sums are accumulation-order-
+    dependent), and snapping per-row DOUBLES to decimals is not
+    engine-stable either (Spark's double→decimal goes through the
+    shortest-repr BigDecimal.valueOf, DuckDB rounds the exact binary
+    value — they disagree on representational-midpoint rows).  So the
+    INPUTS are rounded to their data scale (2 dp money, the q1/q11
+    discipline), all arithmetic is exact decimal, and the exact
+    scale-5 sum goes out VERBATIM as a string — no rounding anywhere
+    past the inputs."""
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
     amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+        F.round("l_extendedprice", 2).cast("decimal(12,2)")
+        * (1 - F.round("l_discount", 2).cast("decimal(4,2)"))
+        - F.round("p_retailprice", 2).cast("decimal(12,2)")
+        * F.round("l_quantity", 2).cast("decimal(6,2)")
+        * F.lit("0.1").cast("decimal(1,1)")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -2026,7 +2045,8 @@ def rel_q9_profit_by_nation_year(spark, sf_dir):
                 F.year("o_orderdate").alias("o_year"),
                 amount.alias("amount"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.sum("amount").cast("decimal(38,5)").cast("string")
+             .alias("sum_profit"))
     )
 
 
@@ -2902,15 +2922,18 @@ def prof_histogram(spark, sf_dir):
     oracle="""
     WITH supp_price AS (
       SELECT l_partkey, l_suppkey,
-             round(avg(l_extendedprice / l_quantity), 2) AS avg_unit_price
+             CAST(sum(CAST(round(l_extendedprice, 2)
+                           AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(sum(CAST(round(l_quantity, 2)
+                               AS DECIMAL(8,2))) AS DOUBLE) AS price
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY l_partkey
-                                   ORDER BY avg_unit_price, l_suppkey) AS rk
+                                   ORDER BY price, l_suppkey) AS rk
       FROM supp_price
     )
-    SELECT p_partkey, p_brand, s_name, avg_unit_price
+    SELECT p_partkey, p_brand, s_name, price AS avg_unit_price
     FROM ranked
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -2922,16 +2945,33 @@ def rel_q2_cheapest_supplier(spark, sf_dir):
     per part by observed average unit price — the correlated-min
     subquery decorrelated into a window rank over the PRE-AGGREGATED
     (part, supplier) rollup, argmin ties broken by suppkey.  The
-    p_size filter prunes parts BEFORE the broadcast joins."""
+    p_size filter prunes parts BEFORE the broadcast joins.
+
+    The unit price is the ratio-of-exact-sums (Σ price / Σ qty summed
+    as exact decimals, divided ONCE in IEEE) emitted UNROUNDED: the
+    original avg-of-double-quotients drifted a cent at sf0.1
+    (strict-replica 10× catch) because float averages are
+    accumulation-order-dependent — and NO rounding of the quotient
+    is engine-stable either: these ratios land on exact decimal
+    midpoints (153.855, 511.475...) where Spark's shortest-repr
+    BigDecimal rounding, DuckDB's round(), and DuckDB's
+    double→DECIMAL cast give THREE different answers (all
+    live-verified).  The raw quotient is bit-identical across
+    engines (exact decimal inputs → one deterministic division), so
+    it needs no rounding discipline at all — ranked directly, ties
+    by suppkey."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 3)
     s = _t(spark, sf_dir, "supplier")
     supp_price = (
         li.groupBy("l_partkey", "l_suppkey")
-        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2)
-             .alias("avg_unit_price"))
+        .agg((F.sum(F.round("l_extendedprice", 2).cast("decimal(12,2)"))
+              .cast("double")
+              / F.sum(F.round("l_quantity", 2).cast("decimal(8,2)"))
+              .cast("double"))
+             .alias("_price"))
     )
-    w = Window.partitionBy("l_partkey").orderBy("avg_unit_price", "l_suppkey")
+    w = Window.partitionBy("l_partkey").orderBy("_price", "l_suppkey")
     best = (
         supp_price.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
@@ -2939,7 +2979,8 @@ def rel_q2_cheapest_supplier(spark, sf_dir):
     return (
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
-        .select("p_partkey", "p_brand", "s_name", "avg_unit_price")
+        .select("p_partkey", "p_brand", "s_name",
+                F.col("_price").alias("avg_unit_price"))
     )
 
 
