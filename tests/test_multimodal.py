@@ -369,3 +369,17 @@ class TestY4mVideo:
             assert len(out) > 0          # stub fallback, no crash
             with _pytest.raises(Exception):
                 mm.sample_video_frames(media, strict=True).collect()
+
+    def test_ntsc_frame_rate_timestamps(self, spark):
+        """Fractional rates (F30000:1001) must timestamp via integer
+        arithmetic on num/den, not float fps."""
+        from filters_spark.functions import multimodal as mm
+        frames = [bytes([i] * 16) for i in range(4)]
+        payload = self._y4m(4, 4, frames, fps="30000:1001")
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "video/x-yuv4mpeg")
+        rows = (mm.sample_video_frames(media, every_ms=1, strict=True)
+                .orderBy("frame_idx").collect())
+        # ts_j = (j * 1000 * 1001) // 30000 -> 0, 33, 66, 100
+        assert [r["frame_ts_ms"] for r in rows] == [0, 33, 66, 100]
