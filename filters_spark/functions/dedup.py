@@ -968,6 +968,8 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     incremental variant).  ``explode_partitions`` spreads docs BEFORE
     the row-amplifying explode (single-split parquet inputs otherwise
     run the whole explode in one task — the SCALE.md §16 hazard).
+    Precondition: ``id_col`` values are unique (the per-doc joins key
+    on it) — the global_shuffle contract.
     """
     toks = F.split(F.col(text_col), sep)
     scope = [scope_col] if scope_col else []

@@ -94,17 +94,19 @@ def expect_range(df: DataFrame, col: str, lo=None, hi=None,
 
 
 def expect_foreign_key(df: DataFrame, key: str, dim: DataFrame,
-                       dim_key: str,
-                       name: str | None = None) -> DataFrame:
+                       dim_key: str, name: str | None = None,
+                       broadcast_dim: bool = True) -> DataFrame:
     """Referential closure: every non-NULL ``key`` exists in
-    ``dim.dim_key``.  One anti-join (dim side broadcast when small —
-    AQE decides) + one count; observed = orphan ROW count."""
+    ``dim.dim_key``.  One anti-join + one count; observed = orphan
+    ROW count.  ``broadcast_dim`` (default) hints the dim's distinct
+    keys broadcast — right for dimension tables; pass False for a
+    fact-sized right side (a forced broadcast of a 100 TB key set is
+    an OOM, not a hint) and let AQE pick the join strategy."""
     n = name or f"fk({key})"
-    orphans = (
-        df.where(F.col(key).isNotNull())
-        .join(F.broadcast(dim.select(F.col(dim_key).alias(key)).distinct()),
-              key, "left_anti")
-    )
+    keys = dim.select(F.col(dim_key).alias(key)).distinct()
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    orphans = df.where(F.col(key).isNotNull()).join(keys, key, "left_anti")
     return _row(orphans, n, F.count(F.lit(1)))
 
 

@@ -34,15 +34,18 @@ __all__ = [
 ]
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+def zorder_key(df: DataFrame, cols: list[str],
+               bits: int = 8) -> tuple[Column, DataFrame]:
     """Morton key over ``cols``: each column linear-bucketed into
     ``2**bits`` buckets between its global min and max (constant
     columns and NULLs land in bucket 0), bucket bits interleaved
-    column-major.  Returns a BIGINT column expression; requires
-    ``len(cols) * bits <= 63``.
+    column-major.  Requires ``len(cols) * bits <= 63``.
 
-    The min/max frame is an aggregate subtree the caller's plan
-    cross-joins as a broadcast — no driver collect, no second pass.
+    Returns ``(key, stats)``: the BIGINT key expression plus the
+    1-row min/max aggregate frame it references — cross-join the
+    stats as a broadcast before selecting the key
+    (``df.crossJoin(F.broadcast(stats)).withColumn("k", key)``; see
+    :func:`write_zordered`).  No driver collect, no second pass.
     """
     n = len(cols)
     if n * bits > 63:

@@ -111,7 +111,10 @@ def stratified_fixed_n(df: DataFrame, key: str, stratum: str,
     APPENDS-ONLY-at-the-tail semantics: a new row evicts the current
     rank-n row only if its draw is smaller, which is the documented
     reservoir-like behavior (use :func:`hash_keep` when append
-    stability of the kept SET matters more than the exact size)."""
+    stability of the kept SET matters more than the exact size).
+    Precondition: ``key`` values are unique within each stratum —
+    duplicate keys tie on (draw, key) and the rank between their
+    rows is then partition-order-dependent."""
     w = Window.partitionBy(stratum).orderBy(_key_hex(F.col(key)),
                                             F.col(key))
     return (df.withColumn("_rn", F.row_number().over(w))

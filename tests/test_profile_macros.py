@@ -195,3 +195,16 @@ class TestExpectations:
                                    "a int, b int")
         r = ex.expect_unique(df, ["a", "b"]).head()
         assert (r["passed"], r["observed"]) == (False, 1)  # (NULL,1) twice
+
+    def test_fk_without_broadcast_hint(self, spark):
+        """broadcast_dim=False must produce identical results (AQE
+        picks the strategy instead of a forced broadcast — the
+        fact-sized-dim escape hatch)."""
+        from filters_spark.functions import expectations as ex
+        df = spark.createDataFrame([(100,), (999,), (None,)], "cust bigint")
+        dim = spark.createDataFrame([(100,), (200,)], "c bigint")
+        a = ex.expect_foreign_key(df, "cust", dim, "c").head()
+        b = ex.expect_foreign_key(df, "cust", dim, "c",
+                                  broadcast_dim=False).head()
+        assert (a["passed"], a["observed"]) == (b["passed"], b["observed"]) \
+            == (False, 1)
