@@ -34,6 +34,7 @@ __all__ = [
     "expect_range",
     "expect_foreign_key",
     "expect_row_count_between",
+    "expect_freshness",
     "report",
 ]
 
@@ -123,6 +124,30 @@ def expect_row_count_between(df: DataFrame, lo: int, hi: int,
         ((cnt >= lo) & (cnt <= hi)).alias("passed"),
         cnt.cast("bigint").alias("observed"),
         F.lit(hi).cast("bigint").alias("threshold"),
+    )
+
+
+def expect_freshness(df: DataFrame, ts_col: str, max_age_hours: int,
+                     as_of, name: str | None = None) -> DataFrame:
+    """The newest ``ts_col`` value is within ``max_age_hours`` of
+    ``as_of`` — the stalled-ingest canary.  ``as_of`` is an EXPLICIT
+    reference instant (a timestamp/date literal or Column): a
+    wall-clock default would make the check unreproducible across
+    reruns/engines (the prof_freshness discipline).  observed = age
+    in hours (floor); an EMPTY table is infinitely stale and fails
+    with observed = threshold + 1."""
+    n = name or f"freshness({ts_col})"
+    ref = F.lit(as_of).cast("timestamp") if not isinstance(as_of, Column) \
+        else as_of.cast("timestamp")
+    age_h = F.floor(
+        (ref.cast("double") - F.max(ts_col).cast("timestamp")
+         .cast("double")) / 3600).cast("bigint")
+    return df.agg(
+        F.lit(n).alias("expectation"),
+        F.coalesce(age_h <= max_age_hours, F.lit(False)).alias("passed"),
+        F.coalesce(age_h, F.lit(max_age_hours + 1)).cast("bigint")
+        .alias("observed"),
+        F.lit(max_age_hours).cast("bigint").alias("threshold"),
     )
 
 

@@ -208,3 +208,16 @@ class TestExpectations:
                                   broadcast_dim=False).head()
         assert (a["passed"], a["observed"]) == (b["passed"], b["observed"]) \
             == (False, 1)
+
+    def test_freshness_wall_clock_free(self, spark):
+        from filters_spark.functions import expectations as ex
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:00",), ("2024-01-03 00:00:00",)],
+            "ts string").select(F.col("ts").cast("timestamp").alias("ts"))
+        fresh = ex.expect_freshness(df, "ts", 48, "2024-01-04 00:00:00").head()
+        assert (fresh["passed"], fresh["observed"]) == (True, 24)
+        stale = ex.expect_freshness(df, "ts", 12, "2024-01-04 00:00:00").head()
+        assert (stale["passed"], stale["observed"]) == (False, 24)
+        empty = ex.expect_freshness(df.where(F.lit(False)), "ts", 12,
+                                    "2024-01-04 00:00:00").head()
+        assert (empty["passed"], empty["observed"]) == (False, 13)
