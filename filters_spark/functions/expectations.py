@@ -35,6 +35,7 @@ __all__ = [
     "expect_foreign_key",
     "expect_row_count_between",
     "expect_freshness",
+    "expect_distribution",
     "report",
 ]
 
@@ -148,6 +149,58 @@ def expect_freshness(df: DataFrame, ts_col: str, max_age_hours: int,
         F.coalesce(age_h, F.lit(max_age_hours + 1)).cast("bigint")
         .alias("observed"),
         F.lit(max_age_hours).cast("bigint").alias("threshold"),
+    )
+
+
+def expect_distribution(df: DataFrame, col: str,
+                        expected_shares: dict, tolerance: float = 0.05,
+                        name: str | None = None) -> DataFrame:
+    """The observed category mixture of ``col`` is within total-
+    variation ``tolerance`` of ``expected_shares`` — the data-contract
+    form of the drift monitor (a declared mixture, not a learned
+    baseline).  Categories absent from the dict have expected share 0,
+    so novel categories count at full weight.
+
+    EXACT integer arithmetic throughout (the midpoint-rounding rule:
+    no doubles in observed/threshold): shares are scaled to millionths
+    and the comparison is Σ|n_c·10⁶ − p_c_micro·N| ≤ 2·tol_micro·N·10⁰
+    … i.e. observed = Σ|n_c·1e6 − p_micro·N| and threshold =
+    2·tolerance_micro·N, both BIGINT (TV distance = observed /
+    (2·N·1e6)).  Two grouped counts fused into one aggregate pass."""
+    n = name or f"distribution({col})"
+    p_micro = F.lit(0).cast("bigint")
+    for cat, share in sorted(expected_shares.items()):
+        p_micro = F.when(F.col(col) == cat,
+                         F.lit(int(round(share * 1_000_000)))
+                         .cast("bigint")).otherwise(p_micro)
+    per_cat = (df.groupBy(F.col(col).cast("string").alias("_cat"))
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.first(p_micro).alias("_p")))
+    # observed-only categories are in per_cat; expected-but-absent
+    # categories contribute p_micro·N each — added via the union of
+    # expected keys with zero counts.  (An EMPTY table has N = 0 and
+    # trivially passes — pair with expect_row_count_between.)
+    expected_rows = [(str(k), 0, int(round(v * 1_000_000)))
+                     for k, v in sorted(expected_shares.items())]
+    spark = df.sparkSession
+    exp_df = spark.createDataFrame(expected_rows,
+                                   "_cat string, _n long, _p long")
+    merged = (per_cat.unionByName(exp_df)
+              .groupBy("_cat")
+              .agg(F.sum("_n").alias("_n"), F.max("_p").alias("_p")))
+    tol_micro = int(round(tolerance * 1_000_000))
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy()
+    dev = F.abs(F.col("_n") * F.lit(1_000_000)
+                - F.col("_p") * F.sum("_n").over(w))
+    out = merged.select(F.sum(dev).over(w).alias("_obs"),
+                        (F.lit(2 * tol_micro) * F.sum("_n").over(w))
+                        .alias("_thr")).limit(1)
+    return out.select(
+        F.lit(n).alias("expectation"),
+        (F.col("_obs") <= F.col("_thr")).alias("passed"),
+        F.col("_obs").cast("bigint").alias("observed"),
+        F.col("_thr").cast("bigint").alias("threshold"),
     )
 
 

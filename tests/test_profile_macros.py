@@ -221,3 +221,25 @@ class TestExpectations:
         empty = ex.expect_freshness(df.where(F.lit(False)), "ts", 12,
                                     "2024-01-04 00:00:00").head()
         assert (empty["passed"], empty["observed"]) == (False, 13)
+
+    def test_distribution_contract_exact_integers(self, spark):
+        from filters_spark.functions import expectations as ex
+        rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+        df = spark.createDataFrame(rows, "g string")
+        # exact match: TV = 0
+        r = ex.expect_distribution(df, "g",
+                                   {"a": 0.5, "b": 0.3, "c": 0.2},
+                                   tolerance=0.01).head()
+        assert (r["passed"], r["observed"]) == (True, 0)
+        # shifted target: TV = 0.1 > 5% tolerance -> fail; observed is
+        # an exact integer (sum |n*1e6 - p_micro*N| = 2*TV*N*1e6)
+        r2 = ex.expect_distribution(df, "g",
+                                    {"a": 0.4, "b": 0.4, "c": 0.2},
+                                    tolerance=0.05).head()
+        assert r2["passed"] is False
+        assert r2["observed"] == 20_000_000  # |50-40|+|30-40| in micro*N
+        assert r2["threshold"] == 10_000_000
+        # novel category counts at full weight
+        r3 = ex.expect_distribution(df, "g", {"a": 0.5, "b": 0.5},
+                                    tolerance=0.05).head()
+        assert r3["passed"] is False
