@@ -954,9 +954,9 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 
     1. explode to (id, pos, xxhash64(window-slice)) — the shuffle
        carries an 8-byte hash, never window text; the corpus-wide
-       occurrence count is ONE window-count over the hash key
-       (hash-uniform by construction; true mass-duplicated windows
-       are AQE-skew territory).  The oracle replays duplication
+       occurrence count is a hash-keyed groupBy (map-side partial
+       combine absorbs mass-duplicated windows) joined back onto the
+       hashed rows (AQE skew-splittable).  The oracle replays duplication
        classes with raw gram strings — identical under an injective
        hash, the ds_decontaminate contract.
     2. per-doc gaps-and-islands (_pos − row_number over duplicated
@@ -985,8 +985,15 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     hashed = pos.select(
         *scope, "_id", "_pos",
         F.xxhash64(F.slice("_toks", F.col("_pos"), window)).alias("_h"))
-    wh = Window.partitionBy(*(scope + ["_h"]))
-    marked = hashed.withColumn("_cnt", F.count(F.lit(1)).over(wh))
+    # corpus-wide occurrence count as groupBy + join, NOT a window:
+    # a mass-duplicated window (boilerplate repeated millions of
+    # times) would put all its rows in a single window-partition
+    # task, and AQE skew handling splits skewed JOINS, not window
+    # partitions.  The groupBy gets map-side partial aggregation on
+    # the hot key and the join back is AQE-skew-splittable.
+    hcnt = (hashed.groupBy(*(scope + ["_h"]))
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    marked = hashed.join(hcnt, scope + ["_h"])
     wd = Window.partitionBy("_id").orderBy("_pos")
     runs = (
         marked.where(F.col("_cnt") > 1)

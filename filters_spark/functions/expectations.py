@@ -163,44 +163,64 @@ def expect_distribution(df: DataFrame, col: str,
 
     EXACT integer arithmetic throughout (the midpoint-rounding rule:
     no doubles in observed/threshold): shares are scaled to millionths
-    and the comparison is Σ|n_c·10⁶ − p_c_micro·N| ≤ 2·tol_micro·N·10⁰
+    and the comparison is Σ|n_c·10⁶ − p_c_micro·N| ≤ 2·tol_micro·N
     … i.e. observed = Σ|n_c·1e6 − p_micro·N| and threshold =
     2·tolerance_micro·N, both BIGINT (TV distance = observed /
-    (2·N·1e6)).  Two grouped counts fused into one aggregate pass."""
+    (2·N·1e6)).
+
+    Category matching is canonicalized ONE way: the observed group
+    key and the expected keys are both Spark's own ``cast('string')``
+    of the NATIVE value (the expected dict keys ride into a tiny
+    frame typed as given and Spark casts them) — so bool/decimal
+    columns, where Python's ``str()`` disagrees with Spark's cast
+    ('True' vs 'true'), match instead of double-counting.
+
+    Scale shape: a grouped count (map-side combine), a broadcast
+    full-outer join against the |expected| + observed-categories
+    keys, and two PLAIN aggregates — no global-partition window, so
+    a high-cardinality column degrades to an ordinary aggregate
+    instead of funneling every distinct category through one task."""
     n = name or f"distribution({col})"
-    p_micro = F.lit(0).cast("bigint")
-    for cat, share in sorted(expected_shares.items()):
-        p_micro = F.when(F.col(col) == cat,
-                         F.lit(int(round(share * 1_000_000)))
-                         .cast("bigint")).otherwise(p_micro)
-    per_cat = (df.groupBy(F.col(col).cast("string").alias("_cat"))
-               .agg(F.count(F.lit(1)).alias("_n"),
-                    F.first(p_micro).alias("_p")))
-    # observed-only categories are in per_cat; expected-but-absent
-    # categories contribute p_micro·N each — added via the union of
-    # expected keys with zero counts.  (An EMPTY table has N = 0 and
-    # trivially passes — pair with expect_row_count_between.)
-    expected_rows = [(str(k), 0, int(round(v * 1_000_000)))
-                     for k, v in sorted(expected_shares.items())]
     spark = df.sparkSession
-    exp_df = spark.createDataFrame(expected_rows,
-                                   "_cat string, _n long, _p long")
-    merged = (per_cat.unionByName(exp_df)
-              .groupBy("_cat")
-              .agg(F.sum("_n").alias("_n"), F.max("_p").alias("_p")))
     tol_micro = int(round(tolerance * 1_000_000))
-    from pyspark.sql import Window as _W
-    w = _W.partitionBy()
-    dev = F.abs(F.col("_n") * F.lit(1_000_000)
-                - F.col("_p") * F.sum("_n").over(w))
-    out = merged.select(F.sum(dev).over(w).alias("_obs"),
-                        (F.lit(2 * tol_micro) * F.sum("_n").over(w))
-                        .alias("_thr")).limit(1)
+    exp_rows = [(k, int(round(v * 1_000_000)))
+                for k, v in sorted(expected_shares.items(),
+                                   key=lambda kv: str(kv[0]))]
+    if exp_rows:
+        exp_df = (spark.createDataFrame(exp_rows, ["_cat_native", "_p"])
+                  .select(F.col("_cat_native").cast("string").alias("_cat"),
+                          F.col("_p").cast("bigint").alias("_p")))
+    else:
+        exp_df = spark.createDataFrame([], "_cat string, _p bigint")
+    per_cat = (df.groupBy(F.col(col).cast("string").alias("_cat"))
+               .agg(F.count(F.lit(1)).alias("_n")))
+    # observed-only categories have expected share 0 (novel values
+    # count at full weight); expected-but-absent categories keep
+    # their p_micro against a 0 count.  NULL observed values never
+    # join an expected key (join on NULL is false) → novel category.
+    # (An EMPTY table has N = 0 and trivially passes — pair with
+    # expect_row_count_between.)
+    merged = (per_cat.join(F.broadcast(exp_df), "_cat", "full_outer")
+              .select(F.coalesce("_n", F.lit(0)).cast("bigint").alias("_n"),
+                      F.coalesce("_p", F.lit(0)).cast("bigint").alias("_p")))
+    # qualified aliases: `total` derives from `merged`, and a
+    # crossJoin of a frame with its own aggregate leaves `_n`
+    # ambiguous under self-join dedup unless references are
+    # plan-qualified
+    total = (merged.select(F.col("_n").alias("_tn"))
+             .agg(F.sum("_tn").cast("bigint").alias("_N")))
+    out = (merged.alias("m").crossJoin(F.broadcast(total).alias("t"))
+           .agg(F.coalesce(
+                    F.sum(F.abs(F.col("m._n") * F.lit(1_000_000)
+                                - F.col("m._p") * F.col("t._N"))),
+                    F.lit(0)).cast("bigint").alias("_obs"),
+                F.coalesce(F.lit(2 * tol_micro) * F.max("t._N"),
+                           F.lit(0)).cast("bigint").alias("_thr")))
     return out.select(
         F.lit(n).alias("expectation"),
         (F.col("_obs") <= F.col("_thr")).alias("passed"),
-        F.col("_obs").cast("bigint").alias("observed"),
-        F.col("_thr").cast("bigint").alias("threshold"),
+        F.col("_obs").alias("observed"),
+        F.col("_thr").alias("threshold"),
     )
 
 

@@ -99,27 +99,57 @@ def stratified_sample(df: DataFrame, key: str, stratum: str,
 
 
 def stratified_fixed_n(df: DataFrame, key: str, stratum: str,
-                       n_per_stratum: int) -> DataFrame:
+                       n_per_stratum: int, salt: int = 32) -> DataFrame:
     """EXACTLY-n-per-stratum deterministic sampling (eval-set
     construction: "500 docs per language"): rows ranked within each
     stratum by their md5 draw (key tie-break) and the first n kept.
 
     Unlike the rate-based :func:`stratified_sample` (a pure scan
-    predicate), a fixed-n contract needs a per-stratum order — ONE
-    window shuffle keyed by the stratum.  Still deterministic across
-    engines/retries (hash order, not RNG), and stable under
+    predicate), a fixed-n contract needs a per-stratum order.  Scale
+    shape — TWO-PHASE top-n so no task ever sorts a whole stratum
+    (a 100 TB corpus with 5 languages must not funnel 20 TB through
+    one window task):
+
+    1. rows are salted into ``salt`` deterministic sub-groups (md5
+       chars 9-14 — independent of the chars 1-8 that drive the rank
+       order) and a (stratum, salt)-keyed window keeps each group's
+       local top-n — parallelism = strata × salt;
+    2. the global (md5, key)-ordered window runs over the ≤ n·salt
+       survivors per stratum — a bounded, tiny input regardless of
+       corpus size.
+
+    Output is provably identical to the single-window form: every
+    global top-n row is in its salt group's top-n, and the phase-2
+    order (draw, key) is total.  Still deterministic across engines /
+    retries / partitionings (hash order, not RNG), and stable under
     APPENDS-ONLY-at-the-tail semantics: a new row evicts the current
     rank-n row only if its draw is smaller, which is the documented
     reservoir-like behavior (use :func:`hash_keep` when append
     stability of the kept SET matters more than the exact size).
+    ``salt=1`` recovers the single-window plan (useful when
+    n_per_stratum is so large that n·salt survivors would dominate).
     Precondition: ``key`` values are unique within each stratum —
     duplicate keys tie on (draw, key) and the rank between their
     rows is then partition-order-dependent."""
-    w = Window.partitionBy(stratum).orderBy(_key_hex(F.col(key)),
-                                            F.col(key))
-    return (df.withColumn("_rn", F.row_number().over(w))
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    draw = _key_hex(F.col(key))
+    if salt == 1:
+        w = Window.partitionBy(stratum).orderBy(draw, F.col(key))
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n_per_stratum)
+                .drop("_rn"))
+    salted = df.withColumn("_draw", draw).withColumn(
+        "_salt",
+        (F.conv(F.substring("_draw", 9, 6), 16, 10) % salt).cast("int"))
+    w1 = Window.partitionBy(stratum, "_salt").orderBy("_draw", F.col(key))
+    survivors = (salted.withColumn("_rn", F.row_number().over(w1))
+                 .where(F.col("_rn") <= n_per_stratum)
+                 .drop("_rn", "_salt"))
+    w2 = Window.partitionBy(stratum).orderBy("_draw", F.col(key))
+    return (survivors.withColumn("_rn", F.row_number().over(w2))
             .where(F.col("_rn") <= n_per_stratum)
-            .drop("_rn"))
+            .drop("_rn", "_draw"))
 
 
 def hash_bucket(key: Column, n_buckets: int) -> Column:

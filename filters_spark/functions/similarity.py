@@ -256,6 +256,25 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+# the characters Hive/Spark's ExternalCatalogUtils.escapePathName
+# percent-encodes when writing a partition directory name — a probe
+# that reconstructs `cell=<value>` paths by hand must encode the
+# same way or string cells containing ':', '=', '%', '/', ... miss
+# the written directory entirely
+_PATH_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {
+    chr(c) for c in range(0x20)}
+
+
+def _escape_partition_value(value) -> str:
+    """Encode a partition VALUE exactly the way Spark encodes it in
+    the directory name (uppercase %XX for each reserved char), so
+    ``f"cell={_escape_partition_value(v)}"`` resolves to the
+    directory ``partitionBy`` actually wrote."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch
+        for ch in str(value))
+
+
 def materialize_ivf_index(vectors: DataFrame, path: str,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
@@ -340,11 +359,18 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
         .select("query_id", "cell")
     )
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    if any(c is None for c in cells):
+        raise ValueError(
+            "ivf_topk_from_index: probed a NULL cell — the index "
+            "contract requires non-NULL cell ids (a NULL cell is "
+            "written as __HIVE_DEFAULT_PARTITION__ and cannot be "
+            "probed as an explicit path)")
     sch = spark.read.parquet(f"{path}/schema").schema
     base = f"{path}/vectors"
     if cells:
         v = (spark.read.option("basePath", base).schema(sch)
-             .parquet(*[f"{base}/cell={c}" for c in cells]))
+             .parquet(*[f"{base}/cell={_escape_partition_value(c)}"
+                        for c in cells]))
     else:
         # empty query set / empty index: the schema marker IS an
         # empty frame with the right columns

@@ -6714,9 +6714,22 @@ _SPLIT_CASE = ("CASE WHEN (CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)),"
                " 1, 8)) AS BIGINT) % 10) < 8 THEN 'train' ELSE 'eval' END")
 
 
+def _oracle_replace(base: str, target: str, replacement: str) -> str:
+    """str.replace that REFUSES to no-op: derived oracles built by
+    rewriting a shared base (e.g. the MinHash CTE prefix) must fail
+    at import time if the target line was reworded, not silently
+    revert to the base oracle and surface later as a confusing
+    schema mismatch at gate time."""
+    if target not in base:
+        raise AssertionError(
+            f"oracle derivation target not found (reworded base?): "
+            f"{target[:60]!r}...")
+    return base.replace(target, replacement)
+
+
 @register(
     "ds_split_leakage",
-    oracle=_MINHASH_ORACLE.replace(
+    oracle=_oracle_replace(_MINHASH_ORACLE,
         "SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified WHERE j >= 0.8",
         f"""SELECT least(sa, sb) || '/' || greatest(sa, sb) AS pair_kind,
        count(*) AS n_pairs,
@@ -6809,4 +6822,8 @@ def ds_y4m_codec_gate(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.round(F.sum(F.col("_r") * 16), 0).cast("long")
              .alias("n_bytes"))
+        # the oracle's GROUP BY emits only OCCUPIED buckets; the
+        # posexploded histogram emits all 16 — drop empty buckets so
+        # a corpus slice missing a code%16 residue agrees on rowcount
+        .where(F.col("n_bytes") > 0)
     )

@@ -243,3 +243,34 @@ class TestExpectations:
         r3 = ex.expect_distribution(df, "g", {"a": 0.5, "b": 0.5},
                                     tolerance=0.05).head()
         assert r3["passed"] is False
+
+    def test_distribution_bool_categories_one_canonical_repr(self, spark):
+        """Python str(True)='True' vs Spark cast 'true' must NOT
+        double-count: a conforming bool column passes (the ADVICE r4
+        phantom-zero-row hazard)."""
+        from filters_spark.functions import expectations as ex
+        rows = [(True,)] * 70 + [(False,)] * 30
+        df = spark.createDataFrame(rows, "flag boolean")
+        r = ex.expect_distribution(df, "flag", {True: 0.7, False: 0.3},
+                                   tolerance=0.01).head()
+        assert (r["passed"], r["observed"]) == (True, 0)
+        shifted = ex.expect_distribution(df, "flag",
+                                         {True: 0.5, False: 0.5},
+                                         tolerance=0.05).head()
+        assert shifted["passed"] is False
+        assert shifted["observed"] == 40_000_000  # 2*TV(0.2)*100*1e6
+
+    def test_distribution_high_cardinality_no_global_window(self, spark):
+        """A near-unique column must degrade to an ordinary aggregate
+        (every distinct value novel at weight 1/N -> TV ~ 1) and the
+        plan must carry NO window over a global partition."""
+        from filters_spark.functions import expectations as ex
+        df = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+        out = ex.expect_distribution(df, "k", {"only": 1.0}, tolerance=0.1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        r = out.head()
+        assert r["passed"] is False
+        # every row novel (p=0, weight 1) + expected 'only' absent
+        # (p=1e6 * N): sum = 5000*1e6 + 1e6*5000 = 2*N*1e6 (TV = 1)
+        assert r["observed"] == 2 * 5000 * 1_000_000

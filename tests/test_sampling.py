@@ -227,3 +227,30 @@ class TestStratifiedFixedN:
         from filters_spark.functions import sampling
         df = spark.createDataFrame([(1, "g"), (2, "g")], "k bigint, g string")
         assert sampling.stratified_fixed_n(df, "k", "g", 10).count() == 2
+
+    def test_two_phase_identical_to_single_window(self, spark):
+        """The salted two-phase plan (scale shape) must select the
+        EXACT same rows as the salt=1 single-window plan — the
+        provable-identity contract of the phase-1 local top-n."""
+        from filters_spark.functions import sampling
+        rows = [(i, f"s{i % 4}") for i in range(500)]
+        df = spark.createDataFrame(rows, "k bigint, g string")
+        for n in (1, 7, 60, 200):
+            one = sorted(map(tuple,
+                sampling.stratified_fixed_n(df, "k", "g", n, salt=1)
+                .collect()))
+            two = sorted(map(tuple,
+                sampling.stratified_fixed_n(df, "k", "g", n, salt=32)
+                .collect()))
+            assert one == two, f"n={n}"
+
+    def test_two_phase_no_whole_stratum_window(self, spark):
+        """Phase 1 must partition by (stratum, salt), never by the
+        stratum alone over the raw input — the 100 TB single-task
+        hazard (VERDICT r4 'scale-killers found: one')."""
+        from filters_spark.functions import sampling
+        df = spark.createDataFrame([(1, "g")], "k bigint, g string")
+        plan = (sampling.stratified_fixed_n(df, "k", "g", 5)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        # two windows: the first (innermost) keyed by (g, _salt)
+        assert "_salt" in plan
