@@ -51,6 +51,7 @@ __all__ = [
     "decontaminate",
     "dedup_segments",
     "duplicate_spans",
+    "remove_duplicate_spans",
 ]
 
 
@@ -1021,3 +1022,107 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         )
     )
     return out
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", window: int = 50,
+                           sep: str = " ", keep: str = "first",
+                           explode_partitions: int | None = None
+                           ) -> DataFrame:
+    """The EXCISION half of ExactSubstr dedup (Lee et al. 2021,
+    arXiv:2107.06499 §4.1 — :func:`duplicate_spans` detects; this
+    removes): every ``window``-token sliding window whose content
+    occurs at more than one (doc, position) corpus-wide keeps exactly
+    ONE canonical occurrence — ``keep='first'`` = the smallest
+    (id, position), ``keep='last'`` the largest — and every other
+    occurrence's token range is cut out of its document.  Overlapping
+    and contiguous cut ranges merge before excision, so a long
+    repeated passage is removed as one block (the paper's behavior:
+    duplicated RANGES are excised, not individual windows).
+
+    Returns the input frame with ``text_col`` rewritten (remaining
+    tokens rejoined by ``sep``) plus ``n_tokens_kept`` /
+    ``n_tokens_removed``; all other input columns pass through.  A
+    fully-duplicated non-canonical doc comes back with empty text and
+    n_tokens_kept = 0 — downstream length filters drop it.
+
+    Scale shape (same skeleton as :func:`duplicate_spans` — no pair
+    space, nothing driver-side):
+
+    1. explode to (id, pos, xxhash64(window-slice)); occurrence
+       counts + the canonical (id, pos) come from ONE hash-keyed
+       groupBy (min/max of a (id, pos) struct — total order, no
+       ties), joined back AQE-skew-splittably;
+    2. non-canonical positions merge into cut ranges per doc
+       (gaps-and-islands: a new island when the next start is more
+       than ``window`` beyond the previous — `== window` means the
+       ranges touch and merge);
+    3. excision is per-doc SLICING, not token explosion: the kept
+       text is the concatenation of ``F.slice`` calls between
+       consecutive cut ranges (an O(#ranges) higher-order transform
+       per doc; the token copying stays JVM-side), so the rebuild
+       pass is a narrow map over the doc-keyed join — the corpus is
+       never exploded to one-row-per-token.
+
+    Preconditions: unique ``id_col`` (canonical selection and the
+    rebuild join key on it) and ``id_col`` values orderable (the
+    struct min/max IS the keep rule).  Iterating the pass can expose
+    NEW duplicates (removal glues previously-distant tokens
+    together); the paper runs one pass and so does this.
+    """
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    toks = F.split(F.col(text_col), sep)
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"),
+                     F.size(toks).alias("_n"))
+    eligible = base.where(F.col("_n") >= window)
+    if explode_partitions:
+        eligible = eligible.repartition(explode_partitions, "_id")
+    pos = eligible.select(
+        "_id", "_toks",
+        F.explode(F.sequence(F.lit(1), F.col("_n") - window + 1))
+        .alias("_pos"))
+    hashed = pos.select(
+        "_id", "_pos",
+        F.xxhash64(F.slice("_toks", F.col("_pos"), window)).alias("_h"))
+    pick = F.min if keep == "first" else F.max
+    occ = hashed.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        pick(F.struct(F.col("_id").alias("kid"),
+                      F.col("_pos").alias("kpos"))).alias("_keep"))
+    cuts = (hashed.join(occ.where(F.col("_cnt") > 1), "_h")
+            .where(~((F.col("_id") == F.col("_keep.kid"))
+                     & (F.col("_pos") == F.col("_keep.kpos"))))
+            .select("_id", "_pos"))
+    wd = Window.partitionBy("_id").orderBy("_pos")
+    prev = F.lag("_pos").over(wd)
+    brk = F.when(prev.isNull() | (F.col("_pos") - prev > window),
+                 1).otherwise(0)
+    ranges = (cuts.withColumn("_isl", F.sum(brk).over(wd))
+              .groupBy("_id", "_isl")
+              .agg(F.min("_pos").alias("_s"),
+                   (F.max("_pos") + window - 1).alias("_e")))
+    merged = ranges.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("_s", "_e"))).alias("_rng"))
+    # kept tokens = slices between cut ranges: starts = 1, e_i + 1;
+    # ends = s_i - 1, n.  slice(lo, max(hi-lo+1, 0)) yields [] for
+    # inverted bounds (adjacent ranges / a cut at either edge).
+    starts = F.concat(F.array(F.lit(1)),
+                      F.transform("_rng", lambda r: r["_e"] + 1))
+    ends = F.concat(F.transform("_rng", lambda r: r["_s"] - 1),
+                    F.array(F.col("_n")))
+    kept_sliced = F.flatten(F.zip_with(
+        starts, ends,
+        lambda lo, hi: F.slice("_toks", lo,
+                               F.greatest(hi - lo + F.lit(1), F.lit(0)))))
+    per_doc = (base.join(merged, "_id", "left")
+               .select("_id", "_n",
+                       F.when(F.col("_rng").isNull(), F.col("_toks"))
+                       .otherwise(kept_sliced).alias("_kept")))
+    rebuilt = per_doc.select(
+        F.col("_id").alias(id_col),
+        F.array_join("_kept", sep).alias(text_col),
+        F.size("_kept").alias("n_tokens_kept"),
+        (F.col("_n") - F.size("_kept")).alias("n_tokens_removed"))
+    passthrough = [c for c in df.columns if c != text_col]
+    return df.select(*passthrough).join(rebuilt, id_col)

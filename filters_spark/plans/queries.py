@@ -6827,3 +6827,90 @@ def ds_y4m_codec_gate(spark, sf_dir):
         # a corpus slice missing a code%16 residue agrees on rowcount
         .where(F.col("n_bytes") > 0)
     )
+
+
+@register(
+    "ds_span_removal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n FROM tok
+    ), pos AS (
+      SELECT doc_id, toks, n, unnest(generate_series(1, n - 4)) AS p
+      FROM base WHERE n >= 5
+    ), grams AS (
+      SELECT doc_id, p,
+             concat_ws(' ', toks[p], toks[p+1], toks[p+2], toks[p+3],
+                       toks[p+4]) AS g
+      FROM pos
+    ), marked AS (
+      SELECT doc_id, p,
+             count(*) OVER (PARTITION BY g) AS c,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+      FROM grams
+    ), cuts AS (
+      SELECT doc_id, p FROM marked WHERE c > 1 AND rn > 1
+    ), isl AS (
+      SELECT doc_id, p,
+             sum(CASE WHEN prev IS NULL OR p - prev > 5
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+            FROM cuts)
+    ), ranges AS (
+      SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+      FROM isl GROUP BY doc_id, island
+    ), rempos AS (
+      SELECT doc_id, unnest(generate_series(s, e)) AS rp FROM ranges
+    ), tokpos AS (
+      SELECT doc_id, unnest(generate_series(1, n)) AS tp, toks
+      FROM base
+    ), keptdoc AS (
+      SELECT t.doc_id,
+             count(*) AS n_kept,
+             string_agg(t.toks[t.tp], ' ' ORDER BY t.tp) AS kept_text
+      FROM tokpos t
+      LEFT JOIN rempos r ON t.doc_id = r.doc_id AND t.tp = r.rp
+      WHERE r.rp IS NULL
+      GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(k.n_kept, 0)) AS BIGINT) AS tokens_kept,
+           CAST(sum(b.n - coalesce(k.n_kept, 0)) AS BIGINT)
+             AS tokens_removed,
+           CAST(sum(CAST(concat('0x',
+                  substr(md5(coalesce(k.kept_text, '')), 1, 8)) AS BIGINT))
+                AS BIGINT) AS kept_checksum
+    FROM documents d
+    JOIN base b USING (doc_id)
+    LEFT JOIN keptdoc k USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def ds_span_removal(spark, sf_dir):
+    """ExactSubstr EXCISION under the value hash
+    (dedup.remove_duplicate_spans — the removal half of the Lee et
+    al. 2021 pipeline whose detection half is ds_duplicate_spans):
+    5-token windows, keep='first' canonical occurrences, overlapping
+    cut ranges merged, docs rebuilt by JVM-side slicing.  Gated per
+    source on kept/removed token totals plus a SUM of per-doc
+    md5-prefix checksums of the REBUILT text — the hash matches only
+    if both engines excised byte-identical ranges from every doc
+    (the oracle replays canonical selection, island merging, and
+    reconstruction with raw gram strings and token positions)."""
+    d = _t(spark, sf_dir, "documents")
+    cleaned = dedup.remove_duplicate_spans(
+        d.select("doc_id", "text"), "doc_id", "text", window=5,
+        explode_partitions=spark.sparkContext.defaultParallelism)
+    chk = F.conv(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")),
+                             1, 8), 16, 10).cast("long")
+    joined = d.select("doc_id", "source").join(cleaned, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_kept").cast("bigint").alias("tokens_kept"),
+        F.sum("n_tokens_removed").cast("bigint").alias("tokens_removed"),
+        F.sum(chk).cast("bigint").alias("kept_checksum"),
+    )

@@ -280,3 +280,66 @@ class TestDuplicateSpans:
         unscoped = {r["doc_id"]: r["n_dup_windows"]
                     for r in dedup.duplicate_spans(df, window=3).collect()}
         assert unscoped == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+class TestRemoveDuplicateSpans:
+    def test_planted_span_survives_exactly_once(self, spark):
+        """The ExactSubstr removal invariant: after excision the
+        corpus contains each planted duplicated span exactly once
+        (in the canonical smallest-(id,pos) holder)."""
+        from filters_spark.functions import dedup
+        span = "alpha bravo charlie delta echo"
+        rows = [(1, f"one two three {span} four five six seven"),
+                (2, f"nine ten {span} eleven twelve thirteen fourteen"),
+                (3, "unique text with no duplication at all here ok"),
+                (4, span + " " + span)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in
+               dedup.remove_duplicate_spans(df, window=5).collect()}
+        assert out[1]["text"].count(span) == 1          # canonical holder
+        assert out[1]["n_tokens_removed"] == 0
+        assert span not in out[2]["text"]
+        assert out[2]["n_tokens_removed"] == 5
+        assert out[3]["n_tokens_removed"] == 0          # untouched
+        # both of doc 4's copies are non-canonical; contiguous cut
+        # ranges merge and the doc empties
+        assert (out[4]["text"], out[4]["n_tokens_kept"]) == ("", 0)
+        corpus = " ".join(r["text"] for r in out.values())
+        assert corpus.count(span) == 1
+
+    def test_keep_last_flips_canonical(self, spark):
+        from filters_spark.functions import dedup
+        span = "k l m n o"
+        rows = [(1, f"{span} a b c d e"), (2, f"f g h i j {span}")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        first = {r["doc_id"]: r["text"] for r in
+                 dedup.remove_duplicate_spans(df, window=5).collect()}
+        last = {r["doc_id"]: r["text"] for r in
+                dedup.remove_duplicate_spans(df, window=5,
+                                             keep="last").collect()}
+        assert span in first[1] and span not in first[2]
+        assert span not in last[1] and span in last[2]
+
+    def test_passthrough_columns_and_short_docs(self, spark):
+        from filters_spark.functions import dedup
+        rows = [(1, "tiny", "web"), (2, "also small", "book")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id bigint, text string, src string")
+        out = {r["doc_id"]: r for r in
+               dedup.remove_duplicate_spans(df, window=5).collect()}
+        assert out[1]["src"] == "web" and out[1]["text"] == "tiny"
+        assert out[2]["n_tokens_removed"] == 0
+
+    def test_overlapping_spans_merge_into_one_cut(self, spark):
+        """Two duplicated windows overlapping in a doc must excise as
+        ONE merged range — no double-removal, no stitch artifacts."""
+        from filters_spark.functions import dedup
+        # 6-token repeated passage -> two overlapping 5-windows
+        passage = "p1 p2 p3 p4 p5 p6"
+        rows = [(1, f"a b {passage} c d"), (2, f"e f {passage} g h")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in
+               dedup.remove_duplicate_spans(df, window=5).collect()}
+        assert out[1]["text"] == f"a b {passage} c d"
+        assert out[2]["text"] == "e f g h"
+        assert out[2]["n_tokens_removed"] == 6
