@@ -250,9 +250,11 @@ def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
         )
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
-    return (
+    from ._cache import tie_cache
+    return tie_cache(
         joined.select("a_id", "b_id", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= threshold),
+        sets,
     )
 
 
@@ -362,7 +364,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     self-join, both sides of the verify join) and Catalyst does not
     share subplans across joins — without the persist the whole
     shingle+hash pipeline re-executes per branch.  At 100 TB the same
-    slot is a checkpoint/table write of the signatures."""
+    slot is a checkpoint/table write of the signatures.  The cache is
+    released when the caller drops the returned frame
+    (_cache.tie_cache) — consecutive one-shot calls leave no
+    persistent RDDs behind."""
+    from ._cache import tie_cache
+
     rows = n_hashes // n_bands
     prepped = minhash_signatures(df, id_col, text_col, shingle_k, n_hashes,
                                  hash_fn=hash_fn)
@@ -371,7 +378,10 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     ).persist()
     cands = lsh_candidate_pairs(prepped, id_col, "_bands",
                                 star_buckets_over=star_buckets_over)
-    return jaccard_pairs(prepped, id_col, "_sh", pairs=cands, threshold=threshold)
+    return tie_cache(
+        jaccard_pairs(prepped, id_col, "_sh", pairs=cands,
+                      threshold=threshold),
+        prepped)
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars → fits a signed long with headroom

@@ -118,11 +118,12 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         # joins, so without this the whole corpus tokenization+probe
         # runs twice (measured 2× the full query cost at 2M docs).
         # The frame is |matched postings| — small by construction.
-        # NOTE the cache is NOT released here (the result is lazy; an
-        # unpersist before materialization would defeat it) — a
-        # service issuing many query sets should clearCache()
-        # between calls or materialize postings to a table (the same
-        # contract as minhash_dedup_pairs' persisted signature frame).
+        # The cache's lifetime is tied to the RESULT frame (see
+        # _cache.tie_cache): released when the caller drops the
+        # result, so consecutive one-shot calls don't accumulate
+        # executor storage.  A service issuing many query sets
+        # should still materialize postings to a table and probe
+        # that (bm25_topk_from_postings).
         .persist()
     )
     # corpus stats: N and avgdl in one 1-row aggregate over a narrow
@@ -158,9 +159,11 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id"))
-    return (
+    from ._cache import tie_cache
+    return tie_cache(
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= k),
+        post,
     )
 
 

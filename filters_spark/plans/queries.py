@@ -5929,17 +5929,22 @@ def ds_minhash_estimate(spark, sf_dir):
     pattern applied to MinHash (an engine that miscomputes signatures
     shows a different error distribution even when its candidate sets
     happen to match).  One (id, shingles, signature) frame feeds
-    bands, estimate, and exact verify — via a LAZY localCheckpoint,
-    not .persist(): checkpoint blocks are reclaimed by the
-    ContextCleaner when the frame is garbage-collected, whereas a
-    per-call persist leaks executor storage until clearCache()
-    (ADVICE r3)."""
+    bands, estimate, and exact verify via a persist whose lifetime is
+    TIED to the result frame (_cache.tie_cache — released when the
+    caller drops the result).  The r4 localCheckpoint(eager=False)
+    form leaked the same way a bare persist does: its internal
+    persist is NOT reclaimed by the ContextCleaner in practice
+    (verified live — blocks survive 30 System.gc() rounds), so the
+    deterministic Python-side finalizer is the actual fix (ADVICE
+    r3, VERDICT r4 task 4)."""
+    from ..functions._cache import tie_cache
+
     d = _t(spark, sf_dir, "documents")
     prepped = dedup.minhash_signatures(d, "doc_id", "text",
                                        shingle_k=3, n_hashes=16)
     prepped = prepped.withColumn(
         "_bands", dedup.minhash_bands(F.col("_sig"), 8, 2)
-    ).localCheckpoint(eager=False)
+    ).persist()
     cands = dedup.lsh_candidate_pairs(prepped, "doc_id", "_bands")
     agree = F.aggregate(
         F.zip_with(F.col("_siga"), F.col("_sigb"),
@@ -5956,13 +5961,14 @@ def ds_minhash_estimate(spark, sf_dir):
     )
     exact = dedup.jaccard_pairs(prepped, "doc_id", "_sh",
                                 pairs=cands, threshold=0.0)
-    return (
+    return tie_cache(
         est.join(exact, ["a_id", "b_id"])
         .select("a_id", "b_id",
                 F.round("_est", 4).alias("est_jaccard"),
                 F.round("jaccard", 4).alias("jaccard"),
                 F.round(F.abs(F.col("_est") - F.col("jaccard")), 4)
-                .alias("abs_err"))
+                .alias("abs_err")),
+        prepped,
     )
 
 

@@ -115,6 +115,43 @@ class TestBM25:
             if score:
                 assert abs(got[doc_id] - round(score, 4)) < 2e-4, doc_id
 
+    def test_no_persist_leak_across_one_shot_calls(self, spark):
+        """VERDICT r4 task 4: two consecutive one-shot bm25_topk /
+        minhash_dedup_pairs calls must leave ZERO persistent RDDs
+        once the results are dropped — the shared-subplan cache's
+        lifetime is tied to the result frame (_cache.tie_cache)."""
+        import gc
+        from filters_spark.functions import dedup, retrieval
+        sc = spark.sparkContext
+
+        def n_persistent():
+            return sc._jsc.sc().getPersistentRDDs().size()
+
+        # quiesce anything previous tests left floating
+        gc.collect()
+        baseline = n_persistent()
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple cherry dog"),
+             (2, "banana cherry apple dog emu"),
+             (3, "dog cat mouse fox hen")],
+            "doc_id bigint, text string")
+        q = spark.createDataFrame([(9, "apple"), (9, "dog")],
+                                  "query_id bigint, term string")
+        for _ in range(2):
+            res = retrieval.bm25_topk(docs, q, k=3)
+            res.collect()
+            res.collect()  # second action reuses the live cache
+            del res
+            gc.collect()
+        for _ in range(2):
+            res = dedup.minhash_dedup_pairs(docs, "doc_id", "text",
+                                            shingle_k=2, n_hashes=16,
+                                            n_bands=8, threshold=0.1)
+            res.collect()
+            del res
+            gc.collect()
+        assert n_persistent() <= baseline
+
 
 class TestMaterializedPostings:
     def test_two_query_sets_match_oneshot_no_cache_growth(self, spark,
