@@ -39,6 +39,7 @@ __all__ = [
     "doc_lengths",
     "bm25_topk",
     "materialize_postings",
+    "append_postings",
     "bm25_topk_from_postings",
 ]
 
@@ -182,7 +183,11 @@ def materialize_postings(docs: DataFrame, path: str,
       and row groups via parquet min/max stats (the 100 TB shape: a
       query touching 40 terms reads ~40 terms' worth of postings, not
       the corpus).
-    * ``stats/`` — one row (n_docs, avgdl), read back as a broadcast.
+    * ``stats/`` — one row (_n, _avgdl, _sumdl), read back as a
+      broadcast.  ``_sumdl`` is the EXACT bigint token total — the
+      additive component that lets :func:`append_postings` update
+      stats in O(delta) with bit-identical ``_avgdl`` to a full
+      rebuild (avg = exact-int sum / count, one IEEE division).
     """
     toks = F.split(F.col(text_col), sep)
     post = (
@@ -197,7 +202,68 @@ def materialize_postings(docs: DataFrame, path: str,
      .sortWithinPartitions("term", "doc_id")
      .write.mode("overwrite").parquet(f"{path}/postings"))
     (doc_lengths(docs, id_col, text_col, sep)
-     .agg(F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl"))
+     .agg(F.count(F.lit(1)).alias("_n"),
+          F.sum("dl").cast("bigint").alias("_sumdl"))
+     .select("_n",
+             F.try_divide(F.col("_sumdl").cast("double"), F.col("_n"))
+             .alias("_avgdl"),
+             "_sumdl")
+     .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def append_postings(spark, path: str, new_docs: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = " ", term_partitions: int = 8) -> None:
+    """Incremental maintenance for a :func:`materialize_postings`
+    index: a daily append costs O(delta), not O(corpus).
+
+    * delta postings are computed from ``new_docs`` only and written
+      with ``mode('append')`` — merge-on-read: the delta files carry
+      their own term-sorted range layout, so probe-side pruning still
+      skips non-matching files via parquet min/max stats (an LSM-like
+      layout; re-run :func:`materialize_postings` periodically to
+      compact if the delta-file count grows large);
+    * stats merge EXACTLY: ``_n`` and ``_sumdl`` add as integers and
+      ``_avgdl`` is re-derived by the same single IEEE division a
+      full rebuild performs, so probe scores are bit-identical to a
+      rebuilt index (no float accumulation drift — the midpoint
+      rule).
+
+    Document frequencies need no stored update at all: the probe
+    computes df from postings rows at query time, and the base+delta
+    rows ARE the rebuilt rows.  Precondition: ``new_docs`` ids are
+    disjoint from the indexed corpus (same contract as a rebuild
+    over a deduplicated corpus — append does not upsert).
+    """
+    stats_old = spark.read.parquet(f"{path}/stats").head()
+    if "_sumdl" not in stats_old.__fields__:
+        raise ValueError(
+            "append_postings: index lacks the _sumdl stats component "
+            "(built by an older materialize_postings) — rebuild once "
+            "with the current version before appending")
+    toks = F.split(F.col(text_col), sep)
+    delta = (
+        new_docs.select(F.col(id_col).alias("doc_id"),
+                        F.size(toks).alias("dl"),
+                        F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    (delta.repartitionByRange(term_partitions, "term")
+     .sortWithinPartitions("term", "doc_id")
+     .write.mode("append").parquet(f"{path}/postings"))
+    d = (doc_lengths(new_docs, id_col, text_col, sep)
+         .agg(F.count(F.lit(1)).alias("_dn"),
+              F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint")
+              .alias("_dsum")).head())
+    n_new = int(stats_old["_n"]) + int(d["_dn"])
+    sum_new = int(stats_old["_sumdl"] or 0) + int(d["_dsum"])
+    (spark.createDataFrame([(n_new, sum_new)], "_n bigint, _sumdl bigint")
+     .select("_n",
+             F.try_divide(F.col("_sumdl").cast("double"), F.col("_n"))
+             .alias("_avgdl"),
+             "_sumdl")
      .write.mode("overwrite").parquet(f"{path}/stats"))
 
 

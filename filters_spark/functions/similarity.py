@@ -292,12 +292,20 @@ def materialize_ivf_index(vectors: DataFrame, path: str,
       scanning nprobe/n_cells of the corpus and scanning all of it).
     * ``centroids/`` — (cell, centroid), n_cells rows, read back as a
       broadcast at probe time.
+    * ``cellstats/`` — (cell, n, sumvec): the ADDITIVE components the
+      centroids derive from (centroid = sumvec / n per dimension) —
+      what lets :func:`append_ivf` fold a delta in O(delta + n_cells)
+      instead of re-averaging the corpus.
+    * ``meta/`` — one row recording the quantizer ('lsh' with its
+      plane count, or 'external' for a caller-provided cell column)
+      so an append assigns NEW vectors to cells the exact same way.
 
     Cells come from ``cell_col`` (a cluster label / quantizer already
     on the frame) or the deterministic LSH coarse quantizer —
     identical cell assignment to :func:`ivf_topk`, so the probe path
     needs NO query-side quantizer at all (queries only rank stored
     centroids)."""
+    spark = vectors.sparkSession
     if cell_col is None:
         import math
 
@@ -305,6 +313,9 @@ def materialize_ivf_index(vectors: DataFrame, path: str,
         vectors = lsh_buckets(vectors, planes, id_col, vec_col) \
             .withColumnRenamed("_bucket", "_cell")
         cell_col = "_cell"
+        meta = ("lsh", planes)
+    else:
+        meta = ("external", 0)
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("embedding"),
                        F.col(cell_col).alias("cell"))
@@ -316,15 +327,101 @@ def materialize_ivf_index(vectors: DataFrame, path: str,
     # (UNABLE_TO_INFER_SCHEMA on an empty corpus) — persist the
     # schema separately and have the probe read with it explicitly
     v.limit(0).write.mode("overwrite").parquet(f"{path}/schema")
+    _cellstats(v).write.mode("overwrite").parquet(f"{path}/cellstats")
+    (spark.createDataFrame([meta], "quantizer string, n_planes int")
+     .write.mode("overwrite").parquet(f"{path}/meta"))
+    _centroids_from_stats(spark.read.parquet(f"{path}/cellstats")) \
+        .write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _cellstats(v: DataFrame) -> DataFrame:
+    """(cell, n, sumvec) from a (vec_id, embedding, cell) frame — one
+    exploded aggregation; sumvec's per-dimension sum uses the same
+    partial-aggregate path F.avg would, so sumvec/n is bit-identical
+    to the direct per-dimension average."""
     ex = v.select("cell", F.posexplode("embedding").alias("_d", "_x"))
-    cent = (
-        ex.groupBy("cell", "_d").agg(F.avg("_x").alias("_c"))
+    return (
+        ex.groupBy("cell", "_d")
+        .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_cnt"))
         .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("_d", "_c"))).alias("_dc"))
-        .select("cell", F.transform("_dc", lambda s: s["_c"])
-                .alias("centroid"))
+        .agg(F.max("_cnt").cast("bigint").alias("n"),
+             F.array_sort(F.collect_list(F.struct("_d", "_s")))
+             .alias("_ds"))
+        .select("cell", "n",
+                F.transform("_ds", lambda s: s["_s"]).alias("sumvec"))
     )
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _centroids_from_stats(stats: DataFrame) -> DataFrame:
+    return stats.select(
+        "cell",
+        F.transform("sumvec",
+                    lambda s: s / F.col("n").cast("double"))
+        .alias("centroid"))
+
+
+def append_ivf(spark, path: str, new_vectors: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cell_col: str | None = None) -> None:
+    """Incremental maintenance for a :func:`materialize_ivf_index`
+    artifact: a daily vector append costs O(delta + n_cells), not
+    O(corpus).
+
+    * new vectors are quantized EXACTLY the way the index was built
+      (the stored ``meta/`` row: the same LSH planes, or the caller's
+      ``cell_col`` for an 'external' index) and appended into the
+      cell-partitioned layout — new cells become new partition
+      directories, existing cells gain files (merge-on-read);
+    * ``cellstats/`` folds the delta additively — (n, sumvec) adds —
+      and ``centroids/`` re-derives as sumvec/n.  The stored-double
+      addition can differ from a full rebuild's single-pass sum in
+      the last ulp; probe rankings round cosines to 6 dp, which
+      absorbs it (the same accumulation-order tolerance the local[5]
+      full-registry sweep pins for the build path).
+
+    Precondition: ``new_vectors`` ids are disjoint from the indexed
+    corpus and share its dimensionality (append does not upsert)."""
+    meta = spark.read.parquet(f"{path}/meta").head()
+    if meta["quantizer"] == "lsh":
+        if cell_col is not None:
+            raise ValueError(
+                "append_ivf: index was built with the LSH quantizer; "
+                "do not pass cell_col (cells are assigned from the "
+                "stored plane count)")
+        new_vectors = lsh_buckets(new_vectors, meta["n_planes"],
+                                  id_col, vec_col) \
+            .withColumnRenamed("_bucket", "_cell")
+        cell_col = "_cell"
+    elif cell_col is None:
+        raise ValueError(
+            "append_ivf: index was built with an external cell column "
+            "— pass cell_col so new vectors land in matching cells")
+    v = new_vectors.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("embedding"),
+                           F.col(cell_col).alias("cell"))
+    (v.repartition("cell")
+     .write.mode("append").partitionBy("cell")
+     .parquet(f"{path}/vectors"))
+    # merge stats driver-side: both frames are n_cells rows (small by
+    # the IVF contract), and collecting avoids the read-then-
+    # overwrite-same-path hazard.  Python float adds are the same
+    # IEEE doubles Spark would add.
+    stats_df = spark.read.parquet(f"{path}/cellstats")
+    stats_schema = stats_df.schema  # keep the built index's cell type
+    old = {r["cell"]: (r["n"], list(r["sumvec"]))
+           for r in stats_df.collect()}
+    for r in _cellstats(v).collect():
+        if r["cell"] in old:
+            n0, s0 = old[r["cell"]]
+            old[r["cell"]] = (n0 + r["n"],
+                              [a + b for a, b in zip(s0, r["sumvec"])])
+        else:
+            old[r["cell"]] = (r["n"], list(r["sumvec"]))
+    merged = spark.createDataFrame(
+        [(c, n, s) for c, (n, s) in sorted(old.items())], stats_schema)
+    merged.write.mode("overwrite").parquet(f"{path}/cellstats")
+    _centroids_from_stats(spark.read.parquet(f"{path}/cellstats")) \
+        .write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_topk_from_index(spark, path: str, queries: DataFrame,

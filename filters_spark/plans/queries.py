@@ -612,15 +612,18 @@ DRIVER_WINDOW: list[str] = [
     # -- validators: §2.2-2.4 operators, one flagship each ------------
     "val_lineitem_clean_agg",   # Required/Int/Min/Max/Strip/Choice + FilterRunner
     "val_error_rollup",         # MemoryHandler error accumulation
-    "val_date_tz",              # Date(timezone=) — round-3 fix, gated
     "val_datetime_parse",       # Datetime multi-format + tz (bytearray-ints leg: judged outside)
     "val_json_int_range",       # JsonDecode typed + Int
     "val_decimal_exact_agg",    # Decimal exactness (r4: decimal-string gate)
-    "val_strip_fold",           # Strip + CaseFold
     "val_bytestring",           # ByteString encode (r4: hex gate output)
     "val_nested_struct",        # NamedTuple/Nested
     "val_call_udf",             # Call — pandas-UDF machinery
     "val_email_macro",          # filter_macro recipes
+    # Rotated out in round 5 (each ≥2 rounds officially green, family
+    # still in-window): val_date_tz (temporal tz stays covered by
+    # val_datetime_parse), val_strip_fold (string-op family:
+    # val_bytestring + the Strip chains inside
+    # val_lineitem_clean_agg)
     # Rotated out in round 4 to give the round-3b flagships official
     # rows (VERDICT r3 task 4) — each of these val_* rows was green in
     # r2 AND r3, its operator keeps pytest + local-sweep coverage, and
@@ -632,12 +635,14 @@ DRIVER_WINDOW: list[str] = [
     #   val_each_array, val_optional_default, val_switch_dispatch,
     #   val_variant_json
     # -- relational engine categories ---------------------------------
-    "rel_q1_pricing",           # scan+agg (TPC-H q1 shape)
+    # rel_q1_pricing rotated out r5 (green r1-r4; the scan+agg shape
+    # stays covered by val_lineitem_clean_agg + rel_grouping_sets);
+    # rel_latest_order_per_customer rotated out r5 (green r2-r4; the
+    # window-dedup shape stays covered by ds_dedup_exact)
     "rel_q3_shipping",          # broadcast join + top-k
     "rel_asof_join",            # as-of join (range join: judged outside)
     "rel_salted_join_agg",      # skew salting
     "rel_upsert_merge",         # CDC merge (round-3 lazy guard)
-    "rel_latest_order_per_customer",  # window dedup
     "rel_sessionize",           # session windows
     "rel_grouping_sets",        # rollup/cube/sets family (pivot: judged outside)
     "rel_gapfill_2day",         # time-series spine (round-3 fix, gated)
@@ -658,7 +663,9 @@ DRIVER_WINDOW: list[str] = [
     "ds_simhash_pairs",
     "ds_dedup_components_star",  # (incremental variant: judged outside)
     "ds_ivf_topk",               # (cosine/lsh_topk variants: judged outside)
-    "ds_stratified_sample",
+    # ds_stratified_sample rotated out r5 (green r2-r4; deterministic
+    # sampling stays covered by the incoming ds_stratified_fixed_n +
+    # ds_split_leakage's hash_bucket arithmetic)
     # real-codec gate supersedes ds_multimodal_features in the window:
     # it exercises the SAME media-struct/mapInPandas plumbing but with
     # the strict-mode numpy PGM decoder doing real byte-exact work
@@ -692,6 +699,15 @@ DRIVER_WINDOW: list[str] = [
     "prof_expectations",        # table-level data contracts
     "rel_zorder_key",           # Z-order layout keys, bit-exact
     "ds_split_leakage",         # train/eval near-dup contamination
+    # -- round-5 rotation (VERDICT r4 task 2): the four round-4
+    # families that never got an official row, plus the round-5
+    # ExactSubstr-removal flagship — every name below is green on the
+    # driver-faithful strict replica at sf0.01 AND sf0.1:
+    "ds_ivf_index_topk",        # materialized IVF index, pruned probe
+    "prof_cms_calibration",     # count-min sketch calibration
+    "ds_stratified_fixed_n",    # exact-n sampling (r5 two-phase plan)
+    "ds_y4m_codec_gate",        # real YUV4MPEG2 video codec, strict
+    "ds_span_removal",          # ExactSubstr excision (r5)
 ]
 
 
@@ -6920,3 +6936,139 @@ def ds_span_removal(spark, sf_dir):
         F.sum("n_tokens_removed").cast("bigint").alias("tokens_removed"),
         F.sum(chk).cast("bigint").alias("kept_checksum"),
     )
+
+
+@register(
+    "ds_postings_append",
+    oracle="""
+    WITH post AS (
+      SELECT doc_id, s AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+            FROM documents)
+      WHERE s <> '' GROUP BY doc_id, s
+    ), dls AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dls
+    ), q AS (
+      SELECT DISTINCT doc_id AS query_id, s AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+            FROM documents WHERE doc_id % 89 = 0)
+      WHERE s <> ''
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM post
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfreq, stats
+    ), scored AS (
+      SELECT q.query_id, p.doc_id,
+             round(sum(i.idf * p.tf * 2.2
+                       / (p.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * d.dl / stats.avgdl))),
+                   4) AS score
+      FROM q JOIN post p USING (term) JOIN idf i USING (term)
+           JOIN dls d ON d.doc_id = p.doc_id, stats
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ds_postings_append(spark, sf_dir):
+    """INCREMENTAL index maintenance under the value hash
+    (retrieval.append_postings): the BM25 index is built from only
+    two-thirds of the corpus (doc_id % 3 != 0), the remaining third
+    is APPENDED (delta postings files + exact additive stats merge —
+    O(delta), never re-tokenizing the base), and the probe answers
+    from the appended artifact.  The oracle replays BM25 over the
+    FULL corpus — the hash matches only if append ≡ rebuild, row for
+    row: delta postings land in the same (doc,term,tf,dl) row set
+    and _avgdl re-derives bit-identically from the exact bigint
+    token totals."""
+    import shutil
+
+    from ..functions import retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    path = f"/tmp/fs_postapp_gate_{spark.sparkContext.applicationId}"
+    shutil.rmtree(path, ignore_errors=True)
+    retrieval.materialize_postings(d.where(F.col("doc_id") % 3 != 0), path)
+    retrieval.append_postings(spark, path,
+                              d.where(F.col("doc_id") % 3 == 0))
+    q = (
+        d.where(F.col("doc_id") % 89 == 0)
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return retrieval.bm25_topk_from_postings(spark, path, q, k=10)
+
+
+@register(
+    "ds_ivf_append",
+    oracle="""
+    WITH ex AS (
+      SELECT label, unnest(embedding)::DOUBLE AS x,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY d) AS centroid
+      FROM (SELECT label, d, avg(x) AS c FROM ex GROUP BY label, d)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id % 101 = 0),
+    probes AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC,
+                          c.label) AS prank
+        FROM q CROSS JOIN cent c
+      ) WHERE prank <= 2
+    ),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS score
+      FROM probes p
+      JOIN embeddings v ON v.label = p.label
+      JOIN q ON q.query_id = p.query_id
+      WHERE v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ds_ivf_append(spark, sf_dir):
+    """Incremental IVF maintenance under the hash
+    (similarity.append_ivf): the index is built from vec_id % 4 != 0,
+    the remaining quarter APPENDED (cell-partition append + additive
+    (n, sumvec) cellstats fold, centroids re-derived as sumvec/n —
+    O(delta + n_cells)), and the ANN probe answers from the appended
+    artifact.  The oracle computes centroids over the FULL corpus —
+    matching hashes pin append ≡ rebuild through probe assignment,
+    partition-pruned candidate reads, and 6-dp-rounded ranking."""
+    import shutil
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = f"/tmp/fs_ivfapp_gate_{spark.sparkContext.applicationId}"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.materialize_ivf_index(emb.where(F.col("vec_id") % 4 != 0),
+                                     path, cell_col="label")
+    similarity.append_ivf(spark, path,
+                          emb.where(F.col("vec_id") % 4 == 0),
+                          cell_col="label")
+    q = emb.where(F.col("vec_id") % 101 == 0)
+    return similarity.ivf_topk_from_index(spark, path, q, k=10, nprobe=2)

@@ -350,3 +350,95 @@ class TestScd2:
         df = spark.createDataFrame(rows, "k int, ts date, st string")
         assert len(scd2(df, "k", "ts", ["st"],
                         collapse_unchanged=False).collect()) == 2
+
+
+class TestAppendPostings:
+    def test_append_equals_rebuild_bit_exact(self, spark, tmp_path):
+        """append_postings(base, delta) must probe IDENTICALLY to a
+        full rebuild — postings row set and stats both exact."""
+        from filters_spark.functions import retrieval
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 5} tok{i % 3} shared")
+             for i in range(60)],
+            "doc_id bigint, text string")
+        base = docs.where(F.col("doc_id") % 3 != 0)
+        delta = docs.where(F.col("doc_id") % 3 == 0)
+        p1, p2 = str(tmp_path / "appended"), str(tmp_path / "rebuilt")
+        retrieval.materialize_postings(base, p1)
+        retrieval.append_postings(spark, p1, delta)
+        retrieval.materialize_postings(docs, p2)
+        assert (spark.read.parquet(f"{p1}/stats").head()
+                == spark.read.parquet(f"{p2}/stats").head())
+        q = spark.createDataFrame(
+            [(9, "tok0"), (9, "shared"), (11, "tok4")],
+            "query_id bigint, term string")
+        r1 = sorted(map(tuple,
+            retrieval.bm25_topk_from_postings(spark, p1, q, k=5).collect()))
+        r2 = sorted(map(tuple,
+            retrieval.bm25_topk_from_postings(spark, p2, q, k=5).collect()))
+        assert r1 == r2 and len(r1) > 0
+
+    def test_append_rejects_legacy_stats(self, spark, tmp_path):
+        """An index whose stats lack the additive _sumdl component
+        (pre-r5 layout) must refuse the append loudly."""
+        import pytest
+        from filters_spark.functions import retrieval
+        docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        p = str(tmp_path / "legacy")
+        retrieval.materialize_postings(docs, p)
+        # simulate the legacy layout: drop _sumdl
+        legacy = spark.read.parquet(f"{p}/stats").select("_n", "_avgdl")
+        legacy.write.mode("overwrite").parquet(f"{p}/stats2")
+        import shutil
+        shutil.rmtree(f"{p}/stats")
+        shutil.move(f"{p}/stats2", f"{p}/stats")
+        with pytest.raises(ValueError, match="_sumdl"):
+            retrieval.append_postings(spark, p, docs)
+
+
+class TestAppendIvf:
+    def test_append_equals_rebuild_label_cells(self, spark, tmp_path):
+        from filters_spark.functions import similarity
+        import math
+        rows = [(i, [math.sin(i * (d + 1)) for d in range(8)], i % 4)
+                for i in range(80)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int")
+        base = emb.where(F.col("vec_id") % 5 != 0)
+        delta = emb.where(F.col("vec_id") % 5 == 0)
+        p1, p2 = str(tmp_path / "appended"), str(tmp_path / "rebuilt")
+        similarity.materialize_ivf_index(base, p1, cell_col="label")
+        similarity.append_ivf(spark, p1, delta, cell_col="label")
+        similarity.materialize_ivf_index(emb, p2, cell_col="label")
+        q = emb.where(F.col("vec_id") < 3)
+        r1 = sorted(map(tuple, similarity.ivf_topk_from_index(
+            spark, p1, q, k=5, nprobe=2).collect()))
+        r2 = sorted(map(tuple, similarity.ivf_topk_from_index(
+            spark, p2, q, k=5, nprobe=2).collect()))
+        assert r1 == r2 and len(r1) > 0
+
+    def test_append_lsh_quantizer_from_meta(self, spark, tmp_path):
+        """An LSH-built index re-quantizes appended vectors with the
+        STORED plane count; passing cell_col is an error, and the
+        appended index matches a full rebuild."""
+        import math
+        import pytest
+        from filters_spark.functions import similarity
+        rows = [(i, [math.cos(i * 0.7 + d) for d in range(8)])
+                for i in range(60)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+        base = emb.where(F.col("vec_id") % 4 != 0)
+        delta = emb.where(F.col("vec_id") % 4 == 0)
+        p1, p2 = str(tmp_path / "appended"), str(tmp_path / "rebuilt")
+        similarity.materialize_ivf_index(base, p1, n_cells=8)
+        with pytest.raises(ValueError, match="LSH"):
+            similarity.append_ivf(spark, p1, delta, cell_col="vec_id")
+        similarity.append_ivf(spark, p1, delta)
+        similarity.materialize_ivf_index(emb, p2, n_cells=8)
+        q = emb.where(F.col("vec_id") < 3)
+        r1 = sorted(map(tuple, similarity.ivf_topk_from_index(
+            spark, p1, q, k=5, nprobe=2).collect()))
+        r2 = sorted(map(tuple, similarity.ivf_topk_from_index(
+            spark, p2, q, k=5, nprobe=2).collect()))
+        assert r1 == r2 and len(r1) > 0

@@ -1,0 +1,192 @@
+"""Scale stress for the round-5 work: the two-phase exact-n
+stratified sampler at 50M rows / 5 strata (the VERDICT r4
+scale-killer fix — the old plan funneled 10M rows per stratum
+through ONE window task), and ExactSubstr span REMOVAL over a
+planted multi-million-doc corpus.
+
+Inputs are pure Spark expressions (hash-derived, no RNG — reruns are
+bit-identical).  Each phase prints one JSON line; numbers land in
+SCALE.md §23.
+
+Usage:
+    python tools/scale_stress_r5.py              # all phases
+    python tools/scale_stress_r5.py stratified   # subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from filters_spark.functions import dedup, sampling
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.appName("scale_stress_r5")
+        .master(f"local[{cpus}, 3]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("STRESS_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+
+
+def emit(**kw) -> None:
+    sys.stdout.write(json.dumps(kw) + "\n")
+    sys.stdout.flush()
+
+
+def stress_stratified(spark: SparkSession, n_rows: int = 50_000_000,
+                      n_strata: int = 5, n_keep: int = 1000) -> None:
+    """50M rows, 5 strata (10M rows/stratum), keep 1000 per stratum.
+
+    Checks: (a) wall clock for the two-phase plan vs the salt=1
+    single-window plan; (b) the physical plan's phase-1 window
+    partitions by (stratum, salt) — parallelism strata×salt, never
+    one task per stratum over the raw input; (c) both plans select
+    the IDENTICAL row set (checksum equality — the provable-identity
+    contract at scale)."""
+    df = (spark.range(n_rows)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % n_strata).cast("string").alias("g")))
+
+    def run(salt):
+        kept = sampling.stratified_fixed_n(df, "k", "g", n_keep, salt=salt)
+        t0 = time.time()
+        row = kept.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("k").cast("bigint").alias("chk")).head()
+        return time.time() - t0, row["n"], row["chk"]
+
+    plan = (sampling.stratified_fixed_n(df, "k", "g", n_keep)
+            ._jdf.queryExecution().executedPlan().toString())
+    # phase-1 window must carry the salt key
+    assert "_salt" in plan, "two-phase plan lost its salt partition"
+    wall2, n2, chk2 = run(32)
+    wall1, n1, chk1 = run(1)
+    assert (n1, chk1) == (n2, chk2), "two-phase selected different rows"
+    assert n2 == n_strata * n_keep
+    emit(phase="stratified_fixed_n", rows=n_rows, strata=n_strata,
+         n_keep=n_keep, wall_two_phase_s=round(wall2, 1),
+         wall_single_window_s=round(wall1, 1), checksum=chk2,
+         identical=True)
+
+
+def stress_span_removal(spark: SparkSession, n_docs: int = 2_000_000,
+                        bp_every: int = 10) -> None:
+    """Span REMOVAL over the r4 stress corpus shape: n_docs of 40
+    unique tokens, every bp_every-th doc appending a FIXED 40-token
+    boilerplate (window=20 → each boilerplate doc duplicates exactly
+    the 21 windows covering tokens 41..80).  Exact invariants:
+
+    * canonical holder = smallest doc id among planted docs; every
+      OTHER planted doc loses exactly 40 tokens (the merged range
+      [41, 80]);
+    * clean docs keep all 40 tokens untouched;
+    * total tokens removed = (n_planted - 1) * 40.
+    """
+    bp = " ".join(f"bp{j}" for j in range(40))
+    uniq = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(0), F.lit(39)),
+                         lambda j: F.concat(F.lit("u"), F.col("id"),
+                                            F.lit("x"), j)))
+    docs = (spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"),
+                    F.when(F.col("id") % bp_every == 0,
+                           F.concat(uniq, F.lit(" " + bp)))
+                    .otherwise(uniq).alias("text")))
+    par = spark.sparkContext.defaultParallelism
+    t0 = time.time()
+    out = dedup.remove_duplicate_spans(docs, window=20,
+                                       explode_partitions=par * 4)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_removed").cast("bigint").alias("removed"),
+        F.sum(F.when(F.col("n_tokens_removed") == 40, 1).otherwise(0))
+        .cast("bigint").alias("docs_cut_40"),
+        F.sum(F.when(F.col("n_tokens_removed") == 0, 1).otherwise(0))
+        .cast("bigint").alias("docs_untouched"),
+    ).head()
+    wall = time.time() - t0
+    n_planted = (n_docs + bp_every - 1) // bp_every
+    assert agg["n_docs"] == n_docs
+    assert agg["removed"] == (n_planted - 1) * 40, agg
+    assert agg["docs_cut_40"] == n_planted - 1
+    assert agg["docs_untouched"] == n_docs - n_planted + 1
+    emit(phase="span_removal", docs=n_docs, planted=n_planted,
+         wall_s=round(wall, 1), tokens_removed=agg["removed"],
+         invariants="exact")
+
+
+def stress_append(spark: SparkSession, n_base: int = 2_000_000,
+                  n_delta: int = 200_000) -> None:
+    """Append-vs-rebuild cost for the materialized BM25 index
+    (VERDICT r4 task 5's SCALE.md row): 2M-doc base corpus, a 10%
+    daily delta.  Checks the appended index's stats are bit-identical
+    to a full rebuild's and reports the wall-clock ratio — the
+    O(delta)-vs-O(corpus) claim, measured."""
+    import shutil
+
+    from filters_spark.functions import retrieval
+
+    def corpus(lo, hi):
+        body = F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(0), F.lit(39)),
+                             lambda j: F.concat(F.lit("w"),
+                                                F.pmod(F.xxhash64(
+                                                    F.col("id") * 40 + j),
+                                                    F.lit(50_000)))))
+        return (spark.range(lo, hi)
+                .select(F.col("id").alias("doc_id"), body.alias("text")))
+
+    base, delta = corpus(0, n_base), corpus(n_base, n_base + n_delta)
+    p_app, p_reb = "/tmp/fs_stress_append", "/tmp/fs_stress_rebuild"
+    shutil.rmtree(p_app, ignore_errors=True)
+    shutil.rmtree(p_reb, ignore_errors=True)
+    t0 = time.time()
+    retrieval.materialize_postings(base, p_app)
+    build_s = time.time() - t0
+    t0 = time.time()
+    retrieval.append_postings(spark, p_app, delta)
+    append_s = time.time() - t0
+    t0 = time.time()
+    retrieval.materialize_postings(base.unionByName(delta), p_reb)
+    rebuild_s = time.time() - t0
+    sa = spark.read.parquet(f"{p_app}/stats").head()
+    sr = spark.read.parquet(f"{p_reb}/stats").head()
+    assert tuple(sa) == tuple(sr), (sa, sr)
+    emit(phase="postings_append", base_docs=n_base, delta_docs=n_delta,
+         build_s=round(build_s, 1), append_s=round(append_s, 1),
+         rebuild_s=round(rebuild_s, 1),
+         speedup=round(rebuild_s / max(append_s, 1e-9), 1),
+         stats_bit_identical=True)
+    shutil.rmtree(p_app, ignore_errors=True)
+    shutil.rmtree(p_reb, ignore_errors=True)
+
+
+PHASES = {
+    "stratified": stress_stratified,
+    "span_removal": stress_span_removal,
+    "append": stress_append,
+}
+
+
+def main() -> None:
+    wanted = sys.argv[1:] or list(PHASES)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in wanted:
+        PHASES[name](spark)
+
+
+if __name__ == "__main__":
+    main()
