@@ -3,44 +3,80 @@
 Catalyst does not share subtrees across join branches, so
 multi-branch pipelines (BM25's postings feeding both the idf and the
 scoring branch, MinHash's prepped signatures feeding four join
-branches) persist a small intermediate frame.  A bare ``.persist()``
-leaks executor storage until ``clearCache()`` (ADVICE r3, VERDICT r4
-task 4), and ``localCheckpoint(eager=False)`` turns out to leak the
-same way in practice — its internal persist is NOT reclaimed by the
-ContextCleaner even after the Python and JVM references are
-collected (verified live on Spark 4.1: the block survives 30
-System.gc() rounds).
+branches) persist a small intermediate frame.  Two failure modes
+bracket the design space, both measured live on Spark 4.1:
 
-:func:`tie_cache` binds the cache's lifetime to the RESULT frame's
-Python lifetime instead: while the caller holds the result, repeated
-actions reuse the cache; when the result is garbage-collected the
-cache is dropped deterministically (no JVM GC involved).  Two
-consecutive one-shot calls therefore leave ZERO persistent RDDs
-behind — the contract tests/test_graph_retrieval.py pins.
+* a bare ``.persist()`` (or ``localCheckpoint(eager=False)``, whose
+  internal persist behaves identically) leaks executor storage until
+  ``clearCache()`` — the ContextCleaner never reclaims it, even
+  after 30 ``System.gc()`` rounds (ADVICE r3, VERDICT r4 task 4);
+* a weakref-finalizer that unpersists when the intermediate's Python
+  wrapper dies releases the cache BEFORE the query even runs
+  whenever the caller composes further transformations on top (the
+  wrapper chain is Python-side only; the JVM plan holds no reference
+  to it) — measured as a 5× steady-state regression on
+  ds_ngram_jaccard (0.84 s → 4.45 s) because every run recomputed
+  the shared subtree per branch AND lost cross-run plan-cache reuse.
+
+:func:`scoped_persist` is the working point between them: a
+module-level LRU of persisted frames keyed by (application id,
+semantic hash), bounded at ``capacity`` entries per scope.  A repeat
+call with a semantically identical input reuses the live cached
+frame (cross-run reuse, the property that made steady bench times
+fast); a distinct input persists a new entry and evicts the oldest
+beyond capacity (bounded accumulation — a service cycling through
+daily batches holds at most ``capacity`` cached intermediates per
+scope, not one per call).  An eviction can only cost recomputation,
+never correctness: Spark rebuilds evicted entries from lineage.
+:func:`release_caches` drops everything eagerly (end-of-job hook).
 """
 
 from __future__ import annotations
 
-import weakref
+from collections import OrderedDict
 
-from pyspark import SparkContext
 from pyspark.sql import DataFrame
 
-__all__ = ["tie_cache"]
+__all__ = ["scoped_persist", "release_caches"]
+
+_SCOPES: dict[str, OrderedDict] = {}
+DEFAULT_CAPACITY = 4
 
 
-def tie_cache(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Unpersist ``cached`` (non-blocking) when ``result`` is
-    garbage-collected.  Holds only the Java handle, so dropping the
-    Python wrapper of ``cached`` elsewhere doesn't break the release.
+def scoped_persist(df: DataFrame, scope: str,
+                   capacity: int = DEFAULT_CAPACITY) -> DataFrame:
+    """Persist ``df`` under a bounded per-``scope`` LRU and return
+    the (possibly previously-cached, semantically identical) frame.
     """
-    jdf = cached._jdf
-
-    def _release(j=jdf):
+    try:
+        key = (df.sparkSession.sparkContext.applicationId,
+               df.semanticHash())
+    except Exception:
+        # semantic hash unavailable (exotic plan) — persist uncached;
+        # Spark's own CacheManager still dedupes identical plans
+        return df.persist()
+    reg = _SCOPES.setdefault(scope, OrderedDict())
+    hit = reg.get(key)
+    if hit is not None:
+        reg.move_to_end(key)
+        return hit
+    df.persist()
+    reg[key] = df
+    while len(reg) > capacity:
+        _, old = reg.popitem(last=False)
         try:
-            if SparkContext._active_spark_context is not None:
-                j.unpersist(False)
+            old.unpersist(False)
         except Exception:
-            pass  # gateway already down at interpreter exit
-    weakref.finalize(result, _release)
-    return result
+            pass  # session already stopped
+    return df
+
+
+def release_caches(scope: str | None = None) -> None:
+    """Unpersist every registered cache (or one scope's) eagerly."""
+    scopes = [scope] if scope is not None else list(_SCOPES)
+    for s in scopes:
+        for frame in _SCOPES.pop(s, OrderedDict()).values():
+            try:
+                frame.unpersist(False)
+            except Exception:
+                pass

@@ -219,11 +219,13 @@ def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
         *([F.col(block_col).alias("_blk")] if block_col else []),
         F.explode(F.array_distinct(F.col(set_col))).alias("_elem"),
     )
-    sets = (
+    from ._cache import scoped_persist
+
+    sets = scoped_persist(
         ex.groupBy("_id", *(["_blk"] if block_col else []))
         .agg(F.collect_set(F.xxhash64("_elem")).alias("_set"))
-        .withColumn("_n", F.size("_set"))
-        .persist()
+        .withColumn("_n", F.size("_set")),
+        "jaccard_sets",
     )
     if pairs is None:
         # Self-join carrying the sets directly: one equi-join on the
@@ -250,11 +252,9 @@ def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
         )
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
-    from ._cache import tie_cache
-    return tie_cache(
+    return (
         joined.select("a_id", "b_id", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold),
-        sets,
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -364,24 +364,24 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     self-join, both sides of the verify join) and Catalyst does not
     share subplans across joins — without the persist the whole
     shingle+hash pipeline re-executes per branch.  At 100 TB the same
-    slot is a checkpoint/table write of the signatures.  The cache is
-    released when the caller drops the returned frame
-    (_cache.tie_cache) — consecutive one-shot calls leave no
-    persistent RDDs behind."""
-    from ._cache import tie_cache
+    slot is a checkpoint/table write of the signatures.  The persist
+    rides the bounded _cache.scoped_persist LRU — repeat calls on the
+    same corpus reuse it, distinct corpora evict the oldest entry
+    (bounded accumulation, no per-call leak)."""
+    from ._cache import scoped_persist
 
     rows = n_hashes // n_bands
     prepped = minhash_signatures(df, id_col, text_col, shingle_k, n_hashes,
                                  hash_fn=hash_fn)
-    prepped = prepped.withColumn(
-        "_bands", minhash_bands(F.col("_sig"), n_bands, rows, hash_fn=hash_fn)
-    ).persist()
+    prepped = scoped_persist(
+        prepped.withColumn(
+            "_bands",
+            minhash_bands(F.col("_sig"), n_bands, rows, hash_fn=hash_fn)),
+        "minhash_prepped")
     cands = lsh_candidate_pairs(prepped, id_col, "_bands",
                                 star_buckets_over=star_buckets_over)
-    return tie_cache(
-        jaccard_pairs(prepped, id_col, "_sh", pairs=cands,
-                      threshold=threshold),
-        prepped)
+    return jaccard_pairs(prepped, id_col, "_sh", pairs=cands,
+                         threshold=threshold)
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars → fits a signed long with headroom

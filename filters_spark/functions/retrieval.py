@@ -113,20 +113,19 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         ex.join(F.broadcast(wanted), "term", "left_semi")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        # persisted: feeds BOTH the df/idf branch (a broadcast
-        # subtree, which executes as its own job) and the candidate
-        # scoring branch — Catalyst does not share subplans across
-        # joins, so without this the whole corpus tokenization+probe
-        # runs twice (measured 2× the full query cost at 2M docs).
-        # The frame is |matched postings| — small by construction.
-        # The cache's lifetime is tied to the RESULT frame (see
-        # _cache.tie_cache): released when the caller drops the
-        # result, so consecutive one-shot calls don't accumulate
-        # executor storage.  A service issuing many query sets
-        # should still materialize postings to a table and probe
-        # that (bm25_topk_from_postings).
-        .persist()
     )
+    # scoped persist: feeds BOTH the df/idf branch (a broadcast
+    # subtree, which executes as its own job) and the candidate
+    # scoring branch — Catalyst does not share subplans across
+    # joins, so without this the whole corpus tokenization+probe
+    # runs twice (measured 2× the full query cost at 2M docs).
+    # The frame is |matched postings| — small by construction; the
+    # bounded LRU (_cache.scoped_persist) keeps repeat calls fast
+    # and caps accumulation across distinct inputs.  A service
+    # issuing many query sets should still materialize postings to
+    # a table and probe that (bm25_topk_from_postings).
+    from ._cache import scoped_persist
+    post = scoped_persist(post, "bm25_postings")
     # corpus stats: N and avgdl in one 1-row aggregate over a narrow
     # scan projection, cross-joined back as a broadcast (never
     # collected to the driver)
@@ -160,11 +159,9 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id"))
-    from ._cache import tie_cache
-    return tie_cache(
+    return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k),
-        post,
+        .where(F.col("rank") <= k)
     )
 
 

@@ -5953,14 +5953,14 @@ def ds_minhash_estimate(spark, sf_dir):
     (verified live — blocks survive 30 System.gc() rounds), so the
     deterministic Python-side finalizer is the actual fix (ADVICE
     r3, VERDICT r4 task 4)."""
-    from ..functions._cache import tie_cache
+    from ..functions._cache import scoped_persist
 
     d = _t(spark, sf_dir, "documents")
     prepped = dedup.minhash_signatures(d, "doc_id", "text",
                                        shingle_k=3, n_hashes=16)
-    prepped = prepped.withColumn(
-        "_bands", dedup.minhash_bands(F.col("_sig"), 8, 2)
-    ).persist()
+    prepped = scoped_persist(
+        prepped.withColumn("_bands", dedup.minhash_bands(F.col("_sig"), 8, 2)),
+        "minhash_prepped")
     cands = dedup.lsh_candidate_pairs(prepped, "doc_id", "_bands")
     agree = F.aggregate(
         F.zip_with(F.col("_siga"), F.col("_sigb"),
@@ -5977,14 +5977,13 @@ def ds_minhash_estimate(spark, sf_dir):
     )
     exact = dedup.jaccard_pairs(prepped, "doc_id", "_sh",
                                 pairs=cands, threshold=0.0)
-    return tie_cache(
+    return (
         est.join(exact, ["a_id", "b_id"])
         .select("a_id", "b_id",
                 F.round("_est", 4).alias("est_jaccard"),
                 F.round("jaccard", 4).alias("jaccard"),
                 F.round(F.abs(F.col("_est") - F.col("jaccard")), 4)
-                .alias("abs_err")),
-        prepped,
+                .alias("abs_err"))
     )
 
 

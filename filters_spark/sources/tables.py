@@ -45,6 +45,14 @@ def get_spark(app_name: str = "filters_spark", shuffle_partitions: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's per-API-call origin capture (error-message
+        # call-site enrichment) inspects the Python stack AND makes
+        # an extra JVM round trip on EVERY wrapped Column/DataFrame
+        # call — measured 20% of a big validation plan's first build
+        # (3.53 s → 2.81 s) and ~15% of warm rebuilds.  A production
+        # session factory trades the enriched tracebacks for build
+        # throughput; re-enable when debugging operator internals.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
 
