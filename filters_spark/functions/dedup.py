@@ -52,6 +52,9 @@ __all__ = [
     "dedup_segments",
     "duplicate_spans",
     "remove_duplicate_spans",
+    "materialize_signatures",
+    "append_signatures",
+    "dedup_pairs_against",
 ]
 
 
@@ -1136,3 +1139,112 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         (F.col("_n") - F.size("_kept")).alias("n_tokens_removed"))
     passthrough = [c for c in df.columns if c != text_col]
     return df.select(*passthrough).join(rebuilt, id_col)
+
+
+def _prep_signatures(docs: DataFrame, id_col: str, text_col: str,
+                     shingle_k: int, n_hashes: int, n_bands: int,
+                     hash_fn: str) -> DataFrame:
+    """(id, _sh, _sig, _bands) — the full per-doc MinHash artifact."""
+    prepped = minhash_signatures(docs, id_col, text_col, shingle_k,
+                                 n_hashes, hash_fn=hash_fn)
+    return prepped.withColumn(
+        "_bands", minhash_bands(F.col("_sig"), n_bands,
+                                n_hashes // n_bands, hash_fn=hash_fn))
+
+
+def materialize_signatures(docs: DataFrame, path: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           shingle_k: int = 3, n_hashes: int = 16,
+                           n_bands: int = 8,
+                           hash_fn: str = "md5") -> None:
+    """Materialize the MinHash signature STORE once so that daily
+    document batches dedup against the corpus in O(delta), never
+    re-shingling the base — the dedup twin of
+    :func:`retrieval.materialize_postings` /
+    :func:`similarity.materialize_ivf_index`.
+
+    Writes under ``path``:
+
+    * ``signatures/`` — (id, _sh shingle set, _sig minhash array,
+      _bands band keys): everything candidate generation AND exact
+      verification need, so an incremental run touches the base
+      corpus's TEXT never (at 100 TB the store is ~2 orders smaller
+      than the corpus);
+    * ``meta/`` — the sketch parameters, so appends and probes hash
+      the exact same way the store was built (the
+      :func:`similarity.append_ivf` meta contract).
+    """
+    spark = docs.sparkSession
+    prepped = _prep_signatures(docs, id_col, text_col, shingle_k,
+                               n_hashes, n_bands, hash_fn)
+    prepped.write.mode("overwrite").parquet(f"{path}/signatures")
+    (spark.createDataFrame(
+        [(id_col, shingle_k, n_hashes, n_bands, hash_fn)],
+        "id_col string, shingle_k int, n_hashes int, n_bands int, "
+        "hash_fn string")
+     .write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def append_signatures(spark, path: str, new_docs: DataFrame,
+                      text_col: str = "text") -> None:
+    """Fold a new batch into the signature store: shingle + hash the
+    DELTA only, append its rows.  Precondition: new ids are disjoint
+    from the store (the append-not-upsert contract)."""
+    m = spark.read.parquet(f"{path}/meta").head()
+    prepped = _prep_signatures(new_docs, m["id_col"], text_col,
+                               m["shingle_k"], m["n_hashes"],
+                               m["n_bands"], m["hash_fn"])
+    prepped.write.mode("append").parquet(f"{path}/signatures")
+
+
+def dedup_pairs_against(spark, path: str, new_docs: DataFrame,
+                        text_col: str = "text",
+                        threshold: float = 0.5,
+                        star_buckets_over: int | None = None,
+                        broadcast_delta: bool = True) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a
+    :func:`materialize_signatures` store (plus within the batch
+    itself) — verified (a_id, b_id, jaccard) where at least one side
+    is new, IDENTICAL to what the full-corpus pipeline would emit
+    restricted to those pairs (LSH candidacy is pairwise: two docs
+    are candidates iff they share a band key, a property of the two
+    docs alone — so new×old ∪ new×new candidates from the store
+    equal the full run's candidates touching a new doc, and the
+    exact-Jaccard verify reads the stored shingle sets).
+
+    Scale shape: the delta is shingled once; the store scan reads
+    band keys + shingle sets only (no base text); the new-side band
+    keys ride a BROADCAST into the store join when the batch is
+    small (the common daily-append case), so candidate generation is
+    a map-side probe of the store — pass ``broadcast_delta=False``
+    for a backfill-sized batch and let AQE pick the join."""
+    m = spark.read.parquet(f"{path}/meta").head()
+    id_col = m["id_col"]
+    prepped = _prep_signatures(new_docs, id_col, text_col,
+                               m["shingle_k"], m["n_hashes"],
+                               m["n_bands"], m["hash_fn"])
+    from ._cache import scoped_persist
+    prepped = scoped_persist(prepped, "incremental_prepped")
+    stored = spark.read.parquet(f"{path}/signatures")
+    nn = lsh_candidate_pairs(prepped, id_col, "_bands",
+                             star_buckets_over=star_buckets_over)
+    nb = prepped.select(F.col(id_col).alias("_nid"),
+                        F.explode("_bands").alias("bk")) \
+        .select("_nid", "bk.band", "bk.key")
+    sb = stored.select(F.col(id_col).alias("_oid"),
+                       F.explode("_bands").alias("bk")) \
+        .select("_oid", "bk.band", "bk.key")
+    nb_side = F.broadcast(nb) if broadcast_delta else nb
+    no = (
+        sb.join(nb_side, ["band", "key"])
+        .where(F.col("_oid") != F.col("_nid"))
+        .select(F.least("_oid", "_nid").alias("a_id"),
+                F.greatest("_oid", "_nid").alias("b_id"))
+        .distinct()
+    )
+    cands = nn.union(no).distinct()
+    sets = (stored.select(F.col(id_col), F.col("_sh"))
+            .unionByName(prepped.select(F.col(id_col), F.col("_sh"))))
+    return jaccard_pairs(sets, id_col, "_sh", pairs=cands,
+                         threshold=threshold)

@@ -41,6 +41,7 @@ __all__ = [
     "materialize_postings",
     "append_postings",
     "bm25_topk_from_postings",
+    "rrf_fuse",
 ]
 
 
@@ -312,3 +313,43 @@ def bm25_topk_from_postings(spark, path: str, queries: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 60, topk: int = 10,
+             query_col: str = "query_id", id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009,
+    SIGIR — ``RRF(d) = Σ_systems 1/(k + rank_s(d))``): merge the
+    top-k lists of heterogeneous retrievers (the BM25 sparse arm and
+    the embedding ANN dense arm are the canonical pair) into one
+    ranking without score calibration — only RANKS cross systems, so
+    BM25's unbounded scores and cosine's [-1, 1] never need to be
+    put on a common scale.
+
+    Inputs are (query, doc, rank) frames; absent docs simply
+    contribute nothing (the standard RRF convention).  Output is
+    (query_id, doc_id, rrf_score, rank) with the fused score rounded
+    to 6 dp and doc-id tie-breaks — deterministic across engines
+    (each addend is one IEEE division; with the usual 2-3 systems
+    the sum is order-insensitive).
+
+    Scale: a unionAll of already-cut top-k lists — |queries|·k·
+    |systems| rows total, shuffled once on (query, doc) for the sum
+    and once for the rank window.  The corpus is never touched."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    u = None
+    for r in rankings:
+        part = r.select(F.col(query_col).alias("query_id"),
+                        F.col(id_col).alias("doc_id"),
+                        F.col(rank_col).alias("rank"))
+        u = part if u is None else u.unionByName(part)
+    fused = (
+        u.groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("rank"))), 6)
+             .alias("rrf_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk))

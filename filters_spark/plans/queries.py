@@ -7071,3 +7071,142 @@ def ds_ivf_append(spark, sf_dir):
                           cell_col="label")
     q = emb.where(F.col("vec_id") % 101 == 0)
     return similarity.ivf_topk_from_index(spark, path, q, k=10, nprobe=2)
+
+
+@register(
+    "ds_incremental_dedup",
+    oracle=_oracle_replace(
+        _MINHASH_ORACLE,
+        "SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified WHERE j >= 0.8",
+        "SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified\n"
+        "WHERE j >= 0.8 AND (a_id % 3 = 0 OR b_id % 3 = 0)"),
+)
+def ds_incremental_dedup(spark, sf_dir):
+    """INCREMENTAL near-dup under the value hash
+    (dedup.materialize_signatures + dedup_pairs_against): the MinHash
+    signature store is built from two-thirds of the corpus
+    (doc_id % 3 != 0) and the remaining third arrives as a 'daily
+    batch' — deduped against the store (and within itself) without
+    re-shingling the base.  The oracle replays the FULL-corpus LSH
+    pipeline and keeps the pairs touching a new doc: candidate
+    equality holds because LSH candidacy is a pairwise band-key
+    property, and verified jaccards come from the same stored
+    shingle sets — so incremental ≡ full-run-restricted, hashed."""
+    import shutil
+
+    d = _t(spark, sf_dir, "documents")
+    path = f"/tmp/fs_sigstore_gate_{spark.sparkContext.applicationId}"
+    shutil.rmtree(path, ignore_errors=True)
+    dedup.materialize_signatures(
+        d.where(F.col("doc_id") % 3 != 0), path,
+        shingle_k=3, n_hashes=16, n_bands=8)
+    pairs = dedup.dedup_pairs_against(
+        spark, path, d.where(F.col("doc_id") % 3 == 0), threshold=0.8)
+    return pairs.select("a_id", "b_id",
+                        F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "ds_hybrid_rrf",
+    oracle="""
+    WITH post AS (
+      SELECT doc_id, s AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+            FROM documents)
+      WHERE s <> '' GROUP BY doc_id, s
+    ), dls AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dls
+    ), q AS (
+      SELECT DISTINCT doc_id AS query_id, s AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+            FROM documents WHERE doc_id % 97 = 0)
+      WHERE s <> ''
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM post
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfreq, stats
+    ), bscored AS (
+      SELECT q.query_id, p.doc_id,
+             round(sum(i.idf * p.tf * 2.2
+                       / (p.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * d.dl / stats.avgdl))),
+                   4) AS score
+      FROM q JOIN post p USING (term) JOIN idf i USING (term)
+           JOIN dls d ON d.doc_id = p.doc_id, stats
+      GROUP BY q.query_id, p.doc_id
+    ), sparse AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM bscored
+      ) WHERE rank <= 10
+    ), dq AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+    ), dscored AS (
+      SELECT dq.vec_id AS query_id, v.vec_id AS doc_id,
+             round(list_cosine_similarity(
+               dq.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS score
+      FROM dq JOIN embeddings v ON v.vec_id != dq.vec_id
+    ), dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM dscored
+      ) WHERE rank <= 10
+    ), fused AS (
+      SELECT query_id, doc_id,
+             round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+      FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def ds_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval (retrieval.rrf_fuse — Cormack et al. 2009
+    reciprocal-rank fusion): the BM25 sparse arm and the brute-force
+    cosine dense arm answer the SAME query set (every 97th document;
+    doc_id ↔ vec_id align 1:1 in the testdata), and their top-10
+    lists fuse by Σ 1/(60+rank) — no score calibration across arms,
+    only ranks.  Both arms rank on ROUNDED scores (4 dp BM25, 6 dp
+    cosine) with id tie-breaks so the fused ranking is
+    engine-deterministic end to end; the oracle replays both
+    retrievers and the fusion arithmetic."""
+    from ..functions import retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    q = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    sparse = retrieval.bm25_topk(d, q, k=10) \
+        .select("query_id", "doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    dq = emb.where(F.col("vec_id") % 97 == 0)
+    dscored = (
+        emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("_nv"))
+        .join(F.broadcast(dq.select(F.col("vec_id").alias("query_id"),
+                                    F.col("embedding").alias("_qv"))),
+              F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id",
+                F.round(similarity.cosine(F.col("_qv"), F.col("_nv")), 6)
+                .alias("score"))
+    )
+    dw = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    dense = (dscored.withColumn("rank", F.row_number().over(dw))
+             .where(F.col("rank") <= 10)
+             .select("query_id", "doc_id", "rank"))
+    return retrieval.rrf_fuse([sparse, dense], k=60, topk=10)

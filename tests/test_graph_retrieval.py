@@ -457,3 +457,92 @@ class TestAppendIvf:
         r2 = sorted(map(tuple, similarity.ivf_topk_from_index(
             spark, p2, q, k=5, nprobe=2).collect()))
         assert r1 == r2 and len(r1) > 0
+
+
+class TestRrfFuse:
+    def test_matches_hand_computed_fusion(self, spark):
+        from filters_spark.functions import retrieval
+        sparse = spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+            "query_id bigint, doc_id bigint, rank int")
+        dense = spark.createDataFrame(
+            [(1, 20, 1), (1, 40, 2), (1, 10, 3)],
+            "query_id bigint, doc_id bigint, rank int")
+        got = {r["doc_id"]: (r["rrf_score"], r["rank"]) for r in
+               retrieval.rrf_fuse([sparse, dense], k=60).collect()}
+        exp = {
+            10: round(1 / 61 + 1 / 63, 6),
+            20: round(1 / 62 + 1 / 61, 6),
+            30: round(1 / 63, 6),
+            40: round(1 / 62, 6),
+        }
+        assert {d: s for d, (s, _) in got.items()} == exp
+        # doc 20 (ranks 2+1) beats doc 10 (ranks 1+3)
+        assert got[20][1] == 1 and got[10][1] == 2
+
+    def test_single_system_is_identity_ranking(self, spark):
+        from filters_spark.functions import retrieval
+        one = spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 2), (2, 30, 1)],
+            "query_id bigint, doc_id bigint, rank int")
+        got = {(r["query_id"], r["doc_id"]): r["rank"] for r in
+               retrieval.rrf_fuse([one]).collect()}
+        assert got == {(1, 10): 1, (1, 20): 2, (2, 30): 1}
+
+
+class TestIncrementalDedup:
+    def test_matches_full_pipeline_restriction(self, spark, tmp_path):
+        """dedup_pairs_against(store, delta) == full-corpus
+        minhash_dedup_pairs restricted to pairs touching the delta
+        (LSH candidacy is a pairwise band-key property)."""
+        from filters_spark.functions import dedup
+        rows = []
+        for i in range(30):
+            base_text = f"alpha beta gamma delta epsilon zeta{i % 7} eta theta"
+            rows.append((i, base_text))
+        # plant near-dups across the base/delta split (0,3,6.. = delta)
+        rows[3] = (3, rows[1][1])   # delta dup of base doc 1
+        rows[6] = (6, rows[9][1])   # delta dup of base doc 9
+        rows[12] = (12, rows[15][1])
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        base = docs.where(F.col("doc_id") % 3 != 0)
+        delta = docs.where(F.col("doc_id") % 3 == 0)
+        path = str(tmp_path / "sigstore")
+        dedup.materialize_signatures(base, path, shingle_k=2,
+                                     n_hashes=16, n_bands=8)
+        inc = sorted(
+            (r["a_id"], r["b_id"], round(r["jaccard"], 4)) for r in
+            dedup.dedup_pairs_against(spark, path, delta,
+                                      threshold=0.8).collect())
+        full = sorted(
+            (r["a_id"], r["b_id"], round(r["jaccard"], 4)) for r in
+            dedup.minhash_dedup_pairs(docs, "doc_id", "text",
+                                      shingle_k=2, n_hashes=16,
+                                      n_bands=8, threshold=0.8).collect()
+            if r["a_id"] % 3 == 0 or r["b_id"] % 3 == 0)
+        assert inc == full and len(inc) >= 3
+
+    def test_append_then_dedup_next_batch(self, spark, tmp_path):
+        """append_signatures folds a batch in; the NEXT batch's dedup
+        sees it (the rolling daily-ingest lifecycle)."""
+        from filters_spark.functions import dedup
+        mk = lambda i, t: (i, t)
+        b0 = spark.createDataFrame(
+            [mk(1, "one two three four five"),
+             mk(2, "six seven eight nine ten")],
+            "doc_id bigint, text string")
+        b1 = spark.createDataFrame(
+            [mk(10, "eleven twelve thirteen fourteen fifteen")],
+            "doc_id bigint, text string")
+        b2 = spark.createDataFrame(
+            [mk(20, "eleven twelve thirteen fourteen fifteen")],  # dup of 10
+            "doc_id bigint, text string")
+        path = str(tmp_path / "sigstore")
+        dedup.materialize_signatures(b0, path, shingle_k=2,
+                                     n_hashes=16, n_bands=8)
+        assert dedup.dedup_pairs_against(spark, path, b1,
+                                         threshold=0.8).count() == 0
+        dedup.append_signatures(spark, path, b1)
+        got = dedup.dedup_pairs_against(spark, path, b2,
+                                        threshold=0.8).collect()
+        assert [(r["a_id"], r["b_id"]) for r in got] == [(10, 20)]

@@ -312,6 +312,17 @@ EXPECTATIONS: dict[str, dict] = {
     # split leakage: the audited tail after the persisted minhash
     # frame — band join, verify joins, pair-kind rollup
     "ds_split_leakage": dict(max_exchanges=12),
+    # round 5: ExactSubstr excision — hash-count groupBy+join (2) +
+    # island window + range rollup + rebuild join, all narrow keys
+    "ds_span_removal": dict(max_exchanges=8, min_broadcasts=1),
+    # round 5: appended-index probes (same plan family as the
+    # materialized originals) + the incremental composites
+    "ds_postings_append": dict(max_exchanges=6, min_broadcasts=3),
+    "ds_ivf_append": dict(min_broadcasts=2, max_exchanges=6),
+    # store-scan bands join + delta LSH + verify joins: the same
+    # budget class as the full LSH pipeline it restricts
+    "ds_incremental_dedup": dict(max_exchanges=12, min_broadcasts=1),
+    "ds_hybrid_rrf": dict(max_exchanges=12, min_broadcasts=4),
 }
 
 
