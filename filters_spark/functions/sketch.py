@@ -31,6 +31,9 @@ __all__ = [
     "cms_table",
     "cms_estimate",
     "cms_merge",
+    "hll_table",
+    "hll_estimate",
+    "hll_merge",
 ]
 
 
@@ -89,3 +92,93 @@ def cms_merge(*tables: DataFrame) -> DataFrame:
     for t in tables[1:]:
         out = out.unionByName(t)
     return out.groupBy("_row", "_bucket").agg(F.sum("n").alias("n"))
+
+
+# -- HyperLogLog ----------------------------------------------------------
+#
+# The distinct-count companion to count-min (Flajolet et al. 2007
+# "HyperLogLog: the analysis of a near-optimal cardinality estimation
+# algorithm", AofA): per md5-derived bucket, the maximum count of
+# leading zero bits in the hash suffix; the harmonic mean of 2^-M_j
+# across m = 2^p buckets estimates cardinality with ~1.04/sqrt(m)
+# relative error in O(m) state.  Exactly the 100 TB shape: the
+# per-bucket max is one map-side-combining aggregation (state m rows,
+# never |distinct|), merges are per-bucket max (sharding/daily-rollup
+# friendly), and everything up to the final estimate is INTEGER
+# arithmetic an ANSI-SQL oracle replays byte for byte:
+#
+# * bucket = first 2 md5 hex chars (p = 8, m = 256);
+# * suffix = next 15 hex chars (60 bits, fits signed int64);
+# * rho = leading-zeros-in-60-bits + 1 = 60 - bitlength(suffix) + 1,
+#   computed via the base-2 string length (Spark conv(_,16,2) /
+#   DuckDB bin()) — live-verified bit-identical across engines;
+# * the harmonic sum is kept EXACT: sum_j 2^-M_j is scaled by 2^61
+#   into Σ 2^(61-M_j), each term a BIGINT, summed as DECIMAL(38,0)
+#   (the sum overflows int64 at ~2^69) — no float accumulation, per
+#   the midpoint rule.  Only the final one-division estimate (and the
+#   small-range linear-counting ln()) is floating point, rounded in
+#   gate outputs.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 buckets
+# alpha_m * m^2 for m = 256 (Flajolet et al. §4); the 2^61 factor
+# un-scales the exact integer harmonic sum.  One literal shared by
+# the Spark expression and the SQL oracle so both engines divide the
+# same constant.
+HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+
+
+def _hll_parts(col: Column) -> tuple[Column, Column]:
+    h = F.md5(col.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    suffix_hex = F.substring(h, 3, 15)
+    suffix = F.conv(suffix_hex, 16, 10).cast("long")
+    rho = F.when(suffix == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.conv(suffix_hex, 16, 2)))
+    return bucket, rho.cast("int")
+
+
+def hll_table(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, max_rho) — ≤ 256 rows whatever the input size.  NULLs
+    are excluded (a NULL key is not a value)."""
+    bucket, rho = _hll_parts(F.col(col))
+    return (df.where(F.col(col).isNotNull())
+            .select(bucket.alias("bucket"), rho.alias("_rho"))
+            .groupBy("bucket").agg(F.max("_rho").alias("max_rho")))
+
+
+def hll_merge(*tables: DataFrame) -> DataFrame:
+    """Union + per-bucket max: the sketch of a union of datasets —
+    shard daily, merge for the global count (the cms_merge twin)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), tables)
+    return u.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(table: DataFrame) -> DataFrame:
+    """One-row (est_distinct double) from a :func:`hll_table`.
+
+    The raw estimate is ``HLL_ALPHA_M2 * 2^61 / D`` where
+    D = zeros·2^61 + Σ_nonzero 2^(61 - M_j) — exact DECIMAL(38,0)
+    integer arithmetic (no float accumulation), one deterministic
+    division at the end.  Small-range correction (E ≤ 2.5 m with
+    empty buckets): linear counting ``m · ln(m / zeros)`` — the one
+    libm call, so gate outputs must round (the idf discipline)."""
+    agg = table.agg(
+        F.count(F.lit(1)).alias("_nz"),
+        F.coalesce(
+            # shiftleft with a COLUMN bit count needs the SQL form
+            # (the python F.shiftleft signature takes a literal int)
+            F.sum(F.expr("CAST(shiftleft(1L, 61 - max_rho) "
+                         "AS DECIMAL(38,0))")),
+            F.lit(0).cast("decimal(38,0)")).alias("_num"),
+    )
+    zeros = F.lit(HLL_M) - F.col("_nz")
+    d = (zeros.cast("decimal(38,0)")
+         * F.lit(1 << 61).cast("decimal(38,0)") + F.col("_num"))
+    raw = F.lit(HLL_ALPHA_M2 * 2.0 ** 61) / d.cast("double")
+    lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M))
+                                      / zeros.cast("double"))
+    est = F.when((zeros > 0) & (raw <= 2.5 * HLL_M), lin).otherwise(raw)
+    return agg.select(est.alias("est_distinct"))

@@ -7210,3 +7210,89 @@ def ds_hybrid_rrf(spark, sf_dir):
              .where(F.col("rank") <= 10)
              .select("query_id", "doc_id", "rank"))
     return retrieval.rrf_fuse([sparse, dense], k=60, topk=10)
+
+
+@register(
+    "prof_hll_calibration",
+    oracle="""
+    WITH tv AS (
+      SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t
+                     FROM documents) WHERE t <> ''
+    ), parts AS (
+      SELECT ('0x' || substr(md5(t), 1, 2))::BIGINT AS bucket,
+             ('0x' || substr(md5(t), 3, 15))::BIGINT AS suffix
+      FROM tv
+    ), rho AS (
+      SELECT bucket,
+             max(CASE WHEN suffix = 0 THEN 61
+                      ELSE 61 - length(bin(suffix)) END) AS max_rho
+      FROM parts GROUP BY bucket
+    ), est AS (
+      SELECT count(*) AS nz,
+             coalesce(sum(CAST(1::BIGINT << (61 - max_rho)
+                               AS DECIMAL(38,0))),
+                      0::DECIMAL(38,0)) AS num,
+             CAST(coalesce(sum((bucket + 1) * max_rho), 0) AS BIGINT)
+               AS bucket_checksum
+      FROM rho
+    ), calc AS (
+      SELECT nz, bucket_checksum, (256 - nz) AS zeros,
+             1.0854228543761655e+23
+               / CAST((256 - nz)::DECIMAL(38,0)
+                      * CAST(1::BIGINT << 61 AS DECIMAL(38,0)) + num
+                      AS DOUBLE) AS raw
+      FROM est
+    ), fin AS (
+      SELECT nz, bucket_checksum,
+             CASE WHEN zeros > 0 AND raw <= 640.0
+                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+      FROM calc
+    ), ex AS (SELECT count(DISTINCT t) AS exact_distinct FROM tv)
+    SELECT CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           round(fin.e, 2) AS est_distinct,
+           CASE WHEN ex.exact_distinct = 0 THEN 0.0
+                ELSE round(abs(fin.e - ex.exact_distinct)
+                           / ex.exact_distinct, 4) END AS rel_err,
+           fin.bucket_checksum,
+           CAST(fin.nz AS BIGINT) AS nonzero_buckets
+    FROM fin, ex
+    """,
+)
+def prof_hll_calibration(spark, sf_dir):
+    """HyperLogLog estimator CALIBRATION under the value hash
+    (sketch.hll_table / hll_estimate — Flajolet et al. 2007): the
+    corpus VOCABULARY (distinct tokens across all documents, the
+    thing a 100 TB pipeline cannot countDistinct exactly) sketched
+    into 256 buckets, the estimate certified against the exact
+    count in-result, and every bucket's max-rho pinned by an
+    integer checksum.  All integer arithmetic up to one final
+    division (exact DECIMAL(38,0) harmonic sum — no float
+    accumulation); the ln() in the small-range branch and the final
+    estimate are rounded (the idf discipline)."""
+    from ..functions import sketch
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.split("text", " ")).alias("t"))
+            .where(F.col("t") != ""))
+    tab = sketch.hll_table(toks, "t")
+    est = sketch.hll_estimate(tab)
+    chk = tab.agg(
+        F.coalesce(F.sum((F.col("bucket") + 1) * F.col("max_rho")), F.lit(0))
+        .cast("bigint").alias("bucket_checksum"),
+        F.count(F.lit(1)).cast("bigint").alias("nonzero_buckets"),
+    )
+    exact = toks.agg(F.countDistinct("t").cast("bigint")
+                     .alias("exact_distinct"))
+    return (
+        exact.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(chk))
+        .select(
+            "exact_distinct",
+            F.round("est_distinct", 2).alias("est_distinct"),
+            F.when(F.col("exact_distinct") == 0, F.lit(0.0))
+            .otherwise(F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 4)).alias("rel_err"),
+            "bucket_checksum",
+            "nonzero_buckets",
+        )
+    )

@@ -254,3 +254,45 @@ class TestStratifiedFixedN:
                 ._jdf.queryExecution().optimizedPlan().toString())
         # two windows: the first (innermost) keyed by (g, _salt)
         assert "_salt" in plan
+
+
+class TestHyperLogLog:
+    def test_estimate_within_hll_error_bound(self, spark):
+        """10k distinct keys, p=8 (m=256): standard error
+        1.04/sqrt(256) = 6.5%; assert within 4 sigma (26%)."""
+        from filters_spark.functions import sketch
+        df = spark.range(10_000).select(
+            F.concat(F.lit("key"), F.col("id")).alias("k"))
+        est = sketch.hll_estimate(sketch.hll_table(df, "k")) \
+            .head()["est_distinct"]
+        assert abs(est - 10_000) / 10_000 < 0.26
+
+    def test_small_range_linear_counting_is_tight(self, spark):
+        from filters_spark.functions import sketch
+        df = spark.range(50).select(F.col("id").cast("string").alias("k"))
+        est = sketch.hll_estimate(sketch.hll_table(df, "k")) \
+            .head()["est_distinct"]
+        # linear counting regime: near-exact at 50 << m
+        assert abs(est - 50) <= 5
+
+    def test_duplicates_do_not_move_the_estimate(self, spark):
+        from filters_spark.functions import sketch
+        base = spark.range(1000).select(
+            F.col("id").cast("string").alias("k"))
+        dup = base.unionAll(base).unionAll(base)
+        e1 = sketch.hll_estimate(sketch.hll_table(base, "k")).head()[0]
+        e3 = sketch.hll_estimate(sketch.hll_table(dup, "k")).head()[0]
+        assert e1 == e3
+
+    def test_merge_equals_union_sketch(self, spark):
+        """hll_merge(sketch(A), sketch(B)) == sketch(A ∪ B) — the
+        shard-then-merge contract, exact on the bucket table."""
+        from filters_spark.functions import sketch
+        a = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+        b = spark.range(2000, 5000).select(
+            F.col("id").cast("string").alias("k"))
+        merged = sorted(map(tuple, sketch.hll_merge(
+            sketch.hll_table(a, "k"), sketch.hll_table(b, "k")).collect()))
+        direct = sorted(map(tuple,
+                            sketch.hll_table(a.unionAll(b), "k").collect()))
+        assert merged == direct
