@@ -34,6 +34,9 @@ __all__ = [
     "hll_table",
     "hll_estimate",
     "hll_merge",
+    "bloom_bits",
+    "bloom_contains",
+    "bloom_merge",
 ]
 
 
@@ -182,3 +185,59 @@ def hll_estimate(table: DataFrame) -> DataFrame:
                                       / zeros.cast("double"))
     est = F.when((zeros > 0) & (raw <= 2.5 * HLL_M), lin).otherwise(raw)
     return agg.select(est.alias("est_distinct"))
+
+
+# -- Bloom filter ---------------------------------------------------------
+#
+# The membership companion (Bloom 1970): k md5-derived bit positions
+# per key over an m-bit space; a probe whose k bits are all set is a
+# MAYBE-member (false positives at ~(1-e^{-kn/m})^k), a probe with
+# any clear bit is a DEFINITE non-member.  The "have we ingested
+# this id/URL before" primitive for incremental pipelines where the
+# exact seen-set is 100 TB-shaped but the bit set is O(m).
+#
+# Representation: a DataFrame of DISTINCT set bit positions — at
+# most m rows, exactly the form a SQL oracle replays and a daily
+# shard merge unions.  Probes are a left semi/anti join per hash
+# row, aggregated to all-k-present.
+
+
+def bloom_bits(df: DataFrame, col: str, n_bits: int = 1 << 20,
+               k: int = 7) -> DataFrame:
+    """(bit) — the distinct set positions for every non-NULL key.
+    One exploded aggregation (k rows per key collapse map-side)."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    ex = (df.where(F.col(col).isNotNull())
+          .select(seeds.alias("_s"), F.col(col).alias("_v")))
+    return (ex.select(cms_bucket(F.col("_v"), F.col("_s"), n_bits)
+                      .alias("bit"))
+            .distinct())
+
+
+def bloom_contains(bits: DataFrame, items: DataFrame, col: str,
+                   n_bits: int = 1 << 20, k: int = 7) -> DataFrame:
+    """(item-columns…, maybe_member) — True iff all ``k`` of the
+    item's bit positions are set.  The bit table broadcasts (m bits
+    → at most m rows, by-contract small next to the corpus); the
+    probe is a map-side join + an all-present rollup per item."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    probes = (items.select(F.col(col).alias("_v")).distinct()
+              .select("_v", seeds.alias("_s")))
+    probed = probes.select(
+        "_v", cms_bucket(F.col("_v"), F.col("_s"), n_bits).alias("bit"))
+    hit = probed.join(F.broadcast(bits), "bit", "left_semi") \
+        .groupBy("_v").agg(F.count(F.lit(1)).alias("_hits"))
+    return (items.select(F.col(col).alias("_v")).distinct()
+            .join(hit, "_v", "left")
+            .select(F.col("_v").alias(col),
+                    (F.coalesce("_hits", F.lit(0)) == k)
+                    .alias("maybe_member")))
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Union of set-bit tables = the filter of the data union —
+    shard daily, merge global (the cms_merge / hll_merge twin)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), filters)
+    return u.distinct()

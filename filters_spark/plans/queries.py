@@ -7296,3 +7296,69 @@ def prof_hll_calibration(spark, sf_dir):
             "nonzero_buckets",
         )
     )
+
+
+@register(
+    "ds_bloom_membership",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+    ), bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(s::VARCHAR || '|' || doc_id::VARCHAR),
+                             1, 8))::BIGINT % 16384 AS bit
+      FROM base, range(0, 5) r(s)
+    ), probes AS (
+      SELECT doc_id AS key, 'present' AS probe_kind FROM base
+      UNION ALL
+      SELECT doc_id + 10000000 AS key, 'absent' AS probe_kind
+      FROM documents
+    ), probe_bits AS (
+      SELECT key, probe_kind,
+             ('0x' || substr(md5(s::VARCHAR || '|' || key::VARCHAR),
+                             1, 8))::BIGINT % 16384 AS bit
+      FROM probes, range(0, 5) r(s)
+    ), hits AS (
+      SELECT pb.key, pb.probe_kind, count(b.bit) AS h
+      FROM probe_bits pb LEFT JOIN bits b USING (bit)
+      GROUP BY pb.key, pb.probe_kind
+    )
+    SELECT probe_kind,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_maybe
+    FROM hits GROUP BY probe_kind
+    """,
+)
+def ds_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership under the value hash
+    (sketch.bloom_bits / bloom_contains — Bloom 1970): the base
+    corpus's doc ids (two-thirds) populate a 16384-bit / 5-hash
+    filter; every base id probes back MAYBE (no false negatives —
+    the structural guarantee the present-group counts pin) and a
+    disjoint absent id set measures the false-positive rate at the
+    ~0.4 fill ratio.  Bit positions are md5-derived (the cms_bucket
+    arithmetic), so the oracle replays the exact bit set and every
+    probe — the 'seen before?' primitive for incremental ingest
+    where the exact seen-set is corpus-shaped but the filter is
+    O(bits)."""
+    from ..functions import sketch
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 3 != 0).select("doc_id")
+    bits = sketch.bloom_bits(base, "doc_id", n_bits=16384, k=5)
+    probes = (
+        base.select(F.col("doc_id").alias("key"),
+                    F.lit("present").alias("probe_kind"))
+        .unionByName(
+            d.select((F.col("doc_id") + 10000000).alias("key"),
+                     F.lit("absent").alias("probe_kind")))
+    )
+    res = sketch.bloom_contains(bits, probes, "key", n_bits=16384, k=5)
+    return (
+        probes.join(res, "key")
+        .groupBy("probe_kind")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+             F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+             .cast("bigint").alias("n_maybe"))
+    )

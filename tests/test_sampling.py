@@ -296,3 +296,34 @@ class TestHyperLogLog:
         direct = sorted(map(tuple,
                             sketch.hll_table(a.unionAll(b), "k").collect()))
         assert merged == direct
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_ever(self, spark):
+        from filters_spark.functions import sketch
+        keys = spark.range(500).select(F.col("id").alias("k"))
+        bits = sketch.bloom_bits(keys, "k", n_bits=4096, k=5)
+        got = sketch.bloom_contains(bits, keys, "k", n_bits=4096, k=5)
+        assert got.where(~F.col("maybe_member")).count() == 0
+
+    def test_absent_keys_mostly_rejected(self, spark):
+        from filters_spark.functions import sketch
+        keys = spark.range(200).select(F.col("id").alias("k"))
+        bits = sketch.bloom_bits(keys, "k", n_bits=8192, k=5)
+        absent = spark.range(100000, 101000).select(F.col("id").alias("k"))
+        fp = (sketch.bloom_contains(bits, absent, "k", n_bits=8192, k=5)
+              .where(F.col("maybe_member")).count())
+        # fill ratio ~0.11 -> FP rate (0.115)^5 ~ 2e-5; allow slack
+        assert fp <= 5
+
+    def test_merge_equals_union_filter(self, spark):
+        from filters_spark.functions import sketch
+        a = spark.range(0, 300).select(F.col("id").alias("k"))
+        b = spark.range(200, 500).select(F.col("id").alias("k"))
+        merged = sorted(r["bit"] for r in sketch.bloom_merge(
+            sketch.bloom_bits(a, "k", 4096, 5),
+            sketch.bloom_bits(b, "k", 4096, 5)).collect())
+        direct = sorted(r["bit"] for r in
+                        sketch.bloom_bits(a.unionAll(b), "k", 4096, 5)
+                        .collect())
+        assert merged == direct
