@@ -37,6 +37,7 @@ __all__ = [
     "ngram_repetition_stats",
     "repetition_filter",
     "chunk_documents",
+    "bpe_train",
     "STOPWORDS",
 ]
 
@@ -427,3 +428,85 @@ def repetition_gate(df, id_col: str = "doc_id", text_col: str = "text",
     keep = stats.where(
         F.col("dup_line_frac") <= max_dup_line_frac).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# Unit separator: terminates every BPE symbol in the packed string
+# form.  Symbols (substrings of corpus words) must not contain it —
+# bpe_train filters such words out rather than corrupting merges.
+_BPE_SEP = "\x1f"
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              n_merges: int = 10, sep: str = " ") -> list[tuple]:
+    """Byte-pair-encoding merge training (Sennrich, Haddow & Birch
+    2016, ACL "Neural Machine Translation of Rare Words with Subword
+    Units"): learn the ``n_merges`` most frequent adjacent-symbol
+    merges over the whitespace-pretokenized corpus.  Returns
+    ``[(step, left, right, pair_count), ...]`` — the merge table a
+    tokenizer applies in order.
+
+    Scale shape — everything beyond the first rollup is
+    VOCABULARY-sized, not corpus-sized:
+
+    1. one corpus pass folds the token stream to (word, freq) — the
+       classic BPE trick: a pair inside a word occurring f times
+       counts f, so iterations never touch the corpus again;
+    2. each word's symbol state is a PACKED STRING with a trailing
+       ``\\x1f`` after every symbol ("h␟e␟l␟l␟o␟").  Greedy
+       left-to-right merge application — the part that looks
+       inherently sequential — is exactly the semantics of
+       ``replace(sym, 'a␟b␟', 'ab␟')``: both engines scan left to
+       right and resume AFTER each replacement, so an odd run
+       "a a a" merges the first pair only, byte-for-byte like the
+       reference algorithm.  No per-symbol explode, no HOF in the
+       merge pass — one codegen'd replace per iteration;
+    3. pair counts per iteration: split the packed string, zip with
+       its shift, explode, weighted groupBy — an aggregation over
+       the vocabulary;
+    4. the argmax pair (count desc, then left, right — a total
+       order) is ONE collected row per iteration (the k-means
+       centroid contract: by-contract-small driver state).
+
+    Training stops early if no pair occurs twice.  Deterministic
+    across engines, partitionings, and retries; the DuckDB oracle
+    unrolls the same iterations in SQL."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), sep)).alias("w"))
+        .where((F.col("w") != "") & (~F.col("w").contains(_BPE_SEP)))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            F.regexp_replace("w", "(.)", "$1" + _BPE_SEP).alias("sym"),
+            "f")
+    )
+    from ._cache import scoped_persist
+
+    state = scoped_persist(words, "bpe_words")
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.col("sym"), _BPE_SEP)
+        l = F.slice(syms, 1, F.size(syms) - 1)  # drop trailing ''
+        shifted = F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0)))
+        z = F.zip_with(l, shifted,
+                       lambda x, y: F.struct(x.alias("a"), y.alias("b")))
+        best = (
+            state.select(F.explode(z).alias("p"), "f")
+            .where(F.col("p.b").isNotNull())
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < 2:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        merges.append((step, a, b, int(c)))
+        state = state.select(
+            F.replace(F.col("sym"),
+                      F.lit(a + _BPE_SEP + b + _BPE_SEP),
+                      F.lit(a + b + _BPE_SEP)).alias("sym"),
+            "f")
+        if step < n_merges:
+            state = scoped_persist(state, "bpe_words")
+    return merges

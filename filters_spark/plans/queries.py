@@ -7362,3 +7362,102 @@ def ds_bloom_membership(spark, sf_dir):
              F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
              .cast("bigint").alias("n_maybe"))
     )
+
+
+@register(
+    "txt_bpe_merges",
+    oracle="""
+    WITH w AS (
+      SELECT w, count(*) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' AND NOT contains(w, chr(31))
+      GROUP BY w
+    ), s0 AS (
+      SELECT regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS sym, f
+      FROM w
+    ), p1 AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_zip(l, l[2:])) AS z, f
+        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
+                     len(string_split(sym, chr(31))) - 1) AS l, f
+              FROM s0)
+      ) WHERE z[2] IS NOT NULL
+      GROUP BY 1, 2
+    ), b1 AS (
+      SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1
+    ), s1 AS (
+      SELECT replace(sym,
+                     (SELECT a FROM b1) || chr(31)
+                       || (SELECT b FROM b1) || chr(31),
+                     (SELECT a FROM b1) || (SELECT b FROM b1)
+                       || chr(31)) AS sym, f
+      FROM s0
+    ), p2 AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_zip(l, l[2:])) AS z, f
+        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
+                     len(string_split(sym, chr(31))) - 1) AS l, f
+              FROM s1)
+      ) WHERE z[2] IS NOT NULL
+      GROUP BY 1, 2
+    ), b2 AS (
+      SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1
+    ), s2 AS (
+      SELECT replace(sym,
+                     (SELECT a FROM b2) || chr(31)
+                       || (SELECT b FROM b2) || chr(31),
+                     (SELECT a FROM b2) || (SELECT b FROM b2)
+                       || chr(31)) AS sym, f
+      FROM s1
+    ), p3 AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_zip(l, l[2:])) AS z, f
+        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
+                     len(string_split(sym, chr(31))) - 1) AS l, f
+              FROM s2)
+      ) WHERE z[2] IS NOT NULL
+      GROUP BY 1, 2
+    ), b3 AS (
+      SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1
+    ), s3 AS (
+      SELECT replace(sym,
+                     (SELECT a FROM b3) || chr(31)
+                       || (SELECT b FROM b3) || chr(31),
+                     (SELECT a FROM b3) || (SELECT b FROM b3)
+                       || chr(31)) AS sym, f
+      FROM s2
+    )
+    SELECT 1 AS step, a AS merge_left, b AS merge_right,
+           c AS pair_count FROM b1 WHERE c >= 2
+    UNION ALL
+    SELECT 2, a, b, c FROM b2
+    WHERE c >= 2 AND (SELECT c FROM b1) >= 2
+    UNION ALL
+    SELECT 3, a, b, c FROM b3
+    WHERE c >= 2 AND (SELECT c FROM b1) >= 2
+      AND (SELECT c FROM b2) >= 2
+    """,
+)
+def txt_bpe_merges(spark, sf_dir):
+    """BPE merge training under the value hash (text.bpe_train —
+    Sennrich et al. 2016): the 3 most frequent adjacent-symbol
+    merges over the corpus vocabulary, with greedy left-to-right
+    merge application expressed as a codegen'd replace() on a
+    trailing-separator symbol string (both engines resume scanning
+    AFTER each replacement — byte-identical to the reference
+    algorithm on odd runs like 'aaa').  Pair counts are
+    frequency-weighted integer sums; the argmax tie-breaks on
+    (count desc, left, right) — a total order; the oracle unrolls
+    the same three iterations in SQL (the kmeans/pagerank unrolled-
+    iteration discipline) including the stops-when-no-pair-repeats
+    rule."""
+    from ..functions import text as _text
+
+    d = _t(spark, sf_dir, "documents")
+    merges = _text.bpe_train(d, "text", n_merges=3)
+    return spark.createDataFrame(
+        merges, "step int, merge_left string, merge_right string, "
+                "pair_count bigint")

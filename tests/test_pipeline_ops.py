@@ -343,3 +343,33 @@ class TestRemoveDuplicateSpans:
         assert out[1]["text"] == f"a b {passage} c d"
         assert out[2]["text"] == "e f g h"
         assert out[2]["n_tokens_removed"] == 6
+
+
+class TestBpeTrain:
+    def test_matches_hand_derived_merges(self, spark):
+        """'low low lower' + 'aaaa newest widest': tie-breaks and
+        greedy odd-run semantics verified by hand (Sennrich et al.
+        worked example style)."""
+        from filters_spark.functions import text as T
+        df = spark.createDataFrame(
+            [("low low lower",), ("aaaa newest widest",)], "text string")
+        got = T.bpe_train(df, n_merges=4)
+        assert got == [(1, "a", "a", 3), (2, "l", "o", 3),
+                       (3, "lo", "w", 3), (4, "e", "s", 2)]
+
+    def test_greedy_odd_run_merges_floor_half(self, spark):
+        """'aaaaa' (5 a's, twice): greedy left-to-right pairs the
+        first four symbols; counts reflect non-overlapping pairs."""
+        from filters_spark.functions import text as T
+        df = spark.createDataFrame([("aaaaa aaaaa",)], "text string")
+        got = T.bpe_train(df, n_merges=2)
+        # step 1: (a,a) appears 4 adjacent times per word = 8 total
+        assert got[0] == (1, "a", "a", 8)
+        # after merging: aa aa a per word -> (aa,aa) x1 + (aa,a) x1
+        assert got[1][0] == 2 and got[1][3] == 2
+
+    def test_stops_when_no_pair_repeats(self, spark):
+        from filters_spark.functions import text as T
+        df = spark.createDataFrame([("ab cd",)], "text string")
+        # every pair occurs once -> zero merges
+        assert T.bpe_train(df, n_merges=5) == []
