@@ -38,6 +38,7 @@ __all__ = [
     "repetition_filter",
     "chunk_documents",
     "bpe_train",
+    "bpe_apply",
     "STOPWORDS",
 ]
 
@@ -510,3 +511,25 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         if step < n_merges:
             state = scoped_persist(state, "bpe_words")
     return merges
+
+
+def bpe_apply(col: Column, merges: list[tuple]) -> Column:
+    """Tokenize a text column with a :func:`bpe_train` merge table:
+    array<string> of subword tokens.
+
+    The whole text is packed (every char gets a trailing ``\\x1f``)
+    and each merge is ONE codegen'd ``replace`` pass in training
+    order — merges can never cross word boundaries because the space
+    character is itself a symbol no learned merge contains.  Space
+    symbols (and empties from repeated separators) are dropped from
+    the output.  Per document this is n_merges + 2 linear string
+    passes — no per-symbol explode, no Python.  Precondition: text
+    contains no ``\\x1f`` (the same contract bpe_train enforces on
+    its vocabulary)."""
+    packed = F.regexp_replace(col, "(.)", "$1" + _BPE_SEP)
+    for _step, a, b, _c in merges:
+        packed = F.replace(packed, F.lit(a + _BPE_SEP + b + _BPE_SEP),
+                           F.lit(a + b + _BPE_SEP))
+    toks = F.split(packed, _BPE_SEP)
+    body = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.filter(body, lambda x: (x != "") & (x != " "))

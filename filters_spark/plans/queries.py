@@ -7461,3 +7461,108 @@ def txt_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "step int, merge_left string, merge_right string, "
                 "pair_count bigint")
+
+
+@register(
+    "txt_bpe_tokenize",
+    oracle="""
+    WITH w AS (
+      SELECT w, count(*) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' AND NOT contains(w, chr(31))
+      GROUP BY w
+    ), s0 AS (
+      SELECT regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS sym, f
+      FROM w
+    ), p1 AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_zip(l, l[2:])) AS z, f
+        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
+                     len(string_split(sym, chr(31))) - 1) AS l, f
+              FROM s0)
+      ) WHERE z[2] IS NOT NULL
+      GROUP BY 1, 2
+    ), b1 AS (
+      SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1
+    ), s1 AS (
+      SELECT replace(sym,
+                     (SELECT a FROM b1) || chr(31)
+                       || (SELECT b FROM b1) || chr(31),
+                     (SELECT a FROM b1) || (SELECT b FROM b1)
+                       || chr(31)) AS sym, f
+      FROM s0
+    ), p2 AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_zip(l, l[2:])) AS z, f
+        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
+                     len(string_split(sym, chr(31))) - 1) AS l, f
+              FROM s1)
+      ) WHERE z[2] IS NOT NULL
+      GROUP BY 1, 2
+    ), b2 AS (
+      SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1
+    ), s2 AS (
+      SELECT replace(sym,
+                     (SELECT a FROM b2) || chr(31)
+                       || (SELECT b FROM b2) || chr(31),
+                     (SELECT a FROM b2) || (SELECT b FROM b2)
+                       || chr(31)) AS sym, f
+      FROM s1
+    ), p3 AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_zip(l, l[2:])) AS z, f
+        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
+                     len(string_split(sym, chr(31))) - 1) AS l, f
+              FROM s2)
+      ) WHERE z[2] IS NOT NULL
+      GROUP BY 1, 2
+    ), b3 AS (
+      SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1
+    ), s3 AS (
+      SELECT replace(sym,
+                     (SELECT a FROM b3) || chr(31)
+                       || (SELECT b FROM b3) || chr(31),
+                     (SELECT a FROM b3) || (SELECT b FROM b3)
+                       || chr(31)) AS sym, f
+      FROM s2
+    ), applied AS (
+      SELECT unnest(list_slice(string_split(sym, chr(31)), 1,
+             len(string_split(sym, chr(31))) - 1)) AS s, f
+      FROM s3
+    ), counts AS (
+      SELECT s AS subword, CAST(sum(f) AS BIGINT) AS total_count
+      FROM applied GROUP BY s
+    )
+    SELECT subword, total_count, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY total_count DESC, subword)
+               AS rank
+      FROM counts
+    ) WHERE rank <= 10
+    """,
+)
+def txt_bpe_tokenize(spark, sf_dir):
+    """BPE TOKENIZATION under the value hash (text.bpe_apply): the
+    3-merge table learned by bpe_train is applied to the whole
+    corpus — each merge is one codegen replace pass over the packed
+    text, word boundaries blocked by the space symbol itself — and
+    the top-10 subword tokens by frequency-weighted count are
+    gated.  The oracle applies the same unrolled merges to the
+    vocabulary and weights by word frequency: corpus-level and
+    vocabulary-level application agree exactly because merges never
+    span the space symbol (the equivalence this gate pins)."""
+    from ..functions import text as _text
+
+    d = _t(spark, sf_dir, "documents")
+    merges = _text.bpe_train(d, "text", n_merges=3)
+    sub = d.select(
+        F.explode(_text.bpe_apply(F.col("text"), merges)).alias("subword"))
+    counts = sub.groupBy("subword").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_count"))
+    # distributed top-10 (TakeOrdered), THEN a rank window over the
+    # 10 survivors — never a global single-task sort of the vocab
+    top = counts.orderBy(F.col("total_count").desc(), "subword").limit(10)
+    w = Window.orderBy(F.col("total_count").desc(), "subword")
+    return top.withColumn("rank", F.row_number().over(w))

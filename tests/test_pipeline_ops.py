@@ -373,3 +373,22 @@ class TestBpeTrain:
         df = spark.createDataFrame([("ab cd",)], "text string")
         # every pair occurs once -> zero merges
         assert T.bpe_train(df, n_merges=5) == []
+
+
+class TestBpeApply:
+    def test_tokenizes_with_learned_merges(self, spark):
+        from filters_spark.functions import text as T
+        df = spark.createDataFrame(
+            [("low low lower",), ("aaaa newest widest",)], "text string")
+        merges = T.bpe_train(df, n_merges=3)  # aa, lo, low
+        got = df.select(T.bpe_apply(F.col("text"), merges).alias("t")) \
+            .collect()
+        toks = {r["t"][0]: list(r["t"]) for r in got}
+        assert toks["low"] == ["low", "low", "low", "e", "r"]
+        assert toks["aa"][:2] == ["aa", "aa"]          # greedy odd run
+
+    def test_empty_merge_table_yields_characters(self, spark):
+        from filters_spark.functions import text as T
+        df = spark.createDataFrame([("ab cd",)], "text string")
+        [r] = df.select(T.bpe_apply(F.col("text"), []).alias("t")).collect()
+        assert list(r["t"]) == ["a", "b", "c", "d"]   # spaces dropped
