@@ -7566,3 +7566,75 @@ def txt_bpe_tokenize(spark, sf_dir):
     top = counts.orderBy(F.col("total_count").desc(), "subword").limit(10)
     w = Window.orderBy(F.col("total_count").desc(), "subword")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+_SPAN_ORACLE_TAIL = """SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(k.n_kept, 0)) AS BIGINT) AS tokens_kept,
+           CAST(sum(b.n - coalesce(k.n_kept, 0)) AS BIGINT)
+             AS tokens_removed,
+           CAST(sum(CAST(concat('0x',
+                  substr(md5(coalesce(k.kept_text, '')), 1, 8)) AS BIGINT))
+                AS BIGINT) AS kept_checksum
+    FROM documents d
+    JOIN base b USING (doc_id)
+    LEFT JOIN keptdoc k USING (doc_id)
+    GROUP BY d.source"""
+
+_V4_TAIL = """kept AS (
+      SELECT b.doc_id, coalesce(k.n_kept, 0) AS n_kept,
+             coalesce(k.kept_text, '') AS ktext
+      FROM base b LEFT JOIN keptdoc k USING (doc_id)
+      WHERE coalesce(k.n_kept, 0) > 0
+    ), dd AS (
+      SELECT doc_id, n_kept, ktext,
+             row_number() OVER (PARTITION BY md5(ktext)
+                                ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_kept) AS BIGINT) AS tokens_kept,
+           CAST(sum(CAST(concat('0x', substr(md5(ktext), 1, 8))
+                         AS BIGINT)) AS BIGINT) AS text_checksum
+    FROM dd JOIN documents d USING (doc_id)
+    WHERE rn = 1
+    GROUP BY d.source"""
+
+
+@register(
+    "ds_corpus_pipeline_v4",
+    oracle=_oracle_replace(
+        REGISTRY["ds_span_removal"].oracle,
+        _SPAN_ORACLE_TAIL,
+        # extend the span-removal CTE chain (the replaced final
+        # SELECT sits after keptdoc's closing paren, so the new text
+        # reopens the WITH list with a comma): keep non-emptied
+        # docs, exact-dedup the REBUILT text, roll up per source
+        ", " + _V4_TAIL),
+)
+def ds_corpus_pipeline_v4(spark, sf_dir):
+    """Round-5 curation capstone: ExactSubstr EXCISION → drop
+    fully-excised docs → exact dedup of the REBUILT text → per-source
+    rollup, one gate.  The composition pins an emergent behavior no
+    single-op gate sees: excising shared boilerplate can make two
+    previously-distinct documents byte-identical, and the downstream
+    exact dedup must then keep exactly one (smallest id) — the
+    real-pipeline ordering dependency (excise BEFORE exact dedup)
+    that running the stages against separate oracles cannot verify.
+    The oracle extends ds_span_removal's CTE chain with the dedup
+    window and rollup (derived via _oracle_replace — reworded bases
+    fail at import, not at gate time)."""
+    d = _t(spark, sf_dir, "documents")
+    cleaned = dedup.remove_duplicate_spans(
+        d.select("doc_id", "text"), "doc_id", "text", window=5,
+        explode_partitions=spark.sparkContext.defaultParallelism)
+    kept = cleaned.where(F.col("n_tokens_kept") > 0)
+    unique = dedup.exact_text_dedup(kept, "doc_id", "text")
+    chk = F.conv(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")),
+                             1, 8), 16, 10).cast("long")
+    joined = d.select("doc_id", "source").join(unique, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens_kept").cast("bigint").alias("tokens_kept"),
+        F.sum(chk).cast("bigint").alias("text_checksum"),
+    )
