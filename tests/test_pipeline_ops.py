@@ -397,30 +397,24 @@ class TestBpeApply:
 class TestSpanRemovalThenExactDedup:
     def test_excision_creates_duplicates_pipeline_keeps_one(self, spark):
         """The v4 capstone's emergent behavior: two docs that differ
-        ONLY in shared boilerplate become byte-identical after
-        excision; the downstream exact dedup must keep exactly one
-        (smallest id)."""
+        ONLY in shared boilerplate placement become byte-identical
+        after excision (their common core is SHORTER than the window,
+        so it is never itself a duplicated window); the downstream
+        exact dedup must keep exactly one (smallest id)."""
         from filters_spark.functions import dedup
         bp = "b1 b2 b3 b4 b5"
         rows = [
-            (1, f"{bp} unique core text here now"),   # bp at front
-            (2, f"unique core text here now {bp}"),   # bp at back
-            (3, f"{bp} totally different body words"),
+            (1, f"{bp} alpha beta gamma delta echo"),   # canonical bp
+            (4, f"niche quad core four {bp}"),          # 4-token core + bp
+            (5, f"{bp} niche quad core four"),          # bp + same core
         ]
         df = spark.createDataFrame(rows, "doc_id bigint, text string")
         cleaned = dedup.remove_duplicate_spans(df, window=5)
+        texts = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+        assert bp in texts[1]                       # canonical holder
+        assert texts[4] == "niche quad core four"   # bp excised
+        assert texts[5] == "niche quad core four"   # now IDENTICAL to 4
         kept = cleaned.where(F.col("n_tokens_kept") > 0)
         unique = dedup.exact_text_dedup(kept, "doc_id", "text")
         ids = sorted(r["doc_id"] for r in unique.collect())
-        texts = {r["doc_id"]: r["text"] for r in cleaned.collect()}
-        # doc 1 keeps the canonical boilerplate; docs 2 and 3 lose it
-        assert texts[2] == "unique core text here now"
-        assert texts[3] == "totally different body words"
-        # after excision docs 1 and 2 are NOT identical (1 kept bp),
-        # but a doc-2 clone scenario: force it by removing doc 1
-        cleaned2 = dedup.remove_duplicate_spans(
-            df.where(F.col("doc_id") >= 2), window=5)
-        # now bp is duplicated between 2 and 3 -> 2 keeps it (first)
-        t2 = {r["doc_id"]: r["text"] for r in cleaned2.collect()}
-        assert bp in t2[2] and bp not in t2[3]
-        assert ids == sorted(ids)  # dedup returned stable unique ids
+        assert ids == [1, 4]                        # dedup kept smallest id
