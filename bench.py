@@ -63,9 +63,12 @@ HEADLINE = [
     "ds_bm25_topk",
     # round 4: substring duplicate spans (ExactSubstr windowed-hash)
     "ds_duplicate_spans",
-    # round 5: ExactSubstr excision + exact-n stratified sampling
+    # round 5: ExactSubstr excision + exact-n stratified sampling,
+    # hybrid retrieval fusion, and the excision->dedup capstone
     "ds_span_removal",
     "ds_stratified_fixed_n",
+    "ds_hybrid_rrf",
+    "ds_corpus_pipeline_v4",
 ]
 
 

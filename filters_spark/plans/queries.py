@@ -654,15 +654,20 @@ DRIVER_WINDOW: list[str] = [
     "ds_bm25_topk",             # lexical retrieval (round 3b)
     "ds_pagerank",              # graph curation signal (round 3b)
     # -- LLM-pipeline ops ---------------------------------------------
-    "ds_dedup_exact",
+    # ds_dedup_exact rotated out r5 (green r1-r4; exact dedup is the
+    # second stage of the incoming ds_corpus_pipeline_v4, so the
+    # operator keeps an official row through the composition)
     "ds_minhash_lsh",
     # ds_ngram_jaccard rotated out r4 (green r2+r3; the Jaccard verify
     # path stays officially exercised inside ds_minhash_lsh) for the
     # round-4 substring-dedup flagship:
     "ds_duplicate_spans",
-    "ds_simhash_pairs",
+    # ds_simhash_pairs rotated out r5 (green r2-r4; the near-dup
+    # family keeps minhash_lsh + duplicate_spans + span_removal +
+    # the incoming incremental-dedup row)
     "ds_dedup_components_star",  # (incremental variant: judged outside)
-    "ds_ivf_topk",               # (cosine/lsh_topk variants: judged outside)
+    # ds_ivf_topk rotated out r5 (green r2-r4; dense ANN stays
+    # covered by ds_ivf_index_topk, in-window since this round)
     # ds_stratified_sample rotated out r5 (green r2-r4; deterministic
     # sampling stays covered by the incoming ds_stratified_fixed_n +
     # ds_split_leakage's hash_bucket arithmetic)
@@ -671,13 +676,16 @@ DRIVER_WINDOW: list[str] = [
     # the strict-mode numpy PGM decoder doing real byte-exact work
     # (the stub-replay gate still runs under oracle_check/judge sweep)
     "ds_real_codec_gate",
-    "txt_profile",               # (langid: judged outside)
+    # txt_profile rotated out r5 (green r1-r4; the text-analysis
+    # family keeps txt_repetition_rollup + the incoming
+    # txt_bpe_merges row)
     # -- round-3 pipeline families ------------------------------------
     "txt_repetition_rollup",    # Gopher repetition filters
     "ds_pii_rollup",            # PII detect/redact/Luhn
     "ds_decontaminate",         # benchmark n-gram hygiene
     "ds_url_extract",           # URL/host/domain/normalize
-    "ds_domain_mixture",        # target-mixture sampling
+    # ds_domain_mixture rotated out r5 (green r2-r4; deterministic
+    # sampling keeps ds_stratified_fixed_n + ds_split_leakage)
     "ds_sequence_pack",         # context-window packing
     # -- round-3b flagships, rotated IN round 4 (VERDICT r3 task 4):
     # every name below passed the driver-faithful local gate
@@ -708,6 +716,13 @@ DRIVER_WINDOW: list[str] = [
     "ds_stratified_fixed_n",    # exact-n sampling (r5 two-phase plan)
     "ds_y4m_codec_gate",        # real YUV4MPEG2 video codec, strict
     "ds_span_removal",          # ExactSubstr excision (r5)
+    # -- round-5 second rotation: the round's new families, each
+    # green on the strict replica at sf0.01 AND sf0.1 before entry:
+    "ds_incremental_dedup",     # signature-store O(delta) dedup
+    "ds_hybrid_rrf",            # sparse+dense reciprocal-rank fusion
+    "prof_hll_calibration",     # HyperLogLog distinct calibration
+    "txt_bpe_merges",           # BPE merge training
+    "ds_corpus_pipeline_v4",    # excision -> exact-dedup capstone
 ]
 
 

@@ -172,10 +172,85 @@ def stress_append(spark: SparkSession, n_base: int = 2_000_000,
     shutil.rmtree(p_reb, ignore_errors=True)
 
 
+def stress_incremental_dedup(spark: SparkSession,
+                             n_base: int = 2_000_000,
+                             n_delta: int = 100_000) -> None:
+    """Signature-store incremental dedup at 2M base docs + a 5%
+    delta with PLANTED cross-batch duplicates: every 20th delta doc
+    copies a base doc's text.  Exact invariant: the threshold-1.0
+    pair count equals the planted count (each planted delta doc is
+    byte-identical to exactly one base doc; unique filler text is
+    collision-free by construction)."""
+    import shutil
+
+    from filters_spark.functions import dedup
+
+    def text_of(prefix):
+        return F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(0), F.lit(24)),
+                             lambda j: F.concat(F.lit(prefix),
+                                                F.col("id"), F.lit("x"), j)))
+
+    base = spark.range(n_base).select(
+        F.col("id").alias("doc_id"), text_of("u").alias("text"))
+    # delta ids disjoint; every 20th delta doc clones base doc
+    # (id - n_base)'s text by re-generating that doc's expression
+    clone = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(24)),
+        lambda j: F.concat(F.lit("u"), F.col("id") - n_base,
+                           F.lit("x"), j)))
+    delta = spark.range(n_base, n_base + n_delta).select(
+        F.col("id").alias("doc_id"),
+        F.when((F.col("id") - n_base) % 20 == 0, clone)
+        .otherwise(text_of("d")).alias("text"))
+    path = "/tmp/fs_stress_sigstore"
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    dedup.materialize_signatures(base, path, shingle_k=3,
+                                 n_hashes=16, n_bands=8, hash_fn="xx64")
+    build_s = time.time() - t0
+    t0 = time.time()
+    pairs = dedup.dedup_pairs_against(spark, path, delta, threshold=1.0,
+                                      star_buckets_over=64,
+                                      broadcast_delta=True)
+    n_pairs = pairs.count()
+    probe_s = time.time() - t0
+    planted = (n_delta + 19) // 20
+    assert n_pairs == planted, (n_pairs, planted)
+    emit(phase="incremental_dedup", base_docs=n_base, delta_docs=n_delta,
+         build_s=round(build_s, 1), probe_s=round(probe_s, 1),
+         planted_pairs=planted, found_pairs=n_pairs)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def stress_bpe(spark: SparkSession, n_docs: int = 2_000_000,
+               n_merges: int = 8) -> None:
+    """BPE training at 2M docs: the corpus folds to a vocabulary in
+    one pass and every merge iteration is vocab-sized — wall clock
+    should be dominated by the single corpus rollup."""
+    body = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(0), F.lit(29)),
+                         lambda j: F.concat(
+                             F.lit("w"),
+                             F.pmod(F.xxhash64(F.col("id") * 30 + j),
+                                    F.lit(20_000)))))
+    docs = spark.range(n_docs).select(body.alias("text"))
+    from filters_spark.functions import text as T
+    t0 = time.time()
+    merges = T.bpe_train(docs, n_merges=n_merges)
+    wall = time.time() - t0
+    assert len(merges) == n_merges
+    emit(phase="bpe_train", docs=n_docs, merges=n_merges,
+         wall_s=round(wall, 1),
+         top_merge=f"{merges[0][1]}+{merges[0][2]}@{merges[0][3]}")
+
+
 PHASES = {
     "stratified": stress_stratified,
     "span_removal": stress_span_removal,
     "append": stress_append,
+    "incremental_dedup": stress_incremental_dedup,
+    "bpe": stress_bpe,
 }
 
 
