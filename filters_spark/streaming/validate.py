@@ -41,6 +41,7 @@ __all__ = [
     "events_stream",
     "expectations_monitor",
     "interval_join_streams",
+    "incremental_dedup_sink",
 ]
 
 
@@ -347,5 +348,56 @@ def expectations_monitor(checks, path: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_query_id", "_batch_id")
          .save(path))
+
+    return write
+
+
+def incremental_dedup_sink(store_path: str, pairs_path: str,
+                           threshold: float = 0.8,
+                           text_col: str = "text",
+                           fmt: str = "parquet"):
+    """foreachBatch function running the ROLLING-INGEST dedup
+    lifecycle on every micro-batch of documents: (1) near-dup pairs
+    of the batch against the signature store (and within the batch)
+    via :func:`..functions.dedup.dedup_pairs_against`, written to
+    ``pairs_path``; (2) the batch's signatures folded into the store
+    (:func:`..functions.dedup.append_signatures`) so the NEXT batch
+    sees it.  The streaming twin of ``ds_incremental_dedup`` — a
+    corpus that arrives continuously is deduped in O(batch) per
+    trigger, never re-shingling history.
+
+    Idempotency: pair output uses the (query_id, batch_id)
+    dynamic-partition-overwrite contract of
+    :func:`dead_letter_writer`; the store append is guarded by a
+    per-(query, batch) marker directory, so an at-least-once replay
+    of a crashed batch overwrites its pairs and SKIPS the duplicate
+    signature append (appending twice would make the store disagree
+    with the corpus).  Precondition: the store exists
+    (``materialize_signatures`` on the historical corpus — possibly
+    empty — before starting the stream)."""
+    import os
+
+    from ..functions import dedup
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qid = (spark.sparkContext
+               .getLocalProperty("sql.streaming.queryId")) or "unknown"
+        pairs = dedup.dedup_pairs_against(spark, store_path, batch_df,
+                                          text_col=text_col,
+                                          threshold=threshold)
+        (pairs.withColumn("_query_id", F.lit(qid))
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.format(fmt)
+         .mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_query_id", "_batch_id")
+         .save(pairs_path))
+        marker = os.path.join(store_path, "_ingested",
+                              f"q={qid}", f"b={batch_id}")
+        if not os.path.exists(marker):
+            dedup.append_signatures(spark, store_path, batch_df,
+                                    text_col=text_col)
+            os.makedirs(marker, exist_ok=True)
 
     return write

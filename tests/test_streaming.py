@@ -532,3 +532,50 @@ class TestDeadLetterLineage:
         after = spark.read.parquet(clean_p)
         assert after.count() == 2 * n1       # both lineages present
         assert after.select("_query_id").distinct().count() == 2
+
+
+class TestIncrementalDedupSink:
+    def test_rolling_batches_and_replay_idempotency(self, spark, tmp_path):
+        """batch 1 catches its dup against batch 0's store state; an
+        at-least-once REPLAY of batch 1 must not double-append
+        signatures (the store would then disagree with the corpus)."""
+        from filters_spark.functions import dedup
+        from filters_spark.streaming.validate import incremental_dedup_sink
+        store = str(tmp_path / "sigstore")
+        pairs_out = str(tmp_path / "pairs")
+        # empty historical corpus -> empty store
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        dedup.materialize_signatures(empty, store, shingle_k=2,
+                                     n_hashes=16, n_bands=8)
+        sink = incremental_dedup_sink(store, pairs_out, threshold=0.8)
+        b0 = spark.createDataFrame(
+            [(1, "one two three four five"),
+             (2, "six seven eight nine ten")],
+            "doc_id bigint, text string")
+        b1 = spark.createDataFrame(
+            [(10, "one two three four five")],  # dup of doc 1
+            "doc_id bigint, text string")
+        sink(b0, 0)
+        sink(b1, 1)
+        got = spark.read.parquet(pairs_out)
+        found = [(r["a_id"], r["b_id"]) for r in
+                 got.where(F.col("_batch_id") == 1).collect()]
+        assert found == [(1, 10)]
+        # replay batch 1: pairs overwritten (not duplicated), store
+        # NOT double-appended — doc 10 must appear once in signatures
+        sink(b1, 1)
+        again = [(r["a_id"], r["b_id"]) for r in
+                 spark.read.parquet(pairs_out)
+                 .where(F.col("_batch_id") == 1).collect()]
+        assert again == [(1, 10)]
+        sigs = spark.read.parquet(f"{store}/signatures")
+        assert sigs.where(F.col("doc_id") == 10).count() == 1
+        # a third batch duplicating doc 10 pairs against it exactly once
+        b2 = spark.createDataFrame(
+            [(20, "one two three four five")],
+            "doc_id bigint, text string")
+        sink(b2, 2)
+        p2 = sorted((r["a_id"], r["b_id"]) for r in
+                    spark.read.parquet(pairs_out)
+                    .where(F.col("_batch_id") == 2).collect())
+        assert p2 == [(1, 20), (10, 20)]
