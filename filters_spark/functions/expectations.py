@@ -36,6 +36,7 @@ __all__ = [
     "expect_row_count_between",
     "expect_freshness",
     "expect_distribution",
+    "expect_schema",
     "report",
 ]
 
@@ -232,3 +233,35 @@ def report(*expectations: DataFrame) -> DataFrame:
     for e in expectations[1:]:
         out = out.unionByName(e)
     return out
+
+
+def expect_schema(df: DataFrame, expected_ddl: str,
+                  name: str | None = None,
+                  allow_extra: bool = False) -> DataFrame:
+    """The frame's schema matches a declared DDL contract
+    (``"a bigint, b string"``) — the structural expectation beside
+    the value-shaped ones: a silently-widened column or a dropped
+    field fails the contract before any data check runs.
+
+    Comparison is by (name, Spark simpleString type), order-
+    insensitive (column order is a physical detail); with
+    ``allow_extra`` the frame may carry additional columns (the
+    passthrough pattern).  observed = number of mismatched /
+    missing (+ unexpected, unless allowed) columns.  Pure
+    driver-side metadata — ZERO jobs run, so it composes into
+    :func:`report` for free (the one expectation that costs nothing
+    at 100 TB)."""
+    from pyspark.sql.types import StructType
+
+    n = name or "schema"
+    expected = {f.name: f.dataType.simpleString()
+                for f in StructType.fromDDL(expected_ddl).fields}
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    bad = sum(1 for k, t in expected.items() if actual.get(k) != t)
+    if not allow_extra:
+        bad += sum(1 for k in actual if k not in expected)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, bad == 0, bad, 0)],
+        "expectation string, passed boolean, observed bigint, "
+        "threshold bigint")

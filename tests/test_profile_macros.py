@@ -274,3 +274,30 @@ class TestExpectations:
         # every row novel (p=0, weight 1) + expected 'only' absent
         # (p=1e6 * N): sum = 5000*1e6 + 1e6*5000 = 2*N*1e6 (TV = 1)
         assert r["observed"] == 2 * 5000 * 1_000_000
+
+
+class TestExpectSchema:
+    def test_match_mismatch_and_extra(self, spark):
+        from filters_spark.functions import expectations as ex
+        df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+        ok = ex.expect_schema(df, "a bigint, b string").head()
+        assert (ok["passed"], ok["observed"]) == (True, 0)
+        widened = ex.expect_schema(df, "a int, b string").head()
+        assert (widened["passed"], widened["observed"]) == (False, 1)
+        # order-insensitive; extra columns rejected unless allowed
+        reorder = ex.expect_schema(df, "b string, a bigint").head()
+        assert reorder["passed"] is True
+        extra = ex.expect_schema(df, "a bigint").head()
+        assert (extra["passed"], extra["observed"]) == (False, 1)
+        allowed = ex.expect_schema(df, "a bigint", allow_extra=True).head()
+        assert allowed["passed"] is True
+        missing = ex.expect_schema(df, "a bigint, b string, c date").head()
+        assert (missing["passed"], missing["observed"]) == (False, 1)
+
+    def test_composes_into_report_with_zero_jobs(self, spark):
+        from filters_spark.functions import expectations as ex
+        df = spark.createDataFrame([(1,)], "a bigint")
+        rep = ex.report(ex.expect_schema(df, "a bigint"),
+                        ex.expect_non_null(df, "a"))
+        got = {r["expectation"]: r["passed"] for r in rep.collect()}
+        assert got == {"schema": True, "non_null(a)": True}
