@@ -42,6 +42,7 @@ __all__ = [
     "simhash",
     "simhash_signatures",
     "simhash_dup_pairs",
+    "image_dup_pairs",
     "embedding_dup_pairs",
     "exact_text_dedup",
     "semantic_dedup",
@@ -1248,3 +1249,45 @@ def dedup_pairs_against(spark, path: str, new_docs: DataFrame,
             .unionByName(prepped.select(F.col(id_col), F.col("_sh"))))
     return jaccard_pairs(sets, id_col, "_sh", pairs=cands,
                          threshold=threshold)
+
+
+def image_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                    hi_col: str = "ahash_hi", lo_col: str = "ahash_lo",
+                    max_dist: int = 3) -> DataFrame:
+    """Near-duplicate IMAGE pairs by aHash hamming distance
+    (:func:`..multimodal.image_ahash` signatures): banded pigeonhole
+    candidates + exact popcount verify — the simhash machinery
+    applied to the perceptual hash.
+
+    The 64-bit signature splits into four 16-bit bands; two images
+    within hamming distance ``max_dist`` ≤ 3 MUST agree on at least
+    one band (pigeonhole over 4 bands), so candidate generation is
+    four hash-bucket joins — never the image pair space.  Distances
+    above n_bands − 1 lose the recall guarantee (raise the band
+    count, not the threshold).  Returns (a_id, b_id, dist)."""
+    if max_dist > 3:
+        raise ValueError(
+            "image_dup_pairs: 4 bands guarantee recall only for "
+            f"max_dist <= 3 (got {max_dist})")
+    bands = F.array(
+        F.shiftrightunsigned(F.col(hi_col), 16) % 65536,
+        F.col(hi_col) % 65536,
+        F.shiftrightunsigned(F.col(lo_col), 16) % 65536,
+        F.col(lo_col) % 65536,
+    )
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.col(hi_col).alias("_hi"), F.col(lo_col).alias("_lo"),
+                   F.posexplode(bands).alias("_b", "_k"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a._b") == F.col("b._b"))
+               & (F.col("a._k") == F.col("b._k"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"),
+                (F.bit_count(F.col("a._hi").bitwiseXOR(F.col("b._hi")))
+                 + F.bit_count(F.col("a._lo").bitwiseXOR(F.col("b._lo"))))
+                .alias("dist"))
+        .where(F.col("dist") <= max_dist)
+        .distinct()
+    )
+    return cand

@@ -48,6 +48,7 @@ __all__ = [
     "repartition_for_media",
     "decode_images",
     "extract_image_features",
+    "image_ahash",
     "resample_audio",
     "sample_video_frames",
     "STRICT_CODECS",
@@ -498,3 +499,70 @@ def _resample_wav(payload: bytes, target_rate: int) -> bytes:
         dst_t = np.arange(n_out) / target_rate
         out = np.interp(dst_t, src_t, pcm)
     return out.round().clip(-32768, 32767).astype("<i2").tobytes()
+
+
+def image_ahash(df: DataFrame, pixels_col: str = "pixels",
+                width_col: str = "width", height_col: str = "height",
+                hash_size: int = 8) -> DataFrame:
+    """Perceptual AVERAGE HASH over decoded grayscale pixels — the
+    classic aHash: downsample to ``hash_size``² blocks, set bit j
+    when block j's mean exceeds the image mean.  Near-identical
+    images (recompression, mild noise, small edits) land on equal or
+    hamming-close signatures, which is what image-level training-data
+    dedup keys on (pixel-exact dedup misses every re-encode).
+
+    INTEGER-EXACT thresholding: bit j = blocksum_j · (w·h) >
+    totalsum · blockpixels — pure integer comparisons, no float
+    means, so the signature is engine-replayable byte for byte (the
+    codec-gate discipline).  Emitted as TWO bigint halves
+    (``ahash_hi`` = bits 0..31, ``ahash_lo`` = bits 32..63,
+    row-major) — no sign-bit hazards in either engine.  Arrow-batched
+    mapInPandas; dimensions must be divisible by ``hash_size``
+    (decode with a resize first otherwise)."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ])
+    hs = hash_size
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            his, los = [], []
+            for px, w, h in zip(pdf[pixels_col], pdf[width_col],
+                                pdf[height_col]):
+                if px is None or w is None or h is None:
+                    his.append(None)
+                    los.append(None)
+                    continue
+                w, h = int(w), int(h)
+                if w % hs or h % hs:
+                    raise ValueError(
+                        f"image_ahash: {w}x{h} not divisible by "
+                        f"hash_size={hs}; resize at decode first")
+                a = np.frombuffer(bytes(px), dtype=np.uint8) \
+                    .astype(np.int64).reshape(h, w)
+                bh, bw = h // hs, w // hs
+                blocks = a.reshape(hs, bh, hs, bw).sum(axis=(1, 3))
+                total = int(a.sum())
+                bits = (blocks.reshape(-1) * (w * h)
+                        > total * (bh * bw))
+                sig_hi = sig_lo = 0
+                for j, b in enumerate(bits):
+                    if b:
+                        if j < 32:
+                            sig_hi |= 1 << j
+                        else:
+                            sig_lo |= 1 << (j - 32)
+                his.append(sig_hi)
+                los.append(sig_lo)
+            pdf = pdf.copy()
+            pdf["ahash_hi"] = pd.array(his, dtype="Int64")
+            pdf["ahash_lo"] = pd.array(los, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(compute, out_schema)

@@ -7653,3 +7653,92 @@ def ds_corpus_pipeline_v4(spark, sf_dir):
         F.sum("n_tokens_kept").cast("bigint").alias("tokens_kept"),
         F.sum(chk).cast("bigint").alias("text_checksum"),
     )
+
+
+@register(
+    "ds_image_ahash_dedup",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 64) AS s
+      FROM documents
+      WHERE length(regexp_replace(text, '[^ -~]', 'x', 'g')) >= 64
+    ), img AS (
+      SELECT d.doc_id, s.s
+      FROM documents d
+      JOIN src s ON s.doc_id = d.doc_id - (d.doc_id % 3)
+    ), ch AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             unicode(substr(s, CAST(i AS INT), 1))::BIGINT AS p
+      FROM img, range(1, 65) t(i)
+    ), tot AS (
+      SELECT doc_id, sum(p) AS total FROM ch GROUP BY doc_id
+    ), bits AS (
+      SELECT c.doc_id,
+             CAST(sum(CASE WHEN i <= 32 AND p * 64 > total
+                           THEN (1::BIGINT << (i - 1)) ELSE 0 END)
+                  AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i > 32 AND p * 64 > total
+                           THEN (1::BIGINT << (i - 33)) ELSE 0 END)
+                  AS BIGINT) AS lo
+      FROM ch c JOIN tot USING (doc_id)
+      GROUP BY c.doc_id
+    ), cls AS (
+      SELECT hi, lo, count(*) AS n FROM bits GROUP BY hi, lo
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_images,
+           CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+                AS BIGINT) AS images_in_dup_classes,
+           CAST(coalesce(sum((hi + lo) * n), 0) AS BIGINT) AS sig_checksum
+    FROM cls
+    """,
+)
+def ds_image_ahash_dedup(spark, sf_dir):
+    """Perceptual image dedup under the value hash
+    (multimodal.image_ahash over the REAL strict-mode PGM codec):
+    groups of three consecutive doc ids share one source document's
+    first 64 ASCII chars as a genuine 8×8 binary PGM payload, the
+    pure-numpy decoder reproduces the raster, and the integer-exact
+    aHash (bit j = blocksum·wh > totalsum·blockpixels, emitted as two
+    bigint halves) buckets them into duplicate-image classes — the
+    oracle computes the same signatures from character codes without
+    ever seeing an image, so the hash matches only if codec AND
+    perceptual hash are byte-exact.  Gated on class count, image
+    count, dup-class membership, and a signature checksum."""
+    from ..functions import multimodal as mm
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    d = _t(spark, sf_dir, "documents")
+    src = (d.select("doc_id", F.substring(ascii_text, 1, 64).alias("_s"))
+           .where(F.length(F.regexp_replace("text", "[^ -~]", "x")) >= 64))
+    img = (d.select((F.col("doc_id") - F.col("doc_id") % 3).alias("_src"),
+                    "doc_id")
+           .join(src.withColumnRenamed("doc_id", "_src"), "_src")
+           .select("doc_id",
+                   F.encode(F.concat(F.lit("P5\n8 8\n255\n"),
+                                     F.col("_s")), "UTF-8")
+                   .alias("_payload")))
+    media = mm.attach_meta(img, "_payload", "image/x-portable-graymap") \
+        .drop("_payload")
+    media = media.withColumn(
+        "media",
+        F.col("media").withField("meta.width", F.lit(8))
+        .withField("meta.height", F.lit(8)))
+    decoded = mm.decode_images(media, strict=True, codec="auto")
+    hashed = mm.image_ahash(
+        decoded.select("doc_id", "pixels",
+                       F.col("out_width").alias("width"),
+                       F.col("out_height").alias("height")))
+    cls = hashed.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count(F.lit(1)).alias("_n"))
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_images"),
+        F.coalesce(F.sum(F.when(F.col("_n") > 1, F.col("_n"))
+                         .otherwise(0)), F.lit(0)).cast("bigint")
+        .alias("images_in_dup_classes"),
+        F.coalesce(F.sum((F.col("ahash_hi") + F.col("ahash_lo"))
+                         * F.col("_n")), F.lit(0)).cast("bigint")
+        .alias("sig_checksum"),
+    )

@@ -383,3 +383,59 @@ class TestY4mVideo:
                 .orderBy("frame_idx").collect())
         # ts_j = (j * 1000 * 1001) // 30000 -> 0, 33, 66, 100
         assert [r["frame_ts_ms"] for r in rows] == [0, 33, 66, 100]
+
+
+class TestImageAhash:
+    def _img_df(self, spark, imgs):
+        rows = [(i, bytes(p), 8, 8) for i, p in imgs]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, pixels binary, width int, height int")
+
+    def test_identical_images_same_hash_and_noise_is_near(self, spark):
+        from filters_spark.functions import dedup, multimodal as mm
+        base = [10] * 32 + [200] * 32          # half dark, half bright
+        noisy = list(base)
+        noisy[0] = 14                           # tiny perturbation
+        inverted = [200] * 32 + [10] * 32
+        df = self._img_df(spark, [(1, base), (2, base), (3, noisy),
+                                  (4, inverted)])
+        h = {r["doc_id"]: (r["ahash_hi"], r["ahash_lo"])
+             for r in mm.image_ahash(df).collect()}
+        assert h[1] == h[2]                    # identical -> equal hash
+        assert h[1] == h[3]                    # small noise -> same aHash
+        assert h[1] != h[4]                    # inversion flips every bit
+        pairs = {(r["a_id"], r["b_id"]): r["dist"] for r in
+                 dedup.image_dup_pairs(mm.image_ahash(df),
+                                       max_dist=3).collect()}
+        assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+        assert (1, 4) not in pairs             # 64 bits apart
+
+    def test_downsampling_blocks_integer_exact(self, spark):
+        """16x16 image downsampled to 8x8 blocks: bit = blocksum*wh >
+        totalsum*blockpixels, no float means."""
+        from filters_spark.functions import multimodal as mm
+        px = []
+        for y in range(16):
+            for x in range(16):
+                px.append(250 if x >= 8 else 5)  # right half bright
+        df = spark.createDataFrame([(1, bytes(px), 16, 16)],
+                                   "doc_id bigint, pixels binary, "
+                                   "width int, height int")
+        [r] = mm.image_ahash(df).collect()
+        # row-major 8x8 bits: each row = left 4 dark (0), right 4
+        # bright (1) -> per row nibble 0b11110000 = 0xF0
+        expected_bits = 0
+        for j in range(64):
+            if (j % 8) >= 4:
+                expected_bits |= 1 << j
+        assert r["ahash_hi"] == expected_bits & 0xFFFFFFFF
+        assert r["ahash_lo"] == expected_bits >> 32
+
+    def test_indivisible_dims_raise(self, spark):
+        import pytest as _pt
+        from filters_spark.functions import multimodal as mm
+        df = spark.createDataFrame([(1, bytes([1] * 15), 5, 3)],
+                                   "doc_id bigint, pixels binary, "
+                                   "width int, height int")
+        with _pt.raises(Exception, match="divisible"):
+            mm.image_ahash(df).collect()
