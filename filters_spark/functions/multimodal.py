@@ -49,6 +49,7 @@ __all__ = [
     "decode_images",
     "extract_image_features",
     "image_ahash",
+    "audio_energy_hash",
     "resample_audio",
     "sample_video_frames",
     "STRICT_CODECS",
@@ -563,6 +564,65 @@ def image_ahash(df: DataFrame, pixels_col: str = "pixels",
             pdf = pdf.copy()
             pdf["ahash_hi"] = pd.array(his, dtype="Int64")
             pdf["ahash_lo"] = pd.array(los, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(compute, out_schema)
+
+
+def audio_energy_hash(df: DataFrame, samples_col: str = "samples",
+                      n_windows: int = 16) -> DataFrame:
+    """Perceptual AUDIO fingerprint over decoded int16 PCM — the
+    energy-profile hash (the aHash idea on the time axis): split the
+    clip into ``n_windows`` equal windows, set bit w when window w's
+    absolute-amplitude sum exceeds the clip average.  Re-encoded /
+    resampled / mildly-noised copies of a clip keep the same coarse
+    loudness contour, which is what audio-level training-data dedup
+    keys on.
+
+    INTEGER-EXACT thresholding (the image_ahash discipline): bit w =
+    windowsum_w · n_windows > totalsum — int64 sums of |int16|
+    samples, no float means, engine-replayable byte for byte.
+    Emitted as one bigint ``energy_hash`` (n_windows ≤ 32 keeps the
+    sign bit clear) plus ``total_energy``; sample count must divide
+    by ``n_windows`` (pad/trim at decode otherwise)."""
+    if not 1 <= n_windows <= 32:
+        raise ValueError(f"n_windows must be in [1, 32], got {n_windows}")
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("energy_hash", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+    ])
+    nw = n_windows
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hs, tots = [], []
+            for raw in pdf[samples_col]:
+                if raw is None:
+                    hs.append(None)
+                    tots.append(None)
+                    continue
+                a = np.abs(np.frombuffer(bytes(raw), dtype="<i2")
+                           .astype(np.int64))
+                if a.size % nw:
+                    raise ValueError(
+                        f"audio_energy_hash: {a.size} samples not "
+                        f"divisible by n_windows={nw}")
+                wsums = a.reshape(nw, a.size // nw).sum(axis=1)
+                total = int(a.sum())
+                sig = 0
+                for w, ws in enumerate(wsums):
+                    if int(ws) * nw > total:
+                        sig |= 1 << w
+                hs.append(sig)
+                tots.append(total)
+            pdf = pdf.copy()
+            pdf["energy_hash"] = pd.array(hs, dtype="Int64")
+            pdf["total_energy"] = pd.array(tots, dtype="Int64")
             yield pdf
 
     return df.mapInPandas(compute, out_schema)

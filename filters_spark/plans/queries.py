@@ -7742,3 +7742,100 @@ def ds_image_ahash_dedup(spark, sf_dir):
                          * F.col("_n")), F.lit(0)).cast("bigint")
         .alias("sig_checksum"),
     )
+
+
+@register(
+    "ds_audio_fingerprint_dedup",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 32) AS s
+      FROM documents
+      WHERE length(regexp_replace(text, '[^ -~]', 'x', 'g')) >= 32
+    ), clip AS (
+      SELECT d.doc_id, s.s
+      FROM documents d
+      JOIN src s ON s.doc_id = d.doc_id - (d.doc_id % 3)
+    ), ch AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             unicode(substr(s, CAST(i AS INT), 1))::BIGINT AS c
+      FROM clip, range(1, 33) t(i)
+    ), tot AS (
+      SELECT doc_id, sum(c) AS total FROM ch GROUP BY doc_id
+    ), win AS (
+      SELECT doc_id, CAST((i - 1) // 2 AS INT) AS w, sum(c) AS wsum
+      FROM ch GROUP BY doc_id, CAST((i - 1) // 2 AS INT)
+    ), sig AS (
+      SELECT w.doc_id,
+             CAST(sum(CASE WHEN wsum * 16 > total
+                           THEN (1::BIGINT << w) ELSE 0 END) AS BIGINT)
+               AS energy_hash,
+             CAST(max(total) AS BIGINT) AS total_energy
+      FROM win w JOIN tot USING (doc_id)
+      GROUP BY w.doc_id
+    ), cls AS (
+      SELECT energy_hash, count(*) AS n,
+             CAST(sum(total_energy) AS BIGINT) AS e
+      FROM sig GROUP BY energy_hash
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_clips,
+           CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+                AS BIGINT) AS clips_in_dup_classes,
+           CAST(coalesce(sum(energy_hash * n), 0) AS BIGINT)
+             AS sig_checksum,
+           CAST(coalesce(sum(e), 0) AS BIGINT) AS energy_total
+    FROM cls
+    """,
+)
+def ds_audio_fingerprint_dedup(spark, sf_dir):
+    """Perceptual AUDIO dedup under the value hash
+    (multimodal.audio_energy_hash over the REAL strict-mode PCM-WAV
+    codec): groups of three doc ids share one source doc's 32 ASCII
+    chars as genuine 8 kHz WAV payloads (char code = int16 sample),
+    the stdlib-wave + numpy decoder reproduces every sample, and the
+    integer-exact 16-window energy-profile hash buckets them into
+    duplicate-clip classes.  The oracle computes the same signatures
+    from character codes without parsing a container — codec AND
+    fingerprint must be byte-exact.  Completes the modality trio:
+    text spans (ds_span_removal), images (ds_image_ahash_dedup),
+    audio here."""
+    import struct as _s
+
+    from ..functions import multimodal as mm
+
+    header = (b"RIFF" + _s.pack("<I", 36 + 64) + b"WAVE"
+              + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+              + b"data" + _s.pack("<I", 64))
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    d = _t(spark, sf_dir, "documents")
+    src = (d.select("doc_id", F.substring(ascii_text, 1, 32).alias("_s"))
+           .where(F.length(F.regexp_replace("text", "[^ -~]", "x")) >= 32))
+    sample_bytes = []
+    for i in range(1, 33):
+        sample_bytes.append(F.encode(F.substring("_s", i, 1), "UTF-8"))
+        sample_bytes.append(F.lit(b"\x00"))
+    clip = (d.select((F.col("doc_id") - F.col("doc_id") % 3).alias("_src"),
+                     "doc_id")
+            .join(src.withColumnRenamed("doc_id", "_src"), "_src")
+            .select("doc_id",
+                    F.concat(F.lit(header), *sample_bytes)
+                    .alias("_payload")))
+    media = mm.attach_meta(clip, "_payload", "audio/wav").drop("_payload")
+    pcm = mm.resample_audio(media, target_rate=8000, strict=True)
+    hashed = mm.audio_energy_hash(
+        pcm.select("doc_id", "samples"), n_windows=16)
+    cls = hashed.groupBy("energy_hash").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("total_energy").alias("_e"))
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_clips"),
+        F.coalesce(F.sum(F.when(F.col("_n") > 1, F.col("_n"))
+                         .otherwise(0)), F.lit(0)).cast("bigint")
+        .alias("clips_in_dup_classes"),
+        F.coalesce(F.sum(F.col("energy_hash") * F.col("_n")), F.lit(0))
+        .cast("bigint").alias("sig_checksum"),
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("bigint")
+        .alias("energy_total"),
+    )

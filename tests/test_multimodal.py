@@ -439,3 +439,43 @@ class TestImageAhash:
                                    "width int, height int")
         with _pt.raises(Exception, match="divisible"):
             mm.image_ahash(df).collect()
+
+
+class TestAudioEnergyHash:
+    def _pcm(self, vals):
+        import struct
+        return struct.pack(f"<{len(vals)}h", *vals)
+
+    def test_contour_and_duplicates(self, spark):
+        from filters_spark.functions import multimodal as mm
+        quiet_loud = [10] * 16 + [1000] * 16   # 32 samples, 16 windows
+        duplicate = list(quiet_loud)
+        inverted = [1000] * 16 + [10] * 16
+        df = spark.createDataFrame(
+            [(1, self._pcm(quiet_loud)), (2, self._pcm(duplicate)),
+             (3, self._pcm(inverted))],
+            "doc_id bigint, samples binary")
+        got = {r["doc_id"]: (r["energy_hash"], r["total_energy"])
+               for r in mm.audio_energy_hash(df, n_windows=16).collect()}
+        assert got[1] == got[2]                 # byte-dup -> same hash
+        # loud half = windows 8..15 -> bits 8..15 set
+        assert got[1][0] == 0xFF00
+        assert got[3][0] == 0x00FF              # inverted contour
+        assert got[1][1] == 16 * 10 + 16 * 1000
+
+    def test_negative_samples_use_magnitude(self, spark):
+        from filters_spark.functions import multimodal as mm
+        vals = [-500] * 8 + [5] * 8             # loud NEGATIVE first half
+        df = spark.createDataFrame([(1, self._pcm(vals))],
+                                   "doc_id bigint, samples binary")
+        [r] = mm.audio_energy_hash(df, n_windows=8).collect()
+        assert r["energy_hash"] == 0x0F         # |amplitude| drives energy
+        assert r["total_energy"] == 8 * 500 + 8 * 5
+
+    def test_indivisible_raises(self, spark):
+        import pytest as _pt
+        from filters_spark.functions import multimodal as mm
+        df = spark.createDataFrame([(1, self._pcm([1, 2, 3]))],
+                                   "doc_id bigint, samples binary")
+        with _pt.raises(Exception, match="divisible"):
+            mm.audio_energy_hash(df, n_windows=16).collect()
