@@ -7839,3 +7839,95 @@ def ds_audio_fingerprint_dedup(spark, sf_dir):
         F.coalesce(F.sum("_e"), F.lit(0)).cast("bigint")
         .alias("energy_total"),
     )
+
+
+@register(
+    "ds_video_framehash_dedup",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 32) AS s
+      FROM documents
+      WHERE length(regexp_replace(text, '[^ -~]', 'x', 'g')) >= 32
+    ), vid AS (
+      SELECT d.doc_id, s.s
+      FROM documents d
+      JOIN src s ON s.doc_id = d.doc_id - (d.doc_id % 3)
+    ), ch AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             CAST((i - 1) // 16 AS INT) AS f,
+             unicode(substr(s, CAST(i AS INT), 1))::BIGINT AS c
+      FROM vid, range(1, 33) t(i)
+    ), ftot AS (
+      SELECT doc_id, f, sum(c) AS ft FROM ch GROUP BY doc_id, f
+    ), sig AS (
+      SELECT c.doc_id,
+             CAST(sum(CASE WHEN c * 16 > ft
+                           THEN (1::BIGINT << ((i - 1) % 16 + f * 16))
+                           ELSE 0 END) AS BIGINT) AS video_sig
+      FROM ch c JOIN ftot USING (doc_id, f)
+      GROUP BY c.doc_id
+    ), cls AS (
+      SELECT video_sig, count(*) AS n FROM sig GROUP BY video_sig
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_videos,
+           CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+                AS BIGINT) AS videos_in_dup_classes,
+           CAST(coalesce(sum(video_sig * n), 0) AS BIGINT)
+             AS sig_checksum
+    FROM cls
+    """,
+)
+def ds_video_framehash_dedup(spark, sf_dir):
+    """Perceptual VIDEO dedup under the value hash: groups of three
+    doc ids share one source doc's 32 ASCII chars as genuine 2-frame
+    4×4 YUV4MPEG2 streams (the ds_y4m_codec_gate construction), the
+    strict pure-byte parser samples both frames, each frame gets the
+    integer-exact 4×4 image_ahash (16 bits), and the per-video
+    signature packs frame hashes by frame index (frame f → bits
+    16f..16f+15).  Duplicate-video classes hash-match an oracle
+    computing the same per-frame signatures from character codes —
+    container parse, frame walk, AND perceptual hash must be
+    byte-exact.  Completes the perceptual-dedup trio over all three
+    real codecs (PGM images, PCM-WAV audio, Y4M video)."""
+    from ..functions import multimodal as mm
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    d = _t(spark, sf_dir, "documents")
+    src = (d.select("doc_id", F.substring(ascii_text, 1, 32).alias("_s"))
+           .where(F.length(F.regexp_replace("text", "[^ -~]", "x")) >= 32))
+    header = b"YUV4MPEG2 W4 H4 F25:1 Ip A0:0 C420\n"
+    uv = bytes([128] * 8)
+    payload = F.concat(
+        F.lit(header),
+        F.lit(b"FRAME\n"), F.encode(F.substring("_s", 1, 16), "UTF-8"),
+        F.lit(uv),
+        F.lit(b"FRAME\n"), F.encode(F.substring("_s", 17, 16), "UTF-8"),
+        F.lit(uv),
+    )
+    vid = (d.select((F.col("doc_id") - F.col("doc_id") % 3).alias("_src"),
+                    "doc_id")
+           .join(src.withColumnRenamed("doc_id", "_src"), "_src")
+           .select("doc_id", payload.alias("_payload")))
+    media = mm.attach_meta(vid, "_payload", "video/x-yuv4mpeg") \
+        .drop("_payload")
+    frames = mm.sample_video_frames(media, every_ms=40, strict=True)
+    hashed = mm.image_ahash(
+        frames.select("doc_id", "frame_idx",
+                      F.col("frame").alias("pixels"),
+                      F.lit(4).alias("width"), F.lit(4).alias("height")),
+        hash_size=4)
+    vids = hashed.groupBy("doc_id").agg(
+        F.sum(F.expr("shiftleft(ahash_hi, 16 * frame_idx)"))
+        .cast("bigint").alias("video_sig"))
+    cls = vids.groupBy("video_sig").agg(F.count(F.lit(1)).alias("_n"))
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_videos"),
+        F.coalesce(F.sum(F.when(F.col("_n") > 1, F.col("_n"))
+                         .otherwise(0)), F.lit(0)).cast("bigint")
+        .alias("videos_in_dup_classes"),
+        F.coalesce(F.sum(F.col("video_sig") * F.col("_n")), F.lit(0))
+        .cast("bigint").alias("sig_checksum"),
+    )
