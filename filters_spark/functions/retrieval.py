@@ -40,6 +40,7 @@ __all__ = [
     "bm25_topk",
     "materialize_postings",
     "append_postings",
+    "compact_postings",
     "bm25_topk_from_postings",
     "rrf_fuse",
 ]
@@ -353,3 +354,31 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60, topk: int = 10,
         F.col("rrf_score").desc(), F.col("doc_id"))
     return (fused.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= topk))
+
+
+def compact_postings(spark, path: str, term_partitions: int = 32) -> None:
+    """Compact an appended :func:`materialize_postings` index: read
+    the accumulated base + delta files back and rewrite ONE
+    term-sorted range layout (the LSM compaction step — appends keep
+    probes correct via merge-on-read, but each append adds files
+    whose term ranges overlap the base's, and probe-side pruning
+    degrades as the file count grows).  O(index), not O(corpus): the
+    rewrite re-sorts postings rows, never re-tokenizes documents.
+    Stats are untouched (append already maintains them exactly).
+
+    The rewrite stages into ``postings.compact`` and swaps via two
+    renames, so a concurrent reader sees either the old file set or
+    the new one — not a half-written directory."""
+    import shutil
+
+    post = spark.read.parquet(f"{path}/postings")
+    tmp = f"{path}/postings.compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (post.repartitionByRange(term_partitions, "term")
+     .sortWithinPartitions("term", "doc_id")
+     .write.mode("overwrite").parquet(tmp))
+    old = f"{path}/postings.old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(f"{path}/postings", old)
+    shutil.move(tmp, f"{path}/postings")
+    shutil.rmtree(old, ignore_errors=True)

@@ -546,3 +546,32 @@ class TestIncrementalDedup:
         got = dedup.dedup_pairs_against(spark, path, b2,
                                         threshold=0.8).collect()
         assert [(r["a_id"], r["b_id"]) for r in got] == [(10, 20)]
+
+
+class TestCompactPostings:
+    def test_compaction_shrinks_files_probe_identical(self, spark,
+                                                      tmp_path):
+        from filters_spark.functions import retrieval
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 11} tok{i % 7} shared word{i % 3}")
+             for i in range(80)],
+            "doc_id bigint, text string")
+        path = str(tmp_path / "idx")
+        retrieval.materialize_postings(
+            docs.where(F.col("doc_id") % 2 == 0), path, term_partitions=4)
+        retrieval.append_postings(
+            spark, path, docs.where(F.col("doc_id") % 2 == 1),
+            term_partitions=4)
+        q = spark.createDataFrame([(9, "shared"), (9, "tok3")],
+                                  "query_id bigint, term string")
+        before = sorted(map(tuple, retrieval.bm25_topk_from_postings(
+            spark, path, q, k=5).collect()))
+        n_files_before = len(
+            spark.read.parquet(f"{path}/postings").inputFiles())
+        retrieval.compact_postings(spark, path, term_partitions=4)
+        n_files_after = len(
+            spark.read.parquet(f"{path}/postings").inputFiles())
+        after = sorted(map(tuple, retrieval.bm25_topk_from_postings(
+            spark, path, q, k=5).collect()))
+        assert after == before and len(after) > 0
+        assert n_files_after < n_files_before
