@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "null_report", "category_drift", "ks_statistic"]
+__all__ = ["profile", "null_report", "category_drift", "ks_statistic", "table_diff"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None,
@@ -146,3 +146,64 @@ def ks_statistic(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
             F.first("_nb").alias("n_b"),
         )
     )
+
+
+def table_diff(a: DataFrame, b: DataFrame,
+               key_cols: list[str] | None = None) -> DataFrame:
+    """Content diff of two same-schema frames — the backfill /
+    migration verification tool: which rows did the rewrite add,
+    remove, or (with ``key_cols``) change?
+
+    Without keys: rows compare by their FULL md5 content fingerprint
+    (the prof_table_fingerprint canonical encoding: every column cast
+    to string, NULL mapped to a sentinel, '|'-joined) and the result
+    is one row per difference CLASS — (status 'added'|'removed',
+    fingerprint, n) with multiplicity deltas counted exactly (three
+    identical rows in ``a`` vs one in ``b`` reports 'removed' n=2).
+    With ``key_cols``: per-key comparison — (status 'added'|
+    'removed'|'changed', key fingerprint, n) where 'changed' means
+    the key exists on both sides with different non-key content.
+
+    Scale shape: two grouped fingerprint counts + one full-outer join
+    on the 16-byte hash — narrow shuffles, never row-by-row driver
+    comparison; an identical 100 TB pair costs two scans and an
+    empty join."""
+    if [f.simpleString() for f in a.schema.fields] != \
+            [f.simpleString() for f in b.schema.fields]:
+        raise ValueError(
+            "table_diff: schemas differ — diff the schema first "
+            "(expect_schema), then the content")
+
+    def canon(cols):
+        return F.md5(F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"),
+                              F.lit("\x00null")) for c in cols]))
+
+    if key_cols is None:
+        fa = a.groupBy(canon(a.columns).alias("fingerprint")) \
+            .agg(F.count(F.lit(1)).alias("_na"))
+        fb = b.groupBy(canon(b.columns).alias("fingerprint")) \
+            .agg(F.count(F.lit(1)).alias("_nb"))
+        j = fa.join(fb, "fingerprint", "full_outer").select(
+            "fingerprint",
+            F.coalesce("_na", F.lit(0)).alias("_na"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"))
+        return (j.where(F.col("_na") != F.col("_nb"))
+                .select(F.when(F.col("_na") > F.col("_nb"), "removed")
+                        .otherwise("added").alias("status"),
+                        "fingerprint",
+                        F.abs(F.col("_na") - F.col("_nb"))
+                        .cast("bigint").alias("n")))
+    val_cols = [c for c in a.columns if c not in key_cols]
+    fa = a.select(canon(key_cols).alias("key_fp"),
+                  canon(val_cols).alias("_va"))
+    fb = b.select(canon(key_cols).alias("key_fp"),
+                  canon(val_cols).alias("_vb"))
+    j = fa.join(fb, "key_fp", "full_outer")
+    status = (F.when(F.col("_vb").isNull(), "removed")
+              .when(F.col("_va").isNull(), "added")
+              .when(F.col("_va") != F.col("_vb"), "changed"))
+    return (j.select(status.alias("status"), "key_fp")
+            .where(F.col("status").isNotNull())
+            .groupBy("status", "key_fp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))

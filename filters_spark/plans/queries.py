@@ -7931,3 +7931,42 @@ def ds_video_framehash_dedup(spark, sf_dir):
         F.coalesce(F.sum(F.col("video_sig") * F.col("_n")), F.lit(0))
         .cast("bigint").alias("sig_checksum"),
     )
+
+
+@register(
+    "prof_table_diff",
+    oracle="""
+    SELECT 'removed' AS status, CAST(count(*) AS BIGINT) AS n_keys
+    FROM orders WHERE o_orderkey % 997 = 0
+    UNION ALL
+    SELECT 'changed', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 997 <> 0 AND o_orderkey % 991 = 0
+    UNION ALL
+    SELECT 'added', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 989 = 0
+    """,
+)
+def prof_table_diff(spark, sf_dir):
+    """Content-hash table diff under the gate (profile.table_diff —
+    the backfill verification tool): a deterministic 'bad rewrite' of
+    orders drops every 997th key, corrupts every 991st surviving
+    key's priority, and invents rows for every 989th key; the keyed
+    diff must classify exactly those keys as removed / changed /
+    added — the oracle IS the ground-truth mutation arithmetic, so a
+    diff that misses or miscounts any class hash-fails."""
+    from ..functions import profile as _profile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    b = (o.where(F.col("o_orderkey") % 997 != 0)
+         .withColumn("o_orderpriority",
+                     F.when(F.col("o_orderkey") % 991 == 0,
+                            F.lit("X-DIFF"))
+                     .otherwise(F.col("o_orderpriority"))))
+    invented = (o.where(F.col("o_orderkey") % 989 == 0)
+                .withColumn("o_orderkey",
+                            F.col("o_orderkey") + 100000000))
+    diff = _profile.table_diff(o, b.unionByName(invented),
+                               key_cols=["o_orderkey"])
+    return diff.groupBy("status").agg(
+        F.sum("n").cast("bigint").alias("n_keys"))

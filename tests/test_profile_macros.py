@@ -301,3 +301,49 @@ class TestExpectSchema:
                         ex.expect_non_null(df, "a"))
         got = {r["expectation"]: r["passed"] for r in rep.collect()}
         assert got == {"schema": True, "non_null(a)": True}
+
+
+class TestTableDiff:
+    def test_multiset_diff_without_keys(self, spark):
+        from filters_spark.functions import profile
+        a = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (1, "x"), (2, "y")], "k bigint, v string")
+        b = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "k bigint, v string")
+        got = {(r["status"], r["n"]) for r in
+               profile.table_diff(a, b).collect()}
+        assert got == {("removed", 2), ("added", 1)}
+
+    def test_keyed_diff_classifies_changes(self, spark):
+        from filters_spark.functions import profile
+        a = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "k bigint, v string")
+        b = spark.createDataFrame(
+            [(1, "x"), (2, "CHANGED"), (4, "w")], "k bigint, v string")
+        got = {}
+        for r in profile.table_diff(a, b, key_cols=["k"]).collect():
+            got[r["status"]] = got.get(r["status"], 0) + r["n"]
+        assert got == {"removed": 1, "changed": 1, "added": 1}
+
+    def test_null_vs_literal_null_string_distinct(self, spark):
+        """A NULL cell and the string 'null' must not collide (the
+        sentinel discipline concat_ws-skipping encodings lack)."""
+        from filters_spark.functions import profile
+        a = spark.createDataFrame([(1, None)], "k bigint, v string")
+        b = spark.createDataFrame([(1, "null")], "k bigint, v string")
+        assert profile.table_diff(a, b).count() == 2  # one removed, one added
+
+    def test_schema_mismatch_raises(self, spark):
+        import pytest as _pt
+        from filters_spark.functions import profile
+        a = spark.createDataFrame([(1,)], "k bigint")
+        b = spark.createDataFrame([(1,)], "k int")
+        with _pt.raises(ValueError, match="schemas differ"):
+            profile.table_diff(a, b)
+
+    def test_identical_tables_empty_diff(self, spark):
+        from filters_spark.functions import profile
+        a = spark.createDataFrame([(i, f"v{i}") for i in range(50)],
+                                  "k bigint, v string")
+        assert profile.table_diff(a, a).count() == 0
+        assert profile.table_diff(a, a, key_cols=["k"]).count() == 0
