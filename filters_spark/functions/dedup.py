@@ -56,6 +56,9 @@ __all__ = [
     "materialize_signatures",
     "append_signatures",
     "dedup_pairs_against",
+    "materialize_clusters",
+    "append_clusters",
+    "read_canonical",
 ]
 
 
@@ -1291,3 +1294,122 @@ def image_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         .distinct()
     )
     return cand
+
+
+def materialize_clusters(spark, path: str, ids: DataFrame,
+                         pairs: DataFrame, id_col: str = "doc_id") -> None:
+    """Materialize the near-dup CLUSTER store: (doc_id, canon_id) for
+    EVERY corpus id — members carry their component's minimum id,
+    singletons themselves.  The third artifact of the incremental
+    dedup lifecycle (signatures find pairs, clusters assign
+    canonicals); a curation pipeline keeps ``doc_id == canon_id``
+    rows and drops the rest.
+
+    Writes ``canon/`` plus an empty ``remap/`` —
+    :func:`append_clusters` appends batch assignments to canon/ and
+    merge events (two existing clusters united by a new doc) to
+    remap/, which :func:`read_canonical` resolves at read
+    (merge-on-read; periodically re-materialize to compact)."""
+    labels = connected_components_star(pairs)
+    canon = (
+        ids.select(F.col(id_col).alias("doc_id"))
+        .join(labels.select(F.col("node").alias("doc_id"),
+                            F.col("comp").alias("canon_id")),
+              "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("canon_id", F.col("doc_id")).alias("canon_id"))
+    )
+    canon.write.mode("overwrite").parquet(f"{path}/canon")
+    (canon.select(F.col("canon_id").alias("old_canon"),
+                  F.col("canon_id").alias("new_canon"))
+     .limit(0).write.mode("overwrite").parquet(f"{path}/remap"))
+
+
+def append_clusters(spark, path: str, new_ids: DataFrame,
+                    new_pairs: DataFrame,
+                    id_col: str = "doc_id") -> None:
+    """Fold a batch into the cluster store in O(batch + merges):
+    CONTRACT every old endpoint of the batch's near-dup pairs to its
+    stored canonical, run connected components over just the
+    batch-induced contracted graph (old clusters are super-nodes —
+    never re-expanded), then:
+
+    * every new doc gets its component's minimum id (= the GLOBAL
+      minimum of the merged component, since an old canonical is
+      already its old component's minimum) — appended to canon/;
+    * an old canonical landing in a component with a smaller minimum
+      is a MERGE event — (old_canon, new_canon) appended to remap/,
+      applied lazily by :func:`read_canonical` instead of rewriting
+      the old cluster's rows.
+
+    Incremental ≡ full-run: contracting a component to its canonical
+    preserves connectivity, so the resulting canonicals equal a
+    from-scratch CC over the whole corpus's pair graph (the
+    ds_incremental_clusters gate pins this).  Preconditions: batch
+    ids disjoint from the store; every old endpoint in ``new_pairs``
+    already materialized (the dedup_pairs_against contract)."""
+    canon = read_canonical(spark, path)
+    ca = canon.select(F.col("doc_id").alias("a_id"),
+                      F.col("canon_id").alias("_ca"))
+    cb = canon.select(F.col("doc_id").alias("b_id"),
+                      F.col("canon_id").alias("_cb"))
+    contracted = (
+        new_pairs.select("a_id", "b_id")
+        .join(ca, "a_id", "left").join(cb, "b_id", "left")
+        .select(F.coalesce("_ca", F.col("a_id")).alias("a_id"),
+                F.coalesce("_cb", F.col("b_id")).alias("b_id"))
+        .where(F.col("a_id") != F.col("b_id"))
+    )
+    labels = connected_components_star(contracted)
+    new_rows = (
+        new_ids.select(F.col(id_col).alias("doc_id"))
+        .join(labels.select(F.col("node").alias("doc_id"),
+                            F.col("comp").alias("canon_id")),
+              "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("canon_id", F.col("doc_id")).alias("canon_id"))
+    )
+    new_rows.write.mode("append").parquet(f"{path}/canon")
+    old_canons = canon.select(F.col("canon_id").alias("node")).distinct()
+    merges = (
+        labels.join(old_canons, "node")
+        .where(F.col("comp") != F.col("node"))
+        .select(F.col("node").alias("old_canon"),
+                F.col("comp").alias("new_canon"))
+        .distinct()
+    )
+    merges.write.mode("append").parquet(f"{path}/remap")
+
+
+def read_canonical(spark, path: str) -> DataFrame:
+    """(doc_id, canon_id) with remap chains RESOLVED — the current
+    canonical assignment.  Remap rows are merge EVENTS (rare, small
+    by construction: one row per pair of united clusters), so chains
+    resolve driver-side with path compression and apply as one
+    broadcast join — O(merges) work regardless of corpus size."""
+    canon = spark.read.parquet(f"{path}/canon")
+    remap_rows = spark.read.parquet(f"{path}/remap").collect()
+    if not remap_rows:
+        return canon
+    m = {}
+    for r in remap_rows:
+        m[r["old_canon"]] = r["new_canon"]
+
+    def resolve(x):
+        seen = []
+        while x in m:
+            seen.append(x)
+            x = m[x]
+        for s in seen:
+            m[s] = x
+        return x
+
+    resolved = [(k, resolve(k)) for k in list(m)]
+    rm = spark.createDataFrame(resolved, canon.schema.names) \
+        .withColumnRenamed("doc_id", "_old") \
+        .withColumnRenamed("canon_id", "_new")
+    return (canon.join(F.broadcast(rm),
+                       canon.canon_id == rm._old, "left")
+            .select("doc_id",
+                    F.coalesce("_new", F.col("canon_id"))
+                    .alias("canon_id")))

@@ -7970,3 +7970,75 @@ def prof_table_diff(spark, sf_dir):
                                key_cols=["o_orderkey"])
     return diff.groupBy("status").agg(
         F.sum("n").cast("bigint").alias("n_keys"))
+
+
+@register(
+    "ds_incremental_clusters",
+    oracle=_oracle_replace(
+        _MINHASH_ORACLE,
+        "SELECT a_id, b_id, round(j, 4) AS jaccard FROM verified WHERE j >= 0.8",
+        """, edges AS (
+      SELECT a_id AS src, b_id AS dst FROM verified WHERE j >= 0.8
+      UNION
+      SELECT b_id AS src, a_id AS dst FROM verified WHERE j >= 0.8
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ), comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS canon
+      FROM reach GROUP BY src
+    ), assigned AS (
+      SELECT d.doc_id, coalesce(c.canon, d.doc_id) AS canon
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ), sizes AS (
+      SELECT canon, count(*) AS sz FROM assigned GROUP BY canon
+    )
+    SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(canon * sz) AS BIGINT) AS canon_checksum,
+           CAST(max(sz) AS BIGINT) AS max_cluster_size
+    FROM sizes""").replace("WITH tok AS", "WITH RECURSIVE tok AS", 1),
+)
+def ds_incremental_clusters(spark, sf_dir):
+    """The END of the incremental dedup lifecycle under one hash:
+    signatures find pairs (ds_incremental_dedup's machinery),
+    clusters assign CANONICALS — base corpus (doc_id % 3 != 0) is
+    clustered from scratch, the delta batch's pairs come from the
+    signature store, and append_clusters folds them in by contracting
+    old endpoints to their stored canonicals (old clusters are
+    super-nodes; a new doc uniting two clusters emits a remap event,
+    resolved at read).  The oracle runs from-scratch connected
+    components over the FULL corpus pair graph (recursive closure) —
+    matching hashes prove incremental ≡ full-run for every document's
+    canonical assignment, rolled up as cluster count, canonical
+    checksum weighted by size, and the largest cluster."""
+    import shutil
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 3 != 0)
+    delta = d.where(F.col("doc_id") % 3 == 0)
+    sig = f"/tmp/fs_cluststore_sig_{spark.sparkContext.applicationId}"
+    clu = f"/tmp/fs_cluststore_clu_{spark.sparkContext.applicationId}"
+    shutil.rmtree(sig, ignore_errors=True)
+    shutil.rmtree(clu, ignore_errors=True)
+    dedup.materialize_signatures(base, sig, shingle_k=3,
+                                 n_hashes=16, n_bands=8)
+    base_pairs = dedup.minhash_dedup_pairs(
+        base, "doc_id", "text", shingle_k=3, n_hashes=16, n_bands=8,
+        threshold=0.8)
+    dedup.materialize_clusters(spark, clu, base.select("doc_id"),
+                               base_pairs)
+    delta_pairs = dedup.dedup_pairs_against(spark, sig, delta,
+                                            threshold=0.8)
+    dedup.append_clusters(spark, clu, delta.select("doc_id"),
+                          delta_pairs)
+    canon = dedup.read_canonical(spark, clu)
+    sizes = canon.groupBy("canon_id").agg(F.count(F.lit(1)).alias("_sz"))
+    return sizes.agg(
+        F.sum("_sz").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.col("canon_id") * F.col("_sz")).cast("bigint")
+        .alias("canon_checksum"),
+        F.max("_sz").cast("bigint").alias("max_cluster_size"),
+    )

@@ -418,3 +418,59 @@ class TestSpanRemovalThenExactDedup:
         unique = dedup.exact_text_dedup(kept, "doc_id", "text")
         ids = sorted(r["doc_id"] for r in unique.collect())
         assert ids == [1, 4]                        # dedup kept smallest id
+
+
+class TestClusterStore:
+    def test_append_merges_equal_full_run(self, spark, tmp_path):
+        """Incremental cluster maintenance == from-scratch CC over
+        the full pair graph, including the hard case: a new doc
+        UNITING two existing clusters (merge event -> remap)."""
+        from filters_spark.functions import dedup
+        path = str(tmp_path / "clusters")
+        base_ids = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id bigint")
+        base_pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "a_id bigint, b_id bigint")
+        dedup.materialize_clusters(spark, path, base_ids, base_pairs)
+        got0 = {r["doc_id"]: r["canon_id"] for r in
+                dedup.read_canonical(spark, path).collect()}
+        assert got0 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+        # batch: 30 links cluster{1} and cluster{10} (MERGE), 31 is
+        # a singleton, 32 pairs with the old singleton 20
+        new_ids = spark.createDataFrame(
+            [(30,), (31,), (32,)], "doc_id bigint")
+        new_pairs = spark.createDataFrame(
+            [(3, 30), (11, 30), (20, 32)], "a_id bigint, b_id bigint")
+        dedup.append_clusters(spark, path, new_ids, new_pairs)
+        got = {r["doc_id"]: r["canon_id"] for r in
+               dedup.read_canonical(spark, path).collect()}
+        # full-run ground truth: {1,2,3,10,11,30} -> 1; {20,32} -> 20;
+        # {31} -> 31
+        assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 30: 1,
+                       20: 20, 32: 20, 31: 31}
+
+    def test_chained_merges_resolve(self, spark, tmp_path):
+        """Two successive appends each merging clusters: remap CHAINS
+        (c -> b -> a) must resolve to the final canonical."""
+        from filters_spark.functions import dedup
+        path = str(tmp_path / "clusters")
+        ids = spark.createDataFrame([(5,), (6,), (8,), (9,)],
+                                    "doc_id bigint")
+        pairs = spark.createDataFrame([(5, 6), (8, 9)],
+                                      "a_id bigint, b_id bigint")
+        dedup.materialize_clusters(spark, path, ids, pairs)
+        # append 1: unite {5,6} and {8,9} via 40  (8 -> 5)
+        dedup.append_clusters(
+            spark, path,
+            spark.createDataFrame([(40,)], "doc_id bigint"),
+            spark.createDataFrame([(6, 40), (9, 40)],
+                                  "a_id bigint, b_id bigint"))
+        # append 2: doc 2 (SMALLER than every canonical) joins -> the
+        # merged cluster's canonical remaps again (5 -> 2)
+        dedup.append_clusters(
+            spark, path,
+            spark.createDataFrame([(2,)], "doc_id bigint"),
+            spark.createDataFrame([(5, 2)], "a_id bigint, b_id bigint"))
+        got = {r["doc_id"]: r["canon_id"] for r in
+               dedup.read_canonical(spark, path).collect()}
+        assert got == {5: 2, 6: 2, 8: 2, 9: 2, 40: 2, 2: 2}
