@@ -245,12 +245,73 @@ def stress_bpe(spark: SparkSession, n_docs: int = 2_000_000,
          top_merge=f"{merges[0][1]}+{merges[0][2]}@{merges[0][3]}")
 
 
+def stress_clusters(spark: SparkSession, n_base: int = 5_000_000,
+                    n_batch: int = 50_000) -> None:
+    """append_clusters at 5M stored docs: the batch's pairs include
+    MERGE events (new docs uniting two existing clusters).  The
+    O(batch + merges) claim, measured: the append's CC runs over the
+    contracted batch-induced graph (~n_batch nodes), never the 5M
+    stored assignments; read_canonical resolves the merge remaps.
+
+    Exact invariants: base = 2.5M two-doc clusters (2k, 2k+1);
+    every batch doc 5M+i links clusters 4i and 4i+2 — each batch doc
+    merges two adjacent base clusters, so afterwards those 4 base
+    docs + the batch doc share canonical 4i."""
+    import shutil
+
+    from filters_spark.functions import dedup
+
+    path = "/tmp/fs_stress_clusters"
+    shutil.rmtree(path, ignore_errors=True)
+    ids = spark.range(n_base).select(F.col("id").alias("doc_id"))
+    base_pairs = (spark.range(n_base // 2)
+                  .select((F.col("id") * 2).alias("a_id"),
+                          (F.col("id") * 2 + 1).alias("b_id")))
+    t0 = time.time()
+    dedup.materialize_clusters(spark, path, ids, base_pairs)
+    build_s = time.time() - t0
+    new_ids = spark.range(n_base, n_base + n_batch).select(
+        F.col("id").alias("doc_id"))
+    i = F.col("id") - n_base
+    new_pairs = (spark.range(n_base, n_base + n_batch)
+                 .select((i * 4).alias("a_id"), F.col("id").alias("b_id"))
+                 .unionByName(
+                     spark.range(n_base, n_base + n_batch)
+                     .select((i * 4 + 2).alias("a_id"),
+                             F.col("id").alias("b_id"))))
+    t0 = time.time()
+    dedup.append_clusters(spark, path, new_ids, new_pairs)
+    append_s = time.time() - t0
+    t0 = time.time()
+    canon = dedup.read_canonical(spark, path)
+    agg = canon.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("canon_id").alias("k"),
+        F.sum(F.when(F.col("doc_id") >= n_base,
+                     F.col("canon_id")).otherwise(0))
+        .cast("bigint").alias("batch_canon_sum"),
+    ).head()
+    read_s = time.time() - t0
+    assert agg["n"] == n_base + n_batch
+    # merged: each batch doc collapses clusters {4i,4i+1} and
+    # {4i+2,4i+3} into one -> total clusters = 2.5M - n_batch
+    assert agg["k"] == n_base // 2 - n_batch, agg["k"]
+    # every batch doc's canonical = 4i
+    expected = sum(4 * i for i in range(n_batch))
+    assert agg["batch_canon_sum"] == expected
+    emit(phase="cluster_append", base_docs=n_base, batch_docs=n_batch,
+         build_s=round(build_s, 1), append_s=round(append_s, 1),
+         read_s=round(read_s, 1), clusters=agg["k"], invariants="exact")
+    shutil.rmtree(path, ignore_errors=True)
+
+
 PHASES = {
     "stratified": stress_stratified,
     "span_removal": stress_span_removal,
     "append": stress_append,
     "incremental_dedup": stress_incremental_dedup,
     "bpe": stress_bpe,
+    "clusters": stress_clusters,
 }
 
 
