@@ -28,6 +28,8 @@ __all__ = [
     "stopword_ratio",
     "punct_ratio",
     "quality_score",
+    "gopher_flags",
+    "GOPHER_STOPWORDS",
     "fingerprint",
     "rolling_fingerprint",
     "winnow_sketch",
@@ -108,6 +110,85 @@ def quality_score(col: Column, sep: str = " ") -> Column:
     word_ok = F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(0.0)
     punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(0.0)
     return (len_ok + word_ok + punct_ok) / F.lit(3.0)
+
+
+# Gopher's "has at least 2 of these" stopword requirement (Rae et
+# al. 2021, appendix A1.1 — public paper).  Distinct from STOPWORDS
+# (the language-ID lists): this is the fixed English quality list.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_flags(col: Column,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_word_len: int = 3, max_word_len: int = 10,
+                 ) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1)
+    as per-document FAIL flags (1 = rule violated), one fused codegen
+    projection — the standard pretraining-corpus quality screen
+    (reference analog: none; engine/pipeline category per SURVEY §2.9).
+
+    Every threshold is evaluated in EXACT INTEGER arithmetic — a mean
+    or ratio bound ``x/n ≥ t`` is rewritten as ``x·d ≥ t·d·n`` over
+    integers (e.g. mean word length ≥ 3  ⇔  total_chars ≥ 3·n) — so
+    no float division or rounding exists anywhere and the flags are
+    bit-identical across engines (the hash-gate discipline: integer
+    counts only).  Counting uses length-difference arithmetic
+    (occurrences of s = (len(t) − len(replace(t, s, ''))) / len(s),
+    an exact multiple) instead of regex extraction; the only
+    higher-order function is the alphabetic-word filter (bounded by
+    tokens per doc, not corpus size).
+
+    Rules (canonical Gopher bounds as defaults):
+      word_count    — n_words outside [min_words, max_words]
+      word_len      — mean word length outside [min_word_len, max_word_len]
+      symbol_ratio  — (#'#' + #'...') / n_words > 0.1
+      bullet_lines  — lines starting '- ' > 90% of lines
+      ellipsis_lines— lines ending '...' > 30% of lines
+      alpha_words   — words containing a letter < 80% of words
+      stopwords     — fewer than 2 distinct GOPHER_STOPWORDS present
+    """
+    ln = F.length(col)
+    nw = ln - F.length(F.translate(col, " ", "")) + F.lit(1)
+    total_chars = ln - (nw - F.lit(1))          # sum of word lengths
+    n_lines = ln - F.length(F.translate(col, "\n", "")) + F.lit(1)
+
+    def occurrences(s: str) -> Column:
+        # exact multiple of len(s); cast back to long after the
+        # (exact) double division
+        return ((ln - F.length(F.replace(col, F.lit(s), F.lit(""))))
+                / F.lit(len(s))).cast("long")
+
+    hashes = ln - F.length(F.translate(col, "#", ""))
+    ellipses = occurrences("...")
+    bullets = (F.when(col.startswith("- "), F.lit(1)).otherwise(0)
+               + occurrences("\n- "))
+    ell_lines = (F.when(col.endswith("..."), F.lit(1)).otherwise(0)
+                 + occurrences("...\n"))
+    alpha = F.size(F.filter(tokens(col),
+                            lambda w: w.rlike("[a-zA-Z]")))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw_hits = F.size(F.array_intersect(
+        F.array_distinct(tokens(F.lower(col))), sw))
+
+    def flag(cond: Column) -> Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+    return {
+        "word_count": flag((nw < min_words) | (nw > max_words)),
+        "word_len": flag((total_chars < F.lit(min_word_len) * nw)
+                         | (total_chars > F.lit(max_word_len) * nw)),
+        # (#symbols)/n_words > 0.1  ⇔  10·#symbols > n_words
+        "symbol_ratio": flag(F.lit(10) * (hashes + ellipses) > nw),
+        # bullets/lines > 0.9  ⇔  10·bullets > 9·lines
+        "bullet_lines": flag(F.lit(10) * bullets > F.lit(9) * n_lines),
+        # ellipsis-ending/lines > 0.3  ⇔  10·ell > 3·lines
+        "ellipsis_lines": flag(F.lit(10) * ell_lines > F.lit(3) * n_lines),
+        # alpha/words < 0.8  ⇔  5·alpha < 4·words
+        "alpha_words": flag(F.lit(5) * alpha < F.lit(4) * nw),
+        "stopwords": flag(sw_hits < F.lit(2)),
+    }
 
 
 def fingerprint(col: Column, normalized: bool = True) -> Column:

@@ -8042,3 +8042,73 @@ def ds_incremental_clusters(spark, sf_dir):
         .alias("canon_checksum"),
         F.max("_sz").cast("bigint").alias("max_cluster_size"),
     )
+
+
+@register(
+    "txt_gopher_rules",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+        length(text) AS ln,
+        length(text) - length(replace(text, ' ', '')) + 1 AS nw,
+        length(text) - length(replace(text, chr(10), '')) + 1 AS nl,
+        length(text) - length(replace(text, '#', '')) AS hashes,
+        (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
+        (CASE WHEN text LIKE '- %' THEN 1 ELSE 0 END)
+          + (length(text) - length(replace(text, chr(10) || '- ', ''))) // 3 AS bullets,
+        (CASE WHEN text LIKE '%...' THEN 1 ELSE 0 END)
+          + (length(text) - length(replace(text, '...' || chr(10), ''))) // 4 AS ell_lines,
+        len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha,
+        len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+            ['the','be','to','of','and','that','have','with'])) AS sw_hits
+      FROM documents
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+      CAST(sum(CASE WHEN (ln - (nw-1)) < 3*nw OR (ln - (nw-1)) > 10*nw THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+      CAST(sum(CASE WHEN 10*(hashes + ellipses) > nw THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+      CAST(sum(CASE WHEN 10*bullets > 9*nl THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet_lines,
+      CAST(sum(CASE WHEN 10*ell_lines > 3*nl THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis_lines,
+      CAST(sum(CASE WHEN 5*alpha < 4*nw THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+      CAST(sum(CASE WHEN sw_hits < 2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+      CAST(sum(CASE WHEN nw BETWEEN 50 AND 100000
+                 AND (ln - (nw-1)) BETWEEN 3*nw AND 10*nw
+                 AND 10*(hashes + ellipses) <= nw
+                 AND 10*bullets <= 9*nl
+                 AND 10*ell_lines <= 3*nl
+                 AND 5*alpha >= 4*nw
+                 AND sw_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM f GROUP BY source
+    """,
+)
+def txt_gopher_rules(spark, sf_dir):
+    """Gopher-rule quality screen rolled up per source: how many
+    documents each of the seven canonical quality rules rejects, and
+    how many survive all of them (text-analysis / quality-scoring
+    pipeline op; the rule set is text.gopher_flags).
+
+    Plan shape for scale: ONE corpus scan, the seven flags are one
+    fused projection (integer-exact thresholds -- no float division
+    anywhere, see gopher_flags; the alpha-word HOF filter is the only
+    non-codegen expression, bounded per-doc), then one aggregation
+    whose map-side partial combine collapses everything to
+    #sources x 9 counters before the only shuffle.  The hash gate
+    rides on BIGINT counts only."""
+    d = _t(spark, sf_dir, "documents")
+    flags = text.gopher_flags(F.col("text"))
+    proj = d.select(
+        "source",
+        *[v.alias(f"_{k}") for k, v in flags.items()],
+    )
+    total = None
+    for k in flags:
+        c = F.col(f"_{k}")
+        total = c if total is None else total + c
+    proj = proj.withColumn("_pass", F.when(total == 0, 1).otherwise(0))
+    return proj.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[F.sum(f"_{k}").cast("bigint").alias(f"fail_{k}") for k in flags],
+        F.sum("_pass").cast("bigint").alias("n_pass"),
+    )

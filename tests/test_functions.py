@@ -225,6 +225,31 @@ class TestText:
         rows = df.select(text.quality_score(F.col("t")).alias("q")).collect()
         assert rows[0]["q"] > rows[1]["q"]
 
+    def test_gopher_flags_planted(self, spark):
+        good = "the quick brown fox jumps over of lazy dogs while keeping calm " * 5
+        docs = {
+            "good": good.strip(),
+            "short": "the of tiny doc here now",
+            "longwords": " ".join(["ab"] * 60),
+            "symbols": "the of " + "word # " * 20 + "end",
+            "bullets": "\n".join(f"- item {i}" for i in range(10)),
+            "ellipsis": "wait...\nmore...\nhuh...\nyes no",
+            "numeric": " ".join(["123"] * 60),
+        }
+        df = spark.createDataFrame(list(docs.items()), "k string, t string")
+        flags = text.gopher_flags(F.col("t"))
+        rows = {r["k"]: r for r in df.select(
+            "k", *[v.alias(k) for k, v in flags.items()]).collect()}
+        assert sum(rows["good"][f] for f in flags) == 0
+        assert rows["short"]["word_count"] == 1
+        assert rows["longwords"]["word_len"] == 1
+        assert rows["symbols"]["symbol_ratio"] == 1
+        assert rows["bullets"]["bullet_lines"] == 1
+        assert rows["ellipsis"]["ellipsis_lines"] == 1
+        assert rows["numeric"]["alpha_words"] == 1
+        assert rows["numeric"]["stopwords"] == 1
+        assert rows["good"]["stopwords"] == 0
+
     def test_fingerprint_normalizes(self, spark):
         df = spark.createDataFrame([("  Hello   World ", "hello world")], "a string, b string")
         [r] = df.select(

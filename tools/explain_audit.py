@@ -131,6 +131,8 @@ EXPECTATIONS: dict[str, dict] = {
     # tfidf: single corpus scan — (doc,term) rollup shuffle, then two
     # small window shuffles (df-by-term, rank-by-doc) + 1-row n_docs
     "txt_tfidf_topterms": dict(max_exchanges=4, min_broadcasts=1),
+    # gopher rules: one scan, fused flag projection, one source rollup
+    "txt_gopher_rules": dict(max_exchanges=1),
     # funnel: one user_id shuffle for all three window steps + user
     # collapse, then the 1-row global count
     "rel_funnel_steps": dict(max_exchanges=2),
