@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -30,6 +30,7 @@ __all__ = [
     "quality_score",
     "gopher_flags",
     "GOPHER_STOPWORDS",
+    "bigram_lm_scores",
     "fingerprint",
     "rolling_fingerprint",
     "winnow_sketch",
@@ -189,6 +190,69 @@ def gopher_flags(col: Column,
         "alpha_words": flag(F.lit(5) * alpha < F.lit(4) * nw),
         "stopwords": flag(sw_hits < F.lit(2)),
     }
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al.
+    2020 train a KenLM and filter by perplexity; this is the
+    engine-native analog): train an add-one-smoothed conditional
+    bigram LM on the corpus itself and score every document's
+    cross-entropy under it.  Returns (id, n_bigrams, ce) where
+    ce = −(1/n)·Σ ln p(w2|w1), p(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V),
+    V = the outcome vocabulary |{w2}| (distinct next-words — the
+    mass add-one smoothing spreads over).
+
+    Plan shape for scale: ONE corpus scan; bigrams are formed by a
+    lead() window partitioned BY DOCUMENT (bounded partitions — no
+    whole-corpus sort), then collapsed to a (doc, w1, w2) rollup
+    whose map-side combine bounds every later stage by distinct
+    bigrams per doc, not tokens.  That rollup is scoped_persist'd
+    because it feeds two branches (the scores and the 1-row
+    vocabulary count) — without the barrier Catalyst re-executes the
+    scan+explode subtree per branch (measured r3; the reason V is
+    defined over the rollup's w2, not the raw token stream, is
+    exactly so the second corpus scan disappears).  The model counts
+    c(w1,w2) and c(w1,·) are WINDOW sums over the same rollup
+    (partitioned by vocabulary keys — bounded by bigram-type
+    counts), never a self-join of the token stream against its own
+    aggregate; the vocabulary joins as an aliased broadcast 1-row
+    frame (AMBIGUOUS_REFERENCE discipline).  Python never touches a
+    row.
+
+    The ce column is a double built from sums of ln() terms — per
+    the gate discipline it must never be hash-compared or finely
+    rounded; gates bucket it coarsely (see txt_lm_perplexity) or
+    threshold it."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),
+    )
+    w_doc = Window.partitionBy("_id").orderBy("_pos")
+    big = (toks
+           .withColumn("_w2", F.lead("_w").over(w_doc))
+           .where(F.col("_w2").isNotNull()))
+    from ._cache import scoped_persist
+
+    dt = big.groupBy("_id", "_w", "_w2").agg(F.count(F.lit(1)).alias("_tf"))
+    dt = scoped_persist(dt, "bigram_lm")
+    vocab = dt.groupBy().agg(F.count_distinct("_w2").alias("_v"))
+    dt = (dt
+          .withColumn("_cb", F.sum("_tf").over(Window.partitionBy("_w", "_w2")))
+          .withColumn("_cu", F.sum("_tf").over(Window.partitionBy("_w"))))
+    scored = (dt.alias("l")
+              .join(F.broadcast(vocab.alias("r")))
+              .groupBy(F.col("l._id"))
+              .agg(F.sum("l._tf").cast("bigint").alias("n_bigrams"),
+                   F.sum(F.col("l._tf")
+                         * F.log((F.col("l._cu") + F.col("r._v"))
+                                 / (F.col("l._cb") + F.lit(1.0))))
+                   .alias("_ce_sum")))
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        (F.col("_ce_sum") / F.col("n_bigrams")).alias("ce"),
+    )
 
 
 def fingerprint(col: Column, normalized: bool = True) -> Column:

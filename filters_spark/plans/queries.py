@@ -8112,3 +8112,67 @@ def txt_gopher_rules(spark, sf_dir):
         *[F.sum(f"_{k}").cast("bigint").alias(f"fail_{k}") for k in flags],
         F.sum("_pass").cast("bigint").alias("n_pass"),
     )
+
+
+@register(
+    "txt_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, w AS w1, w2 FROM (
+        SELECT doc_id, w,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+      ) WHERE w2 IS NOT NULL
+    ),
+    dt AS (
+      SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3
+    ),
+    dt2 AS (
+      SELECT doc_id, tf,
+             sum(tf) OVER (PARTITION BY w1, w2) AS cb,
+             sum(tf) OVER (PARTITION BY w1) AS cu
+      FROM dt
+    ),
+    v AS (SELECT count(DISTINCT w2) AS vv FROM dt),
+    scored AS (
+      SELECT doc_id,
+             sum(tf) AS n_big,
+             sum(tf * ln((cu + vv) / (cb + 1.0))) AS ce_sum
+      FROM dt2 CROSS JOIN v
+      GROUP BY 1
+    )
+    SELECT CAST(floor(64.0 * ce_sum / n_big) AS BIGINT) AS ce_bucket_64th,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_big) AS BIGINT) AS sum_bigrams
+    FROM scored GROUP BY 1
+    """,
+)
+def txt_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality screen: train the add-one conditional
+    bigram LM on the corpus (text.bigram_lm_scores), score every
+    document's cross-entropy, and roll the corpus up into
+    1/64-nat perplexity buckets (the histogram a perplexity
+    threshold would be chosen from).
+
+    Gate discipline for the float: cross-entropy is a sum of ln()
+    terms, so neither the raw double nor a fine rounding of it may
+    be hash-compared (libm last-ulp + accumulation order).  The gate
+    emits ONLY integers: the 1/64-nat floor bucket (a doc flips
+    buckets only if its true score sits within ~1e-13 of a bucket
+    edge — bucket width is 10 orders wider), doc counts, an exact doc-id checksum per bucket, and
+    bigram totals."""
+    d = _t(spark, sf_dir, "documents")
+    scored = text.bigram_lm_scores(d)
+    return (scored
+            .withColumn("_b", F.floor(F.lit(64.0) * F.col("ce")).cast("bigint"))
+            .groupBy(F.col("_b").alias("ce_bucket_64th"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+                 F.sum("n_bigrams").cast("bigint").alias("sum_bigrams")))

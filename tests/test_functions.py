@@ -250,6 +250,20 @@ class TestText:
         assert rows["numeric"]["stopwords"] == 1
         assert rows["good"]["stopwords"] == 0
 
+    def test_bigram_lm_scores_exact(self, spark):
+        # corpus: V={a,b,c}; bigram counts (a,b)=3 (b,a)=1 (b,c)=1;
+        # first-element counts a=3 b=2 -> p(b|a)=4/6, p(a|b)=p(c|b)=2/5
+        import math
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id bigint, text string")
+        rows = {r["doc_id"]: r for r in text.bigram_lm_scores(df).collect()}
+        ce1 = (2 * math.log(3 / 2) + math.log(5 / 2)) / 3
+        ce2 = (math.log(3 / 2) + math.log(5 / 2)) / 2
+        assert rows[1]["n_bigrams"] == 3
+        assert rows[2]["n_bigrams"] == 2
+        assert abs(rows[1]["ce"] - ce1) < 1e-12
+        assert abs(rows[2]["ce"] - ce2) < 1e-12
+
     def test_fingerprint_normalizes(self, spark):
         df = spark.createDataFrame([("  Hello   World ", "hello world")], "a string, b string")
         [r] = df.select(

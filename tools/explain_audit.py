@@ -133,6 +133,11 @@ EXPECTATIONS: dict[str, dict] = {
     "txt_tfidf_topterms": dict(max_exchanges=4, min_broadcasts=1),
     # gopher rules: one scan, fused flag projection, one source rollup
     "txt_gopher_rules": dict(max_exchanges=1),
+    # bigram LM: doc window shuffle + (doc,w1,w2) rollup feed a
+    # scoped_persist'd InMemoryRelation read by BOTH branches (scores
+    # + vocab); counted exchanges/scans include that cached subtree's
+    # lineage printed once per reference — runtime is one corpus scan
+    "txt_lm_perplexity": dict(max_exchanges=7, min_broadcasts=1),
     # funnel: one user_id shuffle for all three window steps + user
     # collapse, then the 1-row global count
     "rel_funnel_steps": dict(max_exchanges=2),
