@@ -8176,3 +8176,84 @@ def txt_lm_perplexity(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
                  F.sum("n_bigrams").cast("bigint").alias("sum_bigrams")))
+
+
+_TOKENIZE_TAIL = """), applied AS (
+      SELECT unnest(list_slice(string_split(sym, chr(31)), 1,
+             len(string_split(sym, chr(31))) - 1)) AS s, f
+      FROM s3
+    ), counts AS (
+      SELECT s AS subword, CAST(sum(f) AS BIGINT) AS total_count
+      FROM applied GROUP BY s
+    )
+    SELECT subword, total_count, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY total_count DESC, subword)
+               AS rank
+      FROM counts
+    ) WHERE rank <= 10"""
+
+_TOKPACK_TAIL = """), vocabn AS (
+      SELECT replace(sym, chr(31), '') AS w,
+             len(string_split(sym, chr(31))) - 1 AS n_sub
+      FROM s3
+    ), docw AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), lens AS (
+      SELECT dw.doc_id, dw.source, CAST(sum(v.n_sub) AS BIGINT) AS n_tok
+      FROM docw dw JOIN vocabn v USING (w)
+      GROUP BY 1, 2
+    ), packed AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM lens
+    )
+    SELECT source, CAST(floor(start / 512) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(min(start - CAST(floor(start / 512) AS BIGINT) * 512)
+                AS BIGINT) AS first_offset
+    FROM packed GROUP BY source, bin"""
+
+
+@register(
+    "ds_tokenize_pack",
+    oracle=_oracle_replace(
+        REGISTRY["txt_bpe_tokenize"].oracle,
+        _TOKENIZE_TAIL,
+        _TOKPACK_TAIL),
+)
+def ds_tokenize_pack(spark, sf_dir):
+    """Tokenizer-aware sequence packing, the training-batch
+    construction capstone: learn the BPE merge table on the corpus
+    (text.bpe_train), tokenize every document with it
+    (text.bpe_apply), then streaming-pack documents into 512-token
+    context windows per source on SUBWORD counts
+    (packing.pack_streaming).  The composition pins the ordering
+    dependency no single-op gate sees: bins must be budgeted in
+    tokenizer units, not whitespace words — a doc's subword count
+    exceeds its word count wherever BPE splits, so packing before
+    tokenizing misplaces every later document in the stream.
+
+    The oracle extends txt_bpe_tokenize's unrolled-merge CTE chain
+    (via _oracle_replace — a reworded base fails at import): each
+    vocabulary word's final subword count is recovered from its
+    packed symbol string (replace(sym, sep, '') = the word itself),
+    joined back onto the exploded corpus, then the ds_sequence_pack
+    running-total window replays the packer.  All gate outputs are
+    integers."""
+    from ..functions import packing
+    from ..functions import text as _text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    merges = _text.bpe_train(d, "text", n_merges=3)
+    lens = d.select(
+        "source", "doc_id",
+        F.size(_text.bpe_apply(F.col("text"), merges)).alias("n_tok"))
+    packed = packing.pack_streaming(lens, "doc_id", "n_tok", 512,
+                                    partition_cols=["source"])
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        F.min("bin_offset").cast("bigint").alias("first_offset"),
+    )

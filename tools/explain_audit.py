@@ -226,6 +226,10 @@ EXPECTATIONS: dict[str, dict] = {
     # packing window (source) partitioning reused by the (source,bin)
     # agg — one shuffle total
     "ds_sequence_pack": dict(max_exchanges=1),
+    # tokenizer-aware packing: one source-key shuffle serves the pack
+    # window AND the (source,bin) rollup; bpe merges applied as
+    # codegen replace passes in the scan projection
+    "ds_tokenize_pack": dict(max_exchanges=2),
     # URL ops are projections; countDistinct = two-phase agg
     "ds_url_extract": dict(max_exchanges=2),
     # repetition: seg agg + doc-key chain + broadcast joins back
