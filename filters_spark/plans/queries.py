@@ -8257,3 +8257,84 @@ def ds_tokenize_pack(spark, sf_dir):
         F.sum("n_tok").cast("bigint").alias("bin_tokens"),
         F.min("bin_offset").cast("bigint").alias("first_offset"),
     )
+
+
+@register(
+    "prof_hdr_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ), b AS (
+      SELECT greatest(length(bin(v)) - 4, 0) AS sh, v FROM v
+    ), buck AS (
+      SELECT sh, v >> sh AS top, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2
+    ), lbs AS (
+      SELECT (top << sh) AS lb, n FROM buck
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM lbs),
+    cum AS (
+      SELECT lb, CAST(sum(n) OVER (ORDER BY lb) AS BIGINT) AS c FROM lbs
+    ),
+    qs(q_num, q_den) AS (VALUES (1,4),(1,2),(3,4),(9,10),(99,100)),
+    est AS (
+      SELECT q_num, q_den,
+             min(CASE WHEN c >= (q_num*nn + q_den - 1)//q_den THEN lb END)
+               AS est
+      FROM cum CROSS JOIN tot CROSS JOIN qs GROUP BY 1, 2
+    ),
+    dv AS (SELECT v AS lb, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    cume AS (
+      SELECT lb, CAST(sum(n) OVER (ORDER BY lb) AS BIGINT) AS c FROM dv
+    ),
+    ex AS (
+      SELECT q_num, q_den,
+             min(CASE WHEN c >= (q_num*nn + q_den - 1)//q_den THEN lb END)
+               AS exact
+      FROM cume CROSS JOIN tot CROSS JOIN qs GROUP BY 1, 2
+    )
+    SELECT CAST(e.q_num AS BIGINT) AS q_num,
+           CAST(e.q_den AS BIGINT) AS q_den,
+           t.nn AS n,
+           CAST(e.est AS BIGINT) AS est_cents,
+           CAST(x.exact AS BIGINT) AS exact_cents,
+           CAST(CASE WHEN x.exact >= e.est
+                      AND (x.exact - e.est) * 8 <= e.est
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM est e JOIN ex x USING (q_num, q_den) CROSS JOIN tot t
+    """,
+)
+def prof_hdr_quantiles(spark, sf_dir):
+    """Quantile-sketch CALIBRATION, the cms/hll companion: the HDR
+    bucket table (sketch.hdr_table, sub_bits=3) over lineitem price
+    cents, five quantiles read from the sketch, certified in-result
+    against the EXACT rank quantiles with the 12.5% relative-error
+    guarantee checked in integer arithmetic (8·(exact−est) ≤ est).
+
+    The exact side reuses hdr_quantiles itself on the distinct-VALUE
+    table (each value is its own bucket), so estimate and ground
+    truth run the identical rank-selection machinery — the only
+    difference under test is the bucketing.  floor(price·100) is the
+    cents conversion on BOTH sides (cast-to-int rounding semantics
+    differ across engines; floor of the identical IEEE double does
+    not).  Every emitted column is BIGINT; no float exists anywhere
+    in the sketch (the reason HDR was chosen over order-dependent
+    GK/KLL, which no SQL oracle could replay)."""
+    from ..functions import sketch
+
+    qs = [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    tbl = sketch.hdr_table(li, "cents")
+    est = sketch.hdr_quantiles(tbl, qs)
+    dv = li.groupBy(F.col("cents").alias("lb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    exact = (sketch.hdr_quantiles(dv, qs)
+             .select("q_num", "q_den", F.col("est").alias("exact")))
+    ok = F.when((F.col("exact") >= F.col("est"))
+                & ((F.col("exact") - F.col("est")) * 8 <= F.col("est")),
+                F.lit(1)).otherwise(F.lit(0))
+    return (est.join(exact, ["q_num", "q_den"])
+            .select("q_num", "q_den", "n",
+                    F.col("est").alias("est_cents"),
+                    F.col("exact").alias("exact_cents"),
+                    ok.cast("bigint").alias("within_bound")))

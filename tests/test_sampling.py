@@ -327,3 +327,43 @@ class TestBloomFilter:
                         sketch.bloom_bits(a.unionAll(b), "k", 4096, 5)
                         .collect())
         assert merged == direct
+
+
+class TestHdrQuantiles:
+    def test_bucket_math_exact(self, spark):
+        from filters_spark.functions import sketch
+        # v < 16: exact buckets (shift 0, lb = v); v = 100:
+        # bit_length 7 -> shift 3, top 12, lb 96
+        df = spark.createDataFrame([(5,), (15,), (100,)], "x bigint")
+        rows = {r["lb"]: r for r in sketch.hdr_table(df, "x").collect()}
+        assert rows[5]["shift"] == 0 and rows[5]["n"] == 1
+        assert rows[15]["shift"] == 0
+        assert rows[96]["shift"] == 3 and rows[96]["top"] == 12
+
+    def test_quantiles_and_bound(self, spark):
+        from filters_spark.functions import sketch
+        df = spark.range(1, 1001).select(F.col("id").alias("x"))
+        tbl = sketch.hdr_table(df, "x")
+        qs = [(1, 2), (9, 10)]
+        est = {(r["q_num"], r["q_den"]): r["est"]
+               for r in sketch.hdr_quantiles(tbl, qs).collect()}
+        # exact medians: 500 and 900; lb <= exact < lb * (1 + 1/8)
+        for q, exact in [((1, 2), 500), ((9, 10), 900)]:
+            lb = est[q]
+            assert lb <= exact and (exact - lb) * 8 <= lb
+
+    def test_merge_equals_union(self, spark):
+        from filters_spark.functions import sketch
+        a = spark.range(1, 500).select(F.col("id").alias("x"))
+        b = spark.range(300, 900).select(F.col("id").alias("x"))
+        merged = sorted(map(tuple, sketch.hdr_merge(
+            sketch.hdr_table(a, "x"), sketch.hdr_table(b, "x")).collect()))
+        direct = sorted(map(tuple,
+                            sketch.hdr_table(a.unionAll(b), "x").collect()))
+        assert merged == direct
+
+    def test_non_positive_raises(self, spark):
+        from filters_spark.functions import sketch
+        df = spark.createDataFrame([(0,)], "x bigint")
+        with pytest.raises(Exception, match="non-positive"):
+            sketch.hdr_table(df, "x").collect()

@@ -315,6 +315,10 @@ EXPECTATIONS: dict[str, dict] = {
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
     "prof_cms_calibration": dict(max_exchanges=7),
+    # hdr calibration: bucket rollup + bounded cum window + 1-row
+    # total + q-set broadcast + (q_num,q_den) rollup, TWICE (sketch
+    # side + the exact side reusing the same machinery), + final join
+    "prof_hdr_quantiles": dict(max_exchanges=10, min_broadcasts=4),
     # Y4M codec gate: scan → payload build → two mapInPandas
     # crossings (frame-sample + featurize) → posexplode + one rollup
     "ds_y4m_codec_gate": dict(max_exchanges=1, scan_filter=True),
