@@ -34,6 +34,8 @@ __all__ = [
     "euclidean",
     "ivf_topk",
     "materialize_ivf_index",
+    "append_ivf",
+    "compact_ivf",
     "ivf_topk_from_index",
     "kmeans",
     "knn_graph",
@@ -420,6 +422,44 @@ def append_ivf(spark, path: str, new_vectors: DataFrame,
     merged = spark.createDataFrame(
         [(c, n, s) for c, (n, s) in sorted(old.items())], stats_schema)
     merged.write.mode("overwrite").parquet(f"{path}/cellstats")
+    _centroids_from_stats(spark.read.parquet(f"{path}/cellstats")) \
+        .write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def compact_ivf(spark, path: str) -> None:
+    """Compact an appended :func:`materialize_ivf_index` artifact —
+    the LSM compaction step, :func:`retrieval.compact_postings`'s
+    dense twin.  Every :func:`append_ivf` adds one file per touched
+    cell directory, so probe cost grows with append count even
+    though pruning stays correct (merge-on-read); the rewrite
+    repartitions the stored vectors back to one file set per cell.
+    It also RECOMPUTES (cellstats, centroids) from the stored
+    vectors in the same single-pass aggregation a fresh build runs,
+    clearing the append path's accumulated additive-merge drift
+    (per-append last-ulp error compounds; one-pass recomputation
+    resets it — exact equality with a rebuild is still up to
+    aggregation order, which the probe's 6-dp rounding absorbs).
+
+    O(index): reads stored (id, vector, cell) rows, never
+    re-quantizes — cell assignments are data, not derived.  The
+    rewrite stages into ``vectors.compact`` and swaps via renames
+    (the compact_postings discipline), so a concurrent reader sees
+    the old file set or the new one, never a half-written one."""
+    import shutil
+
+    sch = spark.read.parquet(f"{path}/schema").schema
+    v = spark.read.schema(sch).parquet(f"{path}/vectors")
+    tmp = f"{path}/vectors.compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (v.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+    old = f"{path}/vectors.old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(f"{path}/vectors", old)
+    shutil.move(tmp, f"{path}/vectors")
+    shutil.rmtree(old, ignore_errors=True)
+    v2 = spark.read.schema(sch).parquet(f"{path}/vectors")
+    _cellstats(v2).write.mode("overwrite").parquet(f"{path}/cellstats")
     _centroids_from_stats(spark.read.parquet(f"{path}/cellstats")) \
         .write.mode("overwrite").parquet(f"{path}/centroids")
 

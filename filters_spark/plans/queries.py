@@ -8338,3 +8338,37 @@ def prof_hdr_quantiles(spark, sf_dir):
                     F.col("est").alias("est_cents"),
                     F.col("exact").alias("exact_cents"),
                     ok.cast("bigint").alias("within_bound")))
+
+
+@register(
+    "ds_ivf_compact",
+    # identical oracle to ds_ivf_append: compaction must be invisible
+    # to the probe — centroids over the FULL corpus, probe top-2
+    # cells, 6-dp-rounded ranking
+    oracle=REGISTRY["ds_ivf_append"].oracle,
+)
+def ds_ivf_compact(spark, sf_dir):
+    """IVF compaction under the hash (similarity.compact_ivf): build
+    from three quarters of the corpus, append the rest in TWO daily
+    batches (each append adds a file per touched cell), compact, and
+    answer the ANN probe from the compacted artifact.  The oracle is
+    ds_ivf_append's full-corpus probe verbatim — compaction must
+    change file layout and refresh stats without moving a single
+    ranked neighbor.  The staged-swap rewrite is O(index) and never
+    re-quantizes (cell assignments are stored data)."""
+    import shutil
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = f"/tmp/fs_ivfcmp_gate_{spark.sparkContext.applicationId}"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.materialize_ivf_index(emb.where(F.col("vec_id") % 4 != 0),
+                                     path, cell_col="label")
+    similarity.append_ivf(spark, path,
+                          emb.where(F.col("vec_id") % 8 == 0),
+                          cell_col="label")
+    similarity.append_ivf(spark, path,
+                          emb.where(F.col("vec_id") % 8 == 4),
+                          cell_col="label")
+    similarity.compact_ivf(spark, path)
+    q = emb.where(F.col("vec_id") % 101 == 0)
+    return similarity.ivf_topk_from_index(spark, path, q, k=10, nprobe=2)

@@ -575,3 +575,40 @@ class TestCompactPostings:
             spark, path, q, k=5).collect()))
         assert after == before and len(after) > 0
         assert n_files_after < n_files_before
+
+
+class TestCompactIvf:
+    def test_compaction_shrinks_files_probe_identical(self, spark,
+                                                      tmp_path):
+        from filters_spark.functions import similarity
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+             for i in range(120)],
+            "vec_id bigint, embedding array<double>, label int")
+        path = str(tmp_path / "ivf")
+        similarity.materialize_ivf_index(
+            vecs.where(F.col("vec_id") % 3 == 0), path, cell_col="label")
+        for leg in (1, 2):
+            similarity.append_ivf(spark, path,
+                                  vecs.where(F.col("vec_id") % 3 == leg),
+                                  cell_col="label")
+        q = vecs.where(F.col("vec_id") % 40 == 0)
+        before = sorted(map(tuple, similarity.ivf_topk_from_index(
+            spark, path, q, k=5, nprobe=2).collect()))
+        files_before = len(
+            spark.read.parquet(f"{path}/vectors").inputFiles())
+        similarity.compact_ivf(spark, path)
+        files_after = len(
+            spark.read.parquet(f"{path}/vectors").inputFiles())
+        after = sorted(map(tuple, similarity.ivf_topk_from_index(
+            spark, path, q, k=5, nprobe=2).collect()))
+        assert after == before and len(after) > 0
+        assert files_after < files_before
+        # stats refreshed: counts per cell equal the stored rows
+        stats = {r["cell"]: r["n"] for r in
+                 spark.read.parquet(f"{path}/cellstats").collect()}
+        counts = {r["cell"]: r["cnt"] for r in
+                  spark.read.parquet(f"{path}/vectors")
+                  .groupBy("cell").agg(F.count("*").alias("cnt"))
+                  .collect()}
+        assert stats == counts

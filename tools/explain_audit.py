@@ -334,6 +334,8 @@ EXPECTATIONS: dict[str, dict] = {
     # materialized originals) + the incremental composites
     "ds_postings_append": dict(max_exchanges=6, min_broadcasts=3),
     "ds_ivf_append": dict(min_broadcasts=2, max_exchanges=6),
+    # probe plan over the compacted artifact == the append gate's
+    "ds_ivf_compact": dict(min_broadcasts=2, max_exchanges=6),
     # store-scan bands join + delta LSH + verify joins: the same
     # budget class as the full LSH pipeline it restricts
     "ds_incremental_dedup": dict(max_exchanges=12, min_broadcasts=1),
