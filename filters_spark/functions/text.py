@@ -208,17 +208,23 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     whole-corpus sort), then collapsed to a (doc, w1, w2) rollup
     whose map-side combine bounds every later stage by distinct
     bigrams per doc, not tokens.  That rollup is scoped_persist'd
-    because it feeds two branches (the scores and the 1-row
-    vocabulary count) — without the barrier Catalyst re-executes the
+    because it feeds three branches (model counts, vocabulary size,
+    scores) — without the barrier Catalyst re-executes the
     scan+explode subtree per branch (measured r3; the reason V is
     defined over the rollup's w2, not the raw token stream, is
-    exactly so the second corpus scan disappears).  The model counts
-    c(w1,w2) and c(w1,·) are WINDOW sums over the same rollup
-    (partitioned by vocabulary keys — bounded by bigram-type
-    counts), never a self-join of the token stream against its own
-    aggregate; the vocabulary joins as an aliased broadcast 1-row
-    frame (AMBIGUOUS_REFERENCE discipline).  Python never touches a
-    row.
+    exactly so the second corpus scan disappears).
+
+    The model counts c(w1,w2) and c(w1,·) are GROUPED AGGREGATES
+    joined back onto the rollup — deliberately NOT window sums
+    partitioned by the bigram: a corpus-common bigram ('of the' in
+    every document) puts all its rollup rows into a single window
+    partition task, and AQE splits skewed JOINS, not window
+    partitions (the duplicate_spans lesson, ADVICE r4) — the join
+    form is skew-splittable and measured 1.4× faster at 2M docs
+    (626 s → 460 s, SCALE.md).  c(w1,·) aggregates the
+    already-collapsed bigram-count table, so it is vocabulary-sized
+    work, and the vocabulary size joins as a broadcast 1-row frame.
+    Python never touches a row.
 
     The ce column is a double built from sums of ln() terms — per
     the gate discipline it must never be hash-compared or finely
@@ -237,16 +243,17 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     dt = big.groupBy("_id", "_w", "_w2").agg(F.count(F.lit(1)).alias("_tf"))
     dt = scoped_persist(dt, "bigram_lm")
     vocab = dt.groupBy().agg(F.count_distinct("_w2").alias("_v"))
-    dt = (dt
-          .withColumn("_cb", F.sum("_tf").over(Window.partitionBy("_w", "_w2")))
-          .withColumn("_cu", F.sum("_tf").over(Window.partitionBy("_w"))))
-    scored = (dt.alias("l")
+    bc = dt.groupBy("_w", "_w2").agg(F.sum("_tf").alias("_cb"))
+    cu = bc.groupBy("_w").agg(F.sum("_cb").alias("_cu"))
+    scored = (dt
+              .join(bc, ["_w", "_w2"])
+              .join(cu, ["_w"])
               .join(F.broadcast(vocab.alias("r")))
-              .groupBy(F.col("l._id"))
-              .agg(F.sum("l._tf").cast("bigint").alias("n_bigrams"),
-                   F.sum(F.col("l._tf")
-                         * F.log((F.col("l._cu") + F.col("r._v"))
-                                 / (F.col("l._cb") + F.lit(1.0))))
+              .groupBy("_id")
+              .agg(F.sum("_tf").cast("bigint").alias("n_bigrams"),
+                   F.sum(F.col("_tf")
+                         * F.log((F.col("_cu") + F.col("r._v"))
+                                 / (F.col("_cb") + F.lit(1.0))))
                    .alias("_ce_sum")))
     return scored.select(
         F.col("_id").alias(id_col),

@@ -8372,3 +8372,124 @@ def ds_ivf_compact(spark, sf_dir):
     similarity.compact_ivf(spark, path)
     q = emb.where(F.col("vec_id") % 101 == 0)
     return similarity.ivf_topk_from_index(spark, path, q, k=10, nprobe=2)
+
+
+_LM_TAIL = """SELECT CAST(floor(64.0 * ce_sum / n_big) AS BIGINT) AS ce_bucket_64th,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_big) AS BIGINT) AS sum_bigrams
+    FROM scored GROUP BY 1"""
+
+_QPIPE_TAIL = """db AS (
+      SELECT doc_id, n_big,
+             CAST(floor(64.0 * ce_sum / n_big) AS BIGINT) AS bkt
+      FROM scored
+    ), hist AS (
+      SELECT bkt, count(*) AS hn FROM db GROUP BY 1
+    ), htot AS (SELECT CAST(sum(hn) AS BIGINT) AS nn FROM hist),
+    hcum AS (
+      SELECT bkt, CAST(sum(hn) OVER (ORDER BY bkt) AS BIGINT) AS c
+      FROM hist
+    ), cutoff AS (
+      SELECT min(CASE WHEN c >= (3 * nn + 3) // 4 THEN bkt END) AS cut
+      FROM hcum CROSS JOIN htot
+    ), g AS (
+      SELECT doc_id, source,
+        length(text) AS ln,
+        length(text) - length(replace(text, ' ', '')) + 1 AS nw,
+        length(text) - length(replace(text, chr(10), '')) + 1 AS nl,
+        length(text) - length(replace(text, '#', '')) AS hashes,
+        (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses,
+        (CASE WHEN text LIKE '- %' THEN 1 ELSE 0 END)
+          + (length(text) - length(replace(text, chr(10) || '- ', ''))) // 3 AS bullets,
+        (CASE WHEN text LIKE '%...' THEN 1 ELSE 0 END)
+          + (length(text) - length(replace(text, '...' || chr(10), ''))) // 4 AS ell_lines,
+        len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha,
+        len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+            ['the','be','to','of','and','that','have','with'])) AS sw_hits
+      FROM documents
+    ), gp AS (
+      SELECT doc_id, source,
+             CASE WHEN nw BETWEEN 50 AND 100000
+                   AND (ln - (nw-1)) BETWEEN 3*nw AND 10*nw
+                   AND 10*(hashes + ellipses) <= nw
+                   AND 10*bullets <= 9*nl
+                   AND 10*ell_lines <= 3*nl
+                   AND 5*alpha >= 4*nw
+                   AND sw_hits >= 2 THEN 1 ELSE 0 END AS gpass
+      FROM g
+    )
+    SELECT gp.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN gp.gpass = 1 AND db.bkt <= cutoff.cut
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN gp.gpass = 1 AND db.bkt <= cutoff.cut
+                     THEN db.n_big ELSE 0 END) AS BIGINT) AS kept_bigrams,
+           CAST(sum(CASE WHEN gp.gpass = 1 AND db.bkt <= cutoff.cut
+                     THEN gp.doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM gp JOIN db USING (doc_id) CROSS JOIN cutoff
+    GROUP BY gp.source"""
+
+
+@register(
+    "ds_quality_pipeline",
+    oracle=_oracle_replace(
+        # the replaced final SELECT sits after scored's closing paren,
+        # so the continuation reopens the WITH list with a comma (the
+        # ds_corpus_pipeline_v4 derivation pattern)
+        REGISTRY["txt_lm_perplexity"].oracle, _LM_TAIL, ", " + _QPIPE_TAIL),
+)
+def ds_quality_pipeline(spark, sf_dir):
+    """The composed quality screen a pretraining pipeline actually
+    runs: keep documents that pass ALL seven Gopher rules AND sit
+    at-or-below the corpus's 75th-percentile perplexity bucket,
+    rolled up per source with token accounting and an exact doc-id
+    checksum of the kept set.
+
+    Two emergent behaviors no single-op gate pins: (1) the LM is
+    trained on the FULL corpus, before any filtering — filtering
+    first would shift every conditional count and move the cutoff;
+    (2) the perplexity cutoff is a rank threshold over the 1/64-nat
+    BUCKET histogram (smallest bucket whose cumulative count reaches
+    ⌈3n/4⌉), so the data-dependent cutoff inherits the bucket
+    robustness — no raw double is ever compared to a threshold.  The
+    bucket histogram is bounded (≤ a few dozen rows), so its
+    cumulative window is a bounded one-task stage, and the cutoff
+    joins back as a broadcast 1-row frame."""
+    from ..functions._cache import scoped_persist
+
+    d = _t(spark, sf_dir, "documents")
+    # scored feeds two branches (the cutoff histogram and the final
+    # keep join) — barrier it or each branch re-runs the LM joins
+    scored = scoped_persist(
+        text.bigram_lm_scores(d).withColumn(
+            "_bkt", F.floor(F.lit(64.0) * F.col("ce")).cast("bigint")),
+        "quality_pipeline")
+    hist = scored.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_hn"))
+    hcum = hist.withColumn(
+        "_c", F.sum("_hn").over(
+            Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)))
+    htot = hist.agg(F.sum("_hn").cast("bigint").alias("_nn"))
+    cutoff = (hcum.crossJoin(F.broadcast(htot))
+              .agg(F.min(F.when(
+                  F.col("_c") >= F.expr("(3 * _nn + 3) div 4"),
+                  F.col("_bkt"))).alias("_cut")))
+    flags = text.gopher_flags(F.col("text"))
+    total = None
+    for k in flags:
+        c = flags[k]
+        total = c if total is None else total + c
+    gp = d.select("doc_id", "source",
+                  F.when(total == 0, 1).otherwise(0).alias("_gpass"))
+    keep = (F.col("_gpass") == 1) & (F.col("_bkt") <= F.col("_cut"))
+    return (gp.join(scored, "doc_id")
+            .crossJoin(F.broadcast(cutoff))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(keep, 1).otherwise(0))
+                 .cast("bigint").alias("n_kept"),
+                 F.sum(F.when(keep, F.col("n_bigrams")).otherwise(0))
+                 .cast("bigint").alias("kept_bigrams"),
+                 F.sum(F.when(keep, F.col("doc_id")).otherwise(0))
+                 .cast("bigint").alias("kept_checksum")))

@@ -134,10 +134,13 @@ EXPECTATIONS: dict[str, dict] = {
     # gopher rules: one scan, fused flag projection, one source rollup
     "txt_gopher_rules": dict(max_exchanges=1),
     # bigram LM: doc window shuffle + (doc,w1,w2) rollup feed a
-    # scoped_persist'd InMemoryRelation read by BOTH branches (scores
-    # + vocab); counted exchanges/scans include that cached subtree's
-    # lineage printed once per reference — runtime is one corpus scan
-    "txt_lm_perplexity": dict(max_exchanges=7, min_broadcasts=1),
+    # scoped_persist'd InMemoryRelation read by ALL THREE branches
+    # (bigram counts, context counts, vocab — grouped aggregates
+    # joined back, NOT bigram-partitioned windows: window partitions
+    # cannot skew-split, joins can); counted exchanges/scans include
+    # the cached subtree's lineage printed once per reference —
+    # runtime is one corpus scan
+    "txt_lm_perplexity": dict(max_exchanges=11, min_broadcasts=1),
     # funnel: one user_id shuffle for all three window steps + user
     # collapse, then the 1-row global count
     "rel_funnel_steps": dict(max_exchanges=2),
@@ -336,6 +339,14 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_ivf_append": dict(min_broadcasts=2, max_exchanges=6),
     # probe plan over the compacted artifact == the append gate's
     "ds_ivf_compact": dict(min_broadcasts=2, max_exchanges=6),
+    # composed quality screen: TWO cached barriers (the LM rollup,
+    # and the scored frame feeding histogram + keep-join branches).
+    # Printed counts multiply because a cached subtree's lineage is
+    # re-printed per reference and the caches NEST (scored×2, each
+    # embedding the LM tree with dt×3) — runtime materializes each
+    # InMemoryRelation once; the real work is 2 corpus scans (LM
+    # explode + the narrow gopher projection) + bounded rollups
+    "ds_quality_pipeline": dict(max_exchanges=35, min_broadcasts=2),
     # store-scan bands join + delta LSH + verify joins: the same
     # budget class as the full LSH pipeline it restricts
     "ds_incremental_dedup": dict(max_exchanges=12, min_broadcasts=1),
