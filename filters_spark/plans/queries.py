@@ -642,8 +642,11 @@ DRIVER_WINDOW: list[str] = [
     "rel_q3_shipping",          # broadcast join + top-k
     "rel_asof_join",            # as-of join (range join: judged outside)
     "rel_salted_join_agg",      # skew salting
-    "rel_upsert_merge",         # CDC merge (round-3 lazy guard)
-    "rel_sessionize",           # session windows
+    # rel_upsert_merge rotated out r5c (green r2-r4; CDC merge stays
+    # officially covered by rel_scd2's merge-build in-window)
+    # rel_sessionize rotated out r5c (green r2-r4; the window-function
+    # family keeps rel_gapfill_2day plus the rank/lag windows inside
+    # rel_scd2 and ds_duplicate_spans in-window)
     "rel_grouping_sets",        # rollup/cube/sets family (pivot: judged outside)
     "rel_gapfill_2day",         # time-series spine (round-3 fix, gated)
     # rel_setops (pure built-in union/except/intersect) and
@@ -651,7 +654,9 @@ DRIVER_WINDOW: list[str] = [
     # window family keeps rel_sessionize + rel_gapfill_2day inside)
     # rotated out to make room for the round-3b family flagships —
     # both still run under tools/oracle_check.py and the judge sweep
-    "ds_bm25_topk",             # lexical retrieval (round 3b)
+    # ds_bm25_topk rotated out r5c (green r3+r4; lexical retrieval
+    # stays officially exercised inside ds_hybrid_rrf, whose sparse
+    # arm replays the same BM25 scorer and whose oracle re-derives it)
     "ds_pagerank",              # graph curation signal (round 3b)
     # -- LLM-pipeline ops ---------------------------------------------
     # ds_dedup_exact rotated out r5 (green r1-r4; exact dedup is the
@@ -723,6 +728,12 @@ DRIVER_WINDOW: list[str] = [
     "prof_hll_calibration",     # HyperLogLog distinct calibration
     "txt_bpe_merges",           # BPE merge training
     "ds_corpus_pipeline_v4",    # excision -> exact-dedup capstone
+    # -- round-5 third rotation: the late-round quality/sketch
+    # families, each green on the strict replica at sf0.01 AND sf0.1
+    # + local[5] + empty + plan audit before entry:
+    "ds_quality_pipeline",      # Gopher rules ∧ LM-perplexity keep
+    "prof_hdr_quantiles",       # HDR quantile sketch calibration
+    "ds_tokenize_pack",         # BPE -> subword-budget packing
 ]
 
 
