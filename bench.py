@@ -69,6 +69,11 @@ HEADLINE = [
     "ds_stratified_fixed_n",
     "ds_hybrid_rrf",
     "ds_corpus_pipeline_v4",
+    # round 5 (late): quality-screen + sketch families
+    "txt_gopher_rules",
+    "txt_lm_perplexity",
+    "prof_hdr_quantiles",
+    "ds_quality_pipeline",
 ]
 
 

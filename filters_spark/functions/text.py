@@ -203,9 +203,15 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     V = the outcome vocabulary |{w2}| (distinct next-words — the
     mass add-one smoothing spreads over).
 
-    Plan shape for scale: ONE corpus scan; bigrams are formed by a
-    lead() window partitioned BY DOCUMENT (bounded partitions — no
-    whole-corpus sort), then collapsed to a (doc, w1, w2) rollup
+    Plan shape for scale: ONE corpus scan; bigrams are formed
+    ARRAY-SIDE — explode(arrays_zip(slice(toks, 1, n−1),
+    slice(toks, 2, n−1))) — which is pure codegen collection work in
+    the scan projection (slice/arrays_zip are not lambda HOFs), so
+    the token stream is never shuffled into a per-doc window sort
+    just to pair neighbors (the first cut's lead() window cost a
+    62M-row exchange+sort at 2M docs before any real work — cutting
+    it measured 460 s → 156.6 s, SCALE.md); the pairs collapse
+    straight into a (doc, w1, w2) rollup
     whose map-side combine bounds every later stage by distinct
     bigrams per doc, not tokens.  That rollup is scoped_persist'd
     because it feeds three branches (model counts, vocabulary size,
@@ -221,7 +227,8 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     partition task, and AQE splits skewed JOINS, not window
     partitions (the duplicate_spans lesson, ADVICE r4) — the join
     form is skew-splittable and measured 1.4× faster at 2M docs
-    (626 s → 460 s, SCALE.md).  c(w1,·) aggregates the
+    (626 s → 460 s; with array-side pairing on top, 156.6 s total —
+    4× over the first cut, SCALE.md).  c(w1,·) aggregates the
     already-collapsed bigram-count table, so it is vocabulary-sized
     work, and the vocabulary size joins as a broadcast 1-row frame.
     Python never touches a row.
@@ -230,16 +237,17 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     the gate discipline it must never be hash-compared or finely
     rounded; gates bucket it coarsely (see txt_lm_perplexity) or
     threshold it."""
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),
-    )
-    w_doc = Window.partitionBy("_id").orderBy("_pos")
-    big = (toks
-           .withColumn("_w2", F.lead("_w").over(w_doc))
-           .where(F.col("_w2").isNotNull()))
     from ._cache import scoped_persist
 
+    arr = tokens(F.col(text_col))
+    n = F.size(arr)
+    pairs = F.arrays_zip(
+        F.slice(arr, F.lit(1), n - F.lit(1)).alias("_w"),
+        F.slice(arr, F.lit(2), n - F.lit(1)).alias("_w2"))
+    big = (df.where(n >= 2)
+           .select(F.col(id_col).alias("_id"), F.explode(pairs).alias("_p"))
+           .select("_id", F.col("_p._w").alias("_w"),
+                   F.col("_p._w2").alias("_w2")))
     dt = big.groupBy("_id", "_w", "_w2").agg(F.count(F.lit(1)).alias("_tf"))
     dt = scoped_persist(dt, "bigram_lm")
     vocab = dt.groupBy().agg(F.count_distinct("_w2").alias("_v"))
