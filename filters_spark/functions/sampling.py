@@ -34,6 +34,7 @@ __all__ = [
     "stratified_fixed_n",
     "hash_bucket",
     "domain_mixture_sample",
+    "temperature_mixture_sample",
     "global_shuffle",
     "hash_reservoir",
 ]
@@ -292,3 +293,43 @@ def hash_reservoir(df: DataFrame, group_cols: list[str], key: str,
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def temperature_mixture_sample(df: DataFrame, key: str, domain_col: str,
+                               alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled mixture resampling — the multilingual
+    pretraining practice of sampling domain d with probability
+    proportional to n_d^alpha, alpha < 1 flattening the distribution
+    toward low-resource domains (Conneau et al. 2020 use ~0.3-0.7).
+
+    Unlike :func:`domain_mixture_sample` the targets are DERIVED from
+    the data (t_d proportional to n_d^alpha), so the whole computation
+    stays in-plan with no caller-supplied dict: per-domain counts (one
+    narrow shuffle), weights w_d = n_d^alpha, and the keep rate
+    r_d = (w_d/n_d) * min_e(n_e/w_e) — the normalizing sum of weights
+    CANCELS out of t_d*S/n_d, so no cross-domain float accumulation
+    exists anywhere.  For alpha = 1/2 this reduces to sqrt(n_min/n_d):
+    the smallest domain survives whole and larger domains shrink by
+    the square-root ratio.  The keep decision is the deterministic
+    ``hash_uniform(key) < rate`` scan predicate (same rows on every
+    rerun/backfill; no RNG, no driver collect).
+
+    alpha = 0.5 computes weights with sqrt(), which IEEE 754 requires
+    to be correctly rounded in every engine — the reason it is the
+    default and the only alpha a hash gate should use; other alphas
+    go through pow(), whose last ulp is not cross-engine guaranteed
+    (fine in production, not under a value-hash oracle)."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    if alpha == 0.5:
+        w = F.sqrt(F.col("_n"))
+    else:
+        w = F.pow(F.col("_n"), F.lit(float(alpha)))
+    counts = counts.withColumn("_w", w)
+    m = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_m"))
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        F.col(domain_col),
+        F.least(F.lit(1.0), F.col("_w") / F.col("_n") * F.col("_m"))
+        .alias("_rate"))
+    return (df.join(F.broadcast(rates), domain_col)
+            .where(hash_uniform(F.col(key)) < F.col("_rate"))
+            .drop("_rate"))

@@ -8504,3 +8504,44 @@ def ds_quality_pipeline(spark, sf_dir):
                  .cast("bigint").alias("kept_bigrams"),
                  F.sum(F.when(keep, F.col("doc_id")).otherwise(0))
                  .cast("bigint").alias("kept_checksum")))
+
+
+@register(
+    "ds_temperature_mixture",
+    oracle="""
+    WITH t AS (
+      SELECT source, count(*) AS n, sqrt(count(*)) AS w
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT min(n / w) AS m FROM t
+    ), r AS (
+      SELECT source, least(1.0, w / n * s.m) AS rate FROM t, s
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.doc_id) AS BIGINT) AS kept_checksum
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.rate
+    GROUP BY d.source
+    """,
+)
+def ds_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture resampling under the value hash
+    (sampling.temperature_mixture_sample, alpha = 1/2): keep rates
+    sqrt(n_min/n_d) derived entirely in-plan from observed counts —
+    the multilingual low-resource-upweighting step, with the
+    normalizing weight sum provably cancelled out of the rate (so no
+    cross-domain float accumulation exists for the oracle to
+    disagree with).  alpha = 1/2 is the gateable temperature: sqrt
+    is IEEE-correctly-rounded in both engines, pow is not.  The
+    oracle replays weights, the min, the rates, and the md5 draw
+    with the same IEEE operation order; per-source kept counts and
+    exact doc-id checksums hash the surviving row set."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture_sample(
+        d.select("doc_id", "source"), "doc_id", "source", alpha=0.5)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_checksum"))

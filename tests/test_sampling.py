@@ -367,3 +367,30 @@ class TestHdrQuantiles:
         df = spark.createDataFrame([(0,)], "x bigint")
         with pytest.raises(Exception, match="non-positive"):
             sketch.hdr_table(df, "x").collect()
+
+
+class TestTemperatureMixture:
+    def test_sqrt_rates_and_determinism(self, spark):
+        from filters_spark.functions import sampling
+        # a: 100 rows (smallest -> rate 1.0, ALL kept);
+        # b: 400 rows -> rate sqrt(100/400) = 0.5
+        df = spark.range(500).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 100, "a").otherwise("b").alias("dom"))
+        out = sampling.temperature_mixture_sample(df, "k", "dom")
+        counts = {r["dom"]: r["n"] for r in
+                  out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+        assert counts["a"] == 100
+        assert 120 < counts["b"] < 280  # ~200 expected, hash-determined
+        again = sampling.temperature_mixture_sample(df, "k", "dom")
+        assert sorted(map(tuple, out.collect())) == \
+            sorted(map(tuple, again.collect()))
+
+    def test_alpha_one_is_identity_rates(self, spark):
+        from filters_spark.functions import sampling
+        # alpha=1: w=n, rate = (n/n)*min(n/n) = 1 for every domain
+        df = spark.range(300).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("dom"))
+        out = sampling.temperature_mixture_sample(df, "k", "dom", alpha=1.0)
+        assert out.count() == 300

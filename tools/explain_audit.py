@@ -241,6 +241,8 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_decontaminate": dict(max_exchanges=4, min_broadcasts=2),
     # mixture: counts + 1-row S broadcast as rates onto the scan
     "ds_domain_mixture": dict(max_exchanges=4, min_broadcasts=2),
+    # temperature mixture: same shape, rates derived in-plan
+    "ds_temperature_mixture": dict(max_exchanges=4, min_broadcasts=2),
     # composed pipeline: a lazy localCheckpoint barrier after the
     # decontamination stage (the in-query analog of the production
     # between-stage sink) truncates the audited plan to the tail —
