@@ -277,57 +277,73 @@ def _bit_length(col: Column) -> Column:
     return F.length(F.conv(F.hex(col), 16, 2))
 
 
-def hdr_table(df: DataFrame, col: str, sub_bits: int = 3) -> DataFrame:
-    """(shift, top, lb, n) bucket table over a POSITIVE integer
-    column — ≤ 64·2^sub_bits rows whatever the input size.  NULLs
-    excluded; non-positive values raise inside the plan (the
-    pack_streaming raise_error discipline: a silent drop would skew
-    every rank downstream)."""
+def hdr_table(df: DataFrame, col: str, sub_bits: int = 3,
+              by: list[str] | None = None) -> DataFrame:
+    """(*by, shift, top, lb, n) bucket table over a POSITIVE integer
+    column — ≤ 64·2^sub_bits rows PER GROUP whatever the input size
+    (``by`` gives per-key sketches: per-source latency/length
+    percentiles, the production grouped form).  NULLs excluded;
+    non-positive values raise inside the plan (the pack_streaming
+    raise_error discipline: a silent drop would skew every rank
+    downstream)."""
+    groups = list(by or [])
     v = F.when(F.col(col) > 0, F.col(col).cast("long")).otherwise(
         F.raise_error(F.lit(
             f"hdr_table: non-positive {col} values — the log bucket "
             "needs v > 0; shift or filter first")))
     shift = F.greatest(_bit_length(v) - F.lit(sub_bits + 1), F.lit(0))
     proj = df.where(F.col(col).isNotNull()).select(
-        shift.cast("int").alias("_sh"), v.alias("_v"))
+        *groups, shift.cast("int").alias("_sh"), v.alias("_v"))
     top = F.expr("shiftright(_v, _sh)")
-    return (proj.select("_sh", top.alias("_top"))
-            .groupBy("_sh", "_top")
+    return (proj.select(*groups, "_sh", top.alias("_top"))
+            .groupBy(*groups, "_sh", "_top")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            .select(F.col("_sh").alias("shift"), F.col("_top").alias("top"),
+            .select(*groups,
+                    F.col("_sh").alias("shift"), F.col("_top").alias("top"),
                     F.expr("shiftleft(_top, _sh)").alias("lb"), "n"))
 
 
-def hdr_merge(*tables: DataFrame) -> DataFrame:
+def hdr_merge(*tables: DataFrame, by: list[str] | None = None) -> DataFrame:
     """Union + per-bucket count sum: the sketch of a union of shards
-    (the cms_merge / hll_merge twin)."""
+    (the cms_merge / hll_merge twin).  Pass the same ``by`` the
+    tables were built with."""
     from functools import reduce
 
+    groups = list(by or [])
     u = reduce(lambda a, b: a.unionByName(b), tables)
-    return (u.groupBy("shift", "top", "lb")
+    return (u.groupBy(*groups, "shift", "top", "lb")
             .agg(F.sum("n").cast("bigint").alias("n")))
 
 
-def hdr_quantiles(table: DataFrame,
-                  qs: list[tuple[int, int]]) -> DataFrame:
-    """(q_num, q_den, n, est) rows from a :func:`hdr_table`: est is
-    the lower bound of the bucket holding the ⌈q·n⌉-th smallest
-    value, so est ≤ true quantile < est + est/2^sub_bits.  Ranks are
-    exact integers: the threshold is ⌈q_num·n/q_den⌉ computed as
+def hdr_quantiles(table: DataFrame, qs: list[tuple[int, int]],
+                  by: list[str] | None = None) -> DataFrame:
+    """(*by, q_num, q_den, n, est) rows from a :func:`hdr_table`:
+    est is the lower bound of the bucket holding the ⌈q·n⌉-th
+    smallest value (per group when ``by`` is given), so
+    est ≤ true quantile < est + est/2^sub_bits.  Ranks are exact
+    integers: the threshold is ⌈q_num·n/q_den⌉ computed as
     (q_num·n + q_den − 1) div q_den — no float ever appears.  The
-    running sum is a window over the bounded bucket table."""
+    running sum is a window over the bounded bucket table (≤ 512
+    rows per group by construction — a grouped window over bounded
+    partitions, never data-sized)."""
     from pyspark.sql import Window
 
+    groups = list(by or [])
     spark = table.sparkSession
     cum = table.withColumn(
         "_c", F.sum("n").over(
-            Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)))
-    tot = table.agg(F.sum("n").cast("bigint").alias("_n"))
+            Window.partitionBy(*groups).orderBy("lb")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    tot = table.groupBy(*groups).agg(F.sum("n").cast("bigint").alias("_n"))
     qdf = spark.createDataFrame(qs, "q_num bigint, q_den bigint")
+    if groups:
+        joined = cum.join(F.broadcast(tot), groups)
+    else:
+        joined = cum.crossJoin(F.broadcast(tot))
     # exact integer ceil-division (SQL div; never a float quotient)
     thresh = F.expr("(q_num * _n + q_den - 1) div q_den")
-    return (cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(qdf))
-            .groupBy("q_num", "q_den")
+    return (joined.crossJoin(F.broadcast(qdf))
+            .groupBy(*groups, "q_num", "q_den")
             .agg(F.max("_n").alias("n"),
                  F.min(F.when(F.col("_c") >= thresh, F.col("lb")))
                  .cast("bigint").alias("est")))

@@ -8545,3 +8545,88 @@ def ds_temperature_mixture(spark, sf_dir):
     return out.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.sum("doc_id").cast("bigint").alias("kept_checksum"))
+
+
+@register(
+    "prof_hdr_by_group",
+    oracle="""
+    WITH v AS (
+      SELECT source, n_chars AS v FROM documents
+    ), b AS (
+      SELECT source, greatest(length(bin(v)) - 4, 0) AS sh, v FROM v
+    ), buck AS (
+      SELECT source, sh, v >> sh AS top, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2, 3
+    ), lbs AS (
+      SELECT source, (top << sh) AS lb, n FROM buck
+    ), tot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS nn FROM lbs GROUP BY 1
+    ), cum AS (
+      SELECT source, lb,
+             CAST(sum(n) OVER (PARTITION BY source ORDER BY lb)
+                  AS BIGINT) AS c
+      FROM lbs
+    ),
+    qs(q_num, q_den) AS (VALUES (1,2),(9,10)),
+    est AS (
+      SELECT c.source, q_num, q_den, t.nn,
+             min(CASE WHEN c.c >= (q_num*t.nn + q_den - 1)//q_den
+                      THEN c.lb END) AS est
+      FROM cum c JOIN tot t USING (source) CROSS JOIN qs
+      GROUP BY 1, 2, 3, 4
+    ),
+    dv AS (
+      SELECT source, v AS lb, CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1, 2
+    ), cume AS (
+      SELECT source, lb,
+             CAST(sum(n) OVER (PARTITION BY source ORDER BY lb)
+                  AS BIGINT) AS c
+      FROM dv
+    ), ex AS (
+      SELECT c.source, q_num, q_den,
+             min(CASE WHEN c.c >= (q_num*t.nn + q_den - 1)//q_den
+                      THEN c.lb END) AS exact
+      FROM cume c JOIN tot t USING (source) CROSS JOIN qs
+      GROUP BY 1, 2, 3
+    )
+    SELECT e.source, CAST(e.q_num AS BIGINT) AS q_num,
+           CAST(e.q_den AS BIGINT) AS q_den,
+           e.nn AS n, CAST(e.est AS BIGINT) AS est_chars,
+           CAST(x.exact AS BIGINT) AS exact_chars,
+           CAST(CASE WHEN x.exact >= e.est
+                      AND (x.exact - e.est) * 8 <= e.est
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM est e JOIN ex x USING (source, q_num, q_den)
+    """,
+)
+def prof_hdr_by_group(spark, sf_dir):
+    """GROUPED quantile-sketch calibration: per-source p50/p90 of
+    document length from the grouped HDR table (sketch.hdr_table
+    ``by=['source']``) — the production form (per-key latency/length
+    percentiles), certified per group against exact rank quantiles
+    with the 12.5% integer-arithmetic guarantee.  The grouped
+    machinery is the SAME code path as prof_hdr_quantiles with the
+    cum window partitioned by the group key — bounded at ≤ 512
+    bucket rows per group, so the window stays a bounded stage no
+    matter the corpus."""
+    from ..functions import sketch
+
+    qs = [(1, 2), (9, 10)]
+    d = _t(spark, sf_dir, "documents").select("source",
+                                              F.col("n_chars").alias("v"))
+    tbl = sketch.hdr_table(d, "v", by=["source"])
+    est = sketch.hdr_quantiles(tbl, qs, by=["source"])
+    dv = d.groupBy("source", F.col("v").alias("lb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    exact = (sketch.hdr_quantiles(dv, qs, by=["source"])
+             .select("source", "q_num", "q_den",
+                     F.col("est").alias("exact")))
+    ok = F.when((F.col("exact") >= F.col("est"))
+                & ((F.col("exact") - F.col("est")) * 8 <= F.col("est")),
+                F.lit(1)).otherwise(F.lit(0))
+    return (est.join(exact, ["source", "q_num", "q_den"])
+            .select("source", "q_num", "q_den", "n",
+                    F.col("est").alias("est_chars"),
+                    F.col("exact").alias("exact_chars"),
+                    ok.cast("bigint").alias("within_bound")))

@@ -394,3 +394,16 @@ class TestTemperatureMixture:
             (F.col("id") % 3).cast("string").alias("dom"))
         out = sampling.temperature_mixture_sample(df, "k", "dom", alpha=1.0)
         assert out.count() == 300
+
+    def test_grouped_quantiles(self, spark):
+        from filters_spark.functions import sketch
+        # group a: 1..100 (median 50); group b: 1000..1999 (median ~1500)
+        df = spark.range(1, 101).select(F.lit("a").alias("g"), F.col("id").alias("x")) \
+            .unionAll(spark.range(1000, 2000).select(F.lit("b").alias("g"),
+                                                     F.col("id").alias("x")))
+        tbl = sketch.hdr_table(df, "x", by=["g"])
+        est = {(r["g"], r["q_num"], r["q_den"]): r["est"]
+               for r in sketch.hdr_quantiles(tbl, [(1, 2)], by=["g"]).collect()}
+        for g, exact in [("a", 50), ("b", 1500)]:
+            lb = est[(g, 1, 2)]
+            assert lb <= exact and (exact - lb) * 8 <= lb

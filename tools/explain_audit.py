@@ -324,6 +324,8 @@ EXPECTATIONS: dict[str, dict] = {
     # total + q-set broadcast + (q_num,q_den) rollup, TWICE (sketch
     # side + the exact side reusing the same machinery), + final join
     "prof_hdr_quantiles": dict(max_exchanges=10, min_broadcasts=4),
+    # grouped twin: same machinery with source-partitioned windows
+    "prof_hdr_by_group": dict(max_exchanges=12, min_broadcasts=4),
     # Y4M codec gate: scan → payload build → two mapInPandas
     # crossings (frame-sample + featurize) → posexplode + one rollup
     "ds_y4m_codec_gate": dict(max_exchanges=1, scan_filter=True),
