@@ -124,6 +124,8 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 def gopher_flags(col: Column,
                  min_words: int = 50, max_words: int = 100_000,
                  min_word_len: int = 3, max_word_len: int = 10,
+                 stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+                 min_stopwords: int = 2,
                  ) -> dict[str, Column]:
     """Gopher-style document quality rules (Rae et al. 2021, §A1.1)
     as per-document FAIL flags (1 = rule violated), one fused codegen
@@ -148,7 +150,12 @@ def gopher_flags(col: Column,
       bullet_lines  — lines starting '- ' > 90% of lines
       ellipsis_lines— lines ending '...' > 30% of lines
       alpha_words   — words containing a letter < 80% of words
-      stopwords     — fewer than 2 distinct GOPHER_STOPWORDS present
+      stopwords     — fewer than min_stopwords distinct ``stopwords``
+                      present (defaults: the canonical Gopher list;
+                      quality screens tune this per corpus — a corpus
+                      whose vocabulary lacks the canonical words would
+                      otherwise reject EVERY document, the degenerate
+                      screen the composed pipeline gates guard against)
     """
     ln = F.length(col)
     nw = ln - F.length(F.translate(col, " ", "")) + F.lit(1)
@@ -169,7 +176,7 @@ def gopher_flags(col: Column,
                  + occurrences("...\n"))
     alpha = F.size(F.filter(tokens(col),
                             lambda w: w.rlike("[a-zA-Z]")))
-    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw = F.array(*[F.lit(w) for w in stopwords])
     sw_hits = F.size(F.array_intersect(
         F.array_distinct(tokens(F.lower(col))), sw))
 
@@ -188,7 +195,7 @@ def gopher_flags(col: Column,
         "ellipsis_lines": flag(F.lit(10) * ell_lines > F.lit(3) * n_lines),
         # alpha/words < 0.8  ⇔  5·alpha < 4·words
         "alpha_words": flag(F.lit(5) * alpha < F.lit(4) * nw),
-        "stopwords": flag(sw_hits < F.lit(2)),
+        "stopwords": flag(sw_hits < F.lit(min_stopwords)),
     }
 
 

@@ -8385,6 +8385,47 @@ def ds_ivf_compact(spark, sf_dir):
     return similarity.ivf_topk_from_index(spark, path, q, k=10, nprobe=2)
 
 
+def _quality_joined(spark, sf_dir):
+    """Shared quality-screen frame for ds_quality_pipeline and the v5
+    capstone: every document joined with its gopher pass flag
+    (_gpass), LM perplexity bucket (_bkt), bigram count (n_bigrams),
+    and the broadcast P75 bucket cutoff (_cut).  Returns (frame,
+    keep_predicate).  The scored frame is scoped_persist'd because it
+    feeds the cutoff histogram AND the keep join."""
+    from ..functions._cache import scoped_persist
+
+    d = _t(spark, sf_dir, "documents")
+    scored = scoped_persist(
+        text.bigram_lm_scores(d).withColumn(
+            "_bkt", F.floor(F.lit(64.0) * F.col("ce")).cast("bigint")),
+        "quality_pipeline")
+    hist = scored.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_hn"))
+    hcum = hist.withColumn(
+        "_c", F.sum("_hn").over(
+            Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)))
+    htot = hist.agg(F.sum("_hn").cast("bigint").alias("_nn"))
+    cutoff = (hcum.crossJoin(F.broadcast(htot))
+              .agg(F.min(F.when(
+                  F.col("_c") >= F.expr("(3 * _nn + 3) div 4"),
+                  F.col("_bkt"))).alias("_cut")))
+    # corpus-tuned stopword rule (the gopher_flags docstring's
+    # degenerate-screen guard): this synthetic corpus's vocabulary
+    # carries only 'the' and 'a' from any common-word list, so the
+    # canonical Gopher set would reject EVERY document and the
+    # composed pipeline would gate a vacuous empty corpus
+    flags = text.gopher_flags(F.col("text"), stopwords=("the", "a"))
+    total = None
+    for k in flags:
+        c = flags[k]
+        total = c if total is None else total + c
+    gp = d.select("doc_id", "source",
+                  F.when(total == 0, 1).otherwise(0).alias("_gpass"))
+    keep = (F.col("_gpass") == 1) & (F.col("_bkt") <= F.col("_cut"))
+    joined = (gp.join(scored, "doc_id").crossJoin(F.broadcast(cutoff)))
+    return joined, keep
+
+
+
 _LM_TAIL = """SELECT CAST(floor(64.0 * ce_sum / n_big) AS BIGINT) AS ce_bucket_64th,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
@@ -8418,7 +8459,7 @@ _QPIPE_TAIL = """db AS (
         len(list_filter(string_split(text, ' '),
                         w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha,
         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-            ['the','be','to','of','and','that','have','with'])) AS sw_hits
+            ['the','a'])) AS sw_hits
       FROM documents
     ), gp AS (
       SELECT doc_id, source,
@@ -8468,34 +8509,8 @@ def ds_quality_pipeline(spark, sf_dir):
     bucket histogram is bounded (≤ a few dozen rows), so its
     cumulative window is a bounded one-task stage, and the cutoff
     joins back as a broadcast 1-row frame."""
-    from ..functions._cache import scoped_persist
-
-    d = _t(spark, sf_dir, "documents")
-    # scored feeds two branches (the cutoff histogram and the final
-    # keep join) — barrier it or each branch re-runs the LM joins
-    scored = scoped_persist(
-        text.bigram_lm_scores(d).withColumn(
-            "_bkt", F.floor(F.lit(64.0) * F.col("ce")).cast("bigint")),
-        "quality_pipeline")
-    hist = scored.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_hn"))
-    hcum = hist.withColumn(
-        "_c", F.sum("_hn").over(
-            Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)))
-    htot = hist.agg(F.sum("_hn").cast("bigint").alias("_nn"))
-    cutoff = (hcum.crossJoin(F.broadcast(htot))
-              .agg(F.min(F.when(
-                  F.col("_c") >= F.expr("(3 * _nn + 3) div 4"),
-                  F.col("_bkt"))).alias("_cut")))
-    flags = text.gopher_flags(F.col("text"))
-    total = None
-    for k in flags:
-        c = flags[k]
-        total = c if total is None else total + c
-    gp = d.select("doc_id", "source",
-                  F.when(total == 0, 1).otherwise(0).alias("_gpass"))
-    keep = (F.col("_gpass") == 1) & (F.col("_bkt") <= F.col("_cut"))
-    return (gp.join(scored, "doc_id")
-            .crossJoin(F.broadcast(cutoff))
+    joined, keep = _quality_joined(spark, sf_dir)
+    return (joined
             .groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum(F.when(keep, 1).otherwise(0))
@@ -8630,3 +8645,86 @@ def prof_hdr_by_group(spark, sf_dir):
                     F.col("est").alias("est_chars"),
                     F.col("exact").alias("exact_chars"),
                     ok.cast("bigint").alias("within_bound")))
+
+
+_QPIPE_FINAL = """SELECT gp.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN gp.gpass = 1 AND db.bkt <= cutoff.cut
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN gp.gpass = 1 AND db.bkt <= cutoff.cut
+                     THEN db.n_big ELSE 0 END) AS BIGINT) AS kept_bigrams,
+           CAST(sum(CASE WHEN gp.gpass = 1 AND db.bkt <= cutoff.cut
+                     THEN gp.doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM gp JOIN db USING (doc_id) CROSS JOIN cutoff
+    GROUP BY gp.source"""
+
+_V5_TAIL = """, kept AS (
+      SELECT gp.doc_id, gp.source
+      FROM gp JOIN db USING (doc_id) CROSS JOIN cutoff
+      WHERE gp.gpass = 1 AND db.bkt <= cutoff.cut
+    ), kt AS (
+      SELECT source, count(*) AS n, sqrt(count(*)) AS w
+      FROM kept GROUP BY 1
+    ), ks AS (SELECT min(n / w) AS m FROM kt),
+    kr AS (
+      SELECT source, least(1.0, w / n * ks.m) AS rate FROM kt, ks
+    ), mixed AS (
+      SELECT k.doc_id, k.source FROM kept k JOIN kr USING (source)
+      WHERE CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0 < kr.rate
+    ), lens AS (
+      SELECT m.source, m.doc_id,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM mixed m JOIN documents d USING (doc_id)
+    ), packed AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM lens
+    )
+    SELECT source, CAST(floor(start / 512) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin"""
+
+
+@register(
+    "ds_corpus_pipeline_v5",
+    oracle=_oracle_replace(
+        REGISTRY["ds_quality_pipeline"].oracle, _QPIPE_FINAL, _V5_TAIL),
+)
+def ds_corpus_pipeline_v5(spark, sf_dir):
+    """The round-5 curation capstone, end to end in ONE hash-gated
+    plan: quality screen (all seven Gopher rules ∧ at-or-below the
+    P75 perplexity bucket, LM trained on the FULL corpus) →
+    temperature-scaled mixture over the SURVIVORS (α = 1/2 rates
+    derived from post-filter counts — deriving them pre-filter would
+    re-inflate every domain the screen shrank, the ordering
+    dependency this composition pins) → 512-token streaming context
+    packing of the sampled docs per source.
+
+    The oracle extends ds_quality_pipeline's CTE chain (via
+    _oracle_replace — reworded bases fail at import) with the
+    temperature-mixture arithmetic and the ds_sequence_pack
+    running-total window.  Every stage reuses the already-gated
+    machinery: _quality_joined (shared with ds_quality_pipeline),
+    sampling.temperature_mixture_sample, packing.pack_streaming."""
+    from ..functions import packing, sampling
+    from ..functions._cache import scoped_persist
+
+    joined, keep = _quality_joined(spark, sf_dir)
+    # the kept set feeds the mixture's count aggregate AND its keep
+    # join AND the packing length join — barrier it or the whole
+    # quality-screen subtree re-executes per branch
+    kept = scoped_persist(joined.where(keep).select("doc_id", "source"),
+                          "corpus_v5")
+    mixed = sampling.temperature_mixture_sample(
+        kept, "doc_id", "source", alpha=0.5)
+    d = _t(spark, sf_dir, "documents")
+    lens = (mixed.join(d.select("doc_id", "text"), "doc_id")
+            .select("source", "doc_id",
+                    F.size(F.split("text", " ")).alias("n_tok")))
+    packed = packing.pack_streaming(lens, "doc_id", "n_tok", 512,
+                                    partition_cols=["source"])
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"))

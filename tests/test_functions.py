@@ -250,6 +250,19 @@ class TestText:
         assert rows["numeric"]["stopwords"] == 1
         assert rows["good"]["stopwords"] == 0
 
+    def test_gopher_stopwords_tunable(self, spark):
+        # a corpus-adapted list flips the stopword verdict; other
+        # rules are untouched
+        df = spark.createDataFrame([("foo bar baz qux quux",)], "t string")
+        default = text.gopher_flags(F.col("t"))
+        tuned = text.gopher_flags(F.col("t"), stopwords=("foo", "bar"))
+        [r] = df.select(default["stopwords"].alias("d"),
+                        tuned["stopwords"].alias("t2"),
+                        default["symbol_ratio"].alias("s1"),
+                        tuned["symbol_ratio"].alias("s2")).collect()
+        assert r["d"] == 1 and r["t2"] == 0
+        assert r["s1"] == r["s2"] == 0
+
     def test_bigram_lm_scores_exact(self, spark):
         # corpus: V={a,b,c}; bigram counts (a,b)=3 (b,a)=1 (b,c)=1;
         # first-element counts a=3 b=2 -> p(b|a)=4/6, p(a|b)=p(c|b)=2/5

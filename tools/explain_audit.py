@@ -351,6 +351,13 @@ EXPECTATIONS: dict[str, dict] = {
     # InMemoryRelation once; the real work is 2 corpus scans (LM
     # explode + the narrow gopher projection) + bounded rollups
     "ds_quality_pipeline": dict(max_exchanges=35, min_broadcasts=2),
+    # v5 capstone: THREE nested cache barriers (LM rollup, scored,
+    # kept) — the printed plan re-expands every cached subtree per
+    # reference and the nesting multiplies (48 InMemoryTableScan
+    # refs; 106 printed exchanges for what runtime executes as 2
+    # corpus scans + the mixture/pack aggregates, each cache
+    # materializing once)
+    "ds_corpus_pipeline_v5": dict(max_exchanges=106, min_broadcasts=3),
     # store-scan bands join + delta LSH + verify joins: the same
     # budget class as the full LSH pipeline it restricts
     "ds_incremental_dedup": dict(max_exchanges=12, min_broadcasts=1),
