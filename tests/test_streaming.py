@@ -3,6 +3,7 @@ error rates, session windows, dead-letter sinks.  All tests use the
 file source reading the real events parquet with availableNow + memory
 sink (processAllAvailable)."""
 
+import os
 import shutil
 import tempfile
 
@@ -579,3 +580,50 @@ class TestIncrementalDedupSink:
                     spark.read.parquet(pairs_out)
                     .where(F.col("_batch_id") == 2).collect())
         assert p2 == [(1, 20), (10, 20)]
+
+
+class TestStreamingQualityScreen:
+    def test_gopher_monitor_matches_batch(self, spark):
+        """The streaming quality screen is a COMPOSITION, not new
+        API: expectations_monitor + a gopher_flags rollup as the
+        checks callable — per-batch rule-fail counts land in the
+        idempotent audit sink and must equal the static batch rollup
+        over the same files (round 5)."""
+        from filters_spark.functions import text
+
+        tmp = tempfile.mkdtemp(prefix="fsqual_")
+        # the testdata table is a single FILE; readStream needs a dir
+        docs_dir = f"{tmp}/docs"
+        os.makedirs(docs_dir)
+        shutil.copy(f"{SF_DIR}/documents.parquet",
+                    f"{docs_dir}/part-0.parquet")
+        schema = spark.read.parquet(docs_dir).schema
+
+        def checks(batch_df):
+            flags = text.gopher_flags(F.col("text"), stopwords=("the", "a"))
+            proj = batch_df.select(
+                *[v.alias(k) for k, v in flags.items()])
+            return proj.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                *[F.sum(k).cast("bigint").alias(f"fail_{k}")
+                  for k in flags])
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(docs_dir))
+        q = (stream.writeStream
+             .foreachBatch(st.expectations_monitor(checks, f"{tmp}/audit"))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        audit = spark.read.parquet(f"{tmp}/audit")
+        got = audit.agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("fail_word_count").alias("wc"),
+            F.sum("fail_stopwords").alias("sw")).head()
+        want = checks(spark.read.parquet(docs_dir)).head()
+        assert got["n"] == want["n_docs"]
+        assert got["wc"] == want["fail_word_count"]
+        assert got["sw"] == want["fail_stopwords"]
+        shutil.rmtree(tmp, ignore_errors=True)
