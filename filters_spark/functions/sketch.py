@@ -144,26 +144,35 @@ def _hll_parts(col: Column) -> tuple[Column, Column]:
     return bucket, rho.cast("int")
 
 
-def hll_table(df: DataFrame, col: str) -> DataFrame:
-    """(bucket, max_rho) — ≤ 256 rows whatever the input size.  NULLs
-    are excluded (a NULL key is not a value)."""
+def hll_table(df: DataFrame, col: str,
+              by: list[str] | None = None) -> DataFrame:
+    """(*by, bucket, max_rho) — ≤ 256 rows PER GROUP whatever the
+    input size (``by`` gives per-key sketches: distinct users per
+    source/day, the production grouped form — the hdr_table
+    convention).  NULLs are excluded (a NULL key is not a value)."""
+    groups = list(by or [])
     bucket, rho = _hll_parts(F.col(col))
     return (df.where(F.col(col).isNotNull())
-            .select(bucket.alias("bucket"), rho.alias("_rho"))
-            .groupBy("bucket").agg(F.max("_rho").alias("max_rho")))
+            .select(*groups, bucket.alias("bucket"), rho.alias("_rho"))
+            .groupBy(*groups, "bucket").agg(F.max("_rho").alias("max_rho")))
 
 
-def hll_merge(*tables: DataFrame) -> DataFrame:
+def hll_merge(*tables: DataFrame, by: list[str] | None = None) -> DataFrame:
     """Union + per-bucket max: the sketch of a union of datasets —
-    shard daily, merge for the global count (the cms_merge twin)."""
+    shard daily, merge for the global count (the cms_merge twin).
+    Pass the same ``by`` the tables were built with."""
     from functools import reduce
 
+    groups = list(by or [])
     u = reduce(lambda a, b: a.unionByName(b), tables)
-    return u.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    return (u.groupBy(*groups, "bucket")
+            .agg(F.max("max_rho").alias("max_rho")))
 
 
-def hll_estimate(table: DataFrame) -> DataFrame:
-    """One-row (est_distinct double) from a :func:`hll_table`.
+def hll_estimate(table: DataFrame,
+                 by: list[str] | None = None) -> DataFrame:
+    """(*by, est_distinct double) rows from a :func:`hll_table` —
+    one row per group (one total row without ``by``).
 
     The raw estimate is ``HLL_ALPHA_M2 * 2^61 / D`` where
     D = zeros·2^61 + Σ_nonzero 2^(61 - M_j) — exact DECIMAL(38,0)
@@ -171,7 +180,8 @@ def hll_estimate(table: DataFrame) -> DataFrame:
     division at the end.  Small-range correction (E ≤ 2.5 m with
     empty buckets): linear counting ``m · ln(m / zeros)`` — the one
     libm call, so gate outputs must round (the idf discipline)."""
-    agg = table.agg(
+    groups = list(by or [])
+    agg = table.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("_nz"),
         F.coalesce(
             # shiftleft with a COLUMN bit count needs the SQL form
@@ -187,7 +197,7 @@ def hll_estimate(table: DataFrame) -> DataFrame:
     lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M))
                                       / zeros.cast("double"))
     est = F.when((zeros > 0) & (raw <= 2.5 * HLL_M), lin).otherwise(raw)
-    return agg.select(est.alias("est_distinct"))
+    return agg.select(*groups, est.alias("est_distinct"))
 
 
 # -- Bloom filter ---------------------------------------------------------

@@ -8728,3 +8728,87 @@ def ds_corpus_pipeline_v5(spark, sf_dir):
     return packed.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("bin_tokens"))
+
+
+@register(
+    "prof_hll_by_group",
+    oracle="""
+    WITH tv AS (
+      SELECT source, t FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents) WHERE t <> ''
+    ), parts AS (
+      SELECT source,
+             ('0x' || substr(md5(t), 1, 2))::BIGINT AS bucket,
+             ('0x' || substr(md5(t), 3, 15))::BIGINT AS suffix
+      FROM tv
+    ), rho AS (
+      SELECT source, bucket,
+             max(CASE WHEN suffix = 0 THEN 61
+                      ELSE 61 - length(bin(suffix)) END) AS max_rho
+      FROM parts GROUP BY source, bucket
+    ), est AS (
+      SELECT source, count(*) AS nz,
+             coalesce(sum(CAST(1::BIGINT << (61 - max_rho)
+                               AS DECIMAL(38,0))),
+                      0::DECIMAL(38,0)) AS num,
+             CAST(coalesce(sum((bucket + 1) * max_rho), 0) AS BIGINT)
+               AS bucket_checksum
+      FROM rho GROUP BY source
+    ), calc AS (
+      SELECT source, nz, bucket_checksum, (256 - nz) AS zeros,
+             1.0854228543761655e+23
+               / CAST((256 - nz)::DECIMAL(38,0)
+                      * CAST(1::BIGINT << 61 AS DECIMAL(38,0)) + num
+                      AS DOUBLE) AS raw
+      FROM est
+    ), fin AS (
+      SELECT source, nz, bucket_checksum,
+             CASE WHEN zeros > 0 AND raw <= 640.0
+                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+      FROM calc
+    ), ex AS (
+      SELECT source, count(DISTINCT t) AS exact_distinct
+      FROM tv GROUP BY source
+    )
+    SELECT fin.source,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           round(fin.e, 2) AS est_distinct,
+           CASE WHEN ex.exact_distinct = 0 THEN 0.0
+                ELSE round(abs(fin.e - ex.exact_distinct)
+                           / ex.exact_distinct, 4) END AS rel_err,
+           fin.bucket_checksum,
+           CAST(fin.nz AS BIGINT) AS nonzero_buckets
+    FROM fin JOIN ex USING (source)
+    """,
+)
+def prof_hll_by_group(spark, sf_dir):
+    """GROUPED HyperLogLog calibration: per-source vocabulary
+    sketches (sketch.hll_table/hll_estimate ``by=['source']`` — the
+    grouped production form, same convention as the grouped HDR
+    sketch) certified per group against exact distinct counts, with
+    per-group bucket checksums pinning every max-rho.  State is
+    ≤ 256 rows per group; the per-group estimate branch (small-range
+    linear counting for these sub-1k vocabularies) exercises the
+    ln() path, rounded per the idf discipline."""
+    from ..functions import sketch
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("source", F.explode(F.split("text", " ")).alias("t"))
+            .where(F.col("t") != ""))
+    tbl = sketch.hll_table(toks, "t", by=["source"])
+    est = sketch.hll_estimate(tbl, by=["source"])
+    chk = tbl.groupBy("source").agg(
+        F.sum((F.col("bucket") + 1) * F.col("max_rho"))
+        .cast("bigint").alias("bucket_checksum"),
+        F.count(F.lit(1)).cast("bigint").alias("nonzero_buckets"))
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("t").cast("bigint").alias("exact_distinct"))
+    rel = F.when(F.col("exact_distinct") == 0, F.lit(0.0)).otherwise(
+        F.round(F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 4))
+    return (est.join(chk, "source").join(exact, "source")
+            .select("source", "exact_distinct",
+                    F.round("est_distinct", 2).alias("est_distinct"),
+                    rel.alias("rel_err"),
+                    "bucket_checksum", "nonzero_buckets"))

@@ -297,6 +297,23 @@ class TestHyperLogLog:
                             sketch.hll_table(a.unionAll(b), "k").collect()))
         assert merged == direct
 
+    def test_grouped_table_matches_per_group(self, spark):
+        from filters_spark.functions import sketch
+        df = spark.range(600).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 97).cast("string").alias("k"))
+        grouped = sketch.hll_table(df, "k", by=["g"])
+        for g in ("0", "1", "2"):
+            per = sorted((r["bucket"], r["max_rho"]) for r in
+                         sketch.hll_table(df.where(F.col("g") == g),
+                                          "k").collect())
+            sub = sorted((r["bucket"], r["max_rho"]) for r in
+                         grouped.where(F.col("g") == g)
+                         .select("bucket", "max_rho").collect())
+            assert per == sub
+        ests = sketch.hll_estimate(grouped, by=["g"]).collect()
+        assert len(ests) == 3 and all(r["est_distinct"] > 0 for r in ests)
+
 
 class TestBloomFilter:
     def test_no_false_negatives_ever(self, spark):

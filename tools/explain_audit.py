@@ -326,6 +326,9 @@ EXPECTATIONS: dict[str, dict] = {
     "prof_hdr_quantiles": dict(max_exchanges=10, min_broadcasts=4),
     # grouped twin: same machinery with source-partitioned windows
     "prof_hdr_by_group": dict(max_exchanges=12, min_broadcasts=4),
+    # grouped HLL: per-source bucket rollup + estimate/checksum/exact
+    # branches joined on the low-cardinality group key
+    "prof_hll_by_group": dict(max_exchanges=12),
     # Y4M codec gate: scan → payload build → two mapInPandas
     # crossings (frame-sample + featurize) → posexplode + one rollup
     "ds_y4m_codec_gate": dict(max_exchanges=1, scan_filter=True),
