@@ -134,10 +134,100 @@ def stress_hdr(spark: SparkSession, n_rows: int = 50_000_000) -> None:
          invariants="exact")
 
 
+def stress_capstone(spark: SparkSession, n_docs: int = 2_000_000) -> None:
+    """The v5 curation capstone composed at 2M docs: quality screen
+    (gopher ∧ P75 LM bucket) → temperature mixture over survivors →
+    512-token packing.  Corpus: 60-word docs (every 10th doc
+    truncated to 20 words so the word-count rule planted-fails
+    exactly 10%); stopword rule corpus-tuned ('the','of' are
+    prepended to every doc).  Structural invariants checked exactly:
+
+    * gopher pass count == n_docs − n_short (only the short docs
+      fail any rule);
+    * kept ⊆ passed (perplexity cutoff only shrinks);
+    * kept/passed ≥ 3/4 − one-bucket slack is NOT asserted (bucket
+      boundary mass is data-dependent) but kept > 0 is;
+    * mixed ⊆ kept; packed token total == Σ n_tok over mixed docs
+      (the packer loses nothing);
+    * every pack bin holds ≥ 1 doc.
+    """
+    from pyspark.sql import Window as W
+
+    from filters_spark.functions import packing, sampling
+    from filters_spark.functions._cache import scoped_persist
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(57)),
+        lambda j: F.concat(F.lit("w"),
+                           F.pmod(F.xxhash64(F.col("id") * 31 + j),
+                                  F.lit(997))))
+    short = F.slice(words, 1, 18)
+    docs = (spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"),
+                    (F.col("id") % 20).cast("string").alias("source"),
+                    F.concat(F.lit("the of "),
+                             F.concat_ws(" ", F.when(F.col("id") % 10 == 0,
+                                                     short)
+                                         .otherwise(words))).alias("text")))
+    t0 = time.time()
+    scored = scoped_persist(
+        text.bigram_lm_scores(docs).withColumn(
+            "_bkt", F.floor(F.lit(64.0) * F.col("ce")).cast("bigint")),
+        "stress_v5")
+    hist = scored.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_hn"))
+    hcum = hist.withColumn(
+        "_c", F.sum("_hn").over(
+            W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, 0)))
+    htot = hist.agg(F.sum("_hn").cast("bigint").alias("_nn"))
+    cutoff = (hcum.crossJoin(F.broadcast(htot))
+              .agg(F.min(F.when(
+                  F.col("_c") >= F.expr("(3 * _nn + 3) div 4"),
+                  F.col("_bkt"))).alias("_cut")))
+    flags = text.gopher_flags(F.col("text"), min_words=50,
+                              stopwords=("the", "of"))
+    total = None
+    for k in flags:
+        total = flags[k] if total is None else total + flags[k]
+    gp = docs.select("doc_id", "source",
+                     F.when(total == 0, 1).otherwise(0).alias("_gpass"))
+    joined = gp.join(scored, "doc_id").crossJoin(F.broadcast(cutoff))
+    kept = scoped_persist(
+        joined.where((F.col("_gpass") == 1)
+                     & (F.col("_bkt") <= F.col("_cut")))
+        .select("doc_id", "source"), "stress_v5")
+    n_pass = gp.agg(F.sum("_gpass")).head()[0]
+    n_kept = kept.count()
+    mixed = scoped_persist(
+        sampling.temperature_mixture_sample(kept, "doc_id", "source"),
+        "stress_v5")
+    lens = (mixed.join(docs.select("doc_id", "text"), "doc_id")
+            .select("source", "doc_id",
+                    F.size(F.split("text", " ")).alias("n_tok")))
+    packed = packing.pack_streaming(lens, "doc_id", "n_tok", 512,
+                                    partition_cols=["source"])
+    agg = packed.groupBy().agg(
+        F.count(F.lit(1)).alias("n_mixed"),
+        F.sum("n_tok").cast("bigint").alias("packed_tokens"),
+        F.count_distinct("source", "bin").alias("n_bins"),
+    ).head()
+    wall = time.time() - t0
+    n_short = n_docs // 10
+    assert n_pass == n_docs - n_short, (n_pass, n_docs - n_short)
+    assert 0 < n_kept <= n_pass
+    assert agg["n_mixed"] <= n_kept
+    direct_tokens = lens.agg(F.sum("n_tok").cast("bigint")).head()[0]
+    assert agg["packed_tokens"] == direct_tokens
+    emit(phase="capstone_v5", docs=n_docs, gopher_pass=int(n_pass),
+         kept=n_kept, mixed=int(agg["n_mixed"]),
+         bins=int(agg["n_bins"]), wall_s=round(wall, 1),
+         invariants="exact")
+
+
 PHASES = {
     "gopher": stress_gopher,
     "lm": stress_lm,
     "hdr": stress_hdr,
+    "capstone": stress_capstone,
 }
 
 
