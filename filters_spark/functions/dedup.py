@@ -67,7 +67,15 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list,
     """Keep exactly one row per key, deterministically (first by
     ``order_cols`` — names or Column sort specs, e.g.
     ``F.col("ts").desc()``).  With ``content_col``, the key is its
-    md5 fingerprint (content dedup)."""
+    md5 fingerprint (content dedup).
+
+    Shape note: arbitrary mixed-direction sort specs force the
+    row_number window, whose per-key partitions cannot be
+    AQE-skew-split — fine for business keys (CDC snapshots, SCD
+    inputs) where per-key cardinality is bounded, but for CONTENT
+    dedup of a corpus that may contain mass-duplicated documents use
+    :func:`exact_text_dedup`, whose grouped-agg + join-back shape
+    absorbs hot fingerprints map-side."""
     if content_col is not None:
         df = df.withColumn("_fp", fingerprint(F.col(content_col)))
         key_cols = ["_fp"]
@@ -895,12 +903,19 @@ def dedup_segments(df: DataFrame, id_col: str = "doc_id",
     whole-document dedup family: this is the operator that strips
     boilerplate lines repeated across millions of pages.
 
-    Scale shape: one shuffle keyed by the segment value (md5-uniform
-    by construction — no skew beyond true mass-duplicate lines, which
-    is exactly AQE-skew territory), a row_number window, then one
-    shuffle back on the doc id to reassemble.  The segment shuffle
-    carries (id, pos, segment) rows — at 100 TB pre-hash the segment
-    to a 16-byte key and keep the text map-side if segments are long.
+    Scale shape: the canonical (id, pos) per segment comes from ONE
+    segment-keyed groupBy (min of an (id, pos) struct — total order,
+    no ties) whose map-side partial aggregation absorbs
+    mass-duplicated lines before the shuffle, joined back
+    AQE-skew-splittably; then one shuffle on the doc id to
+    reassemble.  NOT a row_number window partitioned by the segment:
+    a boilerplate line repeated millions of times corpus-wide would
+    put its whole partition in a single window task, and AQE skew
+    handling splits skewed joins, not window partitions (the
+    duplicate_spans contract).  The groupBy keys on the segment VALUE
+    (exact, no hash-collision caveat) — at 100 TB pre-hash the
+    segment to a 16-byte key and keep the text map-side if segments
+    are long.
 
     Documents whose every segment is dropped come back with empty
     text (callers filter; dropping them silently would hide the
@@ -916,8 +931,12 @@ def dedup_segments(df: DataFrame, id_col: str = "doc_id",
         F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
         .alias("_pos", "_seg"),
     )
-    w = Window.partitionBy("_seg").orderBy(id_col, "_pos")
-    kept = seg.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    occ = seg.groupBy("_seg").agg(
+        F.min(F.struct(F.col(id_col).alias("_kid"),
+                       F.col("_pos").alias("_kpos"))).alias("_keep"))
+    kept = (seg.join(occ, "_seg")
+            .where((F.col(id_col) == F.col("_keep._kid"))
+                   & (F.col("_pos") == F.col("_keep._kpos"))))
     rebuilt = (
         kept.groupBy(id_col)
         .agg(F.concat_ws(sep, F.sort_array(
@@ -936,13 +955,25 @@ def exact_text_dedup(df: DataFrame, id_col: str = "doc_id",
     """Keep-first exact content dedup on the RAW text's md5 (no
     normalization — byte-identical duplicates only, the semantics
     the corpus-pipeline oracles replay with ``md5(text)``), smallest
-    id wins.  The shared stage-2 of the curation pipelines; the
-    16-byte fingerprint keys the shuffle, not the documents."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    id wins.  The shared stage-2 of the curation pipelines.
+
+    Scale shape: the survivor id per fingerprint comes from a grouped
+    ``min(id)`` whose map-side partial aggregation collapses
+    mass-duplicated content BEFORE the shuffle (the agg moves
+    (16-byte fp, id) pairs only, never documents), and survivors are
+    selected by an equi-join back on (fp, id) — AQE-skew-splittable.
+    NOT a row_number window partitioned by the fingerprint: one
+    document duplicated millions of times corpus-wide would land its
+    whole partition in a single window task (AQE splits skewed joins,
+    not window partitions — the duplicate_spans/dedup_segments
+    contract).  Precondition: unique non-null ``id_col`` (the join
+    back identifies the surviving row by it)."""
+    fp = F.md5(F.col(text_col))
+    occ = df.groupBy(fp.alias("_fp")).agg(F.min(id_col).alias("_kid"))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        df.join(occ, fp.eqNullSafe(F.col("_fp"))
+                & (F.col(id_col) == F.col("_kid")))
+        .drop("_fp", "_kid")
     )
 
 
