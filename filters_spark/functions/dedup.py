@@ -177,12 +177,17 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, bands_col: str,
             .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
             .distinct()
         )
-    # one (band, key) shuffle sizes every bucket and finds its min;
-    # the small-bucket self-join reuses that same partitioning
-    w = Window.partitionBy("band", "key")
-    sized = exploded.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
-        "_min", F.min("_id").over(w)
-    )
+    # bucket size + min come from a grouped aggregate joined back —
+    # NOT a count/min window partitioned by (band, key): the
+    # pathological mass-dup bucket this cap exists for would put its
+    # whole partition in one window task (AQE splits skewed joins,
+    # not window partitions), while the grouped agg collapses it
+    # map-side and the join back is skew-splittable.  The join's
+    # (band, key) exchange is the same partitioning the small-bucket
+    # self-join reuses.
+    stats = exploded.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_min"))
+    sized = exploded.join(stats, ["band", "key"])
     small = sized.where(F.col("_n") <= star_buckets_over).drop("_n", "_min")
     a, b = small.alias("a"), small.alias("b")
     small_pairs = a.join(

@@ -37,6 +37,7 @@ __all__ = [
     "temperature_mixture_sample",
     "global_shuffle",
     "hash_reservoir",
+    "pps_systematic_sample",
 ]
 
 _HEX_DIGITS = 8  # 16^8 = 4.29e9 distinct thresholds — plenty of rate resolution
@@ -292,6 +293,117 @@ def hash_reservoir(df: DataFrame, group_cols: list[str], key: str,
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def pps_systematic_sample(df: DataFrame, key: str, weight_col: str,
+                          n: int, buckets: int = 256) -> DataFrame:
+    """Deterministic weighted sampling — systematic probability-
+    proportional-to-size (PPS) over the hash order: n equally-spaced
+    points are laid over the cumulative-weight axis (midpoint rule),
+    and a row is selected once per point that lands inside its weight
+    interval.  The inclusion probability of a row with weight w is
+    min(1, n·w/W) — the data-mixing primitive for "sample documents
+    proportional to length/quality score" — and the selection is a
+    pure function of the corpus content: no RNG, no seed, identical
+    across engines, retries, and partitionings.
+
+    INTEGER-EXACT throughout, on purpose: weights must be an integral
+    column (scale fractional scores to fixed-point first — e.g.
+    millionths — exactly like :func:`expect_distribution` does); the
+    crossing test is integer comparisons and integral division only,
+    so the gate's value hash cannot flap on a cross-engine last-ulp
+    (the module's ln/pow hazard note).  A point j in [0, n) sits at
+    position floor((2j+1)·W / (2n)); row i with cumulative interval
+    [start_i, end_i) is emitted with ``n_hits`` = #points inside —
+    when every weight < W/n the output is EXACTLY n rows each with
+    n_hits = 1; a mega-weight row absorbs several points into one
+    output row (n_hits > 1), which callers repeat at materialization
+    if with-replacement semantics are wanted.
+
+    Scale shape — the global prefix sum is TWO-PHASE, never a global
+    window: rows order by their md5 draw, whose first two hex chars
+    split the axis into ``buckets`` hash-uniform segments (order by
+    draw IS bucket-major order, so per-bucket sums compose exactly);
+    phase 1 is a per-bucket window over ~|df|/buckets rows (balanced
+    by construction — the bucket is a hash prefix, not a data key),
+    phase 2 offsets each bucket by the running total of the ≤256-row
+    bucket-stats frame (a bounded single-task window, same contract
+    as expect_distribution's) broadcast back.  One data shuffle total
+    (the per-bucket window); the stats frame adds a narrow agg.
+
+    Zero-weight rows can never contain a point and drop out; a
+    negative weight raises at run time (the check lives inside the
+    summed expression, so the optimizer cannot prune it); an
+    all-zero/empty corpus yields an empty frame.  Precondition:
+    ``key`` unique (ties on (draw, key) are partition-order-
+    dependent, as everywhere in this module)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not 1 <= buckets <= 256:
+        raise ValueError(f"buckets must be in [1, 256], got {buckets}")
+    wtype = df.schema[weight_col].dataType.simpleString()
+    if wtype not in ("int", "bigint", "smallint", "tinyint"):
+        raise TypeError(
+            f"pps_systematic_sample needs an integral weight column "
+            f"(got {weight_col}:{wtype}); scale scores to fixed-point "
+            f"integers first — integer exactness is what keeps the "
+            f"selection identical across engines")
+    draw = _key_hex(F.col(key))
+    w_checked = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(F.concat(
+            F.lit(f"pps_systematic_sample: negative weight in "
+                  f"{weight_col!r}: "), F.col(weight_col).cast("string")))
+        .cast("long"),
+    ).otherwise(F.col(weight_col).cast("long"))
+    rows = df.withColumn("_draw", draw).withColumn(
+        # RANGE split of the 2-hex-char prefix (NOT a modulo, which
+        # would scramble the bucket-major vs draw-major equivalence
+        # for buckets < 256): bucket order == draw order, so the
+        # per-bucket sums compose into the draw-ordered global prefix
+        "_b", F.expr(f"CAST((CAST(conv(substring(_draw, 1, 2), 16, 10) "
+                     f"AS INT) * {buckets}) DIV 256 AS INT)")
+    ).withColumn("_w", w_checked.cast("decimal(38,0)"))
+    # the ≤256-row stats frame feeds BOTH the offsets and the total;
+    # without a barrier each branch re-aggregates (and re-SCANS) the
+    # whole corpus — scoped_persist makes the stats pass run once
+    from ._cache import scoped_persist
+    bstats = scoped_persist(
+        rows.groupBy("_b").agg(F.sum("_w").alias("_bw")), "pps_bstats")
+    # ≤256 rows: the unpartitioned running-total window is bounded by
+    # the BUCKETS constant, not the data (expect_distribution's
+    # documented contract for tiny deliberate single-task windows)
+    off_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bstats.withColumn(
+        "_off", F.coalesce(F.sum("_bw").over(off_w),
+                           F.lit(0).cast("decimal(38,0)")))
+    total = offs.agg(F.sum("_bw").alias("_tw"))
+    in_b = Window.partitionBy("_b").orderBy("_draw", F.col(key)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        rows.join(F.broadcast(offs.select("_b", "_off")), "_b")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_end", F.col("_off") + F.sum("_w").over(in_b))
+        .withColumn("_start", F.col("_end") - F.col("_w"))
+    )
+
+    def g(x: str) -> Column:
+        # #points j with floor((2j+1)W/(2n)) < x  ==  #j with
+        # (2j+1)W < 2nx  ==  min(n, (2nx - W - 1) div 2W + 1) for
+        # positive a = 2nx - W, else 0 — integral DIV only, and the
+        # div-by-zero branch (W = 0) is unreachable because a >= 1
+        # requires x > 0 > cumulative weight under an all-zero corpus
+        a = F.lit(2 * n).cast("decimal(38,0)") * F.col(x) - F.col("_tw")
+        cnt = F.expr(
+            f"CAST(((2*{n}*{x} - _tw - 1) DIV (2*_tw)) + 1 AS BIGINT)")
+        return F.when(a < 1, F.lit(0)).otherwise(
+            F.least(F.lit(n).cast("bigint"), cnt))
+
+    return (
+        cum.withColumn("n_hits", g("_end") - g("_start"))
+        .where(F.col("n_hits") >= 1)
+        .drop("_draw", "_b", "_w", "_off", "_tw", "_start", "_end")
     )
 
 

@@ -39,6 +39,11 @@ REGISTRY: dict[str, Q] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} (a silent "
+                "overwrite would shadow the earlier query and shift "
+                "what the gates exercise)")
         REGISTRY[name] = Q(fn, oracle)
         return fn
     return deco
@@ -2217,25 +2222,30 @@ def rel_q14_promo_revenue(spark, sf_dir):
 )
 def rel_q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: max-revenue supplier for a quarter.  The
-    scalar-subquery max becomes an unpartitioned window max over the
-    PRE-AGGREGATED per-supplier rollup (|suppliers| rows, not
-    |lineitem| — safe at any scale); equality compares the 2-dp
-    ROUNDED revenue so float accumulation order can't flap the
-    winner set."""
+    scalar-subquery max becomes a 1-row grouped max over the
+    PRE-AGGREGATED per-supplier rollup broadcast back as a cross
+    join — NOT an unpartitioned window over the rollup, which puts
+    every supplier row in one window task.  The rollup feeds both
+    the max branch and the filter branch, so it is scoped_persist'd:
+    without the barrier each branch re-scans the quarter of lineitem
+    (the two branches do not exchange-reuse once one side is
+    re-aliased).  Equality compares the 2-dp ROUNDED revenue so
+    float accumulation order can't flap the winner set."""
+    from ..functions._cache import scoped_persist
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = (
+    rev = scoped_persist(
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("total_revenue"))
-    )
-    mx = Window.partitionBy(F.lit(1))
+             .alias("total_revenue")),
+        "q15_rev")
+    mx = rev.agg(F.max("total_revenue").alias("_mx")).alias("m")
     top = (
-        rev.withColumn("_mx", F.max("total_revenue").over(mx))
-        .where(F.col("total_revenue") == F.col("_mx"))
+        rev.alias("r").crossJoin(F.broadcast(mx))
+        .where(F.col("r.total_revenue") == F.col("m._mx"))
         .drop("_mx")
     )
     return (
@@ -2425,11 +2435,11 @@ def ds_dedup_components(spark, sf_dir):
         d, "doc_id", "toks", block_col="source", threshold=0.9
     ).select("a_id", "b_id")
     comp = dedup.connected_components(pairs)
-    w = Window.partitionBy("comp")
-    return comp.select(
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("comp_size"))
+    return comp.join(sizes, "comp").select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component_id"),
-        F.count("*").over(w).alias("comp_size"),
+        "comp_size",
     )
 
 
@@ -2870,11 +2880,11 @@ def ds_dedup_components_star(spark, sf_dir):
         d, "doc_id", "toks", block_col="source", threshold=0.9
     ).select("a_id", "b_id")
     comp = dedup.connected_components_star(pairs)
-    w = Window.partitionBy("comp")
-    return comp.select(
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("comp_size"))
+    return comp.join(sizes, "comp").select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component_id"),
-        F.count("*").over(w).alias("comp_size"),
+        "comp_size",
     )
 
 
@@ -3403,10 +3413,15 @@ def txt_tfidf_topterms(spark, sf_dir):
     """TF-IDF top-3 terms per document (text-analysis pipeline op).
     Plan shape for scale: ONE scan of the corpus; the raw token
     stream is collapsed by the (doc_id, term) rollup whose map-side
-    partial aggregation compacts the shuffle, then document frequency
-    is a count-over-window BY TERM on that compact rollup (a separate
-    dfreq aggregate would re-scan and re-shuffle the full token
-    stream — measured: no exchange reuse across the two branches).
+    partial aggregation compacts the shuffle; document frequency is a
+    grouped count on that compact rollup joined back — NOT a
+    count-over-window by term, which would put a stopword's entire
+    partition (≈ every doc) into one window task (AQE skew-splits
+    joins, not windows).  The rollup is scoped_persist'd because the
+    dfreq branch and the join branch do NOT exchange-reuse (the
+    self-join re-aliases one side, breaking plan canonicalization —
+    measured; without the barrier the token stream is exploded
+    twice).
     Ranking orders by the 6dp-rounded score with a term tie-break
     (deterministic across engines); the unrounded double itself is
     never emitted, so the hash check rides on integers only (Spark's
@@ -3418,8 +3433,12 @@ def txt_tfidf_topterms(spark, sf_dir):
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
         ).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    from ..functions._cache import scoped_persist
+    tf = scoped_persist(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+        "tfidf_tf")
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = tf.join(dfreq, "term")
     n = d.agg(F.count("*").alias("n_docs"))
     score = F.round(
         F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
@@ -3710,9 +3729,12 @@ def txt_bigram_freq_score(spark, sf_dir):
     explode on one split runs single-threaded (the explicit
     numPartitions defeats AQE's small-shuffle coalescing, which would
     silently undo a keys-only repartition) — then ONE explode pass
-    into the compact (doc, bigram) rollup; the corpus model is
-    sum-over-window BY BIGRAM on that rollup, so the raw bigram
-    stream is never shuffled and never produced twice.  The per-doc
+    into the compact (doc, bigram) rollup; the corpus model is a
+    grouped sum on that rollup joined back, NOT a sum-over-window by
+    bigram — a corpus-common bigram would land its whole window
+    partition in one task (AQE skew-splits joins, not windows), while
+    the grouped agg collapses it map-side and the rollup's own
+    exchange is reused across the two branches.  The per-doc
     mean re-weights by k: Σ k·cnt / Σ k ≡ the per-occurrence mean."""
     d = _t(spark, sf_dir, "documents").where(F.length("text") >= 2)
     par = spark.sparkContext.defaultParallelism
@@ -3724,7 +3746,8 @@ def txt_bigram_freq_score(spark, sf_dir):
         "doc_id", F.col("text").substr(F.col("i"), F.lit(2)).alias("bigram")
     )
     db = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("k"))
-    m = db.withColumn("cnt", F.sum("k").over(Window.partitionBy("bigram")))
+    tot = db.groupBy("bigram").agg(F.sum("k").alias("cnt"))
+    m = db.join(tot, "bigram")
     return m.groupBy("doc_id").agg(
         F.sum("k").alias("n_bigrams"),
         F.round(F.sum(F.col("k") * F.col("cnt")) * 1.0 / F.sum("k"), 4)
@@ -3838,7 +3861,10 @@ def ds_corpus_pipeline(spark, sf_dir):
     materialization between them (one logical plan, Catalyst fuses
     the quality predicate into the scan).  Stage costs at 100 TB:
     the quality gate is a pushed scan predicate; dedup is the only
-    shuffle (by content hash — uniform by construction, no skew); the
+    shuffle (exact_text_dedup's grouped-min + join-back shape, whose
+    map-side partial agg absorbs mass-duplicated content — a
+    fingerprint-partitioned window would put a viral document's whole
+    partition in one task); the
     sample is a free per-row predicate on the survivors.  Order
     matters: sampling LAST keeps the dedup correct (sampling before
     dedup could drop a cluster's keeper but not its duplicates)."""
@@ -3850,11 +3876,7 @@ def ds_corpus_pipeline(spark, sf_dir):
         & (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
            * 1.0 / F.length("text") <= 0.9)
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    kept = (
-        q.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-    )
+    kept = dedup.exact_text_dedup(q, "doc_id", "text")
     return kept.where(sampling.hash_keep(F.col("doc_id"), 0.5)) \
         .select("doc_id", "lang", "source")
 
@@ -4024,7 +4046,7 @@ def rel_mom_revenue(spark, sf_dir):
 
 
 @register(
-    "ds_incremental_dedup",
+    "ds_exact_dedup_against",
     oracle="""
     WITH corpus AS (
       SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
@@ -4044,26 +4066,30 @@ def rel_mom_revenue(spark, sf_dir):
     ) WHERE rn = 1
     """,
 )
-def ds_incremental_dedup(spark, sf_dir):
-    """INCREMENTAL dedup — the shape a 100 TB pipeline actually runs
-    daily: a new batch checked against the accumulated corpus
+def ds_exact_dedup_against(spark, sf_dir):
+    """INCREMENTAL exact dedup — the shape a 100 TB pipeline actually
+    runs daily: a new batch checked against the accumulated corpus
     fingerprint table (left-anti join on content hash), then deduped
-    within itself (keep-first window) — never re-clustering the whole
-    corpus.  Here the documents table stands in for both sides (even
-    ids = corpus, odd = today's batch).  At scale the corpus
-    fingerprints live in a table BUCKETED by fp, so the daily
-    anti-join reads co-located buckets with no shuffle of the corpus
-    side; the batch-internal window shuffles only the (small) batch."""
+    within itself (grouped min(id) + join back, so a mass-duplicated
+    batch document collapses map-side instead of filling one window
+    task) — never re-clustering the whole corpus.  Here the documents
+    table stands in for both sides (even ids = corpus, odd = today's
+    batch).  At scale the corpus fingerprints live in a table
+    BUCKETED by fp, so the daily anti-join reads co-located buckets
+    with no shuffle of the corpus side; the batch-internal shuffle
+    carries (16-byte fp, id) pairs only.  (Renamed from a name
+    collision with the signature-store MinHash query: this is the
+    EXACT-hash incremental twin of ds_incremental_dedup.)"""
     d = _t(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
     batch = d.where(F.col("doc_id") % 2 == 1).select(
         "doc_id", "lang", F.md5("text").alias("fp")
     )
     fresh = batch.join(corpus, "fp", "left_anti")
-    w = Window.partitionBy("fp").orderBy("doc_id")
+    occ = fresh.groupBy("fp").agg(F.min("doc_id").alias("_kid"))
     return (
-        fresh.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        fresh.join(occ, "fp")
+        .where(F.col("doc_id") == F.col("_kid"))
         .select("doc_id", "lang")
     )
 
@@ -6755,6 +6781,51 @@ def ds_stratified_fixed_n(spark, sf_dir):
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "ds_pps_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(length(text) AS HUGEINT) AS w,
+             md5(CAST(doc_id AS VARCHAR)) AS draw
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             SUM(w) OVER (ORDER BY draw, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS e
+      FROM t
+    ), tot AS (SELECT SUM(w) AS tw FROM t)
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM (
+      SELECT doc_id,
+        (CASE WHEN 2*100*e - tw < 1 THEN 0
+              ELSE LEAST(100, (2*100*e - tw - 1) // (2*tw) + 1) END)
+      - (CASE WHEN 2*100*(e-w) - tw < 1 THEN 0
+              ELSE LEAST(100, (2*100*(e-w) - tw - 1) // (2*tw) + 1) END)
+        AS n_hits
+      FROM c, tot
+    ) WHERE n_hits >= 1
+    """,
+)
+def ds_pps_sample(spark, sf_dir):
+    """Weighted sampling gate (sampling.pps_systematic_sample):
+    n=100 documents sampled proportional to text LENGTH — the
+    "sample tokens-proportional" data-mixing primitive.  The oracle
+    replays the systematic-PPS crossing test with one global
+    HUGEINT-window prefix sum (gate scale), while the Spark side runs
+    the two-phase bucket-composed form — identical selection because
+    the crossing arithmetic is integral division over the same
+    draw-ordered cumulative axis (no RNG, no floats anywhere).  The
+    value hash pins both the selected id SET and each row's point
+    multiplicity."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("w"))
+    kept = sampling.pps_systematic_sample(d, "doc_id", "w", n=100)
+    return kept.select("doc_id", F.col("n_hits").cast("bigint")
+                       .alias("n_hits"))
 
 
 _SPLIT_CASE = ("CASE WHEN (CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)),"

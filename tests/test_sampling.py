@@ -424,3 +424,76 @@ class TestTemperatureMixture:
         for g, exact in [("a", 50), ("b", 1500)]:
             lb = est[(g, 1, 2)]
             assert lb <= exact and (exact - lb) * 8 <= lb
+
+
+class TestPpsSystematic:
+    def _mk(self, spark, weights):
+        return spark.createDataFrame(
+            [(i, w) for i, w in enumerate(weights)], "key long, w long")
+
+    def test_exact_n_when_weights_small(self, spark):
+        # every weight < W/n → exactly n rows, each hit once
+        df = self._mk(spark, [5] * 400)  # W=2000, W/n=20 > 5
+        out = sampling.pps_systematic_sample(df, "key", "w", n=100)
+        rows = out.collect()
+        assert len(rows) == 100
+        assert all(r["n_hits"] == 1 for r in rows)
+
+    def test_total_hits_is_n_and_mega_weight_absorbs(self, spark):
+        # one row holds half the mass → ~n/2 points land inside it
+        df = self._mk(spark, [1000] + [10] * 100)  # W=2000
+        out = sampling.pps_systematic_sample(df, "key", "w", n=50)
+        got = {r["key"]: r["n_hits"] for r in out.collect()}
+        assert sum(got.values()) == 50
+        assert got[0] == 25  # exactly W_0/W * n: 1000/2000 * 50
+
+    def test_inclusion_proportional_to_weight(self, spark):
+        # heavy stratum (w=9) vs light (w=1): expected 9:1 hit ratio
+        df = self._mk(spark, [9, 1] * 500)
+        out = sampling.pps_systematic_sample(df, "key", "w", n=200)
+        hits = out.withColumn("_heavy", (F.col("key") % 2 == 0)) \
+            .groupBy("_heavy").agg(F.sum("n_hits").alias("h")).collect()
+        got = {r["_heavy"]: r["h"] for r in hits}
+        # 9/10 of the axis is heavy mass; the per-class totals sit
+        # within a few points of 180/20 (hash interleaving decides
+        # which class absorbs each boundary point, so the split is
+        # deterministic but not the exact expectation)
+        assert got[True] + got[False] == 200
+        assert abs(got[True] - 180) <= 5
+
+    def test_deterministic_under_repartition(self, spark):
+        df = self._mk(spark, list(range(1, 301)))
+        a = sampling.pps_systematic_sample(df, "key", "w", n=40)
+        b = sampling.pps_systematic_sample(
+            df.repartition(13), "key", "w", n=40)
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.collect()))
+
+    def test_bucket_count_invariance(self, spark):
+        # the two-phase split is an implementation detail: any bucket
+        # count must select the same rows (the axis order is global)
+        df = self._mk(spark, [3, 7, 11] * 100)
+        a = sampling.pps_systematic_sample(df, "key", "w", n=30, buckets=1)
+        b = sampling.pps_systematic_sample(df, "key", "w", n=30, buckets=256)
+        c = sampling.pps_systematic_sample(df, "key", "w", n=30, buckets=7)
+        ra = sorted(map(tuple, a.collect()))
+        assert ra == sorted(map(tuple, b.collect()))
+        assert ra == sorted(map(tuple, c.collect()))
+
+    def test_zero_weights_drop_and_all_zero_empty(self, spark):
+        df = self._mk(spark, [0, 5, 0, 5])
+        out = sampling.pps_systematic_sample(df, "key", "w", n=4)
+        assert {r["key"] for r in out.collect()} == {1, 3}
+        empty = sampling.pps_systematic_sample(
+            self._mk(spark, [0, 0]), "key", "w", n=3)
+        assert empty.count() == 0
+
+    def test_negative_weight_raises(self, spark):
+        df = self._mk(spark, [5, -1, 5])
+        with pytest.raises(Exception, match="negative weight"):
+            sampling.pps_systematic_sample(df, "key", "w", n=2).collect()
+
+    def test_fractional_weight_type_rejected(self, spark):
+        df = spark.createDataFrame([(1, 0.5)], "key long, w double")
+        with pytest.raises(TypeError, match="integral weight"):
+            sampling.pps_systematic_sample(df, "key", "w", n=1)

@@ -75,7 +75,9 @@ EXPECTATIONS: dict[str, dict] = {
     # no selective predicate exists in q13 (full outer-join distribution)
     "rel_q13_order_distribution": dict(max_exchanges=2),
     "rel_q14_promo_revenue": dict(max_exchanges=1, min_broadcasts=1, scan_filter=True),
-    "rel_q15_top_supplier": dict(max_exchanges=2, min_broadcasts=1, scan_filter=True),
+    # q15: rollup agg exchange (persisted barrier, scanned once) +
+    # the broadcast-max filter + final supplier broadcast join
+    "rel_q15_top_supplier": dict(max_exchanges=2, min_broadcasts=2, scan_filter=True),
     "rel_q18_large_orders": dict(max_exchanges=3, min_broadcasts=1, scan_filter=True),
     "rel_q19_disjunctive_preds": dict(max_exchanges=1, min_broadcasts=1, scan_filter=True),
     "rel_q22_inactive_customers": dict(max_exchanges=2, min_broadcasts=2, scan_filter=True),
@@ -128,9 +130,11 @@ EXPECTATIONS: dict[str, dict] = {
                                    scan_filter=True),
     # stratified sample: pure scan predicate — NOTHING may shuffle
     "ds_stratified_sample": dict(max_exchanges=0),
-    # tfidf: single corpus scan — (doc,term) rollup shuffle, then two
-    # small window shuffles (df-by-term, rank-by-doc) + 1-row n_docs
-    "txt_tfidf_topterms": dict(max_exchanges=4, min_broadcasts=1),
+    # tfidf: single corpus scan — (doc,term) rollup shuffle behind a
+    # persisted barrier, the grouped dfreq agg + its join back (skew-
+    # splittable, unlike the old count-over-window by term), the
+    # rank-by-doc window, + 1-row n_docs broadcast
+    "txt_tfidf_topterms": dict(max_exchanges=5, min_broadcasts=1),
     # gopher rules: one scan, fused flag projection, one source rollup
     "txt_gopher_rules": dict(max_exchanges=1),
     # bigram LM: doc window shuffle + (doc,w1,w2) rollup feed a
@@ -178,9 +182,10 @@ EXPECTATIONS: dict[str, dict] = {
     "val_struct_projection": dict(max_exchanges=1),
     # MoM: month rollup + the |months|-row single-partition lag
     "rel_mom_revenue": dict(max_exchanges=2),
-    # incremental dedup: anti-join (broadcast at gate sf; bucketed
-    # corpus at scale) + the batch-internal keep-first window
-    "ds_incremental_dedup": dict(max_exchanges=2, scan_filter=True),
+    # incremental exact dedup: anti-join (broadcast at gate sf;
+    # bucketed corpus at scale) + the batch-internal grouped
+    # min(id) agg and its join back (broadcast at gate sf)
+    "ds_exact_dedup_against": dict(max_exchanges=3, scan_filter=True),
     # quantize: pure per-row map — only AQE's final coalesce may show
     "ds_embedding_quantize": dict(max_exchanges=0),
     # boilerplate: shingle spread + (shingle, doc)-collapsed distinct agg
@@ -325,46 +330,44 @@ EXPECTATIONS: dict[str, dict] = {
     # side + the exact side reusing the same machinery), + final join
     "prof_hdr_quantiles": dict(max_exchanges=10, min_broadcasts=4),
     # grouped twin: same machinery with source-partitioned windows
-    "prof_hdr_by_group": dict(max_exchanges=12, min_broadcasts=4),
+    "prof_hdr_by_group": dict(max_exchanges=10, min_broadcasts=4),
     # grouped HLL: per-source bucket rollup + estimate/checksum/exact
     # branches joined on the low-cardinality group key
-    "prof_hll_by_group": dict(max_exchanges=12),
+    "prof_hll_by_group": dict(max_exchanges=7),
     # Y4M codec gate: scan → payload build → two mapInPandas
     # crossings (frame-sample + featurize) → posexplode + one rollup
     "ds_y4m_codec_gate": dict(max_exchanges=1, scan_filter=True),
     # fixed-n sampling: ONE stratum-keyed window shuffle + the rollup
     "ds_stratified_fixed_n": dict(max_exchanges=2),
+    # PPS sampling: per-bucket window + stats agg (persisted barrier,
+    # corpus scanned twice total: data + stats) + the two bounded
+    # ≤256-row single-partition stages (offsets window, total agg)
+    "ds_pps_sample": dict(max_exchanges=4, min_broadcasts=2),
     # split leakage: the audited tail after the persisted minhash
     # frame — band join, verify joins, pair-kind rollup
-    "ds_split_leakage": dict(max_exchanges=12),
+    "ds_split_leakage": dict(max_exchanges=5),
     # round 5: ExactSubstr excision — hash-count groupBy+join (2) +
     # island window + range rollup + rebuild join, all narrow keys
-    "ds_span_removal": dict(max_exchanges=8, min_broadcasts=1),
+    "ds_span_removal": dict(max_exchanges=5, min_broadcasts=1),
     # round 5: appended-index probes (same plan family as the
     # materialized originals) + the incremental composites
-    "ds_postings_append": dict(max_exchanges=6, min_broadcasts=3),
+    "ds_postings_append": dict(max_exchanges=5, min_broadcasts=3),
     "ds_ivf_append": dict(min_broadcasts=2, max_exchanges=6),
     # probe plan over the compacted artifact == the append gate's
     "ds_ivf_compact": dict(min_broadcasts=2, max_exchanges=6),
     # composed quality screen: TWO cached barriers (the LM rollup,
-    # and the scored frame feeding histogram + keep-join branches).
-    # Printed counts multiply because a cached subtree's lineage is
-    # re-printed per reference and the caches NEST (scored×2, each
-    # embedding the LM tree with dt×3) — runtime materializes each
-    # InMemoryRelation once; the real work is 2 corpus scans (LM
-    # explode + the narrow gopher projection) + bounded rollups
-    "ds_quality_pipeline": dict(max_exchanges=35, min_broadcasts=2),
+    # and the scored frame feeding histogram + keep-join branches);
+    # counts are PHYSICAL since the auditor collapses cached-subtree
+    # reprints — 2 corpus scans + the bounded rollups
+    "ds_quality_pipeline": dict(max_exchanges=12, min_broadcasts=2),
     # v5 capstone: THREE nested cache barriers (LM rollup, scored,
-    # kept) — the printed plan re-expands every cached subtree per
-    # reference and the nesting multiplies (48 InMemoryTableScan
-    # refs; 106 printed exchanges for what runtime executes as 2
-    # corpus scans + the mixture/pack aggregates, each cache
-    # materializing once)
-    "ds_corpus_pipeline_v5": dict(max_exchanges=106, min_broadcasts=3),
+    # kept), each materializing once — physically 2 corpus scans +
+    # the quality/mixture/pack aggregates
+    "ds_corpus_pipeline_v5": dict(max_exchanges=23, min_broadcasts=3),
     # store-scan bands join + delta LSH + verify joins: the same
     # budget class as the full LSH pipeline it restricts
-    "ds_incremental_dedup": dict(max_exchanges=12, min_broadcasts=1),
-    "ds_hybrid_rrf": dict(max_exchanges=12, min_broadcasts=4),
+    "ds_incremental_dedup": dict(max_exchanges=5, min_broadcasts=1),
+    "ds_hybrid_rrf": dict(max_exchanges=10, min_broadcasts=4),
 }
 
 
@@ -386,12 +389,67 @@ def gate_type_problems(df) -> list[str]:
     return out
 
 
+def _tree_depth(line: str) -> int:
+    return re.match(r"[\s:+\-]*", line).end()
+
+
+def physical_counts(plan: str, _seen: set | None = None) -> tuple[int, int, int]:
+    """(shuffle exchanges, broadcast exchanges, file scans) counted
+    the way the RUNTIME pays them, not the way toString prints them.
+
+    ``executedPlan().toString()`` re-prints a cached frame's ENTIRE
+    child lineage at every reference (and nested caches multiply —
+    measured: 106 printed exchanges for a plan that physically runs
+    ~10), while runtime materializes each InMemoryRelation exactly
+    once.  Strategy: strip every InMemoryRelation's child subtree
+    from the text, count the remainder, then recurse ONCE into each
+    globally-distinct cached subtree (its true materialization cost).
+    Distinctness is judged on tree-art-stripped text so the same
+    subtree printed at two tree positions compares equal.
+    """
+    if _seen is None:
+        _seen = set()
+    lines = plan.split("\n")
+    out: list[str] = []
+    subtrees: list[tuple[str, str]] = []  # (normalized key, raw text)
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        out.append(line)
+        if "InMemoryRelation" in line:
+            base = _tree_depth(line)
+            j = i + 1
+            raw, norm = [], []
+            while j < len(lines) and lines[j].strip() \
+                    and _tree_depth(lines[j]) > base:
+                raw.append(lines[j])
+                # normalization must drop ALL tree art (':' branch
+                # rails included, which .strip() would keep), so the
+                # same subtree printed under different join branches
+                # compares equal
+                norm.append(lines[j][_tree_depth(lines[j]):])
+                j += 1
+            subtrees.append(("\n".join(norm), "\n".join(raw)))
+            i = j
+        else:
+            i += 1
+    text = "\n".join(out)
+    n_ex = len(re.findall(r"Exchange (?:hash|range|Single)", text))
+    n_bc = text.count("BroadcastExchange")
+    n_sc = text.count("FileScan")
+    for key, raw in subtrees:
+        if key in _seen:
+            continue
+        _seen.add(key)
+        e2, b2, s2 = physical_counts(raw, _seen)
+        n_ex, n_bc, n_sc = n_ex + e2, n_bc + b2, n_sc + s2
+    return n_ex, n_bc, n_sc
+
+
 def audit(name: str, q, spark) -> tuple[bool, str]:
     df = q.fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n_exchange = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
-    n_broadcast = plan.count("BroadcastExchange")
-    n_scans = plan.count("FileScan")
+    n_exchange, n_broadcast, n_scans = physical_counts(plan)
     pushed = "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan)
     # Spark 4 renders whole-stage-codegen spans as `*(n)` operator
     # prefixes in this string form (the literal "WholeStageCodegen"
