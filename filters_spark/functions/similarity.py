@@ -43,6 +43,7 @@ __all__ = [
     "lsh_topk",
     "linear_score",
     "logistic_score",
+    "centroid_outliers",
 ]
 
 
@@ -780,3 +781,58 @@ def logistic_score(vec: Column, weights: list[float], bias: float = 0.0) -> Colu
     round any sigmoid output they emit."""
     s = linear_score(vec, weights, bias)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+
+
+def centroid_outliers(df: DataFrame, k: int = 8, iters: int = 2,
+                      z: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      engine: str = "expr") -> DataFrame:
+    """Embedding-space outlier detection — the OOD/noise curation
+    signal: cluster the corpus with the deterministic :func:`kmeans`,
+    then flag every vector whose distance to its own centroid sits
+    more than ``z`` standard deviations above the cluster's mean
+    distance.  Returns (id, cluster, dist, is_outlier).
+
+    The z-score test is INTEGER-EXACT, on purpose (the module's
+    hash-gate discipline): kmeans' 6-dp-snapped distance becomes a
+    micro-units BIGINT ``di``, per-cluster (n, Σdi, Σdi²) are exact
+    decimal aggregates, and "di − mean > z·σ" is evaluated by
+    cross-multiplication —
+
+        (n·di − Σdi) > 0  AND  (n·di − Σdi)² > z²·(n·Σdi² − (Σdi)²)
+
+    — no division, no sqrt, no float accumulation anywhere, so the
+    flag can never flap on engine ulps (σ itself is irrational; its
+    SQUARE is an integer).  z must be a non-negative integer for the
+    same reason (z² stays exact; rational z would need q²-scaling).
+
+    Scale shape: kmeans' broadcast-assignment plan + ONE narrow
+    (cluster) aggregate (k rows out) broadcast back onto the assigned
+    frame — the corpus never shuffles after assignment.  A singleton
+    cluster has σ = 0 and is never an outlier (n·di ≡ Σdi).
+    """
+    if z < 0 or int(z) != z:
+        raise ValueError(
+            f"z must be a non-negative integer (cross-multiplied "
+            f"z² keeps the test integer-exact), got {z}")
+    a = kmeans(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+               engine=engine)
+    di = F.round(F.col("dist") * 1_000_000, 0).cast("decimal(38,0)")
+    # the assigned frame feeds BOTH the stats aggregate and the flag
+    # join; without a barrier each branch re-runs the full iterative
+    # k-means lineage (measured as doubled scans in the plan audit)
+    from ._cache import scoped_persist
+    scored = scoped_persist(a.withColumn("_di", di), "centroid_outliers")
+    stats = scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_di").alias("_s1"),
+        F.sum(F.col("_di") * F.col("_di")).alias("_s2"),
+    )
+    lhs = F.col("_n") * F.col("_di") - F.col("_s1")
+    rhs = (F.lit(z * z).cast("decimal(38,0)")
+           * (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")))
+    return (
+        scored.join(F.broadcast(stats), "cluster")
+        .withColumn("is_outlier", (lhs > 0) & (lhs * lhs > rhs))
+        .select(id_col, "cluster", "dist", "is_outlier")
+    )

@@ -685,7 +685,10 @@ DRIVER_WINDOW: list[str] = [
     # it exercises the SAME media-struct/mapInPandas plumbing but with
     # the strict-mode numpy PGM decoder doing real byte-exact work
     # (the stub-replay gate still runs under oracle_check/judge sweep)
-    "ds_real_codec_gate",
+    # ds_real_codec_gate rotated out r5-wrap (green r3+r4; the real-
+    # codec family keeps ds_wav_codec_gate + ds_y4m_codec_gate
+    # in-window) for the round's weighted-sampling flagship:
+    "ds_pps_sample",
     # txt_profile rotated out r5 (green r1-r4; the text-analysis
     # family keeps txt_repetition_rollup + the incoming
     # txt_bpe_merges row)
@@ -5823,9 +5826,11 @@ def ds_pagerank(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ds_kmeans",
-    oracle="""
+# Shared CTE prefix for the deterministic k-means replay (seeds = 8
+# smallest ids, 2 Lloyd steps, 6-dp distance snapping, 9-dp centroid
+# snapping) — a2 ends as (id, cidx, dist); ds_kmeans rolls it up and
+# ds_centroid_outliers runs the integer z-score test over it.
+_KMEANS_A2_CTE = """
     WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (SELECT id, v FROM v ORDER BY id LIMIT 8),
     c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v AS c
@@ -5854,6 +5859,12 @@ def ds_pagerank(spark, sf_dir):
                  ORDER BY round(list_distance(v.v, c.c), 6), c.cidx) AS rk
         FROM v CROSS JOIN c1 c) WHERE rk = 1
     )
+"""
+
+
+@register(
+    "ds_kmeans",
+    oracle=_KMEANS_A2_CTE + """
     SELECT cidx AS cluster, count(*) AS n, round(avg(dist), 4) AS avg_dist
     FROM a2 GROUP BY cidx
     """,
@@ -5874,6 +5885,56 @@ def ds_kmeans(spark, sf_dir):
     return a.groupBy(F.col("cluster")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("dist"), 4).alias("avg_dist"),
+    )
+
+
+@register(
+    "ds_centroid_outliers",
+    oracle=_KMEANS_A2_CTE + """
+    , di AS (
+      SELECT id, cidx, CAST(round(dist * 1000000) AS HUGEINT) AS d
+      FROM a2
+    ), st AS (
+      SELECT cidx, CAST(count(*) AS HUGEINT) AS n,
+             SUM(d) AS s1, SUM(d * d) AS s2
+      FROM di GROUP BY cidx
+    )
+    SELECT cidx AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(sum(CASE WHEN flag THEN id ELSE 0 END) AS BIGINT)
+             AS outlier_id_sum
+    FROM (
+      SELECT di.id, di.cidx,
+             (st.n * di.d - st.s1) > 0
+             AND (st.n * di.d - st.s1) * (st.n * di.d - st.s1)
+                 > 4 * (st.n * st.s2 - st.s1 * st.s1) AS flag
+      FROM di JOIN st ON di.cidx = st.cidx
+    ) GROUP BY cidx
+    """,
+)
+def ds_centroid_outliers(spark, sf_dir):
+    """Embedding outlier detection (similarity.centroid_outliers):
+    flag vectors > 2σ above their k-means cluster's mean centroid
+    distance — the OOD/noise curation signal.  The z-score test is
+    INTEGER-EXACT by cross-multiplication over micro-unit distances
+    ((n·di − Σdi)² > z²·(n·Σdi² − Σdi²-squared) — no division, no
+    sqrt, no float accumulation), so the flag can never flap on
+    engine ulps; the oracle replays the same two-step deterministic
+    k-means (shared CTE) and the same HUGEINT arithmetic.  Gated
+    observable: per-cluster size, outlier count, and the flagged-id
+    checksum (pins the exact flagged SET, not just how many)."""
+    from ..functions import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.centroid_outliers(emb, k=8, iters=2, z=2)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("bigint").alias("n_outliers"),
+        F.sum(F.when(F.col("is_outlier"), F.col("vec_id")).otherwise(0))
+        .cast("bigint").alias("outlier_id_sum"),
     )
 
 

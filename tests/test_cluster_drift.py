@@ -173,3 +173,60 @@ class TestMinhashEstimate:
                                     pairs=cands, threshold=0.0)
         j = {(r["a_id"], r["b_id"]): r["jaccard"] for r in exact.collect()}
         assert j[(3, 4)] == 1.0
+
+
+class TestCentroidOutliers:
+    def _blob(self, spark, far):
+        # 20 near-identical points at the origin + one far point;
+        # a second blob at (10, 10) keeps k=2 seeds honest
+        rows = ([(i, [i * 0.001, 0.0]) for i in range(0, 40, 2)]
+                + [(i, [10.0 + i * 0.001, 10.0]) for i in range(1, 40, 2)]
+                + [(100, [far, 0.0])])
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+
+    def test_planted_outlier_flagged(self, spark):
+        from filters_spark.functions import similarity
+        out = similarity.centroid_outliers(
+            self._blob(spark, far=3.0), k=2, iters=2, z=2).collect()
+        flags = {r["vec_id"]: r["is_outlier"] for r in out}
+        assert flags[100] is True
+        # every tight-blob member stays unflagged
+        assert not any(v for i, v in flags.items() if i != 100)
+
+    def test_z_threshold_respected(self, spark):
+        from filters_spark.functions import similarity
+        # a mild deviant: outlier at z=2 but inside z=50
+        df = self._blob(spark, far=3.0)
+        loose = {r["vec_id"]: r["is_outlier"] for r in
+                 similarity.centroid_outliers(df, k=2, iters=2,
+                                              z=50).collect()}
+        assert loose[100] is False
+
+    def test_singleton_cluster_never_outlier(self, spark):
+        from filters_spark.functions import similarity
+        # k=3 over 2 blobs + 1 isolated point: the isolated point
+        # seeds/absorbs its own cluster; sigma=0 there and n*di==s1,
+        # so the strict > keeps it unflagged
+        rows = ([(0, [0.0, 0.0]), (1, [50.0, 50.0]), (2, [0.01, 0.0]),
+                 (3, [50.01, 50.0]), (4, [100.0, 0.0])])
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+        out = similarity.centroid_outliers(df, k=3, iters=1, z=2).collect()
+        assert not any(r["is_outlier"] for r in out)
+
+    def test_rejects_non_integer_z(self, spark):
+        import pytest as _pytest
+        from filters_spark.functions import similarity
+        with _pytest.raises(ValueError, match="non-negative integer"):
+            similarity.centroid_outliers(
+                self._blob(spark, 3.0), z=1.5)
+
+    def test_deterministic_across_repartition(self, spark):
+        from filters_spark.functions import similarity
+        df = self._blob(spark, far=3.0)
+        a = sorted(map(tuple, similarity.centroid_outliers(
+            df, k=2, iters=2, z=2).collect()))
+        b = sorted(map(tuple, similarity.centroid_outliers(
+            df.repartition(5), k=2, iters=2, z=2).collect()))
+        assert a == b

@@ -275,6 +275,9 @@ EXPECTATIONS: dict[str, dict] = {
     # kmeans: centroids broadcast both iterations; exchanges = per-id
     # assignment windows + the two exploded centroid rollups + final
     "ds_kmeans": dict(min_broadcasts=2, max_exchanges=8),
+    # outliers: kmeans' plan behind a persisted barrier + the k-row
+    # cluster-stats agg broadcast back + the gate rollup
+    "ds_centroid_outliers": dict(min_broadcasts=3, max_exchanges=6),
     # knn graph: one cell-blocked join + the per-src rank window
     "ds_knn_graph": dict(max_exchanges=3),
     # drift: two grouped counts + broadcast totals + the null-safe
