@@ -89,6 +89,52 @@ def stress_pps_mega(spark: SparkSession, n_rows: int = 10_000_000,
          mega_hits=mega_hits, expected=round(expected, 1))
 
 
+def stress_outliers(spark: SparkSession, n_rows: int = 1_000_000,
+                    dim: int = 32, k: int = 64,
+                    n_planted: int = 50) -> None:
+    """1M×32 embeddings, k=64, 50 planted ISOLATED deviants — each
+    offset ±50 per dimension in its own hash-derived direction, at
+    the HIGH end of the id range so the low-id seeds stay normal.
+    The directions matter: a COHERENT contaminating group (shared
+    scale or shared offset) collapses into its own k-means cluster
+    where high-dimensional distance concentration hides it from any
+    within-cluster test (measured: ×200 scaling flags 20/1000, a
+    shared one-dim +50 offset flags 0/1000) — per-point random
+    directions keep every deviant a pairwise-distant minority member
+    of a normal cluster, the regime a z-score outlier test is FOR.
+    Every planted vector must flag; normal-point false positives
+    stay a small tail of the z=2 cut."""
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.col("id") * 131 + j), F.lit(1000))
+                   .cast("double") / 1000.0))
+    planted = F.col("id") >= n_rows - n_planted
+    vec = F.when(
+        planted,
+        F.transform(base, lambda x, j: x + F.when(
+            F.pmod(F.xxhash64(F.col("id") * 977 + j), F.lit(2)) == 0,
+            F.lit(50.0)).otherwise(F.lit(-50.0)))) \
+        .otherwise(base)
+    df = spark.range(n_rows).select(F.col("id").alias("vec_id"),
+                                    vec.alias("embedding"))
+    from filters_spark.functions import similarity
+    t0 = time.time()
+    out = similarity.centroid_outliers(df, k=k, iters=2, z=2,
+                                       engine="arrow")
+    agg = out.agg(
+        F.sum(F.when(F.col("is_outlier")
+                     & (F.col("vec_id") >= n_rows - n_planted), 1)
+              .otherwise(0)).alias("planted_hit"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("total"),
+    ).head()
+    dt = time.time() - t0
+    assert agg["planted_hit"] == n_planted, agg
+    assert agg["total"] < n_rows // 10, agg
+    emit(phase="centroid_outliers", rows=n_rows, dim=dim, k=k,
+         secs=round(dt, 1), planted_flagged=agg["planted_hit"],
+         total_flagged=agg["total"])
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_session(cpus)
@@ -98,6 +144,8 @@ def main() -> None:
         stress_pps(spark)
     if not only or "mega" in only:
         stress_pps_mega(spark)
+    if not only or "outliers" in only:
+        stress_outliers(spark)
     emit(phase="done")
 
 
