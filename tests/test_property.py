@@ -611,3 +611,28 @@ def test_duplicate_spans_matches_python_oracle(spark, texts, window):
     for i in corpus:
         assert got[i] == exp.get(i, (0, 0, 0, 0)), (texts[i], window,
                                                     got[i], exp.get(i))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=100),
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=40))
+@settings(**SETTINGS)
+def test_pps_total_hits_property(spark, weights, n):
+    """Systematic PPS invariant: for ANY non-negative integer weight
+    multiset with positive total, the point count Σ n_hits is EXACTLY
+    n (the midpoint points partition the axis), and no zero-weight
+    row is ever selected."""
+    from filters_spark.functions import sampling
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "key long, w long")
+    out = sampling.pps_systematic_sample(df, "key", "w", n=n).collect()
+    if sum(weights) == 0:
+        assert out == []
+        return
+    assert sum(r["n_hits"] for r in out) == n
+    by_key = {r["key"]: r["n_hits"] for r in out}
+    assert all(weights[k] > 0 for k in by_key)
+    # a row can never absorb more points than ceil(n*w/W) + 1
+    W = sum(weights)
+    for k, h in by_key.items():
+        assert h <= (n * weights[k]) // W + 1
