@@ -8944,3 +8944,101 @@ def prof_hll_by_group(spark, sf_dir):
                     F.round("est_distinct", 2).alias("est_distinct"),
                     rel.alias("rel_err"),
                     "bucket_checksum", "nonzero_buckets"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding projections (functions.projection): JL random projection +
+# exact distributed covariance (the PCA input).  The projection matrix
+# is md5-derived ±1 literals (the lsh_buckets convention), so the
+# oracle replays it term by term; covariance is micro-unit integer
+# sums, so the oracle replays it as HUGEINT arithmetic.
+# ---------------------------------------------------------------------------
+
+def _rp_oracle(out_dim: int, dim: int, seed: int) -> str:
+    """Unrolled JL-projection oracle: one UNION ALL leg per output
+    dim, each a literal ±q[i] sum over the micro-quantized vector —
+    the engine-independent sign matrix appears in BOTH plans as
+    literals, the ds_lsh_topk discipline."""
+    from ..functions.projection import rp_sign
+
+    legs = []
+    for j in range(out_dim):
+        terms = " ".join(
+            ("+" if rp_sign(seed, j, i) > 0 else "-") + f" qv[{i + 1}]"
+            for i in range(dim))
+        if terms.startswith("+ "):
+            terms = terms[2:]
+        legs.append(
+            f"SELECT vec_id, {j} AS j, ({terms}) AS pq FROM qm")
+    return (
+        "WITH qm AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv "
+        "FROM embeddings) " + " UNION ALL ".join(legs))
+
+
+@register(
+    "ds_random_projection",
+    oracle=_rp_oracle(out_dim=6, dim=64, seed=0),
+)
+def ds_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection
+    (projection.random_projection): every 64-dim embedding reduced to
+    6 exact micro-unit coordinates — the dimension-reduction step a
+    100 TB pipeline runs before clustering/kNN.  The gate compares
+    EVERY projected coordinate of EVERY vector (posexploded), so one
+    flipped sign or one mis-rounded input fails the hash.  The plan
+    is a pure map: ±1 weights are literals, zero shuffles before the
+    explode, no side data; integer sums make the result independent
+    of partitioning and accumulation order."""
+    from ..functions import projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rp = projection.random_projection(emb, out_dim=6, seed=0, dim=64)
+    return rp.select("vec_id", F.posexplode("projected_q").alias("j", "pq"))
+
+
+@register(
+    "prof_covariance",
+    oracle="""
+    WITH qm AS (
+      SELECT vec_id, list_transform(embedding[1:8],
+               x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS HUGEINT)) AS qv
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, i, qv[i] AS x FROM qm, range(1, 9) t(i)
+    )
+    SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(a.x*b.x) AS BIGINT) AS sxy,
+           CAST(SUM(a.x) AS BIGINT) AS sxi,
+           CAST(SUM(b.x) AS BIGINT) AS sxj,
+           CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x) AS BIGINT)
+             AS cov_num
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def prof_covariance(spark, sf_dir):
+    """EXACT distributed covariance pairs
+    (projection.covariance_pairs, expr engine) over the first 8
+    embedding dims: micro-unit integer sums per (i ≤ j) pair, plus
+    the cross-multiplied covariance numerator n·Σxy − Σx·Σy — the
+    no-division/no-float discipline, so the 36-row result is
+    bit-identical on any engine, partitioning, or accumulation
+    order.  This is PCA's distributed half (pca_components
+    eigendecomposes these 36 numbers on the driver; the O(d²)-rows
+    shape is what survives 100 TB — map-side combine collapses every
+    task to ≤ d(d+1)/2 partial rows before the one shuffle).  The
+    oracle replays quantization, pairing, and HUGEINT sums."""
+    from ..functions import projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = projection.covariance_pairs(
+        emb.select("vec_id", F.slice("embedding", 1, 8).alias("v")),
+        "v", dim=8, engine="expr")
+    return cov.select(
+        "i", "j", "n",
+        F.col("sxy").cast("bigint").alias("sxy"),
+        F.col("sxi").cast("bigint").alias("sxi"),
+        F.col("sxj").cast("bigint").alias("sxj"),
+        F.col("cov_num").cast("bigint").alias("cov_num"))

@@ -1,0 +1,191 @@
+"""Embedding projections (functions.projection): JL random
+projection, exact distributed covariance, and the driver-side PCA
+half — the invariants a DuckDB oracle cannot express (eigenvector
+properties) pinned here, the covariance half hash-gated by
+prof_covariance."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from filters_spark.functions import projection as P
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """60 deterministic 12-dim vectors with correlated structure
+    (dims 0/1 strongly correlated, dim 2 anti-correlated) so PCA has
+    a non-degenerate answer to find."""
+    rows = []
+    for i in range(60):
+        base = math.sin(i * 0.7)
+        vec = [base + 0.01 * ((i * 7 + d) % 5 - 2) for d in (0, 1)]
+        vec.append(-base + 0.02 * (i % 3 - 1))
+        vec.extend(0.1 * math.cos(i * 0.3 + d) for d in range(3, 12))
+        rows.append((i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_matrix(df):
+    rows = df.orderBy("vec_id").select("embedding").collect()
+    return np.array([list(r[0]) for r in rows], dtype="float64")
+
+
+def _np_micro(X):
+    # round-half-away-from-zero, the engines' shared quantization
+    return np.where(X >= 0, np.floor(X * 1e6 + 0.5),
+                    -np.floor(-X * 1e6 + 0.5)).astype("int64")
+
+
+class TestRandomProjection:
+    def test_matches_numpy_replay_exactly(self, spark, vectors):
+        out = P.random_projection(vectors, out_dim=5, seed=3, dim=12)
+        got = {r["vec_id"]: list(r["projected_q"])
+               for r in out.select("vec_id", "projected_q").collect()}
+        S = np.array([[P.rp_sign(3, j, i) for i in range(12)]
+                      for j in range(5)], dtype="int64")
+        Q = _np_micro(_np_matrix(vectors))
+        for vid, q in enumerate(Q):
+            assert got[vid] == list(S @ q)
+
+    def test_linearity_exact(self, spark):
+        """proj(a) + proj(b) == proj(a+b) when inputs are already
+        micro-exact — integer arithmetic has no accumulation error."""
+        a = [0.25, -0.5, 0.125, 1.0]
+        b = [0.5, 0.25, -1.0, 0.125]
+        df = spark.createDataFrame(
+            [(0, a), (1, b), (2, [x + y for x, y in zip(a, b)])],
+            "vec_id long, embedding array<float>")
+        rows = {r["vec_id"]: list(r["projected_q"])
+                for r in P.random_projection(df, out_dim=4, seed=1, dim=4)
+                .select("vec_id", "projected_q").collect()}
+        assert [x + y for x, y in zip(rows[0], rows[1])] == rows[2]
+
+    def test_zero_shuffle_plan(self, spark, vectors):
+        out = P.random_projection(vectors, out_dim=5, seed=0, dim=12)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_float_view_is_micro_over_1e6(self, spark, vectors):
+        r = (P.random_projection(vectors, out_dim=3, seed=0, dim=12)
+             .select("projected_q", "projected").first())
+        assert list(r["projected"]) == [q / 1e6 for q in r["projected_q"]]
+
+    def test_distance_preservation_trend(self, spark, vectors):
+        """JL sanity (statistical, not exact): projected squared
+        distances correlate strongly with true squared distances."""
+        out = P.random_projection(vectors, out_dim=8, seed=0, dim=12)
+        X = _np_matrix(vectors)
+        Prows = out.orderBy("vec_id").select("projected").collect()
+        Y = np.array([list(r[0]) for r in Prows])
+        dx, dy = [], []
+        for i in range(0, 40, 3):
+            for j in range(i + 1, 40, 7):
+                dx.append(((X[i] - X[j]) ** 2).sum())
+                dy.append(((Y[i] - Y[j]) ** 2).sum())
+        assert np.corrcoef(dx, dy)[0, 1] > 0.8
+
+    def test_sign_matrix_is_balanced(self):
+        """The md5-derived matrix is roughly half +1 (a degenerate
+        all-ones matrix would collapse every output dim to the same
+        projection)."""
+        signs = [P.rp_sign(0, j, i) for j in range(8) for i in range(64)]
+        pos = sum(1 for s in signs if s > 0)
+        assert 0.35 * len(signs) < pos < 0.65 * len(signs)
+
+
+class TestCovariancePairs:
+    def test_expr_matches_numpy_exactly(self, spark, vectors):
+        cov = P.covariance_pairs(vectors, dim=12, engine="expr")
+        Q = _np_micro(_np_matrix(vectors))
+        G = Q.T @ Q
+        S = Q.sum(axis=0)
+        n = Q.shape[0]
+        rows = cov.collect()
+        assert len(rows) == 12 * 13 // 2
+        for r in rows:
+            i, j = r["i"], r["j"]
+            assert i <= j
+            assert r["n"] == n
+            assert int(r["sxy"]) == G[i, j]
+            assert int(r["sxi"]) == S[i]
+            assert int(r["sxj"]) == S[j]
+            assert int(r["cov_num"]) == n * G[i, j] - S[i] * S[j]
+
+    def test_arrow_engine_identical(self, spark, vectors):
+        key = lambda r: (r["i"], r["j"])  # noqa: E731
+        canon = lambda rs: {  # noqa: E731
+            key(r): (r["n"], int(r["sxy"]), int(r["sxi"]),
+                     int(r["sxj"]), int(r["cov_num"])) for r in rs}
+        e = canon(P.covariance_pairs(vectors, dim=12, engine="expr").collect())
+        a = canon(P.covariance_pairs(
+            vectors.repartition(5), dim=12, engine="arrow").collect())
+        assert e == a
+
+    def test_partitioning_invariance(self, spark, vectors):
+        canon = lambda rs: sorted(  # noqa: E731
+            (r["i"], r["j"], int(r["cov_num"])) for r in rs)
+        one = canon(P.covariance_pairs(
+            vectors.coalesce(1), dim=12, engine="expr").collect())
+        many = canon(P.covariance_pairs(
+            vectors.repartition(7), dim=12, engine="expr").collect())
+        assert one == many
+
+    def test_bad_engine_raises(self, spark, vectors):
+        with pytest.raises(ValueError, match="engine"):
+            P.covariance_pairs(vectors, dim=12, engine="pandas")
+
+
+class TestPCA:
+    def test_components_orthonormal_descending(self, spark, vectors):
+        cov = P.covariance_pairs(vectors, dim=12, engine="expr")
+        comps, eig = P.pca_components(cov, dim=12, k=4)
+        C = np.array(comps)
+        assert np.allclose(C @ C.T, np.eye(4), atol=1e-9)
+        assert eig == sorted(eig, reverse=True)
+        assert eig[-1] >= -1e-12  # covariance is PSD
+
+    def test_sign_convention_deterministic(self, spark, vectors):
+        cov = P.covariance_pairs(vectors, dim=12, engine="expr")
+        comps, _ = P.pca_components(cov, dim=12, k=4)
+        for comp in comps:
+            arr = np.array(comp)
+            assert arr[int(np.argmax(np.abs(arr)))] > 0
+
+    def test_first_component_captures_planted_structure(self, spark, vectors):
+        """Dims 0/1/2 carry the dominant correlated signal; the top
+        axis must live there, with 0 and 1 aligned and 2 opposed."""
+        cov = P.covariance_pairs(vectors, dim=12, engine="expr")
+        comps, eig = P.pca_components(cov, dim=12, k=2)
+        c0 = np.array(comps[0])
+        assert (np.abs(c0[:3]) ** 2).sum() > 0.9
+        assert c0[0] * c0[1] > 0 and c0[0] * c0[2] < 0
+        assert eig[0] > 3 * eig[1]
+
+    def test_projected_variance_matches_eigenvalues(self, spark, vectors):
+        """Variance of centered data along each axis equals its
+        eigenvalue (the PCA identity, population form)."""
+        cov = P.covariance_pairs(vectors, dim=12, engine="expr")
+        comps, eig = P.pca_components(cov, dim=12, k=3)
+        X = _np_matrix(vectors)
+        Y = (X - X.mean(axis=0)) @ np.array(comps).T
+        got = (Y ** 2).mean(axis=0)
+        # quantization perturbs at the 1e-6 level; tolerance well above
+        assert np.allclose(got, eig, rtol=1e-3, atol=1e-9)
+
+    def test_project_plan_is_pure_map(self, spark, vectors):
+        cov = P.covariance_pairs(vectors, dim=12, engine="expr")
+        comps, _ = P.pca_components(cov, dim=12, k=3)
+        out = P.pca_project(vectors, comps)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert len(out.first()["pca"]) == 3
+
+    def test_empty_input_raises(self, spark):
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>")
+        cov = P.covariance_pairs(empty, dim=4, engine="expr")
+        with pytest.raises(ValueError, match="no rows"):
+            P.pca_components(cov, dim=4, k=2)

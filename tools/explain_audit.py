@@ -371,6 +371,12 @@ EXPECTATIONS: dict[str, dict] = {
     # budget class as the full LSH pipeline it restricts
     "ds_incremental_dedup": dict(max_exchanges=5, min_broadcasts=1),
     "ds_hybrid_rrf": dict(max_exchanges=10, min_broadcasts=4),
+    # JL random projection: a PURE MAP — literal ±1 weights in the
+    # plan, zero shuffles, zero broadcasts, the posexplode included
+    "ds_random_projection": dict(max_exchanges=0),
+    # exact covariance: the single O(d²) grouped-agg exchange
+    # (map-side combine collapses each task to ≤ d(d+1)/2 rows)
+    "prof_covariance": dict(max_exchanges=1),
 }
 
 
