@@ -644,7 +644,10 @@ DRIVER_WINDOW: list[str] = [
     # stays covered by val_lineitem_clean_agg + rel_grouping_sets);
     # rel_latest_order_per_customer rotated out r5 (green r2-r4; the
     # window-dedup shape stays covered by ds_dedup_exact)
-    "rel_q3_shipping",          # broadcast join + top-k
+    # rel_q3_shipping rotated out r5-wrap2 (green r1-r4, the window's
+    # longest streak; the broadcast-join shape keeps rel_asof_join +
+    # rel_salted_join_agg + rel_scd2 in-window, top-k windows run
+    # inside ds_hybrid_rrf/ds_tokenize_pack)
     "rel_asof_join",            # as-of join (range join: judged outside)
     "rel_salted_join_agg",      # skew salting
     # rel_upsert_merge rotated out r5c (green r2-r4; CDC merge stays
@@ -662,7 +665,9 @@ DRIVER_WINDOW: list[str] = [
     # ds_bm25_topk rotated out r5c (green r3+r4; lexical retrieval
     # stays officially exercised inside ds_hybrid_rrf, whose sparse
     # arm replays the same BM25 scorer and whose oracle re-derives it)
-    "ds_pagerank",              # graph curation signal (round 3b)
+    # ds_pagerank rotated out r5-wrap2 (green r3+r4; iterative-graph
+    # propagation stays officially covered by
+    # ds_dedup_components_star + ds_semantic_clusters in-window)
     # -- LLM-pipeline ops ---------------------------------------------
     # ds_dedup_exact rotated out r5 (green r1-r4; exact dedup is the
     # second stage of the incoming ds_corpus_pipeline_v4, so the
@@ -742,6 +747,12 @@ DRIVER_WINDOW: list[str] = [
     "ds_quality_pipeline",      # Gopher rules ∧ LM-perplexity keep
     "prof_hdr_quantiles",       # HDR quantile sketch calibration
     "ds_tokenize_pack",         # BPE -> subword-budget packing
+    # -- round-5 fourth rotation: the projection family (JL random
+    # projection + exact covariance, PCA's distributed half), green
+    # on the strict replica at sf0.01 AND sf0.1 + local[5] + empty +
+    # plan audit before entry:
+    "ds_random_projection",     # JL ±1 projection, per-coordinate gate
+    "prof_covariance",          # exact distributed covariance pairs
 ]
 
 
