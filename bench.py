@@ -74,6 +74,10 @@ HEADLINE = [
     "txt_lm_perplexity",
     "prof_hdr_quantiles",
     "ds_quality_pipeline",
+    # round 5 (wrap): embedding projections — JL reduction + exact
+    # distributed covariance (PCA's distributed half)
+    "ds_random_projection",
+    "prof_covariance",
 ]
 
 

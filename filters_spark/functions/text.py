@@ -42,6 +42,8 @@ __all__ = [
     "chunk_documents",
     "bpe_train",
     "bpe_apply",
+    "hashing_vectorize",
+    "hashing_vectors_dense",
     "STOPWORDS",
 ]
 
@@ -700,3 +702,68 @@ def bpe_apply(col: Column, merges: list[tuple]) -> Column:
     toks = F.split(packed, _BPE_SEP)
     body = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
     return F.filter(body, lambda x: (x != "") & (x != " "))
+
+
+def hashing_vectorize(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", dim: int = 256,
+                      sep: str = " ", signed: bool = True) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectorizer
+    (Weinberger et al. 2009, "Feature Hashing for Large Scale
+    Multitask Learning"): each token lands in bucket
+    ``md5_prefix(token) % dim`` with a ±1 sign from the next md5 hex
+    digit's parity (the signed trick keeps hash collisions unbiased:
+    E[⟨φ(a), φ(b)⟩] = ⟨a, b⟩), and per-(doc, bucket) signed counts
+    are the sparse vector — the classical featurizer that puts text
+    into the embedding stack (cosine/kmeans/kNN/SemDeDup) with NO
+    model, NO vocabulary, and NO training pass.
+
+    Returns sparse rows (id_col, bucket int, weight long), weight ≠ 0
+    (exact ±1 cancellations are dropped — they are zeros of the
+    vector).  INTEGER-exact: the same tokens produce the same rows on
+    any engine or partitioning (md5 is engine-portable; the
+    ``sampling.hash_bucket`` convention).
+
+    Scale shape: ONE shuffle, keyed (id, bucket), with map-side
+    partial aggregation collapsing repeated tokens before it moves;
+    no vocabulary broadcast (the point of the trick — a real
+    vocabulary on a 100 TB corpus is itself a big-data problem).
+    ``signed=False`` gives plain bucket counts (bag-of-buckets).
+    """
+    t = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col), sep))
+                   .alias("_t"))
+         .where(F.col("_t") != ""))
+    h = F.md5(F.col("_t"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % dim).cast("int")
+    if signed:
+        w = F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2
+                   == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    else:
+        w = F.lit(1).cast("long")
+    return (t.select(F.col(id_col), bucket.alias("bucket"), w.alias("_w"))
+            .groupBy(id_col, "bucket")
+            .agg(F.sum("_w").alias("weight"))
+            .where(F.col("weight") != 0))
+
+
+def hashing_vectors_dense(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", dim: int = 256,
+                          sep: str = " ", signed: bool = True,
+                          out_col: str = "embedding") -> DataFrame:
+    """Dense form of :func:`hashing_vectorize`: one row per doc with
+    ``out_col`` = array<double> of length ``dim`` — the drop-in input
+    for the similarity stack (cosine_topk/kmeans/knn_graph all take
+    array columns).  Use only when ``dim`` is small enough that
+    n_docs × dim doubles is an acceptable frame (dim ≤ ~4k); at
+    larger dim stay sparse.  Docs with NO tokens are absent (their
+    vector is all-zero — join back against the corpus if the zero
+    vector matters)."""
+    sparse = hashing_vectorize(df, id_col, text_col, dim, sep, signed)
+    m = (sparse.groupBy(id_col)
+         .agg(F.map_from_arrays(F.collect_list("bucket"),
+                                F.collect_list("weight")).alias("_m")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(
+            F.element_at("_m", b.cast("int")).cast("double"), F.lit(0.0)))
+    return m.select(F.col(id_col), dense.alias(out_col))

@@ -9053,3 +9053,54 @@ def prof_covariance(spark, sf_dir):
         F.col("sxi").cast("bigint").alias("sxi"),
         F.col("sxj").cast("bigint").alias("sxj"),
         F.col("cov_num").cast("bigint").alias("cov_num"))
+
+
+@register(
+    "txt_hashing_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tt AS (
+      SELECT doc_id, md5(tok) AS h FROM t WHERE tok != ''
+    ), hv AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 64
+                  AS INT) AS bucket,
+             CASE WHEN CAST(concat('0x', substr(h, 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS w
+      FROM tt
+    ), sv AS (
+      SELECT doc_id, bucket, SUM(w) AS weight
+      FROM hv GROUP BY doc_id, bucket HAVING SUM(w) != 0
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS nnz_docs,
+           CAST(sum(weight) AS BIGINT) AS total_weight,
+           CAST(sum(weight * doc_id) AS BIGINT) AS doc_checksum,
+           CAST(sum(abs(weight)) AS BIGINT) AS l1
+    FROM sv GROUP BY bucket
+    """,
+)
+def txt_hashing_features(spark, sf_dir):
+    """Feature-hashing vectorizer (text.hashing_vectorize): every
+    token md5-bucketed into a 64-dim signed sparse vector — the
+    no-model, no-vocabulary featurizer that feeds the similarity
+    stack (cosine/kmeans/SemDeDup) straight from text.  The gate
+    rolls the whole corpus's sparse vectors up per bucket: nnz doc
+    count, signed mass, the doc_id-weighted checksum (pins WHICH doc
+    carries which weight, not just totals), and L1 mass — all exact
+    integers, so one flipped sign, one dropped token, or one
+    mis-bucketed hash fails the hash.  The oracle replays md5
+    bucketing, the ±1 parity sign, the zero-cancellation drop, and
+    the rollup."""
+    from ..functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    sparse = text.hashing_vectorize(d, dim=64)
+    return sparse.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nnz_docs"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
+        F.sum(F.col("weight") * F.col("doc_id")).cast("bigint")
+        .alias("doc_checksum"),
+        F.sum(F.abs("weight")).cast("bigint").alias("l1"),
+    )

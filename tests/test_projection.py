@@ -189,3 +189,81 @@ class TestPCA:
         cov = P.covariance_pairs(empty, dim=4, engine="expr")
         with pytest.raises(ValueError, match="no rows"):
             P.pca_components(cov, dim=4, k=2)
+
+
+class TestHashingVectorize:
+    """Feature-hashing vectorizer (text.hashing_vectorize) — the
+    no-model featurizer feeding the similarity stack."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(0, "apple banana apple"),
+             (1, "banana cherry"),
+             (2, "apple apple apple apple"),
+             (3, ""),
+             (4, "  "),  # empty tokens only
+             ],
+            "doc_id long, text string")
+
+    def _hashlib_bucket_sign(self, tok, dim):
+        import hashlib
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return int(h[:8], 16) % dim, 1 if int(h[8], 16) % 2 == 0 else -1
+
+    def test_matches_hashlib_replay(self, spark, docs):
+        from filters_spark.functions import text as T
+        got = {(r["doc_id"], r["bucket"]): r["weight"]
+               for r in T.hashing_vectorize(docs, dim=16).collect()}
+        exp = {}
+        for did, txt in [(0, "apple banana apple"), (1, "banana cherry"),
+                         (2, "apple apple apple apple")]:
+            for tok in txt.split(" "):
+                if not tok:
+                    continue
+                b, s = self._hashlib_bucket_sign(tok, 16)
+                exp[(did, b)] = exp.get((did, b), 0) + s
+        exp = {k: v for k, v in exp.items() if v != 0}
+        assert got == exp
+
+    def test_unsigned_counts(self, spark, docs):
+        from filters_spark.functions import text as T
+        got = {(r["doc_id"], r["bucket"]): r["weight"]
+               for r in T.hashing_vectorize(docs, dim=16, signed=False)
+               .collect()}
+        assert sum(v for (d, _), v in got.items() if d == 2) == 4
+        assert all(v > 0 for v in got.values())
+
+    def test_empty_docs_absent(self, spark, docs):
+        from filters_spark.functions import text as T
+        ids = {r["doc_id"]
+               for r in T.hashing_vectorize(docs, dim=16).collect()}
+        assert 3 not in ids and 4 not in ids
+
+    def test_dense_consistent_with_sparse(self, spark, docs):
+        from filters_spark.functions import text as T
+        dense = {r["doc_id"]: list(r["embedding"])
+                 for r in T.hashing_vectors_dense(docs, dim=16).collect()}
+        sparse = {}
+        for r in T.hashing_vectorize(docs, dim=16).collect():
+            sparse.setdefault(r["doc_id"], [0.0] * 16)
+            sparse[r["doc_id"]][r["bucket"]] = float(r["weight"])
+        assert dense == sparse
+        assert all(len(v) == 16 for v in dense.values())
+
+    def test_feeds_similarity_stack(self, spark, docs):
+        """Dense hashed vectors compose with cosine: identical texts
+        score 1.0, disjoint-vocabulary texts score 0.0."""
+        from filters_spark.functions import text as T
+        from filters_spark.functions import similarity as S
+        pair = spark.createDataFrame(
+            [(10, "apple banana"), (11, "apple banana"),
+             (12, "cherry date")],
+            "doc_id long, text string")
+        dense = T.hashing_vectors_dense(pair, dim=32)
+        a, b, c = [np.array(r["embedding"]) for r in
+                   dense.orderBy("doc_id").collect()]
+        cos = lambda x, y: float(  # noqa: E731
+            x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        assert cos(a, b) == pytest.approx(1.0)
+        assert cos(a, c) == pytest.approx(0.0, abs=1e-12)

@@ -377,6 +377,9 @@ EXPECTATIONS: dict[str, dict] = {
     # exact covariance: the single O(d²) grouped-agg exchange
     # (map-side combine collapses each task to ≤ d(d+1)/2 rows)
     "prof_covariance": dict(max_exchanges=1),
+    # hashing-trick featurizer: the (doc, bucket) sparse agg + the
+    # 64-row bucket rollup — two map-side-combined exchanges
+    "txt_hashing_features": dict(max_exchanges=2),
 }
 
 
