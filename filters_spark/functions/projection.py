@@ -43,6 +43,7 @@ __all__ = [
     "quantize_micro",
     "random_projection",
     "covariance_pairs",
+    "covariance_merge",
     "pca_components",
     "pca_project",
 ]
@@ -122,26 +123,34 @@ def covariance_pairs(df: DataFrame, vec_col: str = "embedding",
 
     Scale shape: ONE scan, no matter the engine —
 
-    - ``expr``: per row, the d(d+1)/2 upper-triangle products are
-      built as an in-plan struct array and exploded into the grouped
-      aggregate; hash-aggregate map-side combine collapses every task
-      to ≤ d(d+1)/2 partial rows BEFORE the shuffle, so the shuffle
-      and result are O(d²) regardless of corpus size (the
-      ``sketch.cms_table`` shape).  Row amplification (×d²/2) runs
-      inside one codegen stage and never materializes.
+    - ``expr``: per row, ONE flat long array of [pair products ‖ raw
+      per-dim values] is posexploded into a single grouped aggregate
+      (group key = flat position); hash-aggregate map-side combine
+      collapses every task to ≤ d(d+1)/2 + d partial rows BEFORE the
+      shuffle, so the shuffle and result are O(d²) regardless of
+      corpus size (the ``sketch.cms_table`` shape).  The tiny rollup
+      is scoped-persisted once and stitched into (i, j) form by
+      broadcast joins against a literal position map.  The flat-LONG
+      array is deliberate: the obvious per-pair struct array
+      (i, j, xy, xi, xj as decimals) generates code so large that
+      Janino compilation itself exhausts the driver heap at d = 64
+      (measured: OOM at 32 g on 200 k rows); plain long products
+      compile fine and run 416 M exploded values in ~50 s at
+      200 k × 64.
     - ``arrow``: per-partition numpy int64 Gram (Xᵀ·X on the
       quantized matrix — BLAS-speed) emitting the same ≤ d(d+1)/2
       partial rows per partition, summed by the identical grouped
-      aggregate.  Exact while |partial| < 2⁶³: rows-per-partition ×
-      (1e6·max|x|)² — at |x| ≤ 1 that is 9.2e6 rows per partition
-      per unit product, and maxPartitionBytes bounds rows; the
-      documented precondition is rows_per_partition·(max|x|·1e6)² <
-      9.2e18.
+      aggregate.  The 100 TB path: ~100× less per-row interpreter
+      work than expr.
 
-    Global sums are decimal(38,0) (corpus-size-proof); the two
-    engines are exactly equal (integer arithmetic, pytest-pinned).
-    ``dim`` caps expression size on the expr engine: d = 64 → 2 080
-    pair expressions (fine); for d ≥ 256 use ``arrow``.
+    Shared exactness precondition (both engines multiply micro-unit
+    longs): |x| · 1e6 < 3.04e9, i.e. |x| < 3 035 — any real
+    embedding; and for arrow, rows_per_partition · (max|x|·1e6)² <
+    9.2e18 (maxPartitionBytes bounds rows).  Global sums are
+    decimal(38,0) (corpus-size-proof); the two engines are exactly
+    equal (integer arithmetic, pytest-pinned).  Engine choice: expr
+    is the SQL-replayable gate shape, fine to d ≈ 64 but O(n·d²)
+    interpreter work; arrow is the production path for big n·d².
     """
     if dim is None:
         first = df.select(F.size(F.col(vec_col))).first()
@@ -150,27 +159,40 @@ def covariance_pairs(df: DataFrame, vec_col: str = "embedding",
         return _covariance_pairs_arrow(df, vec_col, dim)
     if engine != "expr":
         raise ValueError(f"engine must be 'expr' or 'arrow', got {engine!r}")
+    from ._cache import scoped_persist
+
     q = df.select(quantize_micro(F.col(vec_col)).alias("_qv"))
-    # products as decimal(18,0)·decimal(18,0) → decimal(37,0): exact
-    # for micro values up to 1e18, no long-multiply overflow cliff
-    e = lambda k: F.element_at("_qv", k + 1).cast("decimal(18,0)")  # noqa: E731
-    prods = F.array(*[
-        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),
-                 (e(i) * e(j)).alias("xy"),
-                 e(i).alias("xi"), e(j).alias("xj"))
-        for i in range(dim) for j in range(i, dim)
-    ])
-    flat = q.select(F.explode(prods).alias("p")).select("p.*")
-    g = flat.groupBy("i", "j").agg(
+    e = lambda k: F.element_at("_qv", k + 1)  # noqa: E731
+    pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
+    npairs = len(pairs)
+    ext = F.array(*([e(i) * e(j) for i, j in pairs]
+                    + [e(i) for i in range(dim)]))
+    flat = q.select(F.posexplode(ext).alias("_pos", "_x"))
+    g = flat.groupBy("_pos").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xy").cast("decimal(38,0)").alias("sxy"),
-        F.sum("xi").cast("decimal(38,0)").alias("sxi"),
-        F.sum("xj").cast("decimal(38,0)").alias("sxj"),
-    )
-    return g.withColumn(
-        "cov_num",
-        (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj"))
-        .cast("decimal(38,0)"))
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"))
+    # ≤ d(d+1)/2 + d rows; persisted so the pair leg and the two
+    # per-dim-sum legs below don't each recompute the corpus scan
+    g = scoped_persist(g, "covariance_pairs")
+    sums = g.where(F.col("_pos") >= npairs).select(
+        (F.col("_pos") - npairs).cast("int").alias("_d"),
+        F.col("_s").alias("_sd"))
+    pmap = df.sparkSession.createDataFrame(
+        [(p, i, j) for p, (i, j) in enumerate(pairs)],
+        "pos int, i int, j int")
+    si, sj = sums.alias("si"), sums.alias("sj")
+    return (g.where(F.col("_pos") < npairs)
+            .join(F.broadcast(pmap), F.col("_pos") == F.col("pos"))
+            .join(F.broadcast(si), F.col("i") == F.col("si._d"))
+            .join(F.broadcast(sj), F.col("j") == F.col("sj._d"))
+            .select(
+                "i", "j", "n",
+                F.col("_s").alias("sxy"),
+                F.col("si._sd").alias("sxi"),
+                F.col("sj._sd").alias("sxj"),
+                (F.col("n") * F.col("_s")
+                 - F.col("si._sd") * F.col("sj._sd"))
+                .cast("decimal(38,0)").alias("cov_num")))
 
 
 def _covariance_pairs_arrow(df: DataFrame, vec_col: str,
@@ -280,3 +302,30 @@ def pca_project(df: DataFrame, components: list[list[float]],
                        lambda x, c: x.cast("double") * c),
             F.lit(0.0), lambda acc, x: acc + x))
     return df.withColumn(out_col, F.array(*cols))
+
+
+def covariance_merge(*parts: DataFrame) -> DataFrame:
+    """Merge :func:`covariance_pairs` outputs from disjoint row sets:
+    the raw sums (n, Σxy, Σx, Σy) are ADDITIVE, so cov(A ∪ B) is one
+    per-pair integer sum over the parts plus a cov_num recompute —
+    the incremental-maintenance property (a daily append refreshes
+    corpus PCA stats at O(delta) by merging yesterday's d² rows with
+    the delta's, never rescanning the corpus; the
+    ``retrieval.append_postings`` contract, in 5 lines because the
+    sketch is additive by construction).  EXACT: merged output is
+    bit-identical to covariance_pairs over the union (pytest-pinned).
+    """
+    if not parts:
+        raise ValueError("covariance_merge needs at least one part")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = u.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sxy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("sxi").cast("decimal(38,0)").alias("sxi"),
+        F.sum("sxj").cast("decimal(38,0)").alias("sxj"))
+    return g.select(
+        "i", "j", "n", "sxy", "sxi", "sxj",
+        (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj"))
+        .cast("decimal(38,0)").alias("cov_num"))

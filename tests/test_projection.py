@@ -267,3 +267,26 @@ class TestHashingVectorize:
             x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
         assert cos(a, b) == pytest.approx(1.0)
         assert cos(a, c) == pytest.approx(0.0, abs=1e-12)
+
+
+class TestCovarianceMerge:
+    def test_merge_equals_whole(self, spark, vectors):
+        """cov(A) ⊕ cov(B) == cov(A ∪ B) exactly — the O(delta)
+        incremental-maintenance property."""
+        a = vectors.where(F.col("vec_id") < 40)
+        b = vectors.where(F.col("vec_id") >= 40)
+        canon = lambda rs: {  # noqa: E731
+            (r["i"], r["j"]): (r["n"], int(r["sxy"]), int(r["sxi"]),
+                               int(r["sxj"]), int(r["cov_num"]))
+            for r in rs}
+        merged = canon(P.covariance_merge(
+            P.covariance_pairs(a, dim=12, engine="expr"),
+            P.covariance_pairs(b, dim=12, engine="arrow"),
+        ).collect())
+        whole = canon(P.covariance_pairs(
+            vectors, dim=12, engine="expr").collect())
+        assert merged == whole
+
+    def test_merge_empty_raises(self):
+        with pytest.raises(ValueError, match="at least one"):
+            P.covariance_merge()

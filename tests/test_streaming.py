@@ -627,3 +627,61 @@ class TestStreamingQualityScreen:
         assert got["wc"] == want["fail_word_count"]
         assert got["sw"] == want["fail_stopwords"]
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingSketchMonitor:
+    def test_hll_monitor_merges_to_batch_sketch(self, spark):
+        """Streaming cardinality monitor as a COMPOSITION, not new
+        API: expectations_monitor + hll_table as the checks callable.
+        Per-batch ≤256-row sketches land in the audit sink; the
+        cross-batch hll_merge (per-bucket max) must be BIT-IDENTICAL
+        to the static sketch over the same files — HLL's merge is
+        exact by construction (max of maxes), so the streaming
+        monitor loses nothing vs a batch profile (round 5)."""
+        from filters_spark.functions import sketch
+
+        tmp = tempfile.mkdtemp(prefix="fshll_")
+        docs_dir = f"{tmp}/docs"
+        os.makedirs(docs_dir)
+        # two files -> two micro-batches with maxFilesPerTrigger=1
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        d.where(F.col("doc_id") % 2 == 0).coalesce(1) \
+            .write.parquet(f"{docs_dir}/even")
+        d.where(F.col("doc_id") % 2 == 1).coalesce(1) \
+            .write.parquet(f"{docs_dir}/odd")
+        src = f"{docs_dir}/*"
+        schema = d.schema
+
+        def checks(batch_df):
+            toks = (batch_df.select(
+                F.explode(F.split("text", " ")).alias("t"))
+                .where(F.col("t") != ""))
+            return sketch.hll_table(toks, "t")
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream
+             .foreachBatch(st.expectations_monitor(checks, f"{tmp}/audit"))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+        audit = spark.read.parquet(f"{tmp}/audit")
+        n_batches = audit.select("_batch_id").distinct().count()
+        assert n_batches >= 2, "expected one micro-batch per file"
+        merged = {(r["bucket"]): r["max_rho"] for r in
+                  audit.groupBy("bucket")
+                  .agg(F.max("max_rho").alias("max_rho")).collect()}
+        static = {(r["bucket"]): r["max_rho"] for r in
+                  checks(spark.read.parquet(src)).collect()}
+        assert merged == static
+        # and the derived estimates agree exactly (same sketch rows)
+        est_m = sketch.hll_estimate(
+            audit.groupBy("bucket").agg(
+                F.max("max_rho").alias("max_rho"))).head()[0]
+        est_s = sketch.hll_estimate(
+            checks(spark.read.parquet(src))).head()[0]
+        assert est_m == est_s
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -375,8 +375,9 @@ EXPECTATIONS: dict[str, dict] = {
     # plan, zero shuffles, zero broadcasts, the posexplode included
     "ds_random_projection": dict(max_exchanges=0),
     # exact covariance: the single O(d²) grouped-agg exchange
-    # (map-side combine collapses each task to ≤ d(d+1)/2 rows)
-    "prof_covariance": dict(max_exchanges=1),
+    # (map-side combine collapses each task to ≤ d(d+1)/2+d rows);
+    # the (i,j) stitch is 3 broadcast joins over the persisted rollup
+    "prof_covariance": dict(max_exchanges=1, min_broadcasts=3),
     # hashing-trick featurizer: the (doc, bucket) sparse agg + the
     # 64-row bucket rollup — two map-side-combined exchanges
     "txt_hashing_features": dict(max_exchanges=2),

@@ -82,27 +82,37 @@ def stress_projection(spark: SparkSession, n: int = 2_000_000,
 
 
 def stress_covariance(spark: SparkSession, n: int = 2_000_000,
-                      dim: int = 64) -> None:
-    """2M × 64-dim exact covariance, arrow (the scale path) vs expr
-    (the gate path) — results must be INTEGER-IDENTICAL, the whole
-    point of the micro-unit discipline.  Also pins the O(d²) result
-    contract: exactly d(d+1)/2 rows out regardless of n."""
+                      dim: int = 64, n_expr: int = 200_000) -> None:
+    """Exact covariance at scale: arrow (the production path) at
+    2M × 64, plus an engine-identity check — arrow vs expr at
+    200k × 64 must be INTEGER-IDENTICAL, the whole point of the
+    micro-unit discipline (the expr engine is the SQL-replayable
+    gate shape; its O(n·d²) interpreter work makes 2M × 64 a
+    multi-hundred-second run, so the identity check uses the 200k
+    slice — exactness is scale-independent).  Also pins the O(d²)
+    result contract: exactly d(d+1)/2 rows out regardless of n."""
     v = synth_vectors(spark, n, dim, 64)
     t0 = time.time()
     a = {(r["i"], r["j"]): (r["n"], int(r["sxy"]), int(r["cov_num"]))
          for r in P.covariance_pairs(v, dim=dim, engine="arrow").collect()}
     dt_a = time.time() - t0
     assert len(a) == dim * (dim + 1) // 2, len(a)
+    sub = v.where(F.col("vec_id") < n_expr)
     t0 = time.time()
     e = {(r["i"], r["j"]): (r["n"], int(r["sxy"]), int(r["cov_num"]))
-         for r in P.covariance_pairs(v, dim=dim, engine="expr").collect()}
+         for r in P.covariance_pairs(sub, dim=dim, engine="expr").collect()}
     dt_e = time.time() - t0
-    assert a == e, "arrow and expr covariance must be integer-identical"
+    t0 = time.time()
+    a2 = {(r["i"], r["j"]): (r["n"], int(r["sxy"]), int(r["cov_num"]))
+          for r in P.covariance_pairs(sub, dim=dim, engine="arrow").collect()}
+    dt_a2 = time.time() - t0
+    assert a2 == e, "arrow and expr covariance must be integer-identical"
     comps, eig = P.pca_components(
         P.covariance_pairs(v, dim=dim, engine="arrow"), dim=dim, k=8)
     assert eig == sorted(eig, reverse=True) and eig[-1] >= -1e-12
-    emit(phase="covariance", n_rows=n, dim=dim,
-         pair_rows=len(a), arrow_s=round(dt_a, 1), expr_s=round(dt_e, 1),
+    emit(phase="covariance", n_rows=n, dim=dim, pair_rows=len(a),
+         arrow_2m_s=round(dt_a, 1), expr_200k_s=round(dt_e, 1),
+         arrow_200k_s=round(dt_a2, 1),
          engines_identical=True, top_eig=round(eig[0], 8))
 
 
