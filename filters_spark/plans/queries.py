@@ -9104,3 +9104,61 @@ def txt_hashing_features(spark, sf_dir):
         .alias("doc_checksum"),
         F.sum(F.abs("weight")).cast("bigint").alias("l1"),
     )
+
+
+def _rp_list_sql(out_dim: int, dim: int, seed: int) -> str:
+    """Inline DuckDB DOUBLE[] literal for the JL-projected vector:
+    each coordinate is the literal ±qv sum divided by 1e6 — the SAME
+    integers as the Spark side's ``projected`` column, so the two
+    engines' doubles are bit-identical (one IEEE division each)."""
+    from ..functions.projection import rp_sign
+
+    coords = []
+    for j in range(out_dim):
+        terms = " ".join(
+            ("+" if rp_sign(seed, j, i) > 0 else "-") + f" qv[{i + 1}]"
+            for i in range(dim))
+        if terms.startswith("+ "):
+            terms = terms[2:]
+        coords.append(f"(({terms}) / 1000000.0)")
+    return "[" + ", ".join(coords) + "]::DOUBLE[]"
+
+
+@register(
+    "ds_projected_kmeans",
+    oracle=_oracle_replace(
+        _KMEANS_A2_CTE,
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v"
+        " FROM embeddings),",
+        "WITH qm AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv"
+        " FROM embeddings),\n"
+        "    v AS (SELECT vec_id AS id, " + _rp_list_sql(6, 64, 0)
+        + " AS v FROM qm),",
+    ) + """
+    SELECT cidx AS cluster, count(*) AS n, round(avg(dist), 4) AS avg_dist
+    FROM a2 GROUP BY cidx
+    """,
+)
+def ds_projected_kmeans(spark, sf_dir):
+    """Reduce-then-cluster — the production reason JL projection
+    exists: 64-dim embeddings projected to 6 exact micro-unit
+    coordinates (projection.random_projection), then the
+    deterministic k-means (ds_kmeans's exact discipline: TakeOrdered
+    seeds, 6-dp-rounded assignment, 9-dp centroid snap) runs over the
+    PROJECTED vectors — at 100 TB the Lloyd passes cost dim/6 less
+    per vector per centroid, and every pass reads the reduced column
+    instead of the wide one.  Both engines derive the projected
+    doubles from the SAME integer sums (one IEEE division each), so
+    the composed pipeline is hash-gated end to end: projection →
+    clustering → per-cluster size + 4-dp mean distance."""
+    from ..functions import projection, similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = (projection.random_projection(emb, out_dim=6, seed=0, dim=64)
+            .select("vec_id", "projected"))
+    a = similarity.kmeans(proj, k=8, iters=2, vec_col="projected")
+    return a.groupBy(F.col("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+    )

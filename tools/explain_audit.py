@@ -381,6 +381,11 @@ EXPECTATIONS: dict[str, dict] = {
     # hashing-trick featurizer: the (doc, bucket) sparse agg + the
     # 64-row bucket rollup — two map-side-combined exchanges
     "txt_hashing_features": dict(max_exchanges=2),
+    # reduce-then-cluster: the zero-shuffle projection rides the scan
+    # into ds_kmeans's plan — the physical counts are IDENTICAL to
+    # bare ds_kmeans (5/3/2), i.e. the projection costs no exchange,
+    # no extra scan, no broadcast; pinned tighter than ds_kmeans's 8
+    "ds_projected_kmeans": dict(max_exchanges=5, min_broadcasts=2),
 }
 
 
