@@ -9162,3 +9162,68 @@ def ds_projected_kmeans(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("dist"), 4).alias("avg_dist"),
     )
+
+
+@register(
+    "ds_text_clusters",
+    oracle=_oracle_replace(
+        _KMEANS_A2_CTE,
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v"
+        " FROM embeddings),",
+        """WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tt AS (
+      SELECT doc_id, md5(tok) AS h FROM t WHERE tok != ''
+    ), hv AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 32
+                  AS INT) AS bucket,
+             CASE WHEN CAST(concat('0x', substr(h, 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS w
+      FROM tt
+    ), sv AS (
+      SELECT doc_id, bucket, SUM(w) AS weight
+      FROM hv GROUP BY doc_id, bucket HAVING SUM(w) != 0
+    ), v AS (
+      SELECT d.doc_id AS id,
+             list(COALESCE(sv.weight, 0)::DOUBLE ORDER BY b.i) AS v
+      FROM (SELECT DISTINCT doc_id FROM sv) d
+      CROSS JOIN range(0, 32) b(i)
+      LEFT JOIN sv ON sv.doc_id = d.doc_id AND sv.bucket = b.i
+      GROUP BY d.doc_id
+    ),""",
+    ) + """
+    SELECT cidx AS cluster, CAST(count(*) AS BIGINT) AS n,
+           round(avg(dist), 4) AS avg_dist,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM a2 GROUP BY cidx
+    """,
+)
+def ds_text_clusters(spark, sf_dir):
+    """MODEL-FREE semantic clustering straight from raw text — the
+    capstone of the hashing-featurizer family: every document becomes
+    a 32-dim signed hashed vector (text.hashing_vectors_dense — no
+    model, no vocabulary, exact integers), then the deterministic
+    k-means clusters the corpus (ds_kmeans's discipline: TakeOrdered
+    seeds, 6-dp-rounded assignment, 9-dp centroid snap).  The whole
+    pipeline — tokenize → md5 bucket → ±1 sign → signed counts →
+    dense form → two Lloyd iterations — is replayed by the oracle,
+    and the per-cluster id_sum pins EXACT membership, not just sizes.
+    At 100 TB: one (doc, bucket) shuffle + one doc shuffle to densify,
+    then kmeans's broadcast-assignment plan; nothing scales with
+    vocabulary (the hashing trick's point)."""
+    from ..functions import similarity, text
+    from ..functions._cache import scoped_persist
+
+    d = _t(spark, sf_dir, "documents")
+    # kmeans reads its vector frame once per branch (seeds,
+    # assignment, recompute); a raw parquet re-scan is cheap but
+    # re-DENSIFYING (two shuffles) per branch is not — barrier once
+    dense = scoped_persist(
+        text.hashing_vectors_dense(d, dim=32), "text_clusters")
+    a = similarity.kmeans(dense, k=8, iters=2, id_col="doc_id")
+    return a.groupBy(F.col("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )

@@ -386,6 +386,9 @@ EXPECTATIONS: dict[str, dict] = {
     # bare ds_kmeans (5/3/2), i.e. the projection costs no exchange,
     # no extra scan, no broadcast; pinned tighter than ds_kmeans's 8
     "ds_projected_kmeans": dict(max_exchanges=5, min_broadcasts=2),
+    # model-free text clustering: densify ONCE behind a scoped-persist
+    # barrier (2 featurizer exchanges) + kmeans's 5 — one corpus scan
+    "ds_text_clusters": dict(max_exchanges=7, min_broadcasts=2),
 }
 
 
