@@ -116,12 +116,61 @@ def stress_covariance(spark: SparkSession, n: int = 2_000_000,
          engines_identical=True, top_eig=round(eig[0], 8))
 
 
+
+
+def synth_docs(spark: SparkSession, n: int, parts: int):
+    """n deterministic 30-token docs over a 100k-word vocabulary
+    (xxhash64-derived, zipf-free but collision-rich at 2M docs)."""
+    from filters_spark.functions import text as _  # noqa: F401
+
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit("w"), F.pmod(
+                F.xxhash64(F.col("id"), F.lit(t)),
+                F.lit(100_000)).cast("string"))
+            for t in range(30)]).alias("text"))
+
+
+def stress_hashing(spark: SparkSession, n: int = 2_000_000,
+                   dim: int = 256) -> None:
+    """2M docs × 30 tokens through the hashing featurizer.
+    Invariants: a planted byte-identical duplicate doc produces an
+    IDENTICAL dense vector (featurize-then-dedup safety), and the
+    sparse plan carries exactly the one (doc, bucket) aggregate
+    exchange — vocabulary size never appears in the plan."""
+    from filters_spark.functions import text
+
+    docs = synth_docs(spark, n, 64)
+    dup = (synth_docs(spark, 8, 1).where(F.col("doc_id") == 7)
+           .select(F.lit(n + 1).alias("doc_id"), "text"))
+    df = docs.unionByName(dup)
+    sparse = text.hashing_vectorize(df, dim=dim)
+    plan = sparse._jdf.queryExecution().executedPlan().toString()
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 1, f"sparse featurizer must shuffle once, saw {n_ex}"
+    t0 = time.time()
+    agg = sparse.agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum(F.col("weight") * F.col("bucket")).alias("chk")).head()
+    dt = time.time() - t0
+    pair = (text.hashing_vectors_dense(
+        df.where(F.col("doc_id").isin(7, n + 1)), dim=dim)
+        .select("embedding").collect())
+    assert len(pair) == 2 and list(pair[0][0]) == list(pair[1][0]), \
+        "planted duplicate must featurize identically"
+    emit(phase="hashing_vectorize", n_docs=n + 1, dim=dim,
+         wall_s=round(dt, 1), nnz_rows=int(agg["nnz"]),
+         checksum=int(agg["chk"]), one_shuffle=True)
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     stress_projection(spark)
     stress_covariance(spark)
+    stress_hashing(spark)
     spark.stop()
 
 
