@@ -9227,3 +9227,63 @@ def ds_text_clusters(spark, sf_dir):
         F.round(F.avg("dist"), 4).alias("avg_dist"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+@register(
+    "prof_correlated_dims",
+    oracle="""
+    WITH qm AS (
+      SELECT vec_id, list_transform(embedding[1:16],
+               x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS HUGEINT)) AS qv
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, i, qv[i] AS x FROM qm, range(1, 17) t(i)
+    ), p AS (
+      SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+             CAST(count(*) AS HUGEINT) AS n,
+             count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x) AS cov_num
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ), d AS (
+      SELECT i AS dd, cov_num AS var_num FROM p WHERE i = j
+    )
+    SELECT p.i, p.j, CAST(p.n AS BIGINT) AS n,
+           CAST(p.cov_num AS BIGINT) AS cov_num
+    FROM p
+    JOIN d di ON p.i = di.dd
+    JOIN d dj ON p.j = dj.dd
+    WHERE p.i < p.j
+      AND 2500 * p.cov_num * p.cov_num > di.var_num * dj.var_num
+    """,
+)
+def prof_correlated_dims(spark, sf_dir):
+    """Correlated-dimension detection with ZERO floats — feature
+    redundancy audit over the first 16 embedding dims: flag every
+    pair with |corr| > 1/50 via the cross-multiplied integer test
+    2500·cov_num² > var_num_i·var_num_j (corr² = cov²/(var_i·var_j);
+    the threshold's square scales through as an integer — the
+    centroid_outliers discipline, so a flag can never flap on engine
+    ulps).  Composes covariance_pairs: the diagonal rows ARE the
+    variance numerators (i = j ⇒ n·Σx² − (Σx)²), broadcast back onto
+    the off-diagonal pairs.  Exactness bound: the squared numerators
+    stay inside decimal(38,0)/HUGEINT while n ≲ 1e9 at micro-unit
+    scale — beyond that, reduce units or accept the float ratio.
+    Gated observable: the flagged pair SET with its exact covariance
+    numerators."""
+    from ..functions import projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = projection.covariance_pairs(
+        emb.select(F.slice("embedding", 1, 16).alias("v")),
+        "v", dim=16, engine="expr")
+    diag = cov.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("_d"), F.col("cov_num").alias("_var"))
+    di, dj = diag.alias("di"), diag.alias("dj")
+    return (cov.where(F.col("i") < F.col("j"))
+            .join(F.broadcast(di), F.col("i") == F.col("di._d"))
+            .join(F.broadcast(dj), F.col("j") == F.col("dj._d"))
+            .where(F.lit(2500).cast("decimal(38,0)")
+                   * F.col("cov_num") * F.col("cov_num")
+                   > F.col("di._var") * F.col("dj._var"))
+            .select("i", "j", "n",
+                    F.col("cov_num").cast("bigint").alias("cov_num")))

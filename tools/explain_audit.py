@@ -389,6 +389,9 @@ EXPECTATIONS: dict[str, dict] = {
     # model-free text clustering: densify ONCE behind a scoped-persist
     # barrier (2 featurizer exchanges) + kmeans's 5 — one corpus scan
     "ds_text_clusters": dict(max_exchanges=7, min_broadcasts=2),
+    # correlated dims: covariance's 1 agg exchange; the diag/pair
+    # stitch is all broadcast joins over the persisted 152-row rollup
+    "prof_correlated_dims": dict(max_exchanges=1, min_broadcasts=5),
 }
 
 
