@@ -113,9 +113,10 @@ def random_projection(df: DataFrame, out_dim: int = 16, seed: int = 0,
 
 def covariance_pairs(df: DataFrame, vec_col: str = "embedding",
                      dim: int | None = None,
-                     engine: str = "expr") -> DataFrame:
+                     engine: str = "expr",
+                     by: list[str] | None = None) -> DataFrame:
     """EXACT covariance statistics for every dimension pair i ≤ j:
-    one row (i, j, n, sxy, sxi, sxj, cov_num) where sums are over
+    one row (*by, i, j, n, sxy, sxi, sxj, cov_num) where sums are over
     micro-unit integers and ``cov_num = n·Σxy − Σx·Σy`` is the
     covariance numerator (the cross-multiplied form: cov = cov_num /
     (n²·1e12), but the INTEGER numerator is what gates compare — the
@@ -151,42 +152,56 @@ def covariance_pairs(df: DataFrame, vec_col: str = "embedding",
     equal (integer arithmetic, pytest-pinned).  Engine choice: expr
     is the SQL-replayable gate shape, fine to d ≈ 64 but O(n·d²)
     interpreter work; arrow is the production path for big n·d².
+    ``by=`` gives per-key statistics (per-source/language feature
+    structure — the grouped-sketch convention, hll_table/hdr_table):
+    result rows scale as groups × d(d+1)/2, every aggregate and
+    broadcast stitch carries the group key, and the arrow engine
+    grams each (partition, group) slice separately.
     """
+    groups = list(by or [])
     if dim is None:
         first = df.select(F.size(F.col(vec_col))).first()
         dim = first[0] if first is not None and first[0] is not None else 1
     if engine == "arrow":
-        return _covariance_pairs_arrow(df, vec_col, dim)
+        return _covariance_pairs_arrow(df, vec_col, dim, groups)
     if engine != "expr":
         raise ValueError(f"engine must be 'expr' or 'arrow', got {engine!r}")
     from ._cache import scoped_persist
 
-    q = df.select(quantize_micro(F.col(vec_col)).alias("_qv"))
+    q = df.select(*groups, quantize_micro(F.col(vec_col)).alias("_qv"))
     e = lambda k: F.element_at("_qv", k + 1)  # noqa: E731
     pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
     npairs = len(pairs)
     ext = F.array(*([e(i) * e(j) for i, j in pairs]
                     + [e(i) for i in range(dim)]))
-    flat = q.select(F.posexplode(ext).alias("_pos", "_x"))
-    g = flat.groupBy("_pos").agg(
+    flat = q.select(*groups, F.posexplode(ext).alias("_pos", "_x"))
+    g = flat.groupBy(*groups, "_pos").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"))
-    # ≤ d(d+1)/2 + d rows; persisted so the pair leg and the two
-    # per-dim-sum legs below don't each recompute the corpus scan
+    # ≤ groups × (d(d+1)/2 + d) rows; persisted so the pair leg and
+    # the two per-dim-sum legs below don't each recompute the scan
     g = scoped_persist(g, "covariance_pairs")
     sums = g.where(F.col("_pos") >= npairs).select(
+        *[F.col(c).alias(f"_g_{c}") for c in groups],
         (F.col("_pos") - npairs).cast("int").alias("_d"),
         F.col("_s").alias("_sd"))
     pmap = df.sparkSession.createDataFrame(
         [(p, i, j) for p, (i, j) in enumerate(pairs)],
         "pos int, i int, j int")
     si, sj = sums.alias("si"), sums.alias("sj")
+
+    def keys(alias, dcol):
+        cond = F.col(dcol) == F.col(f"{alias}._d")
+        for c in groups:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"{alias}._g_{c}"))
+        return cond
+
     return (g.where(F.col("_pos") < npairs)
             .join(F.broadcast(pmap), F.col("_pos") == F.col("pos"))
-            .join(F.broadcast(si), F.col("i") == F.col("si._d"))
-            .join(F.broadcast(sj), F.col("j") == F.col("sj._d"))
+            .join(F.broadcast(si), keys("si", "i"))
+            .join(F.broadcast(sj), keys("sj", "j"))
             .select(
-                "i", "j", "n",
+                *groups, "i", "j", "n",
                 F.col("_s").alias("sxy"),
                 F.col("si._sd").alias("sxi"),
                 F.col("sj._sd").alias("sxj"),
@@ -196,51 +211,70 @@ def covariance_pairs(df: DataFrame, vec_col: str = "embedding",
 
 
 def _covariance_pairs_arrow(df: DataFrame, vec_col: str,
-                            dim: int) -> DataFrame:
-    """Arrow engine: per-partition int64 Gram via numpy matmul, then
-    the same exact grouped decimal sum over O(d²) partials."""
+                            dim: int,
+                            groups: list[str] | None = None) -> DataFrame:
+    """Arrow engine: per-(partition, group) int64 Gram via numpy
+    matmul, then the same exact grouped decimal sum over O(d²)
+    partials per group."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    groups = list(groups or [])
     iu = [(i, j) for i in range(dim) for j in range(i, dim)]
     ii = np.array([p[0] for p in iu], dtype="int32")
     jj = np.array([p[1] for p in iu], dtype="int32")
-    schema = T.StructType([
-        T.StructField("i", T.IntegerType()),
-        T.StructField("j", T.IntegerType()),
-        T.StructField("pn", T.LongType()),
-        T.StructField("pxy", T.LongType()),
-        T.StructField("px", T.LongType()),
-    ])
+    schema = T.StructType(
+        [df.schema[c] for c in groups] + [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("pn", T.LongType()),
+            T.StructField("pxy", T.LongType()),
+            T.StructField("px", T.LongType()),
+        ])
+
+    def gram_frame(sub: "pd.DataFrame") -> "pd.DataFrame":
+        X = np.round(
+            np.array(list(sub[vec_col]), dtype="float64") * MICRO
+        ).astype("int64")
+        G = X.T @ X                           # d×d int64, exact per bound
+        S = X.sum(axis=0)                     # per-dim micro sums
+        return pd.DataFrame({
+            "i": ii, "j": jj,
+            "pn": np.full(len(iu), len(sub), dtype="int64"),
+            "pxy": G[ii, jj],
+            "px": S[ii],                      # carried on i; j's sum is
+        })                                    # the (j, j) row's px
 
     def part(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.round(
-                np.array(list(pdf[vec_col]), dtype="float64") * MICRO
-            ).astype("int64")
-            G = X.T @ X                       # d×d int64, exact per bound
-            S = X.sum(axis=0)                 # per-dim micro sums
-            yield pd.DataFrame({
-                "i": ii, "j": jj,
-                "pn": np.full(len(iu), len(pdf), dtype="int64"),
-                "pxy": G[ii, jj],
-                "px": S[ii],                  # carried on i; j's sum is
-            })                                # the (j, j) row's px
+            if not groups:
+                yield gram_frame(pdf)
+                continue
+            for key, sub in pdf.groupby(groups, sort=False, dropna=False):
+                out = gram_frame(sub)
+                kv = key if isinstance(key, tuple) else (key,)
+                for c, v in zip(groups, kv):
+                    out.insert(0, c, v)
+                yield out[groups + ["i", "j", "pn", "pxy", "px"]]
 
-    parts = df.select(vec_col).mapInPandas(part, schema=schema)
-    g = parts.groupBy("i", "j").agg(
+    parts = df.select(*groups, vec_col).mapInPandas(part, schema=schema)
+    g = parts.groupBy(*groups, "i", "j").agg(
         F.sum("pn").alias("n"),
         F.sum(F.col("pxy").cast("decimal(38,0)")).alias("sxy"),
         F.sum(F.col("px").cast("decimal(38,0)")).alias("sxi"),
     )
     diag = g.where(F.col("i") == F.col("j")).select(
+        *[F.col(c).alias(f"_g_{c}") for c in groups],
         F.col("j").alias("_j"), F.col("sxi").alias("sxj"))
-    return (g.join(F.broadcast(diag), g["j"] == diag["_j"])
-            .drop("_j")
-            .select("i", "j", "n", "sxy", "sxi", "sxj",
+    cond = g["j"] == diag["_j"]
+    for c in groups:
+        cond = cond & g[c].eqNullSafe(diag[f"_g_{c}"])
+    return (g.join(F.broadcast(diag), cond)
+            .select(*[g[c] for c in groups],
+                    "i", "j", "n", "sxy", "sxi", "sxj",
                     (F.col("n") * F.col("sxy")
                      - F.col("sxi") * F.col("sxj"))
                     .cast("decimal(38,0)").alias("cov_num")))
@@ -304,7 +338,8 @@ def pca_project(df: DataFrame, components: list[list[float]],
     return df.withColumn(out_col, F.array(*cols))
 
 
-def covariance_merge(*parts: DataFrame) -> DataFrame:
+def covariance_merge(*parts: DataFrame,
+                     by: list[str] | None = None) -> DataFrame:
     """Merge :func:`covariance_pairs` outputs from disjoint row sets:
     the raw sums (n, Σxy, Σx, Σy) are ADDITIVE, so cov(A ∪ B) is one
     per-pair integer sum over the parts plus a cov_num recompute —
@@ -317,15 +352,16 @@ def covariance_merge(*parts: DataFrame) -> DataFrame:
     """
     if not parts:
         raise ValueError("covariance_merge needs at least one part")
+    groups = list(by or [])
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    g = u.groupBy("i", "j").agg(
+    g = u.groupBy(*groups, "i", "j").agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("sxy").cast("decimal(38,0)").alias("sxy"),
         F.sum("sxi").cast("decimal(38,0)").alias("sxi"),
         F.sum("sxj").cast("decimal(38,0)").alias("sxj"))
     return g.select(
-        "i", "j", "n", "sxy", "sxi", "sxj",
+        *groups, "i", "j", "n", "sxy", "sxi", "sxj",
         (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj"))
         .cast("decimal(38,0)").alias("cov_num"))

@@ -9287,3 +9287,46 @@ def prof_correlated_dims(spark, sf_dir):
                    > F.col("di._var") * F.col("dj._var"))
             .select("i", "j", "n",
                     F.col("cov_num").cast("bigint").alias("cov_num")))
+
+
+@register(
+    "prof_covariance_by_group",
+    oracle="""
+    WITH qm AS (
+      SELECT vec_id, label, list_transform(embedding[1:6],
+               x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS HUGEINT)) AS qv
+      FROM embeddings
+    ), e AS (
+      SELECT label, vec_id AS rid, i, qv[i] AS x
+      FROM qm, range(1, 7) t(i)
+    )
+    SELECT a.label,
+           CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(a.x*b.x) AS BIGINT) AS sxy,
+           CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x) AS BIGINT)
+             AS cov_num
+    FROM e a JOIN e b ON a.rid = b.rid AND a.i <= b.i
+    GROUP BY a.label, a.i, b.i
+    """,
+)
+def prof_covariance_by_group(spark, sf_dir):
+    """GROUPED exact covariance (covariance_pairs ``by=['label']`` —
+    the grouped-sketch convention, prof_hdr_by_group's sibling):
+    per-label feature structure over the first 6 embedding dims, the
+    per-source/per-language drift observable (a source whose
+    covariance structure shifts is re-embedded or re-crawled).  10
+    labels × 21 pairs of exact integer numerators; every aggregate
+    and broadcast stitch carries the group key, so one label's rows
+    can never contaminate another's.  The oracle replays per-label
+    pairing and HUGEINT sums (rowid as the within-label row key)."""
+    from ..functions import projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = projection.covariance_pairs(
+        emb.select("label", F.slice("embedding", 1, 6).alias("v")),
+        "v", dim=6, engine="expr", by=["label"])
+    return cov.select(
+        "label", "i", "j", "n",
+        F.col("sxy").cast("bigint").alias("sxy"),
+        F.col("cov_num").cast("bigint").alias("cov_num"))

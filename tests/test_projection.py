@@ -290,3 +290,42 @@ class TestCovarianceMerge:
     def test_merge_empty_raises(self):
         with pytest.raises(ValueError, match="at least one"):
             P.covariance_merge()
+
+
+class TestGroupedCovariance:
+    def test_grouped_engines_identical_and_exact(self, spark, vectors):
+        """by= slices: both engines agree per group, and each group's
+        stats equal the ungrouped stats over that group's rows."""
+        g = vectors.withColumn("grp", (F.col("vec_id") % 3).cast("int"))
+        canon = lambda rs: {  # noqa: E731
+            (r["grp"], r["i"], r["j"]):
+            (r["n"], int(r["sxy"]), int(r["cov_num"])) for r in rs}
+        e = canon(P.covariance_pairs(
+            g, dim=12, engine="expr", by=["grp"]).collect())
+        a = canon(P.covariance_pairs(
+            g.repartition(5), dim=12, engine="arrow", by=["grp"]).collect())
+        assert e == a
+        assert len(e) == 3 * 12 * 13 // 2
+        for grp in range(3):
+            solo = P.covariance_pairs(
+                g.where(F.col("grp") == grp), dim=12, engine="expr")
+            for r in solo.collect():
+                assert e[(grp, r["i"], r["j"])] == (
+                    r["n"], int(r["sxy"]), int(r["cov_num"]))
+
+    def test_grouped_merge(self, spark, vectors):
+        """covariance_merge(by=) reassembles per-group stats from
+        row-disjoint parts exactly."""
+        g = vectors.withColumn("grp", (F.col("vec_id") % 2).cast("int"))
+        a = g.where(F.col("vec_id") < 30)
+        b = g.where(F.col("vec_id") >= 30)
+        canon = lambda rs: {  # noqa: E731
+            (r["grp"], r["i"], r["j"]):
+            (r["n"], int(r["cov_num"])) for r in rs}
+        merged = canon(P.covariance_merge(
+            P.covariance_pairs(a, dim=12, engine="expr", by=["grp"]),
+            P.covariance_pairs(b, dim=12, engine="arrow", by=["grp"]),
+            by=["grp"]).collect())
+        whole = canon(P.covariance_pairs(
+            g, dim=12, engine="expr", by=["grp"]).collect())
+        assert merged == whole

@@ -392,6 +392,9 @@ EXPECTATIONS: dict[str, dict] = {
     # correlated dims: covariance's 1 agg exchange; the diag/pair
     # stitch is all broadcast joins over the persisted 152-row rollup
     "prof_correlated_dims": dict(max_exchanges=1, min_broadcasts=5),
+    # grouped covariance: same single agg exchange, group key carried
+    # through the aggregate and every broadcast stitch
+    "prof_covariance_by_group": dict(max_exchanges=1, min_broadcasts=3),
 }
 
 
