@@ -75,9 +75,12 @@ HEADLINE = [
     "prof_hdr_quantiles",
     "ds_quality_pipeline",
     # round 5 (wrap): embedding projections — JL reduction + exact
-    # distributed covariance (PCA's distributed half)
+    # distributed covariance (PCA's distributed half) — and the
+    # model-free text-clustering capstone (hashing featurizer ->
+    # dense vectors -> deterministic k-means)
     "ds_random_projection",
     "prof_covariance",
+    "ds_text_clusters",
 ]
 
 

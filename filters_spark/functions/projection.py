@@ -45,6 +45,7 @@ __all__ = [
     "covariance_pairs",
     "covariance_merge",
     "pca_components",
+    "pca_components_by",
     "pca_project",
 ]
 
@@ -313,6 +314,40 @@ def pca_components(cov: DataFrame, dim: int, k: int):
             vec = -vec
         comps.append([float(x) for x in vec])
     return comps, [float(w[idx]) for idx in order]
+
+
+def pca_components_by(cov: DataFrame, dim: int, k: int,
+                      by: list[str]) -> dict:
+    """Per-group PCA from a grouped :func:`covariance_pairs` frame:
+    {group_key_tuple: (components, eigenvalues)} — one driver-side
+    eigh per group over that group's d² exact numerators (groups ×
+    d² rows collected once; bounded by the declared grouping's
+    cardinality, the grouped-sketch contract).  Single-key groups
+    still key by a 1-tuple."""
+    rows = cov.select(*by, "i", "j", "n", "cov_num").collect()
+    buckets: dict = {}
+    for r in rows:
+        buckets.setdefault(tuple(r[c] for c in by), []).append(r)
+    import numpy as np
+
+    out = {}
+    for key, rs in buckets.items():
+        n = int(rs[0]["n"])
+        C = np.zeros((dim, dim), dtype="float64")
+        for r in rs:
+            v = float(int(r["cov_num"])) / (n * n * float(MICRO) ** 2)
+            C[r["i"], r["j"]] = v
+            C[r["j"], r["i"]] = v
+        w, V = np.linalg.eigh(C)
+        order = np.argsort(w)[::-1][:k]
+        comps = []
+        for idx in order:
+            vec = V[:, idx]
+            if vec[int(np.argmax(np.abs(vec)))] < 0:
+                vec = -vec
+            comps.append([float(x) for x in vec])
+        out[key] = (comps, [float(w[idx]) for idx in order])
+    return out
 
 
 def pca_project(df: DataFrame, components: list[list[float]],

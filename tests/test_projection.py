@@ -329,3 +329,17 @@ class TestGroupedCovariance:
         whole = canon(P.covariance_pairs(
             g, dim=12, engine="expr", by=["grp"]).collect())
         assert merged == whole
+
+
+class TestGroupedPCA:
+    def test_per_group_matches_solo(self, spark, vectors):
+        g = vectors.withColumn("grp", (F.col("vec_id") % 2).cast("int"))
+        cov = P.covariance_pairs(g, dim=12, engine="expr", by=["grp"])
+        per = P.pca_components_by(cov, dim=12, k=2, by=["grp"])
+        assert set(per) == {(0,), (1,)}
+        for grp in (0, 1):
+            solo_cov = P.covariance_pairs(
+                g.where(F.col("grp") == grp), dim=12, engine="expr")
+            comps, eig = P.pca_components(solo_cov, dim=12, k=2)
+            assert per[(grp,)][0] == comps
+            assert per[(grp,)][1] == eig

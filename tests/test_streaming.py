@@ -685,3 +685,53 @@ class TestStreamingSketchMonitor:
             checks(spark.read.parquet(src))).head()[0]
         assert est_m == est_s
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingCovarianceMonitor:
+    def test_covariance_monitor_merges_to_batch_stats(self, spark):
+        """Streaming feature-structure drift monitor as a COMPOSITION:
+        expectations_monitor + covariance_pairs as the checks callable
+        — per-batch exact pair numerators land in the audit sink, and
+        covariance_merge over the batches is BIT-IDENTICAL to the
+        static covariance over the same files (the additive-sums
+        property; a per-source covariance shift is the re-embed /
+        re-crawl drift signal) (round 5)."""
+        from filters_spark.functions import projection as P
+
+        tmp = tempfile.mkdtemp(prefix="fscov_")
+        src_dir = f"{tmp}/vecs"
+        os.makedirs(src_dir)
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+            .select("vec_id", F.slice("embedding", 1, 6).alias("embedding"))
+        emb.where(F.col("vec_id") % 2 == 0).coalesce(1) \
+            .write.parquet(f"{src_dir}/even")
+        emb.where(F.col("vec_id") % 2 == 1).coalesce(1) \
+            .write.parquet(f"{src_dir}/odd")
+        src = f"{src_dir}/*"
+        schema = spark.read.parquet(src).schema
+
+        def checks(batch_df):
+            return P.covariance_pairs(batch_df, dim=6, engine="expr")
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream
+             .foreachBatch(st.expectations_monitor(checks, f"{tmp}/audit"))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+        audit = spark.read.parquet(f"{tmp}/audit")
+        assert audit.select("_batch_id").distinct().count() >= 2
+        canon = lambda rs: {  # noqa: E731
+            (r["i"], r["j"]): (r["n"], int(r["sxy"]), int(r["sxi"]),
+                               int(r["sxj"]), int(r["cov_num"]))
+            for r in rs}
+        merged = canon(P.covariance_merge(
+            audit.select("i", "j", "n", "sxy", "sxi", "sxj", "cov_num")
+        ).collect())
+        static = canon(checks(spark.read.parquet(src)).collect())
+        assert merged == static
+        shutil.rmtree(tmp, ignore_errors=True)

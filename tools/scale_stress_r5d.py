@@ -164,6 +164,37 @@ def stress_hashing(spark: SparkSession, n: int = 2_000_000,
          checksum=int(agg["chk"]), one_shuffle=True)
 
 
+def stress_text_clusters(spark: SparkSession, n: int = 2_000_000,
+                         dim: int = 32, k: int = 8) -> None:
+    """The model-free clustering capstone at 2M docs: hashing
+    featurizer -> dense vectors -> k-means (arrow assignment — the
+    expr HOF distance loop is the measured 295-s-at-1M cliff).
+    Invariants: every doc is assigned (counts sum to n+1) and the
+    planted byte-identical duplicate doc lands in ITS twin's cluster
+    (identical vectors must assign identically)."""
+    from filters_spark.functions import similarity, text
+    from filters_spark.functions._cache import scoped_persist
+
+    docs = synth_docs(spark, n, 64)
+    dup = (synth_docs(spark, 8, 1).where(F.col("doc_id") == 7)
+           .select(F.lit(n + 1).alias("doc_id"), "text"))
+    df = docs.unionByName(dup)
+    dense = scoped_persist(
+        text.hashing_vectors_dense(df, dim=dim), "stress_text_clusters")
+    t0 = time.time()
+    a = similarity.kmeans(dense, k=k, iters=2, id_col="doc_id",
+                          engine="arrow")
+    counts = a.groupBy("cluster").count().collect()
+    dt = time.time() - t0
+    total = sum(r["count"] for r in counts)
+    assert total == n + 1, total
+    pair = a.where(F.col("doc_id").isin(7, n + 1))         .select("cluster").collect()
+    assert len(pair) == 2 and pair[0][0] == pair[1][0],         "identical docs must cluster together"
+    emit(phase="text_clusters", n_docs=n + 1, dim=dim, k=k,
+         wall_s=round(dt, 1), n_clusters=len(counts),
+         sizes=sorted(r["count"] for r in counts)[-3:])
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_session(cpus)
@@ -171,6 +202,7 @@ def main() -> None:
     stress_projection(spark)
     stress_covariance(spark)
     stress_hashing(spark)
+    stress_text_clusters(spark)
     spark.stop()
 
 
