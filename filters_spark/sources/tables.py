@@ -39,7 +39,11 @@ def get_spark(app_name: str = "filters_spark", shuffle_partitions: int | None = 
         .master(f"local[{cpus}, 3]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        # SPARK_GRAFT_AQE=false runs the AQE-off robustness sweep:
+        # no query's RESULT may depend on adaptive re-planning (the
+        # local[5] partition-variance gate's config-variance twin)
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

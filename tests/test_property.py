@@ -636,3 +636,68 @@ def test_pps_total_hits_property(spark, weights, n):
     W = sum(weights)
     for k, h in by_key.items():
         assert h <= (n * weights[k]) // W + 1
+
+
+# ---------------------------------------------------------------------------
+# Projection family (functions.projection): engine vs pure-numpy
+# oracle over random float32 vectors — batched, one Spark job per
+# property (the module convention).
+# ---------------------------------------------------------------------------
+
+_VEC = st.lists(
+    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=6, max_size=6)
+
+
+def _np_micro_vec(xs):
+    import numpy as np
+
+    X = np.array(xs, dtype="float32").astype("float64")
+    return np.where(X >= 0, np.floor(X * 1e6 + 0.5),
+                    -np.floor(-X * 1e6 + 0.5)).astype("int64")
+
+
+@given(st.lists(_VEC, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_random_projection_matches_numpy_for_any_floats(spark, vecs):
+    """JL projection == sign-matrix @ quantized vector, exactly, for
+    arbitrary float32 inputs (incl. subnormals-adjacent and exact
+    .5-microunit midpoints hypothesis finds)."""
+    import numpy as np
+
+    from filters_spark.functions import projection as P
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["projected_q"])
+           for r in P.random_projection(df, out_dim=4, seed=2, dim=6)
+           .select("vec_id", "projected_q").collect()}
+    S = np.array([[P.rp_sign(2, j, i) for i in range(6)]
+                  for j in range(4)], dtype="int64")
+    for i, v in enumerate(vecs):
+        assert got[i] == list(S @ _np_micro_vec(v))
+
+
+@given(st.lists(_VEC, min_size=2, max_size=16), st.integers(1, 15))
+@settings(**SETTINGS)
+def test_covariance_merge_split_invariance(spark, vecs, cut):
+    """cov(A) ⊕ cov(B) == cov(A ∪ B) for ANY split point — the
+    additive-sums property that makes daily appends O(delta)."""
+    from filters_spark.functions import projection as P
+
+    cut = min(cut, len(vecs) - 1)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    a = df.where(f"vec_id < {cut}")
+    b = df.where(f"vec_id >= {cut}")
+    canon = lambda rs: {  # noqa: E731
+        (r["i"], r["j"]): (r["n"], int(r["sxy"]), int(r["sxi"]),
+                           int(r["sxj"]), int(r["cov_num"])) for r in rs}
+    merged = canon(P.covariance_merge(
+        P.covariance_pairs(a, dim=6, engine="expr"),
+        P.covariance_pairs(b, dim=6, engine="expr")).collect())
+    whole = canon(P.covariance_pairs(df, dim=6, engine="expr").collect())
+    assert merged == whole
