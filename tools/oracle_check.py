@@ -140,7 +140,12 @@ def main(only: list[str]) -> int:
     if only and only[0] == "--window":
         # exactly the rows the official driver gate will check
         only = list(Q.DRIVER_WINDOW) + only[1:]
-    spark = get_spark("oracle_check", shuffle_partitions=8)
+    # ORACLE_SHUFFLE=1 (or 64) sweeps shuffle-partition extremes: a
+    # query whose RESULT depends on shuffle fan-out is a latent
+    # partition-order bug (the local[5]/AQE-off gates' third axis)
+    spark = get_spark("oracle_check",
+                      shuffle_partitions=int(
+                          os.environ.get("ORACLE_SHUFFLE", "8")))
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
