@@ -9330,3 +9330,69 @@ def prof_covariance_by_group(spark, sf_dir):
         "label", "i", "j", "n",
         F.col("sxy").cast("bigint").alias("sxy"),
         F.col("cov_num").cast("bigint").alias("cov_num"))
+
+
+@register(
+    "rel_schema_evolution",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             o_custkey,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_flag,
+             (o_orderkey % 2 = 1) AS is_v2
+      FROM orders
+    )
+    SELECT is_v2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+           CAST(sum(CASE WHEN o_flag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_flags,
+           CAST(sum(CASE WHEN o_flag = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+             AS open_flags
+    FROM v GROUP BY is_v2
+    """,
+)
+def rel_schema_evolution(spark, sf_dir):
+    """Schema-evolution ingest (sources.read_evolving): the corpus is
+    written in two schema VERSIONS — v1 fragments carry (o_orderkey
+    int, o_custkey int, o_deprecated) and v2 fragments carry
+    (o_orderkey bigint — WIDENED, o_custkey bigint, o_flag — NEW) —
+    then read back as ONE frame reconciled to the target schema:
+    mergeSchema union, missing o_flag → typed NULLs in v1 rows, the
+    deprecated column dropped, int fragments cast up losslessly
+    (ANSI cast: a lossy cast would THROW, the ingest-edge contract).
+    The oracle replays the version split arithmetically from the
+    source table, so any mis-reconciled column, dropped row, or
+    wrong NULL materialization fails the hash."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..sources.readers import read_evolving
+
+    base = f"/tmp/fs_evolve_gate_{spark.sparkContext.applicationId}"
+    shutil.rmtree(base, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders")
+    (o.where(F.col("o_orderkey") % 2 == 0)
+     .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+             F.col("o_custkey").cast("int").alias("o_custkey"),
+             F.lit("legacy").alias("o_deprecated"))
+     .write.mode("overwrite").parquet(f"{base}/part=v1"))
+    (o.where(F.col("o_orderkey") % 2 == 1)
+     .select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+             F.col("o_custkey").cast("bigint").alias("o_custkey"),
+             F.col("o_orderstatus").alias("o_flag"))
+     .write.mode("overwrite").parquet(f"{base}/part=v2"))
+    target = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_flag", T.StringType()),
+    ])
+    df = read_evolving(spark, base, target)
+    return (df.groupBy((F.col("o_orderkey") % 2 == 1).alias("is_v2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("o_custkey").cast("bigint").alias("custkey_sum"),
+                 F.sum(F.when(F.col("o_flag").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("null_flags"),
+                 F.sum(F.when(F.col("o_flag") == "O", 1).otherwise(0))
+                 .cast("bigint").alias("open_flags")))

@@ -38,6 +38,7 @@ __all__ = [
     "read_json",
     "read_text_docs",
     "read_media_dir",
+    "read_evolving",
     "split_corrupt",
 ]
 
@@ -163,3 +164,36 @@ def read_media_dir(spark: SparkSession, path: str,
     if max_bytes is not None:
         df = df.where(F.col("length") <= max_bytes)
     return df
+
+
+def read_evolving(spark: SparkSession, path: str,
+                  target_schema: T.StructType,
+                  fmt: str = "parquet") -> DataFrame:
+    """Read a corpus written ACROSS SCHEMA VERSIONS, reconciled to
+    one target schema — the long-lived-dataset reality: month-1
+    files lack columns month-6 files carry, an id column was widened
+    int → bigint along the way, and a deprecated column lingers in
+    old fragments.
+
+    Design: SCHEMA-ON-READ, not mergeSchema.  The target schema is
+    handed to the reader, so
+
+    * a column absent from a fragment materializes as typed NULLs
+      (Spark's missing-column contract),
+    * deprecated columns are never even READ (column pruning at the
+      footer level — they cost nothing),
+    * numeric widening (int32 fragment → bigint target, float →
+      double) rides the parquet reader's type promotion,
+    * and NO footer merge happens — ``mergeSchema`` both costs a
+      listing pass per query AND refuses exactly the int→bigint
+      drift this helper exists for
+      (``cannotMergeIncompatibleDataTypesError``, measured).
+
+    Incompatible drift (int → string rebrands) fails loudly at read
+    time — the ingest-edge contract: corrupt reconciliation must
+    never be silent.  Scale shape: pure scan-side, zero shuffles,
+    pruning intact at any corpus size.
+    """
+    return (spark.read.format(fmt)
+            .schema(target_schema).load(path)
+            .select(*[f.name for f in target_schema.fields]))

@@ -139,3 +139,51 @@ class TestHandlerModes:
     def test_bad_mode_rejected(self, spark, dirty_files):
         with pytest.raises(ValueError):
             readers.read_csv(spark, dirty_files + "/csv", _SCHEMA, mode="nope")
+
+
+class TestReadEvolving:
+    """Schema-evolution reads (sources.read_evolving): schema-on-read
+    reconciliation across fragment versions."""
+
+    def _write_fragments(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        base = str(tmp_path / "corpus")
+        v1 = spark.createDataFrame(
+            [(1, 10, "old"), (2, 20, "old")],
+            "id int, score int, deprecated string")
+        v2 = spark.createDataFrame(
+            [(3, 2**40, "kept"), (4, 40, None)],
+            "id long, score long, note string")
+        v1.coalesce(1).write.parquet(f"{base}/v=1")
+        v2.coalesce(1).write.parquet(f"{base}/v=2")
+        return base
+
+    def test_reconciles_missing_extra_and_widened(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from filters_spark.sources.readers import read_evolving
+
+        base = self._write_fragments(spark, tmp_path)
+        target = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ])
+        rows = {r["id"]: (r["score"], r["note"])
+                for r in read_evolving(spark, base, target).collect()}
+        # v1 int columns widened, note nulls in; deprecated dropped
+        assert rows == {1: (10, None), 2: (20, None),
+                        3: (2**40, "kept"), 4: (40, None)}
+
+    def test_pure_scan_plan(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from filters_spark.sources.readers import read_evolving
+
+        base = self._write_fragments(spark, tmp_path)
+        target = T.StructType([T.StructField("id", T.LongType())])
+        df = read_evolving(spark, base, target)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert sorted(r["id"] for r in df.collect()) == [1, 2, 3, 4]

@@ -395,6 +395,10 @@ EXPECTATIONS: dict[str, dict] = {
     # grouped covariance: same single agg exchange, group key carried
     # through the aggregate and every broadcast stitch
     "prof_covariance_by_group": dict(max_exchanges=1, min_broadcasts=3),
+    # schema-on-read reconciliation: the read is a pure scan; the
+    # gate's rollup adds its one aggregate exchange (the two writes
+    # happen before the returned plan)
+    "rel_schema_evolution": dict(max_exchanges=1),
 }
 
 
