@@ -37,6 +37,7 @@ __all__ = [
     "expect_freshness",
     "expect_distribution",
     "expect_schema",
+    "observe_contract",
     "report",
 ]
 
@@ -265,3 +266,33 @@ def expect_schema(df: DataFrame, expected_ddl: str,
         [(n, bad == 0, bad, 0)],
         "expectation string, passed boolean, observed bigint, "
         "threshold bigint")
+
+
+def observe_contract(df: DataFrame, checks: dict[str, Column],
+                     name: str = "contract"):
+    """SINGLE-PASS contract metrics: attach aggregate observations to
+    the frame's OWN execution (``df.observe``) so the job that
+    already scans the data also yields its metrics — at 100 TB the
+    ``expect_*`` family's separate aggregate pass is a second full
+    scan, while an observation rides the existing one for free
+    (Spark evaluates it as accumulators inside the running tasks).
+
+    Returns ``(observed_df, observation)``: run ANY action on
+    ``observed_df`` (the write, the count — the pipeline's real
+    action), then ``observation.get`` is the metrics dict.
+
+    Contract: ``checks`` values must be aggregate expressions without
+    DISTINCT or grouping (count/sum/min/max/conditional-count — the
+    accumulator-expressible class; Spark rejects others at analysis).
+    Metrics reflect EXACTLY the rows the action processed — if the
+    action short-circuits (limit), so do the metrics; attach to the
+    full-scan frame.  Streaming twin: the same ``df.observe(name,
+    *exprs)`` form surfaces per-batch under
+    ``StreamingQueryProgress.observedMetrics`` — the
+    expectations_monitor composition covers that plane.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(k) for k, c in checks.items()])
+    return out, obs

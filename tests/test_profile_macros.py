@@ -347,3 +347,65 @@ class TestTableDiff:
                                   "k bigint, v string")
         assert profile.table_diff(a, a).count() == 0
         assert profile.table_diff(a, a, key_cols=["k"]).count() == 0
+
+
+class TestObserveContract:
+    """Single-pass contract metrics (expectations.observe_contract):
+    the observation rides the job's own scan — no second pass."""
+
+    def test_metrics_match_separate_aggregate(self, spark):
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions.expectations import observe_contract
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        checks = {
+            "n": F.count(F.lit(1)),
+            "null_qty": F.sum(
+                F.when(F.col("l_quantity").isNull(), 1).otherwise(0)),
+            "neg_price": F.sum(
+                F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)),
+            "max_disc": F.max("l_discount"),
+        }
+        obs_df, obs = observe_contract(li, checks)
+        n_rows = obs_df.count()          # the pipeline's real action
+        got = obs.get
+        want = li.agg(*[c.alias(k) for k, c in checks.items()]).head()
+        assert got["n"] == n_rows == want["n"]
+        assert got["null_qty"] == want["null_qty"]
+        assert got["neg_price"] == want["neg_price"]
+        assert got["max_disc"] == want["max_disc"]
+
+    def test_metrics_reflect_processed_rows_only(self, spark):
+        """Attach AFTER a filter: the observation sees the filtered
+        stream, the documented 'rows the action processed' contract."""
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions.expectations import observe_contract
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        flt = li.where(F.col("l_discount") >= 0.05)
+        obs_df, obs = observe_contract(
+            flt, {"n": F.count(F.lit(1))}, name="filtered")
+        expect = flt.count()
+        obs_df.write.format("noop").mode("overwrite").save()
+        assert obs.get["n"] == expect
+
+    def test_rides_validation_pipeline(self, spark):
+        """Compose with the validator surface: one action produces
+        both the clean split AND its contract metrics."""
+        import filters_spark as fs
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions.expectations import observe_contract
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        res = fs.ValidationSchema({
+            "l_discount": fs.Min(0) | fs.Max(0.05),
+        }).validate(li)
+        obs_df, obs = observe_contract(
+            res.clean, {"n_clean": F.count(F.lit(1)),
+                        "max_disc": F.max("l_discount")})
+        n = obs_df.count()
+        assert obs.get["n_clean"] == n
+        assert obs.get["max_disc"] <= 0.05
