@@ -735,3 +735,38 @@ class TestStreamingCovarianceMonitor:
         static = canon(checks(spark.read.parquet(src)).collect())
         assert merged == static
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingObservedMetrics:
+    def test_observe_surfaces_per_batch_metrics(self, spark):
+        """The observe_contract docstring's streaming claim, pinned:
+        df.observe(name, *exprs) on a streaming frame surfaces the
+        same accumulator metrics per micro-batch under
+        StreamingQueryProgress.observedMetrics — contract monitoring
+        with ZERO extra passes in the streaming plane too (round 5)."""
+        tmp = tempfile.mkdtemp(prefix="fsobs_")
+        docs_dir = f"{tmp}/docs"
+        os.makedirs(docs_dir)
+        shutil.copy(f"{SF_DIR}/documents.parquet",
+                    f"{docs_dir}/part-0.parquet")
+        schema = spark.read.parquet(docs_dir).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(docs_dir))
+        observed = stream.observe(
+            "contract",
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+            .alias("null_text"))
+        q = (observed.writeStream.format("noop")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .start())
+        q.processAllAvailable()
+        metrics = [p.observedMetrics["contract"]
+                   for p in q.recentProgress
+                   if "contract" in p.observedMetrics]
+        q.stop()
+        static = spark.read.parquet(docs_dir)
+        assert sum(m["n"] for m in metrics) == static.count()
+        assert sum(m["null_text"] for m in metrics) == 0
+        shutil.rmtree(tmp, ignore_errors=True)
