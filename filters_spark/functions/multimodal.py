@@ -141,6 +141,54 @@ def _decode_ppm(payload: bytes, w: int, h: int) -> bytes:
     return gray[np.ix_(ys, xs)].round().clip(0, 255).astype(np.uint8).tobytes()
 
 
+def _is_bmp(payload: bytes) -> bool:
+    return payload[:2] == b"BM"
+
+
+def _decode_bmp(payload: bytes, w: int, h: int) -> bytes:
+    """REAL decode for uncompressed Windows BMP (BI_RGB, 24-bit BGR
+    or 8-bit paletted) — pure numpy + struct, no codec library; the
+    third REAL image format beside netpbm (BMP is the other
+    ubiquitous uncompressed container, and unlike JPEG it is fully
+    in-scope for a codec-library-free runtime).  Same output contract
+    as _decode_ppm: ITU-R 601 luma, nearest resize to (w, h), w*h
+    grayscale bytes.  Honors bottom-up (positive height) AND top-down
+    (negative height) row order and the 4-byte row padding — the two
+    classic BMP decode bugs."""
+    import struct
+
+    import numpy as np
+
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    src_w = struct.unpack_from("<i", payload, 18)[0]
+    src_h_raw = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) BMP, got {comp}")
+    if bpp not in (8, 24):
+        raise ValueError(f"only 8/24-bit BMP, got {bpp}")
+    top_down = src_h_raw < 0
+    src_h = abs(src_h_raw)
+    row_bytes = ((src_w * bpp // 8 + 3) // 4) * 4
+    data = np.frombuffer(payload, np.uint8, count=row_bytes * src_h,
+                         offset=off).reshape(src_h, row_bytes)
+    if bpp == 24:
+        px = data[:, :src_w * 3].reshape(src_h, src_w, 3).astype(np.float64)
+        gray = px @ [0.114, 0.587, 0.299]      # BMP stores BGR
+    else:
+        pal = np.frombuffer(payload, np.uint8, count=256 * 4,
+                            offset=14 + hdr_size).reshape(256, 4)
+        lum = pal[:, :3].astype(np.float64) @ [0.114, 0.587, 0.299]
+        gray = lum[data[:, :src_w]]
+    if not top_down:
+        gray = gray[::-1]
+    ys = (np.arange(h) * src_h // max(h, 1)).clip(0, src_h - 1)
+    xs = (np.arange(w) * src_w // max(w, 1)).clip(0, src_w - 1)
+    return gray[np.ix_(ys, xs)].round().clip(0, 255).astype(np.uint8).tobytes()
+
+
 def _decode_image(payload: bytes, w: int, h: int, strict: bool,
                   codec: str = "fake", pil_ok: bool | None = None) -> bytes:
     # netpbm payloads decode FOR REAL in every mode (including
@@ -153,6 +201,12 @@ def _decode_image(payload: bytes, w: int, h: int, strict: bool,
     if codec in ("auto", "real") and _is_ppm(payload):
         try:
             return _decode_ppm(payload, w, h)
+        except Exception:
+            if strict:
+                raise
+    if codec in ("auto", "real") and _is_bmp(payload):
+        try:
+            return _decode_bmp(payload, w, h)
         except Exception:
             if strict:
                 raise

@@ -9396,3 +9396,64 @@ def rel_schema_evolution(spark, sf_dir):
                  .cast("bigint").alias("null_flags"),
                  F.sum(F.when(F.col("o_flag") == "O", 1).otherwise(0))
                  .cast("bigint").alias("open_flags")))
+
+
+@register(
+    "ds_bmp_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents
+      WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    )
+    SELECT code % 16 AS bucket, count(*) AS n_chars
+    FROM ch GROUP BY 1
+    """,
+)
+def ds_bmp_codec_gate(spark, sf_dir):
+    """The THIRD real image codec under the value hash (beside
+    netpbm's PGM and the Y4M video member): each document's first 16
+    ASCII-projected characters become the B=G=R pixels of a genuine
+    24-bit uncompressed Windows BMP (54-byte BITMAPINFOHEADER file,
+    bottom-up row order, BI_RGB), the pure-numpy BMP parser decodes
+    it in STRICT mode (header offsets, BGR→luma, row order — no stub
+    can answer), and the byte histogram is hash-compared against the
+    character-code oracle (identical shape to ds_real_codec_gate:
+    equal BGR channels make luma == code exactly after round()).
+    A mis-read header field, swapped channel order, or flipped row
+    direction shifts every bucket and fails the hash."""
+    import struct
+
+    from ..functions import multimodal as mm
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    header = (b"BM" + struct.pack("<IHHI", 54 + 48, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII",
+                            40, 16, 1, 1, 24, 0, 48, 0, 0, 0, 0))
+    ch = [F.encode(F.substring(ascii_text, i, 1), "UTF-8")
+          for i in range(1, 17)]
+    payload = F.concat(F.lit(header), *[c for trip in
+                                        ((c, c, c) for c in ch)
+                                        for c in trip])
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .select("doc_id", payload.alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "image/bmp")
+    media = media.withColumn(
+        "media",
+        F.col("media").withField("meta.width", F.lit(16))
+        .withField("meta.height", F.lit(1)))
+    decoded = mm.decode_images(media.drop("_payload"), strict=True,
+                               codec="auto")
+    feats = mm.extract_image_features(decoded, dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.sum(F.round(F.col("_r") * 16, 0).cast("long"))
+             .alias("n_chars"))
+        .where(F.col("n_chars") > 0)
+    )

@@ -479,3 +479,82 @@ class TestAudioEnergyHash:
                                    "doc_id bigint, samples binary")
         with _pt.raises(Exception, match="divisible"):
             mm.audio_energy_hash(df, n_windows=16).collect()
+
+
+class TestBmpCodec:
+    """Real uncompressed-BMP decode (multimodal._decode_bmp) — the
+    third real image format beside netpbm and Y4M."""
+
+    def _bmp(self, rows, top_down=False, bpp=24):
+        import struct
+        h = len(rows)
+        w = len(rows[0])
+        row_bytes = ((w * bpp // 8 + 3) // 4) * 4
+        body = b""
+        order = rows if top_down else rows[::-1]
+        for r in order:
+            if bpp == 24:
+                line = b"".join(bytes([c, c, c]) for c in r)
+            else:
+                line = bytes(r)
+            body += line + b"\0" * (row_bytes - len(line))
+        pal = b"".join(bytes([i, i, i, 0]) for i in range(256)) \
+            if bpp == 8 else b""
+        off = 54 + len(pal)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, w,
+                          -h if top_down else h,
+                          1, bpp, 0, len(body), 0, 0, 0, 0)
+        return hdr + dib + pal + body
+
+    def test_decodes_real_in_strict_mode(self, spark):
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import multimodal as mm
+
+        payload = self._bmp([[10, 20, 30, 40]])
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/bmp")
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(4))
+            .withField("meta.height", F.lit(1)))
+        px = mm.decode_images(media, strict=True,
+                              codec="auto").collect()[0]["pixels"]
+        assert list(px) == [10, 20, 30, 40]
+
+    def test_bottom_up_vs_top_down_agree(self):
+        from filters_spark.functions.multimodal import _decode_bmp
+
+        rows = [[1, 2], [3, 4]]
+        up = _decode_bmp(self._bmp(rows, top_down=False), 2, 2)
+        down = _decode_bmp(self._bmp(rows, top_down=True), 2, 2)
+        assert list(up) == list(down) == [1, 2, 3, 4]
+
+    def test_paletted_8bit(self):
+        from filters_spark.functions.multimodal import _decode_bmp
+
+        out = _decode_bmp(self._bmp([[5, 6, 7]], bpp=8), 3, 1)
+        assert list(out) == [5, 6, 7]   # grayscale palette: lum == index
+
+    def test_corrupt_bmp_falls_back_lenient_raises_strict(self, spark):
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import multimodal as mm
+
+        compressed = bytearray(self._bmp([[1, 2]]))
+        compressed[30] = 1              # BI_RLE8 — unsupported on purpose
+        truncated = self._bmp([[1, 2, 3, 4]])[:40]
+        for payload in (bytes(compressed), truncated):
+            df = spark.createDataFrame([(1, bytearray(payload))],
+                                       "doc_id bigint, raw binary")
+            media = mm.attach_meta(df, "raw", "image/bmp")
+            media = media.withColumn(
+                "media", F.col("media").withField("meta.width", F.lit(2))
+                .withField("meta.height", F.lit(1)))
+            out = mm.decode_images(media, strict=False,
+                                   codec="auto").collect()
+            assert out[0]["pixels"] is not None
+            import pytest as _pytest
+            with _pytest.raises(Exception):
+                mm.decode_images(media, strict=True, codec="auto").collect()

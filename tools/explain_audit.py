@@ -399,6 +399,9 @@ EXPECTATIONS: dict[str, dict] = {
     # gate's rollup adds its one aggregate exchange (the two writes
     # happen before the returned plan)
     "rel_schema_evolution": dict(max_exchanges=1),
+    # BMP codec gate: scan -> in-plan payload build -> two mapInPandas
+    # crossings (decode + featurize) -> posexplode + one rollup
+    "ds_bmp_codec_gate": dict(max_exchanges=1, scan_filter=True),
 }
 
 
