@@ -524,26 +524,67 @@ def resample_audio(df: DataFrame, media_col: str = "media",
     return df.mapInPandas(run, out_schema)
 
 
+def _riff_chunks(payload: bytes) -> dict:
+    """{chunk_id: (data_offset, size)} for top-level RIFF/WAVE chunks
+    (odd sizes pad to even per the RIFF spec)."""
+    import struct
+
+    pos, out = 12, {}
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        out[cid] = (pos + 8, size)
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _mulaw_to_linear(u8):
+    """G.711 µ-law byte → linear int16, the exact integer reference
+    expansion (complement, 3-bit exponent segment, 4-bit mantissa,
+    bias 0x84) — telephony corpora ship as µ-law WAV (format tag 7),
+    which stdlib ``wave`` refuses to parse."""
+    import numpy as np
+
+    u = (~u8.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int64)
+
+
 def _resample_wav(payload: bytes, target_rate: int) -> bytes:
-    """REAL resample for PCM WAV: stdlib wave → int16 frames → numpy
-    mono mix → linear interpolation onto the target-rate grid →
-    little-endian int16 bytes."""
+    """REAL resample for WAV: 16-bit PCM (format 1, stdlib wave) or
+    G.711 µ-law (format 7, manual RIFF walk + exact table expansion)
+    → numpy mono mix → linear interpolation onto the target-rate
+    grid → little-endian int16 bytes."""
     import io
+    import struct
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        rate = wf.getframerate()
-        n_ch = wf.getnchannels()
-        width = wf.getsampwidth()
-        frames = wf.readframes(wf.getnframes())
-    if width != 2:
-        raise NotImplementedError(
-            f"only 16-bit PCM WAV supported, got {8 * width}-bit")
-    pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64)
-    if n_ch > 1:
-        pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+    chunks = _riff_chunks(payload)
+    fmt_off = chunks.get(b"fmt ", (None, 0))[0]
+    tag = struct.unpack_from("<H", payload, fmt_off)[0] if fmt_off else 1
+    if tag == 7:
+        _, n_ch, rate = struct.unpack_from("<HHI", payload, fmt_off)
+        d_off, d_size = chunks[b"data"]
+        raw = np.frombuffer(payload, np.uint8,
+                            count=min(d_size, len(payload) - d_off),
+                            offset=d_off)
+        pcm = _mulaw_to_linear(raw).astype(np.float64)
+        if n_ch > 1:
+            pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+    else:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate = wf.getframerate()
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+        if width != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV supported, got {8 * width}-bit")
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        if n_ch > 1:
+            pcm = pcm.reshape(-1, n_ch).mean(axis=1)
     if len(pcm) == 0:
         return b""
     if rate == target_rate:

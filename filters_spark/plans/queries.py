@@ -9457,3 +9457,68 @@ def ds_bmp_codec_gate(spark, sf_dir):
              .alias("n_chars"))
         .where(F.col("n_chars") > 0)
     )
+
+
+@register(
+    "ds_mulaw_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    ), lin AS (
+      SELECT CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS v
+      FROM (SELECT u, ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t
+            FROM (SELECT 255 - code AS u FROM ch))
+    ), by2 AS (
+      SELECT ((v % 65536) + 65536) % 65536 AS w FROM lin
+    ), bytes AS (
+      SELECT w % 256 AS byte FROM by2
+      UNION ALL
+      SELECT w // 256 AS byte FROM by2
+    )
+    SELECT CAST(byte % 16 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_bytes
+    FROM bytes GROUP BY 1
+    """,
+)
+def ds_mulaw_codec_gate(spark, sf_dir):
+    """The G.711 µ-LAW audio codec under the value hash (the
+    telephony sibling of ds_wav_codec_gate's 16-bit PCM): each
+    document's first 16 ASCII-projected characters become µ-law
+    bytes behind a genuine format-tag-7 RIFF header, the strict-mode
+    decoder expands them through the EXACT integer reference formula
+    (complement → 3-bit segment → 4-bit mantissa → bias 0x84 — the
+    decode is pure integer arithmetic, so the oracle replays it
+    term for term with no float anywhere), and the byte histogram of
+    the emitted int16 PCM is hash-compared.  One wrong segment
+    shift, sign branch, or two's-complement byte split moves bytes
+    across buckets and fails the hash.  Both sides emit only
+    OCCUPIED buckets (the y4m empty-bucket lesson)."""
+    import struct as _s
+
+    from ..functions import multimodal as mm
+
+    header = (b"RIFF" + _s.pack("<I", 36 + 16) + b"WAVE"
+              + b"fmt " + _s.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8)
+              + b"data" + _s.pack("<I", 16))
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    payload = F.concat(
+        F.lit(header),
+        F.encode(F.substring(ascii_text, 1, 16), "UTF-8"))
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .select("doc_id", payload.alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "audio/basic").drop("_payload")
+    pcm = mm.resample_audio(media, target_rate=8000, strict=True)
+    feats = mm.extract_image_features(pcm, pixels_col="samples", dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.round(F.sum(F.col("_r") * 32), 0).cast("long")
+             .alias("n_bytes"))
+        .where(F.col("n_bytes") > 0)
+    )

@@ -558,3 +558,73 @@ class TestBmpCodec:
             import pytest as _pytest
             with _pytest.raises(Exception):
                 mm.decode_images(media, strict=True, codec="auto").collect()
+
+
+class TestMulawCodec:
+    """G.711 µ-law WAV (format tag 7): exact integer expansion."""
+
+    def _mulaw_wav(self, data: bytes, rate=8000, n_ch=1):
+        import struct
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 7, n_ch, rate,
+                                        rate * n_ch, n_ch, 8)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def test_reference_expansion_values(self):
+        import numpy as np
+
+        from filters_spark.functions.multimodal import _mulaw_to_linear
+
+        got = _mulaw_to_linear(
+            np.array([0xFF, 0x7F, 0x00, 0x80], dtype=np.uint8))
+        # the 16-bit-scaled G.711 table: silence codes -> 0, extreme
+        # codes -> ±32124
+        assert list(got) == [0, 0, -32124, 32124]
+
+    def test_strict_decode_through_resample_audio(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import multimodal as mm
+        from filters_spark.functions.multimodal import _mulaw_to_linear
+
+        data = bytes(range(0, 256, 16))          # 16 spread codes
+        df = spark.createDataFrame(
+            [(1, bytearray(self._mulaw_wav(data)))],
+            "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "audio/basic")
+        out = mm.resample_audio(media, target_rate=8000,
+                                strict=True).collect()[0]
+        got = np.frombuffer(bytes(out["samples"]), dtype="<i2")
+        want = _mulaw_to_linear(np.frombuffer(data, np.uint8))
+        assert list(got) == list(want)
+        assert out["n_samples"] == 16
+
+    def test_stereo_mulaw_mono_mixes(self, spark):
+        import numpy as np
+
+        from filters_spark.functions import multimodal as mm
+        from filters_spark.functions.multimodal import _mulaw_to_linear
+
+        data = bytes([0x00, 0xFF] * 4)           # L=max-neg, R=0
+        df = spark.createDataFrame(
+            [(1, bytearray(self._mulaw_wav(data, n_ch=2)))],
+            "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "audio/basic")
+        out = mm.resample_audio(media, target_rate=8000,
+                                strict=True).collect()[0]
+        got = np.frombuffer(bytes(out["samples"]), dtype="<i2")
+        assert list(got) == [-16062] * 4         # mean(-32124, 0)
+
+    def test_truncated_mulaw_lenient_falls_back_strict_raises(self, spark):
+        from filters_spark.functions import multimodal as mm
+
+        payload = self._mulaw_wav(bytes(16))[:30]   # cut inside fmt
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "audio/basic")
+        out = mm.resample_audio(media, strict=False).collect()
+        assert out[0]["samples"] is not None
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            mm.resample_audio(media, strict=True).collect()

@@ -402,6 +402,8 @@ EXPECTATIONS: dict[str, dict] = {
     # BMP codec gate: scan -> in-plan payload build -> two mapInPandas
     # crossings (decode + featurize) -> posexplode + one rollup
     "ds_bmp_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    # mu-law codec gate: same shape (resample + featurize crossings)
+    "ds_mulaw_codec_gate": dict(max_exchanges=1, scan_filter=True),
 }
 
 
