@@ -550,6 +550,21 @@ def _mulaw_to_linear(u8):
     return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int64)
 
 
+def _alaw_to_linear(u8):
+    """G.711 A-law byte → linear int16 (the µ-law twin: XOR 0x55
+    toggle, 3-bit segment, 4-bit mantissa; segment 0 adds the
+    half-step 8, higher segments add 0x108 then shift) — European
+    telephony's half of G.711 (WAVE format tag 6)."""
+    import numpy as np
+
+    a = u8.astype(np.int64) ^ 0x55
+    m = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, m + 8,
+                 (m + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int64)
+
+
 def _resample_wav(payload: bytes, target_rate: int) -> bytes:
     """REAL resample for WAV: 16-bit PCM (format 1, stdlib wave) or
     G.711 µ-law (format 7, manual RIFF walk + exact table expansion)
@@ -564,13 +579,14 @@ def _resample_wav(payload: bytes, target_rate: int) -> bytes:
     chunks = _riff_chunks(payload)
     fmt_off = chunks.get(b"fmt ", (None, 0))[0]
     tag = struct.unpack_from("<H", payload, fmt_off)[0] if fmt_off else 1
-    if tag == 7:
+    if tag in (6, 7):
         _, n_ch, rate = struct.unpack_from("<HHI", payload, fmt_off)
         d_off, d_size = chunks[b"data"]
         raw = np.frombuffer(payload, np.uint8,
                             count=min(d_size, len(payload) - d_off),
                             offset=d_off)
-        pcm = _mulaw_to_linear(raw).astype(np.float64)
+        expand = _mulaw_to_linear if tag == 7 else _alaw_to_linear
+        pcm = expand(raw).astype(np.float64)
         if n_ch > 1:
             pcm = pcm.reshape(-1, n_ch).mean(axis=1)
     else:

@@ -9522,3 +9522,69 @@ def ds_mulaw_codec_gate(spark, sf_dir):
              .alias("n_bytes"))
         .where(F.col("n_bytes") > 0)
     )
+
+
+@register(
+    "ds_alaw_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    ), lin AS (
+      SELECT CASE WHEN a >= 128 THEN t ELSE -t END AS v
+      FROM (SELECT a,
+                   CASE WHEN ((a // 16) % 8) = 0
+                        THEN (a % 16) * 16 + 8
+                        ELSE ((a % 16) * 16 + 264)
+                             * (1 << (((a // 16) % 8) - 1)) END AS t
+            FROM (SELECT xor(code, 85) AS a FROM ch))
+    ), by2 AS (
+      SELECT ((v % 65536) + 65536) % 65536 AS w FROM lin
+    ), bytes AS (
+      SELECT w % 256 AS byte FROM by2
+      UNION ALL
+      SELECT w // 256 AS byte FROM by2
+    )
+    SELECT CAST(byte % 16 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_bytes
+    FROM bytes GROUP BY 1
+    """,
+)
+def ds_alaw_codec_gate(spark, sf_dir):
+    """G.711's OTHER half under the value hash: A-law (WAVE format
+    tag 6, European telephony) — XOR-0x55 toggle, 3-bit segment,
+    4-bit mantissa, the segment-0 half-step — expanded by the exact
+    integer reference formula and byte-histogrammed like
+    ds_mulaw_codec_gate.  The two G.711 gates together pin that the
+    decoder dispatches on the format TAG, not just the RIFF magic
+    (a µ-law/A-law mixup produces plausible-looking audio with every
+    sample wrong — the classic telephony-ingest bug this gate makes
+    impossible to ship)."""
+    import struct as _s
+
+    from ..functions import multimodal as mm
+
+    header = (b"RIFF" + _s.pack("<I", 36 + 16) + b"WAVE"
+              + b"fmt " + _s.pack("<IHHIIHH", 16, 6, 1, 8000, 8000, 1, 8)
+              + b"data" + _s.pack("<I", 16))
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    payload = F.concat(
+        F.lit(header),
+        F.encode(F.substring(ascii_text, 1, 16), "UTF-8"))
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .select("doc_id", payload.alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "audio/basic").drop("_payload")
+    pcm = mm.resample_audio(media, target_rate=8000, strict=True)
+    feats = mm.extract_image_features(pcm, pixels_col="samples", dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.round(F.sum(F.col("_r") * 32), 0).cast("long")
+             .alias("n_bytes"))
+        .where(F.col("n_bytes") > 0)
+    )

@@ -628,3 +628,47 @@ class TestMulawCodec:
         import pytest as _pytest
         with _pytest.raises(Exception):
             mm.resample_audio(media, strict=True).collect()
+
+
+class TestAlawCodec:
+    def test_reference_expansion_values(self):
+        import numpy as np
+
+        from filters_spark.functions.multimodal import _alaw_to_linear
+
+        got = _alaw_to_linear(
+            np.array([0x55, 0xD5, 0x2A, 0xAA], dtype=np.uint8))
+        assert list(got) == [-8, 8, -32256, 32256]
+
+    def test_tag_dispatch_mulaw_vs_alaw_differ(self, spark):
+        """Identical bytes behind tag 6 vs tag 7 must decode to
+        DIFFERENT samples — the decoder keys on the format tag, so a
+        mu-law/A-law mixup cannot pass silently."""
+        import struct
+        import numpy as np
+
+        from filters_spark.functions import multimodal as mm
+
+        data = bytes(range(16, 32))
+
+        def wav(tag):
+            return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, tag, 1, 8000,
+                                            8000, 1, 8)
+                    + b"data" + struct.pack("<I", len(data)) + data)
+
+        outs = {}
+        for tag in (6, 7):
+            df = spark.createDataFrame(
+                [(1, bytearray(wav(tag)))], "doc_id bigint, raw binary")
+            media = mm.attach_meta(df, "raw", "audio/basic")
+            r = mm.resample_audio(media, target_rate=8000,
+                                  strict=True).collect()[0]
+            outs[tag] = list(np.frombuffer(bytes(r["samples"]),
+                                           dtype="<i2"))
+        assert outs[6] != outs[7]
+        from filters_spark.functions.multimodal import (_alaw_to_linear,
+                                                        _mulaw_to_linear)
+        raw = np.frombuffer(data, np.uint8)
+        assert outs[6] == list(_alaw_to_linear(raw))
+        assert outs[7] == list(_mulaw_to_linear(raw))

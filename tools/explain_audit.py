@@ -404,6 +404,7 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_bmp_codec_gate": dict(max_exchanges=1, scan_filter=True),
     # mu-law codec gate: same shape (resample + featurize crossings)
     "ds_mulaw_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    "ds_alaw_codec_gate": dict(max_exchanges=1, scan_filter=True),
 }
 
 
