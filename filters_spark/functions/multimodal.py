@@ -178,10 +178,23 @@ def _decode_bmp(payload: bytes, w: int, h: int) -> bytes:
         px = data[:, :src_w * 3].reshape(src_h, src_w, 3).astype(np.float64)
         gray = px @ [0.114, 0.587, 0.299]      # BMP stores BGR
     else:
-        pal = np.frombuffer(payload, np.uint8, count=256 * 4,
-                            offset=14 + hdr_size).reshape(256, 4)
+        # palette size honors biClrUsed (info-header offset 32 → file
+        # offset 46; 0 means 'full 256'), bounded by the bytes that
+        # actually exist before the pixel data — a short-palette BMP
+        # must not read pixel bytes as palette entries (r5 ADVICE)
+        n_pal = (struct.unpack_from("<I", payload, 46)[0]
+                 if hdr_size >= 36 else 0) or 256
+        n_pal = min(n_pal, max(0, (off - (14 + hdr_size)) // 4))
+        if n_pal <= 0:
+            raise ValueError("8-bit BMP with no palette entries")
+        pal = np.frombuffer(payload, np.uint8, count=n_pal * 4,
+                            offset=14 + hdr_size).reshape(n_pal, 4)
         lum = pal[:, :3].astype(np.float64) @ [0.114, 0.587, 0.299]
-        gray = lum[data[:, :src_w]]
+        idx = data[:, :src_w]
+        if idx.max(initial=0) >= n_pal:
+            raise ValueError(
+                f"8-bit BMP pixel index >= palette size {n_pal}")
+        gray = lum[idx]
     if not top_down:
         gray = gray[::-1]
     ys = (np.arange(h) * src_h // max(h, 1)).clip(0, src_h - 1)

@@ -160,6 +160,12 @@ def covariance_pairs(df: DataFrame, vec_col: str = "embedding",
     grams each (partition, group) slice separately.
     """
     groups = list(by or [])
+    # NULL vectors are dropped in BOTH engines before anything else:
+    # without this the expr engine counted null rows in n while
+    # skipping them in the sums, and the arrow engine turned None
+    # into NaN whose int64 cast is platform garbage (r5 ADVICE) —
+    # either way the 'two engines are exactly equal' contract broke.
+    df = df.where(F.col(vec_col).isNotNull())
     if dim is None:
         first = df.select(F.size(F.col(vec_col))).first()
         dim = first[0] if first is not None and first[0] is not None else 1
@@ -235,9 +241,15 @@ def _covariance_pairs_arrow(df: DataFrame, vec_col: str,
         ])
 
     def gram_frame(sub: "pd.DataFrame") -> "pd.DataFrame":
-        X = np.round(
-            np.array(list(sub[vec_col]), dtype="float64") * MICRO
-        ).astype("int64")
+        Xf = np.array(list(sub[vec_col]), dtype="float64")
+        if np.isnan(Xf).any():
+            # a null COMPONENT inside a non-null vector (whole-null
+            # vectors are filtered upstream) — NaN.astype(int64) is
+            # platform-defined garbage, so corrupt sums are refused
+            raise ValueError(
+                "covariance_pairs: null/NaN embedding component — "
+                "clean or filter the vector column first")
+        X = np.round(Xf * MICRO).astype("int64")
         G = X.T @ X                           # d×d int64, exact per bound
         S = X.sum(axis=0)                     # per-dim micro sums
         return pd.DataFrame({
@@ -299,6 +311,17 @@ def pca_components(cov: DataFrame, dim: int, k: int):
     rows = cov.select("i", "j", "n", "cov_num").collect()
     if not rows:
         raise ValueError("covariance_pairs produced no rows (empty input)")
+    # a grouped covariance_pairs(by=...) frame reaching this point
+    # would silently overwrite C cells across groups and take the
+    # wrong n (r5 ADVICE) — detect it by its signature (duplicate
+    # (i, j) pairs / differing n) and refuse
+    pairs_seen = [(int(r["i"]), int(r["j"])) for r in rows]
+    if len(set(pairs_seen)) != len(pairs_seen) or \
+            len({int(r["n"]) for r in rows}) != 1:
+        raise ValueError(
+            "pca_components: frame looks grouped (duplicate (i, j) "
+            "pairs or non-uniform n) — use pca_components_by for "
+            "covariance_pairs(by=...) output")
     n = int(rows[0]["n"])
     C = np.zeros((dim, dim), dtype="float64")
     for r in rows:

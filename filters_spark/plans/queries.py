@@ -9253,23 +9253,30 @@ def ds_text_clusters(spark, sf_dir):
     JOIN d di ON p.i = di.dd
     JOIN d dj ON p.j = dj.dd
     WHERE p.i < p.j
-      AND 2500 * p.cov_num * p.cov_num > di.var_num * dj.var_num
+      AND 2500 * CAST(p.cov_num AS DOUBLE) * CAST(p.cov_num AS DOUBLE)
+          > CAST(di.var_num AS DOUBLE) * CAST(dj.var_num AS DOUBLE)
     """,
 )
 def prof_correlated_dims(spark, sf_dir):
     """Correlated-dimension detection with ZERO floats — feature
     redundancy audit over the first 16 embedding dims: flag every
-    pair with |corr| > 1/50 via the cross-multiplied integer test
+    pair with |corr| > 1/50 via the cross-multiplied test
     2500·cov_num² > var_num_i·var_num_j (corr² = cov²/(var_i·var_j);
-    the threshold's square scales through as an integer — the
-    centroid_outliers discipline, so a flag can never flap on engine
-    ulps).  Composes covariance_pairs: the diagonal rows ARE the
-    variance numerators (i = j ⇒ n·Σx² − (Σx)²), broadcast back onto
-    the off-diagonal pairs.  Exactness bound: the squared numerators
-    stay inside decimal(38,0)/HUGEINT while n ≲ 1e9 at micro-unit
-    scale — beyond that, reduce units or accept the float ratio.
-    Gated observable: the flagged pair SET with its exact covariance
-    numerators."""
+    the threshold's square scales through).  Composes
+    covariance_pairs: the diagonal rows ARE the variance numerators
+    (i = j ⇒ n·Σx² − (Σx)²), broadcast back onto the off-diagonal
+    pairs.  The NUMERATORS are exact integers (decimal(38,0) /
+    HUGEINT — the gated observable); the comparison itself is
+    computed in FLOAT on purpose: cov_num ~ n²·1e12·cov, so the
+    squared product overflows decimal(38,0) at n ≈ 1e4-1e5 rows,
+    where Spark's non-ANSI decimal overflow yields NULL and would
+    silently unflag correlated pairs (r5 ADVICE).  IEEE double
+    int→double rounding and multiplication are deterministic and
+    identical in Spark and DuckDB (same literal order, left-assoc),
+    so the flag set still cannot flap across engines; it could only
+    differ from the exact-integer answer when corr² sits within ~1
+    ulp (≈1e-16 relative) of the threshold.  Gated observable: the
+    flagged pair SET with its exact covariance numerators."""
     from ..functions import projection
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -9282,9 +9289,11 @@ def prof_correlated_dims(spark, sf_dir):
     return (cov.where(F.col("i") < F.col("j"))
             .join(F.broadcast(di), F.col("i") == F.col("di._d"))
             .join(F.broadcast(dj), F.col("j") == F.col("dj._d"))
-            .where(F.lit(2500).cast("decimal(38,0)")
-                   * F.col("cov_num") * F.col("cov_num")
-                   > F.col("di._var") * F.col("dj._var"))
+            .where(F.lit(2500.0)
+                   * F.col("cov_num").cast("double")
+                   * F.col("cov_num").cast("double")
+                   > F.col("di._var").cast("double")
+                   * F.col("dj._var").cast("double"))
             .select("i", "j", "n",
                     F.col("cov_num").cast("bigint").alias("cov_num")))
 

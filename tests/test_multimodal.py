@@ -485,7 +485,7 @@ class TestBmpCodec:
     """Real uncompressed-BMP decode (multimodal._decode_bmp) — the
     third real image format beside netpbm and Y4M."""
 
-    def _bmp(self, rows, top_down=False, bpp=24):
+    def _bmp(self, rows, top_down=False, bpp=24, n_pal=None):
         import struct
         h = len(rows)
         w = len(rows[0])
@@ -498,13 +498,14 @@ class TestBmpCodec:
             else:
                 line = bytes(r)
             body += line + b"\0" * (row_bytes - len(line))
-        pal = b"".join(bytes([i, i, i, 0]) for i in range(256)) \
-            if bpp == 8 else b""
+        pal_n = (n_pal if n_pal is not None else 256) if bpp == 8 else 0
+        pal = b"".join(bytes([i, i, i, 0]) for i in range(pal_n))
         off = 54 + len(pal)
         hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
         dib = struct.pack("<IiiHHIIiiII", 40, w,
                           -h if top_down else h,
-                          1, bpp, 0, len(body), 0, 0, 0, 0)
+                          1, bpp, 0, len(body), 0, 0,
+                          n_pal or 0 if bpp == 8 else 0, 0)
         return hdr + dib + pal + body
 
     def test_decodes_real_in_strict_mode(self, spark):
@@ -536,6 +537,24 @@ class TestBmpCodec:
 
         out = _decode_bmp(self._bmp([[5, 6, 7]], bpp=8), 3, 1)
         assert list(out) == [5, 6, 7]   # grayscale palette: lum == index
+
+    def test_short_palette_biclrused(self):
+        """A BMP with biClrUsed=16 ships only 16 palette entries; the
+        decoder must size the read from biClrUsed, never assume 256
+        (r5 ADVICE: pixel bytes silently became palette entries)."""
+        from filters_spark.functions.multimodal import _decode_bmp
+
+        out = _decode_bmp(self._bmp([[5, 6, 7]], bpp=8, n_pal=16), 3, 1)
+        assert list(out) == [5, 6, 7]
+
+    def test_pixel_index_past_short_palette_raises(self):
+        import pytest as _pytest
+
+        from filters_spark.functions.multimodal import _decode_bmp
+
+        payload = self._bmp([[5, 200, 7]], bpp=8, n_pal=16)
+        with _pytest.raises(ValueError, match="palette"):
+            _decode_bmp(payload, 3, 1)
 
     def test_corrupt_bmp_falls_back_lenient_raises_strict(self, spark):
         from pyspark.sql import functions as F

@@ -137,6 +137,31 @@ class TestCovariancePairs:
         with pytest.raises(ValueError, match="engine"):
             P.covariance_pairs(vectors, dim=12, engine="pandas")
 
+    def test_null_vectors_dropped_identically(self, spark, vectors):
+        """A NULL embedding row must vanish from n AND the sums in
+        BOTH engines (r5 ADVICE: expr counted it in n, arrow turned
+        it into int64 garbage) — result equals the clean frame's."""
+        withnull = vectors.unionByName(spark.createDataFrame(
+            [(999, None)], vectors.schema))
+        canon = lambda rs: {  # noqa: E731
+            (r["i"], r["j"]): (r["n"], int(r["sxy"]), int(r["cov_num"]))
+            for r in rs}
+        clean = canon(P.covariance_pairs(
+            vectors, dim=12, engine="expr").collect())
+        for eng in ("expr", "arrow"):
+            got = canon(P.covariance_pairs(
+                withnull, dim=12, engine=eng).collect())
+            assert got == clean
+
+    def test_nan_component_raises_arrow(self, spark, vectors):
+        """A null COMPONENT inside a non-null vector is refused by the
+        arrow engine rather than silently corrupting the Gram sums."""
+        bad = vectors.unionByName(spark.createDataFrame(
+            [(999, [None] + [0.0] * 11)],
+            "vec_id long, embedding array<float>"))
+        with pytest.raises(Exception, match="[Nn]a[Nn]"):
+            P.covariance_pairs(bad, dim=12, engine="arrow").collect()
+
 
 class TestPCA:
     def test_components_orthonormal_descending(self, spark, vectors):
@@ -182,6 +207,16 @@ class TestPCA:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert len(out.first()["pca"]) == 3
+
+    def test_grouped_frame_refused(self, spark, vectors):
+        """pca_components on a covariance_pairs(by=...) frame would
+        silently overwrite C cells across groups (r5 ADVICE) — it
+        must raise and point at pca_components_by."""
+        grouped = P.covariance_pairs(
+            vectors.withColumn("g", F.col("vec_id") % 2),
+            dim=4, engine="expr", by=["g"])
+        with pytest.raises(ValueError, match="pca_components_by"):
+            P.pca_components(grouped, dim=4, k=2)
 
     def test_empty_input_raises(self, spark):
         empty = spark.createDataFrame(
