@@ -606,8 +606,90 @@ def repetition_gate(df, id_col: str = "doc_id", text_col: str = "text",
 _BPE_SEP = "\x1f"
 
 
+def _bpe_merge_word(syms: list, a: str, b: str, ab: str) -> list:
+    """Greedy left-to-right merge of pair (a, b) in one word — the
+    exact semantics of ``replace(sym, 'a␟b␟', 'ab␟')``: scanning
+    resumes AFTER each replacement, so an odd run 'a a a' merges the
+    first pair only."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_driver(wordfreq: list, n_merges: int) -> list:
+    """In-process incremental BPE over the folded (word, freq)
+    vocabulary — the O(Δ)-per-merge half of :func:`bpe_train`'s
+    ``engine='driver'``.  State: per-word symbol lists, a pair→count
+    map, a pair→word-ids index, and a lazy-deletion max-heap of
+    (−count, left, right).  Per merge only the words CONTAINING the
+    merged pair are rewritten and only pairs adjacent to the merge
+    site change counts; every changed pair is re-pushed and stale
+    heap entries are discarded at pop (entry valid iff its count
+    matches the live map).  Tie-break (count desc, left, right) is
+    the heap order itself."""
+    import heapq
+    from collections import defaultdict
+
+    wsyms = [list(w) for w, _f in wordfreq]
+    wfreq = [f for _w, f in wordfreq]
+    counts: dict = defaultdict(int)
+    index: dict = defaultdict(set)
+    for wid, syms in enumerate(wsyms):
+        f = wfreq[wid]
+        for p in zip(syms, syms[1:]):
+            counts[p] += f
+            index[p].add(wid)
+    heap = [(-c, a, b) for (a, b), c in counts.items() if c >= 2]
+    heapq.heapify(heap)
+    merges: list = []
+    for step in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            if counts.get((a, b), 0) == -negc and -negc >= 2:
+                best = (a, b, -negc)
+                break
+        if best is None:
+            break
+        a, b, c = best
+        merges.append((step, a, b, int(c)))
+        ab = a + b
+        changed: set = set()
+        for wid in index.pop((a, b), ()):
+            old = wsyms[wid]
+            new = _bpe_merge_word(old, a, b, ab)
+            if len(new) == len(old):
+                continue                    # stale index entry
+            f = wfreq[wid]
+            for p in zip(old, old[1:]):
+                counts[p] -= f
+                changed.add(p)
+            for p in zip(new, new[1:]):
+                counts[p] += f
+                index[p].add(wid)
+                changed.add(p)
+            wsyms[wid] = new
+        counts.pop((a, b), None)
+        changed.discard((a, b))
+        for p in changed:
+            cur = counts.get(p, 0)
+            if cur >= 2:
+                heapq.heappush(heap, (-cur, p[0], p[1]))
+            elif cur <= 0:
+                counts.pop(p, None)
+    return merges
+
+
 def bpe_train(df: DataFrame, text_col: str = "text",
-              n_merges: int = 10, sep: str = " ") -> list[tuple]:
+              n_merges: int = 10, sep: str = " ",
+              engine: str = "spark",
+              max_vocab: int | None = None) -> list[tuple]:
     """Byte-pair-encoding merge training (Sennrich, Haddow & Birch
     2016, ACL "Neural Machine Translation of Rare Words with Subword
     Units"): learn the ``n_merges`` most frequent adjacent-symbol
@@ -639,16 +721,51 @@ def bpe_train(df: DataFrame, text_col: str = "text",
 
     Training stops early if no pair occurs twice.  Deterministic
     across engines, partitionings, and retries; the DuckDB oracle
-    unrolls the same iterations in SQL."""
+    unrolls the same iterations in SQL.
+
+    ``engine`` (r5 VERDICT #3 — the per-merge-scan wall):
+
+    - ``'spark'`` (default): one vocabulary-sized Spark job per
+      merge.  Fine to a few hundred merges and the SQL-replayable
+      gate shape, but a 32k-merge production tokenizer would mean
+      32k sequential jobs each scanning O(vocab) state — a
+      wall-clock scale-killer regardless of per-job efficiency.
+    - ``'driver'``: the production path.  The CORPUS-sized work is
+      unchanged (one distributed pass folding the token stream to
+      (word, freq) — after that no engine ever touches the corpus
+      again); the folded vocabulary is collected and merges train
+      in-process with the classic incremental pair-count cache
+      (Sennrich's learn_bpe trick): only the words containing the
+      just-merged pair are touched per step (pair→word index), count
+      deltas are O(affected word length), and the argmax is a
+      lazy-deletion heap — per-merge cost is O(Δ), not O(vocab), so
+      32k merges is 32k heap pops, zero Spark jobs.  Driver memory
+      is the DISTINCT-WORD vocabulary (heavy-tail bounded; ~10⁶–10⁷
+      entries even for web-scale corpora), hard-boundable with
+      ``max_vocab`` (keep the top-N word forms by (freq desc, word)
+      — deterministic; the long tail of hapax words contributes no
+      merge above min count 2 in practice).
+
+    The two engines are EXACTLY equal on the same input (pytest-
+    pinned): identical greedy left-to-right word semantics, identical
+    overlap counting, identical (count desc, left, right) tie-break
+    (Python code-point string order == UTF-8 binary order — UTF-8 is
+    order-preserving)."""
+    if engine not in ("spark", "driver"):
+        raise ValueError(f"engine must be 'spark' or 'driver', got {engine!r}")
     spark = df.sparkSession
-    words = (
+    wordfreq = (
         df.select(F.explode(F.split(F.col(text_col), sep)).alias("w"))
         .where((F.col("w") != "") & (~F.col("w").contains(_BPE_SEP)))
         .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
-        .select(
-            F.regexp_replace("w", "(.)", "$1" + _BPE_SEP).alias("sym"),
-            "f")
     )
+    if max_vocab is not None:
+        wordfreq = wordfreq.orderBy(F.col("f").desc(), "w").limit(max_vocab)
+    if engine == "driver":
+        return _bpe_train_driver(
+            [(r["w"], int(r["f"])) for r in wordfreq.collect()], n_merges)
+    words = wordfreq.select(
+        F.regexp_replace("w", "(.)", "$1" + _BPE_SEP).alias("sym"), "f")
     from ._cache import scoped_persist
 
     state = scoped_persist(words, "bpe_words")

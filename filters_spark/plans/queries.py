@@ -9667,3 +9667,129 @@ def ds_png_codec_gate(spark, sf_dir):
              .alias("n_chars"))
         .where(F.col("n_chars") > 0)
     )
+
+
+@register(
+    "ds_hybrid_rrf_indexed",
+    oracle="""
+    WITH post AS (
+      SELECT doc_id, s AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+            FROM documents)
+      WHERE s <> '' GROUP BY doc_id, s
+    ), dls AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dls
+    ), q AS (
+      SELECT DISTINCT doc_id AS query_id, s AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+            FROM documents WHERE doc_id % 97 = 0)
+      WHERE s <> ''
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM post
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfreq, stats
+    ), bscored AS (
+      SELECT q.query_id, p.doc_id,
+             round(sum(i.idf * p.tf * 2.2
+                       / (p.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * d.dl / stats.avgdl))),
+                   4) AS score
+      FROM q JOIN post p USING (term) JOIN idf i USING (term)
+           JOIN dls d ON d.doc_id = p.doc_id, stats
+      GROUP BY q.query_id, p.doc_id
+    ), sparse AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM bscored
+      ) WHERE rank <= 10
+    ), ex AS (
+      SELECT label, unnest(embedding)::DOUBLE AS x,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ), cent AS (
+      SELECT label, list(c ORDER BY d) AS centroid
+      FROM (SELECT label, d, avg(x) AS c FROM ex GROUP BY label, d)
+      GROUP BY label
+    ), dq AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+    ), probes AS (
+      SELECT query_id, label FROM (
+        SELECT dq.vec_id AS query_id, c.label,
+               row_number() OVER (
+                 PARTITION BY dq.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            dq.embedding::DOUBLE[], c.centroid::DOUBLE[]),
+                          6) DESC,
+                          c.label) AS prank
+        FROM dq CROSS JOIN cent c
+      ) WHERE prank <= 2
+    ), dscored AS (
+      SELECT p.query_id, v.vec_id AS doc_id,
+             round(list_cosine_similarity(
+               dq.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS score
+      FROM probes p
+      JOIN embeddings v ON v.label = p.label
+      JOIN dq ON dq.vec_id = p.query_id
+      WHERE v.vec_id != p.query_id
+    ), dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM dscored
+      ) WHERE rank <= 10
+    ), fused AS (
+      SELECT query_id, doc_id,
+             round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+      FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def ds_hybrid_rrf_indexed(spark, sf_dir):
+    """PRODUCTION-shape hybrid retrieval (r5 VERDICT #4): the same
+    RRF fusion as ds_hybrid_rrf but BOTH arms answer from
+    materialized, pruned indexes — BM25 from the range-partitioned
+    postings table (retrieval.bm25_topk_from_postings: query terms
+    pushed as an IN predicate into the term-sorted layout) and the
+    dense arm from the cell-partitioned IVF index
+    (similarity.ivf_topk_from_index: nprobe=2 cells read as explicit
+    partition paths).  This is the plan you WOULD run at 100×: the
+    brute-force ds_hybrid_rrf gate stays as the recall twin, while
+    here neither arm ever scans the full corpus at probe time.  The
+    oracle replays the pruned probe exactly (the ds_ivf_index_topk
+    contract) and the BM25 arithmetic identically — the postings
+    table is a materialization detail, not a semantics change."""
+    from ..functions import retrieval
+
+    d = _t(spark, sf_dir, "documents")
+    app = spark.sparkContext.applicationId
+    ppath = f"/tmp/fs_hybridx_post_{app}"
+    vpath = f"/tmp/fs_hybridx_ivf_{app}"
+    retrieval.materialize_postings(d, ppath)
+    emb = _t(spark, sf_dir, "embeddings")
+    similarity.materialize_ivf_index(emb, vpath, cell_col="label")
+    q = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    sparse = retrieval.bm25_topk_from_postings(spark, ppath, q, k=10) \
+        .select("query_id", "doc_id", "rank")
+    dq = emb.where(F.col("vec_id") % 97 == 0)
+    dense = (
+        similarity.ivf_topk_from_index(spark, vpath, dq, k=10, nprobe=2)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return retrieval.rrf_fuse([sparse, dense], k=60, topk=10)

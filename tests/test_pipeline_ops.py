@@ -374,6 +374,47 @@ class TestBpeTrain:
         # every pair occurs once -> zero merges
         assert T.bpe_train(df, n_merges=5) == []
 
+    def test_driver_engine_exactly_equals_spark(self, spark):
+        """The O(Δ)-per-merge incremental trainer (engine='driver')
+        must reproduce the Spark loop merge-for-merge: same pairs,
+        same counts, same tie-breaks, same greedy odd-run handling —
+        on a corpus crafted to hit all of them."""
+        from filters_spark.functions import text as T
+        df = spark.createDataFrame(
+            [("low low lower",), ("aaaa newest widest",),
+             ("aaaaa aaaaa banana bandana",), ("ab ab ba ba ba",),
+             ("the cat sat on the mat",), ("",)],
+            "text string")
+        ref = T.bpe_train(df, n_merges=12, engine="spark")
+        assert len(ref) >= 8
+        assert T.bpe_train(df, n_merges=12, engine="driver") == ref
+
+    def test_driver_engine_on_documents_table(self, spark):
+        """Engine parity on real corpus text (sf0.001 documents)."""
+        from filters_spark.functions import text as T
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select("text")
+        ref = T.bpe_train(df, n_merges=16, engine="spark")
+        assert T.bpe_train(df, n_merges=16, engine="driver") == ref
+
+    def test_max_vocab_caps_deterministically(self, spark):
+        from filters_spark.functions import text as T
+        df = spark.createDataFrame(
+            [("low low lower",), ("aaaa newest widest",)], "text string")
+        capped_s = T.bpe_train(df, n_merges=4, engine="spark", max_vocab=2)
+        capped_d = T.bpe_train(df, n_merges=4, engine="driver", max_vocab=2)
+        assert capped_s == capped_d
+        # top-2 word forms by (freq desc, word) = 'low' (2), 'aaaa'
+        assert capped_s[0] == (1, "a", "a", 3)
+
+    def test_bad_engine_raises(self, spark):
+        import pytest as _pt
+
+        from filters_spark.functions import text as T
+        df = spark.createDataFrame([("x",)], "text string")
+        with _pt.raises(ValueError, match="engine"):
+            T.bpe_train(df, engine="numpy")
+
 
 class TestBpeApply:
     def test_tokenizes_with_learned_merges(self, spark):
