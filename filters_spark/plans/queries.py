@@ -9793,3 +9793,75 @@ def ds_hybrid_rrf_indexed(spark, sf_dir):
         .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     )
     return retrieval.rrf_fuse([sparse, dense], k=60, topk=10)
+
+
+@register(
+    "rel_merge_snapshot",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), u AS (
+      SELECT o_orderkey, o_custkey, cents + 100 AS cents
+      FROM b WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, CAST(-1 AS BIGINT),
+             CAST(12345 AS BIGINT)
+      FROM b WHERE o_orderkey % 97 = 0
+    ), m AS (
+      SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL
+                  THEN u.cents ELSE b.cents END AS cents
+      FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS v1_rows,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM b) AS v1_cents,
+           CAST(count(*) AS BIGINT) AS v2_rows,
+           CAST(sum(cents) AS BIGINT) AS v2_cents
+    FROM m
+    """,
+)
+def rel_merge_snapshot(spark, sf_dir):
+    """Snapshot-versioned MERGE under the value hash (r5 VERDICT #5,
+    sources.versioned): orders (keys + exact money-cents — the
+    floor(x*100) engine-identical conversion) committed as snapshot
+    v1, then a CDC batch (price bump on every 10th order + inserts
+    on synthetic keys) merged as snapshot v2 via merge_versioned —
+    atomic pointer-flip commit, upsert semantics, lost-update
+    protection.  The gate reads BOTH versions back through the
+    manifest (time travel for v1, latest for v2) and emits exact
+    row/cents checksums of each; the oracle replays the merge
+    arithmetic with a full-outer join.  A merge that mutated v1's
+    files, dropped carried-over rows, or half-applied the batch
+    shifts a checksum and fails the hash.  The filesystem protocol
+    itself (claims, crash orphans, vacuum) is pytest-pinned in
+    test_versioned.py.  New-key offset 1e7 clears TPC-H orderkeys
+    through sf1."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    path = tempfile.mkdtemp(prefix="fs_snap_") + "/t"
+    V.write_versioned(base, path)
+    updates = (
+        base.where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey",
+                (F.col("cents") + 100).alias("cents"))
+        .unionByName(
+            base.where(F.col("o_orderkey") % 97 == 0)
+            .select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                    F.lit(-1).cast("bigint").alias("o_custkey"),
+                    F.lit(12345).cast("bigint").alias("cents")))
+    )
+    V.merge_versioned(spark, path, updates, "o_orderkey")
+    v1 = V.read_version(spark, path, 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("v1_rows"),
+        F.sum("cents").cast("bigint").alias("v1_cents"))
+    v2 = V.read_version(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("v2_rows"),
+        F.sum("cents").cast("bigint").alias("v2_cents"))
+    return v1.crossJoin(F.broadcast(v2))

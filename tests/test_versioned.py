@@ -1,0 +1,138 @@
+"""Snapshot-versioned tables (sources.versioned): commit atomicity,
+time travel, optimistic concurrency, merge isolation, retention —
+the invariants a DuckDB oracle cannot express (filesystem protocol),
+with the merge ARITHMETIC hash-gated by rel_merge_snapshot."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from filters_spark.sources import versioned as V
+
+
+@pytest.fixture()
+def tpath(tmp_path):
+    return str(tmp_path / "table")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, val string, n bigint")
+
+
+class TestWriteRead:
+    def test_roundtrip_and_versions(self, spark, tpath):
+        v1 = V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]), tpath)
+        assert v1 == 1
+        assert V.latest_version(tpath) == 1
+        assert V.versions(tpath) == [1]
+        got = {r["k"]: (r["val"], r["n"])
+               for r in V.read_version(spark, tpath).collect()}
+        assert got == {1: ("a", 10), 2: ("b", 20)}
+
+    def test_empty_snapshot_reads_with_schema(self, spark, tpath):
+        V.write_versioned(_df(spark, []), tpath)
+        out = V.read_version(spark, tpath)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["k", "val", "n"]
+
+    def test_read_missing_table_and_version(self, spark, tpath):
+        with pytest.raises(ValueError, match="no snapshots"):
+            V.read_version(spark, tpath)
+        V.write_versioned(_df(spark, [(1, "a", 1)]), tpath)
+        with pytest.raises(ValueError, match="no snapshot 9"):
+            V.read_version(spark, tpath, 9)
+
+
+class TestTimeTravelAndMerge:
+    def test_merge_creates_snapshot_old_version_unchanged(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]), tpath)
+        updates = _df(spark, [(2, "B", 99), (3, "c", 30)])
+        v2 = V.merge_versioned(spark, tpath, updates, "k")
+        assert v2 == 2
+        # time travel: v1 byte-identical to the original write
+        old = {r["k"]: r["n"]
+               for r in V.read_version(spark, tpath, 1).collect()}
+        assert old == {1: 10, 2: 20}
+        new = {r["k"]: (r["val"], r["n"])
+               for r in V.read_version(spark, tpath).collect()}
+        assert new == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30)}
+
+    def test_merge_on_empty_table_raises(self, spark, tpath):
+        with pytest.raises(ValueError, match="no base snapshot"):
+            V.merge_versioned(spark, tpath, _df(spark, [(1, "a", 1)]), "k")
+
+    def test_expected_parent_mismatch_raises(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 1)]), tpath)
+        with pytest.raises(V.ConcurrentWriteError, match="moved"):
+            V.write_versioned(_df(spark, [(2, "b", 2)]), tpath,
+                              expected_parent=7)
+        # lost-update protection: merge derived from v1 fails after a
+        # concurrent commit lands v2
+        V.write_versioned(_df(spark, [(9, "z", 9)]), tpath)
+        with pytest.raises(V.ConcurrentWriteError):
+            V.merge_versioned(spark, tpath, _df(spark, [(1, "A", 2)]),
+                              "k", expected_parent=1)
+
+
+class TestCommitProtocol:
+    def test_claimed_version_rejects_second_writer(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 1)]), tpath)
+        claim = os.path.join(tpath, "_manifests", "2.claim")
+        open(claim, "w").close()            # a racing writer's claim
+        with pytest.raises(V.ConcurrentWriteError, match="claimed"):
+            V.write_versioned(_df(spark, [(2, "b", 2)]), tpath)
+        os.remove(claim)
+        assert V.write_versioned(_df(spark, [(2, "b", 2)]), tpath) == 2
+
+    def test_crashed_writer_invisible_to_readers(self, spark, tpath):
+        """Data + manifest written but pointer never flipped: readers
+        still see the old head; the next commit skips past the
+        orphaned number instead of blocking on it."""
+        V.write_versioned(_df(spark, [(1, "a", 1)]), tpath)
+        # simulate the crash: full snapshot 2 exists, _latest still 1
+        _df(spark, [(8, "x", 8)]).write.mode("overwrite").parquet(
+            V._snap_dir(tpath, 2))
+        import json
+        man = {"version": 2, "parent": 1, "op": "write",
+               "schema_json": _df(spark, []).schema.json(), "n_files": 1}
+        with open(os.path.join(tpath, "_manifests", "2.json"), "w") as fh:
+            json.dump(man, fh)
+        assert V.latest_version(tpath) == 1
+        assert {r["k"] for r in V.read_version(spark, tpath).collect()} \
+            == {1}
+        v3 = V.write_versioned(_df(spark, [(3, "c", 3)]), tpath)
+        assert v3 == 3
+        assert V.latest_version(tpath) == 3
+
+
+class TestVacuum:
+    def test_retention_keeps_recent_drops_old(self, spark, tpath):
+        for i in range(1, 5):
+            V.write_versioned(_df(spark, [(i, "v", i)]), tpath)
+        removed = V.vacuum_versioned(tpath, keep_last=2)
+        assert removed == [1, 2]
+        # recent versions still read
+        assert V.read_version(spark, tpath, 3).count() == 1
+        assert V.read_version(spark, tpath, 4).count() == 1
+        # vacuumed version: explicit error, history still listable
+        with pytest.raises(ValueError, match="vacuumed"):
+            V.read_version(spark, tpath, 1)
+        assert V.versions(tpath) == [1, 2, 3, 4]
+
+    def test_keep_last_bound(self, spark, tpath):
+        with pytest.raises(ValueError, match="keep_last"):
+            V.vacuum_versioned(tpath, keep_last=0)
+
+
+class TestConcurrentReader:
+    def test_reader_resolved_before_merge_sees_old_snapshot(self, spark,
+                                                            tpath):
+        """Snapshot isolation: a DataFrame resolved against v1 keeps
+        reading v1's files even after a merge commits v2 (the commit
+        never mutates v1's data dir)."""
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        reader = V.read_version(spark, tpath, 1)
+        V.merge_versioned(spark, tpath, _df(spark, [(1, "A", 99)]), "k")
+        assert reader.collect()[0]["n"] == 10
+        assert V.read_version(spark, tpath).collect()[0]["n"] == 99
