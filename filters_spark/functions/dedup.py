@@ -203,19 +203,49 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, bands_col: str,
     return small_pairs.union(star_pairs).distinct()
 
 
+#: Row bound above which an UNBLOCKED pair join refuses to run: at
+#: 20k rows the cross is already 2·10⁸ pairs; beyond that the
+#: quadratic plan is never what you want at scale (use LSH bands /
+#: quantizer cells / hash buckets as block_col, or opt in explicitly).
+CROSS_GUARD_ROWS = 20_000
+
+
+def _guard_unblocked_cross(df: DataFrame, fn_name: str,
+                           allow_cross: bool) -> None:
+    """Refuse a silent O(n²) self-cross beyond CROSS_GUARD_ROWS (r5
+    VERDICT wrong #3): one bounded ``limit(B+1).count()`` probe —
+    early-exit scan, no full count — then raise with the blocked
+    alternative named.  ``allow_cross=True`` skips the probe entirely
+    (callers that KNOW the input is a sample keep a job-free plan)."""
+    if allow_cross:
+        return
+    n = df.limit(CROSS_GUARD_ROWS + 1).count()
+    if n > CROSS_GUARD_ROWS:
+        raise ValueError(
+            f"{fn_name}: input exceeds {CROSS_GUARD_ROWS} rows with no "
+            "block_col — the unblocked path is a full O(n²) cross join. "
+            "Pass block_col (LSH bands / quantizer cells / hash buckets) "
+            "for the blocked scale path, or allow_cross=True to force "
+            "the quadratic plan on a deliberately small input.")
+
+
 def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
                   pairs: DataFrame | None = None,
                   block_col: str | None = None,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  allow_cross: bool = False) -> DataFrame:
     """Exact Jaccard similarity over pairs.
 
     * ``pairs`` given (from LSH): verify only candidates — the scale
       path.
     * else ``block_col``: all pairs within a blocking key (bounded
       quadratic per block).
-    * else: full cross of ids — small inputs only.
+    * else: full cross of ids — refused above CROSS_GUARD_ROWS
+      unless ``allow_cross=True`` (deliberate small-sample twins).
     Returns (a_id, b_id, jaccard).
     """
+    if pairs is None and block_col is None:
+        _guard_unblocked_cross(df, "jaccard_pairs", allow_cross)
     # Three pair-compute optimizations that keep the jaccard VALUE
     # exact:
     # 1. tokens are pre-hashed to int64 (xxhash64) so the per-pair
@@ -517,11 +547,16 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95,
-                        block_col: str | None = None) -> DataFrame:
+                        block_col: str | None = None,
+                        allow_cross: bool = False) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= threshold.
-    Brute within blocks (or full cross for small n); the ANN path for
-    scale is ``similarity.lsh_buckets`` + this verify."""
+    Brute within blocks (full cross refused above CROSS_GUARD_ROWS
+    unless ``allow_cross=True``); the ANN path for scale is
+    ``similarity.lsh_buckets`` + this verify."""
     from .similarity import cosine
+
+    if block_col is None:
+        _guard_unblocked_cross(df, "embedding_dup_pairs", allow_cross)
 
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                   *( [F.col(block_col).alias("_blk")] if block_col else []))

@@ -89,9 +89,12 @@ def random_projection(df: DataFrame, out_dim: int = 16, seed: int = 0,
     Exact-integer sums: |Σ| ≤ dim·max|x|·1e6 — overflow-free for any
     real embedding (dim ≤ 10⁴, |x| ≤ 10⁶).
 
-    Precondition: all vectors have length ``dim`` (inferred from the
-    first row when omitted); shorter vectors raise at zip_with,
-    the ``similarity.lsh_buckets`` contract.
+    Precondition: all vectors have length ``dim``; shorter vectors
+    raise at zip_with, the ``similarity.lsh_buckets`` contract.
+    PASS ``dim`` in composed pipelines: the ``dim=None`` fallback
+    probes the first row, which is one extra Spark job per call
+    (ArrayType carries no length, so the schema cannot supply it —
+    r5 ADVICE; every registered gate passes dim explicitly).
     """
     if dim is None:
         first = df.select(F.size(F.col(vec_col))).first()

@@ -657,7 +657,8 @@ def _kmeans_assign_arrow(v: DataFrame, cent: DataFrame) -> DataFrame:
 
 def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding",
-              block_col: str | None = None) -> DataFrame:
+              block_col: str | None = None,
+              allow_cross: bool = False) -> DataFrame:
     """k-nearest-neighbor graph over the corpus itself: for EVERY
     vector, its top-k neighbors by 6-dp-rounded cosine (id
     tie-break) — the input graph for semantic clustering /
@@ -666,7 +667,12 @@ def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
 
     With ``block_col`` the candidate space is within-block (the ANN
     quantizer's cells — sum(|block|²), the 100 TB shape); without it
-    the join is a full self-cross for small corpora only."""
+    the join is a full self-cross, refused above
+    ``dedup.CROSS_GUARD_ROWS`` unless ``allow_cross=True``."""
+    if block_col is None:
+        from .dedup import _guard_unblocked_cross
+
+        _guard_unblocked_cross(df, "knn_graph", allow_cross)
     a = df.select(
         *([F.col(block_col).alias("_ba")] if block_col else []),
         F.col(id_col).alias("src_id"), F.col(vec_col).alias("_va"))

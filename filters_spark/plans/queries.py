@@ -3162,7 +3162,8 @@ def ds_lsh_recall(spark, sf_dir):
     shingled = d.select(
         "doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")
     )
-    exact = dedup.jaccard_pairs(shingled, "doc_id", "sh", threshold=0.8)
+    exact = dedup.jaccard_pairs(shingled, "doc_id", "sh", threshold=0.8,
+                                allow_cross=True)
     lsh = dedup.minhash_dedup_pairs(
         d, "doc_id", "text", shingle_k=3, n_hashes=16, n_bands=8, threshold=0.8
     )

@@ -148,6 +148,55 @@ class TestJaccardExact:
             assert got[(a, b)] == round(len(sa & sb) / len(sa | sb), 6)
 
 
+class TestCrossGuard:
+    """Unblocked O(n²) fallbacks refuse big inputs (r5 VERDICT wrong
+    #3): above CROSS_GUARD_ROWS with no block_col the call raises;
+    allow_cross=True or a block_col keeps working."""
+
+    def _big(self, spark, monkeypatch):
+        import pytest as _pt
+
+        monkeypatch.setattr(dedup, "CROSS_GUARD_ROWS", 10)
+        return _pt, spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.lit("a"), F.concat(F.lit("w"), F.col("id")))
+            .alias("toks"),
+            F.array(F.col("id").cast("float"), F.lit(1.0).cast("float"))
+            .alias("embedding"))
+
+    def test_jaccard_pairs_guarded(self, spark, monkeypatch):
+        _pt, df = self._big(spark, monkeypatch)
+        with _pt.raises(ValueError, match="block_col"):
+            dedup.jaccard_pairs(df, "doc_id", "toks")
+        assert dedup.jaccard_pairs(
+            df, "doc_id", "toks", threshold=0.0,
+            allow_cross=True).count() > 0
+
+    def test_embedding_dup_pairs_guarded(self, spark, monkeypatch):
+        _pt, df = self._big(spark, monkeypatch)
+        with _pt.raises(ValueError, match="O\\(n"):
+            dedup.embedding_dup_pairs(df, "doc_id", "embedding")
+        # blocked path untouched by the guard
+        blocked = dedup.embedding_dup_pairs(
+            df.withColumn("blk", F.col("doc_id") % 5),
+            "doc_id", "embedding", threshold=0.0, block_col="blk")
+        assert blocked.count() > 0
+
+    def test_knn_graph_guarded(self, spark, monkeypatch):
+        _pt, df = self._big(spark, monkeypatch)
+        with _pt.raises(ValueError, match="knn_graph"):
+            similarity.knn_graph(df, k=1, id_col="doc_id")
+        assert similarity.knn_graph(
+            df, k=1, id_col="doc_id", allow_cross=True).count() > 0
+
+    def test_small_input_passes_without_flag(self, spark):
+        df = spark.range(5).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.lit("a")).alias("toks"))
+        assert dedup.jaccard_pairs(
+            df, "doc_id", "toks", threshold=0.0).count() > 0
+
+
 class TestSimhash:
     def test_exact_dups_same_signature(self, spark, docs):
         sigs = {
