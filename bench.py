@@ -81,6 +81,13 @@ HEADLINE = [
     "ds_random_projection",
     "prof_covariance",
     "ds_text_clusters",
+    # round 6: real PNG codec gate (zlib decode in the hot path) and
+    # the snapshot-versioned MERGE commit (write-path cost is the
+    # honest number for a CDC merge; ds_hybrid_rrf_indexed is NOT
+    # headlined — its cost is a pay-once index build, the
+    # ds_ivf_index_topk precedent)
+    "ds_png_codec_gate",
+    "rel_merge_snapshot",
 ]
 
 

@@ -606,6 +606,11 @@ def repetition_gate(df, id_col: str = "doc_id", text_col: str = "text",
 _BPE_SEP = "\x1f"
 
 
+#: bpe_train(engine='spark'): driver round-trip the (vocab-sized)
+#: symbol state every N merges to cap persisted-lineage depth.
+_BPE_TRUNCATE_EVERY = 8
+
+
 def _bpe_merge_word(syms: list, a: str, b: str, ab: str) -> list:
     """Greedy left-to-right merge of pair (a, b) in one word — the
     exact semantics of ``replace(sym, 'a␟b␟', 'ab␟')``: scanning
@@ -795,6 +800,22 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                       F.lit(a + b + _BPE_SEP)).alias("sym"),
             "f")
         if step < n_merges:
+            if step % _BPE_TRUNCATE_EVERY == 0:
+                # LINEAGE TRUNCATION (r6 measured finding): each
+                # persisted iteration nests another InMemoryRelation,
+                # and driver-side plan work on the deepening chain
+                # (analysis + the SQL-listener plan description)
+                # grows superlinearly — at ~20 nested persists the
+                # per-action gap reached MINUTES with sub-second
+                # execution (see SCALE.md §25; explainMode=simple in
+                # get_spark removes the worst term but not the
+                # growth).  The state is vocabulary-sized by
+                # contract, so a driver round-trip every
+                # _BPE_TRUNCATE_EVERY merges resets plan depth to 1
+                # for O(vocab) traffic — and the 8-merge gate plan is
+                # untouched (no truncation below 9 merges).
+                state = spark.createDataFrame(
+                    state.collect(), "sym string, f bigint")
             state = scoped_persist(state, "bpe_words")
     return merges
 

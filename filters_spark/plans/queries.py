@@ -614,145 +614,77 @@ def names() -> list[str]:
 # op, so every component lands a row in the official record.  The
 # remaining queries still run under tools/oracle_check.py.
 DRIVER_WINDOW: list[str] = [
-    # -- validators: §2.2-2.4 operators, one flagship each ------------
-    "val_lineitem_clean_agg",   # Required/Int/Min/Max/Strip/Choice + FilterRunner
-    "val_error_rollup",         # MemoryHandler error accumulation
-    "val_datetime_parse",       # Datetime multi-format + tz (bytearray-ints leg: judged outside)
-    "val_json_int_range",       # JsonDecode typed + Int
-    "val_decimal_exact_agg",    # Decimal exactness (r4: decimal-string gate)
-    "val_bytestring",           # ByteString encode (r4: hex gate output)
-    "val_nested_struct",        # NamedTuple/Nested
-    "val_call_udf",             # Call — pandas-UDF machinery
-    "val_email_macro",          # filter_macro recipes
-    # Rotated out in round 5 (each ≥2 rounds officially green, family
-    # still in-window): val_date_tz (temporal tz stays covered by
-    # val_datetime_parse), val_strip_fold (string-op family:
-    # val_bytestring + the Strip chains inside
-    # val_lineitem_clean_agg)
-    # Rotated out in round 4 to give the round-3b flagships official
-    # rows (VERDICT r3 task 4) — each of these val_* rows was green in
-    # r2 AND r3, its operator keeps pytest + local-sweep coverage, and
-    # several stay officially covered by composites still in-window
-    # (Round via val_decimal_exact_agg, Each/Array via
-    # val_lineitem_clean_agg's chains):
-    #   val_round_quarter, val_uuid_canon, val_ip_address,
-    #   val_regex_extract, val_split_parts, val_maxbytes_check,
-    #   val_each_array, val_optional_default, val_switch_dispatch,
-    #   val_variant_json
-    # -- relational engine categories ---------------------------------
-    # rel_q1_pricing rotated out r5 (green r1-r4; the scan+agg shape
-    # stays covered by val_lineitem_clean_agg + rel_grouping_sets);
-    # rel_latest_order_per_customer rotated out r5 (green r2-r4; the
-    # window-dedup shape stays covered by ds_dedup_exact)
-    # rel_q3_shipping rotated out r5-wrap2 (green r1-r4, the window's
-    # longest streak; the broadcast-join shape keeps rel_asof_join +
-    # rel_salted_join_agg + rel_scd2 in-window, top-k windows run
-    # inside ds_hybrid_rrf/ds_tokenize_pack)
-    "rel_asof_join",            # as-of join (range join: judged outside)
-    "rel_salted_join_agg",      # skew salting
-    # rel_upsert_merge rotated out r5c (green r2-r4; CDC merge stays
-    # officially covered by rel_scd2's merge-build in-window)
-    # rel_sessionize rotated out r5c (green r2-r4; the window-function
-    # family keeps rel_gapfill_2day plus the rank/lag windows inside
-    # rel_scd2 and ds_duplicate_spans in-window)
-    "rel_grouping_sets",        # rollup/cube/sets family (pivot: judged outside)
-    "rel_gapfill_2day",         # time-series spine (round-3 fix, gated)
-    # rel_setops (pure built-in union/except/intersect) and
-    # rel_tumbling_window (batch twin of the pytest-gated stream; the
-    # window family keeps rel_sessionize + rel_gapfill_2day inside)
-    # rotated out to make room for the round-3b family flagships —
-    # both still run under tools/oracle_check.py and the judge sweep
-    # ds_bm25_topk rotated out r5c (green r3+r4; lexical retrieval
-    # stays officially exercised inside ds_hybrid_rrf, whose sparse
-    # arm replays the same BM25 scorer and whose oracle re-derives it)
-    # ds_pagerank rotated out r5-wrap2 (green r3+r4; iterative-graph
-    # propagation stays officially covered by
-    # ds_dedup_components_star + ds_semantic_clusters in-window)
-    # -- LLM-pipeline ops ---------------------------------------------
-    # ds_dedup_exact rotated out r5 (green r1-r4; exact dedup is the
-    # second stage of the incoming ds_corpus_pipeline_v4, so the
-    # operator keeps an official row through the composition)
-    "ds_minhash_lsh",
-    # ds_ngram_jaccard rotated out r4 (green r2+r3; the Jaccard verify
-    # path stays officially exercised inside ds_minhash_lsh) for the
-    # round-4 substring-dedup flagship:
-    "ds_duplicate_spans",
-    # ds_simhash_pairs rotated out r5 (green r2-r4; the near-dup
-    # family keeps minhash_lsh + duplicate_spans + span_removal +
-    # the incoming incremental-dedup row)
-    "ds_dedup_components_star",  # (incremental variant: judged outside)
-    # ds_ivf_topk rotated out r5 (green r2-r4; dense ANN stays
-    # covered by ds_ivf_index_topk, in-window since this round)
-    # ds_stratified_sample rotated out r5 (green r2-r4; deterministic
-    # sampling stays covered by the incoming ds_stratified_fixed_n +
-    # ds_split_leakage's hash_bucket arithmetic)
-    # real-codec gate supersedes ds_multimodal_features in the window:
-    # it exercises the SAME media-struct/mapInPandas plumbing but with
-    # the strict-mode numpy PGM decoder doing real byte-exact work
-    # (the stub-replay gate still runs under oracle_check/judge sweep)
-    # ds_real_codec_gate rotated out r5-wrap (green r3+r4; the real-
-    # codec family keeps ds_wav_codec_gate + ds_y4m_codec_gate
-    # in-window) for the round's weighted-sampling flagship:
-    "ds_pps_sample",
-    # txt_profile rotated out r5 (green r1-r4; the text-analysis
-    # family keeps txt_repetition_rollup + the incoming
-    # txt_bpe_merges row)
-    # -- round-3 pipeline families ------------------------------------
-    "txt_repetition_rollup",    # Gopher repetition filters
-    "ds_pii_rollup",            # PII detect/redact/Luhn
-    "ds_decontaminate",         # benchmark n-gram hygiene
-    "ds_url_extract",           # URL/host/domain/normalize
-    # ds_domain_mixture rotated out r5 (green r2-r4; deterministic
-    # sampling keeps ds_stratified_fixed_n + ds_split_leakage)
-    "ds_sequence_pack",         # context-window packing
-    # -- round-3b flagships, rotated IN round 4 (VERDICT r3 task 4):
-    # every name below passed the driver-faithful local gate
-    # (tools/oracle_check.py, pandas-bridge-strict) before rotation
-    "ds_semdedup",              # SemDeDup greedy keep-first
-    "ds_kmeans",                # k-means (exploded-agg recompute)
-    "ds_knn_graph",             # blocked kNN graph
-    "ds_global_shuffle",        # deterministic epoch shuffle
-    "rel_scd2",                 # SCD2 dimension build
-    "prof_drift",               # categorical drift
-    "prof_ks_drift",            # two-sample KS drift
-    "ds_minhash_estimate",      # MinHash estimator calibration
-    "ds_semantic_clusters",     # kNN graph → connected components
-    "ds_wav_codec_gate",        # real PCM-WAV codec, strict mode
-    # -- round-4 flagships (swapped for val_base64_roundtrip,
-    # rel_sql_interface, ds_cosine_topk — each green in r1/r2/r3 with
-    # its family still officially covered: Unicode via val_strip_fold,
-    # the q3 plan via rel_q3_shipping, dense ANN via ds_ivf_topk):
-    "prof_expectations",        # table-level data contracts
-    "rel_zorder_key",           # Z-order layout keys, bit-exact
-    "ds_split_leakage",         # train/eval near-dup contamination
-    # -- round-5 rotation (VERDICT r4 task 2): the four round-4
-    # families that never got an official row, plus the round-5
-    # ExactSubstr-removal flagship — every name below is green on the
-    # driver-faithful strict replica at sf0.01 AND sf0.1:
-    "ds_ivf_index_topk",        # materialized IVF index, pruned probe
-    "prof_cms_calibration",     # count-min sketch calibration
-    "ds_stratified_fixed_n",    # exact-n sampling (r5 two-phase plan)
-    "ds_y4m_codec_gate",        # real YUV4MPEG2 video codec, strict
-    "ds_span_removal",          # ExactSubstr excision (r5)
-    # -- round-5 second rotation: the round's new families, each
-    # green on the strict replica at sf0.01 AND sf0.1 before entry:
-    "ds_incremental_dedup",     # signature-store O(delta) dedup
-    "ds_hybrid_rrf",            # sparse+dense reciprocal-rank fusion
-    "prof_hll_calibration",     # HyperLogLog distinct calibration
-    "txt_bpe_merges",           # BPE merge training
-    "ds_corpus_pipeline_v4",    # excision -> exact-dedup capstone
-    # -- round-5 third rotation: the late-round quality/sketch
-    # families, each green on the strict replica at sf0.01 AND sf0.1
-    # + local[5] + empty + plan audit before entry:
-    "ds_quality_pipeline",      # Gopher rules ∧ LM-perplexity keep
-    "prof_hdr_quantiles",       # HDR quantile sketch calibration
-    "ds_tokenize_pack",         # BPE -> subword-budget packing
-    # -- round-5 fourth rotation: the projection family (JL random
-    # projection + exact covariance, PCA's distributed half), green
-    # on the strict replica at sf0.01 AND sf0.1 + local[5] + empty +
-    # plan audit before entry:
-    "ds_random_projection",     # JL ±1 projection, per-coordinate gate
-    "prof_covariance",          # exact distributed covariance pairs
+    # ================= ROUND-6 ROTATION (VERDICT r5 task 1) ==========
+    # ALL 50 slots now hold queries that have NEVER had an official
+    # CORRECTNESS row in rounds 1-5 (98 of 198 registered names were
+    # in that state; this window clears 47 of them plus this round's
+    # 3 new gates).  Every OUTGOING name had >=1 official green round
+    # (most >=2) and keeps pytest + strict-replica + judge-sweep
+    # coverage; every INCOMING name is green on the driver-faithful
+    # strict replica (tools/oracle_check.py) at sf0.01 AND sf0.1
+    # before entry.  Cumulative official coverage after this round:
+    # >=150 of 201 names.  The r1-r5 window history and per-rotation
+    # rationale live in git (this file, commits through round 5).
+    #
+    # -- capstones / composed pipelines --------------------------------
+    "ds_corpus_pipeline",        # v1: clean->dedup->pack
+    "ds_corpus_pipeline_v2",     # + quality + decontaminate stages
+    "ds_corpus_pipeline_v3",     # + text+embedding joint curation
+    "ds_corpus_pipeline_v5",     # quality screen -> mixture -> pack
+    "ds_text_clusters",          # hashing featurizer -> k-means
+    # -- perceptual multimodal dedup trio ------------------------------
+    "ds_image_ahash_dedup",      # aHash over real-decoded pixels
+    "ds_audio_fingerprint_dedup",  # windowed-energy audio signature
+    "ds_video_framehash_dedup",  # Y4M frame-hash sequence dedup
+    # -- real-codec gates (round-5 + round-6 formats) -------------------
+    "ds_bmp_codec_gate",         # 24-bit BMP, BGR/bottom-up/padding
+    "ds_mulaw_codec_gate",       # G.711 mu-law exact expansion
+    "ds_alaw_codec_gate",        # G.711 A-law exact expansion
+    "ds_png_codec_gate",         # NEW r6: zlib DEFLATE + unfilter
+    # -- incremental index/store maintenance ---------------------------
+    "ds_postings_append",        # O(delta) BM25 postings append
+    "ds_ivf_append",             # O(delta) IVF cell append
+    "ds_ivf_compact",            # LSM compaction, staged swap
+    "ds_incremental_clusters",   # cluster-store merge events
+    # -- round-6 new operator families ---------------------------------
+    "ds_hybrid_rrf_indexed",     # NEW r6: index-probing hybrid RRF
+    "rel_merge_snapshot",        # NEW r6: versioned MERGE + time travel
+    # -- sketches / profiling -------------------------------------------
+    "ds_bloom_membership",       # Bloom filter calibration
+    "prof_hdr_by_group",         # grouped HDR quantile sketch
+    "prof_hll_by_group",         # grouped HyperLogLog
+    "prof_table_diff",           # content-hash table diff
+    "prof_exact_median",         # exact rank median
+    "prof_table_fingerprint",    # order-free table checksum
+    "prof_corr",                 # Pearson correlation, exact sums
+    "prof_correlated_dims",      # integer-numerator corr flags (r6 fix)
+    "prof_covariance_by_group",  # grouped exact covariance
+    "prof_histogram",            # equi-width histogram
+    "prof_approx_distinct",      # HLL vs exact distinct
+    "prof_referential_integrity",  # FK orphan audit
+    "prof_freshness",            # per-source staleness
+    # -- text analysis ---------------------------------------------------
+    "txt_gopher_rules",          # Gopher quality rules
+    "txt_lm_perplexity",         # bigram-LM perplexity filter
+    "txt_hashing_features",      # feature-hashing vectorizer
+    "txt_bpe_tokenize",          # BPE apply (trained merges)
+    "txt_tfidf_topterms",        # TF-IDF top terms
+    "txt_zipf_vocab",            # Zipf rank-frequency audit
+    "txt_winnow_sketch",         # winnowing fingerprint sketch
+    # -- sampling / embedding ops ----------------------------------------
+    "ds_temperature_mixture",    # temperature-scaled source mixture
+    "ds_centroid_outliers",      # embedding outlier detection
+    "ds_projected_kmeans",       # JL projection -> k-means
+    "ds_semantic_decontaminate", # embedding-cosine decontamination
+    "ds_fuzzy_match",            # edit-distance blocked matching
+    "ds_segment_dedup",          # within-doc segment dedup
+    "ds_containment_pairs",      # asymmetric containment
+    # -- relational: the biggest never-officially-run TPC-H shapes ------
+    "rel_q9_profit_by_nation_year",
+    "rel_q21_exclusive_supplier",
+    "rel_q20_part_promotion",
+    "rel_q2_cheapest_supplier",
+    "rel_schema_evolution",      # schema-on-read evolution ingest
 ]
 
 

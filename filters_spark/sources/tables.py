@@ -49,6 +49,14 @@ def get_spark(app_name: str = "filters_spark", shuffle_partitions: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the SQL-listener plan description defaults to FORMATTED
+        # mode, whose ExplainUtils.generateOperatorIDs walk re-visits
+        # nested cached subtrees without memoization — measured (r6):
+        # iterative pipelines that persist each step (bpe_train) spent
+        # MINUTES per action in plan description by ~20 nested
+        # persists, with sub-second execution.  Simple mode is one
+        # linear toString; the description only feeds the UI/history.
+        .config("spark.sql.ui.explainMode", "simple")
         # PySpark 4's per-API-call origin capture (error-message
         # call-site enrichment) inspects the Python stack AND makes
         # an extra JVM round trip on EVERY wrapped Column/DataFrame

@@ -32,6 +32,7 @@ def build_session(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("STRESS_DRIVER_MEM", "48g"))
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .config("spark.sql.ui.explainMode", "simple")
         .getOrCreate()
     )
 
