@@ -143,7 +143,8 @@ def _flip_latest(path: str, version: int) -> None:
 
 def write_versioned(df: DataFrame, path: str,
                     expected_parent: int | None = None,
-                    _op: str = "write") -> int:
+                    _op: str = "write",
+                    extra_meta: dict | None = None) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``expected_parent`` is optimistic concurrency control: pass the
@@ -172,6 +173,7 @@ def write_versioned(df: DataFrame, path: str,
             "op": _op,
             "schema_json": df.schema.json(),
             "n_files": n_files,
+            **(extra_meta or {}),
         }
         mf = os.path.join(_manifest_dir(path), f"{version}.json")
         tmp = mf + ".tmp"
@@ -217,7 +219,8 @@ def read_version(spark: SparkSession, path: str,
 
 
 def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
-                    key: str, expected_parent: int | None = None) -> int:
+                    key: str, expected_parent: int | None = None,
+                    extra_meta: dict | None = None) -> int:
     """MERGE (keyed upsert) producing a NEW snapshot: same-key rows
     replaced wholesale, unmatched updates inserted, unmatched base
     rows carried over — :func:`plans.joins.upsert` semantics, but
@@ -240,7 +243,8 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     base = read_version(spark, path, parent)
     merged = upsert(base, updates.select(*base.columns), key)
     return write_versioned(merged, path,
-                           expected_parent=expected_parent, _op="merge")
+                           expected_parent=expected_parent, _op="merge",
+                           extra_meta=extra_meta)
 
 
 def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:

@@ -42,6 +42,7 @@ __all__ = [
     "expectations_monitor",
     "interval_join_streams",
     "incremental_dedup_sink",
+    "versioned_merge_sink",
 ]
 
 
@@ -399,5 +400,47 @@ def incremental_dedup_sink(store_path: str, pairs_path: str,
             dedup.append_signatures(spark, store_path, batch_df,
                                     text_col=text_col)
             os.makedirs(marker, exist_ok=True)
+
+    return write
+
+
+def versioned_merge_sink(table_path: str, key: str):
+    """foreachBatch function committing every micro-batch into a
+    :mod:`..sources.versioned` table as a NEW snapshot — the
+    streaming twin of ``rel_merge_snapshot``: a continuously-arriving
+    CDC feed lands under snapshot isolation (readers always see a
+    complete version; history stays time-travelable per batch).
+
+    Exactly-once: each commit's manifest records
+    ``(stream_query, stream_batch)``, and a replayed batch (Spark's
+    at-least-once foreachBatch contract after a crash) is detected by
+    scanning committed manifests and SKIPPED — merging a batch twice
+    would double-apply inserts.  A crash BETWEEN the snapshot write
+    and the pointer flip leaves an unreferenced orphan (never visible
+    to readers); the replay re-merges cleanly because the orphan was
+    never latest and version numbering skips past it.  The first
+    batch of an empty table initializes it.
+
+    Manifest scan cost is O(committed versions) per batch — run
+    ``vacuum_versioned`` on retention anyway; for very long streams
+    record a compacted watermark upstream."""
+    from ..sources import versioned as V
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qid = (spark.sparkContext
+               .getLocalProperty("sql.streaming.queryId")) or "unknown"
+        for v in V.versions(table_path):
+            m = V._read_manifest(table_path, v)
+            if m.get("stream_query") == qid \
+                    and m.get("stream_batch") == batch_id:
+                return                      # at-least-once replay
+        meta = {"stream_query": qid, "stream_batch": batch_id}
+        if V.latest_version(table_path) is None:
+            V.write_versioned(batch_df, table_path, _op="stream-init",
+                              extra_meta=meta)
+        else:
+            V.merge_versioned(spark, table_path, batch_df, key,
+                              extra_meta=meta)
 
     return write

@@ -125,6 +125,29 @@ class TestVacuum:
             V.vacuum_versioned(tpath, keep_last=0)
 
 
+class TestStreamingSink:
+    def test_batches_commit_replay_skipped(self, spark, tpath):
+        """versioned_merge_sink: batch 0 initializes, batch 1 merges,
+        a REPLAY of batch 1 (at-least-once) is detected via the
+        manifest's (stream_query, stream_batch) and skipped — the
+        table state reflects each batch exactly once."""
+        from filters_spark.streaming.validate import versioned_merge_sink
+
+        sink = versioned_merge_sink(tpath, "k")
+        sink(_df(spark, [(1, "a", 10), (2, "b", 20)]), 0)
+        assert V.latest_version(tpath) == 1
+        sink(_df(spark, [(2, "B", 99), (3, "c", 30)]), 1)
+        assert V.latest_version(tpath) == 2
+        sink(_df(spark, [(2, "B", 99), (3, "c", 30)]), 1)   # replay
+        assert V.latest_version(tpath) == 2                 # skipped
+        got = {r["k"]: r["n"]
+               for r in V.read_version(spark, tpath).collect()}
+        assert got == {1: 10, 2: 99, 3: 30}
+        # per-batch history is time-travelable
+        assert {r["k"] for r in
+                V.read_version(spark, tpath, 1).collect()} == {1, 2}
+
+
 class TestConcurrentReader:
     def test_reader_resolved_before_merge_sees_old_snapshot(self, spark,
                                                             tpath):
