@@ -311,6 +311,227 @@ def _decode_png(payload: bytes, w: int, h: int) -> bytes:
     return gray[np.ix_(ys, xs)].round().clip(0, 255).astype(np.uint8).tobytes()
 
 
+def _is_gif(payload: bytes) -> bool:
+    return payload[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompression: variable code width starting at
+    ``min_code_size + 1``, CLEAR resets the dictionary, codes grow to
+    12 bits, little-endian bit packing.  Pure Python over the
+    concatenated sub-block bytes — the genuinely-compressed half of
+    the GIF decoder (everything else is byte slicing)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no END code)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]           # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _gif_deinterlace(idx, h: int):
+    """Undo the 4-pass GIF interlace row order (rows 0,8,16…, then
+    4,12…, then 2,6…, then odd rows)."""
+    order = ([r for r in range(0, h, 8)] + [r for r in range(4, h, 8)]
+             + [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)])
+    out = idx.copy()
+    out[order] = idx[range(h)]
+    return out
+
+
+def _decode_gif(payload: bytes, w: int, h: int) -> bytes:
+    """REAL decode for GIF87a/GIF89a (first frame) — pure Python LZW
+    + numpy, no codec library: logical-screen/global-palette parse,
+    extension-block skip, sub-block reassembly, variable-width LZW,
+    optional local palette and Adam-style 4-pass interlace.  Same
+    output contract as the other image decoders: palette-mapped
+    ITU-R 601 luma, nearest resize to (w, h), w*h grayscale bytes."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before logical screen descriptor")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=n * 3,
+                            offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:                       # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:                     # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("GIF truncated image descriptor")
+            iw, ih = struct.unpack_from("<HH", payload, pos + 5)
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:               # local color table
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, count=n * 3,
+                                    offset=pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"GIF LZW min code size {min_code}")
+            chunks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunk = payload[pos + 1:pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("GIF data sub-block truncated")
+                chunks.append(chunk)
+                pos += 1 + ln
+            pixels = _gif_lzw_decode(b"".join(chunks), min_code)
+            if len(pixels) < iw * ih:
+                raise ValueError("GIF pixel data short")
+            idx = np.frombuffer(pixels[:iw * ih],
+                                np.uint8).reshape(ih, iw)
+            if ipacked & 0x40:
+                idx = _gif_deinterlace(idx.copy(), ih)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            lum = pal.astype(np.float64) @ [0.299, 0.587, 0.114]
+            gray = lum[idx]
+            ys = (np.arange(h) * ih // max(h, 1)).clip(0, ih - 1)
+            xs = (np.arange(w) * iw // max(w, 1)).clip(0, iw - 1)
+            return gray[np.ix_(ys, xs)].round().clip(0, 255) \
+                .astype(np.uint8).tobytes()
+        elif b0 == 0x3B:                     # trailer before any image
+            break
+        else:
+            raise ValueError(f"GIF unknown block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _encode_gif(rows, interlace: bool = False) -> bytes:
+    """Minimal REAL GIF87a encoder (grayscale palette, one frame):
+    performs genuine LZW compression (variable code width, CLEAR
+    init, 12-bit cap) so :func:`_decode_gif` does real dictionary
+    work — the gate/test twin, like :func:`_encode_png`."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(rows, dtype=np.uint8)
+    h_, w_ = arr.shape
+    pal = b"".join(bytes([i, i, i]) for i in range(256))
+    min_code = 8
+    clear = 1 << min_code
+    end = clear + 1
+    order = arr
+    if interlace:
+        seq = ([r for r in range(0, h_, 8)] + [r for r in range(4, h_, 8)]
+               + [r for r in range(2, h_, 4)] + [r for r in range(1, h_, 2)])
+        order = arr[seq]
+    data = order.tobytes()
+    # LZW compress
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    codes = [clear]
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+        else:
+            codes.append(table[cur])
+            if next_code < 4096:
+                table[nxt] = next_code
+                next_code += 1
+            cur = bytes([byte])
+    if cur:
+        codes.append(table[cur])
+    codes.append(end)
+    # pack little-endian with the DECODER's width schedule: width
+    # bumps after the code that fills the table to 2^width
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+    size = end + 1
+    first = True
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            size = end + 1
+            width = min_code + 1
+            first = True
+        elif code != end:
+            # mirror the decoder's table growth EXACTLY: it adds no
+            # entry for the first code after CLEAR, one per code after
+            if first:
+                first = False
+            else:
+                size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(out) - i)]) + bytes(out[i:i + 255])
+        for i in range(0, len(out), 255)) + b"\x00"
+    return (b"GIF87a"
+            + struct.pack("<HHBBB", w_, h_, 0x80 | 0x07, 0, 0) + pal
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w_, h_,
+                                    0x40 if interlace else 0)
+            + bytes([min_code]) + blocks + b"\x3B")
+
+
 def _is_bmp(payload: bytes) -> bool:
     return payload[:2] == b"BM"
 
@@ -393,6 +614,12 @@ def _decode_image(payload: bytes, w: int, h: int, strict: bool,
         except Exception:
             if strict:
                 raise
+    if codec in ("auto", "real") and _is_gif(payload):
+        try:
+            return _decode_gif(payload, w, h)
+        except Exception:
+            if strict:
+                raise
     if codec in ("auto", "real") and _is_bmp(payload):
         try:
             return _decode_bmp(payload, w, h)
@@ -406,9 +633,9 @@ def _decode_image(payload: bytes, w: int, h: int, strict: bool,
     if codec == "auto" and strict:
         raise NotImplementedError(
             "image decode requires PIL/libvips in the runtime image for "
-            "compressed formats beyond PNG; this container ships none "
-            "(stubbed per task contract — PGM/PPM, BMP and 8-bit PNG "
-            "payloads decode for real)"
+            "compressed formats beyond PNG/GIF; this container ships "
+            "none (stubbed per task contract — PGM/PPM, BMP, 8-bit PNG "
+            "and GIF payloads decode for real)"
         )
     if codec == "fake" and strict:
         raise NotImplementedError("codec='fake' is disallowed in strict mode")

@@ -9798,3 +9798,71 @@ def rel_merge_snapshot(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("v2_rows"),
         F.sum("cents").cast("bigint").alias("v2_cents"))
     return v1.crossJoin(F.broadcast(v2))
+
+
+@register(
+    "ds_gif_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents
+      WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    )
+    SELECT code % 16 AS bucket, count(*) AS n_chars
+    FROM ch GROUP BY 1
+    """,
+)
+def ds_gif_codec_gate(spark, sf_dir):
+    """The SECOND genuinely-compressed image codec under the value
+    hash (beside PNG's DEFLATE): each document's first 16
+    ASCII-projected characters become a genuine INTERLACED GIF87a —
+    a 4x4 grayscale-palette image whose pixel stream is really
+    LZW-compressed by the encoder twin (variable code width, CLEAR
+    init, dictionary growth) and row-shuffled by the 4-pass
+    interlace.  The decoder must walk blocks, reassemble sub-blocks,
+    run the LZW dictionary in lockstep with the encoder's width
+    schedule, AND undo the interlace to recover luma == code
+    exactly; the byte histogram is hash-compared against the
+    character-code oracle (the ds_png_codec_gate pattern).  A
+    one-code width desync or a wrong interlace pass order scrambles
+    every bucket."""
+    import pandas as pd
+
+    from ..functions import multimodal as mm
+    from ..functions.multimodal import _encode_gif
+
+    def _gif_fn(s):
+        out = []
+        for text in s:
+            codes = [ord(c) for c in text]
+            rows = [codes[r * 4:(r + 1) * 4] for r in range(4)]
+            out.append(_encode_gif(rows, interlace=True))
+        return pd.Series(out)
+
+    _gif_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _gif = F.pandas_udf(_gif_fn, "binary")
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .select("doc_id",
+                 _gif(F.substring(ascii_text, 1, 16)).alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "image/gif")
+    media = media.withColumn(
+        "media",
+        F.col("media").withField("meta.width", F.lit(4))
+        .withField("meta.height", F.lit(4)))
+    decoded = mm.decode_images(media.drop("_payload"), strict=True,
+                               codec="auto")
+    feats = mm.extract_image_features(decoded, dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.sum(F.round(F.col("_r") * 16, 0).cast("long"))
+             .alias("n_chars"))
+        .where(F.col("n_chars") > 0)
+    )

@@ -703,6 +703,74 @@ class TestPngCodec:
             mm.decode_images(media, strict=True, codec="auto").collect()
 
 
+class TestGifCodec:
+    """Real GIF87a/89a decode (multimodal._decode_gif) — the second
+    genuinely-compressed image format (variable-width LZW), encoder
+    twin performing real compression."""
+
+    def test_roundtrip_small(self):
+        from filters_spark.functions.multimodal import (_decode_gif,
+                                                        _encode_gif)
+
+        rows = [[10, 20, 30, 250], [40, 5, 60, 70],
+                [200, 90, 100, 0], [110, 255, 120, 130]]
+        out = _decode_gif(_encode_gif(rows), 4, 4)
+        assert list(out) == [c for r in rows for c in r]
+
+    def test_roundtrip_large_exercises_width_growth(self):
+        """4096 pixels with low repetition push the LZW dictionary
+        through several code-width bumps (9→12 bits) — the
+        encoder/decoder width schedules must stay in lockstep."""
+        from filters_spark.functions.multimodal import (_decode_gif,
+                                                        _encode_gif)
+
+        rows = [[(r * 131 + c * 17 + (r * c) % 7) % 256
+                 for c in range(64)] for r in range(64)]
+        out = _decode_gif(_encode_gif(rows), 64, 64)
+        assert list(out) == [c for r in rows for c in r]
+
+    def test_interlaced_roundtrip(self):
+        from filters_spark.functions.multimodal import (_decode_gif,
+                                                        _encode_gif)
+
+        rows = [[(r * 16 + c) % 256 for c in range(8)]
+                for r in range(16)]
+        plain = _decode_gif(_encode_gif(rows, interlace=False), 8, 16)
+        laced = _decode_gif(_encode_gif(rows, interlace=True), 8, 16)
+        assert list(plain) == list(laced) == [c for r in rows for c in r]
+
+    def test_truncated_and_garbage_rejected(self):
+        import pytest as _pt
+
+        from filters_spark.functions.multimodal import (_decode_gif,
+                                                        _encode_gif)
+
+        good = _encode_gif([[1, 2], [3, 4]])
+        with _pt.raises(ValueError):
+            _decode_gif(good[:20], 2, 2)
+        bad = bytearray(good)
+        bad[13 + 768] = 0x99               # unknown block id
+        with _pt.raises(ValueError, match="block"):
+            _decode_gif(bytes(bad), 2, 2)
+
+    def test_strict_in_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import multimodal as mm
+        from filters_spark.functions.multimodal import _encode_gif
+
+        payload = _encode_gif([[7, 8], [9, 10]])
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/gif")
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(2))
+            .withField("meta.height", F.lit(2)))
+        px = mm.decode_images(media, strict=True,
+                              codec="auto").collect()[0]["pixels"]
+        assert list(px) == [7, 8, 9, 10]
+
+
 class TestMulawCodec:
     """G.711 µ-law WAV (format tag 7): exact integer expansion."""
 

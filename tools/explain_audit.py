@@ -412,6 +412,9 @@ EXPECTATIONS: dict[str, dict] = {
     # postings IN-pushdown + explicit-path IVF cells; everything
     # small-side is broadcast (qterms, idf, stats, probes, queries)
     "ds_hybrid_rrf_indexed": dict(min_broadcasts=6, max_exchanges=8),
+    # GIF codec gate: the PNG-gate shape (encoder-UDF crossing +
+    # decode + featurize crossings + one rollup)
+    "ds_gif_codec_gate": dict(max_exchanges=1, scan_filter=True),
 }
 
 
