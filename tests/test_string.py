@@ -141,3 +141,40 @@ class TestJsonDecode:
     def test_variant_schemaless(self, spark):
         [(clean, code)] = run_chain(spark, fs.JsonDecode(), ["[1,2]"])
         assert code is None and clean is not None
+
+
+class TestRegexDialectReport:
+    """Java-vs-Python regex dialect audit (r5 VERDICT missing #4)."""
+
+    def test_clean_patterns_report_nothing(self):
+        from filters_spark import macros
+        from filters_spark.operators.string import regex_dialect_report
+
+        for pat in (r"[0-9]+", r"^\w+@\w+$", r"a(?:b|c)*d", r"(?i)foo",
+                    macros.EMAIL_RE, macros.URL_RE, macros.SLUG_RE,
+                    macros.HEX_COLOR_RE, macros.PHONE_E164_RE):
+            assert regex_dialect_report(pat) == [], pat
+
+    def test_each_hazard_flagged(self):
+        from filters_spark.operators.string import regex_dialect_report
+
+        cases = {
+            r"foo\Z": r"\Z",
+            r"foo\z": r"\z",
+            r"\p{L}+": r"\p{...}",
+            r"[a-z&&[^bc]]": "[..&&..]",
+            r"\h+": r"\h/\H/\V",
+            r"\v+": r"\v",
+            r"a\R b": r"\R",
+            r"[[:alpha:]]": "[[:class:]]",
+        }
+        for pat, construct in cases.items():
+            got = [c for c, _n in regex_dialect_report(pat)]
+            assert construct in got, (pat, got)
+
+    def test_escaped_backslash_not_false_positive(self):
+        from filters_spark.operators.string import regex_dialect_report
+
+        # literal backslash followed by Z / v: not the anchor / class
+        assert regex_dialect_report("a\\\\Z") == []
+        assert regex_dialect_report("a\\\\v") == []
