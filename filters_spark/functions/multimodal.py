@@ -982,6 +982,111 @@ def _alaw_to_linear(u8):
     return np.where(a & 0x80, t, -t).astype(np.int64)
 
 
+#: IMA/DVI ADPCM step-size table (89 entries) and index-delta table —
+#: the public standard (IMA Digital Audio Focus Group, 1992; also in
+#: RFC 3551 §4.5.1 and stdlib audioop's docs lineage).
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple:
+    """One IMA ADPCM decoder step: (pred, idx, nibble) → (pred', idx').
+    The exact integer reference arithmetic — the same update both the
+    encoder twin and the recursive-CTE oracle replay."""
+    step = IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[nib & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int) -> "list":
+    """IMA ADPCM (WAVE format tag 0x11, mono) nibble stream → int16
+    samples: per block a 4-byte header (predictor int16, step index,
+    reserved) whose predictor IS the first output sample, then
+    low-nibble-first 4-bit codes through the stateful quantizer.
+    Block-bounded Python loop (the Average/Paeth discipline)."""
+    import struct
+
+    out = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off:off + block_align]
+        pred = struct.unpack_from("<h", block, 0)[0]
+        idx = block[2]
+        if idx > 88:
+            raise ValueError(f"IMA ADPCM step index {idx} > 88")
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_step(pred, idx, nib)
+                out.append(pred)
+    return out
+
+
+def _ima_adpcm_encode(samples, rate: int = 8000,
+                      block_align: int = 1024) -> bytes:
+    """Minimal REAL mono IMA ADPCM WAV encoder — the gate/test twin:
+    per block stores (predictor=first sample, running index), then
+    greedily quantizes each successor to the nibble whose decoded
+    step lands closest (the standard encoder: subtract step fractions
+    and set bits), updating state with the DECODER's exact rule so
+    decode(encode(x)) is deterministic."""
+    import struct
+
+    samples = list(samples)
+    per_block = (block_align - 4) * 2 + 1
+    data = bytearray()
+    idx = 0
+    for b0 in range(0, len(samples), per_block):
+        chunk = samples[b0:b0 + per_block]
+        pred = max(-32768, min(32767, int(chunk[0])))
+        data += struct.pack("<h", pred) + bytes([idx, 0])
+        nibs = []
+        for s in chunk[1:]:
+            step = IMA_STEP_TABLE[idx]
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(pred, idx, nib)
+            nibs.append(nib)
+        nibs += [0] * ((block_align - 4) * 2 - len(nibs))
+        for j in range(0, len(nibs), 2):
+            data.append(nibs[j] | (nibs[j + 1] << 4))
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * block_align // per_block or 1,
+                      block_align, 4, 2, per_block)
+    return (b"RIFF" + struct.pack("<I", 36 + 4 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + bytes(data))
+
+
 def _resample_wav(payload: bytes, target_rate: int) -> bytes:
     """REAL resample for WAV: 16-bit PCM (format 1, stdlib wave) or
     G.711 µ-law (format 7, manual RIFF walk + exact table expansion)
@@ -996,7 +1101,17 @@ def _resample_wav(payload: bytes, target_rate: int) -> bytes:
     chunks = _riff_chunks(payload)
     fmt_off = chunks.get(b"fmt ", (None, 0))[0]
     tag = struct.unpack_from("<H", payload, fmt_off)[0] if fmt_off else 1
-    if tag in (6, 7):
+    if tag == 0x11:                          # IMA/DVI ADPCM
+        _, n_ch, rate, _br, block_align = struct.unpack_from(
+            "<HHIIH", payload, fmt_off)
+        if n_ch != 1:
+            raise NotImplementedError(
+                "only mono IMA ADPCM WAV supported")
+        d_off, d_size = chunks[b"data"]
+        data = payload[d_off:d_off + min(d_size, len(payload) - d_off)]
+        pcm = np.array(_ima_adpcm_decode(data, block_align),
+                       dtype=np.float64)
+    elif tag in (6, 7):
         _, n_ch, rate = struct.unpack_from("<HHI", payload, fmt_off)
         d_off, d_size = chunks[b"data"]
         raw = np.frombuffer(payload, np.uint8,

@@ -9866,3 +9866,97 @@ def ds_gif_codec_gate(spark, sf_dir):
              .alias("n_chars"))
         .where(F.col("n_chars") > 0)
     )
+
+
+def _ima_steps_sql() -> str:
+    from ..functions.multimodal import IMA_STEP_TABLE
+    return ", ".join(f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE))
+
+
+@register(
+    "ds_adpcm_codec_gate",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents WHERE length(text) >= 16
+    ), nib AS (
+      SELECT doc_id, CAST(i AS INT) AS k,
+             unicode(substr(s, CAST(i AS INT), 1)) % 16 AS n
+      FROM b, range(1, 17) t(i)
+    ), steps(i, st) AS (
+      VALUES {{IMA_STEPS}}
+    ), dec AS (
+      SELECT doc_id, 0 AS k, 0 AS pred, 0 AS idx FROM b
+      UNION ALL
+      SELECT dec.doc_id, dec.k + 1,
+             CAST(greatest(-32768, least(32767, dec.pred
+               + (CASE WHEN (n.n & 8) != 0 THEN -1 ELSE 1 END)
+                 * ((st.st >> 3) + (n.n & 1) * (st.st >> 2)
+                    + ((n.n >> 1) & 1) * (st.st >> 1)
+                    + ((n.n >> 2) & 1) * st.st))) AS INT) AS pred,
+             CAST(greatest(0, least(88, dec.idx
+               + CASE WHEN (n.n & 7) <= 3 THEN -1
+                      ELSE 2 * ((n.n & 7) - 3) END)) AS INT) AS idx
+      FROM dec
+      JOIN nib n ON n.doc_id = dec.doc_id AND n.k = dec.k + 1
+      JOIN steps st ON st.i = dec.idx
+    ), by2 AS (
+      SELECT ((pred % 65536) + 65536) % 65536 AS w FROM dec
+    ), bytes AS (
+      SELECT w % 256 AS byte FROM by2
+      UNION ALL
+      SELECT w // 256 AS byte FROM by2
+    )
+    SELECT CAST(byte % 16 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_bytes
+    FROM bytes GROUP BY 1
+    """.replace("{IMA_STEPS}", _ima_steps_sql()),
+)
+def ds_adpcm_codec_gate(spark, sf_dir):
+    """The STATEFUL compressed audio codec under the value hash (IMA/
+    DVI ADPCM, WAVE format tag 0x11 — the genuinely-compressed audio
+    sibling of PNG/GIF on the image side): each document's first 16
+    ASCII-projected characters become the 4-bit nibble stream of a
+    one-block mono ADPCM WAV (predictor 0, index 0; the derived data
+    bytes are built IN-PLAN via hex/unhex), the decoder runs the
+    step-table quantizer sample by sample, and the decoded int16
+    byte histogram is hash-compared against a RECURSIVE-CTE oracle
+    that replays the exact (pred, idx) state recurrence — 89-row
+    step table joined per step, clamps and index deltas included.
+    Any drift in the state machine (wrong clamp order, off-by-one
+    index delta, swapped nibble order) diverges immediately and
+    compounds across all 16 steps.  The index-delta CASE uses the
+    table's arithmetic form: delta = -1 for nibble magnitudes 0-3,
+    else 2*(mag-3) — equal to [-1,-1,-1,-1,2,4,6,8]."""
+    import struct as _s
+
+    from ..functions import multimodal as mm
+
+    header = (b"RIFF" + _s.pack("<I", 36 + 4 + 12) + b"WAVE"
+              + b"fmt " + _s.pack("<IHHIIHHHH", 20, 0x11, 1, 8000,
+                                  8000 * 12 // 17, 12, 4, 2, 17)
+              + b"data" + _s.pack("<I", 12)
+              + _s.pack("<hBB", 0, 0, 0))
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    code = lambda k: F.ascii(F.substring(ascii_text, k, 1))  # noqa: E731
+    hexpairs = [
+        F.lpad(F.hex((code(2 * j + 1) % 16)
+                     + (code(2 * j + 2) % 16) * 16), 2, "0")
+        for j in range(8)
+    ]
+    payload = F.concat(F.lit(header),
+                       F.unhex(F.concat_ws("", *hexpairs)))
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .select("doc_id", payload.alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "audio/adpcm").drop("_payload")
+    pcm = mm.resample_audio(media, target_rate=8000, strict=True)
+    feats = mm.extract_image_features(pcm, pixels_col="samples", dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.round(F.sum(F.col("_r") * 34), 0).cast("long")
+             .alias("n_bytes"))
+        .where(F.col("n_bytes") > 0)
+    )

@@ -415,6 +415,8 @@ EXPECTATIONS: dict[str, dict] = {
     # GIF codec gate: the PNG-gate shape (encoder-UDF crossing +
     # decode + featurize crossings + one rollup)
     "ds_gif_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    # ADPCM codec gate: mulaw shape + the hex/unhex payload build
+    "ds_adpcm_codec_gate": dict(max_exchanges=1, scan_filter=True),
 }
 
 
