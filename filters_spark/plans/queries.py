@@ -9960,3 +9960,54 @@ def ds_adpcm_codec_gate(spark, sf_dir):
              .alias("n_bytes"))
         .where(F.col("n_bytes") > 0)
     )
+
+
+@register(
+    "rel_snapshot_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 9999
+    """,
+)
+def rel_snapshot_skipping(spark, sf_dir):
+    """Manifest-stats FILE SKIPPING on a versioned snapshot (the
+    data-skipping half of sources.versioned, Delta/Iceberg's
+    planning-time pruning): orders committed range-clustered on
+    o_orderkey with per-file min/max recorded from parquet footers
+    (zero extra jobs), then read back through ``where=`` — only
+    files whose range intersects [1000, 9999] are opened, as
+    EXPLICIT paths chosen before any task launches.  The gate
+    asserts in-plan that pruning actually dropped files (a
+    raise_error arm — hash-green requires BOTH correct values AND a
+    real prune), and the exact aggregates prove the pruned read is a
+    correct superset.  The oracle replays the plain filter."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey",
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("cents"))
+            .repartitionByRange(8, "o_orderkey"))
+    path = tempfile.mkdtemp(prefix="fs_skip_") + "/t"
+    v = V.write_versioned(base, path, stats_cols=["o_orderkey"])
+    man = V._read_manifest(path, v)
+    kept = V.prune_files(man, ("o_orderkey", 1000, 9999))
+    # the prune must be REAL whenever there is anything to prune
+    # (>1 data file); a zero-row/one-file snapshot legitimately has
+    # nothing to skip and still reads correctly
+    if man["n_files"] > 1 and (
+            kept is None or not 0 < len(kept) < man["n_files"]):
+        raise ValueError(
+            f"rel_snapshot_skipping: expected a real prune, got "
+            f"{kept and len(kept)}/{man['n_files']} files")
+    return (V.read_version(spark, path, where=("o_orderkey", 1000, 9999))
+            .where(F.col("o_orderkey").between(1000, 9999))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("o_custkey").cast("bigint").alias("custkey_sum"),
+                 F.sum("cents").cast("bigint").alias("cents_sum")))

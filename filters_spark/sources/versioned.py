@@ -65,6 +65,7 @@ __all__ = [
     "latest_version",
     "versions",
     "vacuum_versioned",
+    "prune_files",
 ]
 
 
@@ -141,10 +142,46 @@ def _flip_latest(path: str, version: int) -> None:
     os.replace(tmp, _latest_file(path))   # atomic POSIX rename
 
 
+def _file_stats(snap: str, stats_cols: list[str]) -> dict:
+    """Per-data-file min/max for ``stats_cols``, read from parquet
+    FOOTERS via pyarrow — zero Spark jobs, O(files) metadata reads.
+    The manifest-level half of Delta-style data skipping: values are
+    native Python (JSON-safe); columns missing statistics (e.g.
+    binary) record null and are never pruned on."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for name in sorted(os.listdir(snap)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(snap, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict = {}
+        for col in stats_cols:
+            lo = hi = None
+            j = idx.get(col)
+            if j is not None:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    mn, mx = st.min, st.max
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+            stats[col] = (
+                None if lo is None
+                else [lo if not isinstance(lo, bytes) else None,
+                      hi if not isinstance(hi, bytes) else None])
+        out[name] = stats
+    return out
+
+
 def write_versioned(df: DataFrame, path: str,
                     expected_parent: int | None = None,
                     _op: str = "write",
-                    extra_meta: dict | None = None) -> int:
+                    extra_meta: dict | None = None,
+                    stats_cols: list[str] | None = None) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``expected_parent`` is optimistic concurrency control: pass the
@@ -152,7 +189,14 @@ def write_versioned(df: DataFrame, path: str,
     :class:`ConcurrentWriteError` if someone committed in between
     (compare-and-set on the table head — the Delta/Iceberg commit
     contract).  ``None`` skips the check (blind append of a whole
-    snapshot)."""
+    snapshot).
+
+    ``stats_cols`` records per-FILE min/max for those columns in the
+    manifest (read from parquet footers — zero extra jobs), enabling
+    :func:`read_version`'s ``where=`` file skipping.  Cluster the
+    data on the column first (``repartitionByRange(col)`` or a
+    Z-order sort) or every file spans the full range and nothing
+    prunes."""
     parent = latest_version(path)
     if expected_parent is not None and parent != expected_parent:
         raise ConcurrentWriteError(
@@ -173,6 +217,8 @@ def write_versioned(df: DataFrame, path: str,
             "op": _op,
             "schema_json": df.schema.json(),
             "n_files": n_files,
+            **({"file_stats": _file_stats(snap, stats_cols)}
+               if stats_cols else {}),
             **(extra_meta or {}),
         }
         mf = os.path.join(_manifest_dir(path), f"{version}.json")
@@ -197,12 +243,48 @@ def write_versioned(df: DataFrame, path: str,
     return version
 
 
+def prune_files(manifest: dict, where: tuple) -> list | None:
+    """Data-skipping file selection: ``where = (col, lo, hi)``
+    (inclusive; ``None`` bound = open) against the manifest's
+    per-file stats.  Returns the file names that MAY contain matching
+    rows (a conservative superset — the caller still applies the real
+    filter), or ``None`` when the manifest has no stats for the
+    column (no pruning possible)."""
+    col, lo, hi = where
+    stats = manifest.get("file_stats")
+    if not stats:
+        return None
+    keep = []
+    any_stats = False
+    for name, cols in stats.items():
+        rng = cols.get(col)
+        if rng is None:
+            keep.append(name)               # unknown range: must read
+            continue
+        any_stats = True
+        fmin, fmax = rng
+        if (lo is not None and fmax is not None and fmax < lo) or \
+                (hi is not None and fmin is not None and fmin > hi):
+            continue
+        keep.append(name)
+    return keep if any_stats else None
+
+
 def read_version(spark: SparkSession, path: str,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 where: tuple | None = None) -> DataFrame:
     """Read a committed snapshot (``None`` = latest).  The manifest's
     stored schema is applied explicitly, so empty snapshots (zero
     data files) read back with their true schema instead of failing
-    inference — and readers are immune to parquet footer drift."""
+    inference — and readers are immune to parquet footer drift.
+
+    ``where = (col, lo, hi)`` enables FILE SKIPPING against the
+    manifest's :func:`write_versioned` ``stats_cols`` ranges: only
+    files whose [min, max] intersects [lo, hi] are read (explicit
+    paths — at 100 TB this is planning-time pruning, before any task
+    launches).  The result is a conservative SUPERSET of matching
+    rows; apply the actual filter on top.  Tables written without
+    stats read fully (correct, unpruned)."""
     if version is None:
         version = latest_version(path)
         if version is None:
@@ -215,6 +297,13 @@ def read_version(spark: SparkSession, path: str,
             f"snapshot {version} of {path!r} was vacuumed — "
             f"retained versions: "
             f"{[v for v in versions(path) if os.path.isdir(_snap_dir(path, v))]}")
+    if where is not None:
+        files = prune_files(manifest, where)
+        if files is not None:
+            if not files:
+                return spark.createDataFrame([], schema)
+            return spark.read.schema(schema).parquet(
+                *[os.path.join(snap, f) for f in files])
     return spark.read.schema(schema).parquet(snap)
 
 

@@ -125,6 +125,56 @@ class TestVacuum:
             V.vacuum_versioned(tpath, keep_last=0)
 
 
+class TestFileSkipping:
+    def _write_clustered(self, spark, tpath):
+        df = (spark.range(1000)
+              .select(F.col("id").alias("k"),
+                      F.lit("v").alias("val"),
+                      (F.col("id") * 2).alias("n"))
+              .repartitionByRange(8, "k"))
+        return V.write_versioned(df, tpath, stats_cols=["k"])
+
+    def test_pruned_read_equals_full_filter(self, spark, tpath):
+        self._write_clustered(spark, tpath)
+        pruned = (V.read_version(spark, tpath, where=("k", 100, 199))
+                  .where(F.col("k").between(100, 199)))
+        full = (V.read_version(spark, tpath)
+                .where(F.col("k").between(100, 199)))
+        assert sorted(r["k"] for r in pruned.collect()) == \
+            sorted(r["k"] for r in full.collect())
+
+    def test_prune_actually_skips_files(self, spark, tpath):
+        v = self._write_clustered(spark, tpath)
+        man = V._read_manifest(tpath, v)
+        total = man["n_files"]
+        kept = V.prune_files(man, ("k", 100, 199))
+        assert kept is not None and 0 < len(kept) < total
+        # disjoint range: zero files, empty frame with the schema
+        assert V.prune_files(man, ("k", 5000, 6000)) == []
+        empty = V.read_version(spark, tpath, where=("k", 5000, 6000))
+        assert empty.count() == 0
+        assert [f.name for f in empty.schema.fields] == ["k", "val", "n"]
+
+    def test_no_stats_reads_fully(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 1)]), tpath)  # no stats
+        man = V._read_manifest(tpath, 1)
+        assert V.prune_files(man, ("k", 0, 0)) is None
+        out = V.read_version(spark, tpath, where=("k", 99, 99))
+        assert out.count() == 1             # unpruned, correct superset
+
+    def test_string_stats_prune(self, spark, tpath):
+        df = (spark.createDataFrame(
+            [(c, 1) for c in "abcdefgh"], "s string, n bigint")
+            .repartitionByRange(4, "s"))
+        V.write_versioned(df, tpath, stats_cols=["s"])
+        man = V._read_manifest(tpath, 1)
+        kept = V.prune_files(man, ("s", "a", "b"))
+        assert kept is not None and len(kept) < man["n_files"]
+        rows = (V.read_version(spark, tpath, where=("s", "a", "b"))
+                .where(F.col("s") <= "b").collect())
+        assert sorted(r["s"] for r in rows) == ["a", "b"]
+
+
 class TestStreamingSink:
     def test_batches_commit_replay_skipped(self, spark, tpath):
         """versioned_merge_sink: batch 0 initializes, batch 1 merges,

@@ -417,6 +417,9 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_gif_codec_gate": dict(max_exchanges=1, scan_filter=True),
     # ADPCM codec gate: mulaw shape + the hex/unhex payload build
     "ds_adpcm_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    # snapshot skipping: the returned plan is one agg over the pruned
+    # explicit-path read (the clustered write happens pre-plan)
+    "rel_snapshot_skipping": dict(max_exchanges=1),
 }
 
 
