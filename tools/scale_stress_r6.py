@@ -112,10 +112,10 @@ def stress_versioned(spark: SparkSession, n_rows: int = 20_000_000) -> None:
 
     updates = (spark.range(n_rows)
                .where(F.col("id") % 100 == 0)
-               .select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+               .select(F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v"))
                .unionByName(
                    spark.range(n_rows, n_rows + n_rows // 1000)
-                   .select(F.col("id").alias("k"), F.lit(-2).alias("v"))))
+                   .select(F.col("id").alias("k"), F.lit(-2).cast("bigint").alias("v"))))
     t0 = time.time()
     V.merge_versioned(spark, path, updates, "k")
     merge_s = time.time() - t0
@@ -155,18 +155,22 @@ def stress_codecs(spark: SparkSession, n_docs: int = 500_000) -> None:
     from filters_spark.functions import multimodal as mm
     from filters_spark.functions.multimodal import _encode_gif, _encode_png
 
-    for fmt, enc in (("png", _encode_png), ("gif", _encode_gif)):
-        def _fn(s, _enc=enc):
+    def make_fn(enc):
+        # real annotation objects: `from __future__ import annotations`
+        # stringifies inline hints, which pandas_udf cannot resolve here
+        def _fn(s):
             out = []
             for v in s:
                 v = int(v)
                 rows = [[(v + r * 4 + c) % 256 for c in range(4)]
                         for r in range(4)]
-                out.append(_enc(rows))
+                out.append(enc(rows))
             return pd.Series(out)
-
         _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
-        udf = F.pandas_udf(_fn, "binary")
+        return _fn
+
+    for fmt, enc in (("png", _encode_png), ("gif", _encode_gif)):
+        udf = F.pandas_udf(make_fn(enc), "binary")
         docs = spark.range(n_docs).select(
             F.col("id").alias("doc_id"), udf(F.col("id")).alias("raw"))
         media = mm.attach_meta(docs, "raw", f"image/{fmt}")
