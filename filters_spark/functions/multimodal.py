@@ -532,6 +532,459 @@ def _encode_gif(rows, interlace: bool = False) -> bytes:
             + bytes([min_code]) + blocks + b"\x3B")
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 sequential DCT, Huffman) — pure Python +
+# numpy, no codec library.  The dominant real-corpus image format:
+# marker walk, canonical Huffman tables, byte-unstuffed bit reading,
+# DC-differential + AC run-length entropy decode, dequantize +
+# dezigzag + float IDCT, interleaved MCUs with subsampling, restart
+# markers.  Progressive (SOF2), 12-bit precision, arithmetic coding
+# and 16-bit quant tables raise — strict mode surfaces them, lenient
+# falls through to the PIL/stub arms.
+
+def _is_jpeg(payload: bytes) -> bool:
+    return payload[:2] == b"\xff\xd8"
+
+
+def _jpeg_zigzag() -> list:
+    """Natural (row-major) index of each zigzag position: diagonal s
+    runs r-ascending when s is odd, r-descending when even — derived,
+    not transcribed, so a typo cannot skew one coefficient."""
+    zz = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rng if s % 2 else reversed(rng)):
+            zz.append(r * 8 + (s - r))
+    return zz
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix A: forward S = A·B·Aᵀ,
+    inverse B = Aᵀ·S·A.  A constant block v has exactly one nonzero
+    coefficient S₀₀ = 8·(v−128) — the identity the codec gate's
+    exactness rests on."""
+    import numpy as np
+
+    x = np.arange(8)
+    A = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    A[0] *= 1.0 / np.sqrt(2.0)
+    return A
+
+
+def _huff_canonical(counts, vals):
+    """Canonical Huffman code assignment (T.81 annex C): returns
+    {symbol: (code, length)} for encoding and {(length, code): symbol}
+    for decoding — built from the same walk so the two cannot drift."""
+    enc, dec = {}, {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            enc[vals[k]] = (code, ln)
+            dec[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return enc, dec
+
+
+# Simple valid table shapes for the encoder twin: all 12 DC categories
+# at 4 bits, all 162 AC run/size symbols at 8 bits.  Any canonical
+# prefix-free table is legal JPEG; the decoder handles arbitrary ones
+# (incl. the Annex K defaults real encoders emit).
+_JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_COUNTS = [0] * 7 + [162] + [0] * 8
+_JPEG_AC_VALS = [0x00, 0xF0] + [(r << 4) | s
+                                for r in range(16) for s in range(1, 11)]
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF→0xFF00 byte stuffing and
+    1-bit padding (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def pad(self) -> None:
+        if self.n:
+            k = 8 - self.n
+            self.write((1 << k) - 1, k)
+
+    def marker(self, m: int) -> None:
+        self.pad()
+        self.out += bytes([0xFF, m])
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an already-unstuffed entropy segment;
+    reads past the end yield 1-bits (the padding convention), bounded
+    by the block loop's own termination."""
+
+    __slots__ = ("data", "i", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def _need(self, k: int) -> None:
+        while self.n < k:
+            if self.i < len(self.data):
+                b = self.data[self.i]
+                self.i += 1
+            else:
+                b = 0xFF
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def peek16(self) -> int:
+        self._need(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def take(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._need(k)
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _jpeg_huff_decode(rd: "_JpegBitReader", dec: dict) -> int:
+    # canonical codes are prefix-free, so the first (length, prefix)
+    # hit is the symbol; <=16 dict probes per symbol
+    p = rd.peek16()
+    for ln in range(1, 17):
+        sym = dec.get((ln, p >> (16 - ln)))
+        if sym is not None:
+            rd.take(ln)
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # T.81 F.12: low-half values of an s-bit magnitude are negative
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_entropy_segments(payload: bytes, pos: int) -> list:
+    """Split the post-SOS entropy stream at RSTn markers, unstuffing
+    0xFF00 and skipping 0xFF fill bytes; stops at any other marker."""
+    segs, cur, i = [], bytearray(), pos
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif nxt == 0xFF:
+            i += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _encode_jpeg(rows, mode: str = "gray", q: int = 8,
+                 restart_interval: int = 0) -> bytes:
+    """Minimal REAL baseline JPEG encoder (gate/test twin of
+    :func:`_decode_jpeg`): 8-bit luma `rows`, gray / YCbCr 4:4:4 /
+    4:2:0 layouts (chroma constant 128 — zero after level shift, so
+    color adds interleave structure without adding loss), flat quant
+    step ``q``, optional restart markers.  With 8x8-constant luma
+    blocks and q=8 the round trip is EXACT: S₀₀ = 8(v−128) quantizes
+    to v−128 with zero remainder and the IDCT of a DC-only block is
+    flat — this is what lets ``ds_jpeg_codec_gate`` hash-compare
+    decoded pixels against an integer oracle despite JPEG being a
+    lossy codec."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(rows, dtype=np.float64)
+    h_, w_ = arr.shape
+    A = _jpeg_dct_matrix()
+    qtab = np.full((8, 8), float(int(q)))
+    if mode == "gray":
+        comps = [(1, 1, 1, 0)]
+    elif mode == "444":
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif mode == "420":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        raise ValueError(f"mode must be gray|444|420, got {mode!r}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w_ // (8 * hmax))
+    mcuy = -(-h_ // (8 * vmax))
+    planes = {1: np.pad(arr, ((0, mcuy * vmax * 8 - h_),
+                              (0, mcux * hmax * 8 - w_)), mode="edge")}
+    for cid, ch, cv, _tq in comps[1:]:
+        planes[cid] = np.full((mcuy * cv * 8, mcux * ch * 8), 128.0)
+
+    dc_enc, _ = _huff_canonical(_JPEG_DC_COUNTS, _JPEG_DC_VALS)
+    ac_enc, _ = _huff_canonical(_JPEG_AC_COUNTS, _JPEG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    n_q = 1 if mode == "gray" else 2
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65 * n_q)
+    for tq in range(n_q):
+        out += bytes([tq]) + bytes([int(q)] * 64)
+    out += (b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8,
+                                      h_, w_, len(comps)))
+    for cid, ch, cv, tq in comps:
+        out += bytes([cid, (ch << 4) | cv, tq])
+    n_h = 1 if mode == "gray" else 2
+    for th in range(n_h):
+        for tc, counts, vals in ((0, _JPEG_DC_COUNTS, _JPEG_DC_VALS),
+                                 (1, _JPEG_AC_COUNTS, _JPEG_AC_VALS)):
+            out += (b"\xff\xc4"
+                    + struct.pack(">H", 2 + 1 + 16 + len(vals))
+                    + bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for cid, _ch, _cv, tq in comps:
+        td = 0 if tq == 0 else min(tq, n_h - 1)
+        out += bytes([cid, (td << 4) | td])
+    out += bytes([0, 63, 0])
+
+    bw = _JpegBitWriter()
+    preds = {cid: 0 for cid, *_ in comps}
+    n_mcu = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.marker(0xD0 + rst % 8)
+            rst += 1
+            preds = {cid: 0 for cid, *_ in comps}
+        my_, mx = divmod(m, mcux)
+        for cid, ch, cv, _tq in comps:
+            for by in range(cv):
+                for bx in range(ch):
+                    y0 = (my_ * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    block = planes[cid][y0:y0 + 8, x0:x0 + 8] - 128.0
+                    S = A @ block @ A.T
+                    qs = np.floor(S / qtab + 0.5).astype(np.int64)
+                    zz = qs.ravel()[_JPEG_ZZ]
+                    diff = int(zz[0]) - preds[cid]
+                    preds[cid] = int(zz[0])
+                    cat = abs(diff).bit_length()
+                    code, ln = dc_enc[cat]
+                    bw.write(code, ln)
+                    if cat:
+                        bw.write(diff if diff >= 0
+                                 else diff + (1 << cat) - 1, cat)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_enc[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        s = abs(v).bit_length()
+                        code, ln = ac_enc[(run << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, ln = ac_enc[0x00]
+                        bw.write(code, ln)
+    bw.pad()
+    return bytes(out) + bytes(bw.out) + b"\xff\xd9"
+
+
+def _decode_jpeg(payload: bytes, w: int, h: int) -> bytes:
+    """REAL decode for baseline sequential JPEG (SOF0/SOF1, Huffman,
+    8-bit) — pure Python + numpy.  Walks markers (DQT/DHT/SOF/DRI/
+    SOS), splits the entropy stream at restart markers, Huffman-
+    decodes DC diffs + AC run-lengths per interleaved MCU, then
+    dequantizes, dezigzags and IDCTs each block (DC-only blocks take
+    the exact flat fast path).  Output contract matches the other
+    image decoders: luma (the Y component IS ITU-R 601 luma by JFIF
+    definition), nearest resize to (w, h), w*h grayscale bytes.
+    Progressive (SOF2), arithmetic coding, 12-bit precision, 16-bit
+    quant tables and non-interleaved multi-component scans raise."""
+    import struct
+
+    import numpy as np
+
+    if not _is_jpeg(payload):
+        raise ValueError("not a JPEG (missing SOI)")
+    A = _jpeg_dct_matrix()
+    pos, qt, huff, frame, dri = 2, {}, {}, None, 0
+    scomp = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2:pos + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                zig = np.frombuffer(seg, np.uint8, 64, i).astype(np.float64)
+                nat = np.empty(64)
+                nat[_JPEG_ZZ] = zig
+                qt[tq] = nat.reshape(8, 8)
+                i += 64
+        elif m == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1:i + 17])
+                total = sum(counts)
+                vals = list(seg[i + 17:i + 17 + total])
+                _, dec = _huff_canonical(counts, vals)
+                huff[(tc, th)] = dec
+                i += 17 + total
+        elif m in (0xC0, 0xC1):
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            sh, sw = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (sh, sw, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG frame (marker 0xFF{m:02X}) unsupported")
+        elif m == 0xDD:
+            dri = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:
+            ns = seg[0]
+            scomp = [(seg[1 + 2 * s], seg[2 + 2 * s] >> 4,
+                      seg[2 + 2 * s] & 15) for s in range(ns)]
+            pos += ln
+            break
+        pos += ln
+    if frame is None or scomp is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    sh, sw, comps = frame
+    byid = {c[0]: c for c in comps}
+    if len(scomp) != len(comps):
+        raise ValueError("non-interleaved JPEG scans unsupported")
+    order = []
+    for cs, td, ta in scomp:
+        _cid, ch, cv, tq = byid[cs]
+        order.append((cs, ch, cv, qt[tq], huff[(0, td)], huff[(1, ta)]))
+    if len(order) == 1:
+        # ns==1 is a non-interleaved scan: the MCU is ONE data unit
+        # regardless of the component's declared sampling factors
+        cs, _ch, _cv, qn, dd, ad = order[0]
+        order = [(cs, 1, 1, qn, dd, ad)]
+    hmax = max(o[1] for o in order)
+    vmax = max(o[2] for o in order)
+    mcux = -(-sw // (8 * hmax))
+    mcuy = -(-sh // (8 * vmax))
+    planes = {cs: np.zeros((mcuy * cv * 8, mcux * ch * 8))
+              for cs, ch, cv, *_ in order}
+
+    segs = _jpeg_entropy_segments(payload, pos)
+    seg_i = 0
+    rd = _JpegBitReader(segs[0])
+    preds = {cs: 0 for cs, *_ in order}
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            rd = _JpegBitReader(segs[seg_i])
+            preds = {cs: 0 for cs, *_ in order}
+        my_, mx = divmod(m, mcux)
+        for cs, ch, cv, qnat, dcdec, acdec in order:
+            for by in range(cv):
+                for bx in range(ch):
+                    t = _jpeg_huff_decode(rd, dcdec)
+                    preds[cs] += _jpeg_extend(rd.take(t), t)
+                    coef = None
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(rd, acdec)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        if coef is None:
+                            coef = np.zeros(64)
+                        coef[_JPEG_ZZ[k]] = _jpeg_extend(rd.take(s), s)
+                        k += 1
+                    if coef is None:
+                        # DC-only block: IDCT of a lone S00 is flat
+                        blk = preds[cs] * qnat[0, 0] / 8.0 + 128.0
+                    else:
+                        coef[0] = preds[cs]
+                        S = coef.reshape(8, 8) * qnat
+                        blk = A.T @ S @ A + 128.0
+                    y0 = (my_ * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    planes[cs][y0:y0 + 8, x0:x0 + 8] = blk
+    cs0, ch0, cv0, *_ = order[0]
+    gray = planes[cs0]
+    if ch0 != hmax or cv0 != vmax:
+        gray = np.repeat(np.repeat(gray, vmax // cv0, 0), hmax // ch0, 1)
+    gray = gray[:sh, :sw]
+    ys = (np.arange(h) * sh // max(h, 1)).clip(0, sh - 1)
+    xs = (np.arange(w) * sw // max(w, 1)).clip(0, sw - 1)
+    return gray[np.ix_(ys, xs)].round().clip(0, 255).astype(np.uint8).tobytes()
+
+
 def _is_bmp(payload: bytes) -> bool:
     return payload[:2] == b"BM"
 
@@ -620,6 +1073,12 @@ def _decode_image(payload: bytes, w: int, h: int, strict: bool,
         except Exception:
             if strict:
                 raise
+    if codec in ("auto", "real") and _is_jpeg(payload):
+        try:
+            return _decode_jpeg(payload, w, h)
+        except Exception:
+            if strict:
+                raise
     if codec in ("auto", "real") and _is_bmp(payload):
         try:
             return _decode_bmp(payload, w, h)
@@ -633,9 +1092,10 @@ def _decode_image(payload: bytes, w: int, h: int, strict: bool,
     if codec == "auto" and strict:
         raise NotImplementedError(
             "image decode requires PIL/libvips in the runtime image for "
-            "compressed formats beyond PNG/GIF; this container ships "
-            "none (stubbed per task contract — PGM/PPM, BMP, 8-bit PNG "
-            "and GIF payloads decode for real)"
+            "compressed formats beyond PNG/GIF/baseline-JPEG; this "
+            "container ships none (stubbed per task contract — PGM/PPM, "
+            "BMP, 8-bit PNG, GIF and baseline JPEG payloads decode for "
+            "real)"
         )
     if codec == "fake" and strict:
         raise NotImplementedError("codec='fake' is disallowed in strict mode")

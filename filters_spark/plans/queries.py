@@ -617,8 +617,11 @@ DRIVER_WINDOW: list[str] = [
     # ================= ROUND-6 ROTATION (VERDICT r5 task 1) ==========
     # ALL 50 slots now hold queries that have NEVER had an official
     # CORRECTNESS row in rounds 1-5 (98 of 198 registered names were
-    # in that state; this window clears 47 of them plus this round's
-    # 3 new gates).  Every OUTGOING name had >=1 official green round
+    # in that state; this window clears 46 of them plus this round's
+    # 4 new gates — prof_histogram yielded its slot to
+    # ds_jpeg_codec_gate late in the round: official validation of
+    # the novel codec outweighs one more row for a replica-proven
+    # simple aggregate).  Every OUTGOING name had >=1 official green round
     # (most >=2) and keeps pytest + strict-replica + judge-sweep
     # coverage; every INCOMING name is green on the driver-faithful
     # strict replica (tools/oracle_check.py) at sf0.01 AND sf0.1
@@ -641,6 +644,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_mulaw_codec_gate",       # G.711 mu-law exact expansion
     "ds_alaw_codec_gate",        # G.711 A-law exact expansion
     "ds_png_codec_gate",         # NEW r6: zlib DEFLATE + unfilter
+    "ds_jpeg_codec_gate",        # NEW r6: baseline JFIF 4:2:0 + RST
     # -- incremental index/store maintenance ---------------------------
     "ds_postings_append",        # O(delta) BM25 postings append
     "ds_ivf_append",             # O(delta) IVF cell append
@@ -659,7 +663,6 @@ DRIVER_WINDOW: list[str] = [
     "prof_corr",                 # Pearson correlation, exact sums
     "prof_correlated_dims",      # integer-numerator corr flags (r6 fix)
     "prof_covariance_by_group",  # grouped exact covariance
-    "prof_histogram",            # equi-width histogram
     "prof_approx_distinct",      # HLL vs exact distinct
     "prof_referential_integrity",  # FK orphan audit
     "prof_freshness",            # per-source staleness
@@ -9593,6 +9596,84 @@ def ds_png_codec_gate(spark, sf_dir):
     decoded = mm.decode_images(media.drop("_payload"), strict=True,
                                codec="auto")
     feats = mm.extract_image_features(decoded, dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.sum(F.round(F.col("_r") * 16, 0).cast("long"))
+             .alias("n_chars"))
+        .where(F.col("n_chars") > 0)
+    )
+
+
+@register(
+    "ds_jpeg_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents
+      WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    )
+    SELECT code % 16 AS bucket, count(*) AS n_chars
+    FROM ch GROUP BY 1
+    """,
+)
+def ds_jpeg_codec_gate(spark, sf_dir):
+    """Baseline JPEG — the dominant real-corpus image format — under
+    the value hash (the fifth real image codec beside netpbm, BMP,
+    PNG, GIF): each document's first 16 ASCII-projected characters
+    become the sixteen 8x8-constant blocks of a 32x32 luma plane,
+    encoded as a GENUINE YCbCr 4:2:0 baseline JFIF stream with
+    restart markers (interleaved 4Y+Cb+Cr MCUs, canonical Huffman
+    DC-diff/AC entropy coding, byte stuffing).  Exactness despite a
+    lossy codec: a constant block's only nonzero DCT coefficient is
+    S00 = 8(v-128), which quantizes losslessly at flat q=8, so
+    decode(encode(x)) == x bit-for-bit for block-constant images —
+    the decoder must walk markers, rebuild canonical Huffman tables,
+    unstuff bytes, reset DC predictors at every RST, traverse the
+    subsampled MCU geometry and IDCT each block to recover luma ==
+    code exactly.  The byte histogram is then hash-compared against
+    the same character-code oracle as the PNG gate.  A wrong MCU
+    order, missed restart reset, or bad EXTEND sign flips buckets and
+    fails the hash."""
+    import pandas as pd
+
+    from ..functions import multimodal as mm
+    from ..functions.multimodal import _encode_jpeg
+
+    def _jpg_fn(s):
+        out = []
+        for text in s:
+            import numpy as np
+            codes = np.array([ord(c) for c in text]).reshape(4, 4)
+            rows = np.kron(codes, np.ones((8, 8), np.int64))
+            out.append(_encode_jpeg(rows, mode="420", q=8,
+                                    restart_interval=2))
+        return pd.Series(out)
+
+    # real type objects: the module-wide `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf rejects
+    _jpg_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _jpg = F.pandas_udf(_jpg_fn, "binary")
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .select("doc_id",
+                 _jpg(F.substring(ascii_text, 1, 16)).alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "image/jpeg")
+    media = media.withColumn(
+        "media",
+        F.col("media").withField("meta.width", F.lit(32))
+        .withField("meta.height", F.lit(32)))
+    decoded = mm.decode_images(media.drop("_payload"), strict=True,
+                               codec="auto")
+    feats = mm.extract_image_features(decoded, dim=16)
+    # 1024 pixels/image, each code covering 64 -> fraction = n/16
+    # exactly (float32-representable), so round(r*16) == n_chars
     return (
         feats.select(F.posexplode("features").alias("bucket", "_r"))
         .groupBy("bucket")

@@ -956,3 +956,156 @@ class TestAlawCodec:
         raw = np.frombuffer(data, np.uint8)
         assert outs[6] == list(_alaw_to_linear(raw))
         assert outs[7] == list(_mulaw_to_linear(raw))
+
+
+class TestJpegCodec:
+    """Real baseline JPEG (multimodal._decode_jpeg / _encode_jpeg) —
+    ITU T.81 sequential DCT: marker walk, canonical Huffman, byte
+    unstuffing, DC-diff/AC run-length entropy, dequant + IDCT,
+    subsampled interleaved MCUs, restart markers."""
+
+    def _codes(self):
+        import numpy as np
+
+        return (np.arange(16).reshape(4, 4) * 13 + 5) % 256
+
+    def test_block_constant_exact_gray(self):
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_jpeg,
+                                                        _encode_jpeg)
+
+        rows = np.kron(self._codes(), np.ones((8, 8), np.int64))
+        p = _encode_jpeg(rows, mode="gray", q=8)
+        out = np.frombuffer(_decode_jpeg(p, 32, 32),
+                            np.uint8).reshape(32, 32)
+        # constant blocks + flat q=8 round-trip EXACTLY (DC-only)
+        assert (out == rows).all()
+
+    def test_block_constant_exact_420_with_restarts(self):
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_jpeg,
+                                                        _encode_jpeg)
+
+        rows = np.kron(self._codes(), np.ones((8, 8), np.int64))
+        p = _encode_jpeg(rows, mode="420", q=8, restart_interval=1)
+        assert b"\xff\xd0" in p or b"\xff\xd1" in p  # RST markers present
+        out = np.frombuffer(_decode_jpeg(p, 32, 32),
+                            np.uint8).reshape(32, 32)
+        assert (out == rows).all()
+
+    def test_444_exact(self):
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_jpeg,
+                                                        _encode_jpeg)
+
+        rows = np.kron(self._codes(), np.ones((8, 8), np.int64))
+        p = _encode_jpeg(rows, mode="444", q=8)
+        out = np.frombuffer(_decode_jpeg(p, 32, 32),
+                            np.uint8).reshape(32, 32)
+        assert (out == rows).all()
+
+    def test_lossy_roundtrip_tolerance_and_ac_paths(self):
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_jpeg,
+                                                        _encode_jpeg)
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (24, 40))
+        p = _encode_jpeg(img, mode="gray", q=1)
+        out = np.frombuffer(_decode_jpeg(p, 40, 24),
+                            np.uint8).reshape(24, 40)
+        # q=1 loses only float->int rounding; the full AC run-length
+        # path (runs, ZRL, EOB, negative coefficients) is exercised
+        assert np.abs(out.astype(int) - img).max() <= 2
+
+    def test_zrl_long_zero_runs(self):
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_jpeg,
+                                                        _encode_jpeg)
+
+        # one hot pixel per block forces >15-zero runs (ZRL symbols)
+        img = np.zeros((16, 16), int)
+        img[3, 12] = 255
+        img[9, 1] = 200
+        p = _encode_jpeg(img, mode="gray", q=1)
+        out = np.frombuffer(_decode_jpeg(p, 16, 16),
+                            np.uint8).reshape(16, 16)
+        assert np.abs(out.astype(int) - img).max() <= 2
+
+    def test_non_multiple_of_8_dims_edge_pad(self):
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_jpeg,
+                                                        _encode_jpeg)
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (11, 13))
+        p = _encode_jpeg(img, mode="420", q=1)
+        out = np.frombuffer(_decode_jpeg(p, 13, 11),
+                            np.uint8).reshape(11, 13)
+        assert np.abs(out.astype(int) - img).max() <= 2
+
+    def test_progressive_and_truncation_rejected(self):
+        import numpy as np
+        import pytest as _pt
+
+        from filters_spark.functions.multimodal import (_decode_jpeg,
+                                                        _encode_jpeg)
+
+        rows = np.full((8, 8), 100)
+        p = _encode_jpeg(rows, mode="gray", q=8)
+        prog = p[:2] + b"\xff\xc2" + p[4:]
+        with _pt.raises(ValueError, match="non-baseline"):
+            _decode_jpeg(prog, 8, 8)
+        with _pt.raises(ValueError):
+            _decode_jpeg(p[:20], 8, 8)
+        with _pt.raises(ValueError, match="SOI"):
+            _decode_jpeg(b"nope", 8, 8)
+
+    def test_strict_plan_decode_and_lenient_fallback(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import multimodal as mm
+        from filters_spark.functions.multimodal import _encode_jpeg
+
+        rows = np.kron(self._codes(), np.ones((8, 8), np.int64))
+        good = _encode_jpeg(rows, mode="420", q=8, restart_interval=2)
+        df = spark.createDataFrame(
+            [(1, bytearray(good))], "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "image/jpeg")
+        media = media.withColumn(
+            "media", F.col("media").withField("meta.width", F.lit(32))
+            .withField("meta.height", F.lit(32)))
+        out = mm.decode_images(media, strict=True, codec="auto").collect()
+        px = np.frombuffer(bytes(out[0]["pixels"]), np.uint8)
+        assert (px.reshape(32, 32) == rows).all()
+        # corrupt payload: strict raises, lenient falls to the stub
+        bad = good[:2] + b"\xff\xc2" + good[4:]
+        dfb = spark.createDataFrame(
+            [(1, bytearray(bad))], "doc_id bigint, raw binary")
+        mb = mm.attach_meta(dfb, "raw", "image/jpeg")
+        import pytest as _pt
+        with _pt.raises(Exception):
+            mm.decode_images(mb, strict=True, codec="auto").collect()
+        lenient = mm.decode_images(mb, strict=False, codec="auto").collect()
+        assert lenient[0]["pixels"] is not None
+
+    def test_dc_prediction_without_restarts_differs(self):
+        """DC coefficients are DIFFERENTIALLY coded: decoding must
+        accumulate across blocks.  A fresh-predictor-per-block bug
+        would decode block k as (code_k - code_{k-1}) instead."""
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_jpeg,
+                                                        _encode_jpeg)
+
+        rows = np.kron(np.array([[10, 250]]), np.ones((8, 8), np.int64))
+        p = _encode_jpeg(rows, mode="gray", q=8)
+        out = np.frombuffer(_decode_jpeg(p, 16, 8), np.uint8)
+        assert set(out.tolist()) == {10, 250}

@@ -408,6 +408,7 @@ EXPECTATIONS: dict[str, dict] = {
     # PNG codec gate: BMP shape + one extra pandas-UDF crossing (the
     # zlib encoder twin builds the payload row-side)
     "ds_png_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    "ds_jpeg_codec_gate": dict(max_exchanges=1, scan_filter=True),
     # production hybrid: both arms probe materialized indexes — the
     # postings IN-pushdown + explicit-path IVF cells; everything
     # small-side is broadcast (qterms, idf, stats, probes, queries)
