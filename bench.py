@@ -88,6 +88,10 @@ HEADLINE = [
     # ds_ivf_index_topk precedent)
     "ds_png_codec_gate",
     "rel_merge_snapshot",
+    # round 6 (late): baseline JPEG — the heaviest per-doc Python
+    # decode (16 DCT blocks/doc through the full entropy decoder);
+    # headlining it keeps the codec hot path honest round over round
+    "ds_jpeg_codec_gate",
 ]
 
 

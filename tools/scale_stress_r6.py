@@ -169,21 +169,40 @@ def stress_codecs(spark: SparkSession, n_docs: int = 500_000) -> None:
         _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
         return _fn
 
-    for fmt, enc in (("png", _encode_png), ("gif", _encode_gif)):
-        udf = F.pandas_udf(make_fn(enc), "binary")
+    def make_jpeg_fn():
+        import numpy as np
+
+        from filters_spark.functions.multimodal import _encode_jpeg
+
+        def _fn(s):
+            out = []
+            for v in s:
+                codes = (int(v) + np.arange(16).reshape(4, 4) * 7) % 256
+                rows = np.kron(codes, np.ones((8, 8), np.int64))
+                out.append(_encode_jpeg(rows, mode="420", q=8,
+                                        restart_interval=2))
+            return pd.Series(out)
+        _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return _fn
+
+    for fmt, enc in (("png", _encode_png), ("gif", _encode_gif),
+                     ("jpeg", None)):
+        udf = F.pandas_udf(make_jpeg_fn() if fmt == "jpeg"
+                           else make_fn(enc), "binary")
+        side = 32 if fmt == "jpeg" else 4
         docs = spark.range(n_docs).select(
             F.col("id").alias("doc_id"), udf(F.col("id")).alias("raw"))
         media = mm.attach_meta(docs, "raw", f"image/{fmt}")
         media = media.withColumn(
-            "media", F.col("media").withField("meta.width", F.lit(4))
-            .withField("meta.height", F.lit(4)))
+            "media", F.col("media").withField("meta.width", F.lit(side))
+            .withField("meta.height", F.lit(side)))
         t0 = time.time()
         decoded = mm.decode_images(media.drop("raw"), strict=True,
                                    codec="auto")
         n_px = decoded.select(
             F.sum(F.octet_length("pixels")).alias("b")).first()["b"]
         wall = time.time() - t0
-        assert n_px == n_docs * 16, n_px
+        assert n_px == n_docs * side * side, n_px
         emit(phase=f"codec_{fmt}_decode", docs=n_docs,
              wall_s=round(wall, 1),
              docs_per_s=round(n_docs / max(wall, 0.01)))
