@@ -53,6 +53,7 @@ __all__ = [
     "dedup_segments",
     "duplicate_spans",
     "remove_duplicate_spans",
+    "remove_frequent_lines",
     "materialize_signatures",
     "append_signatures",
     "dedup_pairs_against",
@@ -1214,6 +1215,72 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         (F.col("_n") - F.size("_kept")).alias("n_tokens_removed"))
     passthrough = [c for c in df.columns if c != text_col]
     return df.select(*passthrough).join(rebuilt, id_col)
+
+
+def remove_frequent_lines(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", sep: str = "\n",
+                          min_count: int = 3, keep: str = "first",
+                          normalize: bool = True) -> DataFrame:
+    """CORPUS-level boilerplate-line removal (the CCNet/RefinedWeb
+    cleaning pass; C4 applies the same idea at span granularity —
+    that variant is :func:`remove_duplicate_spans`): a line whose
+    normalized form occurs ``>= min_count`` times ACROSS THE WHOLE
+    CORPUS is navigation chrome / cookie banner / license boilerplate,
+    not content.  ``keep='first'`` retains the single globally-first
+    occurrence (min (id, position)); ``keep='none'`` removes every
+    occurrence.  Documents are rebuilt with surviving lines in
+    original order (possibly empty), and every input document appears
+    in the output.
+
+    Scale shape (100 TB): lines shuffle once as (xxhash64 key, count)
+    for the frequency aggregate — map-side combined, 8-byte keys,
+    never the line text; the flagged table holds ONLY lines at
+    ``>= min_count`` (boilerplate is a vanishing fraction of distinct
+    lines), so the probe join's build side is small — AQE broadcasts
+    it when it fits and a corpus-common line skews only the COUNT
+    aggregate, which partial aggregation absorbs (this is the grouped-
+    agg-not-window shape per the r5 bigram-LM lesson).  The rebuild is
+    one groupBy(id) over (pos, line) rows — the same row-amplification
+    budget as the span-removal pass.
+    """
+    import re as _re
+
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be first|none, got {keep!r}")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    norm = (F.trim(F.lower("_line")) if normalize else F.col("_line"))
+    lines = (df.repartition(par, id_col)
+             .select(F.col(id_col).alias("_id"),
+                     F.posexplode(F.split(F.col(text_col),
+                                          _re.escape(sep)))
+                     .alias("_pos", "_line"))
+             .withColumn("_lk", F.xxhash64(norm)))
+    flagged = (lines.groupBy("_lk")
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.min(F.struct(F.col("_id").alias("i"),
+                                   F.col("_pos").alias("p")))
+                    .alias("_first"))
+               .where(F.col("_n") >= min_count))
+    joined = lines.join(flagged, "_lk", "left")
+    keep_col = F.col("_n").isNull()
+    if keep == "first":
+        keep_col = keep_col | ((F.col("_first.i") == F.col("_id"))
+                               & (F.col("_first.p") == F.col("_pos")))
+    per_doc = (joined
+               .groupBy("_id")
+               .agg(F.sum(keep_col.cast("int")).alias("n_kept"),
+                    F.sum((~keep_col).cast("int")).alias("n_removed"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(keep_col,
+                                       F.struct(F.col("_pos").alias("p"),
+                                                F.col("_line").alias("l"))))),
+                            lambda s: s["l"]), sep).alias("_clean")))
+    passthrough = [c for c in df.columns if c != text_col]
+    return (df.select(*passthrough)
+            .join(per_doc.withColumnRenamed("_id", id_col), id_col)
+            .withColumn(text_col, F.col("_clean")).drop("_clean"))
 
 
 def _prep_signatures(docs: DataFrame, id_col: str, text_col: str,

@@ -9606,6 +9606,74 @@ def ds_png_codec_gate(spark, sf_dir):
 
 
 @register(
+    "ds_line_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), idx AS (
+      SELECT doc_id, w,
+             unnest(range(0, CAST(ceil(len(w)/2.0) AS BIGINT))) AS i
+      FROM base
+    ), chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             concat_ws(' ', w[CAST(i*2+1 AS INT)],
+                            w[CAST(i*2+2 AS INT)]) AS line
+      FROM idx
+    ), ranked AS (
+      SELECT doc_id, pos, line,
+             count(*) OVER (PARTITION BY trim(lower(line))) AS cnt,
+             row_number() OVER (PARTITION BY trim(lower(line))
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    ), marked AS (
+      SELECT doc_id, pos, line, (cnt < 3 OR rn = 1) AS keep
+      FROM ranked
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+                THEN sum(CASE WHEN keep THEN length(line) ELSE 0 END)
+                     + sum(CASE WHEN keep THEN 1 ELSE 0 END) - 1
+                ELSE 0 END AS BIGINT) AS clean_chars
+    FROM marked GROUP BY doc_id
+    """,
+)
+def ds_line_dedup(spark, sf_dir):
+    """CORPUS-wide boilerplate-line removal (dedup.
+    remove_frequent_lines — the CCNet/RefinedWeb cleaning pass beside
+    the C4-style span excision): lines are synthesized in-plan as
+    2-word chunks (the corpus has no newlines; a ~1.6k-combination
+    line space over ~8k chunks guarantees genuine >=3x corpus-wide
+    repeats), then any line occurring >= 3 times ACROSS ALL DOCUMENTS
+    is removed except its single globally-first occurrence
+    (min (doc_id, pos)).  The gate emits per-doc kept/removed counts
+    and the rebuilt text's exact length; the oracle replays with
+    count/row_number windows over the same chunking.  The Spark plan
+    deliberately computes frequencies as a grouped aggregate joined
+    back — not a content-partitioned window — so a corpus-common
+    boilerplate line skews only the map-side-combined count, never a
+    single window task (the r5 bigram-LM de-skew rule)."""
+    words = F.split("text", " ")
+    nch = F.ceil(F.size(words) / F.lit(2)).cast("int")
+    line_at = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.try_element_at(words, (i * 2 + 1).cast("int")),
+        F.try_element_at(words, (i * 2 + 2).cast("int")))
+    chunked = (_t(spark, sf_dir, "documents")
+               .select("doc_id",
+                       F.array_join(
+                           F.transform(F.sequence(F.lit(0), nch - 1),
+                                       line_at), "\n").alias("text")))
+    out = dedup.remove_frequent_lines(chunked, min_count=3, keep="first")
+    return out.select(
+        "doc_id", "n_kept", "n_removed",
+        F.length("text").cast("long").alias("clean_chars"))
+
+
+@register(
     "ds_jpeg_codec_gate",
     oracle="""
     WITH b AS (

@@ -515,3 +515,80 @@ class TestClusterStore:
         got = {r["doc_id"]: r["canon_id"] for r in
                dedup.read_canonical(spark, path).collect()}
         assert got == {5: 2, 6: 2, 8: 2, 9: 2, 40: 2, 2: 2}
+
+
+class TestRemoveFrequentLines:
+    def _corpus(self, spark):
+        bp = "cookie banner"
+        rows = [(1, f"{bp}\nreal content one\nmore text"),
+                (2, f"intro line\n{bp}\nbody two"),
+                (3, f"{bp}\nunique stuff"),
+                (4, "rare line\nanother rare"),
+                # inner whitespace differs -> normalization (trim +
+                # lower) does NOT merge this with 'cookie banner'
+                (5, "COOKIE   banner\nfresh text")]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_first_occurrence_survives(self, spark):
+        from filters_spark.functions import dedup
+        out = {r["doc_id"]: r for r in
+               dedup.remove_frequent_lines(self._corpus(spark),
+                                           min_count=3).collect()}
+        # 'cookie banner' occurs 3x (docs 1,2,3) -> only doc 1's copy
+        # (globally first) survives
+        assert "cookie banner" in out[1]["text"]
+        assert "cookie banner" not in out[2]["text"]
+        assert "cookie banner" not in out[3]["text"]
+        assert out[2]["n_removed"] == 1 and out[3]["n_removed"] == 1
+        assert out[1]["n_removed"] == 0
+        # untouched docs keep text verbatim, and every doc appears
+        assert out[4]["text"] == "rare line\nanother rare"
+        assert len(out) == 5
+
+    def test_keep_none_removes_all(self, spark):
+        from filters_spark.functions import dedup
+        out = {r["doc_id"]: r for r in
+               dedup.remove_frequent_lines(self._corpus(spark),
+                                           min_count=3,
+                                           keep="none").collect()}
+        for d in (1, 2, 3):
+            assert "cookie banner" not in out[d]["text"], d
+        assert out[1]["text"] == "real content one\nmore text"
+
+    def test_normalization_case_and_trim(self, spark):
+        from filters_spark.functions import dedup
+        rows = [(1, "The Same\nx"), (2, "  the same \ny"),
+                (3, "THE SAME\nz"), (4, "the same\nw")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in
+               dedup.remove_frequent_lines(df, min_count=3).collect()}
+        # case/whitespace variants count as ONE normalized line (4
+        # occurrences); the kept first occurrence keeps its ORIGINAL
+        # spelling
+        assert out[1]["text"] == "The Same\nx"
+        for d in (2, 3, 4):
+            assert out[d]["n_removed"] == 1, d
+        off = {r["doc_id"]: r for r in
+               dedup.remove_frequent_lines(df, min_count=3,
+                                           normalize=False).collect()}
+        assert all(off[d]["n_removed"] == 0 for d in (1, 2, 3, 4))
+
+    def test_doc_emptied_and_order_preserved(self, spark):
+        from filters_spark.functions import dedup
+        rows = ([(i, "boiler plate") for i in range(1, 4)]
+                + [(4, "z end\nboiler plate\na start")])
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in
+               dedup.remove_frequent_lines(df, min_count=3,
+                                           keep="none").collect()}
+        assert out[1]["text"] == "" and out[1]["n_kept"] == 0
+        # surviving lines keep original order (z before a)
+        assert out[4]["text"] == "z end\na start"
+
+    def test_bad_keep_raises(self, spark):
+        import pytest as _pt
+
+        from filters_spark.functions import dedup
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with _pt.raises(ValueError, match="keep"):
+            dedup.remove_frequent_lines(df, keep="banana")

@@ -352,6 +352,7 @@ EXPECTATIONS: dict[str, dict] = {
     # round 5: ExactSubstr excision — hash-count groupBy+join (2) +
     # island window + range rollup + rebuild join, all narrow keys
     "ds_span_removal": dict(max_exchanges=5, min_broadcasts=1),
+    "ds_line_dedup": dict(max_exchanges=3, min_broadcasts=1),
     # round 5: appended-index probes (same plan family as the
     # materialized originals) + the incremental composites
     "ds_postings_append": dict(max_exchanges=5, min_broadcasts=3),
