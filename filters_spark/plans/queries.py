@@ -9584,8 +9584,12 @@ def ds_png_codec_gate(spark, sf_dir):
     _png = F.pandas_udf(_png_fn, "binary")
 
     ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    # CPU-bound Python codec work: spread across cores (the
+    # single-row-group testdata scan is otherwise ONE task)
+    par = spark.sparkContext.defaultParallelism
     d = (_t(spark, sf_dir, "documents")
          .where(F.length("text") >= 16)
+         .repartition(par, "doc_id")
          .select("doc_id",
                  _png(F.substring(ascii_text, 1, 16)).alias("_payload")))
     media = mm.attach_meta(d, "_payload", "image/png")
@@ -9728,8 +9732,15 @@ def ds_jpeg_codec_gate(spark, sf_dir):
     _jpg = F.pandas_udf(_jpg_fn, "binary")
 
     ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    # the per-doc codec work (16-block DCT encode + full entropy
+    # decode) is CPU-bound Python: spread it across the executor
+    # cores explicitly — the single-row-group testdata scan would
+    # otherwise run the whole corpus on ONE task (measured 7.5 s ->
+    # ~0.6 s at sf0.1)
+    par = spark.sparkContext.defaultParallelism
     d = (_t(spark, sf_dir, "documents")
          .where(F.length("text") >= 16)
+         .repartition(par, "doc_id")
          .select("doc_id",
                  _jpg(F.substring(ascii_text, 1, 16)).alias("_payload")))
     media = mm.attach_meta(d, "_payload", "image/jpeg")
@@ -9996,8 +10007,12 @@ def ds_gif_codec_gate(spark, sf_dir):
     _gif = F.pandas_udf(_gif_fn, "binary")
 
     ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    # CPU-bound Python codec work: spread across cores (the
+    # single-row-group testdata scan is otherwise ONE task)
+    par = spark.sparkContext.defaultParallelism
     d = (_t(spark, sf_dir, "documents")
          .where(F.length("text") >= 16)
+         .repartition(par, "doc_id")
          .select("doc_id",
                  _gif(F.substring(ascii_text, 1, 16)).alias("_payload")))
     media = mm.attach_meta(d, "_payload", "image/gif")

@@ -408,15 +408,15 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_alaw_codec_gate": dict(max_exchanges=1, scan_filter=True),
     # PNG codec gate: BMP shape + one extra pandas-UDF crossing (the
     # zlib encoder twin builds the payload row-side)
-    "ds_png_codec_gate": dict(max_exchanges=1, scan_filter=True),
-    "ds_jpeg_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    "ds_png_codec_gate": dict(max_exchanges=2, scan_filter=True),
+    "ds_jpeg_codec_gate": dict(max_exchanges=2, scan_filter=True),
     # production hybrid: both arms probe materialized indexes — the
     # postings IN-pushdown + explicit-path IVF cells; everything
     # small-side is broadcast (qterms, idf, stats, probes, queries)
     "ds_hybrid_rrf_indexed": dict(min_broadcasts=6, max_exchanges=8),
     # GIF codec gate: the PNG-gate shape (encoder-UDF crossing +
     # decode + featurize crossings + one rollup)
-    "ds_gif_codec_gate": dict(max_exchanges=1, scan_filter=True),
+    "ds_gif_codec_gate": dict(max_exchanges=2, scan_filter=True),
     # ADPCM codec gate: mulaw shape + the hex/unhex payload build
     "ds_adpcm_codec_gate": dict(max_exchanges=1, scan_filter=True),
     # snapshot skipping: the returned plan is one agg over the pruned
