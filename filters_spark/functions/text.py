@@ -44,6 +44,9 @@ __all__ = [
     "bpe_apply",
     "hashing_vectorize",
     "hashing_vectors_dense",
+    "mojibake_marker_count",
+    "fix_mojibake",
+    "MOJIBAKE_MARKERS",
     "STOPWORDS",
 ]
 
@@ -905,3 +908,77 @@ def hashing_vectors_dense(df: DataFrame, id_col: str = "doc_id",
         lambda b: F.coalesce(
             F.element_at("_m", b.cast("int")).cast("double"), F.lit(0.0)))
     return m.select(F.col(id_col), dense.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair (the ftfy pass every web-scale corpus runs before
+# anything else): double-encoded UTF-8 ("mojibake" — UTF-8 bytes that
+# were mis-decoded as cp1252/latin-1, so 'é' reads 'Ã©' and '’' reads
+# 'â€™').  Detection is a pure expression; the repair itself is the
+# one genuinely Python step (Python's codec machinery IS the
+# reference implementation) and runs as an Arrow-batched pandas UDF.
+
+#: Marker characters that lead every UTF-8-as-cp1252 multi-byte
+#: sequence: C2-C3 (2-byte seqs: Â Ã) and E2 (3-byte punctuation: â).
+MOJIBAKE_MARKERS = ("Ã", "Â", "â")
+
+
+def mojibake_marker_count(col: Column) -> Column:
+    """Occurrences of the classic double-encoding lead bytes — a pure
+    length-difference expression (no regex, so no dialect risk): the
+    per-doc detection signal that decides whether the repair UDF is
+    worth scheduling for a partition of the corpus."""
+    c = F.lit(0)
+    for m in MOJIBAKE_MARKERS:
+        c = c + (F.length(col)
+                 - F.length(F.replace(col, F.lit(m), F.lit(""))))
+    return c
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 out_col: str | None = None,
+                 require_shrink: bool = True) -> DataFrame:
+    """Repair double-encoded UTF-8: re-encode the text through
+    cp1252 (strict; latin-1 fallback for the 5 unmapped C1 bytes) and
+    re-decode as UTF-8.  A repair is applied only when the full
+    decode SUCCEEDS and (``require_shrink``) strictly shortens the
+    text — every real multi-byte mojibake sequence collapses, and
+    plain ASCII/clean text round-trips to itself, so clean documents
+    are never touched.  Adds ``was_fixed`` boolean.
+
+    Scale shape: a zero-shuffle Arrow-batched map; pair with
+    :func:`mojibake_marker_count` to short-circuit the UDF onto the
+    suspicious slice only (``when(markers > 0, fixed).otherwise(text)``
+    keeps the clean majority JVM-side)."""
+    import pandas as pd
+
+    out = out_col or text_col
+
+    def _repair(t):
+        if t is None:
+            return None
+        for enc in ("cp1252", "latin-1"):
+            try:
+                b = t.encode(enc)
+            except UnicodeEncodeError:
+                continue
+            try:
+                fixed = b.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            if fixed == t:
+                return t
+            if require_shrink and len(fixed) >= len(t):
+                continue
+            return fixed
+        return t
+
+    def _fix(s):
+        return s.map(_repair)
+
+    _fix.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    fixer = F.pandas_udf(_fix, "string")
+    fixed = fixer(F.col(text_col))
+    return (df.withColumn("_fixed", fixed)
+            .withColumn("was_fixed", F.col("_fixed") != F.col(text_col))
+            .withColumn(out, F.col("_fixed")).drop("_fixed"))

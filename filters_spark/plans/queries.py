@@ -9610,6 +9610,64 @@ def ds_png_codec_gate(spark, sf_dir):
 
 
 @register(
+    "ds_mojibake_repair",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(text) - len(replace(text, 'a', '')) AS a_cnt,
+             len(text) - len(replace(text, 'o', '')) AS o_cnt
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_repaired,
+           CAST(sum(CASE WHEN a_cnt + o_cnt > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fixed,
+           CAST(sum(a_cnt + 2 * o_cnt) AS BIGINT) AS extra_chars,
+           CAST(sum(a_cnt + o_cnt) AS BIGINT) AS markers
+    FROM m
+    """,
+)
+def ds_mojibake_repair(spark, sf_dir):
+    """Encoding repair under the value hash (text.fix_mojibake — the
+    ftfy pass): documents get non-ASCII planted in-plan ('a' -> 'é',
+    'o' -> '—'), are then double-encoded JVM-side (UTF-8 bytes
+    re-decoded as ISO-8859-1 via F.decode(F.encode(...)) — the exact
+    byte-level accident that produces real-world mojibake), and the
+    Arrow-batched repair must invert it EXACTLY: cp1252-or-latin-1
+    re-encode + UTF-8 re-decode, applied only when the decode
+    succeeds and strictly shrinks.  The gate checks full-corpus
+    restoration (n_repaired == n_docs), the was_fixed split (docs
+    with no planted chars round-trip untouched), the exact character
+    inflation of the mojibake form (1 per 2-byte 'é', 2 per 3-byte
+    '—'), and the pure-expression marker detector; the oracle
+    replays everything as ASCII occurrence counts on the raw corpus.
+    A repair that corrupts one byte, touches a clean doc, or misses
+    a C1-control sequence shifts a checksum and fails the hash."""
+    from ..functions.text import fix_mojibake, mojibake_marker_count
+
+    orig = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "a", "é"), "o", "—")
+    par = spark.sparkContext.defaultParallelism
+    d = (_t(spark, sf_dir, "documents")
+         .repartition(par, "doc_id")
+         .select("doc_id", orig.alias("_orig"),
+                 F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")
+                 .alias("_moj")))
+    rep = fix_mojibake(d, text_col="_moj", out_col="_rep")
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("_rep") == F.col("_orig")).cast("int"))
+        .cast("long").alias("n_repaired"),
+        F.sum(F.col("was_fixed").cast("int")).cast("long")
+        .alias("n_fixed"),
+        F.sum(F.length("_moj") - F.length("_orig")).cast("long")
+        .alias("extra_chars"),
+        F.sum(mojibake_marker_count(F.col("_moj"))).cast("long")
+        .alias("markers"),
+    )
+
+
+@register(
     "ds_line_dedup",
     oracle="""
     WITH base AS (

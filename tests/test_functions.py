@@ -463,3 +463,58 @@ class TestComponentsEdgeCases:
         # star handles the same chain inside the same tiny cap
         out = dedup.connected_components_star(chain, max_iter=5)
         assert {r["comp"] for r in out.collect()} == {0}
+
+
+class TestMojibakeRepair:
+    def test_classic_cases_repaired(self, spark):
+        from filters_spark.functions.text import fix_mojibake
+        rows = [
+            (1, "café".encode("utf-8").decode("latin-1")),      # cafÃ©
+            (2, "it’s — fine".encode("utf-8").decode("cp1252")),  # â€™ style
+            (3, "plain ascii stays"),
+            (4, None),
+            (5, "naïve Ångström".encode("utf-8").decode("latin-1")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+        assert out[1]["text"] == "café" and out[1]["was_fixed"]
+        assert out[2]["text"] == "it’s — fine" and out[2]["was_fixed"]
+        assert out[3]["text"] == "plain ascii stays"
+        assert not out[3]["was_fixed"]
+        assert out[4]["text"] is None and out[4]["was_fixed"] is None
+        assert out[5]["text"] == "naïve Ångström"
+
+    def test_genuine_unicode_left_alone(self, spark):
+        """Already-correct non-ASCII must NOT be 'repaired': the
+        round trip either fails to decode as UTF-8 or fails the
+        shrink requirement."""
+        from filters_spark.functions.text import fix_mojibake
+        rows = [(1, "café"), (2, "—"), (3, "Ω≈ç"), (4, "日本語")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+        for i, t in ((1, "café"), (2, "—"), (3, "Ω≈ç"), (4, "日本語")):
+            assert out[i]["text"] == t, i
+            assert not out[i]["was_fixed"], i
+
+    def test_marker_count_expression(self, spark):
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions.text import mojibake_marker_count
+        moj = "café and stuff".encode("utf-8").decode("latin-1")
+        df = spark.createDataFrame(
+            [(moj,), ("clean",)], "text string")
+        got = df.select(
+            mojibake_marker_count(F.col("text")).alias("m")).collect()
+        assert [r["m"] for r in got] == [1, 0]
+
+    def test_out_col_and_require_shrink_off(self, spark):
+        from filters_spark.functions.text import fix_mojibake
+        moj = "é".encode("utf-8").decode("latin-1")
+        df = spark.createDataFrame([(1, moj)], "doc_id bigint, text string")
+        out = fix_mojibake(df, out_col="fixed").collect()[0]
+        assert out["text"] == moj and out["fixed"] == "é"
+        # equal-length repairs only apply with require_shrink=False;
+        # 2-char mojibake of a 1-char original always shrinks, so use
+        # the policy flag on a clean doc to show it stays safe
+        out2 = fix_mojibake(df, require_shrink=False).collect()[0]
+        assert out2["text"] == "é"

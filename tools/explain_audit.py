@@ -353,6 +353,8 @@ EXPECTATIONS: dict[str, dict] = {
     # island window + range rollup + rebuild join, all narrow keys
     "ds_span_removal": dict(max_exchanges=5, min_broadcasts=1),
     "ds_line_dedup": dict(max_exchanges=3, min_broadcasts=1),
+    # repartition (CPU-spread for the repair UDF) + final 1-row agg
+    "ds_mojibake_repair": dict(max_exchanges=2),
     # round 5: appended-index probes (same plan family as the
     # materialized originals) + the incremental composites
     "ds_postings_append": dict(max_exchanges=5, min_broadcasts=3),
