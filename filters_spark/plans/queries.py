@@ -9610,6 +9610,109 @@ def ds_png_codec_gate(spark, sf_dir):
 
 
 @register(
+    "ds_corpus_pipeline_v6",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, source, w,
+             unnest(range(0, CAST(ceil(len(w)/2.0) AS BIGINT))) AS i
+      FROM base
+    ), chunks AS (
+      SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+             concat_ws(' ', w[CAST(i*2+1 AS INT)],
+                            w[CAST(i*2+2 AS INT)]) AS line
+      FROM idx
+    ), ranked AS (
+      SELECT doc_id, source, pos, line,
+             count(*) OVER (PARTITION BY trim(lower(line))) AS cnt,
+             row_number() OVER (PARTITION BY trim(lower(line))
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    ), per_doc AS (
+      SELECT doc_id, source,
+             sum(CASE WHEN cnt < 3 OR rn = 1
+                 THEN len(string_split(line, ' ')) ELSE 0 END) AS n_tok,
+             sum(CASE WHEN cnt < 3 OR rn = 1 THEN 1 ELSE 0 END)
+               AS n_kept,
+             sum(CASE WHEN cnt < 3 OR rn = 1 THEN length(line)
+                 ELSE 0 END) AS kept_line_chars
+      FROM ranked GROUP BY doc_id, source
+    ), lens AS (
+      SELECT doc_id, source, n_tok,
+             CASE WHEN n_kept > 0
+                  THEN kept_line_chars + n_kept - 1 ELSE 0 END
+               AS clean_chars
+      FROM per_doc
+    ), packed AS (
+      SELECT source, doc_id, n_tok, clean_chars,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM lens
+    )
+    SELECT source, CAST(floor(start / 256) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(sum(clean_chars) AS BIGINT) AS bin_chars
+    FROM packed GROUP BY source, bin
+    """,
+)
+def ds_corpus_pipeline_v6(spark, sf_dir):
+    """Round-6 curation capstone — the NEW operators composed end to
+    end: encoding repair -> corpus-wide boilerplate-line removal ->
+    streaming sequence packing.  The corpus gets non-ASCII planted
+    and is double-encoded JVM-side, so stage 1 (text.fix_mojibake)
+    must restore it EXACTLY before stage 2 chunks it into 2-word
+    lines and removes corpus-frequent ones (dedup.
+    remove_frequent_lines, keep='first'), and stage 3 packs the
+    surviving token counts into 256-token bins per source
+    (packing.pack_streaming).  The oracle replays lines/counts/bins
+    on the RAW ASCII corpus — legal because the planted substitution
+    is a char-count-preserving bijection — but bin_chars pins the
+    repair: unrepaired mojibake inflates every planted char to 2-3
+    chars, shifting clean_chars and failing the hash, so a silently
+    broken stage 1 cannot hide behind bijective token counts."""
+    from ..functions import packing
+    from ..functions.text import fix_mojibake
+
+    orig = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "a", "é"), "o", "—")
+    par = spark.sparkContext.defaultParallelism
+    moj = (_t(spark, sf_dir, "documents")
+           .repartition(par, "doc_id")
+           .select("doc_id", "source",
+                   F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")
+                   .alias("_t")))
+    repaired = fix_mojibake(moj, text_col="_t").drop("was_fixed")
+    words = F.split("_t", " ")
+    nch = F.ceil(F.size(words) / F.lit(2)).cast("int")
+    line_at = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.try_element_at(words, (i * 2 + 1).cast("int")),
+        F.try_element_at(words, (i * 2 + 2).cast("int")))
+    chunked = repaired.select(
+        "doc_id", "source",
+        F.array_join(F.transform(F.sequence(F.lit(0), nch - 1),
+                                 line_at), "\n").alias("_t"))
+    deduped = dedup.remove_frequent_lines(
+        chunked, text_col="_t", min_count=3, keep="first")
+    lens = deduped.select(
+        "doc_id", "source",
+        F.when(F.length("_t") == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.translate("_t", "\n", " "), " ")))
+        .alias("n_tok"),
+        F.length("_t").alias("clean_chars"))
+    packed = packing.pack_streaming(lens, "doc_id", "n_tok", 256,
+                                    partition_cols=["source"])
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bin_tokens"),
+        F.sum("clean_chars").cast("long").alias("bin_chars"),
+    )
+
+
+@register(
     "ds_mojibake_repair",
     oracle="""
     WITH m AS (

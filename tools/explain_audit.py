@@ -355,6 +355,10 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_line_dedup": dict(max_exchanges=3, min_broadcasts=1),
     # repartition (CPU-spread for the repair UDF) + final 1-row agg
     "ds_mojibake_repair": dict(max_exchanges=2),
+    # v6 capstone: repartition + line-freq agg + rebuild groupBy +
+    # passthrough join + pack window (source) + final agg; the
+    # boilerplate probe joins broadcast
+    "ds_corpus_pipeline_v6": dict(max_exchanges=7, min_broadcasts=1),
     # round 5: appended-index probes (same plan family as the
     # materialized originals) + the incremental composites
     "ds_postings_append": dict(max_exchanges=5, min_broadcasts=3),
