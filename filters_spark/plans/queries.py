@@ -9610,6 +9610,57 @@ def ds_png_codec_gate(spark, sf_dir):
 
 
 @register(
+    "rel_orc_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+             AS n_priorities,
+           CAST(0 AS BIGINT) AS n_extra_nonnull
+    FROM orders
+    """,
+)
+def rel_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink under the value hash (sources.read_orc /
+    write_orc — the Hive-lineage columnar format beside parquet):
+    orders (keys + exact money-cents) written as zlib ORC partitioned
+    by priority, read back through SCHEMA-ON-READ with an extra
+    evolved column that must null out (the read_evolving contract on
+    the ORC reader), partition-directory values restored as columns,
+    and exact checksums compared against the parquet-side oracle.  A
+    sink that dropped rows, a reader that mis-restored partition
+    values, or evolution that errored instead of nulling fails the
+    hash."""
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    from ..sources import readers
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    path = tempfile.mkdtemp(prefix="fs_orc_") + "/t"
+    readers.write_orc(base, path, partition_by=["o_orderpriority"])
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("evolved_note", T.StringType()),   # not in files
+        T.StructField("o_orderpriority", T.StringType()),  # partition dir
+    ])
+    back = readers.read_orc(spark, path, schema)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.countDistinct("o_orderpriority").cast("long")
+        .alias("n_priorities"),
+        F.sum(F.col("evolved_note").isNotNull().cast("int")).cast("long")
+        .alias("n_extra_nonnull"),
+    )
+
+
+@register(
     "ds_corpus_pipeline_v6",
     oracle="""
     WITH base AS (

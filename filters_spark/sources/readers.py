@@ -36,6 +36,8 @@ __all__ = [
     "CORRUPT_COL",
     "read_csv",
     "read_json",
+    "read_orc",
+    "write_orc",
     "read_text_docs",
     "read_media_dir",
     "read_evolving",
@@ -90,6 +92,35 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType,
         reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
         return reader.schema(_with_corrupt(schema)).load(path)
     return reader.schema(schema).load(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None,
+             **options: str) -> DataFrame:
+    """ORC with schema-on-read (the other columnar warehouse format
+    beside parquet — Hive-lineage lakes are full of it).  ORC is a
+    binary columnar container: there is no PERMISSIVE corrupt-record
+    concept (a damaged stripe is an error, not a row), so the handler
+    contract here is the explicit schema — missing columns null out
+    and extra columns are never read, exactly the
+    :func:`read_evolving` promise.  Predicate pushdown and column
+    pruning work like parquet (Spark's native vectorized ORC
+    reader)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list | None = None,
+              compression: str = "zlib") -> None:
+    """ORC sink twin of :func:`read_orc` (zlib is ORC's ubiquitous
+    default; snappy/zstd accepted)."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -406,6 +406,9 @@ EXPECTATIONS: dict[str, dict] = {
     # gate's rollup adds its one aggregate exchange (the two writes
     # happen before the returned plan)
     "rel_schema_evolution": dict(max_exchanges=1),
+    # write-side exchange is off-plan (the sink ran already); the
+    # read-back agg + distinct = 2
+    "rel_orc_roundtrip": dict(max_exchanges=2),
     # BMP codec gate: scan -> in-plan payload build -> two mapInPandas
     # crossings (decode + featurize) -> posexplode + one rollup
     "ds_bmp_codec_gate": dict(max_exchanges=1, scan_filter=True),
