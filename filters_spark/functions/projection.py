@@ -47,6 +47,8 @@ __all__ = [
     "pca_components",
     "pca_components_by",
     "pca_project",
+    "ridge_moments",
+    "ridge_fit",
 ]
 
 MICRO = 1_000_000
@@ -426,3 +428,84 @@ def covariance_merge(*parts: DataFrame,
         *groups, "i", "j", "n", "sxy", "sxi", "sxj",
         (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj"))
         .cast("decimal(38,0)").alias("cov_num"))
+
+
+def ridge_moments(df: DataFrame, vec_col: str = "embedding",
+                  label_col: str = "label", dim: int | None = None,
+                  engine: str = "arrow") -> DataFrame:
+    """Exact augmented second-moment table for linear-model training:
+    the label is appended as one extra dimension and the
+    :func:`covariance_pairs` machinery accumulates the full
+    ``[X y]ᵀ[X y]`` Gram (micro-unit integers, one scan, O(d²) result
+    rows regardless of corpus size).  Rows with ``i`` or ``j`` == dim
+    carry the ``Xᵀy`` / ``Σy`` / ``yᵀy`` moments.  This is the
+    DISTRIBUTED half of :func:`ridge_fit`, SQL-replayable and
+    hash-gated (``ds_ridge_fit``); quantization precondition:
+    |x|, |label| < 3035 (micro-unit long products)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col))).first()
+        dim = first[0] if first is not None and first[0] is not None else 1
+    aug = df.where(F.col(vec_col).isNotNull()
+                   & F.col(label_col).isNotNull()).select(
+        F.concat(F.col(vec_col).cast("array<double>"),
+                 F.array(F.col(label_col).cast("double"))).alias("_av"))
+    return covariance_pairs(aug, "_av", dim=dim + 1, engine=engine)
+
+
+def ridge_fit(df: DataFrame, vec_col: str = "embedding",
+              label_col: str = "label", dim: int | None = None,
+              reg: float = 1.0, fit_intercept: bool = True,
+              engine: str = "arrow") -> dict:
+    """Closed-form ridge regression at corpus scale — the "train a
+    quality classifier on the whole corpus" op: ONE distributed pass
+    (:func:`ridge_moments`) reduces 100 TB to the exact
+    (d+1)×(d+2)/2 integer moment table, then the normal equations
+    ``(XᵀX + λI)w = Xᵀy`` (intercept unpenalized, folded in via the
+    sum moments) solve driver-side over d² NUMBERS — the
+    :func:`pca_components` distribution-boundary design: the solve is
+    O(d³) on d² floats, deliberately NOT a distributed step.
+
+    Returns ``{"weights": [...], "intercept": float, "n": int}``;
+    feed straight into ``similarity.linear_score`` for batch
+    inference.  Exact-recovery, shrinkage and intercept invariants
+    are pytest-pinned (the moment table is the hash-gated half)."""
+    import numpy as np
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col))).first()
+        dim = first[0] if first is not None and first[0] is not None else 1
+    rows = ridge_moments(df, vec_col, label_col, dim=dim,
+                         engine=engine).collect()
+    if not rows:
+        raise ValueError("ridge_fit: no non-null (vector, label) rows")
+    D = dim + 1
+    extra = set(rows[0].asDict()) - {"i", "j", "n", "sxy", "sxi", "sxj",
+                                     "cov_num"}
+    if extra:
+        raise ValueError(
+            f"ridge_fit expects ungrouped moments (got extra cols {extra})")
+    n = rows[0]["n"]
+    if any(r["n"] != n for r in rows):
+        raise ValueError("ridge_fit: inconsistent n across moment rows — "
+                         "was the frame grouped?")
+    S2 = np.zeros((D, D))
+    S1 = np.zeros(D)
+    for r in rows:
+        v = float(r["sxy"]) / 1e12
+        S2[r["i"], r["j"]] = S2[r["j"], r["i"]] = v
+        S1[r["i"]] = float(r["sxi"]) / 1e6
+        S1[r["j"]] = float(r["sxj"]) / 1e6
+    XtX, Xty = S2[:dim, :dim], S2[:dim, dim]
+    Sx, Sy = S1[:dim], S1[dim]
+    if fit_intercept:
+        A = np.zeros((dim + 1, dim + 1))
+        A[:dim, :dim] = XtX + reg * np.eye(dim)
+        A[:dim, dim] = Sx
+        A[dim, :dim] = Sx
+        A[dim, dim] = n
+        b = np.concatenate([Xty, [Sy]])
+        w = np.linalg.solve(A, b)
+        return {"weights": w[:dim].tolist(), "intercept": float(w[dim]),
+                "n": int(n)}
+    w = np.linalg.solve(XtX + reg * np.eye(dim), Xty)
+    return {"weights": w.tolist(), "intercept": 0.0, "n": int(n)}

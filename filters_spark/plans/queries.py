@@ -9610,6 +9610,57 @@ def ds_png_codec_gate(spark, sf_dir):
 
 
 @register(
+    "ds_ridge_fit",
+    oracle="""
+    WITH qm AS (
+      SELECT vec_id,
+             list_append(
+               list_transform(embedding[1:8],
+                 x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS HUGEINT)),
+               CAST(round(CAST((vec_id % 19 - 9) AS DOUBLE) / 10.0
+                          * 1000000) AS HUGEINT)) AS qv
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, i, qv[i] AS x FROM qm, range(1, 10) t(i)
+    )
+    SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(a.x*b.x) AS BIGINT) AS sxy,
+           CAST(SUM(a.x) AS BIGINT) AS sxi,
+           CAST(SUM(b.x) AS BIGINT) AS sxj,
+           CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x) AS BIGINT)
+             AS cov_num
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def ds_ridge_fit(spark, sf_dir):
+    """Distributed linear-model TRAINING (projection.ridge_fit): the
+    corpus-scale half — the exact augmented ``[X y]ᵀ[X y]`` Gram over
+    8 embedding dims plus a deterministic in-plan label appended as
+    dimension 9 — under the value hash (the prof_covariance oracle
+    pattern with the label row carrying Xᵀy / Σy / yᵀy).  The
+    driver-side O(d³) normal-equation solve is deliberately NOT here
+    (the pca_components distribution-boundary design): exact
+    recovery, shrinkage and intercept behavior are pytest-pinned in
+    test_projection.py, while this gate pins the single distributed
+    pass that does all the corpus-size-dependent work."""
+    from ..functions import projection
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.slice("embedding", 1, 8).alias("vec"),
+        ((F.col("vec_id") % 19 - 9) / F.lit(10.0)).alias("label"))
+    m = projection.ridge_moments(e, "vec", "label", dim=8,
+                                 engine="expr")
+    return m.select(
+        "i", "j", "n",
+        F.col("sxy").cast("bigint").alias("sxy"),
+        F.col("sxi").cast("bigint").alias("sxi"),
+        F.col("sxj").cast("bigint").alias("sxj"),
+        F.col("cov_num").cast("bigint").alias("cov_num"))
+
+
+@register(
     "rel_orc_roundtrip",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

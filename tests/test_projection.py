@@ -378,3 +378,87 @@ class TestGroupedPCA:
             comps, eig = P.pca_components(solo_cov, dim=12, k=2)
             assert per[(grp,)][0] == comps
             assert per[(grp,)][1] == eig
+
+
+class TestRidgeFit:
+    def _frame(self, spark, n=400, d=6, seed=3, noise=0.0):
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        X = np.round(rng.uniform(-2, 2, (n, d)), 6)
+        w = np.array([1.5, -2.0, 0.25, 0.0, 3.0, -1.0][:d])
+        y = X @ w + 0.75 + (noise and rng.normal(0, noise, n))
+        rows = [(x.tolist(), float(v)) for x, v in zip(X, y)]
+        return (spark.createDataFrame(
+            rows, "embedding array<double>, label double"), w, 0.75)
+
+    def test_exact_recovery_both_engines(self, spark):
+        import numpy as np
+
+        from filters_spark.functions import projection as P
+        df, w_true, b_true = self._frame(spark)
+        for eng in ("expr", "arrow"):
+            fit = P.ridge_fit(df, reg=0.0, engine=eng)
+            got = np.array(fit["weights"])
+            # micro-quantization bounds the error at ~1e-6 relative
+            assert np.abs(got - w_true).max() < 1e-5, eng
+            assert abs(fit["intercept"] - b_true) < 1e-5, eng
+            assert fit["n"] == 400
+
+    def test_shrinkage_and_no_intercept(self, spark):
+        import numpy as np
+
+        from filters_spark.functions import projection as P
+        df, w_true, _ = self._frame(spark)
+        loose = P.ridge_fit(df, reg=0.0)
+        tight = P.ridge_fit(df, reg=500.0)
+        assert (np.linalg.norm(tight["weights"])
+                < np.linalg.norm(loose["weights"]))
+        ni = P.ridge_fit(df, reg=0.0, fit_intercept=False)
+        assert ni["intercept"] == 0.0
+
+    def test_matches_numpy_closed_form(self, spark):
+        import numpy as np
+
+        from filters_spark.functions import projection as P
+        df, _, _ = self._frame(spark, noise=0.3)
+        rows = df.collect()
+        X = np.array([r["embedding"] for r in rows])
+        y = np.array([r["label"] for r in rows])
+        lam = 7.0
+        Xa = np.hstack([X, np.ones((len(X), 1))])
+        A = Xa.T @ Xa + lam * np.diag([1.0] * X.shape[1] + [0.0])
+        ref = np.linalg.solve(A, Xa.T @ y)
+        fit = P.ridge_fit(df, reg=lam)
+        assert np.abs(np.array(fit["weights"]) - ref[:-1]).max() < 1e-4
+        assert abs(fit["intercept"] - ref[-1]) < 1e-4
+
+    def test_null_rows_dropped_and_empty_raises(self, spark):
+        import pytest as _pt
+
+        from filters_spark.functions import projection as P
+        df = spark.createDataFrame(
+            [([1.0, 2.0], 1.0), (None, 2.0), ([3.0, 4.0], None),
+             ([0.5, 0.5], 0.5)],
+            "embedding array<double>, label double")
+        fit = P.ridge_fit(df, reg=1.0)
+        assert fit["n"] == 2
+        empty = spark.createDataFrame(
+            [], "embedding array<double>, label double")
+        with _pt.raises(ValueError, match="no non-null"):
+            P.ridge_fit(empty, dim=2)
+
+    def test_fit_then_score_roundtrip(self, spark):
+        """Train -> batch-inference composition: linear_score with
+        the fitted weights reproduces the labels on noiseless data."""
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import projection as P
+        from filters_spark.functions import similarity as S
+        df, _, _ = self._frame(spark)
+        fit = P.ridge_fit(df, reg=0.0)
+        scored = df.select(
+            (S.linear_score(F.col("embedding"), fit["weights"],
+                            fit["intercept"])
+             - F.col("label")).alias("err"))
+        mx = scored.agg(F.max(F.abs("err"))).first()[0]
+        assert mx < 1e-4
