@@ -600,6 +600,32 @@ _JPEG_AC_COUNTS = [0] * 7 + [162] + [0] * 8
 _JPEG_AC_VALS = [0x00, 0xF0] + [(r << 4) | s
                                 for r in range(16) for s in range(1, 11)]
 
+# ITU T.81 Annex K.3 "typical" luminance tables — what libjpeg and
+# virtually every real encoder emits.  Multi-length canonical codes
+# (2..16 bits), so round-tripping through these exercises the
+# decoder's variable-length Huffman walk the uniform tables above
+# cannot.  (Public-spec constants: BITS counts + HUFFVAL order.)
+_JPEG_DC_LUM_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_LUM_VALS = list(range(12))
+_JPEG_AC_LUM_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
 
 class _JpegBitWriter:
     """MSB-first bit accumulator with 0xFF→0xFF00 byte stuffing and
@@ -715,7 +741,8 @@ def _jpeg_entropy_segments(payload: bytes, pos: int) -> list:
 
 
 def _encode_jpeg(rows, mode: str = "gray", q: int = 8,
-                 restart_interval: int = 0) -> bytes:
+                 restart_interval: int = 0,
+                 tables: str = "uniform") -> bytes:
     """Minimal REAL baseline JPEG encoder (gate/test twin of
     :func:`_decode_jpeg`): 8-bit luma `rows`, gray / YCbCr 4:4:4 /
     4:2:0 layouts (chroma constant 128 — zero after level shift, so
@@ -751,8 +778,16 @@ def _encode_jpeg(rows, mode: str = "gray", q: int = 8,
     for cid, ch, cv, _tq in comps[1:]:
         planes[cid] = np.full((mcuy * cv * 8, mcux * ch * 8), 128.0)
 
-    dc_enc, _ = _huff_canonical(_JPEG_DC_COUNTS, _JPEG_DC_VALS)
-    ac_enc, _ = _huff_canonical(_JPEG_AC_COUNTS, _JPEG_AC_VALS)
+    if tables == "uniform":
+        dc_tab = (_JPEG_DC_COUNTS, _JPEG_DC_VALS)
+        ac_tab = (_JPEG_AC_COUNTS, _JPEG_AC_VALS)
+    elif tables == "annexk":
+        dc_tab = (_JPEG_DC_LUM_COUNTS, _JPEG_DC_LUM_VALS)
+        ac_tab = (_JPEG_AC_LUM_COUNTS, _JPEG_AC_LUM_VALS)
+    else:
+        raise ValueError(f"tables must be uniform|annexk, got {tables!r}")
+    dc_enc, _ = _huff_canonical(*dc_tab)
+    ac_enc, _ = _huff_canonical(*ac_tab)
 
     out = bytearray(b"\xff\xd8")
     out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
@@ -767,8 +802,7 @@ def _encode_jpeg(rows, mode: str = "gray", q: int = 8,
         out += bytes([cid, (ch << 4) | cv, tq])
     n_h = 1 if mode == "gray" else 2
     for th in range(n_h):
-        for tc, counts, vals in ((0, _JPEG_DC_COUNTS, _JPEG_DC_VALS),
-                                 (1, _JPEG_AC_COUNTS, _JPEG_AC_VALS)):
+        for tc, counts, vals in ((0, *dc_tab), (1, *ac_tab)):
             out += (b"\xff\xc4"
                     + struct.pack(">H", 2 + 1 + 16 + len(vals))
                     + bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals))

@@ -1109,3 +1109,27 @@ class TestJpegCodec:
         p = _encode_jpeg(rows, mode="gray", q=8)
         out = np.frombuffer(_decode_jpeg(p, 16, 8), np.uint8)
         assert set(out.tolist()) == {10, 250}
+
+    def test_annexk_standard_tables_roundtrip(self):
+        """Round trip through the ITU T.81 Annex K typical luminance
+        tables — multi-length canonical codes (2..16 bits), the
+        shape every real encoder emits; exercises the decoder's
+        variable-length Huffman walk that the uniform tables
+        cannot."""
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_jpeg,
+                                                        _encode_jpeg)
+
+        rows = np.kron(self._codes(), np.ones((8, 8), np.int64))
+        p = _encode_jpeg(rows, mode="420", q=8, restart_interval=2,
+                         tables="annexk")
+        out = np.frombuffer(_decode_jpeg(p, 32, 32),
+                            np.uint8).reshape(32, 32)
+        assert (out == rows).all()
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (24, 24))
+        p2 = _encode_jpeg(img, mode="gray", q=1, tables="annexk")
+        out2 = np.frombuffer(_decode_jpeg(p2, 24, 24),
+                             np.uint8).reshape(24, 24)
+        assert np.abs(out2.astype(int) - img).max() <= 2
