@@ -92,6 +92,14 @@ HEADLINE = [
     # decode (16 DCT blocks/doc through the full entropy decoder);
     # headlining it keeps the codec hot path honest round over round
     "ds_jpeg_codec_gate",
+    # round 6 (late, cont.): the new pipeline ops + the v6 capstone
+    # composing them (repair -> line dedup -> pack), the one-pass
+    # ridge trainer, and the ORC roundtrip
+    "ds_mojibake_repair",
+    "ds_line_dedup",
+    "ds_corpus_pipeline_v6",
+    "ds_ridge_fit",
+    "rel_orc_roundtrip",
 ]
 
 
