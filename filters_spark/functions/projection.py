@@ -49,6 +49,7 @@ __all__ = [
     "pca_project",
     "ridge_moments",
     "ridge_fit",
+    "logistic_fit",
 ]
 
 MICRO = 1_000_000
@@ -509,3 +510,80 @@ def ridge_fit(df: DataFrame, vec_col: str = "embedding",
                 "n": int(n)}
     w = np.linalg.solve(XtX + reg * np.eye(dim), Xty)
     return {"weights": w.tolist(), "intercept": 0.0, "n": int(n)}
+
+
+def logistic_fit(df: DataFrame, vec_col: str = "embedding",
+                 label_col: str = "label", dim: int | None = None,
+                 reg: float = 1.0, iters: int = 8,
+                 tol: float = 1e-8, engine: str = "arrow") -> dict:
+    """Distributed logistic regression via IRLS (Newton) — the
+    "train a real quality CLASSIFIER on the corpus" op.  Each
+    iteration is ONE distributed pass: with current (β, b), every row
+    is scaled by √wᵢ (wᵢ = pᵢ(1−pᵢ), pure expressions with β baked
+    in as literals) and the working response zᵢ = ηᵢ + (yᵢ−pᵢ)/wᵢ
+    rides along as the label, so the weighted normal equations
+    ``(XᵀWX + λI)β = XᵀWz`` fall out of the SAME augmented-Gram
+    machinery :func:`ridge_fit` gates (``ds_ridge_fit`` pins the
+    distributed half; convergence is pytest-pinned against a numpy
+    IRLS reference — the per-iteration solve is driver-side O(d³) by
+    the module's distribution-boundary design, and β feedback between
+    iterations is driver state, which is why this op is
+    pytest-verified rather than SQL-replayed).
+
+    ``label_col`` must be 0/1.  Returns ``{"weights", "intercept",
+    "n", "iters"}``.  Quantization note: √w-scaled features stay
+    within the micro-unit bound (w ≤ 1/4); z is clamped via the
+    standard w-floor (1e-6) to keep |√w·z| bounded on separable
+    data."""
+    import numpy as np
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col))).first()
+        dim = first[0] if first is not None and first[0] is not None else 1
+    base = df.where(F.col(vec_col).isNotNull()
+                    & F.col(label_col).isNotNull())
+    beta = np.zeros(dim)
+    b = 0.0
+    n = None
+    done = 0
+    for it in range(iters):
+        wlits = F.array(*[F.lit(float(v)) for v in beta])
+        eta = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), wlits,
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda a, x: a + x) + F.lit(float(b))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = F.greatest(p * (F.lit(1.0) - p), F.lit(1e-6))
+        sw = F.sqrt(w)
+        z = eta + (F.col(label_col).cast("double") - p) / w
+        scaled = base.select(
+            F.transform(F.col(vec_col).cast("array<double>"),
+                        lambda x: x * sw).alias("_sv"),
+            (sw * z).alias("_sz"), sw.alias("_sw"))
+        # augment with √w itself as an extra feature: its Gram column
+        # carries Σw / Σw·x / Σw·z — the intercept's weighted moments
+        aug = scaled.select(
+            F.concat(F.col("_sv"), F.array(F.col("_sw"))).alias("_f"),
+            F.col("_sz").alias("_y"))
+        rows = ridge_moments(aug, "_f", "_y", dim=dim + 1,
+                             engine=engine).collect()
+        if not rows:
+            raise ValueError("logistic_fit: no non-null rows")
+        D = dim + 2
+        S2 = np.zeros((D, D))
+        for r in rows:
+            v = float(r["sxy"]) / 1e12
+            S2[r["i"], r["j"]] = S2[r["j"], r["i"]] = v
+        n = rows[0]["n"]
+        A = S2[:dim + 1, :dim + 1].copy()
+        A[:dim, :dim] += reg * np.eye(dim)
+        rhs = S2[:dim + 1, dim + 1]
+        sol = np.linalg.solve(A, rhs)
+        new_beta, new_b = sol[:dim], float(sol[dim])
+        delta = max(np.abs(new_beta - beta).max(), abs(new_b - b))
+        beta, b = new_beta, new_b
+        done = it + 1
+        if delta < tol:
+            break
+    return {"weights": beta.tolist(), "intercept": b, "n": int(n),
+            "iters": done}

@@ -462,3 +462,79 @@ class TestRidgeFit:
              - F.col("label")).alias("err"))
         mx = scored.agg(F.max(F.abs("err"))).first()[0]
         assert mx < 1e-4
+
+
+class TestLogisticFit:
+    def _data(self, spark, n=1500, seed=11):
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        X = np.round(rng.uniform(-2, 2, (n, 4)), 6)
+        w = np.array([1.2, -0.8, 0.5, 2.0])
+        p = 1 / (1 + np.exp(-(X @ w + -0.3)))
+        y = (rng.uniform(size=n) < p).astype(float)
+        df = spark.createDataFrame(
+            [(x.tolist(), float(v)) for x, v in zip(X, y)],
+            "embedding array<double>, label double")
+        return df, X, y
+
+    def _numpy_irls(self, X, y, reg):
+        import numpy as np
+        n, d = X.shape
+        Xa = np.hstack([X, np.ones((n, 1))])
+        beta = np.zeros(d + 1)
+        for _ in range(60):
+            eta = Xa @ beta
+            p = 1 / (1 + np.exp(-eta))
+            w = np.maximum(p * (1 - p), 1e-6)
+            z = eta + (y - p) / w
+            A = (Xa * w[:, None]).T @ Xa + reg * np.diag([1.0] * d + [0.0])
+            nb = np.linalg.solve(A, (Xa * w[:, None]).T @ z)
+            if np.abs(nb - beta).max() < 1e-10:
+                return nb
+            beta = nb
+        return beta
+
+    def test_matches_numpy_irls(self, spark):
+        import numpy as np
+
+        from filters_spark.functions import projection as P
+        df, X, y = self._data(spark)
+        fit = P.logistic_fit(df, reg=0.001, iters=12)
+        ref = self._numpy_irls(X, y, 0.001)
+        assert np.abs(np.array(fit["weights"]) - ref[:4]).max() < 1e-4
+        assert abs(fit["intercept"] - ref[4]) < 1e-4
+        assert fit["n"] == len(X)
+
+    def test_classifies_and_regularizes(self, spark):
+        import numpy as np
+
+        from filters_spark.functions import projection as P
+        df, X, y = self._data(spark)
+        fit = P.logistic_fit(df, reg=0.001, iters=12)
+        p = 1 / (1 + np.exp(-(X @ np.array(fit["weights"])
+                              + fit["intercept"])))
+        acc = ((p > 0.5) == (y > 0.5)).mean()
+        # labels are Bernoulli draws from the true model, so accuracy
+        # is capped by the Bayes rate of this weight vector (~0.84)
+        assert acc > 0.80, acc
+        # heavy ridge shrinks the separating direction
+        tight = P.logistic_fit(df, reg=200.0, iters=12)
+        assert (np.linalg.norm(tight["weights"])
+                < np.linalg.norm(fit["weights"]))
+
+    def test_separable_data_stays_finite(self, spark):
+        """Perfect separation sends the MLE to infinity; the w-floor
+        + ridge keep the solve finite and the classifier exact."""
+        import numpy as np
+
+        from filters_spark.functions import projection as P
+        X = np.array([[float(i % 7) - 3.0] for i in range(200)])
+        y = (X[:, 0] > 0).astype(float)
+        df = spark.createDataFrame(
+            [(x.tolist(), float(v)) for x, v in zip(X, y)],
+            "embedding array<double>, label double")
+        fit = P.logistic_fit(df, reg=0.1, iters=10)
+        assert np.isfinite(fit["weights"]).all()
+        p = 1 / (1 + np.exp(-(X @ np.array(fit["weights"])
+                              + fit["intercept"])))
+        assert (((p > 0.5) == (y > 0.5)) | (X[:, 0] == 0)).all()
