@@ -44,6 +44,9 @@ __all__ = [
     "linear_score",
     "logistic_score",
     "centroid_outliers",
+    "pq_train",
+    "pq_encode",
+    "pq_topk_adc",
 ]
 
 
@@ -842,3 +845,117 @@ def centroid_outliers(df: DataFrame, k: int = 8, iters: int = 2,
         .withColumn("is_outlier", (lhs > 0) & (lhs * lhs > rhs))
         .select(id_col, "cluster", "dist", "is_outlier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the FAISS IVF-PQ compression half): vectors
+# split into m contiguous subspaces, each quantized to its own small
+# codebook; a vector becomes m small codes and query-time distance is
+# asymmetric (ADC) — per-query lookup tables summed over codes, no
+# float vector ever touched at probe time.  At 100 TB this is the
+# difference between storing 768 floats and m bytes per vector.
+
+def pq_train(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", m: int = 4, k: int = 16,
+             iters: int = 1, round_dp: int = 9,
+             engine: str = "expr", dim: int | None = None) -> list:
+    """Train ``m`` per-subspace codebooks with the DETERMINISTIC
+    :func:`kmeans` (seeds = smallest ids, rounded-distance argmin,
+    snapped means — the hash-gateable contract), then collect them
+    driver-side: m × k × (d/m) floats = k·d numbers, tiny by the
+    same contract as k-means centroids.  ``dim`` must divide by
+    ``m``.  Returns ``codebooks[j] = [[...d/m floats...] × ≤k]``
+    (an emptied cluster drops out, same as kmeans).  Pass ``dim=``
+    to skip the dimension-probe job (and to make EMPTY training
+    frames well-defined: each codebook comes back empty — callers
+    short-circuit on that rather than quantizing against nothing)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col))).first()
+        dim = first[0] if first is not None and first[0] is not None else 0
+    if dim == 0 or dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sl = df.select(
+            F.col(id_col).alias("_id"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv"))
+        assigned = kmeans(sl, k=k, iters=iters, id_col="_id",
+                          vec_col="_sv", round_dp=round_dp,
+                          engine=engine)
+        cb = (assigned.join(sl, "_id")
+              .select("cluster", F.posexplode("_sv").alias("_d", "_x"))
+              .groupBy("cluster", "_d")
+              .agg(F.round(F.avg(F.col("_x").cast("double")), round_dp)
+                   .alias("_m"))
+              .groupBy("cluster")
+              .agg(F.array_sort(F.collect_list(F.struct("_d", "_m")))
+                   .alias("_dm"))
+              .select("cluster",
+                      F.transform("_dm", lambda s: s["_m"]).alias("_c"))
+              .orderBy("cluster").collect())
+        books.append([list(r["_c"]) for r in cb])
+    return books
+
+
+def _pq_subdist(vec_slice: Column, centroid: list) -> Column:
+    lits = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec_slice, lits,
+                       lambda x, c: (x.cast("double") - c)
+                       * (x.cast("double") - c)),
+            F.lit(0.0), lambda a, x: a + x), 6)
+
+
+def pq_encode(df: DataFrame, codebooks: list,
+              vec_col: str = "embedding",
+              out_col: str = "codes") -> DataFrame:
+    """Quantize each vector to its m codes: per subspace, argmin of
+    the 6-dp-ROUNDED squared distance over that subspace's codebook
+    (first-min = smallest code index on ties — the kmeans tie-break).
+    Pure expressions with the codebooks baked in as literals: a
+    zero-shuffle map, replayable by a SQL oracle."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dists = F.array(*[_pq_subdist(sl, c) for c in book])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*code_cols))
+
+
+def pq_topk_adc(queries: DataFrame, codes: DataFrame, codebooks: list,
+                k: int = 10, query_id: str = "query_id",
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codes_col: str = "codes") -> DataFrame:
+    """Asymmetric-distance top-k: each query builds its m per-
+    subspace lookup tables IN-PLAN (k·m rounded squared distances —
+    expressions over the query vector and the literal codebooks), the
+    small query side broadcasts against the codes table, and a doc's
+    distance is the sum of m table lookups — the encoded corpus is
+    scanned ONCE with integer-indexed element_at, never a float
+    vector op.  Ranks on the 6-dp-rounded ADC distance with id
+    tie-break (the module's hash-gate discipline).  Compose with the
+    IVF cell layout to prune the scan (the ivf_topk_from_index
+    pattern); this operator is the ADC arithmetic itself."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tabs = F.array(*[
+        F.array(*[_pq_subdist(F.slice(F.col(vec_col), j * sub + 1, sub), c)
+                  for c in book])
+        for j, book in enumerate(codebooks)])
+    q = queries.select(F.col(query_id).alias("_qid"), tabs.alias("_tabs"))
+    dist = F.round(sum(
+        F.element_at(F.element_at("_tabs", j + 1),
+                     F.element_at(F.col(codes_col), j + 1) + 1)
+        for j in range(m)), 6)
+    w = Window.partitionBy("_qid").orderBy(F.col("adist"), F.col(id_col))
+    return (codes.join(F.broadcast(q), F.col("_qid") != F.col(id_col))
+            .withColumn("adist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("_qid").alias(query_id),
+                    F.col(id_col).alias("neighbor_id"), "adist", "rank"))

@@ -230,3 +230,64 @@ class TestCentroidOutliers:
         b = sorted(map(tuple, similarity.centroid_outliers(
             df.repartition(5), k=2, iters=2, z=2).collect()))
         assert a == b
+
+
+class TestProductQuantization:
+    def _emb(self, spark, n=120, d=8, seed=5):
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        # two clear clusters per subspace so 2-code books are stable
+        base = rng.uniform(-1, 1, (n, d))
+        base[n // 2:] += 4.0
+        rows = [(i, np.round(v, 6).tolist()) for i, v in enumerate(base)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+
+    def test_train_encode_shapes_and_determinism(self, spark):
+        from filters_spark.functions import similarity as S
+        df = self._emb(spark)
+        books = S.pq_train(df, m=2, k=2, iters=1, dim=8)
+        assert len(books) == 2
+        assert all(len(c) == 4 for b in books for c in b)
+        again = S.pq_train(df, m=2, k=2, iters=1, dim=8)
+        assert books == again                     # fully deterministic
+        codes = {r["vec_id"]: r["codes"]
+                 for r in S.pq_encode(df, books).collect()}
+        assert all(len(c) == 2 and all(0 <= x < 2 for x in c)
+                   for c in codes.values())
+        # byte-identical vectors must encode identically
+        row = df.where("vec_id = 3").first()
+        df2 = df.union(spark.createDataFrame(
+            [(999, row["embedding"])], df.schema))
+        codes2 = {r["vec_id"]: r["codes"]
+                  for r in S.pq_encode(df2, books).collect()}
+        assert codes2[999] == codes2[3]
+
+    def test_adc_recall_on_separated_clusters(self, spark):
+        """With well-separated clusters, ADC top-k must stay inside
+        the query's own cluster — the compression preserves coarse
+        geometry."""
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import similarity as S
+        df = self._emb(spark)
+        books = S.pq_train(df, m=2, k=2, iters=1, dim=8)
+        codes = S.pq_encode(df, books)
+        q = (df.where(F.col("vec_id").isin(0, 70))
+             .select(F.col("vec_id").alias("query_id"), "embedding"))
+        top = S.pq_topk_adc(q, codes, books, k=10).collect()
+        for r in top:
+            same_cluster = (r["query_id"] < 60) == (r["neighbor_id"] < 60)
+            assert same_cluster, r
+
+    def test_dim_guard_and_empty_train(self, spark):
+        import pytest as _pt
+
+        from filters_spark.functions import similarity as S
+        df = self._emb(spark, d=8)
+        with _pt.raises(ValueError, match="divisible"):
+            S.pq_train(df, m=3, dim=8)
+        empty = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<double>")
+        books = S.pq_train(empty, m=2, k=2, dim=8)
+        assert books == [[], []]
