@@ -9732,6 +9732,140 @@ def ds_pq_topk(spark, sf_dir):
 
 
 @register(
+    "ds_ivfpq_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id AS id, label, embedding[1:16]::DOUBLE[] AS v
+      FROM embeddings
+    ), s0 AS (SELECT id, v[1:8] AS sv FROM v),
+    s1 AS (SELECT id, v[9:16] AS sv FROM v),
+    seeds0 AS (SELECT id, sv FROM s0 ORDER BY id LIMIT 4),
+    seeds1 AS (SELECT id, sv FROM s1 ORDER BY id LIMIT 4),
+    c00 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, sv AS c
+            FROM seeds0),
+    c01 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, sv AS c
+            FROM seeds1),
+    a0 AS (
+      SELECT id, sv, cidx FROM (
+        SELECT s.id, s.sv, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id
+                 ORDER BY round(list_distance(s.sv, c.c), 6), c.cidx) AS rk
+        FROM s0 s CROSS JOIN c00 c) WHERE rk = 1
+    ),
+    a1 AS (
+      SELECT id, sv, cidx FROM (
+        SELECT s.id, s.sv, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id
+                 ORDER BY round(list_distance(s.sv, c.c), 6), c.cidx) AS rk
+        FROM s1 s CROSS JOIN c01 c) WHERE rk = 1
+    ),
+    cb0 AS (
+      SELECT cidx, list(m ORDER BY d) AS c FROM (
+        SELECT cidx, d, round(avg(x), 9) AS m FROM (
+          SELECT cidx, unnest(sv) AS x,
+                 unnest(range(1, len(sv) + 1)) AS d FROM a0)
+        GROUP BY cidx, d) GROUP BY cidx
+    ),
+    cb1 AS (
+      SELECT cidx, list(m ORDER BY d) AS c FROM (
+        SELECT cidx, d, round(avg(x), 9) AS m FROM (
+          SELECT cidx, unnest(sv) AS x,
+                 unnest(range(1, len(sv) + 1)) AS d FROM a1)
+        GROUP BY cidx, d) GROUP BY cidx
+    ),
+    e0 AS (
+      SELECT id, cidx AS code0 FROM (
+        SELECT s.id, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id ORDER BY
+                 round(list_sum(list_transform(list_zip(s.sv, c.c),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))), 6),
+                 c.cidx) AS rk
+        FROM s0 s CROSS JOIN cb0 c) WHERE rk = 1
+    ),
+    e1 AS (
+      SELECT id, cidx AS code1 FROM (
+        SELECT s.id, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id ORDER BY
+                 round(list_sum(list_transform(list_zip(s.sv, c.c),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))), 6),
+                 c.cidx) AS rk
+        FROM s1 s CROSS JOIN cb1 c) WHERE rk = 1
+    ),
+    ex AS (
+      SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS d
+      FROM v
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY d) AS centroid
+      FROM (SELECT label, d, avg(x) AS c FROM ex GROUP BY label, d)
+      GROUP BY label
+    ),
+    dq AS (SELECT id AS qid, v AS qv FROM v WHERE id % 97 = 0),
+    probes AS (
+      SELECT qid, label FROM (
+        SELECT dq.qid, c.label,
+               row_number() OVER (
+                 PARTITION BY dq.qid
+                 ORDER BY round(list_cosine_similarity(dq.qv, c.centroid),
+                                6) DESC, c.label) AS prank
+        FROM dq CROSS JOIN cent c) WHERE prank <= 2
+    ),
+    qt0 AS (
+      SELECT q.id AS qid, c.cidx,
+             round(list_sum(list_transform(list_zip(q.sv, c.c),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS t
+      FROM s0 q CROSS JOIN cb0 c WHERE q.id % 97 = 0
+    ),
+    qt1 AS (
+      SELECT q.id AS qid, c.cidx,
+             round(list_sum(list_transform(list_zip(q.sv, c.c),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS t
+      FROM s1 q CROSS JOIN cb1 c WHERE q.id % 97 = 0
+    ),
+    scored AS (
+      SELECT q0.qid AS query_id, e0.id AS neighbor_id,
+             round(q0.t + q1.t, 6) AS adist
+      FROM e0 JOIN e1 ON e0.id = e1.id
+      JOIN v ON v.id = e0.id
+      JOIN probes p ON p.label = v.label
+      JOIN qt0 q0 ON q0.cidx = e0.code0 AND q0.qid = p.qid
+      JOIN qt1 q1 ON q1.cidx = e1.code1 AND q1.qid = q0.qid
+      WHERE e0.id != q0.qid
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ds_ivfpq_topk(spark, sf_dir):
+    """The FULL IVF-PQ probe under the value hash (similarity.
+    pq_topk_ivf — the billion-scale FAISS shape): coarse label cells
+    pruned to nprobe=2 per query by rounded-cosine centroid rank,
+    then asymmetric PQ distance over the probed cells' codes only —
+    scan fraction AND per-candidate cost pruned simultaneously.  The
+    oracle replays the entire composition: per-subspace kmeans →
+    codebooks → encode, per-cell centroids → probe ranks, and the
+    ADC sum restricted to probed (query, cell) pairs."""
+    emb16 = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.slice("embedding", 1, 16).alias("embedding"))
+    books = similarity.pq_train(emb16, m=2, k=4, iters=1, dim=16)
+    if not books or not books[0]:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+                "adist double, rank int")
+    q = (emb16.where(F.col("vec_id") % 97 == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.pq_topk_ivf(q, emb16, books, k=10, nprobe=2,
+                                  cell_col="label")
+
+
+@register(
     "ds_ridge_fit",
     oracle="""
     WITH qm AS (

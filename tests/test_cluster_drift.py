@@ -291,3 +291,26 @@ class TestProductQuantization:
             [], "vec_id bigint, embedding array<double>")
         books = S.pq_train(empty, m=2, k=2, dim=8)
         assert books == [[], []]
+
+    def test_ivfpq_prunes_to_probed_cells(self, spark):
+        """IVF-PQ: with nprobe=1 and two well-separated label cells,
+        every neighbor must come from the query's own cell."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import similarity as S
+        rng = np.random.RandomState(9)
+        base = rng.uniform(-1, 1, (80, 8))
+        base[40:] += 6.0
+        rows = [(i, int(i >= 40), np.round(v, 6).tolist())
+                for i, v in enumerate(base)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, label int, embedding array<double>")
+        books = S.pq_train(df, m=2, k=2, iters=1, dim=8)
+        q = (df.where(F.col("vec_id").isin(0, 41))
+             .select(F.col("vec_id").alias("query_id"), "embedding"))
+        top = S.pq_topk_ivf(q, df, books, k=5, nprobe=1,
+                            cell_col="label").collect()
+        assert len(top) == 10
+        for r in top:
+            assert (r["query_id"] >= 40) == (r["neighbor_id"] >= 40), r

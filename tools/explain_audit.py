@@ -413,6 +413,8 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank
     "ds_pq_topk": dict(max_exchanges=1, min_broadcasts=1),
+    # IVF-PQ: centroid agg + probe rank + ADC rank + broadcasts
+    "ds_ivfpq_topk": dict(max_exchanges=4, min_broadcasts=3),
     # BMP codec gate: scan -> in-plan payload build -> two mapInPandas
     # crossings (decode + featurize) -> posexplode + one rollup
     "ds_bmp_codec_gate": dict(max_exchanges=1, scan_filter=True),
