@@ -48,6 +48,9 @@ __all__ = [
     "pq_encode",
     "pq_topk_adc",
     "pq_topk_ivf",
+    "materialize_pq_index",
+    "append_pq",
+    "pq_topk_from_index",
 ]
 
 
@@ -1018,3 +1021,166 @@ def pq_topk_ivf(queries: DataFrame, vectors: DataFrame, codebooks: list,
             .where(F.col("rank") <= k)
             .select(F.col("_qid").alias(query_id),
                     F.col(id_col).alias("neighbor_id"), "adist", "rank"))
+
+
+def materialize_pq_index(vectors: DataFrame, path: str,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         cell_col: str = "label",
+                         m: int = 2, k: int = 4, iters: int = 1,
+                         dim: int | None = None) -> None:
+    """Materialize an IVF-PQ index: the pay-once artifact whose probe
+    path never touches a float corpus vector — the compressed twin of
+    :func:`materialize_ivf_index` (and the third index lifecycle
+    beside it and ``retrieval.materialize_postings``).
+
+    Layout under ``path``:
+
+    * ``codes/`` — (vec_id, codes array<int>, cell), PARTITIONED BY
+      cell: probes read only probed cell directories, and each row is
+      m small codes instead of d floats — the on-disk footprint that
+      makes billion-vector ANN indexes fit.
+    * ``codebooks/`` — (subspace, code, centroid): m·k rows, the
+      trained quantizer; appends REUSE it (codebooks are training
+      artifacts — appending does not retrain, the same drift contract
+      as IVF centroids, cleared by retraining/rebuilding).
+    * ``cellstats/`` + ``centroids/`` — identical to the IVF index
+      (additive, O(delta)-foldable); ``schema/`` — empty-frame marker.
+    * ``meta/`` — (m, sub) so append/probe reshape codes without
+      inferring."""
+    spark = vectors.sparkSession
+    books = pq_train(vectors, vec_col, id_col, m=m, k=k, iters=iters,
+                     dim=dim)
+    sub = len(books[0][0]) if books and books[0] else 0
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("embedding"),
+                       F.col(cell_col).alias("cell"))
+    codes = pq_encode(v, books, "embedding", "codes") if sub else \
+        v.withColumn("codes", F.array().cast("array<int>"))
+    c = codes.select("vec_id", "codes", "cell")
+    (c.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/codes"))
+    c.limit(0).write.mode("overwrite").parquet(f"{path}/schema")
+    rows = [(j, ci, list(map(float, cvec)))
+            for j, book in enumerate(books)
+            for ci, cvec in enumerate(book)]
+    (spark.createDataFrame(rows,
+                           "subspace int, code int, centroid array<double>")
+     .write.mode("overwrite").parquet(f"{path}/codebooks"))
+    _cellstats(v).write.mode("overwrite").parquet(f"{path}/cellstats")
+    _centroids_from_stats(spark.read.parquet(f"{path}/cellstats")) \
+        .write.mode("overwrite").parquet(f"{path}/centroids")
+    (spark.createDataFrame([(m, sub)], "m int, sub int")
+     .write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def _read_codebooks(spark, path: str) -> list:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    meta = spark.read.parquet(f"{path}/meta").head()
+    books = [[] for _ in range(meta["m"])]
+    for r in sorted(rows, key=lambda r: (r["subspace"], r["code"])):
+        books[r["subspace"]].append(list(r["centroid"]))
+    return books
+
+
+def append_pq(spark, path: str, new_vectors: DataFrame,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              cell_col: str = "label") -> None:
+    """O(delta) maintenance for a :func:`materialize_pq_index`
+    artifact: new vectors are encoded with the STORED codebooks (no
+    retraining — the quantizer is a training artifact), their codes
+    appended into the cell partitions, and cellstats folded
+    additively exactly as :func:`append_ivf`.  Precondition: ids
+    disjoint, dimensionality matching, caller-provided cells (the
+    'external' quantizer contract)."""
+    books = _read_codebooks(spark, path)
+    if not books or not books[0]:
+        raise ValueError("append_pq: index has no trained codebooks")
+    v = new_vectors.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("embedding"),
+                           F.col(cell_col).alias("cell"))
+    codes = pq_encode(v, books, "embedding", "codes") \
+        .select("vec_id", "codes", "cell")
+    (codes.repartition("cell")
+     .write.mode("append").partitionBy("cell")
+     .parquet(f"{path}/codes"))
+    stats_df = spark.read.parquet(f"{path}/cellstats")
+    stats_schema = stats_df.schema
+    old = {r["cell"]: (r["n"], list(r["sumvec"]))
+           for r in stats_df.collect()}
+    for r in _cellstats(v).collect():
+        if r["cell"] in old:
+            n0, s0 = old[r["cell"]]
+            old[r["cell"]] = (n0 + r["n"],
+                              [a + b for a, b in zip(s0, r["sumvec"])])
+        else:
+            old[r["cell"]] = (r["n"], list(r["sumvec"]))
+    merged = spark.createDataFrame(
+        [(c, n, s) for c, (n, s) in sorted(old.items())], stats_schema)
+    merged.write.mode("overwrite").parquet(f"{path}/cellstats")
+    _centroids_from_stats(spark.read.parquet(f"{path}/cellstats")) \
+        .write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def pq_topk_from_index(spark, path: str, queries: DataFrame,
+                       k: int = 10, nprobe: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k against a :func:`materialize_pq_index` artifact:
+    stored centroids rank the probes (6-dp-rounded cosine, cell
+    tie-break — the ivf_topk_from_index contract), ONLY the probed
+    cell directories are read as explicit escaped paths, and each
+    candidate costs m table lookups over its stored codes — neither
+    the corpus vectors nor an unpruned cell is ever touched."""
+    books = _read_codebooks(spark, path)
+    if not books or not books[0]:
+        return spark.read.parquet(f"{path}/schema").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("adist"), F.lit(0).alias("rank")).limit(0)
+    m = len(books)
+    sub = len(books[0][0])
+    cent = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("_pscore").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cell",
+                F.round(cosine(F.col("_qv"), F.col("centroid")), 6)
+                .alias("_pscore"))
+        .withColumn("_prank", F.row_number().over(pw))
+        .where(F.col("_prank") <= nprobe)
+        .select("query_id", "cell"))
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    if any(c is None for c in cells):
+        raise ValueError("pq_topk_from_index: probed a NULL cell")
+    sch = spark.read.parquet(f"{path}/schema").schema
+    base = f"{path}/codes"
+    if cells:
+        c = (spark.read.option("basePath", base).schema(sch)
+             .parquet(*[f"{base}/cell={_escape_partition_value(x)}"
+                        for x in cells]))
+    else:
+        c = spark.read.parquet(f"{path}/schema")
+    tabs = F.array(*[
+        F.array(*[_pq_subdist(F.slice(F.col("_qv"), j * sub + 1, sub), cv)
+                  for cv in book])
+        for j, book in enumerate(books)])
+    qt = q.select("query_id", tabs.alias("_tabs"))
+    dist = F.round(sum(
+        F.element_at(F.element_at("_tabs", j + 1),
+                     F.element_at(F.col("codes"), j + 1) + 1)
+        for j in range(m)), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("adist"),
+                                               F.col("vec_id"))
+    return (c.join(F.broadcast(probes), "cell")
+            .join(F.broadcast(qt), "query_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("adist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "adist", "rank"))

@@ -9731,9 +9731,7 @@ def ds_pq_topk(spark, sf_dir):
     return similarity.pq_topk_adc(q, codes, books, k=10)
 
 
-@register(
-    "ds_ivfpq_topk",
-    oracle="""
+_IVFPQ_ORACLE = """
     WITH v AS (
       SELECT vec_id AS id, label, embedding[1:16]::DOUBLE[] AS v
       FROM embeddings
@@ -9841,7 +9839,12 @@ def ds_pq_topk(spark, sf_dir):
                                    ORDER BY adist, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
+"""
+
+
+@register(
+    "ds_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
 )
 def ds_ivfpq_topk(spark, sf_dir):
     """The FULL IVF-PQ probe under the value hash (similarity.
@@ -9863,6 +9866,37 @@ def ds_ivfpq_topk(spark, sf_dir):
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     return similarity.pq_topk_ivf(q, emb16, books, k=10, nprobe=2,
                                   cell_col="label")
+
+
+@register(
+    "ds_pq_index_topk",
+    oracle=_IVFPQ_ORACLE,
+)
+def ds_pq_index_topk(spark, sf_dir):
+    """The MATERIALIZED IVF-PQ index under the value hash
+    (similarity.materialize_pq_index / pq_topk_from_index — the
+    third index lifecycle beside BM25 postings and the float IVF
+    index): codebooks + cell-partitioned codes + additive cellstats
+    written once, then the probe reads ONLY the probed cell
+    directories as explicit paths and scores candidates from stored
+    CODES — no corpus float vector exists anywhere on the probe
+    path.  Shares `ds_ivfpq_topk`'s oracle verbatim: the
+    materialization is a physical detail, the ADC semantics are
+    identical (same probe ranks, same codebooks, same distances) —
+    a probe that read an unprobed cell, dropped one, or decoded
+    codes against the wrong codebook diverges from the in-memory
+    twin and fails the hash."""
+    import tempfile
+
+    emb16 = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.slice("embedding", 1, 16).alias("embedding"))
+    path = tempfile.mkdtemp(prefix="fs_pqidx_") + "/t"
+    similarity.materialize_pq_index(emb16, path, cell_col="label",
+                                    m=2, k=4, iters=1, dim=16)
+    q = (emb16.where(F.col("vec_id") % 97 == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.pq_topk_from_index(spark, path, q, k=10, nprobe=2,
+                                         id_col="query_id")
 
 
 @register(

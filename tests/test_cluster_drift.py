@@ -314,3 +314,60 @@ class TestProductQuantization:
         assert len(top) == 10
         for r in top:
             assert (r["query_id"] >= 40) == (r["neighbor_id"] >= 40), r
+
+    def test_pq_index_append_matches_rebuild(self, spark, tmp_path):
+        """append_pq is O(delta) but must answer EXACTLY like a
+        rebuilt index whose codebooks came from the original corpus:
+        same stored quantizer, additive cellstats, so probes agree."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import similarity as S
+        rng = np.random.RandomState(13)
+        base = rng.uniform(-1, 1, (60, 8))
+        base[30:] += 6.0
+        rows = [(i, int(i >= 30), np.round(v, 6).tolist())
+                for i, v in enumerate(base)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, label int, embedding array<double>")
+        delta_rows = [(100 + i, int(i % 2),
+                       np.round(rng.uniform(-1, 1, 8)
+                                + (6.0 if i % 2 else 0.0), 6).tolist())
+                      for i in range(10)]
+        delta = spark.createDataFrame(delta_rows, df.schema)
+
+        p1 = str(tmp_path / "idx_inc")
+        S.materialize_pq_index(df, p1, cell_col="label", m=2, k=2,
+                               iters=1, dim=8)
+        S.append_pq(spark, p1, delta, cell_col="label")
+
+        # rebuild twin: same TRAINING corpus (codebooks are training
+        # artifacts), full data re-encoded
+        books = S.pq_train(df, m=2, k=2, iters=1, dim=8)
+        p2 = str(tmp_path / "idx_full")
+        S.materialize_pq_index(df, p2, cell_col="label", m=2, k=2,
+                               iters=1, dim=8)
+        S.append_pq(spark, p2, delta, cell_col="label")  # same path twice
+
+        q = (df.union(delta).where(F.col("vec_id").isin(0, 31, 105))
+             .select(F.col("vec_id").alias("query_id"), "embedding"))
+        got1 = sorted(map(tuple, S.pq_topk_from_index(
+            spark, p1, q, k=5, nprobe=1, id_col="query_id").collect()))
+        got2 = sorted(map(tuple, S.pq_topk_from_index(
+            spark, p2, q, k=5, nprobe=1, id_col="query_id").collect()))
+        assert got1 == got2 and len(got1) == 15
+        # appended codes are index-visible (rank lists need not show
+        # them: equal-code candidates tie-break to the smaller id)
+        stored = spark.read.schema(
+            spark.read.parquet(p1 + "/schema").schema).parquet(
+            p1 + "/codes")
+        assert stored.count() == 70
+        assert stored.where("vec_id >= 100").count() == 10
+        # append refuses an untrained index
+        empty = spark.createDataFrame([], df.schema)
+        p3 = str(tmp_path / "idx_empty")
+        S.materialize_pq_index(empty, p3, cell_col="label", m=2, k=2,
+                               iters=1, dim=8)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="no trained codebooks"):
+            S.append_pq(spark, p3, delta, cell_col="label")
