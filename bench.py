@@ -100,6 +100,10 @@ HEADLINE = [
     "ds_corpus_pipeline_v6",
     "ds_ridge_fit",
     "rel_orc_roundtrip",
+    # round 6 (close): the PQ family — quantized ANN end to end
+    "ds_pq_topk",
+    "ds_ivfpq_topk",
+    "ds_pq_index_topk",
 ]
 
 
