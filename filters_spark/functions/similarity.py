@@ -51,6 +51,7 @@ __all__ = [
     "materialize_pq_index",
     "append_pq",
     "pq_topk_from_index",
+    "compact_pq",
 ]
 
 
@@ -1227,3 +1228,29 @@ def pq_topk_from_index(spark, path: str, queries: DataFrame,
             .where(F.col("rank") <= k)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "adist", "rank"))
+
+
+def compact_pq(spark, path: str) -> None:
+    """Compact an appended :func:`materialize_pq_index` artifact —
+    the LSM step completing the lifecycle trio (postings, IVF, PQ):
+    every :func:`append_pq` adds one file per touched cell directory,
+    so probe cost grows with append count even though pruning stays
+    correct; the rewrite repartitions stored CODES back to one file
+    set per cell and recomputes (cellstats, centroids) from scratch,
+    clearing additive-merge ulp drift.  Codebooks are untouched (a
+    training artifact — retraining is a rebuild, not a compaction).
+    Staged-swap rename (the compact_postings discipline): concurrent
+    readers see the old file set or the new one, never half."""
+    import shutil
+
+    sch = spark.read.parquet(f"{path}/schema").schema
+    c = spark.read.schema(sch).parquet(f"{path}/codes")
+    tmp = f"{path}/codes.compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (c.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+    old = f"{path}/codes.old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(f"{path}/codes", old)
+    shutil.move(tmp, f"{path}/codes")
+    shutil.rmtree(old, ignore_errors=True)

@@ -381,3 +381,31 @@ class TestProductQuantization:
         b = sorted((r["vec_id"], tuple(r["codes"])) for r in
                    S.pq_encode(df, books, engine="arrow").collect())
         assert a == b
+
+    def test_pq_compact_reduces_files_same_answers(self, spark, tmp_path):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions import similarity as S
+        rng = np.random.RandomState(21)
+        mk = lambda ids: spark.createDataFrame(  # noqa: E731
+            [(i, int(i % 2), np.round(rng.uniform(-1, 1, 8), 6).tolist())
+             for i in ids], "vec_id bigint, label int, embedding array<double>")
+        p = str(tmp_path / "idx_c")
+        S.materialize_pq_index(mk(range(40)), p, cell_col="label",
+                               m=2, k=2, iters=1, dim=8)
+        for b in range(3):
+            S.append_pq(spark, p, mk(range(100 + b * 10, 110 + b * 10)),
+                        cell_col="label")
+        q = (mk([500]).select(F.col("vec_id").alias("query_id"),
+                              "embedding"))
+        before = sorted(map(tuple, S.pq_topk_from_index(
+            spark, p, q, k=5, nprobe=2, id_col="query_id").collect()))
+        import glob
+        n_before = len(glob.glob(p + "/codes/cell=*/*.parquet"))
+        S.compact_pq(spark, p)
+        n_after = len(glob.glob(p + "/codes/cell=*/*.parquet"))
+        after = sorted(map(tuple, S.pq_topk_from_index(
+            spark, p, q, k=5, nprobe=2, id_col="query_id").collect()))
+        assert after == before
+        assert n_after < n_before
