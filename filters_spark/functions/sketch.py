@@ -37,6 +37,7 @@ __all__ = [
     "bloom_bits",
     "bloom_contains",
     "bloom_merge",
+    "bloom_semi_join",
     "hdr_table",
     "hdr_merge",
     "hdr_quantiles",
@@ -357,3 +358,51 @@ def hdr_quantiles(table: DataFrame, qs: list[tuple[int, int]],
             .agg(F.max("_n").alias("n"),
                  F.min(F.when(F.col("_c") >= thresh, F.col("lb")))
                  .cast("bigint").alias("est")))
+
+
+def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
+                    n_bits: int = 1 << 20, k: int = 7,
+                    confirm: bool = True) -> DataFrame:
+    """Runtime Bloom pre-filter for a semi join (the engine-level
+    "runtime filter" / sideways-information-passing trick, done as a
+    library op): the small side's keys build an m-bit filter (one
+    exploded agg, ≤m distinct set bits), the bitmask ships as ONE
+    packed array<bigint> literal (m/64 words — a single Literal node,
+    no codegen blowup), and the BIG side drops definite non-members
+    MAP-SIDE with k pure-JVM hash probes BEFORE anything shuffles.
+    ``confirm=True`` (default) follows with the exact left-semi join,
+    so the Bloom stage is semantically invisible — it only shrinks
+    the exact join's probe volume by the non-member fraction (at
+    100 TB, shuffle bytes are the bill; fpp ≈ (1−e^{−kn/m})^k is the
+    residual).  ``confirm=False`` returns the MAYBE superset — the
+    streaming "seen before?" primitive.  NULL big-side keys never
+    survive (matching semi-join semantics).  Precondition: the small
+    side is genuinely small (its DISTINCT bit table collects —
+    ≤ min(k·|small|, m) positions)."""
+    bits = bloom_bits(small, key, n_bits, k).collect()
+    n_words = (n_bits + 63) // 64
+    words = [0] * n_words
+    for r in bits:
+        b = int(r["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    # int64-signed view of the raw word bits (lit() range contract)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    out = big.withColumn("_bsj_w", F.lit(words))
+    cond = F.lit(True)
+    probes = []
+    for s in range(k):
+        p = f"_bsj_p{s}"
+        probes.append(p)
+        out = out.withColumn(p, cms_bucket(F.col(key), F.lit(s), n_bits))
+        # SQL shiftright accepts COLUMN bit counts (the Python
+        # F.shiftright does not — the r5 gotcha); sign-extension is
+        # irrelevant, only the lowest bit is read
+        cond = cond & F.expr(
+            f"(shiftright(element_at(_bsj_w, "
+            f"cast(shiftright({p}, 6) as int) + 1), "
+            f"cast(pmod({p}, 64) as int)) & 1) = 1")
+    filtered = out.where(cond).drop("_bsj_w", *probes)
+    if confirm:
+        return filtered.join(small.select(key).distinct(), key,
+                             "left_semi")
+    return filtered

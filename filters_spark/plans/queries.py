@@ -9731,6 +9731,45 @@ def ds_pq_topk(spark, sf_dir):
     return similarity.pq_topk_adc(q, codes, books, k=10)
 
 
+@register(
+    "rel_bloom_prejoin",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderkey % 500 = 0)
+    GROUP BY l_returnflag
+    """,
+)
+def rel_bloom_prejoin(spark, sf_dir):
+    """Runtime Bloom pre-join filtering under the value hash
+    (sketch.bloom_semi_join — the sideways-information-passing trick
+    as a library op): a selective orders subset builds an m-bit
+    filter whose packed bitmask ships as ONE array literal, lineitem
+    drops definite non-members map-side with k pure-JVM md5 probes
+    BEFORE the exact semi join runs, and the confirm join makes the
+    Bloom stage semantically invisible — the oracle replays a plain
+    IN subquery.  A wrong hash, bit-packing endianness slip, or
+    dropped true member changes the rollup and fails the hash; the
+    false-positive bound and the confirm=False superset contract are
+    pytest-pinned."""
+    from ..functions import sketch
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity")
+    keys = (_t(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 500 == 0)
+            .select(F.col("o_orderkey").alias("l_orderkey")))
+    hit = sketch.bloom_semi_join(li, keys, "l_orderkey",
+                                 n_bits=1 << 16, k=5)
+    return hit.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("long")
+        .alias("qty"))
+
+
 _IVFPQ_ORACLE = """
     WITH v AS (
       SELECT vec_id AS id, label, embedding[1:16]::DOUBLE[] AS v

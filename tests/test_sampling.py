@@ -497,3 +497,41 @@ class TestPpsSystematic:
         df = spark.createDataFrame([(1, 0.5)], "key long, w double")
         with pytest.raises(TypeError, match="integral weight"):
             sampling.pps_systematic_sample(df, "key", "w", n=1)
+
+
+class TestBloomSemiJoin:
+    def test_matches_exact_semi_join(self, spark):
+        from filters_spark.functions import sketch
+        big = spark.range(50_000).selectExpr("id", "id % 1000 as k")
+        small = spark.range(20).selectExpr("id * 53 as k")
+        exact = sorted(r["id"] for r in big.join(
+            small.select("k").distinct(), "k", "left_semi").collect())
+        got = sorted(r["id"] for r in sketch.bloom_semi_join(
+            big, small, "k").collect())
+        assert got == exact
+
+    def test_superset_and_fpp_bound(self, spark):
+        """confirm=False returns every true member plus a bounded
+        false-positive fringe; a deliberately TINY filter must still
+        never drop a member."""
+        from filters_spark.functions import sketch
+        big = spark.range(20_000).selectExpr("id", "id as k")
+        small = spark.range(200).selectExpr("id * 97 as k")
+        true_keys = {i * 97 for i in range(200) if i * 97 < 20_000}
+        maybe = {r["k"] for r in sketch.bloom_semi_join(
+            big, small, "k", n_bits=1 << 12, k=3,
+            confirm=False).collect()}
+        assert true_keys <= maybe            # no false negatives, ever
+        fpp = (len(maybe) - len(true_keys)) / (20_000 - len(true_keys))
+        assert fpp < 0.05, fpp               # (1-e^{-kn/m})^k ~ 1.7%
+
+    def test_null_keys_and_empty_small_side(self, spark):
+        from filters_spark.functions import sketch
+        big = spark.createDataFrame(
+            [(1, 5), (2, None), (3, 7)], "id bigint, k bigint")
+        small = spark.createDataFrame([(5,)], "k bigint")
+        got = sorted(r["id"] for r in sketch.bloom_semi_join(
+            big, small, "k").collect())
+        assert got == [1]                    # NULL key never survives
+        empty = spark.createDataFrame([], "k bigint")
+        assert sketch.bloom_semi_join(big, empty, "k").count() == 0

@@ -417,6 +417,9 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_ivfpq_topk": dict(max_exchanges=4, min_broadcasts=3),
     # materialized PQ index probe: pruned codes scan + probe/ADC ranks
     "ds_pq_index_topk": dict(max_exchanges=3, min_broadcasts=3),
+    # bloom prefilter is a pure map; confirm semi-join + final agg
+    "rel_bloom_prejoin": dict(max_exchanges=2, min_broadcasts=1,
+                              scan_filter=True),
     # BMP codec gate: scan -> in-plan payload build -> two mapInPandas
     # crossings (decode + featurize) -> posexplode + one rollup
     "ds_bmp_codec_gate": dict(max_exchanges=1, scan_filter=True),
