@@ -104,6 +104,7 @@ HEADLINE = [
     "ds_pq_topk",
     "ds_ivfpq_topk",
     "ds_pq_index_topk",
+    "rel_bloom_prejoin",
 ]
 
 
