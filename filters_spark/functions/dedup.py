@@ -1519,14 +1519,33 @@ def append_clusters(spark, path: str, new_ids: DataFrame,
     merges.write.mode("append").parquet(f"{path}/remap")
 
 
+#: read_canonical collects merge EVENTS driver-side — O(merges) by
+#: construction, but unbounded in principle if a store is appended
+#: for years without rebuilding.  ~50M rows ≈ 1-2 GB of driver heap:
+#: refuse beyond this and point at the rebuild path.
+REMAP_GUARD_ROWS = 50_000_000
+
+
 def read_canonical(spark, path: str) -> DataFrame:
     """(doc_id, canon_id) with remap chains RESOLVED — the current
     canonical assignment.  Remap rows are merge EVENTS (rare, small
     by construction: one row per pair of united clusters), so chains
     resolve driver-side with path compression and apply as one
-    broadcast join — O(merges) work regardless of corpus size."""
+    broadcast join — O(merges) work regardless of corpus size.
+    Guarded: beyond ``REMAP_GUARD_ROWS`` accumulated events the
+    collect would strain the driver — rebuild the store
+    (:func:`materialize_clusters` over ``read_canonical``-resolved
+    assignments folds every event into canon/ and empties remap/)."""
     canon = spark.read.parquet(f"{path}/canon")
-    remap_rows = spark.read.parquet(f"{path}/remap").collect()
+    remap_df = spark.read.parquet(f"{path}/remap")
+    n_remap = remap_df.count()
+    if n_remap > REMAP_GUARD_ROWS:
+        raise ValueError(
+            f"read_canonical: {n_remap} accumulated remap events exceed "
+            f"REMAP_GUARD_ROWS={REMAP_GUARD_ROWS}; rebuild the cluster "
+            f"store (materialize_clusters over the resolved assignments) "
+            f"to fold merge history into canon/")
+    remap_rows = remap_df.collect()
     if not remap_rows:
         return canon
     m = {}

@@ -592,3 +592,26 @@ class TestRemoveFrequentLines:
         df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
         with _pt.raises(ValueError, match="keep"):
             dedup.remove_frequent_lines(df, keep="banana")
+
+
+class TestRemapGuard:
+    def test_read_canonical_guard_raises(self, spark, tmp_path, monkeypatch):
+        from filters_spark.functions import dedup
+        ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+        base_pairs = spark.createDataFrame(
+            [(1, 2)], "a_id bigint, b_id bigint")
+        path = str(tmp_path / "cstore")
+        dedup.materialize_clusters(spark, path, ids, base_pairs)
+        batch = spark.createDataFrame([(4,)], "doc_id bigint")
+        # the new doc unites cluster {1,2} with singleton {3} -> one
+        # remap EVENT lands in remap/
+        pairs = spark.createDataFrame(
+            [(4, 2), (4, 3)], "a_id bigint, b_id bigint")
+        dedup.append_clusters(spark, path, batch, pairs)
+        # normal read works
+        assert dedup.read_canonical(spark, path).count() == 4
+        # a tiny guard trips on the single merge event
+        monkeypatch.setattr(dedup, "REMAP_GUARD_ROWS", 0)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="rebuild the cluster"):
+            dedup.read_canonical(spark, path)
