@@ -9946,6 +9946,160 @@ def ds_pq_index_topk(spark, sf_dir):
 
 
 @register(
+    "ds_pq_recall",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id AS id, embedding[1:16]::DOUBLE[] AS v FROM embeddings
+    ), s0 AS (SELECT id, v[1:8] AS sv FROM v),
+    s1 AS (SELECT id, v[9:16] AS sv FROM v),
+    seeds0 AS (SELECT id, sv FROM s0 ORDER BY id LIMIT 4),
+    seeds1 AS (SELECT id, sv FROM s1 ORDER BY id LIMIT 4),
+    c00 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, sv AS c
+            FROM seeds0),
+    c01 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, sv AS c
+            FROM seeds1),
+    a0 AS (
+      SELECT id, sv, cidx FROM (
+        SELECT s.id, s.sv, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id
+                 ORDER BY round(list_distance(s.sv, c.c), 6), c.cidx) AS rk
+        FROM s0 s CROSS JOIN c00 c) WHERE rk = 1
+    ),
+    a1 AS (
+      SELECT id, sv, cidx FROM (
+        SELECT s.id, s.sv, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id
+                 ORDER BY round(list_distance(s.sv, c.c), 6), c.cidx) AS rk
+        FROM s1 s CROSS JOIN c01 c) WHERE rk = 1
+    ),
+    cb0 AS (
+      SELECT cidx, list(m ORDER BY d) AS c FROM (
+        SELECT cidx, d, round(avg(x), 9) AS m FROM (
+          SELECT cidx, unnest(sv) AS x,
+                 unnest(range(1, len(sv) + 1)) AS d FROM a0)
+        GROUP BY cidx, d) GROUP BY cidx
+    ),
+    cb1 AS (
+      SELECT cidx, list(m ORDER BY d) AS c FROM (
+        SELECT cidx, d, round(avg(x), 9) AS m FROM (
+          SELECT cidx, unnest(sv) AS x,
+                 unnest(range(1, len(sv) + 1)) AS d FROM a1)
+        GROUP BY cidx, d) GROUP BY cidx
+    ),
+    e0 AS (
+      SELECT id, cidx AS code0 FROM (
+        SELECT s.id, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id ORDER BY
+                 round(list_sum(list_transform(list_zip(s.sv, c.c),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))), 6),
+                 c.cidx) AS rk
+        FROM s0 s CROSS JOIN cb0 c) WHERE rk = 1
+    ),
+    e1 AS (
+      SELECT id, cidx AS code1 FROM (
+        SELECT s.id, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id ORDER BY
+                 round(list_sum(list_transform(list_zip(s.sv, c.c),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))), 6),
+                 c.cidx) AS rk
+        FROM s1 s CROSS JOIN cb1 c) WHERE rk = 1
+    ),
+    qt0 AS (
+      SELECT q.id AS qid, c.cidx,
+             round(list_sum(list_transform(list_zip(q.sv, c.c),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS t
+      FROM s0 q CROSS JOIN cb0 c WHERE q.id % 97 = 0
+    ),
+    qt1 AS (
+      SELECT q.id AS qid, c.cidx,
+             round(list_sum(list_transform(list_zip(q.sv, c.c),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS t
+      FROM s1 q CROSS JOIN cb1 c WHERE q.id % 97 = 0
+    ),
+    pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q0.qid AS query_id, e0.id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q0.qid
+                 ORDER BY round(q0.t + q1.t, 6), e0.id) AS rank
+        FROM e0 JOIN e1 ON e0.id = e1.id
+        JOIN qt0 q0 ON q0.cidx = e0.code0
+        JOIN qt1 q1 ON q1.cidx = e1.code1 AND q1.qid = q0.qid
+        WHERE e0.id != q0.qid
+      ) WHERE rank <= 10
+    ),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.id AS query_id, d.id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.id
+                 ORDER BY round(list_sum(list_transform(list_zip(q.v, d.v),
+                         z -> (z[1] - z[2]) * (z[1] - z[2]))), 6),
+                 d.id) AS rank
+        FROM v q JOIN v d ON d.id != q.id
+        WHERE q.id % 97 = 0
+      ) WHERE rank <= 10
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM ex), 4) AS recall
+    FROM pq JOIN ex USING (query_id, neighbor_id)
+    """,
+)
+def ds_pq_recall(spark, sf_dir):
+    """Quantization-quality certification (the ds_lsh_recall twin
+    for the PQ family): recall@10 of the unpruned ADC ranking
+    against EXACT euclidean top-10 over the same 16-dim slices —
+    both rankings fully replayed by the oracle (the quantization
+    chain + the brute-force baseline), so the measured recall is a
+    hash-gated NUMBER, not a claim.  Uses the same deterministic
+    rounding/tie-break discipline on both arms; the brute baseline
+    is deliberate (this gate measures what quantization loses, so
+    the reference must be exact — the pruned production probes are
+    gated by ds_ivfpq_topk / ds_pq_index_topk)."""
+    emb16 = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    books = similarity.pq_train(emb16, m=2, k=4, iters=1, dim=16)
+    if not books or not books[0]:
+        return spark.createDataFrame(
+            [], "n_exact bigint, n_hit bigint, recall double")
+    codes = similarity.pq_encode(emb16, books)
+    q = (emb16.where(F.col("vec_id") % 97 == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    pq = similarity.pq_topk_adc(q, codes, books, k=10) \
+        .select("query_id", "neighbor_id")
+    sq = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("embedding"),
+                       lambda a, b: (a.cast("double") - b.cast("double"))
+                       * (a.cast("double") - b.cast("double"))),
+            F.lit(0.0), lambda a, x: a + x), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("_d"),
+                                               F.col("neighbor_id"))
+    ex = (emb16.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+          .join(F.broadcast(q.select("query_id",
+                                     F.col("embedding").alias("_qv"))),
+                F.col("query_id") != F.col("neighbor_id"))
+          .withColumn("_d", sq)
+          .withColumn("_rk", F.row_number().over(w))
+          .where(F.col("_rk") <= 10)
+          .select("query_id", "neighbor_id"))
+    hits = pq.join(ex, ["query_id", "neighbor_id"])
+    n_exact = ex.agg(F.count(F.lit(1)).cast("long").alias("n")) \
+        .select(F.col("n").alias("n_exact"))
+    return (hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+            .crossJoin(F.broadcast(n_exact))
+            .select("n_exact", "n_hit",
+                    F.round(F.col("n_hit").cast("double")
+                            / F.col("n_exact"), 4).alias("recall")))
+
+
+@register(
     "ds_ridge_fit",
     oracle="""
     WITH qm AS (

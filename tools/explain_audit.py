@@ -420,6 +420,8 @@ EXPECTATIONS: dict[str, dict] = {
     # bloom prefilter is a pure map; confirm semi-join + final agg
     "rel_bloom_prejoin": dict(max_exchanges=2, min_broadcasts=1,
                               scan_filter=True),
+    # recall certification: brute baseline is deliberate (gate-only)
+    "ds_pq_recall": dict(max_exchanges=7, min_broadcasts=3),
     # BMP codec gate: scan -> in-plan payload build -> two mapInPandas
     # crossings (decode + featurize) -> posexplode + one rollup
     "ds_bmp_codec_gate": dict(max_exchanges=1, scan_filter=True),
