@@ -1019,6 +1019,138 @@ def _decode_jpeg(payload: bytes, w: int, h: int) -> bytes:
     return gray[np.ix_(ys, xs)].round().clip(0, 255).astype(np.uint8).tobytes()
 
 
+def _is_tiff(payload: bytes) -> bool:
+    return payload[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def _encode_tiff(rows, big_endian: bool = False,
+                 rows_per_strip: int | None = None) -> bytes:
+    """Minimal REAL baseline-TIFF encoder (8-bit grayscale,
+    uncompressed, strip-organized): gate/test twin of
+    :func:`_decode_tiff`.  Emits a legal IFD with the 8 baseline
+    tags; ``big_endian`` exercises the MM byte order,
+    ``rows_per_strip`` the multi-strip assembly."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(rows, dtype=np.uint8)
+    h_, w_ = arr.shape
+    bo = ">" if big_endian else "<"
+    rps = rows_per_strip or h_
+    strips = [arr[r:r + rps].tobytes() for r in range(0, h_, rps)]
+    n = len(strips)
+    # layout: header(8) | IFD | strip offsets/counts arrays | pixels
+    n_tags = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    arrays_off = 8 + ifd_size
+    extra = b""
+    if n > 1:
+        so_off = arrays_off
+        sc_off = arrays_off + 4 * n
+        data_off = arrays_off + 8 * n
+    else:
+        data_off = arrays_off
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if n > 1:
+        extra = (b"".join(struct.pack(bo + "I", o) for o in offs)
+                 + b"".join(struct.pack(bo + "I", len(s))
+                            for s in strips))
+
+    def tag(tid, typ, count, val):
+        # SHORT values pack left-aligned in the 4-byte field; LONG
+        # count-1 values fill it; count>1 val is an offset
+        if typ == 3 and count == 1:
+            v = struct.pack(bo + "HH", val, 0)
+        else:
+            v = struct.pack(bo + "I", val)
+        return struct.pack(bo + "HHI", tid, typ, count) + v
+
+    tags = [
+        tag(256, 4, 1, w_),                       # ImageWidth
+        tag(257, 4, 1, h_),                       # ImageLength
+        tag(258, 3, 1, 8),                        # BitsPerSample
+        tag(259, 3, 1, 1),                        # Compression: none
+        tag(262, 3, 1, 1),                        # Photometric: BlackIsZero
+        tag(273, 4, n, offs[0] if n == 1 else so_off),   # StripOffsets
+        tag(278, 4, 1, rps),                      # RowsPerStrip
+        tag(279, 4, n, len(strips[0]) if n == 1 else sc_off),  # Counts
+    ]
+    ifd = struct.pack(bo + "H", n_tags) + b"".join(tags) + \
+        struct.pack(bo + "I", 0)
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + \
+        struct.pack(bo + "I", 8)
+    return hdr + ifd + extra + b"".join(strips)
+
+
+def _decode_tiff(payload: bytes, w: int, h: int) -> bytes:
+    """REAL decode for uncompressed baseline TIFF (II and MM byte
+    orders, strip-organized, 8-bit grayscale or RGB) — pure struct +
+    numpy, the sixth real image format: header + IFD walk with both
+    endiannesses, inline-vs-offset tag values (the classic TIFF
+    decode bug: a value field holds the VALUE when it fits in 4
+    bytes, an OFFSET otherwise), multi-strip reassembly, Photometric
+    0 (WhiteIsZero) inversion.  Compression other than 1, tiles,
+    planar config 2, or non-8-bit samples raise — strict surfaces
+    them, lenient falls through.  Output contract: ITU-R 601 luma,
+    nearest resize, w*h bytes."""
+    import struct
+
+    import numpy as np
+
+    if not _is_tiff(payload):
+        raise ValueError("not a TIFF")
+    bo = ">" if payload[:2] == b"MM" else "<"
+    ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
+    n_tags = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    tags = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + i * 12
+        tid, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        size = TYPE_SIZE.get(typ, 1) * cnt
+        # inline when the packed values fit in the 4-byte field
+        vo = off + 8 if size <= 4 else \
+            struct.unpack_from(bo + "I", payload, off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            continue
+        tags[tid] = list(struct.unpack_from(bo + str(cnt) + fmt,
+                                            payload, vo))
+    sw, sh = tags[256][0], tags[257][0]
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise ValueError(f"only uncompressed TIFF (got compression {comp})")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF unsupported")
+    if tags.get(284, [1])[0] != 1:
+        raise ValueError("planar TIFF unsupported")
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise ValueError("only 8-bit TIFF samples")
+    spp = tags.get(277, [len(bits)])[0]
+    photo = tags.get(262, [1])[0]
+    offs = tags[273]
+    counts = tags.get(279, [sw * sh * spp])
+    data = b"".join(payload[o:o + c] for o, c in zip(offs, counts))
+    px = np.frombuffer(data, np.uint8, count=sw * sh * spp)
+    if spp == 3:
+        gray = (px.reshape(sh, sw, 3).astype(np.float64)
+                @ [0.299, 0.587, 0.114])
+    elif spp == 1:
+        gray = px.reshape(sh, sw).astype(np.float64)
+        if photo == 0:                    # WhiteIsZero
+            gray = 255.0 - gray
+    else:
+        raise ValueError(f"TIFF samples/pixel {spp} unsupported")
+    ys = (np.arange(h) * sh // max(h, 1)).clip(0, sh - 1)
+    xs = (np.arange(w) * sw // max(w, 1)).clip(0, sw - 1)
+    return gray[np.ix_(ys, xs)].round().clip(0, 255).astype(np.uint8).tobytes()
+
+
 def _is_bmp(payload: bytes) -> bool:
     return payload[:2] == b"BM"
 
@@ -1110,6 +1242,12 @@ def _decode_image(payload: bytes, w: int, h: int, strict: bool,
     if codec in ("auto", "real") and _is_jpeg(payload):
         try:
             return _decode_jpeg(payload, w, h)
+        except Exception:
+            if strict:
+                raise
+    if codec in ("auto", "real") and _is_tiff(payload):
+        try:
+            return _decode_tiff(payload, w, h)
         except Exception:
             if strict:
                 raise

@@ -10431,6 +10431,72 @@ def ds_line_dedup(spark, sf_dir):
 
 
 @register(
+    "ds_tiff_codec_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents
+      WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    )
+    SELECT code % 16 AS bucket, count(*) AS n_chars
+    FROM ch GROUP BY 1
+    """,
+)
+def ds_tiff_codec_gate(spark, sf_dir):
+    """Uncompressed baseline TIFF under the value hash — the sixth
+    real image format (II little-endian here; MM, multi-strip and
+    WhiteIsZero are pytest-pinned): each document's first 16
+    ASCII-projected characters become a 4x4 grayscale TIFF with a
+    genuine 8-tag IFD, built per row by the encoder twin; the
+    decoder must walk the IFD with inline-vs-offset value
+    resolution (the classic TIFF decode bug) and reassemble strips
+    to recover luma == code exactly.  Same character-code oracle as
+    the PNG/GIF/JPEG gates."""
+    import pandas as pd
+
+    from ..functions import multimodal as mm
+    from ..functions.multimodal import _encode_tiff
+
+    def _tif_fn(s):
+        out = []
+        for text in s:
+            rows = [[ord(c) for c in text[r * 4:(r + 1) * 4]]
+                    for r in range(4)]
+            out.append(_encode_tiff(rows, rows_per_strip=2))
+        return pd.Series(out)
+
+    _tif_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _tif = F.pandas_udf(_tif_fn, "binary")
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    par = spark.sparkContext.defaultParallelism
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .repartition(par, "doc_id")
+         .select("doc_id",
+                 _tif(F.substring(ascii_text, 1, 16)).alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "image/tiff")
+    media = media.withColumn(
+        "media",
+        F.col("media").withField("meta.width", F.lit(4))
+        .withField("meta.height", F.lit(4)))
+    decoded = mm.decode_images(media.drop("_payload"), strict=True,
+                               codec="auto")
+    feats = mm.extract_image_features(decoded, dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.sum(F.round(F.col("_r") * 16, 0).cast("long"))
+             .alias("n_chars"))
+        .where(F.col("n_chars") > 0)
+    )
+
+
+@register(
     "ds_jpeg_codec_gate",
     oracle="""
     WITH b AS (

@@ -1133,3 +1133,66 @@ class TestJpegCodec:
         out2 = np.frombuffer(_decode_jpeg(p2, 24, 24),
                              np.uint8).reshape(24, 24)
         assert np.abs(out2.astype(int) - img).max() <= 2
+
+
+class TestTiffCodec:
+    """Real uncompressed baseline TIFF (multimodal._decode_tiff):
+    II/MM byte orders, IFD walk with inline-vs-offset values,
+    multi-strip reassembly, WhiteIsZero inversion."""
+
+    def _img(self):
+        import numpy as np
+        rng = np.random.RandomState(4)
+        return rng.randint(0, 256, (12, 17)).astype(np.uint8)
+
+    def test_roundtrip_both_endians_and_strips(self):
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_tiff,
+                                                        _encode_tiff)
+        img = self._img()
+        for be in (False, True):
+            for rps in (None, 3):
+                p = _encode_tiff(img, big_endian=be, rows_per_strip=rps)
+                out = np.frombuffer(_decode_tiff(p, 17, 12),
+                                    np.uint8).reshape(12, 17)
+                assert (out == img).all(), (be, rps)
+
+    def test_white_is_zero_inversion(self):
+        import struct
+
+        import numpy as np
+
+        from filters_spark.functions.multimodal import (_decode_tiff,
+                                                        _encode_tiff)
+        img = self._img()
+        p = bytearray(_encode_tiff(img))
+        ifd = struct.unpack_from("<I", p, 4)[0]
+        n = struct.unpack_from("<H", p, ifd)[0]
+        for i in range(n):
+            off = ifd + 2 + i * 12
+            if struct.unpack_from("<H", p, off)[0] == 262:
+                struct.pack_into("<H", p, off + 8, 0)
+        out = np.frombuffer(_decode_tiff(bytes(p), 17, 12),
+                            np.uint8).reshape(12, 17)
+        assert (out == 255 - img).all()
+
+    def test_unsupported_shapes_raise(self):
+        import struct
+
+        import pytest as _pt
+
+        from filters_spark.functions.multimodal import (_decode_tiff,
+                                                        _encode_tiff)
+        img = self._img()
+        p = bytearray(_encode_tiff(img))
+        ifd = struct.unpack_from("<I", p, 4)[0]
+        n = struct.unpack_from("<H", p, ifd)[0]
+        for i in range(n):
+            off = ifd + 2 + i * 12
+            if struct.unpack_from("<H", p, off)[0] == 259:
+                struct.pack_into("<H", p, off + 8, 5)  # LZW
+        with _pt.raises(ValueError, match="uncompressed"):
+            _decode_tiff(bytes(p), 4, 4)
+        with _pt.raises(ValueError, match="TIFF"):
+            _decode_tiff(b"nope", 4, 4)

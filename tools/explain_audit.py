@@ -432,6 +432,7 @@ EXPECTATIONS: dict[str, dict] = {
     # zlib encoder twin builds the payload row-side)
     "ds_png_codec_gate": dict(max_exchanges=2, scan_filter=True),
     "ds_jpeg_codec_gate": dict(max_exchanges=2, scan_filter=True),
+    "ds_tiff_codec_gate": dict(max_exchanges=2, scan_filter=True),
     # production hybrid: both arms probe materialized indexes — the
     # postings IN-pushdown + explicit-path IVF cells; everything
     # small-side is broadcast (qterms, idf, stats, probes, queries)
