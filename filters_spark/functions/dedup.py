@@ -1220,7 +1220,8 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 def remove_frequent_lines(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", sep: str = "\n",
                           min_count: int = 3, keep: str = "first",
-                          normalize: bool = True) -> DataFrame:
+                          normalize: bool = True,
+                          min_chars: int = 0) -> DataFrame:
     """CORPUS-level boilerplate-line removal (the CCNet/RefinedWeb
     cleaning pass; C4 applies the same idea at span granularity —
     that variant is :func:`remove_duplicate_spans`): a line whose
@@ -1230,7 +1231,11 @@ def remove_frequent_lines(df: DataFrame, id_col: str = "doc_id",
     occurrence (min (id, position)); ``keep='none'`` removes every
     occurrence.  Documents are rebuilt with surviving lines in
     original order (possibly empty), and every input document appears
-    in the output.
+    in the output.  ``min_chars`` exempts SHORT lines from removal
+    (the CCNet refinement: blank lines, list bullets and one-word
+    lines repeat corpus-wide by nature and are structure, not
+    boilerplate — only normalized lines of >= min_chars characters
+    become removal candidates).
 
     Scale shape (100 TB): lines shuffle once as (xxhash64 key, count)
     for the frequency aggregate — map-side combined, 8-byte keys,
@@ -1255,7 +1260,12 @@ def remove_frequent_lines(df: DataFrame, id_col: str = "doc_id",
                                           _re.escape(sep)))
                      .alias("_pos", "_line"))
              .withColumn("_lk", F.xxhash64(norm)))
-    flagged = (lines.groupBy("_lk")
+    candidates = lines
+    if min_chars > 0:
+        candidates = lines.where(
+            F.length(F.trim(F.col("_line")) if normalize
+                     else F.col("_line")) >= min_chars)
+    flagged = (candidates.groupBy("_lk")
                .agg(F.count(F.lit(1)).alias("_n"),
                     F.min(F.struct(F.col("_id").alias("i"),
                                    F.col("_pos").alias("p")))

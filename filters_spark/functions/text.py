@@ -937,7 +937,8 @@ def mojibake_marker_count(col: Column) -> Column:
 
 def fix_mojibake(df: DataFrame, text_col: str = "text",
                  out_col: str | None = None,
-                 require_shrink: bool = True) -> DataFrame:
+                 require_shrink: bool = True,
+                 gate_on_markers: bool = False) -> DataFrame:
     """Repair double-encoded UTF-8: re-encode the text through
     cp1252 (strict; latin-1 fallback for the 5 unmapped C1 bytes) and
     re-decode as UTF-8.  A repair is applied only when the full
@@ -946,13 +947,35 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     plain ASCII/clean text round-trips to itself, so clean documents
     are never touched.  Adds ``was_fixed`` boolean.
 
-    Scale shape: a zero-shuffle Arrow-batched map; pair with
-    :func:`mojibake_marker_count` to short-circuit the UDF onto the
-    suspicious slice only (``when(markers > 0, fixed).otherwise(text)``
-    keeps the clean majority JVM-side)."""
+    Scale shape: a zero-shuffle Arrow-batched map.
+    ``gate_on_markers=True`` splits on the pure-expression
+    :func:`mojibake_marker_count` detector and runs the Python
+    repair ONLY over the suspicious slice, unioning the clean
+    majority back untouched (a ``when()`` around a pandas UDF does
+    NOT reliably skip evaluation — the split-union does).  In a
+    modern corpus mojibake is a sub-percent fringe, so this drops
+    the Arrow transfer + Python time by ~the clean fraction; a doc
+    with NO marker cannot repair (every UTF-8 multi-byte sequence
+    mis-decoded through cp1252/latin-1 leads with one), so the gate
+    is lossless by construction."""
     import pandas as pd
 
     out = out_col or text_col
+    if gate_on_markers:
+        suspicious = df.where(
+            mojibake_marker_count(F.col(text_col)) > 0)
+        clean = df.where(
+            ~(mojibake_marker_count(F.col(text_col)) > 0)
+            | F.col(text_col).isNull())
+        repaired = fix_mojibake(suspicious, text_col, out_col,
+                                require_shrink, gate_on_markers=False)
+        passthrough = clean.withColumn(
+            "was_fixed", F.when(F.col(text_col).isNull(),
+                                F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False)))
+        if out != text_col:
+            passthrough = passthrough.withColumn(out, F.col(text_col))
+        return repaired.unionByName(passthrough)
 
     def _repair(t):
         if t is None:

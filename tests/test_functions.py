@@ -518,3 +518,23 @@ class TestMojibakeRepair:
         # the policy flag on a clean doc to show it stays safe
         out2 = fix_mojibake(df, require_shrink=False).collect()[0]
         assert out2["text"] == "é"
+
+    def test_marker_gated_split_matches_ungated(self, spark):
+        """gate_on_markers runs Python only over the suspicious
+        slice; results must be identical to the ungated map
+        (the gate is lossless: mojibake always carries a marker)."""
+        from filters_spark.functions.text import fix_mojibake
+        rows = [
+            (1, "café".encode("utf-8").decode("latin-1")),
+            (2, "it’s fine".encode("utf-8").decode("cp1252")),
+            (3, "plain ascii"),
+            (4, None),
+            (5, "café"),          # genuine unicode, no marker
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        plain = {r["doc_id"]: (r["text"], r["was_fixed"])
+                 for r in fix_mojibake(df).collect()}
+        gated = {r["doc_id"]: (r["text"], r["was_fixed"])
+                 for r in fix_mojibake(df, gate_on_markers=True).collect()}
+        assert gated == plain
+        assert len(gated) == 5

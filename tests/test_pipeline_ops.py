@@ -615,3 +615,19 @@ class TestRemapGuard:
         import pytest as _pt
         with _pt.raises(ValueError, match="rebuild the cluster"):
             dedup.read_canonical(spark, path)
+
+
+class TestFrequentLinesMinChars:
+    def test_min_chars_exempts_short_lines(self, spark):
+        from filters_spark.functions import dedup
+        rows = [(i, "-\nsome cookie banner boilerplate\nunique %d" % i)
+                for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in dedup.remove_frequent_lines(
+            df, min_count=3, keep="none", min_chars=5).collect()}
+        for d in range(1, 5):
+            # the 1-char structural line survives everywhere; the
+            # long boilerplate is removed everywhere
+            assert out[d]["text"].startswith("-\n"), d
+            assert "cookie banner" not in out[d]["text"], d
+            assert out[d]["n_removed"] == 1, d
