@@ -863,7 +863,8 @@ def centroid_outliers(df: DataFrame, k: int = 8, iters: int = 2,
 def pq_train(df: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", m: int = 4, k: int = 16,
              iters: int = 1, round_dp: int = 9,
-             engine: str = "expr", dim: int | None = None) -> list:
+             engine: str = "expr", dim: int | None = None,
+             train_mod: int | None = None) -> list:
     """Train ``m`` per-subspace codebooks with the DETERMINISTIC
     :func:`kmeans` (seeds = smallest ids, rounded-distance argmin,
     snapped means — the hash-gateable contract), then collect them
@@ -873,12 +874,25 @@ def pq_train(df: DataFrame, vec_col: str = "embedding",
     (an emptied cluster drops out, same as kmeans).  Pass ``dim=``
     to skip the dimension-probe job (and to make EMPTY training
     frames well-defined: each codebook comes back empty — callers
-    short-circuit on that rather than quantizing against nothing)."""
+    short-circuit on that rather than quantizing against nothing).
+
+    Training cost is m × iters scans of the TRAINING frame (each
+    subspace k-means is its own loop).  At corpus scale do what
+    every production quantizer does: train on a sample —
+    ``train_mod=N`` keeps the deterministic 1/N hash-slice
+    ``xxhash64(id) % N == 0`` (reproducible, partition-independent,
+    oracle-replayable), so codebook training touches O(corpus/N)
+    rows while :func:`pq_encode` still quantizes everything.
+    Codebook quality needs only thousands of vectors per centroid;
+    FAISS trains on ~100k-1M samples for billion-vector indexes."""
     if dim is None:
         first = df.select(F.size(F.col(vec_col))).first()
         dim = first[0] if first is not None and first[0] is not None else 0
     if dim == 0 or dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    if train_mod is not None and train_mod > 1:
+        df = df.where(F.pmod(F.xxhash64(F.col(id_col)),
+                             F.lit(train_mod)) == 0)
     sub = dim // m
     books = []
     for j in range(m):

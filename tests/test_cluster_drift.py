@@ -409,3 +409,18 @@ class TestProductQuantization:
             spark, p, q, k=5, nprobe=2, id_col="query_id").collect()))
         assert after == before
         assert n_after < n_before
+
+    def test_train_mod_sampled_codebooks_still_work(self, spark):
+        """Sampled training (the production shape) yields codebooks
+        that encode the FULL corpus sensibly: separated clusters
+        still map to distinct codes, and the sample is deterministic
+        (same train_mod -> identical codebooks)."""
+        from filters_spark.functions import similarity as S
+        df = self._emb(spark, n=400)
+        b1 = S.pq_train(df, m=2, k=2, iters=1, dim=8, train_mod=4)
+        b2 = S.pq_train(df, m=2, k=2, iters=1, dim=8, train_mod=4)
+        assert b1 == b2 and b1[0]
+        codes = S.pq_encode(df, b1).collect()
+        lo = {tuple(r["codes"]) for r in codes if r["vec_id"] < 200}
+        hi = {tuple(r["codes"]) for r in codes if r["vec_id"] >= 200}
+        assert lo.isdisjoint(hi)   # the two blobs never share a code
