@@ -1085,7 +1085,8 @@ def materialize_pq_index(vectors: DataFrame, path: str,
                          cell_col: str = "label",
                          m: int = 2, k: int = 4, iters: int = 1,
                          dim: int | None = None,
-                         engine: str = "expr") -> None:
+                         engine: str = "expr",
+                         train_mod: int | None = None) -> None:
     """Materialize an IVF-PQ index: the pay-once artifact whose probe
     path never touches a float corpus vector — the compressed twin of
     :func:`materialize_ivf_index` (and the third index lifecycle
@@ -1107,7 +1108,7 @@ def materialize_pq_index(vectors: DataFrame, path: str,
       inferring."""
     spark = vectors.sparkSession
     books = pq_train(vectors, vec_col, id_col, m=m, k=k, iters=iters,
-                     dim=dim, engine=engine)
+                     dim=dim, engine=engine, train_mod=train_mod)
     sub = len(books[0][0]) if books and books[0] else 0
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("embedding"),
