@@ -9732,6 +9732,50 @@ def ds_pq_topk(spark, sf_dir):
 
 
 @register(
+    "ds_tar_shards",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_members,
+           CAST(coalesce(sum(strlen(text)), 0) AS BIGINT) AS total_bytes,
+           CAST(coalesce(max(strlen(text)), 0) AS BIGINT) AS max_bytes
+    FROM documents
+    """,
+)
+def ds_tar_shards(spark, sf_dir):
+    """Webdataset tar-shard roundtrip under the value hash
+    (sinks.write_tar_shards / readers.read_tar_shards — the standard
+    multimodal-training-corpus layout): every document becomes a tar
+    member (name = doc_id, payload = UTF-8 bytes), hash-assigned to
+    4 shard files written executor-side with pinned metadata, then
+    read back whole-shard via binaryFile + the Arrow tarfile
+    unpacker; exact member-count and byte checksums compare against
+    the raw corpus.  A member dropped in packing, a truncated
+    extractfile, or a shard the reader misses shifts a checksum and
+    fails the hash.  Shard determinism (same names → identical shard
+    bytes) and the member_filter contract are pytest-pinned."""
+    import os as _os
+
+    from ..sources import readers, sinks
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("member_name"),
+        F.encode("text", "UTF-8").alias("payload"))
+    app = spark.sparkContext.applicationId
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/fs_tarshards_{app}_{tag}"
+    # the manifest action IS the write (pay-once; the memoized-path
+    # pattern of ds_pq_index_topk)
+    if not _os.path.isdir(path) or not _os.listdir(path):
+        sinks.write_tar_shards(d, path, n_shards=4).collect()
+    back = readers.read_tar_shards(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.coalesce(F.sum("member_bytes"), F.lit(0)).cast("long")
+        .alias("total_bytes"),
+        F.coalesce(F.max("member_bytes"), F.lit(0)).cast("long")
+        .alias("max_bytes"))
+
+
+@register(
     "rel_bloom_prejoin",
     oracle="""
     SELECT l_returnflag,

@@ -38,6 +38,7 @@ __all__ = [
     "read_json",
     "read_orc",
     "write_orc",
+    "read_tar_shards",
     "read_text_docs",
     "read_media_dir",
     "read_evolving",
@@ -228,3 +229,56 @@ def read_evolving(spark: SparkSession, path: str,
     return (spark.read.format(fmt)
             .schema(target_schema).load(path)
             .select(*[f.name for f in target_schema.fields]))
+
+
+def read_tar_shards(spark: SparkSession, path: str,
+                    member_filter: str | None = None) -> DataFrame:
+    """Webdataset-style tar-shard ingestion — THE layout multimodal
+    training corpora ship in (shards of ~100-500 MB tar files, one
+    member per sample component): ``binaryFile`` reads each shard
+    whole (shards are sized to fit an executor by the format's own
+    convention), and an Arrow-batched map unpacks members with
+    stdlib ``tarfile`` → one row per member
+    (shard_path, member_name, payload binary, member_bytes).
+
+    Scale shape: parallelism = number of shards (the format exists
+    precisely so object stores serve few large sequential reads
+    instead of millions of tiny ones); payload bytes cross to Python
+    once and come back as an opaque binary column — feed
+    ``multimodal.attach_meta`` downstream.  ``member_filter`` is a
+    substring filter applied INSIDE the unpacker (e.g. '.jpg'), so
+    unwanted members never materialize as rows."""
+    import pyspark.sql.types as T
+
+    bf = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.tar").load(path)
+          .select("path", "content"))
+    out_schema = T.StructType([
+        T.StructField("shard_path", T.StringType()),
+        T.StructField("member_name", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("member_bytes", T.LongType()),
+    ])
+
+    def unpack(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content)),
+                                  mode="r") as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        if member_filter and member_filter not in m.name:
+                            continue
+                        data = tf.extractfile(m).read()
+                        rows.append((p, m.name, data, len(data)))
+            yield pd.DataFrame(rows, columns=["shard_path", "member_name",
+                                              "payload", "member_bytes"])
+
+    return bf.mapInPandas(unpack, out_schema)
