@@ -9776,6 +9776,83 @@ def ds_tar_shards(spark, sf_dir):
 
 
 @register(
+    "ds_tar_media_pipeline",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents
+      WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    )
+    SELECT code % 16 AS bucket, count(*) AS n_chars
+    FROM ch GROUP BY 1
+    """,
+)
+def ds_tar_media_pipeline(spark, sf_dir):
+    """The intended multimodal INGESTION path composed end to end:
+    genuine zlib-compressed PNGs packed into webdataset tar shards
+    (write_tar_shards, pay-once), whole-shard reads + tarfile unpack
+    (read_tar_shards, '.png' member filter), media-struct attach,
+    STRICT real decode, byte-histogram features — the same
+    character-code oracle as the codec gates, now reached THROUGH
+    the shard container.  A member lost in packing, a payload
+    truncated by the unpacker, or a filter that leaks non-members
+    shifts the histogram and fails the hash."""
+    import os as _os
+
+    import pandas as pd
+
+    from ..functions import multimodal as mm
+    from ..functions.multimodal import _encode_png
+    from ..sources import readers, sinks
+
+    def _png_fn(s):
+        out = []
+        for text in s:
+            codes = [ord(c) for c in text]
+            rows = [codes[r * 4:(r + 1) * 4] for r in range(4)]
+            out.append(_encode_png(rows, filters=[1, 2, 3, 4]))
+        return pd.Series(out)
+
+    _png_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _png = F.pandas_udf(_png_fn, "binary")
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    par = spark.sparkContext.defaultParallelism
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .repartition(par, "doc_id")
+         .select(F.concat(F.col("doc_id").cast("string"),
+                          F.lit(".png")).alias("member_name"),
+                 _png(F.substring(ascii_text, 1, 16)).alias("payload")))
+    app = spark.sparkContext.applicationId
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/fs_tarmedia_{app}_{tag}"
+    if not _os.path.isdir(path) or not _os.listdir(path):
+        sinks.write_tar_shards(d, path, n_shards=4).collect()
+    media = mm.attach_meta(
+        readers.read_tar_shards(spark, path, member_filter=".png"),
+        "payload", "image/png")
+    media = media.withColumn(
+        "media",
+        F.col("media").withField("meta.width", F.lit(4))
+        .withField("meta.height", F.lit(4)))
+    decoded = mm.decode_images(media.drop("payload"), strict=True,
+                               codec="auto")
+    feats = mm.extract_image_features(decoded, dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.sum(F.round(F.col("_r") * 16, 0).cast("long"))
+             .alias("n_chars"))
+        .where(F.col("n_chars") > 0)
+    )
+
+
+@register(
     "rel_bloom_prejoin",
     oracle="""
     SELECT l_returnflag,

@@ -435,6 +435,8 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_tiff_codec_gate": dict(max_exchanges=2, scan_filter=True),
     # tar roundtrip: unpack map + 1-row agg (write is off-plan)
     "ds_tar_shards": dict(max_exchanges=1),
+    # shard->decode->histogram: unpack+decode maps + one agg
+    "ds_tar_media_pipeline": dict(max_exchanges=1),
     # production hybrid: both arms probe materialized indexes — the
     # postings IN-pushdown + explicit-path IVF cells; everything
     # small-side is broadcast (qterms, idf, stats, probes, queries)
