@@ -1237,9 +1237,13 @@ def remove_frequent_lines(df: DataFrame, id_col: str = "doc_id",
     boilerplate — only normalized lines of >= min_chars characters
     become removal candidates).
 
-    Scale shape (100 TB): lines shuffle once as (xxhash64 key, count)
-    for the frequency aggregate — map-side combined, 8-byte keys,
-    never the line text; the flagged table holds ONLY lines at
+    Scale shape (100 TB): lines shuffle once as (128-bit key, count)
+    for the frequency aggregate — map-side combined, two independent
+    xxhash64 halves (16 bytes; a single 64-bit key hits birthday
+    collisions near 2^32 distinct lines, i.e. guaranteed at
+    billions-of-lines corpus scale, and a collision here DELETES
+    genuine content — the round-6 ADVICE finding), never the line
+    text; the flagged table holds ONLY lines at
     ``>= min_count`` (boilerplate is a vanishing fraction of distinct
     lines), so the probe join's build side is small — AQE broadcasts
     it when it fits and a corpus-common line skews only the COUNT
@@ -1259,19 +1263,20 @@ def remove_frequent_lines(df: DataFrame, id_col: str = "doc_id",
                      F.posexplode(F.split(F.col(text_col),
                                           _re.escape(sep)))
                      .alias("_pos", "_line"))
-             .withColumn("_lk", F.xxhash64(norm)))
+             .withColumn("_lk", F.xxhash64(norm))
+             .withColumn("_lk2", F.xxhash64(norm, F.lit(0x5f17))))
     candidates = lines
     if min_chars > 0:
         candidates = lines.where(
             F.length(F.trim(F.col("_line")) if normalize
                      else F.col("_line")) >= min_chars)
-    flagged = (candidates.groupBy("_lk")
+    flagged = (candidates.groupBy("_lk", "_lk2")
                .agg(F.count(F.lit(1)).alias("_n"),
                     F.min(F.struct(F.col("_id").alias("i"),
                                    F.col("_pos").alias("p")))
                     .alias("_first"))
                .where(F.col("_n") >= min_count))
-    joined = lines.join(flagged, "_lk", "left")
+    joined = lines.join(flagged, ["_lk", "_lk2"], "left")
     keep_col = F.col("_n").isNull()
     if keep == "first":
         keep_col = keep_col | ((F.col("_first.i") == F.col("_id"))

@@ -366,10 +366,13 @@ def compact_postings(spark, path: str, term_partitions: int = 32) -> None:
     rewrite re-sorts postings rows, never re-tokenizes documents.
     Stats are untouched (append already maintains them exactly).
 
-    The rewrite stages into ``postings.compact`` and swaps via two
-    renames, so a concurrent reader sees either the old file set or
-    the new one — not a half-written directory."""
+    The rewrite stages into ``postings.compact`` and swaps via one
+    atomic symlink flip (:func:`.._swap.atomic_swap_dir`), so a
+    concurrent reader sees either the old file set or the new one —
+    never a half-written or momentarily-missing directory."""
     import shutil
+
+    from ._swap import atomic_swap_dir
 
     post = spark.read.parquet(f"{path}/postings")
     tmp = f"{path}/postings.compact"
@@ -377,8 +380,4 @@ def compact_postings(spark, path: str, term_partitions: int = 32) -> None:
     (post.repartitionByRange(term_partitions, "term")
      .sortWithinPartitions("term", "doc_id")
      .write.mode("overwrite").parquet(tmp))
-    old = f"{path}/postings.old"
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.move(f"{path}/postings", old)
-    shutil.move(tmp, f"{path}/postings")
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_swap_dir(f"{path}/postings", tmp)

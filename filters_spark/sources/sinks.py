@@ -199,14 +199,20 @@ def write_tar_shards(df, dir_path: str, name_col: str = "member_name",
     executor writes its own ``shard-NNNNN.tar`` to the shared
     filesystem — the same each-worker-writes-its-shard contract
     real webdataset writers use (no driver bottleneck, no Spark
-    binary sink needed).  Returns the materialized manifest
-    (shard, n_members, tar_bytes); tar metadata is pinned
-    (mtime=0, uid/gid=0) so shard bytes depend ONLY on content."""
+    binary sink needed).  Returns the MATERIALIZED manifest
+    (shard, n_members, tar_bytes) — the shard files are on disk when
+    this function returns: the executor-side plan is collected
+    internally (n_shards rows, bounded) and re-wrapped as a local
+    DataFrame, so re-using the result never re-executes the file
+    writes (the round-6 ADVICE lazy-manifest finding).  Tar metadata
+    is pinned (mtime=0, uid/gid=0) so shard bytes depend ONLY on
+    content.  The output directory is created inside ``pack()`` ON
+    THE EXECUTOR — on a multi-node cluster the driver's filesystem
+    is not the executors'."""
     import os
 
     from pyspark.sql import functions as F
 
-    os.makedirs(dir_path, exist_ok=True)
     import pyspark.sql.types as T
 
     assigned = df.select(
@@ -232,6 +238,8 @@ def write_tar_shards(df, dir_path: str, name_col: str = "member_name",
                                 pdf["_shard"]):
                 groups.setdefault(int(sh), []).append((n, bytes(p)))
         rows = []
+        if groups:
+            os.makedirs(dir_path, exist_ok=True)
         for sh, members in groups.items():
             members.sort(key=lambda t: t[0])
             buf = io.BytesIO()
@@ -250,6 +258,7 @@ def write_tar_shards(df, dir_path: str, name_col: str = "member_name",
         yield pd.DataFrame(rows, columns=["shard", "n_members",
                                           "tar_bytes"])
 
-    manifest = (assigned.repartition(n_shards, "_shard")
-                .mapInPandas(pack, out_schema))
-    return manifest
+    manifest_rows = (assigned.repartition(n_shards, "_shard")
+                     .mapInPandas(pack, out_schema)
+                     .collect())
+    return df.sparkSession.createDataFrame(manifest_rows, out_schema)

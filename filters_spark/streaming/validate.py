@@ -46,6 +46,24 @@ __all__ = [
 ]
 
 
+def _sink_identity(batch_df: DataFrame, sink_id: str | None) -> str:
+    """Stable per-sink lineage id for foreachBatch idempotency keys.
+
+    An explicit ``sink_id`` always wins — pass one whenever more than
+    one streaming query writes to the same sink/table.  Without it we
+    fall back to the ``sql.streaming.queryId`` local property, which
+    in PySpark's py4j foreachBatch callback path is frequently unset
+    (it is thread-local to the JVM micro-batch thread, not the Python
+    callback thread — the round-6 ADVICE finding), collapsing every
+    query to the same ``"unknown"`` lineage.  That collapse is safe
+    for exactly one stream per sink; with two streams, batch ids from
+    different queries would collide — hence the explicit parameter."""
+    if sink_id is not None:
+        return sink_id
+    return (batch_df.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId")) or "unknown"
+
+
 def events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """Replay the events table as a file-source stream (the test/bench
     harness for streaming ops).  The file source requires a DIRECTORY,
@@ -263,7 +281,9 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
 
 
 def dead_letter_writer(clean_path: str, dead_path: str,
-                       fmt: str = "parquet") -> Callable[[DataFrame, int], None]:
+                       fmt: str = "parquet",
+                       sink_id: str | None = None,
+                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function writing each micro-batch's clean rows to
     ``clean_path`` and rejected rows (with error payloads) to
     ``dead_path``.
@@ -276,14 +296,15 @@ def dead_letter_writer(clean_path: str, dead_path: str,
     idempotent per (sink, query lineage, batch).  A half-written
     failed attempt is likewise clobbered on replay.
 
-    ``_query_id`` is the streaming query id (read from the
-    ``sql.streaming.queryId`` local property inside the micro-batch
-    thread) — it is persisted in the checkpoint, so RESTARTS of the
-    same checkpoint keep the id and stay idempotent, while a FRESH
-    checkpoint pointed at the same sink gets a new id and its batch 0
-    lands in a new partition instead of silently deleting the
-    previous lineage's batch-0 data (overwrite keyed by batch id
-    alone clobbers across lineages).
+    ``_query_id`` is the sink lineage id (``sink_id`` if given, else
+    the ``sql.streaming.queryId`` local property — see
+    :func:`_sink_identity`; the property is often unset in PySpark
+    foreachBatch callbacks, so PASS ``sink_id`` whenever two queries
+    share these paths).  With an explicit per-query ``sink_id``,
+    restarts of the same checkpoint keep the id and stay idempotent,
+    and a fresh lineage gets a new partition instead of silently
+    deleting the previous lineage's batch-0 data (overwrite keyed by
+    batch id alone clobbers across lineages).
 
     If the stream was validated ``with_raw=True``, the dead-letter
     rows RESTORE the original values from the ``_raw`` struct (the
@@ -293,8 +314,7 @@ def dead_letter_writer(clean_path: str, dead_path: str,
     from ..schema import RAW_COL
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        qid = (batch_df.sparkSession.sparkContext
-               .getLocalProperty("sql.streaming.queryId")) or "unknown"
+        qid = _sink_identity(batch_df, sink_id)
         stamped = (batch_df.withColumn("_query_id", F.lit(qid))
                    .withColumn("_batch_id", F.lit(batch_id)))
         has_raw = RAW_COL in batch_df.columns
@@ -323,7 +343,8 @@ def dead_letter_writer(clean_path: str, dead_path: str,
 
 
 def expectations_monitor(checks, path: str,
-                         fmt: str = "parquet"):
+                         fmt: str = "parquet",
+                         sink_id: str | None = None):
     """foreachBatch function evaluating TABLE-level expectations
     (:mod:`..functions.expectations`) on every micro-batch and
     appending the per-batch report to ``path`` — streaming data
@@ -339,8 +360,7 @@ def expectations_monitor(checks, path: str,
     ``path`` and filtering ``passed = false``."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        qid = (batch_df.sparkSession.sparkContext
-               .getLocalProperty("sql.streaming.queryId")) or "unknown"
+        qid = _sink_identity(batch_df, sink_id)
         rep = (checks(batch_df)
                .withColumn("_query_id", F.lit(qid))
                .withColumn("_batch_id", F.lit(batch_id)))
@@ -356,7 +376,8 @@ def expectations_monitor(checks, path: str,
 def incremental_dedup_sink(store_path: str, pairs_path: str,
                            threshold: float = 0.8,
                            text_col: str = "text",
-                           fmt: str = "parquet"):
+                           fmt: str = "parquet",
+                           sink_id: str | None = None):
     """foreachBatch function running the ROLLING-INGEST dedup
     lifecycle on every micro-batch of documents: (1) near-dup pairs
     of the batch against the signature store (and within the batch)
@@ -382,8 +403,7 @@ def incremental_dedup_sink(store_path: str, pairs_path: str,
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        qid = (spark.sparkContext
-               .getLocalProperty("sql.streaming.queryId")) or "unknown"
+        qid = _sink_identity(batch_df, sink_id)
         pairs = dedup.dedup_pairs_against(spark, store_path, batch_df,
                                           text_col=text_col,
                                           threshold=threshold)
@@ -404,7 +424,8 @@ def incremental_dedup_sink(store_path: str, pairs_path: str,
     return write
 
 
-def versioned_merge_sink(table_path: str, key: str):
+def versioned_merge_sink(table_path: str, key: str,
+                         sink_id: str | None = None):
     """foreachBatch function committing every micro-batch into a
     :mod:`..sources.versioned` table as a NEW snapshot — the
     streaming twin of ``rel_merge_snapshot``: a continuously-arriving
@@ -415,7 +436,13 @@ def versioned_merge_sink(table_path: str, key: str):
     ``(stream_query, stream_batch)``, and a replayed batch (Spark's
     at-least-once foreachBatch contract after a crash) is detected by
     scanning committed manifests and SKIPPED — merging a batch twice
-    would double-apply inserts.  A crash BETWEEN the snapshot write
+    would double-apply inserts.  The stream identity comes from
+    :func:`_sink_identity`: pass ``sink_id`` explicitly when MORE
+    THAN ONE streaming query merges into the same table — without it
+    the ``sql.streaming.queryId`` fallback is often unset in PySpark
+    foreachBatch callbacks, every query collapses to one lineage, and
+    two queries sharing a ``batch_id`` would wrongly skip each
+    other's batches.  One table / one stream is safe without it.  A crash BETWEEN the snapshot write
     and the pointer flip leaves an unreferenced orphan (never visible
     to readers); the replay re-merges cleanly because the orphan was
     never latest and version numbering skips past it.  The first
@@ -428,8 +455,7 @@ def versioned_merge_sink(table_path: str, key: str):
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        qid = (spark.sparkContext
-               .getLocalProperty("sql.streaming.queryId")) or "unknown"
+        qid = _sink_identity(batch_df, sink_id)
         for v in V.versions(table_path):
             m = V._read_manifest(table_path, v)
             if m.get("stream_query") == qid \

@@ -422,6 +422,10 @@ EXPECTATIONS: dict[str, dict] = {
                               scan_filter=True),
     # recall certification: brute baseline is deliberate (gate-only)
     "ds_pq_recall": dict(max_exchanges=7, min_broadcasts=3),
+    # residual-vs-raw certification: TWO quantization arms + brute
+    # baseline + centroid aggs — gate-only by design (the production
+    # probes stay pruned); exchanges dominated by small-side aggs
+    "ds_pq_residual_recall": dict(max_exchanges=20, min_broadcasts=4),
     # BMP codec gate: scan -> in-plan payload build -> two mapInPandas
     # crossings (decode + featurize) -> posexplode + one rollup
     "ds_bmp_codec_gate": dict(max_exchanges=1, scan_filter=True),
