@@ -67,7 +67,12 @@ HEADLINE = [
     # hybrid retrieval fusion, and the excision->dedup capstone
     "ds_span_removal",
     "ds_stratified_fixed_n",
-    "ds_hybrid_rrf",
+    # round 7: ds_hybrid_rrf (brute dense arm) swapped for the
+    # index-pruned production twin — the headline number should track
+    # the plan you'd run at 100x, not the labeled recall baseline
+    # (VERDICT r6 "Next" #9; the brute gate stays registered for the
+    # correctness window)
+    "ds_hybrid_rrf_indexed",
     "ds_corpus_pipeline_v4",
     # round 5 (late): quality-screen + sketch families
     "txt_gopher_rules",
@@ -83,9 +88,9 @@ HEADLINE = [
     "ds_text_clusters",
     # round 6: real PNG codec gate (zlib decode in the hot path) and
     # the snapshot-versioned MERGE commit (write-path cost is the
-    # honest number for a CDC merge; ds_hybrid_rrf_indexed is NOT
-    # headlined — its cost is a pay-once index build, the
-    # ds_ivf_index_topk precedent)
+    # honest number for a CDC merge). (r7 note: the index build cost
+    # of ds_hybrid_rrf_indexed is pay-once/app-scoped, so its STEADY
+    # number measures probes — the cold run carries the build.)
     "ds_png_codec_gate",
     "rel_merge_snapshot",
     # round 6 (late): baseline JPEG — the heaviest per-doc Python
