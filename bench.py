@@ -88,9 +88,12 @@ HEADLINE = [
     "ds_text_clusters",
     # round 6: real PNG codec gate (zlib decode in the hot path) and
     # the snapshot-versioned MERGE commit (write-path cost is the
-    # honest number for a CDC merge). (r7 note: the index build cost
-    # of ds_hybrid_rrf_indexed is pay-once/app-scoped, so its STEADY
-    # number measures probes — the cold run carries the build.)
+    # honest number for a CDC merge). (r8 note: ds_hybrid_rrf_indexed
+    # is NOW actually pay-once — r7 claimed it but the gate had no
+    # existence guard, so its 6.69 s r7 steady measured build+probe
+    # every run; the guard + sf-tagged paths landed in r8 and the
+    # steady number measures probes only — the cold run carries the
+    # build.)
     "ds_png_codec_gate",
     "rel_merge_snapshot",
     # round 6 (late): baseline JPEG — the heaviest per-doc Python

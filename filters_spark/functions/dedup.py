@@ -1239,7 +1239,11 @@ def remove_frequent_lines(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape (100 TB): lines shuffle once as (128-bit key, count)
     for the frequency aggregate — map-side combined, two independent
-    xxhash64 halves (16 bytes; a single 64-bit key hits birthday
+    xxhash64 halves: ``xxhash64(line)`` and ``xxhash64(salt, line)``
+    with the salt hashed FIRST so the running seed differs before the
+    text is mixed in (``xxhash64(line, salt)`` would be a pure
+    function of the first half — ADVICE r7) (16 bytes; a single
+    64-bit key hits birthday
     collisions near 2^32 distinct lines, i.e. guaranteed at
     billions-of-lines corpus scale, and a collision here DELETES
     genuine content — the round-6 ADVICE finding), never the line
@@ -1264,7 +1268,15 @@ def remove_frequent_lines(df: DataFrame, id_col: str = "doc_id",
                                           _re.escape(sep)))
                      .alias("_pos", "_line"))
              .withColumn("_lk", F.xxhash64(norm))
-             .withColumn("_lk2", F.xxhash64(norm, F.lit(0x5f17))))
+             # salt FIRST (ADVICE r7): xxhash64's multi-column chain
+             # seeds each column with the running hash, so
+             # xxhash64(norm, salt) is a pure function of
+             # xxhash64(norm) — any _lk collision would imply an _lk2
+             # collision and the pair would add zero resistance.
+             # Hashing the salt first makes the seed differ BEFORE
+             # the text is mixed in, giving a genuinely independent
+             # second 64 bits (a joint collision needs both halves).
+             .withColumn("_lk2", F.xxhash64(F.lit(0x5f17), norm)))
     candidates = lines
     if min_chars > 0:
         candidates = lines.where(

@@ -1,0 +1,202 @@
+"""ISO extension validators — the reference ecosystem's most-used
+extension packages, re-expressed as pure Column expressions
+(SURVEY.md §2.7; VERDICT r7 Next #3):
+
+* :class:`Country` — ISO 3166-1 country codes (public ``filters-iso``
+  ``Country``): accepts alpha-2 or alpha-3, case-insensitively,
+  canonicalizes to uppercase alpha-2 (or alpha-3 with
+  ``to="alpha3"``).
+* :class:`Currency` — ISO 4217 currency codes (``filters-iso``
+  ``Currency``): accepts the alpha-3 code or the 3-digit numeric
+  code, canonicalizes to uppercase alpha-3.
+* :class:`Locale` — BCP-47 / POSIX locale tags (``filters-iso``
+  ``Locale``): parses ``language[-script][-region]`` with ``-`` or
+  ``_`` separators, validates each subtag (language against ISO
+  639-1 for 2-letter tags, region against ISO 3166 alpha-2 or UN M49
+  3-digit), canonicalizes casing to ``ll_Tttt_RR`` (babel's
+  underscore form, e.g. ``sr_Latn_RS``).
+* :class:`MacAddress` — IEEE 802 MAC addresses (public
+  ``filters-macaddress``): accepts colon / hyphen / dot-grouped or
+  bare hex, canonicalizes to lowercase colon-separated octets.
+
+The lookup tables (:mod:`._isodata`) are generated from the JDK's
+bundled CLDR/ISO data by ``tools/gen_isodata.py`` and cross-checked
+against the live JVM in ``tests/test_iso.py``.
+
+Scale shape: each validator is ONE literal map (≤ ~500 entries)
+evaluated JVM-side inside whole-stage codegen — the map constant
+ships once per task in the serialized plan, there is no join, no
+shuffle, no Python.  This is the broadcast-literal-dimension idiom:
+at 100 TB a country check costs exactly one hash probe per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core import FieldRef, Validator, make_error
+from ._isodata import COUNTRIES, CURRENCIES, LANGUAGES
+
+__all__ = ["Country", "Currency", "Locale", "MacAddress"]
+
+
+def _literal_map(mapping: dict[str, str]) -> Column:
+    """A constant MapType Column from a python dict — the engine's
+    broadcast-literal dimension table (no join, codegen hash probe)."""
+    kv = []
+    for k, v in mapping.items():
+        kv.append(F.lit(k))
+        kv.append(F.lit(v))
+    return F.create_map(*kv)
+
+
+class Country(Validator):
+    """ISO 3166-1 country code → canonical alpha-2 (default) or
+    alpha-3.  Accepts alpha-2 and alpha-3, case-insensitive, trims
+    surrounding whitespace.  Error code ``invalid_country``
+    (public ``filters-iso`` ``Country`` semantics)."""
+
+    name = "country"
+    code = "invalid_country"
+
+    def __init__(self, to: str = "alpha2"):
+        if to not in ("alpha2", "alpha3"):
+            raise ValueError(f"to must be alpha2|alpha3, got {to!r}")
+        self.to = to
+        out = {"alpha2": 0, "alpha3": 1}[to]
+        m: dict[str, str] = {}
+        for a2, a3 in COUNTRIES:
+            target = (a2, a3)[out]
+            if not target:        # user-assigned range without alpha-3
+                continue
+            m[a2] = target
+            if a3:
+                m[a3] = target
+        self._map = m
+
+    def _canon(self, col: Column) -> Column:
+        return F.element_at(_literal_map(self._map),
+                            F.upper(F.trim(col)))
+
+    def transform(self, col: Column) -> Column:
+        return self._canon(col)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & self._canon(col).isNull()
+        return F.when(fail, make_error(field, self.code, self.name))
+
+
+class Currency(Validator):
+    """ISO 4217 currency code → canonical uppercase alpha-3.  Accepts
+    the alpha code (case-insensitive) or the numeric code (with or
+    without leading zeros: ``"840"`` and ``"8"``→``"008"`` styles).
+    Error code ``invalid_currency``."""
+
+    name = "currency"
+    code = "invalid_currency"
+
+    def __init__(self):
+        m: dict[str, str] = {}
+        for code, num in CURRENCIES:
+            m[code] = code
+            if num >= 0:
+                m[f"{num:03d}"] = code
+        self._map = m
+
+    def _canon(self, col: Column) -> Column:
+        key = F.upper(F.trim(col))
+        # normalize a purely-numeric key to the formal 3-digit form
+        key = F.when(key.rlike("^[0-9]{1,3}$"), F.lpad(key, 3, "0")) \
+            .otherwise(key)
+        return F.element_at(_literal_map(self._map), key)
+
+    def transform(self, col: Column) -> Column:
+        return self._canon(col)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & self._canon(col).isNull()
+        return F.when(fail, make_error(field, self.code, self.name))
+
+
+_LOCALE_RE = (r"^\s*([A-Za-z]{2,3})"
+              r"(?:[-_]([A-Za-z]{4}))?"
+              r"(?:[-_]([A-Za-z]{2}|[0-9]{3}))?\s*$")
+
+
+class Locale(Validator):
+    """BCP-47 / POSIX locale tag → canonical underscore form
+    (``en-us`` → ``en_US``, ``sr-latn-rs`` → ``sr_Latn_RS``).
+
+    Subtag validation: language must be a known ISO 639-1 code when
+    2 letters (3-letter ISO 639-2/3 tags are accepted syntactically —
+    the full 639-3 registry is out of scope, as it is for the public
+    package's babel backend at parse level); script is any 4-letter
+    tag, titlecased; region must be an ISO 3166-1 alpha-2 code or a
+    3-digit UN M49 area code.  Error code ``invalid_locale``."""
+
+    name = "locale"
+    code = "invalid_locale"
+
+    def __init__(self):
+        self._langs = set(LANGUAGES)
+        self._regions = {a2 for a2, _ in COUNTRIES}
+
+    def _parts(self, col: Column):
+        lang = F.lower(F.nullif(F.regexp_extract(col, _LOCALE_RE, 1),
+                                F.lit("")))
+        script = F.initcap(F.lower(
+            F.nullif(F.regexp_extract(col, _LOCALE_RE, 2), F.lit(""))))
+        region = F.upper(F.nullif(F.regexp_extract(col, _LOCALE_RE, 3),
+                                  F.lit("")))
+        return lang, script, region
+
+    def _valid(self, col: Column, lang: Column, script: Column,
+               region: Column) -> Column:
+        lang_ok = lang.isNotNull() & (
+            (F.length(lang) == 3)
+            | lang.isin(*sorted(self._langs)))
+        region_ok = region.isNull() | region.rlike("^[0-9]{3}$") \
+            | region.isin(*sorted(self._regions))
+        return col.rlike(_LOCALE_RE) & lang_ok & region_ok
+
+    def _canon(self, col: Column) -> Column:
+        lang, script, region = self._parts(col)
+        return F.when(self._valid(col, lang, script, region),
+                      F.concat_ws("_", lang, script, region))
+
+    def transform(self, col: Column) -> Column:
+        return self._canon(col)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & self._canon(col).isNull()
+        return F.when(fail, make_error(field, self.code, self.name))
+
+
+class MacAddress(Validator):
+    """IEEE 802 MAC address → canonical lowercase colon-separated
+    octets (public ``filters-macaddress`` semantics).  Accepts
+    ``aa:bb:cc:dd:ee:ff``, ``AA-BB-CC-DD-EE-FF``, Cisco
+    ``aabb.ccdd.eeff``, and bare ``aabbccddeeff``; mixed delimiters
+    are tolerated (everything non-hex among ``:-.`` is stripped
+    before the 12-hex-digit check).  Error code
+    ``invalid_mac_address``."""
+
+    name = "mac_address"
+    code = "invalid_mac_address"
+
+    def __init__(self, sep: str = ":"):
+        self.sep = sep
+
+    def _canon(self, col: Column) -> Column:
+        bare = F.lower(F.regexp_replace(F.trim(col), "[:.\\-]", ""))
+        octets = [F.substring(bare, 1 + 2 * i, 2) for i in range(6)]
+        return F.when(bare.rlike("^[0-9a-f]{12}$"),
+                      F.concat_ws(self.sep, *octets))
+
+    def transform(self, col: Column) -> Column:
+        return self._canon(col)
+
+    def error(self, col: Column, field: FieldRef) -> Column:
+        fail = col.isNotNull() & self._canon(col).isNull()
+        return F.when(fail, make_error(field, self.code, self.name))

@@ -614,80 +614,76 @@ def names() -> list[str]:
 # op, so every component lands a row in the official record.  The
 # remaining queries still run under tools/oracle_check.py.
 DRIVER_WINDOW: list[str] = [
-    # ================= ROUND-6 ROTATION (VERDICT r5 task 1) ==========
-    # ALL 50 slots now hold queries that have NEVER had an official
-    # CORRECTNESS row in rounds 1-5 (98 of 198 registered names were
-    # in that state; this window clears 46 of them plus this round's
-    # 4 new gates — prof_histogram yielded its slot to
-    # ds_jpeg_codec_gate late in the round: official validation of
-    # the novel codec outweighs one more row for a replica-proven
-    # simple aggregate).  Every OUTGOING name had >=1 official green round
-    # (most >=2) and keeps pytest + strict-replica + judge-sweep
+    # ================= ROUND-8 ROTATION (VERDICT r7 task 1) ==========
+    # ALL 50 slots hold queries that have NEVER had an official
+    # CORRECTNESS row in rounds 1-7 (69 of 219 registered names were
+    # in that state; this window clears 50 of them -> cumulative
+    # official coverage 200/219).  Every OUTGOING name had >=1
+    # official green round and keeps pytest + strict-replica + judge
     # coverage; every INCOMING name is green on the driver-faithful
     # strict replica (tools/oracle_check.py) at sf0.01 AND sf0.1
-    # before entry.  Cumulative official coverage after this round:
-    # >=150 of 201 names.  The r1-r5 window history and per-rotation
-    # rationale live in git (this file, commits through round 5).
+    # before entry.  The 19 names still unchecked after this round
+    # (all replica-green simple aggregates / dedup variants) plus any
+    # round-8 new gates rotate in round 9.  Window history lives in
+    # git (this file, commits through round 7).
     #
-    # -- capstones / composed pipelines --------------------------------
-    "ds_corpus_pipeline",        # v1: clean->dedup->pack
-    "ds_corpus_pipeline_v2",     # + quality + decontaminate stages
-    "ds_corpus_pipeline_v3",     # + text+embedding joint curation
-    "ds_corpus_pipeline_v5",     # quality screen -> mixture -> pack
-    "ds_text_clusters",          # hashing featurizer -> k-means
-    # -- perceptual multimodal dedup trio ------------------------------
-    "ds_image_ahash_dedup",      # aHash over real-decoded pixels
-    "ds_audio_fingerprint_dedup",  # windowed-energy audio signature
-    "ds_video_framehash_dedup",  # Y4M frame-hash sequence dedup
-    # -- real-codec gates (round-5 + round-6 formats) -------------------
-    "ds_bmp_codec_gate",         # 24-bit BMP, BGR/bottom-up/padding
-    "ds_mulaw_codec_gate",       # G.711 mu-law exact expansion
-    "ds_alaw_codec_gate",        # G.711 A-law exact expansion
-    "ds_png_codec_gate",         # NEW r6: zlib DEFLATE + unfilter
-    "ds_jpeg_codec_gate",        # NEW r6: baseline JFIF 4:2:0 + RST
-    # -- incremental index/store maintenance ---------------------------
-    "ds_postings_append",        # O(delta) BM25 postings append
-    "ds_ivf_append",             # O(delta) IVF cell append
-    "ds_ivf_compact",            # LSM compaction, staged swap
-    "ds_incremental_clusters",   # cluster-store merge events
-    # -- round-6 new operator families ---------------------------------
-    "ds_hybrid_rrf_indexed",     # NEW r6: index-probing hybrid RRF
-    "rel_merge_snapshot",        # NEW r6: versioned MERGE + time travel
-    # -- sketches / profiling -------------------------------------------
-    "ds_bloom_membership",       # Bloom filter calibration
-    "prof_hdr_by_group",         # grouped HDR quantile sketch
-    "prof_hll_by_group",         # grouped HyperLogLog
-    "prof_table_diff",           # content-hash table diff
-    "prof_exact_median",         # exact rank median
-    "prof_table_fingerprint",    # order-free table checksum
-    "prof_corr",                 # Pearson correlation, exact sums
-    "prof_correlated_dims",      # integer-numerator corr flags (r6 fix)
-    "prof_covariance_by_group",  # grouped exact covariance
-    "prof_approx_distinct",      # HLL vs exact distinct
-    "prof_referential_integrity",  # FK orphan audit
-    "prof_freshness",            # per-source staleness
-    # -- text analysis ---------------------------------------------------
-    "txt_gopher_rules",          # Gopher quality rules
-    "txt_lm_perplexity",         # bigram-LM perplexity filter
-    "txt_hashing_features",      # feature-hashing vectorizer
-    "txt_bpe_tokenize",          # BPE apply (trained merges)
-    "txt_tfidf_topterms",        # TF-IDF top terms
-    "txt_zipf_vocab",            # Zipf rank-frequency audit
-    "txt_winnow_sketch",         # winnowing fingerprint sketch
-    # -- sampling / embedding ops ----------------------------------------
-    "ds_temperature_mixture",    # temperature-scaled source mixture
-    "ds_centroid_outliers",      # embedding outlier detection
-    "ds_projected_kmeans",       # JL projection -> k-means
-    "ds_semantic_decontaminate", # embedding-cosine decontamination
-    "ds_fuzzy_match",            # edit-distance blocked matching
-    "ds_segment_dedup",          # within-doc segment dedup
-    "ds_containment_pairs",      # asymmetric containment
-    # -- relational: the biggest never-officially-run TPC-H shapes ------
-    "rel_q9_profit_by_nation_year",
-    "rel_q21_exclusive_supplier",
-    "rel_q20_part_promotion",
-    "rel_q2_cheapest_supplier",
-    "rel_schema_evolution",      # schema-on-read evolution ingest
+    # -- PQ / IVF-PQ family (entire family never checked; includes
+    #    r7's own ds_pq_residual_recall per ADVICE r7) ----------------
+    "ds_pq_topk",                # in-memory PQ ADC top-k
+    "ds_ivfpq_topk",             # coarse-cell + PQ ADC twin
+    "ds_pq_index_topk",          # materialized codes-only probe
+    "ds_pq_recall",              # PQ recall@10 vs exact cosine
+    "ds_pq_residual_recall",     # residual encoding recall gate (r7)
+    # -- real-codec gates (r6/r7 formats, judge-replica-green) ---------
+    "ds_gif_codec_gate",         # GIF87a LZW decode
+    "ds_tiff_codec_gate",        # TIFF baseline decode
+    "ds_adpcm_codec_gate",       # IMA ADPCM expansion
+    # -- storage / layout / versioned -----------------------------------
+    "ds_tar_shards",             # WebDataset tar shard sink+read
+    "ds_tar_media_pipeline",     # tar -> decode -> feature pipeline
+    "rel_orc_roundtrip",         # ORC source/sink roundtrip
+    "rel_bloom_prejoin",         # bloom sideways-info-passing join
+    "rel_snapshot_skipping",     # versioned-table stats skipping
+    # -- dedup / text / training ----------------------------------------
+    "ds_line_dedup",             # corpus-wide line dedup (128-bit keys)
+    "ds_mojibake_repair",        # double-encoding repair
+    "ds_corpus_pipeline_v6",     # capstone v6
+    "ds_ridge_fit",              # distributed Gram ridge regression
+    "ds_lsh_recall",             # MinHash-LSH recall certification
+    # -- never-checked TPC-H shapes --------------------------------------
+    "rel_q6_forecast_revenue",
+    "rel_q7_volume_shipping",
+    "rel_q8_market_share",
+    "rel_q10_returned_items",
+    "rel_q11_important_parts",
+    "rel_q12_priority_shipping",
+    "rel_q13_order_distribution",
+    "rel_q14_promo_revenue",
+    "rel_q15_top_supplier",
+    "rel_q16_supplier_cnt",
+    "rel_q18_large_orders",
+    "rel_q19_disjunctive_preds",
+    "rel_q22_inactive_customers",
+    # -- never-checked window / sessionization / relational shapes ------
+    "rel_funnel_steps",
+    "rel_gapfill_ffill",
+    "rel_retention_cohorts",
+    "rel_asof_forward",
+    "rel_event_transitions",
+    "rel_moving_avg",
+    "rel_ntile_deciles",
+    "rel_tumbling_window",
+    "rel_sliding_window",
+    "rel_pivot_returnflag",
+    "rel_unpivot_metrics",
+    "rel_mom_revenue",
+    "rel_running_total",
+    "rel_sequence_gaps",
+    "rel_order_interarrival",
+    "rel_session_conversion",
+    "rel_rolling_zscore",
+    "rel_pareto_deciles",
+    "rel_basket_pairs",
 ]
 
 
@@ -10421,7 +10417,8 @@ def ds_pq_residual_recall(spark, sf_dir):
     here: recall_raw ≈ 0.58, recall_res ≈ 0.83 (sf0.01).  The same
     residual regime ships through the materialized lifecycle
     (materialize_pq_index(residual=True) / append_pq frozen-rescent
-    / pq_topk_from_index), pytest-pinned in test_projection.py."""
+    / pq_topk_from_index), pytest-pinned in
+    tests/test_cluster_drift.py (TestResidualPQ)."""
     from ..functions._cache import scoped_persist
 
     dims, m, k = 16, 4, 64
@@ -11066,13 +11063,26 @@ def ds_hybrid_rrf_indexed(spark, sf_dir):
     table is a materialization detail, not a semantics change."""
     from ..functions import retrieval
 
+    import os as _os
+
     d = _t(spark, sf_dir, "documents")
+    # pay-once artifact (VERDICT r7 #2): app-scoped + sf-tagged paths
+    # with an existence guard, exactly the ds_pq_index_topk pattern —
+    # the steady bench number measures the PROBE (the recurring cost
+    # at 100 TB), not an index rebuild per call.  The sf tag makes a
+    # mixed sf0.01/sf0.1 session safe: each scale gets its own index.
+    # Guards test the LAST-written dataset of each materializer
+    # (postings writes stats/ last; IVF writes centroids/ last), so a
+    # half-built artifact from a crashed run re-materializes.
     app = spark.sparkContext.applicationId
-    ppath = f"/tmp/fs_hybridx_post_{app}"
-    vpath = f"/tmp/fs_hybridx_ivf_{app}"
-    retrieval.materialize_postings(d, ppath)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    ppath = f"/tmp/fs_hybridx_post_{app}_{tag}"
+    vpath = f"/tmp/fs_hybridx_ivf_{app}_{tag}"
+    if not _os.path.isdir(f"{ppath}/stats"):
+        retrieval.materialize_postings(d, ppath)
     emb = _t(spark, sf_dir, "embeddings")
-    similarity.materialize_ivf_index(emb, vpath, cell_col="label")
+    if not _os.path.isdir(f"{vpath}/centroids"):
+        similarity.materialize_ivf_index(emb, vpath, cell_col="label")
     q = (
         d.where(F.col("doc_id") % 97 == 0)
         .select(F.col("doc_id").alias("query_id"),
@@ -11377,3 +11387,135 @@ def rel_snapshot_skipping(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.sum("o_custkey").cast("bigint").alias("custkey_sum"),
                  F.sum("cents").cast("bigint").alias("cents_sum")))
+
+
+# ---------------------------------------------------------------------------
+# round 8: ISO extension family gates (VERDICT r7 Next #3 — public
+# filters-iso / filters-macaddress parity through the extension
+# registry).  Planted-input hash gates: a deterministic input is
+# synthesized from c_custkey, run through the registered extension
+# validator, and the per-canonical-value counts are hash-compared
+# against an oracle that carries the EXPECTED canonical outputs as
+# literals — the codec-gate construction, so a regression in the
+# literal-map lookup, the casefold/trim normalization, or the
+# error-vs-pass split cannot hide.  Full-table integrity vs the JVM's
+# CLDR data is pytest-pinned (tests/test_iso.py TestTableIntegrity).
+
+_ISO_COUNTRY_IN = ["us", "DE", " fr ", "gbr", "CHE", "jpn",
+                   "Xz", "USAA", "br", "IND", "zz", "Au"]
+_ISO_COUNTRY_OUT = ["US", "DE", "FR", "GB", "CH", "JP",
+                    None, None, "BR", "IN", None, "AU"]
+
+
+def _planted_gate_sql(outs: list[str | None]) -> str:
+    """Oracle for a planted-input validator gate: custkey % N selects
+    the EXPECTED canonical output directly (invalid → '<invalid>'),
+    then group-count."""
+    n = len(outs)
+    arms = "\n".join(
+        f"        WHEN {i} THEN '{v if v is not None else '<invalid>'}'"
+        for i, v in enumerate(outs))
+    return f"""
+    SELECT canon, count(*) AS n FROM (
+      SELECT CASE c_custkey % {n}
+{arms}
+      END AS canon FROM customer
+    ) GROUP BY canon
+    """
+
+
+@register("val_iso_country", oracle=_planted_gate_sql(_ISO_COUNTRY_OUT))
+def val_iso_country(spark, sf_dir):
+    """ext.Country (ISO 3166-1): alpha-2/alpha-3, case-insensitive,
+    trimmed, canonical alpha-2 out; rejects unassigned codes."""
+    import filters_spark as fs
+    from ..schema import ERRORS_COL
+
+    cust = _t(spark, sf_dir, "customer")
+    inp = F.element_at(F.array(*[F.lit(s) for s in _ISO_COUNTRY_IN]),
+                       (F.col("c_custkey") % len(_ISO_COUNTRY_IN) + 1)
+                       .cast("int"))
+    res = fs.ValidationSchema({"code": fs.ext.Country}) \
+        .validate(cust.select(inp.alias("code")))
+    return (res.validated
+            .select(F.when(F.size(ERRORS_COL) > 0, F.lit("<invalid>"))
+                    .otherwise(F.col("code")).alias("canon"))
+            .groupBy("canon").agg(F.count(F.lit(1)).alias("n")))
+
+
+_ISO_CURRENCY_IN = ["usd", "EUR", "840", "978", "008", "8",
+                    " jpy ", "XXXX", "9999", "Chf"]
+_ISO_CURRENCY_OUT = ["USD", "EUR", "USD", "EUR", "ALL", "ALL",
+                     "JPY", None, None, "CHF"]
+
+
+@register("val_iso_currency", oracle=_planted_gate_sql(_ISO_CURRENCY_OUT))
+def val_iso_currency(spark, sf_dir):
+    """ext.Currency (ISO 4217): alpha-3 (ci) or numeric (padded or
+    not), canonical alpha-3 out."""
+    import filters_spark as fs
+    from ..schema import ERRORS_COL
+
+    cust = _t(spark, sf_dir, "customer")
+    inp = F.element_at(F.array(*[F.lit(s) for s in _ISO_CURRENCY_IN]),
+                       (F.col("c_custkey") % len(_ISO_CURRENCY_IN) + 1)
+                       .cast("int"))
+    res = fs.ValidationSchema({"code": fs.ext.Currency}) \
+        .validate(cust.select(inp.alias("code")))
+    return (res.validated
+            .select(F.when(F.size(ERRORS_COL) > 0, F.lit("<invalid>"))
+                    .otherwise(F.col("code")).alias("canon"))
+            .groupBy("canon").agg(F.count(F.lit(1)).alias("n")))
+
+
+_ISO_LOCALE_IN = ["en-us", "EN_US", "sr-latn-rs", "zh_HANT_TW", "fr",
+                  "es-419", "english", "en_ZZ", "haw-US", "qq"]
+_ISO_LOCALE_OUT = ["en_US", "en_US", "sr_Latn_RS", "zh_Hant_TW", "fr",
+                   "es_419", None, None, "haw_US", None]
+
+
+@register("val_iso_locale", oracle=_planted_gate_sql(_ISO_LOCALE_OUT))
+def val_iso_locale(spark, sf_dir):
+    """ext.Locale (BCP-47/POSIX): -/_ separators, subtag validation
+    (ISO 639-1 language, ISO 3166 / UN M49 region), canonical
+    ll_Tttt_RR casing out."""
+    import filters_spark as fs
+    from ..schema import ERRORS_COL
+
+    cust = _t(spark, sf_dir, "customer")
+    inp = F.element_at(F.array(*[F.lit(s) for s in _ISO_LOCALE_IN]),
+                       (F.col("c_custkey") % len(_ISO_LOCALE_IN) + 1)
+                       .cast("int"))
+    res = fs.ValidationSchema({"tag": fs.ext.Locale}) \
+        .validate(cust.select(inp.alias("tag")))
+    return (res.validated
+            .select(F.when(F.size(ERRORS_COL) > 0, F.lit("<invalid>"))
+                    .otherwise(F.col("tag")).alias("canon"))
+            .groupBy("canon").agg(F.count(F.lit(1)).alias("n")))
+
+
+_MAC_IN = ["AA:BB:CC:DD:EE:FF", "aa-bb-cc-dd-ee-ff", "aabb.ccdd.eeff",
+           "aabbccddeeff", " 01:23:45:67:89:AB ", "aa:bb:cc:dd:ee",
+           "aabbccddeefg", "a1b2c3d4e5f6"]
+_MAC_OUT = ["aa:bb:cc:dd:ee:ff", "aa:bb:cc:dd:ee:ff",
+            "aa:bb:cc:dd:ee:ff", "aa:bb:cc:dd:ee:ff",
+            "01:23:45:67:89:ab", None, None, "a1:b2:c3:d4:e5:f6"]
+
+
+@register("val_mac_address", oracle=_planted_gate_sql(_MAC_OUT))
+def val_mac_address(spark, sf_dir):
+    """ext.MacAddress (filters-macaddress): colon/hyphen/Cisco-dot/
+    bare forms, canonical lowercase colon-separated out."""
+    import filters_spark as fs
+    from ..schema import ERRORS_COL
+
+    cust = _t(spark, sf_dir, "customer")
+    inp = F.element_at(F.array(*[F.lit(s) for s in _MAC_IN]),
+                       (F.col("c_custkey") % len(_MAC_IN) + 1)
+                       .cast("int"))
+    res = fs.ValidationSchema({"mac": fs.ext.MacAddress}) \
+        .validate(cust.select(inp.alias("mac")))
+    return (res.validated
+            .select(F.when(F.size(ERRORS_COL) > 0, F.lit("<invalid>"))
+                    .otherwise(F.col("mac")).alias("canon"))
+            .groupBy("canon").agg(F.count(F.lit(1)).alias("n")))

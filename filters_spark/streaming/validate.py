@@ -46,7 +46,11 @@ __all__ = [
 ]
 
 
-def _sink_identity(batch_df: DataFrame, sink_id: str | None) -> str:
+_WARNED_UNKNOWN_SINKS: set[str] = set()
+
+
+def _sink_identity(batch_df: DataFrame, sink_id: str | None,
+                   require: bool = False, where: str = "sink") -> str:
     """Stable per-sink lineage id for foreachBatch idempotency keys.
 
     An explicit ``sink_id`` always wins — pass one whenever more than
@@ -57,11 +61,40 @@ def _sink_identity(batch_df: DataFrame, sink_id: str | None) -> str:
     callback thread — the round-6 ADVICE finding), collapsing every
     query to the same ``"unknown"`` lineage.  That collapse is safe
     for exactly one stream per sink; with two streams, batch ids from
-    different queries would collide — hence the explicit parameter."""
+    different queries would collide.  ADVICE r7: the fallback is no
+    longer silent — ``require=True`` (versioned_merge_sink, where a
+    cross-lineage collision means SILENT BATCH LOSS, not just
+    partition mixing) raises; everywhere else the first fallback per
+    sink logs a warning so the default path cannot hide the hazard.
+
+    A generated-per-closure id would NOT work as a fallback: the
+    identity must survive a stream restart (Spark's at-least-once
+    foreachBatch replay delivers the same batch_id to a NEW closure),
+    so only caller-stable names are acceptable."""
     if sink_id is not None:
         return sink_id
-    return (batch_df.sparkSession.sparkContext
-            .getLocalProperty("sql.streaming.queryId")) or "unknown"
+    qid = (batch_df.sparkSession.sparkContext
+           .getLocalProperty("sql.streaming.queryId"))
+    if qid:
+        return qid
+    if require:
+        raise ValueError(
+            f"{where}: cannot resolve a stable stream identity — "
+            "sql.streaming.queryId is unset in this foreachBatch "
+            "callback and no sink_id was given.  Pass sink_id=... "
+            "(a name stable across restarts); without it two streams "
+            "sharing this table would collapse to one lineage and "
+            "silently skip each other's batches.")
+    if where not in _WARNED_UNKNOWN_SINKS:
+        _WARNED_UNKNOWN_SINKS.add(where)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: falling back to the 'unknown' stream lineage "
+            "(sql.streaming.queryId unset, no sink_id).  Safe for "
+            "exactly one stream per sink; pass sink_id=... if more "
+            "than one query writes here.", where)
+    return "unknown"
 
 
 def events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
@@ -314,7 +347,8 @@ def dead_letter_writer(clean_path: str, dead_path: str,
     from ..schema import RAW_COL
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        qid = _sink_identity(batch_df, sink_id)
+        qid = _sink_identity(batch_df, sink_id,
+                             where="dead_letter_writer")
         stamped = (batch_df.withColumn("_query_id", F.lit(qid))
                    .withColumn("_batch_id", F.lit(batch_id)))
         has_raw = RAW_COL in batch_df.columns
@@ -360,7 +394,8 @@ def expectations_monitor(checks, path: str,
     ``path`` and filtering ``passed = false``."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        qid = _sink_identity(batch_df, sink_id)
+        qid = _sink_identity(batch_df, sink_id,
+                             where="expectations_monitor")
         rep = (checks(batch_df)
                .withColumn("_query_id", F.lit(qid))
                .withColumn("_batch_id", F.lit(batch_id)))
@@ -403,7 +438,8 @@ def incremental_dedup_sink(store_path: str, pairs_path: str,
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        qid = _sink_identity(batch_df, sink_id)
+        qid = _sink_identity(batch_df, sink_id,
+                             where="incremental_dedup_sink")
         pairs = dedup.dedup_pairs_against(spark, store_path, batch_df,
                                           text_col=text_col,
                                           threshold=threshold)
@@ -437,12 +473,15 @@ def versioned_merge_sink(table_path: str, key: str,
     at-least-once foreachBatch contract after a crash) is detected by
     scanning committed manifests and SKIPPED — merging a batch twice
     would double-apply inserts.  The stream identity comes from
-    :func:`_sink_identity`: pass ``sink_id`` explicitly when MORE
-    THAN ONE streaming query merges into the same table — without it
+    :func:`_sink_identity`, and THIS sink requires one that resolves:
     the ``sql.streaming.queryId`` fallback is often unset in PySpark
-    foreachBatch callbacks, every query collapses to one lineage, and
-    two queries sharing a ``batch_id`` would wrongly skip each
-    other's batches.  One table / one stream is safe without it.  A crash BETWEEN the snapshot write
+    foreachBatch callbacks, and if every query collapsed to one
+    lineage, two queries sharing a ``batch_id`` would wrongly skip
+    each other's batches — SILENT BATCH LOSS, so the 'unknown'
+    fallback raises here instead of warning (ADVICE r7).  Pass
+    ``sink_id=...`` (stable across restarts — replay detection after
+    a crash depends on the restarted stream presenting the SAME
+    identity).  A crash BETWEEN the snapshot write
     and the pointer flip leaves an unreferenced orphan (never visible
     to readers); the replay re-merges cleanly because the orphan was
     never latest and version numbering skips past it.  The first
@@ -455,7 +494,8 @@ def versioned_merge_sink(table_path: str, key: str,
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        qid = _sink_identity(batch_df, sink_id)
+        qid = _sink_identity(batch_df, sink_id, require=True,
+                             where=f"versioned_merge_sink({table_path})")
         for v in V.versions(table_path):
             m = V._read_manifest(table_path, v)
             if m.get("stream_query") == qid \

@@ -183,7 +183,7 @@ class TestStreamingSink:
         table state reflects each batch exactly once."""
         from filters_spark.streaming.validate import versioned_merge_sink
 
-        sink = versioned_merge_sink(tpath, "k")
+        sink = versioned_merge_sink(tpath, "k", sink_id="t-stream")
         sink(_df(spark, [(1, "a", 10), (2, "b", 20)]), 0)
         assert V.latest_version(tpath) == 1
         sink(_df(spark, [(2, "B", 99), (3, "c", 30)]), 1)
@@ -196,6 +196,21 @@ class TestStreamingSink:
         # per-batch history is time-travelable
         assert {r["k"] for r in
                 V.read_version(spark, tpath, 1).collect()} == {1, 2}
+
+    def test_unresolvable_identity_raises(self, spark, tpath):
+        """ADVICE r7: without sink_id and with sql.streaming.queryId
+        unset (the common PySpark foreachBatch case), the 'unknown'
+        lineage collapse would mean two streams silently skipping each
+        other's batches — versioned_merge_sink must REFUSE, not
+        default."""
+        import pytest
+
+        from filters_spark.streaming.validate import versioned_merge_sink
+
+        sink = versioned_merge_sink(tpath, "k")
+        with pytest.raises(ValueError, match="sink_id"):
+            sink(_df(spark, [(1, "a", 10)]), 0)
+        assert V.latest_version(tpath) is None   # nothing committed
 
 
 class TestConcurrentReader:

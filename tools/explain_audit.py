@@ -453,6 +453,12 @@ EXPECTATIONS: dict[str, dict] = {
     # snapshot skipping: the returned plan is one agg over the pruned
     # explicit-path read (the clustered write happens pre-plan)
     "rel_snapshot_skipping": dict(max_exchanges=1),
+    # round 8: ISO extension gates — literal-map validation is a pure
+    # projection; only the canon-count agg shuffles.
+    "val_iso_country": dict(max_exchanges=1),
+    "val_iso_currency": dict(max_exchanges=1),
+    "val_iso_locale": dict(max_exchanges=1),
+    "val_mac_address": dict(max_exchanges=1),
 }
 
 
