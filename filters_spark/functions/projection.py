@@ -512,6 +512,46 @@ def ridge_fit(df: DataFrame, vec_col: str = "embedding",
     return {"weights": w.tolist(), "intercept": 0.0, "n": int(n)}
 
 
+def logistic_irls_pass(df: DataFrame, beta, b: float,
+                       vec_col: str = "embedding",
+                       label_col: str = "label", dim: int | None = None,
+                       engine: str = "arrow") -> DataFrame:
+    """ONE IRLS iteration's distributed pass, (β, b) baked in as
+    literals: every row is scaled by √wᵢ (wᵢ = max(pᵢ(1−pᵢ), 1e-6),
+    pᵢ = σ(xᵢ·β + b)) and the working response zᵢ = ηᵢ + (yᵢ−pᵢ)/wᵢ
+    rides along as the label, so the weighted normal equations'
+    moments ``XᵀWX / XᵀWz / Σw`` fall out of the same augmented-Gram
+    machinery as :func:`ridge_moments` (√w itself is appended as a
+    feature whose Gram column carries the intercept's weighted
+    moments).  This is the ONLY distributed step of
+    :func:`logistic_fit` — factored out so the hash gate
+    (``ds_logistic_fit``) replays it end to end in SQL for fixed β,
+    while the driver-side solve/feedback stays pytest-pinned (the
+    module's distribution-boundary design)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col))).first()
+        dim = first[0] if first is not None and first[0] is not None else 1
+    wlits = F.array(*[F.lit(float(v)) for v in beta])
+    eta = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), wlits,
+                   lambda x, w: x * w),
+        F.lit(0.0), lambda a, x: a + x) + F.lit(float(b))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    w = F.greatest(p * (F.lit(1.0) - p), F.lit(1e-6))
+    sw = F.sqrt(w)
+    z = eta + (F.col(label_col).cast("double") - p) / w
+    scaled = df.select(
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: x * sw).alias("_sv"),
+        (sw * z).alias("_sz"), sw.alias("_sw"))
+    # augment with √w itself as an extra feature: its Gram column
+    # carries Σw / Σw·x / Σw·z — the intercept's weighted moments
+    aug = scaled.select(
+        F.concat(F.col("_sv"), F.array(F.col("_sw"))).alias("_f"),
+        F.col("_sz").alias("_y"))
+    return ridge_moments(aug, "_f", "_y", dim=dim + 1, engine=engine)
+
+
 def logistic_fit(df: DataFrame, vec_col: str = "embedding",
                  label_col: str = "label", dim: int | None = None,
                  reg: float = 1.0, iters: int = 8,
@@ -523,12 +563,13 @@ def logistic_fit(df: DataFrame, vec_col: str = "embedding",
     in as literals) and the working response zᵢ = ηᵢ + (yᵢ−pᵢ)/wᵢ
     rides along as the label, so the weighted normal equations
     ``(XᵀWX + λI)β = XᵀWz`` fall out of the SAME augmented-Gram
-    machinery :func:`ridge_fit` gates (``ds_ridge_fit`` pins the
-    distributed half; convergence is pytest-pinned against a numpy
-    IRLS reference — the per-iteration solve is driver-side O(d³) by
-    the module's distribution-boundary design, and β feedback between
-    iterations is driver state, which is why this op is
-    pytest-verified rather than SQL-replayed).
+    machinery :func:`ridge_fit` gates.  The distributed per-iteration
+    pass lives in :func:`logistic_irls_pass` and is HASH-GATED for
+    fixed β (``ds_logistic_fit`` replays the β=0 and a planted-β pass
+    in SQL — VERDICT r7 #5); convergence is pytest-pinned against a
+    numpy IRLS reference — the per-iteration solve is driver-side
+    O(d³) by the module's distribution-boundary design, and β
+    feedback between iterations is driver state.
 
     ``label_col`` must be 0/1.  Returns ``{"weights", "intercept",
     "n", "iters"}``.  Quantization note: √w-scaled features stay
@@ -547,26 +588,8 @@ def logistic_fit(df: DataFrame, vec_col: str = "embedding",
     n = None
     done = 0
     for it in range(iters):
-        wlits = F.array(*[F.lit(float(v)) for v in beta])
-        eta = F.aggregate(
-            F.zip_with(F.col(vec_col).cast("array<double>"), wlits,
-                       lambda x, w: x * w),
-            F.lit(0.0), lambda a, x: a + x) + F.lit(float(b))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        w = F.greatest(p * (F.lit(1.0) - p), F.lit(1e-6))
-        sw = F.sqrt(w)
-        z = eta + (F.col(label_col).cast("double") - p) / w
-        scaled = base.select(
-            F.transform(F.col(vec_col).cast("array<double>"),
-                        lambda x: x * sw).alias("_sv"),
-            (sw * z).alias("_sz"), sw.alias("_sw"))
-        # augment with √w itself as an extra feature: its Gram column
-        # carries Σw / Σw·x / Σw·z — the intercept's weighted moments
-        aug = scaled.select(
-            F.concat(F.col("_sv"), F.array(F.col("_sw"))).alias("_f"),
-            F.col("_sz").alias("_y"))
-        rows = ridge_moments(aug, "_f", "_y", dim=dim + 1,
-                             engine=engine).collect()
+        rows = logistic_irls_pass(base, beta, b, vec_col, label_col,
+                                  dim=dim, engine=engine).collect()
         if not rows:
             raise ValueError("logistic_fit: no non-null rows")
         D = dim + 2

@@ -230,9 +230,17 @@ class MaxBytesTruncate(_PandasUdfValidator):
             if budget <= 0:
                 return ""
             cut = raw[:budget]
-            # back off to a codepoint boundary
-            while cut and (cut[-1] & 0xC0) == 0x80:
-                cut = cut[:-1]
-            return prefix + cut.decode("utf-8", errors="ignore")
+            # back off to a codepoint boundary: strip bytes only
+            # while the prefix does NOT decode cleanly.  (Stripping
+            # every trailing continuation byte unconditionally — the
+            # pre-r8 code — dropped a COMPLETE final codepoint when
+            # the cut landed exactly on its boundary: 12-byte budget
+            # on "€€€€€" returned 3 euros, not the 4 that fit.)
+            while cut:
+                try:
+                    return prefix + cut.decode("utf-8")
+                except UnicodeDecodeError:
+                    cut = cut[:-1]
+            return prefix
 
         self._udf = pandas_udf(_mapped(trunc), "string")

@@ -11519,3 +11519,252 @@ def val_mac_address(spark, sf_dir):
             .select(F.when(F.size(ERRORS_COL) > 0, F.lit("<invalid>"))
                     .otherwise(F.col("mac")).alias("canon"))
             .groupBy("canon").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# round 8: UDF-leaf gates (VERDICT r7 Next #4).  The five Arrow-
+# batched Python leaves carry the reference's EXACT semantics where
+# the expr path documents an approximation (NFC vs identity, casefold
+# vs lower, RFC 5952 vs regex, byte-exact truncation vs char substr,
+# fuzzy parse vs fixed formats) — until now they were pytest-only.
+# Same planted-input construction as the ISO gates: expected outputs
+# baked into the oracle as literals (computed from the Python stdlib
+# semantics the leaves wrap), so a leaf regression (or an Arrow
+# transport change) flips the hash.
+
+_NFC_IN = ["e\u0301clair", "\u00e9clair", "A\u030angstro\u0308m",
+           "ascii only", "\ufb01sh", "\u1100\u1161", "ga\u0301teau"]
+_NFC_OUT = ["\u00e9clair", "\u00e9clair", "\u00c5ngstr\u00f6m",
+            "ascii only", "\ufb01sh", "\uac00", "g\u00e1teau"]
+
+
+def _leaf_gate(validator_factory, inputs, field="v"):
+    """Shared body for a planted-input UDF-leaf gate: synthesize the
+    input from c_custkey, run the leaf through ValidationSchema,
+    group-count canonical outputs ('<invalid>' for errored rows)."""
+    def run(spark, sf_dir):
+        import filters_spark as fs
+        from ..schema import ERRORS_COL
+
+        cust = _t(spark, sf_dir, "customer")
+        inp = F.element_at(F.array(*[F.lit(s) for s in inputs]),
+                           (F.col("c_custkey") % len(inputs) + 1)
+                           .cast("int"))
+        res = fs.ValidationSchema({field: validator_factory()}) \
+            .validate(cust.select(inp.alias(field)))
+        return (res.validated
+                .select(F.when(F.size(ERRORS_COL) > 0,
+                               F.lit("<invalid>"))
+                        .otherwise(F.col(field).cast("string"))
+                        .alias("canon"))
+                .groupBy("canon").agg(F.count(F.lit(1)).alias("n")))
+    return run
+
+
+@register("val_nfc_exact", oracle=_planted_gate_sql(_NFC_OUT))
+def val_nfc_exact(spark, sf_dir):
+    """udf.UnicodeNFC: exact NFC normalization (combining sequences
+    compose: e+ACUTE -> \u00e9, hangul jamo -> syllable; compatibility
+    ligature \ufb01 is NFC-invariant)."""
+    from ..operators import udf as U
+    return _leaf_gate(U.UnicodeNFC, _NFC_IN)(spark, sf_dir)
+
+
+_CF_IN = ["Stra\u00dfe", "\ufb01SH",
+          "\u03a3\u0388\u03a3\u03a5\u03a6\u039f\u03a3",
+          "HELLO World", "\u0130stanbul", "already lower"]
+_CF_OUT = ["strasse", "fish",
+           "\u03c3\u03ad\u03c3\u03c5\u03c6\u03bf\u03c3",
+           "hello world", "i\u0307stanbul", "already lower"]
+
+
+@register("val_casefold_exact", oracle=_planted_gate_sql(_CF_OUT))
+def val_casefold_exact(spark, sf_dir):
+    """udf.CaseFoldExact: true str.casefold — \u00df->ss, \ufb01->fi,
+    \u0130->i+combining-dot — exactly the codepoints where the expr
+    path's lower() approximation documented a delta."""
+    from ..operators import udf as U
+    return _leaf_gate(U.CaseFoldExact, _CF_IN)(spark, sf_dir)
+
+
+_IP6_IN = ["2001:0db8:0000:0000:0000:0000:0000:0001", "2001:DB8::1",
+           "::ffff:192.168.0.1", "0:0:0:0:0:0:0:0", "1.2.3.4",
+           "fe80::1%eth0", "1:2:3:4:5:6:7:8:9", "nothex"]
+_IP6_OUT = ["2001:db8::1", "2001:db8::1", "::ffff:c0a8:1", "::",
+            "1.2.3.4", "fe80::1%eth0", None, None]
+
+
+@register("val_ipv6_normalize", oracle=_planted_gate_sql(_IP6_OUT))
+def val_ipv6_normalize(spark, sf_dir):
+    """udf.IpV6Normalize: RFC 5952 compression (longest zero run,
+    lowercase hex, v4-mapped re-rendered), scope ids preserved,
+    9-group and non-hex inputs rejected."""
+    from ..operators import udf as U
+    return _leaf_gate(U.IpV6Normalize, _IP6_IN)(spark, sf_dir)
+
+
+_TRUNC_IN = ["short", "exactly12byt", "\u20ac\u20ac\u20ac\u20ac\u20ac",
+             "abcdefghij\u20ac",
+             "\u00e9\u00e9\u00e9\u00e9\u00e9\u00e9\u00e9",
+             "thirteen chars"]
+_TRUNC_OUT = ["short", "exactly12byt", "\u20ac\u20ac\u20ac\u20ac",
+              "abcdefghij",
+              "\u00e9\u00e9\u00e9\u00e9\u00e9\u00e9",
+              "thirteen cha"]
+
+
+@register("val_maxbytes_truncate", oracle=_planted_gate_sql(_TRUNC_OUT))
+def val_maxbytes_truncate(spark, sf_dir):
+    """udf.MaxBytesTruncate(12): byte-budget truncation at codepoint
+    boundaries — a 12-byte cut keeps FOUR 3-byte euros (the exact-
+    boundary case the r8 fix repaired: the old backoff dropped the
+    complete final codepoint) and six of seven 2-byte \u00e9."""
+    from ..operators import udf as U
+    return _leaf_gate(lambda: U.MaxBytesTruncate(12), _TRUNC_IN)(
+        spark, sf_dir)
+
+
+_DTF_IN = ["July 4, 2003 10:20:30", "2005-03-01T12:00:00+09:00",
+           "20010203", "Thu, 25 Sep 2003 10:49:41 -0300",
+           "not a date", "2004/05/06 07:08"]
+_DTF_OUT = ["2003-07-04 10:20:30", "2005-03-01 03:00:00",
+            "2001-02-03 00:00:00", "2003-09-25 13:49:41",
+            None, "2004-05-06 07:08:00"]
+
+
+@register("val_datetime_fuzzy", oracle=_planted_gate_sql(_DTF_OUT))
+def val_datetime_fuzzy(spark, sf_dir):
+    """udf.DatetimeFuzzy: free-form parsing (month names, RFC 2822,
+    compact yyyymmdd, slashed) with offset inputs converted to UTC
+    and naive inputs assumed UTC; unparseable -> invalid."""
+    import filters_spark as fs
+    from ..operators import udf as U
+    from ..schema import ERRORS_COL
+
+    cust = _t(spark, sf_dir, "customer")
+    inp = F.element_at(F.array(*[F.lit(s) for s in _DTF_IN]),
+                       (F.col("c_custkey") % len(_DTF_IN) + 1)
+                       .cast("int"))
+    res = fs.ValidationSchema({"ts": U.DatetimeFuzzy()}) \
+        .validate(cust.select(inp.alias("ts")))
+    return (res.validated
+            .select(F.when(F.size(ERRORS_COL) > 0, F.lit("<invalid>"))
+                    .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+                    .alias("canon"))
+            .groupBy("canon").agg(F.count(F.lit(1)).alias("n")))
+
+
+
+_LOGIT_B1 = [0.3, -0.2, 0.1, 0.05, -0.15, 0.25, -0.05, 0.2]
+
+
+@register(
+    "ds_logistic_fit",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS v,
+             CAST(vec_id % 2 AS DOUBLE) AS y
+      FROM embeddings
+    ),
+    s0 AS (
+      SELECT vec_id, v, y,
+             list_sum(list_transform(list_zip(v, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+                                     z -> z[1]*z[2])) + 0.0 AS eta
+      FROM base
+    ), p0 AS (
+      SELECT vec_id, v, y, eta, 1.0/(1.0+exp(-eta)) AS p FROM s0
+    ), w0 AS (
+      SELECT vec_id, v, y, eta, p,
+             greatest(p*(1.0-p), 1e-6) AS w
+      FROM p0
+    ), q0 AS (
+      SELECT vec_id,
+        list_append(list_append(
+          list_transform(v,
+            x -> CAST(round((x*sqrt(w))*1000000) AS HUGEINT)),
+          CAST(round(sqrt(w)*1000000) AS HUGEINT)),
+          CAST(round((sqrt(w)*(eta+(y-p)/w))*1000000) AS HUGEINT))
+          AS qv
+      FROM w0
+    ), e0 AS (
+      SELECT vec_id, i, qv[i] AS x FROM q0, range(1, 11) t(i)
+    ), m0 AS (
+      SELECT 0 AS iter,
+             CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(a.x*b.x) AS BIGINT) AS sxy,
+             CAST(SUM(a.x) AS BIGINT) AS sxi,
+             CAST(SUM(b.x) AS BIGINT) AS sxj,
+             CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x) AS BIGINT)
+               AS cov_num
+      FROM e0 a JOIN e0 b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    s1 AS (
+      SELECT vec_id, v, y,
+             list_sum(list_transform(list_zip(v, [0.3, -0.2, 0.1, 0.05, -0.15, 0.25, -0.05, 0.2]),
+                                     z -> z[1]*z[2])) + 0.1 AS eta
+      FROM base
+    ), p1 AS (
+      SELECT vec_id, v, y, eta, 1.0/(1.0+exp(-eta)) AS p FROM s1
+    ), w1 AS (
+      SELECT vec_id, v, y, eta, p,
+             greatest(p*(1.0-p), 1e-6) AS w
+      FROM p1
+    ), q1 AS (
+      SELECT vec_id,
+        list_append(list_append(
+          list_transform(v,
+            x -> CAST(round((x*sqrt(w))*1000000) AS HUGEINT)),
+          CAST(round(sqrt(w)*1000000) AS HUGEINT)),
+          CAST(round((sqrt(w)*(eta+(y-p)/w))*1000000) AS HUGEINT))
+          AS qv
+      FROM w1
+    ), e1 AS (
+      SELECT vec_id, i, qv[i] AS x FROM q1, range(1, 11) t(i)
+    ), m1 AS (
+      SELECT 1 AS iter,
+             CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(a.x*b.x) AS BIGINT) AS sxy,
+             CAST(SUM(a.x) AS BIGINT) AS sxi,
+             CAST(SUM(b.x) AS BIGINT) AS sxj,
+             CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x) AS BIGINT)
+               AS cov_num
+      FROM e1 a JOIN e1 b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT * FROM m0 UNION ALL SELECT * FROM m1
+    """,
+)
+def ds_logistic_fit(spark, sf_dir):
+    """Distributed logistic-classifier TRAINING
+    (projection.logistic_fit, VERDICT r7 #5): hash-gates the one
+    distributed step — logistic_irls_pass, the per-iteration
+    sqrt(w)-scaled augmented Gram — for TWO baked-in coefficient
+    states: the cold-start beta=0 pass (p exactly 0.5, the first
+    Newton step every fit takes) and a planted nonzero (beta, b)
+    exercising the full sigmoid/weight/working-response arithmetic.
+    The oracle replays eta -> p -> w -> z -> micro-quantized Gram end
+    to end in SQL (same left-fold dot product, same 1e-6 w-floor,
+    same round(x*1e6) quantization as ds_ridge_fit).  Driver-side
+    beta feedback + the O(d^3) solve stay pytest-pinned
+    (test_projection.py vs a numpy IRLS reference) per the module's
+    distribution-boundary design."""
+    from ..functions import projection
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.slice("embedding", 1, 8).alias("vec"),
+        (F.col("vec_id") % 2).cast("double").alias("label"))
+    out = []
+    for it, (beta, b) in enumerate([([0.0] * 8, 0.0), (_LOGIT_B1, 0.1)]):
+        m = projection.logistic_irls_pass(e, beta, b, "vec", "label",
+                                          dim=8, engine="expr")
+        out.append(m.select(
+            F.lit(it).alias("iter"), "i", "j", "n",
+            F.col("sxy").cast("bigint").alias("sxy"),
+            F.col("sxi").cast("bigint").alias("sxi"),
+            F.col("sxj").cast("bigint").alias("sxj"),
+            F.col("cov_num").cast("bigint").alias("cov_num")))
+    return out[0].unionByName(out[1])

@@ -96,6 +96,20 @@ class TestMaxBytesTruncate:
     def test_under_budget_unchanged(self, spark):
         assert_passes(spark, udf.MaxBytesTruncate(10), "abc", "abc")
 
+    def test_exact_boundary_keeps_codepoint(self, spark):
+        # r8 fix: a cut landing EXACTLY on a codepoint boundary keeps
+        # that codepoint — 12-byte budget fits four 3-byte euros (the
+        # old backoff stripped the complete final char to three)
+        assert_passes(spark, udf.MaxBytesTruncate(12),
+                      "€" * 5, "€" * 4)
+        assert_passes(spark, udf.MaxBytesTruncate(12),
+                      "é" * 7, "é" * 6)
+
+    def test_prefix_budget(self, spark):
+        # prefix consumes budget; remainder cut at a boundary
+        assert_passes(spark, udf.MaxBytesTruncate(6, prefix=".."),
+                      "abcdefgh", "..abcd")
+
     def test_chain_short_circuit_skips_udf(self, spark):
         # upstream error nulls the value; the UDF sees None and no-ops
         chain = fs.Choice(["ok"]) | udf.Call(lambda s: s.upper(), "string")

@@ -459,6 +459,16 @@ EXPECTATIONS: dict[str, dict] = {
     "val_iso_currency": dict(max_exchanges=1),
     "val_iso_locale": dict(max_exchanges=1),
     "val_mac_address": dict(max_exchanges=1),
+    # round 8: UDF-leaf gates — an ArrowEvalPython stage feeds the
+    # same single canon-count agg exchange.
+    "val_nfc_exact": dict(max_exchanges=1),
+    "val_casefold_exact": dict(max_exchanges=1),
+    "val_ipv6_normalize": dict(max_exchanges=1),
+    "val_maxbytes_truncate": dict(max_exchanges=1),
+    "val_datetime_fuzzy": dict(max_exchanges=1),
+    # logistic gate: two IRLS passes, each the covariance_pairs shape
+    # (one O(d^2) rollup exchange + broadcast stitches), unioned.
+    "ds_logistic_fit": dict(max_exchanges=2),
 }
 
 
