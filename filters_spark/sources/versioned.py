@@ -226,15 +226,43 @@ def write_versioned(df: DataFrame, path: str,
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, mf)
-        # re-check the head under our claim before flipping: a writer
-        # that did NOT pass expected_parent could otherwise clobber a
-        # concurrent commit's pointer with a stale lineage
-        head = latest_version(path)
-        if head not in (parent, version):
+        # The head TRANSITION is the atomic commit point, and it needs
+        # its own mutual exclusion: the per-version claim above only
+        # serializes writers that computed the SAME version number —
+        # two racers can claim DIFFERENT numbers (one sees the other's
+        # manifest and skips past it), and a bare re-check-then-flip
+        # lets both pass the re-check before either flips (r8 race
+        # test): both report success, one lineage silently shadowed.
+        # O_EXCL on head.{parent}.claim makes exactly one writer per
+        # parent state reach the flip; the loser's snapshot stays an
+        # unreferenced orphan (vacuum_versioned reclaims it).
+        hclaim = os.path.join(_manifest_dir(path),
+                              f"head.{parent or 0}.claim")
+        try:
+            fd = os.open(hclaim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
             raise ConcurrentWriteError(
-                f"table {path!r} moved during commit (head {head}); "
-                f"snapshot {version} written but not made latest")
-        _flip_latest(path, version)
+                f"table {path!r}: another writer is committing on top "
+                f"of version {parent} — snapshot {version} written but "
+                "not made latest; re-read and retry") from None
+        try:
+            # re-check the head UNDER the transition claim: a writer
+            # that did NOT pass expected_parent could otherwise
+            # clobber a concurrent commit's pointer with a stale
+            # lineage (heads never move backwards, so a stale-parent
+            # writer acquiring a released claim still fails here)
+            head = latest_version(path)
+            if head not in (parent, version):
+                raise ConcurrentWriteError(
+                    f"table {path!r} moved during commit (head {head}); "
+                    f"snapshot {version} written but not made latest")
+            _flip_latest(path, version)
+        finally:
+            try:
+                os.remove(hclaim)
+            except FileNotFoundError:
+                pass
     finally:
         try:
             os.remove(claim)
@@ -359,18 +387,26 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
         if v not in keep and os.path.isdir(_snap_dir(path, v)):
             shutil.rmtree(_snap_dir(path, v))
             removed.append(v)
-    # orphans: claims with no manifest, snap dirs with no manifest
+    # orphans: claims with no manifest, snap dirs with no manifest,
+    # and head-transition claims (held only between manifest write
+    # and pointer flip — any survivor is a crashed writer's, and it
+    # deadlocks every future commit on that parent until removed;
+    # safe here because vacuum must not run beside in-flight writers)
     mdir = _manifest_dir(path)
     if os.path.isdir(mdir):
         for n in os.listdir(mdir):
-            if n.endswith(".claim"):
-                try:
-                    v = int(n[:-6])
-                except ValueError:
-                    continue
-                if v not in committed:
-                    os.remove(os.path.join(mdir, n))
-                    snap = _snap_dir(path, v)
-                    if os.path.isdir(snap):
-                        shutil.rmtree(snap)
+            if not n.endswith(".claim"):
+                continue
+            if n.startswith("head."):
+                os.remove(os.path.join(mdir, n))
+                continue
+            try:
+                v = int(n[:-6])
+            except ValueError:
+                continue
+            if v not in committed:
+                os.remove(os.path.join(mdir, n))
+                snap = _snap_dir(path, v)
+                if os.path.isdir(snap):
+                    shutil.rmtree(snap)
     return removed

@@ -213,6 +213,85 @@ class TestStreamingSink:
         assert V.latest_version(tpath) is None   # nothing committed
 
 
+class TestConcurrentWriters:
+    def test_racing_writers_exactly_one_wins(self, spark, tpath):
+        """VERDICT r7 #6: two threaded writers race the same
+        expected_parent — exactly ONE commits, the loser raises
+        ConcurrentWriteError, and the manifest store stays readable
+        throughout.  Repeated to exercise different interleavings
+        (entry check, version claim, head-transition claim, head
+        re-check are all legitimate losing points)."""
+        import threading
+
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]), tpath)
+        assert V.latest_version(tpath) == 1
+
+        for round_no in range(3):
+            parent = V.latest_version(tpath)
+            barrier = threading.Barrier(2)
+            results: dict[str, object] = {}
+
+            def writer(tag, val):
+                upd = _df(spark, [(1, tag, val)])
+                barrier.wait()
+                try:
+                    results[tag] = V.merge_versioned(
+                        spark, tpath, upd, "k", expected_parent=parent)
+                except V.ConcurrentWriteError as e:
+                    results[tag] = e
+
+            ts = [threading.Thread(target=writer, args=(t, v))
+                  for t, v in (("L", 111 + round_no), ("R", 222 + round_no))]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+
+            wins = {t: r for t, r in results.items() if isinstance(r, int)}
+            losses = {t: r for t, r in results.items()
+                      if isinstance(r, V.ConcurrentWriteError)}
+            assert len(wins) == 1 and len(losses) == 1, results
+            winner_tag, new_v = next(iter(wins.items()))
+            assert V.latest_version(tpath) == new_v
+            # the committed state is exactly the winner's merge
+            got = {r["k"]: r["val"]
+                   for r in V.read_version(spark, tpath).collect()}
+            assert got[1] == winner_tag
+            # every manifest in history is parseable mid/after race
+            for v in V.versions(tpath):
+                m = V._read_manifest(tpath, v)
+                assert m["version"] == v
+            # the head's lineage chains back through real parents
+            head = V._read_manifest(tpath, V.latest_version(tpath))
+            assert head["parent"] == parent
+
+    def test_crash_orphan_vacuum_unblocks_commits(self, spark, tpath):
+        """A writer that died mid-commit leaves claim files (version
+        claim without a manifest, or a head-transition claim) that
+        block future commits on that state — vacuum_versioned must
+        reclaim them so the table heals."""
+        import os
+
+        import pytest
+
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        mdir = os.path.join(tpath, "_manifests")
+        # simulate death between _claim and manifest write (v2), and
+        # death between manifest write and flip (head claim on v1),
+        # plus the dead writer's half-written snapshot dir
+        open(os.path.join(mdir, "2.claim"), "w").close()
+        open(os.path.join(mdir, "head.1.claim"), "w").close()
+        os.makedirs(os.path.join(tpath, "snap", "v=2"), exist_ok=True)
+        with pytest.raises(V.ConcurrentWriteError):
+            V.merge_versioned(spark, tpath, _df(spark, [(1, "B", 99)]), "k")
+        V.vacuum_versioned(tpath, keep_last=5)
+        assert not os.path.exists(os.path.join(mdir, "2.claim"))
+        assert not os.path.exists(os.path.join(mdir, "head.1.claim"))
+        v = V.merge_versioned(spark, tpath, _df(spark, [(1, "B", 99)]), "k")
+        assert V.latest_version(tpath) == v
+        assert V.read_version(spark, tpath).collect()[0]["val"] == "B"
+
+
 class TestConcurrentReader:
     def test_reader_resolved_before_merge_sees_old_snapshot(self, spark,
                                                             tpath):
