@@ -11768,3 +11768,80 @@ def ds_logistic_fit(spark, sf_dir):
             F.col("sxj").cast("bigint").alias("sxj"),
             F.col("cov_num").cast("bigint").alias("cov_num")))
     return out[0].unionByName(out[1])
+
+
+
+@register(
+    "ds_jpeg_progressive_gate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 16) AS s
+      FROM documents
+      WHERE length(text) >= 16
+    ), ch AS (
+      SELECT unicode(substr(s, CAST(i AS INT), 1)) AS code
+      FROM b, range(1, 17) t(i)
+    )
+    SELECT code % 16 AS bucket, count(*) AS n_chars
+    FROM ch GROUP BY 1
+    """,
+)
+def ds_jpeg_progressive_gate(spark, sf_dir):
+    """Progressive JPEG (SOF2 — VERDICT r7 #7) under the value hash:
+    the ds_jpeg_codec_gate construction re-encoded as a GENUINE
+    multi-scan progressive stream — DC first scan at successive-
+    approximation Al=1, two spectral AC bands (1-5, 6-63) at Al=1,
+    AC refinement scans, a DC refinement scan, EOBn run coding across
+    blocks and restart markers inside every scan.  Exactness despite
+    the multi-scan stream: 8x8-constant blocks at flat q=8 have one
+    losslessly-quantized coefficient whose bits successive
+    approximation transmits COMPLETELY across the scan script, so
+    decoded luma == character code bit-for-bit.  The decoder must
+    accumulate coefficients across five scans (spectral bands land in
+    different scans), run the T.81 G.1.2.3 refinement algorithm, and
+    reset both DC predictors and EOB runs at restarts — a missed
+    refinement bit, wrong band bookkeeping, or stale EOB run across a
+    restart flips buckets and fails the hash (same oracle as the
+    baseline gate: the scan script is an encoding detail, the pixels
+    are the contract)."""
+    import pandas as pd
+
+    from ..functions import multimodal as mm
+    from ..functions.multimodal import _encode_jpeg_progressive
+
+    def _jpg_fn(s):
+        out = []
+        for text in s:
+            import numpy as np
+            codes = np.array([ord(c) for c in text]).reshape(4, 4)
+            rows = np.kron(codes, np.ones((8, 8), np.int64))
+            out.append(_encode_jpeg_progressive(
+                rows, q=8, restart_interval=2, al_dc=1, al_ac=1))
+        return pd.Series(out)
+
+    _jpg_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _jpg = F.pandas_udf(_jpg_fn, "binary")
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    par = spark.sparkContext.defaultParallelism
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 16)
+         .repartition(par, "doc_id")
+         .select("doc_id",
+                 _jpg(F.substring(ascii_text, 1, 16)).alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "image/jpeg")
+    media = media.withColumn(
+        "media",
+        F.col("media").withField("meta.width", F.lit(32))
+        .withField("meta.height", F.lit(32)))
+    decoded = mm.decode_images(media.drop("_payload"), strict=True,
+                               codec="auto")
+    feats = mm.extract_image_features(decoded, dim=16)
+    return (
+        feats.select(F.posexplode("features").alias("bucket", "_r"))
+        .groupBy("bucket")
+        .agg(F.sum(F.round(F.col("_r") * 16, 0).cast("long"))
+             .alias("n_chars"))
+        .where(F.col("n_chars") > 0)
+    )
