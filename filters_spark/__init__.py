@@ -58,7 +58,8 @@ from .operators.string import (
     Uuid,
 )
 from .operators.temporal import Date, Datetime
-from .operators.complex import AsStruct, Each, EachValue, Item, Nested, Omit, Pick, Switch
+from .operators.complex import (AsStruct, Each, EachValue, Item, MapMapper,
+                                Nested, Omit, Pick, Switch)
 from .operators import udf
 from .extensions import registry as ext
 from . import macros

@@ -10495,11 +10495,11 @@ def ds_pq_residual_recall(spark, sf_dir):
     )
     SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(a.x*b.x) AS BIGINT) AS sxy,
-           CAST(SUM(a.x) AS BIGINT) AS sxi,
-           CAST(SUM(b.x) AS BIGINT) AS sxj,
-           CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x) AS BIGINT)
-             AS cov_num
+           CAST(CAST(SUM(a.x*b.x) AS HUGEINT) AS VARCHAR) AS sxy,
+           CAST(CAST(SUM(a.x) AS HUGEINT) AS VARCHAR) AS sxi,
+           CAST(CAST(SUM(b.x) AS HUGEINT) AS VARCHAR) AS sxj,
+           CAST(CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x)
+                     AS HUGEINT) AS VARCHAR) AS cov_num
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i
     """,
@@ -10522,12 +10522,18 @@ def ds_ridge_fit(spark, sf_dir):
         ((F.col("vec_id") % 19 - 9) / F.lit(10.0)).alias("label"))
     m = projection.ridge_moments(e, "vec", "label", dim=8,
                                  engine="expr")
+    # moments out as DECIMAL(38,0)-rendered STRINGS, not bigint: the
+    # exact sums grow with the corpus (Σ(x·1e6)² ≈ n·1e12·x²) and a
+    # bigint output cast overflows around n·x² ~ 9e6 — found live by
+    # the r8 sf1 stress axis on the logistic twin.  The string form
+    # is the harness-safe decimal pattern and survives any n.
     return m.select(
         "i", "j", "n",
-        F.col("sxy").cast("bigint").alias("sxy"),
-        F.col("sxi").cast("bigint").alias("sxi"),
-        F.col("sxj").cast("bigint").alias("sxj"),
-        F.col("cov_num").cast("bigint").alias("cov_num"))
+        F.col("sxy").cast("decimal(38,0)").cast("string").alias("sxy"),
+        F.col("sxi").cast("decimal(38,0)").cast("string").alias("sxi"),
+        F.col("sxj").cast("decimal(38,0)").cast("string").alias("sxj"),
+        F.col("cov_num").cast("decimal(38,0)").cast("string")
+        .alias("cov_num"))
 
 
 @register(
@@ -11693,11 +11699,11 @@ _LOGIT_B1 = [0.3, -0.2, 0.1, 0.05, -0.15, 0.25, -0.05, 0.2]
       SELECT 0 AS iter,
              CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(SUM(a.x*b.x) AS BIGINT) AS sxy,
-             CAST(SUM(a.x) AS BIGINT) AS sxi,
-             CAST(SUM(b.x) AS BIGINT) AS sxj,
-             CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x) AS BIGINT)
-               AS cov_num
+             CAST(CAST(SUM(a.x*b.x) AS HUGEINT) AS VARCHAR) AS sxy,
+             CAST(CAST(SUM(a.x) AS HUGEINT) AS VARCHAR) AS sxi,
+             CAST(CAST(SUM(b.x) AS HUGEINT) AS VARCHAR) AS sxj,
+             CAST(CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x)
+                       AS HUGEINT) AS VARCHAR) AS cov_num
       FROM e0 a JOIN e0 b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY a.i, b.i
     ),
@@ -11727,11 +11733,11 @@ _LOGIT_B1 = [0.3, -0.2, 0.1, 0.05, -0.15, 0.25, -0.05, 0.2]
       SELECT 1 AS iter,
              CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(SUM(a.x*b.x) AS BIGINT) AS sxy,
-             CAST(SUM(a.x) AS BIGINT) AS sxi,
-             CAST(SUM(b.x) AS BIGINT) AS sxj,
-             CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x) AS BIGINT)
-               AS cov_num
+             CAST(CAST(SUM(a.x*b.x) AS HUGEINT) AS VARCHAR) AS sxy,
+             CAST(CAST(SUM(a.x) AS HUGEINT) AS VARCHAR) AS sxi,
+             CAST(CAST(SUM(b.x) AS HUGEINT) AS VARCHAR) AS sxj,
+             CAST(CAST(count(*)*SUM(a.x*b.x) - SUM(a.x)*SUM(b.x)
+                       AS HUGEINT) AS VARCHAR) AS cov_num
       FROM e1 a JOIN e1 b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY a.i, b.i
     )
@@ -11761,12 +11767,20 @@ def ds_logistic_fit(spark, sf_dir):
     for it, (beta, b) in enumerate([([0.0] * 8, 0.0), (_LOGIT_B1, 0.1)]):
         m = projection.logistic_irls_pass(e, beta, b, "vec", "label",
                                           dim=8, engine="expr")
+        # decimal-string moments (not bigint): the w-floor makes
+        # working responses as large as ~1e3, so Σ(sz·1e6)² reaches
+        # ~1e18 PER 1e2 ROWS — the r8 sf1 stress overflowed the
+        # bigint cast at 10× bench scale (CAST_OVERFLOW, 1.2e20)
         out.append(m.select(
             F.lit(it).alias("iter"), "i", "j", "n",
-            F.col("sxy").cast("bigint").alias("sxy"),
-            F.col("sxi").cast("bigint").alias("sxi"),
-            F.col("sxj").cast("bigint").alias("sxj"),
-            F.col("cov_num").cast("bigint").alias("cov_num")))
+            F.col("sxy").cast("decimal(38,0)").cast("string")
+            .alias("sxy"),
+            F.col("sxi").cast("decimal(38,0)").cast("string")
+            .alias("sxi"),
+            F.col("sxj").cast("decimal(38,0)").cast("string")
+            .alias("sxj"),
+            F.col("cov_num").cast("decimal(38,0)").cast("string")
+            .alias("cov_num")))
     return out[0].unionByName(out[1])
 
 
@@ -11845,3 +11859,56 @@ def ds_jpeg_progressive_gate(spark, sf_dir):
              .alias("n_chars"))
         .where(F.col("n_chars") > 0)
     )
+
+
+
+@register(
+    "val_map_mapper",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 5 = 0 THEN 'missing_key'
+                WHEN c_custkey % 7 = 0 THEN 'unexpected_key'
+                ELSE 'valid' END AS code,
+           count(*) AS n,
+           CAST(sum(CASE WHEN c_custkey % 5 <> 0 AND c_custkey % 7 <> 0
+                         THEN length(c_name) ELSE 0 END) AS BIGINT)
+             AS clean_name_len
+    FROM customer GROUP BY 1
+    """,
+)
+def val_map_mapper(spark, sf_dir):
+    """MapMapper (FilterMapper over map<string,string> — the
+    reference's PER-ROW dynamic missing_key/unexpected_key semantics,
+    VERDICT r7 missing #3): a map column is built in-plan with every
+    5th row LACKING the declared 'segment' key and every other 7th row
+    CARRYING an undeclared 'loyalty' key; the per-row key checks must
+    classify each row, and Strip must clean the space-padded name on
+    the valid rows (clean_name_len pins the transform, not just the
+    classification)."""
+    import filters_spark as fs
+    from ..schema import ERRORS_COL
+
+    cust = _t(spark, sf_dir, "customer")
+    padded = F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))
+    base = F.create_map(F.lit("name"), padded,
+                        F.lit("segment"), F.col("c_mktsegment"))
+    no_seg = F.create_map(F.lit("name"), padded)
+    extra = F.map_concat(
+        base, F.create_map(F.lit("loyalty"), F.lit("gold")))
+    m = (F.when(F.col("c_custkey") % 5 == 0, no_seg)
+         .when(F.col("c_custkey") % 7 == 0, extra)
+         .otherwise(base))
+    mm = fs.MapMapper({"name": fs.Strip() | fs.NotEmpty(),
+                       "segment": fs.MinLength(5)})
+    res = fs.ValidationSchema({"m": mm}).validate(
+        cust.select(m.alias("m")))
+    v = res.validated
+    return (v.select(
+        F.when(F.size(ERRORS_COL) == 0, F.lit("valid"))
+        .otherwise(F.element_at(ERRORS_COL, 1).getField("code"))
+        .alias("code"),
+        F.when(F.size(ERRORS_COL) == 0,
+               F.length(F.col("m").getField("name")))
+        .otherwise(F.lit(0)).alias("_len"))
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("_len").cast("bigint").alias("clean_name_len")))

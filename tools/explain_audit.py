@@ -469,6 +469,9 @@ EXPECTATIONS: dict[str, dict] = {
     # logistic gate: two IRLS passes, each the covariance_pairs shape
     # (one O(d^2) rollup exchange + broadcast stitches), unioned.
     "ds_logistic_fit": dict(max_exchanges=2),
+    # MapMapper gate: per-row key checks are pure expressions; only
+    # the code-count agg shuffles.
+    "val_map_mapper": dict(max_exchanges=1),
     # progressive JPEG gate: same shape as ds_jpeg_codec_gate
     # (encoder-UDF crossing + decode + featurize + one rollup)
     "ds_jpeg_progressive_gate": dict(max_exchanges=2, scan_filter=True),

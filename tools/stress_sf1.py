@@ -1,0 +1,202 @@
+"""sf1 stress axis (VERDICT r7 #8): run the heaviest registered
+queries at 10× the bench scale (sf0.1 × 10 ≈ sf1 — 50k documents /
+20k embeddings) and check per-query invariants, plus a
+residual-vs-raw PQ recall measurement on a REALISTIC (clustered)
+corpus at that scale.  Results land in SCALE.md.
+
+The stress tables are built from sf0.1 by deterministic 10×
+replication: doc/vec ids offset by 10M per replica, text perturbed
+with a replica token (so dedup ops see near- but not pure
+duplicates), embeddings rotated by a per-replica deterministic
+nudge.  Non-scaled tables are symlinked from sf0.1 so every query's
+loader works unchanged.
+
+Usage: python tools/stress_sf1.py [outdir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from filters_spark.sources import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+
+def build(spark, out: str) -> None:
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for name in os.listdir(SRC):
+        if name not in ("documents.parquet", "embeddings.parquet"):
+            os.symlink(os.path.join(SRC, name), os.path.join(out, name))
+    d = spark.read.parquet(f"{SRC}/documents.parquet")
+    reps = spark.range(10).select(F.col("id").alias("_rep"))
+    (d.crossJoin(reps)
+     .select((F.col("doc_id") + F.col("_rep") * 10_000_000)
+             .alias("doc_id"),
+             F.concat(F.col("text"), F.lit(" rep"),
+                      F.col("_rep").cast("string")).alias("text"),
+             *[c for c in d.columns if c not in ("doc_id", "text")])
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+    e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    (e.crossJoin(reps)
+     .select((F.col("vec_id") + F.col("_rep") * 10_000_000)
+             .alias("vec_id"),
+             F.transform(
+                 "embedding",
+                 lambda x, i: (x + (F.col("_rep").cast("float")
+                                    * F.lit(0.001)
+                                    * ((i % 7).cast("float")
+                                       - F.lit(3.0))))
+                 .cast("float")).alias("embedding"),
+             *[c for c in e.columns
+               if c not in ("vec_id", "embedding")])
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+
+
+HEAVY = {
+    # name -> invariant(df_rows) -> None (raises on violation)
+    "ds_hybrid_rrf_indexed": lambda rows: _inv(
+        len(rows) > 0 and all(r["rank"] <= 10 for r in rows),
+        "hybrid: nonempty, ranks <= 10"),
+    "ds_pq_topk": lambda rows: _inv(
+        len(rows) > 0 and all(r["rank"] <= 10 for r in rows),
+        "pq_topk: nonempty top-10"),
+    "ds_ivfpq_topk": lambda rows: _inv(
+        len(rows) > 0 and all(r["rank"] <= 10 for r in rows),
+        "ivfpq: nonempty top-10"),
+    "ds_pq_index_topk": lambda rows: _inv(
+        len(rows) > 0 and all(r["rank"] <= 10 for r in rows),
+        "pq_index: nonempty top-10"),
+    "ds_pq_residual_recall": lambda rows: _inv(
+        len(rows) == 1
+        and 0.0 <= rows[0]["recall_raw"] <= 1.0
+        and 0.0 <= rows[0]["recall_res"] <= 1.0,
+        "residual recall: bounded"),
+    "ds_line_dedup": lambda rows: _inv(
+        len(rows) > 0 and all(r["n_kept"] >= 0 and r["n_removed"] >= 0
+                              for r in rows),
+        "line dedup: per-doc counts sane"),
+    "ds_corpus_pipeline_v6": lambda rows: _inv(
+        len(rows) > 0, "v6: nonempty"),
+    "ds_ridge_fit": lambda rows: _inv(
+        len(rows) == 45, "ridge: 45 moment rows (d=9 pairs)"),
+    "ds_logistic_fit": lambda rows: _inv(
+        len(rows) == 110, "logistic: 2 iters x 55 moment rows"),
+    "ds_jpeg_progressive_gate": lambda rows: _inv(
+        len(rows) > 0 and all(r["n_chars"] > 0 for r in rows),
+        "progressive jpeg: nonempty histogram"),
+}
+
+
+def _inv(ok: bool, what: str) -> None:
+    if not ok:
+        raise AssertionError(f"invariant violated: {what}")
+
+
+def recall_clustered(spark, n=20_000, dim=16, k_clusters=64):
+    """Residual-vs-raw recall@10 on a REALISTIC clustered corpus at
+    the 10x scale: k Gaussian clusters (numpy, seeded), recall
+    measured against exact cosine ground truth for 20 queries."""
+    import numpy as np
+
+    from filters_spark.functions import similarity
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(k_clusters, dim) * 5.0
+    labels = rng.randint(0, k_clusters, n)
+    pts = centers[labels] + rng.randn(n, dim) * 0.8
+    rows = [(int(i), [float(x) for x in pts[i]], int(labels[i]))
+            for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int")
+    emb = emb.repartition(32).cache()
+    emb.count()
+    q = emb.where(F.col("vec_id") % 1000 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    # ground truth: brute numpy euclidean (the gate's metric)
+    qi = [r["query_id"] for r in q.select("query_id").collect()]
+    qv = pts[qi]
+    d2 = ((qv[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    truth = {}
+    for a, qid in enumerate(qi):
+        row = d2[a].copy()
+        row[qid] = np.inf
+        truth[qid] = set(np.argsort(row)[:10].tolist())
+
+    def recall(got):
+        hits = tot = 0
+        byq = {}
+        for r in got.collect():
+            byq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for qid, want in truth.items():
+            hits += len(want & byq.get(qid, set()))
+            tot += len(want)
+        return hits / tot if tot else 0.0
+
+    m, k_codes = 4, 64
+    books = similarity.pq_train(emb, m=m, k=k_codes, iters=2, dim=dim,
+                                engine="arrow")
+    raw = similarity.pq_topk_ivf(q, emb, books, k=10, nprobe=8,
+                                 cell_col="label", engine="arrow")
+    cent = similarity.cell_centroids(emb, "embedding", "label")
+    rv = similarity.residualize(emb, cent, "embedding", "label")
+    rbooks = similarity.pq_train(rv, m=m, k=k_codes, iters=2, dim=dim,
+                                 engine="arrow")
+    res = similarity.pq_topk_ivf(q, emb, rbooks, k=10, nprobe=8,
+                                 cell_col="label", residual=True,
+                                 engine="arrow")
+    return {"raw": recall(raw), "residual": recall(res)}
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fs_sf1"
+    spark = get_spark("stress_sf1", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    build(spark, out)
+    print(f"build 10x tables: {time.time() - t0:.1f}s")
+    nd = spark.read.parquet(f"{out}/documents.parquet").count()
+    ne = spark.read.parquet(f"{out}/embeddings.parquet").count()
+    print(f"documents={nd} embeddings={ne}")
+
+    from filters_spark.plans import queries as Q
+
+    results = []
+    for name, inv in HEAVY.items():
+        fn = Q.REGISTRY[name].fn
+        # cold
+        t0 = time.time()
+        rows = fn(spark, out).collect()
+        cold = time.time() - t0
+        inv(rows)
+        # steady
+        t0 = time.time()
+        rows = fn(spark, out).collect()
+        steady = time.time() - t0
+        inv(rows)
+        results.append((name, cold, steady, len(rows)))
+        print(f"{name}: cold {cold:.1f}s steady {steady:.1f}s "
+              f"({len(rows)} rows) INVARIANT OK")
+
+    rec = recall_clustered(spark)
+    print(f"clustered 20k recall@10: raw {rec['raw']:.3f} "
+          f"residual {rec['residual']:.3f}")
+    print("\n| query | cold s | steady s | rows |")
+    print("| --- | --- | --- | --- |")
+    for name, cold, steady, n in results:
+        print(f"| {name} | {cold:.1f} | {steady:.1f} | {n} |")
+
+
+if __name__ == "__main__":
+    main()
