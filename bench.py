@@ -113,6 +113,14 @@ HEADLINE = [
     "ds_ivfpq_topk",
     "ds_pq_index_topk",
     "rel_bloom_prejoin",
+    # round 8: the progressive-JPEG decode path (five-scan SOF2
+    # through the full T.81 Annex G machinery — the heaviest new
+    # per-doc Python), the logistic IRLS distributed pass (two
+    # baked-β augmented Grams), and the per-row dynamic map-key
+    # validator (new operator family; cheap, pins the projection)
+    "ds_jpeg_progressive_gate",
+    "ds_logistic_fit",
+    "val_map_mapper",
 ]
 
 
