@@ -98,9 +98,19 @@ class Currency(Validator):
 
     def __init__(self):
         m: dict[str, str] = {}
+        # Numeric lookup only for UNAMBIGUOUS codes: ISO 4217 reuses
+        # a numeric code across a currency replacement (532 is both
+        # ANG and its successor XCG; 891 both YUM and CSD), and the
+        # JDK reports 0 for currencies with no numeric assignment
+        # (XFO/XFU) — an ambiguous or absent numeric cannot
+        # canonicalize, so those inputs reject (the alpha code always
+        # works).
+        from collections import Counter
+
+        counts = Counter(num for _, num in CURRENCIES)
         for code, num in CURRENCIES:
             m[code] = code
-            if num >= 0:
+            if num > 0 and counts[num] == 1:
                 m[f"{num:03d}"] = code
         self._map = m
 

@@ -133,6 +133,45 @@ class TestRegistry:
         assert got == [("", 1), ("DE", 0), ("US", 0)]
 
 
+class TestFullTableFunctional:
+    def test_every_country_code_canonicalizes(self, spark):
+        """ALL table entries through the real expression in one job:
+        alpha-2 lowercased and alpha-3 mixed-case each map to the
+        canonical alpha-2."""
+        from filters_spark.operators._isodata import COUNTRIES
+
+        rows = []
+        for a2, a3 in COUNTRIES:
+            rows.append((a2.lower(), a2))
+            if a3:
+                rows.append((a3[0] + a3[1:].lower(), a2))
+        got = run_chain(spark, Country(), [r[0] for r in rows])
+        for (inp, want), (clean, code) in zip(rows, got):
+            assert code is None and clean == want, (inp, clean, code)
+
+    def test_every_currency_code_canonicalizes(self, spark):
+        from collections import Counter
+
+        from filters_spark.operators._isodata import CURRENCIES
+
+        counts = Counter(num for _, num in CURRENCIES)
+        rows = []
+        for code, num in CURRENCIES:
+            rows.append((code.lower(), code))
+            if num > 0 and counts[num] == 1:
+                rows.append((f"{num:03d}", code))
+        got = run_chain(spark, Currency(), [r[0] for r in rows])
+        for (inp, want), (clean, ecode) in zip(rows, got):
+            assert ecode is None and clean == want, (inp, clean, ecode)
+
+    def test_ambiguous_numeric_rejects(self, spark):
+        # 532 = ANG and its successor XCG, 891 = YUM/CSD — an
+        # ambiguous numeric cannot canonicalize and must reject
+        for bad in ["532", "891", "000"]:
+            [(clean, code)] = run_chain(spark, Currency(), [bad])
+            assert code == "invalid_currency" and clean is None, bad
+
+
 class TestTableIntegrity:
     def test_tables_match_live_jvm(self, spark):
         """The committed _isodata tables must equal what the running
