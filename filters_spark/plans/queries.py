@@ -622,10 +622,23 @@ DRIVER_WINDOW: list[str] = [
     # official green round and keeps pytest + strict-replica + judge
     # coverage; every INCOMING name is green on the driver-faithful
     # strict replica (tools/oracle_check.py) at sf0.01 AND sf0.1
-    # before entry.  The 19 names still unchecked after this round
-    # (all replica-green simple aggregates / dedup variants) plus any
-    # round-8 new gates rotate in round 9.  Window history lives in
-    # git (this file, commits through round 7).
+    # before entry.  ROUND-9 ROTATION PLAN (all 31 names below are
+    # already green in the r8 dual full-registry sweeps at both
+    # scales + local[5] + AQE-off + shuffled-oracle): the 19 pre-r8
+    # never-checked names (txt_bpe_tokens, val_bytearray_ints,
+    # ds_dedup_components, val_variant_path, txt_fingerprint,
+    # prof_top_values, prof_histogram, txt_bigram_freq_score,
+    # val_struct_projection, ds_exact_dedup_against,
+    # ds_embedding_quantize, txt_boilerplate_ngrams,
+    # ds_dedup_keep_canonical, ds_split_assign, txt_length_outliers,
+    # ds_weighted_sample, ds_chunk_documents, ds_linear_score,
+    # ds_hash_reservoir) plus the 12 round-8 gates (val_iso_country/
+    # currency/locale, val_mac_address, val_nfc_exact,
+    # val_casefold_exact, val_ipv6_normalize, val_maxbytes_truncate,
+    # val_datetime_fuzzy, ds_logistic_fit, ds_jpeg_progressive_gate,
+    # val_map_mapper) — that clears the ENTIRE registry (231/231
+    # officially checked) with 19 slots left for re-confirmation.
+    # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
     #    r7's own ds_pq_residual_recall per ADVICE r7) ----------------

@@ -215,6 +215,14 @@ def write_tar_shards(df, dir_path: str, name_col: str = "member_name",
 
     import pyspark.sql.types as T
 
+    # The executor-side mkdir inside pack() handles the cluster case
+    # (driver fs ≠ executor fs), but an EMPTY corpus produces zero
+    # batches so no executor ever creates the directory and a
+    # subsequent read_tar_shards crashes PATH_NOT_FOUND (r8 full-
+    # registry empty sweep).  The write contract already requires a
+    # shared filesystem, so the driver-side mkdir is equally valid —
+    # empty corpus → existing empty shard dir → empty read.
+    os.makedirs(dir_path, exist_ok=True)
     assigned = df.select(
         F.col(name_col).cast("string").alias("_name"),
         F.col(payload_col).alias("_payload"),
