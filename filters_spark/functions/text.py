@@ -46,6 +46,7 @@ __all__ = [
     "hashing_vectors_dense",
     "mojibake_marker_count",
     "fix_mojibake",
+    "strip_html",
     "MOJIBAKE_MARKERS",
     "STOPWORDS",
 ]
@@ -922,6 +923,44 @@ def hashing_vectors_dense(df: DataFrame, id_col: str = "doc_id",
 #: sequence: C2-C3 (2-byte seqs: Â Ã) and E2 (3-byte punctuation: â).
 MOJIBAKE_MARKERS = ("Ã", "Â", "â")
 
+
+
+_HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                  ("&amp;", "&"))
+
+
+def strip_html(col: Column, decode_entities: bool = True) -> Column:
+    """Extract visible text from HTML — the web-corpus ingestion step
+    between raw crawl payloads and every quality/dedup op in this
+    module: drops ``<script>``/``<style>`` blocks wholesale (their
+    content is never prose), strips comments and tags, optionally
+    decodes the common named entities, and collapses whitespace.
+
+    Pure JVM expressions (a regexp_replace chain — zero Python, zero
+    shuffle: the 100 TB shape is a map over the scan).  The regex
+    dialect is deliberately restricted to the Java∩RE2 intersection
+    (inline ``(?is)`` flags, non-greedy ``.*?``, character classes —
+    NO backreferences, which RE2 lacks) so a DuckDB oracle replays it
+    verbatim (``txt_html_strip``).  Entity decoding replaces
+    ``&amp;`` LAST, the standard order that keeps ``&amp;lt;`` from
+    double-decoding.
+
+    This is regex-based extraction, not an HTML5 parser: pathological
+    markup (unclosed ``<`` in running text, CDATA, conditional
+    comments) degrades gracefully to over-stripping — the right
+    trade at corpus scale, where a DOM parse per document would be a
+    per-row Python crossing.  Block-level structure is NOT preserved
+    (everything joins with single spaces); use the boilerplate/line
+    ops downstream for layout-aware cleanup."""
+    c = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    if decode_entities:
+        for ent, ch in _HTML_ENTITIES:
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 def mojibake_marker_count(col: Column) -> Column:
     """Occurrences of the classic double-encoding lead bytes — a pure

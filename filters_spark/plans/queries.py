@@ -11925,3 +11925,64 @@ def val_map_mapper(spark, sf_dir):
         .groupBy("code")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("_len").cast("bigint").alias("clean_name_len")))
+
+
+@register(
+    "txt_html_strip",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^a-zA-Z0-9 ]', 'x', 'g'),
+                    1, 40) AS s
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             '<html><head><style>body {color: red}</style>'
+             || '<script type="text/javascript">var x = 1 < 2;</script>'
+             || '</head><body><p class="main">' || s
+             || '</p><!-- a comment --><div>Tom &amp; Jerry '
+             || '&lt;3 &quot;ok&quot;</div></body></html>' AS html
+      FROM b
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html,
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+        '\s+', ' ', 'g')) AS stripped
+    FROM h
+    """,
+)
+def txt_html_strip(spark, sf_dir):
+    """HTML text extraction (text.strip_html) under the FULL-STRING
+    value hash: genuine markup is synthesized in-plan around each
+    document's ASCII-projected prefix — a style block, a script block
+    whose body contains a bare ``<`` (the classic tag-stripper trap:
+    block content must go as a unit, not tag-by-tag), a comment,
+    attributes, and entity references — and every document's complete
+    stripped text is hash-compared against the oracle's replay of the
+    same Java-and-RE2-intersection regex chain.  A stripper that
+    tokenized the script body, decoded entities before tag removal
+    (&lt;3 would grow a fake tag), replaced only the first match, or
+    collapsed whitespace differently diverges on the full string."""
+    from ..functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    s = F.substring(
+        F.regexp_replace("text", "[^a-zA-Z0-9 ]", "x"), 1, 40)
+    html = F.concat(
+        F.lit('<html><head><style>body {color: red}</style>'
+              '<script type="text/javascript">var x = 1 < 2;</script>'
+              '</head><body><p class="main">'),
+        s,
+        F.lit('</p><!-- a comment --><div>Tom &amp; Jerry '
+              '&lt;3 &quot;ok&quot;</div></body></html>'))
+    return d.select("doc_id", T.strip_html(html).alias("stripped"))

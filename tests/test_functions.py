@@ -538,3 +538,53 @@ class TestMojibakeRepair:
                  for r in fix_mojibake(df, gate_on_markers=True).collect()}
         assert gated == plain
         assert len(gated) == 5
+
+
+class TestStripHtml:
+    """text.strip_html — regex HTML text extraction (r8)."""
+
+    def _strip(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions.text import strip_html
+
+        df = spark.createDataFrame([(v,) for v in vals], "h string")
+        return [r["t"] for r in
+                df.select(strip_html(F.col("h")).alias("t")).collect()]
+
+    def test_blocks_tags_entities_whitespace(self, spark):
+        html = ('<html><head><style>p {c: 1}</style>'
+                '<script>var x = 1 < 2; if (x > 0) {}</script></head>'
+                '<body><p class="m">Hello   world</p><!-- note -->'
+                '<div>Tom &amp; Jerry &lt;3 &quot;ok&quot; &#39;y&#39;'
+                '</div></body></html>')
+        [out] = self._strip(spark, [html])
+        assert out == "Hello world Tom & Jerry <3 \"ok\" 'y'"
+
+    def test_script_with_closing_like_content(self, spark):
+        # the </script> terminator must be the REAL one, non-greedily
+        html = '<script>a="x";</script>kept<script>b=2;</script>'
+        assert self._strip(spark, [html]) == ["kept"]
+
+    def test_amp_decoded_last(self, spark):
+        # &amp;lt; is a literal '&lt;' in the source — must NOT
+        # double-decode to '<'
+        assert self._strip(spark, ["a &amp;lt; b"]) == ["a &lt; b"]
+
+    def test_plain_text_and_null_untouched(self, spark):
+        assert self._strip(spark, ["no markup here", None]) == [
+            "no markup here", None]
+
+    def test_multiline_blocks(self, spark):
+        html = "<style>\na { b }\n</style>\n<p>\nx\n</p>"
+        assert self._strip(spark, [html]) == ["x"]
+
+    def test_no_entity_decode_option(self, spark):
+        from pyspark.sql import functions as F
+
+        from filters_spark.functions.text import strip_html
+
+        df = spark.createDataFrame([("<b>a &amp; b</b>",)], "h string")
+        [r] = df.select(strip_html(F.col("h"),
+                                   decode_entities=False).alias("t"))             .collect()
+        assert r["t"] == "a &amp; b"

@@ -472,6 +472,8 @@ EXPECTATIONS: dict[str, dict] = {
     # MapMapper gate: per-row key checks are pure expressions; only
     # the code-count agg shuffles.
     "val_map_mapper": dict(max_exchanges=1),
+    # HTML strip: a pure regexp_replace projection over the scan.
+    "txt_html_strip": dict(max_exchanges=0),
     # progressive JPEG gate: same shape as ds_jpeg_codec_gate
     # (encoder-UDF crossing + decode + featurize + one rollup)
     "ds_jpeg_progressive_gate": dict(max_exchanges=2, scan_filter=True),
