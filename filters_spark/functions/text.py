@@ -28,6 +28,11 @@ __all__ = [
     "stopword_ratio",
     "punct_ratio",
     "quality_score",
+    "classifier_features",
+    "quality_logit",
+    "train_quality_classifier",
+    "QUALITY_FEATURE_DIM",
+    "QUALITY_SEED",
     "gopher_flags",
     "GOPHER_STOPWORDS",
     "bigram_lm_scores",
@@ -117,6 +122,138 @@ def quality_score(col: Column, sep: str = " ") -> Column:
     word_ok = F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(0.0)
     punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(0.0)
     return (len_ok + word_ok + punct_ok) / F.lit(3.0)
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier (the MODEL-BASED filtering step of
+# CCNet / FineWeb-style curation — Wenzek et al. 2020 arXiv:1911.00359,
+# Penedo et al. 2024 arXiv:2406.17557; public papers).  The rule-based
+# ops above (quality_score, gopher_flags) are the heuristic pass; this
+# is the learned pass: fit a tiny logistic head on labeled seed docs
+# with the engine's own distributed IRLS (projection.logistic_fit),
+# then score the corpus with the coefficients BAKED INTO THE PLAN as
+# literals — inference rides the scan projection, no side data, and
+# any engine with ln() can replay the exact scores.
+# --------------------------------------------------------------------------
+
+QUALITY_FEATURE_DIM = 4
+
+
+def _classifier_feature_list(col: Column, sep: str) -> list[Column]:
+    return [
+        F.log(F.lit(1.0) + F.length(col).cast("double")),
+        avg_word_len(col, sep),
+        punct_ratio(col),
+        stopword_ratio(col, "en", sep),
+    ]
+
+
+def classifier_features(col: Column, sep: str = " ") -> Column:
+    """The 4-dim interpretable feature vector the trained quality
+    classifier consumes: ``[ln(1+chars), avg_word_len, punct_ratio,
+    stopword_ratio(en)]``.  Pure expressions (one narrow projection,
+    JVM-side at 100 TB); every feature is replayable in ANSI SQL, so
+    classifier inference can be hash-gated end to end
+    (``ds_quality_classifier``)."""
+    return F.array(*_classifier_feature_list(col, sep))
+
+
+def quality_logit(col: Column, weights: list[float], bias: float,
+                  sep: str = " ") -> Column:
+    """w·x + b over :func:`classifier_features`, with the sum written
+    as an EXPLICIT left-to-right multiply-add chain (not a vector
+    fold) so the floating-point evaluation order is pinned and an
+    ANSI-SQL oracle evaluating the same textual expression reproduces
+    the score bit-for-bit (modulo libm ln, handled by gate-side
+    rounding).  Keep-decision contract: keep when logit >= 0, i.e.
+    sigmoid >= 0.5 — the sigmoid itself is never materialized, so no
+    exp() enters the gated path."""
+    if len(weights) != QUALITY_FEATURE_DIM:
+        raise ValueError(
+            f"quality_logit: expected {QUALITY_FEATURE_DIM} weights, "
+            f"got {len(weights)}")
+    feats = _classifier_feature_list(col, sep)
+    out = F.lit(float(weights[0])) * feats[0]
+    for w, f in zip(weights[1:], feats[1:]):
+        out = out + F.lit(float(w)) * f
+    return out + F.lit(float(bias))
+
+
+# Planted, scale-independent training seed for the quality head:
+# 12 positive docs (natural prose — stopword-rich, light punctuation,
+# sentence-length words) and 12 negatives (boilerplate menus, symbol
+# soup, SEO keyword stuffing, ALL-CAPS spam — the classic web-crawl
+# rejects).  LITERALS ON PURPOSE: the fitted coefficients are a
+# deterministic function of this list alone (no corpus dependence, no
+# sf dependence), so they can be baked into query plans and SQL
+# oracles as constants and re-derived by any auditor via
+# :func:`train_quality_classifier`.
+QUALITY_SEED: list[tuple[str, int]] = [
+    ("the committee reviewed the proposal in detail and concluded that "
+     "it would benefit the region for years to come", 1),
+    ("a gentle rain fell over the valley in the early morning and the "
+     "farmers welcomed it after a long dry season", 1),
+    ("the study shows that regular exercise is associated with better "
+     "sleep and a measurable improvement in mood for most adults", 1),
+    ("she explained that the bridge was built in 1912 and that it "
+     "remains the main crossing for traffic to the northern districts", 1),
+    ("the recipe calls for two cups of flour and a pinch of salt and it "
+     "is important to fold the batter gently", 1),
+    ("in the final chapter the author returns to the question of memory "
+     "and argues that forgetting is essential to a healthy mind", 1),
+    ("the museum opened a new wing dedicated to the history of printing "
+     "and it has already drawn record crowds this spring", 1),
+    ("a fair tax system is one that balances the needs of the state "
+     "with the burden it places on working families", 1),
+    ("the engineers tested the turbine for a week and found that it "
+     "performed well beyond the targets set for efficiency", 1),
+    ("he walked to the harbor every evening to watch the boats return "
+     "and to listen to the gulls argue over the catch", 1),
+    ("the court ruled that the contract was valid and that the supplier "
+     "is entitled to payment for the goods it delivered", 1),
+    ("over the past decade the village has invested in schools and "
+     "roads and it now attracts young families from the city", 1),
+    ("HOME | ABOUT | CONTACT | LOGIN | REGISTER | FAQ | SITEMAP", 0),
+    ("$$$ WIN NOW!!! CLICK >>> HERE <<< FREE!!! $$$", 0),
+    ("buy cheap pills best price cheap pills discount pills cheap "
+     "cheap cheap", 0),
+    ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+     "eiusmod tempor", 0),
+    ("404 ERROR :: PAGE NOT FOUND :: /var/www/html/index.php", 0),
+    ("#!@*%&^ ~~ ++ == || >> << {} [] () ;; :: ..", 0),
+    ("casino poker slots jackpot bonus casino poker slots jackpot "
+     "bonus casino", 0),
+    ("xK9fQ2 zzzzz qwertyuiop asdfghjkl 77777 aaaaaa bbbbbb", 0),
+    ("SUBSCRIBE NOW!!! LIMITED OFFER!!! ACT FAST!!! DON'T WAIT!!!", 0),
+    ("copyright 2019 all rights reserved privacy policy terms "
+     "conditions cookies", 0),
+    ("item1,item2,item3,item4,item5,item6,item7,item8,item9,item10", 0),
+    ("best seo services top ranking google first page guaranteed "
+     "backlinks seo seo", 0),
+]
+
+
+def train_quality_classifier(spark, reg: float = 0.1, iters: int = 8,
+                             seed: list[tuple[str, int]] | None = None,
+                             engine: str = "arrow") -> dict:
+    """Fit the quality head on :data:`QUALITY_SEED` (or a caller
+    seed) with the engine's own distributed IRLS — featurize with
+    :func:`classifier_features`, train via
+    :func:`~filters_spark.functions.projection.logistic_fit`.
+    Returns logistic_fit's dict.  On the planted seed this is fully
+    deterministic (literal inputs, exact DECIMAL Gram sums, fixed
+    iteration count), which is what lets the gates bake the rounded
+    coefficients as plan literals; the bake is pinned by
+    tests/test_projection.py::TestQualityClassifier."""
+    from . import projection
+
+    rows = seed if seed is not None else QUALITY_SEED
+    df = spark.createDataFrame(rows, "text string, label int")
+    feats = df.select(classifier_features(F.col("text")).alias("x"),
+                      "label")
+    return projection.logistic_fit(feats, vec_col="x", label_col="label",
+                                   dim=QUALITY_FEATURE_DIM, reg=reg,
+                                   iters=iters, engine=engine)
 
 
 # Gopher's "has at least 2 of these" stopword requirement (Rae et

@@ -636,8 +636,10 @@ DRIVER_WINDOW: list[str] = [
     # currency/locale, val_mac_address, val_nfc_exact,
     # val_casefold_exact, val_ipv6_normalize, val_maxbytes_truncate,
     # val_datetime_fuzzy, ds_logistic_fit, ds_jpeg_progressive_gate,
-    # val_map_mapper) — that clears the ENTIRE registry (231/231
-    # officially checked) with 19 slots left for re-confirmation.
+    # val_map_mapper) plus the late-r8 additions (txt_html_strip,
+    # ds_quality_classifier, ds_corpus_pipeline_v7) — that clears the
+    # ENTIRE registry (234/234 officially checked) with 16 slots left
+    # for re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -11986,3 +11988,152 @@ def txt_html_strip(spark, sf_dir):
         F.lit('</p><!-- a comment --><div>Tom &amp; Jerry '
               '&lt;3 &quot;ok&quot;</div></body></html>'))
     return d.select("doc_id", T.strip_html(html).alias("stripped"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): trained quality classifier — the MODEL-BASED filtering
+# step of CCNet/FineWeb-style curation (Wenzek et al. 2020 arXiv:1911.00359;
+# Penedo et al. 2024 arXiv:2406.17557).  The coefficients below are the
+# engine's own output: text.train_quality_classifier() fits a 4-feature
+# logistic head on the planted, scale-independent QUALITY_SEED via
+# projection.logistic_fit (distributed IRLS over exact DECIMAL Gram sums,
+# reg=0.1, 8 iterations), and the result — rounded to 6dp — is baked into
+# BOTH the Spark plan and the SQL oracle as literals.  The bake is pinned
+# by tests/test_projection.py::TestQualityClassifier, which refits through
+# the engine and asserts these constants to 1e-4.
+# ---------------------------------------------------------------------------
+
+_QCLS_W = [4.992808, -1.020566, -1.017414, 3.602609]
+_QCLS_B = -18.043126
+
+# DuckDB-side replay of text.classifier_features + quality_logit: the
+# same four features and the same explicit left-to-right multiply-add
+# chain, built from the same Python float constants so both engines
+# parse identical literals.
+_QCLS_PUNCT_RE = r"[^\p{L}\p{N}\s]"
+
+
+def _qcls_logit_sql(txt: str = "text") -> str:
+    n = f"len(string_split({txt}, ' '))"
+    f0 = f"ln(1.0 + length({txt}))"
+    f1 = f"(length({txt}) - ({n} - 1))::DOUBLE / {n}"
+    f2 = (f"(length({txt}) - length(regexp_replace({txt}, "
+          f"'{_QCLS_PUNCT_RE}', '', 'g')))::DOUBLE / length({txt})")
+    sw = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS["en"]) + "]"
+    f3 = (f"len(list_filter(string_split({txt}, ' '), "
+          f"x -> list_contains({sw}, x)))::DOUBLE / {n}")
+    terms = " + ".join(
+        f"{w!r} * ({f})" for w, f in zip(_QCLS_W, (f0, f1, f2, f3)))
+    return f"round({terms} + {_QCLS_B!r}, 5)"
+
+
+@register(
+    "ds_quality_classifier",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, {_qcls_logit_sql("text")} AS logit FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(avg(logit), 4) AS avg_logit,
+           round(sum(logit), 3) AS sum_logit
+    FROM s GROUP BY source
+    """,
+)
+def ds_quality_classifier(spark, sf_dir):
+    """Trained-classifier corpus scoring (text.quality_logit with the
+    engine-fitted coefficients baked as plan literals): per-source doc
+    count, kept count at the logit>=0 decision boundary (sigmoid>=0.5
+    — no exp() enters the gated path), and rounded logit moments.
+    The oracle recomputes all four features and the same explicit
+    multiply-add chain in SQL, so a drifted feature definition, a
+    reordered sum, or a wrong coefficient flips the hash.  Inference
+    is one narrow projection — the 100 TB shape for small learned
+    heads (see similarity.linear_score)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.round(text.quality_logit(F.col("text"), _QCLS_W, _QCLS_B), 5)
+        .alias("logit"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("logit") >= 0, 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.round(F.avg("logit"), 4).alias("avg_logit"),
+        F.round(F.sum("logit"), 3).alias("sum_logit"),
+    )
+
+
+@register(
+    "ds_corpus_pipeline_v7",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents
+      WHERE doc_id % 7 = 0
+    ), s AS (
+      SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+             {_qcls_logit_sql("text")} AS logit
+      FROM base
+    ), k AS (
+      SELECT * FROM s WHERE logit >= 0
+    ), d AS (
+      SELECT doc_id, n_tok, logit FROM (
+        SELECT k.*, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM k
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id, n_tok, logit,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 8 AS INT) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM d
+    ), p AS (
+      SELECT shard, doc_id, n_tok, logit,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      FROM sh
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+           CAST(sum(doc_id * pos) AS BIGINT) AS order_checksum,
+           round(sum(logit), 3) AS sum_logit
+    FROM p GROUP BY shard
+    """,
+)
+def ds_corpus_pipeline_v7(spark, sf_dir):
+    """Round-8 curation capstone — the LEARNED pipeline: trained
+    quality filter -> exact content dedup -> deterministic training
+    shuffle.  Exact duplicates are PLANTED (every doc_id % 7 == 0 doc
+    re-enters with id+10M), so stage 2 (dedup.exact_text_dedup,
+    min-id survivor) is load-bearing: a broken dedup leaks the
+    planted ids into the shard checksums (Σ doc_id·pos) and flips the
+    hash; a broken stage-1 filter shifts every shard's count, token
+    sum, and logit sum; a broken stage-3 shuffle (sampling.
+    global_shuffle — md5 shard + within-shard hash order) flips the
+    checksum on any single misplaced position.  Scale shape: stage 1
+    rides the scan projection, stage 2 is the map-side-combined
+    grouped agg + join-back (absorbs mass-duplicated content), stage
+    3 is one shuffle keyed by shard."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.where(F.col("doc_id") % 7 == 0)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+    corpus = d.unionByName(planted)
+    scored = corpus.select(
+        "doc_id", "text",
+        text.token_count(F.col("text")).alias("n_tok"),
+        F.round(text.quality_logit(F.col("text"), _QCLS_W, _QCLS_B), 5)
+        .alias("logit"))
+    kept = scored.where(F.col("logit") >= 0)
+    ded = dedup.exact_text_dedup(kept, id_col="doc_id", text_col="text")
+    sh = sampling.global_shuffle(ded, "doc_id", 8)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+        F.sum(F.col("doc_id") * F.col("pos")).alias("order_checksum"),
+        F.round(F.sum("logit"), 3).alias("sum_logit"),
+    )

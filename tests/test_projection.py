@@ -538,3 +538,43 @@ class TestLogisticFit:
         p = 1 / (1 + np.exp(-(X @ np.array(fit["weights"])
                               + fit["intercept"])))
         assert (((p > 0.5) == (y > 0.5)) | (X[:, 0] == 0)).all()
+
+
+class TestQualityClassifier:
+    """Pin the baked coefficients of the trained quality filter
+    (queries._QCLS_W/_QCLS_B) to a live refit through the engine:
+    text.train_quality_classifier -> classifier_features ->
+    projection.logistic_fit on the planted QUALITY_SEED.  Literal
+    inputs + exact DECIMAL Gram sums + fixed iteration count make the
+    fit deterministic, so the bake must reproduce to rounding."""
+
+    def test_bake_matches_refit(self, spark):
+        from filters_spark.functions import text as T
+        from filters_spark.plans.queries import _QCLS_B, _QCLS_W
+
+        fit = T.train_quality_classifier(spark)
+        assert fit["n"] == len(T.QUALITY_SEED)
+        assert fit["iters"] == 8
+        for baked, refit in zip(_QCLS_W, fit["weights"]):
+            assert abs(baked - refit) < 1e-4
+        assert abs(_QCLS_B - fit["intercept"]) < 1e-4
+
+    def test_seed_perfectly_separated(self, spark):
+        from filters_spark.functions import text as T
+        from filters_spark.plans.queries import _QCLS_B, _QCLS_W
+
+        df = spark.createDataFrame(T.QUALITY_SEED, "text string, label int")
+        scored = df.select(
+            "label",
+            T.quality_logit(F.col("text"), _QCLS_W, _QCLS_B).alias("logit"))
+        rows = scored.collect()
+        assert all((r["logit"] >= 0) == (r["label"] == 1) for r in rows)
+        # decision margin: no seed doc sits inside (-1, 1) — the bake
+        # rounding (6dp) cannot flip any training decision
+        assert all(abs(r["logit"]) > 1.0 for r in rows)
+
+    def test_logit_dim_guard(self, spark):
+        from filters_spark.functions import text as T
+
+        with pytest.raises(ValueError, match="expected 4 weights"):
+            T.quality_logit(F.lit("x"), [1.0, 2.0], 0.0)

@@ -477,6 +477,14 @@ EXPECTATIONS: dict[str, dict] = {
     # progressive JPEG gate: same shape as ds_jpeg_codec_gate
     # (encoder-UDF crossing + decode + featurize + one rollup)
     "ds_jpeg_progressive_gate": dict(max_exchanges=2, scan_filter=True),
+    # trained quality classifier: inference is a pure projection;
+    # only the per-source rollup shuffles.
+    "ds_quality_classifier": dict(max_exchanges=1),
+    # capstone v7: dedup fp-agg + shard window (the final shard
+    # rollup reuses the window's partitioning); the dedup join-back
+    # broadcasts at audit scale — allow 2 more for the sort-merge
+    # form it takes when the fingerprint set outgrows broadcast.
+    "ds_corpus_pipeline_v7": dict(max_exchanges=4),
 }
 
 
