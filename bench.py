@@ -121,6 +121,12 @@ HEADLINE = [
     "ds_jpeg_progressive_gate",
     "ds_logistic_fit",
     "val_map_mapper",
+    # round 8 (cont.): trained-classifier inference (the learned
+    # quality screen — pure-projection scoring should cost like
+    # txt_quality) and the v7 capstone composing it with exact dedup
+    # and the training shuffle
+    "ds_quality_classifier",
+    "ds_corpus_pipeline_v7",
 ]
 
 

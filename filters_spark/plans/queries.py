@@ -637,9 +637,9 @@ DRIVER_WINDOW: list[str] = [
     # val_casefold_exact, val_ipv6_normalize, val_maxbytes_truncate,
     # val_datetime_fuzzy, ds_logistic_fit, ds_jpeg_progressive_gate,
     # val_map_mapper) plus the late-r8 additions (txt_html_strip,
-    # ds_quality_classifier, ds_corpus_pipeline_v7) — that clears the
-    # ENTIRE registry (234/234 officially checked) with 16 slots left
-    # for re-confirmation.
+    # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip)
+    # — that clears the ENTIRE registry (235/235 officially checked)
+    # with 15 slots left for re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -12136,4 +12136,73 @@ def ds_corpus_pipeline_v7(spark, sf_dir):
         F.sum("n_tok").cast("long").alias("shard_tokens"),
         F.sum(F.col("doc_id") * F.col("pos")).alias("order_checksum"),
         F.round(F.sum("logit"), 3).alias("sum_logit"),
+    )
+
+
+@register(
+    "rel_xml_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+             AS n_priorities,
+           CAST(sum(length(o_orderpriority) + 6) AS BIGINT)
+             AS note_len_sum,
+           CAST(0 AS BIGINT) AS n_extra_nonnull
+    FROM orders
+    """,
+)
+def rel_xml_roundtrip(spark, sf_dir):
+    """XML source/sink under the value hash (sources.read_xml /
+    write_xml — Spark 4's native xml format): orders written as XML
+    exercising every XML-specific hazard — an ATTRIBUTE column
+    (``_prio``, attributePrefix contract), a NESTED struct element
+    (``amounts``), and a planted markup-hostile string
+    (``a<&"...>z`` — the writer must entity-escape it and the parser
+    must restore it EXACTLY, pinned by note_len_sum) — then read back
+    through schema-on-read with an evolved column that must null out,
+    and exact checksums compared against the parquet-side oracle.  A
+    writer that mangled escaping, a reader that dropped attributes,
+    flattened the struct wrong, or errored on the evolved column
+    fails the hash."""
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    from ..sources import readers
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("_prio"),
+        F.struct(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("cents"),
+            F.col("o_custkey").alias("cust")).alias("amounts"),
+        F.concat(F.lit('a<&"'), F.col("o_orderpriority"), F.lit(">z"))
+        .alias("note"))
+    path = tempfile.mkdtemp(prefix="fs_xml_") + "/t"
+    readers.write_xml(base, path, row_tag="order", root_tag="orders")
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("_prio", T.StringType()),          # attribute
+        T.StructField("amounts", T.StructType([          # nested elem
+            T.StructField("cents", T.LongType()),
+            T.StructField("cust", T.LongType()),
+        ])),
+        T.StructField("note", T.StringType()),           # escaped text
+        T.StructField("evolved_note", T.StringType()),   # not in files
+    ])
+    back = readers.read_xml(spark, path, "order", schema)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("amounts.cents").cast("long").alias("cents_sum"),
+        F.sum("amounts.cust").cast("long").alias("cust_sum"),
+        F.countDistinct("_prio").cast("long").alias("n_priorities"),
+        F.sum(F.length("note")).cast("long").alias("note_len_sum"),
+        F.sum(F.col("evolved_note").isNotNull().cast("int")).cast("long")
+        .alias("n_extra_nonnull"),
     )

@@ -38,6 +38,8 @@ __all__ = [
     "read_json",
     "read_orc",
     "write_orc",
+    "read_xml",
+    "write_xml",
     "read_tar_shards",
     "read_text_docs",
     "read_media_dir",
@@ -122,6 +124,45 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str,
+             schema: T.StructType | None = None,
+             **options: str) -> DataFrame:
+    """XML ingestion via Spark 4's NATIVE xml source (the feed/config/
+    export format legacy pipelines still emit): one row per
+    ``row_tag`` element, attributes surfaced as ``_``-prefixed
+    columns (``attributePrefix`` default), nested elements as
+    structs, entity escaping handled by the parser.  Schema-on-read
+    carries the :func:`read_evolving` contract (missing columns null
+    out, extra elements unread); without a schema Spark infers by
+    sampling (a second pass — always pass a schema in production).
+    PERMISSIVE mode + ``columnNameOfCorruptRecord`` work like JSON/CSV
+    for malformed records (:func:`split_corrupt` composes).
+
+    Scale note: row-tag record splitting lets tasks scan slices of
+    large uncompressed files, but XML parsing is row-at-a-time
+    (no vectorized reader) — convert to parquet/ORC at the ingestion
+    boundary; gzip-compressed XML is additionally non-splittable
+    (one task per file)."""
+    reader = spark.read.option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("xml").load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite",
+              **options: str) -> None:
+    """XML sink twin of :func:`read_xml` (one ``row_tag`` element per
+    row under one ``root_tag`` document per file; ``_``-prefixed
+    columns become attributes, struct columns nested elements, and
+    the writer escapes markup characters so a roundtrip is lossless
+    — ``rel_xml_roundtrip`` hash-gates escaping + attributes +
+    nesting + evolution end to end)."""
+    (df.write.mode(mode).option("rowTag", row_tag)
+       .option("rootTag", root_tag).options(**options)
+       .format("xml").save(path))
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

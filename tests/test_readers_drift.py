@@ -250,3 +250,92 @@ class TestTarShards:
         only1 = readers.read_tar_shards(spark, d, member_filter="doc-1")
         names = {r["member_name"] for r in only1.collect()}
         assert names == {f"doc-{i}" for i in list(range(10, 20)) + [1]}
+
+
+class TestXmlRoundtrip:
+    """sources.read_xml / write_xml — Spark 4's native xml source:
+    the gate (rel_xml_roundtrip) pins escaping + attributes + nesting
+    + evolution checksums; these pin the reader-contract corners the
+    aggregate can't see (exact restored values, malformed-record
+    handling)."""
+
+    def test_roundtrip_attrs_nesting_escaping(self, spark, tmp_path):
+        import pyspark.sql.types as T
+        from pyspark.sql import functions as F
+
+        from filters_spark.sources import readers
+
+        df = spark.range(10).select(
+            F.col("id"),
+            F.concat(F.lit("p"), (F.col("id") % 3).cast("string"))
+            .alias("_tag"),
+            F.struct((F.col("id") * 100).alias("cents"),
+                     (F.col("id") + 7).alias("aux")).alias("nested"),
+            F.concat(F.lit('x<&">'), F.col("id").cast("string"),
+                     F.lit("&amp;end")).alias("note"))
+        path = str(tmp_path / "xml_t")
+        readers.write_xml(df, path, row_tag="rec", root_tag="recs")
+        sch = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("_tag", T.StringType()),
+            T.StructField("nested", T.StructType([
+                T.StructField("cents", T.LongType()),
+                T.StructField("aux", T.LongType()),
+            ])),
+            T.StructField("note", T.StringType()),
+        ])
+        back = readers.read_xml(spark, path, "rec", sch)
+        rows = {r["id"]: r for r in back.collect()}
+        assert len(rows) == 10
+        for i in range(10):
+            r = rows[i]
+            assert r["_tag"] == f"p{i % 3}"
+            assert r["nested"]["cents"] == i * 100
+            assert r["nested"]["aux"] == i + 7
+            # escaping survives EXACTLY — including a literal string
+            # that already looks like an entity (&amp;end must come
+            # back as the 8 chars written, not double-decoded to &end)
+            assert r["note"] == f'x<&">{i}&amp;end'
+
+    def test_raw_file_is_escaped_xml(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from filters_spark.sources import readers
+
+        df = spark.createDataFrame([(1, 'a<&"b')], "id long, note string")
+        path = str(tmp_path / "xml_raw")
+        readers.write_xml(df.coalesce(1), path, row_tag="rec")
+        import glob
+        files = glob.glob(f"{path}/part-*")
+        assert files
+        body = open(files[0]).read()
+        # the markup-hostile chars must be entity-escaped on disk
+        assert "a<&" not in body
+        assert "&lt;" in body and "&amp;" in body
+
+    def test_permissive_corrupt_record(self, spark, tmp_path):
+        import pyspark.sql.types as T
+
+        from filters_spark.sources import readers
+
+        p = tmp_path / "bad.xml"
+        p.write_text(
+            "<rows>"
+            "<rec><id>1</id><v>ok</v></rec>"
+            "<rec><id>oops</id><v>bad-type</v></rec>"
+            "<rec><id>3</id><v>fine</v></rec>"
+            "</rows>")
+        sch = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ])
+        back = readers.read_xml(
+            spark, str(p), "rec", sch, mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record")
+        rows = back.collect()
+        assert len(rows) == 3
+        good = [r for r in rows if r["_corrupt_record"] is None]
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert {r["id"] for r in good} == {1, 3}
+        assert len(bad) == 1 and bad[0]["id"] is None

@@ -409,6 +409,7 @@ EXPECTATIONS: dict[str, dict] = {
     # write-side exchange is off-plan (the sink ran already); the
     # read-back agg + distinct = 2
     "rel_orc_roundtrip": dict(max_exchanges=2),
+    "rel_xml_roundtrip": dict(max_exchanges=2),
     # augmented Gram: ONE grouped-agg exchange + broadcast stitches
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank
