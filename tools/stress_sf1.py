@@ -96,6 +96,9 @@ HEAVY = {
     "ds_jpeg_progressive_gate": lambda rows: _inv(
         len(rows) > 0 and all(r["n_chars"] > 0 for r in rows),
         "progressive jpeg: nonempty histogram"),
+    "ds_corpus_pipeline_v7": lambda rows: _inv(
+        len(rows) == 8 and all(r["n_docs"] > 0 for r in rows),
+        "v7: 8 nonempty shards"),
 }
 
 
