@@ -127,6 +127,11 @@ HEADLINE = [
     # and the training shuffle
     "ds_quality_classifier",
     "ds_corpus_pipeline_v7",
+    # round 8 (cont.): format + CDC write/read costs — XML roundtrip
+    # (row-at-a-time parse, the honest ingestion-boundary number) and
+    # the snapshot change feed (three commits + two diff joins)
+    "rel_xml_roundtrip",
+    "rel_change_feed",
 ]
 
 

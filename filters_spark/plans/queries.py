@@ -637,9 +637,9 @@ DRIVER_WINDOW: list[str] = [
     # val_casefold_exact, val_ipv6_normalize, val_maxbytes_truncate,
     # val_datetime_fuzzy, ds_logistic_fit, ds_jpeg_progressive_gate,
     # val_map_mapper) plus the late-r8 additions (txt_html_strip,
-    # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip)
-    # — that clears the ENTIRE registry (235/235 officially checked)
-    # with 15 slots left for re-confirmation.
+    # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip,
+    # rel_change_feed) — that clears the ENTIRE registry (236/236
+    # officially checked) with 14 slots left for re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -12205,4 +12205,85 @@ def rel_xml_roundtrip(spark, sf_dir):
         F.sum(F.length("note")).cast("long").alias("note_len_sum"),
         F.sum(F.col("evolved_note").isNotNull().cast("int")).cast("long")
         .alias("n_extra_nonnull"),
+    )
+
+
+@register(
+    "rel_change_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS cust,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), v2 AS (
+      SELECT k, cust,
+             CASE WHEN k % 10 = 0 THEN cents + 100 ELSE cents END AS cents
+      FROM base
+      UNION ALL
+      SELECT k + 10000000 AS k, -1 AS cust, 12345 AS cents
+      FROM base WHERE k % 97 = 0
+    ), feed AS (
+      SELECT '1->2' AS span, 'update_preimage' AS change_type, k, cents
+      FROM base WHERE k % 10 = 0
+      UNION ALL
+      SELECT '1->2', 'update_postimage', k, cents + 100
+      FROM base WHERE k % 10 = 0
+      UNION ALL
+      SELECT '1->2', 'insert', k + 10000000, 12345
+      FROM base WHERE k % 97 = 0
+      UNION ALL
+      SELECT '2->3', 'delete', k, cents FROM v2 WHERE k % 13 = 0
+    )
+    SELECT span, change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+    FROM feed GROUP BY span, change_type
+    """,
+)
+def rel_change_feed(spark, sf_dir):
+    """Snapshot change-data feed under the value hash
+    (sources.versioned.read_changes — the CDC READ half): orders
+    committed as v1, a CDC batch merged as v2 (price bumps on every
+    10th key + inserts on synthetic keys), then v3 committed as v2
+    minus every 13th key — and BOTH diffs read back through the
+    change feed.  The oracle replays each span's expected rows from
+    arithmetic: 1->2 must emit exactly the update pre/post image
+    pairs and the inserts, 2->3 exactly the deletes — and UNCHANGED
+    rows must emit NOTHING in either span (a fingerprint that
+    compared the wrong columns, missed a side, or emitted
+    false-positive updates shifts n/key_sum/cents_sum and fails the
+    hash)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    path = tempfile.mkdtemp(prefix="fs_cdf_") + "/t"
+    V.write_versioned(base, path)                            # v1
+    updates = (
+        base.where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey",
+                (F.col("cents") + 100).alias("cents"))
+        .unionByName(
+            base.where(F.col("o_orderkey") % 97 == 0)
+            .select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                    F.lit(-1).cast("bigint").alias("o_custkey"),
+                    F.lit(12345).cast("bigint").alias("cents")))
+    )
+    V.merge_versioned(spark, path, updates, "o_orderkey")    # v2
+    v2 = V.read_version(spark, path)
+    V.write_versioned(v2.where(F.col("o_orderkey") % 13 != 0), path)  # v3
+    f12 = V.read_changes(spark, path, "o_orderkey", 1, 2) \
+        .select(F.lit("1->2").alias("span"), "_change_type",
+                "o_orderkey", "cents")
+    f23 = V.read_changes(spark, path, "o_orderkey", 2, 3) \
+        .select(F.lit("2->3").alias("span"), "_change_type",
+                "o_orderkey", "cents")
+    return f12.unionByName(f23).groupBy(
+        "span", F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"),
     )

@@ -303,3 +303,62 @@ class TestConcurrentReader:
         V.merge_versioned(spark, tpath, _df(spark, [(1, "A", 99)]), "k")
         assert reader.collect()[0]["n"] == 10
         assert V.read_version(spark, tpath).collect()[0]["n"] == 99
+
+
+class TestChangeFeed:
+    """read_changes — the diff-based CDC read half; the arithmetic is
+    hash-gated by rel_change_feed, these pin the reader-contract
+    corners the aggregate can't see."""
+
+    def test_insert_update_delete_classification(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20),
+                                      (3, "c", 30)]), tpath)
+        V.write_versioned(_df(spark, [(1, "a", 10),      # unchanged
+                                      (2, "B", 20),      # updated
+                                      (4, "d", 40)]), tpath)  # 3 del, 4 ins
+        rows = V.read_changes(spark, tpath, "k", 1, 2).collect()
+        by = {(r["_change_type"], r["k"]): r for r in rows}
+        assert set(by) == {("update_preimage", 2), ("update_postimage", 2),
+                           ("delete", 3), ("insert", 4)}
+        assert by[("update_preimage", 2)]["val"] == "b"
+        assert by[("update_postimage", 2)]["val"] == "B"
+        assert by[("delete", 3)]["n"] == 30
+        assert by[("insert", 4)]["val"] == "d"
+
+    def test_identical_rewrite_is_silent(self, spark, tpath):
+        rows = [(1, "a", 10), (2, "b", 20)]
+        V.write_versioned(_df(spark, rows), tpath)
+        V.write_versioned(_df(spark, rows), tpath)
+        assert V.read_changes(spark, tpath, "k", 1, 2).count() == 0
+
+    def test_null_payload_change_detected(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, None, 10)]), tpath)
+        V.write_versioned(_df(spark, [(1, "x", 10)]), tpath)
+        got = {r["_change_type"] for r in
+               V.read_changes(spark, tpath, "k", 1, 2).collect()}
+        assert got == {"update_preimage", "update_postimage"}
+
+    def test_schema_evolution_between_snapshots(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]), tpath)
+        ev = spark.createDataFrame([(1, "a", "new1"), (5, "e", "new5")],
+                                   "k bigint, val string, extra string")
+        V.write_versioned(ev, tpath)
+        rows = V.read_changes(spark, tpath, "k", 1, 2).collect()
+        by = {(r["_change_type"], r["k"]): r for r in rows}
+        # k=1: common columns (val) unchanged -> silent, despite the
+        # added/dropped columns (excluded from change detection)
+        assert ("update_preimage", 1) not in by
+        # k=2 deleted (payload from old side; 'extra' nulls out)
+        assert by[("delete", 2)]["extra"] is None
+        assert by[("delete", 2)]["n"] == 20
+        # k=5 inserted (payload from new side; dropped 'n' nulls out)
+        assert by[("insert", 5)]["extra"] == "new5"
+        assert by[("insert", 5)]["n"] is None
+
+    def test_bad_args(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        with pytest.raises(ValueError, match="two distinct"):
+            V.read_changes(spark, tpath, "k", 1)
+        V.write_versioned(_df(spark, [(1, "a", 11)]), tpath)
+        with pytest.raises(ValueError, match="missing"):
+            V.read_changes(spark, tpath, "nope", 1, 2)

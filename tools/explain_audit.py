@@ -410,6 +410,9 @@ EXPECTATIONS: dict[str, dict] = {
     # read-back agg + distinct = 2
     "rel_orc_roundtrip": dict(max_exchanges=2),
     "rel_xml_roundtrip": dict(max_exchanges=2),
+    # change feed: two snapshot-diff full-outer joins (one per span)
+    # + the final rollup; join-back sides broadcast at audit scale.
+    "rel_change_feed": dict(max_exchanges=7),
     # augmented Gram: ONE grouped-agg exchange + broadcast stitches
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank
