@@ -132,6 +132,9 @@ HEADLINE = [
     # the snapshot change feed (three commits + two diff joins)
     "rel_xml_roundtrip",
     "rel_change_feed",
+    # round 8 (cont.): contract-gated commit (validate + clean write +
+    # quarantine — the full governed-ingest write path per run)
+    "rel_validated_commit",
 ]
 
 

@@ -638,8 +638,9 @@ DRIVER_WINDOW: list[str] = [
     # val_datetime_fuzzy, ds_logistic_fit, ds_jpeg_progressive_gate,
     # val_map_mapper) plus the late-r8 additions (txt_html_strip,
     # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip,
-    # rel_change_feed) — that clears the ENTIRE registry (236/236
-    # officially checked) with 14 slots left for re-confirmation.
+    # rel_change_feed, rel_validated_commit) — that clears the
+    # ENTIRE registry (237/237 officially checked) with 13 slots left
+    # for re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -12287,3 +12288,75 @@ def rel_change_feed(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("cents").cast("long").alias("cents_sum"),
     )
+
+
+@register(
+    "rel_validated_commit",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+             END AS cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'XX'
+                  ELSE o_orderpriority END AS prio
+      FROM orders
+    ), cls AS (
+      SELECT k, cents,
+             (k % 11 = 0 OR k % 13 = 0) AS rej
+      FROM base
+    )
+    SELECT CAST(sum(CASE WHEN NOT rej THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_committed,
+           CAST(sum(CASE WHEN NOT rej THEN cents END) AS BIGINT)
+             AS cents_committed,
+           CAST(sum(CASE WHEN rej THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected,
+           CAST(sum(CASE WHEN rej THEN k END) AS BIGINT)
+             AS rejected_key_sum,
+           CAST(1 AS BIGINT) AS version
+    FROM cls
+    """,
+)
+def rel_validated_commit(spark, sf_dir):
+    """Contract-gated commit under the value hash
+    (sources.versioned.write_validated — the validation layer wired
+    into the table format): orders with PLANTED violations (NULL
+    cents on every 11th key — Required fails; a 2-char priority on
+    every 13th — MinLength fails) committed through the contract, so
+    exactly the clean rows must land in snapshot v1 and exactly the
+    violating rows — original values preserved — in the dead-letter
+    quarantine.  The gate reads BOTH sides back from disk and emits
+    their checksums; a commit that leaked a violation into the table,
+    dropped a clean row, double-counted the overlap key (divisible by
+    both 11 and 13), or quarantined transformed-instead-of-raw values
+    shifts a sum and fails the hash.  The circuit breaker
+    (reject rate > max_reject_rate refuses the whole commit) is
+    pytest-pinned — a refused commit has no snapshot to hash."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    planted = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("cents"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("XX"))
+        .otherwise(F.col("o_orderpriority")).alias("prio"))
+    schema = fs.ValidationSchema({
+        "cents": fs.Required(),
+        "prio": fs.MinLength(3),
+    })
+    base = tempfile.mkdtemp(prefix="fs_vcommit_")
+    path, dead = base + "/t", base + "/dead"
+    info = V.write_validated(planted, path, schema,
+                             max_reject_rate=0.5, dead_path=dead)
+    committed = V.read_version(spark, path).agg(
+        F.count(F.lit(1)).cast("long").alias("n_committed"),
+        F.sum("cents").cast("long").alias("cents_committed"))
+    quarantined = spark.read.parquet(dead).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rejected"),
+        F.sum("o_orderkey").cast("long").alias("rejected_key_sum"))
+    return committed.crossJoin(F.broadcast(quarantined)).select(
+        "*", F.lit(info["version"]).cast("long").alias("version"))

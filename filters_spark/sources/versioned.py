@@ -59,10 +59,15 @@ from pyspark.sql import types as T
 
 __all__ = [
     "ConcurrentWriteError",
+    "ContractViolation",
+    "write_validated",
     "write_versioned",
     "read_version",
     "merge_versioned",
     "read_changes",
+    "consume_changes",
+    "read_cursor",
+    "advance_cursor",
     "latest_version",
     "versions",
     "vacuum_versioned",
@@ -488,3 +493,157 @@ def read_changes(spark: SparkSession, path: str, key: str,
     return (joined.select(F.explode(change).alias("c"))
             .select(F.col("c._change_type").alias("_change_type"),
                     "c.p.*"))
+
+
+def read_cursor(cursor_path: str) -> int | None:
+    """Last version a :func:`consume_changes` consumer has fully
+    processed (None = never consumed)."""
+    try:
+        with open(cursor_path) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def advance_cursor(cursor_path: str, version: int) -> None:
+    """Atomically record ``version`` as fully processed.  Never moves
+    backwards (a stale writer cannot rewind a concurrent consumer's
+    progress)."""
+    cur = read_cursor(cursor_path)
+    if cur is not None and version < cur:
+        raise ValueError(
+            f"cursor {cursor_path!r} is at {cur}; refusing to rewind "
+            f"to {version}")
+    os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+    tmp = f"{cursor_path}.tmp.{version}"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, cursor_path)
+
+
+def consume_changes(spark: SparkSession, path: str, key: str,
+                    cursor_path: str, bootstrap: str = "snapshot"):
+    """Incremental CDC consumption — the micro-batch pull loop over
+    :func:`read_changes` (the pattern Structured Streaming's
+    replayable-source contract names: re-reading the same span is
+    always possible, so the consumer advances its cursor only AFTER
+    its own side effects land, and a crash between processing and
+    :func:`advance_cursor` replays the span — at-least-once, made
+    exactly-once by an idempotent downstream like
+    ``merge_versioned`` or the batch-id-guarded streaming sinks).
+
+    Returns ``(changes_df | None, to_version, ack)``: ``None`` when
+    the cursor is already at the table head (nothing to do), else the
+    change feed from the cursor to the current head, plus ``ack()`` —
+    call it after your processing commits to advance the cursor to
+    ``to_version``.
+
+    First consumption (no cursor file): ``bootstrap='snapshot'``
+    (default) returns the entire HEAD snapshot tagged ``'insert'`` —
+    the "give me current state, then deltas" contract a fresh
+    consumer needs; ``bootstrap='diff'`` baselines at the oldest
+    RETAINED snapshot instead (its contents are treated as already
+    consumed — the resubscribe-after-vacuum case).
+
+    Scale note: the span diff costs the same one full-outer join no
+    matter how many commits it covers — a consumer that falls behind
+    pays ONE diff over the net change, not one per missed version
+    (the advantage of diff-derived CDC over stored change files)."""
+    head = latest_version(path)
+    if head is None:
+        raise ValueError(f"versioned table {path!r} has no snapshots")
+    cur = read_cursor(cursor_path)
+    if cur is None:
+        if bootstrap == "snapshot":
+            snap = read_version(spark, path, head)
+            cols = [key] + sorted(set(snap.columns) - {key})
+            out = snap.select(
+                F.lit("insert").alias("_change_type"), *cols)
+            return out, head, lambda: advance_cursor(cursor_path, head)
+        if bootstrap != "diff":
+            raise ValueError(
+                f"consume_changes: bootstrap must be 'snapshot' or "
+                f"'diff', got {bootstrap!r}")
+        retained = [v for v in versions(path)
+                    if os.path.isdir(_snap_dir(path, v))]
+        cur = min(retained)
+    if cur >= head:
+        return None, head, lambda: None
+    changes = read_changes(spark, path, key, cur, head)
+    return changes, head, lambda: advance_cursor(cursor_path, head)
+
+
+class ContractViolation(RuntimeError):
+    """The input batch failed the table's data contract — nothing was
+    committed."""
+
+
+def write_validated(df: DataFrame, path: str, schema,
+                    max_reject_rate: float = 0.0,
+                    dead_path: str | None = None,
+                    expected_parent: int | None = None,
+                    stats_cols: list[str] | None = None) -> dict:
+    """Contract-gated commit — the validation layer wired into the
+    table format (Delta CHECK-constraint semantics, but with the full
+    Validator chain vocabulary): validate ``df`` against ``schema``
+    (any object with ``.validate(df)`` returning clean/rejected
+    frames, i.e. :class:`~filters_spark.schema.ValidationSchema`),
+    commit ONLY the clean rows as the next snapshot, quarantine
+    rejects to ``dead_path`` (original values + error payloads — the
+    replayable dead-letter contract), and REFUSE the whole commit
+    when the reject rate exceeds ``max_reject_rate`` — the circuit
+    breaker that keeps one poisoned upstream batch from becoming a
+    committed mostly-empty snapshot that downstream consumers (and
+    the change feed) then observe as a mass delete.
+
+    On refusal rejects are still written to ``dead_path`` (if given)
+    for diagnosis, the table head does NOT move, and
+    :class:`ContractViolation` carries the measured rate.
+
+    The contract outcome is recorded in the manifest
+    (``extra_meta["contract"]``), so table history doubles as a data-
+    quality audit log.
+
+    Cost shape: ONE counting aggregate over the validated frame
+    (count + reject-flag sum — no per-field rollup), then the clean
+    write and the (usually tiny) dead-letter write; the validation
+    itself is the usual single staged projection riding both scans.
+
+    Returns ``{"version", "n_input", "n_committed", "n_rejected",
+    "reject_rate"}``."""
+    res = schema.validate(df)
+    from ..schema import ERRORS_COL
+
+    counts = res.validated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.size(F.col(ERRORS_COL)) > 0).cast("long")).alias("bad"),
+    ).first()
+    n_input = counts["n"] or 0
+    n_rejected = int(counts["bad"] or 0)
+    rate = (n_rejected / n_input) if n_input else 0.0
+    if n_input and rate > max_reject_rate:
+        if dead_path is not None:
+            res.write_dead_letter(dead_path)
+        raise ContractViolation(
+            f"table {path!r}: reject rate {rate:.4f} exceeds the "
+            f"contract's {max_reject_rate:.4f} "
+            f"({n_rejected}/{n_input} rows) — commit refused"
+            + (f"; rejects quarantined to {dead_path!r}"
+               if dead_path is not None else ""))
+    version = write_versioned(
+        res.clean, path, expected_parent=expected_parent,
+        _op="validated_write", stats_cols=stats_cols,
+        extra_meta={"contract": {
+            "n_input": int(n_input),
+            "n_rejected": n_rejected,
+            "reject_rate": rate,
+            "max_reject_rate": max_reject_rate,
+        }})
+    if dead_path is not None:
+        # written even when zero rows reject: the quarantine location
+        # must always read back (as empty), or every downstream audit
+        # needs an existence branch — the tar-shard empty-corpus rule
+        res.write_dead_letter(dead_path)
+    return {"version": version, "n_input": int(n_input),
+            "n_committed": int(n_input) - n_rejected,
+            "n_rejected": n_rejected, "reject_rate": rate}

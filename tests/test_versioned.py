@@ -362,3 +362,125 @@ class TestChangeFeed:
         V.write_versioned(_df(spark, [(1, "a", 11)]), tpath)
         with pytest.raises(ValueError, match="missing"):
             V.read_changes(spark, tpath, "nope", 1, 2)
+
+
+class TestConsumeChanges:
+    """Cursor-based incremental CDC consumption: bootstrap, the
+    at-least-once ack contract, monotone cursors."""
+
+    def test_bootstrap_snapshot_then_deltas(self, spark, tpath, tmp_path):
+        cur = str(tmp_path / "cursor")
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]), tpath)
+        df, to, ack = V.consume_changes(spark, tpath, "k", cur)
+        rows = df.collect()
+        assert to == 1
+        assert {(r["_change_type"], r["k"]) for r in rows} == {
+            ("insert", 1), ("insert", 2)}
+        # cursor not advanced until ack: re-consume replays
+        df2, _, _ = V.consume_changes(spark, tpath, "k", cur)
+        assert df2.count() == 2
+        ack()
+        assert V.read_cursor(cur) == 1
+        # caught up: nothing to do
+        none_df, to2, _ = V.consume_changes(spark, tpath, "k", cur)
+        assert none_df is None and to2 == 1
+        # two more commits, one consumption: ONE net diff
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "B", 20)]), tpath)
+        V.write_versioned(_df(spark, [(2, "B", 20), (3, "c", 30)]), tpath)
+        df3, to3, ack3 = V.consume_changes(spark, tpath, "k", cur)
+        got = {(r["_change_type"], r["k"]) for r in df3.collect()}
+        # net 1->3: k=1 deleted, k=2 updated, k=3 inserted
+        assert got == {("delete", 1), ("update_preimage", 2),
+                       ("update_postimage", 2), ("insert", 3)}
+        ack3()
+        assert V.read_cursor(cur) == 3 == to3
+
+    def test_bootstrap_diff_baselines_at_oldest(self, spark, tpath,
+                                                tmp_path):
+        cur = str(tmp_path / "cursor")
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]), tpath)
+        df, to, ack = V.consume_changes(spark, tpath, "k", cur,
+                                        bootstrap="diff")
+        rows = df.collect()
+        assert to == 2
+        # v1's own contents are treated as consumed: only the v1->v2
+        # delta appears
+        assert {(r["_change_type"], r["k"]) for r in rows} == {
+            ("insert", 2)}
+        ack()
+        assert V.read_cursor(cur) == 2
+
+    def test_cursor_never_rewinds(self, spark, tmp_path):
+        cur = str(tmp_path / "cursor")
+        V.advance_cursor(cur, 5)
+        with pytest.raises(ValueError, match="refusing to rewind"):
+            V.advance_cursor(cur, 3)
+        V.advance_cursor(cur, 5)   # idempotent re-ack is fine
+        assert V.read_cursor(cur) == 5
+
+    def test_bad_bootstrap(self, spark, tpath, tmp_path):
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        with pytest.raises(ValueError, match="bootstrap"):
+            V.consume_changes(spark, tpath, "k",
+                              str(tmp_path / "c"), bootstrap="nope")
+
+
+class TestWriteValidated:
+    """Contract-gated commits: the circuit breaker, the no-move-on-
+    refusal invariant, and manifest audit metadata (the clean/reject
+    arithmetic is hash-gated by rel_validated_commit)."""
+
+    def _schema(self):
+        import filters_spark as fs
+        return fs.ValidationSchema({"val": fs.Required()})
+
+    def test_clean_commit_records_contract(self, spark, tpath, tmp_path):
+        info = V.write_validated(
+            _df(spark, [(1, "a", 10), (2, None, 20), (3, "c", 30)]),
+            tpath, self._schema(), max_reject_rate=0.5,
+            dead_path=str(tmp_path / "dead"))
+        assert info == {"version": 1, "n_input": 3, "n_committed": 2,
+                        "n_rejected": 1, "reject_rate": info["reject_rate"]}
+        assert abs(info["reject_rate"] - 1 / 3) < 1e-9
+        got = {r["k"] for r in V.read_version(spark, tpath).collect()}
+        assert got == {1, 3}
+        dead = spark.read.parquet(str(tmp_path / "dead")).collect()
+        assert len(dead) == 1 and dead[0]["k"] == 2
+        m = V._read_manifest(tpath, 1)
+        assert m["op"] == "validated_write"
+        assert m["contract"]["n_rejected"] == 1
+
+    def test_circuit_breaker_refuses_and_head_stays(self, spark, tpath,
+                                                    tmp_path):
+        V.write_validated(_df(spark, [(1, "a", 10)]), tpath,
+                          self._schema())
+        assert V.latest_version(tpath) == 1
+        bad = _df(spark, [(2, None, 20), (3, None, 30), (4, "d", 40)])
+        with pytest.raises(V.ContractViolation, match="0.6667"):
+            V.write_validated(bad, tpath, self._schema(),
+                              max_reject_rate=0.5,
+                              dead_path=str(tmp_path / "dead"))
+        # head unmoved, no snapshot committed, rejects quarantined
+        assert V.latest_version(tpath) == 1
+        assert V.versions(tpath) == [1]
+        assert spark.read.parquet(str(tmp_path / "dead")).count() == 2
+
+    def test_zero_tolerance_default(self, spark, tpath):
+        with pytest.raises(V.ContractViolation):
+            V.write_validated(_df(spark, [(1, None, 10)]), tpath,
+                              self._schema())
+        assert V.latest_version(tpath) is None
+
+    def test_rate_boundary_inclusive(self, spark, tpath):
+        # rate == max_reject_rate commits (strictly-greater refuses)
+        info = V.write_validated(
+            _df(spark, [(1, "a", 10), (2, None, 20)]), tpath,
+            self._schema(), max_reject_rate=0.5)
+        assert info["n_committed"] == 1
+        assert V.latest_version(tpath) == 1
+
+    def test_empty_input_commits_empty_snapshot(self, spark, tpath):
+        info = V.write_validated(_df(spark, []), tpath, self._schema())
+        assert info["n_input"] == 0 and info["version"] == 1
+        assert V.read_version(spark, tpath).count() == 0

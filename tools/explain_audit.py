@@ -413,6 +413,8 @@ EXPECTATIONS: dict[str, dict] = {
     # change feed: two snapshot-diff full-outer joins (one per span)
     # + the final rollup; join-back sides broadcast at audit scale.
     "rel_change_feed": dict(max_exchanges=7),
+    # validated commit: two read-back aggregates broadcast-stitched.
+    "rel_validated_commit": dict(max_exchanges=2),
     # augmented Gram: ONE grouped-agg exchange + broadcast stitches
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank
