@@ -133,8 +133,11 @@ HEADLINE = [
     "rel_xml_roundtrip",
     "rel_change_feed",
     # round 8 (cont.): contract-gated commit (validate + clean write +
-    # quarantine — the full governed-ingest write path per run)
+    # quarantine — the full governed-ingest write path per run) and
+    # the OPTIMIZE ZORDER maintenance pass (read + recluster + commit
+    # + pruned read + CDC-silence diff per run)
     "rel_validated_commit",
+    "rel_optimize_zorder",
 ]
 
 

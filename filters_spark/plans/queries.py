@@ -638,9 +638,9 @@ DRIVER_WINDOW: list[str] = [
     # val_datetime_fuzzy, ds_logistic_fit, ds_jpeg_progressive_gate,
     # val_map_mapper) plus the late-r8 additions (txt_html_strip,
     # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip,
-    # rel_change_feed, rel_validated_commit) — that clears the
-    # ENTIRE registry (237/237 officially checked) with 13 slots left
-    # for re-confirmation.
+    # rel_change_feed, rel_validated_commit, rel_optimize_zorder) —
+    # that clears the ENTIRE registry (238/238 officially checked)
+    # with 12 slots left for re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -12360,3 +12360,66 @@ def rel_validated_commit(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("rejected_key_sum"))
     return committed.crossJoin(F.broadcast(quarantined)).select(
         "*", F.lit(info["version"]).cast("long").alias("version"))
+
+
+@register(
+    "rel_optimize_zorder",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(0 AS BIGINT) AS n_changes
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND floor(o_totalprice * 100) BETWEEN 5000000 AND 15000000
+    """,
+)
+def rel_optimize_zorder(spark, sf_dir):
+    """Table-maintenance OPTIMIZE ZORDER under the value hash
+    (sources.versioned.optimize_versioned): orders committed
+    hash-SCATTERED (every file spans the full custkey/cents range —
+    nothing can prune), then optimized with a 2-column Z-order
+    re-cluster + manifest stats, and read back through ``where=``
+    file skipping on ONE dimension with the actual 2-D filter on top.
+    The gate asserts in-plan that the post-optimize prune is REAL
+    (the scattered pre-state would keep every file), that the change
+    feed across the optimize commit is EMPTY (layout maintenance must
+    be invisible to CDC consumers — n_changes rides the hash), and
+    the exact checksums prove the pruned read lost nothing.  The
+    oracle replays the plain filter."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey",
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("cents"))
+            .repartition(16))                       # scatter: no locality
+    path = tempfile.mkdtemp(prefix="fs_opt_") + "/t"
+    V.write_versioned(base, path, stats_cols=["o_custkey"])
+    v1m = V._read_manifest(path, 1)
+    pre = V.prune_files(v1m, ("o_custkey", 100, 200))
+    if v1m["n_files"] > 1 and pre is not None and len(pre) < v1m["n_files"]:
+        raise ValueError("rel_optimize_zorder: scattered layout "
+                         "unexpectedly prunable — planting failed")
+    v2 = V.optimize_versioned(spark, path,
+                              zorder=["o_custkey", "cents"], n_files=8)
+    v2m = V._read_manifest(path, v2)
+    post = V.prune_files(v2m, ("o_custkey", 100, 200))
+    if v2m["n_files"] > 1 and (
+            post is None or not 0 < len(post) < v2m["n_files"]):
+        raise ValueError(
+            f"rel_optimize_zorder: expected a real post-optimize prune, "
+            f"got {post and len(post)}/{v2m['n_files']} files")
+    filtered = (
+        V.read_version(spark, path, where=("o_custkey", 100, 200))
+        .where(F.col("o_custkey").between(100, 200)
+               & F.col("cents").between(5_000_000, 15_000_000))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+             F.sum("cents").cast("bigint").alias("cents_sum")))
+    changes = (V.read_changes(spark, path, "o_orderkey", 1, v2)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_changes")))
+    return filtered.crossJoin(F.broadcast(changes))

@@ -62,6 +62,7 @@ __all__ = [
     "ContractViolation",
     "write_validated",
     "write_versioned",
+    "optimize_versioned",
     "read_version",
     "merge_versioned",
     "read_changes",
@@ -647,3 +648,48 @@ def write_validated(df: DataFrame, path: str, schema,
     return {"version": version, "n_input": int(n_input),
             "n_committed": int(n_input) - n_rejected,
             "n_rejected": n_rejected, "reject_rate": rate}
+
+
+def optimize_versioned(spark: SparkSession, path: str,
+                       zorder: list[str] | None = None,
+                       n_files: int = 32, bits: int = 8,
+                       stats_cols: list[str] | None = None) -> int:
+    """Table-maintenance OPTIMIZE (Delta OPTIMIZE [ZORDER BY]'s job):
+    rewrite the HEAD snapshot's files — plain small-file compaction
+    into ``n_files`` (round-robin), or with ``zorder`` a multi-column
+    Z-order re-cluster (range-partition the Morton key + sort within
+    files, `functions.layout.zorder_key`) so every file's min/max is
+    tight on EVERY keyed column — committed as the next snapshot with
+    ``op='optimize'`` and manifest stats recorded for the clustered
+    columns (``stats_cols`` defaults to ``zorder``), which is what
+    arms :func:`read_version`'s ``where=`` file skipping.
+
+    DATA-PRESERVING by contract: the commit goes through the same CAS
+    head transition as any write (a concurrent writer wins, the
+    optimize loses — maintenance never clobbers data), old snapshots
+    stay readable until vacuum, and :func:`read_changes` across the
+    optimize commit is EMPTY — the change feed is layout-blind, so
+    downstream CDC consumers see nothing (pytest-pinned; the skipping
+    effectiveness is hash-gated by ``rel_optimize_zorder``).
+
+    Cost: one full read + one shuffle (the range partition) + one
+    write — the standard maintenance pass; run it on cadence or when
+    small-file counts degrade scan parallelism."""
+    head = latest_version(path)
+    if head is None:
+        raise ValueError(f"versioned table {path!r} has no snapshots")
+    df = read_version(spark, path, head)
+    if zorder:
+        from ..functions.layout import zorder_key
+
+        key, stats = zorder_key(df, zorder, bits)
+        out = (df.crossJoin(F.broadcast(stats)).withColumn("_zkey", key)
+               .repartitionByRange(n_files, "_zkey")
+               .sortWithinPartitions("_zkey")
+               .drop("_zkey", *[f"_{p}_{c}" for p in ("lo", "hi")
+                                for c in zorder]))
+        stats_cols = stats_cols if stats_cols is not None else list(zorder)
+    else:
+        out = df.repartition(n_files)
+    return write_versioned(out, path, expected_parent=head,
+                           _op="optimize", stats_cols=stats_cols)

@@ -484,3 +484,51 @@ class TestWriteValidated:
         info = V.write_validated(_df(spark, []), tpath, self._schema())
         assert info["n_input"] == 0 and info["version"] == 1
         assert V.read_version(spark, tpath).count() == 0
+
+
+class TestOptimize:
+    """optimize_versioned: data preservation (empty change feed),
+    CAS loss to concurrent writers, stats arming (skipping
+    effectiveness is hash-gated by rel_optimize_zorder)."""
+
+    def test_optimize_preserves_data_and_cdc_silence(self, spark, tpath):
+        rows = [(i, f"v{i}", i * 10) for i in range(40)]
+        V.write_versioned(_df(spark, rows).repartition(8), tpath)
+        v2 = V.optimize_versioned(spark, tpath, zorder=["k", "n"],
+                                  n_files=2)
+        assert v2 == 2
+        assert V._read_manifest(tpath, 2)["op"] == "optimize"
+        got = {(r["k"], r["val"], r["n"])
+               for r in V.read_version(spark, tpath).collect()}
+        assert got == set(rows)
+        # layout maintenance is invisible to CDC consumers
+        assert V.read_changes(spark, tpath, "k", 1, 2).count() == 0
+        # stats recorded for the zorder columns -> skipping armed
+        m = V._read_manifest(tpath, 2)
+        assert all("k" in st and st["k"] is not None
+                   for st in m["file_stats"].values())
+
+    def test_plain_compaction(self, spark, tpath):
+        V.write_versioned(_df(spark, [(i, "x", i) for i in range(20)])
+                          .repartition(10), tpath)
+        # empty partitions write no file — expect "many", not exactly 10
+        assert V._read_manifest(tpath, 1)["n_files"] >= 5
+        V.optimize_versioned(spark, tpath, n_files=2)
+        assert V._read_manifest(tpath, 2)["n_files"] <= 2
+        assert V.read_version(spark, tpath).count() == 20
+
+    def test_optimize_loses_cas_race(self, spark, tpath):
+        # optimize commits with expected_parent = the head it read;
+        # replay its commit step after a concurrent writer landed —
+        # the maintenance pass must lose, never clobber data
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        df = V.read_version(spark, tpath)
+        head = V.latest_version(tpath)
+        V.write_versioned(_df(spark, [(2, "b", 20)]), tpath)
+        with pytest.raises(V.ConcurrentWriteError):
+            V.write_versioned(df, tpath, expected_parent=head,
+                              _op="optimize")
+
+    def test_optimize_empty_table_raises(self, spark, tpath):
+        with pytest.raises(ValueError, match="no snapshots"):
+            V.optimize_versioned(spark, tpath)

@@ -415,6 +415,8 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_change_feed": dict(max_exchanges=7),
     # validated commit: two read-back aggregates broadcast-stitched.
     "rel_validated_commit": dict(max_exchanges=2),
+    # optimize zorder: pruned-read agg + empty change-feed diff join.
+    "rel_optimize_zorder": dict(max_exchanges=6),
     # augmented Gram: ONE grouped-agg exchange + broadcast stitches
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank
