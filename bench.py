@@ -138,6 +138,9 @@ HEADLINE = [
     # + pruned read + CDC-silence diff per run)
     "rel_validated_commit",
     "rel_optimize_zorder",
+    # round 8 (cont.): hashed-feature trained screen (token explode +
+    # one doc-keyed shuffle — the integer inference hot path)
+    "ds_fasttext_quality",
 ]
 
 

@@ -31,6 +31,8 @@ __all__ = [
     "classifier_features",
     "quality_logit",
     "train_quality_classifier",
+    "train_hashed_quality_classifier",
+    "hashed_quality_logit_micro",
     "QUALITY_FEATURE_DIM",
     "QUALITY_SEED",
     "gopher_flags",
@@ -254,6 +256,71 @@ def train_quality_classifier(spark, reg: float = 0.1, iters: int = 8,
     return projection.logistic_fit(feats, vec_col="x", label_col="label",
                                    dim=QUALITY_FEATURE_DIM, reg=reg,
                                    iters=iters, engine=engine)
+
+
+def train_hashed_quality_classifier(spark, dim: int = 32,
+                                    reg: float = 0.5, iters: int = 8,
+                                    seed: list[tuple[str, int]] | None = None,
+                                    engine: str = "arrow") -> dict:
+    """The fastText-shape twin of :func:`train_quality_classifier`:
+    fit the logistic head on HASHED token features
+    (:func:`hashing_vectors_dense` — no vocabulary, no feature
+    engineering) instead of the 4 interpretable ratios.  Same
+    determinism contract (literal seed, exact Gram, fixed
+    iterations), so the coefficients bake as micro-unit INTEGER plan
+    literals (see :func:`hashed_quality_logit_micro`).  Returns
+    logistic_fit's dict plus ``weights_micro``/``bias_micro``
+    (round(x·1e6))."""
+    from . import projection
+
+    rows = seed if seed is not None else QUALITY_SEED
+    df = spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(rows)],
+        "sid long, text string, label int")
+    dense = hashing_vectors_dense(df, "sid", "text", dim=dim,
+                                  out_col="x")
+    feats = dense.join(df.select("sid", "label"), "sid")
+    fit = projection.logistic_fit(feats, vec_col="x", label_col="label",
+                                  dim=dim, reg=reg, iters=iters,
+                                  engine=engine)
+    fit["weights_micro"] = [round(w * 1e6) for w in fit["weights"]]
+    fit["bias_micro"] = round(fit["intercept"] * 1e6)
+    return fit
+
+
+def hashed_quality_logit_micro(df: DataFrame, weights_micro: list[int],
+                               bias_micro: int, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               sep: str = " ") -> DataFrame:
+    """Score documents with a trained hashed-feature head, INTEGER-
+    EXACT: logit_micro = Σ_tokens sign(t)·w_micro[bucket(t)] +
+    bias_micro — algebraically identical to the bucket-vector dot
+    product (Σ_b w_b·Σ_{t∈b} s_t distributes over the integer sum)
+    but computed token-level so the WHOLE gate path is BIGINT: no
+    float accumulation order exists for engines to disagree on (the
+    txt_hashing_features discipline extended through inference).
+    Keep decision: logit_micro >= 0 ⇔ sigmoid >= 0.5.
+
+    Returns (id_col, logit_micro long).  Docs with zero tokens are
+    ABSENT (left-join against the corpus and coalesce to bias_micro
+    if they matter).  Scale shape: ONE shuffle keyed by id with
+    map-side combine; the weight table rides the plan as a
+    ``dim``-element literal array."""
+    dim = len(weights_micro)
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights_micro])
+    t = (df.select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col), sep)).alias("_t"))
+         .where(F.col("_t") != ""))
+    h = F.md5(F.col("_t"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % dim).cast("int")
+    sign = F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2
+                  == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    contrib = sign * F.element_at(warr, bucket + 1)
+    return (t.select(F.col(id_col), contrib.alias("_c"))
+            .groupBy(id_col)
+            .agg((F.sum("_c") + F.lit(int(bias_micro)))
+                 .cast("long").alias("logit_micro")))
 
 
 # Gopher's "has at least 2 of these" stopword requirement (Rae et

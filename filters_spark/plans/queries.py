@@ -638,9 +638,9 @@ DRIVER_WINDOW: list[str] = [
     # val_datetime_fuzzy, ds_logistic_fit, ds_jpeg_progressive_gate,
     # val_map_mapper) plus the late-r8 additions (txt_html_strip,
     # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip,
-    # rel_change_feed, rel_validated_commit, rel_optimize_zorder) —
-    # that clears the ENTIRE registry (238/238 officially checked)
-    # with 12 slots left for re-confirmation.
+    # rel_change_feed, rel_validated_commit, rel_optimize_zorder,
+    # ds_fasttext_quality) — that clears the ENTIRE registry (239/239
+    # officially checked) with 11 slots left for re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -12423,3 +12423,73 @@ def rel_optimize_zorder(spark, sf_dir):
     changes = (V.read_changes(spark, path, "o_orderkey", 1, v2)
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_changes")))
     return filtered.crossJoin(F.broadcast(changes))
+
+
+# fastText-shape hashed-feature quality head (the vocabulary-free
+# learned screen): trained by text.train_hashed_quality_classifier on
+# QUALITY_SEED (hashing_vectors_dense dim=32 -> logistic_fit, reg=0.5,
+# 8 iters), coefficients baked as MICRO-UNIT INTEGERS so the entire
+# inference path is BIGINT — no float accumulation order exists for
+# engines to disagree on.  Bake pinned by
+# tests/test_projection.py::TestHashedQualityClassifier.
+_FTQ_W_MICRO = [
+    139937, 116944, 170024, 175825, -155847, -37261, 76881, 41833,
+    159515, 77255, 486331, 210840, -362737, -1344408, 223304, -53887,
+    535393, 260610, 45636, 90116, 165455, -142427, 146971, -823910,
+    40388, 653501, 85192, 174499, 387739, 166019, -79159, -112897,
+]
+_FTQ_B_MICRO = -3092191
+
+
+def _ftq_sql() -> str:
+    arr = "[" + ", ".join(str(w) for w in _FTQ_W_MICRO) + "]"
+    return f"""
+    WITH t AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT source, doc_id, md5(tok) AS h FROM t WHERE tok != ''
+    ), c AS (
+      SELECT source, doc_id,
+             (CASE WHEN CAST(concat('0x', substr(h, 9, 1)) AS BIGINT) % 2
+                        = 0 THEN 1 ELSE -1 END)
+             * ({arr})[CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT)
+                            % 32 AS INT) + 1] AS contrib
+      FROM h
+    ), per AS (
+      SELECT source, doc_id,
+             CAST(sum(contrib) AS BIGINT) + {_FTQ_B_MICRO} AS lm
+      FROM c GROUP BY source, doc_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lm >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(lm) AS BIGINT) AS logit_sum
+    FROM per GROUP BY source
+    """
+
+
+@register("ds_fasttext_quality", oracle=_ftq_sql())
+def ds_fasttext_quality(spark, sf_dir):
+    """Hashed-feature (fastText-shape) trained quality screen under
+    the value hash: every token's md5 bucket selects a baked micro-
+    unit integer weight, signed by the hashing trick's parity bit,
+    summed per document — logit_micro is exact BIGINT end to end
+    (the txt_hashing_features integer discipline extended through
+    trained-model INFERENCE), so the per-source keep counts and logit
+    sums admit no cross-engine float drift at any corpus size.
+    Complements ds_quality_classifier (4 interpretable features,
+    rounded-double logit): same training machinery, opposite feature
+    philosophy — no vocabulary, no feature engineering, 32 hashed
+    buckets.  Scale shape: one token explode + ONE map-side-combined
+    shuffle keyed by doc, then the per-source rollup."""
+    d = _t(spark, sf_dir, "documents")
+    scored = text.hashed_quality_logit_micro(
+        d, _FTQ_W_MICRO, _FTQ_B_MICRO)
+    src = d.select("doc_id", "source")
+    return (scored.join(src, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("logit_micro") >= 0, 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.sum("logit_micro").cast("long").alias("logit_sum")))

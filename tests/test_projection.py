@@ -578,3 +578,55 @@ class TestQualityClassifier:
 
         with pytest.raises(ValueError, match="expected 4 weights"):
             T.quality_logit(F.lit("x"), [1.0, 2.0], 0.0)
+
+
+class TestHashedQualityClassifier:
+    """Pin the hashed-feature (fastText-shape) head's baked micro
+    coefficients (queries._FTQ_W_MICRO/_FTQ_B_MICRO) to a live refit,
+    and the integer-exact scoring contract."""
+
+    def test_bake_matches_refit(self, spark):
+        from filters_spark.functions import text as T
+        from filters_spark.plans.queries import _FTQ_B_MICRO, _FTQ_W_MICRO
+
+        fit = T.train_hashed_quality_classifier(spark)
+        assert fit["iters"] == 8
+        assert fit["weights_micro"] == _FTQ_W_MICRO
+        assert fit["bias_micro"] == _FTQ_B_MICRO
+
+    def test_seed_separated_with_micro_margin(self, spark):
+        from filters_spark.functions import text as T
+        from filters_spark.plans.queries import _FTQ_B_MICRO, _FTQ_W_MICRO
+
+        df = spark.createDataFrame(
+            [(i, t, y) for i, (t, y) in enumerate(T.QUALITY_SEED)],
+            "sid long, text string, label int")
+        sc = T.hashed_quality_logit_micro(
+            df, _FTQ_W_MICRO, _FTQ_B_MICRO, id_col="sid",
+            text_col="text")
+        rows = sc.join(df.select("sid", "label"), "sid").collect()
+        assert len(rows) == len(T.QUALITY_SEED)
+        assert all((r["logit_micro"] >= 0) == (r["label"] == 1)
+                   for r in rows)
+        # micro-rounding of the bake (≤ dim+1 half-units ≈ 17) is 5
+        # orders under the decision margin
+        assert min(abs(r["logit_micro"]) for r in rows) > 1_000_000
+
+    def test_token_level_equals_vector_dot(self, spark):
+        # Σ_t s_t·w[b(t)] must equal the dense-vector integer dot —
+        # the algebraic identity the docstring claims
+        from filters_spark.functions import text as T
+        from filters_spark.plans.queries import _FTQ_B_MICRO, _FTQ_W_MICRO
+
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(T.QUALITY_SEED)],
+            "sid long, text string")
+        tok = {r["sid"]: r["logit_micro"]
+               for r in T.hashed_quality_logit_micro(
+                   df, _FTQ_W_MICRO, _FTQ_B_MICRO, id_col="sid",
+                   text_col="text").collect()}
+        dense = T.hashing_vectors_dense(df, "sid", "text", dim=32,
+                                        out_col="v").collect()
+        for r in dense:
+            dot = sum(int(c) * w for c, w in zip(r["v"], _FTQ_W_MICRO))
+            assert tok[r["sid"]] == dot + _FTQ_B_MICRO

@@ -417,6 +417,9 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_validated_commit": dict(max_exchanges=2),
     # optimize zorder: pruned-read agg + empty change-feed diff join.
     "rel_optimize_zorder": dict(max_exchanges=6),
+    # hashed classifier: token shuffle keyed by doc + source join +
+    # per-source rollup (join broadcasts at audit scale).
+    "ds_fasttext_quality": dict(max_exchanges=4),
     # augmented Gram: ONE grouped-agg exchange + broadcast stitches
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank
