@@ -139,8 +139,11 @@ HEADLINE = [
     "rel_validated_commit",
     "rel_optimize_zorder",
     # round 8 (cont.): hashed-feature trained screen (token explode +
-    # one doc-keyed shuffle — the integer inference hot path)
+    # one doc-keyed shuffle — the integer inference hot path) and the
+    # governed-ingest capstone (XML -> contract commit -> optimize ->
+    # score, the full write-side story per run)
     "ds_fasttext_quality",
+    "ds_corpus_pipeline_v8",
 ]
 
 

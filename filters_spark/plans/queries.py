@@ -639,8 +639,9 @@ DRIVER_WINDOW: list[str] = [
     # val_map_mapper) plus the late-r8 additions (txt_html_strip,
     # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip,
     # rel_change_feed, rel_validated_commit, rel_optimize_zorder,
-    # ds_fasttext_quality) — that clears the ENTIRE registry (239/239
-    # officially checked) with 11 slots left for re-confirmation.
+    # ds_fasttext_quality, ds_corpus_pipeline_v8) — that clears the
+    # ENTIRE registry (240/240 officially checked) with 10 slots left
+    # for re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -12493,3 +12494,86 @@ def ds_fasttext_quality(spark, sf_dir):
                  F.sum(F.when(F.col("logit_micro") >= 0, 1).otherwise(0))
                  .cast("long").alias("n_kept"),
                  F.sum("logit_micro").cast("long").alias("logit_sum")))
+
+
+@register(
+    "ds_corpus_pipeline_v8",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE text END AS text
+      FROM documents
+    ), split AS (
+      SELECT *, (doc_id % 17 = 0) AS rej FROM planted
+    ), scored AS (
+      SELECT source, {_qcls_logit_sql("text")} AS logit
+      FROM split WHERE NOT rej
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(logit), 3) AS sum_logit,
+           (SELECT CAST(count(*) AS BIGINT) FROM split WHERE rej)
+             AS n_quarantined,
+           CAST(0 AS BIGINT) AS n_changes
+    FROM scored GROUP BY source
+    """,
+)
+def ds_corpus_pipeline_v8(spark, sf_dir):
+    """Round-8 GOVERNED-INGEST capstone — this round's operators
+    composed end to end: XML ingestion -> contract-gated versioned
+    commit -> OPTIMIZE ZORDER -> trained-classifier scoring, with the
+    change feed certifying the maintenance step.  Documents (with a
+    planted 2-char text on every 17th id) are written as REAL XML and
+    read back (stage 1 — escaping/trim bugs would corrupt every
+    downstream number), committed through write_validated with a
+    MinLength(3) contract (stage 2 — the planted rows must quarantine
+    to the dead letter, everything else must commit), the table is
+    Z-order-optimized (stage 3 — read_changes across the optimize
+    commit rides the hash as n_changes, which must be 0), and the
+    final snapshot is scored with the baked quality head and rolled
+    up per source (stage 4).  The oracle replays the whole chain from
+    arithmetic on the raw corpus: a leaked violation, a dropped clean
+    row, an XML mangling, a data-mutating optimize, or a drifted
+    classifier each shifts n_docs/n_kept/sum_logit/n_quarantined/
+    n_changes and fails the hash."""
+    import tempfile
+
+    from ..sources import readers
+    from ..sources import versioned as V
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 17 == 0, F.lit("xx"))
+        .otherwise(F.col("text")).alias("text"))
+    base = tempfile.mkdtemp(prefix="fs_v8_")
+    xml_path, tbl, dead = (base + "/xml", base + "/t", base + "/dead")
+    readers.write_xml(d, xml_path, row_tag="doc", root_tag="corpus")
+    import pyspark.sql.types as T
+    sch = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    ingested = readers.read_xml(spark, xml_path, "doc", sch)
+    schema = fs.ValidationSchema({"text": fs.MinLength(3)})
+    V.write_validated(ingested, tbl, schema, max_reject_rate=0.5,
+                      dead_path=dead)
+    v2 = V.optimize_versioned(spark, tbl, zorder=["doc_id"], n_files=4)
+    final = V.read_version(spark, tbl)
+    scored = final.select(
+        "source",
+        F.round(text.quality_logit(F.col("text"), _QCLS_W, _QCLS_B), 5)
+        .alias("logit"))
+    quarantined = spark.read.parquet(dead).agg(
+        F.count(F.lit(1)).cast("long").alias("n_quarantined"))
+    changes = (V.read_changes(spark, tbl, "doc_id", 1, v2)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_changes")))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("logit") >= 0, 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.round(F.sum("logit"), 3).alias("sum_logit"))
+            .crossJoin(F.broadcast(quarantined))
+            .crossJoin(F.broadcast(changes)))

@@ -420,6 +420,10 @@ EXPECTATIONS: dict[str, dict] = {
     # hashed classifier: token shuffle keyed by doc + source join +
     # per-source rollup (join broadcasts at audit scale).
     "ds_fasttext_quality": dict(max_exchanges=4),
+    # v8 governed ingest: validated-commit agg inside the gate runs
+    # eagerly; the returned plan is the scored rollup + two broadcast
+    # stitches + the change-feed diff join.
+    "ds_corpus_pipeline_v8": dict(max_exchanges=8),
     # augmented Gram: ONE grouped-agg exchange + broadcast stitches
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank
