@@ -1,4 +1,5 @@
 from .validate import (  # noqa: F401
+    contract_merge_sink,
     dead_letter_writer,
     dedup_stream,
     error_rate_by_window,

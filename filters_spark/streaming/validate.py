@@ -43,6 +43,7 @@ __all__ = [
     "interval_join_streams",
     "incremental_dedup_sink",
     "versioned_merge_sink",
+    "contract_merge_sink",
 ]
 
 
@@ -508,5 +509,72 @@ def versioned_merge_sink(table_path: str, key: str,
         else:
             V.merge_versioned(spark, table_path, batch_df, key,
                               extra_meta=meta)
+
+    return write
+
+
+def contract_merge_sink(table_path: str, key: str, schema,
+                        dead_path: str,
+                        max_reject_rate: float = 0.0,
+                        on_violation: str = "fail",
+                        sink_id: str | None = None):
+    """foreachBatch function composing the GOVERNED streaming ingest:
+    validate each micro-batch against ``schema`` (a
+    :class:`~filters_spark.schema.ValidationSchema`), quarantine
+    rejected rows — ORIGINAL values — to ``dead_path``, and merge
+    only the clean rows into the versioned table through
+    :func:`versioned_merge_sink`'s exactly-once machinery (replayed
+    batches are skipped by manifest-recorded (query, batch) identity,
+    so the at-least-once foreachBatch contract still lands each batch
+    once).
+
+    ``max_reject_rate`` is the per-batch circuit breaker
+    (:func:`~filters_spark.sources.versioned.write_validated`'s
+    contract, applied per micro-batch): a batch rejecting more than
+    the tolerance is POISON.  ``on_violation='fail'`` (default)
+    raises — the stream stops and alerting fires; nothing from the
+    batch is merged, rejects ARE quarantined first for diagnosis, and
+    because nothing was committed, the restart replays the batch
+    (fix the contract or the upstream, then resume).
+    ``on_violation='skip'`` quarantines the ENTIRE batch (clean rows
+    too — a mostly-poison batch is evidence, and skipping only its
+    valid half would silently bias the table) and commits nothing,
+    but lets the stream continue; the batch is NOT marked consumed in
+    the manifest, so the skip is an operator decision recorded only
+    in the dead letter.
+
+    Exactly-once note: the dead-letter write is at-least-once (a
+    crash between quarantine and merge replays both) — dead letters
+    carry the raw rows for replay/audit, where duplicates are benign;
+    the TABLE side stays exactly-once via the manifest guard."""
+    if on_violation not in ("fail", "skip"):
+        raise ValueError("contract_merge_sink: on_violation must be "
+                         f"'fail' or 'skip', got {on_violation!r}")
+    merge = versioned_merge_sink(table_path, key, sink_id=sink_id)
+    from ..sources.versioned import ContractViolation
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        res = schema.validate(batch_df)
+        counts = res.validated.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.size(F.col(ERRORS_COL)) > 0).cast("long"))
+            .alias("bad")).first()
+        n, bad = counts["n"] or 0, int(counts["bad"] or 0)
+        rate = (bad / n) if n else 0.0
+        if n and rate > max_reject_rate:
+            res.write_dead_letter(dead_path)
+            if on_violation == "fail":
+                raise ContractViolation(
+                    f"stream batch {batch_id}: reject rate {rate:.4f} "
+                    f"exceeds {max_reject_rate:.4f} ({bad}/{n}) — batch "
+                    f"refused; rejects quarantined to {dead_path!r}")
+            # 'skip': quarantine the clean half too, commit nothing
+            res.clean.withColumn(ERRORS_COL, F.array().cast(
+                "array<struct<field:string,code:string,filter:string>>")) \
+                .write.format("parquet").mode("append").save(dead_path)
+            return
+        if bad:
+            res.write_dead_letter(dead_path)
+        merge(res.clean, batch_id)
 
     return write

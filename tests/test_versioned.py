@@ -532,3 +532,77 @@ class TestOptimize:
     def test_optimize_empty_table_raises(self, spark, tpath):
         with pytest.raises(ValueError, match="no snapshots"):
             V.optimize_versioned(spark, tpath)
+
+
+class TestContractMergeSink:
+    """contract_merge_sink: governed streaming ingest — per-batch
+    validation + quarantine + circuit breaker composed onto the
+    exactly-once merge."""
+
+    def _schema(self):
+        import filters_spark as fs
+        return fs.ValidationSchema({"val": fs.Required()})
+
+    def test_clean_and_partial_batches(self, spark, tpath, tmp_path):
+        from filters_spark.streaming.validate import contract_merge_sink
+
+        dead = str(tmp_path / "dead")
+        sink = contract_merge_sink(tpath, "k", self._schema(), dead,
+                                   max_reject_rate=0.5, sink_id="cms")
+        sink(_df(spark, [(1, "a", 10), (2, "b", 20)]), 0)
+        # batch 1: one violation (under tolerance) -> clean merged,
+        # reject quarantined
+        sink(_df(spark, [(3, None, 30), (4, "d", 40)]), 1)
+        got = {r["k"] for r in V.read_version(spark, tpath).collect()}
+        assert got == {1, 2, 4}
+        dl = spark.read.parquet(dead).collect()
+        assert {r["k"] for r in dl} == {3}
+        # replay of batch 1 is skipped table-side (exactly-once)
+        head = V.latest_version(tpath)
+        sink(_df(spark, [(3, None, 30), (4, "d", 40)]), 1)
+        assert V.latest_version(tpath) == head
+
+    def test_poison_batch_fail(self, spark, tpath, tmp_path):
+        from filters_spark.sources.versioned import ContractViolation
+        from filters_spark.streaming.validate import contract_merge_sink
+
+        dead = str(tmp_path / "dead")
+        sink = contract_merge_sink(tpath, "k", self._schema(), dead,
+                                   max_reject_rate=0.5, sink_id="cms2")
+        sink(_df(spark, [(1, "a", 10)]), 0)
+        poison = _df(spark, [(2, None, 20), (3, None, 30), (4, "d", 40)])
+        with pytest.raises(ContractViolation, match="batch 1"):
+            sink(poison, 1)
+        # nothing merged; rejects quarantined for diagnosis
+        assert {r["k"] for r in
+                V.read_version(spark, tpath).collect()} == {1}
+        assert {r["k"] for r in
+                spark.read.parquet(dead).collect()} == {2, 3}
+
+    def test_poison_batch_skip_quarantines_all(self, spark, tpath,
+                                               tmp_path):
+        from filters_spark.streaming.validate import contract_merge_sink
+
+        dead = str(tmp_path / "dead")
+        sink = contract_merge_sink(tpath, "k", self._schema(), dead,
+                                   max_reject_rate=0.5,
+                                   on_violation="skip", sink_id="cms3")
+        sink(_df(spark, [(1, "a", 10)]), 0)
+        sink(_df(spark, [(2, None, 20), (3, None, 30), (4, "d", 40)]), 1)
+        # stream continues; the WHOLE batch (clean row included) is in
+        # the dead letter, nothing merged
+        assert {r["k"] for r in
+                V.read_version(spark, tpath).collect()} == {1}
+        assert {r["k"] for r in
+                spark.read.parquet(dead).collect()} == {2, 3, 4}
+        # the next good batch still lands
+        sink(_df(spark, [(5, "e", 50)]), 2)
+        assert {r["k"] for r in
+                V.read_version(spark, tpath).collect()} == {1, 5}
+
+    def test_bad_on_violation(self, spark, tpath, tmp_path):
+        from filters_spark.streaming.validate import contract_merge_sink
+
+        with pytest.raises(ValueError, match="on_violation"):
+            contract_merge_sink(tpath, "k", self._schema(),
+                                str(tmp_path / "d"), on_violation="x")
