@@ -144,6 +144,10 @@ HEADLINE = [
     # score, the full write-side story per run)
     "ds_fasttext_quality",
     "ds_corpus_pipeline_v8",
+    # round 8 (cont.): continuous aggregate maintenance (bootstrap +
+    # one net incremental over three source commits per run, plus the
+    # in-gate incremental==full symmetric-difference check)
+    "rel_continuous_rollup",
 ]
 
 

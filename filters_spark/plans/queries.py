@@ -639,9 +639,10 @@ DRIVER_WINDOW: list[str] = [
     # val_map_mapper) plus the late-r8 additions (txt_html_strip,
     # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip,
     # rel_change_feed, rel_validated_commit, rel_optimize_zorder,
-    # ds_fasttext_quality, ds_corpus_pipeline_v8) — that clears the
-    # ENTIRE registry (240/240 officially checked) with 10 slots left
-    # for re-confirmation.
+    # ds_fasttext_quality, ds_corpus_pipeline_v8,
+    # rel_continuous_rollup) — that clears the ENTIRE registry
+    # (241/241 officially checked) with 9 slots left for
+    # re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -12577,3 +12578,92 @@ def ds_corpus_pipeline_v8(spark, sf_dir):
                  F.round(F.sum("logit"), 3).alias("sum_logit"))
             .crossJoin(F.broadcast(quarantined))
             .crossJoin(F.broadcast(changes)))
+
+
+@register(
+    "rel_continuous_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderdate AS d,
+             o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), v2 AS (
+      SELECT k, d, prio,
+             CASE WHEN k % 10 = 0 THEN cents + 100 ELSE cents END AS cents
+      FROM base
+      UNION ALL
+      SELECT k + 10000000 AS k, d, prio, 12345 AS cents
+      FROM base WHERE k % 97 = 0
+    ), v3 AS (
+      SELECT * FROM v2 WHERE k % 13 <> 0
+    )
+    SELECT CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR)
+             AS bucket_month,
+           prio, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM v3 GROUP BY 1, 2
+    """,
+)
+def rel_continuous_rollup(spark, sf_dir):
+    """Continuous aggregate / hypertable rollup under the value hash
+    (timeseries.maintain_continuous_rollup): orders committed as a
+    versioned source (v1), the rollup BOOTSTRAPPED from its change
+    feed, then a CDC merge (price bumps + inserts, v2) AND a
+    delete-commit (v3) land on the source, and ONE incremental
+    maintenance call consumes the net 1→3 diff — recomputing only the
+    dirty (month, priority) buckets and tombstoning emptied ones.
+    The gate emits the final rollup rows PLUS n_mismatch, the row
+    count of the symmetric difference between the incrementally-
+    maintained table and a from-scratch recompute of the final
+    snapshot — hash-green requires it to be exactly 0, so a stale
+    bucket, a missed tombstone, a delta-drifted sum, or an unconsumed
+    change class cannot pass.  The oracle replays the final state's
+    full GROUP BY from arithmetic."""
+    import tempfile
+
+    from ..functions.timeseries import maintain_continuous_rollup
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    root = tempfile.mkdtemp(prefix="fs_roll_")
+    src, dst, cur = root + "/src", root + "/roll", root + "/cursor"
+    V.write_versioned(base, src)                                  # v1
+    maintain_continuous_rollup(
+        spark, src, dst, "o_orderkey", "o_orderdate", "month",
+        [("sum", "cents", "cents_sum")], cur, group_cols=("prio",))
+    updates = (
+        base.where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderdate", "prio",
+                (F.col("cents") + 100).alias("cents"))
+        .unionByName(
+            base.where(F.col("o_orderkey") % 97 == 0)
+            .select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                    "o_orderdate", "prio",
+                    F.lit(12345).cast("bigint").alias("cents")))
+    )
+    V.merge_versioned(spark, src, updates, "o_orderkey")          # v2
+    V.write_versioned(
+        V.read_version(spark, src).where(F.col("o_orderkey") % 13 != 0),
+        src)                                                      # v3
+    maintain_continuous_rollup(
+        spark, src, dst, "o_orderkey", "o_orderdate", "month",
+        [("sum", "cents", "cents_sum")], cur, group_cols=("prio",))
+    roll = (V.read_version(spark, dst).where(F.col("n_rows") > 0)
+            .select(F.col("bucket").cast("date").cast("string")
+                    .alias("bucket_month"),
+                    "prio", "n_rows", "cents_sum"))
+    snap = (V.read_version(spark, src)
+            .withColumn("bucket", F.date_trunc("month", "o_orderdate"))
+            .where(F.col("bucket").isNotNull()))
+    full = (snap.groupBy(F.col("bucket").cast("date").cast("string")
+                         .alias("bucket_month"), "prio")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("cents").cast("long").alias("cents_sum")))
+    mm = (roll.exceptAll(full).count()
+          + full.exceptAll(roll).count())
+    return roll.withColumn("n_mismatch", F.lit(int(mm)).cast("long"))

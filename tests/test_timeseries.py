@@ -109,3 +109,106 @@ class TestMultiUnitStep:
     def test_rejects_zero_count(self):
         with pytest.raises(ValueError, match=">= 1"):
             ts._step_parts("0 day")
+
+
+class TestContinuousRollup:
+    """maintain_continuous_rollup: incremental ≡ full recompute
+    across inserts/updates/deletes/bucket-moves, tombstoning, and
+    crash-replay idempotency (the arithmetic is hash-gated by
+    rel_continuous_rollup)."""
+
+    def _src(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k bigint, ts timestamp, grp string, v bigint")
+
+    def _maintain(self, spark, src, dst, cur):
+        from filters_spark.functions.timeseries import (
+            maintain_continuous_rollup,
+        )
+        return maintain_continuous_rollup(
+            spark, src, dst, "k", "ts", "day",
+            [("sum", "v", "v_sum"), ("max", "v", "v_max")],
+            cur, group_cols=("grp",))
+
+    def _full(self, spark, src):
+        from filters_spark.sources import versioned as V
+        return {
+            (str(r["b"]), r["grp"]): (r["n"], r["s"], r["m"])
+            for r in (V.read_version(spark, src)
+                      .groupBy(F.date_trunc("day", "ts").alias("b"), "grp")
+                      .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+                           F.max("v").alias("m")).collect())
+        }
+
+    def _rolled(self, spark, dst):
+        from filters_spark.sources import versioned as V
+        return {
+            (str(r["bucket"]), r["grp"]): (r["n_rows"], r["v_sum"],
+                                           r["v_max"])
+            for r in V.read_version(spark, dst)
+            .where(F.col("n_rows") > 0).collect()
+        }
+
+    def test_lifecycle_matches_full_recompute(self, spark, tmp_path):
+        import datetime as dt
+
+        from filters_spark.sources import versioned as V
+
+        src, dst, cur = (str(tmp_path / p) for p in ("s", "d", "c"))
+        t = lambda day, h=0: dt.datetime(2024, 3, day, h)  # noqa: E731
+        V.write_versioned(self._src(spark, [
+            (1, t(1), "a", 10), (2, t(1), "b", 20),
+            (3, t(2), "a", 30), (4, t(2, 5), "a", 40)]), src)
+        assert self._maintain(spark, src, dst, cur) == 1   # bootstrap
+        assert self._rolled(spark, dst) == self._full(spark, src)
+        # update (v bump), bucket MOVE (day 2 -> day 3), delete day-1
+        # 'b' entirely, insert into a fresh day
+        V.merge_versioned(spark, src, self._src(spark, [
+            (3, t(3), "a", 31),          # moves bucket 2 -> 3
+            (1, t(1), "a", 11),          # in-place update
+            (5, t(4), "b", 50)]), "k")   # new bucket
+        V.write_versioned(
+            V.read_version(spark, src).where(F.col("k") != 2), src)
+        assert self._maintain(spark, src, dst, cur) is not None
+        assert self._rolled(spark, dst) == self._full(spark, src)
+        # tombstone really recorded for the emptied (day-1, b) bucket
+        tomb = (V.read_version(spark, dst)
+                .where(F.col("n_rows") == 0).collect())
+        assert any(r["grp"] == "b" for r in tomb)
+        # caught up: no-op
+        assert self._maintain(spark, src, dst, cur) is None
+
+    def test_crash_replay_idempotent(self, spark, tmp_path):
+        import datetime as dt
+
+        from filters_spark.sources import versioned as V
+
+        src, dst, cur = (str(tmp_path / p) for p in ("s", "d", "c"))
+        t = dt.datetime(2024, 3, 1)
+        V.write_versioned(self._src(spark, [(1, t, "a", 10)]), src)
+        self._maintain(spark, src, dst, cur)
+        V.merge_versioned(spark, src,
+                          self._src(spark, [(2, t, "a", 20)]), "k")
+        # simulate the crash: maintenance ran but the ack was lost —
+        # rewind the cursor to the pre-maintenance position
+        before = V.read_cursor(cur)
+        self._maintain(spark, src, dst, cur)
+        import os
+        os.remove(cur)
+        V.advance_cursor(cur, before)
+        # replay: same span consumed again, result unchanged
+        self._maintain(spark, src, dst, cur)
+        assert self._rolled(spark, dst) == self._full(spark, src)
+
+    def test_bad_agg_fn(self, spark, tmp_path):
+        from filters_spark.functions.timeseries import (
+            maintain_continuous_rollup,
+        )
+        from filters_spark.sources import versioned as V
+
+        src = str(tmp_path / "s")
+        V.write_versioned(self._src(spark, []), src)
+        with pytest.raises(ValueError, match="unsupported"):
+            maintain_continuous_rollup(
+                spark, src, str(tmp_path / "d"), "k", "ts", "day",
+                [("median", "v", "x")], str(tmp_path / "c"))

@@ -424,6 +424,9 @@ EXPECTATIONS: dict[str, dict] = {
     # eagerly; the returned plan is the scored rollup + two broadcast
     # stitches + the change-feed diff join.
     "ds_corpus_pipeline_v8": dict(max_exchanges=8),
+    # continuous rollup: the returned plan is the final rollup scan
+    # (maintenance ran eagerly); mismatch counts are literals.
+    "rel_continuous_rollup": dict(max_exchanges=1),
     # augmented Gram: ONE grouped-agg exchange + broadcast stitches
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank

@@ -35,8 +35,20 @@ def build(spark, out: str) -> None:
         shutil.rmtree(out)
     os.makedirs(out)
     for name in os.listdir(SRC):
-        if name not in ("documents.parquet", "embeddings.parquet"):
+        if name not in ("documents.parquet", "embeddings.parquet",
+                        "orders.parquet"):
             os.symlink(os.path.join(SRC, name), os.path.join(out, name))
+    # orders ×10 for the write-path gates (validated commit, change
+    # feed, optimize): key offset 100M per replica — clear of both the
+    # replica key ranges and the gates' own +10M planted-insert ids.
+    o = spark.read.parquet(f"{SRC}/orders.parquet")
+    reps10 = spark.range(10).select(F.col("id").alias("_rep"))
+    (o.crossJoin(reps10)
+     .select((F.col("o_orderkey") + F.col("_rep") * 100_000_000)
+             .alias("o_orderkey"),
+             *[c for c in o.columns if c != "o_orderkey"])
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out}/orders.parquet"))
     d = spark.read.parquet(f"{SRC}/documents.parquet")
     reps = spark.range(10).select(F.col("id").alias("_rep"))
     (d.crossJoin(reps)
@@ -99,6 +111,25 @@ HEAVY = {
     "ds_corpus_pipeline_v7": lambda rows: _inv(
         len(rows) == 8 and all(r["n_docs"] > 0 for r in rows),
         "v7: 8 nonempty shards"),
+    "ds_fasttext_quality": lambda rows: _inv(
+        len(rows) > 0 and all(r["n_docs"] > 0 for r in rows),
+        "fasttext: nonempty per-source rollup"),
+    "ds_corpus_pipeline_v8": lambda rows: _inv(
+        len(rows) > 0
+        and all(r["n_changes"] == 0 for r in rows)
+        and all(r["n_quarantined"] > 0 for r in rows),
+        "v8: CDC-silent optimize + nonempty quarantine"),
+    "rel_validated_commit": lambda rows: _inv(
+        len(rows) == 1 and rows[0]["n_rejected"] > 0
+        and rows[0]["n_committed"] > 0 and rows[0]["version"] == 1,
+        "validated commit: split committed/quarantined"),
+    "rel_change_feed": lambda rows: _inv(
+        len(rows) == 4 and all(r["n"] > 0 for r in rows),
+        "change feed: all four change classes present"),
+    "rel_optimize_zorder": lambda rows: _inv(
+        len(rows) == 1 and rows[0]["n"] > 0
+        and rows[0]["n_changes"] == 0,
+        "optimize: pruned read nonempty, CDC silent"),
 }
 
 
