@@ -191,7 +191,12 @@ def maintain_continuous_rollup(spark, src_path: str, dst_path: str,
             raise ValueError(f"maintain_continuous_rollup: unsupported "
                              f"agg fn {fn!r}")
     gcols = ["bucket", *group_cols]
-    rk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in gcols])
+    # NULL group values must stay distinguishable: concat_ws SKIPS
+    # nulls (element AND separator), so (NULL, 'z') and ('z', NULL)
+    # would collide on the surrogate — encode NULL explicitly.
+    rk = F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        for c in gcols])
     recomputed = (scoped.groupBy(*gcols)
                   .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                        *exprs)

@@ -212,3 +212,30 @@ class TestContinuousRollup:
             maintain_continuous_rollup(
                 spark, src, str(tmp_path / "d"), "k", "ts", "day",
                 [("median", "v", "x")], str(tmp_path / "c"))
+
+
+class TestRollupNullGroups:
+    def test_null_group_values_stay_distinct(self, spark, tmp_path):
+        """concat_ws drops NULL elements AND their separator, so
+        (NULL, 'z') and ('z', NULL) would collide on a naive
+        surrogate key — the rollup must keep them as separate rows."""
+        import datetime as dt
+
+        from filters_spark.functions.timeseries import (
+            maintain_continuous_rollup,
+        )
+        from filters_spark.sources import versioned as V
+
+        src, dst, cur = (str(tmp_path / p) for p in ("s", "d", "c"))
+        t = dt.datetime(2024, 3, 1)
+        df = spark.createDataFrame(
+            [(1, t, None, "z", 10), (2, t, "z", None, 20)],
+            "k bigint, ts timestamp, g1 string, g2 string, v bigint")
+        V.write_versioned(df, src)
+        maintain_continuous_rollup(
+            spark, src, dst, "k", "ts", "day",
+            [("sum", "v", "v_sum")], cur, group_cols=("g1", "g2"))
+        rows = V.read_version(spark, dst).collect()
+        assert len(rows) == 2
+        got = {(r["g1"], r["g2"]): r["v_sum"] for r in rows}
+        assert got == {(None, "z"): 10, ("z", None): 20}
