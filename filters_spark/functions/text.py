@@ -109,8 +109,17 @@ def stopword_ratio(col: Column, lang: str = "en", sep: str = " ") -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
+    """Punctuation fraction of the text.  ``try_divide``: ANSI mode
+    (on by default in Spark 4) makes ``x / 0`` THROW, so an empty
+    string in the corpus would kill the whole job — NULL for empty
+    text instead (downstream ``when()`` bands treat it as
+    not-in-band, and quality screens should reject empty text on
+    length grounds anyway).  Value-identical to plain division for
+    every non-empty input, so existing gate hashes are unaffected."""
     stripped = F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
-    return (F.length(col) - F.length(stripped)).cast("double") / F.length(col)
+    return F.try_divide(
+        (F.length(col) - F.length(stripped)).cast("double"),
+        F.length(col))
 
 
 def quality_score(col: Column, sep: str = " ") -> Column:

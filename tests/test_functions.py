@@ -588,3 +588,20 @@ class TestStripHtml:
         [r] = df.select(strip_html(F.col("h"),
                                    decode_entities=False).alias("t"))             .collect()
         assert r["t"] == "a &amp; b"
+
+
+def test_punct_ratio_empty_text_is_null_not_error(spark):
+    """ANSI mode makes x/0 throw; an empty document must yield NULL
+    punct_ratio (and a NULL quality logit -> filtered), never kill
+    the job."""
+    from filters_spark.functions import text as T
+    from filters_spark.plans.queries import _QCLS_B, _QCLS_W
+
+    df = spark.createDataFrame([("",), ("real text here",)], "text string")
+    rows = df.select(
+        T.punct_ratio(F.col("text")).alias("pr"),
+        T.quality_logit(F.col("text"), _QCLS_W, _QCLS_B).alias("lg"),
+    ).collect()
+    empty, real = rows[0], rows[1]
+    assert empty["pr"] is None and empty["lg"] is None
+    assert real["pr"] is not None and real["lg"] is not None
