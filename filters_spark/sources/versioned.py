@@ -436,7 +436,10 @@ def read_changes(spark: SparkSession, path: str, key: str,
     (null-safe, engine-internal — never hash-gated itself), so an
     update that rewrites a row with identical content is correctly
     silent.  Updates emit BOTH images, preimage carrying the FROM
-    side's payload.
+    side's payload.  Caveat: MAP columns serialize in stored key
+    order, so a rewrite that only reorders map keys reads as an
+    update (false-positive, never a false-negative) — normalize map
+    key order upstream if that matters.
 
     Scale shape: two snapshot scans and ONE full-outer shuffle join
     keyed by ``key``; the ≤2 change rows per key come from a single
