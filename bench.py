@@ -148,6 +148,9 @@ HEADLINE = [
     # one net incremental over three source commits per run, plus the
     # in-gate incremental==full symmetric-difference check)
     "rel_continuous_rollup",
+    # round 8 (cont.): the dead-letter recovery loop (strict commit ->
+    # relaxed replay -> merge-back per run)
+    "rel_quarantine_replay",
 ]
 
 

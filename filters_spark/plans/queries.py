@@ -640,9 +640,9 @@ DRIVER_WINDOW: list[str] = [
     # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip,
     # rel_change_feed, rel_validated_commit, rel_optimize_zorder,
     # ds_fasttext_quality, ds_corpus_pipeline_v8,
-    # rel_continuous_rollup) — that clears the ENTIRE registry
-    # (241/241 officially checked) with 9 slots left for
-    # re-confirmation.
+    # rel_continuous_rollup, rel_quarantine_replay) — that clears the
+    # ENTIRE registry (242/242 officially checked) with 8 slots left
+    # for re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -12667,3 +12667,70 @@ def rel_continuous_rollup(spark, sf_dir):
     mm = (roll.exceptAll(full).count()
           + full.exceptAll(roll).count())
     return roll.withColumn("n_mismatch", F.lit(int(mm)).cast("long"))
+
+
+@register(
+    "rel_quarantine_replay",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'XX'
+                  ELSE o_orderpriority END AS prio
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           CAST(sum(CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recovered,
+           CAST(0 AS BIGINT) AS n_still_bad,
+           CAST(2 AS BIGINT) AS version
+    FROM base
+    """,
+)
+def rel_quarantine_replay(spark, sf_dir):
+    """The dead-letter RECOVERY loop under the value hash — the
+    governance story's closing arc: orders with planted short
+    priorities are committed through the strict contract
+    (write_validated, MinLength(3) — violations quarantine with
+    ORIGINAL values), then the quarantine is REPLAYED under a
+    relaxed contract (sinks.replay_dead_letter, MinLength(1)) and
+    the recovered rows merge back as snapshot v2.  Hash-green
+    requires the final table to contain EVERY source row with its
+    original cents (the quarantine preserved raw values through the
+    round trip — a dead letter storing transformed/nulled values
+    could never restore them), exactly the planted rows counted as
+    recovered, zero rows still failing, and the merge to be commit
+    v2.  The oracle replays the recovered end-state from
+    arithmetic."""
+    import tempfile
+
+    from ..sources import sinks, versioned as V
+
+    planted = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("XX"))
+        .otherwise(F.col("o_orderpriority")).alias("prio"))
+    root = tempfile.mkdtemp(prefix="fs_replay_")
+    tbl, dead = root + "/t", root + "/dead"
+    strict = fs.ValidationSchema({"prio": fs.MinLength(3)})
+    V.write_validated(planted, tbl, strict, max_reject_rate=0.5,
+                      dead_path=dead)                          # v1
+    relaxed = fs.ValidationSchema({"prio": fs.MinLength(1)})
+    res = sinks.replay_dead_letter(spark, dead, relaxed)
+    recovered = res.clean.select("o_orderkey", "cents", "prio")
+    n_still_bad = res.rejected.count()
+    v2 = V.merge_versioned(spark, tbl, recovered, "o_orderkey")
+    final = V.read_version(spark, tbl)
+    rec_count = recovered.count()
+    return final.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    ).select(
+        "*",
+        F.lit(int(rec_count)).cast("long").alias("n_recovered"),
+        F.lit(int(n_still_bad)).cast("long").alias("n_still_bad"),
+        F.lit(int(v2)).cast("long").alias("version"))

@@ -427,6 +427,9 @@ EXPECTATIONS: dict[str, dict] = {
     # continuous rollup: the returned plan is the final rollup scan
     # (maintenance ran eagerly); mismatch counts are literals.
     "rel_continuous_rollup": dict(max_exchanges=1),
+    # quarantine replay: one final-table aggregate (recovery ran
+    # eagerly); recovered/still-bad counts are literals.
+    "rel_quarantine_replay": dict(max_exchanges=1),
     # augmented Gram: ONE grouped-agg exchange + broadcast stitches
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank
