@@ -149,22 +149,60 @@ def _flip_latest(path: str, version: int) -> None:
     os.replace(tmp, _latest_file(path))   # atomic POSIX rename
 
 
-def _file_stats(snap: str, stats_cols: list[str]) -> dict:
+def _data_files(snap: str) -> list[str]:
+    """Relative paths (posix separators) of every parquet data file
+    under the snapshot — flat snapshots yield bare names, partitioned
+    snapshots ``col=value/.../part-*.parquet`` paths."""
+    out = []
+    for root, _dirs, files in os.walk(snap):
+        for name in files:
+            if name.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, name), snap)
+                out.append(rel.replace(os.sep, "/"))
+    return sorted(out)
+
+
+def _partition_value(relpath: str, col: str):
+    """Hive-partition value for ``col`` parsed from a data-file
+    relpath (``col=value`` segment), best-effort typed (int → float →
+    unescaped string) so range pruning can compare it against numeric
+    bounds.  None when the segment is absent."""
+    from urllib.parse import unquote
+
+    for seg in relpath.split("/")[:-1]:
+        if seg.startswith(f"{col}="):
+            raw = unquote(seg[len(col) + 1:])
+            for cast in (int, float):
+                try:
+                    return cast(raw)
+                except ValueError:
+                    pass
+            return raw
+    return None
+
+
+def _file_stats(snap: str, stats_cols: list[str],
+                partition_by: tuple[str, ...] = ()) -> dict:
     """Per-data-file min/max for ``stats_cols``, read from parquet
     FOOTERS via pyarrow — zero Spark jobs, O(files) metadata reads.
     The manifest-level half of Delta-style data skipping: values are
     native Python (JSON-safe); columns missing statistics (e.g.
-    binary) record null and are never pruned on."""
+    binary) record null and are never pruned on.  PARTITION columns
+    are not in the data files — their [v, v] range comes from the
+    Hive ``col=value`` path segment instead, so ``where=`` pruning
+    works on the partition axis too (directory-level skipping)."""
     import pyarrow.parquet as pq
 
     out = {}
-    for name in sorted(os.listdir(snap)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in _data_files(snap):
         md = pq.ParquetFile(os.path.join(snap, name)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         stats: dict = {}
         for col in stats_cols:
+            if col in partition_by:
+                v = _partition_value(name, col)
+                stats[col] = None if v is None else [v, v]
+                continue
             lo = hi = None
             j = idx.get(col)
             if j is not None:
@@ -188,7 +226,8 @@ def write_versioned(df: DataFrame, path: str,
                     expected_parent: int | None = None,
                     _op: str = "write",
                     extra_meta: dict | None = None,
-                    stats_cols: list[str] | None = None) -> int:
+                    stats_cols: list[str] | None = None,
+                    partition_by: list[str] | None = None) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``expected_parent`` is optimistic concurrency control: pass the
@@ -203,7 +242,15 @@ def write_versioned(df: DataFrame, path: str,
     :func:`read_version`'s ``where=`` file skipping.  Cluster the
     data on the column first (``repartitionByRange(col)`` or a
     Z-order sort) or every file spans the full range and nothing
-    prunes."""
+    prunes.
+
+    ``partition_by`` writes the snapshot Hive-partitioned (the
+    date/tenant layout a 100 TB table wants): readers restore the
+    directory columns, and a partition column named in ``stats_cols``
+    prunes by its ``col=value`` path segment — directory-level
+    skipping with no footer reads.  Partitioning is per-SNAPSHOT
+    (recorded in the manifest); later commits choose their own
+    layout."""
     parent = latest_version(path)
     if expected_parent is not None and parent != expected_parent:
         raise ConcurrentWriteError(
@@ -216,15 +263,21 @@ def write_versioned(df: DataFrame, path: str,
     claim = _claim(path, version)
     try:
         snap = _snap_dir(path, version)
-        df.write.mode("overwrite").parquet(snap)
-        n_files = sum(1 for n in os.listdir(snap) if n.endswith(".parquet"))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(snap)
+        n_files = len(_data_files(snap))
         manifest = {
             "version": version,
             "parent": parent,
             "op": _op,
             "schema_json": df.schema.json(),
             "n_files": n_files,
-            **({"file_stats": _file_stats(snap, stats_cols)}
+            **({"partition_by": list(partition_by)} if partition_by
+               else {}),
+            **({"file_stats": _file_stats(
+                snap, stats_cols, tuple(partition_by or ()))}
                if stats_cols else {}),
             **(extra_meta or {}),
         }
@@ -337,8 +390,11 @@ def read_version(spark: SparkSession, path: str,
         if files is not None:
             if not files:
                 return spark.createDataFrame([], schema)
-            return spark.read.schema(schema).parquet(
-                *[os.path.join(snap, f) for f in files])
+            # basePath keeps Hive partition columns resolvable when
+            # reading explicit pruned paths (no-op for flat snapshots)
+            return (spark.read.option("basePath", snap)
+                    .schema(schema).parquet(
+                        *[os.path.join(snap, f) for f in files]))
     return spark.read.schema(schema).parquet(snap)
 
 

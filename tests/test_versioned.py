@@ -606,3 +606,71 @@ class TestContractMergeSink:
         with pytest.raises(ValueError, match="on_violation"):
             contract_merge_sink(tpath, "k", self._schema(),
                                 str(tmp_path / "d"), on_violation="x")
+
+
+class TestPartitionedSnapshots:
+    """partition_by on write_versioned: Hive layout roundtrip,
+    directory-derived partition stats + pruning, and composition
+    with the change feed."""
+
+    def test_roundtrip_and_partition_pruning(self, spark, tpath):
+        df = spark.createDataFrame(
+            [(i, f"2024-0{1 + i % 3}", i * 10) for i in range(30)],
+            "k bigint, month string, v bigint")
+        v = V.write_versioned(df, tpath, partition_by=["month"],
+                              stats_cols=["month", "v"])
+        m = V._read_manifest(tpath, v)
+        assert m["partition_by"] == ["month"]
+        # plain read restores the directory column
+        back = V.read_version(spark, tpath)
+        assert back.count() == 30
+        assert {r["month"] for r in back.collect()} == {
+            "2024-01", "2024-02", "2024-03"}
+        # partition-axis pruning: only that directory's files kept
+        kept = V.prune_files(m, ("month", "2024-02", "2024-02"))
+        assert kept and all("month=2024-02" in f for f in kept)
+        assert len(kept) < m["n_files"]
+        pruned = (V.read_version(spark, tpath,
+                                 where=("month", "2024-02", "2024-02"))
+                  .where(F.col("month") == "2024-02"))
+        got = {(r["k"], r["month"], r["v"]) for r in pruned.collect()}
+        want = {(i, "2024-02", i * 10) for i in range(30) if i % 3 == 1}
+        assert got == want
+
+    def test_data_col_stats_inside_partitions(self, spark, tpath):
+        df = (spark.range(100)
+              .select(F.col("id").alias("k"),
+                      (F.col("id") % 2).cast("string").alias("p"),
+                      F.col("id").alias("v"))
+              .repartitionByRange(4, "v"))
+        V.write_versioned(df, tpath, partition_by=["p"],
+                          stats_cols=["v"])
+        m = V._read_manifest(tpath, 1)
+        kept = V.prune_files(m, ("v", 0, 10))
+        assert kept is not None and 0 < len(kept) < m["n_files"]
+        out = (V.read_version(spark, tpath, where=("v", 0, 10))
+               .where(F.col("v").between(0, 10)))
+        assert out.count() == 11
+
+    def test_int_partition_values_prune_numerically(self, spark, tpath):
+        df = spark.createDataFrame(
+            [(i, i % 4, i) for i in range(40)],
+            "k bigint, bucket int, v bigint")
+        V.write_versioned(df, tpath, partition_by=["bucket"],
+                          stats_cols=["bucket"])
+        m = V._read_manifest(tpath, 1)
+        kept = V.prune_files(m, ("bucket", 2, 3))
+        assert kept and all(("bucket=2" in f) or ("bucket=3" in f)
+                            for f in kept)
+
+    def test_change_feed_across_partitioned_snapshots(self, spark,
+                                                      tpath):
+        a = spark.createDataFrame([(1, "x", 10), (2, "y", 20)],
+                                  "k bigint, p string, v bigint")
+        b = spark.createDataFrame([(1, "x", 10), (2, "y", 99)],
+                                  "k bigint, p string, v bigint")
+        V.write_versioned(a, tpath, partition_by=["p"])
+        V.write_versioned(b, tpath, partition_by=["p"])
+        got = {(r["_change_type"], r["k"])
+               for r in V.read_changes(spark, tpath, "k", 1, 2).collect()}
+        assert got == {("update_preimage", 2), ("update_postimage", 2)}
