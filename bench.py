@@ -151,6 +151,8 @@ HEADLINE = [
     # round 8 (cont.): the dead-letter recovery loop (strict commit ->
     # relaxed replay -> merge-back per run)
     "rel_quarantine_replay",
+    # round 8 (cont.): partitioned-snapshot two-axis skipping
+    "rel_partitioned_prune",
 ]
 
 

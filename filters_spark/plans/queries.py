@@ -640,9 +640,10 @@ DRIVER_WINDOW: list[str] = [
     # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip,
     # rel_change_feed, rel_validated_commit, rel_optimize_zorder,
     # ds_fasttext_quality, ds_corpus_pipeline_v8,
-    # rel_continuous_rollup, rel_quarantine_replay) — that clears the
-    # ENTIRE registry (242/242 officially checked) with 8 slots left
-    # for re-confirmation.
+    # rel_continuous_rollup, rel_quarantine_replay,
+    # rel_partitioned_prune) — that clears the ENTIRE registry
+    # (243/243 officially checked) with 7 slots left for
+    # re-confirmation.
     # Window history lives in git (this file, commits through r8).
     #
     # -- PQ / IVF-PQ family (entire family never checked; includes
@@ -12734,3 +12735,67 @@ def rel_quarantine_replay(spark, sf_dir):
         F.lit(int(rec_count)).cast("long").alias("n_recovered"),
         F.lit(int(n_still_bad)).cast("long").alias("n_still_bad"),
         F.lit(int(v2)).cast("long").alias("version"))
+
+
+@register(
+    "rel_partitioned_prune",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderkey BETWEEN 1000 AND 9999
+    """,
+)
+def rel_partitioned_prune(spark, sf_dir):
+    """Hive-partitioned versioned snapshots under the value hash
+    (write_versioned(partition_by=...)): orders committed partitioned
+    by priority AND range-clustered on orderkey within partitions,
+    with stats on BOTH axes — the layout a 100 TB table wants — then
+    read back through composed two-axis skipping: the partition axis
+    prunes whole `o_orderpriority=...` DIRECTORIES from the path
+    segment (zero footer reads), the data axis prunes files inside
+    the surviving directories from footer stats.  Both prunes are
+    asserted REAL in-plan, and the exact checksums prove the doubly-
+    pruned read is a correct superset.  The oracle replays the plain
+    2-D filter."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority",
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("cents"))
+            .repartitionByRange(8, "o_orderkey"))
+    path = tempfile.mkdtemp(prefix="fs_part_") + "/t"
+    v = V.write_versioned(base, path, partition_by=["o_orderpriority"],
+                          stats_cols=["o_orderpriority", "o_orderkey"])
+    man = V._read_manifest(path, v)
+    by_dir = V.prune_files(man, ("o_orderpriority", "1-URGENT",
+                                 "2-HIGH"))
+    if man["n_files"] > 2 and (
+            by_dir is None or not 0 < len(by_dir) < man["n_files"]):
+        raise ValueError("rel_partitioned_prune: partition-axis prune "
+                         f"not real ({by_dir and len(by_dir)}"
+                         f"/{man['n_files']})")
+    by_key = V.prune_files(man, ("o_orderkey", 1000, 9999))
+    if man["n_files"] > 2 and (
+            by_key is None or not 0 < len(by_key) < man["n_files"]):
+        raise ValueError("rel_partitioned_prune: data-axis prune not "
+                         f"real ({by_key and len(by_key)}"
+                         f"/{man['n_files']})")
+    pruned = (
+        V.read_version(spark, path,
+                       where=("o_orderpriority", "1-URGENT", "2-HIGH"))
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+               & F.col("o_orderkey").between(1000, 9999)))
+    return pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum("cents").cast("bigint").alias("cents_sum"),
+        F.countDistinct("o_orderpriority").cast("bigint")
+        .alias("n_prios"))

@@ -430,6 +430,9 @@ EXPECTATIONS: dict[str, dict] = {
     # quarantine replay: one final-table aggregate (recovery ran
     # eagerly); recovered/still-bad counts are literals.
     "rel_quarantine_replay": dict(max_exchanges=1),
+    # partitioned prune: one doubly-pruned read-back aggregate
+    # (countDistinct adds its expand exchange).
+    "rel_partitioned_prune": dict(max_exchanges=2),
     # augmented Gram: ONE grouped-agg exchange + broadcast stitches
     "ds_ridge_fit": dict(max_exchanges=1, min_broadcasts=3),
     # ADC probe: encoded-corpus scan + broadcast query tables + rank
