@@ -712,7 +712,8 @@ def write_validated(df: DataFrame, path: str, schema,
 def optimize_versioned(spark: SparkSession, path: str,
                        zorder: list[str] | None = None,
                        n_files: int = 32, bits: int = 8,
-                       stats_cols: list[str] | None = None) -> int:
+                       stats_cols: list[str] | None = None,
+                       partition_by: list[str] | None = None) -> int:
     """Table-maintenance OPTIMIZE (Delta OPTIMIZE [ZORDER BY]'s job):
     rewrite the HEAD snapshot's files — plain small-file compaction
     into ``n_files`` (round-robin), or with ``zorder`` a multi-column
@@ -750,5 +751,10 @@ def optimize_versioned(spark: SparkSession, path: str,
         stats_cols = stats_cols if stats_cols is not None else list(zorder)
     else:
         out = df.repartition(n_files)
+    # partition_by re-lays the snapshot's directory structure (or
+    # establishes one on a previously flat table) — OPTIMIZE is the
+    # natural place to change layout since it rewrites anyway; None
+    # writes flat regardless of the prior snapshot's layout.
     return write_versioned(out, path, expected_parent=head,
-                           _op="optimize", stats_cols=stats_cols)
+                           _op="optimize", stats_cols=stats_cols,
+                           partition_by=partition_by)

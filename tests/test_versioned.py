@@ -674,3 +674,24 @@ class TestPartitionedSnapshots:
         got = {(r["_change_type"], r["k"])
                for r in V.read_changes(spark, tpath, "k", 1, 2).collect()}
         assert got == {("update_preimage", 2), ("update_postimage", 2)}
+
+
+class TestOptimizePartitionLayout:
+    def test_optimize_can_establish_partitioning(self, spark, tpath):
+        df = spark.createDataFrame(
+            [(i, f"p{i % 3}", i * 10) for i in range(30)],
+            "k bigint, part string, v bigint")
+        V.write_versioned(df, tpath)                      # flat v1
+        v2 = V.optimize_versioned(
+            spark, tpath, n_files=2, partition_by=["part"],
+            stats_cols=["part"])
+        m = V._read_manifest(tpath, v2)
+        assert m["partition_by"] == ["part"]
+        # directory-axis pruning armed by the re-layout
+        kept = V.prune_files(m, ("part", "p1", "p1"))
+        assert kept and all("part=p1" in f for f in kept)
+        # still data-preserving and CDC-silent
+        got = {(r["k"], r["part"], r["v"])
+               for r in V.read_version(spark, tpath).collect()}
+        assert got == {(i, f"p{i % 3}", i * 10) for i in range(30)}
+        assert V.read_changes(spark, tpath, "k", 1, v2).count() == 0
