@@ -614,95 +614,75 @@ def names() -> list[str]:
 # op, so every component lands a row in the official record.  The
 # remaining queries still run under tools/oracle_check.py.
 DRIVER_WINDOW: list[str] = [
-    # ================= ROUND-8 ROTATION (VERDICT r7 task 1) ==========
-    # ALL 50 slots hold queries that have NEVER had an official
-    # CORRECTNESS row in rounds 1-7 (69 of 219 registered names were
-    # in that state; this window clears 50 of them -> cumulative
-    # official coverage 200/219).  Every OUTGOING name had >=1
-    # official green round and keeps pytest + strict-replica + judge
-    # coverage; every INCOMING name is green on the driver-faithful
-    # strict replica (tools/oracle_check.py) at sf0.01 AND sf0.1
-    # before entry.  ROUND-9 ROTATION PLAN (all 31 names below are
-    # already green in the r8 dual full-registry sweeps at both
-    # scales + local[5] + AQE-off + shuffled-oracle): the 19 pre-r8
-    # never-checked names (txt_bpe_tokens, val_bytearray_ints,
-    # ds_dedup_components, val_variant_path, txt_fingerprint,
-    # prof_top_values, prof_histogram, txt_bigram_freq_score,
-    # val_struct_projection, ds_exact_dedup_against,
-    # ds_embedding_quantize, txt_boilerplate_ngrams,
-    # ds_dedup_keep_canonical, ds_split_assign, txt_length_outliers,
-    # ds_weighted_sample, ds_chunk_documents, ds_linear_score,
-    # ds_hash_reservoir) plus the 12 round-8 gates (val_iso_country/
-    # currency/locale, val_mac_address, val_nfc_exact,
-    # val_casefold_exact, val_ipv6_normalize, val_maxbytes_truncate,
-    # val_datetime_fuzzy, ds_logistic_fit, ds_jpeg_progressive_gate,
-    # val_map_mapper) plus the late-r8 additions (txt_html_strip,
-    # ds_quality_classifier, ds_corpus_pipeline_v7, rel_xml_roundtrip,
-    # rel_change_feed, rel_validated_commit, rel_optimize_zorder,
-    # ds_fasttext_quality, ds_corpus_pipeline_v8,
-    # rel_continuous_rollup, rel_quarantine_replay,
-    # rel_partitioned_prune) — that clears the ENTIRE registry
-    # (243/243 officially checked) with 7 slots left for
-    # re-confirmation.
-    # Window history lives in git (this file, commits through r8).
+    # ================= ROUND-9 ROTATION (VERDICT r8 task 1) ==========
+    # Slots 1-43: the ONLY 43 registered names that have never had an
+    # official CORRECTNESS row in rounds 1-8 (verified against the
+    # union of CORRECTNESS_r01..r08.json).  All 43 were green on the
+    # judge's own driver-faithful replica at sf0.01 in the r8 VERDICT
+    # session (the 8 heaviest also at sf0.1), and green in the r8
+    # dual full-registry sweeps (both scales + local[5] + AQE-off +
+    # shuffled-oracle).  With this window green, cumulative official
+    # coverage = 243/243 — the full registry.
+    # Slots 44-50: re-confirmation of long-standing flagships whose
+    # last official row is >=2 rounds old (incl. ds_minhash_lsh,
+    # whose r8 closing-bench 1.75x was attributed to box load —
+    # VERDICT r8 "What's wrong" #4).
+    # Window history lives in git (this file, commits through r9).
     #
-    # -- PQ / IVF-PQ family (entire family never checked; includes
-    #    r7's own ds_pq_residual_recall per ADVICE r7) ----------------
-    "ds_pq_topk",                # in-memory PQ ADC top-k
-    "ds_ivfpq_topk",             # coarse-cell + PQ ADC twin
-    "ds_pq_index_topk",          # materialized codes-only probe
-    "ds_pq_recall",              # PQ recall@10 vs exact cosine
-    "ds_pq_residual_recall",     # residual encoding recall gate (r7)
-    # -- real-codec gates (r6/r7 formats, judge-replica-green) ---------
-    "ds_gif_codec_gate",         # GIF87a LZW decode
-    "ds_tiff_codec_gate",        # TIFF baseline decode
-    "ds_adpcm_codec_gate",       # IMA ADPCM expansion
-    # -- storage / layout / versioned -----------------------------------
-    "ds_tar_shards",             # WebDataset tar shard sink+read
-    "ds_tar_media_pipeline",     # tar -> decode -> feature pipeline
-    "rel_orc_roundtrip",         # ORC source/sink roundtrip
-    "rel_bloom_prejoin",         # bloom sideways-info-passing join
-    "rel_snapshot_skipping",     # versioned-table stats skipping
-    # -- dedup / text / training ----------------------------------------
-    "ds_line_dedup",             # corpus-wide line dedup (128-bit keys)
-    "ds_mojibake_repair",        # double-encoding repair
-    "ds_corpus_pipeline_v6",     # capstone v6
-    "ds_ridge_fit",              # distributed Gram ridge regression
-    "ds_lsh_recall",             # MinHash-LSH recall certification
-    # -- never-checked TPC-H shapes --------------------------------------
-    "rel_q6_forecast_revenue",
-    "rel_q7_volume_shipping",
-    "rel_q8_market_share",
-    "rel_q10_returned_items",
-    "rel_q11_important_parts",
-    "rel_q12_priority_shipping",
-    "rel_q13_order_distribution",
-    "rel_q14_promo_revenue",
-    "rel_q15_top_supplier",
-    "rel_q16_supplier_cnt",
-    "rel_q18_large_orders",
-    "rel_q19_disjunctive_preds",
-    "rel_q22_inactive_customers",
-    # -- never-checked window / sessionization / relational shapes ------
-    "rel_funnel_steps",
-    "rel_gapfill_ffill",
-    "rel_retention_cohorts",
-    "rel_asof_forward",
-    "rel_event_transitions",
-    "rel_moving_avg",
-    "rel_ntile_deciles",
-    "rel_tumbling_window",
-    "rel_sliding_window",
-    "rel_pivot_returnflag",
-    "rel_unpivot_metrics",
-    "rel_mom_revenue",
-    "rel_running_total",
-    "rel_sequence_gaps",
-    "rel_order_interarrival",
-    "rel_session_conversion",
-    "rel_rolling_zscore",
-    "rel_pareto_deciles",
-    "rel_basket_pairs",
+    # -- pre-r8 never-checked (19) --------------------------------------
+    "txt_bpe_tokens",            # BPE token ids (spark engine)
+    "val_bytearray_ints",        # ByteArray from int-array column
+    "ds_dedup_components",       # near-dup connected components
+    "val_variant_path",          # variant JSON path extraction
+    "txt_fingerprint",           # rolling-hash doc fingerprint
+    "prof_top_values",           # profiler: per-column top values
+    "prof_histogram",            # profiler: numeric histogram
+    "txt_bigram_freq_score",     # bigram LM frequency score
+    "val_struct_projection",     # nested-struct projection validator
+    "ds_exact_dedup_against",    # dedup against a reference corpus
+    "ds_embedding_quantize",     # int8 embedding quantization
+    "txt_boilerplate_ngrams",    # boilerplate n-gram detection
+    "ds_dedup_keep_canonical",   # canonical-doc cluster collapse
+    "ds_split_assign",           # deterministic train/val/test split
+    "txt_length_outliers",       # length-outlier flagging
+    "ds_weighted_sample",        # weighted sampling wo/ replacement
+    "ds_chunk_documents",        # fixed-token-budget chunking
+    "ds_linear_score",           # linear quality scorer
+    "ds_hash_reservoir",         # hash-based reservoir sample
+    # -- round-8 gates: ISO family + UDF leaves + classifiers (12) ------
+    "val_iso_country",           # ISO 3166 alpha-2/3/numeric
+    "val_iso_currency",          # ISO 4217 (ambiguous-numeric reject)
+    "val_iso_locale",            # BCP-47 canonicalization
+    "val_mac_address",           # MAC address normalization
+    "val_nfc_exact",             # NFC leaf vs expr twin
+    "val_casefold_exact",        # full casefold leaf
+    "val_ipv6_normalize",        # RFC 5952 leaf
+    "val_maxbytes_truncate",     # byte-exact truncation leaf
+    "val_datetime_fuzzy",        # fuzzy datetime parse leaf
+    "ds_logistic_fit",           # IRLS logistic fit (SQL-replayed)
+    "ds_jpeg_progressive_gate",  # SOF2 progressive JPEG decode
+    "val_map_mapper",            # per-row map<k,v> key semantics
+    # -- late-r8: governed tables + classifiers + capstones (12) --------
+    "txt_html_strip",            # HTML tag strip (0-exchange map)
+    "ds_quality_classifier",     # interpretable trained classifier
+    "ds_corpus_pipeline_v7",     # capstone v7
+    "rel_xml_roundtrip",         # XML source/sink roundtrip
+    "rel_change_feed",           # versioned-table CDC diff feed
+    "rel_validated_commit",      # contract-gated commit
+    "rel_optimize_zorder",       # OPTIMIZE ZORDER maintenance
+    "ds_fasttext_quality",       # hashed-feature classifier head
+    "ds_corpus_pipeline_v8",     # capstone v8
+    "rel_continuous_rollup",     # incremental continuous aggregate
+    "rel_quarantine_replay",     # dead-letter replay recovery
+    "rel_partitioned_prune",     # two-axis partitioned skipping
+    # -- re-confirmation flagships (7) -----------------------------------
+    "val_lineitem_clean_agg",    # flagship validator (official r1)
+    "ds_minhash_lsh",            # banded LSH near-dup (r8 noise check)
+    "ds_bm25_topk",              # BM25 retrieval
+    "ds_cosine_topk",            # exact cosine ANN baseline
+    "ds_hybrid_rrf_indexed",     # pay-once hybrid RRF (r8 fix)
+    "rel_merge_snapshot",        # versioned-table MERGE
+    "rel_asof_join",             # as-of join
 ]
 
 
