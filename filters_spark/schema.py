@@ -325,6 +325,33 @@ class ValidationResult:
         )
 
     @property
+    def clean_raw(self) -> DataFrame:
+        """Clean rows with their ORIGINAL input values + an EMPTY
+        error array — schema-identical to :attr:`rejected_raw`, so
+        both halves of a batch can land in ONE quarantine table: a
+        chain that coerces a field's type would otherwise write the
+        transformed type beside the raw dead letters and leave the
+        directory unreadable (conflicting parquet column types —
+        ADVICE r8).  This is what a circuit-breaker 'skip the whole
+        batch' path must persist."""
+        if self._pre is None:
+            raise ValueError(
+                "clean_raw needs the staged frame; construct the result "
+                "via ValidationSchema.validate()"
+            )
+        pre = self._pre.where(self._flags())
+        raw_cols = set(pre.columns)
+        return pre.select(
+            *[
+                (F.col(f"_raw_{n}") if f"_raw_{n}" in raw_cols
+                 else F.lit(None)).alias(n)
+                for n in self._fields
+            ],
+            *[F.col(c) for c in self._extra],
+            F.array().cast(f"array<{ERROR_DDL}>").alias(ERRORS_COL),
+        )
+
+    @property
     def errors_long(self) -> DataFrame:
         """One row per (row, field, code) — the exploded MemoryHandler
         dict."""

@@ -568,10 +568,16 @@ def contract_merge_sink(table_path: str, key: str, schema,
                     f"stream batch {batch_id}: reject rate {rate:.4f} "
                     f"exceeds {max_reject_rate:.4f} ({bad}/{n}) — batch "
                     f"refused; rejects quarantined to {dead_path!r}")
-            # 'skip': quarantine the clean half too, commit nothing
-            res.clean.withColumn(ERRORS_COL, F.array().cast(
-                "array<struct<field:string,code:string,filter:string>>")) \
-                .write.format("parquet").mode("append").save(dead_path)
+            # 'skip': quarantine the clean half too, commit nothing.
+            # As RAW values (clean_raw), matching what
+            # write_dead_letter stores for the rejected half — a
+            # coercing chain's TRANSFORMED types beside raw dead
+            # letters would leave the quarantine unreadable
+            # (conflicting parquet column types) and break the
+            # docstring's "dead letters carry the raw rows" replay
+            # contract (ADVICE r8).
+            res.clean_raw.write.format("parquet").mode("append") \
+                .save(dead_path)
             return
         if bad:
             res.write_dead_letter(dead_path)

@@ -506,7 +506,7 @@ class TestOptimize:
         # stats recorded for the zorder columns -> skipping armed
         m = V._read_manifest(tpath, 2)
         assert all("k" in st and st["k"] is not None
-                   for st in m["file_stats"].values())
+                   for st in V.load_file_stats(m).values())
 
     def test_plain_compaction(self, spark, tpath):
         V.write_versioned(_df(spark, [(i, "x", i) for i in range(20)])
@@ -695,3 +695,250 @@ class TestOptimizePartitionLayout:
                for r in V.read_version(spark, tpath).collect()}
         assert got == {(i, f"p{i % 3}", i * 10) for i in range(30)}
         assert V.read_changes(spark, tpath, "k", 1, v2).count() == 0
+
+
+class TestStoredChanges:
+    """Opt-in stored change files (VERDICT r8 next #3): single-commit
+    spans read the files verbatim, multi-commit spans net them per
+    key, and both must equal the writer-independent two-snapshot diff
+    exactly (the arithmetic twin is hash-gated by
+    rel_change_feed_stored)."""
+
+    def _both(self, spark, tpath, lo, hi):
+        stored = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", lo, hi).collect()))
+        diff = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", lo, hi, use_stored=False).collect()))
+        return stored, diff
+
+    def test_single_commit_stored_equals_diff(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]), tpath)
+        V.merge_versioned(spark, tpath,
+                          _df(spark, [(2, "B", 99), (3, "c", 30),
+                                      (1, "a", 10)]),   # (1) is a no-op
+                          "k", store_changes=True)
+        assert os.path.isdir(V._changes_dir(tpath, 2))
+        stored, diff = self._both(spark, tpath, 1, 2)
+        assert stored == diff
+        types = {r[0] for r in stored}
+        assert types == {"insert", "update_preimage", "update_postimage"}
+
+    def test_multi_commit_netting_equals_diff(self, spark, tpath):
+        V.write_versioned(
+            _df(spark, [(i, f"v{i}", i * 10) for i in range(8)]), tpath)
+        # v2: update 1, revert-candidate 2, insert 100 and 101
+        V.merge_versioned(spark, tpath, _df(spark, [
+            (1, "one", 11), (2, "two", 22),
+            (100, "x", 1), (101, "y", 2)]), "k", store_changes=True)
+        # v3: update 1 again, revert 2 to original, delete-candidate
+        # untouched; insert 102
+        V.merge_versioned(spark, tpath, _df(spark, [
+            (1, "uno", 12), (2, "v2", 20), (102, "z", 3)]),
+            "k", store_changes=True)
+        # v4: delete 3 (never updated), 100 (insert->delete) and 1
+        # (update->update->delete) via a writer-supplied change file
+        v3 = V.read_version(spark, tpath)
+        gone = F.col("k").isin(1, 3, 100)
+        ch = (v3.where(gone)
+              .select(F.lit("delete").alias("_change_type"),
+                      "k", F.col("n"), F.col("val")))
+        # column order of _merge_changes: key + sorted payload
+        ch = ch.select("_change_type", "k", "n", "val")
+        V.write_versioned(v3.where(~gone), tpath, changes_df=ch)
+        for lo, hi in ((1, 3), (1, 4), (2, 4)):
+            stored, diff = self._both(spark, tpath, lo, hi)
+            assert stored == diff, (lo, hi, stored, diff)
+        # semantic pins on the 1->4 net:
+        net = {r["k"]: r["_change_type"] for r in V.read_changes(
+            spark, tpath, "k", 1, 4).collect()}
+        assert net[3] == "delete"            # plain delete
+        assert net[1] == "delete"            # update->update->delete
+        assert 100 not in net                # insert->delete: nothing
+        assert 2 not in net                  # update->revert: nothing
+        assert net[101] == "insert" and net[102] == "insert"
+        # deleted key 1 carries its ORIGINAL v1 payload
+        row = [r for r in V.read_changes(spark, tpath, "k", 1, 4)
+               .collect() if r["k"] == 1][0]
+        assert row["val"] == "v1" and row["n"] == 10
+
+    def test_nonstored_commit_in_span_falls_back(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        V.merge_versioned(spark, tpath, _df(spark, [(2, "b", 20)]),
+                          "k", store_changes=True)
+        # v3 without stored changes breaks the chain
+        V.merge_versioned(spark, tpath, _df(spark, [(3, "c", 30)]), "k")
+        assert V._stored_chain(tpath, 1, 3) is None
+        stored, diff = self._both(spark, tpath, 1, 3)
+        assert stored == diff
+
+    def test_fallback_after_change_file_removal(self, spark, tpath):
+        import shutil
+
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        V.merge_versioned(spark, tpath, _df(spark, [(1, "A", 11)]),
+                          "k", store_changes=True)
+        shutil.rmtree(V._changes_dir(tpath, 2))
+        out = {(r["_change_type"], r["k"]) for r in V.read_changes(
+            spark, tpath, "k", 1, 2).collect()}
+        assert out == {("update_preimage", 1), ("update_postimage", 1)}
+
+    def test_vacuum_removes_change_files_with_snapshot(self, spark,
+                                                       tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        for i in range(3):
+            V.merge_versioned(spark, tpath,
+                              _df(spark, [(10 + i, "x", i)]), "k",
+                              store_changes=True)
+        assert V.vacuum_versioned(tpath, keep_last=2) == [1, 2]
+        assert not os.path.isdir(V._changes_dir(tpath, 2))
+        assert os.path.isdir(V._changes_dir(tpath, 3))
+        assert os.path.isdir(V._changes_dir(tpath, 4))
+        # retained span still serves stored
+        assert V._stored_chain(tpath, 3, 4) is not None
+
+    def test_consume_changes_rides_stored_path(self, spark, tpath,
+                                               tmp_path):
+        cur = str(tmp_path / "cursor")
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        ch, head, ack = V.consume_changes(spark, tpath, "k", cur)
+        ack()
+        V.merge_versioned(spark, tpath, _df(spark, [(2, "b", 20)]),
+                          "k", store_changes=True)
+        ch, head, ack = V.consume_changes(spark, tpath, "k", cur)
+        got = {(r["_change_type"], r["k"]) for r in ch.collect()}
+        assert got == {("insert", 2)}
+
+
+class TestStatsSidecar:
+    """Manifest stays O(1): per-file stats live in a lazy sidecar,
+    and footer reads fan out executor-side past _STATS_DRIVER_MAX
+    (VERDICT r8 next #2)."""
+
+    def test_manifest_has_no_inline_stats(self, spark, tpath):
+        import json as _json
+
+        df = (spark.range(100)
+              .select(F.col("id").alias("k"),
+                      F.lit("x").alias("val"), F.col("id").alias("n"))
+              .repartitionByRange(4, "k"))
+        V.write_versioned(df, tpath, stats_cols=["k"])
+        raw = _json.load(open(os.path.join(tpath, "_manifests",
+                                           "1.json")))
+        assert "file_stats" not in raw
+        assert raw["stats_file"] == "1.stats.json"
+        assert raw["stats_cols"] == ["k"]
+        man = V._read_manifest(tpath, 1)
+        kept = V.prune_files(man, ("k", 0, 10))
+        assert kept is not None and 0 < len(kept) < man["n_files"]
+
+    def test_executor_side_stats_match_driver_side(self, spark, tpath,
+                                                   monkeypatch):
+        df = (spark.range(200)
+              .select(F.col("id").alias("k"),
+                      F.lit("x").alias("val"), F.col("id").alias("n"))
+              .repartitionByRange(6, "k"))
+        V.write_versioned(df, tpath, stats_cols=["k", "n"])
+        driver_stats = V.load_file_stats(V._read_manifest(tpath, 1))
+        monkeypatch.setattr(V, "_STATS_DRIVER_MAX", 0)
+        V.write_versioned(df, tpath, stats_cols=["k", "n"])
+        exec_stats = V.load_file_stats(V._read_manifest(tpath, 2))
+        # file NAMES differ between the two writes (part-file UUIDs);
+        # the per-file ranges must be identical
+        def ranges(st):
+            return sorted((s["k"], s["n"]) for s in st.values())
+        assert ranges(exec_stats) == ranges(driver_stats)
+        man = V._read_manifest(tpath, 2)
+        kept = V.prune_files(man, ("k", 0, 30))
+        assert kept is not None and 0 < len(kept) < man["n_files"]
+
+    def test_string_partition_numeric_values_stay_strings(self, spark,
+                                                          tpath):
+        # ADVICE r8: zero-padded ids on a STRING partition column must
+        # not become ints (mispruned / TypeError against string bounds)
+        df = spark.createDataFrame(
+            [(i, f"{i % 3:03d}", i) for i in range(30)],
+            "k bigint, pid string, v bigint")
+        V.write_versioned(df, tpath, partition_by=["pid"],
+                          stats_cols=["pid"])
+        man = V._read_manifest(tpath, 1)
+        st = V.load_file_stats(man)
+        assert all(isinstance(s["pid"][0], str) for s in st.values())
+        kept = V.prune_files(man, ("pid", "001", "001"))
+        assert kept and all("pid=001" in f for f in kept)
+        # mixed-type predicate: unknowable, keeps everything, no crash
+        kept2 = V.prune_files(man, ("pid", 1, 1))
+        assert kept2 is not None and len(kept2) == man["n_files"]
+
+    def test_hive_null_partition_is_unknown_not_literal(self, spark,
+                                                        tpath):
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, None, 20)], "k bigint, p string, n bigint")
+        V.write_versioned(df, tpath, partition_by=["p"],
+                          stats_cols=["p"])
+        man = V._read_manifest(tpath, 1)
+        st = V.load_file_stats(man)
+        null_file = [f for f in st
+                     if "__HIVE_DEFAULT_PARTITION__" in f]
+        assert null_file and st[null_file[0]]["p"] is None
+        # the null-partition file is never pruned away
+        kept = V.prune_files(man, ("p", "a", "a"))
+        assert any("__HIVE_DEFAULT_PARTITION__" in f for f in kept)
+
+
+class TestWriteValidatedOrdering:
+    def test_dead_letter_lands_even_if_commit_crashes(self, spark,
+                                                      tpath, tmp_path,
+                                                      monkeypatch):
+        """ADVICE r8: quarantine writes BEFORE the head flip, so a
+        crash between them can never commit a manifest whose contract
+        metadata claims rejects that were never quarantined."""
+        import filters_spark as fs
+
+        dead = str(tmp_path / "dead")
+
+        def boom(*a, **kw):
+            raise RuntimeError("simulated crash at commit")
+
+        monkeypatch.setattr(V, "write_versioned", boom)
+        schema = fs.ValidationSchema({"val": fs.Required()})
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            V.write_validated(
+                _df(spark, [(1, "a", 10), (2, None, 20)]), tpath,
+                schema, max_reject_rate=0.9, dead_path=dead)
+        # head never moved, but the reject IS quarantined
+        assert V.latest_version(tpath) is None
+        assert {r["k"] for r in spark.read.parquet(dead).collect()} \
+            == {2}
+
+
+class TestSkipQuarantineRawTypes:
+    def test_skip_path_stores_raw_values_single_type(self, spark,
+                                                     tpath, tmp_path):
+        """ADVICE r8: a COERCING schema's skip path must quarantine
+        raw values — transformed ints beside raw strings would leave
+        the dead-letter directory unreadable."""
+        import filters_spark as fs
+        from filters_spark.streaming.validate import contract_merge_sink
+
+        dead = str(tmp_path / "dead")
+        schema = fs.ValidationSchema({"val": fs.Int()})
+        sink = contract_merge_sink(tpath, "k", schema, dead,
+                                   max_reject_rate=0.5,
+                                   on_violation="skip", sink_id="cms4")
+        # batch 0: one reject of two (at tolerance) -> clean merged,
+        # reject quarantined as its raw string
+        sink(_df(spark, [(1, "7", 10), (2, "x2", 20)]), 0)
+        # batch 1: 2/3 reject -> poison: WHOLE batch quarantined,
+        # incl. the clean coercible row, as its RAW string
+        sink(_df(spark, [(3, "bad", 30), (5, "no", 50),
+                         (4, "40", 40)]), 1)
+        dl = spark.read.parquet(dead)
+        assert dict(dl.dtypes)["val"] == "string"
+        got = {r["k"]: r["val"] for r in dl.collect()}
+        assert got == {2: "x2", 3: "bad", 5: "no", 4: "40"}
+        # clean half carries an EMPTY error array, rejects non-empty
+        errs = {r["k"]: len(r["_errors"]) for r in dl.collect()}
+        assert errs[4] == 0 and errs[3] > 0 and errs[2] > 0
+        # table got only batch 0's clean row, coerced
+        assert {(r["k"], r["val"]) for r in
+                V.read_version(spark, tpath).collect()} == {(1, 7)}

@@ -413,6 +413,10 @@ EXPECTATIONS: dict[str, dict] = {
     # change feed: two snapshot-diff full-outer joins (one per span)
     # + the final rollup; join-back sides broadcast at audit scale.
     "rel_change_feed": dict(max_exchanges=7),
+    # stored change feed: the two single-commit spans are pure
+    # change-file scans (zero joins); the netted span pays its two
+    # per-key aggregates; + the final rollup = 3.
+    "rel_change_feed_stored": dict(max_exchanges=3),
     # validated commit: two read-back aggregates broadcast-stitched.
     "rel_validated_commit": dict(max_exchanges=2),
     # optimize zorder: pruned-read agg + empty change-feed diff join.
