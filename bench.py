@@ -22,6 +22,11 @@ from filters_spark.sources import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+try:
+    LOAD_START = [round(x, 2) for x in os.getloadavg()]
+except OSError:
+    LOAD_START = None
+
 # Headline set: validation, scan-agg, joins, windows, dedup,
 # similarity, text — one per capability family.
 HEADLINE = [
@@ -206,6 +211,14 @@ def main() -> None:
               f"steady ({len(rows)} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Load markers: r8's closing bench was captured on a loaded box
+    # and read ~20% slow with zero plan changes (VERDICT r8 wrong #2)
+    # — record 1/5-min loadavg at start+end so round-over-round
+    # deltas can be weighted against machine contention.
+    try:
+        load_end = os.getloadavg()
+    except OSError:                          # non-POSIX fallback
+        load_end = (None, None, None)
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
         "value": total,
@@ -214,6 +227,10 @@ def main() -> None:
         "queries_steady": steady,
         "steady_total": round(sum(steady.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_start": LOAD_START,
+        "loadavg_end": [round(x, 2) for x in load_end]
+        if load_end[0] is not None else None,
+        "n_queries": len(HEADLINE),
     }))
 
 

@@ -1125,6 +1125,212 @@ def hashing_vectors_dense(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Trained language identification (VERDICT r8 next #4): the fastText-
+# LID shape — char-n-gram hashed features -> K one-vs-rest logistic
+# heads fit by the engine's own IRLS -> micro-unit INTEGER inference
+# (the hashed_quality_logit_micro discipline), so every downstream
+# curation op that keys on `lang` has a measured head instead of
+# trusting an upstream column.  Training runs on a PLANTED
+# multilingual seed (literal sentences below — deterministic fit, so
+# gates bake the coefficients as plan literals; the bake is pinned by
+# tests/test_projection.py::TestLangId).
+
+#: Training sentences per language — short, lowercase, accent-free
+#: (ASCII for the Latin languages) so the head keys on n-gram
+#: STATISTICS, not on diacritics an upstream normalizer may strip.
+LANG_ID_SEED: tuple[tuple[str, str], ...] = (
+    ("the quick brown fox jumps over the lazy dog", "en"),
+    ("this is a short english sentence about data", "en"),
+    ("where is the nearest train station please", "en"),
+    ("i would like a cup of coffee with milk", "en"),
+    ("the weather today is sunny and warm", "en"),
+    ("children play football in the park every sunday", "en"),
+    ("she reads books about history and science", "en"),
+    ("good morning everyone and welcome to the meeting", "en"),
+    ("el rapido zorro marron salta sobre el perro perezoso", "es"),
+    ("esta es una frase corta en espanol sobre datos", "es"),
+    ("donde esta la estacion de tren mas cercana por favor", "es"),
+    ("me gustaria una taza de cafe con leche", "es"),
+    ("el tiempo de hoy es soleado y calido", "es"),
+    ("los ninos juegan al futbol en el parque cada domingo", "es"),
+    ("ella lee libros de historia y ciencia", "es"),
+    ("buenos dias a todos y bienvenidos a la reunion", "es"),
+    ("der schnelle braune fuchs springt ueber den faulen hund", "de"),
+    ("dies ist ein kurzer deutscher satz ueber daten", "de"),
+    ("wo ist der naechste bahnhof bitte", "de"),
+    ("ich moechte eine tasse kaffee mit milch", "de"),
+    ("das wetter heute ist sonnig und warm", "de"),
+    ("kinder spielen jeden sonntag fussball im park", "de"),
+    ("sie liest buecher ueber geschichte und wissenschaft", "de"),
+    ("guten morgen zusammen und willkommen zur besprechung", "de"),
+    ("le rapide renard brun saute par dessus le chien paresseux", "fr"),
+    ("ceci est une courte phrase en francais sur les donnees", "fr"),
+    ("ou est la gare la plus proche s il vous plait", "fr"),
+    ("je voudrais une tasse de cafe avec du lait", "fr"),
+    ("le temps aujourd hui est ensoleille et chaud", "fr"),
+    ("les enfants jouent au football dans le parc chaque dimanche",
+     "fr"),
+    ("elle lit des livres d histoire et de science", "fr"),
+    ("bonjour a tous et bienvenue a la reunion", "fr"),
+    ("今天天气很好我们去"
+     "公园散步", "zh"),
+    ("我想要一杯加牛奶的"
+     "咖啡", "zh"),
+    ("请问最近的火车站在"
+     "哪里", "zh"),
+    ("孩子们每个星期天在"
+     "公园里踢足球", "zh"),
+    ("她喜欢读历史和科学"
+     "方面的书", "zh"),
+    ("早上好欢迎大家参加"
+     "会议", "zh"),
+    ("这是一个关于数据的"
+     "简短中文句子", "zh"),
+    ("快速的棕色狐狸跳过"
+     "了懒惰的狗", "zh"),
+)
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of overlapping character n-grams (the fastText-LID
+    feature).  Strings shorter than ``n`` yield an EMPTY array (never
+    a descending sequence — Spark's ``sequence`` counts down when
+    start > stop).  Character-based on both engines (Spark
+    ``substr`` ↔ DuckDB ``substr``), so multibyte text n-grams
+    identically."""
+    return F.when(
+        F.length(col) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.length(col) - (n - 1)),
+                    lambda i: col.substr(i, F.lit(n))))
+
+
+def _hashed_gram_contrib(dim: int):
+    """(bucket, sign) expressions for an exploded n-gram column
+    ``_g`` — the hashing_vectorize md5 conventions (first 8 hex chars
+    → bucket, 9th hex digit parity → ±1), INTEGER-exact and
+    engine-portable."""
+    h = F.md5(F.col("_g"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % dim).cast("int")
+    sign = F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2
+                  == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    return bucket, sign
+
+
+def hashing_ngram_vectors_dense(df: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text", n: int = 3,
+                                dim: int = 128,
+                                out_col: str = "x") -> DataFrame:
+    """Dense signed char-n-gram hashed vectors — the LID featurizer
+    (:func:`hashing_vectors_dense`'s n-gram twin).  Lowercases first
+    so the head is case-blind.  Docs with no n-grams (len < n) are
+    absent."""
+    g = (df.select(F.col(id_col),
+                   F.explode(char_ngrams(F.lower(F.col(text_col)), n))
+                   .alias("_g")))
+    bucket, sign = _hashed_gram_contrib(dim)
+    sparse = (g.select(F.col(id_col), bucket.alias("bucket"),
+                       sign.alias("_w"))
+              .groupBy(id_col, "bucket")
+              .agg(F.sum("_w").alias("weight"))
+              .where(F.col("weight") != 0))
+    m = (sparse.groupBy(id_col)
+         .agg(F.map_from_arrays(F.collect_list("bucket"),
+                                F.collect_list("weight")).alias("_m")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(
+            F.element_at("_m", b.cast("int")).cast("double"), F.lit(0.0)))
+    return m.select(F.col(id_col), dense.alias(out_col))
+
+
+def train_lang_id(spark, dim: int = 128, n: int = 3, reg: float = 0.5,
+                  iters: int = 8,
+                  seed: tuple[tuple[str, str], ...] | None = None,
+                  engine: str = "arrow") -> dict:
+    """Fit the LID head on :data:`LANG_ID_SEED` (or a caller seed):
+    one one-vs-rest logistic head per language over shared hashed
+    char-n-gram features, each trained with the engine's own
+    distributed IRLS (:func:`~filters_spark.functions.projection.
+    logistic_fit` — same determinism contract as the quality heads:
+    literal inputs, exact DECIMAL Gram, fixed iterations, so the
+    micro-unit coefficients bake as plan literals).  Returns
+    ``{"langs", "dim", "n", "weights_micro": {lang: [int]},
+    "bias_micro": {lang: int}, "fits": {lang: dict}}``."""
+    from . import projection
+
+    rows = seed if seed is not None else LANG_ID_SEED
+    df = spark.createDataFrame(
+        [(i, t, lg) for i, (t, lg) in enumerate(rows)],
+        "sid long, text string, lang string")
+    dense = hashing_ngram_vectors_dense(df, "sid", "text", n=n, dim=dim)
+    feats = dense.join(df.select("sid", "lang"), "sid")
+    out: dict = {"langs": sorted({lg for _, lg in rows}), "dim": dim,
+                 "n": n, "weights_micro": {}, "bias_micro": {},
+                 "fits": {}}
+    for lang in out["langs"]:
+        f = feats.select(
+            "x", (F.col("lang") == lang).cast("int").alias("label"))
+        fit = projection.logistic_fit(f, vec_col="x", label_col="label",
+                                      dim=dim, reg=reg, iters=iters,
+                                      engine=engine)
+        out["weights_micro"][lang] = [round(w * 1e6)
+                                      for w in fit["weights"]]
+        out["bias_micro"][lang] = round(fit["intercept"] * 1e6)
+        out["fits"][lang] = fit
+    return out
+
+
+def lang_id_scores(df: DataFrame, weights_micro: dict,
+                   bias_micro: dict, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3) -> DataFrame:
+    """Language-ID inference, INTEGER-EXACT: per document, each
+    language's logit_micro = Σ_ngrams sign(g)·w_lang[bucket(g)] +
+    bias_lang — all K heads computed in ONE grouped aggregate over
+    one n-gram explode (the weight tables ride the plan as literal
+    arrays), then argmax with a deterministic tie-break
+    (lexicographically first language).  BIGINT end to end: no float
+    accumulation order exists, so predictions and logit sums are
+    hash-safe at any scale.
+
+    Returns ``(id_col, logit_<lang>..., lang_pred, logit_best)``.
+    Docs with no n-grams (len < n) are ABSENT — left-join against the
+    corpus if they matter (their prediction would be bias-argmax).
+    Scale shape: one explode + ONE map-side-combined shuffle keyed by
+    id; no joins, no vocabulary."""
+    langs = sorted(weights_micro)
+    dim = len(weights_micro[langs[0]])
+    g = (df.select(F.col(id_col),
+                   F.explode(char_ngrams(F.lower(F.col(text_col)), n))
+                   .alias("_g")))
+    bucket, sign = _hashed_gram_contrib(dim)
+    contribs = []
+    for lang in langs:
+        warr = F.array(*[F.lit(int(w)).cast("long")
+                         for w in weights_micro[lang]])
+        contribs.append(
+            (sign * F.element_at(warr, bucket + 1)).alias(f"_c_{lang}"))
+    per = (g.select(F.col(id_col), *contribs)
+           .groupBy(id_col)
+           .agg(*[(F.sum(f"_c_{lang}")
+                   + F.lit(int(bias_micro[lang])))
+                  .cast("long").alias(f"logit_{lang}")
+                  for lang in langs]))
+    # argmax: struct compare maxes the logit first; on an exact tie
+    # the larger -index wins = the lexicographically FIRST language
+    structs = [F.struct(F.col(f"logit_{lang}").alias("l"),
+                        F.lit(-i).alias("ni"))
+               for i, lang in enumerate(langs)]
+    best = F.array_max(F.array(*structs))
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return per.select(
+        F.col(id_col), *[f"logit_{lang}" for lang in langs],
+        F.element_at(lang_arr, (-best["ni"]) + 1).alias("lang_pred"),
+        best["l"].alias("logit_best"))
+
+
+# ---------------------------------------------------------------------------
 # Encoding repair (the ftfy pass every web-scale corpus runs before
 # anything else): double-encoded UTF-8 ("mojibake" — UTF-8 bytes that
 # were mis-decoded as cp1252/latin-1, so 'é' reads 'Ã©' and '’' reads

@@ -11915,7 +11915,7 @@ def val_map_mapper(spark, sf_dir):
 
 @register(
     "txt_html_strip",
-    oracle="""
+    oracle=r"""
     WITH b AS (
       SELECT doc_id,
              substr(regexp_replace(text, '[^a-zA-Z0-9 ]', 'x', 'g'),
