@@ -1219,8 +1219,8 @@ def _hashed_gram_contrib(dim: int):
 
 
 def hashing_ngram_vectors_dense(df: DataFrame, id_col: str = "doc_id",
-                                text_col: str = "text", n: int = 3,
-                                dim: int = 128,
+                                text_col: str = "text", n: int = 2,
+                                dim: int = 256,
                                 out_col: str = "x") -> DataFrame:
     """Dense signed char-n-gram hashed vectors — the LID featurizer
     (:func:`hashing_vectors_dense`'s n-gram twin).  Lowercases first
@@ -1245,7 +1245,7 @@ def hashing_ngram_vectors_dense(df: DataFrame, id_col: str = "doc_id",
     return m.select(F.col(id_col), dense.alias(out_col))
 
 
-def train_lang_id(spark, dim: int = 128, n: int = 3, reg: float = 0.5,
+def train_lang_id(spark, dim: int = 256, n: int = 2, reg: float = 0.5,
                   iters: int = 8,
                   seed: tuple[tuple[str, str], ...] | None = None,
                   engine: str = "arrow") -> dict:
@@ -1284,7 +1284,7 @@ def train_lang_id(spark, dim: int = 128, n: int = 3, reg: float = 0.5,
 
 def lang_id_scores(df: DataFrame, weights_micro: dict,
                    bias_micro: dict, id_col: str = "doc_id",
-                   text_col: str = "text", n: int = 3) -> DataFrame:
+                   text_col: str = "text", n: int = 2) -> DataFrame:
     """Language-ID inference, INTEGER-EXACT: per document, each
     language's logit_micro = Σ_ngrams sign(g)·w_lang[bucket(g)] +
     bias_lang — all K heads computed in ONE grouped aggregate over

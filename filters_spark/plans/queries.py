@@ -12885,3 +12885,127 @@ def rel_partitioned_prune(spark, sf_dir):
         F.sum("cents").cast("bigint").alias("cents_sum"),
         F.countDistinct("o_orderpriority").cast("bigint")
         .alias("n_prios"))
+
+
+# ---------------------------------------------------------------------------
+# Round 9: trained language identification (VERDICT r8 next #4).
+# ---------------------------------------------------------------------------
+
+#: Held-out gate snippets (3 per language, DISJOINT from
+#: text.LANG_ID_SEED — the head must generalize, not memorize; the
+#: round-9 sweep picked bigram features over trigrams for exactly
+#: this: n=3/dim=128 scored 8/15 held-out, n=2/dim=256 scores 15/15).
+#: Chinese is written as \uXXXX escapes (heredoc-mangling rule).
+_LID_SNIPPETS: list[tuple[str, str]] = [
+    ("de", "bitte schliesse das fenster bevor du das haus verlaesst"),
+    ("de", "wir gehen zum markt um frisches brot zu kaufen"),
+    ("de", "meine lieblingsjahreszeit ist der fruehe herbst"),
+    ("en", "please close the window before you leave the house"),
+    ("en", "we are going to the market to buy fresh bread"),
+    ("en", "my favorite season of the year is early autumn"),
+    ("es", "por favor cierra la ventana antes de salir de la casa"),
+    ("es", "vamos al mercado a comprar pan fresco"),
+    ("es", "mi estacion favorita del ano es el otono"),
+    ("fr", "ferme la fenetre avant de quitter la maison s il te plait"),
+    ("fr", "nous allons au marche pour acheter du pain frais"),
+    ("fr", "ma saison preferee de l annee est le debut de l automne"),
+    ("zh", "\u8bf7\u5728\u79bb\u5f00\u5bb6\u4e4b\u524d\u5173\u4e0a\u7a97\u6237"),
+    ("zh", "\u6211\u4eec\u53bb\u5e02\u573a\u4e70\u65b0\u9c9c\u7684\u9762\u5305"),
+    ("zh", "\u6211\u4e00\u5e74\u4e2d\u6700\u559c\u6b22\u7684\u5b63\u8282\u662f\u521d\u79cb")
+]
+
+# Generated by tools/gen_lid.py — baked LID head (n=2 char-grams, dim=256,
+# reg=0.5, iters=8 on text.LANG_ID_SEED); bake pinned by TestLangId.
+_LID_W_MICRO = {
+    "de": [-178549, -67934, -96638, -233200, 217120, -335903, -24609, 0, 0, 77864, 0, 6970, -61706, -247645, 10888, 0, 0, -32624, 3802, -238944, 46950, 0, 1793, -266788, -361073, 0, 0, -724111, 22816, 0, 0, 66896, -3904, 0, -56433, -131083, -145880, -29421, 533517, 19310, -114174, 0, 0, 209787, 79627, 149217, 20230, 79171, -267996, 0, -42609, -22564, -149304, 0, -180091, 10440, 36603, 20230, 181757, 18231, 120033, -68983, 0, 59460, -25879, 65339, -43648, 17583, 217712, 536355, -25879, 202113, 11555, 29815, 24609, 74533, 0, 0, 25995, 157381, 52048, -264836, -7273, 69972, 18620, 0, 88667, -3143, 0, 188838, 140842, -24609, -93319, -259980, -191249, 0, -146471, 0, -147725, -116972, -126887, 21312, 0, -22451, 39101, 0, -85975, -18620, 188990, -34697, 35941, -98353, 25416, 49378, 266718, -226858, -154063, 0, -269313, -371194, 120202, 22816, 71046, 0, 25879, -32344, 0, 49442, 26787, -20230, 0, -79505, 61328, -46045, -182318, -36416, -254973, 303244, 66868, -190585, -16627, 0, 0, 174222, 324997, -46251, -298200, 0, 68438, -23022, 41983, -3864, -39553, 0, 0, -128043, 137565, -97217, -61019, -46975, 143221, 0, -46597, -35579, -280343, -13370, 88262, -58297, -16465, 61085, -147892, 0, -29421, -39763, 0, 18508, 92585, 29421, -329406, -4385, 51325, 29421, 243985, -127919, 0, 0, 70589, -15815, -94812, 0, -9698, -34697, 0, -82461, 0, 62788, 196341, -84093, 0, 0, 0, -41505, 37404, 114252, -176722, -81147, -12998, 5142, -166335, 19487, -8902, 0, 80885, 194942, 0, 0, -204950, 188191, 232051, 24609, 0, 412017, 0, 37711, -2728, -36933, 159053, -82061, -131068, -51090, 0, 256652, 0, 245568, -244673, -48962, -18620, -653619, 0, -44500, -121661, 0, 3986, -189369, 0, -6245, 274456, 115086, 0, 29555, 68731, 0, -44111, 53509, -13746, 18620],
+    "en": [114816, 112790, -24513, 304300, -11724, 84744, -19625, 0, 0, 44669, 0, 47118, -50908, -181518, -386, 0, 0, 108606, -84237, -233464, 7423, 0, -13308, 69598, -56980, 0, 0, 70513, 32932, 0, 0, 9754, 128848, 0, -241441, -136006, 241152, -27008, -286330, -55385, -144094, 0, 0, -206380, -76229, -223740, 27509, 1158, -146066, 0, -2012, -135216, 470648, 0, 84106, -49334, 74183, 27509, -390443, 29067, -2061, 142667, 0, -92644, 117556, -249388, -57362, 261550, -102467, 137498, 117556, 9364, 50983, 53692, 19625, 262581, 0, 0, 25989, -190890, -32255, 17078, 102519, 12327, -151528, 0, -80837, 508709, 0, -263815, -71245, -19625, 308986, 165409, -222649, 0, 28533, 0, -42969, -25888, 95422, 13320, 0, -119561, -10234, 0, 245685, 151528, 111995, -11941, 133061, 178784, 28294, 273835, 16160, 13732, -104046, 0, 52702, 34368, -89954, 32932, 101215, 0, -117556, 58066, 0, 16398, 248679, -27509, 0, 289521, -67944, -9807, 47846, 9908, 358711, -925450, 99789, 10997, 9702, 0, 0, -193336, -85637, -90527, -223804, 0, 19263, -4903, -63558, 52136, -16488, 0, 0, 51851, -7585, 97338, 267591, -273012, -242878, 0, 103739, -86195, -183726, -75185, 417660, -111684, 17127, 30578, 107173, 0, -27008, 260898, 0, -239675, 101649, 27008, -174155, -78352, -35662, 27008, -29080, -18664, 0, 0, 15052, -125116, -39692, 0, -64095, -11941, 0, 101, 0, 36718, -51780, 368060, 0, 0, 0, -126896, 4521, -39180, -18831, -133526, -45585, 15713, 58941, 64791, 15411, 0, -171865, -146157, 0, 0, 50027, 60790, -599626, 19625, 0, -330052, 0, 577698, -16977, 79416, -96701, 86541, -73598, 77631, 0, -254879, 0, 180902, -237140, -201593, 151528, 263484, 0, 269083, 194619, 0, -129862, 303120, 0, -81685, 146304, -22322, 0, -77261, -173633, 0, 88488, -164887, -5720, -151528],
+    "es": [45527, -116343, -59414, 12012, 27842, 1166, -22175, 0, 0, 27865, 0, 41015, -45392, 12117, 14584, 0, 0, -345488, 204764, 273860, 22839, 0, 9486, 590922, 60165, 0, 0, 355107, 12688, 0, 0, -42811, -276993, 0, 158375, 155050, -122035, -13813, 366326, 174491, 117472, 0, 0, 76937, 46879, -94962, 40822, 14173, 152967, 0, -35350, 2935, 434459, 0, 15005, -251395, 116825, 40822, 40555, 26584, 111993, 51640, 0, 153540, -16988, 351850, -68527, -191543, -96578, -34721, -16988, -110172, 27120, -58272, 22175, -61150, 0, 0, -101988, 133768, 7991, 166501, -11338, -33827, 16444, 0, -115390, 41778, 0, -30294, -28306, -22175, -39767, 61463, 42018, 0, 12399, 0, 869, 195014, -168337, -136948, 0, 185908, -12186, 0, -38001, -16444, -377845, -15862, -24445, 93137, 41943, -260984, 52769, 150511, 230461, 0, -93829, 361103, 96981, 12688, 149848, 0, 16988, 86622, 0, -26756, 23344, -40822, 0, -59731, 88991, 113332, 23736, 6537, -216041, 215881, -3542, 63704, -4384, 0, 0, -90058, -263326, -98478, 183258, 0, 487351, 56666, -31131, -111454, -13707, 0, 0, 22996, 9915, -6767, -364959, 34087, 11323, 0, 54629, -465982, 202311, -9566, -123765, 25838, 10722, -3272, -28909, 0, -13813, -30276, 0, 197718, -49505, 13813, 965085, 3577, -4893, 13813, 166096, 75894, 0, 0, -183217, 94733, 51760, 0, -72779, -15862, 0, 119869, 0, -132378, -60563, 113172, 0, 0, 0, -20685, -146663, -39312, 7665, 7285, 21345, -106817, 36263, 45509, 48889, 0, 85517, -32134, 0, 0, 8060, -92881, 382917, 22175, 0, 70246, 0, 8969, -31764, 67755, 242915, 81891, -50114, -34561, 0, 33175, 0, 223933, 122835, -188527, -16444, 141097, 0, -33432, -109064, 0, -48157, -297060, 0, 425697, -67884, -31640, 0, 45688, -106556, 0, -43572, 421696, 1810, 16444],
+    "fr": [-73756, -218512, 357956, 49928, -147914, -2920, -7926, 0, 0, 9767, 0, -94637, 61691, 155047, -2197, 0, 0, 63868, -117636, 374459, -40878, 0, -1559, -14531, 131810, 0, 0, 345403, 9484, 0, 0, 34934, 123363, 0, -333163, 59516, -196616, -4657, -122438, -34861, -19889, 0, 0, 47079, -20178, 287149, 3691, -35635, 434262, 0, 70412, 6514, -376308, 0, 7805, 77841, -154161, 3691, 100282, 4211, -311454, -160340, 0, -15732, -11624, -56262, 80180, -69861, 67965, -390664, -11624, 20496, -89363, -12565, 7926, -82259, 0, 0, 51984, -280888, 1503, 91254, -40891, -30705, 39439, 0, -35123, -407450, 0, -701395, 32071, -7926, 18116, 44571, 83712, 0, -4837, 0, 116800, -84901, -35019, 18635, 0, -130889, -778, 0, 14319, -39439, 936, -8219, -83000, -87402, -84391, -316014, -114423, -67502, -105184, 0, 53160, -431453, -83709, 9484, -207334, 0, 11624, -37865, 0, -544, -158243, -3691, 0, -86083, -361532, -20345, 33311, 8939, -23684, 215435, -36409, 67922, -77074, 0, 0, 160421, 278794, 81506, 130878, 0, -639255, -10173, -10891, 56195, -6788, 0, 0, 9308, -199071, -34667, 38301, 189407, 101857, 0, -118366, 380993, -191738, 168379, -97033, 70133, -4009, -144451, 132185, 0, -4657, -81826, 0, -74955, -72029, 4657, -43783, -30801, -5003, 4657, -159235, 50138, 0, 0, -6132, -4324, 27176, 0, 225328, -8219, 0, -11406, 0, -46747, 62437, -187842, 0, 0, 0, 197521, 60916, -79236, 138885, 39331, 37582, 39800, 46943, -113073, -70494, 0, 66653, -93812, 0, 0, -174744, -58650, -402614, 7926, 0, -154657, 0, -277825, 130691, -76531, -387229, -61610, 217285, -2805, 0, -50561, 0, -258353, 130993, 437329, -39439, 64120, 0, -51063, 207943, 0, 186526, -40101, 0, -173877, -229167, -7117, 0, -7421, 324584, 0, -15835, -100219, 3109, 39439],
+    "zh": [82588, 171825, -298442, -192919, 3360, 190419, 86055, 0, 0, -129067, 0, 3440, 74484, 163509, -30522, 0, 0, 185877, -70434, -253977, 476, 0, -8684, -297530, 223064, 0, 0, -144460, -77371, 0, 0, -32664, 52468, 0, 413068, 5834, 215186, 57563, -442474, -33692, 115847, 0, 0, -161156, -56740, -88154, -85623, -88158, -206392, 0, 13045, 106531, -356001, 0, 25640, 172953, -64500, -85623, -34544, -69654, 88436, 22258, 0, -106426, -35027, -128223, 68497, 28995, -86005, -374133, -35027, -87680, -4277, -12293, -86055, -133256, 0, 0, 28463, 59504, 27817, -33912, -32721, 24034, 43578, 0, 92140, -94008, 0, 796319, -60867, 86055, -130228, -20434, 186175, 0, 109678, 0, 7416, 61709, 145367, 45973, 0, 22208, -16402, 0, -89745, -43578, 48697, 63578, -45682, -67019, 1157, 309241, -101482, 158327, 63065, 0, 227333, 284977, 45351, -77371, -83640, 0, 35027, -43231, 0, -51261, -175632, 85623, 0, -54380, 220884, -47116, 49727, 24877, 200751, 168834, -126683, 43019, 88387, 0, 0, -96017, -180206, 101031, 191283, 0, 45188, -23558, 38510, -33476, 56951, 0, 0, 53456, 90952, 65169, 68805, 103141, 24348, 0, -9233, 152577, 393918, -33721, -247208, 69234, -6077, -114471, 19329, 0, 57563, -51003, 0, 198934, -4851, -57563, -348392, 56289, -16591, -57563, -285820, 81271, 0, 0, 106568, 65514, 39084, 0, -13937, 63578, 0, -22239, 0, 57113, -130536, -191638, 0, 0, 0, -193561, 16533, -21667, -99749, 131673, -55641, 33414, 48204, 22968, 16906, 0, -15528, 36664, 0, 0, 392703, -80797, 305454, -86055, 0, 49207, 0, -364057, -10497, -78182, 94690, -23408, -160741, -14234, 0, 10181, 0, -338873, 233958, -5282, -43578, 239546, 0, -78605, -99698, 0, -77557, 193809, 0, -158571, -169408, -31391, 0, 9576, -103455, 0, 34627, -174257, 7926, 43578],
+}
+_LID_B_MICRO = {"de": -3898058, "en": -4064918, "es": -4388139, "fr": -6117769, "zh": 2635342}
+
+
+def _lid_sql() -> str:
+    langs = sorted(_LID_W_MICRO)
+    vals = ", ".join(
+        f"({i}, '{lg}', '{txt}')"
+        for i, (lg, txt) in enumerate(_LID_SNIPPETS))
+    sums = ",\n             ".join(
+        "CAST(sum(sgn * ([" + ", ".join(map(str, _LID_W_MICRO[lg]))
+        + "])[b]) AS BIGINT) + " + str(_LID_B_MICRO[lg]) + f" AS l_{lg}"
+        for lg in langs)
+    # argmax cascade, alphabetical = the tie-break Spark uses
+    arms = []
+    for i, lg in enumerate(langs[:-1]):
+        rest = ", ".join(f"l_{o}" for o in langs[i + 1:])
+        g = f"greatest({rest})" if "," in rest else rest
+        arms.append(f"WHEN l_{lg} >= {g} THEN '{lg}'")
+    cascade = " ".join(arms) + f" ELSE '{langs[-1]}' END"
+    best = "greatest(" + ", ".join(f"l_{lg}" for lg in langs) + ")"
+    return f"""
+    WITH snip(sid, tlang, stext) AS (VALUES {vals}),
+    grams AS (
+      SELECT sid, md5(substr(stext, CAST(i AS INT), 2)) AS h
+      FROM snip, unnest(range(1, length(stext))) t(i)
+    ), c AS (
+      SELECT sid,
+             CASE WHEN CAST(concat('0x', substr(h, 9, 1)) AS BIGINT)
+                       % 2 = 0 THEN 1 ELSE -1 END AS sgn,
+             CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT)
+                  % 256 AS INT) + 1 AS b
+      FROM grams
+    ), logits AS (
+      SELECT sid,
+             {sums}
+      FROM c GROUP BY sid
+    ), pred AS (
+      SELECT sid, CASE {cascade} AS lang_pred, {best} AS logit_best
+      FROM logits
+    ), docs AS (
+      SELECT doc_id, source, CAST(doc_id % 15 AS INT) AS sid
+      FROM documents
+    )
+    SELECT d.source, s.tlang AS true_lang, p.lang_pred AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p.logit_best) AS BIGINT) AS logit_sum
+    FROM docs d
+    JOIN snip s ON d.sid = s.sid
+    JOIN pred p ON d.sid = p.sid
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("ds_lang_id", oracle=_lid_sql())
+def ds_lang_id(spark, sf_dir):
+    """Trained language identification under the value hash
+    (text.lang_id_scores — the fastText-LID shape: char-bigram hashed
+    features, five one-vs-rest logistic heads fit by the engine's own
+    IRLS on text.LANG_ID_SEED, coefficients baked as micro-unit
+    INTEGER plan literals): every downstream curation op keys on
+    `lang`, and until now nothing MEASURED it.  Each document gets a
+    HELD-OUT multilingual snippet planted by doc_id % 15 (disjoint
+    from the training seed — the gate exercises generalization), the
+    head predicts argmax over five BIGINT logits (deterministic
+    alphabetical tie-break), and the per-(source, true_lang,
+    pred_lang) confusion rollup with logit sums rides the hash — all
+    integer, no float accumulation order exists.  The oracle replays
+    inference n-gram-by-n-gram from the same md5 bucket/sign
+    conventions and the same baked weights.  Bake ≡ live refit and
+    15/15 held-out accuracy are pytest-pinned (TestLangId).  Scale
+    shape: one n-gram explode + ONE map-side-combined shuffle keyed
+    by doc + the rollup — no joins, no vocabulary, 100 TB-safe."""
+    d = _t(spark, sf_dir, "documents")
+    lang_arr = F.array(*[F.lit(lg) for lg, _ in _LID_SNIPPETS])
+    snip_arr = F.array(*[F.lit(t) for _, t in _LID_SNIPPETS])
+    sid = (F.col("doc_id") % 15).cast("int")
+    planted = d.select(
+        "doc_id", "source",
+        F.element_at(lang_arr, sid + 1).alias("true_lang"),
+        F.element_at(snip_arr, sid + 1).alias("text"))
+    scored = text.lang_id_scores(planted, _LID_W_MICRO, _LID_B_MICRO)
+    return (planted.join(scored, "doc_id")
+            .groupBy("source", "true_lang",
+                     F.col("lang_pred").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("logit_best").cast("long").alias("logit_sum")))

@@ -630,3 +630,58 @@ class TestHashedQualityClassifier:
         for r in dense:
             dot = sum(int(c) * w for c, w in zip(r["v"], _FTQ_W_MICRO))
             assert tok[r["sid"]] == dot + _FTQ_B_MICRO
+
+
+class TestLangId:
+    """Pin the baked LID head (queries._LID_W_MICRO/_LID_B_MICRO) to
+    a live refit through the engine (text.train_lang_id: hashed
+    char-bigram features -> 5 one-vs-rest IRLS heads), plus the
+    held-out generalization the gate relies on and the decision
+    margins that make the micro-unit bake rounding provably unable to
+    flip any prediction."""
+
+    def test_bake_matches_refit(self, spark):
+        from filters_spark.functions import text as T
+        from filters_spark.plans.queries import (_LID_B_MICRO,
+                                                 _LID_W_MICRO)
+
+        m = T.train_lang_id(spark)
+        assert m["langs"] == sorted(_LID_W_MICRO)
+        assert m["weights_micro"] == _LID_W_MICRO
+        assert m["bias_micro"] == _LID_B_MICRO
+
+    def test_train_and_heldout_predictions(self, spark):
+        from filters_spark.functions import text as T
+        from filters_spark.plans.queries import (_LID_B_MICRO,
+                                                 _LID_SNIPPETS,
+                                                 _LID_W_MICRO)
+
+        both = [(t, lg) for t, lg in T.LANG_ID_SEED] \
+            + [(t, lg) for lg, t in _LID_SNIPPETS]
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(both)],
+            "doc_id long, text string")
+        scored = {r["doc_id"]: r for r in T.lang_id_scores(
+            df, _LID_W_MICRO, _LID_B_MICRO).collect()}
+        langs = sorted(_LID_W_MICRO)
+        for i, (t, want) in enumerate(both):
+            r = scored[i]
+            assert r["lang_pred"] == want, (t, r["lang_pred"])
+            # decision margin: best beats every other head by far
+            # more than the bake rounding bound (<= 0.5 micro per
+            # n-gram occurrence, so ~len(t) micro per head pair)
+            others = [r[f"logit_{lg}"] for lg in langs if lg != want]
+            assert r[f"logit_{want}"] - max(others) > 4 * len(t)
+
+    def test_short_and_empty_text(self, spark):
+        from filters_spark.functions import text as T
+        from filters_spark.plans.queries import (_LID_B_MICRO,
+                                                 _LID_W_MICRO)
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, None), (4, "ab")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["lang_pred"] for r in T.lang_id_scores(
+            df, _LID_W_MICRO, _LID_B_MICRO).collect()}
+        # < n chars (or null): no n-grams -> absent by contract
+        assert set(out) == {4}

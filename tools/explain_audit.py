@@ -424,6 +424,9 @@ EXPECTATIONS: dict[str, dict] = {
     # hashed classifier: token shuffle keyed by doc + source join +
     # per-source rollup (join broadcasts at audit scale).
     "ds_fasttext_quality": dict(max_exchanges=4),
+    # LID: one n-gram shuffle keyed by doc + the confusion rollup;
+    # the join-back side broadcasts.
+    "ds_lang_id": dict(max_exchanges=2, pushed=True),
     # v8 governed ingest: validated-commit agg inside the gate runs
     # eagerly; the returned plan is the scored rollup + two broadcast
     # stitches + the change-feed diff join.
