@@ -1125,7 +1125,193 @@ def hashing_vectors_dense(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
-# Trained language identification (VERDICT r8 next #4): the fastText-
+# Unigram-LM-style tokenizer (VERDICT r8 next #5) — the OTHER
+# tokenizer family real pipelines train (SentencePiece; Kudo 2018,
+# "Subword Regularization").  Same architecture as the reference
+# algorithm — seed a large candidate vocabulary from frequent
+# substrings, then iteratively SEGMENT the corpus and PRUNE the
+# vocabulary to the pieces the segmentation actually uses — with one
+# deliberate semantic delta, stated for parity: the reference scores
+# segmentations with log-probability EM/Viterbi (floats — engine-
+# and accumulation-order-sensitive), while this trainer uses greedy
+# LONGEST-MATCH segmentation and integer usage counts as the prune
+# criterion, so training and application are BIGINT-exact end to end
+# and the whole loop (seed → segment → prune → re-segment) replays
+# in a DuckDB oracle (txt_unigram_tokenize).
+#
+# Scale shape mirrors bpe_train: ONE corpus pass folds the token
+# stream to (word, freq) and a second builds weighted substring
+# counts; every later iteration works on the VOCABULARY (distinct
+# words), never the corpus.  Application to a corpus goes through
+# the same fold: segment each DISTINCT word once, join back.
+
+def _by_len(vocab: list[str]) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for p in vocab:
+        out.setdefault(len(p), []).append(p)
+    return out
+
+
+def unigram_segment(col: Column, vocab: list[str],
+                    max_piece_len: int = 4) -> Column:
+    """Greedy longest-match segmentation of ``col`` against a literal
+    piece vocabulary — array<string> of pieces.  At each position the
+    longest vocab piece starting there is taken; a character not
+    covered by the vocabulary stands as its own piece (char-level
+    fallback — total coverage, no UNK).  Pure expression: the vocab
+    rides the plan as literal lists keyed by piece length, the scan
+    is one ``aggregate`` over ``sequence(1, length)`` (iterations
+    bounded by the string length — apply this to FOLDED DISTINCT
+    WORDS and join back, never to raw documents; see
+    :func:`unigram_token_counts`)."""
+    by_len = _by_len([p for p in vocab if len(p) > 1])
+
+    def piece_at(pos: Column) -> Column:
+        expr = col.substr(pos, F.lit(1))
+        for ln in sorted(by_len):           # longest ends up outermost
+            cand = col.substr(pos, F.lit(ln))
+            expr = F.when(cand.isin(*by_len[ln]), cand).otherwise(expr)
+        return expr
+
+    init = F.struct(F.lit(1).cast("int").alias("pos"),
+                    F.array().cast("array<string>").alias("ps"))
+
+    def step(acc, _):
+        piece = piece_at(acc["pos"])
+        return F.when(acc["pos"] > F.length(col), acc).otherwise(
+            F.struct((acc["pos"] + F.length(piece)).cast("int")
+                     .alias("pos"),
+                     F.concat(acc["ps"], F.array(piece)).alias("ps")))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+        init, step)["ps"]
+
+
+def _wordfreq(df: DataFrame, text_col: str, sep: str) -> DataFrame:
+    return (df.select(F.explode(F.split(F.col(text_col), sep))
+                      .alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+
+
+def _unigram_loop(wordfreq: list[tuple[str, int]], seed_size: int,
+                  vocab_size: int, max_piece_len: int,
+                  prune_iters: int) -> list[str]:
+    """Driver-side trainer core over the folded (word, freq) list —
+    the ``bpe_train(engine='driver')`` boundary: corpus-sized work
+    already happened; this is pure vocabulary-sized Python, and the
+    Spark engine must produce EXACTLY this (pytest-pinned)."""
+    chars = sorted({c for w, _ in wordfreq for c in w})
+    subs: dict[str, int] = {}
+    for w, f in wordfreq:
+        for ln in range(2, max_piece_len + 1):
+            for i in range(len(w) - ln + 1):
+                p = w[i:i + ln]
+                subs[p] = subs.get(p, 0) + f
+    seed = [p for p, _ in sorted(subs.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+            [:seed_size]]
+    vocab = sorted(set(chars) | set(seed))
+
+    def segment(w: str, by_len: dict[int, set]) -> list[str]:
+        out, pos = [], 0
+        while pos < len(w):
+            for ln in range(max_piece_len, 1, -1):
+                if w[pos:pos + ln] in by_len.get(ln, ()):
+                    out.append(w[pos:pos + ln])
+                    pos += ln
+                    break
+            else:
+                out.append(w[pos])
+                pos += 1
+        return out
+
+    for _ in range(prune_iters):
+        by_len = {ln: set(ps) for ln, ps in _by_len(
+            [p for p in vocab if len(p) > 1]).items()}
+        usage: dict[str, int] = {}
+        for w, f in wordfreq:
+            for p in segment(w, by_len):
+                if len(p) > 1:
+                    usage[p] = usage.get(p, 0) + f
+        kept = [p for p, _ in sorted(usage.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))
+                [:vocab_size]]
+        vocab = sorted(set(chars) | set(kept))
+    return vocab
+
+
+def unigram_train(df: DataFrame, text_col: str = "text",
+                  sep: str = " ", seed_size: int = 48,
+                  vocab_size: int = 24, max_piece_len: int = 4,
+                  prune_iters: int = 2,
+                  engine: str = "spark") -> list[str]:
+    """Train the unigram-style piece vocabulary (module note above).
+    Returns the final vocabulary, sorted — single characters (never
+    pruned: they are the coverage floor) plus the top ``vocab_size``
+    multi-character pieces by (segmentation usage desc, piece), after
+    ``prune_iters`` segment-then-prune rounds over a ``seed_size``
+    frequent-substring seed.
+
+    ``engine='driver'`` collects the folded (word, freq) vocabulary
+    once and trains in-process (the production path — iterations are
+    pure Python over distinct words); ``engine='spark'`` runs each
+    segment+usage round as a vocabulary-sized Spark job (the
+    SQL-replayable gate shape).  Both are exactly equal on the same
+    input (pytest-pinned: identical greedy longest-match semantics
+    and (usage desc, piece) tie-break)."""
+    if engine not in ("spark", "driver"):
+        raise ValueError(
+            f"engine must be 'spark' or 'driver', got {engine!r}")
+    wf = _wordfreq(df, text_col, sep)
+    if engine == "driver":
+        return _unigram_loop(
+            [(r["w"], int(r["f"])) for r in wf.collect()],
+            seed_size, vocab_size, max_piece_len, prune_iters)
+    from ._cache import scoped_persist
+
+    words = scoped_persist(wf, "unigram_words")
+    chars = sorted({r["c"] for r in words.select(
+        F.explode(F.split("w", "")).alias("c"))
+        .where(F.col("c") != "").distinct().collect()})
+    sub_arrays = F.flatten(F.filter(F.transform(
+        F.sequence(F.lit(2), F.lit(max_piece_len)),
+        lambda ln: F.when(
+            F.length("w") >= ln,
+            F.transform(F.sequence(F.lit(1), F.length("w") - ln + 1),
+                        lambda i: F.col("w").substr(i, ln)))
+        .otherwise(F.array().cast("array<string>"))),
+        lambda a: a.isNotNull()))
+    seed_rows = (words.select(F.explode(sub_arrays).alias("p"), "f")
+                 .groupBy("p").agg(F.sum("f").alias("c"))
+                 .orderBy(F.col("c").desc(), "p")
+                 .limit(seed_size).collect())       # bounded: seed_size
+    vocab = sorted(set(chars) | {r["p"] for r in seed_rows})
+    for _ in range(prune_iters):
+        pieces = unigram_segment(F.col("w"), vocab, max_piece_len)
+        kept = (words.select(F.explode(pieces).alias("p"), "f")
+                .where(F.length("p") > 1)
+                .groupBy("p").agg(F.sum("f").alias("c"))
+                .orderBy(F.col("c").desc(), "p")
+                .limit(vocab_size).collect())       # bounded: vocab_size
+        vocab = sorted(set(chars) | {r["p"] for r in kept})
+    return vocab
+
+
+def unigram_token_counts(df: DataFrame, vocab: list[str],
+                         text_col: str = "text", sep: str = " ",
+                         max_piece_len: int = 4) -> DataFrame:
+    """Corpus piece-frequency table under a trained unigram vocab:
+    fold to (word, freq), segment each DISTINCT word once
+    (:func:`unigram_segment` — the longest-match expression never
+    touches raw documents), explode weighted.  Returns (piece,
+    n bigint), n > 0.  One fold shuffle + one vocabulary-sized
+    rollup."""
+    wf = _wordfreq(df, text_col, sep)
+    pieces = unigram_segment(F.col("w"), vocab, max_piece_len)
+    return (wf.select(F.explode(pieces).alias("piece"), "f")
+            .groupBy("piece").agg(F.sum("f").cast("long").alias("n")))
 # LID shape — char-n-gram hashed features -> K one-vs-rest logistic
 # heads fit by the engine's own IRLS -> micro-unit INTEGER inference
 # (the hashed_quality_logit_micro discipline), so every downstream

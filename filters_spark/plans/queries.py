@@ -13009,3 +13009,98 @@ def ds_lang_id(spark, sf_dir):
                      F.col("lang_pred").alias("pred_lang"))
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.sum("logit_best").cast("long").alias("logit_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Round 9: unigram-LM-style tokenizer (VERDICT r8 next #5).
+# ---------------------------------------------------------------------------
+
+_UNI_SEED, _UNI_VOCAB, _UNI_MAXLEN, _UNI_ITERS = 48, 24, 4, 2
+
+
+def _unigram_sql() -> str:
+    """Unrolled-iteration oracle for txt_unigram_tokenize: the full
+    trainer — substring seed, two segment-then-prune rounds, final
+    application — replayed in DuckDB, with greedy longest-match
+    segmentation as a recursive CTE per round (one row per consumed
+    piece; pos advances by the matched length)."""
+
+    def seg(name: str, vocab: str) -> str:
+        cases = ",\n        ".join(
+            f"CASE WHEN substr(w, pos, {L}) IN (SELECT p FROM {vocab} "
+            f"WHERE length(p) = {L}) THEN substr(w, pos, {L}) END"
+            for L in range(_UNI_MAXLEN, 1, -1))
+        return f"""{name}(w, f, pos, piece) AS (
+  SELECT w, f, 1, CAST(NULL AS VARCHAR) FROM words
+  UNION ALL
+  SELECT w, f, pos + length(nxt), nxt FROM (
+    SELECT w, f, pos,
+      COALESCE(
+        {cases},
+        substr(w, pos, 1)) AS nxt
+    FROM {name} WHERE pos <= length(w))
+)"""
+
+    subs = "\n  UNION ALL\n".join(
+        f"""  SELECT substr(w, CAST(i AS INT), {L}) AS p, f
+  FROM words, unnest(range(1, length(w) - {L} + 2)) t(i)
+  WHERE length(w) >= {L}""" for L in range(2, _UNI_MAXLEN + 1))
+    parts = [f"""
+WITH RECURSIVE
+w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w0
+          WHERE w <> '' GROUP BY w),
+chars AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS p
+          FROM words, unnest(range(1, length(w) + 1)) t(i)),
+subs AS (
+  SELECT p, sum(f) AS c FROM (
+{subs}
+  ) GROUP BY p
+),
+seed AS (SELECT p FROM subs ORDER BY c DESC, p LIMIT {_UNI_SEED}),
+v0 AS (SELECT p FROM chars UNION SELECT p FROM seed)"""]
+    for it in range(1, _UNI_ITERS + 1):
+        parts.append(f"""{seg(f"seg{it}", f"v{it - 1}")},
+k{it} AS (SELECT piece AS p FROM seg{it}
+       WHERE piece IS NOT NULL AND length(piece) > 1
+       GROUP BY piece ORDER BY sum(f) DESC, piece LIMIT {_UNI_VOCAB}),
+v{it} AS (SELECT p FROM chars UNION SELECT p FROM k{it})""")
+    final = _UNI_ITERS + 1
+    parts.append(f"""{seg(f"seg{final}", f"v{_UNI_ITERS}")}
+SELECT piece, CAST(sum(f) AS BIGINT) AS n
+FROM seg{final} WHERE piece IS NOT NULL GROUP BY piece""")
+    return ",\n".join(parts)
+
+
+@register("txt_unigram_tokenize", oracle=_unigram_sql())
+def txt_unigram_tokenize(spark, sf_dir):
+    """Unigram-LM-style tokenizer under the value hash
+    (text.unigram_train + unigram_token_counts — the SentencePiece
+    shape beside BPE: seed a candidate vocabulary from frequent
+    substrings, iteratively segment the folded corpus and PRUNE to
+    the pieces segmentation actually uses, then apply as a
+    longest-match expression; the documented semantic delta from the
+    reference — greedy longest-match + integer usage counts instead
+    of float log-prob EM/Viterbi — is what makes the WHOLE training
+    loop BIGINT-exact and SQL-replayable).  The oracle unrolls every
+    iteration: substring seed (top {seed}), two segment+prune rounds
+    (recursive longest-match CTEs, keep top {voc} multi-char pieces
+    by usage desc then piece), final application — a drifted
+    tie-break, a wrong match length, or a prune off by one piece
+    shifts the (piece, n) table and fails the hash.  Engine parity
+    (spark ≡ driver trainer) is pytest-pinned (TestUnigram).  Scale
+    shape: two corpus folds (words, then weighted substrings);
+    every iteration touches only DISTINCT WORDS; the per-iteration
+    top-K collects are seed/vocab-sized driver boundaries (the BPE
+    argmax contract)."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = text.unigram_train(
+        d, seed_size=_UNI_SEED, vocab_size=_UNI_VOCAB,
+        max_piece_len=_UNI_MAXLEN, prune_iters=_UNI_ITERS,
+        engine="spark")
+    return text.unigram_token_counts(d, vocab,
+                                     max_piece_len=_UNI_MAXLEN)
+
+
+txt_unigram_tokenize.__doc__ = txt_unigram_tokenize.__doc__.replace(
+    "{seed}", str(_UNI_SEED)).replace("{voc}", str(_UNI_VOCAB))

@@ -631,3 +631,75 @@ class TestFrequentLinesMinChars:
             assert out[d]["text"].startswith("-\n"), d
             assert "cookie banner" not in out[d]["text"], d
             assert out[d]["n_removed"] == 1, d
+
+
+class TestUnigram:
+    """unigram_train / unigram_segment / unigram_token_counts: greedy
+    longest-match semantics, prune behavior, char-fallback coverage,
+    and spark ≡ driver engine parity (the corpus-scale arithmetic is
+    hash-gated by txt_unigram_tokenize)."""
+
+    def _df(self, spark, texts):
+        from pyspark.sql import Row
+        return spark.createDataFrame([Row(text=t) for t in texts])
+
+    def test_longest_match_and_fallback(self, spark):
+        from filters_spark.functions import text as T
+
+        df = spark.createDataFrame([("hello",), ("held",), ("luxq",)],
+                                   "w string")
+        vocab = ["h", "e", "l", "o", "d", "u", "he", "ll", "lo", "hell"]
+        out = {r["w"]: r["ps"] for r in df.select(
+            "w", T.unigram_segment(F.col("w"), vocab).alias("ps"))
+            .collect()}
+        assert out["hello"] == ["hell", "o"]     # longest wins
+        assert out["held"] == ["he", "l", "d"]
+        # 'x'/'q' not in vocab: char fallback keeps total coverage
+        assert out["luxq"] == ["lu", "x", "q"] or \
+            out["luxq"] == ["l", "u", "x", "q"]
+
+    def test_engines_exactly_equal(self, spark):
+        from filters_spark.functions import text as T
+
+        df = self._df(spark, [
+            "spark spark sparkle park parking",
+            "ark bark barking spar sparse",
+            "mark market marking spark park"])
+        a = T.unigram_train(df, seed_size=20, vocab_size=8,
+                            prune_iters=3, engine="spark")
+        b = T.unigram_train(df, seed_size=20, vocab_size=8,
+                            prune_iters=3, engine="driver")
+        assert a == b
+        assert any(len(p) > 1 for p in a)        # real pieces learned
+
+    def test_prune_keeps_used_pieces_only(self, spark):
+        from filters_spark.functions import text as T
+
+        # 'abab' dominates: seed contains 'ab','ba','aba','bab','abab'
+        # etc., but after pruning to 2 multi-char pieces the greedy
+        # segmentation's own usage decides the survivors
+        df = self._df(spark, ["abab abab abab ab cd"])
+        vocab = T.unigram_train(df, seed_size=10, vocab_size=2,
+                                prune_iters=2, engine="driver")
+        multi = [p for p in vocab if len(p) > 1]
+        assert len(multi) <= 2 and "abab" in multi
+        counts = {r["piece"]: r["n"] for r in
+                  T.unigram_token_counts(df, vocab).collect()}
+        assert counts["abab"] == 3
+        assert all(n > 0 for n in counts.values())
+
+    def test_counts_match_manual_segmentation(self, spark):
+        from filters_spark.functions import text as T
+
+        df = self._df(spark, ["aaa aa a", "aaa"])
+        vocab = ["a", "aa"]                      # greedy: aa+a, aa
+        counts = {r["piece"]: r["n"] for r in
+                  T.unigram_token_counts(df, vocab).collect()}
+        # 'aaa'x2 -> [aa, a] each; 'aa' -> [aa]; 'a' -> [a]
+        assert counts == {"aa": 3, "a": 3}
+
+    def test_bad_engine(self, spark):
+        from filters_spark.functions import text as T
+
+        with pytest.raises(ValueError, match="engine"):
+            T.unigram_train(self._df(spark, ["x"]), engine="nope")

@@ -427,6 +427,10 @@ EXPECTATIONS: dict[str, dict] = {
     # LID: one n-gram shuffle keyed by doc + the confusion rollup;
     # the join-back side broadcasts.
     "ds_lang_id": dict(max_exchanges=2, pushed=True),
+    # unigram apply: word fold + piece rollup (training's iteration
+    # jobs ran eagerly; the returned plan is fold -> segment ->
+    # rollup, vocabulary-sized after the fold).
+    "txt_unigram_tokenize": dict(max_exchanges=3),
     # v8 governed ingest: validated-commit agg inside the gate runs
     # eagerly; the returned plan is the scored rollup + two broadcast
     # stitches + the change-feed diff join.
