@@ -158,6 +158,16 @@ HEADLINE = [
     "rel_quarantine_replay",
     # round 8 (cont.): partitioned-snapshot two-axis skipping
     "rel_partitioned_prune",
+    # round 9: trained language-ID (one bigram explode + one
+    # doc-keyed integer shuffle — the LID inference hot path), the
+    # unigram tokenizer (two corpus folds + vocabulary-sized
+    # iteration jobs + the longest-match apply per run), and the
+    # STORED change feed (merge-stored + writer-stored + the
+    # multi-commit netting aggregate — the O(changes) CDC read path
+    # beside rel_change_feed's O(table) diff)
+    "ds_lang_id",
+    "txt_unigram_tokenize",
+    "rel_change_feed_stored",
 ]
 
 
