@@ -73,6 +73,7 @@ __all__ = [
     "advance_cursor",
     "latest_version",
     "versions",
+    "version_as_of",
     "vacuum_versioned",
     "prune_files",
     "load_file_stats",
@@ -123,6 +124,25 @@ def versions(path: str) -> list[int]:
             except ValueError:
                 pass
     return sorted(out)
+
+
+def version_as_of(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta's time-travel-by-timestamp
+    contract): the LATEST committed version whose ``committed_at`` is
+    ≤ ``ts`` (epoch seconds).  Versions predating the stamp (pre-r9
+    manifests) sort as timestamp 0 — always eligible.  Raises when
+    the table has no version that old."""
+    best = None
+    for v in versions(path):
+        m = _read_manifest(path, v)
+        at = m.get("committed_at", 0.0)
+        if at <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"versioned table {path!r} has no version committed at or "
+            f"before {ts}")
+    return best
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -358,12 +378,19 @@ def write_versioned(df: DataFrame, path: str,
             writer = writer.partitionBy(*partition_by)
         writer.parquet(snap)
         n_files = len(_data_files(snap))
+        import time as _time
+
         manifest = {
             "version": version,
             "parent": parent,
             "op": _op,
             "schema_json": df.schema.json(),
             "n_files": n_files,
+            # wall-clock commit stamp (manifest-write time — the flip
+            # follows within the same commit call): arms timestamp
+            # time travel (version_as_of / read_version(as_of=)).
+            # Never part of any gated/hashed output.
+            "committed_at": _time.time(),
             **({"partition_by": list(partition_by)} if partition_by
                else {}),
             **(extra_meta or {}),
@@ -493,8 +520,11 @@ def prune_files(manifest: dict, where: tuple) -> list | None:
 
 def read_version(spark: SparkSession, path: str,
                  version: int | None = None,
-                 where: tuple | None = None) -> DataFrame:
-    """Read a committed snapshot (``None`` = latest).  The manifest's
+                 where: tuple | None = None,
+                 as_of: float | None = None) -> DataFrame:
+    """Read a committed snapshot (``None`` = latest; ``as_of`` =
+    epoch-seconds timestamp time travel via :func:`version_as_of` —
+    mutually exclusive with ``version``).  The manifest's
     stored schema is applied explicitly, so empty snapshots (zero
     data files) read back with their true schema instead of failing
     inference — and readers are immune to parquet footer drift.
@@ -506,6 +536,11 @@ def read_version(spark: SparkSession, path: str,
     launches).  The result is a conservative SUPERSET of matching
     rows; apply the actual filter on top.  Tables written without
     stats read fully (correct, unpruned)."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "read_version: pass version OR as_of, not both")
+        version = version_as_of(path, as_of)
     if version is None:
         version = latest_version(path)
         if version is None:

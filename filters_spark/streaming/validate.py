@@ -462,7 +462,8 @@ def incremental_dedup_sink(store_path: str, pairs_path: str,
 
 
 def versioned_merge_sink(table_path: str, key: str,
-                         sink_id: str | None = None):
+                         sink_id: str | None = None,
+                         store_changes: bool = False):
     """foreachBatch function committing every micro-batch into a
     :mod:`..sources.versioned` table as a NEW snapshot — the
     streaming twin of ``rel_merge_snapshot``: a continuously-arriving
@@ -490,7 +491,16 @@ def versioned_merge_sink(table_path: str, key: str,
 
     Manifest scan cost is O(committed versions) per batch — run
     ``vacuum_versioned`` on retention anyway; for very long streams
-    record a compacted watermark upstream."""
+    record a compacted watermark upstream.
+
+    ``store_changes=True`` persists each batch-commit's change feed
+    (the merge knows its delta; the init batch is all inserts), so a
+    downstream ``consume_changes`` loop — e.g.
+    ``maintain_continuous_rollup`` — reads O(changes) per pull
+    instead of diffing snapshots (the stored-CDC path,
+    ``rel_change_feed_stored``)."""
+    from pyspark.sql import functions as F
+
     from ..sources import versioned as V
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -504,11 +514,17 @@ def versioned_merge_sink(table_path: str, key: str,
                 return                      # at-least-once replay
         meta = {"stream_query": qid, "stream_batch": batch_id}
         if V.latest_version(table_path) is None:
+            init_changes = None
+            if store_changes:
+                cols = [key] + sorted(set(batch_df.columns) - {key})
+                init_changes = batch_df.select(
+                    F.lit("insert").alias("_change_type"), *cols)
             V.write_versioned(batch_df, table_path, _op="stream-init",
-                              extra_meta=meta)
+                              extra_meta=meta, changes_df=init_changes)
         else:
             V.merge_versioned(spark, table_path, batch_df, key,
-                              extra_meta=meta)
+                              extra_meta=meta,
+                              store_changes=store_changes)
 
     return write
 
@@ -517,7 +533,8 @@ def contract_merge_sink(table_path: str, key: str, schema,
                         dead_path: str,
                         max_reject_rate: float = 0.0,
                         on_violation: str = "fail",
-                        sink_id: str | None = None):
+                        sink_id: str | None = None,
+                        store_changes: bool = False):
     """foreachBatch function composing the GOVERNED streaming ingest:
     validate each micro-batch against ``schema`` (a
     :class:`~filters_spark.schema.ValidationSchema`), quarantine
@@ -550,7 +567,8 @@ def contract_merge_sink(table_path: str, key: str, schema,
     if on_violation not in ("fail", "skip"):
         raise ValueError("contract_merge_sink: on_violation must be "
                          f"'fail' or 'skip', got {on_violation!r}")
-    merge = versioned_merge_sink(table_path, key, sink_id=sink_id)
+    merge = versioned_merge_sink(table_path, key, sink_id=sink_id,
+                                 store_changes=store_changes)
     from ..sources.versioned import ContractViolation
 
     def write(batch_df: DataFrame, batch_id: int) -> None:

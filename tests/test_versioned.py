@@ -942,3 +942,54 @@ class TestSkipQuarantineRawTypes:
         # table got only batch 0's clean row, coerced
         assert {(r["k"], r["val"]) for r in
                 V.read_version(spark, tpath).collect()} == {(1, 7)}
+
+
+class TestTimestampTimeTravel:
+    def test_as_of_resolution_and_read(self, spark, tpath):
+        import time
+
+        V.write_versioned(_df(spark, [(1, "a", 1)]), tpath)
+        t1 = time.time()
+        time.sleep(0.05)
+        V.write_versioned(_df(spark, [(2, "b", 2)]), tpath)
+        t2 = time.time()
+        assert V.version_as_of(tpath, t1) == 1
+        assert V.version_as_of(tpath, t2) == 2
+        assert {r["k"] for r in
+                V.read_version(spark, tpath, as_of=t1).collect()} == {1}
+        # no version that old
+        with pytest.raises(ValueError, match="at or before"):
+            V.version_as_of(tpath, 1.0)
+        with pytest.raises(ValueError, match="version OR as_of"):
+            V.read_version(spark, tpath, 1, as_of=t1)
+
+    def test_manifest_records_commit_stamp(self, spark, tpath):
+        import time
+
+        before = time.time()
+        V.write_versioned(_df(spark, [(1, "a", 1)]), tpath)
+        at = V._read_manifest(tpath, 1)["committed_at"]
+        assert before <= at <= time.time()
+
+
+class TestStreamingStoredChanges:
+    def test_sink_arms_the_stored_cdc_path(self, spark, tpath):
+        from filters_spark.streaming.validate import versioned_merge_sink
+
+        sink = versioned_merge_sink(tpath, "k", sink_id="ssc",
+                                    store_changes=True)
+        sink(_df(spark, [(1, "a", 10), (2, "b", 20)]), 0)
+        sink(_df(spark, [(2, "B", 99), (3, "c", 30)]), 1)
+        sink(_df(spark, [(1, "A", 11)]), 2)
+        # every commit stored its changes -> multi-commit span serves
+        # from the netting aggregate, identical to the diff
+        assert V._stored_chain(tpath, 1, 3) is not None
+        stored = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 3).collect()))
+        diff = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 3, use_stored=False).collect()))
+        assert stored == diff
+        # ...and the rollup consumer rides it transparently
+        cur = tpath + ".cursor"
+        ch, head, ack = V.consume_changes(spark, tpath, "k", cur)
+        assert head == 3 and ch.count() == 3   # bootstrap snapshot
