@@ -13104,3 +13104,77 @@ def txt_unigram_tokenize(spark, sf_dir):
 
 txt_unigram_tokenize.__doc__ = txt_unigram_tokenize.__doc__.replace(
     "{seed}", str(_UNI_SEED)).replace("{voc}", str(_UNI_VOCAB))
+
+
+# ---------------------------------------------------------------------------
+# Round 9: copy-on-write row-level DELETE (file-reuse commits).
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_delete_where",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), del AS (
+      SELECT * FROM base WHERE k BETWEEN 1000 AND 9999
+    ), kept AS (
+      SELECT * FROM base WHERE k NOT BETWEEN 1000 AND 9999
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM del) AS n_deleted,
+           (SELECT CAST(sum(k) AS BIGINT) FROM del)
+             AS deleted_key_sum,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM del)
+             AS deleted_cents,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cents) AS BIGINT) AS kept_cents
+    FROM kept
+    """,
+)
+def rel_delete_where(spark, sf_dir):
+    """Row-level DELETE as a copy-on-write FILE-REUSE commit under
+    the value hash (sources.versioned.delete_where — Delta DELETE's
+    shape, closing the module docstring's own named upgrade path:
+    'a format with file-level pruning would rewrite only touched
+    files'): orders committed range-clustered on the key with
+    manifest stats, then a contiguous key slice deleted — only the
+    files CONTAINING matches are rewritten, every other file is
+    carried by reference in the new manifest, and the deleted rows
+    are persisted as the commit's stored change feed.  The hash
+    carries the commit's own n_deleted report, the deleted keys and
+    cents read back FROM THE STORED CHANGE FEED, and the survivors'
+    checksums read back from the new version — a delete that leaked
+    a row, dropped a carried file, or mis-stored its feed shifts a
+    number.  File-reuse effectiveness (rewritten < total, reused >
+    0), vacuum reference-counting, partitioned fallback, and NULL-
+    condition semantics are pytest-pinned (TestDeleteWhere) — file
+    COUNTS stay out of the hash because range-partitioner boundaries
+    are scale-dependent."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents")).repartitionByRange(8, "o_orderkey")
+    path = tempfile.mkdtemp(prefix="fs_del_") + "/t"
+    V.write_versioned(base, path, stats_cols=["o_orderkey"])
+    res = V.delete_where(spark, path,
+                         "o_orderkey BETWEEN 1000 AND 9999",
+                         store_changes_key="o_orderkey")
+    feed = (V.read_changes(spark, path, "o_orderkey", 1, 2)
+            .agg(F.sum("o_orderkey").cast("long")
+                 .alias("deleted_key_sum"),
+                 F.sum("cents").cast("long").alias("deleted_cents")))
+    kept = (V.read_version(spark, path)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("cents").cast("long").alias("kept_cents")))
+    return (spark.range(1)
+            .select(F.lit(int(res["n_deleted"])).cast("long")
+                    .alias("n_deleted"))
+            .crossJoin(F.broadcast(feed))
+            .crossJoin(F.broadcast(kept))
+            .select("n_deleted", "deleted_key_sum", "deleted_cents",
+                    "n_kept", "kept_cents"))

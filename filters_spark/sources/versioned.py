@@ -67,6 +67,7 @@ __all__ = [
     "optimize_versioned",
     "read_version",
     "merge_versioned",
+    "delete_where",
     "read_changes",
     "consume_changes",
     "read_cursor",
@@ -326,7 +327,9 @@ def write_versioned(df: DataFrame, path: str,
                     extra_meta: dict | None = None,
                     stats_cols: list[str] | None = None,
                     partition_by: list[str] | None = None,
-                    changes_df: DataFrame | None = None) -> int:
+                    changes_df: DataFrame | None = None,
+                    reuse_files: list[str] | None = None,
+                    reuse_stats: dict | None = None) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``expected_parent`` is optimistic concurrency control: pass the
@@ -360,7 +363,27 @@ def write_versioned(df: DataFrame, path: str,
     CORRECTNESS: it must be exactly the diff of this snapshot against
     its parent (``merge_versioned(store_changes=True)`` guarantees
     that by construction).  Change files commit with the snapshot
-    (written before the manifest, invisible until the head flip)."""
+    (written before the manifest, invisible until the head flip).
+
+    ``reuse_files`` makes this a FILE-REUSE (copy-on-write) commit:
+    ``df`` holds only the REPLACEMENT rows (written as new files
+    under ``snap/v=N/``), and the listed TABLE-ROOT-relative parquet
+    paths from ancestor snapshots are carried by REFERENCE — the
+    manifest records the full explicit ``data_files`` list and
+    readers resolve it instead of listing the snapshot directory.
+    This is how :func:`delete_where` / ``merge_versioned(
+    file_reuse=True)`` touch a 0.1% slice of a 100 TB table without
+    rewriting the other 99.9%.  Only FLAT layouts (no
+    ``partition_by``) can reuse; :func:`vacuum_versioned` reference-
+    counts files across retained versions.  ``reuse_stats`` carries
+    the reused files' min/max entries forward (same keys) so
+    ``stats_cols`` skipping stays armed without re-reading their
+    footers."""
+    if reuse_files and partition_by:
+        raise ValueError(
+            "write_versioned: file-reuse commits require a flat "
+            "layout (partition directory columns do not resolve "
+            "across snapshot directories)")
     parent = latest_version(path)
     if expected_parent is not None and parent != expected_parent:
         raise ConcurrentWriteError(
@@ -377,7 +400,15 @@ def write_versioned(df: DataFrame, path: str,
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(snap)
-        n_files = len(_data_files(snap))
+        new_files = _data_files(snap)
+        if reuse_files is not None:
+            data_files = sorted(
+                [f"snap/v={version}/{f}" for f in new_files]
+                + list(reuse_files))
+            n_files = len(data_files)
+        else:
+            data_files = None
+            n_files = len(new_files)
         import time as _time
 
         manifest = {
@@ -391,6 +422,8 @@ def write_versioned(df: DataFrame, path: str,
             # time travel (version_as_of / read_version(as_of=)).
             # Never part of any gated/hashed output.
             "committed_at": _time.time(),
+            **({"data_files": data_files} if data_files is not None
+               else {}),
             **({"partition_by": list(partition_by)} if partition_by
                else {}),
             **(extra_meta or {}),
@@ -408,6 +441,16 @@ def write_versioned(df: DataFrame, path: str,
             stats = _file_stats(snap, stats_cols,
                                 tuple(partition_by or ()),
                                 schema=df.schema, spark=df.sparkSession)
+            if reuse_files is not None:
+                # file-reuse commits key stats TABLE-ROOT-relative so
+                # one sidecar spans snapshot directories; carried
+                # files keep their parent entries (no footer re-read),
+                # unknown when absent (kept, never pruned)
+                stats = {f"snap/v={version}/{k}": v
+                         for k, v in stats.items()}
+                for f in reuse_files:
+                    stats[f] = (reuse_stats or {}).get(
+                        f, {c: None for c in stats_cols})
             sidecar = f"{version}.stats.json"
             stmp = os.path.join(_manifest_dir(path), sidecar + ".tmp")
             with open(stmp, "w") as fh:
@@ -548,11 +591,40 @@ def read_version(spark: SparkSession, path: str,
     manifest = _read_manifest(path, version)
     schema = T.StructType.fromJson(json.loads(manifest["schema_json"]))
     snap = _snap_dir(path, version)
+    data_files = manifest.get("data_files")
+    if data_files is not None:
+        # file-reuse commit: the manifest's explicit TABLE-ROOT-
+        # relative list IS the snapshot (files may live in ancestor
+        # snapshot dirs).  No basePath: these are flat layouts, and a
+        # basePath above snap/ would misread v=N as a partition col.
+        missing = sum(1 for f in data_files
+                      if not os.path.exists(os.path.join(path, f)))
+        if missing:
+            raise ValueError(
+                f"snapshot {version} of {path!r} was vacuumed "
+                f"({missing} of {len(data_files)} referenced files "
+                "gone)")
+        files = data_files
+        if where is not None:
+            kept = prune_files(manifest, where)
+            if kept is not None:
+                files = kept
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in files])
     if not os.path.isdir(snap):
         raise ValueError(
             f"snapshot {version} of {path!r} was vacuumed — "
             f"retained versions: "
             f"{[v for v in versions(path) if os.path.isdir(_snap_dir(path, v))]}")
+    if len(_data_files(snap)) != manifest["n_files"]:
+        # reference-counting vacuum may keep a dropped version's dir
+        # alive for files later snapshots reuse — a PARTIAL dir must
+        # fail loudly, not silently return a subset of the snapshot
+        raise ValueError(
+            f"snapshot {version} of {path!r} was vacuumed (directory "
+            "retains only files referenced by newer versions)")
     if where is not None:
         files = prune_files(manifest, where)
         if files is not None:
@@ -614,7 +686,8 @@ def _merge_changes(base: DataFrame, updates: DataFrame,
 def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
                     key: str, expected_parent: int | None = None,
                     extra_meta: dict | None = None,
-                    store_changes: bool = False) -> int:
+                    store_changes: bool = False,
+                    file_reuse: bool = False) -> int:
     """MERGE (keyed upsert) producing a NEW snapshot: same-key rows
     replaced wholesale, unmatched updates inserted, unmatched base
     rows carried over — :func:`plans.joins.upsert` semantics, but
@@ -631,7 +704,17 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     delta; see :func:`_merge_changes`) so :func:`read_changes` over
     the span is O(changes) instead of a two-snapshot diff.  Opt-in:
     it costs one extra keyed join and a (change-sized) write per
-    commit."""
+    commit.
+
+    ``file_reuse=True`` commits copy-on-write at FILE granularity
+    (the :func:`delete_where` shape): one semi-join against the
+    update keys finds the files whose rows the merge touches, the
+    upsert runs over THAT SLICE plus the update batch (unmatched
+    updates insert there), and every untouched file is carried by
+    reference — a small CDC batch against a 100 TB table rewrites
+    the touched slice, not the table.  Flat layouts only
+    (partitioned parents fall back to the full materialization);
+    parent ``stats_cols`` carry forward like delete_where's."""
     from ..plans.joins import upsert
 
     parent = latest_version(path)
@@ -641,14 +724,143 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
             "write_versioned the initial table first")
     if expected_parent is None:
         expected_parent = parent
+    m = _read_manifest(path, parent)
     base = read_version(spark, path, parent)
     aligned = updates.select(*base.columns)
-    merged = upsert(base, aligned, key)
     changes = _merge_changes(base, aligned, key) if store_changes \
         else None
+    if file_reuse and not m.get("partition_by"):
+        schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+        parent_files = _root_files(path, m)
+        touched = sorted({
+            _rel_uri(path, r["_f"]) for r in
+            base.withColumn("_f", F.input_file_name())
+            .join(aligned.select(key).distinct(), key, "left_semi")
+            .select("_f").distinct().collect()
+        })                                  # bounded: one row per file
+        untouched = [f for f in parent_files if f not in set(touched)]
+        sub = (spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in touched])
+            if touched else spark.createDataFrame([], schema))
+        merged = upsert(sub, aligned, key)
+        return write_versioned(
+            merged, path, expected_parent=expected_parent, _op="merge",
+            extra_meta=extra_meta, changes_df=changes,
+            stats_cols=m.get("stats_cols"),
+            reuse_files=untouched, reuse_stats=_root_stats(path, m))
+    merged = upsert(base, aligned, key)
     return write_versioned(merged, path,
                            expected_parent=expected_parent, _op="merge",
                            extra_meta=extra_meta, changes_df=changes)
+
+
+def _root_files(path: str, manifest: dict) -> list[str]:
+    """A snapshot's data files as TABLE-ROOT-relative paths,
+    regardless of manifest generation (explicit list vs directory
+    read)."""
+    if manifest.get("data_files") is not None:
+        return list(manifest["data_files"])
+    v = manifest["version"]
+    return [f"snap/v={v}/{f}" for f in _data_files(_snap_dir(path, v))]
+
+
+def _root_stats(path: str, manifest: dict) -> dict:
+    """A snapshot's per-file stats re-keyed TABLE-ROOT-relative (the
+    file-reuse sidecar keying), empty when none recorded."""
+    stats = load_file_stats(manifest) or {}
+    if manifest.get("data_files") is not None:
+        return dict(stats)
+    v = manifest["version"]
+    return {f"snap/v={v}/{k}": s for k, s in stats.items()}
+
+
+def _rel_uri(path: str, uri: str) -> str:
+    """input_file_name() URI → table-root-relative posix path."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri).path or uri
+    return os.path.relpath(unquote(p), os.path.abspath(path)) \
+        .replace(os.sep, "/")
+
+
+def delete_where(spark: SparkSession, path: str, condition,
+                 expected_parent: int | None = None,
+                 store_changes_key: str | None = None) -> dict:
+    """Row-level DELETE as a FILE-REUSE commit (Delta DELETE's
+    copy-on-write shape — the upgrade path the module docstring
+    names): one pass finds the files that CONTAIN matching rows
+    (``input_file_name()`` + the predicate — with manifest stats this
+    is where a clustered table shines: most files never match), only
+    those are read back, filtered, and rewritten as the new version's
+    files; every untouched file is carried by REFERENCE in the
+    manifest.  Deleting 0.1% of a 100 TB table costs one scan plus a
+    rewrite of the touched slice, not a rewrite of the table.
+
+    ``condition`` is a Column or SQL string; rows where it is TRUE
+    are deleted (NULL ⇒ kept, SQL DELETE semantics).  Partitioned
+    parents fall back to a plain filtered rewrite (directory columns
+    do not resolve across snapshot dirs).  ``store_changes_key``
+    additionally persists the deleted rows as this commit's change
+    feed (the stored-CDC path — the writer knows its delta exactly).
+    Parent manifest ``stats_cols`` are carried forward: new files get
+    fresh footer stats, reused files keep their parent entries.
+
+    Returns ``{"version", "n_deleted", "files_rewritten",
+    "files_reused"}``."""
+    parent = latest_version(path)
+    if parent is None:
+        raise ValueError(f"versioned table {path!r} has no snapshots")
+    if expected_parent is None:
+        expected_parent = parent
+    m = _read_manifest(path, parent)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    hit = F.coalesce(cond, F.lit(False))
+    base = read_version(spark, path, parent)
+    schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+    stats_cols = m.get("stats_cols")
+
+    def changes_of(deleted: DataFrame) -> DataFrame | None:
+        if store_changes_key is None:
+            return None
+        key = store_changes_key
+        cols = [key] + sorted(set(deleted.columns) - {key})
+        return deleted.select(F.lit("delete").alias("_change_type"),
+                              *cols)
+
+    if m.get("partition_by"):
+        kept = base.where(~hit)
+        deleted = base.where(hit)
+        n_deleted = deleted.count()
+        version = write_versioned(
+            kept, path, expected_parent=expected_parent, _op="delete",
+            partition_by=m["partition_by"], stats_cols=stats_cols,
+            changes_df=changes_of(deleted))
+        return {"version": version, "n_deleted": int(n_deleted),
+                "files_rewritten": m["n_files"], "files_reused": 0}
+    parent_files = _root_files(path, m)
+    touched = sorted({
+        _rel_uri(path, r["_f"]) for r in
+        base.withColumn("_f", F.input_file_name())
+        .where(hit).select("_f").distinct().collect()
+    })                                      # bounded: one row per file
+    untouched = [f for f in parent_files if f not in set(touched)]
+    if touched:
+        sub = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in touched])
+        replacement = sub.where(~hit)
+        n_deleted = sub.where(hit).count()
+        changes = changes_of(sub.where(hit))
+    else:
+        replacement = spark.createDataFrame([], schema)
+        n_deleted = 0
+        changes = changes_of(replacement)
+    version = write_versioned(
+        replacement, path, expected_parent=expected_parent,
+        _op="delete", stats_cols=stats_cols, changes_df=changes,
+        reuse_files=untouched, reuse_stats=_root_stats(path, m))
+    return {"version": version, "n_deleted": int(n_deleted),
+            "files_rewritten": len(touched),
+            "files_reused": len(untouched)}
 
 
 def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
@@ -669,12 +881,41 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
     head = latest_version(path)
     if head is not None:
         keep.add(head)
+    # files referenced by RETAINED versions: explicit-list (file-
+    # reuse) manifests pin individual files — possibly inside a
+    # DROPPED version's directory — so removal is reference-counted
+    # at file granularity; directory-read manifests pin their whole
+    # snap dir.
+    referenced: set[str] = set()
+    protected_dirs: set[str] = set()
+    for v in sorted(keep):
+        try:
+            m = _read_manifest(path, v)
+        except ValueError:
+            continue
+        if m.get("data_files") is not None:
+            referenced |= {
+                os.path.normpath(os.path.join(path, f))
+                for f in m["data_files"]}
+        else:
+            protected_dirs.add(_snap_dir(path, v))
     removed = []
     for v in committed:
-        if v not in keep and os.path.isdir(_snap_dir(path, v)):
-            shutil.rmtree(_snap_dir(path, v))
+        if v in keep:
+            continue
+        snap = _snap_dir(path, v)
+        if os.path.isdir(snap) and snap not in protected_dirs:
+            for root, _dirs, files in os.walk(snap, topdown=False):
+                for name in files:
+                    p = os.path.normpath(os.path.join(root, name))
+                    if p not in referenced:
+                        os.remove(p)
+                try:
+                    os.rmdir(root)          # prune emptied dirs
+                except OSError:
+                    pass                    # still holds kept files
             removed.append(v)
-        if v not in keep and os.path.isdir(_changes_dir(path, v)):
+        if os.path.isdir(_changes_dir(path, v)):
             # change files follow their snapshot's retention; spans
             # crossing a vacuumed commit fall back to the diff path
             shutil.rmtree(_changes_dir(path, v))

@@ -993,3 +993,120 @@ class TestStreamingStoredChanges:
         cur = tpath + ".cursor"
         ch, head, ack = V.consume_changes(spark, tpath, "k", cur)
         assert head == 3 and ch.count() == 3   # bootstrap snapshot
+
+
+class TestDeleteWhere:
+    """Copy-on-write file-reuse commits (delete_where +
+    merge_versioned(file_reuse=True)): touched-slice rewrite with
+    untouched files carried by reference, stats carry-forward,
+    reference-counting vacuum, partitioned fallback, and SQL DELETE
+    null semantics.  The delete arithmetic is hash-gated by
+    rel_delete_where."""
+
+    def _clustered(self, spark, tpath, n=1000, files=8):
+        df = (spark.range(n)
+              .select(F.col("id").alias("k"),
+                      (F.col("id") * 2).alias("n"),
+                      F.lit("x").alias("val"))
+              .repartitionByRange(files, "k"))
+        return V.write_versioned(df, tpath, stats_cols=["k"])
+
+    def test_reuses_untouched_files(self, spark, tpath):
+        self._clustered(spark, tpath)
+        total = V._read_manifest(tpath, 1)["n_files"]
+        res = V.delete_where(spark, tpath, "k BETWEEN 100 AND 150")
+        assert res["n_deleted"] == 51
+        assert 0 < res["files_rewritten"] < total
+        assert res["files_reused"] == total - res["files_rewritten"]
+        m2 = V._read_manifest(tpath, 2)
+        # carried files are literally the parent's paths, not copies
+        assert any(f.startswith("snap/v=1/") for f in m2["data_files"])
+        got = V.read_version(spark, tpath)
+        assert got.count() == 949
+        assert got.where(F.col("k").between(100, 150)).count() == 0
+        # time travel to the pre-delete snapshot intact
+        assert V.read_version(spark, tpath, 1).count() == 1000
+        # stats carried forward: pruning still real on v2
+        kept = V.prune_files(m2, ("k", 900, 950))
+        assert kept is not None and 0 < len(kept) < m2["n_files"]
+        assert (V.read_version(spark, tpath, where=("k", 900, 950))
+                .where(F.col("k").between(900, 950)).count() == 51)
+
+    def test_null_condition_rows_are_kept(self, spark, tpath):
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (2, None, "b"), (3, 30, "c")],
+            "k bigint, n bigint, val string")
+        V.write_versioned(df, tpath)
+        res = V.delete_where(spark, tpath, F.col("n") > 15)
+        assert res["n_deleted"] == 1            # only k=3; NULL kept
+        assert {r["k"] for r in
+                V.read_version(spark, tpath).collect()} == {1, 2}
+
+    def test_partitioned_parent_falls_back_to_rewrite(self, spark,
+                                                      tpath):
+        df = spark.createDataFrame(
+            [(i, f"p{i % 2}", i) for i in range(20)],
+            "k bigint, p string, v bigint")
+        V.write_versioned(df, tpath, partition_by=["p"])
+        res = V.delete_where(spark, tpath, "k % 5 = 0")
+        assert res["n_deleted"] == 4 and res["files_reused"] == 0
+        back = V.read_version(spark, tpath)
+        assert back.count() == 16
+        assert V._read_manifest(tpath, 2)["partition_by"] == ["p"]
+
+    def test_vacuum_refcounts_reused_files(self, spark, tpath):
+        self._clustered(spark, tpath)
+        V.delete_where(spark, tpath, "k BETWEEN 0 AND 50")
+        V.delete_where(spark, tpath, "k BETWEEN 900 AND 950")
+        removed = V.vacuum_versioned(tpath, keep_last=1)
+        assert removed == [1, 2]
+        # head still reads whole (its files live partly in v1's dir)
+        assert V.read_version(spark, tpath).count() == 1000 - 102
+        # the vacuumed versions fail loudly, not partially
+        for old in (1, 2):
+            with pytest.raises(ValueError, match="vacuumed"):
+                V.read_version(spark, tpath, old).count()
+
+    def test_merge_file_reuse_matches_full_merge(self, spark, tpath):
+        self._clustered(spark, tpath)
+        total = V._read_manifest(tpath, 1)["n_files"]
+        ups = spark.createDataFrame(
+            [(100, 999, "U"), (101, 998, "U"), (5000, 1, "new")],
+            "k bigint, n bigint, val string")
+        V.merge_versioned(spark, tpath, ups, "k", file_reuse=True,
+                          store_changes=True)
+        m2 = V._read_manifest(tpath, 2)
+        assert len([f for f in m2["data_files"]
+                    if f.startswith("snap/v=1/")]) > 0
+        assert m2["n_files"] <= total + 1       # touched slice + new
+        got = {r["k"]: (r["n"], r["val"]) for r in
+               V.read_version(spark, tpath).collect()}
+        assert len(got) == 1001
+        assert got[100] == (999, "U") and got[5000] == (1, "new")
+        assert got[99] == (198, "x")            # carried untouched
+        # stored feed == diff across the reuse commit
+        a = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2).collect()))
+        b = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2, use_stored=False).collect()))
+        assert a == b
+
+    def test_optimize_compacts_reuse_chain(self, spark, tpath):
+        self._clustered(spark, tpath)
+        V.delete_where(spark, tpath, "k BETWEEN 10 AND 20")
+        v = V.optimize_versioned(spark, tpath, zorder=["k"], n_files=2)
+        m = V._read_manifest(tpath, v)
+        assert "data_files" not in m            # plain snapshot again
+        assert V.read_version(spark, tpath).count() == 989
+
+    def test_empty_table_delete(self, spark, tpath):
+        V.write_versioned(_df(spark, []), tpath)
+        res = V.delete_where(spark, tpath, "k > 0")
+        assert res["n_deleted"] == 0
+        assert V.read_version(spark, tpath).count() == 0
+
+    def test_reuse_rejects_partition_by(self, spark, tpath):
+        with pytest.raises(ValueError, match="flat"):
+            V.write_versioned(_df(spark, [(1, "a", 1)]), tpath,
+                              partition_by=["val"],
+                              reuse_files=["snap/v=1/x.parquet"])

@@ -431,6 +431,9 @@ EXPECTATIONS: dict[str, dict] = {
     # jobs ran eagerly; the returned plan is fold -> segment ->
     # rollup, vocabulary-sized after the fold).
     "txt_unigram_tokenize": dict(max_exchanges=3),
+    # copy-on-write delete: two broadcast-stitched read-back
+    # aggregates (the commit itself ran eagerly).
+    "rel_delete_where": dict(max_exchanges=2),
     # v8 governed ingest: validated-commit agg inside the gate runs
     # eagerly; the returned plan is the scored rollup + two broadcast
     # stitches + the change-feed diff join.
