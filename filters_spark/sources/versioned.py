@@ -528,13 +528,25 @@ def load_file_stats(manifest: dict) -> dict | None:
     return stats
 
 
-def prune_files(manifest: dict, where: tuple) -> list | None:
+def prune_files(manifest: dict, where) -> list | None:
     """Data-skipping file selection: ``where = (col, lo, hi)``
     (inclusive; ``None`` bound = open) against the manifest's
-    per-file stats.  Returns the file names that MAY contain matching
-    rows (a conservative superset — the caller still applies the real
-    filter), or ``None`` when the manifest has no stats for the
-    column (no pruning possible)."""
+    per-file stats — or a LIST of such triples, pruned as a
+    CONJUNCTION (a file survives only if every predicate's range
+    intersects; one skippable axis is enough to prune even when
+    another has no stats).  Returns the file names that MAY contain
+    matching rows (a conservative superset — the caller still applies
+    the real filter), or ``None`` when no predicate has stats (no
+    pruning possible)."""
+    if isinstance(where, list):
+        kept: list | None = None
+        for w in where:
+            k = prune_files(manifest, w)
+            if k is None:
+                continue
+            kept = k if kept is None else [f for f in kept
+                                           if f in set(k)]
+        return kept
     col, lo, hi = where
     stats = load_file_stats(manifest)
     if not stats:
@@ -572,8 +584,9 @@ def read_version(spark: SparkSession, path: str,
     data files) read back with their true schema instead of failing
     inference — and readers are immune to parquet footer drift.
 
-    ``where = (col, lo, hi)`` enables FILE SKIPPING against the
-    manifest's :func:`write_versioned` ``stats_cols`` ranges: only
+    ``where = (col, lo, hi)`` — or a list of such triples, applied as
+    a conjunction — enables FILE SKIPPING against the manifest's
+    :func:`write_versioned` ``stats_cols`` ranges: only
     files whose [min, max] intersects [lo, hi] are read (explicit
     paths — at 100 TB this is planning-time pruning, before any task
     launches).  The result is a conservative SUPERSET of matching

@@ -1110,3 +1110,28 @@ class TestDeleteWhere:
             V.write_versioned(_df(spark, [(1, "a", 1)]), tpath,
                               partition_by=["val"],
                               reuse_files=["snap/v=1/x.parquet"])
+
+
+class TestConjunctivePrune:
+    def test_list_where_intersects_axes(self, spark, tpath):
+        df = (spark.range(100)
+              .select(F.col("id").alias("k"),
+                      (F.col("id") % 4).cast("string").alias("p"),
+                      F.col("id").alias("v"))
+              .repartitionByRange(4, "v"))
+        V.write_versioned(df, tpath, partition_by=["p"],
+                          stats_cols=["p", "v"])
+        m = V._read_manifest(tpath, 1)
+        both = V.prune_files(m, [("p", "1", "1"), ("v", 0, 10)])
+        only_p = V.prune_files(m, ("p", "1", "1"))
+        only_v = V.prune_files(m, ("v", 0, 10))
+        assert set(both) == set(only_p) & set(only_v)
+        assert 0 < len(both) < m["n_files"]
+        out = (V.read_version(spark, tpath,
+                              where=[("p", "1", "1"), ("v", 0, 10)])
+               .where((F.col("p") == "1") & F.col("v").between(0, 10)))
+        assert {r["v"] for r in out.collect()} == {1, 5, 9}
+        # an axis without stats contributes nothing but doesn't kill
+        # the other axis's pruning
+        assert V.prune_files(m, [("nostats", 0, 1), ("v", 0, 10)]) \
+            == only_v
