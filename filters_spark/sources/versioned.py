@@ -700,7 +700,8 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
                     key: str, expected_parent: int | None = None,
                     extra_meta: dict | None = None,
                     store_changes: bool = False,
-                    file_reuse: bool = False) -> int:
+                    file_reuse: bool = False,
+                    evolve_schema: bool = False) -> int:
     """MERGE (keyed upsert) producing a NEW snapshot: same-key rows
     replaced wholesale, unmatched updates inserted, unmatched base
     rows carried over — :func:`plans.joins.upsert` semantics, but
@@ -718,6 +719,15 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     the span is O(changes) instead of a two-snapshot diff.  Opt-in:
     it costs one extra keyed join and a (change-sized) write per
     commit.
+
+    ``evolve_schema=True`` (Delta mergeSchema semantics): columns the
+    update batch ADDS widen the table schema (base rows read NULL for
+    them), and columns it omits null-pad on the inserted rows —
+    instead of the default strict alignment, which drops unknown
+    update columns.  Same-name/different-type conflicts raise (no
+    silent type promotion).  Composes with ``file_reuse``: carried
+    old files read under the widened manifest schema via
+    schema-on-read (absent columns null out).
 
     ``file_reuse=True`` commits copy-on-write at FILE granularity
     (the :func:`delete_where` shape): one semi-join against the
@@ -739,7 +749,32 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
         expected_parent = parent
     m = _read_manifest(path, parent)
     base = read_version(spark, path, parent)
-    aligned = updates.select(*base.columns)
+    if evolve_schema:
+        b_t = {f.name: f.dataType for f in base.schema.fields}
+        u_t = {f.name: f.dataType for f in updates.schema.fields}
+        conflicts = sorted(c for c in b_t
+                           if c in u_t and b_t[c] != u_t[c])
+        if conflicts:
+            raise ValueError(
+                "merge_versioned(evolve_schema=True): column type "
+                f"conflicts {conflicts} — no silent type promotion; "
+                "cast the update batch explicitly")
+        all_cols = list(base.columns) + [c for c in updates.columns
+                                         if c not in b_t]
+        types = {**u_t, **b_t}
+
+        def _align(df: DataFrame, have: set) -> DataFrame:
+            return df.select(*[
+                (F.col(c) if c in have
+                 else F.lit(None).cast(types[c])).alias(c)
+                for c in all_cols])
+
+        base = _align(base, set(b_t))
+        aligned = _align(updates, set(u_t))
+        _widen = lambda df: _align(df, set(b_t))  # noqa: E731
+    else:
+        aligned = updates.select(*base.columns)
+        _widen = None
     changes = _merge_changes(base, aligned, key) if store_changes \
         else None
     if file_reuse and not m.get("partition_by"):
@@ -755,6 +790,10 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
         sub = (spark.read.schema(schema).parquet(
             *[os.path.join(path, f) for f in touched])
             if touched else spark.createDataFrame([], schema))
+        if _widen is not None:
+            sub = _widen(sub)       # carried files null-pad via
+            #                         schema-on-read; the rewritten
+            #                         slice widens here
         merged = upsert(sub, aligned, key)
         return write_versioned(
             merged, path, expected_parent=expected_parent, _op="merge",

@@ -1135,3 +1135,59 @@ class TestConjunctivePrune:
         # the other axis's pruning
         assert V.prune_files(m, [("nostats", 0, 1), ("v", 0, 10)]) \
             == only_v
+
+
+class TestEvolveSchemaMerge:
+    def test_added_column_widens_table(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          tpath)
+        ups = spark.createDataFrame(
+            [(2, "B", 99, "note-2"), (3, "c", 30, "note-3")],
+            "k bigint, val string, n bigint, note string")
+        V.merge_versioned(spark, tpath, ups, "k", evolve_schema=True,
+                          store_changes=True)
+        got = {r["k"]: (r["val"], r["n"], r["note"]) for r in
+               V.read_version(spark, tpath).collect()}
+        assert got == {1: ("a", 10, None), 2: ("B", 99, "note-2"),
+                       3: ("c", 30, "note-3")}
+        # stored feed equals the diff across the evolving commit
+        a = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2).collect()))
+        b = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2, use_stored=False).collect()))
+        assert a == b
+
+    def test_evolve_with_file_reuse(self, spark, tpath):
+        df = (spark.range(100)
+              .select(F.col("id").alias("k"),
+                      F.lit("x").alias("val"),
+                      (F.col("id") * 2).alias("n"))
+              .repartitionByRange(4, "k"))
+        V.write_versioned(df, tpath, stats_cols=["k"])
+        ups = spark.createDataFrame(
+            [(5, "U", 0, 7.5)], "k bigint, val string, n bigint, w double")
+        V.merge_versioned(spark, tpath, ups, "k", evolve_schema=True,
+                          file_reuse=True)
+        m2 = V._read_manifest(tpath, 2)
+        assert any(f.startswith("snap/v=1/") for f in m2["data_files"])
+        got = V.read_version(spark, tpath)
+        assert got.count() == 100
+        # carried old files null-pad the new column via schema-on-read
+        assert got.where("k = 99").first()["w"] is None
+        assert got.where("k = 5").first()["w"] == 7.5
+
+    def test_type_conflict_raises(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        ups = spark.createDataFrame([(1, "a", "ten")],
+                                    "k bigint, val string, n string")
+        with pytest.raises(ValueError, match="type"):
+            V.merge_versioned(spark, tpath, ups, "k",
+                              evolve_schema=True)
+
+    def test_missing_update_columns_null_pad(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        ups = spark.createDataFrame([(2, "b")], "k bigint, val string")
+        V.merge_versioned(spark, tpath, ups, "k", evolve_schema=True)
+        got = {r["k"]: r["n"] for r in
+               V.read_version(spark, tpath).collect()}
+        assert got == {1: 10, 2: None}
