@@ -316,7 +316,8 @@ def hashed_quality_logit_micro(df: DataFrame, weights_micro: list[int],
     map-side combine; the weight table rides the plan as a
     ``dim``-element literal array."""
     dim = len(weights_micro)
-    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights_micro])
+    warr = F.lit([int(w) for w in weights_micro])   # true Literal,
+    #                               not a per-row dim-child CreateArray
     t = (df.select(F.col(id_col),
                    F.explode(tokens(F.col(text_col), sep)).alias("_t"))
          .where(F.col("_t") != ""))
@@ -1493,8 +1494,9 @@ def lang_id_scores(df: DataFrame, weights_micro: dict,
     bucket, sign = _hashed_gram_contrib(dim)
     contribs = []
     for lang in langs:
-        warr = F.array(*[F.lit(int(w)).cast("long")
-                         for w in weights_micro[lang]])
+        # F.lit(list) is a TRUE Literal — F.array(*lits) would build
+        # a 256-child CreateArray expression instead
+        warr = F.lit([int(w) for w in weights_micro[lang]])
         contribs.append(
             (sign * F.element_at(warr, bucket + 1)).alias(f"_c_{lang}"))
     per = (g.select(F.col(id_col), *contribs)
