@@ -168,6 +168,11 @@ HEADLINE = [
     "ds_lang_id",
     "txt_unigram_tokenize",
     "rel_change_feed_stored",
+    # round 9 (cont.): copy-on-write delete (touched-slice rewrite +
+    # stored feed per run) and the multilingual governed-curation
+    # capstone composing the round end to end
+    "rel_delete_where",
+    "ds_corpus_pipeline_v9",
 ]
 
 

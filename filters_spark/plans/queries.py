@@ -12933,7 +12933,11 @@ _LID_W_MICRO = {
 _LID_B_MICRO = {"de": -3898058, "en": -4064918, "es": -4388139, "fr": -6117769, "zh": 2635342}
 
 
-def _lid_sql() -> str:
+def _lid_cte_block() -> str:
+    """The LID inference replay as a reusable WITH-fragment (CTEs
+    ``snip``/``grams``/``c``/``logits``/``pred``) — shared by the
+    ds_lang_id gate and the v9 capstone so both hash the SAME
+    n-gram-by-n-gram replay of the baked head."""
     langs = sorted(_LID_W_MICRO)
     vals = ", ".join(
         f"({i}, '{lg}', '{txt}')"
@@ -12950,8 +12954,7 @@ def _lid_sql() -> str:
         arms.append(f"WHEN l_{lg} >= {g} THEN '{lg}'")
     cascade = " ".join(arms) + f" ELSE '{langs[-1]}' END"
     best = "greatest(" + ", ".join(f"l_{lg}" for lg in langs) + ")"
-    return f"""
-    WITH snip(sid, tlang, stext) AS (VALUES {vals}),
+    return f"""snip(sid, tlang, stext) AS (VALUES {vals}),
     grams AS (
       SELECT sid, md5(substr(stext, CAST(i AS INT), 2)) AS h
       FROM snip, unnest(range(1, length(stext))) t(i)
@@ -12969,7 +12972,12 @@ def _lid_sql() -> str:
     ), pred AS (
       SELECT sid, CASE {cascade} AS lang_pred, {best} AS logit_best
       FROM logits
-    ), docs AS (
+    )"""
+
+
+def _lid_sql() -> str:
+    return f"""
+    WITH {_lid_cte_block()}, docs AS (
       SELECT doc_id, source, CAST(doc_id % 15 AS INT) AS sid
       FROM documents
     )
@@ -13185,3 +13193,137 @@ def rel_delete_where(spark, sf_dir):
             .crossJoin(F.broadcast(kept))
             .select("n_deleted", "deleted_key_sum", "deleted_cents",
                     "n_kept", "kept_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Round 9: capstone v9 — multilingual governed curation.
+# ---------------------------------------------------------------------------
+
+#: Fixed multilingual piece vocabulary for the v9 tokenization stage
+#: (multi-char pieces; anything else falls back char-level — the
+#: unigram_segment coverage contract).  Literal by design: v9 gates
+#: COMPOSITION of the round's operators, not tokenizer training
+#: (txt_unigram_tokenize gates that).
+_V9_VOCAB = ["th", "he", "en", "er", "an", "es", "de", "le", "la",
+             "re", "in", "on", "st", "ar", "ou", "the", "der", "les",
+             "que", "und", "est", "ein", "para", "vant"]
+
+
+def _v9_sql() -> str:
+    by_len: dict[int, list[str]] = {}
+    for p in _V9_VOCAB:
+        by_len.setdefault(len(p), []).append(p)
+    cases = ",\n        ".join(
+        "CASE WHEN substr(stext, pos, {L}) IN ({vals}) "
+        "THEN substr(stext, pos, {L}) END".format(
+            L=L, vals=", ".join(f"'{p}'" for p in sorted(by_len[L])))
+        for L in sorted(by_len, reverse=True))
+    return f"""
+    WITH RECURSIVE {_lid_cte_block()},
+    seg(sid, stext, pos, piece) AS (
+      SELECT sid, stext, 1, CAST(NULL AS VARCHAR) FROM snip
+      UNION ALL
+      SELECT sid, stext, pos + length(nxt), nxt FROM (
+        SELECT sid, stext, pos,
+          COALESCE(
+            {cases},
+            substr(stext, pos, 1)) AS nxt
+        FROM seg WHERE pos <= length(stext))
+    ),
+    np AS (
+      SELECT sid, CAST(count(*) AS BIGINT) AS n_pieces
+      FROM seg WHERE piece IS NOT NULL GROUP BY sid
+    ),
+    docs AS (
+      SELECT doc_id, source, CAST(doc_id % 15 AS INT) AS sid
+      FROM documents
+    ),
+    routed AS (
+      SELECT d.doc_id, d.source, s.tlang AS lang, p.logit_best,
+             n.n_pieces
+      FROM docs d
+      JOIN snip s USING (sid)
+      JOIN pred p USING (sid)
+      JOIN np n USING (sid)
+      WHERE p.lang_pred = s.tlang
+    ),
+    cls AS (
+      SELECT *, (doc_id BETWEEN 100 AND 999) AS del FROM routed
+    )
+    SELECT source, lang,
+           CAST(sum(CASE WHEN NOT del THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(sum(CASE WHEN NOT del THEN logit_best ELSE 0 END)
+                AS BIGINT) AS kept_logit_sum,
+           CAST(sum(CASE WHEN NOT del THEN n_pieces ELSE 0 END)
+                AS BIGINT) AS piece_sum
+    FROM cls GROUP BY 1, 2
+    """
+
+
+@register("ds_corpus_pipeline_v9", oracle=_v9_sql())
+def ds_corpus_pipeline_v9(spark, sf_dir):
+    """Round-9 MULTILINGUAL GOVERNED-CURATION capstone — this round's
+    operators composed end to end under ONE hash: trained language-ID
+    routing (stage 1 — held-out snippets planted by doc_id%15, docs
+    whose baked-head prediction disagrees with the planted language
+    are dropped, the real curation move LID exists for), the routed
+    corpus committed to a range-clustered versioned table (stage 2),
+    a COPY-ON-WRITE range delete with stored change files (stage 3 —
+    delete_where rewrites only the files containing the range;
+    read_changes serves the deletes from the STORED feed), and a
+    longest-match tokenization rollup over the survivors (stage 4 —
+    unigram_segment under a fixed multilingual vocab).  The per-
+    (source, lang) rollup carries kept/deleted counts, kept logit
+    sums, and piece sums — a drifted LID head, a mis-routed doc, a
+    delete that leaked or over-deleted, a stored feed that disagrees
+    with the diff, or a segmentation off by one piece each shifts a
+    BIGINT and fails the hash.  The oracle replays all four stages
+    from arithmetic (LID n-gram replay shared verbatim with
+    ds_lang_id via _lid_cte_block; segmentation as a recursive
+    longest-match CTE)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    d = _t(spark, sf_dir, "documents")
+    lang_arr = F.array(*[F.lit(lg) for lg, _ in _LID_SNIPPETS])
+    snip_arr = F.array(*[F.lit(t) for _, t in _LID_SNIPPETS])
+    sid = (F.col("doc_id") % 15).cast("int")
+    planted = d.select(
+        "doc_id", "source",
+        F.element_at(lang_arr, sid + 1).alias("true_lang"),
+        F.element_at(snip_arr, sid + 1).alias("text"))
+    scored = text.lang_id_scores(planted, _LID_W_MICRO, _LID_B_MICRO)
+    routed = (planted
+              .join(scored.select("doc_id", "lang_pred", "logit_best"),
+                    "doc_id")
+              .where(F.col("lang_pred") == F.col("true_lang")))
+    base = (routed.select("doc_id", "source",
+                          F.col("true_lang").alias("lang"),
+                          "logit_best")
+            .repartitionByRange(8, "doc_id"))
+    path = tempfile.mkdtemp(prefix="fs_v9c_") + "/t"
+    V.write_versioned(base, path, stats_cols=["doc_id"])
+    V.delete_where(spark, path, "doc_id BETWEEN 100 AND 999",
+                   store_changes_key="doc_id")
+    final = V.read_version(spark, path)
+    feed = V.read_changes(spark, path, "doc_id", 1, 2)
+    vsid = (F.col("doc_id") % 15).cast("int")
+    n_pieces = F.size(text.unigram_segment(
+        F.element_at(snip_arr, vsid + 1), _V9_VOCAB))
+    kept = final.select("source", "lang", F.lit(1).alias("_k"),
+                        "logit_best", n_pieces.alias("_p"))
+    dele = feed.select("source", "lang", F.lit(0).alias("_k"),
+                       "logit_best", F.lit(0).alias("_p"))
+    return (kept.unionByName(dele)
+            .groupBy("source", "lang")
+            .agg(F.sum("_k").cast("long").alias("n_kept"),
+                 F.sum(1 - F.col("_k")).cast("long").alias("n_deleted"),
+                 F.sum(F.when(F.col("_k") == 1, F.col("logit_best"))
+                       .otherwise(0)).cast("long")
+                 .alias("kept_logit_sum"),
+                 F.sum(F.when(F.col("_k") == 1, F.col("_p"))
+                       .otherwise(0)).cast("long").alias("piece_sum")))

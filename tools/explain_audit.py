@@ -434,6 +434,9 @@ EXPECTATIONS: dict[str, dict] = {
     # copy-on-write delete: two broadcast-stitched read-back
     # aggregates (the commit itself ran eagerly).
     "rel_delete_where": dict(max_exchanges=2),
+    # v9 capstone: LID + commit + COW delete ran eagerly; the
+    # returned plan is the kept+feed union rollup (one exchange).
+    "ds_corpus_pipeline_v9": dict(max_exchanges=2),
     # v8 governed ingest: validated-commit agg inside the gate runs
     # eagerly; the returned plan is the scored rollup + two broadcast
     # stitches + the change-feed diff join.
