@@ -129,6 +129,22 @@ HEAVY = {
     "rel_change_feed_stored": lambda rows: _inv(
         len(rows) == 8 and all(r["n"] > 0 for r in rows),
         "stored change feed: all 8 span/class groups present"),
+    "rel_delete_where": lambda rows: _inv(
+        len(rows) == 1 and rows[0]["n_deleted"] > 0
+        and rows[0]["n_kept"] > 0
+        and rows[0]["deleted_key_sum"] > 0,
+        "cow delete: nonempty delete + survivors"),
+    "ds_lang_id": lambda rows: _inv(
+        len(rows) > 0 and all(r["n"] > 0 for r in rows),
+        "lang id: nonempty confusion rollup"),
+    "txt_unigram_tokenize": lambda rows: _inv(
+        len(rows) > 0 and all(r["n"] > 0 for r in rows),
+        "unigram: nonempty piece table"),
+    "ds_corpus_pipeline_v9": lambda rows: _inv(
+        len(rows) > 0 and all(r["n_kept"] >= 0 for r in rows)
+        and any(r["n_deleted"] > 0 for r in rows)
+        and all(r["piece_sum"] >= 0 for r in rows),
+        "v9: rollup with deletions present"),
     "rel_optimize_zorder": lambda rows: _inv(
         len(rows) == 1 and rows[0]["n"] > 0
         and rows[0]["n_changes"] == 0,
