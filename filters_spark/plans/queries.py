@@ -627,13 +627,14 @@ DRIVER_WINDOW: list[str] = [
     # last official row is >=2 rounds old (incl. ds_minhash_lsh,
     # whose r8 closing-bench 1.75x was attributed to box load —
     # VERDICT r8 "What's wrong" #4).
-    # ROUND-10 ROTATION PLAN: after the r9 official run, exactly FOUR
+    # ROUND-10 ROTATION PLAN: after the r9 official run, exactly FIVE
     # registered names remain never-officially-checked — the gates
     # registered after this window froze: rel_change_feed_stored,
-    # ds_lang_id, txt_unigram_tokenize, rel_delete_where (all four
-    # green on every replica axis at both scales this round).  Put
-    # them in slots 1-4 and fill 5-50 with re-confirmations whose
-    # last official row is oldest (the r1-r3 val_*/rel_* vintage).
+    # ds_lang_id, txt_unigram_tokenize, rel_delete_where,
+    # ds_corpus_pipeline_v9 (all five green on every replica axis at
+    # both scales this round).  Put them in slots 1-5 and fill 6-50
+    # with re-confirmations whose last official row is oldest (the
+    # r1-r3 val_*/rel_* vintage).
     # Window history lives in git (this file, commits through r9).
     #
     # -- pre-r8 never-checked (19) --------------------------------------
