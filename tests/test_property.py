@@ -701,3 +701,61 @@ def test_covariance_merge_split_invariance(spark, vecs, cut):
         P.covariance_pairs(b, dim=6, engine="expr")).collect())
     whole = canon(P.covariance_pairs(df, dim=6, engine="expr").collect())
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# Round 9: stored-CDC netting vs the diff ground truth under random
+# commit sequences — the riskiest new logic of the round (per-key
+# earliest-preimage/latest-postimage collapse) fuzzed against the
+# writer-independent two-snapshot diff for EVERY span.
+# ---------------------------------------------------------------------------
+
+_mutation = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=11),     # key
+              st.sampled_from(["upsert", "delete"]),
+              st.integers(min_value=0, max_value=99)),    # new value
+    min_size=1, max_size=5)
+
+
+@given(st.lists(_mutation, min_size=2, max_size=4),
+       st.integers(min_value=0, max_value=9))
+@settings(max_examples=8, deadline=None)
+def test_stored_netting_equals_diff_on_random_histories(
+        spark, commits, seed):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from filters_spark.sources import versioned as V
+
+    path = tempfile.mkdtemp(prefix="fs_prop_cdc_") + "/t"
+    base = spark.createDataFrame(
+        [(k, (k * 7 + seed) % 100) for k in range(8)],
+        "k bigint, v bigint")
+    V.write_versioned(base, path)
+    head = 1
+    for muts in commits:
+        # collapse per-key within a commit (last mutation wins) —
+        # merge/delete are keyed single-image operations
+        per_key: dict = {}
+        for k, op, v in muts:
+            per_key[k] = (op, v)
+        ups = [(k, v) for k, (op, v) in per_key.items()
+               if op == "upsert"]
+        dels = [k for k, (op, _) in per_key.items() if op == "delete"]
+        if ups:
+            V.merge_versioned(
+                spark, path,
+                spark.createDataFrame(ups, "k bigint, v bigint"),
+                "k", store_changes=True)
+            head += 1
+        if dels:
+            V.delete_where(spark, path, F.col("k").isin(dels),
+                           store_changes_key="k")
+            head += 1
+    for lo in range(1, head):
+        stored = sorted(map(tuple, V.read_changes(
+            spark, path, "k", lo, head).collect()))
+        diff = sorted(map(tuple, V.read_changes(
+            spark, path, "k", lo, head, use_stored=False).collect()))
+        assert stored == diff, (lo, head, stored, diff)
