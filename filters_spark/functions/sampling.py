@@ -34,6 +34,7 @@ __all__ = [
     "stratified_fixed_n",
     "hash_bucket",
     "domain_mixture_sample",
+    "token_budget_sample",
     "temperature_mixture_sample",
     "global_shuffle",
     "hash_reservoir",
@@ -233,6 +234,58 @@ def domain_mixture_sample(df: DataFrame, key: str, domain_col: str,
         .where(hash_uniform(F.col(key)) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def token_budget_sample(df: DataFrame, key: str, domain_col: str,
+                        budgets: dict[str, int],
+                        token_count_col: str = "_tok") -> DataFrame:
+    """Fixed per-domain TOKEN budgets — the other way training
+    mixtures are specified (\"200B tokens of web, 30B of code\"):
+    within each budgeted domain, take documents in a deterministic
+    hash-shuffled order until the cumulative token count would exceed
+    the domain's budget, drop the rest.  The caller supplies a token
+    count column (``token_count_col``, e.g. ``text.token_count`` —
+    keeping the tokenizer choice out of the sampler).
+
+    Deterministic and engine-exact: the order is
+    (md5(key), key) — portable, uniformly shuffling, and total —
+    and the cut is an integer cumulative-sum prefix (a document is
+    kept iff its INCLUSIVE running total stays ≤ the budget, so the
+    selected set is maximal-prefix and no partial document is ever
+    implied).  Domains absent from ``budgets`` are dropped (a mixture
+    is a closed list); a budget smaller than every document yields an
+    empty domain.
+
+    Scale shape: ONE window shuffle partitioned by the domain (the
+    running sum), with the keep filter fused behind it — no joins, no
+    driver state.  Domain cardinality is the partition count; for a
+    HEAVY-tailed single domain at 100 TB, pre-bucket the domain by a
+    salt and give each bucket budget/n_salts (the windowed prefix is
+    associative over the hash order only within a partition — the
+    salted variant trades exact maximality at the seam for
+    parallelism, the standard production compromise)."""
+    from pyspark.sql.window import Window
+
+    for d, b in budgets.items():
+        if not int(b) >= 0:
+            raise ValueError(
+                f"token_budget_sample: budget for {d!r} must be >= 0")
+    budget_expr: Column = F.lit(None).cast("bigint")
+    for d, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col(domain_col) == d,
+                             F.lit(int(b))).otherwise(budget_expr)
+    # the explicit isin is semantically the _budget null filter, but
+    # UNLIKE the CASE-isNotNull form it pushes down to the scan
+    ordered = (df.where(F.col(domain_col).isin(*sorted(budgets)))
+               .withColumn("_budget", budget_expr)
+               .withColumn("_ord", F.md5(F.col(key).cast("string"))))
+    w = (Window.partitionBy(domain_col)
+         .orderBy("_ord", key)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(token_count_col).cast("bigint")).over(w)
+    return (ordered.withColumn("_cum", cum)
+            .where(F.col("_cum") <= F.col("_budget"))
+            .drop("_budget", "_ord", "_cum"))
 
 
 def global_shuffle(df: DataFrame, key: str, n_shards: int,

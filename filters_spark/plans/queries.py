@@ -13328,3 +13328,54 @@ def ds_corpus_pipeline_v9(spark, sf_dir):
                  .alias("kept_logit_sum"),
                  F.sum(F.when(F.col("_k") == 1, F.col("_p"))
                        .otherwise(0)).cast("long").alias("piece_sum")))
+
+
+@register(
+    "ds_token_budget_mix",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents WHERE lang IN ('de', 'en', 'es', 'zh')
+    ), b AS (
+      SELECT *,
+             CASE lang WHEN 'en' THEN 2000 WHEN 'es' THEN 1000
+                       WHEN 'de' THEN 800 WHEN 'zh' THEN 500 END
+               AS budget,
+             sum(tok) OVER (PARTITION BY lang ORDER BY ord, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS token_sum,
+           CAST(sum(doc_id) AS BIGINT) AS key_sum
+    FROM b WHERE cum <= budget GROUP BY lang
+    """,
+)
+def ds_token_budget_mix(spark, sf_dir):
+    """Token-budget corpus mixing under the value hash
+    (sampling.token_budget_sample — the OTHER way training mixtures
+    are specified: fixed token budgets per domain, not fractions):
+    per language, documents are taken in a deterministic
+    hash-shuffled order until the inclusive running token total would
+    exceed the domain's budget; 'fr' is OMITTED from the budget list
+    and must vanish entirely (a mixture is a closed list).  The
+    per-domain doc counts, token sums (all ≤ budget by construction —
+    the oracle enforces maximal-prefix semantics, so an off-by-one at
+    the cut or a drifted order shifts key_sum), and key checksums
+    ride the hash.  Scale shape: one window shuffle partitioned by
+    the domain with the keep filter fused behind it — no joins, no
+    driver state (the docstring carries the salt-bucketing recipe for
+    a single heavy-tailed domain at 100 TB)."""
+    from ..functions import sampling
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_tok", text.token_count(F.col("text")))
+    out = sampling.token_budget_sample(
+        d, "doc_id", "lang",
+        {"en": 2000, "es": 1000, "de": 800, "zh": 500})
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("token_sum"),
+        F.sum("doc_id").cast("long").alias("key_sum"))

@@ -535,3 +535,59 @@ class TestBloomSemiJoin:
         assert got == [1]                    # NULL key never survives
         empty = spark.createDataFrame([], "k bigint")
         assert sketch.bloom_semi_join(big, empty, "k").count() == 0
+
+
+class TestTokenBudgetSample:
+    def test_maximal_prefix_and_closed_list(self, spark):
+        from filters_spark.functions.sampling import token_budget_sample
+        from filters_spark.functions.text import token_count
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, "a" if i < 20 else "b", "w " * (i % 5 + 1))
+             for i in range(40)],
+            "doc_id bigint, dom string, text string").withColumn(
+            "_tok", token_count(F.col("text")))
+        out = token_budget_sample(df, "doc_id", "dom",
+                                  {"a": 20})          # 'b' omitted
+        rows = out.collect()
+        assert {r["dom"] for r in rows} == {"a"}
+        total = sum(r["_tok"] for r in rows)
+        assert total <= 20
+        # maximal prefix: adding the NEXT doc in hash order would
+        # exceed the budget
+        import hashlib
+        sel = {r["doc_id"] for r in rows}
+        ordered = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i)
+            for i in range(20))
+        toks = {r["doc_id"]: r["_tok"] for r in df.where(
+            F.col("dom") == "a").collect()}
+        cum = 0
+        for _, i in ordered:
+            cum += toks[i]
+            if cum <= 20:
+                assert i in sel
+            else:
+                assert i not in sel
+        # deterministic across reruns
+        again = {r["doc_id"] for r in token_budget_sample(
+            df, "doc_id", "dom", {"a": 20}).collect()}
+        assert again == sel
+
+    def test_zero_and_tiny_budgets(self, spark):
+        from filters_spark.functions.sampling import token_budget_sample
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 5)],
+            "doc_id bigint, dom string, _tok bigint")
+        assert token_budget_sample(df, "doc_id", "dom",
+                                   {"a": 0}).count() == 0
+        assert token_budget_sample(df, "doc_id", "dom",
+                                   {"a": 4}).count() == 0
+        assert token_budget_sample(df, "doc_id", "dom",
+                                   {"a": 5}).count() == 1
+        import pytest as _pt
+        with _pt.raises(ValueError, match="budget"):
+            token_budget_sample(df, "doc_id", "dom", {"a": -1})

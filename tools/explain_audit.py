@@ -437,6 +437,9 @@ EXPECTATIONS: dict[str, dict] = {
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
+    # token-budget mix: ONE window shuffle (the per-domain running
+    # sum) reused by the rollup; domain IN-filter pushed to the scan.
+    "ds_token_budget_mix": dict(max_exchanges=1, scan_filter=True),
     # v8 governed ingest: validated-commit agg inside the gate runs
     # eagerly; the returned plan is the scored rollup + two broadcast
     # stitches + the change-feed diff join.
