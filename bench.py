@@ -173,6 +173,9 @@ HEADLINE = [
     # capstone composing the round end to end
     "rel_delete_where",
     "ds_corpus_pipeline_v9",
+    # round 9 (late): token-budget mixing (one window shuffle,
+    # domain filter pushed)
+    "ds_token_budget_mix",
 ]
 
 
