@@ -614,83 +614,81 @@ def names() -> list[str]:
 # op, so every component lands a row in the official record.  The
 # remaining queries still run under tools/oracle_check.py.
 DRIVER_WINDOW: list[str] = [
-    # ================= ROUND-9 ROTATION (VERDICT r8 task 1) ==========
-    # Slots 1-43: the ONLY 43 registered names that have never had an
-    # official CORRECTNESS row in rounds 1-8 (verified against the
-    # union of CORRECTNESS_r01..r08.json).  All 43 were green on the
-    # judge's own driver-faithful replica at sf0.01 in the r8 VERDICT
-    # session (the 8 heaviest also at sf0.1), and green in the r8
-    # dual full-registry sweeps (both scales + local[5] + AQE-off +
-    # shuffled-oracle).  With this window green, cumulative official
-    # coverage = 243/243 — the full registry.
-    # Slots 44-50: re-confirmation of long-standing flagships whose
-    # last official row is >=2 rounds old (incl. ds_minhash_lsh,
-    # whose r8 closing-bench 1.75x was attributed to box load —
-    # VERDICT r8 "What's wrong" #4).
-    # ROUND-10 ROTATION PLAN: after the r9 official run, exactly FIVE
-    # registered names remain never-officially-checked — the gates
-    # registered after this window froze: rel_change_feed_stored,
-    # ds_lang_id, txt_unigram_tokenize, rel_delete_where,
-    # ds_corpus_pipeline_v9 (all five green on every replica axis at
-    # both scales this round).  Put them in slots 1-5 and fill 6-50
-    # with re-confirmations whose last official row is oldest (the
-    # r1-r3 val_*/rel_* vintage).
-    # Window history lives in git (this file, commits through r9).
+    # ================= ROUND-10 ROTATION (VERDICT r9 task 1) =========
+    # Slots 1-6: the SIX registered names that have never had an
+    # official CORRECTNESS row in rounds 1-9 (verified against the
+    # union of CORRECTNESS_r01..r09.json at the start of r10 — the r9
+    # plan comment said five; ds_token_budget_mix, registered after
+    # that comment froze, makes it six, exactly as VERDICT r9 and
+    # ADVICE r9 flag).  All six were green on the judge's own
+    # driver-faithful replica in the r9 VERDICT session.  With this
+    # window green, cumulative official coverage = every registered
+    # name checked at least once.
+    # Slots 7-50: re-confirmations with the OLDEST last-official row —
+    # all 20 whose last row is r2, all 13 whose last row is r3, and 11
+    # of the 15 whose last row is r4 (the remaining four r4 names —
+    # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
+    # val_strip_fold — plus the r5 vintage are the r11 rotation pool).
+    # ROUND-11 ROTATION PLAN: any name registered in r10 after this
+    # window freezes goes in slots 1-N; fill the rest with the four
+    # r4 leftovers above, then the r5 vintage (47 names), oldest
+    # first.  Re-verify against CORRECTNESS_r10.json before writing.
+    # Window history lives in git (this file, commits through r10).
     #
-    # -- pre-r8 never-checked (19) --------------------------------------
-    "txt_bpe_tokens",            # BPE token ids (spark engine)
-    "val_bytearray_ints",        # ByteArray from int-array column
-    "ds_dedup_components",       # near-dup connected components
-    "val_variant_path",          # variant JSON path extraction
-    "txt_fingerprint",           # rolling-hash doc fingerprint
-    "prof_top_values",           # profiler: per-column top values
-    "prof_histogram",            # profiler: numeric histogram
-    "txt_bigram_freq_score",     # bigram LM frequency score
-    "val_struct_projection",     # nested-struct projection validator
-    "ds_exact_dedup_against",    # dedup against a reference corpus
-    "ds_embedding_quantize",     # int8 embedding quantization
-    "txt_boilerplate_ngrams",    # boilerplate n-gram detection
-    "ds_dedup_keep_canonical",   # canonical-doc cluster collapse
-    "ds_split_assign",           # deterministic train/val/test split
-    "txt_length_outliers",       # length-outlier flagging
-    "ds_weighted_sample",        # weighted sampling wo/ replacement
-    "ds_chunk_documents",        # fixed-token-budget chunking
-    "ds_linear_score",           # linear quality scorer
-    "ds_hash_reservoir",         # hash-based reservoir sample
-    # -- round-8 gates: ISO family + UDF leaves + classifiers (12) ------
-    "val_iso_country",           # ISO 3166 alpha-2/3/numeric
-    "val_iso_currency",          # ISO 4217 (ambiguous-numeric reject)
-    "val_iso_locale",            # BCP-47 canonicalization
-    "val_mac_address",           # MAC address normalization
-    "val_nfc_exact",             # NFC leaf vs expr twin
-    "val_casefold_exact",        # full casefold leaf
-    "val_ipv6_normalize",        # RFC 5952 leaf
-    "val_maxbytes_truncate",     # byte-exact truncation leaf
-    "val_datetime_fuzzy",        # fuzzy datetime parse leaf
-    "ds_logistic_fit",           # IRLS logistic fit (SQL-replayed)
-    "ds_jpeg_progressive_gate",  # SOF2 progressive JPEG decode
-    "val_map_mapper",            # per-row map<k,v> key semantics
-    # -- late-r8: governed tables + classifiers + capstones (12) --------
-    "txt_html_strip",            # HTML tag strip (0-exchange map)
-    "ds_quality_classifier",     # interpretable trained classifier
-    "ds_corpus_pipeline_v7",     # capstone v7
-    "rel_xml_roundtrip",         # XML source/sink roundtrip
-    "rel_change_feed",           # versioned-table CDC diff feed
-    "rel_validated_commit",      # contract-gated commit
-    "rel_optimize_zorder",       # OPTIMIZE ZORDER maintenance
-    "ds_fasttext_quality",       # hashed-feature classifier head
-    "ds_corpus_pipeline_v8",     # capstone v8
-    "rel_continuous_rollup",     # incremental continuous aggregate
-    "rel_quarantine_replay",     # dead-letter replay recovery
-    "rel_partitioned_prune",     # two-axis partitioned skipping
-    # -- re-confirmation flagships (7) -----------------------------------
-    "val_lineitem_clean_agg",    # flagship validator (official r1)
-    "ds_minhash_lsh",            # banded LSH near-dup (r8 noise check)
-    "ds_bm25_topk",              # BM25 retrieval
-    "ds_cosine_topk",            # exact cosine ANN baseline
-    "ds_hybrid_rrf_indexed",     # pay-once hybrid RRF (r8 fix)
-    "rel_merge_snapshot",        # versioned-table MERGE
-    "rel_asof_join",             # as-of join
+    # -- never-official (6): registered after the r9 window froze ------
+    "rel_change_feed_stored",    # stored O(changes) CDC fast path
+    "ds_lang_id",                # trained n-gram language ID
+    "txt_unigram_tokenize",      # unigram-LM tokenizer
+    "rel_delete_where",          # COW file-reuse DELETE
+    "ds_corpus_pipeline_v9",     # multilingual capstone v9
+    "ds_token_budget_mix",       # token-budget corpus mixing
+    # -- last official row r2 (20) --------------------------------------
+    "ds_embedding_dup",          # embedding-cosine near-dup
+    "ds_lsh_topk",               # LSH-bucketed ANN top-k
+    "ds_multimodal_features",    # binary metadata feature extract
+    "prof_customer",             # per-column profiler
+    "prof_quantiles",            # approx+exact quantiles
+    "rel_cube",                  # CUBE aggregation
+    "rel_lag_lead",              # lag/lead window functions
+    "rel_q17_small_qty",         # TPC-H Q17 correlated agg
+    "rel_q4_priority_semijoin",  # TPC-H Q4 semi-join
+    "rel_q5_nation_revenue",     # TPC-H Q5 multi-join
+    "rel_range_join",            # banded range join
+    "rel_rollup",                # ROLLUP aggregation
+    "rel_session_window",        # session windowing (batch)
+    "rel_setops",                # UNION/INTERSECT/EXCEPT
+    "rel_topk_parts_per_brand",  # per-group top-k window
+    "txt_langid",                # heuristic language ID
+    "txt_quality",               # text quality scoring
+    "val_choice_rollup",         # Choice validator rollup
+    "val_date_counts",           # Date validator counts
+    "val_min_rejected",          # Min validator rejects
+    # -- last official row r3 (13) --------------------------------------
+    "ds_ngram_jaccard",          # n-gram Jaccard near-dup
+    "rel_sql_interface",         # spark.sql passthrough surface
+    "val_base64_roundtrip",      # Base64Decode roundtrip
+    "val_each_array",            # FilterRepeater over arrays
+    "val_ip_address",            # IpAddress validator
+    "val_maxbytes_check",        # MaxBytes expr check
+    "val_optional_default",      # Optional-with-default
+    "val_regex_extract",         # Regex all-matches
+    "val_round_quarter",         # Round HALF_UP
+    "val_split_parts",           # Split into keyed struct
+    "val_switch_dispatch",       # FilterSwitch dispatch
+    "val_uuid_canon",            # Uuid canonicalization
+    "val_variant_json",          # JsonDecode to Variant
+    # -- last official row r4 (11 of 15) ---------------------------------
+    "ds_dedup_exact",            # exact hash dedup
+    "ds_domain_mixture",         # domain-mixture sampling
+    "ds_ivf_topk",               # IVF ANN top-k
+    "ds_pagerank",               # PageRank graph analytics
+    "ds_simhash_pairs",          # SimHash banded pairs
+    "ds_stratified_sample",      # stratified sampling
+    "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
+    "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
+    "rel_sessionize",            # gap-based sessionization
+    "rel_upsert_merge",          # upsert MERGE
+    "txt_profile",               # corpus profile (calibration anchor)
 ]
 
 
