@@ -238,7 +238,8 @@ def domain_mixture_sample(df: DataFrame, key: str, domain_col: str,
 
 def token_budget_sample(df: DataFrame, key: str, domain_col: str,
                         budgets: dict[str, int],
-                        token_count_col: str = "_tok") -> DataFrame:
+                        token_count_col: str = "_tok",
+                        buckets: int = 64) -> DataFrame:
     """Fixed per-domain TOKEN budgets — the other way training
     mixtures are specified (\"200B tokens of web, 30B of code\"):
     within each budgeted domain, take documents in a deterministic
@@ -256,20 +257,37 @@ def token_budget_sample(df: DataFrame, key: str, domain_col: str,
     is a closed list); a budget smaller than every document yields an
     empty domain.
 
-    Scale shape: ONE window shuffle partitioned by the domain (the
-    running sum), with the keep filter fused behind it — no joins, no
-    driver state.  Domain cardinality is the partition count; for a
-    HEAVY-tailed single domain at 100 TB, pre-bucket the domain by a
-    salt and give each bucket budget/n_salts (the windowed prefix is
-    associative over the hash order only within a partition — the
-    salted variant trades exact maximality at the seam for
-    parallelism, the standard production compromise)."""
+    Scale shape — the per-domain prefix sum is TWO-PHASE, exactly the
+    :func:`pps_systematic_sample` construction, so a heavy-tailed
+    domain never serializes into one window task (the r9 VERDICT
+    scale seam): the draw's first two hex chars RANGE-split each
+    domain into ``buckets`` hash-uniform segments whose bucket-major
+    order IS the draw order, so per-(domain, bucket) running sums
+    compose EXACTLY into the domain's global prefix —
+
+    1. phase 1 windows over (domain, bucket): parallelism =
+       domains × buckets, each task ~|domain|/buckets rows (balanced
+       by construction — the bucket is a hash prefix, not a data
+       key);
+    2. phase 2 offsets each bucket by the running total of the
+       ≤ domains×buckets-row bucket-stats frame (scoped-persisted,
+       broadcast back) — the keep test is
+       ``offset + local_cum <= budget``.
+
+    The selected set is PROVABLY IDENTICAL to the single-window form
+    for every ``buckets`` (no seam tolerance: the composed prefix is
+    the same integer for every row), pinned by pytest.  ``buckets=1``
+    recovers the single-shuffle single-window plan — one corpus scan
+    instead of two (the stats pass adds a narrow agg scan), the right
+    trade when no domain is large enough to straggle one task."""
     from pyspark.sql.window import Window
 
     for d, b in budgets.items():
         if not int(b) >= 0:
             raise ValueError(
                 f"token_budget_sample: budget for {d!r} must be >= 0")
+    if not 1 <= buckets <= 256:
+        raise ValueError(f"buckets must be in [1, 256], got {buckets}")
     budget_expr: Column = F.lit(None).cast("bigint")
     for d, b in sorted(budgets.items()):
         budget_expr = F.when(F.col(domain_col) == d,
@@ -279,13 +297,48 @@ def token_budget_sample(df: DataFrame, key: str, domain_col: str,
     ordered = (df.where(F.col(domain_col).isin(*sorted(budgets)))
                .withColumn("_budget", budget_expr)
                .withColumn("_ord", F.md5(F.col(key).cast("string"))))
-    w = (Window.partitionBy(domain_col)
-         .orderBy("_ord", key)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.sum(F.col(token_count_col).cast("bigint")).over(w)
-    return (ordered.withColumn("_cum", cum)
+    if buckets == 1:
+        w = (Window.partitionBy(domain_col)
+             .orderBy("_ord", key)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = F.sum(F.col(token_count_col).cast("bigint")).over(w)
+        return (ordered.withColumn("_cum", cum)
+                .where(F.col("_cum") <= F.col("_budget"))
+                .drop("_budget", "_ord", "_cum"))
+    # RANGE split (not modulo — bucket order must equal draw order so
+    # the per-bucket sums compose into the draw-ordered prefix)
+    rows = ordered.withColumn(
+        "_b", F.expr(f"CAST((CAST(conv(substring(_ord, 1, 2), 16, 10) "
+                     f"AS INT) * {buckets}) DIV 256 AS INT)"))
+    from ._cache import scoped_persist
+    bstats = scoped_persist(
+        rows.groupBy(domain_col, "_b")
+        .agg(F.sum(F.col(token_count_col).cast("bigint")).alias("_bw")),
+        "token_budget_bstats")
+    # ≤ domains×buckets rows: the per-domain running-total window is
+    # bounded by the BUCKETS constant, not the data
+    off_w = (Window.partitionBy(domain_col).orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    # _off stays NULL for an empty/all-NULL-token prefix — the
+    # composed sum must be NULL-skipping exactly like the single
+    # window's (a row before any non-NULL token has cum NULL and is
+    # dropped; a NULL-token row AFTER one inherits the running sum)
+    offs = bstats.withColumn(
+        "_off", F.sum("_bw").over(off_w)).drop("_bw")
+    in_b = (Window.partitionBy(domain_col, "_b")
+            .orderBy("_ord", key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lcum = F.sum(F.col(token_count_col).cast("bigint")).over(in_b)
+    composed = F.when(
+        F.col("_off").isNull() & F.col("_lcum").isNull(),
+        F.lit(None).cast("bigint"),
+    ).otherwise(F.coalesce(F.col("_off"), F.lit(0)) +
+                F.coalesce(F.col("_lcum"), F.lit(0)))
+    return (rows.join(F.broadcast(offs), [domain_col, "_b"])
+            .withColumn("_lcum", lcum)
+            .withColumn("_cum", composed)
             .where(F.col("_cum") <= F.col("_budget"))
-            .drop("_budget", "_ord", "_cum"))
+            .drop("_budget", "_ord", "_b", "_off", "_lcum", "_cum"))
 
 
 def global_shuffle(df: DataFrame, key: str, n_shards: int,

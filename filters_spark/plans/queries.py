@@ -13362,10 +13362,13 @@ def ds_token_budget_mix(spark, sf_dir):
     per-domain doc counts, token sums (all ≤ budget by construction —
     the oracle enforces maximal-prefix semantics, so an off-by-one at
     the cut or a drifted order shifts key_sum), and key checksums
-    ride the hash.  Scale shape: one window shuffle partitioned by
-    the domain with the keep filter fused behind it — no joins, no
-    driver state (the docstring carries the salt-bucketing recipe for
-    a single heavy-tailed domain at 100 TB)."""
+    ride the hash.  Scale shape (r10): the TWO-PHASE bucketed prefix
+    sum — (domain, hash-range-bucket) windows compose exactly into
+    the per-domain prefix via a ≤ domains×buckets bucket-offset
+    frame, so a heavy-tailed domain parallelizes across buckets
+    instead of one window task; the oracle's single global window IS
+    the semantic ground truth the bucketed plan must reproduce
+    bit-for-bit."""
     from ..functions import sampling
 
     d = _t(spark, sf_dir, "documents").withColumn(

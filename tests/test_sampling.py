@@ -591,3 +591,44 @@ class TestTokenBudgetSample:
         import pytest as _pt
         with _pt.raises(ValueError, match="budget"):
             token_budget_sample(df, "doc_id", "dom", {"a": -1})
+
+    def test_bucketed_identical_to_single_window(self, spark):
+        # the r10 two-phase plan must be PROVABLY identical to the
+        # single-window form — not seam-tolerant: the composed
+        # (bucket-offset + local prefix) is the same integer as the
+        # global running sum for every row, for every bucket count
+        from filters_spark.functions.sampling import token_budget_sample
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, "heavy" if i % 10 else "light", (i * 7919) % 13 + 1)
+             for i in range(600)],
+            "doc_id bigint, dom string, _tok bigint")
+        budgets = {"heavy": 900, "light": 40}
+        base = sorted(r["doc_id"] for r in token_budget_sample(
+            df, "doc_id", "dom", budgets, buckets=1).collect())
+        assert base  # non-degenerate: something is kept
+        for b in (2, 7, 64, 256):
+            got = sorted(r["doc_id"] for r in token_budget_sample(
+                df, "doc_id", "dom", budgets, buckets=b).collect())
+            assert got == base, f"buckets={b} diverged"
+        import pytest as _pt
+        with _pt.raises(ValueError, match="buckets"):
+            token_budget_sample(df, "doc_id", "dom", budgets, buckets=0)
+        with _pt.raises(ValueError, match="buckets"):
+            token_budget_sample(df, "doc_id", "dom", budgets,
+                                buckets=257)
+
+    def test_bucketed_null_token_parity(self, spark):
+        # NULL token counts: skipped by the running sum on both plans
+        from filters_spark.functions.sampling import token_budget_sample
+
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "a", 5), (3, "a", None), (4, "a", 7),
+             (5, "a", 3)],
+            "doc_id bigint, dom string, _tok bigint")
+        base = sorted(r["doc_id"] for r in token_budget_sample(
+            df, "doc_id", "dom", {"a": 10}, buckets=1).collect())
+        got = sorted(r["doc_id"] for r in token_budget_sample(
+            df, "doc_id", "dom", {"a": 10}, buckets=16).collect())
+        assert got == base

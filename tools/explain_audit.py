@@ -439,7 +439,11 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
     # token-budget mix: ONE window shuffle (the per-domain running
     # sum) reused by the rollup; domain IN-filter pushed to the scan.
-    "ds_token_budget_mix": dict(max_exchanges=1, scan_filter=True),
+    # r10 two-phase: bucket-stats agg on (domain, bucket) + the
+    # per-(domain, bucket) window shuffle + the ≤domains×buckets
+    # offset window (tiny) + broadcast offsets back + final agg.
+    "ds_token_budget_mix": dict(max_exchanges=4, min_broadcasts=1,
+                                scan_filter=True),
     # v8 governed ingest: validated-commit agg inside the gate runs
     # eagerly; the returned plan is the scored rollup + two broadcast
     # stitches + the change-feed diff join.
