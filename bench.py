@@ -173,10 +173,24 @@ HEADLINE = [
     # capstone composing the round end to end
     "rel_delete_where",
     "ds_corpus_pipeline_v9",
-    # round 9 (late): token-budget mixing (one window shuffle,
-    # domain filter pushed)
+    # round 9 (late): token-budget mixing (r10: the two-phase bucketed
+    # prefix — bucket window + stats agg + broadcast offsets)
     "ds_token_budget_mix",
+    # round 10: versioned-table RESTORE (bad merge + manifest-only
+    # rollback + inverse stored feed + netted-span check per run)
+    "rel_restore_version",
 ]
+
+# Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1
+# queries probed FIRST, their steadies recorded under "calibration" in
+# the JSON.  Round-over-round per-query comparisons normalize by the
+# calibration ratio (BASELINE.md documents the rule) instead of
+# arguing about loadavg — the box's bench band drifts ±20-30% within
+# a session.  Note: these three also sit in HEADLINE; from r10 their
+# headline COLD numbers measure a warm re-plan (the probe already
+# compiled them) — comparisons use steadies, which are unaffected.
+CALIBRATION = ["rel_q1_pricing", "rel_q6_forecast_revenue",
+               "txt_profile"]
 
 
 def main() -> None:
@@ -210,6 +224,15 @@ def main() -> None:
         load_table(spark, t, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    calibration: dict[str, float] = {}
+    for name in CALIBRATION:
+        q = Q.REGISTRY[name]
+        q.fn(spark, SF_DIR).collect()            # compile + cold
+        t0 = time.time()
+        q.fn(spark, SF_DIR).collect()
+        calibration[name] = round(time.time() - t0, 3)
+        print(f"# calibration {name}: {calibration[name]:.2f}s steady",
+              file=sys.stderr)
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
@@ -244,6 +267,8 @@ def main() -> None:
         "queries": timings,
         "queries_steady": steady,
         "steady_total": round(sum(steady.values()), 3),
+        "calibration": calibration,
+        "calibration_total": round(sum(calibration.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg_start": LOAD_START,
         "loadavg_end": [round(x, 2) for x in load_end]

@@ -13380,3 +13380,86 @@ def ds_token_budget_mix(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_tok").cast("long").alias("token_sum"),
         F.sum("doc_id").cast("long").alias("key_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Round 10: governed-table RESTORE.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_restore_version",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), touched AS (
+      SELECT * FROM base WHERE k BETWEEN 1000 AND 4999
+    ), feed AS (
+      SELECT 'delete' AS ct, CAST(900000000 + i AS BIGINT) AS k,
+             CAST(i AS BIGINT) AS cents
+      FROM range(1, 21) t(i)
+      UNION ALL
+      SELECT 'update_preimage', k, CAST(0 AS BIGINT) FROM touched
+      UNION ALL
+      SELECT 'update_postimage', k, cents FROM touched
+    )
+    SELECT ct AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_final,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM base)
+             AS final_cents_sum,
+           CAST(0 AS BIGINT) AS n_net_span
+    FROM feed GROUP BY ct
+    """,
+)
+def rel_restore_version(spark, sf_dir):
+    """Versioned-table RESTORE under the value hash
+    (sources.versioned.restore_version — VERDICT r9 next #3, Delta
+    RESTORE's shape): orders committed clustered with stats (v1), a
+    BAD commit lands (keys 1000-4999 zeroed + 20 planted rows at
+    900M, stored change feed), then one restore_version call rolls
+    the head back — a new manifest carrying v1's files by REFERENCE,
+    zero data rewrite, with the restore's change feed persisted as
+    the INVERSE of the bad span's.  The hash carries (a) the restore
+    feed grouped by change type — planted keys come back as deletes,
+    the zeroed keys as update pairs whose PREIMAGE is the bad state
+    and POSTIMAGE the original — (b) the final table equal to v1's
+    arithmetic, and (c) the NET feed across bad-commit+restore, which
+    must be EMPTY (insert→delete and update→revert net to nothing —
+    the n_net_span column pins 0 through the stored-CDC netting
+    path).  File-reference mechanics, vacuum refcounts, partitioned
+    fallback, and guards are pytest-pinned (TestRestoreVersion)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents")).repartitionByRange(8, "o_orderkey")
+    path = tempfile.mkdtemp(prefix="fs_rst_") + "/t"
+    V.write_versioned(base, path, stats_cols=["o_orderkey"])
+    bad = base.where(F.col("o_orderkey").between(1000, 4999)) \
+        .withColumn("cents", F.lit(0).cast("bigint"))
+    planted = spark.range(1, 21).select(
+        (F.lit(900000000) + F.col("id")).alias("o_orderkey"),
+        F.col("id").cast("bigint").alias("cents"))
+    V.merge_versioned(spark, path, bad.unionByName(planted),
+                      "o_orderkey", store_changes=True)
+    V.restore_version(spark, path, 1, store_changes_key="o_orderkey")
+    feed = V.read_changes(spark, path, "o_orderkey", 2, 3)
+    grouped = feed.groupBy(
+        F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"))
+    fin = V.read_version(spark, path).agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.sum("cents").cast("long").alias("final_cents_sum"))
+    net = V.read_changes(spark, path, "o_orderkey", 1, 3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_net_span"))
+    return (grouped.crossJoin(F.broadcast(fin))
+            .crossJoin(F.broadcast(net)))

@@ -68,6 +68,7 @@ __all__ = [
     "read_version",
     "merge_versioned",
     "delete_where",
+    "restore_version",
     "read_changes",
     "consume_changes",
     "read_cursor",
@@ -246,6 +247,24 @@ def _footer_stats(abs_path: str, cols: list[str]) -> dict:
 
     md = pq.ParquetFile(abs_path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+
+    def norm(v):
+        # JSON-safe ONCE, here — the driver loop and the executor-side
+        # stats job must produce IDENTICAL sidecar types regardless of
+        # file count (ADVICE r9: the old executor path stringified via
+        # json default=str while the driver path kept native
+        # date/Decimal objects, crashing the sidecar dump at <=64
+        # files and string-typing it above).  bytes min/max are
+        # unusable (truncated statistics); date/Decimal/datetime
+        # become their str() form — ISO strings order like their
+        # values, and a typed predicate bound hits prune_files'
+        # conservative TypeError keep.
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, bytes):
+            return None
+        return str(v)
+
     stats: dict = {}
     for col in cols:
         lo = hi = None
@@ -259,10 +278,8 @@ def _footer_stats(abs_path: str, cols: list[str]) -> dict:
                 mn, mx = st.min, st.max
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
-        stats[col] = (
-            None if lo is None
-            else [lo if not isinstance(lo, bytes) else None,
-                  hi if not isinstance(hi, bytes) else None])
+        lo, hi = norm(lo), norm(hi)
+        stats[col] = None if lo is None or hi is None else [lo, hi]
     return stats
 
 
@@ -651,8 +668,8 @@ def read_version(spark: SparkSession, path: str,
     return spark.read.schema(schema).parquet(snap)
 
 
-def _merge_changes(base: DataFrame, updates: DataFrame,
-                   key: str) -> DataFrame:
+def _merge_changes(base: DataFrame, updates: DataFrame, key: str,
+                   detect_cols: list[str] | None = None) -> DataFrame:
     """Change feed of a keyed merge, computed AT COMMIT TIME from
     base × updates: one join whose probe side is the (usually small)
     update batch — broadcast-able, never a full-outer diff of two
@@ -661,9 +678,19 @@ def _merge_changes(base: DataFrame, updates: DataFrame,
     identical content emits nothing.  Output columns, change-type
     vocabulary, and the content fingerprint are identical to
     :func:`read_changes` over the same transition, so stored ≡ diff
-    by construction."""
+    by construction.
+
+    ``detect_cols`` restricts change DETECTION (not payloads) to the
+    given columns — :func:`merge_versioned` passes the PARENT
+    snapshot's non-key columns so an ``evolve_schema`` merge stays
+    diff-equivalent: the read-time diff cannot see one-side-only
+    columns, so a value landing in a freshly ADDED column on an
+    existing key must emit nothing here either (ADVICE r9 — the
+    widened fingerprint used to emit an update pair the diff path
+    never would)."""
     o, n = base.alias("o"), updates.alias("n")
-    common = sorted(set(base.columns) & set(updates.columns) - {key})
+    common = sorted(set(base.columns) & set(updates.columns) - {key}) \
+        if detect_cols is None else sorted(detect_cols)
     all_cols = [key] + sorted((set(base.columns) | set(updates.columns))
                               - {key})
 
@@ -749,6 +776,7 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
         expected_parent = parent
     m = _read_manifest(path, parent)
     base = read_version(spark, path, parent)
+    parent_detect = sorted(set(base.columns) - {key})
     if evolve_schema:
         b_t = {f.name: f.dataType for f in base.schema.fields}
         u_t = {f.name: f.dataType for f in updates.schema.fields}
@@ -775,8 +803,9 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     else:
         aligned = updates.select(*base.columns)
         _widen = None
-    changes = _merge_changes(base, aligned, key) if store_changes \
-        else None
+    changes = _merge_changes(base, aligned, key,
+                             detect_cols=parent_detect) \
+        if store_changes else None
     if file_reuse and not m.get("partition_by"):
         schema = T.StructType.fromJson(json.loads(m["schema_json"]))
         parent_files = _root_files(path, m)
@@ -801,9 +830,15 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
             stats_cols=m.get("stats_cols"),
             reuse_files=untouched, reuse_stats=_root_stats(path, m))
     merged = upsert(base, aligned, key)
+    # the full-materialization path carries the parent's skipping /
+    # layout contract exactly like the file_reuse branch and
+    # delete_where do — an ordinary merge must not silently disarm
+    # where= pruning or flatten a partitioned table (ADVICE r9)
     return write_versioned(merged, path,
                            expected_parent=expected_parent, _op="merge",
-                           extra_meta=extra_meta, changes_df=changes)
+                           extra_meta=extra_meta, changes_df=changes,
+                           stats_cols=m.get("stats_cols"),
+                           partition_by=m.get("partition_by"))
 
 
 def _root_files(path: str, manifest: dict) -> list[str]:
@@ -913,6 +948,90 @@ def delete_where(spark: SparkSession, path: str, condition,
     return {"version": version, "n_deleted": int(n_deleted),
             "files_rewritten": len(touched),
             "files_reused": len(untouched)}
+
+
+def restore_version(spark: SparkSession, path: str, version: int,
+                    expected_parent: int | None = None,
+                    store_changes_key: str | None = None) -> dict:
+    """ROLLBACK as a first-class commit (Delta RESTORE): make snapshot
+    ``version`` the table's new head WITHOUT rewriting its data — a
+    new manifest carries the old version's files by REFERENCE (the
+    :func:`delete_where` copy-on-write machinery), so restoring a
+    100 TB table after a bad commit costs one manifest, zero data
+    movement, and the full audit trail survives: the bad version
+    stays readable (time travel), ``op='restore'`` +
+    ``restored_from`` land in the manifest, and history keeps moving
+    FORWARD (heads never rewind — a restore is a new version whose
+    CONTENT equals the old one).
+
+    ``store_changes_key`` persists the restore's change feed — the
+    INVERSE of the feed it undoes: ``read_changes(version → head)``
+    with insert↔delete and preimage↔postimage swapped, so CDC
+    consumers that applied the bad span can net it back out.  Served
+    from stored change files when the undone span has them
+    (O(changes)), else computed as the snapshot diff.
+
+    The restored snapshot's ``stats_cols`` sidecar and schema carry
+    forward; PARTITIONED snapshots cannot be carried by reference
+    (directory columns don't resolve across snapshot dirs — the
+    file-reuse invariant), so they restore as a full rewrite with the
+    original ``partition_by``.  Restoring the current head, an
+    unknown version, or a vacuumed version raises.
+
+    Returns ``{"version", "restored_from", "files_reused",
+    "files_rewritten"}``."""
+    head = latest_version(path)
+    if head is None:
+        raise ValueError(f"versioned table {path!r} has no snapshots")
+    if expected_parent is None:
+        expected_parent = head
+    if version == head:
+        raise ValueError(
+            f"restore_version: {version} is already the head of "
+            f"{path!r} — nothing to restore")
+    m_old = _read_manifest(path, version)    # raises on unknown version
+    changes = None
+    if store_changes_key is not None:
+        feed = read_changes(spark, path, store_changes_key,
+                            from_version=version, to_version=head)
+        t = F.col("_change_type")
+        changes = feed.withColumn(
+            "_change_type",
+            F.when(t == "insert", "delete")
+             .when(t == "delete", "insert")
+             .when(t == "update_preimage", "update_postimage")
+             .otherwise("update_preimage"))
+    meta = {"restored_from": version}
+    if m_old.get("partition_by"):
+        df = read_version(spark, path, version)   # raises if vacuumed
+        new_v = write_versioned(
+            df, path, expected_parent=expected_parent, _op="restore",
+            extra_meta=meta, stats_cols=m_old.get("stats_cols"),
+            partition_by=m_old["partition_by"], changes_df=changes)
+        return {"version": new_v, "restored_from": version,
+                "files_reused": 0, "files_rewritten": m_old["n_files"]}
+    files = _root_files(path, m_old)
+    missing = [f for f in files
+               if not os.path.exists(os.path.join(path, f))]
+    # len(files) != n_files catches a vacuumed DIRECTORY-read
+    # manifest: its snap dir lists empty (or partial, when newer
+    # reuse-commits kept some files alive), which would otherwise
+    # silently "restore" a truncated table
+    if missing or len(files) != m_old["n_files"]:
+        raise ValueError(
+            f"restore_version: snapshot {version} of {path!r} was "
+            f"vacuumed ({len(missing) + m_old['n_files'] - len(files)}"
+            f" of {m_old['n_files']} data files gone) — only retained "
+            "versions can be restored")
+    schema = T.StructType.fromJson(json.loads(m_old["schema_json"]))
+    empty = spark.createDataFrame([], schema)
+    new_v = write_versioned(
+        empty, path, expected_parent=expected_parent, _op="restore",
+        extra_meta=meta, stats_cols=m_old.get("stats_cols"),
+        changes_df=changes, reuse_files=files,
+        reuse_stats=_root_stats(path, m_old))
+    return {"version": new_v, "restored_from": version,
+            "files_reused": len(files), "files_rewritten": 0}
 
 
 def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
@@ -1144,7 +1263,14 @@ def read_changes(spark: SparkSession, path: str, key: str,
     two-snapshot diff.  Missing/vacuumed change files or a mid-span
     schema change fall back to the diff automatically (the
     writer-independent path; results are identical by construction
-    and hash-gated by ``rel_change_feed_stored``)."""
+    and hash-gated by ``rel_change_feed_stored``).
+
+    ``validate_keys=True`` FORCES the diff path even when stored
+    change files cover the span (deliberate, pinned by pytest): the
+    uniqueness check is a property of the SNAPSHOTS, which the stored
+    files bypass — paying the O(table) scans is exactly what asking
+    for validation means.  Run an unvalidated stored read afterwards
+    if you want both the check and the fast path on later spans."""
     if to_version is None:
         to_version = latest_version(path)
     if to_version is None or from_version == to_version:

@@ -1191,3 +1191,251 @@ class TestEvolveSchemaMerge:
         got = {r["k"]: r["n"] for r in
                V.read_version(spark, tpath).collect()}
         assert got == {1: 10, 2: None}
+
+
+class TestEvolveStoredFeedParity:
+    """ADVICE r9 (medium): the stored change feed of an evolve_schema
+    merge must equal the two-snapshot diff — change DETECTION is
+    restricted to the parent snapshot's columns, because the diff
+    path cannot see one-side-only columns."""
+
+    def test_new_column_value_on_existing_key_emits_nothing(
+            self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          tpath)
+        # update touches ONLY the freshly added column on key 1
+        ups = spark.createDataFrame(
+            [(1, "a", 10, 99.0), (3, "c", 30, 1.0)],
+            "k bigint, val string, n bigint, w double")
+        V.merge_versioned(spark, tpath, ups, "k", evolve_schema=True,
+                          store_changes=True)
+        stored = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2).collect()))
+        diff = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2, use_stored=False).collect()))
+        assert stored == diff
+        # the diff semantics: key 1 (only the new column changed) is
+        # SILENT; key 3 is an insert carrying the new column
+        kinds = {r[1]: r[0] for r in stored}  # k -> _change_type
+        assert 1 not in kinds
+        assert kinds == {3: "insert"}
+
+    def test_parent_column_change_still_detected(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        # n changes AND a new column arrives: update pair emitted,
+        # identical on both paths
+        ups = spark.createDataFrame(
+            [(1, "a", 11, 5.0)], "k bigint, val string, n bigint, w double")
+        V.merge_versioned(spark, tpath, ups, "k", evolve_schema=True,
+                          store_changes=True)
+        stored = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2).collect()))
+        diff = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2, use_stored=False).collect()))
+        assert stored == diff
+        assert {r[0] for r in stored} == {"update_preimage",
+                                          "update_postimage"}
+
+    def test_omitted_parent_column_nulling_detected(self, spark, tpath):
+        # evolve merge whose update batch OMITS a parent column: the
+        # merged row nulls it; both paths must emit the update pair
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        ups = spark.createDataFrame([(1, "a", 3.5)],
+                                    "k bigint, val string, w double")
+        V.merge_versioned(spark, tpath, ups, "k", evolve_schema=True,
+                          store_changes=True)
+        stored = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2).collect()))
+        diff = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2, use_stored=False).collect()))
+        assert stored == diff
+        assert {r[0] for r in stored} == {"update_preimage",
+                                          "update_postimage"}
+
+
+class TestValidateKeysForcesDiff:
+    def test_stored_span_with_validation_uses_diff(self, spark, tpath):
+        # pinned behavior (ADVICE r9 / VERDICT r9 wrong #3): asking
+        # for key validation bypasses the stored fast path — the
+        # uniqueness property lives in the snapshots
+        V.write_versioned(_df(spark, [(1, "a", 10)]), tpath)
+        V.merge_versioned(spark, tpath, _df(spark, [(1, "A", 11)]),
+                          "k", store_changes=True)
+        assert V._stored_chain(tpath, 1, 2) is not None
+        a = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2, validate_keys=True).collect()))
+        b = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2, use_stored=False).collect()))
+        assert a == b
+        # and the validation itself still fires on a dup-key snapshot
+        V.write_versioned(_df(spark, [(7, "x", 1), (7, "y", 2)]), tpath)
+        with pytest.raises(ValueError, match="not unique"):
+            V.read_changes(spark, tpath, "k", 2, 3, validate_keys=True)
+
+
+class TestPlainMergeKeepsSkippingContract:
+    def test_stats_cols_carry_across_plain_merge(self, spark, tpath):
+        df = (spark.range(100)
+              .select(F.col("id").alias("k"), F.lit("x").alias("val"),
+                      (F.col("id") * 2).alias("n"))
+              .repartitionByRange(4, "k"))
+        V.write_versioned(df, tpath, stats_cols=["k"])
+        V.merge_versioned(spark, tpath, _df(spark, [(5, "U", 0)]), "k")
+        m2 = V._read_manifest(tpath, 2)
+        assert m2.get("stats_cols") == ["k"]
+        stats = V.load_file_stats(m2)
+        assert stats and all(c["k"] is not None for c in stats.values())
+        # skipping is ARMED on the new head: prune_files resolves
+        # ranges (not None = no-stats) and an impossible range prunes
+        # everything (the merge coalesced to one file here, so a
+        # partial range keeps it — the contract is armed stats, not a
+        # particular file layout)
+        assert V.prune_files(m2, ("k", 0, 10)) is not None
+        assert V.prune_files(m2, ("k", 10_000, 20_000)) == []
+
+    def test_partition_by_carries_across_plain_merge(self, spark, tpath):
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k bigint, val string, n bigint")
+        V.write_versioned(df, tpath, partition_by=["val"])
+        V.merge_versioned(spark, tpath, _df(spark, [(3, "c", 30)]), "k")
+        m2 = V._read_manifest(tpath, 2)
+        assert m2.get("partition_by") == ["val"]
+        got = {r["k"]: r["val"] for r in
+               V.read_version(spark, tpath).collect()}
+        assert got == {1: "a", 2: "b", 3: "c"}
+
+
+class TestStatsSidecarTypeNormalization:
+    def test_date_stats_json_safe_on_driver_path(self, spark, tpath):
+        # ADVICE r9 (low): date/Decimal footer stats crashed the
+        # sidecar json.dump on the <=64-file driver path while the
+        # executor path silently stringified — both now stringify
+        df = spark.createDataFrame(
+            [(1, "2024-01-05"), (2, "2024-03-09")],
+            "k bigint, d string").select(
+            "k", F.col("d").cast("date").alias("d"))
+        V.write_versioned(df.repartitionByRange(2, "d"), tpath,
+                          stats_cols=["d", "k"])   # driver path (2 files)
+        m = V._read_manifest(tpath, 1)
+        stats = V.load_file_stats(m)
+        for _f, cols in stats.items():
+            rng = cols["d"]
+            if rng is not None:
+                assert all(isinstance(v, str) for v in rng)
+            krng = cols["k"]
+            if krng is not None:
+                assert all(isinstance(v, int) for v in krng)
+        # string bounds prune on the stringified ISO dates
+        pruned = V.read_version(spark, tpath,
+                                where=("d", "2024-03-01", "2024-12-31"))
+        assert len(pruned.inputFiles()) == 1
+        # typed (date) bounds hit the conservative TypeError keep
+        import datetime as _dt
+        kept = V.prune_files(m, ("d", _dt.date(2024, 3, 1),
+                                 _dt.date(2024, 12, 31)))
+        assert kept is not None and len(kept) == 2
+
+
+class TestRestoreVersion:
+    """RESTORE as a first-class commit (VERDICT r9 next #3): rollback
+    is a new manifest carrying the restored version's files by
+    reference, with a defined (inverse) change feed across it."""
+
+    def _seed(self, spark, tpath):
+        df = (spark.range(50)
+              .select(F.col("id").alias("k"), F.lit("x").alias("val"),
+                      (F.col("id") * 2).alias("n"))
+              .repartitionByRange(4, "k"))
+        V.write_versioned(df, tpath, stats_cols=["k"])
+
+    def test_restore_is_file_reuse_and_content_equal(self, spark, tpath):
+        self._seed(spark, tpath)
+        V.merge_versioned(spark, tpath,
+                          _df(spark, [(1, "BAD", 0), (999, "bad", 9)]),
+                          "k")                       # the bad commit
+        v1_rows = sorted(map(tuple, V.read_version(
+            spark, tpath, 1).collect()))
+        out = V.restore_version(spark, tpath, 1)
+        assert out["version"] == 3 and out["restored_from"] == 1
+        assert out["files_rewritten"] == 0 and out["files_reused"] >= 1
+        assert V.latest_version(tpath) == 3
+        assert sorted(map(tuple, V.read_version(
+            spark, tpath).collect())) == v1_rows
+        m3 = V._read_manifest(tpath, 3)
+        assert m3["op"] == "restore" and m3["restored_from"] == 1
+        # files carried by REFERENCE into v1's directory
+        assert all(f.startswith("snap/v=1/")
+                   for f in m3["data_files"] if "v=1" in f)
+        assert any(f.startswith("snap/v=1/") for f in m3["data_files"])
+        # the bad version stays readable (audit trail)
+        assert V.read_version(spark, tpath, 2).where(
+            "k = 999").count() == 1
+        # stats sidecar carried: pruning still works on the restore
+        pruned = V.read_version(spark, tpath, where=("k", 0, 5))
+        full = V.read_version(spark, tpath)
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+    def test_restore_change_feed_is_inverse(self, spark, tpath):
+        self._seed(spark, tpath)
+        V.merge_versioned(spark, tpath,
+                          _df(spark, [(1, "BAD", 0), (999, "bad", 9)]),
+                          "k", store_changes=True)
+        V.restore_version(spark, tpath, 1, store_changes_key="k")
+        fwd = {(r["_change_type"], r["k"]) for r in V.read_changes(
+            spark, tpath, "k", 1, 2).collect()}
+        inv = {(r["_change_type"], r["k"]) for r in V.read_changes(
+            spark, tpath, "k", 2, 3).collect()}
+        flip = {"insert": "delete", "delete": "insert",
+                "update_preimage": "update_postimage",
+                "update_postimage": "update_preimage"}
+        assert {(flip[t], k) for t, k in fwd} == inv
+        # and the restore's stored feed equals the snapshot diff
+        stored = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 2, 3).collect()))
+        diff = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 2, 3, use_stored=False).collect()))
+        assert stored == diff
+        # net across the bad span + restore: NOTHING changed
+        assert V.read_changes(spark, tpath, "k", 1, 3).count() == 0
+
+    def test_vacuum_refcounts_restored_files(self, spark, tpath):
+        self._seed(spark, tpath)
+        V.merge_versioned(spark, tpath, _df(spark, [(1, "BAD", 0)]), "k")
+        V.restore_version(spark, tpath, 1)
+        # retention drops v1 and v2 data dirs, but v3 references v1's
+        # files — they must survive at file granularity
+        removed = V.vacuum_versioned(tpath, keep_last=1)
+        assert 2 in removed
+        assert sorted(map(tuple, V.read_version(
+            spark, tpath).collect())) == sorted(map(tuple, V.read_version(
+                spark, tpath, 3).collect()))
+        assert V.read_version(spark, tpath).count() == 50
+
+    def test_restore_partitioned_falls_back_to_rewrite(self, spark,
+                                                       tpath):
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k bigint, val string, n bigint")
+        V.write_versioned(df, tpath, partition_by=["val"])
+        V.merge_versioned(spark, tpath, _df(spark, [(1, "a", 99)]), "k")
+        out = V.restore_version(spark, tpath, 1)
+        assert out["files_reused"] == 0 and out["files_rewritten"] >= 1
+        m3 = V._read_manifest(tpath, 3)
+        assert m3.get("partition_by") == ["val"] and m3["op"] == "restore"
+        got = {r["k"]: r["n"] for r in
+               V.read_version(spark, tpath).collect()}
+        assert got == {1: 10, 2: 20}
+
+    def test_restore_guards(self, spark, tpath):
+        self._seed(spark, tpath)
+        with pytest.raises(ValueError, match="already the head"):
+            V.restore_version(spark, tpath, 1)
+        V.merge_versioned(spark, tpath, _df(spark, [(1, "B", 0)]), "k")
+        with pytest.raises(ValueError):
+            V.restore_version(spark, tpath, 77)      # unknown version
+        with pytest.raises(V.ConcurrentWriteError):
+            V.restore_version(spark, tpath, 1, expected_parent=1)
+        # vacuumed target refuses
+        V.merge_versioned(spark, tpath, _df(spark, [(2, "C", 0)]), "k")
+        V.vacuum_versioned(tpath, keep_last=1)
+        with pytest.raises(ValueError, match="vacuum"):
+            V.restore_version(spark, tpath, 1)

@@ -439,6 +439,11 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
     # token-budget mix: ONE window shuffle (the per-domain running
     # sum) reused by the rollup; domain IN-filter pushed to the scan.
+    # r10 restore gate: the RETURNED frame reads the restore's stored
+    # feed (grouped agg), the restored head (1-row agg), and the
+    # netted 1->3 span (agg) — aggregation exchanges + 2 broadcast
+    # stat joins; the restore itself committed eagerly (manifest-only)
+    "rel_restore_version": dict(max_exchanges=5, min_broadcasts=2),
     # r10 two-phase: bucket-stats agg on (domain, bucket) + the
     # per-(domain, bucket) window shuffle + the ≤domains×buckets
     # offset window (tiny) + broadcast offsets back + final agg.
