@@ -1,3 +1,8 @@
+from .change_source import (  # noqa: F401
+    VersionedChangesDataSource,
+    apply_changes_sink,
+    change_feed_stream,
+)
 from .validate import (  # noqa: F401
     contract_merge_sink,
     dead_letter_writer,

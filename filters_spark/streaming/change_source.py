@@ -1,0 +1,340 @@
+"""Structured-Streaming source over a versioned table's STORED change
+feed (VERDICT r9 next #5) — the Delta ``readChangeFeed`` streaming
+form: ``spark.readStream.format("versioned_changes")`` turns every
+committed change file into a micro-batch, with Spark's own checkpoint
+mechanism holding the offset (the table VERSION) — no hand-driven
+:func:`~filters_spark.sources.versioned.consume_changes` loop, no
+side-channel cursor file.
+
+Built on PySpark 4's Python Data Source API (public
+``pyspark.sql.datasource``), the Spark-native way to add a source:
+
+- OFFSETS are table versions (``{"version": N}`` = all commits ≤ N
+  served).  ``latestOffset`` reads the table head — an O(1) pointer
+  read; no data touched until a batch is planned.
+- PARTITIONS: one per stored change FILE per commit in the span —
+  reads run EXECUTOR-side as pyarrow scans (zero driver data
+  movement; a commit's change volume parallelizes across its files).
+- Every event is tagged ``_commit_version`` (Delta's CDF column), so
+  multi-commit batches stay ordered and downstream appliers can net
+  per key.
+
+CONTRACT: every commit in the streamed span must have stored change
+files (``merge_versioned(store_changes=True)``,
+``write_versioned(changes_df=...)``, ``delete_where(
+store_changes_key=...)``, or the streaming sinks with
+``store_changes=True``).  A commit without them fails the stream
+LOUDLY at planning time — the diff fallback needs a SparkSession and
+a full-outer join, which a source partition cannot run; use
+``consume_changes`` (the pull loop) for mixed tables.  Change-file
+retention follows snapshot retention (``vacuum_versioned``): a
+checkpoint older than retention fails with the vacuum error rather
+than silently skipping span.
+
+The write half, :func:`apply_changes_sink`, maintains a REPLICA
+versioned table from the stream — upserts and deletes applied as ONE
+copy-on-write commit per micro-batch (touched-slice rewrite, the
+``delete_where`` shape), idempotent under Spark's at-least-once
+foreachBatch replay via the ``versioned_merge_sink`` manifest-guard
+pattern.  End to end this is CDC replication: table → stored feed →
+readStream → exactly-once replica.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = [
+    "VersionedChangesDataSource",
+    "change_feed_stream",
+    "apply_changes_sink",
+]
+
+#: readStream format name (spark.dataSource.register target).
+FORMAT_NAME = "versioned_changes"
+
+COMMIT_COL = "_commit_version"
+
+
+def _change_schema(path: str) -> T.StructType:
+    """The stream's payload schema: the newest committed change
+    schema, walked head-down (manifests are O(1) JSON reads).  Raises
+    when the table has never stored changes — the source cannot
+    serve a diff."""
+    from ..sources import versioned as V
+
+    head = V.latest_version(path)
+    if head is None:
+        raise ValueError(
+            f"versioned_changes: {path!r} has no snapshots")
+    for v in sorted(V.versions(path), reverse=True):
+        m = V._read_manifest(path, v)
+        sj = m.get("changes_schema_json")
+        if sj:
+            return T.StructType.fromJson(json.loads(sj))
+    raise ValueError(
+        f"versioned_changes: no commit of {path!r} has stored change "
+        "files — write with store_changes=True / changes_df=... "
+        "(or use sources.versioned.consume_changes, the pull loop "
+        "that can diff snapshots)")
+
+
+class _ChangeFilePartition(InputPartition):
+    """One stored change file of one commit — the executor-side read
+    unit.  Carries only picklable primitives (the payload schema as
+    its JSON form — the executor re-derives the arrow target from
+    it)."""
+
+    def __init__(self, version: int, file_path: str,
+                 names: tuple[str, ...], schema_json: str):
+        self.version = version
+        self.file_path = file_path
+        self.names = names
+        self.schema_json = schema_json
+
+
+class _ChangeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, start_version: int,
+                 names: tuple[str, ...], schema_json: str):
+        self._path = path
+        self._start = start_version        # first version to SERVE
+        self._names = names                # payload columns, declared order
+        self._schema_json = schema_json    # payload StructType as JSON
+
+    # -- offsets ------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        from ..sources import versioned as V
+
+        head = V.latest_version(self._path)
+        return {"version": head if head is not None
+                else self._start - 1}
+
+    # -- planning (driver) ---------------------------------------------
+    def partitions(self, start: dict, end: dict):
+        from ..sources import versioned as V
+
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_ChangeFilePartition] = []
+        for v in range(lo + 1, hi + 1):
+            if v not in set(V.versions(self._path)):
+                continue                    # skipped number (orphan)
+            m = V._read_manifest(self._path, v)
+            if not m.get("changes"):
+                raise ValueError(
+                    f"versioned_changes: commit {v} of {self._path!r} "
+                    "has no stored change files — every commit in a "
+                    "streamed span must store its changes "
+                    "(store_changes=True / changes_df=...); use "
+                    "consume_changes for tables that mix commit "
+                    "styles")
+            cdir = V._changes_dir(self._path, v)
+            if not os.path.isdir(cdir):
+                raise ValueError(
+                    f"versioned_changes: change files of commit {v} "
+                    f"of {self._path!r} were vacuumed — this "
+                    "checkpoint is older than the table's retention")
+            for f in sorted(os.listdir(cdir)):
+                if f.endswith(".parquet"):
+                    parts.append(_ChangeFilePartition(
+                        v, os.path.join(cdir, f), self._names,
+                        self._schema_json))
+        return parts
+
+    # -- execution (executors) ------------------------------------------
+    def read(self, partition: _ChangeFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        t = pq.read_table(partition.file_path)
+        # cast to the arrow types Spark's bridge expects for the
+        # declared schema (pyarrow reads Spark INT96 timestamps as
+        # NANOSECOND, which Spark's arrow reader rejects)
+        target = to_arrow_schema(T.StructType.fromJson(
+            json.loads(partition.schema_json)))
+        cols = []
+        for i, name in enumerate(partition.names):
+            if name not in t.column_names:
+                raise ValueError(
+                    f"versioned_changes: column {name!r} missing from "
+                    f"change file {partition.file_path!r} — the "
+                    "stored change schema evolved mid-stream; restart "
+                    "the stream with a fresh checkpoint at the new "
+                    "schema")
+            cols.append(t.column(name).cast(target.field(i).type))
+        cols.append(pa.array([partition.version] * t.num_rows,
+                             type=pa.int64()))
+        out = pa.table(cols, names=list(partition.names) + [COMMIT_COL])
+        for batch in out.to_batches():
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass                                 # checkpoint is Spark's
+
+    def stop(self) -> None:
+        pass
+
+
+class VersionedChangesDataSource(DataSource):
+    """``readStream.format("versioned_changes")`` — options:
+
+    - ``path`` (required): the versioned table root.
+    - ``startingVersion`` (optional): first commit to SERVE (its own
+      changes included — Delta's startingVersion semantics).  Default:
+      the head at QUERY start + 1 (streamReader instantiation — NOT
+      ``load()`` time), i.e. only commits AFTER the query begins (a
+      consumer that needs current state first
+      bootstraps via ``consume_changes(bootstrap='snapshot')`` or a
+      plain ``read_version``, then streams from head+1).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "versioned_changes: option 'path' is required")
+        return path
+
+    def schema(self) -> T.StructType:
+        payload = _change_schema(self._path())
+        return T.StructType(
+            list(payload.fields)
+            + [T.StructField(COMMIT_COL, T.LongType(), False)])
+
+    def streamReader(self, schema: T.StructType):
+        from ..sources import versioned as V
+
+        path = self._path()
+        sv = self.options.get("startingVersion")
+        if sv is None:
+            head = V.latest_version(path)
+            start = (head or 0) + 1
+        else:
+            start = int(sv)
+        payload = T.StructType([f for f in schema.fields
+                                if f.name != COMMIT_COL])
+        names = tuple(f.name for f in payload.fields)
+        return _ChangeFeedStreamReader(path, start, names,
+                                       payload.json())
+
+
+def change_feed_stream(spark, path: str,
+                       starting_version: int | None = None):
+    """Open a versioned table's stored change feed as a streaming
+    DataFrame (registers the data source; idempotent per session).
+    See :class:`VersionedChangesDataSource` for option semantics."""
+    spark.dataSource.register(VersionedChangesDataSource)
+    reader = spark.readStream.format(FORMAT_NAME).option("path", path)
+    if starting_version is not None:
+        reader = reader.option("startingVersion", int(starting_version))
+    return reader.load()
+
+
+def apply_changes_sink(table_path: str, key: str,
+                       sink_id: str | None = None):
+    """foreachBatch function maintaining a REPLICA versioned table
+    from a :func:`change_feed_stream` batch — CDC replication's write
+    half.  Each micro-batch (which may span several source commits)
+    is NETTED to one final state per key — the event at the highest
+    ``_commit_version``, postimage winning over preimage within a
+    commit — then applied as ONE copy-on-write commit: the touched
+    file slice (keys present in the batch) is rewritten with upserts
+    applied and deleted keys dropped, every untouched file carried by
+    reference (the ``delete_where`` shape — a small CDC batch against
+    a 100 TB replica rewrites the touched slice, not the table).
+    Partitioned replicas fall back to a full materialization, exactly
+    like ``merge_versioned``.
+
+    Exactly-once under Spark's at-least-once foreachBatch replay via
+    the ``versioned_merge_sink`` manifest guard: each commit records
+    ``(stream_query, stream_batch)`` and a replayed batch is skipped.
+    Pass ``sink_id`` (stable across restarts) — required for the
+    same silent-batch-loss reason versioned_merge_sink requires it."""
+    from ..plans.joins import upsert
+    from ..sources import versioned as V
+    from .validate import _sink_identity
+
+    def write(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qid = _sink_identity(batch_df, sink_id, require=True,
+                             where=f"apply_changes_sink({table_path})")
+        for v in V.versions(table_path):
+            m = V._read_manifest(table_path, v)
+            if m.get("stream_query") == qid \
+                    and m.get("stream_batch") == batch_id:
+                return                       # at-least-once replay
+        meta = {"stream_query": qid, "stream_batch": batch_id}
+        payload_cols = [c for c in batch_df.columns
+                        if c not in ("_change_type", COMMIT_COL)]
+        # net to final state per key: highest commit wins; within a
+        # commit the preimage (weight 0) loses to its postimage
+        t = F.col("_change_type")
+        ranked = batch_df.withColumn(
+            "_w", F.when(t == "update_preimage", F.lit(0))
+                   .otherwise(F.lit(1)))
+        final = (ranked.groupBy(key)
+                 .agg(F.max_by(
+                     F.struct(t.alias("_ct"),
+                              *[F.col(c) for c in payload_cols]),
+                     F.struct(F.col(COMMIT_COL), F.col("_w")))
+                     .alias("_f"))
+                 .select(F.col(f"_f._ct").alias("_ct"),
+                         *[F.col(f"_f.{c}").alias(c)
+                           for c in payload_cols]))
+        upserts = final.where(F.col("_ct").isin(
+            "insert", "update_postimage")).drop("_ct")
+        del_keys = final.where(F.col("_ct") == "delete") \
+            .select(key).drop_duplicates()
+        if V.latest_version(table_path) is None:
+            V.write_versioned(upserts, table_path, _op="cdc-init",
+                              extra_meta=meta)
+            return
+        m = V._read_manifest(table_path, V.latest_version(table_path))
+        base = V.read_version(spark, table_path)
+        aligned = upserts.select(*base.columns)
+        if m.get("partition_by"):
+            merged = upsert(base, aligned, key) \
+                .join(del_keys, key, "left_anti")
+            V.write_versioned(merged, table_path, _op="cdc-apply",
+                              extra_meta=meta,
+                              partition_by=m["partition_by"],
+                              stats_cols=m.get("stats_cols"))
+            return
+        schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+        parent_files = V._root_files(table_path, m)
+        batch_keys = aligned.select(key).unionByName(del_keys) \
+            .drop_duplicates()
+        touched = sorted({
+            V._rel_uri(table_path, r["_f"]) for r in
+            base.withColumn("_f", F.input_file_name())
+            .join(batch_keys, key, "left_semi")
+            .select("_f").distinct().collect()
+        })                                  # bounded: one row per file
+        untouched = [f for f in parent_files if f not in set(touched)]
+        sub = (spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, f) for f in touched])
+            if touched else spark.createDataFrame([], schema))
+        merged = upsert(sub, aligned, key) \
+            .join(del_keys, key, "left_anti")
+        V.write_versioned(
+            merged, table_path, _op="cdc-apply", extra_meta=meta,
+            stats_cols=m.get("stats_cols"), reuse_files=untouched,
+            reuse_stats=V._root_stats(table_path, m))
+
+    return write

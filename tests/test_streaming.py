@@ -872,3 +872,236 @@ class TestGovernedStreamingLoop:
         assert {(r["k"], r["v"]) for r in
                 V.read_version(spark, src).collect()} == {
             (1, 10), (2, 20), (3, 30), (4, 40), (9, 90)}
+
+
+class TestChangeFeedStream:
+    """readStream over the stored change feed (VERDICT r9 next #5):
+    a Python Data Source whose offsets are table VERSIONS, partitions
+    are change FILES (executor-side pyarrow reads), with Spark's own
+    checkpoint as the cursor — plus apply_changes_sink, the
+    exactly-once CDC-replica write half."""
+
+    def _src(self, spark, root):
+        from filters_spark.sources import versioned as V
+        src = os.path.join(root, "src")
+        V.write_versioned(spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)],
+            "k bigint, val string, n bigint"), src)           # v1
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(2, "B", 99), (3, "c", 30)],
+            "k bigint, val string, n bigint"), "k",
+            store_changes=True)                               # v2
+        V.delete_where(spark, src, "k = 1",
+                       store_changes_key="k")                 # v3
+        return src
+
+    def _run(self, stream, ckpt, name=None, fb=None):
+        w = stream.writeStream.option("checkpointLocation", ckpt)
+        if fb is not None:
+            w = w.foreachBatch(fb)
+        else:
+            w = w.format("memory").queryName(name)
+        q = w.trigger(availableNow=True).start()
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+        try:
+            q.awaitTermination(300)
+        except StreamingQueryException:
+            pass                     # tests inspect q.exception()
+        return q
+
+    def test_feed_with_commit_versions(self, spark, tmp_path):
+        from filters_spark.streaming import change_feed_stream
+        src = self._src(spark, str(tmp_path))
+        stream = change_feed_stream(spark, src, starting_version=2)
+        q = self._run(stream, str(tmp_path / "c1"), "cfs_feed")
+        assert q.exception() is None
+        got = {(r["_change_type"], r["k"], r["_commit_version"])
+               for r in spark.sql("select * from cfs_feed").collect()}
+        assert got == {("update_preimage", 2, 2),
+                       ("update_postimage", 2, 2),
+                       ("insert", 3, 2),
+                       ("delete", 1, 3)}
+
+    def test_checkpoint_resume_serves_only_new_commits(self, spark,
+                                                       tmp_path):
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import change_feed_stream
+        src = self._src(spark, str(tmp_path))
+        ckpt = str(tmp_path / "c2")
+        # memory sink can't recover a checkpoint; foreachBatch can —
+        # collect each run's rows driver-side
+        run1: list = []
+        q = self._run(change_feed_stream(spark, src, starting_version=2),
+                      ckpt, fb=lambda b, _i: run1.extend(
+                          map(tuple, b.collect())))
+        assert q.exception() is None
+        assert len(run1) == 4
+        # new commit AFTER the first run
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(9, "z", 90)], "k bigint, val string, n bigint"), "k",
+            store_changes=True)                               # v4
+        run2: list = []
+        q = self._run(change_feed_stream(spark, src, starting_version=2),
+                      ckpt, fb=lambda b, _i: run2.extend(
+                          map(tuple, b.collect())))
+        assert q.exception() is None
+        got = {(r[0], r[1], r[-1]) for r in run2}
+        assert got == {("insert", 9, 4)}      # v2/v3 NOT re-served
+
+    def test_default_start_streams_only_future_commits(self, spark,
+                                                       tmp_path):
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import change_feed_stream
+        src = self._src(spark, str(tmp_path))
+        ckpt = str(tmp_path / "c3")
+        # default start resolves at QUERY start (head+1): the first
+        # run serves nothing, a later commit arrives on resume
+        run1: list = []
+        q = self._run(change_feed_stream(spark, src), ckpt,
+                      fb=lambda b, _i: run1.extend(
+                          map(tuple, b.collect())))
+        assert q.exception() is None and run1 == []
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(8, "y", 80)], "k bigint, val string, n bigint"), "k",
+            store_changes=True)                               # v4
+        run2: list = []
+        q = self._run(change_feed_stream(spark, src), ckpt,
+                      fb=lambda b, _i: run2.extend(
+                          map(tuple, b.collect())))
+        assert q.exception() is None
+        assert {(r[1], r[-1]) for r in run2} == {(8, 4)}
+
+    def test_nonstored_commit_fails_loudly(self, spark, tmp_path):
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import change_feed_stream
+        src = self._src(spark, str(tmp_path))
+        # v4 WITHOUT stored changes breaks the span
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(7, "q", 70)], "k bigint, val string, n bigint"), "k")
+        stream = change_feed_stream(spark, src, starting_version=2)
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+        with pytest.raises(StreamingQueryException,
+                           match="no stored change files"):
+            q = self._run(stream, str(tmp_path / "c4"), "cfs_err")
+            if q.exception() is not None:
+                raise q.exception()
+
+    def test_replica_apply_with_deletes(self, spark, tmp_path):
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import (
+            apply_changes_sink,
+            change_feed_stream,
+        )
+        src = str(tmp_path / "bigsrc")
+        base = (spark.range(50)
+                .select(F.col("id").alias("k"), F.lit("x").alias("val"),
+                        (F.col("id") * 2).alias("n"))
+                .repartitionByRange(4, "k"))
+        V.write_versioned(base, src)                          # v1
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(5, "U", 0), (100, "new", 7)],
+            "k bigint, val string, n bigint"), "k",
+            store_changes=True)                               # v2
+        V.delete_where(spark, src, "k = 7",
+                       store_changes_key="k")                 # v3
+        dst = str(tmp_path / "replica")
+        # bootstrap the replica at the stream's starting point (v1),
+        # multi-file so the COW apply leaves untouched files
+        V.write_versioned(V.read_version(spark, src, 1)
+                          .repartitionByRange(4, "k"), dst)
+        q = self._run(change_feed_stream(spark, src, starting_version=2),
+                      str(tmp_path / "c5"),
+                      fb=apply_changes_sink(dst, "k", sink_id="rep5"))
+        assert q.exception() is None
+        assert sorted(map(tuple, V.read_version(spark, dst).collect())) \
+            == sorted(map(tuple, V.read_version(spark, src).collect()))
+        # the apply was COPY-ON-WRITE: the replica's new manifest
+        # carries untouched v1 files by reference
+        m = V._read_manifest(dst, V.latest_version(dst))
+        assert m["op"] == "cdc-apply"
+        assert any(f.startswith("snap/v=1/") for f in m["data_files"])
+
+    def test_crash_replay_is_exactly_once(self, spark, tmp_path):
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import (
+            apply_changes_sink,
+            change_feed_stream,
+        )
+        src = self._src(spark, str(tmp_path))
+        dst = str(tmp_path / "replica")
+        ckpt = str(tmp_path / "c6")
+        V.write_versioned(V.read_version(spark, src, 1), dst)
+        inner = apply_changes_sink(dst, "k", sink_id="rep6")
+        state = {"crashed": False}
+
+        def crashing(batch_df, batch_id):
+            inner(batch_df, batch_id)        # side effect LANDS...
+            if not state["crashed"]:
+                state["crashed"] = True      # ...then the "crash"
+                raise RuntimeError("injected crash after commit")
+
+        q = self._run(change_feed_stream(spark, src, starting_version=2),
+                      ckpt, fb=crashing)
+        assert q.exception() is not None     # stream died mid-batch
+        head_after_crash = V.latest_version(dst)
+        # restart from the SAME checkpoint: Spark redelivers the
+        # uncommitted batch; the manifest guard skips the re-apply
+        q2 = self._run(change_feed_stream(spark, src, starting_version=2),
+                       ckpt, fb=inner)
+        assert q2.exception() is None
+        assert V.latest_version(dst) == head_after_crash  # no double
+        assert sorted(map(tuple, V.read_version(spark, dst).collect())) \
+            == sorted(map(tuple, V.read_version(spark, src).collect()))
+
+    def test_governed_loop_as_one_stream(self, spark, tmp_path):
+        # the TestGovernedStreamingLoop arc with the CONSUME side as a
+        # running stream: contract-gated ingest (incl. a POISON batch
+        # that must not reach the feed) -> readStream -> replica
+        import datetime as dt
+
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import (
+            apply_changes_sink,
+            change_feed_stream,
+        )
+        from filters_spark.streaming.validate import contract_merge_sink
+
+        src, dst, dead = (str(tmp_path / p) for p in ("s", "d", "dl"))
+        schema = fs.ValidationSchema({"v": fs.Int()})
+        sink = contract_merge_sink(src, "k", schema, dead,
+                                   max_reject_rate=0.5,
+                                   on_violation="skip", sink_id="g10",
+                                   store_changes=True)
+        t = lambda h: dt.datetime(2024, 3, 1, h)  # noqa: E731
+        sink(spark.createDataFrame(
+            [(1, t(0), "10"), (2, t(1), "20")],
+            "k bigint, ts timestamp, v string"), 0)           # v1 init
+        head0 = V.latest_version(src)
+        # bootstrap replica at current state, stream from head+1
+        V.write_versioned(V.read_version(spark, src), dst)
+        stream = change_feed_stream(spark, src,
+                                    starting_version=head0 + 1)
+        sink(spark.createDataFrame(
+            [(3, t(2), "30")], "k bigint, ts timestamp, v string"), 1)
+        # POISON batch: every row rejects -> commit refused, no
+        # version, nothing enters the feed
+        sink(spark.createDataFrame(
+            [(6, t(2), "x"), (7, t(2), "y")],
+            "k bigint, ts timestamp, v string"), 2)
+        assert V.latest_version(src) == head0 + 1
+        sink(spark.createDataFrame(
+            [(2, t(1), "25")], "k bigint, ts timestamp, v string"), 3)
+        q = self._run(stream, str(tmp_path / "c7"),
+                      fb=apply_changes_sink(dst, "k", sink_id="g10r"))
+        assert q.exception() is None
+
+        def snap(path):
+            return {r["k"]: (r["v"], r["ts"]) for r in
+                    V.read_version(spark, path).collect()}
+
+        assert snap(dst) == snap(src)
+        assert snap(dst)[2][0] == 25 and 3 in snap(dst)
