@@ -179,6 +179,9 @@ HEADLINE = [
     # round 10: versioned-table RESTORE (bad merge + manifest-only
     # rollback + inverse stored feed + netted-span check per run)
     "rel_restore_version",
+    # round 10: Avro OCF roundtrip from the public spec (executor-side
+    # encode/decode per run — the ingestion-boundary number beside XML)
+    "rel_avro_roundtrip",
 ]
 
 # Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1

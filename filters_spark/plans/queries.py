@@ -13463,3 +13463,66 @@ def rel_restore_version(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_net_span"))
     return (grouped.crossJoin(F.broadcast(fin))
             .crossJoin(F.broadcast(net)))
+
+
+@register(
+    "rel_avro_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(sum(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                AS BIGINT) AS day_sum,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+             AS n_priorities,
+           CAST(0 AS BIGINT) AS n_extra_nonnull
+    FROM orders
+    """,
+)
+def rel_avro_roundtrip(spark, sf_dir):
+    """Avro OCF source/sink under the value hash (sources.avroio —
+    the spark-avro connector jar and both Python avro packages are
+    absent in this offline container, so the engine implements the
+    PUBLIC Avro 1.11 container spec itself: zigzag varints, RFC-1951
+    raw-deflate blocks, sync markers, date / timestamp-micros logical
+    types; a hand-computed byte-level golden pins the wire format in
+    pytest).  Orders (keys, exact money-cents, the DATE logical type,
+    a string column) written as deflate Avro executor-side, read back
+    through SCHEMA-ON-READ with an evolved column that must null out
+    (the read_evolving contract), and exact checksums — incl. the
+    date column as epoch-days so a logical-type off-by-one shifts the
+    hash — compared against the parquet-side oracle.  A sink that
+    dropped rows, a varint that mis-encoded, or a block that
+    mis-framed fails the hash."""
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    from ..sources import readers
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority")
+    path = tempfile.mkdtemp(prefix="fs_avro_") + "/t"
+    readers.write_avro(base, path, codec="deflate")
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("o_orderdate", T.DateType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("evolved_note", T.StringType()),   # not in files
+    ])
+    back = readers.read_avro(spark, path, schema)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+        .cast("long").alias("day_sum"),
+        F.countDistinct("o_orderpriority").cast("long")
+        .alias("n_priorities"),
+        F.sum(F.col("evolved_note").isNotNull().cast("int")).cast("long")
+        .alias("n_extra_nonnull"),
+    )

@@ -34,6 +34,8 @@ from pyspark.sql import types as T
 
 __all__ = [
     "CORRUPT_COL",
+    "read_avro",
+    "write_avro",
     "read_csv",
     "read_json",
     "read_orc",
@@ -46,6 +48,8 @@ __all__ = [
     "read_evolving",
     "split_corrupt",
 ]
+
+from .avroio import read_avro, write_avro  # noqa: F401  (format family)
 
 CORRUPT_COL = "_corrupt_record"
 

@@ -187,3 +187,154 @@ class TestReadEvolving:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert sorted(r["id"] for r in df.collect()) == [1, 2, 3, 4]
+
+
+class TestAvroRoundtrip:
+    """Avro OCF source/sink implemented from the public spec
+    (sources.avroio — the spark-avro connector jar and both Python
+    avro packages are absent in this container, probed in the module
+    docstring).  Self-roundtrip + a byte-level GOLDEN pin computed by
+    hand from the spec, so the wire format is pinned beyond
+    self-consistency."""
+
+    def test_golden_bytes_match_spec(self, tmp_path):
+        # one record {"a": 1}, codec null, fixed sync marker —
+        # every byte derived by hand from the Avro 1.11 spec
+        from filters_spark.sources.avroio import _read_ocf, _write_ocf
+        schema = ('{"type": "record", "name": "row", "fields": '
+                  '[{"name": "a", "type": "long"}]}')
+        sync = bytes(range(16))
+        p = str(tmp_path / "g.avro")
+        with open(p, "wb") as fh:
+            n = _write_ocf(fh, schema, [{"a": 1}], "null", sync)
+        assert n == 1
+        raw = open(p, "rb").read()
+        assert raw[:4] == b"Obj\x01"
+        # metadata map: count=2 -> zigzag 4; keys sorted
+        # (avro.codec='null', avro.schema=schema)
+        exp = bytearray(b"Obj\x01")
+        exp += bytes([4])
+        for k, v in (("avro.codec", b"null"),
+                     ("avro.schema", schema.encode())):
+            kk = k.encode()
+            exp += bytes([len(kk) * 2]) + kk
+            if len(v) < 64:
+                exp += bytes([len(v) * 2]) + v
+            else:                      # multi-byte zigzag varint
+                u = len(v) * 2
+                while u:
+                    b = u & 0x7F
+                    u >>= 7
+                    exp.append(b | 0x80 if u else b)
+                exp += v
+        exp += bytes([0]) + sync
+        # block: count 1 -> 0x02, size 1 -> 0x02, payload
+        # zigzag(1)=0x02, sync
+        exp += bytes([2, 2, 2]) + sync
+        assert raw == bytes(exp)
+        # and the decoder agrees
+        _s, rows = _read_ocf(p)
+        assert rows == [{"a": 1}]
+
+    def test_all_types_roundtrip(self, spark, tmp_path):
+        import datetime as dt
+
+        from filters_spark.sources.avroio import read_avro, write_avro
+        rows = [
+            (1, 2.5, "héllo", b"\x00\xff", True,
+             dt.date(2024, 3, 1), dt.datetime(2024, 3, 1, 12, 30, 15,
+                                              123456),
+             [1, 2, 3], ("x", 9)),
+            (2, None, None, None, None, None, None, None, None),
+        ]
+        schema = ("k bigint, d double, s string, b binary, f boolean, "
+                  "dt date, ts timestamp, arr array<bigint>, "
+                  "st struct<name: string, n: bigint>")
+        df = spark.createDataFrame(rows, schema)
+        p = str(tmp_path / "t")
+        n = write_avro(df, p)
+        assert n == 2
+        back = read_avro(spark, p)
+        assert back.schema == df.schema
+        got = sorted(map(tuple, back.collect()))
+        want = sorted(map(tuple, df.collect()))
+        assert got == want
+
+    def test_deflate_and_null_codecs_agree(self, spark, tmp_path):
+        from filters_spark.sources.avroio import read_avro, write_avro
+        df = spark.range(500).selectExpr(
+            "id", "cast(id as string) s",
+            "cast(id as double) * 0.5 x")
+        a, b = str(tmp_path / "defl"), str(tmp_path / "plain")
+        write_avro(df, a, codec="deflate")
+        write_avro(df, b, codec="null")
+        ra = sorted(map(tuple, read_avro(spark, a).collect()))
+        rb = sorted(map(tuple, read_avro(spark, b).collect()))
+        assert ra == rb and len(ra) == 500
+        # deflate actually compresses the repetitive payload
+        size = lambda d: sum(  # noqa: E731
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
+        assert size(a) < size(b)
+
+    def test_schema_on_read_evolution(self, spark, tmp_path):
+        import pyspark.sql.types as T
+
+        from filters_spark.sources.avroio import read_avro, write_avro
+        df = spark.createDataFrame([(1, 10), (2, 20)],
+                                   "k int, n int")   # int32 in files
+        p = str(tmp_path / "t")
+        write_avro(df, p)
+        target = T.StructType([
+            T.StructField("k", T.LongType()),        # int -> long
+            T.StructField("evolved", T.StringType()),  # not in files
+        ])
+        back = read_avro(spark, p, target)
+        got = sorted((r["k"], r["evolved"]) for r in back.collect())
+        assert got == [(1, None), (2, None)]
+        assert dict(back.dtypes)["k"] == "bigint"
+
+    def test_empty_frame_roundtrips(self, spark, tmp_path):
+        from filters_spark.sources.avroio import read_avro, write_avro
+        df = spark.createDataFrame([], "k bigint, s string")
+        p = str(tmp_path / "t")
+        assert write_avro(df, p) == 0
+        back = read_avro(spark, p)
+        assert back.count() == 0
+        assert [f.name for f in back.schema.fields] == ["k", "s"]
+
+    def test_corrupt_block_fails_loudly(self, spark, tmp_path):
+        from filters_spark.sources.avroio import read_avro, write_avro
+        df = spark.range(10).selectExpr("id", "cast(id as string) s")
+        p = str(tmp_path / "t")
+        write_avro(df, p, codec="null")
+        f = os.path.join(p, sorted(os.listdir(p))[0])
+        raw = bytearray(open(f, "rb").read())
+        raw[-3] ^= 0xFF                       # flip a sync-marker byte
+        open(f, "wb").write(bytes(raw))
+        with pytest.raises(Exception, match="sync marker|corrupt"):
+            read_avro(spark, p).collect()
+        # bad magic
+        open(f, "wb").write(b"PAR1" + bytes(raw[4:]))
+        with pytest.raises(Exception, match="bad magic"):
+            read_avro(spark, p).collect()
+
+    def test_unsupported_types_raise(self, spark, tmp_path):
+        from filters_spark.sources.avroio import write_avro
+        df = spark.range(1).selectExpr(
+            "map('a', id) m")
+        with pytest.raises(TypeError, match="unsupported Spark type"):
+            write_avro(df, str(tmp_path / "t"))
+
+    def test_timestamp_ntz_roundtrip(self, spark, tmp_path):
+        import datetime as dt
+
+        from filters_spark.sources.avroio import read_avro, write_avro
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 3, 1, 12, 30, 15, 123456)), (2, None)],
+            "k bigint, ts timestamp_ntz")
+        p = str(tmp_path / "t")
+        write_avro(df, p)
+        back = read_avro(spark, p)
+        assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+        assert sorted(map(tuple, back.collect())) == \
+            sorted(map(tuple, df.collect()))

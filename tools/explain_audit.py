@@ -439,6 +439,10 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
     # token-budget mix: ONE window shuffle (the per-domain running
     # sum) reused by the rollup; domain IN-filter pushed to the scan.
+    # r10 avro gate: file-list repartition (one task per file) feeds
+    # the mapInArrow decode; one agg exchange on top — writes are
+    # eager side effects
+    "rel_avro_roundtrip": dict(max_exchanges=2),
     # r10 restore gate: the RETURNED frame reads the restore's stored
     # feed (grouped agg), the restored head (1-row agg), and the
     # netted 1->3 span (agg) — aggregation exchanges + 2 broadcast
