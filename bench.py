@@ -182,6 +182,9 @@ HEADLINE = [
     # round 10: Avro OCF roundtrip from the public spec (executor-side
     # encode/decode per run — the ingestion-boundary number beside XML)
     "rel_avro_roundtrip",
+    # round 10: capstone — avro ingest -> versioned commit -> bad
+    # merge -> RESTORE (inverse feed) -> two-phase token-budget rollup
+    "ds_corpus_pipeline_v10",
 ]
 
 # Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1

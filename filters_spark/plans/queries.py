@@ -624,15 +624,20 @@ DRIVER_WINDOW: list[str] = [
     # driver-faithful replica in the r9 VERDICT session.  With this
     # window green, cumulative official coverage = every registered
     # name checked at least once.
-    # Slots 7-50: re-confirmations with the OLDEST last-official row —
-    # all 20 whose last row is r2, all 13 whose last row is r3, and 11
-    # of the 15 whose last row is r4 (the remaining four r4 names —
-    # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
-    # val_strip_fold — plus the r5 vintage are the r11 rotation pool).
-    # ROUND-11 ROTATION PLAN: any name registered in r10 after this
-    # window freezes goes in slots 1-N; fill the rest with the four
-    # r4 leftovers above, then the r5 vintage (47 names), oldest
-    # first.  Re-verify against CORRECTNESS_r10.json before writing.
+    # Slots 7-9: the THREE gates registered during r10 itself —
+    # putting them in now (before the window freezes at the official
+    # run) makes cumulative official coverage the FULL 252-name
+    # registry in one round.  Slots 10-50: re-confirmations with the
+    # OLDEST last-official row — all 20 whose last row is r2, all 13
+    # whose last row is r3, and 8 of the 15 whose last row is r4 (the
+    # remaining seven r4 names — ds_real_codec_gate,
+    # rel_latest_order_per_customer, val_date_tz, val_strip_fold,
+    # rel_sessionize, rel_upsert_merge, ds_stratified_sample — plus
+    # the r5 vintage are the r11 rotation pool).
+    # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
+    # slots 1-N; fill the rest with the seven r4 leftovers above,
+    # then the r5 vintage (47 names), oldest first.  Re-verify
+    # against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
     # -- never-official (6): registered after the r9 window froze ------
@@ -642,6 +647,10 @@ DRIVER_WINDOW: list[str] = [
     "rel_delete_where",          # COW file-reuse DELETE
     "ds_corpus_pipeline_v9",     # multilingual capstone v9
     "ds_token_budget_mix",       # token-budget corpus mixing
+    # -- registered during r10 (3) --------------------------------------
+    "rel_restore_version",       # versioned-table RESTORE
+    "rel_avro_roundtrip",        # Avro OCF from the public spec
+    "ds_corpus_pipeline_v10",    # r10 capstone (avro+restore+mix)
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -677,17 +686,14 @@ DRIVER_WINDOW: list[str] = [
     "val_switch_dispatch",       # FilterSwitch dispatch
     "val_uuid_canon",            # Uuid canonicalization
     "val_variant_json",          # JsonDecode to Variant
-    # -- last official row r4 (11 of 15) ---------------------------------
+    # -- last official row r4 (8 of 15) ----------------------------------
     "ds_dedup_exact",            # exact hash dedup
     "ds_domain_mixture",         # domain-mixture sampling
     "ds_ivf_topk",               # IVF ANN top-k
     "ds_pagerank",               # PageRank graph analytics
     "ds_simhash_pairs",          # SimHash banded pairs
-    "ds_stratified_sample",      # stratified sampling
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
-    "rel_sessionize",            # gap-based sessionization
-    "rel_upsert_merge",          # upsert MERGE
     "txt_profile",               # corpus profile (calibration anchor)
 ]
 
@@ -13396,7 +13402,7 @@ def ds_token_budget_mix(spark, sf_dir):
     ), touched AS (
       SELECT * FROM base WHERE k BETWEEN 1000 AND 4999
     ), feed AS (
-      SELECT 'delete' AS ct, CAST(900000000 + i AS BIGINT) AS k,
+      SELECT 'delete' AS ct, CAST(1500000000 + i AS BIGINT) AS k,
              CAST(i AS BIGINT) AS cents
       FROM range(1, 21) t(i)
       UNION ALL
@@ -13420,7 +13426,8 @@ def rel_restore_version(spark, sf_dir):
     (sources.versioned.restore_version — VERDICT r9 next #3, Delta
     RESTORE's shape): orders committed clustered with stats (v1), a
     BAD commit lands (keys 1000-4999 zeroed + 20 planted rows at
-    900M, stored change feed), then one restore_version call rolls
+    1.5B — clear of the sf1 stress replicas' +100M-per-replica key
+    space, the r8 planted-id rule — stored change feed), then one restore_version call rolls
     the head back — a new manifest carrying v1's files by REFERENCE,
     zero data rewrite, with the restore's change feed persisted as
     the INVERSE of the bad span's.  The hash carries (a) the restore
@@ -13445,7 +13452,7 @@ def rel_restore_version(spark, sf_dir):
     bad = base.where(F.col("o_orderkey").between(1000, 4999)) \
         .withColumn("cents", F.lit(0).cast("bigint"))
     planted = spark.range(1, 21).select(
-        (F.lit(900000000) + F.col("id")).alias("o_orderkey"),
+        (F.lit(1_500_000_000) + F.col("id")).alias("o_orderkey"),
         F.col("id").cast("bigint").alias("cents"))
     V.merge_versioned(spark, path, bad.unionByName(planted),
                       "o_orderkey", store_changes=True)
@@ -13526,3 +13533,102 @@ def rel_avro_roundtrip(spark, sf_dir):
         F.sum(F.col("evolved_note").isNotNull().cast("int")).cast("long")
         .alias("n_extra_nonnull"),
     )
+
+
+@register(
+    "ds_corpus_pipeline_v10",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents WHERE lang IN ('de', 'en', 'es', 'zh')
+    ), b AS (
+      SELECT *,
+             CASE lang WHEN 'en' THEN 2000 WHEN 'es' THEN 1000
+                       WHEN 'de' THEN 800 WHEN 'zh' THEN 500 END
+               AS budget,
+             sum(tok) OVER (PARTITION BY lang ORDER BY ord, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), cut AS (
+      SELECT * FROM b WHERE cum <= budget
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS token_sum,
+           CAST(sum(doc_id) AS BIGINT) AS key_sum,
+           CAST(15 AS BIGINT) AS n_restore_deletes,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE doc_id % 97 = 0) AS n_restore_updates,
+           CAST(0 AS BIGINT) AS n_net_span
+    FROM cut GROUP BY lang
+    """,
+)
+def ds_corpus_pipeline_v10(spark, sf_dir):
+    """Round-10 capstone — the round's operators composed END TO END
+    under one hash: (1) documents INGESTED through the engine's own
+    Avro OCF sink+source (spec-level encode/decode in the data path —
+    a mis-encoded varint or dropped block shifts every downstream
+    number), (2) committed range-clustered as a versioned table,
+    (3) a BAD commit lands (every 97th doc's lang zeroed to 'xx' +
+    15 planted rows at 910M, stored change feed), (4) ONE
+    restore_version call rolls it back — manifest-only, with the
+    INVERSE feed stored — and (5) the restored table flows through
+    the two-phase bucketed token_budget_sample into a per-language
+    rollup.  The hash carries the rollup (must equal pure
+    documents arithmetic — the bad span provably vanished), the
+    restore feed's delete/update counts, and the NET feed across
+    bad-commit+restore pinned EMPTY through the stored-netting path.
+    Empty-input tolerant: an empty corpus yields an empty rollup."""
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    from ..functions import sampling
+    from ..sources import readers
+    from ..sources import versioned as V
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    root = tempfile.mkdtemp(prefix="fs_v10_")
+    readers.write_avro(d, root + "/ingest")
+    ing_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    back = readers.read_avro(spark, root + "/ingest", ing_schema)
+    ing = back.select(
+        "doc_id", "lang",
+        text.token_count(F.col("text")).cast("bigint").alias("tok")) \
+        .repartitionByRange(8, "doc_id")
+    tbl = root + "/t"
+    V.write_versioned(ing, tbl, stats_cols=["doc_id"])
+    bad = (ing.where(F.col("doc_id") % 97 == 0)
+           .withColumn("lang", F.lit("xx"))
+           .withColumn("tok", F.lit(0).cast("bigint")))
+    planted = spark.range(1, 16).select(
+        (F.lit(910_000_000) + F.col("id")).alias("doc_id"),
+        F.lit("xx").alias("lang"), F.col("id").cast("bigint").alias("tok"))
+    V.merge_versioned(spark, tbl, bad.unionByName(planted), "doc_id",
+                      store_changes=True)
+    V.restore_version(spark, tbl, 1, store_changes_key="doc_id")
+    feed = V.read_changes(spark, tbl, "doc_id", 2, 3)
+    scalars = feed.agg(
+        F.sum((F.col("_change_type") == "delete").cast("int"))
+        .cast("long").alias("n_restore_deletes"),
+        F.sum((F.col("_change_type") == "update_preimage").cast("int"))
+        .cast("long").alias("n_restore_updates"))
+    net = V.read_changes(spark, tbl, "doc_id", 1, 3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_net_span"))
+    restored = V.read_version(spark, tbl).withColumnRenamed("tok",
+                                                            "_tok")
+    samp = sampling.token_budget_sample(
+        restored, "doc_id", "lang",
+        {"en": 2000, "es": 1000, "de": 800, "zh": 500})
+    rollup = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("token_sum"),
+        F.sum("doc_id").cast("long").alias("key_sum"))
+    return (rollup.crossJoin(F.broadcast(scalars))
+            .crossJoin(F.broadcast(net)))

@@ -439,6 +439,10 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
     # token-budget mix: ONE window shuffle (the per-domain running
     # sum) reused by the rollup; domain IN-filter pushed to the scan.
+    # r10 capstone: restored-table scan through the two-phase
+    # token-budget (bucket window + stats agg + broadcast offsets) +
+    # rollup agg + the feed/net broadcast stat joins
+    "ds_corpus_pipeline_v10": dict(max_exchanges=8, min_broadcasts=3),
     # r10 avro gate: file-list repartition (one task per file) feeds
     # the mapInArrow decode; one agg exchange on top — writes are
     # eager side effects

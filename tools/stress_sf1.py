@@ -149,6 +149,24 @@ HEAVY = {
         len(rows) == 1 and rows[0]["n"] > 0
         and rows[0]["n_changes"] == 0,
         "optimize: pruned read nonempty, CDC silent"),
+    "ds_token_budget_mix": lambda rows: _inv(
+        len(rows) == 4 and all(r["token_sum"] > 0 for r in rows),
+        "token budget: all four budgeted domains cut"),
+    "rel_restore_version": lambda rows: _inv(
+        len(rows) == 3 and all(r["n_net_span"] == 0 for r in rows)
+        and {r["change_type"] for r in rows} ==
+        {"delete", "update_preimage", "update_postimage"},
+        "restore: inverse feed classes + netted span empty"),
+    "rel_avro_roundtrip": lambda rows: _inv(
+        len(rows) == 1 and rows[0]["n_rows"] > 0
+        and rows[0]["n_extra_nonnull"] == 0,
+        "avro: roundtrip nonempty, evolved column null"),
+    "ds_corpus_pipeline_v10": lambda rows: _inv(
+        len(rows) == 4
+        and all(r["n_net_span"] == 0 for r in rows)
+        and all(r["n_restore_deletes"] == 15 for r in rows)
+        and all(r["token_sum"] > 0 for r in rows),
+        "v10: rollup nonempty, restore netted silent"),
 }
 
 
@@ -293,6 +311,40 @@ def commit_stats_scaling(spark):
     return rows
 
 
+def token_budget_skew(spark, n=2_000_000):
+    """VERDICT r9 next #8: the salted two-phase token_budget_sample
+    under a heavy-tailed mixture at stress scale — one domain holds
+    90% of the rows.  buckets=1 is the old single-window plan (the
+    whole heavy domain's prefix sum in ONE task); buckets=64 is the
+    r10 two-phase plan.  Asserts the selected set is IDENTICAL
+    (count + key/token checksums) and reports both wall times."""
+    from filters_spark.functions import sampling
+
+    df = (spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("web"))
+        .otherwise(F.element_at(
+            F.array(F.lit("code"), F.lit("books"), F.lit("wiki")),
+            (F.col("id") % 3 + 1).cast("int"))).alias("dom"),
+        ((F.col("id") * 7919) % 997 + 1).alias("_tok"))
+        .repartition(32, "doc_id"))
+    budgets = {"web": 500_000_000, "code": 20_000_000,
+               "books": 20_000_000, "wiki": 20_000_000}
+    out = {}
+    for b in (1, 64):
+        t0 = time.time()
+        agg = (sampling.token_budget_sample(df, "doc_id", "dom",
+                                            budgets, buckets=b)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_id").alias("key_sum"),
+                    F.sum("_tok").alias("tok_sum")).collect()[0])
+        out[b] = (time.time() - t0, tuple(agg))
+    _inv(out[1][1] == out[64][1],
+         "token budget: bucketed != single-window at stress scale")
+    _inv(out[1][1][0] > 0, "token budget: degenerate empty cut")
+    return out
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fs_sf1"
     spark = get_spark("stress_sf1", shuffle_partitions=32)
@@ -331,6 +383,11 @@ def main():
     for nf, driver, execu in commit_stats_scaling(spark):
         print(f"file_stats @ {nf} files: driver-loop {driver:.2f}s, "
               f"commit path {execu:.2f}s")
+
+    skew = token_budget_skew(spark)
+    print(f"token_budget 2M rows, 90% one domain: single-window "
+          f"{skew[1][0]:.1f}s vs bucketed(64) {skew[64][0]:.1f}s — "
+          f"identical cut {skew[1][1]} INVARIANT OK")
 
     rec = recall_clustered(spark)
     print(f"clustered 20k recall@10: raw {rec['raw']:.3f} "
