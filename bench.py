@@ -185,6 +185,9 @@ HEADLINE = [
     # round 10: capstone — avro ingest -> versioned commit -> bad
     # merge -> RESTORE (inverse feed) -> two-phase token-budget rollup
     "ds_corpus_pipeline_v10",
+    # round 10: COW row-level UPDATE (touched-slice rewrite + change-
+    # silent feed per run — the write-path sibling of rel_delete_where)
+    "rel_update_where",
 ]
 
 # Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1

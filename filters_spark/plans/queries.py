@@ -624,16 +624,17 @@ DRIVER_WINDOW: list[str] = [
     # driver-faithful replica in the r9 VERDICT session.  With this
     # window green, cumulative official coverage = every registered
     # name checked at least once.
-    # Slots 7-9: the THREE gates registered during r10 itself —
+    # Slots 7-11: the FIVE gates registered during r10 itself —
     # putting them in now (before the window freezes at the official
-    # run) makes cumulative official coverage the FULL 252-name
-    # registry in one round.  Slots 10-50: re-confirmations with the
+    # run) makes cumulative official coverage the FULL 254-name
+    # registry in one round.  Slots 12-50: re-confirmations with the
     # OLDEST last-official row — all 20 whose last row is r2, all 13
-    # whose last row is r3, and 8 of the 15 whose last row is r4 (the
-    # remaining seven r4 names — ds_real_codec_gate,
+    # whose last row is r3, and 6 of the 15 whose last row is r4 (the
+    # remaining nine r4 names — ds_real_codec_gate,
     # rel_latest_order_per_customer, val_date_tz, val_strip_fold,
-    # rel_sessionize, rel_upsert_merge, ds_stratified_sample — plus
-    # the r5 vintage are the r11 rotation pool).
+    # rel_sessionize, rel_upsert_merge, ds_stratified_sample,
+    # ds_simhash_pairs, ds_domain_mixture — plus the r5 vintage are
+    # the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
     # slots 1-N; fill the rest with the seven r4 leftovers above,
     # then the r5 vintage (47 names), oldest first.  Re-verify
@@ -647,10 +648,12 @@ DRIVER_WINDOW: list[str] = [
     "rel_delete_where",          # COW file-reuse DELETE
     "ds_corpus_pipeline_v9",     # multilingual capstone v9
     "ds_token_budget_mix",       # token-budget corpus mixing
-    # -- registered during r10 (3) --------------------------------------
+    # -- registered during r10 (5) --------------------------------------
     "rel_restore_version",       # versioned-table RESTORE
     "rel_avro_roundtrip",        # Avro OCF from the public spec
     "ds_corpus_pipeline_v10",    # r10 capstone (avro+restore+mix)
+    "rel_update_where",          # COW file-reuse UPDATE
+    "rel_table_history",         # DESCRIBE HISTORY audit view
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -686,12 +689,10 @@ DRIVER_WINDOW: list[str] = [
     "val_switch_dispatch",       # FilterSwitch dispatch
     "val_uuid_canon",            # Uuid canonicalization
     "val_variant_json",          # JsonDecode to Variant
-    # -- last official row r4 (8 of 15) ----------------------------------
+    # -- last official row r4 (6 of 15) ----------------------------------
     "ds_dedup_exact",            # exact hash dedup
-    "ds_domain_mixture",         # domain-mixture sampling
     "ds_ivf_topk",               # IVF ANN top-k
     "ds_pagerank",               # PageRank graph analytics
-    "ds_simhash_pairs",          # SimHash banded pairs
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
     "txt_profile",               # corpus profile (calibration anchor)
@@ -13632,3 +13633,134 @@ def ds_corpus_pipeline_v10(spark, sf_dir):
         F.sum("doc_id").cast("long").alias("key_sum"))
     return (rollup.crossJoin(F.broadcast(scalars))
             .crossJoin(F.broadcast(net)))
+
+
+@register(
+    "rel_update_where",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), hit AS (
+      SELECT * FROM base WHERE k BETWEEN 1000 AND 9999
+    ), ch AS (
+      SELECT * FROM hit WHERE cents % 2 = 1
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_updated,
+      (SELECT CAST(count(*) AS BIGINT) FROM ch) AS n_changed,
+      (SELECT CAST(sum(cents) AS BIGINT) FROM ch) AS pre_cents_sum,
+      (SELECT CAST(sum(cents - 1) AS BIGINT) FROM ch)
+        AS post_cents_sum,
+      (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_final,
+      (SELECT CAST(sum(CASE WHEN k BETWEEN 1000 AND 9999
+                       THEN cents - cents % 2 ELSE cents END)
+              AS BIGINT) FROM base) AS final_cents_sum
+    """,
+)
+def rel_update_where(spark, sf_dir):
+    """Row-level UPDATE as a copy-on-write FILE-REUSE commit under
+    the value hash (sources.versioned.update_where — delete_where's
+    sibling, Delta UPDATE's shape): orders committed range-clustered,
+    then one UPDATE floors a key slice's cents to even
+    (``cents - cents % 2`` — assignments see the OLD values).  Rows
+    whose cents were ALREADY even match the condition but change
+    nothing, so the stored change feed must hold pairs ONLY for the
+    odd-cents rows (the diff path's fingerprint-silence semantics —
+    stored ≡ diff by construction).  The hash carries the commit's
+    own n_updated/n_changed report, the pre/post cents sums read back
+    FROM THE STORED FEED, and the final table's checksums — an UPDATE
+    that leaked a row, applied NEW values to the expression inputs,
+    or fed an unchanged row shifts a number.  File-reuse mechanics
+    pytest-pinned (TestUpdateWhere)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents")).repartitionByRange(8, "o_orderkey")
+    path = tempfile.mkdtemp(prefix="fs_upd_") + "/t"
+    V.write_versioned(base, path, stats_cols=["o_orderkey"])
+    res = V.update_where(spark, path,
+                         "o_orderkey BETWEEN 1000 AND 9999",
+                         {"cents": "cents - cents % 2"},
+                         store_changes_key="o_orderkey")
+    feed = V.read_changes(spark, path, "o_orderkey", 1, 2)
+    t = F.col("_change_type")
+    feedagg = feed.agg(
+        F.sum(F.when(t == "update_preimage", F.col("cents")))
+        .cast("long").alias("pre_cents_sum"),
+        F.sum(F.when(t == "update_postimage", F.col("cents")))
+        .cast("long").alias("post_cents_sum"))
+    fin = V.read_version(spark, path).agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.sum("cents").cast("long").alias("final_cents_sum"))
+    return (spark.range(1)
+            .select(F.lit(int(res["n_updated"])).cast("long")
+                    .alias("n_updated"),
+                    F.lit(int(res["n_changed"])).cast("long")
+                    .alias("n_changed"))
+            .crossJoin(F.broadcast(feedagg))
+            .crossJoin(F.broadcast(fin)))
+
+
+@register(
+    "rel_table_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 'write',
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'merge',
+       CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'delete',
+       CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT)),
+      (CAST(4 AS BIGINT), CAST(3 AS BIGINT), 'restore',
+       CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(5 AS BIGINT), CAST(4 AS BIGINT), 'update',
+       CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT))
+    ) t(version, parent, op, has_changes, file_reuse, restored_from)
+    """,
+)
+def rel_table_history(spark, sf_dir):
+    """DESCRIBE HISTORY under the value hash
+    (sources.versioned.table_history): a scripted governed-table
+    lifecycle — write → keyed merge (stored feed) → COW delete →
+    RESTORE → COW update — read back as the manifest audit view.  The
+    op sequence, parent links, stored-feed markers, file-reuse
+    markers, and the restore's provenance pointer are all
+    deterministic REGARDLESS of scale factor (even an empty corpus
+    commits the same five operations), so the literal oracle pins the
+    manifest protocol itself: an op label drift, a broken parent
+    chain, or a lost restored_from fails the hash.  committed_at and
+    n_files stay OUT of the hash (wall-clock / partitioner-
+    dependent)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents")).repartitionByRange(4, "o_orderkey")
+    path = tempfile.mkdtemp(prefix="fs_hist_") + "/t"
+    V.write_versioned(base, path, stats_cols=["o_orderkey"])
+    ups = spark.range(1, 6).select(
+        (F.lit(1_500_000_000) + F.col("id")).alias("o_orderkey"),
+        F.col("id").cast("bigint").alias("cents"))
+    V.merge_versioned(spark, path, ups, "o_orderkey",
+                      store_changes=True)
+    V.delete_where(spark, path, "o_orderkey >= 1500000000",
+                   store_changes_key="o_orderkey")
+    V.restore_version(spark, path, 1, store_changes_key="o_orderkey")
+    V.update_where(spark, path, "o_orderkey < 100",
+                   {"cents": "cents + 1"},
+                   store_changes_key="o_orderkey")
+    h = V.table_history(spark, path)
+    return h.select(
+        "version", "parent", "op",
+        F.col("has_changes").cast("long").alias("has_changes"),
+        F.col("file_reuse").cast("long").alias("file_reuse"),
+        "restored_from")

@@ -68,7 +68,9 @@ __all__ = [
     "read_version",
     "merge_versioned",
     "delete_where",
+    "update_where",
     "restore_version",
+    "table_history",
     "read_changes",
     "consume_changes",
     "read_cursor",
@@ -948,6 +950,165 @@ def delete_where(spark: SparkSession, path: str, condition,
     return {"version": version, "n_deleted": int(n_deleted),
             "files_rewritten": len(touched),
             "files_reused": len(untouched)}
+
+
+def update_where(spark: SparkSession, path: str, condition,
+                 assignments: dict, expected_parent: int | None = None,
+                 store_changes_key: str | None = None) -> dict:
+    """Row-level UPDATE as a FILE-REUSE commit — :func:`delete_where`'s
+    natural sibling (Delta UPDATE's copy-on-write shape): one pass
+    finds the files CONTAINING matching rows, only those are read
+    back and rewritten with ``assignments`` applied to the matching
+    rows, and every untouched file is carried by REFERENCE.  Updating
+    0.1% of a 100 TB table costs one scan plus the touched slice.
+
+    ``condition`` is a Column or SQL string; rows where it is TRUE
+    are updated (NULL ⇒ untouched, SQL UPDATE semantics).
+    ``assignments`` maps existing column names to Columns or SQL
+    expression strings evaluated against the pre-update row (standard
+    UPDATE: ``{"cents": "cents * 2"}`` doubles, all assignments see
+    the OLD values).  Assigning an unknown column raises — schema
+    evolution belongs to ``merge_versioned(evolve_schema=True)``.
+
+    ``store_changes_key`` persists update pre/post pairs as this
+    commit's stored change feed — ONLY for rows whose content
+    actually changed (an assignment that rewrites a row with
+    identical values emits nothing, matching the diff path's
+    fingerprint semantics exactly, so stored ≡ diff holds).
+    Partitioned parents fall back to a full rewrite; parent
+    ``stats_cols`` carry forward.
+
+    Returns ``{"version", "n_updated", "n_changed",
+    "files_rewritten", "files_reused"}`` — ``n_updated`` counts
+    condition matches, ``n_changed`` the rows whose content actually
+    changed."""
+    parent = latest_version(path)
+    if parent is None:
+        raise ValueError(f"versioned table {path!r} has no snapshots")
+    if expected_parent is None:
+        expected_parent = parent
+    m = _read_manifest(path, parent)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    hit = F.coalesce(cond, F.lit(False))
+    base = read_version(spark, path, parent)
+    schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+    unknown = sorted(set(assignments) - set(base.columns))
+    if unknown:
+        raise ValueError(
+            f"update_where: unknown column(s) {unknown} — UPDATE "
+            "cannot add columns (use merge_versioned(evolve_schema="
+            "True))")
+    sets = {c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()}
+
+    def apply_to(df: DataFrame, when_hit) -> DataFrame:
+        return df.select(*[
+            (F.when(when_hit, sets[c].cast(schema[c].dataType))
+             .otherwise(F.col(c)).alias(c) if c in sets else F.col(c))
+            for c in df.columns])
+
+    def changes_of(pre: DataFrame) -> DataFrame | None:
+        # pre holds ONLY hit rows; emit pairs where content changed
+        if store_changes_key is None:
+            return None
+        key = store_changes_key
+        cols = [key] + sorted(set(pre.columns) - {key})
+        post_exprs = {c: sets[c].cast(schema[c].dataType)
+                      for c in sets}
+        pre_s = F.struct(*[F.col(c).alias(c) for c in cols])
+        post_s = F.struct(*[
+            (post_exprs[c] if c in post_exprs else F.col(c)).alias(c)
+            for c in cols])
+        others = [c for c in cols if c != key]
+        fp = lambda s: F.md5(F.to_json(F.struct(  # noqa: E731
+            *[s[c] for c in others])))
+        staged = pre.select(pre_s.alias("_pre"), post_s.alias("_post")) \
+            .where(fp(F.col("_pre")) != fp(F.col("_post")))
+        ev = staged.select(F.explode(F.array(
+            F.struct(F.lit("update_preimage").alias("_change_type"),
+                     F.col("_pre").alias("p")),
+            F.struct(F.lit("update_postimage").alias("_change_type"),
+                     F.col("_post").alias("p")))).alias("c"))
+        return ev.select(F.col("c._change_type").alias("_change_type"),
+                         "c.p.*")
+
+    def n_changed_of(pre: DataFrame) -> int:
+        others = sorted(set(pre.columns))
+        old_fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in others])))
+        new_fp = F.md5(F.to_json(F.struct(*[
+            (sets[c].cast(schema[c].dataType) if c in sets
+             else F.col(c)).alias(c) for c in others])))
+        return pre.where(old_fp != new_fp).count()
+
+    if m.get("partition_by"):
+        pre = base.where(hit)
+        n_updated = pre.count()
+        n_changed = n_changed_of(pre)
+        version = write_versioned(
+            apply_to(base, hit), path,
+            expected_parent=expected_parent, _op="update",
+            partition_by=m["partition_by"],
+            stats_cols=m.get("stats_cols"), changes_df=changes_of(pre))
+        return {"version": version, "n_updated": int(n_updated),
+                "n_changed": int(n_changed),
+                "files_rewritten": m["n_files"], "files_reused": 0}
+    parent_files = _root_files(path, m)
+    touched = sorted({
+        _rel_uri(path, r["_f"]) for r in
+        base.withColumn("_f", F.input_file_name())
+        .where(hit).select("_f").distinct().collect()
+    })                                      # bounded: one row per file
+    untouched = [f for f in parent_files if f not in set(touched)]
+    if touched:
+        sub = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in touched])
+        pre = sub.where(hit)
+        replacement = apply_to(sub, hit)
+        n_updated = pre.count()
+        n_changed = n_changed_of(pre)
+        changes = changes_of(pre)
+    else:
+        replacement = spark.createDataFrame([], schema)
+        n_updated = n_changed = 0
+        changes = changes_of(replacement)
+    version = write_versioned(
+        replacement, path, expected_parent=expected_parent,
+        _op="update", stats_cols=m.get("stats_cols"),
+        changes_df=changes, reuse_files=untouched,
+        reuse_stats=_root_stats(path, m))
+    return {"version": version, "n_updated": int(n_updated),
+            "n_changed": int(n_changed),
+            "files_rewritten": len(touched),
+            "files_reused": len(untouched)}
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for a versioned table: one row per committed
+    manifest (version ascending) with the operation, parent link,
+    file/feed facts, and writer identity — the audit view a governed
+    table owes its operators.  Manifests are O(1) JSON reads, so this
+    never touches data; the result is a tiny driver-built frame
+    (bounded by version count — run ``vacuum_versioned`` retention
+    like any long-lived table).  ``committed_at`` is the wall-clock
+    manifest stamp (timestamp time travel's axis) — present for
+    operators, excluded from any hash-gated output by the usual
+    rule."""
+    rows = []
+    for v in versions(path):
+        m = _read_manifest(path, v)
+        rows.append((
+            int(v), m.get("parent"), str(m.get("op", "write")),
+            int(m["n_files"]), bool(m.get("changes")),
+            m.get("data_files") is not None,
+            m.get("restored_from"),
+            m.get("stream_query"), m.get("stream_batch"),
+            float(m["committed_at"]) if m.get("committed_at") else None,
+        ))
+    schema = ("version long, parent long, op string, n_files long, "
+              "has_changes boolean, file_reuse boolean, "
+              "restored_from long, stream_query string, "
+              "stream_batch long, committed_at double")
+    return spark.createDataFrame(rows, schema)
 
 
 def restore_version(spark: SparkSession, path: str, version: int,

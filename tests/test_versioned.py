@@ -1439,3 +1439,111 @@ class TestRestoreVersion:
         V.vacuum_versioned(tpath, keep_last=1)
         with pytest.raises(ValueError, match="vacuum"):
             V.restore_version(spark, tpath, 1)
+
+
+class TestUpdateWhere:
+    """Row-level COW UPDATE (delete_where's sibling, r10)."""
+
+    def _seed(self, spark, tpath):
+        df = (spark.range(100)
+              .select(F.col("id").alias("k"),
+                      (F.col("id") % 3).alias("a"),
+                      (F.col("id") % 5).alias("b"))
+              .repartitionByRange(4, "k"))
+        V.write_versioned(df, tpath, stats_cols=["k"])
+
+    def test_cow_reuse_and_report(self, spark, tpath):
+        self._seed(spark, tpath)
+        res = V.update_where(spark, tpath, "k < 10",
+                             {"a": "a + 100"},
+                             store_changes_key="k")
+        assert res["n_updated"] == 10 and res["n_changed"] == 10
+        assert res["files_reused"] >= 1
+        assert res["files_rewritten"] < 4 + 1
+        got = {r["k"]: r["a"] for r in
+               V.read_version(spark, tpath).collect()}
+        assert got[5] == 5 % 3 + 100 and got[50] == 50 % 3
+        assert len(got) == 100
+        m = V._read_manifest(tpath, 2)
+        assert m["op"] == "update" and m.get("stats_cols") == ["k"]
+
+    def test_assignments_see_old_values_swap(self, spark, tpath):
+        self._seed(spark, tpath)
+        V.update_where(spark, tpath, "k < 10",
+                       {"a": F.col("b"), "b": F.col("a")})
+        got = {r["k"]: (r["a"], r["b"]) for r in
+               V.read_version(spark, tpath).collect()}
+        for k in range(10):
+            assert got[k] == (k % 5, k % 3)      # swapped, not chained
+        assert got[20] == (20 % 3, 20 % 5)       # untouched
+
+    def test_unchanged_rows_emit_no_feed(self, spark, tpath):
+        self._seed(spark, tpath)
+        # a % 3 == a for a in {0,1,2}: floor-to-multiple-of-3 changes
+        # only rows with a != 0
+        res = V.update_where(spark, tpath, "k < 30",
+                             {"a": "a - a % 3"},
+                             store_changes_key="k")
+        assert res["n_updated"] == 30
+        assert res["n_changed"] == 20            # a in {1,2} changed
+        stored = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2).collect()))
+        diff = sorted(map(tuple, V.read_changes(
+            spark, tpath, "k", 1, 2, use_stored=False).collect()))
+        assert stored == diff
+        assert len(stored) == 40                 # 20 pairs
+
+    def test_null_condition_rows_untouched(self, spark, tpath):
+        df = spark.createDataFrame(
+            [(1, 5, None), (2, 6, 1), (3, 7, 0)],
+            "k bigint, a bigint, flag bigint")
+        V.write_versioned(df, tpath)
+        V.update_where(spark, tpath, F.col("flag") == 1, {"a": "a * 10"})
+        got = {r["k"]: r["a"] for r in
+               V.read_version(spark, tpath).collect()}
+        assert got == {1: 5, 2: 60, 3: 7}        # NULL => untouched
+
+    def test_unknown_column_raises(self, spark, tpath):
+        self._seed(spark, tpath)
+        with pytest.raises(ValueError, match="unknown column"):
+            V.update_where(spark, tpath, "k < 10", {"nope": "1"})
+
+    def test_partitioned_parent_falls_back(self, spark, tpath):
+        df = spark.createDataFrame(
+            [(1, "x", 10), (2, "y", 20)], "k bigint, p string, n bigint")
+        V.write_versioned(df, tpath, partition_by=["p"])
+        res = V.update_where(spark, tpath, "k = 1", {"n": "n + 5"})
+        assert res["files_reused"] == 0
+        m = V._read_manifest(tpath, 2)
+        assert m.get("partition_by") == ["p"]
+        got = {r["k"]: r["n"] for r in
+               V.read_version(spark, tpath).collect()}
+        assert got == {1: 15, 2: 20}
+
+    def test_no_match_is_pure_reuse(self, spark, tpath):
+        self._seed(spark, tpath)
+        res = V.update_where(spark, tpath, "k > 10000", {"a": "0"},
+                             store_changes_key="k")
+        assert res["n_updated"] == 0 and res["files_rewritten"] == 0
+        assert V.read_version(spark, tpath).count() == 100
+        # stored (empty) feed still == diff (empty)
+        assert V.read_changes(spark, tpath, "k", 1, 2).count() == 0
+
+
+class TestTableHistory:
+    def test_lifecycle_rows(self, spark, tpath):
+        V.write_versioned(_df(spark, [(1, "a", 10), (2, "b", 20)]),
+                          tpath)
+        V.merge_versioned(spark, tpath, _df(spark, [(3, "c", 30)]),
+                          "k", store_changes=True)
+        V.delete_where(spark, tpath, "k = 3", store_changes_key="k")
+        V.restore_version(spark, tpath, 2)
+        h = {r["version"]: r for r in
+             V.table_history(spark, tpath).collect()}
+        assert [h[v]["op"] for v in (1, 2, 3, 4)] == [
+            "write", "merge", "delete", "restore"]
+        assert h[4]["restored_from"] == 2
+        assert h[3]["file_reuse"] and h[4]["file_reuse"]
+        assert h[2]["has_changes"] and not h[4]["has_changes"]
+        assert h[2]["parent"] == 1 and h[1]["parent"] is None
+        assert all(h[v]["committed_at"] is not None for v in h)

@@ -439,6 +439,12 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
     # token-budget mix: ONE window shuffle (the per-domain running
     # sum) reused by the rollup; domain IN-filter pushed to the scan.
+    # r10 COW update gate: stored-feed agg + final agg, both
+    # broadcast back onto the 1-row report frame
+    "rel_update_where": dict(max_exchanges=2, min_broadcasts=2),
+    # r10 history gate: a driver-built manifest frame — nothing may
+    # shuffle (commits are eager side effects)
+    "rel_table_history": dict(max_exchanges=0),
     # r10 capstone: restored-table scan through the two-phase
     # token-budget (bucket window + stats agg + broadcast offsets) +
     # rollup agg + the feed/net broadcast stat joins

@@ -161,6 +161,11 @@ HEAVY = {
         len(rows) == 1 and rows[0]["n_rows"] > 0
         and rows[0]["n_extra_nonnull"] == 0,
         "avro: roundtrip nonempty, evolved column null"),
+    "rel_update_where": lambda rows: _inv(
+        len(rows) == 1 and rows[0]["n_updated"] > 0
+        and 0 < rows[0]["n_changed"] <= rows[0]["n_updated"]
+        and rows[0]["post_cents_sum"] < rows[0]["pre_cents_sum"],
+        "cow update: report + feed sums sane"),
     "ds_corpus_pipeline_v10": lambda rows: _inv(
         len(rows) == 4
         and all(r["n_net_span"] == 0 for r in rows)
