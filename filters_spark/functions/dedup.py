@@ -884,6 +884,58 @@ def connected_components_star(pairs: DataFrame, a_col: str = "a_id",
     ).agg(F.min("comp").alias("comp"))
 
 
+def semantic_contaminated(corpus: DataFrame, eval_df: DataFrame,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          eval_id_col: str | None = None,
+                          threshold: float = 0.95,
+                          exclude_same_id: bool = False,
+                          max_eval: int = 100_000) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-similarity
+    complement of the n-gram :func:`contaminated_ids` (modern
+    pipelines run both: n-grams catch verbatim leakage, embeddings
+    catch paraphrased eval items no shared 13-gram reveals).  For
+    every corpus vector, count the eval vectors with cosine ≥
+    ``threshold`` and keep the maximum cosine; rows with no match
+    don't appear (join back with ``keep_flag`` semantics yourself, or
+    anti-join the ids like :func:`decontaminate`).
+
+    Scale shape: eval benchmarks are SMALL by nature (thousands of
+    items against a 100 TB corpus), so the eval side broadcasts and
+    the pair work is a per-corpus-partition loop — n_corpus × n_eval
+    dot products with NO shuffle of the corpus and one final
+    aggregate keyed by the corpus id.  The ``max_eval`` guard refuses
+    a silently quadratic "eval" set (the `_guard_unblocked_cross`
+    discipline); above it, block both sides by an IVF/LSH cell
+    (similarity.lsh_buckets) and run this per cell.
+    ``exclude_same_id=True`` skips identity pairs when the eval set
+    is drawn from the corpus itself (audits, leakage studies).
+
+    Returns ``(id_col, n_matches, max_cosine)``."""
+    from .similarity import cosine
+
+    eid = eval_id_col or id_col
+    n_eval = eval_df.limit(max_eval + 1).count()
+    if n_eval > max_eval:
+        raise ValueError(
+            f"semantic_contaminated: eval side has > {max_eval} rows "
+            "— that is a corpus, not a benchmark; block both sides by "
+            "an ANN cell (similarity.lsh_buckets / ivf cells) and run "
+            "per cell instead of broadcasting")
+    e = eval_df.select(F.col(eid).alias("_eid"),
+                       F.col(vec_col).alias("_ev"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    pairs = c.crossJoin(F.broadcast(e))
+    if exclude_same_id:
+        pairs = pairs.where(F.col(id_col) != F.col("_eid"))
+    score = cosine(F.col("_cv"), F.col("_ev"))
+    return (pairs.withColumn("_cos", score)
+            .where(F.col("_cos") >= F.lit(float(threshold)))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+                 F.max("_cos").alias("max_cosine")))
+
+
 def contaminated_ids(df: DataFrame, bench: DataFrame,
                      id_col: str = "doc_id", text_col: str = "text",
                      bench_text_col: str | None = None,

@@ -624,17 +624,17 @@ DRIVER_WINDOW: list[str] = [
     # driver-faithful replica in the r9 VERDICT session.  With this
     # window green, cumulative official coverage = every registered
     # name checked at least once.
-    # Slots 7-11: the FIVE gates registered during r10 itself —
+    # Slots 7-12: the SIX gates registered during r10 itself —
     # putting them in now (before the window freezes at the official
-    # run) makes cumulative official coverage the FULL 254-name
-    # registry in one round.  Slots 12-50: re-confirmations with the
+    # run) makes cumulative official coverage the FULL 255-name
+    # registry in one round.  Slots 13-50: re-confirmations with the
     # OLDEST last-official row — all 20 whose last row is r2, all 13
-    # whose last row is r3, and 6 of the 15 whose last row is r4 (the
-    # remaining nine r4 names — ds_real_codec_gate,
+    # whose last row is r3, and 5 of the 15 whose last row is r4 (the
+    # remaining ten r4 names — ds_real_codec_gate,
     # rel_latest_order_per_customer, val_date_tz, val_strip_fold,
     # rel_sessionize, rel_upsert_merge, ds_stratified_sample,
-    # ds_simhash_pairs, ds_domain_mixture — plus the r5 vintage are
-    # the r11 rotation pool).
+    # ds_simhash_pairs, ds_domain_mixture, ds_pagerank — plus the r5
+    # vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
     # slots 1-N; fill the rest with the seven r4 leftovers above,
     # then the r5 vintage (47 names), oldest first.  Re-verify
@@ -654,6 +654,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_corpus_pipeline_v10",    # r10 capstone (avro+restore+mix)
     "rel_update_where",          # COW file-reuse UPDATE
     "rel_table_history",         # DESCRIBE HISTORY audit view
+    "ds_semantic_contaminated",  # broadcast-eval semantic decon
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -689,10 +690,9 @@ DRIVER_WINDOW: list[str] = [
     "val_switch_dispatch",       # FilterSwitch dispatch
     "val_uuid_canon",            # Uuid canonicalization
     "val_variant_json",          # JsonDecode to Variant
-    # -- last official row r4 (6 of 15) ----------------------------------
+    # -- last official row r4 (5 of 15) ----------------------------------
     "ds_dedup_exact",            # exact hash dedup
     "ds_ivf_topk",               # IVF ANN top-k
-    "ds_pagerank",               # PageRank graph analytics
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
     "txt_profile",               # corpus profile (calibration anchor)
@@ -13764,3 +13764,52 @@ def rel_table_history(spark, sf_dir):
         F.col("has_changes").cast("long").alias("has_changes"),
         F.col("file_reuse").cast("long").alias("file_reuse"),
         "restored_from")
+
+
+@register(
+    "ds_semantic_contaminated",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), ev AS (
+      SELECT vec_id AS eid, v AS evv FROM e WHERE vec_id % 37 = 0
+    ), m AS (
+      SELECT c.vec_id, c.label, count(*) AS nm
+      FROM e c JOIN ev ON c.vec_id <> ev.eid
+      WHERE list_cosine_similarity(c.v, ev.evv) >= 0.35
+      GROUP BY c.vec_id, c.label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_flagged,
+           CAST(sum(vec_id) AS BIGINT) AS key_sum,
+           CAST(sum(nm) AS BIGINT) AS match_sum
+    FROM m GROUP BY label
+    """,
+)
+def ds_semantic_contaminated(spark, sf_dir):
+    """SEMANTIC benchmark decontamination under the value hash
+    (dedup.semantic_contaminated — the BROADCAST-eval variant beside
+    the cell-blocked ds_semantic_decontaminate: when no cluster label
+    exists, the small eval side broadcasts and the corpus never
+    shuffles — plus per-doc match MULTIPLICITY, which the survivor
+    gate can't see): every 37th
+    vector plays the eval benchmark, identity pairs excluded (the
+    eval set is drawn from the corpus), and corpus vectors with ANY
+    eval neighbor at cosine ≥ 0.35 are flagged.  The hash carries the
+    per-label flagged counts, id checksums, and the total MATCH
+    multIPLICITY (an off-by-one at the threshold, a leaked identity
+    pair, or a broadcast that dropped an eval row shifts a number —
+    all-integer outputs, no raw doubles).  Scale shape: the eval side
+    BROADCASTS (benchmarks are small by nature; the max_eval guard
+    refuses a corpus-sized 'eval'), pair work runs per corpus
+    partition with NO corpus shuffle, one id-keyed aggregate + the
+    label join on top."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flags = dedup.semantic_contaminated(
+        emb, emb.where(F.col("vec_id") % 37 == 0),
+        id_col="vec_id", vec_col="embedding",
+        threshold=0.35, exclude_same_id=True)
+    return (flags.join(emb.select("vec_id", "label"), "vec_id")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"),
+                 F.sum("vec_id").cast("long").alias("key_sum"),
+                 F.sum("n_matches").cast("long").alias("match_sum")))

@@ -703,3 +703,23 @@ class TestUnigram:
 
         with pytest.raises(ValueError, match="engine"):
             T.unigram_train(self._df(spark, ["x"]), engine="nope")
+
+
+class TestSemanticContaminated:
+    def test_matches_and_guard(self, spark):
+        from filters_spark.functions.dedup import semantic_contaminated
+        rows = [(i, [float(i % 3 == 0), float(i % 3 == 1),
+                     float(i % 3 == 2)]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+        ev = df.where("vec_id in (0, 1)")     # axes e0, e1
+        out = {r["vec_id"]: r["n_matches"] for r in semantic_contaminated(
+            df, ev, id_col="vec_id", vec_col="v", threshold=0.99,
+            exclude_same_id=True).collect()}
+        # every i%3==0 matches e0 (except 0 itself), i%3==1 matches e1
+        assert set(out) == {i for i in range(30) if i % 3 != 2
+                            and i not in (0, 1)}
+        assert all(n == 1 for n in out.values())
+        import pytest as _pt
+        with _pt.raises(ValueError, match="benchmark"):
+            semantic_contaminated(df, df, id_col="vec_id", vec_col="v",
+                                  max_eval=10)

@@ -439,6 +439,11 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
     # token-budget mix: ONE window shuffle (the per-domain running
     # sum) reused by the rollup; domain IN-filter pushed to the scan.
+    # r10 broadcast decontamination: eval broadcasts twice (the pair
+    # screen + the label join), corpus never shuffles before the
+    # id-keyed aggregate + label rollup
+    "ds_semantic_contaminated": dict(max_exchanges=2, min_broadcasts=2,
+                                     scan_filter=True),
     # r10 COW update gate: stored-feed agg + final agg, both
     # broadcast back onto the 1-row report frame
     "rel_update_where": dict(max_exchanges=2, min_broadcasts=2),
