@@ -664,6 +664,56 @@ def _kmeans_assign_arrow(v: DataFrame, cent: DataFrame) -> DataFrame:
     return v.mapInPandas(run, schema)
 
 
+def hard_negatives(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding", label_col: str = "label",
+                   n_planes: int = 4,
+                   anchors: DataFrame | None = None) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive / embedding-model
+    training (the DPR / sentence-transformers data step): for each
+    anchor, the top-k most-similar vectors carrying a DIFFERENT label
+    — the near-misses a trained retriever must learn to push away;
+    random negatives are too easy and in-label neighbors are
+    positives, so this is its own operator, not :func:`knn_graph`
+    with a filter stapled on.
+
+    Scale shape: candidates come from random-hyperplane LSH buckets
+    (plane weights are plan literals — no side data), so pair work is
+    Σ|bucket|² cross-label pairs, never n² — the same recall-bounded
+    blocking every ANN family here uses (``ds_lsh_recall`` measures
+    it; raise ``n_planes`` for tighter buckets).  Ranking is on the
+    6-dp-ROUNDED cosine with the negative id as tie-break (the
+    ds_cosine_topk determinism trick).  Rows with NULL labels drop
+    out (label inequality is three-valued); pass ``anchors`` (a
+    subset frame with the same columns, broadcast) to mine for a
+    query set instead of the whole corpus.
+
+    Returns ``(anchor_id, negative_id, score, rank)``."""
+    vb = lsh_buckets(df, n_planes, id_col=id_col, vec_col=vec_col)
+    if anchors is not None:
+        ab = lsh_buckets(anchors, n_planes, id_col=id_col,
+                         vec_col=vec_col)
+    else:
+        ab = vb
+    a = ab.select(F.col(id_col).alias("anchor_id"),
+                  F.col(vec_col).alias("_av"),
+                  F.col(label_col).alias("_al"),
+                  F.col("_bucket").alias("_ab"))
+    if anchors is not None:
+        a = F.broadcast(a)
+    c = vb.select(F.col(id_col).alias("negative_id"),
+                  F.col(vec_col).alias("_cv"),
+                  F.col(label_col).alias("_cl"), "_bucket")
+    scored = (c.join(a, (F.col("_ab") == F.col("_bucket"))
+                     & (F.col("_al") != F.col("_cl")))
+              .select("anchor_id", "negative_id",
+                      F.round(cosine(F.col("_av"), F.col("_cv")), 6)
+                      .alias("score")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), "negative_id")
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= k)
+
+
 def knn_graph(df: DataFrame, k: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding",
               block_col: str | None = None,

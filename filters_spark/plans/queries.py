@@ -624,17 +624,17 @@ DRIVER_WINDOW: list[str] = [
     # driver-faithful replica in the r9 VERDICT session.  With this
     # window green, cumulative official coverage = every registered
     # name checked at least once.
-    # Slots 7-12: the SIX gates registered during r10 itself —
+    # Slots 7-13: the SEVEN gates registered during r10 itself —
     # putting them in now (before the window freezes at the official
-    # run) makes cumulative official coverage the FULL 255-name
-    # registry in one round.  Slots 13-50: re-confirmations with the
+    # run) makes cumulative official coverage the FULL 256-name
+    # registry in one round.  Slots 14-50: re-confirmations with the
     # OLDEST last-official row — all 20 whose last row is r2, all 13
-    # whose last row is r3, and 5 of the 15 whose last row is r4 (the
-    # remaining ten r4 names — ds_real_codec_gate,
+    # whose last row is r3, and 4 of the 15 whose last row is r4 (the
+    # remaining eleven r4 names — ds_real_codec_gate,
     # rel_latest_order_per_customer, val_date_tz, val_strip_fold,
     # rel_sessionize, rel_upsert_merge, ds_stratified_sample,
-    # ds_simhash_pairs, ds_domain_mixture, ds_pagerank — plus the r5
-    # vintage are the r11 rotation pool).
+    # ds_simhash_pairs, ds_domain_mixture, ds_pagerank, ds_dedup_exact
+    # — plus the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
     # slots 1-N; fill the rest with the seven r4 leftovers above,
     # then the r5 vintage (47 names), oldest first.  Re-verify
@@ -655,6 +655,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_update_where",          # COW file-reuse UPDATE
     "rel_table_history",         # DESCRIBE HISTORY audit view
     "ds_semantic_contaminated",  # broadcast-eval semantic decon
+    "ds_hard_negatives",         # LSH-blocked hard-negative mining
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -690,8 +691,7 @@ DRIVER_WINDOW: list[str] = [
     "val_switch_dispatch",       # FilterSwitch dispatch
     "val_uuid_canon",            # Uuid canonicalization
     "val_variant_json",          # JsonDecode to Variant
-    # -- last official row r4 (5 of 15) ----------------------------------
-    "ds_dedup_exact",            # exact hash dedup
+    # -- last official row r4 (4 of 15) ----------------------------------
     "ds_ivf_topk",               # IVF ANN top-k
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
@@ -13813,3 +13813,54 @@ def ds_semantic_contaminated(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"),
                  F.sum("vec_id").cast("long").alias("key_sum"),
                  F.sum("n_matches").cast("long").alias("match_sum")))
+
+
+def _hardneg_oracle(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of hard-negative mining: the _lsh_oracle bucket
+    fragment (literal plane weights, unrolled left-associated sums —
+    bit-identical sign bits) with the label INEQUALITY predicate and
+    the anchor subset."""
+    from ..functions.similarity import _plane_weight
+
+    planes = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"v[{d + 1}] * ({_plane_weight(p, d)!r})" for d in range(dim)
+        )
+        planes.append(
+            f"(CASE WHEN 0.0 + {terms} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(planes)
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, label, v, {bucket} AS bucket FROM e),
+    q AS (SELECT * FROM b WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS anchor_id, n.vec_id AS negative_id,
+             round(list_cosine_similarity(q.v, n.v), 6) AS score
+      FROM q JOIN b n ON n.bucket = q.bucket AND n.label != q.label
+    )
+    SELECT anchor_id, negative_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY score DESC, negative_id)
+                AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ds_hard_negatives", oracle=_hardneg_oracle())
+def ds_hard_negatives(spark, sf_dir):
+    """Hard-negative mining under the value hash
+    (similarity.hard_negatives — the contrastive-training data step:
+    for each anchor, the top-k most-similar vectors with a DIFFERENT
+    label, mined from LSH buckets so pair work is Σ|bucket|² and
+    never n²).  Anchors are the 20 lowest ids (broadcast — the
+    query-set mining mode); ranking is on the 6-dp-rounded cosine
+    with id tie-breaks, the plane weights are literals shared
+    verbatim with ds_lsh_topk's oracle generator, and the label
+    inequality is the one predicate separating this from plain ANN —
+    a positive leaking into the negative set flips rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, k=5, anchors=emb.where(F.col("vec_id") < 20))

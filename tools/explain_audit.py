@@ -439,6 +439,10 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
     # token-budget mix: ONE window shuffle (the per-domain running
     # sum) reused by the rollup; domain IN-filter pushed to the scan.
+    # r10 hard negatives: anchors broadcast into the bucket join,
+    # one window shuffle on the anchor key
+    "ds_hard_negatives": dict(max_exchanges=1, min_broadcasts=1,
+                              scan_filter=True),
     # r10 broadcast decontamination: eval broadcasts twice (the pair
     # screen + the label join), corpus never shuffles before the
     # id-keyed aggregate + label rollup
