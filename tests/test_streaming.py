@@ -1105,3 +1105,40 @@ class TestChangeFeedStream:
 
         assert snap(dst) == snap(src)
         assert snap(dst)[2][0] == 25 and 3 in snap(dst)
+
+    def test_stream_crosses_a_restore_commit(self, spark, tmp_path):
+        # a restore WITH store_changes_key streams its inverse feed;
+        # the replica applied from the stream lands back on v1 state
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import (
+            apply_changes_sink,
+            change_feed_stream,
+        )
+        src = os.path.join(str(tmp_path), "src")
+        V.write_versioned(spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)],
+            "k bigint, val string, n bigint"), src)           # v1
+        dst = str(tmp_path / "replica")
+        V.write_versioned(V.read_version(spark, src), dst)
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(2, "BAD", 0), (9, "bad", 9)],
+            "k bigint, val string, n bigint"), "k",
+            store_changes=True)                               # v2
+        V.restore_version(spark, src, 1, store_changes_key="k")  # v3
+        q = self._run(change_feed_stream(spark, src, starting_version=2),
+                      str(tmp_path / "c8"),
+                      fb=apply_changes_sink(dst, "k", sink_id="rst"))
+        assert q.exception() is None
+        assert sorted(map(tuple, V.read_version(spark, dst).collect())) \
+            == sorted(map(tuple, V.read_version(spark, src, 1).collect()))
+        # a restore WITHOUT stored feed breaks the stream loudly
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(3, "c", 30)], "k bigint, val string, n bigint"), "k",
+            store_changes=True)                               # v4
+        V.restore_version(spark, src, 1)                      # v5, no feed
+        q2 = self._run(change_feed_stream(spark, src,
+                                          starting_version=4),
+                       str(tmp_path / "c9"),
+                       fb=lambda b, i: None)
+        assert q2.exception() is not None
+        assert "no stored change files" in str(q2.exception())
