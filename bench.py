@@ -188,6 +188,10 @@ HEADLINE = [
     # round 10: COW row-level UPDATE (touched-slice rewrite + change-
     # silent feed per run — the write-path sibling of rel_delete_where)
     "rel_update_where",
+    # round 10: broadcast-eval semantic decontamination (pair screen
+    # with no corpus shuffle) and LSH-blocked hard-negative mining
+    "ds_semantic_contaminated",
+    "ds_hard_negatives",
 ]
 
 # Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1

@@ -166,6 +166,13 @@ HEAVY = {
         and 0 < rows[0]["n_changed"] <= rows[0]["n_updated"]
         and rows[0]["post_cents_sum"] < rows[0]["pre_cents_sum"],
         "cow update: report + feed sums sane"),
+    "ds_semantic_contaminated": lambda rows: _inv(
+        len(rows) > 0 and all(r["match_sum"] >= r["n_flagged"] > 0
+                              for r in rows),
+        "semantic decon: flagged rollup sane"),
+    "ds_hard_negatives": lambda rows: _inv(
+        len(rows) > 0 and all(1 <= r["rank"] <= 5 for r in rows),
+        "hard negatives: nonempty top-5"),
     "ds_corpus_pipeline_v10": lambda rows: _inv(
         len(rows) == 4
         and all(r["n_net_span"] == 0 for r in rows)
