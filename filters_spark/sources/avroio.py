@@ -453,6 +453,9 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
                          f"got {codec!r}")
     schema_json = json.dumps(_avro_record(df.schema))
     os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):             # overwrite semantics —
+        if old.endswith(".avro"):            # stale parts would double
+            os.remove(os.path.join(path, old))  # the data on read-back
 
     def _writer(batches):
         import pyarrow as pa

@@ -338,3 +338,10 @@ class TestAvroRoundtrip:
         assert dict(back.dtypes)["ts"] == "timestamp_ntz"
         assert sorted(map(tuple, back.collect())) == \
             sorted(map(tuple, df.collect()))
+
+    def test_rewrite_overwrites_stale_parts(self, spark, tmp_path):
+        from filters_spark.sources.avroio import read_avro, write_avro
+        p = str(tmp_path / "t")
+        write_avro(spark.range(100).selectExpr("id"), p)
+        write_avro(spark.range(7).selectExpr("id"), p)  # overwrite
+        assert read_avro(spark, p).count() == 7
