@@ -890,7 +890,8 @@ def semantic_contaminated(corpus: DataFrame, eval_df: DataFrame,
                           eval_id_col: str | None = None,
                           threshold: float = 0.95,
                           exclude_same_id: bool = False,
-                          max_eval: int = 100_000) -> DataFrame:
+                          max_eval: int = 100_000,
+                          engine: str = "expr") -> DataFrame:
     """SEMANTIC benchmark decontamination — the embedding-similarity
     complement of the n-gram :func:`contaminated_ids` (modern
     pipelines run both: n-grams catch verbatim leakage, embeddings
@@ -911,8 +912,19 @@ def semantic_contaminated(corpus: DataFrame, eval_df: DataFrame,
     ``exclude_same_id=True`` skips identity pairs when the eval set
     is drawn from the corpus itself (audits, leakage studies).
 
+    engines (the cosine_topk contract): ``expr`` evaluates the dot
+    products as HOF expressions with norms PRECOMPUTED once per side
+    (loop-invariant — the per-pair arithmetic is bitwise the
+    sequential ``dot/(|c|·|e|)``, so SQL oracles hash-match);
+    ``arrow`` does one numpy matmul per Arrow batch against the
+    collected eval matrix — the throughput path when
+    n_corpus × n_eval FLOPs dominate (numpy pairwise summation
+    reorders adds: last-ulp drift at the threshold boundary is
+    possible, so hash-gate the expr twin, run arrow for scale —
+    pinned equal on real data in pytest).
+
     Returns ``(id_col, n_matches, max_cosine)``."""
-    from .similarity import cosine
+    from .similarity import dot, norm
 
     eid = eval_id_col or id_col
     n_eval = eval_df.limit(max_eval + 1).count()
@@ -922,18 +934,72 @@ def semantic_contaminated(corpus: DataFrame, eval_df: DataFrame,
             "— that is a corpus, not a benchmark; block both sides by "
             "an ANN cell (similarity.lsh_buckets / ivf cells) and run "
             "per cell instead of broadcasting")
+    if engine == "arrow":
+        return _semantic_contaminated_arrow(
+            corpus, eval_df, id_col, vec_col, eid, float(threshold),
+            exclude_same_id)
     e = eval_df.select(F.col(eid).alias("_eid"),
-                       F.col(vec_col).alias("_ev"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+                       F.col(vec_col).alias("_ev"),
+                       norm(F.col(vec_col)).alias("_en"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
+                      norm(F.col(vec_col)).alias("_cn"))
     pairs = c.crossJoin(F.broadcast(e))
     if exclude_same_id:
         pairs = pairs.where(F.col(id_col) != F.col("_eid"))
-    score = cosine(F.col("_cv"), F.col("_ev"))
+    # norms are loop-invariant (one per row per SIDE, not per pair);
+    # the composed dot/(cn*en) is bitwise cosine()'s arithmetic
+    prod = F.col("_cn") * F.col("_en")
+    score = F.when(prod == F.lit(0.0), F.lit(0.0)).otherwise(
+        dot(F.col("_cv"), F.col("_ev")) / prod)
     return (pairs.withColumn("_cos", score)
             .where(F.col("_cos") >= F.lit(float(threshold)))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
                  F.max("_cos").alias("max_cosine")))
+
+
+def _semantic_contaminated_arrow(corpus, eval_df, id_col, vec_col,
+                                 eid, threshold, exclude_same_id):
+    """Arrow path: eval matrix collected driver-side (guarded small),
+    one numpy matmul per corpus batch, per-row match count + max."""
+    import numpy as np
+    import pandas as pd
+
+    rows = eval_df.select(eid, vec_col).collect()
+    eids = np.array([r[0] for r in rows], dtype="int64")
+    E = np.array([r[1] for r in rows], dtype="float64")
+    en = np.linalg.norm(E, axis=1)
+
+    import pyspark.sql.types as T
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("max_cosine", T.DoubleType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            C = np.array(list(pdf[vec_col]), dtype="float64")
+            cn = np.linalg.norm(C, axis=1)
+            prod = np.outer(cn, en)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(prod == 0.0, 0.0, (C @ E.T) / prod)
+            hit = S >= threshold
+            if exclude_same_id:
+                hit &= ids[:, None] != eids[None, :]
+            nm = hit.sum(axis=1)
+            keep = nm > 0
+            smax = np.where(hit, S, -np.inf).max(axis=1)
+            yield pd.DataFrame({
+                id_col: ids[keep],
+                "n_matches": nm[keep].astype("int64"),
+                "max_cosine": smax[keep],
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
 
 
 def contaminated_ids(df: DataFrame, bench: DataFrame,

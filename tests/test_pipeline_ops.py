@@ -723,3 +723,16 @@ class TestSemanticContaminated:
         with _pt.raises(ValueError, match="benchmark"):
             semantic_contaminated(df, df, id_col="vec_id", vec_col="v",
                                   max_eval=10)
+
+    def test_arrow_engine_matches_expr(self, spark):
+        from filters_spark.functions.dedup import semantic_contaminated
+        from filters_spark.sources import load_table
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        ev = emb.where("vec_id % 37 = 0")
+        kw = dict(id_col="vec_id", vec_col="embedding",
+                  threshold=0.35, exclude_same_id=True)
+        a = {(r["vec_id"], r["n_matches"]) for r in semantic_contaminated(
+            emb, ev, engine="expr", **kw).collect()}
+        b = {(r["vec_id"], r["n_matches"]) for r in semantic_contaminated(
+            emb, ev, engine="arrow", **kw).collect()}
+        assert a == b and a
