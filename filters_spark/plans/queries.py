@@ -624,19 +624,19 @@ DRIVER_WINDOW: list[str] = [
     # driver-faithful replica in the r9 VERDICT session.  With this
     # window green, cumulative official coverage = every registered
     # name checked at least once.
-    # Slots 7-13: the SEVEN gates registered during r10 itself —
-    # putting them in now (before the window freezes at the official
-    # run) makes cumulative official coverage the FULL 256-name
-    # registry in one round.  Slots 14-50: re-confirmations with the
-    # OLDEST last-official row — all 20 whose last row is r2, all 13
-    # whose last row is r3, and 4 of the 15 whose last row is r4 (the
-    # remaining eleven r4 names — ds_real_codec_gate,
+    # Slots 7-14: the gates registered during r10 itself — putting
+    # them in now (before the window freezes at the official run)
+    # makes cumulative official coverage the FULL registry in one
+    # round.  Slots 15-50: re-confirmations with the OLDEST
+    # last-official row — all 20 whose last row is r2, all 13 whose
+    # last row is r3, and 3 of the 15 whose last row is r4 (the
+    # remaining twelve r4 names — ds_real_codec_gate,
     # rel_latest_order_per_customer, val_date_tz, val_strip_fold,
     # rel_sessionize, rel_upsert_merge, ds_stratified_sample,
-    # ds_simhash_pairs, ds_domain_mixture, ds_pagerank, ds_dedup_exact
-    # — plus the r5 vintage are the r11 rotation pool).
+    # ds_simhash_pairs, ds_domain_mixture, ds_pagerank, ds_dedup_exact,
+    # ds_ivf_topk — plus the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with the seven r4 leftovers above,
+    # slots 1-N; fill the rest with the twelve r4 leftovers above,
     # then the r5 vintage (47 names), oldest first.  Re-verify
     # against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
@@ -648,7 +648,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_delete_where",          # COW file-reuse DELETE
     "ds_corpus_pipeline_v9",     # multilingual capstone v9
     "ds_token_budget_mix",       # token-budget corpus mixing
-    # -- registered during r10 (5) --------------------------------------
+    # -- registered during r10 (8) --------------------------------------
     "rel_restore_version",       # versioned-table RESTORE
     "rel_avro_roundtrip",        # Avro OCF from the public spec
     "ds_corpus_pipeline_v10",    # r10 capstone (avro+restore+mix)
@@ -656,6 +656,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_table_history",         # DESCRIBE HISTORY audit view
     "ds_semantic_contaminated",  # broadcast-eval semantic decon
     "ds_hard_negatives",         # LSH-blocked hard-negative mining
+    "rel_hilbert_layout",        # Hilbert-curve clustering keys
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -691,8 +692,7 @@ DRIVER_WINDOW: list[str] = [
     "val_switch_dispatch",       # FilterSwitch dispatch
     "val_uuid_canon",            # Uuid canonicalization
     "val_variant_json",          # JsonDecode to Variant
-    # -- last official row r4 (4 of 15) ----------------------------------
-    "ds_ivf_topk",               # IVF ANN top-k
+    # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
     "txt_profile",               # corpus profile (calibration anchor)
@@ -13864,3 +13864,70 @@ def ds_hard_negatives(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.hard_negatives(
         emb, k=5, anchors=emb.where(F.col("vec_id") < 20))
+
+
+def _hilbert_sql_chain(bits: int = 8) -> str:
+    """Linear CTE chain replaying layout.hilbert_key's 4-state
+    transducer MSB-first: each level consumes the previous level's
+    (st, key) — both new values reference the OLD st, so one SELECT
+    per level suffices and the chain is O(bits), never exponential.
+    LUT literals shared verbatim with functions/layout.py."""
+    from ..functions.layout import _HILBERT_DLUT, _HILBERT_SLUT
+
+    ctes = [f"h{bits} AS (SELECT bx, by, 0 AS st, "
+            f"CAST(0 AS BIGINT) AS key FROM b)"]
+    for lvl in range(bits - 1, -1, -1):
+        q = f"((((bx >> {lvl}) & 1) * 2) + ((by >> {lvl}) & 1))"
+        idx = f"((st * 4 + {q}) * 2)"
+        ctes.append(
+            f"h{lvl} AS (SELECT bx, by, "
+            f"CAST((CAST({_HILBERT_SLUT} AS BIGINT) >> {idx}) & 3 AS INT)"
+            f" AS st, "
+            f"key * 4 + ((CAST({_HILBERT_DLUT} AS BIGINT) >> {idx}) & 3)"
+            f" AS key "
+            f"FROM h{lvl + 1})")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "rel_hilbert_layout",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(o_custkey)::DOUBLE AS lo1, max(o_custkey)::DOUBLE AS hi1,
+             min(o_totalprice)::DOUBLE AS lo2, max(o_totalprice)::DOUBLE AS hi2
+      FROM orders
+    ), b AS (
+      SELECT ({_ZORDER_B1}) AS bx, ({_ZORDER_B2}) AS by
+      FROM orders, s
+    ),
+    {_hilbert_sql_chain(8)}
+    SELECT CAST(key // 1024 AS BIGINT) AS key_range,
+           count(*) AS n,
+           CAST(sum(key) AS BIGINT) AS key_sum
+    FROM h0 GROUP BY 1
+    """,
+)
+def rel_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve clustering keys (functions.layout.hilbert_key —
+    the strictly-better-locality sibling of rel_zorder_key's Morton
+    curve: consecutive keys are always grid-adjacent, so
+    range-partitioned files have tighter per-column spans for the
+    same one-shuffle write).  Same bucketing as the Z-order gate on
+    (o_custkey, o_totalprice); the curve walk is a 4-state integer
+    transducer (2-bit LUTs baked as literals, derived from the
+    public xy2d algorithm and pinned against it exhaustively in
+    pytest) evaluated entirely inside whole-stage codegen.  The
+    oracle replays bucketing AND the transducer bit for bit via a
+    linear CTE chain sharing the LUT literals — one wrong digit
+    anywhere on the curve flips the per-range checksum."""
+    from ..functions import layout
+
+    o = _t(spark, sf_dir, "orders")
+    key, stats = layout.hilbert_key(o, ["o_custkey", "o_totalprice"], bits=8)
+    keyed = o.crossJoin(F.broadcast(stats)).select(key.alias("key"))
+    return keyed.groupBy(
+        F.floor(F.col("key") / 1024).cast("bigint").alias("key_range")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("key").cast("bigint").alias("key_sum"),
+    )

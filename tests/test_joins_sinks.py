@@ -368,3 +368,123 @@ class TestZorder:
         hit_files = (zread.where((F.col("x") < 100) & (F.col("y") < 100))
                      .select(F.input_file_name()).distinct().count())
         assert hit_files < total_files / 2, (hit_files, total_files)
+
+
+class TestHilbert:
+    @staticmethod
+    def _xy2d(order, x, y):
+        """Classic public-domain Hilbert xy2d loop (Wikipedia) — the
+        ground truth the baked FSM LUTs must reproduce."""
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    @classmethod
+    def _fsm(cls, bits, x, y):
+        from filters_spark.functions.layout import (_HILBERT_DLUT,
+                                                    _HILBERT_SLUT)
+        st = 0
+        d = 0
+        for lvl in range(bits - 1, -1, -1):
+            q = (((x >> lvl) & 1) << 1) | ((y >> lvl) & 1)
+            idx = (st * 4 + q) * 2
+            d = (d << 2) | ((_HILBERT_DLUT >> idx) & 3)
+            st = (_HILBERT_SLUT >> idx) & 3
+        return d
+
+    def test_luts_reproduce_classic_curve_exhaustively(self):
+        """The baked 4-state LUTs ARE the classic curve: exhaustive
+        over every 64×64 cell (and a coarser order as a regression
+        against order-dependence bugs)."""
+        for bits in (2, 6):
+            n = 1 << bits
+            for x in range(n):
+                for y in range(n):
+                    assert self._fsm(bits, x, y) == self._xy2d(bits, x, y)
+
+    def test_consecutive_keys_grid_adjacent(self):
+        """The property Z-order lacks: walking the key order never
+        jumps — every step moves one cell in exactly one axis."""
+        bits = 5
+        n = 1 << bits
+        inv = {self._fsm(bits, x, y): (x, y)
+               for x in range(n) for y in range(n)}
+        assert len(inv) == n * n  # bijective
+        for d in range(n * n - 1):
+            (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+    def test_spark_key_matches_fsm(self, spark):
+        """The codegen expression (floor-div power-of-4 LUT probes)
+        equals the integer FSM on an exhaustive bucket grid."""
+        from filters_spark.functions import layout
+        bits = 4
+        n = 1 << bits
+        rows = [(float(x), float(y)) for x in range(n) for y in range(n)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        key, stats = layout.hilbert_key(df, ["x", "y"], bits=bits)
+        got = {(int(r["x"]), int(r["y"])): r["k"] for r in
+               df.crossJoin(F.broadcast(stats))
+               .select("x", "y", key.alias("k")).collect()}
+        top = n - 1
+        for x in range(n):
+            for y in range(n):
+                bx = min(top, int(x / (n - 1) * n))
+                by = min(top, int(y / (n - 1) * n))
+                assert got[(x, y)] == self._fsm(bits, bx, by)
+
+    def test_hilbert_files_tight_and_beat_morton_locality(self, spark,
+                                                          tmp_path):
+        """write_hilbert clusters BOTH columns like write_zordered,
+        and the curve's no-jump property shows up as per-file spans
+        at least as tight as Morton's on the same data/bits/files."""
+        import random
+        rnd = random.Random(7)
+        rows = [(rnd.uniform(0, 1000), rnd.uniform(0, 1000))
+                for _ in range(20_000)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        from filters_spark.functions import layout
+        hp = str(tmp_path / "h")
+        zp = str(tmp_path / "z")
+        layout.write_hilbert(df, hp, ["x", "y"], bits=6, n_files=16)
+        layout.write_zordered(df, zp, ["x", "y"], bits=6, n_files=16)
+
+        def mean_span(path, col):
+            d = spark.read.parquet(path).withColumn(
+                "_f", F.input_file_name())
+            spans = (d.groupBy("_f")
+                     .agg((F.max(col) - F.min(col)).alias("s")).collect())
+            return sum(r["s"] for r in spans) / len(spans)
+
+        hx, hy = mean_span(hp, "x"), mean_span(hp, "y")
+        zx, zy = mean_span(zp, "x"), mean_span(zp, "y")
+        assert hx < 600 and hy < 600
+        # locality: the Hilbert walk never jumps, so its combined
+        # span can't be materially worse than Morton's (allow 5%
+        # slack for range-split boundary noise)
+        assert hx + hy <= (zx + zy) * 1.05, (hx, hy, zx, zy)
+        # and a 2-d box predicate prunes files
+        hread = spark.read.parquet(hp)
+        total = hread.select(F.input_file_name()).distinct().count()
+        hit = (hread.where((F.col("x") < 100) & (F.col("y") < 100))
+               .select(F.input_file_name()).distinct().count())
+        assert hit < total / 2, (hit, total)
+
+    def test_two_column_requirement(self, spark):
+        from filters_spark.functions import layout
+        df = spark.createDataFrame([(1.0, 2.0, 3.0)],
+                                   "x double, y double, z double")
+        import pytest
+        with pytest.raises(ValueError):
+            layout.hilbert_key(df, ["x", "y", "z"])
+        with pytest.raises(ValueError):
+            layout.hilbert_key(df, ["x", "y"], bits=32)

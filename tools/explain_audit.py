@@ -324,6 +324,7 @@ EXPECTATIONS: dict[str, dict] = {
     # zorder key: one broadcast 1-row min/max aggregate riding the
     # scan + the key-range rollup — nothing else may shuffle
     "rel_zorder_key": dict(min_broadcasts=1, max_exchanges=2),
+    "rel_hilbert_layout": dict(min_broadcasts=1, max_exchanges=2),
     # count-min calibration: the d×w table rollup (map-side-bounded),
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
