@@ -1651,3 +1651,242 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     return (df.withColumn("_fixed", fixed)
             .withColumn("was_fixed", F.col("_fixed") != F.col(text_col))
             .withColumn(out, F.col("_fixed")).drop("_fixed"))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer) —
+# the third member of the subword trio beside BPE (merge by raw pair
+# count) and the unigram-LM trainer (segment-and-prune).  WordPiece
+# merges the pair maximizing LIKELIHOOD GAIN, count(ab) /
+# (count(a) * count(b)), and applies per-word greedy longest-match
+# with '##' continuation markers and whole-word [UNK] fallback.
+#
+# The '##' marker is used LITERALLY inside the packed symbol strings
+# (the bpe_train machinery), which is exact because training DROPS
+# words containing '#' (documented contract — the HF display format
+# is ambiguous for words that themselves start with '#'; excluding
+# them makes piece roles unambiguous on both engines).
+# ---------------------------------------------------------------------------
+
+_WP_UNK = "[UNK]"
+
+
+def _wp_wordfreq(df: DataFrame, text_col: str, sep: str) -> DataFrame:
+    return (df.select(F.explode(F.split(F.col(text_col), sep)).alias("w"))
+            .where((F.col("w") != "") & (~F.col("w").contains(_BPE_SEP))
+                   & (~F.col("w").contains("#")))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+
+
+def _wp_pack(w: Column) -> Column:
+    """'hello' -> 'h␟##e␟##l␟##l␟##o␟': first char plain, every later
+    char '##'-continuation-marked, each symbol trailing-␟ (the
+    bpe_train packed-string form, so merges are codegen replace()
+    passes)."""
+    return F.concat(
+        w.substr(1, 1), F.lit(_BPE_SEP),
+        F.regexp_replace(w.substr(F.lit(2), F.length(w)),
+                         "(.)", "##$1" + _BPE_SEP))
+
+
+def _wp_strip(piece: str) -> str:
+    return piece[2:] if piece.startswith("##") else piece
+
+
+def _wp_train_driver(wordfreq: list, n_merges: int) -> list[tuple]:
+    """In-process WordPiece trainer over the folded (word, freq)
+    vocabulary.  Unlike BPE's O(Δ) heap (counts only), the WordPiece
+    score couples every pair containing a touched SYMBOL, so this
+    recomputes the vocabulary-sized score table per merge — still
+    zero Spark jobs after the one corpus fold, and exactly equal to
+    the spark engine (pytest-pinned)."""
+    wsyms = []
+    for w, f in wordfreq:
+        wsyms.append(([w[0]] + ["##" + c for c in w[1:]], f))
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        pc: dict = {}
+        sc: dict = {}
+        for syms, f in wsyms:
+            for s in syms:
+                sc[s] = sc.get(s, 0) + f
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + f
+        best = None
+        for (a, b), c in pc.items():
+            if c < 2:
+                continue
+            score = float(c) / (float(sc[a]) * float(sc[b]))
+            key = (-score, a, b)
+            if best is None or key < best[0]:
+                best = (key, a, b, c, sc[a], sc[b])
+        if best is None:
+            break
+        _, a, b, c, ca, cb = best
+        merges.append((step, a, b, int(c), int(ca), int(cb)))
+        ab = a + _wp_strip(b)
+        wsyms = [(_bpe_merge_word(syms, a, b, ab), f) for syms, f in wsyms]
+    return merges
+
+
+def wordpiece_train(df: DataFrame, text_col: str = "text",
+                    n_merges: int = 10, sep: str = " ",
+                    engine: str = "spark",
+                    max_vocab: int | None = None) -> list[tuple]:
+    """Learn ``n_merges`` WordPiece merges.  Returns ``[(step, left,
+    right, pair_count, left_count, right_count), ...]`` in HF display
+    form ('##'-prefixed continuation symbols) — the integer counts
+    are returned instead of the float score so gates stay
+    BIGINT-exact (score = pair/(left*right), one IEEE division both
+    engines replay identically).
+
+    Same scale shape as :func:`bpe_train`: one corpus fold to
+    (word, freq), then vocabulary-sized iterations (packed-string
+    replace() merges, pair+symbol rollups, one collected argmax row
+    per step — ordered by score desc with (left, right) tie-breaks; a
+    correctly-rounded double of exact integers, deterministic across
+    engines).  Stops early when no pair occurs twice.  Words
+    containing '#' or the packing separator are excluded (module
+    note).  ``engine='driver'`` trains in-process over the collected
+    fold (recompute-per-merge — the WordPiece score couples every
+    pair sharing a symbol, so there is no O(Δ) heap like BPE's);
+    both engines are exactly equal (pytest-pinned)."""
+    if engine not in ("spark", "driver"):
+        raise ValueError(f"engine must be 'spark' or 'driver', got {engine!r}")
+    wordfreq = _wp_wordfreq(df, text_col, sep)
+    if max_vocab is not None:
+        wordfreq = wordfreq.orderBy(F.col("f").desc(), "w").limit(max_vocab)
+    if engine == "driver":
+        return _wp_train_driver(
+            [(r["w"], int(r["f"])) for r in wordfreq.collect()], n_merges)
+    from ._cache import scoped_persist
+
+    state = scoped_persist(
+        wordfreq.select(_wp_pack(F.col("w")).alias("sym"), "f"),
+        "wp_words")
+    spark = df.sparkSession
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.col("sym"), _BPE_SEP)
+        l = F.slice(syms, 1, F.size(syms) - 1)
+        shifted = F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0)))
+        z = F.zip_with(l, shifted,
+                       lambda x, y: F.struct(x.alias("a"), y.alias("b")))
+        pairs = (state.select(F.explode(z).alias("p"), "f")
+                 .where(F.col("p.b").isNotNull())
+                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                 .agg(F.sum("f").alias("c")))
+        sym_counts = (state.select(F.explode(l).alias("s"), "f")
+                      .groupBy("s").agg(F.sum("f").alias("sc")))
+        ua = sym_counts.select(F.col("s").alias("a"),
+                               F.col("sc").alias("ca"))
+        ub = sym_counts.select(F.col("s").alias("b"),
+                               F.col("sc").alias("cb"))
+        best = (pairs.where(F.col("c") >= 2)
+                .join(F.broadcast(ua), "a").join(F.broadcast(ub), "b")
+                .orderBy((F.col("c").cast("double")
+                          / (F.col("ca").cast("double")
+                             * F.col("cb").cast("double"))).desc(),
+                         "a", "b")
+                .limit(1).collect())
+        if not best:
+            break
+        r = best[0]
+        a, b = r["a"], r["b"]
+        merges.append((step, a, b, int(r["c"]), int(r["ca"]), int(r["cb"])))
+        state = state.select(
+            F.replace(F.col("sym"),
+                      F.lit(a + _BPE_SEP + b + _BPE_SEP),
+                      F.lit(a + _wp_strip(b) + _BPE_SEP)).alias("sym"),
+            "f")
+        if step < n_merges:
+            if step % _BPE_TRUNCATE_EVERY == 0:
+                state = spark.createDataFrame(
+                    state.collect(), "sym string, f bigint")
+            state = scoped_persist(state, "wp_words")
+    return merges
+
+
+def wordpiece_vocab(df: DataFrame, merges: list[tuple],
+                    text_col: str = "text", sep: str = " ") -> list[str]:
+    """Final WordPiece vocabulary: the corpus alphabet in BOTH roles
+    (word-initial chars plain, later chars '##'-marked — one bounded
+    distinct collect) plus every merged symbol, sorted.  The
+    alphabet is the coverage floor; a character unseen in a role
+    sends its whole word to [UNK] at apply time (the BERT
+    semantics)."""
+    wf = _wp_wordfreq(df, text_col, sep)
+    ichars = {r["p"] for r in
+              wf.select(F.col("w").substr(1, 1).alias("p"))
+              .distinct().collect()}
+    cchars = {"##" + r["c"] for r in
+              wf.select(F.explode(
+                  F.split(F.col("w").substr(F.lit(2), F.length("w")), ""))
+                  .alias("c"))
+              .where(F.col("c") != "").distinct().collect()}
+    merged = {s[1] + _wp_strip(s[2]) for s in merges}
+    return sorted(ichars | cchars | merged)
+
+
+def wordpiece_segment(col: Column, vocab: list[str],
+                      unk: str = _WP_UNK) -> Column:
+    """Greedy longest-match WordPiece segmentation of a WORD column
+    against a literal vocabulary: array<string> of pieces ('##'
+    continuation form); a position with no match — not even the
+    single character — collapses the WHOLE word to ``[unk]`` (the
+    BERT rule; char fallback is the unigram tokenizer's contract,
+    not this one).  Pure expression over folded DISTINCT words (the
+    unigram_segment discipline — join back, never segment raw
+    documents)."""
+    init_by_len = _by_len([p for p in vocab if not p.startswith("##")])
+    cont_stripped = _by_len([p[2:] for p in vocab if p.startswith("##")
+                             and len(p) > 2])
+
+    def match_at(pos: Column) -> Column:
+        init = F.lit(None).cast("string")
+        for ln in sorted(init_by_len):      # longest ends up outermost
+            cand = col.substr(pos, F.lit(ln))
+            init = F.when(cand.isin(*init_by_len[ln]), cand).otherwise(init)
+        cont = F.lit(None).cast("string")
+        for ln in sorted(cont_stripped):
+            cand = col.substr(pos, F.lit(ln))
+            cont = F.when(cand.isin(*cont_stripped[ln]),
+                          F.concat(F.lit("##"), cand)).otherwise(cont)
+        return F.when(pos == 1, init).otherwise(cont)
+
+    init = F.struct(F.lit(1).cast("int").alias("pos"),
+                    F.array().cast("array<string>").alias("ps"),
+                    F.lit(False).alias("bad"))
+
+    def step(acc, _):
+        piece = match_at(acc["pos"])
+        adv = F.when(piece.startswith("##"),
+                     F.length(piece) - 2).otherwise(F.length(piece))
+        return F.when(acc["bad"] | (acc["pos"] > F.length(col)), acc) \
+            .otherwise(F.when(
+                piece.isNull(),
+                F.struct((F.length(col) + 1).cast("int").alias("pos"),
+                         F.array(F.lit(unk)).alias("ps"),
+                         F.lit(True).alias("bad")))
+                .otherwise(F.struct(
+                    (acc["pos"] + adv).cast("int").alias("pos"),
+                    F.concat(acc["ps"], F.array(piece)).alias("ps"),
+                    F.lit(False).alias("bad"))))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+        init, step)["ps"]
+
+
+def wordpiece_token_counts(df: DataFrame, vocab: list[str],
+                           text_col: str = "text", sep: str = " ",
+                           unk: str = _WP_UNK) -> DataFrame:
+    """Corpus piece-frequency table under a WordPiece vocabulary:
+    fold to (word, freq) (same '#'/separator exclusions as
+    training), segment each DISTINCT word once, explode weighted.
+    Returns (piece, n bigint).  One fold shuffle + one
+    vocabulary-sized rollup."""
+    wf = _wp_wordfreq(df, text_col, sep)
+    pieces = wordpiece_segment(F.col("w"), vocab, unk=unk)
+    return (wf.select(F.explode(pieces).alias("piece"), "f")
+            .groupBy("piece").agg(F.sum("f").cast("long").alias("n")))

@@ -628,17 +628,18 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, all 13 whose
-    # last row is r3, and 3 of the 15 whose last row is r4 (the
-    # remaining twelve r4 names — ds_real_codec_gate,
-    # rel_latest_order_per_customer, val_date_tz, val_strip_fold,
-    # rel_sessionize, rel_upsert_merge, ds_stratified_sample,
-    # ds_simhash_pairs, ds_domain_mixture, ds_pagerank, ds_dedup_exact,
-    # ds_ivf_topk — plus the r5 vintage are the r11 rotation pool).
+    # last-official row — all 20 whose last row is r2, 12 of the 13
+    # whose last row is r3 (val_variant_json deferred), and 3 of the
+    # 15 whose last row is r4 (the remaining twelve r4 names —
+    # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
+    # val_strip_fold, rel_sessionize, rel_upsert_merge,
+    # ds_stratified_sample, ds_simhash_pairs, ds_domain_mixture,
+    # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
+    # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with the twelve r4 leftovers above,
-    # then the r5 vintage (47 names), oldest first.  Re-verify
-    # against CORRECTNESS_r10.json before writing.
+    # slots 1-N; fill the rest with val_variant_json, the twelve r4
+    # leftovers above, then the r5 vintage (47 names), oldest first.
+    # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
     # -- never-official (6): registered after the r9 window froze ------
@@ -657,6 +658,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_semantic_contaminated",  # broadcast-eval semantic decon
     "ds_hard_negatives",         # LSH-blocked hard-negative mining
     "rel_hilbert_layout",        # Hilbert-curve clustering keys
+    "txt_wordpiece_tokens",      # WordPiece tokenizer (BERT)
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -691,7 +693,6 @@ DRIVER_WINDOW: list[str] = [
     "val_split_parts",           # Split into keyed struct
     "val_switch_dispatch",       # FilterSwitch dispatch
     "val_uuid_canon",            # Uuid canonicalization
-    "val_variant_json",          # JsonDecode to Variant
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
@@ -13931,3 +13932,152 @@ def rel_hilbert_layout(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("key").cast("bigint").alias("key_sum"),
     )
+
+
+def _wordpiece_sql(n_merges: int = 3) -> str:
+    """Full-training replay for txt_wordpiece_tokens (the
+    txt_unigram_tokenize discipline): every merge iteration unrolled
+    — packed-string states, pair AND symbol rollups, the
+    likelihood-gain argmax (one correctly-rounded IEEE division of
+    exact integers, (a, b) tie-breaks) — then greedy longest-match
+    segmentation with '##' continuation roles and whole-word [UNK]
+    as a recursive CTE.  Max piece length after n merges is 2**n
+    (each merge at most doubles).  The vocab CTE is MATERIALIZED:
+    it chains back through the whole unrolled training, and DuckDB
+    otherwise re-inlines it into every IN-subquery of every
+    recursive iteration (measured >10 min -> 3.7 s at sf0.01)."""
+    sep = "chr(31)"
+    maxlen = 2 ** n_merges
+
+    def pairs(i: int, prev: str) -> str:
+        return f"""p{i} AS (
+  SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_zip(l, l[2:])) AS z, f
+    FROM (SELECT list_slice(string_split(sym, {sep}), 1,
+                 len(string_split(sym, {sep})) - 1) AS l, f
+          FROM {prev})
+  ) WHERE z[2] IS NOT NULL
+  GROUP BY 1, 2
+), u{i} AS (
+  SELECT s, CAST(sum(f) AS BIGINT) AS sc
+  FROM (
+    SELECT unnest(list_slice(string_split(sym, {sep}), 1,
+               len(string_split(sym, {sep})) - 1)) AS s, f
+    FROM {prev})
+  GROUP BY s
+), b{i} AS (
+  SELECT p.a, p.b, p.c
+  FROM p{i} p
+  JOIN u{i} ua ON ua.s = p.a
+  JOIN u{i} ub ON ub.s = p.b
+  WHERE p.c >= 2
+  ORDER BY CAST(p.c AS DOUBLE)
+           / (CAST(ua.sc AS DOUBLE) * CAST(ub.sc AS DOUBLE)) DESC,
+           p.a, p.b
+  LIMIT 1
+), s{i} AS (
+  SELECT replace(sym,
+                 (SELECT a FROM b{i}) || {sep}
+                   || (SELECT b FROM b{i}) || {sep},
+                 (SELECT a || substr(b, 3) FROM b{i}) || {sep}) AS sym, f
+  FROM {prev}
+)"""
+
+    iter_parts = [pairs(i, f"s{i - 1}") for i in range(1, n_merges + 1)]
+    mv_parts = []
+    for i in range(1, n_merges + 1):
+        guards = " AND ".join(
+            f"EXISTS (SELECT 1 FROM b{j})" for j in range(1, i))
+        mv_parts.append(
+            f"SELECT a || substr(b, 3) AS p FROM b{i}"
+            + (f" WHERE {guards}" if guards else ""))
+    mv = "\n  UNION ALL\n  ".join(mv_parts)
+
+    init_cases = ",\n        ".join(
+        f"CASE WHEN substr(w, pos, {L}) IN (SELECT p FROM v WHERE "
+        f"length(p) = {L} AND p NOT LIKE '##%') "
+        f"THEN substr(w, pos, {L}) END"
+        for L in range(maxlen, 0, -1))
+    cont_cases = ",\n        ".join(
+        f"CASE WHEN '##' || substr(w, pos, {L}) IN (SELECT p FROM v "
+        f"WHERE length(p) = {L + 2} AND p LIKE '##%') "
+        f"THEN '##' || substr(w, pos, {L}) END"
+        for L in range(maxlen, 0, -1))
+
+    return f"""
+WITH RECURSIVE
+w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w0
+          WHERE w <> '' AND NOT contains(w, chr(31))
+            AND NOT contains(w, '#')
+          GROUP BY w),
+s0 AS (SELECT substr(w, 1, 1) || {sep} ||
+         regexp_replace(substr(w, 2), '(.)', '##\\1' || {sep}, 'g')
+         AS sym, f
+       FROM words),
+{",".join(iter_parts)},
+mv AS (
+  {mv}
+),
+v AS MATERIALIZED (
+  SELECT DISTINCT substr(w, 1, 1) AS p FROM words
+  UNION
+  SELECT DISTINCT '##' || substr(w, CAST(i AS INT), 1)
+  FROM words, unnest(range(2, length(w) + 1)) t(i)
+  UNION
+  SELECT p FROM mv
+),
+seg(w, f, pos, piece, bad) AS (
+  SELECT w, f, 1, CAST(NULL AS VARCHAR), FALSE FROM words
+  UNION ALL
+  SELECT w, f,
+    CASE WHEN nxt IS NULL THEN length(w) + 1
+         ELSE pos + CASE WHEN nxt LIKE '##%' THEN length(nxt) - 2
+                         ELSE length(nxt) END END,
+    COALESCE(nxt, '[UNK]'),
+    nxt IS NULL
+  FROM (
+    SELECT w, f, pos,
+      CASE WHEN pos = 1 THEN COALESCE(
+        {init_cases})
+      ELSE COALESCE(
+        {cont_cases}) END AS nxt
+    FROM seg WHERE pos <= length(w) AND NOT bad)
+),
+badw AS MATERIALIZED (SELECT DISTINCT w FROM seg WHERE bad)
+SELECT piece, CAST(sum(f) AS BIGINT) AS n
+FROM seg
+WHERE piece IS NOT NULL AND w NOT IN (SELECT w FROM badw)
+GROUP BY piece
+UNION ALL
+SELECT '[UNK]' AS piece, CAST(sum(f) AS BIGINT) AS n
+FROM words WHERE w IN (SELECT w FROM badw)
+HAVING count(*) > 0
+"""
+
+
+@register("txt_wordpiece_tokens", oracle=_wordpiece_sql(3))
+def txt_wordpiece_tokens(spark, sf_dir):
+    """WordPiece tokenizer under the value hash (text.wordpiece_train
+    / wordpiece_vocab / wordpiece_token_counts — Schuster & Nakajima
+    2012, the BERT tokenizer; the third subword family beside BPE and
+    the unigram trainer): merges maximize LIKELIHOOD GAIN
+    count(ab)/(count(a)·count(b)) — one correctly-rounded IEEE
+    division of exact integer counts, identical in both engines,
+    (left, right) tie-breaks — and application is per-word greedy
+    longest-match with '##' continuation roles and whole-word [UNK]
+    fallback (NOT char fallback — that is the unigram contract; the
+    role distinction and the UNK rule are exactly what this gate pins
+    beyond txt_unigram_tokenize).  Three merges trained in-gate; the
+    oracle replays every iteration (packed-string states, pair AND
+    symbol rollups, the score argmax) plus the role-aware
+    segmentation as a recursive CTE.  Engine parity (spark ≡ driver
+    trainer) pytest-pinned (TestWordpiece).  Scale shape: one corpus
+    fold to (word, freq); every iteration touches only the
+    vocabulary; per-merge argmax is one collected row (the BPE
+    contract); segmentation runs on DISTINCT words only."""
+    d = _t(spark, sf_dir, "documents")
+    merges = text.wordpiece_train(d, n_merges=3, engine="spark")
+    vocab = text.wordpiece_vocab(d, merges)
+    return text.wordpiece_token_counts(d, vocab)

@@ -736,3 +736,97 @@ class TestSemanticContaminated:
         b = {(r["vec_id"], r["n_matches"]) for r in semantic_contaminated(
             emb, ev, engine="arrow", **kw).collect()}
         assert a == b and a
+
+
+class TestWordpiece:
+    """WordPiece (Schuster & Nakajima 2012) — likelihood-gain merges,
+    '##' continuation roles, whole-word [UNK]."""
+
+    def _corpus(self, spark):
+        rows = [("hug hug hug pug pun bun hugs",),
+                ("hug pug pun hug",)]
+        return spark.createDataFrame(rows, "text string")
+
+    def test_train_score_semantics(self, spark):
+        """Hand-computed: pair (##u,##g) c=8 score 8/(11*8) TIES
+        (##u,##n) 3/(11*3) and wins on the (a,b) tie-break; then
+        (##u,##n) 3/9 beats (h,##ug) 6/48 — raw-count BPE would pick
+        (h,##ug) first, which is exactly the semantic difference
+        this class pins."""
+        from filters_spark.functions import text
+        m = text.wordpiece_train(self._corpus(spark), n_merges=3,
+                                 engine="spark")
+        assert [(s, a, b, c) for s, a, b, c, _, _ in m] == [
+            (1, "##u", "##g", 8),
+            (2, "##u", "##n", 3),
+            (3, "p", "##un", 2),
+        ]
+        # and symbol counts returned for the score denominator
+        assert m[0][4] == 11 and m[0][5] == 8
+
+    def test_engines_exactly_equal(self, spark):
+        from filters_spark.functions import text
+        d = self._corpus(spark)
+        assert (text.wordpiece_train(d, n_merges=5, engine="spark")
+                == text.wordpiece_train(d, n_merges=5, engine="driver"))
+
+    def test_engines_equal_on_documents_sample(self, spark):
+        from filters_spark.functions import text
+        from filters_spark.sources import load_table
+        d = (load_table(spark, "documents", "/root/testdata/sf0.001")
+             .limit(40))
+        from filters_spark.functions._cache import scoped_persist
+        d = scoped_persist(d.select("text"), "wp_test")
+        assert (text.wordpiece_train(d, n_merges=4, engine="spark")
+                == text.wordpiece_train(d, n_merges=4, engine="driver"))
+
+    def test_apply_roles_and_unk(self, spark):
+        from filters_spark.functions import text
+        d = self._corpus(spark)
+        merges = text.wordpiece_train(d, n_merges=3, engine="driver")
+        vocab = text.wordpiece_vocab(d, merges)
+        # 'g' never appears word-initial -> the word 'gun' is [UNK]
+        # even though ##g and ##u exist; 'q' unseen anywhere -> [UNK];
+        # 'hugs' segments h + ##ug + ##s via longest-match ('hug' as
+        # one piece would be merge 4); 'pun' is the step-3 merge
+        probe = spark.createDataFrame(
+            [("hugs pun gun qat hug",)], "text string")
+        got = {r["piece"]: r["n"] for r in
+               text.wordpiece_token_counts(probe, vocab).collect()}
+        assert got == {"h": 2, "##ug": 2, "##s": 1, "pun": 1, "[UNK]": 2}
+
+    def test_unk_does_not_leak_partial_pieces(self, spark):
+        """A word failing MID-segmentation contributes ONLY [UNK] —
+        the already-matched prefix pieces must not count."""
+        from filters_spark.functions import text
+        d = self._corpus(spark)
+        vocab = text.wordpiece_vocab(d, text.wordpiece_train(
+            d, n_merges=3, engine="driver"))
+        # 'hugq': matches 'hug' then fails at 'q'
+        probe = spark.createDataFrame([("hugq",)], "text string")
+        got = {r["piece"]: r["n"] for r in
+               text.wordpiece_token_counts(probe, vocab).collect()}
+        assert got == {"[UNK]": 1}
+
+    def test_hash_words_excluded(self, spark):
+        """The '#' exclusion contract: words containing '#' never
+        train nor tokenize (the HF display-format ambiguity made
+        explicit)."""
+        from filters_spark.functions import text
+        d = spark.createDataFrame(
+            [("aa aa ##aa #x aa",)], "text string")
+        m = text.wordpiece_train(d, n_merges=2, engine="spark")
+        assert [(a, b) for _, a, b, _, _, _ in m] == [("a", "##a")]
+        vocab = text.wordpiece_vocab(d, m)
+        got = {r["piece"]: r["n"] for r in
+               text.wordpiece_token_counts(d, vocab).collect()}
+        assert got == {"aa": 3}
+
+    def test_empty_corpus(self, spark):
+        from filters_spark.functions import text
+        d = spark.createDataFrame([], "text string")
+        assert text.wordpiece_train(d, n_merges=3, engine="spark") == []
+        assert text.wordpiece_train(d, n_merges=3, engine="driver") == []
+        vocab = text.wordpiece_vocab(d, [])
+        assert vocab == []
+        assert text.wordpiece_token_counts(d, vocab).count() == 0

@@ -432,6 +432,7 @@ EXPECTATIONS: dict[str, dict] = {
     # jobs ran eagerly; the returned plan is fold -> segment ->
     # rollup, vocabulary-sized after the fold).
     "txt_unigram_tokenize": dict(max_exchanges=3),
+    "txt_wordpiece_tokens": dict(max_exchanges=3),
     # copy-on-write delete: two broadcast-stitched read-back
     # aggregates (the commit itself ran eagerly).
     "rel_delete_where": dict(max_exchanges=2),
