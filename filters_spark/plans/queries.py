@@ -628,8 +628,9 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 12 of the 13
-    # whose last row is r3 (val_variant_json deferred), and 3 of the
+    # last-official row — all 20 whose last row is r2, 11 of the 13
+    # whose last row is r3 (val_variant_json, val_uuid_canon
+    # deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -637,8 +638,9 @@ DRIVER_WINDOW: list[str] = [
     # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with val_variant_json, the twelve r4
-    # leftovers above, then the r5 vintage (47 names), oldest first.
+    # slots 1-N; fill the rest with val_variant_json, val_uuid_canon,
+    # the twelve r4 leftovers above, then the r5 vintage (47 names),
+    # oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -659,6 +661,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_hard_negatives",         # LSH-blocked hard-negative mining
     "rel_hilbert_layout",        # Hilbert-curve clustering keys
     "txt_wordpiece_tokens",      # WordPiece tokenizer (BERT)
+    "rel_shallow_clone",         # manifest-only table clone
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -692,7 +695,6 @@ DRIVER_WINDOW: list[str] = [
     "val_round_quarter",         # Round HALF_UP
     "val_split_parts",           # Split into keyed struct
     "val_switch_dispatch",       # FilterSwitch dispatch
-    "val_uuid_canon",            # Uuid canonicalization
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
@@ -14081,3 +14083,89 @@ def txt_wordpiece_tokens(spark, sf_dir):
     merges = text.wordpiece_train(d, n_merges=3, engine="spark")
     vocab = text.wordpiece_vocab(d, merges)
     return text.wordpiece_token_counts(d, vocab)
+
+
+@register(
+    "rel_shallow_clone",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), planted AS (
+      SELECT CAST(1600000000 + i AS BIGINT) AS k,
+             CAST(i AS BIGINT) AS cents
+      FROM range(1, 21) t(i)
+    ), srct AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
+    ), delslice AS (
+      SELECT * FROM srct WHERE k BETWEEN 2000 AND 2999
+    ), dstt AS (
+      SELECT * FROM srct WHERE k NOT BETWEEN 2000 AND 2999
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM dstt) AS dst_n,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM dstt)
+             AS dst_cents_sum,
+           (SELECT CAST(count(*) AS BIGINT) FROM srct) AS src_n,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM srct)
+             AS src_cents_sum,
+           (SELECT CAST(count(*) AS BIGINT) FROM delslice) AS n_deleted,
+           (SELECT CAST(sum(k) AS BIGINT) FROM delslice)
+             AS del_key_sum,
+           CAST(2 AS BIGINT) AS src_head,
+           CAST(2 AS BIGINT) AS dst_head
+    """,
+)
+def rel_shallow_clone(spark, sf_dir):
+    """SHALLOW CLONE under the value hash
+    (sources.versioned.clone_versioned — Delta SHALLOW CLONE's shape:
+    a new table whose first manifest carries the source snapshot's
+    files by REFERENCE, dst-root-relative, zero data movement).
+    Orders + 20 planted rows (keys at 1.6B — clear of the sf1 stress
+    replicas' key spaces) committed to src over two versions (the
+    second a file-reuse merge with a stored feed), cloned, then the
+    CLONE takes a copy-on-write DELETE of keys 2000-2999 with its own
+    stored change feed.  The hash pins (a) the clone's final state =
+    source arithmetic minus the deleted slice, (b) the SOURCE
+    untouched by the clone's delete — the independence contract,
+    (c) the clone's own CDC serving the delete slice, and (d) both
+    head versions (clone history starts fresh at v1+v2 while the
+    source stays at 2).  Reference mechanics, vacuum interplay
+    (clone vacuum never crosses roots; source vacuum breaks clones
+    LOUDLY), stats carry-forward pruning, the partitioned fallback,
+    and guards are pytest-pinned (TestCloneVersioned)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents")).repartitionByRange(8, "o_orderkey")
+    root = tempfile.mkdtemp(prefix="fs_clone_")
+    src, dst = root + "/src", root + "/dst"
+    V.write_versioned(base, src, stats_cols=["o_orderkey"])
+    planted = spark.range(1, 21).select(
+        (F.lit(1_600_000_000) + F.col("id")).alias("o_orderkey"),
+        F.col("id").cast("bigint").alias("cents"))
+    V.merge_versioned(spark, src, planted, "o_orderkey",
+                      file_reuse=True, store_changes=True)
+    V.clone_versioned(spark, src, dst)
+    V.delete_where(spark, dst,
+                   F.col("o_orderkey").between(2000, 2999),
+                   store_changes_key="o_orderkey")
+    dfin = V.read_version(spark, dst).agg(
+        F.count(F.lit(1)).cast("long").alias("dst_n"),
+        F.sum("cents").cast("long").alias("dst_cents_sum"))
+    sfin = V.read_version(spark, src).agg(
+        F.count(F.lit(1)).cast("long").alias("src_n"),
+        F.sum("cents").cast("long").alias("src_cents_sum"))
+    feed = V.read_changes(spark, dst, "o_orderkey", 1, 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_deleted"),
+        F.sum("o_orderkey").cast("long").alias("del_key_sum"))
+    heads = spark.range(1).select(
+        F.lit(V.latest_version(src)).cast("long").alias("src_head"),
+        F.lit(V.latest_version(dst)).cast("long").alias("dst_head"))
+    return (dfin.crossJoin(F.broadcast(sfin))
+            .crossJoin(F.broadcast(feed))
+            .crossJoin(F.broadcast(heads)))

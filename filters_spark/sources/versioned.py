@@ -70,6 +70,7 @@ __all__ = [
     "delete_where",
     "update_where",
     "restore_version",
+    "clone_versioned",
     "table_history",
     "read_changes",
     "consume_changes",
@@ -1193,6 +1194,86 @@ def restore_version(spark: SparkSession, path: str, version: int,
         reuse_stats=_root_stats(path, m_old))
     return {"version": new_v, "restored_from": version,
             "files_reused": len(files), "files_rewritten": 0}
+
+
+def clone_versioned(spark: SparkSession, src: str, dst: str,
+                    version: int | None = None) -> dict:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``):
+    create ``dst`` as a NEW versioned table whose first snapshot
+    carries the source snapshot's data files by REFERENCE — cloning a
+    100 TB table for a dev branch, an experiment, or a what-if
+    migration costs one manifest, zero data movement.  The clone then
+    evolves INDEPENDENTLY: copy-on-write commits (:func:`delete_where`
+    / :func:`update_where` / file-reuse merges) rewrite only touched
+    slices into the clone's own tree while untouched files keep
+    pointing into the source; the source never sees the clone's
+    history and vice versa.
+
+    File references are stored dst-root-relative (``../src/...``) —
+    the same explicit ``data_files`` contract every file-reuse commit
+    uses, so readers, stats skipping (the sidecar carries forward),
+    CDC, vacuum's reference counting, and further COW commits all
+    work on a clone unchanged.  :func:`vacuum_versioned` on the CLONE
+    never touches source files (it only removes under its own root);
+    vacuuming the SOURCE does not know about clones — like Delta
+    shallow clones, dropping the cloned source version breaks the
+    clone, whose reads then fail loudly on the missing files.
+
+    ``version`` clones a time-travel snapshot (default: the source
+    head).  Partitioned sources cannot be carried by reference
+    (directory columns don't resolve across roots — the file-reuse
+    invariant) and clone as a full rewrite preserving their
+    ``partition_by``.  ``dst`` must not already be a versioned table;
+    vacuumed source versions raise.
+
+    Returns ``{"version", "source_path", "source_version",
+    "files_referenced", "files_rewritten"}``."""
+    if latest_version(dst) is not None:
+        raise ValueError(
+            f"clone_versioned: {dst!r} is already a versioned table")
+    head = latest_version(src)
+    if head is None:
+        raise ValueError(f"versioned table {src!r} has no snapshots")
+    if version is None:
+        version = head
+    m = _read_manifest(src, version)    # raises on unknown version
+    src_abs = os.path.abspath(src)
+    meta = {"source_path": src_abs, "source_version": version}
+    if m.get("partition_by"):
+        df = read_version(spark, src, version)   # raises if vacuumed
+        v = write_versioned(
+            df, dst, _op="clone", extra_meta=meta,
+            stats_cols=m.get("stats_cols"),
+            partition_by=m["partition_by"])
+        return {"version": v, "source_path": src_abs,
+                "source_version": version, "files_referenced": 0,
+                "files_rewritten": m["n_files"]}
+    files = _root_files(src, m)
+    missing = [f for f in files
+               if not os.path.exists(os.path.join(src, f))]
+    if missing or len(files) != m["n_files"]:
+        raise ValueError(
+            f"clone_versioned: snapshot {version} of {src!r} was "
+            f"vacuumed ({len(missing) + m['n_files'] - len(files)}"
+            f" of {m['n_files']} data files gone) — only retained "
+            "versions can be cloned")
+    dst_abs = os.path.abspath(dst)
+    refs = [os.path.relpath(os.path.join(src_abs, f), dst_abs)
+            .replace(os.sep, "/") for f in files]
+    stats = _root_stats(src, m)
+    reuse_stats = {
+        os.path.relpath(os.path.join(src_abs, k), dst_abs)
+        .replace(os.sep, "/"): v
+        for k, v in stats.items()}
+    schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+    empty = spark.createDataFrame([], schema)
+    v = write_versioned(
+        empty, dst, _op="clone", extra_meta=meta,
+        stats_cols=m.get("stats_cols"),
+        reuse_files=refs, reuse_stats=reuse_stats)
+    return {"version": v, "source_path": src_abs,
+            "source_version": version, "files_referenced": len(refs),
+            "files_rewritten": 0}
 
 
 def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:

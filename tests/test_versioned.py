@@ -1547,3 +1547,132 @@ class TestTableHistory:
         assert h[2]["has_changes"] and not h[4]["has_changes"]
         assert h[2]["parent"] == 1 and h[1]["parent"] is None
         assert all(h[v]["committed_at"] is not None for v in h)
+
+
+class TestCloneVersioned:
+    """Shallow clone: manifest-only table copy by file reference."""
+
+    def _mk_src(self, spark, tmp_path, partition_by=None):
+        src = str(tmp_path / "src")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v"),
+            (F.col("id") % 4).cast("int").alias("p"))
+        V.write_versioned(df.repartitionByRange(4, "k"), src,
+                          stats_cols=["k"], partition_by=partition_by)
+        V.merge_versioned(
+            spark, src,
+            spark.range(1000, 1100).select(
+                F.col("k") if False else F.col("id").alias("k"),
+                (F.col("id") * 7).alias("v"),
+                (F.col("id") % 4).cast("int").alias("p")),
+            "k", file_reuse=partition_by is None, store_changes=True)
+        return src
+
+    def test_clone_is_manifest_only_and_reads_back(self, spark, tmp_path):
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        rep = V.clone_versioned(spark, src, dst)
+        m = V._read_manifest(src, 2)
+        assert rep["files_rewritten"] == 0
+        assert rep["files_referenced"] == m["n_files"]
+        md = V._read_manifest(dst, 1)
+        assert md["op"] == "clone"
+        assert md["source_version"] == 2
+        # every referenced file points OUTSIDE the clone's root
+        ext = [f for f in md["data_files"] if f.startswith("..")]
+        assert len(ext) == rep["files_referenced"]
+        assert V.read_version(spark, dst).count() == 1100
+        # stats carried: pruning on the clone keeps a strict subset
+        kept = V.prune_files(md, ("k", 1050, None))
+        assert kept is not None and 0 < len(kept) < md["n_files"]
+
+    def test_clone_evolves_independently(self, spark, tmp_path):
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        V.clone_versioned(spark, src, dst)
+        V.delete_where(spark, dst, F.col("k") < 100,
+                       store_changes_key="k")
+        assert V.read_version(spark, dst).count() == 1000
+        assert V.read_version(spark, src).count() == 1100
+        # and the other direction: source COW delete leaves the clone
+        # reading the ORIGINAL files (still on disk until src vacuums)
+        V.delete_where(spark, src, F.col("k") >= 1000)
+        assert V.read_version(spark, src).count() == 1000
+        assert V.read_version(spark, dst).count() == 1000
+        assert V.read_version(spark, dst).where(
+            F.col("k") >= 1000).count() == 100  # src delete NOT mirrored
+        # clone CDC is its own feed
+        feed = V.read_changes(spark, dst, "k", 1, 2)
+        assert feed.count() == 100
+        assert {r["_change_type"] for r in
+                feed.select("_change_type").distinct().collect()} \
+            == {"delete"}
+
+    def test_vacuum_boundaries(self, spark, tmp_path):
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        V.clone_versioned(spark, src, dst)
+        V.delete_where(spark, dst, F.col("k") < 100)
+        # clone vacuum never crosses roots
+        V.vacuum_versioned(dst, keep_last=1)
+        assert V.read_version(spark, src).count() == 1100
+        assert V.read_version(spark, dst).count() == 1000
+        # source vacuum that keeps the cloned files alive is fine...
+        V.vacuum_versioned(src, keep_last=1)
+        assert V.read_version(spark, dst).count() == 1000
+        # ...but rewriting + vacuuming the source breaks the clone
+        # LOUDLY (the documented Delta shallow-clone hazard)
+        V.write_versioned(
+            spark.range(1).select(F.col("id").alias("k"),
+                                  F.col("id").alias("v"),
+                                  F.col("id").cast("int").alias("p")),
+            src)
+        V.vacuum_versioned(src, keep_last=1)
+        import pytest
+        with pytest.raises(ValueError, match="vacuum"):
+            V.read_version(spark, dst).count()
+
+    def test_time_travel_clone(self, spark, tmp_path):
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        rep = V.clone_versioned(spark, src, dst, version=1)
+        assert rep["source_version"] == 1
+        assert V.read_version(spark, dst).count() == 1000
+
+    def test_partitioned_source_falls_back_to_rewrite(self, spark,
+                                                      tmp_path):
+        src = self._mk_src(spark, tmp_path, partition_by=["p"])
+        dst = str(tmp_path / "dst")
+        rep = V.clone_versioned(spark, src, dst)
+        assert rep["files_referenced"] == 0
+        assert rep["files_rewritten"] > 0
+        assert V.read_version(spark, dst).count() == 1100
+        md = V._read_manifest(dst, 1)
+        assert md.get("partition_by") == ["p"]
+        # directory columns restored
+        assert V.read_version(spark, dst).where(
+            F.col("p") == 2).count() > 0
+
+    def test_guards(self, spark, tmp_path):
+        import pytest
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        V.clone_versioned(spark, src, dst)
+        with pytest.raises(ValueError, match="already a versioned"):
+            V.clone_versioned(spark, src, dst)
+        with pytest.raises(ValueError):
+            V.clone_versioned(spark, src, str(tmp_path / "d2"),
+                              version=99)
+        with pytest.raises(ValueError, match="no snapshots"):
+            V.clone_versioned(spark, str(tmp_path / "nope"),
+                              str(tmp_path / "d3"))
+        # vacuumed source version refuses
+        V.write_versioned(
+            spark.range(1).select(F.col("id").alias("k"),
+                                  F.col("id").alias("v"),
+                                  F.col("id").cast("int").alias("p")),
+            src)
+        V.vacuum_versioned(src, keep_last=1)
+        with pytest.raises(ValueError, match="vacuumed"):
+            V.clone_versioned(spark, src, str(tmp_path / "d4"),
+                              version=1)

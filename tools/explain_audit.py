@@ -325,6 +325,7 @@ EXPECTATIONS: dict[str, dict] = {
     # scan + the key-range rollup — nothing else may shuffle
     "rel_zorder_key": dict(min_broadcasts=1, max_exchanges=2),
     "rel_hilbert_layout": dict(min_broadcasts=1, max_exchanges=2),
+    "rel_shallow_clone": dict(min_broadcasts=3, max_exchanges=3),
     # count-min calibration: the d×w table rollup (map-side-bounded),
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
