@@ -628,9 +628,9 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 11 of the 13
-    # whose last row is r3 (val_variant_json, val_uuid_canon
-    # deferred), and 3 of the
+    # last-official row — all 20 whose last row is r2, 10 of the 13
+    # whose last row is r3 (val_variant_json, val_uuid_canon,
+    # val_switch_dispatch deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -639,8 +639,8 @@ DRIVER_WINDOW: list[str] = [
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
     # slots 1-N; fill the rest with val_variant_json, val_uuid_canon,
-    # the twelve r4 leftovers above, then the r5 vintage (47 names),
-    # oldest first.
+    # val_switch_dispatch, the twelve r4 leftovers above, then the r5
+    # vintage (47 names), oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -662,6 +662,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_hilbert_layout",        # Hilbert-curve clustering keys
     "txt_wordpiece_tokens",      # WordPiece tokenizer (BERT)
     "rel_shallow_clone",         # manifest-only table clone
+    "rel_bloom_skipping",        # per-file Bloom point-lookup skip
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -694,7 +695,6 @@ DRIVER_WINDOW: list[str] = [
     "val_regex_extract",         # Regex all-matches
     "val_round_quarter",         # Round HALF_UP
     "val_split_parts",           # Split into keyed struct
-    "val_switch_dispatch",       # FilterSwitch dispatch
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
@@ -14169,3 +14169,71 @@ def rel_shallow_clone(spark, sf_dir):
     return (dfin.crossJoin(F.broadcast(sfin))
             .crossJoin(F.broadcast(feed))
             .crossJoin(F.broadcast(heads)))
+
+
+@register(
+    "rel_bloom_skipping",
+    oracle="""
+    WITH probes AS (
+      SELECT pk FROM (
+        SELECT DISTINCT o_orderkey AS pk FROM orders ORDER BY 1 LIMIT 3)
+      UNION ALL SELECT 1700000001 UNION ALL SELECT 1700000002
+    ), base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(pk AS BIGINT) AS probe_key,
+           CAST(count(b.k) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS cents_sum
+    FROM probes p LEFT JOIN base b ON b.k = p.pk
+    GROUP BY pk
+    """,
+)
+def rel_bloom_skipping(spark, sf_dir):
+    """Bloom-filter file skipping under the value hash
+    (sources.versioned bloom sidecars — Delta bloom filter indexes'
+    shape: per-file bitmaps probed at PLANNING time for point
+    lookups).  Orders lands hash-clustered on a DIFFERENT column, so
+    every file spans the full key range and min/max stats prune
+    NOTHING — each point probe then reads only the bloom-surviving
+    files (typically 1 of 8; the pruning ratio is pytest-pinned,
+    the gate pins CORRECTNESS: a bitmap that wrongly prunes the
+    file holding a probed key loses its row and fails the hash).
+    Probes are the 3 smallest orderkeys (SQL-replayable) plus two
+    absent keys at 1.7B (clear of the sf1 stress key spaces) that
+    must return ZERO rows through near-total pruning.  Positions use
+    the md5-bucket convention (seed '|' value, first 8 hex, mod
+    bits) — replayable in Python at planning time with no job.
+    Inheritance (table property), COW/restore/clone carry,
+    partition-column rejection, and never-wrong-prune fuzz are
+    pytest-pinned (TestBloomSkipping)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents")).repartition(8, "cents")
+    path = tempfile.mkdtemp(prefix="fs_bloom_") + "/t"
+    V.write_versioned(base, path, stats_cols=["o_orderkey"],
+                      bloom_cols=["o_orderkey"])
+    present = [int(r["o_orderkey"]) for r in
+               _t(spark, sf_dir, "orders").select("o_orderkey")
+               .distinct().orderBy("o_orderkey").limit(3).collect()]
+    probes = present + [1_700_000_001, 1_700_000_002]
+    parts = []
+    for key in probes:
+        r = V.read_version(spark, path,
+                           where=("o_orderkey", key, key))
+        parts.append(
+            r.where(F.col("o_orderkey") == key).agg(
+                F.lit(key).cast("long").alias("probe_key"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
+                .alias("cents_sum")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -82,6 +82,8 @@ __all__ = [
     "vacuum_versioned",
     "prune_files",
     "load_file_stats",
+    "load_file_blooms",
+    "bloom_prune_files",
 ]
 
 
@@ -341,6 +343,129 @@ def _file_stats(snap: str, stats_cols: list[str],
     return out
 
 
+# --- Bloom file-skipping (point lookups) -----------------------------------
+#
+# min/max stats prune RANGE predicates; a point lookup on a
+# high-cardinality key that the layout is NOT clustered on reads every
+# file (each spans the full key range).  The standard answer (Delta
+# bloom filter indexes) is a per-file Bloom filter: `where=(col, v, v)`
+# probes each file's bitmap and skips files that provably lack v.
+# Positions use the md5-bucket convention (seed '|' value, first 8 hex
+# digits, mod bits) so membership is replayable in ANSI SQL, in Spark
+# expressions, and in pure Python (the planning-time probe needs no
+# Spark job).  Values hash as their canonical STRING form (Spark
+# string cast ↔ Python str — exact for integer and string keys, the
+# point-lookup types).  NULLs are never added and never probed.
+
+_BLOOM_DEFAULT_BITS = 65536
+_BLOOM_DEFAULT_HASHES = 4
+
+
+def _bloom_positions_py(value, bits: int, hashes: int) -> list[int]:
+    import hashlib
+
+    return [int(hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:8], 16)
+            % bits for i in range(hashes)]
+
+
+def _bloom_member(hexmap: str, value, bits: int, hashes: int) -> bool:
+    bm = int(hexmap, 16)
+    return all((bm >> p) & 1 for p in
+               _bloom_positions_py(value, bits, hashes))
+
+
+def _file_blooms(path: str, files: list[str], cols: list[str],
+                 bits: int, hashes: int, schema: T.StructType,
+                 spark: SparkSession) -> dict:
+    """Per-file Bloom bitmaps (hex) for ``cols`` over the given
+    TABLE-ROOT-relative files: ONE job per column — distinct
+    (file, position) pairs, shuffle bounded by files × bits, the
+    collect bounded the same way (the stats-sidecar contract: driver
+    state is metadata-sized, never data-sized)."""
+    if not files:
+        return {}
+    out: dict = {f: {} for f in files}
+    abs_paths = [os.path.join(path, f) for f in files]
+    for col in cols:
+        df = (spark.read.schema(schema).parquet(*abs_paths)
+              .select(F.input_file_name().alias("_uri"),
+                      F.col(col).cast("string").alias("_v"))
+              .where(F.col("_v").isNotNull()))
+        pos = [
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("_v"))), 1, 8),
+                16, 10).cast("bigint") % bits).cast("int")
+            for i in range(hashes)]
+        rows = (df.select("_uri", F.explode(F.array(*pos)).alias("_p"))
+                .distinct()
+                .groupBy("_uri").agg(F.collect_set("_p").alias("ps"))
+                .collect())              # bounded: files × bits
+        by_rel = {_rel_uri(path, r["_uri"]): r["ps"] for r in rows}
+        for f in files:
+            ps = by_rel.get(f)
+            if ps is None:
+                out[f][col] = "0"        # no non-null values: empty map
+            else:
+                bm = 0
+                for p in ps:
+                    bm |= 1 << p
+                out[f][col] = f"{bm:x}"
+    return out
+
+
+def load_file_blooms(manifest: dict) -> dict | None:
+    """Per-file Bloom bitmaps, resolving the lazy ``bloom_file``
+    sidecar (mirrors :func:`load_file_stats`)."""
+    blooms = manifest.get("file_blooms")
+    if blooms is None and manifest.get("bloom_file") \
+            and manifest.get("_manifest_dir"):
+        try:
+            with open(os.path.join(manifest["_manifest_dir"],
+                                   manifest["bloom_file"])) as fh:
+                blooms = json.load(fh)
+        except FileNotFoundError:
+            return None
+        manifest["file_blooms"] = blooms
+    return blooms
+
+
+def bloom_prune_files(manifest: dict, where, files: list) -> list:
+    """Intersect ``files`` with Bloom membership for every POINT
+    predicate (``lo == hi``, non-null) in ``where`` whose column has
+    bitmaps.  Files without a bitmap for the column are kept
+    (conservative, like unknown min/max).  Pure driver arithmetic —
+    no job, no Spark session."""
+    blooms = load_file_blooms(manifest)
+    if not blooms:
+        return files
+    cols = set(manifest.get("bloom_cols") or [])
+    bits = manifest.get("bloom_bits") or _BLOOM_DEFAULT_BITS
+    hashes = manifest.get("bloom_hashes") or _BLOOM_DEFAULT_HASHES
+    points = [(c, lo) for (c, lo, hi) in
+              (where if isinstance(where, list) else [where])
+              if c in cols and lo is not None and lo == hi]
+    if not points:
+        return files
+    kept = []
+    for f in files:
+        fb = blooms.get(f) or {}
+        if all(fb.get(c) is None
+               or _bloom_member(fb[c], v, bits, hashes)
+               for c, v in points):
+            kept.append(f)
+    return kept
+
+
+def _root_blooms(path: str, manifest: dict) -> dict:
+    """A snapshot's per-file blooms re-keyed TABLE-ROOT-relative
+    (mirrors :func:`_root_stats`)."""
+    blooms = load_file_blooms(manifest) or {}
+    if manifest.get("data_files") is not None:
+        return dict(blooms)
+    v = manifest["version"]
+    return {f"snap/v={v}/{k}": s for k, s in blooms.items()}
+
+
 def write_versioned(df: DataFrame, path: str,
                     expected_parent: int | None = None,
                     _op: str = "write",
@@ -349,7 +474,11 @@ def write_versioned(df: DataFrame, path: str,
                     partition_by: list[str] | None = None,
                     changes_df: DataFrame | None = None,
                     reuse_files: list[str] | None = None,
-                    reuse_stats: dict | None = None) -> int:
+                    reuse_stats: dict | None = None,
+                    bloom_cols: list[str] | None = None,
+                    bloom_bits: int | None = None,
+                    bloom_hashes: int | None = None,
+                    reuse_blooms: dict | None = None) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``expected_parent`` is optimistic concurrency control: pass the
@@ -398,7 +527,23 @@ def write_versioned(df: DataFrame, path: str,
     counts files across retained versions.  ``reuse_stats`` carries
     the reused files' min/max entries forward (same keys) so
     ``stats_cols`` skipping stays armed without re-reading their
-    footers."""
+    footers.
+
+    ``bloom_cols`` arms POINT-LOOKUP file skipping (Delta bloom
+    filter indexes): per-file Bloom bitmaps (``bloom_bits`` bits,
+    ``bloom_hashes`` md5-convention hashes) land in a lazy sidecar,
+    and ``read_version(where=(col, v, v))`` probes them at planning
+    time — a key lookup on a column the layout is NOT clustered on
+    skips files min/max can't.  Costs one bounded job per column over
+    the NEW files.  Bloom config is a TABLE PROPERTY: later commits
+    INHERIT it from the parent manifest automatically (pass
+    ``bloom_cols=[]`` to disarm), file-reuse commits carry the
+    parent's bitmaps for carried files (``reuse_blooms`` overrides —
+    the restore/clone path), and partition columns are rejected
+    (their ``col=value`` path prunes via ``stats_cols`` for free).
+    Size ``bloom_bits`` ≈ 10× the rows per file for ~1% false
+    positives at 4 hashes; false positives only cost a read, never
+    correctness."""
     if reuse_files and partition_by:
         raise ValueError(
             "write_versioned: file-reuse commits require a flat "
@@ -478,6 +623,51 @@ def write_versioned(df: DataFrame, path: str,
             os.replace(stmp, os.path.join(_manifest_dir(path), sidecar))
             manifest["stats_file"] = sidecar
             manifest["stats_cols"] = list(stats_cols)
+        # Bloom config inherits from the parent manifest (a table
+        # property, like Delta's index config) unless the caller sets
+        # it — bloom_cols=[] explicitly disarms.
+        if bloom_cols is None and parent is not None:
+            try:
+                pm = _read_manifest(path, parent)
+            except ValueError:
+                pm = {}
+            bloom_cols = pm.get("bloom_cols")
+            bloom_bits = bloom_bits or pm.get("bloom_bits")
+            bloom_hashes = bloom_hashes or pm.get("bloom_hashes")
+            if reuse_files is not None and reuse_blooms is None \
+                    and bloom_cols:
+                reuse_blooms = _root_blooms(path, pm)
+        if bloom_cols:
+            bad = [c for c in bloom_cols if c in (partition_by or ())]
+            if bad:
+                raise ValueError(
+                    f"write_versioned: bloom_cols {bad} are partition "
+                    "columns — their col=value path already prunes "
+                    "via stats_cols")
+            bloom_bits = bloom_bits or _BLOOM_DEFAULT_BITS
+            bloom_hashes = bloom_hashes or _BLOOM_DEFAULT_HASHES
+            if reuse_files is not None:
+                new_keys = [f"snap/v={version}/{f}" for f in new_files]
+                blooms = _file_blooms(path, new_keys, list(bloom_cols),
+                                      bloom_bits, bloom_hashes,
+                                      df.schema, df.sparkSession)
+                for f in reuse_files:
+                    blooms[f] = (reuse_blooms or {}).get(
+                        f, {c: None for c in bloom_cols})
+            else:
+                blooms = _file_blooms(snap, new_files, list(bloom_cols),
+                                      bloom_bits, bloom_hashes,
+                                      df.schema, df.sparkSession)
+            bsidecar = f"{version}.bloom.json"
+            btmp = os.path.join(_manifest_dir(path), bsidecar + ".tmp")
+            with open(btmp, "w") as fh:
+                json.dump(blooms, fh)
+            os.replace(btmp,
+                       os.path.join(_manifest_dir(path), bsidecar))
+            manifest["bloom_file"] = bsidecar
+            manifest["bloom_cols"] = list(bloom_cols)
+            manifest["bloom_bits"] = bloom_bits
+            manifest["bloom_hashes"] = bloom_hashes
         mf = os.path.join(_manifest_dir(path), f"{version}.json")
         tmp = mf + ".tmp"
         with open(tmp, "w") as fh:
@@ -642,6 +832,7 @@ def read_version(spark: SparkSession, path: str,
             kept = prune_files(manifest, where)
             if kept is not None:
                 files = kept
+            files = bloom_prune_files(manifest, where, files)
         if not files:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(
@@ -660,7 +851,10 @@ def read_version(spark: SparkSession, path: str,
             "retains only files referenced by newer versions)")
     if where is not None:
         files = prune_files(manifest, where)
+        if files is None and load_file_blooms(manifest):
+            files = _data_files(snap)       # bloom-only pruning
         if files is not None:
+            files = bloom_prune_files(manifest, where, files)
             if not files:
                 return spark.createDataFrame([], schema)
             # basePath keeps Hive partition columns resolvable when
@@ -1191,7 +1385,8 @@ def restore_version(spark: SparkSession, path: str, version: int,
         empty, path, expected_parent=expected_parent, _op="restore",
         extra_meta=meta, stats_cols=m_old.get("stats_cols"),
         changes_df=changes, reuse_files=files,
-        reuse_stats=_root_stats(path, m_old))
+        reuse_stats=_root_stats(path, m_old),
+        reuse_blooms=_root_blooms(path, m_old))
     return {"version": new_v, "restored_from": version,
             "files_reused": len(files), "files_rewritten": 0}
 
@@ -1244,7 +1439,10 @@ def clone_versioned(spark: SparkSession, src: str, dst: str,
         v = write_versioned(
             df, dst, _op="clone", extra_meta=meta,
             stats_cols=m.get("stats_cols"),
-            partition_by=m["partition_by"])
+            partition_by=m["partition_by"],
+            bloom_cols=m.get("bloom_cols"),
+            bloom_bits=m.get("bloom_bits"),
+            bloom_hashes=m.get("bloom_hashes"))
         return {"version": v, "source_path": src_abs,
                 "source_version": version, "files_referenced": 0,
                 "files_rewritten": m["n_files"]}
@@ -1260,17 +1458,21 @@ def clone_versioned(spark: SparkSession, src: str, dst: str,
     dst_abs = os.path.abspath(dst)
     refs = [os.path.relpath(os.path.join(src_abs, f), dst_abs)
             .replace(os.sep, "/") for f in files]
-    stats = _root_stats(src, m)
-    reuse_stats = {
-        os.path.relpath(os.path.join(src_abs, k), dst_abs)
-        .replace(os.sep, "/"): v
-        for k, v in stats.items()}
+    def rekey(d: dict) -> dict:
+        return {os.path.relpath(os.path.join(src_abs, k), dst_abs)
+                .replace(os.sep, "/"): v for k, v in d.items()}
+
+    reuse_stats = rekey(_root_stats(src, m))
     schema = T.StructType.fromJson(json.loads(m["schema_json"]))
     empty = spark.createDataFrame([], schema)
     v = write_versioned(
         empty, dst, _op="clone", extra_meta=meta,
         stats_cols=m.get("stats_cols"),
-        reuse_files=refs, reuse_stats=reuse_stats)
+        reuse_files=refs, reuse_stats=reuse_stats,
+        bloom_cols=m.get("bloom_cols"),
+        bloom_bits=m.get("bloom_bits"),
+        bloom_hashes=m.get("bloom_hashes"),
+        reuse_blooms=rekey(_root_blooms(src, m)))
     return {"version": v, "source_path": src_abs,
             "source_version": version, "files_referenced": len(refs),
             "files_rewritten": 0}

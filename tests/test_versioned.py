@@ -1676,3 +1676,136 @@ class TestCloneVersioned:
         with pytest.raises(ValueError, match="vacuumed"):
             V.clone_versioned(spark, src, str(tmp_path / "d4"),
                               version=1)
+
+
+class TestBloomSkipping:
+    """Per-file Bloom bitmaps: point-lookup skipping where min/max
+    can't prune (hash-clustered layouts)."""
+
+    def _mk(self, spark, tmp_path, **kw):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 8000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        # hash-partition on v: every file spans the full k range
+        V.write_versioned(df.repartition(8, "v"), t,
+                          stats_cols=["k"], bloom_cols=["k"], **kw)
+        return t
+
+    def test_prunes_where_minmax_cannot(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        m = V._read_manifest(t, 1)
+        all_files = list(V.load_file_blooms(m))
+        assert len(all_files) == 8
+        # min/max keeps everything (full-range files)...
+        assert len(V.prune_files(m, ("k", 4242, 4242))) == 8
+        # ...bloom keeps almost nothing
+        kept = V.bloom_prune_files(m, ("k", 4242, 4242), all_files)
+        assert 1 <= len(kept) <= 2
+        # absent key: near-total pruning, zero rows, no error
+        absent = V.bloom_prune_files(m, ("k", 123_456_789, 123_456_789),
+                                     all_files)
+        assert len(absent) <= 1
+        assert V.read_version(
+            spark, t, where=("k", 123_456_789, 123_456_789)).count() == 0
+
+    def test_never_wrong_prunes(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        for k in range(0, 8000, 149):
+            got = V.read_version(spark, t, where=("k", k, k)).where(
+                F.col("k") == k).count()
+            assert got == 1, k
+
+    def test_range_predicates_ignore_bloom(self, spark, tmp_path):
+        """Bloom only fires on lo == hi points — a RANGE through
+        bloom_prune_files must keep everything."""
+        t = self._mk(spark, tmp_path)
+        m = V._read_manifest(t, 1)
+        all_files = list(V.load_file_blooms(m))
+        assert V.bloom_prune_files(m, ("k", 0, 100), all_files) \
+            == all_files
+        assert V.read_version(spark, t, where=("k", 0, 100)).where(
+            F.col("k") <= 100).count() == 101
+
+    def test_inheritance_and_cow_carry(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        # delete on the CLUSTERED column: one file holds v == 3, the
+        # other seven carry by reference with their bitmaps intact
+        V.delete_where(spark, t, F.col("v") == 3)
+        m2 = V._read_manifest(t, 2)
+        assert m2.get("bloom_cols") == ["k"]
+        bl = V.load_file_blooms(m2)
+        # carried files keep bitmaps; the delete's rewritten slice got
+        # fresh ones — every entry present
+        assert set(bl) == set(m2["data_files"])
+        carried_known = sum(1 for f, b in bl.items()
+                            if f.startswith("snap/v=1/")
+                            and b.get("k") not in (None,))
+        assert carried_known >= 6
+        assert V.read_version(spark, t, where=("k", 4242, 4242)).where(
+            F.col("k") == 4242).count() == 1
+        # restore carries the restored version's bitmaps
+        V.restore_version(spark, t, 1)
+        m3 = V._read_manifest(t, 3)
+        assert m3.get("bloom_cols") == ["k"]
+        bl3 = V.load_file_blooms(m3)
+        assert sum(1 for b in bl3.values()
+                   if b.get("k") not in (None,)) >= 8
+        assert V.read_version(spark, t, where=("k", 50, 50)).where(
+            F.col("k") == 50).count() == 1
+        # plain merge (full materialization) re-arms via inheritance
+        V.merge_versioned(
+            spark, t,
+            spark.range(9000, 9010).select(
+                F.col("id").alias("k"),
+                F.lit(0).cast("bigint").alias("v")), "k")
+        m4 = V._read_manifest(t, 4)
+        assert m4.get("bloom_cols") == ["k"]
+        assert V.read_version(spark, t, where=("k", 9005, 9005)).where(
+            F.col("k") == 9005).count() == 1
+
+    def test_clone_carries_blooms(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        V.clone_versioned(spark, t, dst)
+        mc = V._read_manifest(dst, 1)
+        assert mc.get("bloom_cols") == ["k"]
+        all_files = list(V.load_file_blooms(mc))
+        kept = V.bloom_prune_files(mc, ("k", 4242, 4242), all_files)
+        assert 1 <= len(kept) <= 2
+        assert V.read_version(spark, dst, where=("k", 4242, 4242)) \
+            .where(F.col("k") == 4242).count() == 1
+
+    def test_disarm_and_partition_guard(self, spark, tmp_path):
+        import pytest
+        t = self._mk(spark, tmp_path)
+        df = spark.range(0, 100).select(F.col("id").alias("k"),
+                                        (F.col("id") % 7).alias("v"))
+        V.write_versioned(df, t, bloom_cols=[])
+        m = V._read_manifest(t, 2)
+        assert m.get("bloom_cols") is None
+        # and stays off for the next inherited commit
+        V.write_versioned(df, t)
+        assert V._read_manifest(t, 3).get("bloom_cols") is None
+        with pytest.raises(ValueError, match="partition"):
+            V.write_versioned(df, str(tmp_path / "p"),
+                              partition_by=["v"], bloom_cols=["v"])
+
+    def test_string_keys_and_nulls(self, spark, tmp_path):
+        t = str(tmp_path / "s")
+        df = spark.createDataFrame(
+            [(f"user-{i}",) for i in range(500)] + [(None,)] * 5,
+            "uid string")
+        V.write_versioned(df.repartition(4, F.rand(7)), t,
+                          bloom_cols=["uid"])
+        got = V.read_version(
+            spark, t, where=("uid", "user-123", "user-123"))
+        assert got.where(F.col("uid") == "user-123").count() == 1
+        m = V._read_manifest(t, 1)
+        files = list(V.load_file_blooms(m))
+        kept = V.bloom_prune_files(
+            m, ("uid", "user-123", "user-123"), files)
+        assert len(kept) < len(files)
+        # NULLs never probed, never added: a where on another value
+        # still reads its row back
+        assert V.read_version(spark, t).where(
+            F.col("uid").isNull()).count() == 5

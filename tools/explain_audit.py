@@ -326,6 +326,7 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_zorder_key": dict(min_broadcasts=1, max_exchanges=2),
     "rel_hilbert_layout": dict(min_broadcasts=1, max_exchanges=2),
     "rel_shallow_clone": dict(min_broadcasts=3, max_exchanges=3),
+    "rel_bloom_skipping": dict(max_exchanges=5, pushed=True),
     # count-min calibration: the d×w table rollup (map-side-bounded),
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
