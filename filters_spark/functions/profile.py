@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "null_report", "category_drift", "ks_statistic", "table_diff"]
+__all__ = ["profile", "null_report", "category_drift", "ks_statistic", "table_diff", "mad_outliers"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None,
@@ -207,3 +207,39 @@ def table_diff(a: DataFrame, b: DataFrame,
             .where(F.col("status").isNotNull())
             .groupBy("status", "key_fp")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+def mad_outliers(df: DataFrame, col: str, by: list[str] | None = None,
+                 k: float = 3.0) -> DataFrame:
+    """Robust outlier detection by MEDIAN absolute deviation — the
+    profiler's answer to "which rows are numerically anomalous"
+    without the mean/stddev trap (a single extreme value inflates
+    stddev until nothing is an outlier; the median and MAD have a 50%
+    breakdown point).
+
+    Flags rows where ``|x − median| > k · MAD`` per group (``by``;
+    global when omitted) — NO division, so zero-MAD groups (a
+    majority-constant column, the classic MAD caveat) simply flag
+    every deviating row, and the whole predicate is ANSI-safe and
+    engine-exact on integer inputs (medians interpolate to halves,
+    MADs to quarters — all exact in binary; pick a ``k`` with an
+    exact binary representation, e.g. 3.0, for cross-engine gates).
+
+    Returns the input rows plus ``_med``, ``_mad``, ``is_outlier``.
+    Scale shape: two grouped EXACT-median aggregates (shuffles
+    bounded by the group count) + one broadcast join back; NULLs in
+    ``col`` get ``is_outlier = NULL`` (three-valued, never flagged).
+    """
+    keys = list(by or [])
+    gmed = (df.groupBy(*keys).agg(F.median(col).alias("_med"))
+            if keys else df.agg(F.median(col).alias("_med")))
+    j = (df.join(F.broadcast(gmed), keys) if keys
+         else df.crossJoin(F.broadcast(gmed)))
+    dev = F.abs(F.col(col) - F.col("_med"))
+    gmad = (j.groupBy(*keys).agg(F.median(dev).alias("_mad"))
+            if keys else j.agg(F.median(dev).alias("_mad")))
+    out = (j.join(F.broadcast(gmad), keys) if keys
+           else j.crossJoin(F.broadcast(gmad)))
+    return out.withColumn(
+        "is_outlier",
+        F.abs(F.col(col) - F.col("_med")) > F.lit(k) * F.col("_mad"))

@@ -628,9 +628,9 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 10 of the 13
+    # last-official row — all 20 whose last row is r2, 9 of the 13
     # whose last row is r3 (val_variant_json, val_uuid_canon,
-    # val_switch_dispatch deferred), and 3 of the
+    # val_switch_dispatch, val_round_quarter deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -639,8 +639,8 @@ DRIVER_WINDOW: list[str] = [
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
     # slots 1-N; fill the rest with val_variant_json, val_uuid_canon,
-    # val_switch_dispatch, the twelve r4 leftovers above, then the r5
-    # vintage (47 names), oldest first.
+    # val_switch_dispatch, val_round_quarter, the twelve r4 leftovers
+    # above, then the r5 vintage (47 names), oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -663,6 +663,7 @@ DRIVER_WINDOW: list[str] = [
     "txt_wordpiece_tokens",      # WordPiece tokenizer (BERT)
     "rel_shallow_clone",         # manifest-only table clone
     "rel_bloom_skipping",        # per-file Bloom point-lookup skip
+    "prof_mad_outliers",         # robust MAD outlier profiler
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -693,7 +694,6 @@ DRIVER_WINDOW: list[str] = [
     "val_maxbytes_check",        # MaxBytes expr check
     "val_optional_default",      # Optional-with-default
     "val_regex_extract",         # Regex all-matches
-    "val_round_quarter",         # Round HALF_UP
     "val_split_parts",           # Split into keyed struct
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
@@ -14237,3 +14237,53 @@ def rel_bloom_skipping(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "prof_mad_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), med AS (
+      SELECT grp, median(cents) AS med FROM base GROUP BY grp
+    ), dev AS (
+      SELECT b.grp, b.cents, abs(b.cents - m.med) AS dev
+      FROM base b JOIN med m USING (grp)
+    ), mad AS (
+      SELECT grp, median(dev) AS mad FROM dev GROUP BY grp
+    )
+    SELECT d.grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN d.dev > 3.0 * m.mad THEN d.cents
+                     ELSE 0 END) AS BIGINT) AS out_cents_sum
+    FROM dev d JOIN mad m USING (grp)
+    GROUP BY d.grp
+    """,
+)
+def prof_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier detection under the value hash
+    (profile.mad_outliers — the 50%-breakdown-point anomaly flag
+    beside prof_quantiles/prof_drift: |x − median| > k·MAD per
+    group, NO division so zero-MAD groups and ANSI mode are safe by
+    construction).  Lineitem money-cents by return flag, k = 3 —
+    medians interpolate to exact halves and MADs to exact quarters
+    on integer cents, so the flag is engine-exact and the per-group
+    outlier counts + outlier-cents checksums ride the hash (both
+    engines' median() interpolates identically — verified in dev and
+    pinned here).  Scale shape: two grouped exact-median shuffles
+    (bounded by the group count) + broadcast joins back."""
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"))
+    flagged = _profile.mad_outliers(base, "cents", by=["grp"], k=3.0)
+    return flagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("long").alias("n_outliers"),
+        F.sum(F.when(F.col("is_outlier"), F.col("cents"))
+              .otherwise(0)).cast("long").alias("out_cents_sum"))

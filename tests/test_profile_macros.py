@@ -409,3 +409,44 @@ class TestObserveContract:
         n = obs_df.count()
         assert obs.get["n_clean"] == n
         assert obs.get["max_disc"] <= 0.05
+
+
+class TestMadOutliers:
+    def test_hand_computed(self, spark):
+        # vals: median 3.5 (even interp), devs [2.5,1.5,1.5,0.5,0.5,
+        # 3.5,6.5,96.5] -> MAD median = 2.0; k=3 -> threshold 6.0:
+        # outliers are 10 (dev 6.5) and 100 (dev 96.5)
+        vals = [1, 2, 2, 3, 4, 7, 10, 100]
+        df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+        got = profile.mad_outliers(df, "x", k=3.0)
+        rows = {r["x"]: r for r in got.collect()}
+        assert rows[1]["_med"] == 3.5 and rows[1]["_mad"] == 2.0
+        assert {v for v, r in rows.items() if r["is_outlier"]} \
+            == {10, 100}
+
+    def test_grouped_and_zero_mad(self, spark):
+        rows = [("a", v) for v in [1, 2, 2, 3, 4, 7, 10, 100]] + \
+               [("b", 5)] * 6 + [("b", 9)]
+        df = spark.createDataFrame(rows, "g string, x bigint")
+        got = profile.mad_outliers(df, "x", by=["g"], k=3.0)
+        by_g = {}
+        for r in got.collect():
+            by_g.setdefault(r["g"], []).append(r)
+        # group b: median 5, MAD 0 -> every deviating row flags (the
+        # documented majority-constant caveat), constants don't
+        b = {r["x"]: r["is_outlier"] for r in by_g["b"]}
+        assert b == {5: False, 9: True}
+        a_out = {r["x"] for r in by_g["a"] if r["is_outlier"]}
+        assert a_out == {10, 100}
+
+    def test_nulls_never_flag(self, spark):
+        df = spark.createDataFrame(
+            [(1,), (2,), (3,), (None,)], "x bigint")
+        got = {r["x"]: r["is_outlier"]
+               for r in profile.mad_outliers(df, "x").collect()}
+        assert got[None] is None
+        assert got[2] is False
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame([], "g string, x bigint")
+        assert profile.mad_outliers(df, "x", by=["g"]).count() == 0
