@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "top_fraction_by_group",
     "rate_to_hex_threshold",
     "hash_keep",
     "hash_uniform",
@@ -551,3 +552,47 @@ def temperature_mixture_sample(df: DataFrame, key: str, domain_col: str,
     return (df.join(F.broadcast(rates), domain_col)
             .where(hash_uniform(F.col(key)) < F.col("_rate"))
             .drop("_rate"))
+
+
+def top_fraction_by_group(df: DataFrame, score_col: str,
+                          group_col: str, frac: float) -> DataFrame:
+    """Keep (at most) the top ``frac`` of each group's rows by an
+    INTEGER score — the per-domain quality-threshold selection every
+    curation pipeline runs (CCNet/FineWeb-style "keep the best X% of
+    each domain") — WITHOUT a per-group sort of the raw rows: a
+    window ``percent_rank`` partitioned by domain puts the whole
+    web-sized domain in one task (the ``token_budget_sample`` skew
+    class), while this runs ONE map-side-combined (group, score)
+    rollup and computes thresholds on the rollup — bounded by
+    distinct scores per group, never row-sized.
+
+    The kept set is ``score >= t_g`` where ``t_g`` is the smallest
+    score whose from-the-top cumulative count is ≤
+    ``floor(frac · n_g)`` — a closed integer definition (ties at the
+    threshold either all qualify or none do, so the kept count is at
+    most the target and the selection is deterministic and
+    partition-invariant; exact-n within the boundary bucket is
+    :func:`stratified_fixed_n`'s job).  Pick a ``frac`` with an exact
+    binary representation for cross-engine gates.
+
+    Returns the kept rows plus ``_threshold``.  NULL scores never
+    qualify.  Groups too small for the fraction (``floor = 0``) keep
+    nothing — the contract a mixture budget wants, not a surprise
+    minimum of one."""
+    w_top = (Window.partitionBy(group_col)
+             .orderBy(F.col(score_col).desc())
+             .rangeBetween(Window.unboundedPreceding, 0))
+    cnt = (df.where(F.col(score_col).isNotNull())
+           .groupBy(group_col, score_col)
+           .agg(F.count(F.lit(1)).alias("_c")))
+    cum = cnt.select(
+        group_col, score_col, "_c",
+        F.sum("_c").over(w_top).alias("_ctop"),
+        F.sum("_c").over(Window.partitionBy(group_col)).alias("_n"))
+    thr = (cum.groupBy(group_col)
+           .agg(F.min(F.when(
+               F.col("_ctop") <= F.floor(F.lit(frac) * F.col("_n")),
+               F.col(score_col))).alias("_threshold")))
+    return (df.join(F.broadcast(thr), group_col)
+            .where(F.col("_threshold").isNotNull()
+                   & (F.col(score_col) >= F.col("_threshold"))))

@@ -628,9 +628,10 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 9 of the 13
+    # last-official row — all 20 whose last row is r2, 8 of the 13
     # whose last row is r3 (val_variant_json, val_uuid_canon,
-    # val_switch_dispatch, val_round_quarter deferred), and 3 of the
+    # val_switch_dispatch, val_round_quarter, val_regex_extract
+    # deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -638,8 +639,9 @@ DRIVER_WINDOW: list[str] = [
     # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with val_variant_json, val_uuid_canon,
-    # val_switch_dispatch, val_round_quarter, the twelve r4 leftovers
+    # slots 1-N; fill the rest with the five deferred r3 names
+    # (val_variant_json, val_uuid_canon, val_switch_dispatch,
+    # val_round_quarter, val_regex_extract), the twelve r4 leftovers
     # above, then the r5 vintage (47 names), oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
@@ -664,6 +666,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_shallow_clone",         # manifest-only table clone
     "rel_bloom_skipping",        # per-file Bloom point-lookup skip
     "prof_mad_outliers",         # robust MAD outlier profiler
+    "ds_percentile_select",      # per-domain top-fraction selection
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -693,7 +696,6 @@ DRIVER_WINDOW: list[str] = [
     "val_ip_address",            # IpAddress validator
     "val_maxbytes_check",        # MaxBytes expr check
     "val_optional_default",      # Optional-with-default
-    "val_regex_extract",         # Regex all-matches
     "val_split_parts",           # Split into keyed struct
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
@@ -14287,3 +14289,75 @@ def prof_mad_outliers(spark, sf_dir):
         .cast("long").alias("n_outliers"),
         F.sum(F.when(F.col("is_outlier"), F.col("cents"))
               .otherwise(0)).cast("long").alias("out_cents_sum"))
+
+
+@register(
+    "ds_percentile_select",
+    oracle="""
+    WITH base AS (
+      SELECT source, doc_id, CAST(length(text) AS BIGINT) AS score
+      FROM documents
+    ), cnt AS (
+      SELECT source, score, count(*) AS c FROM base GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, score, c,
+             sum(c) OVER (PARTITION BY source ORDER BY score DESC)
+               AS ctop,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM cnt
+    ), thr AS (
+      SELECT source,
+             min(CASE WHEN ctop <= floor(0.25 * n) THEN score END)
+               AS t,
+             CAST(max(n) AS BIGINT) AS n_total
+      FROM cum GROUP BY source
+    )
+    SELECT t.source,
+           t.n_total,
+           CAST(count(b.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(b.score), 0) AS BIGINT) AS kept_score_sum,
+           CAST(coalesce(sum(b.doc_id), 0) AS BIGINT) AS kept_id_sum,
+           CAST(coalesce(t.t, -1) AS BIGINT) AS threshold
+    FROM thr t
+    LEFT JOIN base b
+      ON b.source = t.source AND t.t IS NOT NULL AND b.score >= t.t
+    GROUP BY t.source, t.n_total, t.t
+    """,
+)
+def ds_percentile_select(spark, sf_dir):
+    """Per-domain top-fraction selection under the value hash
+    (sampling.top_fraction_by_group — the CCNet/FineWeb "keep the
+    best X% of each domain" threshold op, built SCALE-SAFE: one
+    map-side-combined (domain, score) rollup + windows over the
+    ROLLUP — bounded by distinct scores, never a percent_rank over
+    raw rows that serializes a web-sized domain into one task, the
+    token_budget_sample skew class).  Documents by source, score =
+    text length (deterministic integer), keep the top 25%: the
+    threshold is the smallest score whose from-top cumulative count
+    fits floor(0.25·n) — a closed integer definition whose per-source
+    thresholds, kept counts, and kept id/score checksums all ride the
+    hash.  The oracle replays the rollup, both window sums, the
+    threshold min-case, and the boundary-tie rule exactly."""
+    from ..functions import sampling
+
+    base = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.length("text").cast("bigint").alias("score"))
+    kept = sampling.top_fraction_by_group(base, "score", "source", 0.25)
+    totals = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"))
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("score").cast("long").alias("kept_score_sum"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        F.first("_threshold").cast("long").alias("threshold"))
+    return (totals.join(agg, "source", "left")
+            .select("source", "n_total",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("kept_score_sum", F.lit(0)).cast("long")
+                    .alias("kept_score_sum"),
+                    F.coalesce("kept_id_sum", F.lit(0)).cast("long")
+                    .alias("kept_id_sum"),
+                    F.coalesce("threshold", F.lit(-1)).cast("long")
+                    .alias("threshold")))

@@ -632,3 +632,43 @@ class TestTokenBudgetSample:
         got = sorted(r["doc_id"] for r in token_budget_sample(
             df, "doc_id", "dom", {"a": 10}, buckets=16).collect())
         assert got == base
+
+
+class TestTopFractionByGroup:
+    def test_hand_computed(self, spark):
+        from filters_spark.functions import sampling
+        # group a: scores 10..1 (n=10, floor(.25*10)=2 -> t=9, keep 2)
+        # group b: n=3, floor = 0 -> keep nothing
+        rows = [("a", i, 100 + i) for i in range(1, 11)] + \
+               [("b", i, 200 + i) for i in range(1, 4)]
+        df = spark.createDataFrame(rows, "g string, s bigint, id bigint")
+        kept = sampling.top_fraction_by_group(df, "s", "g", 0.25)
+        got = sorted((r["g"], r["s"]) for r in kept.collect())
+        assert got == [("a", 9), ("a", 10)]
+        assert kept.collect()[0]["_threshold"] == 9
+
+    def test_threshold_tie_rule(self, spark):
+        from filters_spark.functions import sampling
+        # ties at the boundary: scores [5,5,5,1] frac=0.5 ->
+        # floor = 2, but score 5 has ctop 3 > 2 -> only scores with
+        # ctop <= 2 qualify: none except... min over empty = NULL ->
+        # nothing kept (ties either all qualify or none do)
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 5), ("a", 5), ("a", 1)], "g string, s bigint")
+        kept = sampling.top_fraction_by_group(df, "s", "g", 0.5)
+        assert kept.count() == 0
+        # whereas frac=0.75 -> floor 3 -> all three 5s kept
+        kept2 = sampling.top_fraction_by_group(df, "s", "g", 0.75)
+        assert sorted(r["s"] for r in kept2.collect()) == [5, 5, 5]
+
+    def test_null_scores_and_partition_invariance(self, spark):
+        from filters_spark.functions import sampling
+        rows = [("a", i) for i in range(1, 101)]
+        df = spark.createDataFrame(rows, "g string, s bigint")
+        df = df.unionByName(spark.createDataFrame(
+            [("a", None)], "g string, s bigint"))
+        k1 = sorted(r["s"] for r in sampling.top_fraction_by_group(
+            df, "s", "g", 0.25).collect())
+        k2 = sorted(r["s"] for r in sampling.top_fraction_by_group(
+            df.repartition(13), "s", "g", 0.25).collect())
+        assert k1 == k2 == list(range(76, 101))

@@ -328,6 +328,7 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_shallow_clone": dict(min_broadcasts=3, max_exchanges=3),
     "rel_bloom_skipping": dict(max_exchanges=5, pushed=True),
     "prof_mad_outliers": dict(max_exchanges=4, min_broadcasts=2),
+    "ds_percentile_select": dict(max_exchanges=4, min_broadcasts=1),
     # count-min calibration: the d×w table rollup (map-side-bounded),
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
