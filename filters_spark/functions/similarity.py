@@ -765,19 +765,24 @@ def _plane_weight(plane: int, dim: int) -> float:
 
 def lsh_buckets(df: DataFrame, n_planes: int = 8,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                dim: int | None = None) -> DataFrame:
+                dim: int | None = None,
+                keep_projections: bool = False) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign bits of ``n_planes``
     projections.  Plane weights are literals baked into the plan —
-    no side data to ship."""
+    no side data to ship.  ``keep_projections`` also materializes the
+    raw projections as ``_projs`` (array<double>, plane order) — the
+    multi-probe input: the planes with the SMALLEST |projection| are
+    the least-confident sign bits, i.e. the neighbor buckets most
+    likely to hold near misses."""
     if dim is None:
         first = df.select(F.size(F.col(vec_col))).first()
         # empty frame (pruned-away partition, dead upstream): any dim
         # yields the same empty result — don't crash the DAG over it
         dim = first[0] if first is not None and first[0] is not None else 1
     bucket = F.lit(0).cast("long")
+    projs = []
     for p in range(n_planes):
         weights = [_plane_weight(p, d) for d in range(dim)]
-        proj = None
         arr = F.col(vec_col)
         # dot(vec, plane) with literal weights, unrolled
         proj = F.aggregate(
@@ -789,18 +794,48 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        projs.append(proj)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(0).cast("long")
-    return df.withColumn("_bucket", bucket)
+    out = df.withColumn("_bucket", bucket)
+    if keep_projections:
+        out = out.withColumn("_projs", F.array(*projs))
+    return out
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 6, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", probes: int = 1,
+             round_dp: int | None = None) -> DataFrame:
     """ANN top-k: score only same-bucket pairs, then rank.  Recall is
-    tuned by lowering n_planes (bigger buckets) or multi-probing;
-    exactness is traded for a |bucket|/n scan fraction."""
+    tuned by lowering n_planes (bigger buckets) or by MULTI-PROBING
+    (``probes`` > 1, Lv et al. VLDB 2007): each query also probes the
+    buckets reached by flipping its LEAST-CONFIDENT sign bits —
+    smallest |projection| first, plane-index tie-break — recovering
+    the near misses that fell just across a hyperplane, at
+    ``probes``× the candidate cost and the SAME index (no rebuild,
+    unlike lowering n_planes).  ``probes`` ≤ n_planes + 1 (own bucket
+    + one flip per plane); exactness is traded for a
+    probes·|bucket|/n scan fraction."""
+    if not 1 <= probes <= n_planes + 1:
+        raise ValueError(
+            f"probes must be in [1, n_planes + 1], got {probes}")
     vb = lsh_buckets(vectors, n_planes, id_col, vec_col)
-    qb = lsh_buckets(queries, n_planes, id_col, vec_col)
+    qb = lsh_buckets(queries, n_planes, id_col, vec_col,
+                     keep_projections=probes > 1)
+    if probes > 1:
+        order = F.array_sort(F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.struct(
+                F.abs(F.element_at(F.col("_projs"), p + 1)).alias("a"),
+                p.alias("p"))))
+        flips = F.slice(F.transform(order, lambda s: s["p"]),
+                        1, probes - 1)
+        probe_buckets = F.concat(
+            F.array(F.col("_bucket")),
+            F.transform(flips, lambda p: F.col("_bucket").bitwiseXOR(
+                F.pow(F.lit(2.0), p.cast("double")).cast("long"))))
+        qb = qb.select(id_col, vec_col,
+                       F.explode(probe_buckets).alias("_bucket"))
     q = qb.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
         F.col("_bucket").alias("_qb"),
@@ -809,12 +844,14 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"),
         F.col("_bucket"),
     )
+    score = cosine(F.col("_qv"), F.col("_nv"))
+    if round_dp is not None:
+        score = F.round(score, round_dp)
     scored = (
         v.join(F.broadcast(q),
                (F.col("_qb") == F.col("_bucket"))
                & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id",
-                cosine(F.col("_qv"), F.col("_nv")).alias("score"))
+        .select("query_id", "neighbor_id", score.alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")

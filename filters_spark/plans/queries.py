@@ -628,10 +628,10 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 8 of the 13
+    # last-official row — all 20 whose last row is r2, 7 of the 13
     # whose last row is r3 (val_variant_json, val_uuid_canon,
-    # val_switch_dispatch, val_round_quarter, val_regex_extract
-    # deferred), and 3 of the
+    # val_switch_dispatch, val_round_quarter, val_regex_extract,
+    # val_optional_default deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -639,10 +639,11 @@ DRIVER_WINDOW: list[str] = [
     # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with the five deferred r3 names
+    # slots 1-N; fill the rest with the six deferred r3 names
     # (val_variant_json, val_uuid_canon, val_switch_dispatch,
-    # val_round_quarter, val_regex_extract), the twelve r4 leftovers
-    # above, then the r5 vintage (47 names), oldest first.
+    # val_round_quarter, val_regex_extract, val_optional_default),
+    # the twelve r4 leftovers above, then the r5 vintage (47 names),
+    # oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -667,6 +668,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_bloom_skipping",        # per-file Bloom point-lookup skip
     "prof_mad_outliers",         # robust MAD outlier profiler
     "ds_percentile_select",      # per-domain top-fraction selection
+    "ds_lsh_multiprobe",         # multi-probe LSH ANN top-k
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -695,7 +697,6 @@ DRIVER_WINDOW: list[str] = [
     "val_each_array",            # FilterRepeater over arrays
     "val_ip_address",            # IpAddress validator
     "val_maxbytes_check",        # MaxBytes expr check
-    "val_optional_default",      # Optional-with-default
     "val_split_parts",           # Split into keyed struct
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
@@ -14361,3 +14362,74 @@ def ds_percentile_select(spark, sf_dir):
                     .alias("kept_id_sum"),
                     F.coalesce("threshold", F.lit(-1)).cast("long")
                     .alias("threshold")))
+
+
+def _lsh_multiprobe_oracle(n_planes: int = 4, dim: int = 64,
+                           k: int = 10, probes: int = 3) -> str:
+    """Generated DuckDB twin of MULTI-PROBE LSH: shares _lsh_oracle's
+    literal plane weights and unrolled left-associated projections,
+    then replays the probe sequence — own bucket plus the buckets
+    reached by flipping the (probes−1) least-confident sign bits,
+    ordered by (|projection|, plane index) — via list_sort over
+    structs (field-order lexicographic in both engines)."""
+    from ..functions.similarity import _plane_weight
+
+    projs = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"v[{d + 1}] * ({_plane_weight(p, d)!r})" for d in range(dim)
+        )
+        projs.append(f"0.0 + {terms} AS pr{p}")
+    bucket = " + ".join(
+        f"(CASE WHEN pr{p} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    sort_list = ", ".join(
+        f"{{'a': abs(pr{p}), 'p': {p}}}" for p in range(n_planes))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pj AS (SELECT vec_id, v, {", ".join(projs)} FROM e),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM pj),
+    qp AS (SELECT pj.vec_id, pj.v, b.bucket,
+                  list_sort([{sort_list}]) AS fl
+           FROM pj JOIN b USING (vec_id) WHERE pj.vec_id < 5),
+    probelist AS (
+      SELECT vec_id, v, bucket AS qb FROM qp
+      UNION ALL
+      SELECT vec_id, v, xor(bucket, (1::BIGINT << fl[CAST(i AS INT)].p))
+      FROM qp, unnest(range(1, {probes})) t(i)
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, n.v), 6) AS score
+      FROM probelist q JOIN b n
+        ON n.bucket = q.qb AND n.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ds_lsh_multiprobe", oracle=_lsh_multiprobe_oracle())
+def ds_lsh_multiprobe(spark, sf_dir):
+    """MULTI-PROBE LSH ANN top-k under the value hash
+    (similarity.lsh_topk(probes=) — Lv et al. VLDB 2007: each query
+    also probes the buckets reached by flipping its LEAST-CONFIDENT
+    sign bits, |projection| ascending with plane-index tie-breaks —
+    recovering near misses that fell just across a hyperplane at
+    probes× the candidate cost and the SAME index, no rebuild).
+    n_planes=4, probes=3 over the embeddings table, 5 broadcast
+    queries, ranking on the 6-dp-rounded cosine with id tie-breaks.
+    The oracle shares ds_lsh_topk's literal plane weights and
+    replays the flip ORDER itself (list_sort over (|proj|, plane)
+    structs) — a mis-ordered probe sequence reaches different
+    buckets, changes the candidate set, and fails the hash.  The
+    measured recall gain (3× at sf0.001, 6 planes, 4 probes) is
+    pytest-pinned (TestMultiProbe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(emb, q, k=10, n_planes=4, probes=3,
+                              round_dp=6)
+    return out.select("query_id", "neighbor_id", "score", "rank")

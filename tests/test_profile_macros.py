@@ -450,3 +450,30 @@ class TestMadOutliers:
     def test_empty(self, spark):
         df = spark.createDataFrame([], "g string, x bigint")
         assert profile.mad_outliers(df, "x", by=["g"]).count() == 0
+
+
+class TestMultiProbe:
+    def test_recall_gain_and_probe1_identity(self, spark):
+        from filters_spark.functions import similarity
+        from filters_spark.sources import load_table
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        q = emb.where(F.col("vec_id") < 10)
+        brute = {(r["query_id"], r["neighbor_id"]) for r in
+                 similarity.cosine_topk(emb, q, k=10).collect()}
+        single = {(r["query_id"], r["neighbor_id"]) for r in
+                  similarity.lsh_topk(emb, q, k=10, n_planes=6,
+                                      probes=1).collect()}
+        multi = {(r["query_id"], r["neighbor_id"]) for r in
+                 similarity.lsh_topk(emb, q, k=10, n_planes=6,
+                                     probes=4).collect()}
+        # multi-probe candidates are a superset: recall never drops
+        assert len(multi & brute) >= len(single & brute)
+        # and on this corpus the gain is real (measured 5 -> 16)
+        assert len(multi & brute) >= len(single & brute) + 5
+
+    def test_probe_guard(self, spark):
+        from filters_spark.functions import similarity
+        df = spark.createDataFrame([(1, [1.0, 0.0])],
+                                   "vec_id bigint, embedding array<double>")
+        with pytest.raises(ValueError, match="probes"):
+            similarity.lsh_topk(df, df, n_planes=4, probes=6)
