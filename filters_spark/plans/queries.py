@@ -628,10 +628,11 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 7 of the 13
+    # last-official row — all 20 whose last row is r2, 6 of the 13
     # whose last row is r3 (val_variant_json, val_uuid_canon,
     # val_switch_dispatch, val_round_quarter, val_regex_extract,
-    # val_optional_default deferred), and 3 of the
+    # val_optional_default, val_maxbytes_check deferred), and 3 of
+    # the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -639,11 +640,11 @@ DRIVER_WINDOW: list[str] = [
     # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with the six deferred r3 names
+    # slots 1-N; fill the rest with the seven deferred r3 names
     # (val_variant_json, val_uuid_canon, val_switch_dispatch,
-    # val_round_quarter, val_regex_extract, val_optional_default),
-    # the twelve r4 leftovers above, then the r5 vintage (47 names),
-    # oldest first.
+    # val_round_quarter, val_regex_extract, val_optional_default,
+    # val_maxbytes_check), the twelve r4 leftovers above, then the
+    # r5 vintage (47 names), oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -669,6 +670,7 @@ DRIVER_WINDOW: list[str] = [
     "prof_mad_outliers",         # robust MAD outlier profiler
     "ds_percentile_select",      # per-domain top-fraction selection
     "ds_lsh_multiprobe",         # multi-probe LSH ANN top-k
+    "rel_cdc_scd2",              # SCD2 history from the change feed
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -696,7 +698,6 @@ DRIVER_WINDOW: list[str] = [
     "val_base64_roundtrip",      # Base64Decode roundtrip
     "val_each_array",            # FilterRepeater over arrays
     "val_ip_address",            # IpAddress validator
-    "val_maxbytes_check",        # MaxBytes expr check
     "val_split_parts",           # Split into keyed struct
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
@@ -14433,3 +14434,90 @@ def ds_lsh_multiprobe(spark, sf_dir):
     out = similarity.lsh_topk(emb, q, k=10, n_planes=4, probes=3,
                               round_dp=6)
     return out.select("query_id", "neighbor_id", "score", "rank")
+
+
+@register(
+    "rel_cdc_scd2",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), planted AS (
+      SELECT CAST(1800000000 + i AS BIGINT) AS k, CAST(i AS BIGINT)
+               AS cents, CAST(i AS BIGINT) AS i
+      FROM range(1, 41) t(i)
+    ), ivl AS (
+      SELECT k, cents, 1 AS s, CAST(NULL AS INT) AS e FROM base
+      UNION ALL
+      SELECT k, cents, 1, CASE WHEN i <= 20 THEN 2 END FROM planted
+      UNION ALL
+      SELECT k, cents + 7, 2, CASE WHEN i <= 10 THEN 3 END
+      FROM planted WHERE i <= 20
+      UNION ALL
+      SELECT CAST(1900000000 + i AS BIGINT), CAST(i AS BIGINT), 4, NULL
+      FROM range(1, 6) t(i)
+    )
+    SELECT CAST(s AS BIGINT) AS start_version,
+           CAST(coalesce(e, -1) AS BIGINT) AS end_version,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+    FROM ivl GROUP BY 1, 2
+    """,
+)
+def rel_cdc_scd2(spark, sf_dir):
+    """SCD TYPE-2 replica from the change feed under the value hash
+    (plans.joins.scd2_from_changes — Delta Live Tables' APPLY CHANGES
+    STORED AS SCD TYPE 2 on this format's CDC: apply_changes_sink
+    keeps the LATEST state, this keeps the HISTORY; per-commit feeds,
+    because a span read would NET intermediate states away — exactly
+    what a type-2 history must preserve).  Lifecycle: orders + 40
+    planted rows (keys at 1.8B, clear of the sf1 stress spaces) →
+    COW UPDATE (+7 cents on planted 1-20) → COW DELETE (planted
+    1-10) → merge of 5 new keys at 1.9B; every commit touches
+    planted rows so versions are fixed at every scale including the
+    empty axis.  The hash pins the full interval table grouped by
+    (start, end): untouched keys stay [1, ∞), updated keys split at
+    v2, deleted keys close at v3 without reopening, merged keys open
+    at v4 — a missed close, a netted-away intermediate, or a
+    resurrected delete shifts a group.  As-of reconstruction ≡
+    time-travel snapshots is pytest-pinned (TestScd2FromChanges)."""
+    import tempfile
+
+    from ..plans.joins import scd2_from_changes
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    planted = spark.range(1, 41).select(
+        (F.lit(1_800_000_000) + F.col("id")).alias("o_orderkey"),
+        F.col("id").cast("bigint").alias("cents"))
+    path = tempfile.mkdtemp(prefix="fs_scd2_") + "/t"
+    V.write_versioned(
+        base.unionByName(planted).repartitionByRange(8, "o_orderkey"),
+        path)
+    V.update_where(
+        spark, path,
+        F.col("o_orderkey").between(1_800_000_001, 1_800_000_020),
+        {"cents": F.col("cents") + 7})
+    V.delete_where(
+        spark, path,
+        F.col("o_orderkey").between(1_800_000_001, 1_800_000_010))
+    V.merge_versioned(
+        spark, path,
+        spark.range(1, 6).select(
+            (F.lit(1_900_000_000) + F.col("id")).alias("o_orderkey"),
+            F.col("id").cast("bigint").alias("cents")),
+        "o_orderkey")
+    hist = scd2_from_changes(spark, path, "o_orderkey", 1)
+    return hist.groupBy(
+        F.col("__start_version").alias("start_version"),
+        F.coalesce("__end_version", F.lit(-1)).cast("long")
+        .alias("end_version"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"))

@@ -1809,3 +1809,71 @@ class TestBloomSkipping:
         # still reads its row back
         assert V.read_version(spark, t).where(
             F.col("uid").isNull()).count() == 5
+
+
+class TestScd2FromChanges:
+    def _mk(self, spark, tmp_path):
+        from filters_spark.plans.joins import scd2_from_changes
+        t = str(tmp_path / "t")
+        df = spark.range(0, 100).select(
+            F.col("k") if False else F.col("id").alias("k"),
+            (F.col("id") * 10).alias("c"))
+        V.write_versioned(df.repartitionByRange(4, "k"), t)
+        V.update_where(spark, t, F.col("k").between(10, 29),
+                       {"c": F.col("c") + 7})
+        V.delete_where(spark, t, F.col("k").between(20, 29))
+        V.merge_versioned(spark, t, spark.range(1000, 1005).select(
+            F.col("id").alias("k"),
+            F.lit(1).cast("bigint").alias("c")), "k")
+        return t, scd2_from_changes(spark, t, "k", 1)
+
+    def test_interval_shape(self, spark, tmp_path):
+        t, h = self._mk(spark, tmp_path)
+        agg = {}
+        for r in h.collect():
+            kk = (r["__start_version"], r["__end_version"])
+            agg[kk] = agg.get(kk, 0) + 1
+        assert agg == {(1, 2): 20, (1, None): 80, (2, 3): 10,
+                       (2, None): 10, (4, None): 5}
+        cur = {r["k"]: r["c"] for r in h.collect() if r["is_current"]}
+        assert cur[15] == 157 and 25 not in cur and cur[1000] == 1
+
+    def test_asof_reconstruction_equals_time_travel(self, spark,
+                                                    tmp_path):
+        t, h = self._mk(spark, tmp_path)
+        for v in (1, 2, 3, 4):
+            asof = h.where(
+                (F.col("__start_version") <= v)
+                & (F.col("__end_version").isNull()
+                   | (F.col("__end_version") > v)))
+            want = {(r["k"], r["c"]) for r in
+                    V.read_version(spark, t, v).collect()}
+            got = {(r["k"], r["c"]) for r in
+                   asof.select("k", "c").collect()}
+            assert got == want, v
+
+    def test_reinserted_key_opens_fresh_interval(self, spark,
+                                                 tmp_path):
+        from filters_spark.plans.joins import scd2_from_changes
+        t = str(tmp_path / "r")
+        V.write_versioned(spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit(1).cast("bigint").alias("c")), t)
+        V.delete_where(spark, t, F.col("k") == 5)
+        V.merge_versioned(spark, t, spark.range(5, 6).select(
+            F.col("id").alias("k"),
+            F.lit(99).cast("bigint").alias("c")), "k")
+        h = scd2_from_changes(spark, t, "k", 1)
+        k5 = sorted((r["__start_version"], r["__end_version"], r["c"])
+                    for r in h.where(F.col("k") == 5).collect())
+        assert k5 == [(1, 2, 1), (3, None, 99)]
+
+    def test_unchanged_rewrites_never_version(self, spark, tmp_path):
+        from filters_spark.plans.joins import scd2_from_changes
+        t = str(tmp_path / "u")
+        df = spark.range(0, 10).select(F.col("id").alias("k"),
+                                       F.lit(1).cast("bigint").alias("c"))
+        V.write_versioned(df, t)
+        V.optimize_versioned(spark, t, n_files=2)   # layout-only
+        h = scd2_from_changes(spark, t, "k", 1)
+        assert h.count() == 10
+        assert h.where(~F.col("is_current")).count() == 0

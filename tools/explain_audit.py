@@ -330,6 +330,7 @@ EXPECTATIONS: dict[str, dict] = {
     "prof_mad_outliers": dict(max_exchanges=4, min_broadcasts=2),
     "ds_percentile_select": dict(max_exchanges=4, min_broadcasts=1),
     "ds_lsh_multiprobe": dict(max_exchanges=1, min_broadcasts=1),
+    "rel_cdc_scd2": dict(max_exchanges=8),
     # count-min calibration: the d×w table rollup (map-side-bounded),
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
