@@ -1955,7 +1955,8 @@ def optimize_versioned(spark: SparkSession, path: str,
                        zorder: list[str] | None = None,
                        n_files: int = 32, bits: int = 8,
                        stats_cols: list[str] | None = None,
-                       partition_by: list[str] | None = None) -> int:
+                       partition_by: list[str] | None = None,
+                       min_file_bytes: int | None = None) -> int:
     """Table-maintenance OPTIMIZE (Delta OPTIMIZE [ZORDER BY]'s job):
     rewrite the HEAD snapshot's files — plain small-file compaction
     into ``n_files`` (round-robin), or with ``zorder`` a multi-column
@@ -1976,10 +1977,53 @@ def optimize_versioned(spark: SparkSession, path: str,
 
     Cost: one full read + one shuffle (the range partition) + one
     write — the standard maintenance pass; run it on cadence or when
-    small-file counts degrade scan parallelism."""
+    small-file counts degrade scan parallelism.
+
+    ``min_file_bytes`` makes the compaction SELECTIVE (Delta
+    OPTIMIZE's minFileSize behavior, on the file-reuse machinery):
+    only files SMALLER than the threshold are read and bin-packed
+    into ``n_files``; every already-right-sized file is carried by
+    REFERENCE with its stats and bloom entries intact — maintenance
+    on a 100 TB table touches the small-file tail, not the table.
+    No-op (returns the current head, no commit) when nothing is
+    below the threshold; flat layouts only (partitioned snapshots
+    compact via the full rewrite — pass no threshold); mutually
+    exclusive with ``zorder`` (re-clustering rewrites everything by
+    design)."""
     head = latest_version(path)
     if head is None:
         raise ValueError(f"versioned table {path!r} has no snapshots")
+    if min_file_bytes is not None:
+        if zorder:
+            raise ValueError(
+                "optimize_versioned: min_file_bytes is the selective "
+                "compaction mode — zorder re-clusters everything; "
+                "pass one or the other")
+        m = _read_manifest(path, head)
+        if m.get("partition_by"):
+            raise ValueError(
+                "optimize_versioned: selective compaction needs a "
+                "flat layout (file-reuse invariant) — partitioned "
+                "snapshots compact via the full rewrite")
+        files = _root_files(path, m)
+        sizes = {f: os.path.getsize(os.path.join(path, f))
+                 for f in files}          # driver metadata loop
+        small = [f for f in files if sizes[f] < min_file_bytes]
+        if not small:
+            return head                   # nothing to compact: no-op
+        big = [f for f in files if sizes[f] >= min_file_bytes]
+        schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+        packed = (spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in small])
+            .repartition(min(n_files, len(small))))
+        stats = _root_stats(path, m)
+        return write_versioned(
+            packed, path, expected_parent=head, _op="optimize",
+            extra_meta={"compacted": len(small), "carried": len(big)},
+            stats_cols=stats_cols if stats_cols is not None
+            else m.get("stats_cols"),
+            reuse_files=big,
+            reuse_stats={f: stats[f] for f in big if f in stats})
     df = read_version(spark, path, head)
     if zorder:
         from ..functions.layout import zorder_key

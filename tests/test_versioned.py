@@ -1877,3 +1877,72 @@ class TestScd2FromChanges:
         h = scd2_from_changes(spark, t, "k", 1)
         assert h.count() == 10
         assert h.where(~F.col("is_current")).count() == 0
+
+
+class TestSelectiveCompaction:
+    def test_compacts_only_the_small_tail(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        big = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        V.write_versioned(big.repartitionByRange(2, "k"), t,
+                          stats_cols=["k"])
+        # 6 tiny appended files via 6 file-reuse merges
+        for i in range(6):
+            lo = 200_000 + i * 10
+            V.merge_versioned(spark, t, spark.range(lo, lo + 10)
+                              .coalesce(1)
+                              .select(F.col("id").alias("k"),
+                                      (F.col("id") * 3).alias("v")),
+                              "k", file_reuse=True)
+        m1 = V._read_manifest(t, 7)
+        assert m1["n_files"] >= 8
+        v = V.optimize_versioned(spark, t, min_file_bytes=256 * 1024,
+                                 n_files=2)
+        m2 = V._read_manifest(t, v)
+        assert m2["op"] == "optimize"
+        assert m2["carried"] == 2            # the two big files
+        assert m2["compacted"] >= 6
+        # big files carried by REFERENCE (paths outside snap/v=3/)
+        carried = [f for f in m2["data_files"]
+                   if not f.startswith(f"snap/v={v}/")]
+        assert len(carried) == 2
+        # content preserved, stats carried (pruning still works)
+        assert V.read_version(spark, t).count() == 200_060
+        kept = V.prune_files(m2, ("k", 0, 10))
+        assert kept is not None and len(kept) < m2["n_files"]
+        # the feed across the optimize is EMPTY (layout-blind CDC)
+        assert V.read_changes(spark, t, "k", 7, v).count() == 0
+
+    def test_noop_and_guards(self, spark, tmp_path):
+        import pytest
+        t = str(tmp_path / "n")
+        V.write_versioned(spark.range(0, 1000).select(
+            F.col("id").alias("k")), t)
+        head = V.latest_version(t)
+        assert V.optimize_versioned(spark, t, min_file_bytes=10) == head
+        assert V.latest_version(t) == head   # truly no commit
+        with pytest.raises(ValueError, match="one or the other"):
+            V.optimize_versioned(spark, t, zorder=["k"],
+                                 min_file_bytes=10)
+        p = str(tmp_path / "p")
+        V.write_versioned(spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("d")), p,
+            partition_by=["d"])
+        with pytest.raises(ValueError, match="flat layout"):
+            V.optimize_versioned(spark, p, min_file_bytes=10)
+
+    def test_bloom_carries_through_compaction(self, spark, tmp_path):
+        t = str(tmp_path / "b")
+        df = spark.range(0, 8000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        V.write_versioned(df.repartition(8, "v"), t, bloom_cols=["k"])
+        V.merge_versioned(spark, t, spark.range(8000, 8010).select(
+            F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")),
+            "k", file_reuse=True)
+        v = V.optimize_versioned(spark, t, min_file_bytes=1024,
+                                 n_files=1)
+        m = V._read_manifest(t, v)
+        assert m.get("bloom_cols") == ["k"]
+        assert V.read_version(spark, t, where=("k", 4242, 4242)).where(
+            F.col("k") == 4242).count() == 1
