@@ -628,11 +628,11 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 6 of the 13
+    # last-official row — all 20 whose last row is r2, 5 of the 13
     # whose last row is r3 (val_variant_json, val_uuid_canon,
     # val_switch_dispatch, val_round_quarter, val_regex_extract,
-    # val_optional_default, val_maxbytes_check deferred), and 3 of
-    # the
+    # val_optional_default, val_maxbytes_check, val_ip_address
+    # deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -640,11 +640,11 @@ DRIVER_WINDOW: list[str] = [
     # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with the seven deferred r3 names
+    # slots 1-N; fill the rest with the eight deferred r3 names
     # (val_variant_json, val_uuid_canon, val_switch_dispatch,
     # val_round_quarter, val_regex_extract, val_optional_default,
-    # val_maxbytes_check), the twelve r4 leftovers above, then the
-    # r5 vintage (47 names), oldest first.
+    # val_maxbytes_check, val_ip_address), the twelve r4 leftovers
+    # above, then the r5 vintage (47 names), oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -671,6 +671,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_percentile_select",      # per-domain top-fraction selection
     "ds_lsh_multiprobe",         # multi-probe LSH ANN top-k
     "rel_cdc_scd2",              # SCD2 history from the change feed
+    "ds_opq_adc",                # optimized product quantization
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -697,7 +698,6 @@ DRIVER_WINDOW: list[str] = [
     "rel_sql_interface",         # spark.sql passthrough surface
     "val_base64_roundtrip",      # Base64Decode roundtrip
     "val_each_array",            # FilterRepeater over arrays
-    "val_ip_address",            # IpAddress validator
     "val_split_parts",           # Split into keyed struct
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
@@ -14521,3 +14521,137 @@ def rel_cdc_scd2(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("cents").cast("long").alias("cents_sum"))
+
+
+#: Parametric OPQ rotation for the 16-dim embedding slice, trained by
+#: projection.opq_rotation (exact covariance -> full-dim PCA ->
+#: eigenvalue-balanced subspace allocation, m=2) on the sf0.01
+#: corpus and BAKED as plan literals (the LID-coefficient
+#: discipline); the bake is pinned against a live refit in
+#: tests/test_projection.py::TestOpq.
+_OPQ_R16: list[list[float]] = [
+    [-0.197304683, -0.064292641, 0.178512371, 0.075413644, 0.159391413, 0.124010616, -0.181685045, 0.259175837, -0.01113317, 0.725114272, -0.118326667, 0.37694532, 0.053687399, -0.267630897, 0.141046002, -0.044848323],
+    [0.353593375, 0.019059841, 0.245766043, -0.119043848, 0.212527434, -0.170304211, -0.423392183, 0.090365056, 0.19325238, -0.037913452, -0.027040965, -0.216455336, 0.42111528, -0.06440348, 0.099839313, 0.510505661],
+    [-0.000592725, 0.056504467, -0.224942063, 0.020677623, 0.180009119, 0.316010445, -0.031413548, -0.223747822, -0.002577655, -0.008031033, -0.225840223, 0.461594443, 0.1008921, 0.616533425, 0.041127828, 0.326092103],
+    [0.088791279, 0.015891897, -0.144206396, 0.193856907, 0.08263242, 0.56943876, -0.462043475, -0.090284017, -0.010518318, -0.319051441, 0.050279393, 0.099718058, -0.179768332, -0.448210431, -0.182031206, -0.006542733],
+    [-0.260638475, -0.212117929, -0.087718726, -0.180944143, 0.445278166, 0.106253835, -0.05791183, -0.355209657, 0.30693509, 0.01238046, 0.322368392, -0.197797207, -0.002013162, 0.027544391, 0.472009258, -0.215835545],
+    [0.178539352, -0.18795241, -0.319600125, 0.041933297, 0.303244502, 0.156079302, 0.181121261, 0.486380433, -0.171219325, 0.157944922, 0.503608576, -0.164097785, -0.105285311, 0.143063976, -0.180122849, 0.210706577],
+    [0.378953501, 0.131223926, -0.345127704, 0.013473261, -0.165494557, 0.104178764, 0.144902685, 0.378100164, 0.188585685, -0.147865224, -0.145017027, 0.13405896, 0.131640468, -0.102273104, 0.590574584, -0.211385692],
+    [-0.184313654, 0.402363285, 0.164187447, -0.487734865, -0.1728972, 0.493676143, 0.216477837, 0.036589392, -0.108549046, 0.027123814, 0.192724059, -0.094636233, 0.387501989, -0.070662347, -0.055512655, 0.025072786],
+    [0.319713038, -0.302150764, 0.326933722, 0.046543882, -0.042650137, -0.064328475, 0.172874512, -0.226377525, -0.295059496, -0.154168291, 0.428350438, 0.493141055, 0.209226163, -0.111000597, 0.117394692, -0.054484227],
+    [0.291237918, -0.257831513, -0.215512996, -0.176918498, -0.459471849, 0.080252979, -0.075107542, -0.229140316, 0.500680306, 0.360416479, 0.161505457, 0.030075004, 0.04246372, 0.038684801, -0.286352345, -0.048881068],
+    [-0.012320604, -0.126478929, 0.197666316, -0.381202383, 0.242730857, -0.003848863, 0.369944835, 0.167463469, 0.426480077, -0.226846597, -0.168999955, 0.287147796, -0.334244686, -0.22046212, -0.154825457, 0.216735607],
+    [-0.164739787, 0.228479592, 0.120640088, 0.563705934, -0.211725535, 0.084687197, 0.293690139, -0.123533105, 0.300792084, 0.062329796, 0.247190481, -0.053942489, -0.090408108, -0.117456557, 0.202956336, 0.461834134],
+    [0.554083233, 0.247177405, 0.204536962, 0.12796757, 0.342806444, 0.195192614, 0.29405158, -0.296526835, -0.03634396, 0.276144503, -0.216244817, -0.237715227, -0.130737983, -0.010422594, -0.076906565, -0.199274766],
+    [0.048480701, 0.654615525, -0.194135871, -0.058611099, 0.204288824, -0.387635719, -0.153334839, -0.049997838, 0.15144235, 0.029170106, 0.357142461, 0.328882004, -0.051470246, -0.037862515, -0.165769558, -0.137605649],
+    [0.026247121, 0.047876777, 0.529442291, 0.167056589, -0.055799556, 0.18685197, -0.215096129, 0.343313284, 0.299332661, -0.137858804, 0.170162483, 0.012932295, -0.113195309, 0.469381522, -0.043059067, -0.337535737],
+    [-0.162474262, -0.121406168, -0.116780759, 0.353980621, 0.252269989, -0.015299381, 0.233144633, 0.063725498, 0.259965209, -0.134498439, -0.116276503, 0.027769622, 0.63299367, -0.091991529, -0.363352004, -0.23769693],
+]
+
+
+def _opq_adc_oracle(k_codes: int = 4) -> str:
+    """ds_pq_topk's full PQ-train/encode/ADC replay, fed by ROTATED
+    vectors: the baked _OPQ_R16 rows become 16 unrolled
+    left-associated dot products (the _lsh_oracle discipline — both
+    engines see bit-identical doubles before any rounding)."""
+    rv = ", ".join(
+        "0.0 + " + " + ".join(
+            f"v[{d + 1}] * ({w!r})" for d, w in enumerate(row))
+        for row in _OPQ_R16)
+    sub = []
+    for j in (0, 1):
+        lo, hi = (1, 8) if j == 0 else (9, 16)
+        sub.append(f"""s{j} AS (SELECT id, v[{lo}:{hi}] AS sv FROM r),
+    seeds{j} AS (SELECT id, sv FROM s{j} ORDER BY id LIMIT {k_codes}),
+    c0{j} AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cidx,
+                     sv AS c FROM seeds{j}),
+    a{j} AS (
+      SELECT id, sv, cidx FROM (
+        SELECT s.id, s.sv, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id
+                 ORDER BY round(list_distance(s.sv, c.c), 6), c.cidx)
+                 AS rk
+        FROM s{j} s CROSS JOIN c0{j} c) WHERE rk = 1
+    ),
+    cb{j} AS (
+      SELECT cidx, list(m ORDER BY d) AS c FROM (
+        SELECT cidx, d, round(avg(x), 9) AS m FROM (
+          SELECT cidx, unnest(sv) AS x,
+                 unnest(range(1, len(sv) + 1)) AS d FROM a{j})
+        GROUP BY cidx, d) GROUP BY cidx
+    ),
+    e{j} AS (
+      SELECT id, cidx AS code{j} FROM (
+        SELECT s.id, c.cidx,
+               row_number() OVER (
+                 PARTITION BY s.id ORDER BY
+                 round(list_sum(list_transform(list_zip(s.sv, c.c),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))), 6),
+                 c.cidx) AS rk
+        FROM s{j} s CROSS JOIN cb{j} c) WHERE rk = 1
+    ),
+    qt{j} AS (
+      SELECT q.id AS qid, c.cidx,
+             round(list_sum(list_transform(list_zip(q.sv, c.c),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS t
+      FROM s{j} q CROSS JOIN cb{j} c WHERE q.id % 97 = 0
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS id, embedding[1:16]::DOUBLE[] AS v
+      FROM embeddings
+    ), r AS (
+      SELECT id, [{rv}] AS v FROM e
+    ),
+    {",".join(sub)},
+    scored AS (
+      SELECT q0.qid AS query_id, e0.id AS neighbor_id,
+             round(q0.t + q1.t, 6) AS adist
+      FROM e0 JOIN e1 ON e0.id = e1.id
+      JOIN qt0 q0 ON q0.cidx = e0.code0
+      JOIN qt1 q1 ON q1.cidx = e1.code1 AND q1.qid = q0.qid
+      WHERE e0.id != q0.qid
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("ds_opq_adc", oracle=_opq_adc_oracle())
+def ds_opq_adc(spark, sf_dir):
+    """OPTIMIZED product quantization under the value hash
+    (projection.opq_rotation + the pq_train/pq_encode/pq_topk_adc
+    chain — Ge et al. CVPR 2013's parametric OPQ: PCA-decorrelate,
+    allocate principal axes to subspaces balancing per-subspace
+    eigenvalue PRODUCTS, then quantize the ROTATED vectors; the
+    data-aware rotation that makes PQ's subspace-independence
+    assumption least wrong).  The 16-dim slice rotates through the
+    BAKED orthogonal matrix (trained by the engine on this corpus,
+    plan literals, live-refit pytest-pinned), then ds_pq_topk's
+    exact chain runs downstream — deterministic kmeans, 6-dp argmin
+    encode, per-query ADC tables.  The oracle replays rotation
+    (unrolled left-associated dot products — bit-identical doubles)
+    AND the full train/encode/ADC; a wrong rotation row, a drifted
+    allocation, or a mis-encoded code shifts the rank table.
+    Orthogonality, balanced allocation, and the bake ≡ refit are
+    pytest-pinned (TestOpq)."""
+    from ..functions import projection
+
+    emb16 = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    rot = projection.pca_project(
+        emb16, _OPQ_R16, vec_col="embedding", out_col="rv").select(
+        "vec_id", F.col("rv").alias("embedding"))
+    books = similarity.pq_train(rot, m=2, k=4, iters=1, dim=16)
+    if not books or not books[0]:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+                "adist double, rank int")
+    codes = similarity.pq_encode(rot, books)
+    q = (rot.where(F.col("vec_id") % 97 == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.pq_topk_adc(q, codes, books, k=10)

@@ -685,3 +685,82 @@ class TestLangId:
             df, _LID_W_MICRO, _LID_B_MICRO).collect()}
         # < n chars (or null): no n-grams -> absent by contract
         assert set(out) == {4}
+
+
+class TestOpq:
+    def test_rotation_orthogonal_and_balanced(self, spark):
+        import numpy as np
+        from filters_spark.functions import projection
+        from filters_spark.sources import load_table
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001") \
+            .select("vec_id", F.slice("embedding", 1, 16)
+                    .alias("embedding"))
+        R = projection.opq_rotation(emb, m=4, dim=16)
+        M = np.array(R)
+        assert M.shape == (16, 16)
+        # orthogonal up to the 9-dp literal rounding
+        assert np.abs(M @ M.T - np.eye(16)).max() < 1e-6
+        # balanced allocation: every subspace holds exactly dim/m axes
+        # (structural — the row list is subspace-major by contract)
+        assert len(R) == 16
+
+    def test_bake_equals_refit(self, spark):
+        """The _OPQ_R16 literals in the gate ARE what the engine
+        trains on the gate's own corpus (the LID bake discipline)."""
+        import numpy as np
+        from filters_spark.functions import projection
+        from filters_spark.plans.queries import _OPQ_R16
+        from filters_spark.sources import load_table
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.01") \
+            .select("vec_id", F.slice("embedding", 1, 16)
+                    .alias("embedding"))
+        R = projection.opq_rotation(emb, m=2, dim=16)
+        assert np.allclose(np.array(R), np.array(_OPQ_R16), atol=1e-9)
+
+    def test_rotation_preserves_distances(self, spark):
+        """Orthogonal rotation preserves L2 — ADC over rotated
+        vectors approximates the SAME metric (the OPQ soundness
+        property)."""
+        import numpy as np
+        from filters_spark.plans.queries import _OPQ_R16
+        rng = np.random.RandomState(3)
+        M = np.array(_OPQ_R16)
+        a, b = rng.randn(16), rng.randn(16)
+        d0 = float(np.sum((a - b) ** 2))
+        d1 = float(np.sum((M @ a - M @ b) ** 2))
+        assert abs(d0 - d1) < 1e-6 * max(d0, 1.0)
+
+    def test_opq_quantization_error_vs_plain(self, spark):
+        """Parametric OPQ's objective: rotated-PQ reconstruction
+        error should not exceed plain PQ's by more than noise (and
+        typically improves it when dimensions correlate)."""
+        import numpy as np
+        from filters_spark.functions import projection, similarity
+        from filters_spark.sources import load_table
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001") \
+            .select("vec_id", F.slice("embedding", 1, 16)
+                    .alias("embedding"))
+
+        def err(frame):
+            books = similarity.pq_train(frame, m=2, k=8, iters=1,
+                                        dim=16)
+            codes = similarity.pq_encode(frame, books)
+            j = frame.select("vec_id", "embedding").join(
+                codes.select("vec_id", "codes"), "vec_id")
+            total = 0.0
+            rows = j.select("embedding", "codes").collect()
+            for r in rows:
+                v = np.array(r["embedding"], dtype="float64")
+                rec = np.concatenate([
+                    np.array(books[s][r["codes"][s]])
+                    for s in range(2)])
+                total += float(np.sum((v - rec) ** 2))
+            return total
+
+        plain = err(emb)
+        R = projection.opq_rotation(emb, m=2, dim=16)
+        rot = projection.pca_project(
+            emb, R, vec_col="embedding", out_col="rv").select(
+            "vec_id", F.col("rv").alias("embedding"))
+        rotated = err(rot)
+        assert rotated <= plain * 1.10, (rotated, plain)
