@@ -98,12 +98,14 @@ _HILBERT_SLUT = 3083492385  # 0xb7ca5c21
 
 
 def _hilbert_lut(lut: int, idx_units: Column) -> Column:
-    """``(lut >> (idx_units * 2)) & 3`` without a variable-shift
-    builtin: floor-divide by an exact power of four.  ``idx_units``
-    ≤ 15 so ``4**idx`` ≤ 2**30 and ``lut`` < 2**32 — the double
-    division is exact."""
-    pow4 = F.pow(F.lit(4.0), idx_units.cast("double"))
-    return F.floor(F.lit(lut).cast("bigint") / pow4).cast("bigint") % 4
+    """``(lut >> (idx_units * 2)) & 3`` — a true variable shift via
+    the SQL ``shiftright`` expression (its JVM form takes COLUMN
+    shift counts; only the PySpark convenience wrapper restricts to
+    Python ints).  Measured 3× faster than the floor-divide-by-
+    ``pow(4, idx)`` formulation at 2M rows (SCALE.md §31)."""
+    return F.call_function(
+        "shiftright", F.lit(lut).cast("bigint"),
+        (idx_units * 2).cast("int")).bitwiseAND(F.lit(3))
 
 
 def hilbert_key(df: DataFrame, cols: list[str],
@@ -128,6 +130,11 @@ def hilbert_key(df: DataFrame, cols: list[str],
     (bx, by), stats = _linear_buckets(df, cols, bits)
     bx = bx.cast("bigint")
     by = by.cast("bigint")
+    # NOTE a 65536-entry literal lookup table (element_at per row)
+    # was tried and measured 4× SLOWER than this FSM chain at 2M
+    # rows (41.7 s vs 11.0 s — the array literal does not stay O(1)
+    # per probe through codegen); the chain with true variable
+    # shifts is the measured-best formulation (SCALE.md §31).
     st = F.lit(0).cast("bigint")
     key = F.lit(0).cast("bigint")
     for lvl in range(bits - 1, -1, -1):
@@ -136,6 +143,20 @@ def hilbert_key(df: DataFrame, cols: list[str],
         key = key + _hilbert_lut(_HILBERT_DLUT, idx) * (4 ** lvl)
         st = _hilbert_lut(_HILBERT_SLUT, idx)
     return key, stats
+
+
+def _hilbert_d(bits: int, x: int, y: int) -> int:
+    """Driver-side FSM walk over the baked LUTs (the same transducer
+    the >8-bit expression path compiles) — builds the literal lookup
+    table and keeps both paths provably one algorithm."""
+    st = 0
+    d = 0
+    for lvl in range(bits - 1, -1, -1):
+        q = (((x >> lvl) & 1) << 1) | ((y >> lvl) & 1)
+        idx = (st * 4 + q) * 2
+        d = (d << 2) | ((_HILBERT_DLUT >> idx) & 3)
+        st = (_HILBERT_SLUT >> idx) & 3
+    return d
 
 
 def write_zordered(df: DataFrame, path: str, cols: list[str],

@@ -104,11 +104,14 @@ class _ChangeFilePartition(InputPartition):
 
 class _ChangeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, start_version: int,
-                 names: tuple[str, ...], schema_json: str):
+                 names: tuple[str, ...], schema_json: str,
+                 max_versions: int | None = None):
         self._path = path
         self._start = start_version        # first version to SERVE
         self._names = names                # payload columns, declared order
         self._schema_json = schema_json    # payload StructType as JSON
+        self._max_versions = max_versions  # rate limit per micro-batch
+        self._cursor = start_version - 1   # last version HANDED OUT
 
     # -- offsets ------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -118,14 +121,23 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         from ..sources import versioned as V
 
         head = V.latest_version(self._path)
-        return {"version": head if head is not None
-                else self._start - 1}
+        if head is None:
+            return {"version": self._start - 1}
+        if self._max_versions is not None:
+            # rate limiting (Delta maxFilesPerTrigger's shape): cap
+            # each micro-batch at N COMMITS past what was last
+            # planned.  The cursor also advances in partitions(), so
+            # a checkpoint-restart replay (planned from Spark's
+            # offsets without a latestOffset round) re-syncs it.
+            head = min(head, self._cursor + self._max_versions)
+        return {"version": head}
 
     # -- planning (driver) ---------------------------------------------
     def partitions(self, start: dict, end: dict):
         from ..sources import versioned as V
 
         lo, hi = int(start["version"]), int(end["version"])
+        self._cursor = max(self._cursor, hi)
         parts: list[_ChangeFilePartition] = []
         for v in range(lo + 1, hi + 1):
             if v not in set(V.versions(self._path)):
@@ -198,6 +210,15 @@ class VersionedChangesDataSource(DataSource):
       consumer that needs current state first
       bootstraps via ``consume_changes(bootstrap='snapshot')`` or a
       plain ``read_version``, then streams from head+1).
+    - ``maxVersionsPerBatch`` (optional): rate limit — at most N
+      source COMMITS per micro-batch (Delta maxFilesPerTrigger's
+      shape).  A backlogged checkpoint catches up in bounded batches
+      instead of one giant replay; unlimited when unset.  CAVEAT:
+      ``trigger(availableNow=True)`` computes its end offset ONCE, so
+      a capped backlog drains one span per RUN under availableNow —
+      use a continuous/processingTime trigger (or repeated
+      availableNow runs, each resuming the checkpoint) to drain a
+      backlog under a rate limit.
     """
 
     @classmethod
@@ -230,12 +251,21 @@ class VersionedChangesDataSource(DataSource):
         payload = T.StructType([f for f in schema.fields
                                 if f.name != COMMIT_COL])
         names = tuple(f.name for f in payload.fields)
+        mv = self.options.get("maxVersionsPerBatch")
+        if mv is not None:
+            mv = int(mv)
+            if mv < 1:
+                raise ValueError(
+                    "versioned_changes: maxVersionsPerBatch must be "
+                    ">= 1")
         return _ChangeFeedStreamReader(path, start, names,
-                                       payload.json())
+                                       payload.json(),
+                                       max_versions=mv)
 
 
 def change_feed_stream(spark, path: str,
-                       starting_version: int | None = None):
+                       starting_version: int | None = None,
+                       max_versions_per_batch: int | None = None):
     """Open a versioned table's stored change feed as a streaming
     DataFrame (registers the data source; idempotent per session).
     See :class:`VersionedChangesDataSource` for option semantics."""
@@ -243,6 +273,12 @@ def change_feed_stream(spark, path: str,
     reader = spark.readStream.format(FORMAT_NAME).option("path", path)
     if starting_version is not None:
         reader = reader.option("startingVersion", int(starting_version))
+    if max_versions_per_batch is not None:
+        if int(max_versions_per_batch) < 1:
+            raise ValueError(
+                "change_feed_stream: maxVersionsPerBatch must be >= 1")
+        reader = reader.option("maxVersionsPerBatch",
+                               int(max_versions_per_batch))
     return reader.load()
 
 

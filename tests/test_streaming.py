@@ -1142,3 +1142,63 @@ class TestChangeFeedStream:
                        fb=lambda b, i: None)
         assert q2.exception() is not None
         assert "no stored change files" in str(q2.exception())
+
+
+class TestChangeFeedRateLimit:
+    def test_max_versions_per_batch(self, spark, tmp_path):
+        """maxVersionsPerBatch=1: a backlog of commits drains one
+        commit per micro-batch (bounded catch-up), and the union is
+        the complete feed."""
+        import os as _os
+
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import change_feed_stream
+        src = _os.path.join(str(tmp_path), "src")
+        V.write_versioned(spark.createDataFrame(
+            [(1, 10), (2, 20)], "k bigint, n bigint"), src)      # v1
+        for step in range(3):                                    # v2-v4
+            V.merge_versioned(spark, src, spark.createDataFrame(
+                [(10 + step, 100 + step)], "k bigint, n bigint"),
+                "k", store_changes=True)
+        batches: list = []
+
+        def fb(df, bid):
+            batches.append(
+                {int(r["_commit_version"]) for r in
+                 df.select("_commit_version").distinct().collect()})
+
+        stream = change_feed_stream(spark, src, starting_version=2,
+                                    max_versions_per_batch=1)
+        # availableNow computes its end ONCE (documented caveat), so
+        # drain the backlog with a continuous trigger and stop once
+        # three commits arrived
+        import time as _time
+        q = (stream.writeStream
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .foreachBatch(fb)
+             .trigger(processingTime="0 seconds").start())
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            if sum(1 for b in batches if b) >= 3:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        nonempty = [b for b in batches if b]
+        # one commit per micro-batch, three commits total, in order
+        assert all(len(b) == 1 for b in nonempty)
+        assert [min(b) for b in nonempty][:3] == [2, 3, 4]
+
+    def test_guard(self, spark, tmp_path):
+        import os as _os
+
+        import pytest
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import change_feed_stream
+        src = _os.path.join(str(tmp_path), "src")
+        V.write_versioned(spark.createDataFrame(
+            [(1, 10)], "k bigint, n bigint"), src)
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(2, 20)], "k bigint, n bigint"), "k", store_changes=True)
+        with pytest.raises(ValueError, match="maxVersionsPerBatch"):
+            change_feed_stream(spark, src, max_versions_per_batch=0)
