@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "null_report", "category_drift", "ks_statistic", "table_diff", "mad_outliers"]
+__all__ = ["profile", "null_report", "category_drift", "ks_statistic", "table_diff", "mad_outliers", "winsorize"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None,
@@ -243,3 +243,26 @@ def mad_outliers(df: DataFrame, col: str, by: list[str] | None = None,
     return out.withColumn(
         "is_outlier",
         F.abs(F.col(col) - F.col("_med")) > F.lit(k) * F.col("_mad"))
+
+
+def winsorize(df: DataFrame, col: str, by: list[str] | None = None,
+              k: float = 3.0, out_col: str | None = None) -> DataFrame:
+    """Robust clamping to ``median ± k·MAD`` per group — the
+    outlier TREATMENT beside :func:`mad_outliers`' detection
+    (winsorization: extreme values are pulled to the fence instead of
+    dropped, preserving row counts for downstream joins/aggregates).
+    Same exact-arithmetic properties: no division, zero-MAD groups
+    clamp everything to the median, NULLs pass through NULL,
+    integer inputs stay engine-exact (fences land on quarters).
+    Appends ``out_col`` (default ``{col}_winsorized``)."""
+    out_col = out_col or f"{col}_winsorized"
+    flagged = mad_outliers(df, col, by=by, k=k)
+    lo = F.col("_med") - F.lit(k) * F.col("_mad")
+    hi = F.col("_med") + F.lit(k) * F.col("_mad")
+    return flagged.withColumn(
+        out_col,
+        F.when(F.col(col).isNull(), F.lit(None))
+        .when(F.col(col) < lo, lo)
+        .when(F.col(col) > hi, hi)
+        .otherwise(F.col(col).cast("double"))
+    ).drop("_med", "_mad", "is_outlier")

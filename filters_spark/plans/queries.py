@@ -628,11 +628,11 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 5 of the 13
+    # last-official row — all 20 whose last row is r2, 4 of the 13
     # whose last row is r3 (val_variant_json, val_uuid_canon,
     # val_switch_dispatch, val_round_quarter, val_regex_extract,
-    # val_optional_default, val_maxbytes_check, val_ip_address
-    # deferred), and 3 of the
+    # val_optional_default, val_maxbytes_check, val_ip_address,
+    # val_each_array deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -640,11 +640,12 @@ DRIVER_WINDOW: list[str] = [
     # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with the eight deferred r3 names
+    # slots 1-N; fill the rest with the nine deferred r3 names
     # (val_variant_json, val_uuid_canon, val_switch_dispatch,
     # val_round_quarter, val_regex_extract, val_optional_default,
-    # val_maxbytes_check, val_ip_address), the twelve r4 leftovers
-    # above, then the r5 vintage (47 names), oldest first.
+    # val_maxbytes_check, val_ip_address, val_each_array), the twelve
+    # r4 leftovers above, then the r5 vintage (47 names), oldest
+    # first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -672,6 +673,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_lsh_multiprobe",         # multi-probe LSH ANN top-k
     "rel_cdc_scd2",              # SCD2 history from the change feed
     "ds_opq_adc",                # optimized product quantization
+    "prof_winsorize",            # MAD-fence winsorization
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -697,7 +699,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_ngram_jaccard",          # n-gram Jaccard near-dup
     "rel_sql_interface",         # spark.sql passthrough surface
     "val_base64_roundtrip",      # Base64Decode roundtrip
-    "val_each_array",            # FilterRepeater over arrays
     "val_split_parts",           # Split into keyed struct
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
@@ -14655,3 +14656,58 @@ def ds_opq_adc(spark, sf_dir):
     q = (rot.where(F.col("vec_id") % 97 == 0)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     return similarity.pq_topk_adc(q, codes, books, k=10)
+
+
+@register(
+    "prof_winsorize",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), med AS (
+      SELECT grp, median(cents) AS med FROM base GROUP BY grp
+    ), dev AS (
+      SELECT b.grp, b.cents, abs(b.cents - m.med) AS dev, m.med
+      FROM base b JOIN med m USING (grp)
+    ), mad AS (
+      SELECT grp, median(dev) AS mad FROM dev GROUP BY grp
+    ), w AS (
+      SELECT d.grp, d.cents,
+             CASE WHEN d.cents < d.med - 3.0 * m.mad
+                    THEN d.med - 3.0 * m.mad
+                  WHEN d.cents > d.med + 3.0 * m.mad
+                    THEN d.med + 3.0 * m.mad
+                  ELSE CAST(d.cents AS DOUBLE) END AS wv
+      FROM dev d JOIN mad m USING (grp)
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN wv != cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped,
+           CAST(sum(wv * 4) AS BIGINT) AS wsum4
+    FROM w GROUP BY grp
+    """,
+)
+def prof_winsorize(spark, sf_dir):
+    """Robust winsorization under the value hash (profile.winsorize —
+    MAD-fence clamping, the outlier TREATMENT beside
+    prof_mad_outliers' detection: rows are pulled to median ± k·MAD,
+    never dropped).  Lineitem cents by return flag, k = 3: fences
+    land on exact QUARTERS (medians halve, MADs quarter), so every
+    winsorized value — and every partial sum of them — is exactly
+    representable, making the double sum ORDER-INDEPENDENT; the gate
+    emits it ×4 as a BIGINT checksum (no rounded doubles near
+    midpoints ever ride the hash).  Clamp counts pin the fence
+    placement from both sides."""
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"))
+    w = _profile.winsorize(base, "cents", by=["grp"], k=3.0)
+    return w.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("cents_winsorized") != F.col("cents"), 1)
+              .otherwise(0)).cast("long").alias("n_clamped"),
+        F.sum(F.col("cents_winsorized") * 4).cast("long")
+        .alias("wsum4"))

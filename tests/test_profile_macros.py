@@ -477,3 +477,29 @@ class TestMultiProbe:
                                    "vec_id bigint, embedding array<double>")
         with pytest.raises(ValueError, match="probes"):
             similarity.lsh_topk(df, df, n_planes=4, probes=6)
+
+
+class TestWinsorize:
+    def test_hand_computed(self, spark):
+        # med 3.5, MAD 2.0, k=3 -> fences [-2.5, 9.5]: 10 -> 9.5,
+        # 100 -> 9.5; everything else passes through
+        vals = [1, 2, 2, 3, 4, 7, 10, 100]
+        df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+        got = {r["x"]: r["x_winsorized"] for r in
+               profile.winsorize(df, "x", k=3.0).collect()}
+        assert got[10] == 9.5 and got[100] == 9.5
+        assert got[1] == 1.0 and got[7] == 7.0
+
+    def test_zero_mad_clamps_to_median_and_nulls(self, spark):
+        df = spark.createDataFrame(
+            [("b", 5)] * 6 + [("b", 9), ("b", None)],
+            "g string, x bigint")
+        got = {r["x"]: r["x_winsorized"] for r in
+               profile.winsorize(df, "x", by=["g"], k=3.0).collect()}
+        assert got[9] == 5.0 and got[5] == 5.0
+        assert got[None] is None
+
+    def test_row_count_preserved(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(100)],
+                                   "x bigint")
+        assert profile.winsorize(df, "x").count() == 100

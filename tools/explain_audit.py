@@ -332,6 +332,7 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_lsh_multiprobe": dict(max_exchanges=1, min_broadcasts=1),
     "rel_cdc_scd2": dict(max_exchanges=8),
     "ds_opq_adc": dict(max_exchanges=4, min_broadcasts=1),
+    "prof_winsorize": dict(max_exchanges=4, min_broadcasts=2),
     # count-min calibration: the d×w table rollup (map-side-bounded),
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
