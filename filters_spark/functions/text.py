@@ -1470,7 +1470,8 @@ def train_lang_id(spark, dim: int = 256, n: int = 2, reg: float = 0.5,
 
 
 def lang_id_scores(df: DataFrame, weights_micro: dict,
-                   bias_micro: dict, id_col: str = "doc_id",
+                   bias_micro: dict,
+                   id_col: str | list[str] = "doc_id",
                    text_col: str = "text", n: int = 2) -> DataFrame:
     """Language-ID inference, INTEGER-EXACT: per document, each
     language's logit_micro = Σ_ngrams sign(g)·w_lang[bucket(g)] +
@@ -1484,11 +1485,14 @@ def lang_id_scores(df: DataFrame, weights_micro: dict,
     Returns ``(id_col, logit_<lang>..., lang_pred, logit_best)``.
     Docs with no n-grams (len < n) are ABSENT — left-join against the
     corpus if they matter (their prediction would be bias-argmax).
-    Scale shape: one explode + ONE map-side-combined shuffle keyed by
-    id; no joins, no vocabulary."""
+    ``id_col`` may be a LIST for composite keys (per-segment scoring
+    — :func:`lang_segments`).  Scale shape: one explode + ONE
+    map-side-combined shuffle keyed by id; no joins, no
+    vocabulary."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     langs = sorted(weights_micro)
     dim = len(weights_micro[langs[0]])
-    g = (df.select(F.col(id_col),
+    g = (df.select(*[F.col(c) for c in ids],
                    F.explode(char_ngrams(F.lower(F.col(text_col)), n))
                    .alias("_g")))
     bucket, sign = _hashed_gram_contrib(dim)
@@ -1499,8 +1503,8 @@ def lang_id_scores(df: DataFrame, weights_micro: dict,
         warr = F.lit([int(w) for w in weights_micro[lang]])
         contribs.append(
             (sign * F.element_at(warr, bucket + 1)).alias(f"_c_{lang}"))
-    per = (g.select(F.col(id_col), *contribs)
-           .groupBy(id_col)
+    per = (g.select(*[F.col(c) for c in ids], *contribs)
+           .groupBy(*ids)
            .agg(*[(F.sum(f"_c_{lang}")
                    + F.lit(int(bias_micro[lang])))
                   .cast("long").alias(f"logit_{lang}")
@@ -1513,7 +1517,7 @@ def lang_id_scores(df: DataFrame, weights_micro: dict,
     best = F.array_max(F.array(*structs))
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
     return per.select(
-        F.col(id_col), *[f"logit_{lang}" for lang in langs],
+        *[F.col(c) for c in ids], *[f"logit_{lang}" for lang in langs],
         F.element_at(lang_arr, (-best["ni"]) + 1).alias("lang_pred"),
         best["l"].alias("logit_best"))
 
@@ -1890,3 +1894,46 @@ def wordpiece_token_counts(df: DataFrame, vocab: list[str],
     pieces = wordpiece_segment(F.col("w"), vocab, unk=unk)
     return (wf.select(F.explode(pieces).alias("piece"), "f")
             .groupBy("piece").agg(F.sum("f").cast("long").alias("n")))
+
+
+def lang_segments(df: DataFrame, weights_micro: dict, bias_micro: dict,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  sep: str = "\n", n: int = 2) -> DataFrame:
+    """Per-SEGMENT language identification + per-document mixture
+    rollup — the mixed-language quality signal document-level LID
+    hides (a half-English half-German page LIDs as whichever half
+    wins, and both halves pollute a monolingual training mix).
+    Splits each document on ``sep``, scores every non-empty segment
+    long enough to carry an n-gram with the baked integer heads
+    (:func:`lang_id_scores` on the composite (doc, segment) key),
+    and rolls up per document:
+
+    - ``n_segments``: scored segments,
+    - ``n_langs``: distinct predicted languages,
+    - ``dominant_lang``: most-frequent prediction, ties broken
+      lexicographically FIRST (deterministic),
+    - ``dominant_segments``: how many segments it won,
+    - ``is_mixed``: more than one language present.
+
+    All integer/argmax arithmetic — hash-safe like the heads
+    themselves.  Scale shape: one explode to segments, the LID
+    explode + one composite-keyed shuffle, one doc-keyed rollup."""
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("_si", "_seg")).where(F.col("_seg") != "")
+    scored = lang_id_scores(
+        segs.select(id_col, "_si", F.col("_seg").alias(text_col)),
+        weights_micro, bias_micro, id_col=[id_col, "_si"],
+        text_col=text_col, n=n)
+    per_lang = (scored.groupBy(id_col, "lang_pred")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    return per_lang.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_segments"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.min_by("lang_pred",
+                 F.struct((-F.col("_c")).alias("c"),
+                          F.col("lang_pred").alias("l")))
+        .alias("dominant_lang"),
+        F.max("_c").cast("long").alias("dominant_segments"),
+        (F.count(F.lit(1)) > 1).alias("is_mixed"))

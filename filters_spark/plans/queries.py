@@ -628,11 +628,11 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 4 of the 13
+    # last-official row — all 20 whose last row is r2, 3 of the 13
     # whose last row is r3 (val_variant_json, val_uuid_canon,
     # val_switch_dispatch, val_round_quarter, val_regex_extract,
     # val_optional_default, val_maxbytes_check, val_ip_address,
-    # val_each_array deferred), and 3 of the
+    # val_each_array, val_base64_roundtrip deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -640,12 +640,12 @@ DRIVER_WINDOW: list[str] = [
     # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with the nine deferred r3 names
+    # slots 1-N; fill the rest with the ten deferred r3 names
     # (val_variant_json, val_uuid_canon, val_switch_dispatch,
     # val_round_quarter, val_regex_extract, val_optional_default,
-    # val_maxbytes_check, val_ip_address, val_each_array), the twelve
-    # r4 leftovers above, then the r5 vintage (47 names), oldest
-    # first.
+    # val_maxbytes_check, val_ip_address, val_each_array,
+    # val_base64_roundtrip), the twelve r4 leftovers above, then the
+    # r5 vintage (47 names), oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -674,6 +674,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_cdc_scd2",              # SCD2 history from the change feed
     "ds_opq_adc",                # optimized product quantization
     "prof_winsorize",            # MAD-fence winsorization
+    "ds_lang_segments",          # mixed-language segment detection
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -698,7 +699,6 @@ DRIVER_WINDOW: list[str] = [
     # -- last official row r3 (13) --------------------------------------
     "ds_ngram_jaccard",          # n-gram Jaccard near-dup
     "rel_sql_interface",         # spark.sql passthrough surface
-    "val_base64_roundtrip",      # Base64Decode roundtrip
     "val_split_parts",           # Split into keyed struct
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
@@ -14711,3 +14711,67 @@ def prof_winsorize(spark, sf_dir):
               .otherwise(0)).cast("long").alias("n_clamped"),
         F.sum(F.col("cents_winsorized") * 4).cast("long")
         .alias("wsum4"))
+
+
+def _lang_segments_sql() -> str:
+    return f"""
+    WITH {_lid_cte_block()}, docs AS (
+      SELECT doc_id, source, CAST(doc_id % 15 AS INT) AS s1,
+             CAST((doc_id * 7 + 3) % 15 AS INT) AS s2
+      FROM documents
+    ), per AS (
+      SELECT d.source,
+             CASE WHEN p1.lang_pred = p2.lang_pred THEN p1.lang_pred
+                  ELSE least(p1.lang_pred, p2.lang_pred) END
+               AS dominant_lang,
+             p1.lang_pred != p2.lang_pred AS is_mixed,
+             CASE WHEN p1.lang_pred = p2.lang_pred THEN 1 ELSE 2 END
+               AS n_langs,
+             CASE WHEN p1.lang_pred = p2.lang_pred THEN 2 ELSE 1 END
+               AS dom_segs
+      FROM docs d
+      JOIN pred p1 ON p1.sid = d.s1
+      JOIN pred p2 ON p2.sid = d.s2
+    )
+    SELECT source, dominant_lang, is_mixed,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_langs) AS BIGINT) AS n_langs_sum,
+           CAST(sum(dom_segs) AS BIGINT) AS dominant_segments_sum
+    FROM per GROUP BY 1, 2, 3
+    """
+
+
+@register("ds_lang_segments", oracle=_lang_segments_sql())
+def ds_lang_segments(spark, sf_dir):
+    """Mixed-language document detection under the value hash
+    (text.lang_segments — the quality signal document-level LID
+    hides: a half-English half-German page LIDs as whichever half
+    wins and pollutes a monolingual mix both ways).  Every document
+    gets a TWO-SEGMENT composite planted from the held-out snippet
+    pool (segment languages chosen by two different doc_id
+    arithmetics, so ~1/5 of pairs agree and the rest are mixed), the
+    library splits on newline, LIDs each segment on the composite
+    (doc, segment) key with the baked integer heads, and rolls up
+    dominant language (count-majority, lexicographic tie-break — the
+    1-vs-1 tie case is exactly what the gate exercises), n_langs,
+    and the mixed flag.  The oracle joins the shared _lid_cte_block
+    per-snippet predictions twice and replays the mixture arithmetic
+    — a wrong tie-break, a segment scored with the wrong key, or a
+    flipped mixed flag shifts the rollup.  All integer.  Scale
+    shape: one segment explode + one composite-keyed LID shuffle +
+    one doc rollup."""
+    d = _t(spark, sf_dir, "documents")
+    snip_arr = F.array(*[F.lit(t) for _, t in _LID_SNIPPETS])
+    s1 = (F.col("doc_id") % 15).cast("int")
+    s2 = ((F.col("doc_id") * 7 + 3) % 15).cast("int")
+    planted = d.select(
+        "doc_id", "source",
+        F.concat(F.element_at(snip_arr, s1 + 1), F.lit("\n"),
+                 F.element_at(snip_arr, s2 + 1)).alias("text"))
+    segs = text.lang_segments(planted, _LID_W_MICRO, _LID_B_MICRO)
+    return (planted.join(segs, "doc_id")
+            .groupBy("source", "dominant_lang", "is_mixed")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("n_langs").cast("long").alias("n_langs_sum"),
+                 F.sum("dominant_segments").cast("long")
+                 .alias("dominant_segments_sum")))

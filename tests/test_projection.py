@@ -764,3 +764,46 @@ class TestOpq:
             "vec_id", F.col("rv").alias("embedding"))
         rotated = err(rot)
         assert rotated <= plain * 1.10, (rotated, plain)
+
+
+class TestLangSegments:
+    def test_mixture_rollup(self, spark):
+        from filters_spark.functions import text
+        from filters_spark.plans.queries import (_LID_B_MICRO,
+                                                 _LID_W_MICRO,
+                                                 _LID_SNIPPETS)
+        snips = dict()
+        for lg, t in _LID_SNIPPETS:
+            snips.setdefault(lg, t)
+        rows = [
+            (1, snips["en"] + "\n" + snips["de"]),           # mixed
+            (2, snips["en"] + "\n" + snips["en"]),           # pure
+            (3, snips["fr"] + "\n" + snips["de"] + "\n"
+                + snips["fr"]),                              # fr wins
+            (4, snips["zh"]),                                # single
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in text.lang_segments(
+            df, _LID_W_MICRO, _LID_B_MICRO).collect()}
+        assert got[1]["is_mixed"] and got[1]["n_langs"] == 2
+        # 1-1 tie breaks to the lexicographically first language
+        assert got[1]["dominant_lang"] == "de"
+        assert not got[2]["is_mixed"] and got[2]["dominant_lang"] == "en"
+        assert got[2]["dominant_segments"] == 2
+        assert got[3]["dominant_lang"] == "fr"
+        assert got[3]["dominant_segments"] == 2
+        assert got[3]["n_segments"] == 3 and got[3]["n_langs"] == 2
+        assert got[4]["n_segments"] == 1 and not got[4]["is_mixed"]
+
+    def test_empty_segments_skipped(self, spark):
+        from filters_spark.functions import text
+        from filters_spark.plans.queries import (_LID_B_MICRO,
+                                                 _LID_W_MICRO,
+                                                 _LID_SNIPPETS)
+        t = _LID_SNIPPETS[3][1]          # an english snippet
+        df = spark.createDataFrame(
+            [(1, "\n\n" + t + "\n\n\n" + t + "\n")],
+            "doc_id bigint, text string")
+        got = text.lang_segments(df, _LID_W_MICRO,
+                                 _LID_B_MICRO).collect()[0]
+        assert got["n_segments"] == 2 and got["dominant_lang"] == "en"

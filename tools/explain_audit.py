@@ -333,6 +333,7 @@ EXPECTATIONS: dict[str, dict] = {
     "rel_cdc_scd2": dict(max_exchanges=8),
     "ds_opq_adc": dict(max_exchanges=4, min_broadcasts=1),
     "prof_winsorize": dict(max_exchanges=4, min_broadcasts=2),
+    "ds_lang_segments": dict(max_exchanges=4),
     # count-min calibration: the d×w table rollup (map-side-bounded),
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
