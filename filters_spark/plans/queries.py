@@ -628,11 +628,12 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 3 of the 13
+    # last-official row — all 20 whose last row is r2, 2 of the 13
     # whose last row is r3 (val_variant_json, val_uuid_canon,
     # val_switch_dispatch, val_round_quarter, val_regex_extract,
     # val_optional_default, val_maxbytes_check, val_ip_address,
-    # val_each_array, val_base64_roundtrip deferred), and 3 of the
+    # val_each_array, val_base64_roundtrip, val_split_parts
+    # deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -640,12 +641,12 @@ DRIVER_WINDOW: list[str] = [
     # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with the ten deferred r3 names
+    # slots 1-N; fill the rest with the eleven deferred r3 names
     # (val_variant_json, val_uuid_canon, val_switch_dispatch,
     # val_round_quarter, val_regex_extract, val_optional_default,
     # val_maxbytes_check, val_ip_address, val_each_array,
-    # val_base64_roundtrip), the twelve r4 leftovers above, then the
-    # r5 vintage (47 names), oldest first.
+    # val_base64_roundtrip, val_split_parts), the twelve r4 leftovers
+    # above, then the r5 vintage (47 names), oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -675,6 +676,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_opq_adc",                # optimized product quantization
     "prof_winsorize",            # MAD-fence winsorization
     "ds_lang_segments",          # mixed-language segment detection
+    "ds_corpus_release_v10",     # release-branching capstone
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -696,10 +698,9 @@ DRIVER_WINDOW: list[str] = [
     "val_choice_rollup",         # Choice validator rollup
     "val_date_counts",           # Date validator counts
     "val_min_rejected",          # Min validator rejects
-    # -- last official row r3 (13) --------------------------------------
+    # -- last official row r3 (2 of 13) -----------------------------------
     "ds_ngram_jaccard",          # n-gram Jaccard near-dup
     "rel_sql_interface",         # spark.sql passthrough surface
-    "val_split_parts",           # Split into keyed struct
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
@@ -14775,3 +14776,96 @@ def ds_lang_segments(spark, sf_dir):
                  F.sum("n_langs").cast("long").alias("n_langs_sum"),
                  F.sum("dominant_segments").cast("long")
                  .alias("dominant_segments_sum")))
+
+
+@register(
+    "ds_corpus_release_v10",
+    oracle="""
+    WITH base AS (
+      SELECT source, doc_id, CAST(length(text) AS BIGINT) AS score
+      FROM documents
+    ), cnt AS (
+      SELECT source, score, count(*) AS c FROM base GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, score, c,
+             sum(c) OVER (PARTITION BY source ORDER BY score DESC)
+               AS ctop,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM cnt
+    ), thr AS (
+      SELECT source,
+             min(CASE WHEN ctop <= floor(0.25 * n) THEN score END) AS t
+      FROM cum GROUP BY source
+    ), kept AS (
+      SELECT b.source, b.doc_id, b.score
+      FROM base b JOIN thr t
+        ON t.source = b.source AND t.t IS NOT NULL AND b.score >= t.t
+    ), released AS (
+      SELECT * FROM kept WHERE doc_id % 31 != 0
+    ), cut AS (
+      SELECT * FROM kept WHERE doc_id % 31 = 0
+    )
+    SELECT r.source,
+           CAST(count(*) AS BIGINT) AS n_released,
+           CAST(coalesce(sum(r.doc_id), 0) AS BIGINT) AS id_sum,
+           CAST(coalesce(sum(r.score), 0) AS BIGINT) AS score_sum,
+           (SELECT CAST(count(*) AS BIGINT) FROM cut c
+            WHERE c.source = r.source) AS n_decontaminated,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept k
+            WHERE k.source = r.source) AS n_archive
+    FROM released r GROUP BY r.source
+    """,
+)
+def ds_corpus_release_v10(spark, sf_dir):
+    """Late-round-10 RELEASE capstone — the dataset-release branching
+    flow the session's table-format ops exist for, end to end under
+    one hash: (1) per-domain top-fraction quality selection
+    (sampling.top_fraction_by_group — the rollup-window plan, never a
+    raw-row percent_rank), (2) the kept corpus COMMITTED to a
+    governed archive table with Bloom point-lookup sidecars + stats,
+    (3) a SHALLOW CLONE as the release branch (one manifest, zero
+    data movement), (4) COW decontamination of the CLONE ONLY
+    (delete_where with a stored feed — the archive stays intact, the
+    independence contract), (5) the release read back through the
+    clone's file references with the archive's counts beside it.
+    The per-source rollup carries released counts/id/score checksums,
+    the decontaminated count READ FROM THE CLONE'S OWN CDC, and the
+    untouched archive count — a leaked reference, a clone that
+    mutated its source, a wrong threshold, or a feed that missed a
+    delete all shift a column.  The oracle replays selection,
+    branching, and decontamination from closed arithmetic."""
+    import tempfile
+
+    from ..functions import sampling
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.length("text").cast("bigint").alias("score"))
+    kept = sampling.top_fraction_by_group(
+        base, "score", "source", 0.25).drop("_threshold")
+    root = tempfile.mkdtemp(prefix="fs_rel10_")
+    archive, release = root + "/archive", root + "/release"
+    V.write_versioned(kept.repartitionByRange(8, "doc_id"), archive,
+                      stats_cols=["doc_id"], bloom_cols=["doc_id"])
+    V.clone_versioned(spark, archive, release)
+    V.delete_where(spark, release, F.col("doc_id") % 31 == 0,
+                   store_changes_key="doc_id")
+    released = V.read_version(spark, release)
+    feed = (V.read_changes(spark, release, "doc_id", 1, 2)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_decontaminated")))
+    arch = (V.read_version(spark, archive).groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_archive")))
+    out = (released.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_released"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+                F.sum("score").cast("long").alias("score_sum")))
+    return (out.join(feed, "source", "left")
+            .join(arch, "source", "left")
+            .select("source", "n_released", "id_sum", "score_sum",
+                    F.coalesce("n_decontaminated", F.lit(0))
+                    .cast("long").alias("n_decontaminated"),
+                    F.coalesce("n_archive", F.lit(0)).cast("long")
+                    .alias("n_archive")))

@@ -334,6 +334,7 @@ EXPECTATIONS: dict[str, dict] = {
     "ds_opq_adc": dict(max_exchanges=4, min_broadcasts=1),
     "prof_winsorize": dict(max_exchanges=4, min_broadcasts=2),
     "ds_lang_segments": dict(max_exchanges=4),
+    "ds_corpus_release_v10": dict(max_exchanges=3, min_broadcasts=2),
     # count-min calibration: the d×w table rollup (map-side-bounded),
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
