@@ -192,6 +192,23 @@ HEADLINE = [
     # with no corpus shuffle) and LSH-blocked hard-negative mining
     "ds_semantic_contaminated",
     "ds_hard_negatives",
+    # round 10 (late): WordPiece training+apply (one corpus fold +
+    # vocabulary-sized score-argmax iterations + the role-aware
+    # longest-match per run — the third tokenizer beside BPE/unigram)
+    "txt_wordpiece_tokens",
+    # round 10 (late): table-format branching — shallow clone
+    # (manifest-only copy + independent COW delete + cross-root reads
+    # per run) and Bloom point-lookup skipping (sidecar build at
+    # commit + 5 planning-time-pruned point reads per run)
+    "rel_shallow_clone",
+    "rel_bloom_skipping",
+    # round 10 (late): SCD2 from the change feed (4-commit lifecycle +
+    # per-commit feeds + the lead-window stitch per run)
+    "rel_cdc_scd2",
+    # round 10 (late): the release-branching capstone (top-fraction
+    # select -> bloom-armed archive -> clone -> COW decontamination ->
+    # CDC-audited rollup per run)
+    "ds_corpus_release_v10",
 ]
 
 # Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1
