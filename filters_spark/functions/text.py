@@ -1937,3 +1937,72 @@ def lang_segments(df: DataFrame, weights_micro: dict, bias_micro: dict,
         .alias("dominant_lang"),
         F.max("_c").cast("long").alias("dominant_segments"),
         (F.count(F.lit(1)) > 1).alias("is_mixed"))
+
+
+def kn_bigram_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     discount: float = 0.75) -> DataFrame:
+    """Interpolated KNESER-NEY bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1998's interpolated form) — the smoothing the
+    actual CCNet/KenLM filter uses, beside
+    :func:`bigram_lm_scores`' add-one baseline: absolute-discount
+    the observed bigram mass and back off to the CONTINUATION
+    unigram (how many distinct contexts a word follows — 'Francisco'
+    is frequent but follows only 'San', so its continuation
+    probability is tiny; add-one smoothing gets exactly this case
+    wrong).
+
+    ``p(w2|w1) = (c(w1,w2) − D)/c(w1) + D·N₊(w1,•)/c(w1) ·
+    N₊(•,w2)/N_bigram_types`` — scoring the training corpus itself,
+    every scored bigram has c ≥ 1, so with D < 1 the first term is
+    positive and nothing needs the unseen-bigram branch.  Returns
+    (id, n_bigrams, ce) with ce = −(1/n)·Σ ln p — same float
+    contract as bigram_lm_scores: gates bucket it coarsely, never
+    hash it.
+
+    Plan shape = bigram_lm_scores' exactly (array-side pairing, one
+    scoped-persisted (doc, w1, w2) rollup, GROUPED count tables
+    joined back — never bigram-partitioned windows): the KN
+    quantities are all derived from the collapsed bigram-count
+    table — c(w1,·) and the follower count N₊(w1,•) in ONE per-w1
+    aggregate, the continuation count N₊(•,w2) per w2, and the
+    bigram-type total as a broadcast 1-row frame — vocabulary-sized
+    work on top of the same single corpus scan."""
+    from ._cache import scoped_persist
+
+    arr = tokens(F.col(text_col))
+    n = F.size(arr)
+    pairs = F.arrays_zip(
+        F.slice(arr, F.lit(1), n - F.lit(1)).alias("_w"),
+        F.slice(arr, F.lit(2), n - F.lit(1)).alias("_w2"))
+    big = (df.where(n >= 2)
+           .select(F.col(id_col).alias("_id"),
+                   F.explode(pairs).alias("_p"))
+           .select("_id", F.col("_p._w").alias("_w"),
+                   F.col("_p._w2").alias("_w2")))
+    dt = big.groupBy("_id", "_w", "_w2").agg(
+        F.count(F.lit(1)).alias("_tf"))
+    dt = scoped_persist(dt, "kn_lm")
+    bc = dt.groupBy("_w", "_w2").agg(F.sum("_tf").alias("_cb"))
+    bc = scoped_persist(bc, "kn_lm")
+    per_w1 = bc.groupBy("_w").agg(
+        F.sum("_cb").alias("_cu"),
+        F.count(F.lit(1)).alias("_n1p"))
+    per_w2 = bc.groupBy("_w2").agg(F.count(F.lit(1)).alias("_n1c"))
+    nb = bc.groupBy().agg(F.count(F.lit(1)).alias("_nb"))
+    d_lit = F.lit(float(discount))
+    p = ((F.col("_cb") - d_lit) / F.col("_cu")
+         + d_lit * F.col("_n1p") / F.col("_cu") * F.col("_n1c")
+         / F.col("_nb"))
+    scored = (dt
+              .join(bc, ["_w", "_w2"])
+              .join(per_w1, ["_w"])
+              .join(per_w2, ["_w2"])
+              .join(F.broadcast(nb))
+              .groupBy("_id")
+              .agg(F.sum("_tf").cast("bigint").alias("n_bigrams"),
+                   F.sum(-F.col("_tf") * F.log(p)).alias("_ce_sum")))
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        (F.col("_ce_sum") / F.col("n_bigrams")).alias("ce"))

@@ -628,12 +628,12 @@ DRIVER_WINDOW: list[str] = [
     # them in now (before the window freezes at the official run)
     # makes cumulative official coverage the FULL registry in one
     # round.  Slots 15-50: re-confirmations with the OLDEST
-    # last-official row — all 20 whose last row is r2, 2 of the 13
+    # last-official row — all 20 whose last row is r2, 1 of the 13
     # whose last row is r3 (val_variant_json, val_uuid_canon,
     # val_switch_dispatch, val_round_quarter, val_regex_extract,
     # val_optional_default, val_maxbytes_check, val_ip_address,
-    # val_each_array, val_base64_roundtrip, val_split_parts
-    # deferred), and 3 of the
+    # val_each_array, val_base64_roundtrip, val_split_parts,
+    # rel_sql_interface deferred), and 3 of the
     # 15 whose last row is r4 (the remaining twelve r4 names —
     # ds_real_codec_gate, rel_latest_order_per_customer, val_date_tz,
     # val_strip_fold, rel_sessionize, rel_upsert_merge,
@@ -641,12 +641,13 @@ DRIVER_WINDOW: list[str] = [
     # ds_pagerank, ds_dedup_exact, ds_ivf_topk — plus val_variant_json
     # and the r5 vintage are the r11 rotation pool).
     # ROUND-11 ROTATION PLAN: any name registered in r11 goes in
-    # slots 1-N; fill the rest with the eleven deferred r3 names
+    # slots 1-N; fill the rest with the twelve deferred r3 names
     # (val_variant_json, val_uuid_canon, val_switch_dispatch,
     # val_round_quarter, val_regex_extract, val_optional_default,
     # val_maxbytes_check, val_ip_address, val_each_array,
-    # val_base64_roundtrip, val_split_parts), the twelve r4 leftovers
-    # above, then the r5 vintage (47 names), oldest first.
+    # val_base64_roundtrip, val_split_parts, rel_sql_interface), the
+    # twelve r4 leftovers above, then the r5 vintage (47 names),
+    # oldest first.
     # Re-verify against CORRECTNESS_r10.json before writing.
     # Window history lives in git (this file, commits through r10).
     #
@@ -677,6 +678,7 @@ DRIVER_WINDOW: list[str] = [
     "prof_winsorize",            # MAD-fence winsorization
     "ds_lang_segments",          # mixed-language segment detection
     "ds_corpus_release_v10",     # release-branching capstone
+    "txt_kn_perplexity",         # Kneser-Ney LM quality screen
     # -- last official row r2 (20) --------------------------------------
     "ds_embedding_dup",          # embedding-cosine near-dup
     "ds_lsh_topk",               # LSH-bucketed ANN top-k
@@ -698,9 +700,8 @@ DRIVER_WINDOW: list[str] = [
     "val_choice_rollup",         # Choice validator rollup
     "val_date_counts",           # Date validator counts
     "val_min_rejected",          # Min validator rejects
-    # -- last official row r3 (2 of 13) -----------------------------------
+    # -- last official row r3 (1 of 13) -----------------------------------
     "ds_ngram_jaccard",          # n-gram Jaccard near-dup
-    "rel_sql_interface",         # spark.sql passthrough surface
     # -- last official row r4 (3 of 15) ----------------------------------
     "rel_q1_pricing",            # TPC-H Q1 (bench calibration anchor)
     "rel_q3_shipping",           # TPC-H Q3 (plan-frozen)
@@ -14869,3 +14870,82 @@ def ds_corpus_release_v10(spark, sf_dir):
                     .cast("long").alias("n_decontaminated"),
                     F.coalesce("n_archive", F.lit(0)).cast("long")
                     .alias("n_archive")))
+
+
+@register(
+    "txt_kn_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, w AS w1, w2 FROM (
+        SELECT doc_id, w,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+      ) WHERE w2 IS NOT NULL
+    ),
+    dt AS MATERIALIZED (
+      SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3
+    ),
+    bc AS MATERIALIZED (
+      SELECT w1, w2, sum(tf) AS cb FROM dt GROUP BY 1, 2
+    ),
+    pw1 AS (
+      SELECT w1, sum(cb) AS cu, count(*) AS n1p FROM bc GROUP BY w1
+    ),
+    pw2 AS (
+      SELECT w2, count(*) AS n1c FROM bc GROUP BY w2
+    ),
+    nb AS (SELECT count(*) AS nbt FROM bc),
+    scored AS (
+      SELECT d.doc_id,
+             sum(d.tf) AS n_big,
+             sum(-d.tf * ln((b.cb - 0.75) / p1.cu
+                            + 0.75 * p1.n1p / p1.cu * p2.n1c / nb.nbt))
+               AS ce_sum
+      FROM dt d
+      JOIN bc b ON b.w1 = d.w1 AND b.w2 = d.w2
+      JOIN pw1 p1 ON p1.w1 = d.w1
+      JOIN pw2 p2 ON p2.w2 = d.w2
+      CROSS JOIN nb
+      GROUP BY d.doc_id
+    )
+    SELECT CAST(floor(64.0 * ce_sum / n_big) AS BIGINT)
+             AS ce_bucket_64th,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_big) AS BIGINT) AS sum_bigrams
+    FROM scored GROUP BY 1
+    """,
+)
+def txt_kn_perplexity(spark, sf_dir):
+    """Interpolated KNESER-NEY perplexity screen under the value hash
+    (text.kn_bigram_scores — the smoothing the actual CCNet/KenLM
+    filter uses, beside txt_lm_perplexity's add-one baseline:
+    absolute discount D = 0.75 with back-off to the CONTINUATION
+    unigram, the how-many-contexts count that fixes the
+    'Francisco'-class error add-one gets wrong).  Same gate
+    discipline as txt_lm_perplexity: the cross-entropy is a sum of
+    ln() terms, so ONLY integers ride the hash — 1/64-nat floor
+    buckets, doc counts, exact doc-id checksums, bigram totals; the
+    p(w2|w1) arithmetic is written with IDENTICAL left-associated
+    evaluation order in both engines so ln() sees bit-identical
+    inputs.  Plan shape: the bigram_lm_scores skeleton (array-side
+    pairing, one scoped-persisted rollup, grouped KN count tables
+    joined back — c(w1,·) and the follower count in ONE per-w1
+    aggregate, the continuation count per w2, bigram types as a
+    broadcast 1-row frame)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = text.kn_bigram_scores(d)
+    return (scored
+            .withColumn("_b", F.floor(F.lit(64.0) * F.col("ce"))
+                        .cast("bigint"))
+            .groupBy(F.col("_b").alias("ce_bucket_64th"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+                 F.sum("n_bigrams").cast("bigint")
+                 .alias("sum_bigrams")))

@@ -335,6 +335,7 @@ EXPECTATIONS: dict[str, dict] = {
     "prof_winsorize": dict(max_exchanges=4, min_broadcasts=2),
     "ds_lang_segments": dict(max_exchanges=4),
     "ds_corpus_release_v10": dict(max_exchanges=3, min_broadcasts=2),
+    "txt_kn_perplexity": dict(max_exchanges=7, min_broadcasts=1),
     # count-min calibration: the d×w table rollup (map-side-bounded),
     # the distinct-items rollup, the probe join + min rollup, and the
     # exact rollup join — every exchange ≤ d·w or |distinct| rows
