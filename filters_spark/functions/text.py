@@ -818,8 +818,15 @@ def repetition_gate(df, id_col: str = "doc_id", text_col: str = "text",
     return df.join(keep, id_col, "left_semi")
 
 
-# Unit separator: terminates every BPE symbol in the packed string
-# form.  Symbols (substrings of corpus words) must not contain it —
+# Unit separator: WRAPS every BPE symbol in the packed string form —
+# each symbol is stored as ␟sym␟ with its own leading AND trailing
+# separator (symbols do NOT share separators), so the merge pattern
+# ␟a␟␟b␟ can only match at a true symbol boundary.  A trailing-only
+# (or shared-separator) form is subtly wrong: 'a␟b␟' also matches
+# inside '##xa␟b␟' wherever a symbol merely ENDS with 'a' (the r10
+# ADVICE finding), and a shared single separator breaks adjacent
+# occurrences ('abab' would merge only the first 'ab').  Symbols
+# (substrings of corpus words) must not contain the separator —
 # bpe_train filters such words out rather than corrupting merges.
 _BPE_SEP = "\x1f"
 
@@ -831,9 +838,9 @@ _BPE_TRUNCATE_EVERY = 8
 
 def _bpe_merge_word(syms: list, a: str, b: str, ab: str) -> list:
     """Greedy left-to-right merge of pair (a, b) in one word — the
-    exact semantics of ``replace(sym, 'a␟b␟', 'ab␟')``: scanning
-    resumes AFTER each replacement, so an odd run 'a a a' merges the
-    first pair only."""
+    exact semantics of ``replace(sym, '␟a␟␟b␟', '␟ab␟')`` on the
+    wrapped packed form: scanning resumes AFTER each replacement, so
+    an odd run 'a a a' merges the first pair only."""
     out, i, n = [], 0, len(syms)
     while i < n:
         if i + 1 < n and syms[i] == a and syms[i + 1] == b:
@@ -926,15 +933,18 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     1. one corpus pass folds the token stream to (word, freq) — the
        classic BPE trick: a pair inside a word occurring f times
        counts f, so iterations never touch the corpus again;
-    2. each word's symbol state is a PACKED STRING with a trailing
-       ``\\x1f`` after every symbol ("h␟e␟l␟l␟o␟").  Greedy
-       left-to-right merge application — the part that looks
-       inherently sequential — is exactly the semantics of
-       ``replace(sym, 'a␟b␟', 'ab␟')``: both engines scan left to
-       right and resume AFTER each replacement, so an odd run
-       "a a a" merges the first pair only, byte-for-byte like the
-       reference algorithm.  No per-symbol explode, no HOF in the
-       merge pass — one codegen'd replace per iteration;
+    2. each word's symbol state is a PACKED STRING with every symbol
+       WRAPPED in its own ``\\x1f`` pair ("␟h␟␟e␟␟l␟␟l␟␟o␟" — see
+       the _BPE_SEP note: full wrapping is what makes the merge
+       pattern boundary-anchored on BOTH sides while still matching
+       adjacent occurrences).  Greedy left-to-right merge
+       application — the part that looks inherently sequential — is
+       exactly the semantics of ``replace(sym, '␟a␟␟b␟', '␟ab␟')``:
+       both engines scan left to right and resume AFTER each
+       replacement, so an odd run "a a a" merges the first pair
+       only, byte-for-byte like the reference algorithm.  No
+       per-symbol explode, no HOF in the merge pass — one codegen'd
+       replace per iteration;
     3. pair counts per iteration: split the packed string, zip with
        its shift, explode, weighted groupBy — an aggregation over
        the vocabulary;
@@ -988,14 +998,15 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         return _bpe_train_driver(
             [(r["w"], int(r["f"])) for r in wordfreq.collect()], n_merges)
     words = wordfreq.select(
-        F.regexp_replace("w", "(.)", "$1" + _BPE_SEP).alias("sym"), "f")
+        F.regexp_replace("w", "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+        .alias("sym"), "f")
     from ._cache import scoped_persist
 
     state = scoped_persist(words, "bpe_words")
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
         syms = F.split(F.col("sym"), _BPE_SEP)
-        l = F.slice(syms, 1, F.size(syms) - 1)  # drop trailing ''
+        l = F.filter(syms, lambda x: x != "")  # drop inter-symbol ''
         shifted = F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0)))
         z = F.zip_with(l, shifted,
                        lambda x, y: F.struct(x.alias("a"), y.alias("b")))
@@ -1014,8 +1025,9 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         merges.append((step, a, b, int(c)))
         state = state.select(
             F.replace(F.col("sym"),
-                      F.lit(a + _BPE_SEP + b + _BPE_SEP),
-                      F.lit(a + b + _BPE_SEP)).alias("sym"),
+                      F.lit(_BPE_SEP + a + _BPE_SEP + _BPE_SEP
+                            + b + _BPE_SEP),
+                      F.lit(_BPE_SEP + a + b + _BPE_SEP)).alias("sym"),
             "f")
         if step < n_merges:
             if step % _BPE_TRUNCATE_EVERY == 0:
@@ -1042,22 +1054,24 @@ def bpe_apply(col: Column, merges: list[tuple]) -> Column:
     """Tokenize a text column with a :func:`bpe_train` merge table:
     array<string> of subword tokens.
 
-    The whole text is packed (every char gets a trailing ``\\x1f``)
-    and each merge is ONE codegen'd ``replace`` pass in training
-    order — merges can never cross word boundaries because the space
-    character is itself a symbol no learned merge contains.  Space
-    symbols (and empties from repeated separators) are dropped from
-    the output.  Per document this is n_merges + 2 linear string
-    passes — no per-symbol explode, no Python.  Precondition: text
-    contains no ``\\x1f`` (the same contract bpe_train enforces on
-    its vocabulary)."""
-    packed = F.regexp_replace(col, "(.)", "$1" + _BPE_SEP)
+    The whole text is packed (every char wrapped in its own ``\\x1f``
+    pair — the bpe_train convention) and each merge is ONE codegen'd
+    ``replace`` pass in training order — merges can never cross word
+    boundaries because the space character is itself a symbol no
+    learned merge contains.  Space symbols (and the inter-symbol
+    empties the wrapped form produces on split) are dropped from the
+    output.  Per document this is n_merges + 2 linear string passes
+    — no per-symbol explode, no Python.  Precondition: text contains
+    no ``\\x1f`` (the same contract bpe_train enforces on its
+    vocabulary)."""
+    packed = F.regexp_replace(col, "(.)", _BPE_SEP + "$1" + _BPE_SEP)
     for _step, a, b, _c in merges:
-        packed = F.replace(packed, F.lit(a + _BPE_SEP + b + _BPE_SEP),
-                           F.lit(a + b + _BPE_SEP))
+        packed = F.replace(
+            packed,
+            F.lit(_BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP),
+            F.lit(_BPE_SEP + a + b + _BPE_SEP))
     toks = F.split(packed, _BPE_SEP)
-    body = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
-    return F.filter(body, lambda x: (x != "") & (x != " "))
+    return F.filter(toks, lambda x: (x != "") & (x != " "))
 
 
 def hashing_vectorize(df: DataFrame, id_col: str = "doc_id",
@@ -1683,14 +1697,14 @@ def _wp_wordfreq(df: DataFrame, text_col: str, sep: str) -> DataFrame:
 
 
 def _wp_pack(w: Column) -> Column:
-    """'hello' -> 'h␟##e␟##l␟##l␟##o␟': first char plain, every later
-    char '##'-continuation-marked, each symbol trailing-␟ (the
-    bpe_train packed-string form, so merges are codegen replace()
-    passes)."""
+    """'hello' -> '␟h␟␟##e␟␟##l␟␟##l␟␟##o␟': first char plain, every
+    later char '##'-continuation-marked, each symbol WRAPPED in its
+    own ␟ pair (the bpe_train packed-string form, so merges are
+    boundary-anchored codegen replace() passes — see _BPE_SEP)."""
     return F.concat(
-        w.substr(1, 1), F.lit(_BPE_SEP),
+        F.lit(_BPE_SEP), w.substr(1, 1), F.lit(_BPE_SEP),
         F.regexp_replace(w.substr(F.lit(2), F.length(w)),
-                         "(.)", "##$1" + _BPE_SEP))
+                         "(.)", _BPE_SEP + "##$1" + _BPE_SEP))
 
 
 def _wp_strip(piece: str) -> str:
@@ -1772,7 +1786,7 @@ def wordpiece_train(df: DataFrame, text_col: str = "text",
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):
         syms = F.split(F.col("sym"), _BPE_SEP)
-        l = F.slice(syms, 1, F.size(syms) - 1)
+        l = F.filter(syms, lambda x: x != "")
         shifted = F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0)))
         z = F.zip_with(l, shifted,
                        lambda x, y: F.struct(x.alias("a"), y.alias("b")))
@@ -1800,8 +1814,10 @@ def wordpiece_train(df: DataFrame, text_col: str = "text",
         merges.append((step, a, b, int(r["c"]), int(r["ca"]), int(r["cb"])))
         state = state.select(
             F.replace(F.col("sym"),
-                      F.lit(a + _BPE_SEP + b + _BPE_SEP),
-                      F.lit(a + _wp_strip(b) + _BPE_SEP)).alias("sym"),
+                      F.lit(_BPE_SEP + a + _BPE_SEP + _BPE_SEP
+                            + b + _BPE_SEP),
+                      F.lit(_BPE_SEP + a + _wp_strip(b) + _BPE_SEP))
+            .alias("sym"),
             "f")
         if step < n_merges:
             if step % _BPE_TRUNCATE_EVERY == 0:

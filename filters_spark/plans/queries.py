@@ -658,7 +658,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_delete_where",          # COW file-reuse DELETE
     "ds_corpus_pipeline_v9",     # multilingual capstone v9
     "ds_token_budget_mix",       # token-budget corpus mixing
-    # -- registered during r10 (8) --------------------------------------
+    # -- registered during r10 (20) -------------------------------------
     "rel_restore_version",       # versioned-table RESTORE
     "rel_avro_roundtrip",        # Avro OCF from the public spec
     "ds_corpus_pipeline_v10",    # r10 capstone (avro+restore+mix)
@@ -7496,14 +7496,15 @@ def ds_bloom_membership(spark, sf_dir):
       WHERE w <> '' AND NOT contains(w, chr(31))
       GROUP BY w
     ), s0 AS (
-      SELECT regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS sym, f
+      SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+        AS sym, f
       FROM w
     ), p1 AS (
       SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
       FROM (
         SELECT unnest(list_zip(l, l[2:])) AS z, f
-        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
-                     len(string_split(sym, chr(31))) - 1) AS l, f
+        FROM (SELECT list_filter(string_split(sym, chr(31)),
+                                 x -> x <> '') AS l, f
               FROM s0)
       ) WHERE z[2] IS NOT NULL
       GROUP BY 1, 2
@@ -7511,17 +7512,17 @@ def ds_bloom_membership(spark, sf_dir):
       SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1
     ), s1 AS (
       SELECT replace(sym,
-                     (SELECT a FROM b1) || chr(31)
-                       || (SELECT b FROM b1) || chr(31),
-                     (SELECT a FROM b1) || (SELECT b FROM b1)
-                       || chr(31)) AS sym, f
+                     chr(31) || (SELECT a FROM b1) || chr(31)
+                       || chr(31) || (SELECT b FROM b1) || chr(31),
+                     chr(31) || (SELECT a FROM b1)
+                       || (SELECT b FROM b1) || chr(31)) AS sym, f
       FROM s0
     ), p2 AS (
       SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
       FROM (
         SELECT unnest(list_zip(l, l[2:])) AS z, f
-        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
-                     len(string_split(sym, chr(31))) - 1) AS l, f
+        FROM (SELECT list_filter(string_split(sym, chr(31)),
+                                 x -> x <> '') AS l, f
               FROM s1)
       ) WHERE z[2] IS NOT NULL
       GROUP BY 1, 2
@@ -7529,17 +7530,17 @@ def ds_bloom_membership(spark, sf_dir):
       SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1
     ), s2 AS (
       SELECT replace(sym,
-                     (SELECT a FROM b2) || chr(31)
-                       || (SELECT b FROM b2) || chr(31),
-                     (SELECT a FROM b2) || (SELECT b FROM b2)
-                       || chr(31)) AS sym, f
+                     chr(31) || (SELECT a FROM b2) || chr(31)
+                       || chr(31) || (SELECT b FROM b2) || chr(31),
+                     chr(31) || (SELECT a FROM b2)
+                       || (SELECT b FROM b2) || chr(31)) AS sym, f
       FROM s1
     ), p3 AS (
       SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
       FROM (
         SELECT unnest(list_zip(l, l[2:])) AS z, f
-        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
-                     len(string_split(sym, chr(31))) - 1) AS l, f
+        FROM (SELECT list_filter(string_split(sym, chr(31)),
+                                 x -> x <> '') AS l, f
               FROM s2)
       ) WHERE z[2] IS NOT NULL
       GROUP BY 1, 2
@@ -7547,10 +7548,10 @@ def ds_bloom_membership(spark, sf_dir):
       SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1
     ), s3 AS (
       SELECT replace(sym,
-                     (SELECT a FROM b3) || chr(31)
-                       || (SELECT b FROM b3) || chr(31),
-                     (SELECT a FROM b3) || (SELECT b FROM b3)
-                       || chr(31)) AS sym, f
+                     chr(31) || (SELECT a FROM b3) || chr(31)
+                       || chr(31) || (SELECT b FROM b3) || chr(31),
+                     chr(31) || (SELECT a FROM b3)
+                       || (SELECT b FROM b3) || chr(31)) AS sym, f
       FROM s2
     )
     SELECT 1 AS step, a AS merge_left, b AS merge_right,
@@ -7595,14 +7596,15 @@ def txt_bpe_merges(spark, sf_dir):
       WHERE w <> '' AND NOT contains(w, chr(31))
       GROUP BY w
     ), s0 AS (
-      SELECT regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS sym, f
+      SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+        AS sym, f
       FROM w
     ), p1 AS (
       SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
       FROM (
         SELECT unnest(list_zip(l, l[2:])) AS z, f
-        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
-                     len(string_split(sym, chr(31))) - 1) AS l, f
+        FROM (SELECT list_filter(string_split(sym, chr(31)),
+                                 x -> x <> '') AS l, f
               FROM s0)
       ) WHERE z[2] IS NOT NULL
       GROUP BY 1, 2
@@ -7610,17 +7612,17 @@ def txt_bpe_merges(spark, sf_dir):
       SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1
     ), s1 AS (
       SELECT replace(sym,
-                     (SELECT a FROM b1) || chr(31)
-                       || (SELECT b FROM b1) || chr(31),
-                     (SELECT a FROM b1) || (SELECT b FROM b1)
-                       || chr(31)) AS sym, f
+                     chr(31) || (SELECT a FROM b1) || chr(31)
+                       || chr(31) || (SELECT b FROM b1) || chr(31),
+                     chr(31) || (SELECT a FROM b1)
+                       || (SELECT b FROM b1) || chr(31)) AS sym, f
       FROM s0
     ), p2 AS (
       SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
       FROM (
         SELECT unnest(list_zip(l, l[2:])) AS z, f
-        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
-                     len(string_split(sym, chr(31))) - 1) AS l, f
+        FROM (SELECT list_filter(string_split(sym, chr(31)),
+                                 x -> x <> '') AS l, f
               FROM s1)
       ) WHERE z[2] IS NOT NULL
       GROUP BY 1, 2
@@ -7628,17 +7630,17 @@ def txt_bpe_merges(spark, sf_dir):
       SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1
     ), s2 AS (
       SELECT replace(sym,
-                     (SELECT a FROM b2) || chr(31)
-                       || (SELECT b FROM b2) || chr(31),
-                     (SELECT a FROM b2) || (SELECT b FROM b2)
-                       || chr(31)) AS sym, f
+                     chr(31) || (SELECT a FROM b2) || chr(31)
+                       || chr(31) || (SELECT b FROM b2) || chr(31),
+                     chr(31) || (SELECT a FROM b2)
+                       || (SELECT b FROM b2) || chr(31)) AS sym, f
       FROM s1
     ), p3 AS (
       SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
       FROM (
         SELECT unnest(list_zip(l, l[2:])) AS z, f
-        FROM (SELECT list_slice(string_split(sym, chr(31)), 1,
-                     len(string_split(sym, chr(31))) - 1) AS l, f
+        FROM (SELECT list_filter(string_split(sym, chr(31)),
+                                 x -> x <> '') AS l, f
               FROM s2)
       ) WHERE z[2] IS NOT NULL
       GROUP BY 1, 2
@@ -7646,14 +7648,14 @@ def txt_bpe_merges(spark, sf_dir):
       SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1
     ), s3 AS (
       SELECT replace(sym,
-                     (SELECT a FROM b3) || chr(31)
-                       || (SELECT b FROM b3) || chr(31),
-                     (SELECT a FROM b3) || (SELECT b FROM b3)
-                       || chr(31)) AS sym, f
+                     chr(31) || (SELECT a FROM b3) || chr(31)
+                       || chr(31) || (SELECT b FROM b3) || chr(31),
+                     chr(31) || (SELECT a FROM b3)
+                       || (SELECT b FROM b3) || chr(31)) AS sym, f
       FROM s2
     ), applied AS (
-      SELECT unnest(list_slice(string_split(sym, chr(31)), 1,
-             len(string_split(sym, chr(31))) - 1)) AS s, f
+      SELECT unnest(list_filter(string_split(sym, chr(31)),
+             x -> x <> '')) AS s, f
       FROM s3
     ), counts AS (
       SELECT s AS subword, CAST(sum(f) AS BIGINT) AS total_count
@@ -8287,8 +8289,8 @@ def txt_lm_perplexity(spark, sf_dir):
 
 
 _TOKENIZE_TAIL = """), applied AS (
-      SELECT unnest(list_slice(string_split(sym, chr(31)), 1,
-             len(string_split(sym, chr(31))) - 1)) AS s, f
+      SELECT unnest(list_filter(string_split(sym, chr(31)),
+             x -> x <> '')) AS s, f
       FROM s3
     ), counts AS (
       SELECT s AS subword, CAST(sum(f) AS BIGINT) AS total_count
@@ -8302,7 +8304,8 @@ _TOKENIZE_TAIL = """), applied AS (
 
 _TOKPACK_TAIL = """), vocabn AS (
       SELECT replace(sym, chr(31), '') AS w,
-             len(string_split(sym, chr(31))) - 1 AS n_sub
+             len(list_filter(string_split(sym, chr(31)),
+                             x -> x <> '')) AS n_sub
       FROM s3
     ), docw AS (
       SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
@@ -13963,16 +13966,16 @@ def _wordpiece_sql(n_merges: int = 3) -> str:
   SELECT z[1] AS a, z[2] AS b, CAST(sum(f) AS BIGINT) AS c
   FROM (
     SELECT unnest(list_zip(l, l[2:])) AS z, f
-    FROM (SELECT list_slice(string_split(sym, {sep}), 1,
-                 len(string_split(sym, {sep})) - 1) AS l, f
+    FROM (SELECT list_filter(string_split(sym, {sep}),
+                             x -> x <> '') AS l, f
           FROM {prev})
   ) WHERE z[2] IS NOT NULL
   GROUP BY 1, 2
 ), u{i} AS (
   SELECT s, CAST(sum(f) AS BIGINT) AS sc
   FROM (
-    SELECT unnest(list_slice(string_split(sym, {sep}), 1,
-               len(string_split(sym, {sep})) - 1)) AS s, f
+    SELECT unnest(list_filter(string_split(sym, {sep}),
+                              x -> x <> '')) AS s, f
     FROM {prev})
   GROUP BY s
 ), b{i} AS (
@@ -13987,9 +13990,10 @@ def _wordpiece_sql(n_merges: int = 3) -> str:
   LIMIT 1
 ), s{i} AS (
   SELECT replace(sym,
-                 (SELECT a FROM b{i}) || {sep}
-                   || (SELECT b FROM b{i}) || {sep},
-                 (SELECT a || substr(b, 3) FROM b{i}) || {sep}) AS sym, f
+                 {sep} || (SELECT a FROM b{i}) || {sep}
+                   || {sep} || (SELECT b FROM b{i}) || {sep},
+                 {sep} || (SELECT a || substr(b, 3) FROM b{i})
+                   || {sep}) AS sym, f
   FROM {prev}
 )"""
 
@@ -14021,8 +14025,9 @@ words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w0
           WHERE w <> '' AND NOT contains(w, chr(31))
             AND NOT contains(w, '#')
           GROUP BY w),
-s0 AS (SELECT substr(w, 1, 1) || {sep} ||
-         regexp_replace(substr(w, 2), '(.)', '##\\1' || {sep}, 'g')
+s0 AS (SELECT {sep} || substr(w, 1, 1) || {sep} ||
+         regexp_replace(substr(w, 2), '(.)',
+                        {sep} || '##\\1' || {sep}, 'g')
          AS sym, f
        FROM words),
 {",".join(iter_parts)},

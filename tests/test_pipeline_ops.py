@@ -415,6 +415,36 @@ class TestBpeTrain:
         with _pt.raises(ValueError, match="engine"):
             T.bpe_train(df, engine="numpy")
 
+    def test_suffix_collision_corpus(self, spark):
+        """r10 ADVICE regression: an unanchored trailing-separator
+        replace lets the merge pattern 'a␟b␟' match inside any
+        symbol ENDING with 'a' (e.g. after x+a merges to 'xa', the
+        packed '...xa␟b␟' contains 'a␟b␟'), corrupting the spark
+        engine's state.  The wrapped ␟a␟␟b␟ form is anchored at both
+        symbol boundaries; this corpus is crafted so the buggy form
+        diverges from the exact driver engine."""
+        from filters_spark.functions import text as T
+        rows = ([("aba",)] * 1 + [("abba",)] * 4
+                + [("babaa",)] * 2 + [("babb",)] * 1)
+        df = spark.createDataFrame(rows, "text string")
+        ref = T.bpe_train(df, n_merges=6, engine="driver")
+        assert T.bpe_train(df, n_merges=6, engine="spark") == ref
+        assert len(ref) >= 4
+
+    def test_adjacent_pairs_both_merge(self, spark):
+        """'abab' must merge to [ab, ab] — a shared-single-separator
+        packing (the naive anchoring fix) consumes the separator
+        between adjacent matches and merges only the first."""
+        from filters_spark.functions import text as T
+        import pyspark.sql.functions as F
+        df = spark.createDataFrame([("ab ab",)], "text string")
+        merges = T.bpe_train(df, n_merges=1, engine="spark")
+        assert merges == [(1, "a", "b", 2)]
+        [r] = (spark.range(1)
+               .select(T.bpe_apply(F.lit("abab ababa"), merges)
+                       .alias("t")).collect())
+        assert r["t"] == ["ab", "ab", "ab", "ab", "a"]
+
 
 class TestBpeApply:
     def test_tokenizes_with_learned_merges(self, spark):
@@ -769,6 +799,22 @@ class TestWordpiece:
         d = self._corpus(spark)
         assert (text.wordpiece_train(d, n_merges=5, engine="spark")
                 == text.wordpiece_train(d, n_merges=5, engine="driver"))
+
+    def test_suffix_collision_corpus(self, spark):
+        """r10 ADVICE regression: with '##'-marked continuations the
+        trailing-separator replace collides constantly ('##a' ends
+        with 'a', so the pattern for merge (a, ##b) matched inside
+        '##a␟##b␟' states).  On this corpus the buggy form diverged
+        from the driver at merge 2 (picking (##ba, ##a) instead of
+        (a, ##b)); the wrapped packing must match the exact driver
+        engine merge-for-merge."""
+        from filters_spark.functions import text
+        rows = ([("aba",)] * 1 + [("abba",)] * 4
+                + [("babaa",)] * 2 + [("babb",)] * 1)
+        d = spark.createDataFrame(rows, "text string")
+        ref = text.wordpiece_train(d, n_merges=4, engine="driver")
+        assert text.wordpiece_train(d, n_merges=4, engine="spark") == ref
+        assert ref[1][1:3] == ("a", "##b")
 
     def test_engines_equal_on_documents_sample(self, spark):
         from filters_spark.functions import text
