@@ -122,24 +122,47 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
         head = V.latest_version(self._path)
         if head is None:
-            return {"version": self._start - 1}
+            return {"version": max(self._start - 1, self._cursor)}
         if self._max_versions is not None:
             # rate limiting (Delta maxFilesPerTrigger's shape): cap
             # each micro-batch at N COMMITS past what was last
-            # planned.  The cursor also advances in partitions(), so
-            # a checkpoint-restart replay (planned from Spark's
-            # offsets without a latestOffset round) re-syncs it.
+            # planned.  The cursor also advances in partitions() and
+            # commit(), so a checkpoint-restart replay (planned from
+            # Spark's offsets without a latestOffset round) re-syncs
+            # it.
             head = min(head, self._cursor + self._max_versions)
-        return {"version": head}
+        # NEVER regress (r10 ADVICE): a fresh reader's cursor starts
+        # at startingVersion - 1, which can lag a restarted query's
+        # committed checkpoint offset — a capped head computed from
+        # the stale cursor would hand Spark an end offset BELOW the
+        # committed one, which Spark then commits, re-serving
+        # already-delivered commits.  The API never shows the reader
+        # the committed offset before the first latestOffset call,
+        # so the clamp here keeps the offset monotonic per session
+        # and partitions() below refuses to re-serve commits at or
+        # below the cursor — together a regressed WAL entry
+        # self-heals with no duplicate and no lost commit (pinned in
+        # TestChangeFeedRateLimit).
+        return {"version": max(head, self._cursor)}
 
     # -- planning (driver) ---------------------------------------------
     def partitions(self, start: dict, end: dict):
         from ..sources import versioned as V
 
         lo, hi = int(start["version"]), int(end["version"])
-        self._cursor = max(self._cursor, hi)
+        # Serve only commits this reader has not already handed out:
+        # after a restart where startingVersion lags the checkpoint,
+        # Spark's first post-restart span can be (committed, capped)
+        # with capped < committed (see latestOffset) followed by a
+        # catch-up span that overlaps commits delivered before the
+        # restart — the cursor floor drops exactly those.  Legitimate
+        # uncommitted-batch replays run on a FRESH reader whose
+        # cursor (startingVersion - 1) is at or below the replayed
+        # span's start, so they are never skipped.
+        served_from = max(lo, self._cursor)
+        self._cursor = max(self._cursor, lo, hi)
         parts: list[_ChangeFilePartition] = []
-        for v in range(lo + 1, hi + 1):
+        for v in range(served_from + 1, hi + 1):
             if v not in set(V.versions(self._path)):
                 continue                    # skipped number (orphan)
             m = V._read_manifest(self._path, v)
@@ -193,7 +216,9 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             yield batch
 
     def commit(self, end: dict) -> None:
-        pass                                 # checkpoint is Spark's
+        # checkpoint durability is Spark's; tracking the committed
+        # offset here keeps the rate-limit cursor from regressing
+        self._cursor = max(self._cursor, int(end["version"]))
 
     def stop(self) -> None:
         pass

@@ -1202,3 +1202,105 @@ class TestChangeFeedRateLimit:
             [(2, 20)], "k bigint, n bigint"), "k", store_changes=True)
         with pytest.raises(ValueError, match="maxVersionsPerBatch"):
             change_feed_stream(spark, src, max_versions_per_batch=0)
+
+    def test_restart_offset_never_regresses(self, spark, tmp_path):
+        """r10 ADVICE regression, protocol-level: a FRESH capped
+        reader (simulating a restarted query) whose startingVersion
+        lags the committed checkpoint must not re-serve delivered
+        commits.  Replays Spark's exact post-restart call sequence:
+        latestOffset from a stale cursor (which CAN return below the
+        committed offset — the API hides the checkpoint from the
+        reader), then the regressed span, then the catch-up span
+        that overlaps already-delivered commits."""
+        import os as _os
+
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming.change_source import (
+            _ChangeFeedStreamReader,
+        )
+        src = _os.path.join(str(tmp_path), "src")
+        V.write_versioned(spark.createDataFrame(
+            [(1, 10)], "k bigint, n bigint"), src)         # v1
+        for step in range(5):                              # v2-v6
+            V.merge_versioned(spark, src, spark.createDataFrame(
+                [(10 + step, 100 + step)], "k bigint, n bigint"),
+                "k", store_changes=True)
+        schema_json = spark.createDataFrame(
+            [], "k bigint, n bigint, _change_type string").schema.json()
+        names = ("k", "n", "_change_type")
+        # restarted query: startingVersion=2, committed checkpoint=4
+        r = _ChangeFeedStreamReader(src, 2, names, schema_json,
+                                    max_versions=1)
+        end1 = r.latestOffset()                 # stale cursor = 1
+        # Spark plans (committed=4, end1) whatever end1 is
+        p1 = r.partitions({"version": 4}, end1)
+        assert p1 == []                         # nothing re-served
+        r.commit(end1)
+        end2 = r.latestOffset()
+        assert int(end2["version"]) == 5        # cursor-synced cap
+        p2 = r.partitions(end1 if int(end1["version"]) > 4
+                          else {"version": 4}, end2)
+        assert sorted({p.version for p in p2}) == [5]
+        r.commit(end2)
+        end3 = r.latestOffset()
+        assert int(end3["version"]) == 6
+        p3 = r.partitions(end2, end3)
+        assert sorted({p.version for p in p3}) == [6]
+        # uncommitted-batch replay on a fresh reader is NOT skipped
+        r2 = _ChangeFeedStreamReader(src, 2, names, schema_json,
+                                     max_versions=1)
+        rep = r2.partitions({"version": 3}, {"version": 4})
+        assert sorted({p.version for p in rep}) == [4]
+
+    def test_restart_from_committed_checkpoint_no_duplicates(
+            self, spark, tmp_path):
+        """End-to-end restart: drain a capped backlog to the
+        checkpoint, stop, add commits, restart the SAME checkpoint
+        with the SAME lagging startingVersion — only the new commits
+        may arrive (the buggy stale-cursor cap re-served the whole
+        backlog as duplicate CDC rows)."""
+        import os as _os
+        import time as _time
+
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import change_feed_stream
+        src = _os.path.join(str(tmp_path), "src")
+        ck = str(tmp_path / "ck")
+        V.write_versioned(spark.createDataFrame(
+            [(1, 10)], "k bigint, n bigint"), src)         # v1
+        for step in range(3):                              # v2-v4
+            V.merge_versioned(spark, src, spark.createDataFrame(
+                [(10 + step, 100 + step)], "k bigint, n bigint"),
+                "k", store_changes=True)
+        seen: list = []
+
+        def fb(df, bid):
+            seen.append(
+                {int(r["_commit_version"]) for r in
+                 df.select("_commit_version").distinct().collect()})
+
+        def run_until(n_commits):
+            stream = change_feed_stream(spark, src, starting_version=2,
+                                        max_versions_per_batch=1)
+            q = (stream.writeStream
+                 .option("checkpointLocation", ck)
+                 .foreachBatch(fb)
+                 .trigger(processingTime="0 seconds").start())
+            deadline = _time.time() + 240
+            while _time.time() < deadline:
+                if len(set().union(*seen)) >= n_commits if seen else False:
+                    break
+                _time.sleep(0.5)
+            q.stop()
+            q.awaitTermination(60)
+
+        run_until(3)
+        assert set().union(*seen) == {2, 3, 4}
+        seen.clear()
+        for step in range(2):                              # v5-v6
+            V.merge_versioned(spark, src, spark.createDataFrame(
+                [(20 + step, 200 + step)], "k bigint, n bigint"),
+                "k", store_changes=True)
+        run_until(2)
+        got = set().union(*seen) if seen else set()
+        assert got == {5, 6}, f"re-delivered commits: {sorted(got)}"
