@@ -209,6 +209,27 @@ def table_diff(a: DataFrame, b: DataFrame,
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
+def _join_back_nullsafe(left: DataFrame, right: DataFrame,
+                        keys: list[str]) -> DataFrame:
+    """Broadcast-join per-group stats back onto the input with
+    NULL-SAFE key equality — ``join(..., keys)`` silently DROPS rows
+    whose group column is NULL (inner join, null-unsafe `=`), while
+    groupBy keeps NULL as a real group (r10 ADVICE: mad_outliers /
+    winsorize / top_fraction_by_group all lost NULL-group rows).
+    Right-side keys are renamed before the join so output columns
+    stay exactly the left schema + the right's stat columns."""
+    if not keys:
+        return left.crossJoin(F.broadcast(right))
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"_nsj_{k}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_nsj_{k}"))
+    return (left.join(F.broadcast(r), cond)
+            .drop(*[f"_nsj_{k}" for k in keys]))
+
+
 def mad_outliers(df: DataFrame, col: str, by: list[str] | None = None,
                  k: float = 3.0) -> DataFrame:
     """Robust outlier detection by MEDIAN absolute deviation — the
@@ -228,18 +249,18 @@ def mad_outliers(df: DataFrame, col: str, by: list[str] | None = None,
     Returns the input rows plus ``_med``, ``_mad``, ``is_outlier``.
     Scale shape: two grouped EXACT-median aggregates (shuffles
     bounded by the group count) + one broadcast join back; NULLs in
-    ``col`` get ``is_outlier = NULL`` (three-valued, never flagged).
+    ``col`` get ``is_outlier = NULL`` (three-valued, never flagged);
+    rows whose GROUP key is NULL form their own group (null-safe
+    join back — row counts are preserved exactly).
     """
     keys = list(by or [])
     gmed = (df.groupBy(*keys).agg(F.median(col).alias("_med"))
             if keys else df.agg(F.median(col).alias("_med")))
-    j = (df.join(F.broadcast(gmed), keys) if keys
-         else df.crossJoin(F.broadcast(gmed)))
+    j = _join_back_nullsafe(df, gmed, keys)
     dev = F.abs(F.col(col) - F.col("_med"))
     gmad = (j.groupBy(*keys).agg(F.median(dev).alias("_mad"))
             if keys else j.agg(F.median(dev).alias("_mad")))
-    out = (j.join(F.broadcast(gmad), keys) if keys
-           else j.crossJoin(F.broadcast(gmad)))
+    out = _join_back_nullsafe(j, gmad, keys)
     return out.withColumn(
         "is_outlier",
         F.abs(F.col(col) - F.col("_med")) > F.lit(k) * F.col("_mad"))

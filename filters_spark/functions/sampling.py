@@ -578,7 +578,9 @@ def top_fraction_by_group(df: DataFrame, score_col: str,
     Returns the kept rows plus ``_threshold``.  NULL scores never
     qualify.  Groups too small for the fraction (``floor = 0``) keep
     nothing — the contract a mixture budget wants, not a surprise
-    minimum of one."""
+    minimum of one.  A NULL group key is its own group (null-safe
+    join back), not a silent row drop."""
+    from .profile import _join_back_nullsafe
     w_top = (Window.partitionBy(group_col)
              .orderBy(F.col(score_col).desc())
              .rangeBetween(Window.unboundedPreceding, 0))
@@ -593,6 +595,6 @@ def top_fraction_by_group(df: DataFrame, score_col: str,
            .agg(F.min(F.when(
                F.col("_ctop") <= F.floor(F.lit(frac) * F.col("_n")),
                F.col(score_col))).alias("_threshold")))
-    return (df.join(F.broadcast(thr), group_col)
+    return (_join_back_nullsafe(df, thr, [group_col])
             .where(F.col("_threshold").isNotNull()
                    & (F.col(score_col) >= F.col("_threshold"))))

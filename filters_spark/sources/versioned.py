@@ -361,10 +361,33 @@ _BLOOM_DEFAULT_BITS = 65536
 _BLOOM_DEFAULT_HASHES = 4
 
 
+#: Column types whose Spark string cast provably equals the Python
+#: canonical rendering _bloom_canon produces — the only types
+#: write_versioned accepts as bloom_cols.  Doubles ('1e+20' vs
+#: '1.0E20'), booleans ('True' vs 'true'), decimals and timestamps
+#: all render differently between engines, so a probe would hash to
+#: different positions than the bitmap and SILENTLY skip files that
+#: contain the key (r10 ADVICE).
+_BLOOM_TYPES = ("byte", "short", "integer", "long", "string", "date")
+
+
+def _bloom_canon(value) -> str:
+    """Canonical string form of a probe value — must equal Spark's
+    ``cast(col as string)`` for every type _BLOOM_TYPES allows:
+    integers and strings are str(), dates are ISO (what str() gives a
+    datetime.date).  Python bools are ints whose str() ('True') never
+    matches a stored rendering — canonicalize through int so probing
+    an integer column with True/False works."""
+    if isinstance(value, bool):
+        return str(int(value))
+    return str(value)
+
+
 def _bloom_positions_py(value, bits: int, hashes: int) -> list[int]:
     import hashlib
 
-    return [int(hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:8], 16)
+    v = _bloom_canon(value)
+    return [int(hashlib.md5(f"{i}|{v}".encode()).hexdigest()[:8], 16)
             % bits for i in range(hashes)]
 
 
@@ -644,6 +667,17 @@ def write_versioned(df: DataFrame, path: str,
                     f"write_versioned: bloom_cols {bad} are partition "
                     "columns — their col=value path already prunes "
                     "via stats_cols")
+            types = {f.name: f.dataType.typeName() for f in df.schema}
+            badtype = [(c, types.get(c)) for c in bloom_cols
+                       if types.get(c) not in _BLOOM_TYPES]
+            if badtype:
+                raise ValueError(
+                    f"write_versioned: bloom_cols {badtype} have types "
+                    "whose Spark string cast differs from the Python "
+                    "probe rendering (double '1e+20' vs '1.0E20', "
+                    "boolean 'True' vs 'true', ...) — membership would "
+                    "silently miss and point reads would DROP matching "
+                    f"files.  Supported types: {_BLOOM_TYPES}")
             bloom_bits = bloom_bits or _BLOOM_DEFAULT_BITS
             bloom_hashes = bloom_hashes or _BLOOM_DEFAULT_HASHES
             if reuse_files is not None:
@@ -1363,7 +1397,10 @@ def restore_version(spark: SparkSession, path: str, version: int,
         new_v = write_versioned(
             df, path, expected_parent=expected_parent, _op="restore",
             extra_meta=meta, stats_cols=m_old.get("stats_cols"),
-            partition_by=m_old["partition_by"], changes_df=changes)
+            partition_by=m_old["partition_by"], changes_df=changes,
+            bloom_cols=m_old.get("bloom_cols") or [],
+            bloom_bits=m_old.get("bloom_bits"),
+            bloom_hashes=m_old.get("bloom_hashes"))
         return {"version": new_v, "restored_from": version,
                 "files_reused": 0, "files_rewritten": m_old["n_files"]}
     files = _root_files(path, m_old)
@@ -1381,12 +1418,21 @@ def restore_version(spark: SparkSession, path: str, version: int,
             "versions can be restored")
     schema = T.StructType.fromJson(json.loads(m_old["schema_json"]))
     empty = spark.createDataFrame([], schema)
+    # Bloom config travels WITH the carried bitmaps: write_versioned
+    # would otherwise inherit bloom_bits/bloom_hashes from the current
+    # HEAD's manifest, and bitmaps built under m_old's sizing probed
+    # with HEAD's parameters yield silent false negatives (r10
+    # ADVICE).  m_old without blooms restores the no-bloom state
+    # ([] disarms — RESTORE restores table properties too).
     new_v = write_versioned(
         empty, path, expected_parent=expected_parent, _op="restore",
         extra_meta=meta, stats_cols=m_old.get("stats_cols"),
         changes_df=changes, reuse_files=files,
         reuse_stats=_root_stats(path, m_old),
-        reuse_blooms=_root_blooms(path, m_old))
+        reuse_blooms=_root_blooms(path, m_old),
+        bloom_cols=m_old.get("bloom_cols") or [],
+        bloom_bits=m_old.get("bloom_bits"),
+        bloom_hashes=m_old.get("bloom_hashes"))
     return {"version": new_v, "restored_from": version,
             "files_reused": len(files), "files_rewritten": 0}
 

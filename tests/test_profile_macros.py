@@ -451,6 +451,18 @@ class TestMadOutliers:
         df = spark.createDataFrame([], "g string, x bigint")
         assert profile.mad_outliers(df, "x", by=["g"]).count() == 0
 
+    def test_null_group_rows_preserved(self, spark):
+        """r10 ADVICE: rows whose group column is NULL must form
+        their own group, not vanish through a null-unsafe join."""
+        rows = ([("a", v) for v in [1, 2, 3]]
+                + [(None, v) for v in [5, 5, 5, 5, 5, 5, 9]])
+        df = spark.createDataFrame(rows, "g string, x bigint")
+        got = profile.mad_outliers(df, "x", by=["g"], k=3.0)
+        assert got.count() == len(rows)
+        nullg = {r["x"]: r["is_outlier"] for r in got.collect()
+                 if r["g"] is None}
+        assert nullg == {5: False, 9: True}
+
 
 class TestMultiProbe:
     def test_recall_gain_and_probe1_identity(self, spark):
@@ -503,3 +515,12 @@ class TestWinsorize:
         df = spark.createDataFrame([(i,) for i in range(100)],
                                    "x bigint")
         assert profile.winsorize(df, "x").count() == 100
+
+    def test_null_group_rows_preserved(self, spark):
+        rows = [("a", 1), ("a", 2), (None, 5), (None, 5), (None, 50)]
+        df = spark.createDataFrame(rows, "g string, x bigint")
+        got = profile.winsorize(df, "x", by=["g"], k=3.0)
+        assert got.count() == len(rows)
+        nullg = sorted(r["x_winsorized"] for r in got.collect()
+                       if r["g"] is None)
+        assert nullg == [5.0, 5.0, 5.0]       # MAD 0 clamps to median

@@ -672,3 +672,16 @@ class TestTopFractionByGroup:
         k2 = sorted(r["s"] for r in sampling.top_fraction_by_group(
             df.repartition(13), "s", "g", 0.25).collect())
         assert k1 == k2 == list(range(76, 101))
+
+    def test_null_group_is_its_own_group(self, spark):
+        """r10 ADVICE: a NULL domain is a real group — its rows must
+        be selected within it, not silently dropped by a null-unsafe
+        join."""
+        from filters_spark.functions import sampling
+        rows = ([("a", i) for i in range(1, 11)]
+                + [(None, i) for i in range(1, 11)])
+        df = spark.createDataFrame(rows, "g string, s bigint")
+        kept = sampling.top_fraction_by_group(df, "s", "g", 0.25)
+        got = sorted([(r["g"], r["s"]) for r in kept.collect()],
+                     key=lambda t: (t[0] or "", t[1]))
+        assert got == [(None, 9), (None, 10), ("a", 9), ("a", 10)]

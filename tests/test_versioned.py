@@ -1810,6 +1810,77 @@ class TestBloomSkipping:
         assert V.read_version(spark, t).where(
             F.col("uid").isNull()).count() == 5
 
+    def test_unsupported_types_rejected(self, spark, tmp_path):
+        """r10 ADVICE: bitmaps hash Spark's string cast, probes hash
+        the Python rendering — doubles ('1e+20' vs '1.0E20') and
+        booleans ('True' vs 'true') diverge, so every probe misses
+        and point reads silently DROP matching files.  write_versioned
+        must refuse such columns up front."""
+        import pytest
+        df = spark.range(5).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1e18).alias("d"),
+            (F.col("id") % 2 == 0).alias("b"))
+        with pytest.raises(ValueError, match="string cast"):
+            V.write_versioned(df, str(tmp_path / "d"), bloom_cols=["d"])
+        with pytest.raises(ValueError, match="string cast"):
+            V.write_versioned(df, str(tmp_path / "b"), bloom_cols=["b"])
+        # int/string/date stay accepted
+        ok = df.select("k", F.col("k").cast("string").alias("s"),
+                       F.to_date(F.lit("2024-01-15")).alias("dt"))
+        V.write_versioned(ok, str(tmp_path / "ok"),
+                          bloom_cols=["k", "s", "dt"])
+
+    def test_date_probe_canonical(self, spark, tmp_path):
+        """A datetime.date probe must hash like Spark's string cast
+        of the date column (both ISO)."""
+        import datetime
+        t = str(tmp_path / "dt")
+        df = spark.range(0, 400).select(
+            F.col("id").alias("k"),
+            F.date_add(F.to_date(F.lit("2024-01-01")),
+                       F.col("id").cast("int")).alias("d"))
+        V.write_versioned(df.repartition(4, F.rand(3)), t,
+                          bloom_cols=["d"])
+        probe = datetime.date(2024, 3, 1)
+        m = V._read_manifest(t, 1)
+        files = list(V.load_file_blooms(m))
+        kept = V.bloom_prune_files(m, ("d", probe, probe), files)
+        assert len(kept) < len(files)
+        assert V.read_version(spark, t, where=("d", probe, probe)) \
+            .where(F.col("d") == F.lit("2024-03-01").cast("date")) \
+            .count() == 1
+
+    def test_restore_carries_bloom_sizing(self, spark, tmp_path):
+        """r10 ADVICE: restore carries m_old's bitmaps — probing them
+        with the CURRENT head's bloom_bits/bloom_hashes would yield
+        silent false negatives when the sizing changed between those
+        versions.  The restore manifest must pin m_old's config."""
+        t = str(tmp_path / "t")
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") % 31).alias("v"))
+        V.write_versioned(df.repartition(4, "v"), t,
+                          bloom_cols=["k"], bloom_bits=4096,
+                          bloom_hashes=3)                        # v1
+        # resize blooms in a later full commit
+        V.write_versioned(df.repartition(4, "v"), t,
+                          bloom_cols=["k"], bloom_bits=65536,
+                          bloom_hashes=7)                        # v2
+        V.restore_version(spark, t, 1)                           # v3
+        m3 = V._read_manifest(t, 3)
+        assert m3.get("bloom_bits") == 4096
+        assert m3.get("bloom_hashes") == 3
+        # every point read still finds its row after the restore
+        for k in range(0, 2000, 101):
+            assert V.read_version(spark, t, where=("k", k, k)).where(
+                F.col("k") == k).count() == 1, k
+        # restoring a pre-bloom snapshot restores the no-bloom state
+        t2 = str(tmp_path / "t2")
+        V.write_versioned(df, t2)                                # v1
+        V.write_versioned(df, t2, bloom_cols=["k"])              # v2
+        V.restore_version(spark, t2, 1)                          # v3
+        assert V._read_manifest(t2, 3).get("bloom_cols") is None
+
 
 class TestScd2FromChanges:
     def _mk(self, spark, tmp_path):
