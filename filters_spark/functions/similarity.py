@@ -664,10 +664,44 @@ def _kmeans_assign_arrow(v: DataFrame, cent: DataFrame) -> DataFrame:
     return v.mapInPandas(run, schema)
 
 
+#: Above this many planes the width guard's own bounded count
+#: (CROSS_GUARD_ROWS · 2^planes rows) would cost more than it saves,
+#: and ≥2^12 buckets already bound the quadratic risk — skip it.
+_LSH_GUARD_MAX_PLANES = 12
+
+
+def _guard_bucket_width(df: DataFrame, n_planes: int, fn_name: str,
+                        allow_wide: bool = False) -> None:
+    """Refuse an LSH-bucketed SELF pair join whose expected bucket
+    width exceeds ``dedup.CROSS_GUARD_ROWS`` — Σ|bucket|² with
+    |bucket| ≈ n/2^planes is effectively quadratic once buckets are
+    that wide, the same silent blowup ``_guard_unblocked_cross``
+    refuses for unblocked crosses (r10 VERDICT #6).  The count stops
+    at CROSS_GUARD_ROWS·2^planes + 1 rows, so the guard's cost is
+    bounded by its own threshold; above ``_LSH_GUARD_MAX_PLANES``
+    it is skipped (bucket count alone bounds the risk).  Pass
+    ``allow_wide=True`` to accept the cost knowingly."""
+    from .dedup import CROSS_GUARD_ROWS
+
+    if allow_wide or n_planes > _LSH_GUARD_MAX_PLANES:
+        return
+    max_n = CROSS_GUARD_ROWS << n_planes
+    n = df.limit(max_n + 1).count()
+    if n > max_n:
+        raise ValueError(
+            f"{fn_name}: more than {max_n} rows across 2^{n_planes} "
+            f"LSH buckets — expected bucket width exceeds "
+            f"{CROSS_GUARD_ROWS}, so the bucketed pair join "
+            "degenerates toward O(n²).  Raise n_planes until "
+            f"rows / 2**n_planes <= {CROSS_GUARD_ROWS}, or pass "
+            "allow_wide=True to accept the cost")
+
+
 def hard_negatives(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                    vec_col: str = "embedding", label_col: str = "label",
-                   n_planes: int = 4,
-                   anchors: DataFrame | None = None) -> DataFrame:
+                   n_planes: int = 8,
+                   anchors: DataFrame | None = None,
+                   allow_wide: bool = False) -> DataFrame:
     """HARD-NEGATIVE mining for contrastive / embedding-model
     training (the DPR / sentence-transformers data step): for each
     anchor, the top-k most-similar vectors carrying a DIFFERENT label
@@ -680,14 +714,21 @@ def hard_negatives(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     (plane weights are plan literals — no side data), so pair work is
     Σ|bucket|² cross-label pairs, never n² — the same recall-bounded
     blocking every ANN family here uses (``ds_lsh_recall`` measures
-    it; raise ``n_planes`` for tighter buckets).  Ranking is on the
-    6-dp-ROUNDED cosine with the negative id as tie-break (the
-    ds_cosine_topk determinism trick).  Rows with NULL labels drop
-    out (label inequality is three-valued); pass ``anchors`` (a
-    subset frame with the same columns, broadcast) to mine for a
-    query set instead of the whole corpus.
+    it; raise ``n_planes`` for tighter buckets).  In SELF mode
+    (``anchors=None`` — corpus × corpus) the expected bucket width is
+    guarded like an unblocked cross: wider than
+    ``dedup.CROSS_GUARD_ROWS`` refuses unless ``allow_wide=True``
+    (``_guard_bucket_width``).  Ranking is on the 6-dp-ROUNDED cosine
+    with the negative id as tie-break (the ds_cosine_topk determinism
+    trick).  Rows with NULL labels drop out (label inequality is
+    three-valued); pass ``anchors`` (a subset frame with the same
+    columns, broadcast — pair work is |anchors∩bucket|·|bucket|, so
+    the width guard does not apply) to mine for a query set instead
+    of the whole corpus.
 
     Returns ``(anchor_id, negative_id, score, rank)``."""
+    if anchors is None:
+        _guard_bucket_width(df, n_planes, "hard_negatives", allow_wide)
     vb = lsh_buckets(df, n_planes, id_col=id_col, vec_col=vec_col)
     if anchors is not None:
         ab = lsh_buckets(anchors, n_planes, id_col=id_col,
@@ -805,7 +846,8 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 6, id_col: str = "vec_id",
              vec_col: str = "embedding", probes: int = 1,
-             round_dp: int | None = None) -> DataFrame:
+             round_dp: int | None = None,
+             allow_wide: bool = False) -> DataFrame:
     """ANN top-k: score only same-bucket pairs, then rank.  Recall is
     tuned by lowering n_planes (bigger buckets) or by MULTI-PROBING
     (``probes`` > 1, Lv et al. VLDB 2007): each query also probes the
@@ -815,10 +857,22 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     ``probes``× the candidate cost and the SAME index (no rebuild,
     unlike lowering n_planes).  ``probes`` ≤ n_planes + 1 (own bucket
     + one flip per plane); exactness is traded for a
-    probes·|bucket|/n scan fraction."""
+    probes·|bucket|/n scan fraction.
+
+    Queries broadcast, so pair work is |queries∩bucket|·|bucket| —
+    bounded for the normal small-query case.  When the QUERY set is
+    itself corpus-scale (above ``dedup.CROSS_GUARD_ROWS``), wide
+    candidate buckets turn that quadratic, so the
+    ``_guard_bucket_width`` refusal applies to the vectors side
+    unless ``allow_wide=True`` (r10 VERDICT #6)."""
     if not 1 <= probes <= n_planes + 1:
         raise ValueError(
             f"probes must be in [1, n_planes + 1], got {probes}")
+    if not allow_wide:
+        from .dedup import CROSS_GUARD_ROWS
+
+        if queries.limit(CROSS_GUARD_ROWS + 1).count() > CROSS_GUARD_ROWS:
+            _guard_bucket_width(vectors, n_planes, "lsh_topk")
     vb = lsh_buckets(vectors, n_planes, id_col, vec_col)
     qb = lsh_buckets(queries, n_planes, id_col, vec_col,
                      keep_projections=probes > 1)

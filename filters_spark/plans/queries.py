@@ -13876,7 +13876,7 @@ def ds_hard_negatives(spark, sf_dir):
     a positive leaking into the negative set flips rows."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.hard_negatives(
-        emb, k=5, anchors=emb.where(F.col("vec_id") < 20))
+        emb, k=5, n_planes=4, anchors=emb.where(F.col("vec_id") < 20))
 
 
 def _hilbert_sql_chain(bits: int = 8) -> str:

@@ -196,6 +196,38 @@ class TestCrossGuard:
         assert dedup.jaccard_pairs(
             df, "doc_id", "toks", threshold=0.0).count() > 0
 
+    def test_lsh_bucket_width_guarded(self, spark, monkeypatch):
+        """r10 VERDICT #6: an LSH-bucketed pair join with expected
+        bucket width above CROSS_GUARD_ROWS is Σ|bucket|² ~ O(n²) —
+        hard_negatives (self mode) must refuse; allow_wide, tighter
+        planes, or anchors mode keep working."""
+        import pytest as _pt
+
+        monkeypatch.setattr(dedup, "CROSS_GUARD_ROWS", 2)
+        df = spark.range(40).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.col("id").cast("float"), F.lit(1.0).cast("float"))
+            .alias("embedding"),
+            (F.col("id") % 2).alias("label"))
+        # 40 rows / 2^1 buckets = 20 expected >> guard 2 -> refuse
+        with _pt.raises(ValueError, match="bucket width"):
+            similarity.hard_negatives(df, k=1, n_planes=1)
+        assert similarity.hard_negatives(
+            df, k=1, n_planes=1, allow_wide=True).count() > 0
+        # anchors mode: pair work is anchors-bounded, no guard
+        assert similarity.hard_negatives(
+            df, k=1, n_planes=1,
+            anchors=df.where(F.col("vec_id") < 3)).count() > 0
+        # corpus-scale queries trigger the vectors-side width guard
+        with _pt.raises(ValueError, match="lsh_topk"):
+            similarity.lsh_topk(df, df, k=1, n_planes=1)
+        assert similarity.lsh_topk(
+            df, df, k=1, n_planes=1, allow_wide=True).count() > 0
+        # small query sets never guarded
+        assert similarity.lsh_topk(
+            df, df.where(F.col("vec_id") < 2), k=1,
+            n_planes=1).count() > 0
+
 
 class TestSimhash:
     def test_exact_dups_same_signature(self, spark, docs):
