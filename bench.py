@@ -209,6 +209,10 @@ HEADLINE = [
     # select -> bloom-armed archive -> clone -> COW decontamination ->
     # CDC-audited rollup per run)
     "ds_corpus_release_v10",
+    # round 11: merge-on-read deletion vectors (two scattered mor
+    # deletes + the COW twin lifecycle + reinsert + three read-back
+    # aggregates per run — the mor-vs-cow write-path economics gate)
+    "rel_delete_mor",
 ]
 
 # Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1

@@ -614,6 +614,80 @@ def names() -> list[str]:
 # op, so every component lands a row in the official record.  The
 # remaining queries still run under tools/oracle_check.py.
 DRIVER_WINDOW: list[str] = [
+    # ================= ROUND-11 ROTATION (VERDICT r10 task 1) ========
+    # Slots 1-N: gates registered during r11 (added at registration
+    # time, displacing the newest re-confirmation slot — the r10
+    # discipline).  Then the TWELVE r3-vintage names, the TWELVE r4
+    # leftovers, and the r5 vintage (47 names) to fill 50 — verified
+    # against the union of CORRECTNESS_r01..r10.json: exactly 12
+    # last-official r3, 12 r4, 47 r5, nothing older.  Within the r5
+    # vintage, txt_bpe_merges and ds_tokenize_pack are pulled forward
+    # because their oracles changed this round (the wrapped-packing
+    # merge-anchoring fix) — re-confirmation is most valuable where
+    # the gate moved; the rest fill alphabetically.
+    # ROUND-12 ROTATION PLAN: r12-registered gates first, then the
+    # remaining r5 vintage (the ~24 names displaced from this window
+    # — recompute from CORRECTNESS_r11.json), then the r7 vintage
+    # (48 names minus re-confirmations), oldest vintage first.
+    # Re-verify against CORRECTNESS_r11.json before writing.
+    #
+    # -- registered during r11 ------------------------------------------
+    "rel_delete_mor",            # merge-on-read deletion vectors
+    # -- last official row r3 (12) --------------------------------------
+    "val_variant_json",
+    "val_uuid_canon",
+    "val_switch_dispatch",
+    "val_round_quarter",
+    "val_regex_extract",
+    "val_optional_default",
+    "val_maxbytes_check",
+    "val_ip_address",
+    "val_each_array",
+    "val_base64_roundtrip",
+    "val_split_parts",
+    "rel_sql_interface",
+    # -- last official row r4 (12) --------------------------------------
+    "ds_real_codec_gate",
+    "rel_latest_order_per_customer",
+    "val_date_tz",
+    "val_strip_fold",
+    "rel_sessionize",
+    "rel_upsert_merge",
+    "ds_stratified_sample",
+    "ds_simhash_pairs",
+    "ds_domain_mixture",
+    "ds_pagerank",
+    "ds_dedup_exact",
+    "ds_ivf_topk",
+    # -- last official row r5 (fill to 50; changed-oracle names first --
+    "txt_bpe_merges",            # oracle changed: wrapped packing
+    "ds_tokenize_pack",          # oracle changed: wrapped packing
+    "ds_corpus_pipeline_v4",
+    "ds_decontaminate",
+    "ds_dedup_components_star",
+    "ds_duplicate_spans",
+    "ds_global_shuffle",
+    "ds_hybrid_rrf",
+    "ds_incremental_dedup",
+    "ds_ivf_index_topk",
+    "ds_kmeans",
+    "ds_knn_graph",
+    "ds_minhash_estimate",
+    "ds_pii_rollup",
+    "ds_pps_sample",
+    "ds_quality_pipeline",
+    "ds_random_projection",
+    "ds_semantic_clusters",
+    "ds_semdedup",
+    "ds_sequence_pack",
+    "ds_span_removal",
+    "ds_split_leakage",
+    "ds_url_extract",
+    "ds_wav_codec_gate",
+    "ds_y4m_codec_gate",
+]
+
+_R10_WINDOW_RETIRED = [
     # ================= ROUND-10 ROTATION (VERDICT r9 task 1) =========
     # Slots 1-6: the SIX registered names that have never had an
     # official CORRECTNESS row in rounds 1-9 (verified against the
@@ -13212,6 +13286,115 @@ def rel_delete_where(spark, sf_dir):
             .crossJoin(F.broadcast(kept))
             .select("n_deleted", "deleted_key_sum", "deleted_cents",
                     "n_kept", "kept_cents"))
+
+
+@register(
+    "rel_delete_mor",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), d1 AS (
+      SELECT * FROM base WHERE k % 997 = 0
+    ), s1 AS (
+      SELECT * FROM base WHERE k % 997 <> 0
+    ), d2 AS (
+      SELECT * FROM s1 WHERE k % 1003 = 0
+    ), s2 AS (
+      SELECT * FROM s1 WHERE k % 1003 <> 0
+    ), rk AS (
+      SELECT min(k) AS rk FROM d1
+    ), final AS (
+      SELECT k, cents FROM s2
+      UNION ALL
+      SELECT rk, CAST(123456 AS BIGINT) FROM rk WHERE rk IS NOT NULL
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_deleted_1,
+           (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_deleted_2,
+           CAST(0 AS BIGINT) AS files_rewritten,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           (SELECT CAST(sum(f.cents) AS BIGINT) FROM final f, rk
+            WHERE f.k = rk.rk) AS reinserted_cents,
+           CAST(0 AS BIGINT) AS cow_minus_mor_n,
+           CAST(0 AS BIGINT) AS cow_minus_mor_cents
+    FROM final
+    """,
+)
+def rel_delete_mor(spark, sf_dir):
+    """MERGE-ON-READ deletes (deletion vectors — r10 VERDICT #2)
+    under the value hash (sources.versioned.delete_where(mode='mor')):
+    two SCATTERED modulo deletes against a range-clustered orders
+    table commit as delete-sized (file, key) sidecars with EVERY data
+    file carried by reference and files_rewritten = 0 in the hash —
+    the shape copy-on-write cannot deliver for scattered predicates
+    (the same slices rewrite most of a clustered table).  The first
+    deleted key is then RE-INSERTED through a file-reuse merge and
+    its cents read back — visible only because vectors bind to FILES,
+    not keys (key-only vectors would re-delete it; the classic MOR
+    trap).  The SAME lifecycle runs copy-on-write on a shallow clone
+    of v1 and the hash carries cow−mor row/cents DIFFERENCES (zero in
+    the oracle), so MOR ≡ COW ≡ the arithmetic replay in one hash.
+    Stacked vectors, COW-op inheritance, optimize folding, restore/
+    clone/vacuum interplay are pytest-pinned (TestMorDelete); SCALE
+    §32 measures the scattered-delete economics at 10×."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents")).repartitionByRange(8, "k")
+    root = tempfile.mkdtemp(prefix="fs_mor_")
+    pm, pc = root + "/m", root + "/c"
+    V.write_versioned(base, pm, stats_cols=["k"])
+    V.clone_versioned(spark, pm, pc, version=1)
+    r1 = V.delete_where(spark, pm, "k % 997 = 0", mode="mor", key="k")
+    r2 = V.delete_where(spark, pm, "k % 1003 = 0", mode="mor", key="k")
+    c1 = V.delete_where(spark, pc, "k % 997 = 0")
+    c2 = V.delete_where(spark, pc, "k % 1003 = 0")
+    assert c1["n_deleted"] == r1["n_deleted"]
+    assert c2["n_deleted"] == r2["n_deleted"]
+    [row] = base.where(F.col("k") % 997 == 0) \
+        .agg(F.min("k").alias("rk")).collect()   # bounded: one row
+    rk = row["rk"]
+    if rk is not None:
+        ins = spark.createDataFrame([(int(rk), 123456)],
+                                    "k bigint, cents bigint")
+        V.merge_versioned(spark, pm, ins, "k", file_reuse=True)
+        V.merge_versioned(spark, pc, ins, "k", file_reuse=True)
+    mor = V.read_version(spark, pm).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"))
+    cow = V.read_version(spark, pc).agg(
+        F.count(F.lit(1)).cast("long").alias("_cn"),
+        F.sum("cents").cast("long").alias("_cc"))
+    reins = V.read_version(spark, pm) \
+        .where(F.col("k") == F.lit(-1 if rk is None else int(rk))) \
+        .agg(F.sum("cents").cast("long").alias("reinserted_cents"))
+    return (spark.range(1)
+            .select(F.lit(int(r1["n_deleted"])).cast("long")
+                    .alias("n_deleted_1"),
+                    F.lit(int(r2["n_deleted"])).cast("long")
+                    .alias("n_deleted_2"),
+                    F.lit(int(r1["files_rewritten"]
+                              + r2["files_rewritten"])).cast("long")
+                    .alias("files_rewritten"))
+            .crossJoin(F.broadcast(mor))
+            .crossJoin(F.broadcast(cow))
+            .crossJoin(F.broadcast(reins))
+            .select("n_deleted_1", "n_deleted_2", "files_rewritten",
+                    "n_rows", "key_sum", "cents_sum",
+                    "reinserted_cents",
+                    (F.col("_cn") - F.col("n_rows")).cast("long")
+                    .alias("cow_minus_mor_n"),
+                    (F.coalesce(F.col("_cc"), F.lit(0))
+                     - F.coalesce(F.col("cents_sum"), F.lit(0)))
+                    .cast("long").alias("cow_minus_mor_cents")))
 
 
 # ---------------------------------------------------------------------------

@@ -55,7 +55,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (callers compose)
 from pyspark.sql import types as T
 
@@ -84,6 +84,7 @@ __all__ = [
     "load_file_stats",
     "load_file_blooms",
     "bloom_prune_files",
+    "apply_delete_vectors",
 ]
 
 
@@ -489,6 +490,72 @@ def _root_blooms(path: str, manifest: dict) -> dict:
     return {f"snap/v={v}/{k}": s for k, s in blooms.items()}
 
 
+def _dv_dir(path: str, version: int) -> str:
+    return os.path.join(path, "dv", f"v={version}")
+
+
+#: Executor-side file identity for delete-vector binding: the
+#: ``snap/v=N/<basename>`` TAIL of input_file_name() — unique per
+#: physical file (version dirs never repeat), root-invariant (a clone
+#: referencing ``../src/snap/v=3/x.parquet`` extracts the same tail),
+#: and free of percent-encoding hazards (part filenames and ``v=N``
+#: contain no URI-escaped characters).  Flat layouts only — a
+#: partitioned snapshot's extra ``col=val`` level breaks the tail,
+#: which is why MOR deletes require flat tables.
+_DV_TAIL = r"(snap/v=\d+/[^/]+)$"
+
+
+def _dv_file_expr() -> Column:
+    return F.regexp_extract(F.input_file_name(), _DV_TAIL, 1)
+
+
+def apply_delete_vectors(spark: SparkSession, path: str,
+                         manifest: dict, df: DataFrame,
+                         file_col: str | None = None) -> DataFrame:
+    """MERGE-ON-READ: anti-join the manifest's live delete vectors
+    into a frame read from this snapshot's physical files.  A DV
+    entry is a ``(file tail, key)`` pair — binding to the FILE means
+    a key deleted at v5 and re-inserted at v7 (a new file) is not
+    re-deleted, the classic MOR correctness trap.  DV frames are
+    delete-sized; the join broadcasts under AQE when small.  No-op
+    for snapshots without delete vectors.
+
+    ``file_col`` names an ALREADY-MATERIALIZED ``input_file_name()``
+    column to derive file identity from instead — callers that need
+    per-row file identity downstream (touched-file detection) must
+    materialize it BEFORE this call: ``input_file_name()`` refuses
+    plans with more than one source, and the anti-join adds one."""
+    dv_dirs = manifest.get("dv_dirs")
+    if not dv_dirs:
+        return df
+    key = manifest["dv_key"]
+    dv = spark.read.parquet(*[_dv_dir(path, v) for v in dv_dirs])
+    src = F.col(file_col) if file_col else F.input_file_name()
+    return (df.withColumn("_dv_file",
+                          F.regexp_extract(src, _DV_TAIL, 1))
+            .join(dv.withColumnRenamed("_file", "_dv_file"),
+                  ["_dv_file", key], "left_anti")
+            .drop("_dv_file"))
+
+
+def _detect_frame(spark: SparkSession, path: str,
+                  manifest: dict) -> DataFrame:
+    """The LIVE rows of a flat snapshot carrying ``_f`` =
+    input_file_name() — the touched-file detection input every
+    copy-on-write op uses.  ``_f`` materializes before the DV
+    anti-join (see :func:`apply_delete_vectors`)."""
+    schema = T.StructType.fromJson(json.loads(manifest["schema_json"]))
+    files = _root_files(path, manifest)
+    if not files:
+        return spark.createDataFrame([], schema) \
+            .withColumn("_f", F.lit(""))
+    raw = (spark.read.schema(schema).parquet(
+        *[os.path.join(path, f) for f in files])
+        .withColumn("_f", F.input_file_name()))
+    return apply_delete_vectors(spark, path, manifest, raw,
+                                file_col="_f")
+
+
 def write_versioned(df: DataFrame, path: str,
                     expected_parent: int | None = None,
                     _op: str = "write",
@@ -501,7 +568,10 @@ def write_versioned(df: DataFrame, path: str,
                     bloom_cols: list[str] | None = None,
                     bloom_bits: int | None = None,
                     bloom_hashes: int | None = None,
-                    reuse_blooms: dict | None = None) -> int:
+                    reuse_blooms: dict | None = None,
+                    dv_df: DataFrame | None = None,
+                    dv_key: str | None = None,
+                    dv_dirs: list[int] | None = None) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``expected_parent`` is optimistic concurrency control: pass the
@@ -566,7 +636,19 @@ def write_versioned(df: DataFrame, path: str,
     (their ``col=value`` path prunes via ``stats_cols`` for free).
     Size ``bloom_bits`` ≈ 10× the rows per file for ~1% false
     positives at 4 hashes; false positives only cost a read, never
-    correctness."""
+    correctness.
+
+    DELETE VECTORS (merge-on-read): ``dv_df`` — a ``(_file string,
+    <dv_key>)`` frame of per-file deleted keys — is written as this
+    commit's DV parquet dir (``dv/v=N/``, executor-side like
+    ``changes_df``, committed with the snapshot) and appended to the
+    manifest's live ``dv_dirs`` list; readers anti-join them in
+    (:func:`apply_delete_vectors`).  ``dv_dirs`` overrides the live
+    list explicitly (``[]`` resets — the restore path); when omitted,
+    FILE-REUSE commits INHERIT the parent's (carried files still
+    contain the deleted rows — dropping the vectors would resurrect
+    them) while full rewrites reset (``df`` comes from a DV-applied
+    read, so the new files hold only live rows)."""
     if reuse_files and partition_by:
         raise ValueError(
             "write_versioned: file-reuse commits require a flat "
@@ -702,6 +784,38 @@ def write_versioned(df: DataFrame, path: str,
             manifest["bloom_cols"] = list(bloom_cols)
             manifest["bloom_bits"] = bloom_bits
             manifest["bloom_hashes"] = bloom_hashes
+        # --- delete vectors (merge-on-read) --------------------------
+        if dv_dirs is None and reuse_files is not None \
+                and parent is not None:
+            try:
+                pm_dv = _read_manifest(path, parent)
+            except ValueError:
+                pm_dv = {}
+            dv_dirs = pm_dv.get("dv_dirs")
+            if dv_dirs:
+                if dv_key is None:
+                    dv_key = pm_dv.get("dv_key")
+                elif dv_key != pm_dv.get("dv_key"):
+                    raise ValueError(
+                        "write_versioned: dv_key "
+                        f"{dv_key!r} differs from the table's live "
+                        f"delete-vector key {pm_dv.get('dv_key')!r} — "
+                        "one key per table (fold the existing vectors "
+                        "with optimize_versioned first)")
+        if dv_df is not None:
+            if partition_by:
+                raise ValueError(
+                    "write_versioned: delete vectors require a flat "
+                    "layout (the file-tail binding breaks across "
+                    "partition directories)")
+            if dv_key is None:
+                raise ValueError(
+                    "write_versioned: dv_df requires dv_key")
+            dv_df.write.mode("overwrite").parquet(_dv_dir(path, version))
+            dv_dirs = sorted(set(list(dv_dirs or []) + [version]))
+        if dv_dirs:
+            manifest["dv_dirs"] = sorted(set(int(v) for v in dv_dirs))
+            manifest["dv_key"] = dv_key
         mf = os.path.join(_manifest_dir(path), f"{version}.json")
         tmp = mf + ".tmp"
         with open(tmp, "w") as fh:
@@ -869,8 +983,10 @@ def read_version(spark: SparkSession, path: str,
             files = bloom_prune_files(manifest, where, files)
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in files])
+        return apply_delete_vectors(
+            spark, path, manifest,
+            spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in files]))
     if not os.path.isdir(snap):
         raise ValueError(
             f"snapshot {version} of {path!r} was vacuumed — "
@@ -893,10 +1009,13 @@ def read_version(spark: SparkSession, path: str,
                 return spark.createDataFrame([], schema)
             # basePath keeps Hive partition columns resolvable when
             # reading explicit pruned paths (no-op for flat snapshots)
-            return (spark.read.option("basePath", snap)
-                    .schema(schema).parquet(
-                        *[os.path.join(snap, f) for f in files]))
-    return spark.read.schema(schema).parquet(snap)
+            return apply_delete_vectors(
+                spark, path, manifest,
+                spark.read.option("basePath", snap)
+                .schema(schema).parquet(
+                    *[os.path.join(snap, f) for f in files]))
+    return apply_delete_vectors(
+        spark, path, manifest, spark.read.schema(schema).parquet(snap))
 
 
 def _merge_changes(base: DataFrame, updates: DataFrame, key: str,
@@ -1042,13 +1161,14 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
         parent_files = _root_files(path, m)
         touched = sorted({
             _rel_uri(path, r["_f"]) for r in
-            base.withColumn("_f", F.input_file_name())
+            _detect_frame(spark, path, m)
             .join(aligned.select(key).distinct(), key, "left_semi")
             .select("_f").distinct().collect()
         })                                  # bounded: one row per file
         untouched = [f for f in parent_files if f not in set(touched)]
-        sub = (spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in touched])
+        sub = (apply_delete_vectors(
+            spark, path, m, spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in touched]))
             if touched else spark.createDataFrame([], schema))
         if _widen is not None:
             sub = _widen(sub)       # carried files null-pad via
@@ -1103,7 +1223,8 @@ def _rel_uri(path: str, uri: str) -> str:
 
 def delete_where(spark: SparkSession, path: str, condition,
                  expected_parent: int | None = None,
-                 store_changes_key: str | None = None) -> dict:
+                 store_changes_key: str | None = None,
+                 mode: str = "cow", key: str | None = None) -> dict:
     """Row-level DELETE as a FILE-REUSE commit (Delta DELETE's
     copy-on-write shape — the upgrade path the module docstring
     names): one pass finds the files that CONTAIN matching rows
@@ -1123,8 +1244,31 @@ def delete_where(spark: SparkSession, path: str, condition,
     Parent manifest ``stats_cols`` are carried forward: new files get
     fresh footer stats, reused files keep their parent entries.
 
+    ``mode='mor'`` (MERGE-ON-READ, Delta/Iceberg deletion vectors —
+    r10 VERDICT #2): instead of rewriting the touched files, the
+    matching rows' ``(file, key)`` pairs are written as a
+    delete-sized DV parquet sidecar (``dv/v=N/``) and EVERY parent
+    file is carried by reference; :func:`read_version` anti-joins the
+    vectors in.  This is the right shape for SCATTERED point deletes
+    (GDPR erasure, id-list takedowns) where the layout does not
+    localize the rows and copy-on-write would rewrite most of the
+    table to delete 0.01% of it: the commit costs one (prunable)
+    scan to find the matches plus a delete-sized write — zero data
+    rewritten.  Requires ``key`` (a UNIQUE row identity column — a
+    DV entry deletes every row of that key in that file);
+    ``read_changes`` still sees the deletes (the diff reads both
+    sides DV-applied, and ``store_changes_key`` stores them);
+    :func:`optimize_versioned` folds vectors into rewritten files;
+    vacuum reference-counts the sidecars.  Flat layouts only (the
+    file-tail binding — partitioned parents raise; use the default
+    copy-on-write there).
+
     Returns ``{"version", "n_deleted", "files_rewritten",
-    "files_reused"}``."""
+    "files_reused"}`` (MOR commits always report
+    ``files_rewritten=0``)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"delete_where: mode must be 'cow' or 'mor', "
+                         f"got {mode!r}")
     parent = latest_version(path)
     if parent is None:
         raise ValueError(f"versioned table {path!r} has no snapshots")
@@ -1145,6 +1289,41 @@ def delete_where(spark: SparkSession, path: str, condition,
         return deleted.select(F.lit("delete").alias("_change_type"),
                               *cols)
 
+    if mode == "mor":
+        if m.get("partition_by"):
+            raise ValueError(
+                "delete_where(mode='mor'): delete vectors require a "
+                "flat layout (file-tail binding) — partitioned tables "
+                "delete copy-on-write")
+        if key is None:
+            raise ValueError(
+                "delete_where(mode='mor') requires key= (a unique row "
+                "identity column the vectors bind to)")
+        if key not in base.columns:
+            raise ValueError(
+                f"delete_where: key {key!r} not in table columns")
+        # the detect frame is DV-applied, so already-deleted rows
+        # can't re-hit; one (stats/bloom-prunable) scan finds the
+        # matches, the commit writes a delete-sized sidecar and zero
+        # data files.
+        hits = _detect_frame(spark, path, m).where(hit)
+        n_deleted = hits.count()
+        dv_df = (hits.select(
+            F.regexp_extract(F.col("_f"), _DV_TAIL, 1).alias("_file"),
+            key) if n_deleted else None)
+        changes = changes_of(hits.drop("_f")) if n_deleted \
+            else changes_of(spark.createDataFrame([], schema))
+        parent_files = _root_files(path, m)
+        version = write_versioned(
+            spark.createDataFrame([], schema), path,
+            expected_parent=expected_parent, _op="delete",
+            extra_meta={"delete_mode": "mor"},
+            stats_cols=stats_cols, changes_df=changes,
+            reuse_files=parent_files, reuse_stats=_root_stats(path, m),
+            dv_df=dv_df, dv_key=key)
+        return {"version": version, "n_deleted": int(n_deleted),
+                "files_rewritten": 0,
+                "files_reused": len(parent_files)}
     if m.get("partition_by"):
         kept = base.where(~hit)
         deleted = base.where(hit)
@@ -1158,13 +1337,16 @@ def delete_where(spark: SparkSession, path: str, condition,
     parent_files = _root_files(path, m)
     touched = sorted({
         _rel_uri(path, r["_f"]) for r in
-        base.withColumn("_f", F.input_file_name())
+        _detect_frame(spark, path, m)
         .where(hit).select("_f").distinct().collect()
     })                                      # bounded: one row per file
     untouched = [f for f in parent_files if f not in set(touched)]
     if touched:
-        sub = spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in touched])
+        # the raw slice re-read must be DV-applied or rows deleted by
+        # EARLIER merge-on-read commits resurrect into the rewrite
+        sub = apply_delete_vectors(
+            spark, path, m, spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in touched]))
         replacement = sub.where(~hit)
         n_deleted = sub.where(hit).count()
         changes = changes_of(sub.where(hit))
@@ -1284,13 +1466,14 @@ def update_where(spark: SparkSession, path: str, condition,
     parent_files = _root_files(path, m)
     touched = sorted({
         _rel_uri(path, r["_f"]) for r in
-        base.withColumn("_f", F.input_file_name())
+        _detect_frame(spark, path, m)
         .where(hit).select("_f").distinct().collect()
     })                                      # bounded: one row per file
     untouched = [f for f in parent_files if f not in set(touched)]
     if touched:
-        sub = spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in touched])
+        sub = apply_delete_vectors(
+            spark, path, m, spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in touched]))
         pre = sub.where(hit)
         replacement = apply_to(sub, hit)
         n_updated = pre.count()
@@ -1416,6 +1599,13 @@ def restore_version(spark: SparkSession, path: str, version: int,
             f"vacuumed ({len(missing) + m_old['n_files'] - len(files)}"
             f" of {m_old['n_files']} data files gone) — only retained "
             "versions can be restored")
+    dv_gone = [v for v in (m_old.get("dv_dirs") or [])
+               if not os.path.isdir(_dv_dir(path, v))]
+    if dv_gone:
+        raise ValueError(
+            f"restore_version: snapshot {version} of {path!r} was "
+            f"vacuumed (delete-vector dirs {dv_gone} gone) — only "
+            "retained versions can be restored")
     schema = T.StructType.fromJson(json.loads(m_old["schema_json"]))
     empty = spark.createDataFrame([], schema)
     # Bloom config travels WITH the carried bitmaps: write_versioned
@@ -1432,7 +1622,13 @@ def restore_version(spark: SparkSession, path: str, version: int,
         reuse_blooms=_root_blooms(path, m_old),
         bloom_cols=m_old.get("bloom_cols") or [],
         bloom_bits=m_old.get("bloom_bits"),
-        bloom_hashes=m_old.get("bloom_hashes"))
+        bloom_hashes=m_old.get("bloom_hashes"),
+        # the restored CONTENT includes m_old's delete vectors —
+        # inheriting the current head's list instead would apply
+        # post-restore deletes to the restored state ([] resets when
+        # m_old had none)
+        dv_dirs=m_old.get("dv_dirs") or [],
+        dv_key=m_old.get("dv_key"))
     return {"version": new_v, "restored_from": version,
             "files_reused": len(files), "files_rewritten": 0}
 
@@ -1511,6 +1707,24 @@ def clone_versioned(spark: SparkSession, src: str, dst: str,
     reuse_stats = rekey(_root_stats(src, m))
     schema = T.StructType.fromJson(json.loads(m["schema_json"]))
     empty = spark.createDataFrame([], schema)
+    # Delete vectors are REWRITTEN into the clone's own tree (one
+    # delete-sized copy, dv/v=1): the (file-tail, key) entries stay
+    # valid — the tail extraction is root-invariant — while keeping
+    # the clone independent of the source's dv retention and clear of
+    # dv-dir version-number collisions with the clone's own commits.
+    dv_df = None
+    dv_key = None
+    if m.get("dv_dirs"):
+        dv_gone = [dvv for dvv in m["dv_dirs"]
+                   if not os.path.isdir(_dv_dir(src, dvv))]
+        if dv_gone:
+            raise ValueError(
+                f"clone_versioned: snapshot {version} of {src!r} was "
+                f"vacuumed (delete-vector dirs {dv_gone} gone) — only "
+                "retained versions can be cloned")
+        dv_key = m.get("dv_key")
+        dv_df = spark.read.parquet(
+            *[_dv_dir(src, dvv) for dvv in m["dv_dirs"]])
     v = write_versioned(
         empty, dst, _op="clone", extra_meta=meta,
         stats_cols=m.get("stats_cols"),
@@ -1518,7 +1732,8 @@ def clone_versioned(spark: SparkSession, src: str, dst: str,
         bloom_cols=m.get("bloom_cols"),
         bloom_bits=m.get("bloom_bits"),
         bloom_hashes=m.get("bloom_hashes"),
-        reuse_blooms=rekey(_root_blooms(src, m)))
+        reuse_blooms=rekey(_root_blooms(src, m)),
+        dv_df=dv_df, dv_key=dv_key)
     return {"version": v, "source_path": src_abs,
             "source_version": version, "files_referenced": len(refs),
             "files_rewritten": 0}
@@ -1560,6 +1775,17 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
                 for f in m["data_files"]}
         else:
             protected_dirs.add(_snap_dir(path, v))
+    # delete-vector dirs are REFERENCE-COUNTED like reused data
+    # files: a retained manifest's dv_dirs may point at sidecars
+    # committed by dropped versions (reuse commits inherit the list),
+    # so a dv dir survives while ANY retained manifest references it.
+    dv_referenced: set[int] = set()
+    for v in sorted(keep):
+        try:
+            m = _read_manifest(path, v)
+        except ValueError:
+            continue
+        dv_referenced |= {int(x) for x in (m.get("dv_dirs") or [])}
     removed = []
     for v in committed:
         if v in keep:
@@ -1580,6 +1806,8 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
             # change files follow their snapshot's retention; spans
             # crossing a vacuumed commit fall back to the diff path
             shutil.rmtree(_changes_dir(path, v))
+        if v not in dv_referenced and os.path.isdir(_dv_dir(path, v)):
+            shutil.rmtree(_dv_dir(path, v))
     # orphans: claims with no manifest, snap dirs with no manifest,
     # and head-transition claims (held only between manifest write
     # and pointer flip — any survivor is a crashed writer's, and it
@@ -1599,7 +1827,8 @@ def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:
                 continue
             if v not in committed:
                 os.remove(os.path.join(mdir, n))
-                for d in (_snap_dir(path, v), _changes_dir(path, v)):
+                for d in (_snap_dir(path, v), _changes_dir(path, v),
+                          _dv_dir(path, v)):
                     if os.path.isdir(d):
                         shutil.rmtree(d)
     return removed
@@ -2059,9 +2288,26 @@ def optimize_versioned(spark: SparkSession, path: str,
             return head                   # nothing to compact: no-op
         big = [f for f in files if sizes[f] >= min_file_bytes]
         schema = T.StructType.fromJson(json.loads(m["schema_json"]))
-        packed = (spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in small])
+        # the compacted slice is DV-applied (deleted rows FOLD OUT of
+        # the rewrite — compacting them back in would resurrect
+        # them), and the live vector set is re-filtered to entries
+        # binding to still-carried files and rewritten as ONE fresh
+        # sidecar, so dv history compacts along with the data.
+        packed = (apply_delete_vectors(
+            spark, path, m, spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in small]))
             .repartition(min(n_files, len(small))))
+        dv_df = None
+        dv_key = None
+        dv_dirs_override = None
+        if m.get("dv_dirs"):
+            dv_key = m.get("dv_key")
+            dv_dirs_override = []
+            live = (spark.read.parquet(
+                *[_dv_dir(path, dvv) for dvv in m["dv_dirs"]])
+                .where(F.col("_file").isin(big)))
+            if live.limit(1).count():
+                dv_df = live
         stats = _root_stats(path, m)
         return write_versioned(
             packed, path, expected_parent=head, _op="optimize",
@@ -2069,7 +2315,8 @@ def optimize_versioned(spark: SparkSession, path: str,
             stats_cols=stats_cols if stats_cols is not None
             else m.get("stats_cols"),
             reuse_files=big,
-            reuse_stats={f: stats[f] for f in big if f in stats})
+            reuse_stats={f: stats[f] for f in big if f in stats},
+            dv_df=dv_df, dv_key=dv_key, dv_dirs=dv_dirs_override)
     df = read_version(spark, path, head)
     if zorder:
         from ..functions.layout import zorder_key

@@ -383,13 +383,14 @@ def apply_changes_sink(table_path: str, key: str,
             .drop_duplicates()
         touched = sorted({
             V._rel_uri(table_path, r["_f"]) for r in
-            base.withColumn("_f", F.input_file_name())
+            V._detect_frame(spark, table_path, m)
             .join(batch_keys, key, "left_semi")
             .select("_f").distinct().collect()
         })                                  # bounded: one row per file
         untouched = [f for f in parent_files if f not in set(touched)]
-        sub = (spark.read.schema(schema).parquet(
-            *[os.path.join(table_path, f) for f in touched])
+        sub = (V.apply_delete_vectors(
+            spark, table_path, m, spark.read.schema(schema).parquet(
+                *[os.path.join(table_path, f) for f in touched]))
             if touched else spark.createDataFrame([], schema))
         merged = upsert(sub, aligned, key) \
             .join(del_keys, key, "left_anti")

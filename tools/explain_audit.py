@@ -447,6 +447,11 @@ EXPECTATIONS: dict[str, dict] = {
     # copy-on-write delete: two broadcast-stitched read-back
     # aggregates (the commit itself ran eagerly).
     "rel_delete_where": dict(max_exchanges=2),
+    # r11 merge-on-read delete: the returned plan is three read-back
+    # aggregates (mor head incl. its DV anti-join, cow head,
+    # reinserted-key probe) broadcast-stitched onto the 1-row report;
+    # the mor/cow lifecycles committed eagerly.
+    "rel_delete_mor": dict(max_exchanges=6, min_broadcasts=3),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
