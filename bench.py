@@ -213,6 +213,10 @@ HEADLINE = [
     # deletes + the COW twin lifecycle + reinsert + three read-back
     # aggregates per run — the mor-vs-cow write-path economics gate)
     "rel_delete_mor",
+    # round 11: incremental SCD2 maintenance (5-commit lifecycle +
+    # three bounded cursor-driven maintenance merges + the full-
+    # rebuild equivalence check per run)
+    "rel_scd2_maintain",
 ]
 
 # Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1

@@ -633,6 +633,7 @@ DRIVER_WINDOW: list[str] = [
     #
     # -- registered during r11 ------------------------------------------
     "rel_delete_mor",            # merge-on-read deletion vectors
+    "rel_scd2_maintain",         # incremental SCD2 maintenance
     # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
@@ -684,7 +685,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_split_leakage",
     "ds_url_extract",
     "ds_wav_codec_gate",
-    "ds_y4m_codec_gate",
 ]
 
 _R10_WINDOW_RETIRED = [
@@ -14712,6 +14712,119 @@ def rel_cdc_scd2(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("cents").cast("long").alias("cents_sum"))
+
+
+@register(
+    "rel_scd2_maintain",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), planted AS (
+      SELECT CAST(1800000000 + i AS BIGINT) AS k, CAST(i AS BIGINT)
+               AS cents, CAST(i AS BIGINT) AS i
+      FROM range(1, 41) t(i)
+    ), ivl AS (
+      SELECT k, cents, 1 AS s, CAST(NULL AS INT) AS e FROM base
+      UNION ALL
+      SELECT k, cents, 1, CASE WHEN i <= 20 THEN 2 END FROM planted
+      UNION ALL
+      SELECT k, cents + 7, 2, CASE WHEN i <= 10 THEN 3 END
+      FROM planted WHERE i <= 20
+      UNION ALL
+      SELECT CAST(1900000000 + i AS BIGINT), CAST(i AS BIGINT), 4, NULL
+      FROM range(1, 6) t(i)
+      UNION ALL
+      SELECT CAST(1800000000 + i AS BIGINT), CAST(999 AS BIGINT), 5,
+             NULL
+      FROM range(1, 6) t(i)
+    )
+    SELECT CAST(s AS BIGINT) AS start_version,
+           CAST(coalesce(e, -1) AS BIGINT) AS end_version,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(sum(cents) AS BIGINT) AS cents_sum,
+           CAST(0 AS BIGINT) AS n_diff_vs_rebuild
+    FROM ivl GROUP BY 1, 2
+    """,
+)
+def rel_scd2_maintain(spark, sf_dir):
+    """INCREMENTAL SCD2 maintenance under the value hash
+    (plans.joins.maintain_scd2 — r10 VERDICT #3): the rel_cdc_scd2
+    lifecycle plus a RE-INSERT commit (planted keys 1-5, deleted at
+    v3, come back at v5 opening FRESH intervals — their old intervals
+    stay closed, the re-insert invariant), maintained by THREE
+    bounded cursor-driven calls into a STORED versioned dimension
+    instead of one giant-union rebuild: call 1 covers seed+v2, call 2
+    v3+v4, call 3 v5 — each call's plan holds one feed branch per
+    CONSUMED commit only (the scd2_from_changes span-rebuild plan
+    grows with total history; SCALE.md §25's class).  The hash pins
+    the full stored interval table grouped by (start, end) AND the
+    SYMMETRIC-DIFFERENCE row count against a scd2_from_changes full
+    rebuild (zero in the oracle) — incremental ≡ rebuild ≡ arithmetic
+    in one hash.  Crash replay, open-interval re-stitching, and
+    bounded per-call plans are pytest-pinned (TestMaintainScd2)."""
+    import tempfile
+
+    from ..plans.joins import maintain_scd2, scd2_from_changes
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    planted = spark.range(1, 41).select(
+        (F.lit(1_800_000_000) + F.col("id")).alias("o_orderkey"),
+        F.col("id").cast("bigint").alias("cents"))
+    root = tempfile.mkdtemp(prefix="fs_scd2m_")
+    path, dim, cur = root + "/t", root + "/dim", root + "/cursor"
+    V.write_versioned(
+        base.unionByName(planted).repartitionByRange(8, "o_orderkey"),
+        path)                                                     # v1
+    V.update_where(
+        spark, path,
+        F.col("o_orderkey").between(1_800_000_001, 1_800_000_020),
+        {"cents": F.col("cents") + 7}, store_changes_key="o_orderkey")
+    maintain_scd2(spark, path, dim, "o_orderkey", cur)   # seed + v2
+    V.delete_where(
+        spark, path,
+        F.col("o_orderkey").between(1_800_000_001, 1_800_000_010),
+        store_changes_key="o_orderkey")                           # v3
+    V.merge_versioned(
+        spark, path,
+        spark.range(1, 6).select(
+            (F.lit(1_900_000_000) + F.col("id")).alias("o_orderkey"),
+            F.col("id").cast("bigint").alias("cents")),
+        "o_orderkey", store_changes=True)                         # v4
+    maintain_scd2(spark, path, dim, "o_orderkey", cur)   # v3 + v4
+    V.merge_versioned(
+        spark, path,
+        spark.range(1, 6).select(
+            (F.lit(1_800_000_000) + F.col("id")).alias("o_orderkey"),
+            F.lit(999).cast("bigint").alias("cents")),
+        "o_orderkey", store_changes=True)                         # v5
+    maintain_scd2(spark, path, dim, "o_orderkey", cur)   # v5
+    hist = V.read_version(spark, dim)
+    cols = ["o_orderkey", "cents", "__start_version",
+            "__end_version", "is_current"]
+    rebuild = scd2_from_changes(spark, path, "o_orderkey", 1)
+    diff = (hist.select(*cols).exceptAll(rebuild.select(*cols))
+            .unionAll(rebuild.select(*cols)
+                      .exceptAll(hist.select(*cols)))
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_diff_vs_rebuild")))
+    return (hist.groupBy(
+        F.col("__start_version").alias("start_version"),
+        F.coalesce("__end_version", F.lit(-1)).cast("long")
+        .alias("end_version"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"))
+        .crossJoin(F.broadcast(diff))
+        .select("start_version", "end_version", "n", "key_sum",
+                "cents_sum", "n_diff_vs_rebuild"))
 
 
 #: Parametric OPQ rotation for the 16-dim embedding slice, trained by

@@ -452,6 +452,11 @@ EXPECTATIONS: dict[str, dict] = {
     # reinserted-key probe) broadcast-stitched onto the 1-row report;
     # the mor/cow lifecycles committed eagerly.
     "rel_delete_mor": dict(max_exchanges=6, min_broadcasts=3),
+    # r11 incremental SCD2: maintenance calls ran eagerly; the
+    # returned plan is the stored-dimension rollup + the symmetric-
+    # difference check against the full rebuild (whose per-commit
+    # feed branches union) + the broadcast diff stitch.
+    "rel_scd2_maintain": dict(max_exchanges=14, min_broadcasts=1),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
