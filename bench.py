@@ -217,6 +217,10 @@ HEADLINE = [
     # three bounded cursor-driven maintenance merges + the full-
     # rebuild equivalence check per run)
     "rel_scd2_maintain",
+    # round 11: crawl-curation capstone (WARC write+read boundary ->
+    # strip_html -> exact dedup -> per-source rollup per run — the
+    # ingestion-boundary number beside Avro/XML)
+    "ds_crawl_curation_v11",
 ]
 
 # Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1

@@ -634,6 +634,8 @@ DRIVER_WINDOW: list[str] = [
     # -- registered during r11 ------------------------------------------
     "rel_delete_mor",            # merge-on-read deletion vectors
     "rel_scd2_maintain",         # incremental SCD2 maintenance
+    "ds_warc_ingest",            # WARC reader (ISO 28500)
+    "ds_crawl_curation_v11",     # crawl-curation capstone
     # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
@@ -684,7 +686,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_span_removal",
     "ds_split_leakage",
     "ds_url_extract",
-    "ds_wav_codec_gate",
 ]
 
 _R10_WINDOW_RETIRED = [
@@ -14825,6 +14826,162 @@ def rel_scd2_maintain(spark, sf_dir):
         .crossJoin(F.broadcast(diff))
         .select("start_version", "end_version", "n", "key_sum",
                 "cents_sum", "n_diff_vs_rebuild"))
+
+
+_WARC_STRIP_SQL = r"""
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html,
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+        '\s+', ' ', 'g'))"""
+
+
+@register(
+    "ds_warc_ingest",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>d' || doc_id
+             || '</title></head><body><p>' || text
+             || '</p></body></html>' AS html
+      FROM documents
+    )
+    SELECT doc_id, CAST(200 AS INT) AS http_status,
+""" + _WARC_STRIP_SQL + r""" AS stripped
+    FROM h
+    """,
+)
+def ds_warc_ingest(spark, sf_dir):
+    """WARC crawl ingestion from the public ISO 28500 spec under the
+    FULL-STRING value hash (sources.warcio — r10 VERDICT #4, the Avro
+    playbook: gzip-member-per-record files, record walk, header
+    folding, HTTP response payload extraction): every document is
+    wrapped in genuine markup, written as an HTTP response record
+    into per-partition .warc.gz files (each record its own gzip
+    member — the Common Crawl layout), read back record-by-record in
+    per-file tasks, and the DECHUNK-capable HTTP split's payload is
+    html-stripped (text.strip_html) and hash-compared per document
+    against the oracle's direct replay — a reader that mangled a
+    length, split a member wrong, misfolded a header, or lost a byte
+    of payload diverges on the full string.  Chunked decoding,
+    warcinfo records, truncation errors, and the empty-input
+    boundary are pytest-pinned (TestWarc)."""
+    import tempfile
+
+    from ..functions import text as T
+    from ..sources import warcio
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("<html><head><title>d"), F.col("doc_id"),
+        F.lit("</title></head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    src = d.select(
+        F.concat(F.lit("https://corpus.example/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id")).alias("uri"),
+        body.alias("body"))
+    root = tempfile.mkdtemp(prefix="fs_warc_") + "/w"
+    warcio.write_warc(src.repartition(4, "uri"), root)
+    back = warcio.read_warc(spark, root) \
+        .where(F.col("warc_type") == "response")
+    return back.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.col("http_status"),
+        T.strip_html(F.decode(F.col("body"), "utf-8"))
+        .alias("stripped"))
+
+
+@register(
+    "ds_crawl_curation_v11",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             '<html><head><title>d' || doc_id
+             || '</title></head><body><p>' || text
+             || '</p></body></html>' AS html
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+""" + _WARC_STRIP_SQL + r""" AS stripped
+      FROM h
+    ), keep AS (
+      SELECT doc_id, source, stripped,
+             CAST(len(string_split(stripped, ' ')) AS BIGINT)
+               AS n_tok
+      FROM s
+      WHERE doc_id = (SELECT min(s2.doc_id) FROM s s2
+                      WHERE s2.stripped = s.stripped)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+    FROM keep GROUP BY source
+    """,
+)
+def ds_crawl_curation_v11(spark, sf_dir):
+    """Crawl-curation capstone (r10 VERDICT #4's second half): the
+    WARC ingestion boundary THREADED into the existing pipeline ops —
+    documents render as an HTTP-response crawl (sources.warcio), the
+    read-back payloads strip to text (text.strip_html), exact
+    near-ingest dedup keeps each distinct stripped text's lowest
+    doc_id (the md5-groupBy shape), token counts screen survives, and
+    the per-source rollup is hash-gated.  The source key rides the
+    WARC Target-URI through the roundtrip (parsed back from the url
+    path), so a reader that crossed records between files or lost
+    the URI header shifts a group.  One ingest boundary + pure
+    expression chain after it: strip/token work is codegen over the
+    scan, dedup is one md5-keyed aggregate."""
+    import tempfile
+
+    from ..functions import text as T
+    from ..sources import warcio
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("<html><head><title>d"), F.col("doc_id"),
+        F.lit("</title></head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    src = d.select(
+        F.concat(F.lit("https://corpus.example/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id")).alias("uri"),
+        body.alias("body"))
+    root = tempfile.mkdtemp(prefix="fs_crawl_") + "/w"
+    warcio.write_warc(src.repartition(4, "uri"), root)
+    back = (warcio.read_warc(spark, root)
+            .where(F.col("warc_type") == "response")
+            .select(
+                F.regexp_extract("target_uri", r"/(\d+)$", 1)
+                .cast("bigint").alias("doc_id"),
+                F.regexp_extract(
+                    "target_uri",
+                    r"^https://corpus\.example/([^/]+)/", 1)
+                .alias("source"),
+                T.strip_html(F.decode(F.col("body"), "utf-8"))
+                .alias("stripped")))
+    # exact dedup as ONE map-side-combinable aggregate (min_by), not
+    # a content-partitioned window — a heavily-duplicated boilerplate
+    # text would put all its copies in one window task (the r5
+    # content-key window skew class); partial aggregation has no
+    # such wall
+    kept = (back.groupBy("stripped")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("source", "doc_id").alias("source"))
+            .select("source", "doc_id",
+                    T.token_count(F.col("stripped")).alias("n_tok")))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        F.sum("n_tok").cast("long").alias("kept_tokens"))
 
 
 #: Parametric OPQ rotation for the 16-dim embedding slice, trained by

@@ -345,3 +345,121 @@ class TestAvroRoundtrip:
         write_avro(spark.range(100).selectExpr("id"), p)
         write_avro(spark.range(7).selectExpr("id"), p)  # overwrite
         assert read_avro(spark, p).count() == 7
+
+
+class TestWarc:
+    """WARC source/sink from the public ISO 28500 spec (r11): record
+    walk, gzip-member-per-record layout, header folding, HTTP
+    response extraction incl. chunked decoding."""
+
+    def _corpus(self, spark):
+        return spark.range(0, 50).select(
+            F.concat(F.lit("https://ex.com/d/"), F.col("id"))
+            .alias("uri"),
+            F.concat(F.lit("<p>doc "), F.col("id"),
+                     F.lit(" &amp; tail</p>")).alias("body"))
+
+    def test_roundtrip(self, spark, tmp_path):
+        from filters_spark.sources import warcio
+        p = str(tmp_path / "w")
+        n = warcio.write_warc(self._corpus(spark).repartition(3), p)
+        assert n == 50
+        back = warcio.read_warc(spark, p)
+        resp = back.where(F.col("warc_type") == "response")
+        assert resp.count() == 50
+        # one warcinfo per file, each record its own gzip member
+        import os
+        files = [f for f in os.listdir(p) if f.endswith(".warc.gz")]
+        assert back.where(F.col("warc_type") == "warcinfo").count() \
+            == len(files)
+        [r] = resp.where(
+            F.col("target_uri") == "https://ex.com/d/9").collect()
+        assert r["http_status"] == 200
+        assert r["http_content_type"] == "text/html"
+        assert bytes(r["body"]) == b"<p>doc 9 &amp; tail</p>"
+        assert r["record_id"].startswith("urn:uuid:")
+        assert r["warc_date"] == "2024-01-01T00:00:00Z"
+
+    def test_gzip_members_are_per_record(self, spark, tmp_path):
+        """The Common Crawl layout: each record its own gzip member —
+        member count == record count."""
+        import os
+        from filters_spark.sources import warcio
+        p = str(tmp_path / "w")
+        warcio.write_warc(self._corpus(spark).coalesce(1), p)
+        [f] = [os.path.join(p, x) for x in os.listdir(p)
+               if x.endswith(".warc.gz")]
+        raw = open(f, "rb").read()
+        assert raw.count(b"\x1f\x8b\x08") == 51  # 50 + warcinfo
+
+    def test_chunked_transfer_decoding(self, spark, tmp_path):
+        import gzip
+        from filters_spark.sources import warcio
+        from filters_spark.sources.warcio import _warc_record
+        chunked = b"5\r\nhello\r\n8\r\n chunked\r\n0\r\n\r\n"
+        http = (b"HTTP/1.1 206 Partial\r\nContent-Type: text/plain\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n" + chunked)
+        p = tmp_path / "c"
+        p.mkdir()
+        with open(p / "one.warc.gz", "wb") as fh:
+            fh.write(gzip.compress(_warc_record(
+                "response", "urn:uuid:x", "2024-01-01T00:00:00Z",
+                http, "application/http;msgtype=response",
+                target_uri="https://ex.com/c")))
+        [r] = warcio.read_warc(spark, str(p)).collect()
+        assert r["http_status"] == 206
+        assert bytes(r["body"]) == b"hello chunked"
+
+    def test_header_continuation_folding(self, spark, tmp_path):
+        import gzip
+        p = tmp_path / "f"
+        p.mkdir()
+        content = b"payload"
+        rec = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+               b"WARC-Record-ID: <urn:uuid:y>\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"WARC-Target-URI: https://ex.com/very\r\n"
+               b" /long/path\r\n"
+               b"Content-Length: 7\r\n\r\n" + content + b"\r\n\r\n")
+        with open(p / "one.warc.gz", "wb") as fh:
+            fh.write(gzip.compress(rec))
+        from filters_spark.sources import warcio
+        [r] = warcio.read_warc(spark, str(p)).collect()
+        assert r["target_uri"] == "https://ex.com/very /long/path"
+        assert bytes(r["body"]) == content
+
+    def test_plain_uncompressed_warc(self, spark, tmp_path):
+        p = tmp_path / "u"
+        p.mkdir()
+        rec = (b"WARC/1.1\r\nWARC-Type: resource\r\n"
+               b"WARC-Record-ID: <urn:uuid:z>\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"Content-Length: 3\r\n\r\nabc\r\n\r\n")
+        with open(p / "one.warc", "wb") as fh:
+            fh.write(rec * 2)
+        from filters_spark.sources import warcio
+        rows = warcio.read_warc(spark, str(p)).collect()
+        assert len(rows) == 2
+        assert all(bytes(r["body"]) == b"abc" for r in rows)
+
+    def test_truncated_record_fails_loudly(self, spark, tmp_path):
+        import gzip
+        import pytest
+        p = tmp_path / "t"
+        p.mkdir()
+        rec = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+               b"WARC-Record-ID: <urn:uuid:q>\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"Content-Length: 999\r\n\r\nshort")
+        with open(p / "one.warc.gz", "wb") as fh:
+            fh.write(gzip.compress(rec))
+        from filters_spark.sources import warcio
+        with pytest.raises(Exception, match="truncated"):
+            warcio.read_warc(spark, str(p)).collect()
+
+    def test_empty_write_readback(self, spark, tmp_path):
+        from filters_spark.sources import warcio
+        p = str(tmp_path / "e")
+        assert warcio.write_warc(self._corpus(spark).limit(0), p) == 0
+        back = warcio.read_warc(spark, p)
+        assert [r["warc_type"] for r in back.collect()] == ["warcinfo"]

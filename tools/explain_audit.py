@@ -457,6 +457,13 @@ EXPECTATIONS: dict[str, dict] = {
     # difference check against the full rebuild (whose per-commit
     # feed branches union) + the broadcast diff stitch.
     "rel_scd2_maintain": dict(max_exchanges=14, min_broadcasts=1),
+    # r11 WARC ingest: file-list repartition feeding the per-file
+    # mapInArrow record walk (writes are eager side effects); the
+    # strip chain is a pure projection on top.
+    "ds_warc_ingest": dict(max_exchanges=1),
+    # r11 crawl capstone: the ingest exchange + the exact-dedup
+    # md5 aggregate + the per-source rollup.
+    "ds_crawl_curation_v11": dict(max_exchanges=3),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
