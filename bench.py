@@ -221,6 +221,9 @@ HEADLINE = [
     # strip_html -> exact dedup -> per-source rollup per run — the
     # ingestion-boundary number beside Avro/XML)
     "ds_crawl_curation_v11",
+    # round 11: metadata-only aggregates (stats-armed commit + zero-
+    # scan COUNT/MIN/MAX + the provable range count per run)
+    "rel_stats_aggregate",
 ]
 
 # Calibration anchors (VERDICT r9 next #4): three plan-frozen-since-r1

@@ -636,6 +636,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_scd2_maintain",         # incremental SCD2 maintenance
     "ds_warc_ingest",            # WARC reader (ISO 28500)
     "ds_crawl_curation_v11",     # crawl-curation capstone
+    "rel_stats_aggregate",       # metadata-only aggregates
     # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
@@ -685,7 +686,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_sequence_pack",
     "ds_span_removal",
     "ds_split_leakage",
-    "ds_url_extract",
 ]
 
 _R10_WINDOW_RETIRED = [
@@ -14826,6 +14826,73 @@ def rel_scd2_maintain(spark, sf_dir):
         .crossJoin(F.broadcast(diff))
         .select("start_version", "end_version", "n", "key_sum",
                 "cents_sum", "n_diff_vs_rebuild"))
+
+
+@register(
+    "rel_stats_aggregate",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max,
+           CAST(min(cents) AS BIGINT) AS cents_min,
+           CAST(max(cents) AS BIGINT) AS cents_max,
+           CAST(count(*) AS BIGINT) AS n_in_range,
+           CAST(0 AS BIGINT) AS scan_nodes
+    FROM base
+    """,
+)
+def rel_stats_aggregate(spark, sf_dir):
+    """METADATA-ONLY aggregates under the value hash
+    (sources.versioned.stats_aggregate — r10 VERDICT #5, Delta's
+    answer-COUNT-from-the-log): orders commit range-clustered with
+    sidecar stats (which since r11 carry per-file row and null
+    counts), then COUNT(*)/MIN/MAX and a provably-full-containment
+    range COUNT are answered from the manifest + sidecar with ZERO
+    data-reading tasks — the gate hashes the number of FileScan
+    nodes in the executed plan of the metadata result (zero in the
+    oracle) alongside the values, and the DuckDB oracle IS the scan
+    path, so metadata ≡ scan in one hash.  The where-range spans the
+    whole key domain (every file fully contained — the provable
+    case; partial overlap falls back loudly, pytest-pinned in
+    TestStatsAggregate together with the delete-vector, string-type,
+    and pre-r11-sidecar fallbacks)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    path = tempfile.mkdtemp(prefix="fs_stats_") + "/t"
+    V.write_versioned(base.repartitionByRange(8, "k"), path,
+                      stats_cols=["k", "cents"])
+    res = V.stats_aggregate(spark, path, [
+        ("count", None, "n_rows"),
+        ("min", "k", "k_min"), ("max", "k", "k_max"),
+        ("min", "cents", "cents_min"), ("max", "cents", "cents_max"),
+    ])
+    [row] = res.collect()                    # bounded: one row
+    rng = (V.stats_aggregate(
+        spark, path, [("count", None, "n_in_range")],
+        where=("k", row["k_min"], row["k_max"]))
+        if row["k_min"] is not None else res.select(
+            F.col("n_rows").alias("n_in_range")))
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan_nodes = plan.count("FileScan")
+    return (res.crossJoin(F.broadcast(rng))
+            .withColumn("scan_nodes",
+                        F.lit(int(scan_nodes)).cast("long"))
+            .select("n_rows",
+                    F.col("k_min").cast("long").alias("k_min"),
+                    F.col("k_max").cast("long").alias("k_max"),
+                    "cents_min", "cents_max", "n_in_range",
+                    "scan_nodes"))
 
 
 _WARC_STRIP_SQL = r"""

@@ -85,6 +85,8 @@ __all__ = [
     "load_file_blooms",
     "bloom_prune_files",
     "apply_delete_vectors",
+    "stats_aggregate",
+    "StatsInsufficient",
 ]
 
 
@@ -286,6 +288,26 @@ def _footer_stats(abs_path: str, cols: list[str]) -> dict:
                 hi = mx if hi is None or mx > hi else hi
         lo, hi = norm(lo), norm(hi)
         stats[col] = None if lo is None or hi is None else [lo, hi]
+    # per-file row count and per-column null counts (footer facts,
+    # free here) — what lets stats_aggregate answer COUNT(*) with
+    # zero data tasks.  Reserved keys can never collide with a
+    # column lookup (prune_files probes real column names only).
+    stats["__n_rows"] = md.num_rows
+    nulls: dict = {}
+    for col in cols:
+        j = idx.get(col)
+        n = None
+        if j is not None:
+            n = 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                if st is None or st.null_count is None:
+                    n = None
+                    break
+                n += st.null_count
+        if n is not None:
+            nulls[col] = n
+    stats["__nulls"] = nulls
     return stats
 
 
@@ -341,6 +363,9 @@ def _file_stats(snap: str, stats_cols: list[str],
                 v = _partition_value(name, col, dtypes.get(col))
                 stats[col] = None if v is None else [v, v]
         out[name] = {c: stats.get(c) for c in stats_cols}
+        for rk in ("__n_rows", "__nulls"):
+            if rk in stats:
+                out[name][rk] = stats[rk]
     return out
 
 
@@ -478,6 +503,185 @@ def bloom_prune_files(manifest: dict, where, files: list) -> list:
                for c, v in points):
             kept.append(f)
     return kept
+
+
+class StatsInsufficient(RuntimeError):
+    """stats_aggregate cannot prove the answer from metadata alone
+    (and was called strict)."""
+
+
+#: Column type names whose parquet footer min/max are EXACT values —
+#: the types stats_aggregate serves MIN/MAX for.  String/binary
+#: statistics may be TRUNCATED for long values (a valid bound, not
+#: the exact extreme), so they fall back.
+_STATS_EXACT_TYPES = ("byte", "short", "integer", "long", "float",
+                      "double", "date")
+
+
+def stats_aggregate(spark: SparkSession, path: str,
+                    aggs: list[tuple], version: int | None = None,
+                    where: tuple | None = None,
+                    strict: bool = True) -> DataFrame:
+    """METADATA-ONLY aggregates over a versioned table (r10 VERDICT
+    #5 — Delta answers ``SELECT COUNT(*)`` from its log): serve
+    ``count``/``min``/``max`` from the manifest + stats sidecar with
+    ZERO data-reading tasks — the returned frame is a driver-built
+    one-row literal whose plan contains no file scan (the gate
+    asserts it).
+
+    ``aggs`` is ``[(fn, col, alias), ...]`` with fn ∈ {count, min,
+    max} (``count`` takes col=None: COUNT(*)).  Facts used: per-file
+    ``__n_rows`` / per-column null counts (recorded in the sidecar by
+    every ``stats_cols`` write since r11; older sidecars fall back to
+    one FOOTER-METADATA read per file — still no data pages) and the
+    per-file min/max ranges.  MIN/MAX serve only columns in
+    ``stats_cols`` with exact-statistics types
+    (:data:`_STATS_EXACT_TYPES` — string footer stats may be
+    truncated) where EVERY file has a known range or is provably
+    all-NULL.
+
+    ``where = (col, lo, hi)`` supports COUNT only: files prune via
+    the sidecar, and the count is provable iff every surviving
+    file's range lies FULLY inside [lo, hi] (each contributes
+    ``n_rows − null_count``); a partially-overlapping file needs its
+    rows read — fallback.
+
+    FALLBACK is loud: tables with live delete vectors (a deleted row
+    may be the extreme; counts need the vector set), missing stats,
+    partial overlap, or unsupported types raise
+    :class:`StatsInsufficient` under ``strict=True``; with
+    ``strict=False`` the same call transparently computes through
+    :func:`read_version` + a real aggregate (correct, scan-priced)."""
+    def _fallback(msg: str) -> DataFrame:
+        if strict:
+            raise StatsInsufficient(
+                f"stats_aggregate: {msg} — re-run with strict=False "
+                "to compute through the scan path")
+        df = read_version(spark, path, version, where=where)
+        if where is not None:
+            col, lo, hi = where
+            c = F.col(col)
+            if lo is not None:
+                df = df.where(c >= F.lit(lo))
+            if hi is not None:
+                df = df.where(c <= F.lit(hi))
+        exprs = []
+        for fn, col, alias in aggs:
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).cast("long")
+                             .alias(alias))
+            else:
+                exprs.append(getattr(F, fn)(col).alias(alias))
+        return df.agg(*exprs)
+
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise ValueError(
+                f"versioned table {path!r} has no snapshots")
+    m = _read_manifest(path, version)
+    for fn, col, _alias in aggs:
+        if fn not in ("count", "min", "max"):
+            raise ValueError(
+                f"stats_aggregate: fn must be count|min|max, got "
+                f"{fn!r}")
+        if fn == "count" and col is not None:
+            raise ValueError(
+                "stats_aggregate: count is COUNT(*) — col must be "
+                "None (count(col) needs per-column null semantics "
+                "the scan path serves)")
+    if m.get("dv_dirs"):
+        return _fallback("table has live delete vectors (a deleted "
+                         "row may be the extreme; counts need the "
+                         "vector set)")
+    if where is not None and any(fn != "count" for fn, _c, _a in aggs):
+        return _fallback("min/max under a predicate needs row-level "
+                         "evaluation")
+    files = _root_files(path, m)
+    stats = _root_stats(path, m)
+    schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+    types = {f.name: f.dataType for f in schema.fields}
+
+    meta_cols = sorted({c for _f, c, _a in aggs if c is not None}
+                       | ({where[0]} if where is not None else set()))
+
+    def file_meta(f: str) -> dict:
+        st = stats.get(f)
+        if st is not None and "__n_rows" in st:
+            return st
+        # pre-r11 sidecar (or no stats_cols): one footer-METADATA
+        # read — no data pages, no Spark task
+        fs = _footer_stats(os.path.join(path, f), meta_cols)
+        return {**(st or {}), **fs}
+
+    metas = {f: file_meta(f) for f in files}
+    if where is not None:
+        col, lo, hi = where
+        count_files = []
+        for f in files:
+            st = metas[f]
+            rng = st.get(col)
+            nulls = (st.get("__nulls") or {}).get(col)
+            if rng is None or nulls is None:
+                return _fallback(
+                    f"file {f!r} lacks a range/null-count for "
+                    f"{col!r}")
+            fmin, fmax = rng
+            if (lo is not None and fmax < lo) or \
+                    (hi is not None and fmin > hi):
+                continue                     # provably disjoint
+            if (lo is not None and fmin < lo) or \
+                    (hi is not None and fmax > hi):
+                return _fallback(
+                    f"file {f!r} only partially overlaps the "
+                    "predicate — its rows need reading")
+            count_files.append(f)            # fully contained
+    else:
+        count_files = files
+    row: dict = {}
+    out_fields: list[T.StructField] = []
+    for fn, col, alias in aggs:
+        if fn == "count":
+            total = 0
+            for f in count_files:
+                st = metas[f]
+                if st.get("__n_rows") is None:
+                    return _fallback(f"file {f!r} has no row count")
+                total += int(st["__n_rows"])
+                if where is not None:
+                    total -= int((st.get("__nulls") or {})[where[0]])
+            row[alias] = total
+            out_fields.append(T.StructField(alias, T.LongType()))
+            continue
+        if types.get(col) is None:
+            raise ValueError(f"stats_aggregate: unknown column {col!r}")
+        if types[col].typeName() not in _STATS_EXACT_TYPES:
+            return _fallback(
+                f"{col!r} has type {types[col].typeName()} — footer "
+                "min/max may be truncated (strings) or unsupported")
+        best = None
+        for f in files:
+            st = metas[f]
+            rng = st.get(col)
+            if rng is None:
+                n_rows = st.get("__n_rows")
+                nulls = (st.get("__nulls") or {}).get(col)
+                if n_rows is not None and nulls == n_rows:
+                    continue                  # provably all-NULL file
+                return _fallback(
+                    f"file {f!r} has no exact range for {col!r}")
+            v = rng[0] if fn == "min" else rng[1]
+            if types[col].typeName() == "date" and isinstance(v, str):
+                import datetime as _dt
+
+                v = _dt.date.fromisoformat(v)
+            if best is None or (v < best if fn == "min" else v > best):
+                best = v
+        row[alias] = best
+        out_fields.append(T.StructField(alias, types[col]))
+    return spark.createDataFrame(
+        [tuple(row[f.name] for f in out_fields)],
+        T.StructType(out_fields))
 
 
 def _root_blooms(path: str, manifest: dict) -> dict:

@@ -464,6 +464,10 @@ EXPECTATIONS: dict[str, dict] = {
     # r11 crawl capstone: the ingest exchange + the exact-dedup
     # md5 aggregate + the per-source rollup.
     "ds_crawl_curation_v11": dict(max_exchanges=3),
+    # r11 metadata-only aggregates: driver-built literal rows — the
+    # whole point is ZERO file scans and zero shuffles in the
+    # returned plan (the commit ran eagerly).
+    "rel_stats_aggregate": dict(max_exchanges=0, max_scans=0),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
@@ -685,6 +689,8 @@ def audit(name: str, q, spark) -> tuple[bool, str]:
         problems.append(f"exchanges {n_exchange} > {exp['max_exchanges']}")
     if "min_broadcasts" in exp and n_broadcast < exp["min_broadcasts"]:
         problems.append(f"broadcasts {n_broadcast} < {exp['min_broadcasts']}")
+    if "max_scans" in exp and n_scans > exp["max_scans"]:
+        problems.append(f"scans {n_scans} > {exp['max_scans']}")
     if exp.get("scan_filter") and not pushed:
         problems.append("no filters pushed to scan")
     facts = (f"exchanges={n_exchange} broadcasts={n_broadcast} scans={n_scans} "
