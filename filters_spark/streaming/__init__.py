@@ -7,6 +7,7 @@ from .validate import (  # noqa: F401
     contract_merge_sink,
     dead_letter_writer,
     dedup_stream,
+    dedup_stream_stored,
     error_rate_by_window,
     events_stream,
     expectations_monitor,

@@ -42,6 +42,7 @@ __all__ = [
     "expectations_monitor",
     "interval_join_streams",
     "incremental_dedup_sink",
+    "dedup_stream_stored",
     "versioned_merge_sink",
     "contract_merge_sink",
 ]
@@ -459,6 +460,79 @@ def incremental_dedup_sink(store_path: str, pairs_path: str,
             os.makedirs(marker, exist_ok=True)
 
     return write
+
+
+def dedup_stream_stored(stream_df: DataFrame, keys: list[str],
+                        store_path: str, out_path: str,
+                        ts_col: str = "ts", watermark: str = "1 hour",
+                        sink_id: str | None = None,
+                        fmt: str = "parquet"):
+    """First-class streaming EXACT dedup with a PERSISTENT horizon
+    (r10 VERDICT #7): only the FIRST occurrence of each key tuple is
+    ever emitted — within the stream via
+    ``dropDuplicatesWithinWatermark`` (bounded state: keys expire as
+    the watermark passes), and BEYOND the watermark / across query
+    restarts and re-runs via an exact-key signature store the sink
+    folds every emitted batch into.  The watermark op alone forgets a
+    key once the horizon passes (a late duplicate re-emits); the
+    store alone would make streaming state unbounded — composing
+    them gives bounded in-flight state AND a durable history.
+
+    Returns ``(deduped, sink)`` — start with::
+
+        deduped, sink = dedup_stream_stored(src, ["doc_id"], store, out)
+        q = (deduped.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck).start())
+
+    Store layout: ``store_path/keys/*.parquet`` (the key tuples —
+    pre-seed it from a historical corpus by writing its distinct keys
+    there) + per-(query, batch) marker dirs.  EXACTLY-ONCE under
+    at-least-once foreachBatch replay: survivors write via the
+    (query, batch) dynamic-partition-overwrite contract BEFORE the
+    store append, the append is marker-guarded, and a batch whose
+    marker exists skips entirely (its output already landed — an
+    anti-join replay AFTER the append would wrongly emit nothing).
+    ``sink_id`` is required for the same silent-batch-loss reason as
+    every stored sink.  Scale shape: per trigger one anti-join of
+    O(batch) rows against the store (AQE broadcasts the batch side)
+    and one O(batch-distinct) append — history is never re-read for
+    shingling, never re-written."""
+    import os
+
+    deduped = (stream_df.withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(keys))
+    keys_dir = os.path.join(store_path, "keys")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qid = _sink_identity(batch_df, sink_id, require=True,
+                             where="dedup_stream_stored")
+        marker = os.path.join(store_path, "_ingested",
+                              f"q={qid}", f"b={batch_id}")
+        if os.path.exists(marker):
+            return                           # at-least-once replay
+        have_store = os.path.isdir(keys_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(keys_dir))
+        if have_store:
+            seen = spark.read.parquet(keys_dir)
+            survivors = batch_df.join(seen, keys, "left_anti")
+        else:
+            survivors = batch_df
+        (survivors.withColumn("_query_id", F.lit(qid))
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.format(fmt)
+         .mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_query_id", "_batch_id")
+         .save(out_path))
+        (spark.read.format(fmt).load(out_path)
+         .where((F.col("_query_id") == qid)
+                & (F.col("_batch_id") == batch_id))
+         .select(*keys).distinct()
+         .write.mode("append").parquet(keys_dir))
+        os.makedirs(marker, exist_ok=True)
+
+    return deduped, sink
 
 
 def versioned_merge_sink(table_path: str, key: str,
