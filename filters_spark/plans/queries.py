@@ -637,6 +637,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_warc_ingest",            # WARC reader (ISO 28500)
     "ds_crawl_curation_v11",     # crawl-curation capstone
     "rel_stats_aggregate",       # metadata-only aggregates
+    "rel_update_mor",            # merge-on-read UPDATE
     # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
@@ -685,7 +686,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_semdedup",
     "ds_sequence_pack",
     "ds_span_removal",
-    "ds_split_leakage",
 ]
 
 _R10_WINDOW_RETIRED = [
@@ -13902,6 +13902,95 @@ def rel_update_where(spark, sf_dir):
                     .alias("n_changed"))
             .crossJoin(F.broadcast(feedagg))
             .crossJoin(F.broadcast(fin)))
+
+
+@register(
+    "rel_update_mor",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), hit AS (
+      SELECT * FROM base WHERE k % 997 = 0
+    ), ch AS (
+      SELECT * FROM hit WHERE cents % 2 = 1
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_updated,
+      (SELECT CAST(count(*) AS BIGINT) FROM ch) AS n_changed,
+      CAST(0 AS BIGINT) AS files_rewritten,
+      (SELECT CAST(sum(cents) AS BIGINT) FROM ch) AS pre_cents_sum,
+      (SELECT CAST(sum(cents - 1) AS BIGINT) FROM ch)
+        AS post_cents_sum,
+      (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_final,
+      (SELECT CAST(sum(CASE WHEN k % 997 = 0
+                       THEN cents - cents % 2 ELSE cents END)
+              AS BIGINT) FROM base) AS final_cents_sum,
+      CAST(0 AS BIGINT) AS cow_minus_mor_cents
+    """,
+)
+def rel_update_mor(spark, sf_dir):
+    """MERGE-ON-READ row-level UPDATE under the value hash
+    (sources.versioned.update_where(mode='mor') — Iceberg's MOR
+    update on the r11 deletion-vector machinery): a SCATTERED modulo
+    slice's odd cents floor to even — the old copies are killed by a
+    delete-sized vector sidecar and the updated rows append as the
+    commit's own files, with EVERY parent file carried by reference
+    and ``files_rewritten = 0`` in the hash (copy-on-write rewrites
+    most of a clustered table for the same scattered predicate).
+    Unchanged-content matches (already-even cents) neither move nor
+    feed (the fingerprint-silence contract — pre/post sums read back
+    from the STORED feed pin it), and the SAME lifecycle runs
+    copy-on-write on a shallow clone with the cents-sum DIFFERENCE
+    hashed (zero in the oracle): MOR ≡ COW ≡ arithmetic in one hash.
+    Vector stacking / delete-after-update / guards pytest-pinned
+    (TestMorDelete::test_mor_update_*)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents")).repartitionByRange(8, "k")
+    root = tempfile.mkdtemp(prefix="fs_updmor_")
+    pm, pc = root + "/m", root + "/c"
+    V.write_versioned(base, pm, stats_cols=["k"])
+    V.clone_versioned(spark, pm, pc, version=1)
+    res = V.update_where(spark, pm, "k % 997 = 0",
+                         {"cents": "cents - cents % 2"},
+                         mode="mor", key="k", store_changes_key="k")
+    V.update_where(spark, pc, "k % 997 = 0",
+                   {"cents": "cents - cents % 2"})
+    feed = V.read_changes(spark, pm, "k", 1, 2)
+    t = F.col("_change_type")
+    feedagg = feed.agg(
+        F.sum(F.when(t == "update_preimage", F.col("cents")))
+        .cast("long").alias("pre_cents_sum"),
+        F.sum(F.when(t == "update_postimage", F.col("cents")))
+        .cast("long").alias("post_cents_sum"))
+    fin = V.read_version(spark, pm).agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.sum("cents").cast("long").alias("final_cents_sum"))
+    cow = V.read_version(spark, pc).agg(
+        F.sum("cents").cast("long").alias("_cc"))
+    return (spark.range(1)
+            .select(F.lit(int(res["n_updated"])).cast("long")
+                    .alias("n_updated"),
+                    F.lit(int(res["n_changed"])).cast("long")
+                    .alias("n_changed"),
+                    F.lit(int(res["files_rewritten"])).cast("long")
+                    .alias("files_rewritten"))
+            .crossJoin(F.broadcast(feedagg))
+            .crossJoin(F.broadcast(fin))
+            .crossJoin(F.broadcast(cow))
+            .select("n_updated", "n_changed", "files_rewritten",
+                    "pre_cents_sum", "post_cents_sum", "n_final",
+                    "final_cents_sum",
+                    (F.coalesce(F.col("_cc"), F.lit(0))
+                     - F.coalesce(F.col("final_cents_sum"), F.lit(0)))
+                    .cast("long").alias("cow_minus_mor_cents")))
 
 
 @register(

@@ -1569,7 +1569,8 @@ def delete_where(spark: SparkSession, path: str, condition,
 
 def update_where(spark: SparkSession, path: str, condition,
                  assignments: dict, expected_parent: int | None = None,
-                 store_changes_key: str | None = None) -> dict:
+                 store_changes_key: str | None = None,
+                 mode: str = "cow", key: str | None = None) -> dict:
     """Row-level UPDATE as a FILE-REUSE commit — :func:`delete_where`'s
     natural sibling (Delta UPDATE's copy-on-write shape): one pass
     finds the files CONTAINING matching rows, only those are read
@@ -1593,10 +1594,26 @@ def update_where(spark: SparkSession, path: str, condition,
     Partitioned parents fall back to a full rewrite; parent
     ``stats_cols`` carry forward.
 
+    ``mode='mor'`` (merge-on-read — Iceberg's MOR update shape, the
+    :func:`delete_where` deletion-vector machinery): instead of
+    rewriting the touched files, the CHANGED rows' old copies are
+    killed by a delete-sized ``(file, key)`` vector sidecar and their
+    updated versions append as the commit's own new files — every
+    parent file carries by reference, ``files_rewritten = 0``.  The
+    right shape for scattered updates a clustered layout can't
+    localize.  Requires ``key`` (unique row identity; assigning the
+    key column itself is refused — that is a delete+insert, use
+    ``merge_versioned``); flat layouts only; unchanged-content rows
+    are neither vectored nor re-appended (the fingerprint
+    discipline).
+
     Returns ``{"version", "n_updated", "n_changed",
     "files_rewritten", "files_reused"}`` — ``n_updated`` counts
     condition matches, ``n_changed`` the rows whose content actually
     changed."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"update_where: mode must be 'cow' or 'mor', "
+                         f"got {mode!r}")
     parent = latest_version(path)
     if parent is None:
         raise ValueError(f"versioned table {path!r} has no snapshots")
@@ -1655,6 +1672,54 @@ def update_where(spark: SparkSession, path: str, condition,
              else F.col(c)).alias(c) for c in others])))
         return pre.where(old_fp != new_fp).count()
 
+    if mode == "mor":
+        if m.get("partition_by"):
+            raise ValueError(
+                "update_where(mode='mor'): delete vectors require a "
+                "flat layout — partitioned tables update copy-on-write")
+        if key is None:
+            raise ValueError(
+                "update_where(mode='mor') requires key= (a unique row "
+                "identity column the vectors bind to)")
+        if key in assignments:
+            raise ValueError(
+                f"update_where(mode='mor'): assigning the key column "
+                f"{key!r} is a delete+insert — use merge_versioned")
+        if key not in base.columns:
+            raise ValueError(
+                f"update_where: key {key!r} not in table columns")
+        det = _detect_frame(spark, path, m)
+        hits = det.where(hit)
+        n_updated = hits.count()
+        data = hits.drop("_f")
+        n_changed = n_changed_of(data)
+        # only CHANGED rows move: old copy vectored out, new content
+        # appended as this commit's own files
+        others = sorted(set(data.columns))
+        old_fp = F.md5(F.to_json(F.struct(*[F.col(c)
+                                            for c in others])))
+        new_fp = F.md5(F.to_json(F.struct(*[
+            (sets[c].cast(schema[c].dataType) if c in sets
+             else F.col(c)).alias(c) for c in others])))
+        changed = hits.where(old_fp != new_fp)
+        dv_df = (changed.select(
+            F.regexp_extract(F.col("_f"), _DV_TAIL, 1).alias("_file"),
+            key) if n_changed else None)
+        replacement = (apply_to(changed.drop("_f"), F.lit(True))
+                       .select(*[f.name for f in schema.fields])
+                       if n_changed
+                       else spark.createDataFrame([], schema))
+        version = write_versioned(
+            replacement, path, expected_parent=expected_parent,
+            _op="update", extra_meta={"update_mode": "mor"},
+            stats_cols=m.get("stats_cols"),
+            changes_df=changes_of(data),
+            reuse_files=_root_files(path, m),
+            reuse_stats=_root_stats(path, m),
+            dv_df=dv_df, dv_key=key)
+        return {"version": version, "n_updated": int(n_updated),
+                "n_changed": int(n_changed), "files_rewritten": 0,
+                "files_reused": m["n_files"]}
     if m.get("partition_by"):
         pre = base.where(hit)
         n_updated = pre.count()

@@ -2052,6 +2052,75 @@ class TestMorDelete:
         assert not (tmp_path / "t" / "dv" / "v=2").is_dir()
         assert V.read_version(spark, t).count() == 1000
 
+    def test_mor_update_moves_only_changed_rows(self, spark, tmp_path):
+        """update_where(mode='mor'): old copies vectored out, updated
+        content appended, zero files rewritten; unchanged-content
+        matches neither move nor duplicate."""
+        t = self._mk(spark, tmp_path)
+        r = V.update_where(spark, t, F.col("k").between(100, 109),
+                           {"c": F.when(F.col("k") < 105,
+                                        F.col("c") + 1)
+                            .otherwise(F.col("c"))},
+                           mode="mor", key="k")
+        assert r["files_rewritten"] == 0 and r["files_reused"] == 8
+        assert r["n_updated"] == 10 and r["n_changed"] == 5
+        g = V.read_version(spark, t)
+        assert g.count() == 1000
+        got = {x["k"]: x["c"] for x in
+               g.where(F.col("k").between(98, 111)).collect()}
+        for k in range(98, 112):
+            want = k * 10 + (1 if 100 <= k < 105 else 0)
+            assert got[k] == want, (k, got[k], want)
+        # stacking: mor update on top, then mor delete of an updated
+        # key — the vector binds the NEW file's copy
+        V.update_where(spark, t, F.col("k") == 100,
+                       {"c": F.lit(7)}, mode="mor", key="k")
+        assert V.read_version(spark, t).where(
+            (F.col("k") == 100) & (F.col("c") == 7)).count() == 1
+        V.delete_where(spark, t, F.col("k") == 100, mode="mor",
+                       key="k")
+        g2 = V.read_version(spark, t)
+        assert g2.where(F.col("k") == 100).count() == 0
+        assert g2.count() == 999
+
+    def test_mor_update_equals_cow(self, spark, tmp_path):
+        tm = self._mk(spark, tmp_path)
+        tc = str(tmp_path / "c")
+        V.clone_versioned(spark, tm, tc)
+        rm = V.update_where(spark, tm, F.col("k") % 97 == 0,
+                            {"c": F.col("c") * 2}, mode="mor", key="k")
+        rc = V.update_where(spark, tc, F.col("k") % 97 == 0,
+                            {"c": F.col("c") * 2})
+        assert (rm["n_updated"], rm["n_changed"]) \
+            == (rc["n_updated"], rc["n_changed"])
+        a = sorted((r["k"], r["c"]) for r in
+                   V.read_version(spark, tm).collect())
+        b = sorted((r["k"], r["c"]) for r in
+                   V.read_version(spark, tc).collect())
+        assert a == b
+
+    def test_mor_update_cdc_and_guards(self, spark, tmp_path):
+        import pytest
+        t = self._mk(spark, tmp_path)
+        V.update_where(spark, t, F.col("k") == 3, {"c": F.lit(1)},
+                       mode="mor", key="k", store_changes_key="k")
+        feed = V.read_changes(spark, t, "k", 1, 2)
+        got = sorted((r["_change_type"], r["k"], r["c"])
+                     for r in feed.collect())
+        assert got == [("update_postimage", 3, 1),
+                       ("update_preimage", 3, 30)]
+        with pytest.raises(ValueError, match="delete\\+insert"):
+            V.update_where(spark, t, F.col("k") == 4,
+                           {"k": F.lit(9)}, mode="mor", key="k")
+        with pytest.raises(ValueError, match="requires key"):
+            V.update_where(spark, t, F.col("k") == 4,
+                           {"c": F.lit(9)}, mode="mor")
+        # no-change update commits a clean no-op
+        r = V.update_where(spark, t, F.col("k") == 5,
+                           {"c": F.col("c")}, mode="mor", key="k")
+        assert r["n_changed"] == 0
+        assert V.read_version(spark, t).count() == 1000
+
     def test_guards(self, spark, tmp_path):
         import pytest
         t = self._mk(spark, tmp_path)

@@ -468,6 +468,10 @@ EXPECTATIONS: dict[str, dict] = {
     # whole point is ZERO file scans and zero shuffles in the
     # returned plan (the commit ran eagerly).
     "rel_stats_aggregate": dict(max_exchanges=0, max_scans=0),
+    # r11 merge-on-read update: four read-back aggregates (stored
+    # feed, mor head incl. DV anti-join, cow head, report literals)
+    # broadcast-stitched; lifecycles committed eagerly.
+    "rel_update_mor": dict(max_exchanges=8, min_broadcasts=3),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
