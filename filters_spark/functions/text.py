@@ -1074,6 +1074,87 @@ def bpe_apply(col: Column, merges: list[tuple]) -> Column:
     return F.filter(toks, lambda x: (x != "") & (x != " "))
 
 
+def _bpe_apply_word(word: str, ranks: dict, pair_of: dict) -> list:
+    """Apply a merge table to ONE word with EXACTLY the engine's
+    in-order pass semantics (each merge gets one greedy
+    left-to-right pass, in training order, never revisited): process
+    applicable ranks ascending with a floor — equivalent to the
+    n_merges replace() passes, without touching merges the word
+    can't contain.  O(len) scans per APPLIED merge instead of one
+    pass per TABLE ENTRY — the 32k-merge production path."""
+    syms = list(word)
+    floor = 0
+    while True:
+        best = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and r >= floor and (best is None
+                                                 or r < best):
+                best = r
+        if best is None:
+            return syms
+        a, b = pair_of[best]
+        syms = _bpe_merge_word(syms, a, b, a + b)
+        floor = best + 1
+
+
+def bpe_token_counts(df: DataFrame, merges: list[tuple],
+                     text_col: str = "text", sep: str = " ",
+                     engine: str = "expr") -> DataFrame:
+    """Corpus subword-frequency table under a :func:`bpe_train` merge
+    table — the CORPUS-SCALE apply path: fold the token stream to
+    (word, freq) once, tokenize each DISTINCT word, explode weighted
+    — ``(subword, n bigint)``.  Word-level ≡ document-level because
+    merges never cross the space symbol (the equivalence
+    ``txt_bpe_tokenize`` pins); the fold is what makes big merge
+    tables affordable: :func:`bpe_apply` chains ONE replace
+    expression per merge, so a 32k-merge production tokenizer would
+    build a 32k-deep plan over every document scan (the SCALE §25
+    plan-growth class).
+
+    ``engine='expr'``: the replace chain over the FOLDED vocabulary
+    (vocab-sized input — fine to a few hundred merges, fully
+    SQL-replayable).  ``engine='arrow'``: one Arrow-batched pass
+    applying the table per word via an in-order rank floor
+    (:func:`_bpe_apply_word` — byte-identical semantics to the
+    replace chain, pytest-pinned), zero per-merge expressions:
+    tokenizing under a production-sized table costs one fold + one
+    bounded pandas pass + one rollup regardless of table size.
+    Same-word exclusions as training (separator-containing words
+    dropped)."""
+    if engine not in ("expr", "arrow"):
+        raise ValueError(
+            f"engine must be 'expr' or 'arrow', got {engine!r}")
+    wf = (df.select(F.explode(F.split(F.col(text_col), sep))
+                    .alias("w"))
+          .where((F.col("w") != "") & (~F.col("w").contains(_BPE_SEP)))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    if engine == "expr":
+        toks = bpe_apply(F.col("w"), merges)
+        return (wf.select(F.explode(toks).alias("subword"), "f")
+                .groupBy("subword")
+                .agg(F.sum("f").cast("long").alias("n")))
+    import pandas as pd
+
+    ranks = {(a, b): step for step, a, b, *_ in merges}
+    pair_of = {step: (a, b) for step, a, b, *_ in merges}
+
+    def run(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for w, f in zip(pdf["w"], pdf["f"]):
+                for s in _bpe_apply_word(w, ranks, pair_of):
+                    c[s] += int(f)
+            yield pd.DataFrame(
+                {"subword": list(c.keys()),
+                 "n": [int(v) for v in c.values()]})
+
+    return (wf.mapInPandas(run, "subword string, n long")
+            .groupBy("subword").agg(F.sum("n").cast("long").alias("n")))
+
+
 def hashing_vectorize(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", dim: int = 256,
                       sep: str = " ", signed: bool = True) -> DataFrame:

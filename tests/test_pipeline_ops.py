@@ -431,6 +431,50 @@ class TestBpeTrain:
         assert T.bpe_train(df, n_merges=6, engine="spark") == ref
         assert len(ref) >= 4
 
+    def test_token_counts_engines_equal_corpus_direct(self, spark):
+        """bpe_token_counts: the folded-vocabulary apply (expr
+        replace chain AND the arrow in-order rank-floor engine) must
+        equal the document-level bpe_apply counts exactly — including
+        on the suffix-collision corpus."""
+        import pyspark.sql.functions as F
+
+        from filters_spark.functions import text as T
+        rows = ([("aba abba",)] * 3 + [("babaa babb low lower",)] * 2
+                + [("the cat sat low",)] * 2)
+        df = spark.createDataFrame(rows, "text string")
+        merges = T.bpe_train(df, n_merges=8, engine="driver")
+        assert len(merges) >= 6
+        direct = {r["s"]: r["n"] for r in
+                  df.select(F.explode(T.bpe_apply(F.col("text"),
+                                                  merges)).alias("s"))
+                  .groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        for engine in ("expr", "arrow"):
+            got = {r["subword"]: r["n"] for r in
+                   T.bpe_token_counts(df, merges,
+                                      engine=engine).collect()}
+            assert got == direct, engine
+
+    def test_token_counts_big_table_arrow_only_plan(self, spark):
+        """The arrow engine's plan size is independent of the merge
+        table: a padded 300-entry table must tokenize without 300
+        chained replace expressions."""
+        import pyspark.sql.functions as F
+
+        from filters_spark.functions import text as T
+        df = spark.createDataFrame([("low lower lowest",)] * 4,
+                                   "text string")
+        merges = T.bpe_train(df, n_merges=6, engine="driver")
+        # pad with merges that can never apply (symbols absent)
+        pad = [(100 + i, f"Q{i}", f"R{i}", 2) for i in range(300)]
+        got = {r["subword"]: r["n"] for r in
+               T.bpe_token_counts(df, merges + pad,
+                                  engine="arrow").collect()}
+        want = {r["subword"]: r["n"] for r in
+                T.bpe_token_counts(df, merges,
+                                   engine="arrow").collect()}
+        assert got == want
+
     def test_adjacent_pairs_both_merge(self, spark):
         """'abab' must merge to [ab, ab] — a shared-single-separator
         packing (the naive anchoring fix) consumes the separator
