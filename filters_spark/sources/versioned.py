@@ -1282,7 +1282,8 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
                     extra_meta: dict | None = None,
                     store_changes: bool = False,
                     file_reuse: bool = False,
-                    evolve_schema: bool = False) -> int:
+                    evolve_schema: bool = False,
+                    mor: bool = False) -> int:
     """MERGE (keyed upsert) producing a NEW snapshot: same-key rows
     replaced wholesale, unmatched updates inserted, unmatched base
     rows carried over — :func:`plans.joins.upsert` semantics, but
@@ -1318,7 +1319,20 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     reference — a small CDC batch against a 100 TB table rewrites
     the touched slice, not the table.  Flat layouts only
     (partitioned parents fall back to the full materialization);
-    parent ``stats_cols`` carry forward like delete_where's."""
+    parent ``stats_cols`` carry forward like delete_where's.
+
+    ``mor=True`` (merge-on-read — the r11 deletion-vector machinery,
+    overriding ``file_reuse``): matched keys whose content CHANGES
+    get their old copies killed by a delete-sized vector sidecar and
+    their new versions appended as the commit's own files; inserts
+    append; unchanged matches neither move nor version (the
+    ``_merge_changes`` fingerprint discipline, detect-cols-scoped so
+    an ``evolve_schema`` merge stays diff-equivalent); EVERY parent
+    file carries by reference.  A scattered update batch against a
+    100 TB table writes vectors + the batch — zero files rewritten,
+    beating even the file-reuse slice rewrite when touched rows
+    spread across many files.  Requires a UNIQUE ``key``; flat
+    layouts only (raises on partitioned parents)."""
     from ..plans.joins import upsert
 
     parent = latest_version(path)
@@ -1360,6 +1374,46 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     changes = _merge_changes(base, aligned, key,
                              detect_cols=parent_detect) \
         if store_changes else None
+    if mor:
+        if m.get("partition_by"):
+            raise ValueError(
+                "merge_versioned(mor=True): delete vectors require a "
+                "flat layout — partitioned tables merge copy-on-write")
+        det = _detect_frame(spark, path, m)
+        if _widen is not None:
+            have = {f.name for f in
+                    T.StructType.fromJson(
+                        json.loads(m["schema_json"])).fields}
+            det = det.select(
+                "_f", *[(F.col(c) if c in have
+                         else F.lit(None)
+                         .cast(aligned.schema[c].dataType)).alias(c)
+                        for c in aligned.columns])
+        o, nn = det.alias("o"), aligned.alias("n")
+        common = parent_detect
+
+        def _fp(side: str):
+            return F.md5(F.to_json(F.struct(
+                *[F.col(f"{side}.{c}") for c in common])))
+
+        j = o.join(nn, F.col(f"o.{key}") == F.col(f"n.{key}"))
+        diff = _fp("o") != _fp("n")
+        changed_old = j.where(diff).select(
+            F.regexp_extract(F.col("o._f"), _DV_TAIL, 1)
+            .alias("_file"), F.col(f"o.{key}").alias(key))
+        changed_new = j.where(diff).select(
+            *[F.col(f"n.{c}").alias(c) for c in aligned.columns])
+        inserts = aligned.join(det.select(key), key, "left_anti")
+        replacement = changed_new.unionByName(inserts)
+        dv_df = changed_old if changed_old.limit(1).count() else None
+        return write_versioned(
+            replacement, path, expected_parent=expected_parent,
+            _op="merge", extra_meta={**(extra_meta or {}),
+                                     "merge_mode": "mor"},
+            changes_df=changes, stats_cols=m.get("stats_cols"),
+            reuse_files=_root_files(path, m),
+            reuse_stats=_root_stats(path, m),
+            dv_df=dv_df, dv_key=key)
     if file_reuse and not m.get("partition_by"):
         schema = T.StructType.fromJson(json.loads(m["schema_json"]))
         parent_files = _root_files(path, m)

@@ -308,7 +308,8 @@ def change_feed_stream(spark, path: str,
 
 
 def apply_changes_sink(table_path: str, key: str,
-                       sink_id: str | None = None):
+                       sink_id: str | None = None,
+                       mode: str = "cow"):
     """foreachBatch function maintaining a REPLICA versioned table
     from a :func:`change_feed_stream` batch — CDC replication's write
     half.  Each micro-batch (which may span several source commits)
@@ -326,7 +327,22 @@ def apply_changes_sink(table_path: str, key: str,
     the ``versioned_merge_sink`` manifest guard: each commit records
     ``(stream_query, stream_batch)`` and a replayed batch is skipped.
     Pass ``sink_id`` (stable across restarts) — required for the
-    same silent-batch-loss reason versioned_merge_sink requires it."""
+    same silent-batch-loss reason versioned_merge_sink requires it.
+
+    ``mode='mor'`` (merge-on-read — the r11 deletion-vector
+    machinery): the batch applies as a delete-sized vector sidecar
+    (old copies of every key the batch touches) plus the upsert rows
+    appended as the commit's own files — ZERO replica files
+    rewritten per micro-batch, the right shape when a small CDC
+    batch's keys scatter across a 100 TB replica (the COW slice
+    rewrite touches every file containing a batch key).  Vectors
+    accumulate per batch; fold them on cadence with
+    ``optimize_versioned``.  Flat replicas only (partitioned fall
+    back to the full materialization either way)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(
+            f"apply_changes_sink: mode must be 'cow' or 'mor', got "
+            f"{mode!r}")
     from ..plans.joins import upsert
     from ..sources import versioned as V
     from .validate import _sink_identity
@@ -381,6 +397,21 @@ def apply_changes_sink(table_path: str, key: str,
         parent_files = V._root_files(table_path, m)
         batch_keys = aligned.select(key).unionByName(del_keys) \
             .drop_duplicates()
+        if mode == "mor":
+            old = (V._detect_frame(spark, table_path, m)
+                   .join(batch_keys, key, "left_semi")
+                   .select(F.regexp_extract(F.col("_f"),
+                                            V._DV_TAIL, 1)
+                           .alias("_file"), key))
+            dv_df = old if old.limit(1).count() else None
+            V.write_versioned(
+                aligned, table_path, _op="cdc-apply",
+                extra_meta={**meta, "apply_mode": "mor"},
+                stats_cols=m.get("stats_cols"),
+                reuse_files=parent_files,
+                reuse_stats=V._root_stats(table_path, m),
+                dv_df=dv_df, dv_key=key)
+            return
         touched = sorted({
             V._rel_uri(table_path, r["_f"]) for r in
             V._detect_frame(spark, table_path, m)

@@ -1131,6 +1131,61 @@ class TestChangeFeedStream:
         assert m["op"] == "cdc-apply"
         assert any(f.startswith("snap/v=1/") for f in m["data_files"])
 
+    def test_replica_apply_mor(self, spark, tmp_path):
+        """apply_changes_sink(mode='mor'): the batch lands as vectors
+        + appends — zero replica files rewritten, replica ≡ source,
+        and a second batch stacks correctly."""
+        from filters_spark.sources import versioned as V
+        from filters_spark.streaming import (
+            apply_changes_sink,
+            change_feed_stream,
+        )
+        src = str(tmp_path / "bigsrc")
+        base = (spark.range(50)
+                .select(F.col("id").alias("k"),
+                        F.lit("x").alias("val"),
+                        (F.col("id") * 2).alias("n"))
+                .repartitionByRange(4, "k"))
+        V.write_versioned(base, src)                          # v1
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(5, "U", 0), (100, "new", 7)],
+            "k bigint, val string, n bigint"), "k",
+            store_changes=True)                               # v2
+        V.delete_where(spark, src, "k = 7",
+                       store_changes_key="k")                 # v3
+        dst = str(tmp_path / "replica")
+        V.write_versioned(V.read_version(spark, src, 1)
+                          .repartitionByRange(4, "k"), dst)
+        ck = str(tmp_path / "cmor")
+        q = self._run(
+            change_feed_stream(spark, src, starting_version=2), ck,
+            fb=apply_changes_sink(dst, "k", sink_id="repm",
+                                  mode="mor"))
+        assert q.exception() is None
+        assert sorted(map(tuple,
+                          V.read_version(spark, dst).collect())) \
+            == sorted(map(tuple,
+                          V.read_version(spark, src).collect()))
+        m = V._read_manifest(dst, V.latest_version(dst))
+        assert m.get("apply_mode") == "mor"
+        assert m.get("dv_dirs")
+        # every v1 replica file still carried by reference
+        assert sum(1 for f in m["data_files"]
+                   if f.startswith("snap/v=1/")) == 4
+        # second batch on the same checkpoint stacks on the vectors
+        V.merge_versioned(spark, src, spark.createDataFrame(
+            [(5, "V", 1)], "k bigint, val string, n bigint"), "k",
+            store_changes=True)                               # v4
+        q = self._run(
+            change_feed_stream(spark, src, starting_version=2), ck,
+            fb=apply_changes_sink(dst, "k", sink_id="repm",
+                                  mode="mor"))
+        assert q.exception() is None
+        assert sorted(map(tuple,
+                          V.read_version(spark, dst).collect())) \
+            == sorted(map(tuple,
+                          V.read_version(spark, src).collect()))
+
     def test_crash_replay_is_exactly_once(self, spark, tmp_path):
         from filters_spark.sources import versioned as V
         from filters_spark.streaming import (

@@ -2121,6 +2121,50 @@ class TestMorDelete:
         assert r["n_changed"] == 0
         assert V.read_version(spark, t).count() == 1000
 
+    def test_mor_merge_moves_changed_inserts_new(self, spark,
+                                                 tmp_path):
+        """merge_versioned(mor=True): changed matches vector+append,
+        inserts append, unchanged matches don't move, zero rewrites;
+        equals the plain merge."""
+        tm = self._mk(spark, tmp_path)
+        tc = str(tmp_path / "c")
+        V.clone_versioned(spark, tm, tc)
+        ups = spark.createDataFrame(
+            [(5, 50), (6, 61), (2000, 1)],   # 5 unchanged, 6 changed,
+            "k bigint, c bigint")            # 2000 new
+        V.merge_versioned(spark, tm, ups, "k", mor=True,
+                          store_changes=True)
+        V.merge_versioned(spark, tc, ups, "k")
+        a = sorted((r["k"], r["c"]) for r in
+                   V.read_version(spark, tm).collect())
+        b = sorted((r["k"], r["c"]) for r in
+                   V.read_version(spark, tc).collect())
+        assert a == b and len(a) == 1001
+        m2 = V._read_manifest(tm, 2)
+        assert m2.get("merge_mode") == "mor"
+        assert m2["dv_dirs"] == [2]
+        dv = spark.read.parquet(str(tmp_path / "t" / "dv" / "v=2"))
+        assert [r["k"] for r in dv.collect()] == [6]  # changed only
+        # stored feed: unchanged row 5 silent, 6 pairs, 2000 insert
+        feed = V.read_changes(spark, tm, "k", 1, 2)
+        got = sorted((r["_change_type"], r["k"])
+                     for r in feed.collect())
+        assert got == [("insert", 2000), ("update_postimage", 6),
+                       ("update_preimage", 6)]
+
+    def test_mor_merge_evolve_schema(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        ups = spark.createDataFrame(
+            [(7, 71, "x"), (3000, 1, "y")],
+            "k bigint, c bigint, tag string")
+        V.merge_versioned(spark, t, ups, "k", mor=True,
+                          evolve_schema=True)
+        g = V.read_version(spark, t)
+        assert g.count() == 1001
+        got = {r["k"]: (r["c"], r["tag"]) for r in
+               g.where(F.col("k").isin(7, 8, 3000)).collect()}
+        assert got == {7: (71, "x"), 8: (80, None), 3000: (1, "y")}
+
     def test_guards(self, spark, tmp_path):
         import pytest
         t = self._mk(spark, tmp_path)
