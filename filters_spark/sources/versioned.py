@@ -87,6 +87,7 @@ __all__ = [
     "apply_delete_vectors",
     "stats_aggregate",
     "StatsInsufficient",
+    "verify_versioned",
 ]
 
 
@@ -2060,6 +2061,137 @@ def clone_versioned(spark: SparkSession, src: str, dst: str,
     return {"version": v, "source_path": src_abs,
             "source_version": version, "files_referenced": len(refs),
             "files_rewritten": 0}
+
+
+def verify_versioned(path: str, strict: bool = False) -> list[str]:
+    """TABLE INTEGRITY CHECK (fsck for the versioned format): walk
+    every committed manifest and validate the invariants readers
+    depend on — referenced data files exist and match ``n_files``,
+    parent links chain back without cycles, the head pointer lands on
+    a committed manifest, stats/bloom sidecars parse and key only
+    referenced files, delete-vector dirs exist with their key in the
+    snapshot schema, change dirs exist where the manifest claims
+    them, and crashed-writer leftovers (orphan claims, snap dirs with
+    no manifest) are reported.  Pure driver metadata reads — no
+    Spark session, no data pages; run it before/after vacuum or as a
+    governance cadence job.
+
+    Returns the issue list (empty = healthy); VACUUMED history is
+    reported as ``note:`` lines (expected state), real corruption as
+    ``error:`` lines.  ``strict=True`` raises on any error."""
+    issues: list[str] = []
+    committed = versions(path)
+    if not committed:
+        issues.append(f"error: {path!r} has no committed manifests")
+    head = latest_version(path)
+    if head is not None and head not in committed:
+        issues.append(f"error: head pointer {head} has no manifest")
+    seen_parents: dict[int, int | None] = {}
+    for v in committed:
+        try:
+            m = _read_manifest(path, v)
+        except ValueError as e:
+            issues.append(f"error: manifest {v} unreadable: {e}")
+            continue
+        parent = m.get("parent")
+        seen_parents[v] = parent
+        if parent is not None and parent >= v:
+            issues.append(
+                f"error: manifest {v} parent {parent} not older")
+        files = _root_files(path, m)
+        missing = [f for f in files
+                   if not os.path.exists(os.path.join(path, f))]
+        if missing:
+            kind = "note" if v != head else "error"
+            issues.append(
+                f"{kind}: version {v} missing {len(missing)} of "
+                f"{len(files)} data files"
+                + (" (vacuumed history)" if kind == "note" else ""))
+        elif m.get("data_files") is None \
+                and len(files) != m["n_files"]:
+            kind = "note" if v != head else "error"
+            issues.append(
+                f"{kind}: version {v} directory holds {len(files)} "
+                f"files, manifest says {m['n_files']} "
+                f"({m['n_files'] - len(files)} missing)")
+        try:
+            st = load_file_stats(m)
+        except Exception as e:              # malformed sidecar
+            issues.append(f"error: version {v} stats sidecar "
+                          f"unreadable: {e}")
+            st = None
+        if st:
+            rst = _root_stats(path, m)
+            extra = set(rst) - set(files)
+            if extra:
+                issues.append(
+                    f"error: version {v} stats key {sorted(extra)[:3]}"
+                    " not in the snapshot's file list")
+        try:
+            bl = load_file_blooms(m)
+        except Exception as e:
+            issues.append(f"error: version {v} bloom sidecar "
+                          f"unreadable: {e}")
+            bl = None
+        if bl is not None and m.get("bloom_cols"):
+            if not m.get("bloom_bits") or not m.get("bloom_hashes"):
+                issues.append(
+                    f"error: version {v} has bloom_cols but no "
+                    "bloom_bits/bloom_hashes")
+        for dvv in (m.get("dv_dirs") or []):
+            if not os.path.isdir(_dv_dir(path, dvv)):
+                kind = "note" if v != head else "error"
+                issues.append(
+                    f"{kind}: version {v} references vacuumed "
+                    f"delete-vector dir dv/v={dvv}")
+        if m.get("dv_dirs"):
+            schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+            if m.get("dv_key") not in {f.name for f in schema.fields}:
+                issues.append(
+                    f"error: version {v} dv_key {m.get('dv_key')!r} "
+                    "not in the snapshot schema")
+        if m.get("changes") and not os.path.isdir(_changes_dir(path, v)):
+            issues.append(
+                f"note: version {v} change files vacuumed (spans "
+                "crossing it fall back to the diff path)")
+    # acyclic reachability: the head chain must terminate
+    v = head
+    hops = 0
+    while v is not None and hops <= len(seen_parents) + 1:
+        v = seen_parents.get(v)
+        hops += 1
+    if hops > len(seen_parents) + 1:
+        issues.append("error: parent links form a cycle")
+    mdir = _manifest_dir(path)
+    if os.path.isdir(mdir):
+        for n in os.listdir(mdir):
+            if n.endswith(".claim") and not n.startswith("head."):
+                try:
+                    cv = int(n[:-6])
+                except ValueError:
+                    continue
+                if cv not in committed:
+                    issues.append(
+                        f"note: orphan claim {n} (crashed writer — "
+                        "vacuum_versioned reclaims it)")
+    snap_root = os.path.join(path, "snap")
+    if os.path.isdir(snap_root):
+        for d in os.listdir(snap_root):
+            if d.startswith("v="):
+                try:
+                    sv = int(d[2:])
+                except ValueError:
+                    continue
+                if sv not in committed:
+                    issues.append(
+                        f"note: orphan snapshot dir snap/{d} "
+                        "(crashed writer — vacuum reclaims it)")
+    errors = [i for i in issues if i.startswith("error:")]
+    if strict and errors:
+        raise ValueError(
+            f"verify_versioned: {path!r} has "
+            f"{len(errors)} integrity error(s): " + "; ".join(errors))
+    return issues
 
 
 def vacuum_versioned(path: str, keep_last: int = 2) -> list[int]:

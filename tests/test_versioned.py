@@ -2187,6 +2187,64 @@ class TestMorDelete:
         assert not V._read_manifest(t, r["version"]).get("dv_dirs")
 
 
+class TestVerifyVersioned:
+    """fsck for the versioned format: healthy lifecycles report
+    clean, vacuumed history reports notes, real damage reports
+    errors (and raises under strict)."""
+
+    def test_healthy_lifecycle_clean(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 200).select(
+            F.col("k") if False else F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"))
+        V.write_versioned(df.repartition(4, "k"), t,
+                          stats_cols=["k"], bloom_cols=["k"])
+        V.delete_where(spark, t, F.col("k") == 5, mode="mor", key="k")
+        V.merge_versioned(spark, t, spark.createDataFrame(
+            [(999, 1)], "k bigint, v bigint"), "k",
+            store_changes=True, file_reuse=True)
+        assert V.verify_versioned(t) == []
+        assert V.verify_versioned(t, strict=True) == []
+
+    def test_vacuumed_history_is_notes(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 50).select(F.col("id").alias("k"))
+        V.write_versioned(df, t)
+        V.write_versioned(df.where(F.col("k") < 10), t)
+        V.write_versioned(df, t)
+        V.vacuum_versioned(t, keep_last=1)
+        issues = V.verify_versioned(t)
+        assert issues and all(i.startswith("note:") for i in issues)
+        V.verify_versioned(t, strict=True)   # notes never raise
+
+    def test_missing_head_file_is_error(self, spark, tmp_path):
+        import os
+        import pytest
+        t = str(tmp_path / "t")
+        V.write_versioned(
+            spark.range(0, 50).select(F.col("id").alias("k"))
+            .repartition(2, "k"), t)
+        m = V._read_manifest(t, 1)
+        victim = V._root_files(t, m)[0]
+        os.remove(os.path.join(t, victim))
+        issues = V.verify_versioned(t)
+        assert any(i.startswith("error:") and "missing" in i
+                   for i in issues)
+        with pytest.raises(ValueError, match="integrity"):
+            V.verify_versioned(t, strict=True)
+
+    def test_orphan_claim_and_dir_are_notes(self, spark, tmp_path):
+        import os
+        t = str(tmp_path / "t")
+        V.write_versioned(
+            spark.range(5).select(F.col("id").alias("k")), t)
+        open(os.path.join(V._manifest_dir(t), "9.claim"), "w").close()
+        os.makedirs(os.path.join(t, "snap", "v=9"))
+        issues = V.verify_versioned(t)
+        assert sum(1 for i in issues if "orphan" in i) == 2
+        assert all(i.startswith("note:") for i in issues)
+
+
 class TestStatsAggregate:
     """Metadata-only COUNT/MIN/MAX (r10 VERDICT #5): zero
     data-reading tasks where stats suffice, loud fallback otherwise."""
