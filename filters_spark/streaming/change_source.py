@@ -111,7 +111,15 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         self._names = names                # payload columns, declared order
         self._schema_json = schema_json    # payload StructType as JSON
         self._max_versions = max_versions  # rate limit per micro-batch
-        self._cursor = start_version - 1   # last version HANDED OUT
+        self._cursor = start_version - 1   # rate-cap basis
+        # Highest version THIS READER INSTANCE has planned or seen
+        # committed — the re-serve floor.  Distinct from _cursor: a
+        # fresh reader's _cursor starts at startingVersion-1 (which a
+        # restarted default-start query resolves to the NEW head,
+        # ABOVE the checkpoint's resume span), so flooring on it
+        # would eat the legitimate resume batch; None = no floor
+        # until this instance observes a span.
+        self._served: int | None = None
 
     # -- offsets ------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -140,26 +148,34 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         # the committed offset before the first latestOffset call,
         # so the clamp here keeps the offset monotonic per session
         # and partitions() below refuses to re-serve commits at or
-        # below the cursor — together a regressed WAL entry
-        # self-heals with no duplicate and no lost commit (pinned in
-        # TestChangeFeedRateLimit).
-        return {"version": max(head, self._cursor)}
+        # below this instance's observed floor — together a
+        # regressed WAL entry self-heals with no duplicate and no
+        # lost commit (pinned in TestChangeFeedRateLimit).
+        if self._served is not None:
+            head = max(head, self._served)
+        return {"version": head}
 
     # -- planning (driver) ---------------------------------------------
     def partitions(self, start: dict, end: dict):
         from ..sources import versioned as V
 
         lo, hi = int(start["version"]), int(end["version"])
-        # Serve only commits this reader has not already handed out:
+        # Serve only commits this INSTANCE has not already observed:
         # after a restart where startingVersion lags the checkpoint,
         # Spark's first post-restart span can be (committed, capped)
-        # with capped < committed (see latestOffset) followed by a
-        # catch-up span that overlaps commits delivered before the
-        # restart — the cursor floor drops exactly those.  Legitimate
-        # uncommitted-batch replays run on a FRESH reader whose
-        # cursor (startingVersion - 1) is at or below the replayed
-        # span's start, so they are never skipped.
-        served_from = max(lo, self._cursor)
+        # with capped < committed (see latestOffset) — that call
+        # seeds the floor from ITS OWN bounds (start IS committed
+        # progress) — followed by a catch-up span overlapping
+        # commits delivered before the restart, which the floor
+        # drops.  A fresh instance has NO floor, so legitimate
+        # resume/replay spans (whose lo is the committed offset) are
+        # never skipped — including a default-start restart whose
+        # startingVersion resolved to the NEW head, above the resume
+        # span.
+        served_from = lo if self._served is None \
+            else max(lo, self._served)
+        self._served = max(self._served if self._served is not None
+                           else lo, lo, hi)
         self._cursor = max(self._cursor, lo, hi)
         parts: list[_ChangeFilePartition] = []
         for v in range(served_from + 1, hi + 1):
@@ -217,8 +233,11 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # checkpoint durability is Spark's; tracking the committed
-        # offset here keeps the rate-limit cursor from regressing
-        self._cursor = max(self._cursor, int(end["version"]))
+        # offset here keeps the rate cap and serve floor monotonic
+        v = int(end["version"])
+        self._cursor = max(self._cursor, v)
+        self._served = v if self._served is None \
+            else max(self._served, v)
 
     def stop(self) -> None:
         pass
