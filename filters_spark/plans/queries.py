@@ -14850,11 +14850,13 @@ def rel_scd2_maintain(spark, sf_dir):
     v3+v4, call 3 v5 — each call's plan holds one feed branch per
     CONSUMED commit only (the scd2_from_changes span-rebuild plan
     grows with total history; SCALE.md §25's class).  The hash pins
-    the full stored interval table grouped by (start, end) AND the
-    SYMMETRIC-DIFFERENCE row count against a scd2_from_changes full
-    rebuild (zero in the oracle) — incremental ≡ rebuild ≡ arithmetic
-    in one hash.  Crash replay, open-interval re-stitching, and
-    bounded per-call plans are pytest-pinned (TestMaintainScd2)."""
+    the full stored interval table grouped by (start, end) AND an
+    exact decimal row-hash-sum DIFFERENCE against a
+    scd2_from_changes full rebuild (zero in the oracle — one
+    aggregate per side, not two exceptAll shuffles) — incremental ≡
+    rebuild ≡ arithmetic in one hash.  Crash replay, open-interval
+    re-stitching, and bounded per-call plans are pytest-pinned
+    (TestMaintainScd2)."""
     import tempfile
 
     from ..plans.joins import maintain_scd2, scd2_from_changes
@@ -14899,11 +14901,18 @@ def rel_scd2_maintain(spark, sf_dir):
     cols = ["o_orderkey", "cents", "__start_version",
             "__end_version", "is_current"]
     rebuild = scd2_from_changes(spark, path, "o_orderkey", 1)
-    diff = (hist.select(*cols).exceptAll(rebuild.select(*cols))
-            .unionAll(rebuild.select(*cols)
-                      .exceptAll(hist.select(*cols)))
-            .agg(F.count(F.lit(1)).cast("long")
-                 .alias("n_diff_vs_rebuild")))
+    # equivalence as an exact decimal hash-sum difference (one agg
+    # per side) instead of two exceptAll shuffles — same value-level
+    # strength at a fraction of the cost; decimal(38,0) sums of
+    # int64 hashes can never overflow or throw under ANSI
+    hv = F.xxhash64(F.struct(*[F.col(c) for c in cols])) \
+        .cast("decimal(38,0)")
+    diff = (hist.agg(F.sum(hv).alias("_a"))
+            .crossJoin(F.broadcast(
+                rebuild.agg(F.sum(hv).alias("_b"))))
+            .select((F.coalesce(F.col("_a"), F.lit(0))
+                     - F.coalesce(F.col("_b"), F.lit(0)))
+                    .cast("long").alias("n_diff_vs_rebuild")))
     return (hist.groupBy(
         F.col("__start_version").alias("start_version"),
         F.coalesce("__end_version", F.lit(-1)).cast("long")
