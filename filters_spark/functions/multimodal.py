@@ -2047,6 +2047,76 @@ def sample_video_frames(df: DataFrame, media_col: str = "media",
     return df.mapInPandas(run, out_schema)
 
 
+def video_scene_changes(df: DataFrame, media_col: str = "media",
+                        threshold: int = 2048,
+                        strict: bool | None = None) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over uncompressed
+    YUV4MPEG2 video — the temporal analysis step a video curation
+    pipeline runs between decode and sampling (keep one frame per
+    SHOT, not per second; drop static screen-recordings whose every
+    frame is the first): per consecutive frame pair, the SUM OF
+    ABSOLUTE DIFFERENCES of the Y planes (the classic pixel-domain
+    cut detector), flagged ``is_cut`` when the integer SAD exceeds
+    ``threshold``.
+
+    INTEGER-EXACT by construction (uint8 abs-diffs summed — no
+    floats anywhere), so the per-frame SADs hash-gate across engines
+    (``ds_video_scenes``).  One ``mapInPandas`` pass per video:
+    frames never leave the task, nothing shuffles, output is one row
+    per frame TRANSITION (frame_idx ≥ 1; a one-frame video emits
+    nothing).  Compressed formats follow the codec contract: strict
+    raises, lenient emits nothing (a stub SAD would poison real
+    statistics — unlike frame sampling there is no meaningful fake).
+    """
+    strict_flag = STRICT_CODECS if strict is None else strict
+    base = [f for f in df.schema.fields if f.name != media_col]
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(base + [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("sad", T.LongType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = r[media_col]
+                if m is None or m["payload"] is None:
+                    continue
+                payload = bytes(m["payload"])
+                if payload[:9] != b"YUV4MPEG2":
+                    if strict_flag:
+                        raise ValueError(
+                            "video_scene_changes: compressed/unknown "
+                            "container (no ffmpeg in this "
+                            "environment) — strict mode refuses")
+                    continue
+                _, _, _num, _den, yframes = _parse_y4m(payload)
+                prev = None
+                for j, y in enumerate(yframes):
+                    cur = np.frombuffer(y, dtype=np.uint8) \
+                        .astype(np.int64)
+                    if prev is not None:
+                        sad = int(np.abs(cur - prev).sum())
+                        row = {f.name: r[f.name] for f in base}
+                        row["frame_idx"] = j
+                        row["sad"] = sad
+                        row["is_cut"] = sad > threshold
+                        rows.append(row)
+                    prev = cur
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields]) \
+                if rows else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object")
+                     for f in out_schema.fields})
+
+    return df.mapInPandas(run, out_schema)
+
+
 def resample_audio(df: DataFrame, media_col: str = "media",
                    target_rate: int = 16_000,
                    strict: bool | None = None) -> DataFrame:

@@ -638,6 +638,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_crawl_curation_v11",     # crawl-curation capstone
     "rel_stats_aggregate",       # metadata-only aggregates
     "rel_update_mor",            # merge-on-read UPDATE
+    "ds_video_scenes",           # shot-boundary detection (SAD)
     # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
@@ -685,7 +686,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_semantic_clusters",
     "ds_semdedup",
     "ds_sequence_pack",
-    "ds_span_removal",
 ]
 
 _R10_WINDOW_RETIRED = [
@@ -7046,6 +7046,69 @@ def ds_y4m_codec_gate(spark, sf_dir):
         # a corpus slice missing a code%16 residue agrees on rowcount
         .where(F.col("n_bytes") > 0)
     )
+
+
+@register(
+    "ds_video_scenes",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', 'x', 'g'), 1, 32) AS s
+      FROM documents
+      WHERE length(text) >= 32
+    ), d AS (
+      SELECT doc_id,
+             CAST(sum(abs(unicode(substr(s, CAST(i AS INT), 1))
+                      - unicode(substr(s, CAST(i + 16 AS INT), 1))))
+                  AS BIGINT) AS sad_2
+      FROM b, range(1, 17) t(i)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS sad_1, sad_2,
+           CAST(CASE WHEN sad_2 > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_cuts
+    FROM d
+    """,
+)
+def ds_video_scenes(spark, sf_dir):
+    """Shot-boundary detection under the value hash
+    (multimodal.video_scene_changes — the temporal video-curation
+    step between decode and sampling: keep one frame per SHOT, drop
+    static screen recordings): each document's 32 ASCII-projected
+    chars become a genuine THREE-frame 4×4 YUV4MPEG2 stream (frame A,
+    frame A again, frame B from the next 16 chars), the strict-mode
+    parser walks it, and the per-transition integer SAD of Y planes
+    is hashed — the A→A transition must read EXACTLY zero (a parser
+    that misaligned a plane boundary bleeds chroma into luma and
+    shifts it) and the A→B SAD must equal the oracle's
+    character-code arithmetic.  is_cut at threshold 0 pins the flag
+    logic.  Zero shuffle until the per-doc rollup; frames never
+    leave their task."""
+    from ..functions import multimodal as mm
+
+    ascii_text = F.regexp_replace("text", "[^ -~]", "x")
+    header = b"YUV4MPEG2 W4 H4 F25:1 Ip A0:0 C420\n"
+    uv = bytes([128] * 8)
+    a = F.encode(F.substring(ascii_text, 1, 16), "UTF-8")
+    b = F.encode(F.substring(ascii_text, 17, 16), "UTF-8")
+    payload = F.concat(
+        F.lit(header),
+        F.lit(b"FRAME\n"), a, F.lit(uv),
+        F.lit(b"FRAME\n"), a, F.lit(uv),
+        F.lit(b"FRAME\n"), b, F.lit(uv))
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.length("text") >= 32)
+         .select("doc_id", payload.alias("_payload")))
+    media = mm.attach_meta(d, "_payload", "video/x-yuv4mpeg") \
+        .drop("_payload")
+    tr = mm.video_scene_changes(media, threshold=0, strict=True)
+    return (tr.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("frame_idx") == 1, F.col("sad")))
+        .cast("long").alias("sad_1"),
+        F.sum(F.when(F.col("frame_idx") == 2, F.col("sad")))
+        .cast("long").alias("sad_2"),
+        F.sum(F.col("is_cut").cast("long")).cast("long")
+        .alias("n_cuts")))
 
 
 @register(

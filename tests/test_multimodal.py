@@ -1349,3 +1349,45 @@ class TestTiffCodec:
             _decode_tiff(bytes(p), 4, 4)
         with _pt.raises(ValueError, match="TIFF"):
             _decode_tiff(b"nope", 4, 4)
+
+
+class TestVideoSceneChanges:
+    """Shot-boundary detection (r11): integer SAD per consecutive Y
+    plane pair, one mapInPandas pass, codec contract on compressed."""
+
+    def _y4m(self, w, h, yframes, fps="25:1"):
+        csz = (w // 2) * (h // 2)
+        out = f"YUV4MPEG2 W{w} H{h} F{fps} Ip A0:0 C420\n".encode()
+        for y in yframes:
+            out += b"FRAME\n" + y + bytes([128] * (2 * csz))
+        return out
+
+    def test_hand_computed_sads_and_cuts(self, spark):
+        f0 = bytes(range(16))
+        f1 = bytes(range(16))                     # identical: SAD 0
+        f2 = bytes(range(100, 116))               # SAD = 16*100
+        p = self._y4m(4, 4, [f0, f1, f2])
+        df = spark.createDataFrame([(1, bytearray(p))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "video/x-yuv4mpeg")
+        rows = (mm.video_scene_changes(media, threshold=100,
+                                       strict=True)
+                .orderBy("frame_idx").collect())
+        assert [(r["frame_idx"], r["sad"], r["is_cut"])
+                for r in rows] == [(1, 0, False), (2, 1600, True)]
+
+    def test_single_frame_emits_nothing(self, spark):
+        p = self._y4m(4, 4, [bytes(16)])
+        df = spark.createDataFrame([(1, bytearray(p))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "video/x-yuv4mpeg")
+        assert mm.video_scene_changes(media, strict=True).count() == 0
+
+    def test_compressed_contract(self, spark):
+        df = spark.createDataFrame([(1, bytearray(b"\x00fakemp4"))],
+                                   "doc_id bigint, raw binary")
+        media = mm.attach_meta(df, "raw", "video/mp4")
+        # lenient: emits nothing (no meaningful fake SAD exists)
+        assert mm.video_scene_changes(media, strict=False).count() == 0
+        with pytest.raises(Exception, match="strict"):
+            mm.video_scene_changes(media, strict=True).collect()

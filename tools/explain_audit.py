@@ -472,6 +472,9 @@ EXPECTATIONS: dict[str, dict] = {
     # feed, mor head incl. DV anti-join, cow head, report literals)
     # broadcast-stitched; lifecycles committed eagerly.
     "rel_update_mor": dict(max_exchanges=8, min_broadcasts=3),
+    # r11 shot-boundary detection: the frame-transition flatMap never
+    # shuffles; one doc-keyed rollup exchange on top.
+    "ds_video_scenes": dict(max_exchanges=1, scan_filter=True),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
