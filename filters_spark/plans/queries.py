@@ -639,6 +639,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_stats_aggregate",       # metadata-only aggregates
     "rel_update_mor",            # merge-on-read UPDATE
     "ds_video_scenes",           # shot-boundary detection (SAD)
+    "rel_stats_ndv",             # NDV sketch sidecars (Puffin)
     # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
@@ -685,7 +686,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_random_projection",
     "ds_semantic_clusters",
     "ds_semdedup",
-    "ds_sequence_pack",
 ]
 
 _R10_WINDOW_RETIRED = [
@@ -15054,6 +15054,135 @@ def rel_stats_aggregate(spark, sf_dir):
                     F.col("k_max").cast("long").alias("k_max"),
                     "cents_min", "cents_max", "n_in_range",
                     "scan_nodes"))
+
+
+@register(
+    "rel_stats_ndv",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey % 16 AS BIGINT) AS low
+      FROM orders
+    ), pk AS (
+      SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 2))::BIGINT
+               AS b,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 3, 15))::BIGINT
+               AS sfx
+      FROM base
+    ), rk AS (
+      SELECT b, max(CASE WHEN sfx = 0 THEN 61
+                         ELSE 61 - length(bin(sfx)) END) AS mr
+      FROM pk GROUP BY b
+    ), ek AS (
+      SELECT count(*) AS nz,
+             coalesce(sum(CAST(1::BIGINT << (61 - mr)
+                               AS DECIMAL(38,0))),
+                      0::DECIMAL(38,0)) AS num,
+             CAST(coalesce(sum((b + 1) * mr), 0) AS BIGINT) AS chk
+      FROM rk
+    ), ck AS (
+      SELECT chk, (256 - nz) AS zeros,
+             1.0854228543761655e+23
+               / CAST((256 - nz)::DECIMAL(38,0)
+                      * CAST(1::BIGINT << 61 AS DECIMAL(38,0)) + num
+                      AS DOUBLE) AS raw
+      FROM ek
+    ), fk AS (
+      SELECT chk, CASE WHEN zeros > 0 AND raw <= 640.0
+                       THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+      FROM ck
+    ), pl AS (
+      SELECT ('0x' || substr(md5(CAST(low AS VARCHAR)), 1, 2))::BIGINT
+               AS b,
+             ('0x' || substr(md5(CAST(low AS VARCHAR)), 3, 15))::BIGINT
+               AS sfx
+      FROM base
+    ), rl AS (
+      SELECT b, max(CASE WHEN sfx = 0 THEN 61
+                         ELSE 61 - length(bin(sfx)) END) AS mr
+      FROM pl GROUP BY b
+    ), el AS (
+      SELECT count(*) AS nz,
+             coalesce(sum(CAST(1::BIGINT << (61 - mr)
+                               AS DECIMAL(38,0))),
+                      0::DECIMAL(38,0)) AS num,
+             CAST(coalesce(sum((b + 1) * mr), 0) AS BIGINT) AS chk
+      FROM rl
+    ), cl AS (
+      SELECT chk, (256 - nz) AS zeros,
+             1.0854228543761655e+23
+               / CAST((256 - nz)::DECIMAL(38,0)
+                      * CAST(1::BIGINT << 61 AS DECIMAL(38,0)) + num
+                      AS DOUBLE) AS raw
+      FROM el
+    ), fl AS (
+      SELECT chk, CASE WHEN zeros > 0 AND raw <= 640.0
+                       THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+      FROM cl
+    ), ex AS (
+      SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_k,
+             CAST(count(DISTINCT low) AS BIGINT) AS exact_low
+      FROM base
+    )
+    SELECT round(fk.e, 2) AS ndv_k, round(fl.e, 2) AS ndv_low,
+           fk.chk AS checksum_k, fl.chk AS checksum_low,
+           ex.exact_k, ex.exact_low
+    FROM fk, fl, ex
+    """,
+)
+def rel_stats_ndv(spark, sf_dir):
+    """METADATA-ONLY approximate distinct counts
+    (sources.versioned NDV sketch sidecars — Iceberg Puffin's shape
+    on the engine's own 256-bucket md5 HLL): orders commit with
+    per-file HyperLogLog registers recorded at write time, and
+    ``stats_aggregate(('approx_ndv', ...))`` answers from the
+    sidecar with zero data tasks — register max-merge across files
+    IS the whole-table sketch (max is associative), which is exactly
+    what the oracle replays from raw values (the
+    prof_hll_calibration SQL machinery).  Two columns pin both
+    estimator branches: the high-cardinality key exercises the raw
+    harmonic estimate (one IEEE division of exact integers), the
+    16-value projection exercises linear counting (ln rounded 2dp —
+    the idf discipline).  Integer register CHECKSUMS
+    (Σ (bucket+1)·max_rho, computed from the MERGED sidecar
+    registers driver-side) pin every register exactly beside the
+    rounded estimates; exact distinct counts ride along for
+    calibration context.  Pre-seeded-register carry on reuse commits
+    and the strict/fallback contract are pytest-pinned
+    (TestStatsAggregate / TestNdvSidecars)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 16).cast("bigint").alias("low"))
+    path = tempfile.mkdtemp(prefix="fs_ndv_") + "/t"
+    V.write_versioned(base.repartitionByRange(8, "k"), path,
+                      ndv_cols=["k", "low"])
+    res = V.stats_aggregate(spark, path, [
+        ("approx_ndv", "k", "ndv_k"),
+        ("approx_ndv", "low", "ndv_low")])
+    m = V._read_manifest(path, 1)
+    regs = V._root_ndv(path, m)
+
+    def checksum(col: str) -> int:
+        merged: dict = {}
+        for f, per in regs.items():
+            for b, r in (per.get(col) or {}).items():
+                if merged.get(b, -1) < r:
+                    merged[b] = r
+        return sum((int(b) + 1) * int(r) for b, r in merged.items())
+
+    exact = base.agg(
+        F.countDistinct("k").cast("long").alias("exact_k"),
+        F.countDistinct("low").cast("long").alias("exact_low"))
+    return (res.select(F.round("ndv_k", 2).alias("ndv_k"),
+                       F.round("ndv_low", 2).alias("ndv_low"))
+            .withColumn("checksum_k",
+                        F.lit(checksum("k")).cast("long"))
+            .withColumn("checksum_low",
+                        F.lit(checksum("low")).cast("long"))
+            .crossJoin(F.broadcast(exact)))
 
 
 _WARC_STRIP_SQL = r"""

@@ -506,6 +506,85 @@ def bloom_prune_files(manifest: dict, where, files: list) -> list:
     return kept
 
 
+# --- NDV sketch sidecars (approximate distinct counts) ---------------------
+#
+# Iceberg's Puffin shape: per-file HyperLogLog registers recorded at
+# commit time let stats_aggregate answer approx-NDV questions from
+# metadata alone — register max-merge across files IS the whole-table
+# sketch (max is associative), so the merged estimate equals what
+# sketch.hll_table over the full scan would produce, replayable in
+# SQL (the prof_hll_calibration machinery).
+
+def _file_ndv(path: str, files: list[str], cols: list[str],
+              schema: T.StructType, spark: SparkSession) -> dict:
+    """Per-file HLL registers for ``cols`` over TABLE-ROOT-relative
+    files: one job per column, collect bounded by files × 256
+    buckets (the bloom-sidecar contract)."""
+    from ..functions.sketch import _hll_parts
+
+    if not files:
+        return {}
+    out: dict = {f: {} for f in files}
+    abs_paths = [os.path.join(path, f) for f in files]
+    for col in cols:
+        bucket, rho = _hll_parts(F.col(col))
+        rows = (spark.read.schema(schema).parquet(*abs_paths)
+                .where(F.col(col).isNotNull())
+                .select(F.input_file_name().alias("_uri"),
+                        bucket.alias("b"), rho.alias("r"))
+                .groupBy("_uri", "b").agg(F.max("r").alias("mr"))
+                .collect())                 # bounded: files × 256
+        regs: dict = {}
+        for r in rows:
+            regs.setdefault(_rel_uri(path, r["_uri"]), {})[
+                str(int(r["b"]))] = int(r["mr"])
+        for f in files:
+            out[f][col] = regs.get(f, {})
+    return out
+
+
+def load_file_ndv(manifest: dict) -> dict | None:
+    """Per-file NDV registers, resolving the lazy ``ndv_file``
+    sidecar (mirrors :func:`load_file_blooms`)."""
+    ndv = manifest.get("file_ndv")
+    if ndv is None and manifest.get("ndv_file") \
+            and manifest.get("_manifest_dir"):
+        try:
+            with open(os.path.join(manifest["_manifest_dir"],
+                                   manifest["ndv_file"])) as fh:
+                ndv = json.load(fh)
+        except FileNotFoundError:
+            return None
+        manifest["file_ndv"] = ndv
+    return ndv
+
+
+def _root_ndv(path: str, manifest: dict) -> dict:
+    ndv = load_file_ndv(manifest) or {}
+    if manifest.get("data_files") is not None:
+        return dict(ndv)
+    v = manifest["version"]
+    return {f"snap/v={v}/{k}": s for k, s in ndv.items()}
+
+
+def _hll_estimate_py(regs: dict) -> float:
+    """EXACTLY sketch.hll_estimate's arithmetic in driver Python:
+    exact integer harmonic sum, one double division, linear counting
+    under the small-range condition."""
+    import math
+
+    from ..functions.sketch import HLL_ALPHA_M2, HLL_M
+
+    nz = len(regs)
+    zeros = HLL_M - nz
+    num = sum(1 << (61 - int(r)) for r in regs.values())
+    d = zeros * (1 << 61) + num
+    raw = (HLL_ALPHA_M2 * 2.0 ** 61) / float(d)
+    if zeros > 0 and raw <= 2.5 * HLL_M:
+        return float(HLL_M) * math.log(HLL_M / float(zeros))
+    return raw
+
+
 class StatsInsufficient(RuntimeError):
     """stats_aggregate cannot prove the answer from metadata alone
     (and was called strict)."""
@@ -571,6 +650,12 @@ def stats_aggregate(spark: SparkSession, path: str,
             if fn == "count":
                 exprs.append(F.count(F.lit(1)).cast("long")
                              .alias(alias))
+            elif fn == "approx_ndv":
+                # the scan-path stand-in is EXACT distinct (a strict
+                # superset answer; Spark's own HLL++ would estimate
+                # with a different sketch than the sidecars)
+                exprs.append(F.countDistinct(col).cast("double")
+                             .alias(alias))
             else:
                 exprs.append(getattr(F, fn)(col).alias(alias))
         return df.agg(*exprs)
@@ -582,15 +667,18 @@ def stats_aggregate(spark: SparkSession, path: str,
                 f"versioned table {path!r} has no snapshots")
     m = _read_manifest(path, version)
     for fn, col, _alias in aggs:
-        if fn not in ("count", "min", "max"):
+        if fn not in ("count", "min", "max", "approx_ndv"):
             raise ValueError(
-                f"stats_aggregate: fn must be count|min|max, got "
-                f"{fn!r}")
+                f"stats_aggregate: fn must be count|min|max|"
+                f"approx_ndv, got {fn!r}")
         if fn == "count" and col is not None:
             raise ValueError(
                 "stats_aggregate: count is COUNT(*) — col must be "
                 "None (count(col) needs per-column null semantics "
                 "the scan path serves)")
+        if fn == "approx_ndv" and col is None:
+            raise ValueError("stats_aggregate: approx_ndv needs a "
+                             "column")
     if m.get("dv_dirs"):
         return _fallback("table has live delete vectors (a deleted "
                          "row may be the extreme; counts need the "
@@ -639,9 +727,26 @@ def stats_aggregate(spark: SparkSession, path: str,
             count_files.append(f)            # fully contained
     else:
         count_files = files
+    ndv_regs = None
     row: dict = {}
     out_fields: list[T.StructField] = []
     for fn, col, alias in aggs:
+        if fn == "approx_ndv":
+            if ndv_regs is None:
+                ndv_regs = _root_ndv(path, m)
+            merged: dict = {}
+            for f in files:
+                regs = (ndv_regs.get(f) or {}).get(col)
+                if regs is None:
+                    return _fallback(
+                        f"file {f!r} has no NDV registers for "
+                        f"{col!r} (commit with ndv_cols=[{col!r}])")
+                for b, r in regs.items():
+                    if merged.get(b, -1) < r:
+                        merged[b] = r
+            row[alias] = _hll_estimate_py(merged) if files else 0.0
+            out_fields.append(T.StructField(alias, T.DoubleType()))
+            continue
         if fn == "count":
             total = 0
             for f in count_files:
@@ -776,7 +881,9 @@ def write_versioned(df: DataFrame, path: str,
                     reuse_blooms: dict | None = None,
                     dv_df: DataFrame | None = None,
                     dv_key: str | None = None,
-                    dv_dirs: list[int] | None = None) -> int:
+                    dv_dirs: list[int] | None = None,
+                    ndv_cols: list[str] | None = None,
+                    reuse_ndv: dict | None = None) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``expected_parent`` is optimistic concurrency control: pass the
@@ -842,6 +949,17 @@ def write_versioned(df: DataFrame, path: str,
     Size ``bloom_bits`` ≈ 10× the rows per file for ~1% false
     positives at 4 hashes; false positives only cost a read, never
     correctness.
+
+    ``ndv_cols`` records per-file HyperLogLog REGISTERS (256-bucket
+    md5 sketch, the engine's ``sketch.hll_table`` convention) in a
+    lazy sidecar — Iceberg Puffin's shape: register max-merge across
+    files IS the whole-table sketch, so
+    ``stats_aggregate(('approx_ndv', col, ...))`` answers
+    distinct-count questions from metadata alone.  Config is a table
+    property like blooms (inherits from the parent;
+    ``ndv_cols=[]`` disarms); file-reuse commits carry register
+    entries for carried files (``reuse_ndv`` overrides); costs one
+    bounded job per column over the NEW files.
 
     DELETE VECTORS (merge-on-read): ``dv_df`` — a ``(_file string,
     <dv_key>)`` frame of per-file deleted keys — is written as this
@@ -989,6 +1107,38 @@ def write_versioned(df: DataFrame, path: str,
             manifest["bloom_cols"] = list(bloom_cols)
             manifest["bloom_bits"] = bloom_bits
             manifest["bloom_hashes"] = bloom_hashes
+        # NDV config inherits from the parent manifest like blooms
+        # (ndv_cols=[] explicitly disarms).
+        if ndv_cols is None and parent is not None:
+            try:
+                pm_ndv = _read_manifest(path, parent)
+            except ValueError:
+                pm_ndv = {}
+            ndv_cols = pm_ndv.get("ndv_cols")
+            if reuse_files is not None and reuse_ndv is None \
+                    and ndv_cols:
+                reuse_ndv = _root_ndv(path, pm_ndv)
+        if ndv_cols:
+            if reuse_files is not None:
+                new_keys = [f"snap/v={version}/{f}" for f in new_files]
+                ndv = _file_ndv(path, new_keys, list(ndv_cols),
+                                df.schema, df.sparkSession)
+                for f in reuse_files:
+                    ndv[f] = (reuse_ndv or {}).get(
+                        f, {c: None for c in ndv_cols})
+            else:
+                nk = [f"snap/v={version}/{f}" for f in new_files]
+                ndv = {k.split("/", 2)[-1]: v for k, v in _file_ndv(
+                    path, nk, list(ndv_cols), df.schema,
+                    df.sparkSession).items()}
+            nsidecar = f"{version}.ndv.json"
+            ntmp = os.path.join(_manifest_dir(path), nsidecar + ".tmp")
+            with open(ntmp, "w") as fh:
+                json.dump(ndv, fh)
+            os.replace(ntmp,
+                       os.path.join(_manifest_dir(path), nsidecar))
+            manifest["ndv_file"] = nsidecar
+            manifest["ndv_cols"] = list(ndv_cols)
         # --- delete vectors (merge-on-read) --------------------------
         if dv_dirs is None and reuse_files is not None \
                 and parent is not None:

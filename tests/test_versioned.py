@@ -2340,6 +2340,62 @@ class TestStatsAggregate:
         assert r["dmax"] == datetime.date(2024, 10, 26)
 
 
+class TestNdvSidecars:
+    """Per-file HLL register sidecars (Puffin's shape): metadata
+    approx-NDV == the whole-table sketch, carried on reuse commits."""
+
+    def test_merge_equals_whole_table_sketch(self, spark, tmp_path):
+        from filters_spark.functions import sketch
+        t = str(tmp_path / "t")
+        df = spark.range(0, 20000).select(
+            F.col("id").alias("k"), (F.col("id") % 16).alias("low"))
+        V.write_versioned(df.repartitionByRange(8, "k"), t,
+                          ndv_cols=["k", "low"])
+        res = V.stats_aggregate(spark, t, [
+            ("approx_ndv", "k", "nk"), ("approx_ndv", "low", "nl")])
+        assert "FileScan" not in \
+            res._jdf.queryExecution().executedPlan().toString()
+        [r] = res.collect()
+        ek = sketch.hll_estimate(sketch.hll_table(df, "k")) \
+            .collect()[0]["est_distinct"]
+        el = sketch.hll_estimate(sketch.hll_table(df, "low")) \
+            .collect()[0]["est_distinct"]
+        assert abs(r["nk"] - ek) < 1e-9
+        assert abs(r["nl"] - el) < 1e-6
+        # sanity: the estimates are actually in calibration range
+        assert 0.7 * 20000 < r["nk"] < 1.3 * 20000
+        assert r["nl"] == el and abs(el - 16) < 4
+
+    def test_reuse_carries_registers_and_config(self, spark,
+                                                tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") % 16).alias("low"))
+        V.write_versioned(df.repartitionByRange(4, "k"), t,
+                          ndv_cols=["low"])
+        V.merge_versioned(spark, t, spark.createDataFrame(
+            [(90000, 99)], "k bigint, low bigint"), "k",
+            file_reuse=True)
+        m = V._read_manifest(t, 2)
+        assert m.get("ndv_cols") == ["low"]
+        [r] = V.stats_aggregate(
+            spark, t, [("approx_ndv", "low", "nl")]).collect()
+        # 17 distinct low values now (16 + the planted 99): linear
+        # counting tracks closely at this cardinality
+        assert 13 < r["nl"] < 21
+
+    def test_strict_refuses_without_registers(self, spark, tmp_path):
+        import pytest
+        t = str(tmp_path / "t")
+        V.write_versioned(
+            spark.range(100).select(F.col("id").alias("k")), t)
+        with pytest.raises(V.StatsInsufficient, match="registers"):
+            V.stats_aggregate(spark, t, [("approx_ndv", "k", "x")])
+        [r] = V.stats_aggregate(spark, t, [("approx_ndv", "k", "x")],
+                                strict=False).collect()
+        assert r["x"] == 100.0               # exact-scan stand-in
+
+
 class TestMaintainScd2:
     """Incremental SCD2 maintenance (r10 VERDICT #3): bounded
     cursor-driven calls into a stored versioned dimension ≡ the

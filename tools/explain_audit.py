@@ -475,6 +475,10 @@ EXPECTATIONS: dict[str, dict] = {
     # r11 shot-boundary detection: the frame-transition flatMap never
     # shuffles; one doc-keyed rollup exchange on top.
     "ds_video_scenes": dict(max_exchanges=1, scan_filter=True),
+    # r11 NDV sidecars: the metadata estimates + register checksums
+    # are literals; one countDistinct calibration agg (its expand
+    # adds an exchange) broadcast-stitched.
+    "rel_stats_ndv": dict(max_exchanges=2, min_broadcasts=1),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
