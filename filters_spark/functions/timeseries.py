@@ -126,6 +126,89 @@ def gapfill(df: DataFrame, key: str, ts_col: str, step: str,
     return joined
 
 
+def window_funnel(df: DataFrame, user_col: str, ts_col: str,
+                  steps: list[Column], window: str | None = None
+                  ) -> DataFrame:
+    """FUNNEL analysis (ClickHouse ``windowFunnel``'s semantics): per
+    user, the FURTHEST level of an ordered condition chain — events
+    walk in timestamp order, step j counts only on an event AFTER one
+    that completed steps 1..j-1, and with ``window`` every chain
+    event must fall within that duration of the step-1 event
+    ANCHORING its chain (every step-1 event opens a fresh anchor; the
+    user's level is the best over all anchors).
+
+    Returns ``(user_col, funnel_level int)`` — 0 rows never appear
+    (users with no step-matching events are absent; left-join and
+    coalesce to 0 for a population denominator).  Conversion tables
+    are one ``groupBy(funnel_level)`` away.
+
+    The classic O(n·k) DP with O(k) state: slot j holds the LATEST
+    anchor time of any chain that has reached level j.  An event
+    matching step j>1 promotes ``anchor[j] = max(anchor[j],
+    anchor[j-1])`` when the anchor is within the window; a step-1
+    match refreshes ``anchor[1]``.  All levels read the PRE-event
+    state, so one event never satisfies two consecutive steps of the
+    same chain; equal-timestamp events chain in their sorted order
+    (ties broken by the struct sort — give events distinct
+    timestamps for fully partition-invariant results).  Slots fill
+    prefix-first, so the level is the non-null count.
+
+    Scale shape: ONE user-keyed shuffle — events filter to
+    step-matching rows (the dominant reduction on real logs), fold
+    to a per-user sorted (ts, bitmask) array, and the DP runs as an
+    ``aggregate`` HOF over the array.  Per-user arrays are
+    session-sized (the sessionize contract)."""
+    if not steps:
+        raise ValueError("window_funnel: steps must be non-empty")
+    k = len(steps)
+    win_us = None
+    if window is not None:
+        n, unit = _step_parts(window)
+        mult = {"minute": 60, "hour": 3600, "day": 86400,
+                "week": 604800}.get(unit)
+        if mult is None:
+            raise ValueError(
+                f"window_funnel: window unit {unit!r} is not a fixed "
+                "duration (months vary); use minute/hour/day/week")
+        win_us = n * mult * 1_000_000
+    mask = None
+    for i, c in enumerate(steps):
+        bit = F.when(F.coalesce(c, F.lit(False)), F.lit(1 << i)) \
+            .otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    ev = (df.select(F.col(user_col),
+                    F.unix_micros(F.col(ts_col)).alias("_us"),
+                    mask.cast("int").alias("_m"))
+          .where(F.col("_m") > 0)
+          .groupBy(user_col)
+          .agg(F.array_sort(F.collect_list(
+              F.struct(F.col("_us"), F.col("_m")))).alias("_ev")))
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+
+    def step_fn(acc, e):
+        slots = []
+        for j in range(1, k + 1):
+            cur = F.element_at(acc, j)
+            hit = e["_m"].bitwiseAND(F.lit(1 << (j - 1))) != 0
+            if j == 1:
+                slots.append(F.when(hit, F.greatest(cur, e["_us"]))
+                             .otherwise(cur))
+                continue
+            prev = F.element_at(acc, j - 1)
+            ok = hit & prev.isNotNull()
+            if win_us is not None:
+                ok = ok & ((e["_us"] - prev) <= F.lit(win_us))
+            slots.append(F.when(ok, F.greatest(cur, prev))
+                         .otherwise(cur))
+        return F.array(*slots)
+
+    final = F.aggregate(F.col("_ev"), init, step_fn)
+    return ev.select(
+        F.col(user_col),
+        F.size(F.filter(final, lambda x: x.isNotNull()))
+        .cast("int").alias("funnel_level"))
+
+
 def maintain_continuous_rollup(spark, src_path: str, dst_path: str,
                                key: str, ts_col: str, step: str,
                                aggs: list[tuple[str, str, str]],

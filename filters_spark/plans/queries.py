@@ -640,6 +640,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_update_mor",            # merge-on-read UPDATE
     "ds_video_scenes",           # shot-boundary detection (SAD)
     "rel_stats_ndv",             # NDV sketch sidecars (Puffin)
+    "rel_window_funnel",         # windowFunnel conversion analysis
     # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
@@ -685,7 +686,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_quality_pipeline",
     "ds_random_projection",
     "ds_semantic_clusters",
-    "ds_semdedup",
 ]
 
 _R10_WINDOW_RETIRED = [
@@ -15054,6 +15054,84 @@ def rel_stats_aggregate(spark, sf_dir):
                     F.col("k_max").cast("long").alias("k_max"),
                     "cents_min", "cents_max", "n_in_range",
                     "scan_nodes"))
+
+
+@register(
+    "rel_window_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT o_custkey AS u,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) * 86400 + o_orderkey % 1000 AS ts,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), s AS (
+      SELECT u, ts,
+             (cents < 10000000) AS c1,
+             (cents >= 10000000 AND cents < 20000000) AS c2,
+             (cents >= 20000000) AS c3
+      FROM e
+    ), r1 AS (
+      SELECT DISTINCT u FROM s WHERE c1
+    ), r2 AS (
+      SELECT DISTINCT a.u
+      FROM s a JOIN s b ON b.u = a.u
+      WHERE a.c1 AND b.c2 AND b.ts > a.ts
+        AND b.ts - a.ts <= 34560000
+    ), r3 AS (
+      SELECT DISTINCT a.u
+      FROM s a JOIN s b ON b.u = a.u JOIN s c ON c.u = a.u
+      WHERE a.c1 AND b.c2 AND c.c3
+        AND b.ts > a.ts AND c.ts > b.ts
+        AND c.ts - a.ts <= 34560000
+    ), lvl AS (
+      SELECT u, CASE WHEN u IN (SELECT u FROM r3) THEN 3
+                     WHEN u IN (SELECT u FROM r2) THEN 2
+                     WHEN u IN (SELECT u FROM r1) THEN 1
+                     ELSE 0 END AS funnel_level
+      FROM (SELECT DISTINCT u FROM s)
+    )
+    SELECT CAST(funnel_level AS INT) AS funnel_level,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(u) AS BIGINT) AS user_sum
+    FROM lvl GROUP BY 1
+    """,
+)
+def rel_window_funnel(spark, sf_dir):
+    """FUNNEL analysis under the value hash
+    (timeseries.window_funnel — ClickHouse windowFunnel's semantics
+    as one user-keyed fold + an O(n·k) DP with O(k) state run as an
+    aggregate HOF, not a per-anchor self-join): customers walk a
+    small→medium→large order-value chain where every chain order
+    must land within 400 days of the SMALL order anchoring it;
+    timestamps are made DISTINCT per order (date seconds + a key
+    residue — the partition-invariance condition) so the oracle's
+    EXISTS-join formulation (∃ e1<e2<e3 with the conditions, e3
+    within the window of e1 — semantically the same "exists a
+    chain" question the DP answers with its latest-anchor
+    dominance argument) replays it exactly.  Per-level user counts
+    and id sums hashed; conversion = one groupBy away.  Re-anchor,
+    window-expiry, same-event, and orderless cases are
+    pytest-pinned (TestWindowFunnel)."""
+    from ..functions.timeseries import window_funnel
+
+    e = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("u"),
+        F.timestamp_seconds(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("long") * 86400
+            + F.col("o_orderkey") % 1000).alias("ts"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    out = window_funnel(
+        e, "u", "ts",
+        [F.col("cents") < 10_000_000,
+         (F.col("cents") >= 10_000_000) & (F.col("cents") < 20_000_000),
+         F.col("cents") >= 20_000_000],
+        window="400 day")
+    return out.groupBy("funnel_level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("u").cast("long").alias("user_sum"))
 
 
 @register(

@@ -239,3 +239,63 @@ class TestRollupNullGroups:
         assert len(rows) == 2
         got = {(r["g1"], r["g2"]): r["v_sum"] for r in rows}
         assert got == {(None, "z"): 10, ("z", None): 20}
+
+
+class TestWindowFunnel:
+    """windowFunnel DP (r11): ordered chains, window-from-anchor,
+    re-anchoring, same-event non-chaining."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "u bigint, ts timestamp, e string")
+
+    def _run(self, spark, rows, window="10 hour"):
+        df = self._df(spark, rows)
+        out = ts.window_funnel(
+            df, "u", "ts",
+            [F.col("e").contains("a"), F.col("e").contains("b"),
+             F.col("e").contains("c")], window=window)
+        return {r["u"]: r["funnel_level"] for r in out.collect()}
+
+    def test_hand_cases(self, spark):
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def T(h):
+            return t0 + datetime.timedelta(hours=h)
+        rows = [
+            (1, T(0), "a"), (1, T(1), "b"), (1, T(2), "c"),   # full
+            (2, T(1), "b"), (2, T(3), "a"),                   # order!
+            (3, T(0), "a"), (3, T(1), "b"), (3, T(50), "c"),  # expiry
+            # stale anchor, fresh re-anchor completes
+            (4, T(0), "a"), (4, T(40), "a"), (4, T(41), "b"),
+            (4, T(42), "c"),
+            (5, T(0), "z"),                                   # absent
+            (6, T(0), "ab"),        # one event can't chain itself
+            (7, T(0), "a"), (7, T(1), "bc"),                  # 2 max
+            (8, T(0), "b"),         # events but no step-1 -> level 0
+        ]
+        got = self._run(spark, rows)
+        assert got == {1: 3, 2: 1, 3: 2, 4: 3, 6: 1, 7: 2, 8: 0}
+
+    def test_no_window_and_partition_invariance(self, spark):
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def T(h):
+            return t0 + datetime.timedelta(hours=h)
+        rows = [(3, T(0), "a"), (3, T(1), "b"), (3, T(5000), "c")]
+        got = self._run(spark, rows, window=None)
+        assert got == {3: 3}
+        df = self._df(spark, rows).repartition(13)
+        out = ts.window_funnel(
+            df, "u", "ts",
+            [F.col("e").contains("a"), F.col("e").contains("b"),
+             F.col("e").contains("c")])
+        assert {r["u"]: r["funnel_level"]
+                for r in out.collect()} == {3: 3}
+
+    def test_guards(self, spark):
+        df = self._df(spark, [])
+        with pytest.raises(ValueError, match="non-empty"):
+            ts.window_funnel(df, "u", "ts", [])
+        with pytest.raises(ValueError, match="fixed"):
+            ts.window_funnel(df, "u", "ts", [F.lit(True)],
+                             window="1 month")

@@ -479,6 +479,11 @@ EXPECTATIONS: dict[str, dict] = {
     # are literals; one countDistinct calibration agg (its expand
     # adds an exchange) broadcast-stitched.
     "rel_stats_ndv": dict(max_exchanges=2, min_broadcasts=1),
+    # r11 windowFunnel: ONE user-keyed fold (events filter+collect)
+    # + the level rollup — the DP runs inside the aggregate HOF; the
+    # step filter is a derived-bitmask predicate (not scan-pushable,
+    # and every order matches some band in this gate anyway).
+    "rel_window_funnel": dict(max_exchanges=2),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
