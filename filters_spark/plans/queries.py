@@ -685,7 +685,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_pps_sample",
     "ds_quality_pipeline",
     "ds_random_projection",
-    "ds_semantic_clusters",
 ]
 
 _R10_WINDOW_RETIRED = [
