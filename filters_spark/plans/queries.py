@@ -641,6 +641,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_video_scenes",           # shot-boundary detection (SAD)
     "rel_stats_ndv",             # NDV sketch sidecars (Puffin)
     "rel_window_funnel",         # windowFunnel conversion analysis
+    "rel_stats_quantiles",       # HDR quantile sidecars
     # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
@@ -684,7 +685,6 @@ DRIVER_WINDOW: list[str] = [
     "ds_pii_rollup",
     "ds_pps_sample",
     "ds_quality_pipeline",
-    "ds_random_projection",
 ]
 
 _R10_WINDOW_RETIRED = [
@@ -15053,6 +15053,75 @@ def rel_stats_aggregate(spark, sf_dir):
                     F.col("k_max").cast("long").alias("k_max"),
                     "cents_min", "cents_max", "n_in_range",
                     "scan_nodes"))
+
+
+@register(
+    "rel_stats_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ), b AS (
+      SELECT greatest(length(bin(v)) - 4, 0) AS sh, v FROM v
+    ), buck AS (
+      SELECT sh, v >> sh AS top, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2
+    ), lbs AS (
+      SELECT (top << sh) AS lb, n FROM buck
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM lbs),
+    cum AS (
+      SELECT lb, CAST(sum(n) OVER (ORDER BY lb) AS BIGINT) AS c
+      FROM lbs
+    ),
+    qs(q_num, q_den) AS (VALUES (1,2),(9,10),(99,100)),
+    est AS (
+      SELECT q_num, q_den,
+             min(CASE WHEN c >= (q_num*nn + q_den - 1)//q_den
+                      THEN lb END) AS est
+      FROM cum CROSS JOIN tot CROSS JOIN qs GROUP BY 1, 2
+    )
+    SELECT CAST(q_num AS BIGINT) AS q_num,
+           CAST(q_den AS BIGINT) AS q_den,
+           CAST(est AS BIGINT) AS est_cents
+    FROM est
+    """,
+)
+def rel_stats_quantiles(spark, sf_dir):
+    """METADATA-ONLY approximate quantiles (per-file HDR histogram
+    sidecars — the third mergeable sketch beside min/max ranges and
+    NDV registers, and a capability Delta's log does NOT have):
+    orders commit with per-file HDR buckets
+    (``write_versioned(hdr_cols=)``, the engine's sub_bits=3
+    convention) and ``stats_aggregate(('approx_quantile', (col,
+    q_num, q_den), alias))`` serves p50/p90/p99 from the sidecar with
+    zero data tasks — bucket COUNT-SUM across files IS the
+    whole-table sketch, and every step is exact integer arithmetic
+    (lb-sorted cumulative counts, ceil-division ranks — no float
+    anywhere), so the metadata answer is hash-EXACT against the
+    oracle's raw-value replay of the same bucketing.  Estimator
+    quality itself is prof_hdr_quantiles' contract (est ≤ true <
+    est·9/8); sidecar carry, strict refusal, the scan-path fallback
+    (same sketch, not a different estimator), and the
+    non-positive-commit guard are pytest-pinned (TestHdrSidecars)."""
+    import tempfile
+
+    from ..sources import versioned as V
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    path = tempfile.mkdtemp(prefix="fs_hdr_") + "/t"
+    V.write_versioned(base.repartitionByRange(8, "k"), path,
+                      hdr_cols=["cents"])
+    res = V.stats_aggregate(spark, path, [
+        ("approx_quantile", ("cents", 1, 2), "p50"),
+        ("approx_quantile", ("cents", 9, 10), "p90"),
+        ("approx_quantile", ("cents", 99, 100), "p99")])
+    [r] = res.collect()                      # bounded: one row
+    rows = [(1, 2, r["p50"]), (9, 10, r["p90"]), (99, 100, r["p99"])]
+    return spark.createDataFrame(
+        rows, "q_num bigint, q_den bigint, est_cents bigint")
 
 
 @register(

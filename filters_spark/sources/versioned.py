@@ -567,6 +567,87 @@ def _root_ndv(path: str, manifest: dict) -> dict:
     return {f"snap/v={v}/{k}": s for k, s in ndv.items()}
 
 
+def _file_hdr(path: str, files: list[str], cols: list[str],
+              schema: T.StructType, spark: SparkSession) -> dict:
+    """Per-file HDR histogram buckets for POSITIVE-integer ``cols``
+    (the engine's ``sketch.hdr_table`` convention, sub_bits=3): one
+    job per column, collect bounded by files × 512 buckets.  A
+    non-positive value fails the COMMIT loudly (the hdr_table
+    raise_error contract — a silent drop would skew every rank
+    served later)."""
+    from ..functions.sketch import _bit_length
+
+    if not files:
+        return {}
+    out: dict = {f: {} for f in files}
+    abs_paths = [os.path.join(path, f) for f in files]
+    for col in cols:
+        v = F.when(F.col(col) > 0, F.col(col).cast("long")).otherwise(
+            F.raise_error(F.lit(
+                f"write_versioned(hdr_cols): non-positive {col} "
+                "values — the log bucket needs v > 0")))
+        shift = F.greatest(_bit_length(v) - F.lit(4), F.lit(0))
+        rows = (spark.read.schema(schema).parquet(*abs_paths)
+                .where(F.col(col).isNotNull())
+                .select(F.input_file_name().alias("_uri"),
+                        shift.cast("int").alias("_sh"), v.alias("_v"))
+                .select("_uri", "_sh",
+                        F.expr("shiftright(_v, _sh)").alias("_top"))
+                .groupBy("_uri", "_sh", "_top")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .collect())                 # bounded: files × 512
+        buckets: dict = {}
+        for r in rows:
+            buckets.setdefault(_rel_uri(path, r["_uri"]), {})[
+                f"{int(r['_sh'])},{int(r['_top'])}"] = int(r["n"])
+        for f in files:
+            out[f][col] = buckets.get(f, {})
+    return out
+
+
+def load_file_hdr(manifest: dict) -> dict | None:
+    hdr = manifest.get("file_hdr")
+    if hdr is None and manifest.get("hdr_file") \
+            and manifest.get("_manifest_dir"):
+        try:
+            with open(os.path.join(manifest["_manifest_dir"],
+                                   manifest["hdr_file"])) as fh:
+                hdr = json.load(fh)
+        except FileNotFoundError:
+            return None
+        manifest["file_hdr"] = hdr
+    return hdr
+
+
+def _root_hdr(path: str, manifest: dict) -> dict:
+    hdr = load_file_hdr(manifest) or {}
+    if manifest.get("data_files") is not None:
+        return dict(hdr)
+    v = manifest["version"]
+    return {f"snap/v={v}/{k}": s for k, s in hdr.items()}
+
+
+def _hdr_quantile_py(buckets: dict, q_num: int, q_den: int) -> int | None:
+    """EXACTLY sketch.hdr_quantiles' arithmetic in driver Python:
+    lb-sorted cumulative counts, exact integer ceil-division rank —
+    no float ever appears."""
+    rows = []
+    for key, n in buckets.items():
+        sh, top = (int(x) for x in key.split(","))
+        rows.append((top << sh, int(n)))
+    if not rows:
+        return None
+    rows.sort()
+    total = sum(n for _lb, n in rows)
+    thresh = (q_num * total + q_den - 1) // q_den
+    cum = 0
+    for lb, n in rows:
+        cum += n
+        if cum >= thresh:
+            return lb
+    return rows[-1][0]
+
+
 def _hll_estimate_py(regs: dict) -> float:
     """EXACTLY sketch.hll_estimate's arithmetic in driver Python:
     exact integer harmonic sum, one double division, linear counting
@@ -656,6 +737,16 @@ def stats_aggregate(spark: SparkSession, path: str,
                 # with a different sketch than the sidecars)
                 exprs.append(F.countDistinct(col).cast("double")
                              .alias(alias))
+            elif fn == "approx_quantile":
+                from ..functions.sketch import hdr_quantiles, hdr_table
+                cname, qn, qd = col
+                est = hdr_quantiles(
+                    hdr_table(df, cname),
+                    [(int(qn), int(qd))]).collect()
+                exprs.append(
+                    F.lit(int(est[0]["est"]) if est and
+                          est[0]["est"] is not None else None)
+                    .cast("long").alias(alias))
             else:
                 exprs.append(getattr(F, fn)(col).alias(alias))
         return df.agg(*exprs)
@@ -667,10 +758,16 @@ def stats_aggregate(spark: SparkSession, path: str,
                 f"versioned table {path!r} has no snapshots")
     m = _read_manifest(path, version)
     for fn, col, _alias in aggs:
-        if fn not in ("count", "min", "max", "approx_ndv"):
+        if fn not in ("count", "min", "max", "approx_ndv",
+                      "approx_quantile"):
             raise ValueError(
                 f"stats_aggregate: fn must be count|min|max|"
-                f"approx_ndv, got {fn!r}")
+                f"approx_ndv|approx_quantile, got {fn!r}")
+        if fn == "approx_quantile" and not (
+                isinstance(col, tuple) and len(col) == 3):
+            raise ValueError(
+                "stats_aggregate: approx_quantile takes col=(name, "
+                "q_num, q_den), e.g. ('cents', 1, 2) for the median")
         if fn == "count" and col is not None:
             raise ValueError(
                 "stats_aggregate: count is COUNT(*) — col must be "
@@ -728,9 +825,27 @@ def stats_aggregate(spark: SparkSession, path: str,
     else:
         count_files = files
     ndv_regs = None
+    hdr_buckets = None
     row: dict = {}
     out_fields: list[T.StructField] = []
     for fn, col, alias in aggs:
+        if fn == "approx_quantile":
+            cname, qn, qd = col
+            if hdr_buckets is None:
+                hdr_buckets = _root_hdr(path, m)
+            merged_h: dict = {}
+            for f in files:
+                b = (hdr_buckets.get(f) or {}).get(cname)
+                if b is None:
+                    return _fallback(
+                        f"file {f!r} has no HDR buckets for "
+                        f"{cname!r} (commit with hdr_cols="
+                        f"[{cname!r}])")
+                for key, n in b.items():
+                    merged_h[key] = merged_h.get(key, 0) + int(n)
+            row[alias] = _hdr_quantile_py(merged_h, int(qn), int(qd))
+            out_fields.append(T.StructField(alias, T.LongType()))
+            continue
         if fn == "approx_ndv":
             if ndv_regs is None:
                 ndv_regs = _root_ndv(path, m)
@@ -883,7 +998,9 @@ def write_versioned(df: DataFrame, path: str,
                     dv_key: str | None = None,
                     dv_dirs: list[int] | None = None,
                     ndv_cols: list[str] | None = None,
-                    reuse_ndv: dict | None = None) -> int:
+                    reuse_ndv: dict | None = None,
+                    hdr_cols: list[str] | None = None,
+                    reuse_hdr: dict | None = None) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``expected_parent`` is optimistic concurrency control: pass the
@@ -1139,6 +1256,38 @@ def write_versioned(df: DataFrame, path: str,
                        os.path.join(_manifest_dir(path), nsidecar))
             manifest["ndv_file"] = nsidecar
             manifest["ndv_cols"] = list(ndv_cols)
+        # HDR histogram sidecars (per-file quantile buckets) — the
+        # third mergeable sketch beside stats ranges and NDV
+        # registers; same inheritance/carry contract.
+        if hdr_cols is None and parent is not None:
+            try:
+                pm_hdr = _read_manifest(path, parent)
+            except ValueError:
+                pm_hdr = {}
+            hdr_cols = pm_hdr.get("hdr_cols")
+            if reuse_files is not None and reuse_hdr is None \
+                    and hdr_cols:
+                reuse_hdr = _root_hdr(path, pm_hdr)
+        if hdr_cols:
+            if reuse_files is not None:
+                new_keys = [f"snap/v={version}/{f}" for f in new_files]
+                hdr = _file_hdr(path, new_keys, list(hdr_cols),
+                                df.schema, df.sparkSession)
+                for f in reuse_files:
+                    hdr[f] = (reuse_hdr or {}).get(
+                        f, {c: None for c in hdr_cols})
+            else:
+                nk = [f"snap/v={version}/{f}" for f in new_files]
+                hdr = {k.split("/", 2)[-1]: v for k, v in _file_hdr(
+                    path, nk, list(hdr_cols), df.schema,
+                    df.sparkSession).items()}
+            hsc = f"{version}.hdr.json"
+            htmp = os.path.join(_manifest_dir(path), hsc + ".tmp")
+            with open(htmp, "w") as fh:
+                json.dump(hdr, fh)
+            os.replace(htmp, os.path.join(_manifest_dir(path), hsc))
+            manifest["hdr_file"] = hsc
+            manifest["hdr_cols"] = list(hdr_cols)
         # --- delete vectors (merge-on-read) --------------------------
         if dv_dirs is None and reuse_files is not None \
                 and parent is not None:

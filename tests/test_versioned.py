@@ -2396,6 +2396,69 @@ class TestNdvSidecars:
         assert r["x"] == 100.0               # exact-scan stand-in
 
 
+class TestHdrSidecars:
+    """Per-file HDR histogram sidecars: metadata quantiles == the
+    whole-table sketch exactly (all-integer arithmetic)."""
+
+    def test_merged_equals_whole_table_sketch(self, spark, tmp_path):
+        from filters_spark.functions import sketch
+        t = str(tmp_path / "t")
+        df = spark.range(1, 20001).select(
+            F.col("id").alias("k"),
+            (F.col("id") * F.col("id") % 99991 + 1).alias("v"))
+        V.write_versioned(df.repartitionByRange(8, "k"), t,
+                          hdr_cols=["v"])
+        res = V.stats_aggregate(spark, t, [
+            ("approx_quantile", ("v", 1, 2), "p50"),
+            ("approx_quantile", ("v", 9, 10), "p90")])
+        assert "FileScan" not in \
+            res._jdf.queryExecution().executedPlan().toString()
+        [r] = res.collect()
+        est = {(x["q_num"], x["q_den"]): x["est"] for x in
+               sketch.hdr_quantiles(sketch.hdr_table(df, "v"),
+                                    [(1, 2), (9, 10)]).collect()}
+        assert r["p50"] == est[(1, 2)]
+        assert r["p90"] == est[(9, 10)]
+        # the HDR bound: est <= true < est·(1 + 2^-3)
+        true = df.selectExpr("percentile(v, 0.5) p") \
+            .collect()[0]["p"]
+        assert r["p50"] <= true < r["p50"] * 1.125 + 1
+
+    def test_reuse_carry_and_fallbacks(self, spark, tmp_path):
+        import pytest
+        t = str(tmp_path / "t")
+        df = spark.range(1, 5001).select(
+            F.col("id").alias("k"), (F.col("id") % 997 + 1).alias("v"))
+        V.write_versioned(df.repartitionByRange(4, "k"), t,
+                          hdr_cols=["v"])
+        [before] = V.stats_aggregate(spark, t, [
+            ("approx_quantile", ("v", 1, 2), "p")]).collect()
+        V.merge_versioned(spark, t, spark.createDataFrame(
+            [(90000, 5)], "k bigint, v bigint"), "k", file_reuse=True)
+        [after] = V.stats_aggregate(spark, t, [
+            ("approx_quantile", ("v", 1, 2), "p")]).collect()
+        assert abs(after["p"] - before["p"]) <= before["p"] // 4
+        t2 = str(tmp_path / "t2")
+        V.write_versioned(df, t2)
+        with pytest.raises(V.StatsInsufficient, match="HDR"):
+            V.stats_aggregate(spark, t2, [
+                ("approx_quantile", ("v", 1, 2), "p")])
+        [fb] = V.stats_aggregate(spark, t2, [
+            ("approx_quantile", ("v", 1, 2), "p")],
+            strict=False).collect()
+        assert fb["p"] == before["p"]
+        with pytest.raises(ValueError, match="q_num"):
+            V.stats_aggregate(spark, t, [
+                ("approx_quantile", "v", "p")])
+
+    def test_nonpositive_values_fail_commit(self, spark, tmp_path):
+        import pytest
+        df = spark.range(0, 10).select(F.col("id").alias("v"))
+        with pytest.raises(Exception, match="non-positive"):
+            V.write_versioned(df, str(tmp_path / "t"),
+                              hdr_cols=["v"])
+
+
 class TestMaintainScd2:
     """Incremental SCD2 maintenance (r10 VERDICT #3): bounded
     cursor-driven calls into a stored versioned dimension ≡ the

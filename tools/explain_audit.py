@@ -484,6 +484,9 @@ EXPECTATIONS: dict[str, dict] = {
     # step filter is a derived-bitmask predicate (not scan-pushable,
     # and every order matches some band in this gate anyway).
     "rel_window_funnel": dict(max_exchanges=2),
+    # r11 HDR quantile sidecars: the returned frame is a driver-built
+    # literal row set — zero scans, zero exchanges.
+    "rel_stats_quantiles": dict(max_exchanges=0, max_scans=0),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
