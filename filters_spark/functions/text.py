@@ -1155,59 +1155,6 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple],
             .groupBy("subword").agg(F.sum("n").cast("long").alias("n")))
 
 
-def chunk_documents(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text", chunk_tokens: int = 256,
-                    overlap: int = 32, sep: str = " ") -> DataFrame:
-    """Split documents into OVERLAPPING token-window chunks — the
-    embedding/RAG preparation step between cleaning and vectorizing
-    (a 100k-token document cannot embed whole; overlap keeps
-    boundary-spanning context retrievable).  Chunk i covers tokens
-    ``[i·(chunk_tokens − overlap), …)`` up to ``chunk_tokens`` long;
-    the tail chunk may be shorter; empty/whitespace-only documents
-    emit no rows.  Tokens are the literal-``sep`` split with empties
-    dropped (repeated separators never pad a chunk).
-
-    Returns ``(id_col, chunk_idx int, chunk_text string,
-    n_tokens int)``.  Pure expressions end to end — split, a
-    ``sequence`` of starts, ``slice`` + ``array_join`` per chunk, one
-    explode; zero shuffle, zero Python: chunking rides the document
-    scan (the 100 TB shape), and the SQL replay is exact
-    (``ds_doc_chunks``)."""
-    if chunk_tokens <= 0:
-        raise ValueError("chunk_documents: chunk_tokens must be > 0")
-    if not 0 <= overlap < chunk_tokens:
-        raise ValueError(
-            "chunk_documents: overlap must satisfy 0 <= overlap < "
-            "chunk_tokens (a step of zero would loop forever)")
-    step = chunk_tokens - overlap
-    toks = F.filter(tokens(F.col(text_col), sep),
-                    lambda x: x != "")
-    base = (df.select(F.col(id_col), toks.alias("_toks"))
-            .where(F.size(F.col("_toks")) > 0))
-    n = F.size(F.col("_toks"))
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
-                        F.lit(step))
-    # a tail start whose window is fully inside the PREVIOUS chunk's
-    # (previous end s - step + chunk_tokens already reached n) adds
-    # no new tokens — skip it (the standard chunker rule)
-    starts = F.filter(
-        starts,
-        lambda s, i: (i == 0)
-        | (s - F.lit(step) + F.lit(chunk_tokens) < n))
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.array_join(F.slice(F.col("_toks"), s + 1,
-                                 F.lit(chunk_tokens)), sep)
-            .alias("chunk_text"),
-            F.least(n - s, F.lit(chunk_tokens)).cast("int")
-            .alias("n_tokens")))
-    return (base.select(F.col(id_col), F.explode(chunks).alias("_c"))
-            .select(id_col, "_c.chunk_idx", "_c.chunk_text",
-                    "_c.n_tokens"))
-
-
 def hashing_vectorize(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", dim: int = 256,
                       sep: str = " ", signed: bool = True) -> DataFrame:

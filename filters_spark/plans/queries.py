@@ -642,7 +642,6 @@ DRIVER_WINDOW: list[str] = [
     "rel_stats_ndv",             # NDV sketch sidecars (Puffin)
     "rel_window_funnel",         # windowFunnel conversion analysis
     "rel_stats_quantiles",       # HDR quantile sidecars
-    "ds_doc_chunks",             # overlapping-window chunking
     # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
@@ -685,6 +684,7 @@ DRIVER_WINDOW: list[str] = [
     "ds_minhash_estimate",
     "ds_pii_rollup",
     "ds_pps_sample",
+    "ds_quality_pipeline",
 ]
 
 _R10_WINDOW_RETIRED = [
@@ -15053,50 +15053,6 @@ def rel_stats_aggregate(spark, sf_dir):
                     F.col("k_max").cast("long").alias("k_max"),
                     "cents_min", "cents_max", "n_in_range",
                     "scan_nodes"))
-
-
-@register(
-    "ds_doc_chunks",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '')
-               AS toks
-      FROM documents
-    ), nz AS (
-      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
-    ), st AS (
-      SELECT doc_id, toks, n,
-             CAST(unnest(range(0, n, 48)) AS BIGINT) AS s
-      FROM nz
-    ), kept AS (
-      SELECT * FROM st WHERE s = 0 OR s - 48 + 64 < n
-    )
-    SELECT doc_id,
-           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s)
-                - 1 AS INT) AS chunk_idx,
-           array_to_string(toks[s + 1 : least(s + 64, n)], ' ')
-             AS chunk_text,
-           CAST(least(n - s, 64) AS INT) AS n_tokens
-    FROM kept
-    """,
-)
-def ds_doc_chunks(spark, sf_dir):
-    """Document CHUNKING under the FULL-STRING value hash
-    (text.chunk_documents — the embedding/RAG preparation step
-    between cleaning and vectorizing: overlapping 64-token windows,
-    16-token overlap): every chunk's complete text, index, and token
-    count hash-compared against the oracle's replay of the same
-    split/slice/join arithmetic — an off-by-one in the window start,
-    a dropped overlap, a tail chunk that re-emits only
-    already-covered tokens (the skip rule), or empty-token padding
-    from repeated separators shifts a string.  Pure expressions
-    riding the document scan: split + a start sequence + slice/join
-    per chunk + one explode — zero shuffle, zero Python."""
-    from ..functions import text as T
-
-    d = _t(spark, sf_dir, "documents")
-    return T.chunk_documents(d, chunk_tokens=64, overlap=16)
 
 
 @register(

@@ -965,43 +965,3 @@ class TestKnBigram:
         diffs = [abs(kn[k] - ao[k]) for k in kn]
         assert max(diffs) > 0.01
 
-
-class TestChunkDocuments:
-    def test_hand_computed(self, spark):
-        import pyspark.sql.functions as F
-        from filters_spark.functions.text import chunk_documents
-        df = spark.createDataFrame(
-            [(1, " ".join(f"w{i}" for i in range(10))),
-             (2, "a  b"), (3, ""), (4, None), (5, "solo"),
-             (6, " ".join(f"x{i}" for i in range(11)))],
-            "doc_id bigint, text string")
-        out = chunk_documents(df, chunk_tokens=4, overlap=1)
-        rows = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"],
-                       r["n_tokens"]) for r in out.collect())
-        assert rows == [
-            (1, 0, "w0 w1 w2 w3", 4), (1, 1, "w3 w4 w5 w6", 4),
-            (1, 2, "w6 w7 w8 w9", 4),     # tail w9 adds nothing: skip
-            (2, 0, "a b", 2), (5, 0, "solo", 1),
-            (6, 0, "x0 x1 x2 x3", 4), (6, 1, "x3 x4 x5 x6", 4),
-            (6, 2, "x6 x7 x8 x9", 4), (6, 3, "x9 x10", 2)]
-
-    def test_every_token_covered_with_overlap(self, spark):
-        import pyspark.sql.functions as F
-        from filters_spark.functions.text import chunk_documents
-        df = spark.createDataFrame(
-            [(1, " ".join(f"t{i}" for i in range(257)))],
-            "doc_id bigint, text string")
-        out = chunk_documents(df, chunk_tokens=64, overlap=16)
-        toks = set()
-        for r in out.collect():
-            toks.update(r["chunk_text"].split(" "))
-        assert toks == {f"t{i}" for i in range(257)}
-
-    def test_guards(self, spark):
-        import pytest as _pt
-        from filters_spark.functions.text import chunk_documents
-        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
-        with _pt.raises(ValueError, match="overlap"):
-            chunk_documents(df, chunk_tokens=4, overlap=4)
-        with _pt.raises(ValueError, match="chunk_tokens"):
-            chunk_documents(df, chunk_tokens=0)

@@ -487,9 +487,6 @@ EXPECTATIONS: dict[str, dict] = {
     # r11 HDR quantile sidecars: the returned frame is a driver-built
     # literal row set — zero scans, zero exchanges.
     "rel_stats_quantiles": dict(max_exchanges=0, max_scans=0),
-    # r11 chunking: pure expressions riding the scan — zero
-    # exchanges, one scan.
-    "ds_doc_chunks": dict(max_exchanges=0),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
     # returned plan is the kept+feed union rollup (one exchange).
     "ds_corpus_pipeline_v9": dict(max_exchanges=2),
