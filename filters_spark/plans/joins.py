@@ -396,6 +396,10 @@ def maintain_scd2(spark, src_path: str, dim_path: str, key: str,
             .withColumn("_sk", F.concat_ws(
                 _SCD2_SEP, F.col(key).cast("string"),
                 F.col("__start_version").cast("string"))))
+    # rows is BOUNDED (this call's events + the affected open
+    # intervals) with non-trivial lineage (per-commit feed reads, the
+    # open-interval join, the stitch window); merge_versioned persists
+    # its update batch internally, so the stitch runs once per call.
     if not dim_exists:
         version = V.write_versioned(
             rows, dim_path, _op="scd2-init",

@@ -1542,7 +1542,20 @@ def _merge_changes(base: DataFrame, updates: DataFrame, key: str,
     existing key must emit nothing here either (ADVICE r9 — the
     widened fingerprint used to emit an update pair the diff path
     never would)."""
-    o, n = base.alias("o"), updates.alias("n")
+    # Pre-filter the base to rows whose key appears in the batch: a
+    # right-outer join discards unmatched base rows anyway, so the
+    # semi-join is a no-op semantically — but it turns "shuffle (or
+    # broadcast) the whole base against a tiny batch" into "scan the
+    # base once probing the batch's broadcast key set, then join two
+    # batch-sized frames" (guide §2.4/§3.2: the base never exchanges
+    # for a CDC-sized merge's change feed).  The broadcast hint is
+    # explicit because the batch is RDD-backed (no size estimate —
+    # without the hint the base pays a full hash exchange before AQE
+    # can demote the join); a keyed-merge batch is CDC-sized by this
+    # operator's design contract.
+    matched = base.join(
+        F.broadcast(updates.select(key).distinct()), key, "left_semi")
+    o, n = matched.alias("o"), updates.alias("n")
     common = sorted(set(base.columns) & set(updates.columns) - {key}) \
         if detect_cols is None else sorted(detect_cols)
     all_cols = [key] + sorted((set(base.columns) | set(updates.columns))
@@ -1671,14 +1684,35 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     else:
         aligned = updates.select(*base.columns)
         _widen = None
-    changes = _merge_changes(base, aligned, key,
-                             detect_cols=parent_detect) \
-        if store_changes else None
+    # The batch is CDC-sized by this operator's design, but its
+    # LINEAGE may be arbitrarily expensive (a filtered scan, a codec
+    # decode, a feed stitch) and the merge evaluates it 2-4 times
+    # (feed keys + feed payload + touched detection + the upsert
+    # write).  Persist once so the updates subtree runs exactly once
+    # per merge (guide §5: reuse + recompute cost both argue for it).
+    aligned = aligned.persist()
+    try:
+        return _merge_commit(
+            spark, path, key, m, base, aligned, parent_detect, _widen,
+            expected_parent, extra_meta, store_changes, file_reuse,
+            mor)
+    finally:
+        aligned.unpersist()
+
+
+def _merge_commit(spark, path, key, m, base, aligned, parent_detect,
+                  _widen, expected_parent, extra_meta, store_changes,
+                  file_reuse, mor) -> int:
+    from ..plans.joins import upsert
+
     if mor:
         if m.get("partition_by"):
             raise ValueError(
                 "merge_versioned(mor=True): delete vectors require a "
                 "flat layout — partitioned tables merge copy-on-write")
+        changes = _merge_changes(base, aligned, key,
+                                 detect_cols=parent_detect) \
+            if store_changes else None
         det = _detect_frame(spark, path, m)
         if _widen is not None:
             have = {f.name for f in
@@ -1696,31 +1730,51 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
             return F.md5(F.to_json(F.struct(
                 *[F.col(f"{side}.{c}") for c in common])))
 
-        j = o.join(nn, F.col(f"o.{key}") == F.col(f"n.{key}"))
-        diff = _fp("o") != _fp("n")
-        changed_old = j.where(diff).select(
-            F.regexp_extract(F.col("o._f"), _DV_TAIL, 1)
-            .alias("_file"), F.col(f"o.{key}").alias(key))
-        changed_new = j.where(diff).select(
-            *[F.col(f"n.{c}").alias(c) for c in aligned.columns])
-        inserts = aligned.join(det.select(key), key, "left_anti")
-        replacement = changed_new.unionByName(inserts)
-        dv_df = changed_old if changed_old.limit(1).count() else None
-        return write_versioned(
-            replacement, path, expected_parent=expected_parent,
-            _op="merge", extra_meta={**(extra_meta or {}),
-                                     "merge_mode": "mor"},
-            changes_df=changes, stats_cols=m.get("stats_cols"),
-            reuse_files=_root_files(path, m),
-            reuse_stats=_root_stats(path, m),
-            dv_df=dv_df, dv_key=key)
+        # ONE detection scan: the matched (file, changed?, new-payload)
+        # rows are batch-sized — persist them so the replacement
+        # write, the DV sidecar write, and the insert anti-join all
+        # read the cache instead of re-running the full-table join
+        # (was 3 scans of the table per MOR merge; guide §5).  The
+        # insert anti-join probes the persisted MATCHED KEYS (batch-
+        # sized) instead of building a hash over every table key.
+        # broadcast the batch side explicitly: it is RDD-backed (no
+        # size estimate), and without the hint the detection join
+        # plans as SMJ with a full hash exchange of the table
+        j = o.join(F.broadcast(nn),
+                   F.col(f"o.{key}") == F.col(f"n.{key}"))
+        sel = j.select(
+            F.col("o._f").alias("_f"),
+            (_fp("o") != _fp("n")).alias("_chg"),
+            *[F.col(f"n.{c}").alias(c) for c in aligned.columns]
+        ).persist()
+        try:
+            n_changed = sel.where(F.col("_chg")).count()
+            changed = sel.where(F.col("_chg"))
+            changed_old = changed.select(
+                F.regexp_extract(F.col("_f"), _DV_TAIL, 1)
+                .alias("_file"), key)
+            changed_new = changed.select(*aligned.columns)
+            inserts = aligned.join(sel.select(key), key, "left_anti")
+            replacement = changed_new.unionByName(inserts)
+            dv_df = changed_old if n_changed else None
+            return write_versioned(
+                replacement, path, expected_parent=expected_parent,
+                _op="merge", extra_meta={**(extra_meta or {}),
+                                         "merge_mode": "mor"},
+                changes_df=changes, stats_cols=m.get("stats_cols"),
+                reuse_files=_root_files(path, m),
+                reuse_stats=_root_stats(path, m),
+                dv_df=dv_df, dv_key=key)
+        finally:
+            sel.unpersist()
     if file_reuse and not m.get("partition_by"):
         schema = T.StructType.fromJson(json.loads(m["schema_json"]))
         parent_files = _root_files(path, m)
         touched = sorted({
             _rel_uri(path, r["_f"]) for r in
             _detect_frame(spark, path, m)
-            .join(aligned.select(key).distinct(), key, "left_semi")
+            .join(F.broadcast(aligned.select(key).distinct()),
+                  key, "left_semi")
             .select("_f").distinct().collect()
         })                                  # bounded: one row per file
         untouched = [f for f in parent_files if f not in set(touched)]
@@ -1728,6 +1782,16 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
             spark, path, m, spark.read.schema(schema).parquet(
                 *[os.path.join(path, f) for f in touched]))
             if touched else spark.createDataFrame([], schema))
+        # The stored feed only needs BASE rows whose key the batch
+        # touches, and every such row lives in a touched file (that
+        # is the definition of touched) — so the feed's base side is
+        # the TOUCHED SLICE, not the whole table: a CDC-sized merge
+        # against a 100 TB table diffs megabytes, not the table
+        # (payload values are identical; missing columns NULL-pad the
+        # same way on both paths).
+        changes = _merge_changes(sub, aligned, key,
+                                 detect_cols=parent_detect) \
+            if store_changes else None
         if _widen is not None:
             sub = _widen(sub)       # carried files null-pad via
             #                         schema-on-read; the rewritten
@@ -1738,6 +1802,9 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
             extra_meta=extra_meta, changes_df=changes,
             stats_cols=m.get("stats_cols"),
             reuse_files=untouched, reuse_stats=_root_stats(path, m))
+    changes = _merge_changes(base, aligned, key,
+                             detect_cols=parent_detect) \
+        if store_changes else None
     merged = upsert(base, aligned, key)
     # the full-materialization path carries the parent's skipping /
     # layout contract exactly like the file_reuse branch and
@@ -1861,24 +1928,30 @@ def delete_where(spark: SparkSession, path: str, condition,
             raise ValueError(
                 f"delete_where: key {key!r} not in table columns")
         # the detect frame is DV-applied, so already-deleted rows
-        # can't re-hit; one (stats/bloom-prunable) scan finds the
-        # matches, the commit writes a delete-sized sidecar and zero
-        # data files.
-        hits = _detect_frame(spark, path, m).where(hit)
-        n_deleted = hits.count()
-        dv_df = (hits.select(
-            F.regexp_extract(F.col("_f"), _DV_TAIL, 1).alias("_file"),
-            key) if n_deleted else None)
-        changes = changes_of(hits.drop("_f")) if n_deleted \
-            else changes_of(spark.createDataFrame([], schema))
-        parent_files = _root_files(path, m)
-        version = write_versioned(
-            spark.createDataFrame([], schema), path,
-            expected_parent=expected_parent, _op="delete",
-            extra_meta={"delete_mode": "mor"},
-            stats_cols=stats_cols, changes_df=changes,
-            reuse_files=parent_files, reuse_stats=_root_stats(path, m),
-            dv_df=dv_df, dv_key=key)
+        # can't re-hit; ONE (stats/bloom-prunable) scan finds the
+        # matches and the delete-sized hit set is PERSISTED, so the
+        # count, the DV sidecar write, and the stored-feed write all
+        # read the cache instead of re-scanning the table (was 3 full
+        # scans per MOR delete; guide §5).
+        hits = _detect_frame(spark, path, m).where(hit).persist()
+        try:
+            n_deleted = hits.count()
+            dv_df = (hits.select(
+                F.regexp_extract(F.col("_f"), _DV_TAIL, 1)
+                .alias("_file"), key) if n_deleted else None)
+            changes = changes_of(hits.drop("_f")) if n_deleted \
+                else changes_of(spark.createDataFrame([], schema))
+            parent_files = _root_files(path, m)
+            version = write_versioned(
+                spark.createDataFrame([], schema), path,
+                expected_parent=expected_parent, _op="delete",
+                extra_meta={"delete_mode": "mor"},
+                stats_cols=stats_cols, changes_df=changes,
+                reuse_files=parent_files,
+                reuse_stats=_root_stats(path, m),
+                dv_df=dv_df, dv_key=key)
+        finally:
+            hits.unpersist()
         return {"version": version, "n_deleted": int(n_deleted),
                 "files_rewritten": 0,
                 "files_reused": len(parent_files)}
@@ -1893,11 +1966,15 @@ def delete_where(spark: SparkSession, path: str, condition,
         return {"version": version, "n_deleted": int(n_deleted),
                 "files_rewritten": m["n_files"], "files_reused": 0}
     parent_files = _root_files(path, m)
-    touched = sorted({
-        _rel_uri(path, r["_f"]) for r in
-        _detect_frame(spark, path, m)
-        .where(hit).select("_f").distinct().collect()
-    })                                      # bounded: one row per file
+    # ONE detection scan returns both the touched files AND the
+    # per-file match counts (bounded: one row per touched file) —
+    # the separate n_deleted count over the touched slice is free
+    # (guide §1.2: fold passes).
+    per_file = (_detect_frame(spark, path, m)
+                .where(hit).groupBy("_f")
+                .agg(F.count(F.lit(1)).alias("_n")).collect())
+    touched = sorted({_rel_uri(path, r["_f"]) for r in per_file})
+    n_deleted = sum(r["_n"] for r in per_file)
     untouched = [f for f in parent_files if f not in set(touched)]
     if touched:
         # the raw slice re-read must be DV-applied or rows deleted by
@@ -1906,11 +1983,9 @@ def delete_where(spark: SparkSession, path: str, condition,
             spark, path, m, spark.read.schema(schema).parquet(
                 *[os.path.join(path, f) for f in touched]))
         replacement = sub.where(~hit)
-        n_deleted = sub.where(hit).count()
         changes = changes_of(sub.where(hit))
     else:
         replacement = spark.createDataFrame([], schema)
-        n_deleted = 0
         changes = changes_of(replacement)
     version = write_versioned(
         replacement, path, expected_parent=expected_parent,
@@ -2043,34 +2118,46 @@ def update_where(spark: SparkSession, path: str, condition,
             raise ValueError(
                 f"update_where: key {key!r} not in table columns")
         det = _detect_frame(spark, path, m)
-        hits = det.where(hit)
-        n_updated = hits.count()
-        data = hits.drop("_f")
-        n_changed = n_changed_of(data)
         # only CHANGED rows move: old copy vectored out, new content
-        # appended as this commit's own files
-        others = sorted(set(data.columns))
+        # appended as this commit's own files.  ONE detection scan:
+        # the update-sized hit set (with its changed-content flag) is
+        # PERSISTED so the two counts, the DV sidecar, the replacement
+        # write, and the stored feed all read the cache instead of
+        # re-scanning the table (was 5 full scans per MOR update;
+        # guide §5).
+        others = sorted(set(det.columns) - {"_f"})
         old_fp = F.md5(F.to_json(F.struct(*[F.col(c)
                                             for c in others])))
         new_fp = F.md5(F.to_json(F.struct(*[
             (sets[c].cast(schema[c].dataType) if c in sets
              else F.col(c)).alias(c) for c in others])))
-        changed = hits.where(old_fp != new_fp)
-        dv_df = (changed.select(
-            F.regexp_extract(F.col("_f"), _DV_TAIL, 1).alias("_file"),
-            key) if n_changed else None)
-        replacement = (apply_to(changed.drop("_f"), F.lit(True))
-                       .select(*[f.name for f in schema.fields])
-                       if n_changed
-                       else spark.createDataFrame([], schema))
-        version = write_versioned(
-            replacement, path, expected_parent=expected_parent,
-            _op="update", extra_meta={"update_mode": "mor"},
-            stats_cols=m.get("stats_cols"),
-            changes_df=changes_of(data),
-            reuse_files=_root_files(path, m),
-            reuse_stats=_root_stats(path, m),
-            dv_df=dv_df, dv_key=key)
+        hits = det.where(hit).withColumn(
+            "_chg", old_fp != new_fp).persist()
+        try:
+            counts = hits.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("_chg").cast("int")).alias("_c")).first()
+            n_updated = counts["_n"]
+            n_changed = counts["_c"] or 0
+            changed = hits.where(F.col("_chg"))
+            dv_df = (changed.select(
+                F.regexp_extract(F.col("_f"), _DV_TAIL, 1)
+                .alias("_file"), key) if n_changed else None)
+            replacement = (apply_to(changed.drop("_f", "_chg"),
+                                    F.lit(True))
+                           .select(*[f.name for f in schema.fields])
+                           if n_changed
+                           else spark.createDataFrame([], schema))
+            version = write_versioned(
+                replacement, path, expected_parent=expected_parent,
+                _op="update", extra_meta={"update_mode": "mor"},
+                stats_cols=m.get("stats_cols"),
+                changes_df=changes_of(hits.drop("_f", "_chg")),
+                reuse_files=_root_files(path, m),
+                reuse_stats=_root_stats(path, m),
+                dv_df=dv_df, dv_key=key)
+        finally:
+            hits.unpersist()
         return {"version": version, "n_updated": int(n_updated),
                 "n_changed": int(n_changed), "files_rewritten": 0,
                 "files_reused": m["n_files"]}
@@ -2087,11 +2174,23 @@ def update_where(spark: SparkSession, path: str, condition,
                 "n_changed": int(n_changed),
                 "files_rewritten": m["n_files"], "files_reused": 0}
     parent_files = _root_files(path, m)
-    touched = sorted({
-        _rel_uri(path, r["_f"]) for r in
-        _detect_frame(spark, path, m)
-        .where(hit).select("_f").distinct().collect()
-    })                                      # bounded: one row per file
+    # ONE detection scan returns the touched files AND the per-file
+    # match/changed counts (bounded: one row per touched file) — the
+    # two separate counts over the touched slice are free (guide
+    # §1.2: fold passes).
+    det = _detect_frame(spark, path, m)
+    _others = sorted(set(det.columns) - {"_f"})
+    _old_fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in _others])))
+    _new_fp = F.md5(F.to_json(F.struct(*[
+        (sets[c].cast(schema[c].dataType) if c in sets
+         else F.col(c)).alias(c) for c in _others])))
+    per_file = (det.where(hit).groupBy("_f").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((_old_fp != _new_fp).cast("int")).alias("_c"))
+        .collect())
+    touched = sorted({_rel_uri(path, r["_f"]) for r in per_file})
+    n_updated = sum(r["_n"] for r in per_file)
+    n_changed = sum(r["_c"] or 0 for r in per_file)
     untouched = [f for f in parent_files if f not in set(touched)]
     if touched:
         sub = apply_delete_vectors(
@@ -2099,12 +2198,9 @@ def update_where(spark: SparkSession, path: str, condition,
                 *[os.path.join(path, f) for f in touched]))
         pre = sub.where(hit)
         replacement = apply_to(sub, hit)
-        n_updated = pre.count()
-        n_changed = n_changed_of(pre)
         changes = changes_of(pre)
     else:
         replacement = spark.createDataFrame([], schema)
-        n_updated = n_changed = 0
         changes = changes_of(replacement)
     version = write_versioned(
         replacement, path, expected_parent=expected_parent,
