@@ -12330,6 +12330,13 @@ def rel_xml_roundtrip(spark, sf_dir):
             F.col("o_custkey").alias("cust")).alias("amounts"),
         F.concat(F.lit('a<&"'), F.col("o_orderpriority"), F.lit(">z"))
         .alias("note"))
+    # r11 optimization: same single-row-group hazard as the Avro gate
+    # — one scan partition → one XML file → a single-task parse on
+    # read-back.  Keyed explicit-numPartitions repartition spreads
+    # the write AND the read across the session's cores; the gate's
+    # aggregates are layout-independent.
+    base = base.repartition(
+        spark.sparkContext.defaultParallelism, "o_orderkey")
     path = tempfile.mkdtemp(prefix="fs_xml_") + "/t"
     readers.write_xml(base, path, row_tag="order", root_tag="orders")
     schema = T.StructType([
@@ -12864,13 +12871,18 @@ def rel_continuous_rollup(spark, sf_dir):
     delete-commit (v3) land on the source, and ONE incremental
     maintenance call consumes the net 1→3 diff — recomputing only the
     dirty (month, priority) buckets and tombstoning emptied ones.
-    The gate emits the final rollup rows PLUS n_mismatch, the row
-    count of the symmetric difference between the incrementally-
-    maintained table and a from-scratch recompute of the final
-    snapshot — hash-green requires it to be exactly 0, so a stale
-    bucket, a missed tombstone, a delta-drifted sum, or an unconsumed
-    change class cannot pass.  The oracle replays the final state's
-    full GROUP BY from arithmetic."""
+    The gate emits the final rollup rows PLUS n_mismatch, the exact
+    decimal difference of per-row xxhash64 sums between the
+    incrementally-maintained table and a from-scratch recompute of
+    the final snapshot — hash-green requires it to be exactly 0, so a
+    stale bucket, a missed tombstone, a delta-drifted sum, or an
+    unconsumed change class cannot pass.  (r11 optimization: the
+    original two exceptAll().count() actions pinned the same
+    equivalence at two extra jobs with two wide shuffles each — the
+    rel_scd2_maintain hash-sum shape computes it inside the gate's
+    own action; ANSI-safe, decimal(38,0) sums of int64 never
+    overflow.)  The oracle replays the final state's full GROUP BY
+    from arithmetic."""
     import tempfile
 
     from ..functions.timeseries import maintain_continuous_rollup
@@ -12914,9 +12926,15 @@ def rel_continuous_rollup(spark, sf_dir):
                          .alias("bucket_month"), "prio")
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  F.sum("cents").cast("long").alias("cents_sum")))
-    mm = (roll.exceptAll(full).count()
-          + full.exceptAll(roll).count())
-    return roll.withColumn("n_mismatch", F.lit(int(mm)).cast("long"))
+    cols = ["bucket_month", "prio", "n_rows", "cents_sum"]
+    hv = F.xxhash64(F.struct(*[F.col(c) for c in cols])) \
+        .cast("decimal(38,0)")
+    mm = (roll.agg(F.sum(hv).alias("_a"))
+          .crossJoin(F.broadcast(full.agg(F.sum(hv).alias("_b"))))
+          .select((F.coalesce(F.col("_a"), F.lit(0))
+                   - F.coalesce(F.col("_b"), F.lit(0)))
+                  .cast("long").alias("n_mismatch")))
+    return roll.crossJoin(F.broadcast(mm))
 
 
 @register(
@@ -12971,18 +12989,24 @@ def rel_quarantine_replay(spark, sf_dir):
     relaxed = fs.ValidationSchema({"prio": fs.MinLength(1)})
     res = sinks.replay_dead_letter(spark, dead, relaxed)
     recovered = res.clean.select("o_orderkey", "cents", "prio")
-    n_still_bad = res.rejected.count()
     v2 = V.merge_versioned(spark, tbl, recovered, "o_orderkey")
     final = V.read_version(spark, tbl)
-    rec_count = recovered.count()
+    # r11 optimization: the recovered / still-bad counts used to be
+    # two eager .count() jobs (each re-reading the dead-letter dir
+    # through validation) whose results entered as literals — fold
+    # them into the gate's own action as broadcast 1-row aggregates
+    # (guide §1.2: don't pay extra passes for bookkeeping counts).
     return final.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("cents").cast("long").alias("cents_sum"),
+    ).crossJoin(F.broadcast(recovered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_recovered")))
+    ).crossJoin(F.broadcast(res.rejected.agg(
+        F.count(F.lit(1)).cast("long").alias("n_still_bad")))
     ).select(
-        "*",
-        F.lit(int(rec_count)).cast("long").alias("n_recovered"),
-        F.lit(int(n_still_bad)).cast("long").alias("n_still_bad"),
+        "n_rows", "key_sum", "cents_sum", "n_recovered",
+        "n_still_bad",
         F.lit(int(v2)).cast("long").alias("version"))
 
 
@@ -13709,8 +13733,16 @@ def rel_restore_version(spark, sf_dir):
         .alias("cents")).repartitionByRange(8, "o_orderkey")
     path = tempfile.mkdtemp(prefix="fs_rst_") + "/t"
     V.write_versioned(base, path, stats_cols=["o_orderkey"])
-    bad = base.where(F.col("o_orderkey").between(1000, 4999)) \
-        .withColumn("cents", F.lit(0).cast("bigint"))
+    # r11 optimization: derive the bad batch from the committed v1
+    # snapshot with stats-pruned file skipping instead of from `base`
+    # (whose lineage re-runs the range-repartition sampling + shuffle
+    # per evaluation); same rows by construction, and the pruned read
+    # touches 1 of 8 files (guide §6: make the skipping you wrote
+    # actually serve the reads).
+    bad = (V.read_version(spark, path, version=1,
+                          where=("o_orderkey", 1000, 4999))
+           .where(F.col("o_orderkey").between(1000, 4999))
+           .withColumn("cents", F.lit(0).cast("bigint")))
     planted = spark.range(1, 21).select(
         (F.lit(1_500_000_000) + F.col("id")).alias("o_orderkey"),
         F.col("id").cast("bigint").alias("cents"))
@@ -13773,6 +13805,15 @@ def rel_avro_roundtrip(spark, sf_dir):
         .alias("cents"),
         F.col("o_orderdate").cast("date").alias("o_orderdate"),
         "o_orderpriority")
+    # r11 optimization: the testdata parquet is one row group → the
+    # scan is ONE partition, so the executor-side Python encode (and,
+    # via one output file, the decode) ran on a single core.  An
+    # explicit-numPartitions keyed repartition parallelizes both
+    # boundary directions (guide §4 + the r6 single-row-group
+    # gotcha); aggregates are layout-independent, so the hash is
+    # unchanged on every CPUS axis.
+    base = base.repartition(
+        spark.sparkContext.defaultParallelism, "o_orderkey")
     path = tempfile.mkdtemp(prefix="fs_avro_") + "/t"
     readers.write_avro(base, path, codec="deflate")
     schema = T.StructType([
@@ -13851,7 +13892,13 @@ def ds_corpus_pipeline_v10(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     root = tempfile.mkdtemp(prefix="fs_v10_")
-    readers.write_avro(d, root + "/ingest")
+    # r11 optimization: parallelize the Python Avro encode (and the
+    # read-back decode, one task per written file) — the one-row-
+    # group testdata scan would otherwise encode the whole corpus on
+    # a single core (guide §4; same fix as rel_avro_roundtrip).
+    readers.write_avro(
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+        root + "/ingest")
     ing_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("lang", T.StringType()),
@@ -13864,7 +13911,13 @@ def ds_corpus_pipeline_v10(spark, sf_dir):
         .repartitionByRange(8, "doc_id")
     tbl = root + "/t"
     V.write_versioned(ing, tbl, stats_cols=["doc_id"])
-    bad = (ing.where(F.col("doc_id") % 97 == 0)
+    # r11 optimization: derive the bad batch from the COMMITTED
+    # parquet snapshot, not from `ing` — `ing`'s lineage runs the
+    # Python Avro decode, so building the batch off it re-decoded the
+    # whole corpus a second time (guide §4: cross the Python boundary
+    # once; the committed table holds exactly ing's rows).
+    bad = (V.read_version(spark, tbl, version=1)
+           .where(F.col("doc_id") % 97 == 0)
            .withColumn("lang", F.lit("xx"))
            .withColumn("tok", F.lit(0).cast("bigint")))
     planted = spark.range(1, 16).select(
@@ -14842,19 +14895,26 @@ def rel_cdc_scd2(spark, sf_dir):
     V.write_versioned(
         base.unionByName(planted).repartitionByRange(8, "o_orderkey"),
         path)
+    # r11 optimization: store each commit's change feed at commit
+    # time so scd2_from_changes reads O(changes) stored files instead
+    # of diffing adjacent snapshots (2 full scans + a join per
+    # commit).  Stored ≡ diff is the library contract pinned by
+    # rel_change_feed_stored / rel_update_where / rel_delete_where;
+    # the diff path keeps its own headline gate (rel_change_feed).
     V.update_where(
         spark, path,
         F.col("o_orderkey").between(1_800_000_001, 1_800_000_020),
-        {"cents": F.col("cents") + 7})
+        {"cents": F.col("cents") + 7}, store_changes_key="o_orderkey")
     V.delete_where(
         spark, path,
-        F.col("o_orderkey").between(1_800_000_001, 1_800_000_010))
+        F.col("o_orderkey").between(1_800_000_001, 1_800_000_010),
+        store_changes_key="o_orderkey")
     V.merge_versioned(
         spark, path,
         spark.range(1, 6).select(
             (F.lit(1_900_000_000) + F.col("id")).alias("o_orderkey"),
             F.col("id").cast("bigint").alias("cents")),
-        "o_orderkey")
+        "o_orderkey", store_changes=True)
     hist = scd2_from_changes(spark, path, "o_orderkey", 1)
     return hist.groupBy(
         F.col("__start_version").alias("start_version"),

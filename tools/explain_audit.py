@@ -514,7 +514,10 @@ EXPECTATIONS: dict[str, dict] = {
     # r10 avro gate: file-list repartition (one task per file) feeds
     # the mapInArrow decode; one agg exchange on top — writes are
     # eager side effects
-    "rel_avro_roundtrip": dict(max_exchanges=2),
+    # +1 exchange r11: explicit keyed repartition before the Python
+    # encode parallelizes the codec boundary (was a single-task
+    # encode/decode off the one-row-group testdata scan).
+    "rel_avro_roundtrip": dict(max_exchanges=3),
     # r10 restore gate: the RETURNED frame reads the restore's stored
     # feed (grouped agg), the restored head (1-row agg), and the
     # netted 1->3 span (agg) — aggregation exchanges + 2 broadcast
@@ -530,11 +533,15 @@ EXPECTATIONS: dict[str, dict] = {
     # stitches + the change-feed diff join.
     "ds_corpus_pipeline_v8": dict(max_exchanges=8),
     # continuous rollup: the returned plan is the final rollup scan
-    # (maintenance ran eagerly); mismatch counts are literals.
-    "rel_continuous_rollup": dict(max_exchanges=1),
+    # (maintenance ran eagerly) PLUS the in-plan hash-sum equivalence
+    # check vs the from-scratch recompute (r11: replaced two eager
+    # exceptAll().count() actions — 2 jobs with 2 wide shuffles each
+    # — with one aggregate per side broadcast into the output row).
+    "rel_continuous_rollup": dict(max_exchanges=3, min_broadcasts=1),
     # quarantine replay: one final-table aggregate (recovery ran
-    # eagerly); recovered/still-bad counts are literals.
-    "rel_quarantine_replay": dict(max_exchanges=1),
+    # eagerly) + the recovered/still-bad counts as broadcast 1-row
+    # aggregates (r11: were two extra eager .count() jobs).
+    "rel_quarantine_replay": dict(max_exchanges=3, min_broadcasts=1),
     # partitioned prune: one doubly-pruned read-back aggregate
     # (countDistinct adds its expand exchange).
     "rel_partitioned_prune": dict(max_exchanges=2),
