@@ -13905,10 +13905,15 @@ def ds_corpus_pipeline_v10(spark, sf_dir):
         T.StructField("text", T.StringType()),
     ])
     back = readers.read_avro(spark, root + "/ingest", ing_schema)
+    # r11 optimization: commit the decode partitions AS-IS.  The old
+    # repartitionByRange(8) ran the Python Avro decode TWICE (the
+    # range partitioner's sampling pass evaluates its whole lineage)
+    # plus an exchange — and nothing in this gate prunes on doc_id
+    # ranges, so the clustering bought nothing (guide §2.4: remove
+    # shuffles outright; §4: cross the Python boundary once).
     ing = back.select(
         "doc_id", "lang",
-        text.token_count(F.col("text")).cast("bigint").alias("tok")) \
-        .repartitionByRange(8, "doc_id")
+        text.token_count(F.col("text")).cast("bigint").alias("tok"))
     tbl = root + "/t"
     V.write_versioned(ing, tbl, stats_cols=["doc_id"])
     # r11 optimization: derive the bad batch from the COMMITTED
