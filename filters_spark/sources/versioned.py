@@ -1000,7 +1000,8 @@ def write_versioned(df: DataFrame, path: str,
                     ndv_cols: list[str] | None = None,
                     reuse_ndv: dict | None = None,
                     hdr_cols: list[str] | None = None,
-                    reuse_hdr: dict | None = None) -> int:
+                    reuse_hdr: dict | None = None,
+                    _no_data: bool = False) -> int:
     """Commit ``df`` as the next snapshot; returns the new version.
 
     ``expected_parent`` is optimistic concurrency control: pass the
@@ -1106,11 +1107,24 @@ def write_versioned(df: DataFrame, path: str,
     claim = _claim(path, version)
     try:
         snap = _snap_dir(path, version)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(snap)
-        new_files = _data_files(snap)
+        if _no_data:
+            # The caller declares ``df`` statically EMPTY (a MOR
+            # delete / no-change update whose rewrite set has no
+            # rows; df supplies only the schema).  Skip the parquet
+            # write job — and, more importantly, the junk empty part
+            # file it would leave in the snapshot: that file joins
+            # ``data_files`` and every later read of the table opens
+            # it forever (one extra scan split per MOR commit at
+            # 100 TB).  Readers handle zero-file snapshots: explicit
+            # manifest schema, n_files == 0 matches the empty dir.
+            os.makedirs(snap, exist_ok=True)
+            new_files: list[str] = []
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(snap)
+            new_files = _data_files(snap)
         if reuse_files is not None:
             data_files = sorted(
                 [f"snap/v={version}/{f}" for f in new_files]
@@ -1949,7 +1963,7 @@ def delete_where(spark: SparkSession, path: str, condition,
                 stats_cols=stats_cols, changes_df=changes,
                 reuse_files=parent_files,
                 reuse_stats=_root_stats(path, m),
-                dv_df=dv_df, dv_key=key)
+                dv_df=dv_df, dv_key=key, _no_data=True)
         finally:
             hits.unpersist()
         return {"version": version, "n_deleted": int(n_deleted),
@@ -1990,7 +2004,8 @@ def delete_where(spark: SparkSession, path: str, condition,
     version = write_versioned(
         replacement, path, expected_parent=expected_parent,
         _op="delete", stats_cols=stats_cols, changes_df=changes,
-        reuse_files=untouched, reuse_stats=_root_stats(path, m))
+        reuse_files=untouched, reuse_stats=_root_stats(path, m),
+        _no_data=not touched)
     return {"version": version, "n_deleted": int(n_deleted),
             "files_rewritten": len(touched),
             "files_reused": len(untouched)}
@@ -2155,7 +2170,8 @@ def update_where(spark: SparkSession, path: str, condition,
                 changes_df=changes_of(hits.drop("_f", "_chg")),
                 reuse_files=_root_files(path, m),
                 reuse_stats=_root_stats(path, m),
-                dv_df=dv_df, dv_key=key)
+                dv_df=dv_df, dv_key=key,
+                _no_data=not n_changed)
         finally:
             hits.unpersist()
         return {"version": version, "n_updated": int(n_updated),
@@ -2206,7 +2222,7 @@ def update_where(spark: SparkSession, path: str, condition,
         replacement, path, expected_parent=expected_parent,
         _op="update", stats_cols=m.get("stats_cols"),
         changes_df=changes, reuse_files=untouched,
-        reuse_stats=_root_stats(path, m))
+        reuse_stats=_root_stats(path, m), _no_data=not touched)
     return {"version": version, "n_updated": int(n_updated),
             "n_changed": int(n_changed),
             "files_rewritten": len(touched),
@@ -2347,7 +2363,7 @@ def restore_version(spark: SparkSession, path: str, version: int,
         # post-restore deletes to the restored state ([] resets when
         # m_old had none)
         dv_dirs=m_old.get("dv_dirs") or [],
-        dv_key=m_old.get("dv_key"))
+        dv_key=m_old.get("dv_key"), _no_data=True)
     return {"version": new_v, "restored_from": version,
             "files_reused": len(files), "files_rewritten": 0}
 
@@ -2452,7 +2468,7 @@ def clone_versioned(spark: SparkSession, src: str, dst: str,
         bloom_bits=m.get("bloom_bits"),
         bloom_hashes=m.get("bloom_hashes"),
         reuse_blooms=rekey(_root_blooms(src, m)),
-        dv_df=dv_df, dv_key=dv_key)
+        dv_df=dv_df, dv_key=dv_key, _no_data=True)
     return {"version": v, "source_path": src_abs,
             "source_version": version, "files_referenced": len(refs),
             "files_rewritten": 0}

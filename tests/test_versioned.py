@@ -1925,16 +1925,45 @@ class TestMorDelete:
                      "files_rewritten": 0, "files_reused": 8}
         m = V._read_manifest(t, 2)
         assert m["dv_dirs"] == [2] and m["dv_key"] == "k"
-        # every parent file carried; at most the one empty schema-only
-        # part file Spark writes for the zero-row replacement frame
+        # every parent file carried, and NOTHING else: the r11
+        # _no_data commit path skips the empty replacement write, so
+        # a MOR delete adds ZERO data files (no schema-only junk part
+        # that every later read would open forever)
         extra = [f for f in m["data_files"]
                  if not f.startswith("snap/v=1/")]
-        assert len(extra) <= 1
+        assert extra == []
         assert sum(1 for f in m["data_files"]
                    if f.startswith("snap/v=1/")) == 8
         dv = spark.read.parquet(str(tmp_path / "t" / "dv" / "v=2"))
         assert dv.count() == 6
         assert set(dv.columns) == {"_file", "k"}
+
+    def test_no_data_commits_write_zero_files(self, spark, tmp_path):
+        """r11 optimization pin: metadata-only commits (MOR delete,
+        no-change MOR update, RESTORE, CLONE) declare their empty
+        replacement frame via _no_data — the snapshot dir exists but
+        holds no parquet, n_files counts carried files only, and
+        reads / fsck are unaffected."""
+        t = self._mk(spark, tmp_path)
+        V.delete_where(spark, t, F.col("k") % 199 == 0,
+                       mode="mor", key="k")                       # v2
+        c = str(tmp_path / "clone")
+        V.clone_versioned(spark, t, c)                    # clone v1
+        V.restore_version(spark, t, 1)                            # v3
+        for path, v, carried in ((t, 2, 8), (t, 3, 8), (c, 1, 8)):
+            m = V._read_manifest(path, v)
+            assert len(m["data_files"]) == m["n_files"] == carried
+            snap = os.path.join(path, "snap", f"v={v}")
+            assert os.path.isdir(snap)
+            assert [f for f in os.listdir(snap)
+                    if f.endswith(".parquet")] == []
+        # reads and fsck still healthy
+        assert V.read_version(spark, t).count() == 1000   # restored
+        assert V.read_version(spark, c).count() == 994
+        assert [i for i in V.verify_versioned(t)
+                if i.startswith("error:")] == []
+        assert [i for i in V.verify_versioned(c)
+                if i.startswith("error:")] == []
 
     def test_reinsert_not_redeleted(self, spark, tmp_path):
         """File binding: a key deleted at v2 and re-inserted at v3
