@@ -179,6 +179,25 @@ HEAVY = {
         and all(r["n_restore_deletes"] == 15 for r in rows)
         and all(r["token_sum"] > 0 for r in rows),
         "v10: rollup nonempty, restore netted silent"),
+    # r11 optimization round: the versioned-op machinery changed
+    # (single-scan MOR ops, broadcast-semi feeds, _no_data commits) —
+    # stress the gates that exercise it at 10x orders.
+    "rel_delete_mor": lambda rows: _inv(
+        len(rows) == 1 and rows[0]["n_deleted_1"] > 0
+        and rows[0]["files_rewritten"] == 0
+        and rows[0]["cow_minus_mor_n"] == 0
+        and rows[0]["cow_minus_mor_cents"] == 0,
+        "mor delete: zero rewrite, mor == cow at 10x"),
+    "rel_scd2_maintain": lambda rows: _inv(
+        len(rows) > 0 and all(r["n_diff_vs_rebuild"] == 0
+                              for r in rows),
+        "scd2 maintain: incremental == rebuild at 10x"),
+    "rel_cdc_scd2": lambda rows: _inv(
+        len(rows) > 0 and all(r["n"] > 0 for r in rows),
+        "cdc scd2: nonempty interval groups"),
+    "rel_continuous_rollup": lambda rows: _inv(
+        len(rows) > 0 and all(r["n_mismatch"] == 0 for r in rows),
+        "continuous rollup: incremental == full at 10x"),
 }
 
 
