@@ -110,6 +110,16 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     )
     qterms = queries.select(F.col(query_id_col).alias("query_id"),
                             F.col(term_col).alias("term"))
+    # scoped persist (the same discipline as `post` below): the query
+    # term set feeds TWO broadcast branches (the semi-join term set
+    # and the scoring join) and Catalyst does not share subtrees
+    # across join branches, so without this the set's lineage (a
+    # corpus scan + explode + distinct in the flagship gates) runs
+    # once per branch.  Measured alternative — collecting the rows
+    # and re-parallelizing a local relation — was SLOWER at bench
+    # scale (the Python pickle round-trip beats the saved JVM scan).
+    from ._cache import scoped_persist
+    qterms = scoped_persist(qterms, "bm25_qterms")
     wanted = qterms.select("term").distinct()
     post = (
         ex.join(F.broadcast(wanted), "term", "left_semi")
@@ -126,7 +136,6 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     # and caps accumulation across distinct inputs.  A service
     # issuing many query sets should still materialize postings to
     # a table and probe that (bm25_topk_from_postings).
-    from ._cache import scoped_persist
     post = scoped_persist(post, "bm25_postings")
     # corpus stats: N and avgdl in one 1-row aggregate over a narrow
     # scan projection, cross-joined back as a broadcast (never
@@ -281,7 +290,15 @@ def bm25_topk_from_postings(spark, path: str, queries: DataFrame,
     than a leaked cache entry per call."""
     qterms = queries.select(F.col(query_id_col).alias("query_id"),
                             F.col(term_col).alias("term"))
-    terms = [r.term for r in qterms.select("term").distinct().collect()]
+    # scoped persist: the query term set is evaluated twice — once
+    # for the IN-list collect, once under the scoring broadcast — and
+    # its lineage is a corpus scan + explode + distinct in the
+    # flagship gates.  The sorted IN list keeps the plan text (and
+    # therefore steady-state plan reuse) deterministic.
+    from ._cache import scoped_persist
+    qterms = scoped_persist(qterms, "bm25_qterms")
+    terms = sorted({r.term
+                    for r in qterms.select("term").distinct().collect()})
     post = (spark.read.parquet(f"{path}/postings")
             .where(F.col("term").isin(terms)))
     stats = spark.read.parquet(f"{path}/stats")

@@ -489,11 +489,23 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
     thousands of cells the listing itself costs a task per directory
     (measured: a 4096-cell index probed at nprobe=8 ran 4096 scan
     tasks under the IN-filter form), while the explicit-path read is
-    O(probed cells) like a real ANN index's posting-list access.  No
-    ``.persist()`` anywhere."""
+    O(probed cells) like a real ANN index's posting-list access.
+    The query set rides the bounded scoped-persist LRU (it feeds
+    three evaluation sites); the corpus-sized side is never
+    persisted."""
     cent = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
+    # scoped persist (the bm25 discipline): the query set feeds THREE
+    # evaluation sites — the probe-cell collect, the probes broadcast
+    # and the candidate-join q broadcast — and Catalyst does not
+    # share subtrees across branches, so without this the set's
+    # lineage (an embeddings scan + filter in the flagship gates)
+    # runs once per site.  Measured alternative — collecting the rows
+    # and re-parallelizing a local relation — was SLOWER at bench
+    # scale (the Python pickle round-trip beats the saved JVM scans).
+    from ._cache import scoped_persist
+    q = scoped_persist(q, "ann_queries")
     pw = Window.partitionBy("query_id").orderBy(
         F.col("_pscore").desc(), F.col("cell"))
     probes = (
@@ -505,13 +517,17 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
         .where(F.col("_prank") <= nprobe)
         .select("query_id", "cell")
     )
-    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    if any(c is None for c in cells):
+    # sorted cell paths keep the plan text — and therefore steady-
+    # state plan reuse — deterministic
+    cellset = {r["cell"]
+               for r in probes.select("cell").distinct().collect()}
+    if None in cellset:
         raise ValueError(
             "ivf_topk_from_index: probed a NULL cell — the index "
             "contract requires non-NULL cell ids (a NULL cell is "
             "written as __HIVE_DEFAULT_PARTITION__ and cannot be "
             "probed as an explicit path)")
+    cells = sorted(cellset)
     sch = spark.read.parquet(f"{path}/schema").schema
     base = f"{path}/vectors"
     if cells:
@@ -1517,6 +1533,11 @@ def pq_topk_from_index(spark, path: str, queries: DataFrame,
     cent = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
+    # scoped persist: the query set feeds the probe-cell collect, the
+    # probes broadcast and the lookup-table broadcast — one lineage
+    # evaluation instead of three (the ivf_topk_from_index rationale)
+    from ._cache import scoped_persist
+    q = scoped_persist(q, "ann_queries")
     pw = Window.partitionBy("query_id").orderBy(
         F.col("_pscore").desc(), F.col("cell"))
     probes = (
@@ -1527,9 +1548,11 @@ def pq_topk_from_index(spark, path: str, queries: DataFrame,
         .withColumn("_prank", F.row_number().over(pw))
         .where(F.col("_prank") <= nprobe)
         .select("query_id", "cell"))
-    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    if any(c is None for c in cells):
+    cellset = {r["cell"]
+               for r in probes.select("cell").distinct().collect()}
+    if None in cellset:
         raise ValueError("pq_topk_from_index: probed a NULL cell")
+    cells = sorted(cellset)
     sch = spark.read.parquet(f"{path}/schema").schema
     base = f"{path}/codes"
     if cells:
@@ -1548,7 +1571,9 @@ def pq_topk_from_index(spark, path: str, queries: DataFrame,
             F.array(*[_pq_subdist(F.slice(F.col("_qr"), j * sub + 1, sub),
                                   cv) for cv in book])
             for j, book in enumerate(books)])
-        qt = (probes.join(q, "query_id")
+        # both sides are RDD-backed local relations (no size stats →
+        # the planner would SMJ two tiny frames through exchanges)
+        qt = (probes.join(F.broadcast(q), "query_id")
               .join(F.broadcast(rescent), "cell")
               .withColumn("_qr", qr)
               .select("query_id", "cell", tabs.alias("_tabs")))

@@ -146,15 +146,17 @@ class TestBM25:
                  (3, "dog cat mouse fox hen")],
                 "doc_id bigint, text string")
 
-        # repeats of the SAME input frame reuse one entry (parquet
-        # table handles are cached per (session, path), so gate
-        # queries hit this path; a fresh createDataFrame is a fresh
-        # RDD and can never canonicalize equal)
+        # repeats of the SAME input frame reuse one entry PER SCOPE
+        # (bm25_topk persists the matched postings AND the query term
+        # set — two bounded scopes since r11; parquet table handles
+        # are cached per (session, path), so gate queries hit this
+        # path; a fresh createDataFrame is a fresh RDD and can never
+        # canonicalize equal)
         same = docs("x")
         for _ in range(3):
             retrieval.bm25_topk(same, q, k=3).collect()
         after_repeat = n_persistent()
-        assert after_repeat <= baseline + 1
+        assert after_repeat <= baseline + 2
         # distinct inputs stay bounded by the scope capacity
         for i in range(DEFAULT_CAPACITY + 3):
             retrieval.bm25_topk(docs(f"t{i}"), q, k=3).collect()
@@ -197,15 +199,19 @@ class TestMaterializedPostings:
             exp = sorted(map(tuple,
                              retrieval.bm25_topk(docs, q, k=4).collect()))
             assert got == exp
-        # the from-postings path must not register any cached frames
-        # (no GROWTH: the shared test session may hold localCheckpoint
-        # blocks from other tests that clearCache cannot drop)
+        # the from-postings path never persists the INDEX side; the
+        # query term set rides the bounded scoped-persist LRU (one
+        # entry per distinct query set, capacity-evicted) — so one
+        # probe registers at most one new cached frame (no GROWTH
+        # beyond that: the shared test session may hold
+        # localCheckpoint blocks from other tests that clearCache
+        # cannot drop)
         jsc = spark.sparkContext._jsc.sc()
         spark.catalog.clearCache()
         before = jsc.getPersistentRDDs().size()
         q = spark.createDataFrame(qsets[0], "query_id bigint, term string")
         retrieval.bm25_topk_from_postings(spark, path, q, k=4).collect()
-        assert jsc.getPersistentRDDs().size() == before
+        assert jsc.getPersistentRDDs().size() <= before + 1
 
     def test_postings_layout_prunes_by_term(self, spark, tmp_path):
         """The postings dataset is range-partitioned by term so a term

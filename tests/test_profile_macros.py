@@ -115,7 +115,9 @@ class TestIvfIndex:
         """materialize_ivf_index + ivf_topk_from_index must return the
         same (query, neighbor, rank) sets as the in-memory ivf_topk
         over the same cells, read ONLY the probed cells' partitions
-        (PartitionFilters in the scan), and hold no persisted frames."""
+        (PartitionFilters in the scan), and never grow the cache on
+        re-execution (the query set rides the bounded scoped-persist
+        LRU; the index side is never persisted)."""
         import numpy as np
 
         rng = np.random.RandomState(7)
