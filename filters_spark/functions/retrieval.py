@@ -97,6 +97,12 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     shuffles are the per-(query, doc) score rollup and the rank cut.
     For a REUSABLE index over many future query sets, materialize
     :func:`term_postings` once instead and probe it.
+
+    The query term set rides the bounded ``scoped_persist`` LRU,
+    keyed on the PLAN (semanticHash) — callers must not overwrite
+    the files behind a query frame in place between calls with an
+    identical plan, or must ``release_caches()`` first (see
+    ``_cache``).
     """
     toks = F.split(F.col(text_col), sep)
     # dl rides the exploded rows (first() per group recovers it), so
@@ -285,9 +291,15 @@ def bm25_topk_from_postings(spark, path: str, queries: DataFrame,
     into the postings scan as an ``IN`` predicate — with the
     range-partitioned, term-sorted layout that prunes files and row
     groups, so the scan cost is proportional to the matched postings.
-    No ``.persist()`` anywhere: the matched slice is re-scanned for
-    the idf branch, which is two pruned reads of a small slice rather
-    than a leaked cache entry per call."""
+    The query term set rides the bounded ``scoped_persist`` LRU (one
+    lineage evaluation feeds both the IN-list collect and the scoring
+    broadcast — the ``ivf_topk_from_index`` discipline); the matched
+    postings slice itself is never persisted: the idf branch is a
+    second pruned read of a small slice, not a leaked cache entry.
+    Staleness contract: the cached query set is keyed on the PLAN
+    (semanticHash) — callers must not overwrite the files behind a
+    query frame in place between calls with an identical plan, or
+    must ``release_caches()`` first (see ``_cache``)."""
     qterms = queries.select(F.col(query_id_col).alias("query_id"),
                             F.col(term_col).alias("term"))
     # scoped persist: the query term set is evaluated twice — once

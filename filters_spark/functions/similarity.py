@@ -492,7 +492,10 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
     O(probed cells) like a real ANN index's posting-list access.
     The query set rides the bounded scoped-persist LRU (it feeds
     three evaluation sites); the corpus-sized side is never
-    persisted."""
+    persisted.  Staleness contract: the cache is keyed on the PLAN
+    (semanticHash) — callers must not overwrite the files behind a
+    query frame in place between calls with an identical plan, or
+    must ``release_caches()`` first (see ``_cache``)."""
     cent = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
@@ -1521,7 +1524,12 @@ def pq_topk_from_index(spark, path: str, queries: DataFrame,
     (query, probed cell) from ``round(q - rescent_centroid, dp)`` —
     the frozen base the codes were encoded against — so the coarse
     term stays exact in the ADC sum; probe ranking still uses the
-    live ``centroids/`` (additively folded by appends)."""
+    live ``centroids/`` (additively folded by appends).
+
+    The query set rides the bounded scoped-persist LRU keyed on the
+    PLAN (semanticHash) — callers must not overwrite the files behind
+    a query frame in place between calls with an identical plan, or
+    must ``release_caches()`` first (see ``_cache``)."""
     books = _read_codebooks(spark, path)
     if not books or not books[0]:
         return spark.read.parquet(f"{path}/schema").select(

@@ -12871,10 +12871,11 @@ def rel_continuous_rollup(spark, sf_dir):
     delete-commit (v3) land on the source, and ONE incremental
     maintenance call consumes the net 1→3 diff — recomputing only the
     dirty (month, priority) buckets and tombstoning emptied ones.
-    The gate emits the final rollup rows PLUS n_mismatch, the exact
-    decimal difference of per-row xxhash64 sums between the
+    The gate emits the final rollup rows PLUS n_mismatch, an exact
+    equality flag over per-row xxhash64 decimal sums between the
     incrementally-maintained table and a from-scratch recompute of
-    the final snapshot — hash-green requires it to be exactly 0, so a
+    the final snapshot (0 equal / 1 mismatch — never an ANSI cast
+    throw) — hash-green requires it to be exactly 0, so a
     stale bucket, a missed tombstone, a delta-drifted sum, or an
     unconsumed change class cannot pass.  (r11 optimization: the
     original two exceptAll().count() actions pinned the same
@@ -12929,10 +12930,15 @@ def rel_continuous_rollup(spark, sf_dir):
     cols = ["bucket_month", "prio", "n_rows", "cents_sum"]
     hv = F.xxhash64(F.struct(*[F.col(c) for c in cols])) \
         .cast("decimal(38,0)")
+    # equality test, not a raw difference: under ANSI (the session
+    # default) a genuine mismatch's decimal(38,0) difference can
+    # exceed int64 and the cast would THROW instead of emitting the
+    # designed nonzero signal (r11 ADVICE) — compare the sums and
+    # emit 0/1 so the failure mode stays a value, never an exception
     mm = (roll.agg(F.sum(hv).alias("_a"))
           .crossJoin(F.broadcast(full.agg(F.sum(hv).alias("_b"))))
-          .select((F.coalesce(F.col("_a"), F.lit(0))
-                   - F.coalesce(F.col("_b"), F.lit(0)))
+          .select(F.when(F.col("_a").eqNullSafe(F.col("_b")), F.lit(0))
+                  .otherwise(F.lit(1))
                   .cast("long").alias("n_mismatch")))
     return roll.crossJoin(F.broadcast(mm))
 
@@ -14978,9 +14984,10 @@ def rel_scd2_maintain(spark, sf_dir):
     CONSUMED commit only (the scd2_from_changes span-rebuild plan
     grows with total history; SCALE.md §25's class).  The hash pins
     the full stored interval table grouped by (start, end) AND an
-    exact decimal row-hash-sum DIFFERENCE against a
+    exact decimal row-hash-sum EQUALITY FLAG against a
     scd2_from_changes full rebuild (zero in the oracle — one
-    aggregate per side, not two exceptAll shuffles) — incremental ≡
+    aggregate per side, not two exceptAll shuffles; an inequality
+    emits 1, never an ANSI cast throw) — incremental ≡
     rebuild ≡ arithmetic in one hash.  Crash replay, open-interval
     re-stitching, and bounded per-call plans are pytest-pinned
     (TestMaintainScd2)."""
@@ -15028,17 +15035,20 @@ def rel_scd2_maintain(spark, sf_dir):
     cols = ["o_orderkey", "cents", "__start_version",
             "__end_version", "is_current"]
     rebuild = scd2_from_changes(spark, path, "o_orderkey", 1)
-    # equivalence as an exact decimal hash-sum difference (one agg
+    # equivalence as an exact decimal hash-sum comparison (one agg
     # per side) instead of two exceptAll shuffles — same value-level
     # strength at a fraction of the cost; decimal(38,0) sums of
-    # int64 hashes can never overflow or throw under ANSI
+    # int64 hashes can never overflow
     hv = F.xxhash64(F.struct(*[F.col(c) for c in cols])) \
         .cast("decimal(38,0)")
+    # equality test, not a raw difference (r11 ADVICE): an actual
+    # mismatch's decimal difference can exceed int64, and under ANSI
+    # the long cast would throw instead of emitting the signal value
     diff = (hist.agg(F.sum(hv).alias("_a"))
             .crossJoin(F.broadcast(
                 rebuild.agg(F.sum(hv).alias("_b"))))
-            .select((F.coalesce(F.col("_a"), F.lit(0))
-                     - F.coalesce(F.col("_b"), F.lit(0)))
+            .select(F.when(F.col("_a").eqNullSafe(F.col("_b")),
+                           F.lit(0)).otherwise(F.lit(1))
                     .cast("long").alias("n_diff_vs_rebuild")))
     return (hist.groupBy(
         F.col("__start_version").alias("start_version"),

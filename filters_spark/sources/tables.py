@@ -48,7 +48,10 @@ def get_spark(app_name: str = "filters_spark", shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # off by default (bench hygiene); SPARK_GRAFT_UI=true enables
+        # it for guide-§7 profiling sessions (REST /api/v1 job data)
+        .config("spark.ui.enabled",
+                os.environ.get("SPARK_GRAFT_UI", "false"))
         # the SQL-listener plan description defaults to FORMATTED
         # mode, whose ExplainUtils.generateOperatorIDs walk re-visits
         # nested cached subtrees without memoization — measured (r6):

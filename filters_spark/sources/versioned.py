@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (callers compose)
@@ -1105,8 +1106,40 @@ def write_versioned(df: DataFrame, path: str,
     # pointer flip must not block its number forever)
     version = max(versions(path) + [parent or 0]) + 1
     claim = _claim(path, version)
+    _pool: ThreadPoolExecutor | None = None
     try:
         snap = _snap_dir(path, version)
+        # The commit's SIDE WRITES (stored change feed, delete-vector
+        # sidecar) are independent of the main snapshot write — kick
+        # them off on driver threads so their jobs overlap the main
+        # write's tail instead of serializing after it (guide §2.6:
+        # actions are only sequential because the driver calls them
+        # sequentially).  Each write is its own output directory; the
+        # manifest (the atomic commit point) is written only after
+        # every future joins, so crash semantics are unchanged —
+        # nothing is visible until the head flip.
+        _cfut = _dfut = None
+        if dv_df is not None:
+            # validate BEFORE the async write starts (fail-fast
+            # semantics unchanged)
+            if partition_by:
+                raise ValueError(
+                    "write_versioned: delete vectors require a flat "
+                    "layout (the file-tail binding breaks across "
+                    "partition directories)")
+            if dv_key is None:
+                raise ValueError(
+                    "write_versioned: dv_df requires dv_key")
+        if changes_df is not None or dv_df is not None:
+            _pool = ThreadPoolExecutor(max_workers=2)
+            if changes_df is not None:
+                _cfut = _pool.submit(
+                    lambda: changes_df.write.mode("overwrite").parquet(
+                        _changes_dir(path, version)))
+            if dv_df is not None:
+                _dfut = _pool.submit(
+                    lambda: dv_df.write.mode("overwrite").parquet(
+                        _dv_dir(path, version)))
         if _no_data:
             # The caller declares ``df`` statically EMPTY (a MOR
             # delete / no-change update whose rewrite set has no
@@ -1153,8 +1186,7 @@ def write_versioned(df: DataFrame, path: str,
             **(extra_meta or {}),
         }
         if changes_df is not None:
-            changes_df.write.mode("overwrite").parquet(
-                _changes_dir(path, version))
+            _cfut.result()               # join the overlapped write
             manifest["changes"] = True
             manifest["changes_schema_json"] = changes_df.schema.json()
         if stats_cols:
@@ -1321,15 +1353,7 @@ def write_versioned(df: DataFrame, path: str,
                         "one key per table (fold the existing vectors "
                         "with optimize_versioned first)")
         if dv_df is not None:
-            if partition_by:
-                raise ValueError(
-                    "write_versioned: delete vectors require a flat "
-                    "layout (the file-tail binding breaks across "
-                    "partition directories)")
-            if dv_key is None:
-                raise ValueError(
-                    "write_versioned: dv_df requires dv_key")
-            dv_df.write.mode("overwrite").parquet(_dv_dir(path, version))
+            _dfut.result()               # join the overlapped write
             dv_dirs = sorted(set(list(dv_dirs or []) + [version]))
         if dv_dirs:
             manifest["dv_dirs"] = sorted(set(int(v) for v in dv_dirs))
@@ -1377,6 +1401,8 @@ def write_versioned(df: DataFrame, path: str,
             except FileNotFoundError:
                 pass
     finally:
+        if _pool is not None:
+            _pool.shutdown(wait=True)
         try:
             os.remove(claim)
         except FileNotFoundError:
@@ -1537,7 +1563,8 @@ def read_version(spark: SparkSession, path: str,
 
 
 def _merge_changes(base: DataFrame, updates: DataFrame, key: str,
-                   detect_cols: list[str] | None = None) -> DataFrame:
+                   detect_cols: list[str] | None = None,
+                   broadcast_batch: bool = True) -> DataFrame:
     """Change feed of a keyed merge, computed AT COMMIT TIME from
     base × updates: one join whose probe side is the (usually small)
     update batch — broadcast-able, never a full-outer diff of two
@@ -1566,9 +1593,14 @@ def _merge_changes(base: DataFrame, updates: DataFrame, key: str,
     # explicit because the batch is RDD-backed (no size estimate —
     # without the hint the base pays a full hash exchange before AQE
     # can demote the join); a keyed-merge batch is CDC-sized by this
-    # operator's design contract.
+    # operator's design contract — callers merging a batch that is
+    # NOT CDC-sized pass merge_versioned(broadcast_batch=False) and
+    # the planner falls back to its size-based strategy instead of
+    # risking an oversized broadcast (r11 ADVICE).
+    keyset = updates.select(key).distinct()
     matched = base.join(
-        F.broadcast(updates.select(key).distinct()), key, "left_semi")
+        F.broadcast(keyset) if broadcast_batch else keyset,
+        key, "left_semi")
     o, n = matched.alias("o"), updates.alias("n")
     common = sorted(set(base.columns) & set(updates.columns) - {key}) \
         if detect_cols is None else sorted(detect_cols)
@@ -1610,7 +1642,8 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
                     store_changes: bool = False,
                     file_reuse: bool = False,
                     evolve_schema: bool = False,
-                    mor: bool = False) -> int:
+                    mor: bool = False,
+                    broadcast_batch: bool = True) -> int:
     """MERGE (keyed upsert) producing a NEW snapshot: same-key rows
     replaced wholesale, unmatched updates inserted, unmatched base
     rows carried over — :func:`plans.joins.upsert` semantics, but
@@ -1647,6 +1680,17 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
     the touched slice, not the table.  Flat layouts only
     (partitioned parents fall back to the full materialization);
     parent ``stats_cols`` carry forward like delete_where's.
+
+    ``broadcast_batch`` (default True) pins explicit ``F.broadcast``
+    hints on the update-batch side of the internal joins: the batch
+    is CDC-SIZED by this operator's design contract but usually
+    RDD-backed (no size estimate), so without the hint the planner
+    sort-merges with a full table exchange.  A caller merging a batch
+    that is NOT CDC-sized (a backfill-scale upsert) passes ``False``
+    and the planner's size-based strategy (with its broadcast caps
+    and graceful sort-merge fallback) decides instead — the
+    ``dedup._guard_unblocked_cross`` escape-hatch discipline without
+    paying a count job on every CDC merge.
 
     ``mor=True`` (merge-on-read — the r11 deletion-vector machinery,
     overriding ``file_reuse``): matched keys whose content CHANGES
@@ -1709,15 +1753,18 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
         return _merge_commit(
             spark, path, key, m, base, aligned, parent_detect, _widen,
             expected_parent, extra_meta, store_changes, file_reuse,
-            mor)
+            mor, broadcast_batch)
     finally:
         aligned.unpersist()
 
 
 def _merge_commit(spark, path, key, m, base, aligned, parent_detect,
                   _widen, expected_parent, extra_meta, store_changes,
-                  file_reuse, mor) -> int:
+                  file_reuse, mor, broadcast_batch=True) -> int:
     from ..plans.joins import upsert
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_batch else df
 
     if mor:
         if m.get("partition_by"):
@@ -1725,7 +1772,8 @@ def _merge_commit(spark, path, key, m, base, aligned, parent_detect,
                 "merge_versioned(mor=True): delete vectors require a "
                 "flat layout — partitioned tables merge copy-on-write")
         changes = _merge_changes(base, aligned, key,
-                                 detect_cols=parent_detect) \
+                                 detect_cols=parent_detect,
+                                 broadcast_batch=broadcast_batch) \
             if store_changes else None
         det = _detect_frame(spark, path, m)
         if _widen is not None:
@@ -1754,7 +1802,7 @@ def _merge_commit(spark, path, key, m, base, aligned, parent_detect,
         # broadcast the batch side explicitly: it is RDD-backed (no
         # size estimate), and without the hint the detection join
         # plans as SMJ with a full hash exchange of the table
-        j = o.join(F.broadcast(nn),
+        j = o.join(_hint(nn),
                    F.col(f"o.{key}") == F.col(f"n.{key}"))
         sel = j.select(
             F.col("o._f").alias("_f"),
@@ -1787,10 +1835,14 @@ def _merge_commit(spark, path, key, m, base, aligned, parent_detect,
         touched = sorted({
             _rel_uri(path, r["_f"]) for r in
             _detect_frame(spark, path, m)
-            .join(F.broadcast(aligned.select(key).distinct()),
+            .join(_hint(aligned.select(key).distinct()),
                   key, "left_semi")
-            .select("_f").distinct().collect()
-        })                                  # bounded: one row per file
+            # no .distinct() before the collect: dedup happens in the
+            # set comprehension — the rows are batch-sized (one per
+            # MATCHED base row, CDC-bounded) and the distinct added a
+            # full exchange + an AQE stage per merge for nothing
+            .select("_f").collect()
+        })                                  # bounded: matched rows
         untouched = [f for f in parent_files if f not in set(touched)]
         sub = (apply_delete_vectors(
             spark, path, m, spark.read.schema(schema).parquet(
@@ -1804,7 +1856,8 @@ def _merge_commit(spark, path, key, m, base, aligned, parent_detect,
         # (payload values are identical; missing columns NULL-pad the
         # same way on both paths).
         changes = _merge_changes(sub, aligned, key,
-                                 detect_cols=parent_detect) \
+                                 detect_cols=parent_detect,
+                                 broadcast_batch=broadcast_batch) \
             if store_changes else None
         if _widen is not None:
             sub = _widen(sub)       # carried files null-pad via
@@ -1817,7 +1870,8 @@ def _merge_commit(spark, path, key, m, base, aligned, parent_detect,
             stats_cols=m.get("stats_cols"),
             reuse_files=untouched, reuse_stats=_root_stats(path, m))
     changes = _merge_changes(base, aligned, key,
-                             detect_cols=parent_detect) \
+                             detect_cols=parent_detect,
+                             broadcast_batch=broadcast_batch) \
         if store_changes else None
     merged = upsert(base, aligned, key)
     # the full-materialization path carries the parent's skipping /
