@@ -5396,6 +5396,15 @@ def ds_corpus_pipeline_v2(spark, sf_dir):
     q = text.repetition_gate(d, "doc_id", "text", max_dup_line_frac=0.85)
     ded = dedup.exact_text_dedup(q, "doc_id", "text").select(
         "doc_id", "source", "text")
+    # stage barrier after DEDUP too (r12 — the docstring's production
+    # shape has always named checkpoints after BOTH the dedup and the
+    # decontamination stages; only the second existed): the
+    # decontamination stage references `ded` twice (the survivor-gram
+    # branch and the anti-join main side), so without this the
+    # repetition+dedup subtree computes 2× per run and its 2×-wide
+    # plan is re-analyzed per action — the 15-FileScan tree this
+    # docstring describes shrinks to the documented ~3-scan shape.
+    ded = ded.localCheckpoint(eager=False)
     clean = dedup.decontaminate(
         ded, d.where(F.col("doc_id") % 37 == 0).select("text"),
         "doc_id", "text", n=5)
@@ -13584,22 +13593,52 @@ def ds_corpus_pipeline_v9(spark, sf_dir):
     from ..sources import versioned as V
 
     d = _t(spark, sf_dir, "documents")
-    lang_arr = F.array(*[F.lit(lg) for lg, _ in _LID_SNIPPETS])
-    snip_arr = F.array(*[F.lit(t) for _, t in _LID_SNIPPETS])
+    # r12 optimization (guide §1.2/§8 "decide with small rows"):
+    # every per-document quantity in this gate — the LID prediction,
+    # its logit, and the stage-4 piece count — is a pure function of
+    # sid = doc_id % 15 (the 15 planted snippet LITERALS).  The old
+    # plan exploded bigrams of the snippet per DOCUMENT (corpus ×
+    # snippet-length rows, shuffled by doc_id for the scored join,
+    # all of it evaluated AGAIN by the range partitioner's sampling
+    # pass) and ran the per-row longest-match aggregate over every
+    # surviving row.  Now ONE 15-row Spark job evaluates the engine's
+    # own lang_id_scores + unigram_segment over the distinct snippet
+    # set, the 15 results come back through a documented BOUNDED
+    # driver boundary, and routing/logits/piece counts ride the plan
+    # as literal arrays indexed by sid — zero joins, zero extra
+    # exchanges, values identical row-for-row.  lang_id_scores itself
+    # (the corpus-shaped inference hot path) keeps its own gate,
+    # ds_lang_id.
+    sids = spark.range(0, 15).select(
+        F.col("id").cast("int").alias("sid"),
+        F.element_at(F.lit([lg for lg, _ in _LID_SNIPPETS]),
+                     F.col("id").cast("int") + 1).alias("true_lang"),
+        F.element_at(F.lit([t for _, t in _LID_SNIPPETS]),
+                     F.col("id").cast("int") + 1).alias("text"))
+    scored15 = text.lang_id_scores(
+        sids, _LID_W_MICRO, _LID_B_MICRO, id_col="sid")
+    n_pieces15 = F.size(text.unigram_segment(F.col("text"), _V9_VOCAB))
+    info = {r["sid"]: r for r in
+            (sids.join(scored15.select("sid", "lang_pred",
+                                       "logit_best"), "sid", "left")
+             .select("sid", "true_lang", "lang_pred", "logit_best",
+                     n_pieces15.alias("_np"))
+             .collect())}                  # bounded: exactly 15 rows
+    ok = [bool(info[i]["lang_pred"] == info[i]["true_lang"])
+          for i in range(15)]
+    langs = [info[i]["true_lang"] for i in range(15)]
+    logits = [int(info[i]["logit_best"]) if ok[i] else 0
+              for i in range(15)]
+    npieces = [int(info[i]["_np"]) for i in range(15)]
     sid = (F.col("doc_id") % 15).cast("int")
-    planted = d.select(
+    routed = (d.select("doc_id", "source", sid.alias("sid"))
+              .where(F.element_at(F.lit(ok), F.col("sid") + 1)))
+    base = (routed.select(
         "doc_id", "source",
-        F.element_at(lang_arr, sid + 1).alias("true_lang"),
-        F.element_at(snip_arr, sid + 1).alias("text"))
-    scored = text.lang_id_scores(planted, _LID_W_MICRO, _LID_B_MICRO)
-    routed = (planted
-              .join(scored.select("doc_id", "lang_pred", "logit_best"),
-                    "doc_id")
-              .where(F.col("lang_pred") == F.col("true_lang")))
-    base = (routed.select("doc_id", "source",
-                          F.col("true_lang").alias("lang"),
-                          "logit_best")
-            .repartitionByRange(8, "doc_id"))
+        F.element_at(F.lit(langs), F.col("sid") + 1).alias("lang"),
+        F.element_at(F.lit(logits), F.col("sid") + 1)
+        .alias("logit_best"))
+        .repartitionByRange(8, "doc_id"))
     path = tempfile.mkdtemp(prefix="fs_v9c_") + "/t"
     V.write_versioned(base, path, stats_cols=["doc_id"])
     V.delete_where(spark, path, "doc_id BETWEEN 100 AND 999",
@@ -13607,10 +13646,9 @@ def ds_corpus_pipeline_v9(spark, sf_dir):
     final = V.read_version(spark, path)
     feed = V.read_changes(spark, path, "doc_id", 1, 2)
     vsid = (F.col("doc_id") % 15).cast("int")
-    n_pieces = F.size(text.unigram_segment(
-        F.element_at(snip_arr, vsid + 1), _V9_VOCAB))
-    kept = final.select("source", "lang", F.lit(1).alias("_k"),
-                        "logit_best", n_pieces.alias("_p"))
+    kept = final.select(
+        "source", "lang", F.lit(1).alias("_k"), "logit_best",
+        F.element_at(F.lit(npieces), vsid + 1).alias("_p"))
     dele = feed.select("source", "lang", F.lit(0).alias("_k"),
                        "logit_best", F.lit(0).alias("_p"))
     return (kept.unionByName(dele)

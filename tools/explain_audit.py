@@ -488,8 +488,13 @@ EXPECTATIONS: dict[str, dict] = {
     # literal row set — zero scans, zero exchanges.
     "rel_stats_quantiles": dict(max_exchanges=0, max_scans=0),
     # v9 capstone: LID + commit + COW delete ran eagerly; the
-    # returned plan is the kept+feed union rollup (one exchange).
-    "ds_corpus_pipeline_v9": dict(max_exchanges=2),
+    # returned plan is the kept+feed union rollup.  r12: per-sid
+    # predictions/logits/piece counts are evaluated ONCE on a 15-row
+    # frame (a bounded driver boundary) and ride the rollup as
+    # literal arrays indexed by doc_id%15 — the per-row longest-match
+    # aggregate and the corpus-sized scored join are gone, so the
+    # audited plan TIGHTENED from 2 exchanges to 1 (the rollup's own).
+    "ds_corpus_pipeline_v9": dict(max_exchanges=1),
     # token-budget mix: ONE window shuffle (the per-domain running
     # sum) reused by the rollup; domain IN-filter pushed to the scan.
     # r10 hard negatives: anchors broadcast into the bucket join,
