@@ -1368,9 +1368,6 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     from ._cache import scoped_persist
 
     words = scoped_persist(wf, "unigram_words")
-    chars = sorted({r["c"] for r in words.select(
-        F.explode(F.split("w", "")).alias("c"))
-        .where(F.col("c") != "").distinct().collect()})
     sub_arrays = F.flatten(F.filter(F.transform(
         F.sequence(F.lit(2), F.lit(max_piece_len)),
         lambda ln: F.when(
@@ -1379,11 +1376,24 @@ def unigram_train(df: DataFrame, text_col: str = "text",
                         lambda i: F.col("w").substr(i, ln)))
         .otherwise(F.array().cast("array<string>"))),
         lambda a: a.isNotNull()))
+    # ONE bounded action for the alphabet AND the seed (r12, guide
+    # §1.2 — was two sequential collects): the char alphabet is the
+    # distinct length-1 piece set, the seed the top multi-char
+    # substrings; union both projections in a single plan over the
+    # persisted fold.
     seed_rows = (words.select(F.explode(sub_arrays).alias("p"), "f")
                  .groupBy("p").agg(F.sum("f").alias("c"))
                  .orderBy(F.col("c").desc(), "p")
-                 .limit(seed_size).collect())       # bounded: seed_size
-    vocab = sorted(set(chars) | {r["p"] for r in seed_rows})
+                 .limit(seed_size)
+                 .select("p")
+                 .unionByName(
+                     words.select(
+                         F.explode(F.split("w", "")).alias("p"))
+                     .where(F.col("p") != "").distinct())
+                 .collect())
+    pieces = {r["p"] for r in seed_rows}
+    chars = sorted(p for p in pieces if len(p) == 1)
+    vocab = sorted(pieces)
     for _ in range(prune_iters):
         pieces = unigram_segment(F.col("w"), vocab, max_piece_len)
         kept = (words.select(F.explode(pieces).alias("p"), "f")
@@ -1860,6 +1870,12 @@ def wordpiece_train(df: DataFrame, text_col: str = "text",
             [(r["w"], int(r["f"])) for r in wordfreq.collect()], n_merges)
     from ._cache import scoped_persist
 
+    # persist the UNPACKED fold too (r12): wordpiece_vocab and
+    # wordpiece_token_counts fold the same corpus again otherwise —
+    # the three calls of a train→vocab→apply pipeline share one
+    # cached (word, freq) evaluation (same plan → same semanticHash)
+    if max_vocab is None:
+        wordfreq = scoped_persist(wordfreq, "wp_words")
     state = scoped_persist(
         wordfreq.select(_wp_pack(F.col("w")).alias("sym"), "f"),
         "wp_words")
@@ -1916,17 +1932,25 @@ def wordpiece_vocab(df: DataFrame, merges: list[tuple],
     alphabet is the coverage floor; a character unseen in a role
     sends its whole word to [UNK] at apply time (the BERT
     semantics)."""
-    wf = _wp_wordfreq(df, text_col, sep)
-    ichars = {r["p"] for r in
-              wf.select(F.col("w").substr(1, 1).alias("p"))
-              .distinct().collect()}
-    cchars = {"##" + r["c"] for r in
-              wf.select(F.explode(
-                  F.split(F.col("w").substr(F.lit(2), F.length("w")), ""))
-                  .alias("c"))
-              .where(F.col("c") != "").distinct().collect()}
+    # ONE bounded action for both roles (r12, guide §1.2): the two
+    # role alphabets used to be two separate collects, each
+    # re-running the corpus fold (Catalyst shares no subtrees across
+    # actions) — persist the fold once (the bounded wp_words scope
+    # the trainer already uses) and union the two role projections
+    # into a single distinct collect.
+    from ._cache import scoped_persist
+
+    wf = scoped_persist(_wp_wordfreq(df, text_col, sep), "wp_words")
+    ich = wf.select(F.col("w").substr(1, 1).alias("p"))
+    cch = (wf.select(F.explode(
+        F.split(F.col("w").substr(F.lit(2), F.length("w")), ""))
+        .alias("c"))
+        .where(F.col("c") != "")
+        .select(F.concat(F.lit("##"), F.col("c")).alias("p")))
+    chars = {r["p"] for r in
+             ich.unionByName(cch).distinct().collect()}
     merged = {s[1] + _wp_strip(s[2]) for s in merges}
-    return sorted(ichars | cchars | merged)
+    return sorted(chars | merged)
 
 
 def wordpiece_segment(col: Column, vocab: list[str],
@@ -1987,7 +2011,9 @@ def wordpiece_token_counts(df: DataFrame, vocab: list[str],
     training), segment each DISTINCT word once, explode weighted.
     Returns (piece, n bigint).  One fold shuffle + one
     vocabulary-sized rollup."""
-    wf = _wp_wordfreq(df, text_col, sep)
+    from ._cache import scoped_persist
+
+    wf = scoped_persist(_wp_wordfreq(df, text_col, sep), "wp_words")
     pieces = wordpiece_segment(F.col("w"), vocab, unk=unk)
     return (wf.select(F.explode(pieces).alias("piece"), "f")
             .groupBy("piece").agg(F.sum("f").cast("long").alias("n")))

@@ -12918,6 +12918,14 @@ def rel_continuous_rollup(spark, sf_dir):
                     "o_orderdate", "prio",
                     F.lit(12345).cast("bigint").alias("cents")))
     )
+    # r12 note: migrating these commits to stored change feeds (the
+    # rel_cdc_scd2 r11 move — store_changes=True on v2, delete_where
+    # with store_changes_key for v3) was implemented and A/B-measured
+    # SLOWER (alternating reps on a settled box: 4.26/4.50 old vs
+    # 5.23/5.37 stored): the scattered %13 delete touches every file
+    # so the COW detection + feed join + feed write cost more than
+    # the two small-snapshot diffs they avoid.  Rejected; the
+    # diff-consuming maintenance is this gate's documented semantics.
     V.merge_versioned(spark, src, updates, "o_orderkey")          # v2
     V.write_versioned(
         V.read_version(spark, src).where(F.col("o_orderkey") % 13 != 0),
