@@ -614,24 +614,82 @@ def names() -> list[str]:
 # op, so every component lands a row in the official record.  The
 # remaining queries still run under tools/oracle_check.py.
 DRIVER_WINDOW: list[str] = [
-    # ================= ROUND-11 ROTATION (VERDICT r10 task 1) ========
-    # Slots 1-N: gates registered during r11 (added at registration
-    # time, displacing the newest re-confirmation slot — the r10
-    # discipline).  Then the TWELVE r3-vintage names, the TWELVE r4
-    # leftovers, and the r5 vintage (47 names) to fill 50 — verified
-    # against the union of CORRECTNESS_r01..r10.json: exactly 12
-    # last-official r3, 12 r4, 47 r5, nothing older.  Within the r5
-    # vintage, txt_bpe_merges and ds_tokenize_pack are pulled forward
-    # because their oracles changed this round (the wrapped-packing
-    # merge-anchoring fix) — re-confirmation is most valuable where
-    # the gate moved; the rest fill alphabetically.
-    # ROUND-12 ROTATION PLAN: r12-registered gates first, then the
-    # remaining r5 vintage (the ~24 names displaced from this window
-    # — recompute from CORRECTNESS_r11.json), then the r7 vintage
-    # (48 names minus re-confirmations), oldest vintage first.
-    # Re-verify against CORRECTNESS_r11.json before writing.
+    # ================= ROUND-12 ROTATION (VERDICT r11 task 9) ========
+    # r12 is an optimization round: NO new gates registered, so the
+    # window is pure re-confirmation, oldest vintage first — the 31
+    # remaining r5-vintage names (recomputed from the union of
+    # CORRECTNESS_r01..r11.json: after the r11 window's 16 oldest r5
+    # re-confirmations, exactly these 31 names still have r5 as their
+    # last official row; the r3/r4 vintages were fully re-confirmed
+    # in r11) + 19 of the 48 r7-vintage names to fill 50.  Within the
+    # r7 fill, ds_corpus_pipeline_v2 is pulled forward because its
+    # plan changed this round (the dedup-stage checkpoint) —
+    # re-confirmation is most valuable where the gate moved; the
+    # rest fill alphabetically.
+    # ROUND-13 ROTATION PLAN: r13-registered gates first, then the
+    # remaining 29 r7-vintage names (recompute from
+    # CORRECTNESS_r12.json), then the r8 vintage (50 names), oldest
+    # vintage first.  Re-verify against CORRECTNESS_r12.json before
+    # writing.
     #
-    # -- registered during r11 ------------------------------------------
+    # -- last official row r5 (31) --------------------------------------
+    "val_error_rollup",
+    "val_json_int_range",
+    "val_datetime_parse",
+    "val_nested_struct",
+    "val_email_macro",
+    "rel_grouping_sets",
+    "val_bytestring",
+    "rel_salted_join_agg",
+    "val_decimal_exact_agg",
+    "val_call_udf",
+    "rel_gapfill_2day",
+    "txt_repetition_rollup",
+    "ds_url_extract",
+    "ds_sequence_pack",
+    "ds_semdedup",
+    "rel_scd2",
+    "prof_drift",
+    "prof_ks_drift",
+    "ds_wav_codec_gate",
+    "ds_semantic_clusters",
+    "prof_expectations",
+    "rel_zorder_key",
+    "prof_cms_calibration",
+    "ds_stratified_fixed_n",
+    "ds_split_leakage",
+    "ds_y4m_codec_gate",
+    "ds_span_removal",
+    "prof_hll_calibration",
+    "prof_hdr_quantiles",
+    "ds_random_projection",
+    "prof_covariance",
+    # -- last official row r7 (19 of 48; changed-plan name first) -------
+    "ds_corpus_pipeline_v2",     # plan changed r12: dedup checkpoint
+    "ds_alaw_codec_gate",
+    "ds_audio_fingerprint_dedup",
+    "ds_bloom_membership",
+    "ds_bmp_codec_gate",
+    "ds_centroid_outliers",
+    "ds_containment_pairs",
+    "ds_corpus_pipeline",
+    "ds_corpus_pipeline_v3",
+    "ds_corpus_pipeline_v5",
+    "ds_fuzzy_match",
+    "ds_image_ahash_dedup",
+    "ds_incremental_clusters",
+    "ds_ivf_append",
+    "ds_ivf_compact",
+    "ds_jpeg_codec_gate",
+    "ds_mulaw_codec_gate",
+    "ds_png_codec_gate",
+    "ds_postings_append",
+]
+
+_R11_WINDOW_RETIRED = [
+    # ================= ROUND-11 ROTATION (VERDICT r10 task 1) ========
+    # (retired at the r12 rotation; every name below has its last
+    # official row in CORRECTNESS_r11.json — window history in git)
     "rel_delete_mor",            # merge-on-read deletion vectors
     "rel_scd2_maintain",         # incremental SCD2 maintenance
     "ds_warc_ingest",            # WARC reader (ISO 28500)
@@ -642,7 +700,6 @@ DRIVER_WINDOW: list[str] = [
     "rel_stats_ndv",             # NDV sketch sidecars (Puffin)
     "rel_window_funnel",         # windowFunnel conversion analysis
     "rel_stats_quantiles",       # HDR quantile sidecars
-    # -- last official row r3 (12) --------------------------------------
     "val_variant_json",
     "val_uuid_canon",
     "val_switch_dispatch",
@@ -655,7 +712,6 @@ DRIVER_WINDOW: list[str] = [
     "val_base64_roundtrip",
     "val_split_parts",
     "rel_sql_interface",
-    # -- last official row r4 (12) --------------------------------------
     "ds_real_codec_gate",
     "rel_latest_order_per_customer",
     "val_date_tz",
@@ -668,9 +724,8 @@ DRIVER_WINDOW: list[str] = [
     "ds_pagerank",
     "ds_dedup_exact",
     "ds_ivf_topk",
-    # -- last official row r5 (fill to 50; changed-oracle names first --
-    "txt_bpe_merges",            # oracle changed: wrapped packing
-    "ds_tokenize_pack",          # oracle changed: wrapped packing
+    "txt_bpe_merges",
+    "ds_tokenize_pack",
     "ds_corpus_pipeline_v4",
     "ds_decontaminate",
     "ds_dedup_components_star",

@@ -2987,6 +2987,62 @@ def read_changes(spark: SparkSession, path: str, key: str,
                     "c.p.*"))
 
 
+def read_changes_per_commit(spark: SparkSession, path: str, key: str,
+                            from_version: int,
+                            to_version: int | None = None
+                            ) -> DataFrame | None:
+    """PER-COMMIT change events for the span ``(from_version,
+    to_version]`` — one row per stored change image tagged with its
+    ``_commit_version`` — served as ONE multi-path scan over the
+    span's stored change directories, with the commit version derived
+    from each file's ``changes/v=N/`` path segment.
+
+    This is the bounded-plan twin of the per-pair
+    :func:`read_changes` loop that SCD2 consumers run: a type-2
+    rebuild must keep INTERMEDIATE states (netting them away is
+    exactly what it cannot do), so it reads the span commit by
+    commit — but a union of one ``read_changes`` branch per commit
+    grows the plan linearly with history (the SCALE.md §25
+    giant-union class: 80k-char plans at 120 commits, planning time
+    dominating).  One scan node covers any span length.
+
+    Returns None when any commit in the span lacks stored change
+    files or the change schema evolved mid-span (callers fall back
+    to the per-pair loop, which handles diffs and schema drift);
+    raises if ``key`` is missing from the stored schema.  Rows are
+    exactly the concatenation of the per-pair stored reads: single
+    commits are never netted against each other."""
+    if to_version is None:
+        to_version = latest_version(path)
+    if to_version is None or to_version <= from_version:
+        return None
+    span = _stored_chain(path, from_version, to_version)
+    if span is None:
+        return None
+    vers, schema = span
+    # the per-pair loop this replaces pairs MANIFESTED versions while
+    # the chain follows parent links — on a healthy table they are
+    # identical; on a table with orphaned manifests (a lost head
+    # race) defer to the loop rather than silently diverge
+    if vers != [v for v in versions(path)
+                if from_version < v <= to_version]:
+        return None
+    if key not in schema.fieldNames():
+        raise ValueError(
+            f"read_changes_per_commit: key {key!r} missing from the "
+            f"stored change schema")
+    # one scan over every feed dir; the version comes from the
+    # path's own `changes/v=N/` segment (input_file_name is legal
+    # here — single-source plan; the segment never needs
+    # percent-decoding: digits and '=' pass through URI encoding)
+    ev = spark.read.schema(schema).parquet(
+        *[_changes_dir(path, v) for v in vers])
+    return ev.withColumn(
+        "_commit_version",
+        F.regexp_extract(F.input_file_name(),
+                         r"/changes/v=(\d+)/", 1).cast("long"))
+
+
 def read_cursor(cursor_path: str) -> int | None:
     """Last version a :func:`consume_changes` consumer has fully
     processed (None = never consumed)."""

@@ -2680,6 +2680,70 @@ class TestScd2FromChanges:
         assert h.count() == 10
         assert h.where(~F.col("is_current")).count() == 0
 
+    def _mk_stored(self, spark, tmp_path):
+        """rel_scd2_maintain's lifecycle shape with EVERY commit
+        storing its feed — the span the single-scan fast path serves."""
+        t = str(tmp_path / "s")
+        V.write_versioned(spark.range(0, 60).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("c")), t)
+        V.update_where(spark, t, F.col("k").between(10, 29),
+                       {"c": F.col("c") + 7}, store_changes_key="k")
+        V.delete_where(spark, t, F.col("k").between(20, 29),
+                       store_changes_key="k")
+        V.merge_versioned(spark, t, spark.range(1000, 1005).select(
+            F.col("id").alias("k"),
+            F.lit(1).cast("bigint").alias("c")), "k",
+            store_changes=True)
+        V.merge_versioned(spark, t, spark.range(20, 23).select(
+            F.col("id").alias("k"),
+            F.lit(99).cast("bigint").alias("c")), "k",
+            store_changes=True)                     # re-insert
+        return t
+
+    def test_stored_span_fast_path_equals_loop(self, spark, tmp_path,
+                                               monkeypatch):
+        from filters_spark.plans import joins as J
+        t = self._mk_stored(spark, tmp_path)
+        assert V.read_changes_per_commit(spark, t, "k", 1) is not None
+        fast = {tuple(r) for r in
+                J.scd2_from_changes(spark, t, "k", 1).collect()}
+        # force the per-pair loop and compare row-for-row
+        monkeypatch.setattr(V, "read_changes_per_commit",
+                            lambda *a, **kw: None)
+        loop = {tuple(r) for r in
+                J.scd2_from_changes(spark, t, "k", 1).collect()}
+        assert fast == loop and len(fast) > 60
+
+    def test_long_stored_history_plan_bounded(self, spark, tmp_path):
+        """SCALE §25/§32 giant-union class (VERDICT r11 task 10): a
+        rebuild over 120 stored commits must plan as ONE feed scan,
+        not 120 union branches — pinned by a plan-string length
+        assertion AND an exact-interval check."""
+        from filters_spark.plans.joins import scd2_from_changes
+        t = str(tmp_path / "long")
+        rows = [(0, 0)]
+        V.write_versioned(spark.createDataFrame(
+            rows, "k bigint, c bigint"), t)
+        n_commits = 120
+        for i in range(1, n_commits + 1):
+            rows.append((i, i * 10))
+            feed = spark.createDataFrame(
+                [("insert", i, i * 10)],
+                "_change_type string, k bigint, c bigint")
+            V.write_versioned(
+                spark.createDataFrame(rows, "k bigint, c bigint"),
+                t, changes_df=feed)
+        h = scd2_from_changes(spark, t, "k", 1)
+        plan = h._jdf.queryExecution().executedPlan().toString()
+        # one multi-path scan: far under the ~80k chars the per-commit
+        # union planned at this history length (SCALE §32)
+        assert len(plan) < 20_000, len(plan)
+        got = {(r["k"], r["__start_version"], r["__end_version"])
+               for r in h.collect()}
+        want = {(0, 1, None)} | {(i, i + 1, None)
+                                 for i in range(1, n_commits + 1)}
+        assert got == want
+
 
 class TestSelectiveCompaction:
     def test_compacts_only_the_small_tail(self, spark, tmp_path):
