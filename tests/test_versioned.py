@@ -2762,7 +2762,11 @@ class TestSelectiveCompaction:
                               "k", file_reuse=True)
         m1 = V._read_manifest(t, 7)
         assert m1["n_files"] >= 8
-        v = V.optimize_versioned(spark, t, min_file_bytes=256 * 1024,
+        # threshold sits between the tiny appended files (~1 KB) and
+        # the two big range files (~200-230 KB under the r12 zstd
+        # default — they were ~800 KB under snappy, hence the old
+        # 256 KB value)
+        v = V.optimize_versioned(spark, t, min_file_bytes=128 * 1024,
                                  n_files=2)
         m2 = V._read_manifest(t, v)
         assert m2["op"] == "optimize"
